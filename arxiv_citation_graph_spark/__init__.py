@@ -1,0 +1,21 @@
+"""arxiv_citation_graph_spark — a PySpark-native link-graph analytics engine.
+
+A from-scratch re-expression of the capabilities of the reference pipeline
+``MatejVe/arxiv_citation_graph`` (see /root/reference) on Apache Spark:
+
+- vectorized (pandas/Arrow) bibliography extraction from an Iceberg-style
+  ``docs(repo, path, commit, lang, content)`` table into a deduplicated
+  ``edges(src_id, dst_id)`` citation table,
+- iterative DataFrame graph kernels (PageRank, connected components,
+  label propagation, triangle counting) with salted two-stage aggregation,
+  range-partitioned adjacency, per-superstep metrics and checkpoint/resume,
+- large-scale training-data operators (dedup, similarity search, text
+  analysis, multimodal plumbing).
+
+Everything is built on the public PySpark DataFrame API; no code is ported
+from the reference's imperative Python pipeline.
+"""
+
+__version__ = "0.1.0"
+
+from arxiv_citation_graph_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,264 @@
+r"""Deterministic synthetic corpus generator (docs + manifest + toy graphs).
+
+Everything is seeded — no network, no external data (FIXTURES.md).  The
+generated LaTeX stays inside the reference's *naive* parsing model: plain
+substring slice on the first ``\bibitem`` / first ``\end{thebibliography}``
+(SURVEY.md §7 watch list), so fixtures never rely on real LaTeX semantics
+the reference ignores.
+
+Two products:
+
+- ``corpus(n_docs)``: a docs-shaped corpus exercising the FIXTURES.md
+  C1-C14 content cases, with an embedded zipf-ish citation graph (hub
+  papers = the skew that salting must absorb).
+- ``toy_graphs()``: the named graph-kernel fixtures (two components, star,
+  cycle, K4, dangling chain, self-loop, seed-42 random).
+
+Generation is plain Python on the driver for test scale; ``corpus_df``
+parallelizes the *content rendering* through Spark (``range`` +
+``mapInPandas``) so bench corpora of millions of docs never sit in driver
+memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.sources.docs import DOCS_SCHEMA
+
+_FILLER = (
+    "We study the asymptotic behaviour of the spectral gap under random "
+    "perturbations and derive explicit bounds in the mean-field regime"
+).split()
+
+
+def _rng_for(seed: int, key: str) -> random.Random:
+    """Independent deterministic stream per (seed, key)."""
+    digest = hashlib.sha256(f"{seed}:{key}".encode()).digest()
+    return random.Random(int.from_bytes(digest[:8], "big"))
+
+
+def _doi_for(k: int) -> str:
+    return f"10.{1000 + k % 9000}/synth.{k}"
+
+
+def _new_arxiv_id(k: int) -> str:
+    yymm = f"{10 + k % 15:02d}{1 + k % 12:02d}"
+    return f"{yymm}.{k % 10000:05d}"
+
+
+def _old_arxiv_id(k: int) -> str:
+    cats = ["hep-th", "astro-ph", "cond-mat", "math", "cs"]
+    yymm = f"{93 + k % 6:02d}{1 + k % 12:02d}"
+    return f"{cats[k % len(cats)]}/{yymm}{k % 1000:03d}"
+
+
+def _bibitem_text(rng: random.Random, dst_num: int, style: int) -> tuple[str, str]:
+    """Render one bibitem citing a deterministic target id.
+
+    Returns (bibitem_latex, expected_identifier) where the identifier is
+    what the reference extractor emits (lowercased arXiv ids, DOIs
+    verbatim).  Each bibitem carries at most ONE distinct id per class
+    (FIXTURES.md C14 — dodges the reference's set-order hazard).
+    """
+    pad = " ".join(rng.choices(_FILLER, k=rng.randint(6, 14)))
+    author = f"Author{rng.randint(1, 99)}, A."
+    if style == 0:  # C3: DOI with trailing ;
+        doi = _doi_for(dst_num)
+        return f"{{ref{dst_num}}} {author} {pad}. doi:{doi};", doi
+    if style == 1:  # C4: strict arXiv, new-style
+        aid = _new_arxiv_id(dst_num)
+        return f"{{r{dst_num}}} {author} {pad}. arXiv:{aid}.", aid
+    if style == 2:  # C5: flexible-only (bracketed bare id)
+        aid = _new_arxiv_id(dst_num)
+        return f"{{r{dst_num}}} {author} {pad}, [ {aid}]", aid
+    if style == 3:  # C6: old-style with subcategory -> cleaned
+        aid = _old_arxiv_id(dst_num)
+        cat, _, num = aid.partition("/")
+        return f"{{r{dst_num}}} {author} {pad}. arXiv:{cat}.PR/{num}", aid
+    if style == 4:  # C7: DOI + arXiv id; DOI wins
+        doi = _doi_for(dst_num)
+        aid = _new_arxiv_id(dst_num + 1)
+        return f"{{r{dst_num}}} {author} {pad} arXiv:{aid} doi:{doi}", doi
+    if style == 5:  # C13: heavy bibtex markup, strict id
+        aid = _new_arxiv_id(dst_num)
+        return (
+            f"{{mark{dst_num}}} \\newblock {author} \\em{{Title~of~work}} "
+            f"{pad} \\url{{http://x}} arXiv:{aid}",
+            aid,
+        )
+    # C9: no identifier at all
+    return f"{{none}} {author} {pad}. In proceedings, 2019.", ""
+
+
+def render_doc(seed: int, repo_idx: int, targets: list[int], part: int = 0) -> tuple[str, str]:
+    """Render one .tex body citing ``targets``; returns (content, case_tag)."""
+    rng = _rng_for(seed, f"doc:{repo_idx}:{part}")
+    bibitems = []
+    for t in targets:
+        style = rng.randint(0, 6)
+        text, _ = _bibitem_text(rng, t, style)
+        bibitems.append(f"\\bibitem{text}")
+    # C8/C12 decoys: occasionally a junk short bibitem
+    if rng.random() < 0.3:
+        bibitems.append("\\bibitem{}")
+    body = "\n".join(bibitems)
+    preamble = f"\\documentclass{{article}} % paper {repo_idx}\n\\begin{{document}}\nText body.\n"
+    if rng.random() < 0.15:  # C2: missing end marker (drops final char)
+        return preamble + "\\begin{thebibliography}{9}\n" + body + "\nTRAILING", "C2"
+    return (
+        preamble + "\\begin{thebibliography}{9}\n" + body + "\n\\end{thebibliography}\n\\end{document}\n",
+        "C1",
+    )
+
+
+def expected_targets(seed: int, n_docs: int, repo_idx: int, zipf_a: float = 2.0) -> list[int]:
+    """Deterministic citation targets for one document.
+
+    Zipf-ish popularity: target k drawn with weight ~ 1/(k+1)^a, so low
+    ids become hub papers (the skew fixture, FIXTURES.md §5).
+    """
+    rng = _rng_for(seed, f"targets:{repo_idx}")
+    n_refs = rng.randint(3, 12)
+    targets = []
+    for _ in range(n_refs):
+        # inverse-CDF-free zipf-ish draw: repeatedly halve the id range
+        u = rng.random()
+        k = int(n_docs * (u ** zipf_a))
+        targets.append(min(n_docs - 1, k))
+    return targets
+
+
+def corpus_pdf(seed: int, n_docs: int) -> pd.DataFrame:
+    """Driver-side corpus as pandas (test scale)."""
+    rows = []
+    for i in range(n_docs):
+        targets = expected_targets(seed, n_docs, i)
+        content, _ = render_doc(seed, i, targets)
+        rows.append(
+            {
+                "repo": f"paper{i:06d}",
+                "path": "main.tex",
+                "commit": hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()[:12],
+                "lang": "tex",
+                "content": content,
+            }
+        )
+        # C10: some papers split their bibliography across a second file
+        if i % 7 == 3 and len(targets) > 2:
+            extra, _ = render_doc(seed, i, targets[:2], part=1)
+            rows.append(
+                {
+                    "repo": f"paper{i:06d}",
+                    "path": "refs.bbl",
+                    "commit": hashlib.sha1(f"{seed}:{i}b".encode()).hexdigest()[:12],
+                    "lang": "tex",
+                    "content": extra,
+                }
+            )
+        # decoy non-bib files (P1 must drop them)
+        if i % 5 == 0:
+            rows.append(
+                {
+                    "repo": f"paper{i:06d}",
+                    "path": "style.sty",
+                    "commit": "0" * 12,
+                    "lang": "tex",
+                    "content": "\\bibitem{should-never-be-read} doi:10.9999/decoy",
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def corpus_df(spark: SparkSession, seed: int, n_docs: int, partitions: int | None = None) -> DataFrame:
+    """Distributed corpus: rendering runs inside executors via mapInPandas,
+    so only (seed, index) ranges cross the driver boundary."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            frames = []
+            for idx in batch["id"]:
+                i = int(idx)
+                targets = expected_targets(seed, n_docs, i)
+                content, _ = render_doc(seed, i, targets)
+                recs = [
+                    {
+                        "repo": f"paper{i:06d}",
+                        "path": "main.tex",
+                        "commit": hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()[:12],
+                        "lang": "tex",
+                        "content": content,
+                    }
+                ]
+                if i % 7 == 3 and len(targets) > 2:
+                    extra, _ = render_doc(seed, i, targets[:2], part=1)
+                    recs.append(
+                        {
+                            "repo": f"paper{i:06d}",
+                            "path": "refs.bbl",
+                            "commit": hashlib.sha1(f"{seed}:{i}b".encode()).hexdigest()[:12],
+                            "lang": "tex",
+                            "content": extra,
+                        }
+                    )
+                frames.append(pd.DataFrame(recs))
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    return (
+        spark.range(0, n_docs, numPartitions=parts)
+        .mapInPandas(render, schema=DOCS_SCHEMA)
+    )
+
+
+def manifest_df(docs: DataFrame) -> DataFrame:
+    """Companion manifest derived from a (trusted) docs frame."""
+    return docs.select("repo", "path", F.sha2(F.col("content"), 256).alias("sha256"))
+
+
+# --------------------------------------------------------------------------
+# Toy graph fixtures (FIXTURES.md §4)
+# --------------------------------------------------------------------------
+
+
+def toy_graphs() -> dict[str, list[tuple[str, str]]]:
+    two_comp = [("a1", "a2"), ("a2", "a3"), ("a3", "a4"), ("b1", "b2"), ("b2", "b3")]
+    star = [(f"spoke{i:02d}", "hub") for i in range(50)]
+    cycle = [("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c0")]
+    k4 = [
+        (a, b)
+        for a in ["k0", "k1", "k2", "k3"]
+        for b in ["k0", "k1", "k2", "k3"]
+        if a != b
+    ]
+    dangling = [("d0", "d1"), ("d1", "d2"), ("d2", "sink")]
+    selfloop = [("s0", "s0"), ("s0", "s1"), ("s1", "s2"), ("s2", "s0")]
+    rng = random.Random(42)
+    vertices = [f"v{i:03d}" for i in range(100)]
+    resume = sorted(
+        {
+            (vertices[rng.randrange(100)], vertices[rng.randrange(100)])
+            for _ in range(400)
+        }
+    )
+    return {
+        "twocomp": two_comp,
+        "star": star,
+        "cycle": cycle,
+        "k4": k4,
+        "dangling": dangling,
+        "selfloop": selfloop,
+        "resume": resume,
+    }
+
+
+def toy_edges_df(spark: SparkSession, name: str) -> DataFrame:
+    return spark.createDataFrame(toy_graphs()[name], ["src_id", "dst_id"])

@@ -1,0 +1,95 @@
+r"""Bibliography slicing, bibitem splitting and bibtex cleanup.
+
+Pure-pandas implementations of the reference's string semantics, shared by
+the ``mapInPandas`` extraction operator and the pytest oracle diff.  Every
+quirk is pinned deliberately (SURVEY.md §2.2-2.3):
+
+- Window slice: text between the *first* ``\bibitem`` and the *first*
+  ``\end{thebibliography}``; when the end marker is missing, ``find``
+  returns -1 so the slice drops the final character of the file —
+  replicated bit-for-bit (reference ``create_database.py:530-535``).
+- Split on ``\bibitem``, drop empty fragments, strip whitespace
+  (reference ``create_database.py:538-543``).
+- ``clean_bibtex``: strip a leading ``{...}``/``[...]`` label, remove
+  ``\cmd{`` and ``\cmd`` sequences (char class ``[A-z]`` — which spans
+  ``[\]^_`` backtick — kept verbatim), drop newlines, delete
+  ``{}[]"'%``, turn ``~`` into spaces, collapse runs of whitespace
+  (reference ``create_database.py:1307-1377``; note the reference's
+  ``str.translate({"~": " "})`` no-op bug is *fixed* there by a manual
+  loop, so the observable behavior is ``~`` -> space, which we keep).
+"""
+
+from __future__ import annotations
+
+import re
+
+BIBITEM_MARK = r"\bibitem"
+BIB_END_MARK = r"\end{thebibliography}"
+
+_RE_CMD_BRACE = re.compile(r"\\[A-z]+{")
+_RE_CMD = re.compile(r"\\[A-z]+")
+_RE_WS_RUN = re.compile(r"\s{2,}")
+_DROP_CHARS = dict.fromkeys(map(ord, "{}[]\"'%"))
+
+
+def slice_bibliography(content: str) -> str | None:
+    """Return the raw bibliography window, or None if no ``\\bibitem``.
+
+    Keeps the missing-end-marker quirk: ``content[start:-1]`` when
+    ``\\end{thebibliography}`` is absent.
+    """
+    start = content.find(BIBITEM_MARK)
+    if start < 0:
+        return None
+    end = content.find(BIB_END_MARK)  # -1 when absent, on purpose
+    return content[start:end]
+
+
+def split_bibitems(window: str) -> list[str]:
+    """Split the window into stripped, non-empty bibitem strings."""
+    return [frag.strip() for frag in window.split(BIBITEM_MARK) if frag]
+
+
+def _strip_leading_label(text: str, open_ch: str, close_ch: str) -> str:
+    """Drop a leading ``{label}`` / ``[label]`` (unterminated -> unchanged,
+    matching the reference's try/except fallback)."""
+    if not text or text[0] != open_ch:
+        return text
+    end = text.find(close_ch, 1)
+    if end < 0:
+        return text
+    return text[end + 1 :]
+
+
+def clean_bibtex(bibitem: str) -> str:
+    """The reference's ``clean_up_bibtex`` chain, observable behavior."""
+    if not bibitem:
+        return bibitem
+    if bibitem[0] == "{":
+        bibitem = _strip_leading_label(bibitem, "{", "}")
+        bibitem = _strip_leading_label(bibitem, "[", "]")
+    elif bibitem[0] == "[":
+        bibitem = _strip_leading_label(bibitem, "[", "]")
+        bibitem = _strip_leading_label(bibitem, "{", "}")
+    bibitem = _RE_CMD_BRACE.sub("", bibitem)
+    bibitem = _RE_CMD.sub("", bibitem)
+    bibitem = bibitem.replace("\n", "")
+    bibitem = bibitem.translate(_DROP_CHARS).strip()
+    bibitem = bibitem.replace("~", " ")
+    bibitem = _RE_WS_RUN.sub(" ", bibitem)
+    return bibitem
+
+
+def extract_bibitems(content: str) -> list[tuple[int, str, str]]:
+    """content -> [(pos, bibitem, clean_bibitem)] for one file.
+
+    ``pos`` is the 0-based bibitem index within the file (the reference's
+    per-file enumeration, ``create_database.py:547``).  Length filtering
+    (>30) happens downstream in Spark so the engine keeps the raw
+    positions observable (P5 is a relational filter, SURVEY.md §2.2).
+    """
+    window = slice_bibliography(content)
+    if window is None:
+        return []
+    items = split_bibitems(window)
+    return [(i, item, clean_bibtex(item)) for i, item in enumerate(items)]

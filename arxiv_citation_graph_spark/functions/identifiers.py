@@ -1,0 +1,233 @@
+r"""Identifier detection: DOI + arXiv-id regexes and vectorized extractors.
+
+The regex *patterns* are vendored from the public dataset tooling
+``mattbierbaum/arxiv-public-datasets`` (``regex_arxiv.py``, MIT, Clement et
+al. 2019, arXiv:1905.00075), which is also what the reference pipeline uses
+(reference: ``arxiv_regex/arxiv_regex.py:147-229``).  Pattern strings are
+data, and byte-identical patterns are required for extraction parity with
+the reference — but all *code* here (assembly, matching, precedence) is
+original and vectorized.
+
+Semantics pinned to the reference (SURVEY.md §2.3-2.4):
+
+- DOI pattern ``10.\d{4,9}/[-._;()/:a-z0-9A-Z]+`` with ``re.IGNORECASE``,
+  leading dot deliberately left unescaped and trailing ``;`` kept by the
+  pattern, stripped (one, only if final) by the caller
+  (reference ``create_database.py:957-973`` and ``:567-574``).
+- Strict/flexible arXiv matches: flatten all non-empty regex groups per
+  hit, lowercase (reference ``create_database.py:761-806``).
+- Hit-list dedup: the reference does ``list(set(hits))`` and later indexes
+  ``[0]``, which is hash-order nondeterministic for >1 distinct hit.  This
+  engine pins the deterministic rule *first occurrence in text wins*
+  (order-preserving dedup); SURVEY.md §2.4 X1 records the decision.
+- Precedence: DOI > strict arXiv > flexible arXiv > none
+  (reference ``create_database.py:557-587``).
+- ``clean_arxiv_id``: old-style ids drop the subcategory
+  (``math.PR/0003156`` -> ``math/0003156``); version suffixes are NOT
+  stripped (reference ``create_database.py:809-826``).
+
+Python ``re`` and JVM regex disagree on constructs used by these patterns
+(inline ``(?i:...)`` scoping, ``findall`` group semantics), so matching
+runs in pandas UDFs with the vendored patterns — never translated to
+``regexp_extract_all`` (SURVEY.md §7 watch list).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import pandas as pd
+
+# --------------------------------------------------------------------------
+# Vendored pattern data (public: arxiv-public-datasets regex_arxiv.py).
+# --------------------------------------------------------------------------
+
+_CATEGORIES = (
+    "acc-phys adap-org alg-geom ao-sci astro-ph atom-ph bayes-an chao-dyn "
+    "chem-ph cmp-lg comp-gas cond-mat cs dg-ga funct-an gr-qc hep-ex hep-lat "
+    "hep-ph hep-th math math-ph mtrl-th nlin nucl-ex nucl-th patt-sol physics "
+    "plasm-ph q-alg q-bio quant-ph solv-int supr-con eess econ q-fin stat"
+).split()
+
+_SUB_CATEGORIES = (
+    "acc-ph ao-ph app-ph atm-clus atom-ph bio-ph chem-ph class-ph comp-ph "
+    "data-an dis-nn ed-ph flu-dyn gen-ph geo-ph hist-ph ins-det med-ph "
+    "mes-hall mtrl-sci optics other plasm-ph pop-ph quant-gas soc-ph soft "
+    "space-ph stat-mech str-el supr-con"
+).split()
+
+#: dashless-typo repair map (``condmat`` -> ``cond-mat``); used by the
+#: optional id normalizers, kept for parity with the public tooling.
+DASHDICT = {c.replace("-", ""): c for c in _CATEGORIES + _SUB_CATEGORIES if "-" in c}
+
+
+def _build_patterns() -> dict[str, str]:
+    """Assemble the strict/flexible arXiv-id patterns.
+
+    The assembled strings are byte-identical to the public originals (the
+    parity tests in ``tests/test_regex_corpus.py`` depend on it).
+    """
+    cats = sorted(set(_CATEGORIES + [c.replace("-", "") for c in _CATEGORIES]))
+    subs = sorted(set(_SUB_CATEGORIES + [c.replace("-", "") for c in _SUB_CATEGORIES]))
+    # NOTE: the upstream uses unsorted ``list(set(...))`` here; alternation
+    # order does not change the matched *language* for these alternatives
+    # at the positions they are used (longest-match is not guaranteed by
+    # Python alternation, so this is verified empirically by the corpus
+    # tests against observed behavior).
+    re_categories = r"(?:{})(?:(?:[.][A-Z]{{2}})|(?:{}))?".format("|".join(cats), "|".join(subs))
+    re_date = r"(?:(?:[0-2][0-9])|(?:9[1-9]))(?:0[1-9]|1[0-2])"
+    re_version = r"(?:[vV][1-9]\d*)?"
+    re_num_new = re_date + r"(?:[.]\d{4,5})" + re_version
+    re_num_old = re_date + r"(?:\d{3})" + re_version
+    re_id_new = r"(?:{})".format(re_num_new)
+    re_id_old = r"(?:{}/{})".format(re_categories, re_num_old)
+    re_prefix_url = (
+        r"(?:"
+        r"(?i:http[s]?\://)?"
+        r"(?i:arxiv\.org/)?"
+        r"(?i:abs/|pdf/)"
+        r")"
+    )
+    re_prefix_arxiv = r"(?i:arxiv\s*[:/\s,.]*\s*)"
+    re_prefix_categories = r"(?i:{})".format(re_categories)
+    re_prefix_eprint = r"(?i:e[-]?print[s]?.{1,3})"
+
+    simple = r"(?:{}|{})".format(re_id_old, re_id_new)
+    strict = (
+        r"(?:{})".format(re_prefix_arxiv)
+        + r"(?:"
+        + r"({})".format(re_id_old)
+        + r"|"
+        + r"({})".format(re_id_new)
+        + r")"
+    )
+    flexible = (
+        r"(?:"
+        r"({})".format(simple) + r")|(?:"
+        r"(?:"
+        r"(?:{})?".format(re_prefix_url) + r"(?:{})?".format(re_prefix_eprint) + r"(?:"
+        r"(?:{})?".format(re_prefix_arxiv) + r"({})".format(re_id_old) + r"|"
+        r"(?:{})".format(re_prefix_arxiv)
+        + r"(?:{}/)?".format(re_categories)
+        + r"({})".format(re_id_new)
+        + r")"
+        r")"
+        r"|"
+        r"(?:"
+        r"(?:{})|".format(re_prefix_url)
+        + r"(?:{})|".format(re_prefix_eprint)
+        + r"(?:{})|".format(re_prefix_categories)
+        + r"(?:{})".format(re_prefix_arxiv)
+        + r")"
+        r".*?"
+        r"({})".format(simple) + r")|(?:"
+        r"(?:[\[\(]\s*)"
+        r"({})".format(simple) + r"(?:\s*[\]\)])"
+        r")"
+    )
+    return {"simple": simple, "strict": strict, "flexible": flexible}
+
+
+_PATTERNS = _build_patterns()
+REGEX_ARXIV_SIMPLE: str = _PATTERNS["simple"]
+REGEX_ARXIV_STRICT: str = _PATTERNS["strict"]
+REGEX_ARXIV_FLEXIBLE: str = _PATTERNS["flexible"]
+
+#: DOI pattern exactly as the reference compiles it
+#: (``create_database.py:972``): leading dot unescaped (quirk kept).
+DOI_PATTERN = "10.\\d{4,9}/[-._;()/:a-z0-9A-Z]+"
+
+RE_DOI = re.compile(DOI_PATTERN, re.IGNORECASE)
+RE_ARXIV_STRICT = re.compile(REGEX_ARXIV_STRICT)
+RE_ARXIV_FLEXIBLE = re.compile(REGEX_ARXIV_FLEXIBLE)
+
+
+# --------------------------------------------------------------------------
+# Scalar semantics (shared by the pandas UDFs and the pytest oracle diff).
+# --------------------------------------------------------------------------
+
+
+def _dedup_keep_order(hits: Iterable[str]) -> list[str]:
+    """Order-preserving dedup — the engine's deterministic replacement for
+    the reference's ``list(set(...))`` (SURVEY.md §2.4 X1)."""
+    return list(dict.fromkeys(hits))
+
+
+def find_dois(text: str) -> list[str]:
+    """All DOI-pattern hits, first-occurrence order, deduped."""
+    return _dedup_keep_order(RE_DOI.findall(text))
+
+
+def _group_hits(pattern: re.Pattern, text: str) -> list[str]:
+    """Flatten non-empty groups of every match, lowercase, dedup in order
+    (reference semantics ``create_database.py:772-782`` minus set-order)."""
+    out: list[str] = []
+    for hit in pattern.findall(text):
+        groups = hit if isinstance(hit, tuple) else (hit,)
+        out.extend(g.lower() for g in groups if g)
+    return _dedup_keep_order(out)
+
+
+def find_arxiv_strict(text: str) -> list[str]:
+    return _group_hits(RE_ARXIV_STRICT, text)
+
+
+def find_arxiv_flexible(text: str) -> list[str]:
+    return _group_hits(RE_ARXIV_FLEXIBLE, text)
+
+
+def clean_arxiv_id(arxiv_id: str) -> str:
+    """Drop the subcategory from old-style ids; keep everything else
+    verbatim — version suffixes survive (reference ``:809-826``)."""
+    if "/" in arxiv_id:
+        cat, _, num = arxiv_id.partition("/")
+        return cat.partition(".")[0] + "/" + num
+    return arxiv_id
+
+
+ID_TYPE_DOI = "DOI"
+ID_TYPE_ARXIV = "arxivID"
+
+
+def pick_identifier(bibitem: str) -> tuple[str | None, str | None]:
+    """Precedence select for one bibitem: ``(reference_id, id_type)``.
+
+    DOI > strict arXiv > flexible arXiv > ``(None, None)``; trailing ``;``
+    stripped from the winning DOI (reference ``create_database.py:557-587``).
+    """
+    dois = find_dois(bibitem)
+    if dois:
+        doi = dois[0]
+        if doi.endswith(";"):
+            doi = doi[:-1]
+        return doi, ID_TYPE_DOI
+    strict = find_arxiv_strict(bibitem)
+    if strict:
+        return clean_arxiv_id(strict[0]), ID_TYPE_ARXIV
+    flexible = find_arxiv_flexible(bibitem)
+    if flexible:
+        return clean_arxiv_id(flexible[0]), ID_TYPE_ARXIV
+    return None, None
+
+
+# --------------------------------------------------------------------------
+# Vectorized (Arrow-batched) entry point used by the Spark pipeline.
+# --------------------------------------------------------------------------
+
+
+def extract_identifiers_batch(bibitems: pd.Series) -> pd.DataFrame:
+    """pandas-batch identifier extraction.
+
+    Regexes are module-level compiled once per worker; the loop is over an
+    in-memory Arrow batch (not Spark rows), per the no-per-row-Python rule
+    (BASELINE.json ``input_hint``).  Returns columns
+    ``reference_id`` / ``id_type`` (nullable strings).
+    """
+    ids: list[str | None] = []
+    types: list[str | None] = []
+    for text in bibitems:
+        rid, rtype = pick_identifier(text) if text else (None, None)
+        ids.append(rid)
+        types.append(rtype)
+    return pd.DataFrame({"reference_id": ids, "id_type": types})

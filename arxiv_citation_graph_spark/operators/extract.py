@@ -1,0 +1,154 @@
+r"""docs -> edges: the vectorized citation-extraction pipeline.
+
+Spark-first re-expression of the reference's extraction loop
+(``create_database.py:464-731``); see SURVEY.md §3.1 for the plan trace.
+
+    scan docs                        (Iceberg/parquet source, pruned)
+      -> filter path ~ .tex|.bbl     (P1, pushed to the scan)
+      -> filter instr(content, \bibitem) > 0
+                                     (P2, cheap JVM pre-filter BEFORE any
+                                      Python — UDF predicates don't push
+                                      down, so order it explicitly)
+      -> mapInPandas extract_bibitems
+                                     (P3+P4+F5 in one Arrow-batched pass;
+                                      flatMap shape = our UDTF surface)
+      -> filter length(bibitem)>30   (P5)
+      -> pandas_udf identifiers      (F1-F4 + X1 precedence)
+      -> filter id is not null
+      -> select src/dst [+ provenance window]   (X2)
+      -> dropDuplicates              (X3 — the only required shuffle)
+
+Scale notes: the single shuffle is the final distinct on (src_id, dst_id).
+Everything upstream is embarrassingly parallel over scan partitions; at
+10^12 files the scan parallelism comes from Iceberg file planning and the
+distinct is a hash-aggregate that AQE right-sizes.  No driver-side loops,
+no collect, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arxiv_citation_graph_spark.functions.cleaning import extract_bibitems
+from arxiv_citation_graph_spark.functions.identifiers import extract_identifiers_batch
+
+#: minimum bibitem length for identifier extraction
+#: (reference ``create_database.py:551``).
+MIN_BIBITEM_LEN = 30
+
+#: suffix filter for bibliography-bearing files
+#: (reference ``create_database.py:388-390``).
+DOC_PATH_PATTERN = r"\.(tex|bbl)$"
+
+_BIBITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("bibitem", T.StringType(), False),
+        T.StructField("clean_bibitem", T.StringType(), False),
+    ]
+)
+
+_ID_SCHEMA = T.StructType(
+    [
+        T.StructField("reference_id", T.StringType(), True),
+        T.StructField("id_type", T.StringType(), True),
+    ]
+)
+
+
+def _explode_bibitems(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one input row (repo, path, content) fans out to
+    N bibitem rows.  Runs the slice/split/clean chain per Arrow batch."""
+    for batch in batches:
+        repos: list[str] = []
+        paths: list[str] = []
+        poss: list[int] = []
+        items: list[str] = []
+        cleans: list[str] = []
+        for repo, path, content in zip(batch["repo"], batch["path"], batch["content"]):
+            for pos, item, clean in extract_bibitems(content or ""):
+                repos.append(repo)
+                paths.append(path)
+                poss.append(pos)
+                items.append(item)
+                cleans.append(clean)
+        yield pd.DataFrame(
+            {"repo": repos, "path": paths, "pos": poss, "bibitem": items, "clean_bibitem": cleans}
+        )
+
+
+_extract_identifier_udf = F.pandas_udf(extract_identifiers_batch, _ID_SCHEMA)
+
+
+def bibitems_from_docs(docs: DataFrame) -> DataFrame:
+    """docs(repo, path, commit, lang, content) -> one row per bibitem.
+
+    Columns: repo, path, pos, bibitem, clean_bibitem.
+    """
+    return (
+        docs.filter(F.col("path").rlike(DOC_PATH_PATTERN))
+        .filter(F.instr(F.col("content"), "\\bibitem") > 0)
+        .select("repo", "path", "content")
+        .mapInPandas(_explode_bibitems, schema=_BIBITEM_SCHEMA)
+    )
+
+
+def references_from_docs(docs: DataFrame) -> DataFrame:
+    """Extended extraction mirroring ``clean.db::reference_tree``'s
+    normalized id columns (SURVEY.md §1.1).
+
+    Columns: repo, path, pos, reference_num, bibitem, clean_bibitem,
+    length_of_bibitem, id_type, reference_id.  ``reference_num`` is the
+    1-based citation number over the paper's accumulated bibitems in
+    (path, pos) order — the reference's cross-file enumeration
+    (``create_database.py:336-349``, order = os.walk file order x bibitem
+    order; the engine pins lexicographic path order, a documented
+    determinism upgrade).
+    """
+    bibitems = bibitems_from_docs(docs).filter(F.length("bibitem") > MIN_BIBITEM_LEN)
+    with_ids = bibitems.withColumn("ident", _extract_identifier_udf(F.col("bibitem")))
+    num_window = Window.partitionBy("repo").orderBy("path", "pos")
+    return with_ids.select(
+        "repo",
+        "path",
+        "pos",
+        F.row_number().over(num_window).alias("reference_num"),
+        "bibitem",
+        "clean_bibitem",
+        F.length("bibitem").alias("length_of_bibitem"),
+        F.col("ident.id_type").alias("id_type"),
+        F.col("ident.reference_id").alias("reference_id"),
+    )
+
+
+def edges_from_docs(docs: DataFrame) -> DataFrame:
+    """The core data product: deduplicated citation edges.
+
+    Columns: ``src_id`` (the repo / citing document id), ``dst_id`` (DOI or
+    cleaned arXiv id).  Exactly the reference's edge list semantics
+    (BASELINE.json north_star), one shuffle total.
+
+    ``reference_num`` (a per-repo window) is deliberately *not* computed
+    here — the edge list doesn't need the sort, so the plan stays
+    window-free.
+    """
+    bibitems = bibitems_from_docs(docs).filter(F.length("bibitem") > MIN_BIBITEM_LEN)
+    with_ids = bibitems.withColumn("ident", _extract_identifier_udf(F.col("bibitem")))
+    return (
+        with_ids.filter(F.col("ident.reference_id").isNotNull())
+        .select(F.col("repo").alias("src_id"), F.col("ident.reference_id").alias("dst_id"))
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+
+
+def sha256_of(content: Column) -> Column:
+    """Row-level integrity hash (BASELINE.json input_hint F13): JVM-native,
+    zero Python."""
+    return F.sha2(content, 256)

@@ -1,0 +1,84 @@
+"""SparkSession factory tuned for the link-graph workload.
+
+Design notes (scale-first):
+
+- AQE on: runtime coalescing of shuffle partitions and skew-join splitting
+  help the per-superstep joins (SURVEY.md §4.2).  AQE does *not* split
+  skewed ``groupBy`` keys, which is why the engine carries its own salted
+  two-stage aggregation (``plans/layout.py``).
+- Arrow on: every Python-side transform in this engine is a pandas UDF /
+  ``mapInPandas`` over Arrow batches — there is no per-row Python anywhere
+  (BASELINE.json ``input_hint``).
+- ``spark.sql.shuffle.partitions`` defaults to the core count here; on a
+  real cluster set it to 2-3x total executor cores (and rely on AQE
+  coalescing).  At 100 TB you would also raise
+  ``spark.sql.files.maxPartitionBytes`` to 256-512 MB so scan tasks
+  amortize per-task overhead.
+- Iceberg: production deployments configure an Iceberg catalog via
+  ``extra_configs`` (``spark.sql.catalog.<name>=org.apache.iceberg...``).
+  This sandbox has no Iceberg runtime jar, so table IO goes through
+  ``sources/catalog.py`` which mimics snapshot-commit semantics over
+  parquet directories behind the same API.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "arxiv-citation-graph-spark"
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = DEFAULT_APP_NAME,
+    shuffle_partitions: int | None = None,
+    extra_configs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard profile.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no active session exists; on a cluster, leave ``master=None`` and
+    let spark-submit decide.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N]: one shuffle partition per core keeps every superstep
+        # stage fully parallel without tiny-task overhead.
+        shuffle_partitions = cpus if not master.startswith("local[") else _local_cores(master, cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Parquet scans: vectorized reader + larger scan partitions.
+        .config("spark.sql.files.maxPartitionBytes", "268435456")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Iterative jobs re-plan every superstep; keep the planner snappy.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for key, value in (extra_configs or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def _local_cores(master: str, fallback: int) -> int:
+    """Parse N out of ``local[N]`` / ``local[*]``."""
+    inner = master[master.index("[") + 1 : master.index("]")] if "[" in master else ""
+    if inner in ("", "*"):
+        return fallback
+    try:
+        return max(1, int(inner))
+    except ValueError:
+        return fallback

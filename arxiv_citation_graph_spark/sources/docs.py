@@ -1,0 +1,88 @@
+"""The ``docs`` input source: schema, manifest verification, loading.
+
+Input contract (BASELINE.json ``input_hint``): an Iceberg table
+``docs(repo string, path string, commit string, lang string,
+content string)`` with a per-row invariant — ``sha2(content, 256)`` must
+equal the manifest hash.  The check is JVM-native (``F.sha2``); no Python
+touches the row (SURVEY.md §2.3 F13).
+
+At 10^12 files the manifest join is a plain equi-join on (repo, path):
+both sides bucket/cluster on repo in production so the join co-locates.
+Here the verification is exposed two ways:
+
+- ``verify_sha256(docs, manifest)`` -> DataFrame of violations (empty is
+  good) — cheap to ``.isEmpty()``-gate a run on,
+- ``require_sha256(docs, manifest)`` -> raises ``ShaMismatchError`` before
+  any extraction work if any row fails (the fail-fast gate the tests pin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("sha256", T.StringType(), False),
+    ]
+)
+
+
+class ShaMismatchError(RuntimeError):
+    """A docs row's content hash disagrees with the manifest."""
+
+
+def load_docs(spark: SparkSession, path: str) -> DataFrame:
+    """Read a docs table from parquet (Iceberg in production: same call via
+    ``spark.read.table``)."""
+    return spark.read.schema(DOCS_SCHEMA).parquet(path)
+
+
+def verify_sha256(docs: DataFrame, manifest: DataFrame) -> DataFrame:
+    """Rows violating the content-sha invariant.
+
+    A full-outer join also surfaces rows missing from either side — at
+    scale you want *which* partition drifted, not just a boolean.
+    Result columns: repo, path, expected_sha, actual_sha, violation.
+    """
+    actual = docs.select(
+        "repo", "path", F.sha2(F.col("content"), 256).alias("actual_sha")
+    )
+    expected = manifest.select("repo", "path", F.col("sha256").alias("expected_sha"))
+    joined = actual.join(expected, ["repo", "path"], "full_outer")
+    return joined.select(
+        "repo",
+        "path",
+        "expected_sha",
+        "actual_sha",
+        F.when(F.col("expected_sha").isNull(), F.lit("missing_from_manifest"))
+        .when(F.col("actual_sha").isNull(), F.lit("missing_from_docs"))
+        .when(F.col("expected_sha") != F.col("actual_sha"), F.lit("sha_mismatch"))
+        .alias("violation"),
+    ).filter(F.col("violation").isNotNull())
+
+
+def require_sha256(docs: DataFrame, manifest: DataFrame, sample: int = 5) -> DataFrame:
+    """Fail-fast gate: raise before extraction if the invariant is broken.
+
+    Returns ``docs`` unchanged when clean so it chains:
+    ``edges_from_docs(require_sha256(docs, manifest))``.
+    """
+    bad = verify_sha256(docs, manifest).limit(sample).collect()
+    if bad:
+        lines = ", ".join(f"{r.repo}/{r.path}: {r.violation}" for r in bad)
+        raise ShaMismatchError(f"content sha256 invariant violated (sample): {lines}")
+    return docs

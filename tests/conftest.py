@@ -1,0 +1,16 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep pytest JVM light
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from arxiv_citation_graph_spark.session import get_spark
+
+    session = get_spark(app_name="acg-tests")
+    yield session
+    session.stop()

@@ -1,0 +1,115 @@
+r"""Pure-Python oracle: the reference pipeline's extraction semantics.
+
+Used only by tests, never by the engine.  This is an *independent*
+re-statement of the behavior documented in SURVEY.md §2-3 (slice quirk,
+split, len>30 gate, DOI > strict > flexible precedence, old-style-id
+cleanup), evaluated eagerly per document on the driver — exactly the shape
+of the reference loop, minus network and SQLite.
+
+For regex parity the oracle prefers the *reference's own pattern module*
+loaded from ``/root/reference`` when present (true independent oracle);
+otherwise it falls back to the engine's vendored patterns (still validates
+all plumbing/semantics, regexes then covered by the hardcoded corpus
+expectations in ``test_regex_corpus.py``).
+
+The reference's ``list(set(hits))[0]`` pick is hash-order nondeterministic
+for >1 distinct hit; the oracle applies the engine's pinned rule
+(first occurrence in text) — generated fixtures carry at most one distinct
+hit per class (FIXTURES.md C14) so the two rules coincide on corpus data.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import re
+
+_REF_REGEX_PATH = "/root/reference/arxiv_regex/arxiv_regex.py"
+
+
+def _load_patterns() -> tuple[re.Pattern, re.Pattern, re.Pattern]:
+    if os.path.exists(_REF_REGEX_PATH):
+        spec = importlib.util.spec_from_file_location("_ref_regex_oracle", _REF_REGEX_PATH)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)  # type: ignore[union-attr]
+        strict, flexible = mod.REGEX_ARXIV_STRICT, mod.REGEX_ARXIV_FLEXIBLE
+    else:  # pragma: no cover - sandbox always has the reference
+        from arxiv_citation_graph_spark.functions.identifiers import (
+            REGEX_ARXIV_FLEXIBLE,
+            REGEX_ARXIV_STRICT,
+        )
+
+        strict, flexible = REGEX_ARXIV_STRICT, REGEX_ARXIV_FLEXIBLE
+    doi = re.compile("10.\\d{4,9}/[-._;()/:a-z0-9A-Z]+", re.IGNORECASE)
+    return re.compile(strict), re.compile(flexible), doi
+
+
+_STRICT, _FLEXIBLE, _DOI = _load_patterns()
+
+
+def _hits(pattern: re.Pattern, text: str) -> list[str]:
+    found: list[str] = []
+    for hit in pattern.findall(text):
+        groups = hit if isinstance(hit, tuple) else (hit,)
+        found.extend(g.lower() for g in groups if g)
+    return list(dict.fromkeys(found))
+
+
+def _clean_old_style(arxiv_id: str) -> str:
+    if "/" in arxiv_id:
+        cat, num = arxiv_id.split("/", 1)
+        return cat.split(".", 1)[0] + "/" + num
+    return arxiv_id
+
+
+def identifier_of(bibitem: str) -> tuple[str | None, str | None]:
+    dois = list(dict.fromkeys(_DOI.findall(bibitem)))
+    if dois:
+        doi = dois[0]
+        return (doi[:-1] if doi.endswith(";") else doi), "DOI"
+    strict = _hits(_STRICT, bibitem)
+    if strict:
+        return _clean_old_style(strict[0]), "arxivID"
+    flexible = _hits(_FLEXIBLE, bibitem)
+    if flexible:
+        return _clean_old_style(flexible[0]), "arxivID"
+    return None, None
+
+
+def bibitems_of(content: str) -> list[str]:
+    start = content.find(r"\bibitem")
+    if start < 0:
+        return []
+    end = content.find(r"\end{thebibliography}")  # -1 drops last char: quirk kept
+    window = content[start:end]
+    return [frag.strip() for frag in window.split(r"\bibitem") if frag]
+
+
+def edges_of_corpus(rows: list[dict]) -> set[tuple[str, str]]:
+    """rows: docs-shaped dicts -> deduplicated (src_id, dst_id) set."""
+    edges: set[tuple[str, str]] = set()
+    for row in rows:
+        if not re.search(r"\.(tex|bbl)$", row["path"]):
+            continue
+        for item in bibitems_of(row["content"]):
+            if len(item) <= 30:
+                continue
+            rid, _ = identifier_of(item)
+            if rid is not None:
+                edges.add((row["repo"], rid))
+    return edges
+
+
+def references_of_corpus(rows: list[dict]) -> list[tuple[str, str, int, str | None, str | None]]:
+    """Extended oracle: (repo, path, pos, id_type, reference_id) per kept
+    bibitem, mirroring ``references_from_docs`` minus the window number."""
+    out = []
+    for row in rows:
+        if not re.search(r"\.(tex|bbl)$", row["path"]):
+            continue
+        for pos, item in enumerate(bibitems_of(row["content"])):
+            if len(item) <= 30:
+                continue
+            rid, rtype = identifier_of(item)
+            out.append((row["repo"], row["path"], pos, rtype, rid))
+    return out

@@ -1,0 +1,143 @@
+"""Oracle-diff extraction parity (SURVEY.md §5.2.1-2): the Spark pipeline's
+edge set must equal the pure-Python reference-semantics oracle's, exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.datagen import corpus_pdf, manifest_df
+from arxiv_citation_graph_spark.operators.extract import (
+    bibitems_from_docs,
+    edges_from_docs,
+    references_from_docs,
+)
+from arxiv_citation_graph_spark.sources.docs import (
+    DOCS_SCHEMA,
+    ShaMismatchError,
+    require_sha256,
+    verify_sha256,
+)
+from tests import oracle_ref
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = corpus_pdf(seed=1234, n_docs=120)
+    docs = spark.createDataFrame(pdf, schema=DOCS_SCHEMA).cache()
+    docs.count()
+    return pdf, docs
+
+
+def test_edges_match_oracle_exactly(spark, corpus):
+    pdf, docs = corpus
+    expected = oracle_ref.edges_of_corpus(pdf.to_dict("records"))
+    got = {(r.src_id, r.dst_id) for r in edges_from_docs(docs).collect()}
+    assert got == expected
+    assert len(got) > 100  # corpus is non-trivial
+
+
+def test_edges_are_deduplicated(spark, corpus):
+    _, docs = corpus
+    edges = edges_from_docs(docs)
+    assert edges.count() == edges.dropDuplicates(["src_id", "dst_id"]).count()
+
+
+def test_references_match_oracle(spark, corpus):
+    pdf, docs = corpus
+    expected = set(oracle_ref.references_of_corpus(pdf.to_dict("records")))
+    refs = references_from_docs(docs)
+    got = {
+        (r.repo, r.path, r.pos, r.id_type, r.reference_id) for r in refs.collect()
+    }
+    assert got == expected
+
+
+def test_reference_num_is_dense_per_repo(spark, corpus):
+    _, docs = corpus
+    refs = references_from_docs(docs)
+    bad = (
+        refs.groupBy("repo")
+        .agg(F.count("*").alias("n"), F.max("reference_num").alias("mx"), F.min("reference_num").alias("mn"))
+        .filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1))
+    )
+    assert bad.count() == 0
+
+
+def test_decoy_paths_are_pruned(spark, corpus):
+    _, docs = corpus
+    items = bibitems_from_docs(docs)
+    assert items.filter(~F.col("path").rlike(r"\.(tex|bbl)$")).count() == 0
+    # the decoy .sty files contain a DOI that must never surface
+    edges = edges_from_docs(docs)
+    assert edges.filter(F.col("dst_id") == "10.9999/decoy").count() == 0
+
+
+def test_missing_end_marker_drops_last_char(spark):
+    # C2: no \end{thebibliography} -> slice ends at -1
+    content = (
+        "\\begin{thebibliography}{9}\n"
+        "\\bibitem{a} Author, A. A fine paper indeed. arXiv:1607.00021"
+    )
+    rows = [("p1", "main.tex", "c", "tex", content)]
+    docs = _docs(spark, rows)
+    items = bibitems_from_docs(docs).collect()
+    assert len(items) == 1
+    # final '1' of the id was dropped by the quirk
+    assert items[0].bibitem.endswith("arXiv:1607.0002")
+    oracle = oracle_ref.edges_of_corpus(
+        [dict(repo="p1", path="main.tex", commit="c", lang="tex", content=content)]
+    )
+    got = {(r.src_id, r.dst_id) for r in edges_from_docs(docs).collect()}
+    assert got == oracle  # quirk agrees with oracle (id truncated the same way)
+
+
+def test_multifile_union_and_dedup(spark):
+    # C10/C11: same citation in two files of one repo -> one edge
+    bib = (
+        "\\begin{thebibliography}{9}\n"
+        "\\bibitem{x} Author, A. Very important work. doi:10.1234/shared.1;\n"
+        "\\end{thebibliography}"
+    )
+    rows = [
+        ("p2", "main.tex", "c", "tex", bib),
+        ("p2", "refs.bbl", "c", "tex", bib),
+    ]
+    edges = edges_from_docs(_docs(spark, rows)).collect()
+    assert {(r.src_id, r.dst_id) for r in edges} == {("p2", "10.1234/shared.1")}
+
+
+def test_short_bibitems_skipped(spark):
+    content = (
+        "\\begin{thebibliography}{9}\n"
+        "\\bibitem{}\n"
+        "\\bibitem{y} Author, B. Real reference with id arXiv:1511.03262.\n"
+        "\\end{thebibliography}"
+    )
+    edges = edges_from_docs(_docs(spark, [("p3", "a.tex", "c", "tex", content)])).collect()
+    assert {(r.src_id, r.dst_id) for r in edges} == {("p3", "1511.03262")}
+
+
+def test_sha_gate(spark, corpus):
+    _, docs = corpus
+    manifest = manifest_df(docs)
+    assert verify_sha256(docs, manifest).count() == 0
+    assert require_sha256(docs, manifest) is docs
+    # corrupt one row -> gate raises
+    tampered = docs.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == "paper000000") & (F.col("path") == "main.tex"),
+            F.concat(F.col("content"), F.lit("X")),
+        ).otherwise(
+            F.col("content")
+        ),
+    )
+    bad = verify_sha256(tampered, manifest)
+    assert bad.count() == 1 and bad.first().violation == "sha_mismatch"
+    with pytest.raises(ShaMismatchError):
+        require_sha256(tampered, manifest)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)

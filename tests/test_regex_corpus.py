@@ -1,0 +1,133 @@
+"""Regex corpus parity (SURVEY.md §5.2.3, FIXTURES.md §3).
+
+Expectations below are the *observed* behavior of the reference's shipped
+patterns (recorded by running them directly), including the verified stale
+negative ``arXiv:2203.00021`` which the widened RE_DATE does match.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+from arxiv_citation_graph_spark.functions.identifiers import (
+    clean_arxiv_id,
+    find_arxiv_flexible,
+    find_arxiv_strict,
+    find_dois,
+    pick_identifier,
+)
+
+# (text, expected strict hits, expected flexible hits)
+CORPUS = [
+    ("arXiv:quant-ph 1503.01017v3", [], ["1503.01017v3"]),
+    ("math. RT/0903.2992", [], ["0903.2992"]),
+    ("arXiv, 1511.03262", ["1511.03262"], ["1511.03262"]),
+    ("tions. arXiv preprint arXiv:1607.00021, 2016", ["1607.00021"], ["1607.00021"]),
+    ("Math. Phys. 255, 577 (2005), hep-th/0306165", [], ["hep-th/0306165"]),
+    ("Kuzovlev, arXiv:cond-mat/9903350 ", ["cond-mat/9903350"], ["cond-mat/9903350"]),
+    ("arXiv:math.RT/1206.5933,", [], ["1206.5933"]),
+    ("arXiv e-prints 1306.1595", [], ["1306.1595"]),
+    ("ays, JHEP 07 (2009) 055, [ 0903.0883]", [], ["0903.0883"]),
+    (" Rev. D71 (2005) 063534, [ astro-ph/0501562]", [], ["astro-ph/0501562"]),
+    ("e-print arXiv:1506.02215v1", ["1506.02215v1"], ["1506.02215v1"]),
+    ("available at: http://arxiv.org/abs/1511.08977", [], ["1511.08977"]),
+    ("arXiv e-print: 1306.2144", [], ["1306.2144"]),
+    ("Preprint arXiv:math/0612139", ["math/0612139"], ["math/0612139"]),
+    ("Vertices in a Digraph. arXiv preprint 1602.02129 ", [], ["1602.02129"]),
+    (
+        "cond-mat/0309488.decays, 1701.01871 LHCB-PAPE",
+        [],
+        ["cond-mat/0309488", "1701.01871"],
+    ),
+    ("Distribution. In: 1404.2485v3 (2015)", [], ["1404.2485v3"]),
+    ("113005 (2013), 1307.4331,", [], ["1307.4331"]),
+    ("scalar quantum 1610.07877v1", [], ["1610.07877v1"]),
+    ("cond-mat/0309488.cond-mat/0309488.8383", [], ["cond-mat/0309488"]),
+    # "negative" corpus — observed behavior, including the known false
+    # positives the reference's widened date regex produces:
+    ("doi: 10.1145/ 321105.321114 ", [], ["1105.32111"]),
+    ("doi: 10.1145/ 1105.321114 ", [], ["1105.32111"]),
+    ("arXiv:math.PR/0003156", ["math.pr/0003156"], ["math.pr/0003156"]),
+    ("arXiv:2203.00021", ["2203.00021"], ["2203.00021"]),  # stale negative
+]
+
+
+@pytest.mark.parametrize("text,strict,flexible", CORPUS, ids=range(len(CORPUS)))
+def test_corpus_observed_behavior(text, strict, flexible):
+    assert find_arxiv_strict(text) == strict
+    assert find_arxiv_flexible(text) == flexible
+
+
+def test_doi_quirks():
+    # leading dot unescaped: '10x1234/...' matches (documented quirk)
+    assert find_dois("see 10x1234/abc") == ["10x1234/abc"]
+    # trailing ';' kept by the pattern, stripped only by the picker
+    assert find_dois("doi:10.1016/S1573-4412(07)06063-1;") == [
+        "10.1016/S1573-4412(07)06063-1;"
+    ]
+    assert pick_identifier("x doi:10.1016/S1573-4412(07)06063-1; y rest") == (
+        "10.1016/S1573-4412(07)06063-1",
+        "DOI",
+    )
+
+
+def test_clean_arxiv_id():
+    assert clean_arxiv_id("math.PR/0003156") == "math/0003156"
+    assert clean_arxiv_id("cond-mat/9903350") == "cond-mat/9903350"
+    assert clean_arxiv_id("1401.6046v2") == "1401.6046v2"  # versions NOT stripped
+
+
+def test_precedence():
+    both = "title arXiv:1607.00021 and doi:10.1145/321105.321114 end padpadpad"
+    assert pick_identifier(both) == ("10.1145/321105.321114", "DOI")
+    assert pick_identifier("only arXiv:1607.00021 here padpad") == ("1607.00021", "arxivID")
+    assert pick_identifier("nothing to see here at all padpad") == (None, None)
+    # old-style subcategory cleanup applies to the winner
+    assert pick_identifier("Preprint arXiv:math.PR/0003156 more padding") == (
+        "math/0003156",
+        "arxivID",
+    )
+
+
+_REF = "/root/reference/arxiv_regex/arxiv_regex.py"
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference snapshot not present")
+def test_differential_vs_reference_patterns():
+    """Vendored patterns == reference patterns on a broad generated corpus.
+
+    The upstream builds category alternations via ``list(set(...))`` (hash
+    order); ours are sorted.  Alternation order must not change matched
+    language — verified differentially here.
+    """
+    import re as _re
+
+    spec = importlib.util.spec_from_file_location("_refpat", _REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ref_strict = _re.compile(mod.REGEX_ARXIV_STRICT)
+    ref_flex = _re.compile(mod.REGEX_ARXIV_FLEXIBLE)
+
+    def ref_hits(pattern, text):
+        out = []
+        for hit in pattern.findall(text):
+            groups = hit if isinstance(hit, tuple) else (hit,)
+            out.extend(g.lower() for g in groups if g)
+        return list(dict.fromkeys(out))
+
+    from arxiv_citation_graph_spark.datagen import corpus_pdf
+
+    texts = [t for (t, _, _) in CORPUS]
+    texts += list(corpus_pdf(seed=7, n_docs=60)["content"])
+    # adversarial micro-cases around category prefixes and typos
+    texts += [
+        "mathph/9912345", "cond-mat.SI/0309488", "condmat/0309488",
+        "arXiv:stat.ME/0101123", "supr-con/9504002 text", "arxiv: hep-ph 1203.0023v2",
+        "eprints 1306.1595", "pdf/2101.00001", "arxiv.org/abs/math/0612139",
+    ]
+    for text in texts:
+        assert find_arxiv_strict(text) == ref_hits(ref_strict, text), text
+        assert find_arxiv_flexible(text) == ref_hits(ref_flex, text), text
