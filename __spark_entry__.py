@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline on sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 (plus the training-data tier) with DuckDB-checkable oracles.
+Implementation lives in ``arxiv_citation_graph_spark.entry_queries``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive the citation-style edge table from sf0.001,
+    run PageRank (salted two-stage aggregation, dangling handling) to a
+    fixed superstep count, return the ranked vertex table."""
+    from pyspark.sql import functions as F
+
+    from arxiv_citation_graph_spark.entry_queries import bipartite_edges
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    edges = bipartite_edges(spark, SF0001)
+    result = pagerank(
+        spark, edges, tolerance=None, max_iterations=8, salt_buckets=8, hot_degree_threshold=64
+    )
+    return result.ranks.select(
+        "vertex", F.round("rank", 9).alias("rank")
+    ).orderBy(F.desc("rank"), "vertex")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from arxiv_citation_graph_spark import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entry_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from arxiv_citation_graph_spark import entry_queries
+
+    return entry_queries.oracle_sql()

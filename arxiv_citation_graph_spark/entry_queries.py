@@ -1,0 +1,1022 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Every implemented operator family from SURVEY.md §2 gets a named query
+over the driver-provided test tables plus an ANSI-SQL oracle that DuckDB
+executes on the same parquet.  The driver compares row-count + schema +
+order-insensitive value hash, sorting columns by NAME — so every computed
+column is aliased identically on both sides.
+
+Graph-kernel oracles are *unrolled* iteration CTEs (generated
+programmatically below): deterministic fixed-iteration runs compared
+value-for-value (ranks rounded to 9 decimals to absorb float
+summation-order noise, far above the 1e-15-relative reorder effects).
+
+The derived graphs:
+
+- ``bipartite``: customer -> supplier edges from orders x lineitem
+  (~48k edges, 1.6k vertices at sf0.01) — PageRank's input; every
+  supplier vertex is dangling, so the dangling-mass path is exercised.
+- ``cosupply``: supplier pairs sharing a part (low-quantity filter keeps
+  it sparse; ~1.2k edges, 100 vertices) — CC / LPA / triangles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# Derived graphs (shared by the graph-kernel queries)
+# ===========================================================================
+
+EDGES_BIPARTITE_SQL = """
+SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src_id,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst_id
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+EDGES_COSUPPLY_SQL = """
+SELECT DISTINCT 's' || CAST(l1.l_suppkey AS VARCHAR) AS src_id,
+                's' || CAST(l2.l_suppkey AS VARCHAR) AS dst_id
+FROM lineitem l1
+JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey AND l1.l_suppkey < l2.l_suppkey
+WHERE l1.l_quantity < 3 AND l2.l_quantity < 3
+"""
+
+
+def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src_id"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst_id"),
+        )
+        .distinct()
+    )
+
+
+def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    l1 = li.filter(F.col("l_quantity") < 3).select("l_partkey", F.col("l_suppkey").alias("a"))
+    l2 = li.filter(F.col("l_quantity") < 3).select("l_partkey", F.col("l_suppkey").alias("b"))
+    return (
+        l1.join(l2, "l_partkey")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.concat(F.lit("s"), F.col("a").cast("string")).alias("src_id"),
+            F.concat(F.lit("s"), F.col("b").cast("string")).alias("dst_id"),
+        )
+        .distinct()
+    )
+
+
+# ===========================================================================
+# Scans / filters / projections (SURVEY.md §2.1-2.2)
+# ===========================================================================
+
+
+@register(
+    "suffix_filter_projection",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE source IN ('src1', 'src7') AND n_chars > 100
+    """,
+)
+def q_suffix_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/S6: pushed-down predicate + column pruning on the scan."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src1", "src7") & (F.col("n_chars") > 100))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "conditional_counts",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT) AS with_spark,
+           round(sum(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS ratio
+    FROM documents GROUP BY lang
+    """,
+)
+def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: conditional count + per-group ratio (the coverage query)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("text").contains("spark"), 1).otherwise(0)).alias("with_spark"),
+        )
+        .select(
+            "lang",
+            "total",
+            "with_spark",
+            F.round(F.col("with_spark") * 1.0 / F.col("total"), 6).alias("ratio"),
+        )
+    )
+
+
+@register(
+    "group_year_stats",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_group_year_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: per-year stats incl. exact median (percentile == quantile_cont)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        )
+    )
+
+
+@register(
+    "status_tally",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+)
+def q_status_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: resolved/unresolved-style tally."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "distinct_census",
+    """
+    SELECT lang,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           list(DISTINCT source ORDER BY source) AS sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q_distinct_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: collect_set census with deterministic (sorted) ordering."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.sort_array(F.collect_set("source")).alias("sources"),
+        )
+    )
+
+
+@register(
+    "payload_sum",
+    """
+    SELECT lang, CAST(sum(length(text)) AS BIGINT) AS payload_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_payload_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: batch payload size sum."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.length("text")).alias("payload_chars"))
+    )
+
+
+# ===========================================================================
+# Windows / top-k (SURVEY.md §2.7)
+# ===========================================================================
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-group cap-k via row_number window."""
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "top1_by_score",
+    """
+    SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_top1_by_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: deterministic top-1-by-score per key (Crossref best-match analog)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_order"),
+            F.col("o_totalprice").alias("best_price"),
+        )
+    )
+
+
+@register(
+    "global_topk",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    """,
+)
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: TakeOrderedAndProject top-k."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Joins / set ops (SURVEY.md §2.5, §2.8)
+# ===========================================================================
+
+
+@register(
+    "union_dedup",
+    """
+    SELECT DISTINCT k FROM (
+      SELECT o_custkey AS k FROM orders
+      UNION ALL SELECT c_custkey AS k FROM customer
+    )
+    """,
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2/X3: union + dedup."""
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7's semi-join shape: customers that placed orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9's anti-join shape: customers with no orders (dangling analog)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "broadcast_dim_join",
+    """
+    SELECT r_name AS region, n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: small-dimension broadcast joins (category-map analog)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "posexplode_tokens",
+    """
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+           unnest(toks) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20)
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/X2: positional explode (the bibitem-fanout shape)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+    )
+
+
+@register(
+    "sha256_invariant",
+    "SELECT doc_id, sha256(text) AS content_sha FROM documents",
+)
+def q_sha256_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: JVM-native content hashing (the manifest invariant)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+
+
+@register(
+    "date_slices",
+    """
+    SELECT event_id,
+           substr(CAST(ts AS VARCHAR), 1, 10) AS event_date,
+           CAST(year(ts) AS INT) AS event_year,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+    FROM events WHERE event_id < 100
+    """,
+)
+def q_date_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F12: date slicing and epoch extraction."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            F.substring(F.col("ts").cast("string"), 1, 10).alias("event_date"),
+            F.year("ts").cast("int").alias("event_year"),
+            F.unix_timestamp("ts").alias("epoch_s"),
+        )
+    )
+
+
+# ===========================================================================
+# Streaming-shaped batch windows (SURVEY.md §2.10 analog)
+# ===========================================================================
+
+
+@register(
+    "tumbling_window_agg",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window (the batch shape of the streaming agg)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+@register(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session-window analog, 30-min gap)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events = _t(spark, sf_dir, "events")
+    gaps = events.select(
+        "user_id",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ===========================================================================
+# Edge tables + degrees (X2/X3/A11 on relational data)
+# ===========================================================================
+
+
+@register("edge_table_dedup", EDGES_BIPARTITE_SQL)
+def q_edge_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3: the derived deduplicated edge table itself."""
+    return bipartite_edges(spark, sf_dir)
+
+
+@register(
+    "degree_table",
+    f"""
+    WITH edges AS ({EDGES_BIPARTITE_SQL})
+    SELECT src_id AS vertex, CAST(count(*) AS BIGINT) AS out_deg
+    FROM edges GROUP BY src_id
+    """,
+)
+def q_degree_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: out-degree table feeding PageRank."""
+    return (
+        bipartite_edges(spark, sf_dir)
+        .groupBy(F.col("src_id").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+
+
+# ===========================================================================
+# Graph kernels (fixed-iteration runs vs unrolled-CTE oracles)
+# ===========================================================================
+
+PAGERANK_ITERS = 8
+_CC_ITERS = 12
+_LPA_ITERS = 2
+
+
+def _pagerank_unrolled_sql(iters: int) -> str:
+    """Unrolled power iteration: r0 uniform; per superstep dangling mass
+    redistributed uniformly; damping 0.85 — the same math the engine runs."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_BIPARTITE_SQL})",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM edges UNION SELECT dst_id FROM edges)",
+        "outd AS MATERIALIZED (SELECT src_id, CAST(count(*) AS DOUBLE) AS out_deg FROM edges GROUP BY src_id)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "dang AS MATERIALIZED (SELECT vertex FROM verts WHERE vertex NOT IN (SELECT src_id FROM edges))",
+        "r0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{p} "
+            f"WHERE vertex IN (SELECT vertex FROM dang))"
+        )
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst_id AS vertex, sum(r.rank / o.out_deg) AS mass "
+            f"FROM edges e JOIN r{p} r ON e.src_id = r.vertex "
+            f"JOIN outd o ON e.src_id = o.src_id GROUP BY e.dst_id)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vertex, 0.15 / (SELECT n FROM nn) "
+            f"+ 0.85 * ((SELECT dm FROM d{k}) / (SELECT n FROM nn) "
+            f"+ coalesce(c.mass, 0.0)) AS rank "
+            f"FROM verts v LEFT JOIN c{k} c ON v.vertex = c.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vertex, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+@register("pagerank_fixed", _pagerank_unrolled_sql(PAGERANK_ITERS))
+def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/A9/J8/J9: PageRank, 8 supersteps, salted two-stage aggregation."""
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    result = pagerank(
+        spark,
+        bipartite_edges(spark, sf_dir),
+        tolerance=None,
+        max_iterations=PAGERANK_ITERS,
+        salt_buckets=8,
+        hot_degree_threshold=64,
+    )
+    return result.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+
+def _cc_unrolled_sql(iters: int) -> str:
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym UNION SELECT dst_id FROM sym)",
+        "l0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"least(v.component, coalesce(m.nbr, v.component)) AS component "
+            f"FROM l{p} v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, min(l.component) AS nbr "
+            f"FROM sym e JOIN l{p} l ON e.src_id = l.vertex GROUP BY e.dst_id"
+            f") m ON v.vertex = m.vertex)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vertex, component FROM l{iters}"
+
+
+@register("connected_components", _cc_unrolled_sql(_CC_ITERS))
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: hash-min connected components (run to convergence; the oracle
+    unrolls past the graph diameter so both sides are at fixpoint)."""
+    from arxiv_citation_graph_spark.plans.components import connected_components
+
+    result = connected_components(spark, cosupply_edges(spark, sf_dir), max_iterations=_CC_ITERS)
+    return result.components
+
+
+def _lpa_unrolled_sql(iters: int) -> str:
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym UNION SELECT dst_id FROM sym)",
+        "l0 AS MATERIALIZED (SELECT vertex, vertex AS label FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"cnt{k} AS MATERIALIZED (SELECT e.dst_id AS vertex, l.label, count(*) AS cnt "
+            f"FROM sym e JOIN l{p} l ON e.src_id = l.vertex GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"win{k} AS MATERIALIZED (SELECT vertex, label FROM ("
+            f"SELECT vertex, label, row_number() OVER "
+            f"(PARTITION BY vertex ORDER BY cnt DESC, label) AS rn FROM cnt{k}"
+            f") WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT v.vertex, coalesce(w.label, v.label) AS label "
+            f"FROM l{p} v LEFT JOIN win{k} w ON v.vertex = w.vertex)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vertex, label FROM l{iters}"
+
+
+@register("label_propagation", _lpa_unrolled_sql(_LPA_ITERS))
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/A8: synchronous LPA, 2 supersteps, deterministic tie-break."""
+    from arxiv_citation_graph_spark.plans.labelprop import label_propagation
+
+    result = label_propagation(spark, cosupply_edges(spark, sf_dir), max_iterations=_LPA_ITERS)
+    return result.labels
+
+
+TRIANGLES_SQL = f"""
+WITH cos AS ({EDGES_COSUPPLY_SQL}),
+und AS (SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v FROM cos
+        WHERE src_id <> dst_id),
+verts AS (SELECT u AS vertex FROM und UNION SELECT v FROM und),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1 JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnts AS (SELECT vertex, count(*) AS c FROM corners GROUP BY vertex)
+SELECT v.vertex, CAST(coalesce(c.c, 0) AS BIGINT) AS triangles
+FROM verts v LEFT JOIN cnts c ON v.vertex = c.vertex
+"""
+
+
+@register("triangle_counts", TRIANGLES_SQL)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/A10: per-vertex triangle counts, compact-forward wedge join."""
+    from arxiv_citation_graph_spark.plans.triangles import triangle_counts
+
+    return triangle_counts(spark, cosupply_edges(spark, sf_dir))
+
+
+@register(
+    "triangle_total",
+    f"WITH pv AS ({TRIANGLES_SQL}) SELECT CAST(sum(triangles) / 3 AS BIGINT) AS total_triangles FROM pv",
+)
+def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arxiv_citation_graph_spark.plans.triangles import triangle_counts
+
+    pv = triangle_counts(spark, cosupply_edges(spark, sf_dir))
+    return pv.agg((F.sum("triangles") / 3).cast("long").alias("total_triangles"))
+
+
+# ===========================================================================
+# Text analysis (training-data ops)
+# ===========================================================================
+
+
+@register(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           round(CAST(length(text) AS DOUBLE) / len(toks), 6) AS chars_per_token
+    FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+          FROM documents)
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer)."""
+    from arxiv_citation_graph_spark.functions.texttools import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(F.length("text") / token_count(F.col("text")), 6).alias("chars_per_token"),
+    )
+
+
+@register(
+    "stopword_quality",
+    """
+    SELECT doc_id,
+           round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS stop_ratio,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(toks), 1), 6)
+                 AS mean_word_len
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+          FROM documents)
+    """,
+)
+def q_stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: stopword ratio + mean word length."""
+    from arxiv_citation_graph_spark.functions.texttools import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to")))
+    return docs.select(
+        "doc_id",
+        F.round(stop_hits / F.greatest(F.size(toks), F.lit(1)), 6).alias("stop_ratio"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+    )
+
+
+def _langid_sql() -> str:
+    from arxiv_citation_graph_spark.functions.texttools import STOPWORDS
+
+    score_cols = []
+    for lang, words in sorted(STOPWORDS.items()):
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({inlist}))) AS BIGINT) AS hits_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    # argmax with lexicographic tie-break: fold left over sorted langs
+    best = f"'{langs[0]}'"
+    best_hits = f"hits_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN hits_{lang} > {best_hits} THEN '{lang}' ELSE {best} END"
+        best_hits = f"greatest({best_hits}, hits_{lang})"
+    return f"""
+    SELECT doc_id, {', '.join('hits_' + lang for lang in langs)},
+           {best} AS pred_lang
+    FROM (
+      SELECT doc_id, {', '.join(score_cols)}
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+            FROM documents)
+    )
+    """
+
+
+@register("langid_heuristic", _langid_sql())
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hits + argmax pick."""
+    from arxiv_citation_graph_spark.functions.texttools import STOPWORDS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    def _hits(words: list[str]):
+        return lambda t: t.isin(words)
+
+    cols = [F.col("doc_id")]
+    for lang, words in sorted(STOPWORDS.items()):
+        cols.append(
+            F.size(F.filter(toks, _hits(list(words)))).cast("long").alias(f"hits_{lang}")
+        )
+    with_hits = docs.select(*cols)
+    langs = sorted(STOPWORDS)
+    best = F.lit(langs[0])
+    best_hits = F.col(f"hits_{langs[0]}")
+    for lang in langs[1:]:
+        best = F.when(F.col(f"hits_{lang}") > best_hits, F.lit(lang)).otherwise(best)
+        best_hits = F.greatest(best_hits, F.col(f"hits_{lang}"))
+    return with_hits.withColumn("pred_lang", best)
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_min(list_transform(shingles,
+             s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS fp
+    FROM (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents)
+    ) WHERE len(shingles) > 0
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint (min 32-bit hash over 4-token shingles)."""
+    from arxiv_citation_graph_spark.functions.texttools import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text"), 4).alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+
+
+# ===========================================================================
+# Dedup family
+# ===========================================================================
+
+
+@register(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arxiv_citation_graph_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _minhash_sql(num_hashes: int = 4) -> str:
+    from arxiv_citation_graph_spark.operators.dedup import MINHASH_COEFFS
+
+    p = 2147483647
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * (x % {p}) + {b}) % {p})) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    )
+    return f"""
+    SELECT doc_id, {sig_exprs}
+    FROM (
+      SELECT doc_id,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+              FROM documents)
+      ) WHERE len(shingles) > 0
+    )
+    """
+
+
+@register("minhash_signatures", _minhash_sql(4))
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hash functions over 3-token shingles)."""
+    from arxiv_citation_graph_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=4)
+    return sigs.select(
+        F.col("doc").alias("doc_id"),
+        *[F.element_at("sig", j + 1).alias(f"mh{j}") for j in range(4)],
+    )
+
+
+def _lsh_pairs_sql() -> str:
+    sig = _minhash_sql(4)
+    return f"""
+    WITH sigs AS ({sig}),
+    banded AS (
+      SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS key FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@register("lsh_candidate_pairs", _lsh_pairs_sql())
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs (2 bands x 2 rows)."""
+    from arxiv_citation_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=4)
+    return lsh_candidate_pairs(sigs, bands=2, rows_per_band=2).select(
+        F.col("doc_a").cast("long").alias("doc_a"), F.col("doc_b").cast("long").alias("doc_b")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    expl AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+      FROM expl x JOIN expl y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.18
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.18)."""
+    from arxiv_citation_graph_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.18
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, "
+        f"x -> CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sh
+    FROM (
+      SELECT doc_id,
+             list_transform(toks_d, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+      FROM (
+        SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                                 t -> t <> '')) AS toks_d
+        FROM documents
+      ) WHERE len(toks_d) > 0
+    )
+    """
+
+
+@register("simhash_fingerprints", _simhash_sql(16))
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (sign-sum over distinct token hashes)."""
+    from arxiv_citation_graph_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), bits=16, shingle_k=1).alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+
+
+@register(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding, c.embedding)
+                   / (sqrt(list_dot_product(q.embedding, q.embedding))
+                      * sqrt(list_dot_product(c.embedding, c.embedding))), 6) AS cos_sim
+      FROM q, c WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors."""
+    from arxiv_citation_graph_spark.operators.simsearch import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(dim - 1 AS INT) AS dim, round(avg(v), 6) AS centroid_v
+    FROM (
+      SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ) GROUP BY 1, 2
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, exploded to (label, dim, value)."""
+    from arxiv_citation_graph_spark.operators.simsearch import centroid_per_label
+
+    return centroid_per_label(_t(spark, sf_dir, "embeddings"))

@@ -1,0 +1,119 @@
+"""Text-analysis primitives for a training-data pipeline, JVM-side first.
+
+All of these are built from ``pyspark.sql.functions`` column expressions —
+no Python in the hot path — so they whole-stage-codegen and scale with the
+scan.  (The reference has no text-quality tier; these generalize its
+bibitem length/char heuristics, e.g. the len>30 junk gate,
+``create_database.py:551``.)
+
+Shared hashing convention (used by dedup + fingerprints + LSH, and
+mirrored exactly by the DuckDB oracles): a token/shingle hashes to
+``int(md5(s)[:8], 16)`` — 32-bit, engine-portable, deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: languages -> tiny stopword lists for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small and deterministic (public common words).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "la", "les", "et", "un"],
+}
+
+MERSENNE_PRIME_31 = 2147483647  # 2^31 - 1, the minhash modulus
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavored proxy: count of letter-runs, digit-runs and
+    punctuation marks (what a byte-level BPE roughly segments into)."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def md5_int32(col: Column) -> Column:
+    """First 8 hex chars of md5 as a 32-bit int (portable hash)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined), the dedup unit."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic document-quality heuristic in [0, 1]:
+    0.4 * stopword signal + 0.3 * length signal + 0.3 * word-shape signal.
+
+    Pure column arithmetic; the DuckDB oracle reproduces it to the digit.
+    """
+    toks = tokens(text)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / n_toks
+    stop = stopword_ratio(text, "en")
+    len_signal = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    shape_signal = F.when((mean_len >= 3.0) & (mean_len <= 8.0), 1.0).otherwise(0.5)
+    return F.round(0.4 * F.least(stop * 5.0, F.lit(1.0)) + 0.3 * len_signal + 0.3 * shape_signal, 6)
+
+
+def langid_scores(text: Column) -> Column:
+    """Stopword-count per language as a map; argmax with lexicographic
+    tie-break = the predicted language."""
+    toks = tokens(F.lower(text))
+    pairs = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(F.filter(toks, lambda t: t.isin(words))).alias("hits"),
+        )
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    return F.array(*pairs)
+
+
+def langid_pick(text: Column) -> Column:
+    """Predicted language: max hits, ties -> lexicographically first lang."""
+    scores = langid_scores(text)
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit("und").alias("lang"), F.lit(-1).alias("hits")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return best["lang"]
+
+
+def fingerprint(text: Column, window: int = 4) -> Column:
+    """Rolling-hash document fingerprint: min 32-bit hash over ``window``-
+    token shingles (a 1-function minhash — stable under reordering-free
+    edits; winnowing's 'select the minimum' core)."""
+    return F.array_min(F.transform(word_shingles(text, window), md5_int32))

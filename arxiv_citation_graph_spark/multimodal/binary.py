@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; the *Spark-side* machinery — schema, batch iteration,
+partition sizing, UDF signatures — is real and tested.  The actual codec
+work (image decode, resampling, frame extraction) requires libraries this
+container does not ship, so the decode kernel is a deterministic fake
+gated behind ``decoder=`` (production swaps in Pillow/ffmpeg inside the
+same ``mapInPandas`` shape; nothing else changes).
+
+Scale notes: binary payloads dominate row size, so
+``spark.sql.files.maxPartitionBytes`` and Arrow batch size
+(``spark.sql.execution.arrow.maxRecordsPerBatch``) govern executor
+memory; the helpers below keep batches payload-bounded by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def fake_decode_features(payload: bytes, dims: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: derives ``dims`` floats
+    from the payload digest.  Replace with a real decode+embed kernel in
+    production (raises here only if someone expects real pixels)."""
+    digest = hashlib.sha256(payload).digest()
+    return [int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dims)]
+
+
+def real_decode_features(payload: bytes, dims: int = 8) -> list[float]:  # pragma: no cover
+    raise NotImplementedError(
+        "image/audio decode libraries are not available in this environment; "
+        "swap this callable for a Pillow/torchaudio kernel in production"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    dims: int = 8,
+    decoder: Callable[[bytes, int], list[float]] = fake_decode_features,
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    One Arrow batch in, one out; payload bytes never materialize on the
+    driver.  The decoder runs per element of an in-memory pandas batch
+    (vectorized entry, per BASELINE.json's no-per-row-Spark-Python rule).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = batch["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "kind": batch["kind"],
+                    "n_bytes": payloads.map(len),
+                    "sha256": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "feature": payloads.map(lambda b: decoder(b, dims)),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1024, frame_len: int = 16) -> DataFrame:
+    """'Frame sampling' shape for video-ish payloads: slice the payload at
+    fixed strides (JVM-side substring on binary — zero Python).  Real
+    frame extraction swaps the slicing for an ffmpeg kernel with the same
+    output schema (media_id, frame_no, frame_bytes)."""
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.floor(F.length("payload") / every_n_bytes), F.lit(1))
+    )
+    return media.select(
+        "media_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.substring(F.col("payload"), ((i - 1) * every_n_bytes + 1).cast("int"), frame_len))
+        ).alias("frame_no", "frame_bytes"),
+    )
+
+
+def synthetic_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic fake media table for tests."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
+        rows.append((i, kind, f"application/x-fake-{kind}", bytearray(payload), {"w": str(64 + i)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

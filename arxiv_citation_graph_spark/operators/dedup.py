@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, all shuffle-architected for 100 TB inputs:
+
+- **exact**: hash-groupBy on a content digest.  One shuffle on a 64-hex
+  key; the canonical representative is the min doc id (deterministic).
+- **MinHash + LSH**: shingle -> K minhash values -> band buckets ->
+  candidate pairs via bucket self-join.  The self-join is on (band,
+  signature-slice) — tiny keys, and candidates are verified with exact
+  Jaccard before emission, so false positives never escape.
+- **SimHash**: 32-bit sign-sum fingerprint; near-dup = small Hamming
+  distance within LSH-style prefix buckets.
+- **n-gram Jaccard**: exact shingle-set similarity via explode + join —
+  the verifier used by the LSH tier, usable standalone at small scale.
+- **embedding cosine**: see ``operators/simsearch.py`` (near-dup =
+  cosine above threshold).
+
+MinHash math: ``h_j(s) = (a_j * x + b_j) mod p`` over the portable 32-bit
+shingle hash ``x`` (``texttools.md5_int32``), ``p = 2^31 - 1``.
+Coefficients are fixed constants so signatures are reproducible across
+engines (the DuckDB oracle recomputes them exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.functions.texttools import (
+    MERSENNE_PRIME_31,
+    md5_int32,
+    word_shingles,
+)
+
+#: (a, b) pairs for the minhash family — fixed public constants (primes).
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (1299721, 3),
+    (15485863, 101),
+    (32452843, 1009),
+    (49979687, 10007),
+    (67867967, 100003),
+    (86028121, 1000003),
+    (104395301, 15101),
+    (122949823, 75041),
+]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct content: ``(digest, keep_id, n_dups)``."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, shingle_k: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values for a text column."""
+    hashes = F.transform(word_shingles(text, shingle_k), md5_int32)
+    p = F.lit(MERSENNE_PRIME_31)
+    def _mk(a: int, b: int):
+        return lambda x: (F.lit(a) * (x % p) + F.lit(b)) % p
+
+    sigs = [
+        F.array_min(F.transform(hashes, _mk(a, b))) for a, b in MINHASH_COEFFS[:num_hashes]
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become a pair.
+
+    Scale shape: explode to (band, key) — one shuffle — then a per-bucket
+    self-join.  Buckets are tiny by construction (hash agreement), so the
+    join is skew-safe; a pathological bucket (all-identical corpus) is the
+    *intended* output, not a skew accident.
+    """
+    banded = signatures.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    left = banded.select(F.col("doc").alias("doc_a"), "band", "key")
+    right = banded.select(F.col("doc").alias("doc_b"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingles for pairs sharing >= 1
+    shingle: ``(doc_a, doc_b, jaccard)``.
+
+    |intersection| comes from the shingle-join count; |union| =
+    |A| + |B| - |inter| (sizes joined in, no second pass over text).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    sizes = shingled.select("doc", F.size("sh").alias("n_sh"))
+    exploded = shingled.select("doc", F.explode("sh").alias("shingle"))
+    inter = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), "shingle")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text: Column, bits: int = 16, shingle_k: int = 1) -> Column:
+    """Sign-sum simhash over token hashes (bits kept small so the DuckDB
+    oracle can unroll them; production would use 64)."""
+    hashes = F.transform(word_shingles(text, shingle_k), md5_int32)
+    def _vote(b: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), _vote(b))
+        bit_cols.append(F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return total.cast("long")
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance.
+
+    Banded candidate generation (the permute-and-split idea): the
+    fingerprint splits into two half-width bands; a pair with Hamming
+    distance <= max_hamming agrees exactly on at least one band whenever
+    all its flipped bits land in the other — joining on (band, value)
+    keeps the self-join bucketed instead of all-pairs, then the exact
+    Hamming filter verifies.  Recall is probabilistic for edits that flip
+    bits in both halves (more bands -> higher recall; production uses 64
+    bits x 4 bands)."""
+    half = bits // 2
+    sh = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sh"))
+    banded = sh.select(
+        "doc",
+        "sh",
+        F.posexplode(
+            F.array(
+                F.shiftright("sh", half),  # high band
+                F.col("sh").bitwiseAND(F.lit((1 << half) - 1)),  # low band
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "key")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -55,8 +55,9 @@ _BIBITEM_SCHEMA = T.StructType(
     ]
 )
 
-_ID_SCHEMA = T.StructType(
-    [
+_REFS_SCHEMA = T.StructType(
+    list(_BIBITEM_SCHEMA.fields)
+    + [
         T.StructField("reference_id", T.StringType(), True),
         T.StructField("id_type", T.StringType(), True),
     ]
@@ -84,7 +85,28 @@ def _explode_bibitems(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
-_extract_identifier_udf = F.pandas_udf(extract_identifiers_batch, _ID_SCHEMA)
+def _attach_identifiers(keep_unidentified: bool):
+    """mapInPandas kernel factory: append (reference_id, id_type) to each
+    bibitem row in one Arrow pass.
+
+    Implemented as mapInPandas rather than a scalar pandas_udf on purpose:
+    a struct-returning pandas_udf referenced by both a filter and a
+    projection gets *duplicated* by Catalyst (two ArrowEvalPython nodes =
+    the regexes run twice per row); mapInPandas is a pipeline barrier, so
+    the kernel runs exactly once and the not-null filter is free in-batch.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = extract_identifiers_batch(batch["bibitem"])
+            out = batch.assign(
+                reference_id=ids["reference_id"].values, id_type=ids["id_type"].values
+            )
+            if not keep_unidentified:
+                out = out[out["reference_id"].notna()]
+            yield out
+
+    return kernel
 
 
 def bibitems_from_docs(docs: DataFrame) -> DataFrame:
@@ -113,7 +135,7 @@ def references_from_docs(docs: DataFrame) -> DataFrame:
     determinism upgrade).
     """
     bibitems = bibitems_from_docs(docs).filter(F.length("bibitem") > MIN_BIBITEM_LEN)
-    with_ids = bibitems.withColumn("ident", _extract_identifier_udf(F.col("bibitem")))
+    with_ids = bibitems.mapInPandas(_attach_identifiers(True), schema=_REFS_SCHEMA)
     num_window = Window.partitionBy("repo").orderBy("path", "pos")
     return with_ids.select(
         "repo",
@@ -123,8 +145,8 @@ def references_from_docs(docs: DataFrame) -> DataFrame:
         "bibitem",
         "clean_bibitem",
         F.length("bibitem").alias("length_of_bibitem"),
-        F.col("ident.id_type").alias("id_type"),
-        F.col("ident.reference_id").alias("reference_id"),
+        "id_type",
+        "reference_id",
     )
 
 
@@ -140,10 +162,11 @@ def edges_from_docs(docs: DataFrame) -> DataFrame:
     window-free.
     """
     bibitems = bibitems_from_docs(docs).filter(F.length("bibitem") > MIN_BIBITEM_LEN)
-    with_ids = bibitems.withColumn("ident", _extract_identifier_udf(F.col("bibitem")))
+    identified = bibitems.select("repo", "path", "pos", "bibitem", "clean_bibitem").mapInPandas(
+        _attach_identifiers(False), schema=_REFS_SCHEMA
+    )
     return (
-        with_ids.filter(F.col("ident.reference_id").isNotNull())
-        .select(F.col("repo").alias("src_id"), F.col("ident.reference_id").alias("dst_id"))
+        identified.select(F.col("repo").alias("src_id"), F.col("reference_id").alias("dst_id"))
         .dropDuplicates(["src_id", "dst_id"])
     )
 

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers (SURVEY.md-adjacent training-data ops):
+
+- **brute-force cosine top-k** — the exactness baseline: query x corpus
+  cross join scored with JVM-side ``F.zip_with``/``F.aggregate`` dot
+  products (no Python), ranked per query with a window.  Cross joins are
+  O(Q x N): fine for Q small (dedup probes, eval sets), never for Q = N.
+- **bucketed ANN (random-hyperplane LSH)** — the scale path: each vector
+  hashes to a ``n_planes``-bit signature from fixed pseudo-random
+  hyperplanes (deterministic: plane weights derive from md5 of
+  (plane, dim)); candidates come from an equi-join on the signature, so
+  the work is per-bucket instead of all-pairs.  Recall is tunable with
+  multiple tables (``n_tables``).
+
+An IVF variant (k-means coarse quantizer + inverted lists) is the
+production upgrade path; the LSH variant keeps everything closed-form
+and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: ``(query_id, neighbor_id, cos_sim, rank)``.
+
+    Deterministic: ties broken by neighbor id; self-matches excluded.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_weight(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1): derived from
+    md5(plane:dim) — reproducible in any engine, no RNG state."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return (h / 0x7FFFFFFF) - 1.0
+
+
+def hyperplane_signature(
+    vec: Column, dims: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """LSH signature: bit p = sign(<vec, plane_{offset+p}>)."""
+    bits = []
+    for p in range(n_planes):
+        weights = [_plane_weight(plane_offset + p, d) for d in range(dims)]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in weights]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 1,
+) -> DataFrame:
+    """ANN top-k: candidates restricted to signature-equal buckets.
+
+    ``n_tables`` independent hash tables (disjoint plane sets) union
+    their candidates — the standard recall knob.  Same output shape as
+    ``brute_force_topk``; recall < 1 by design (tests measure it against
+    the brute-force oracle).
+    """
+
+    def table(t: int) -> DataFrame:
+        def sig(v):
+            return hyperplane_signature(v, dims, n_planes, plane_offset=t * n_planes)
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), sig(F.col(vec_col)).alias("sig")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), sig(F.col(vec_col)).alias("sig")
+        )
+        return q.join(c, "sig").filter(F.col("query_id") != F.col("neighbor_id")).select(
+            "query_id", "neighbor_id", "qv", "cv"
+        )
+
+    candidates = table(0)
+    for t in range(1, n_tables):
+        candidates = candidates.unionByName(table(t))
+    scored = candidates.dropDuplicates(["query_id", "neighbor_id"]).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
+
+
+def centroid_per_label(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector, exploded to (label, dim, value) rows so the
+    result is flat-hashable (and oracle-friendly)."""
+    exploded = embeddings.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"))
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid_v")
+    )

@@ -1,0 +1,99 @@
+"""Connected components via hash-min label exchange (SURVEY.md §2.5 J5).
+
+Weakly-connected components over the symmetrized edge view.  Component
+label = lexicographic minimum vertex id in the component (deterministic,
+matches the union-find oracle's convention exactly).
+
+Per superstep: every vertex adopts ``min(own label, min(neighbor
+labels))``.  Neighbor propagation is one equi-join (labels shuffled onto
+the cached, pre-partitioned symmetric adjacency) plus one min-aggregate.
+Converges in O(diameter) supersteps; the state carries
+``delta = changed ? 1 : 0`` so convergence (no changes) is read in the
+same pass that materializes the snapshot.
+
+Scale note: for graphs with giant diameter (path-like), the two-phase
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond") converges in O(log^2 n) rounds; hash-min is the
+right default for link graphs, whose diameter is small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+
+@dataclass
+class ComponentsResult:
+    components: DataFrame  # (vertex, component)
+    report: SuperstepReport
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 50,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> ComponentsResult:
+    sym = symmetrize(edges).repartition(
+        spark.sparkContext.defaultParallelism, "src_id"
+    ).cache()
+    sym.count()
+    vertices = vertices_of(edges).cache()
+
+    def step(labels: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        nbr_min = (
+            sym.join(labels.select(F.col("vertex"), F.col("component")), sym.src_id == F.col("vertex"))
+            .groupBy(F.col("dst_id").alias("vertex"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new = (
+            labels.select("vertex", F.col("component").alias("old_component"))
+            .join(nbr_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("old_component"), F.coalesce(F.col("nbr_component"), F.col("old_component"))
+                ).alias("component"),
+                "old_component",
+            )
+            .select(
+                "vertex",
+                "component",
+                (F.col("component") != F.col("old_component")).cast("double").alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    start_iter = 0
+    initial = vertices.select(
+        "vertex", F.col("vertex").alias("component"), F.lit(0.0).alias("delta")
+    )
+    if store is not None and resume:
+        last = store.last_committed()
+        if last >= 0:
+            initial = store.read_state(spark, last)
+            start_iter = last + 1
+
+    final, report = run_supersteps(
+        spark,
+        initial,
+        step,
+        max_iterations=max_iterations,
+        tolerance=0.0,  # stop when zero labels changed
+        store=store,
+        start_iteration=start_iter,
+    )
+    sym.unpersist()
+    vertices.unpersist()
+    return ComponentsResult(final.select("vertex", "component"), report)

@@ -1,0 +1,87 @@
+"""Synchronous label propagation communities (SURVEY.md §2.5 J6, §2.6 A8).
+
+Every vertex starts in its own community; each superstep it adopts the
+most frequent label among its neighbors (symmetrized view).  Ties are
+broken *deterministically*: highest count first, then lexicographically
+smallest label — the rule the pure-Python oracle pins, so labels are
+exactly reproducible across partitionings and runs (the reference's
+correctness bar is exact label equality, BASELINE.json north_star).
+
+The group-mode is the mandated two-stage shape: ``groupBy(vertex, label)
+.count()`` then a per-vertex arg-max — expressed with ``max_by`` over a
+sortable struct rather than a window, so it stays a pure aggregation
+(two shuffles, no sort).  Synchronous LPA can oscillate on bipartite-ish
+structures; the iteration cap is the standard remedy and the fixture
+graphs converge well before it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame  # (vertex, label)
+    report: SuperstepReport
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 10,
+    store: CheckpointStore | None = None,
+) -> LabelPropResult:
+    sym = symmetrize(edges).repartition(
+        spark.sparkContext.defaultParallelism, "src_id"
+    ).cache()
+    sym.count()
+    vertices = vertices_of(edges).cache()
+
+    def step(labels: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        nbr_labels = sym.join(
+            labels.select("vertex", "label"), sym.src_id == F.col("vertex")
+        ).select(F.col("dst_id").alias("vertex"), "label")
+        counts = nbr_labels.groupBy("vertex", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        # arg-max with deterministic tie-break: max over (cnt, reversed-label)
+        # won't do — strings can't be negated.  max_by over a struct ordered
+        # (cnt ASC would lose) ... use min_by on (-cnt, label): smallest
+        # negative count = highest count, then smallest label.
+        winner = counts.groupBy("vertex").agg(
+            F.min_by("label", F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias(
+                "nbr_label"
+            )
+        )
+        new = (
+            labels.select("vertex", F.col("label").alias("old_label"))
+            .join(winner, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce(F.col("nbr_label"), F.col("old_label")).alias("label"),
+                "old_label",
+            )
+            .select(
+                "vertex",
+                "label",
+                (F.col("label") != F.col("old_label")).cast("double").alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = vertices.select("vertex", F.col("vertex").alias("label"), F.lit(0.0).alias("delta"))
+    final, report = run_supersteps(
+        spark, initial, step, max_iterations=max_iterations, tolerance=0.0, store=store
+    )
+    sym.unpersist()
+    vertices.unpersist()
+    return LabelPropResult(final.select("vertex", "label"), report)

@@ -1,0 +1,126 @@
+"""Physical layout & skew handling: salted two-stage aggregation, degree
+tables, partitioned adjacency.
+
+Why this exists (SURVEY.md §4.3): AQE splits skewed *join* partitions but
+not skewed ``groupBy`` keys.  A zipf-degree citation graph has hub papers
+whose in-degree dwarfs the mean; the per-superstep rank-mass aggregation
+``groupBy(dst_id).sum(contrib)`` would funnel a hub's entire in-edge list
+through one reducer.  The mandated fix (BASELINE.json north_star) is
+explicit salting + two-stage aggregation:
+
+    stage 1: groupBy(dst_id, salt)  — salt spreads a hot key over B
+             reducers; partial sums shrink the data by the hub fan-in,
+    stage 2: groupBy(dst_id)        — at most B rows per key remain.
+
+The salt is *deterministic* (hash of the contributing src vertex, never
+``rand()``) so retries and resumed runs reproduce bit-identical plans.
+
+Two modes:
+
+- ``salt_all``: every key gets ``B`` salt buckets.  Simple, predictable;
+  extra cost is a second (tiny) shuffle of |V|*B partials.
+- hot-only (pass ``hot_keys``): only keys above a degree threshold are
+  salted; cold keys keep ``salt=0`` so their partials stay single-row.
+  The hot-key table is tiny (heavy-hitter count) and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deterministic_salt(source: Column, buckets: int) -> Column:
+    """A stable salt in [0, buckets) derived from a companion column."""
+    return F.pmod(F.xxhash64(source), F.lit(buckets)).cast("int")
+
+
+def salted_sum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt_source: str,
+    alias: str,
+    buckets: int = 16,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage skew-safe ``groupBy(key).sum(value)``.
+
+    ``salt_source`` is a column whose values vary *within* a key group
+    (for PageRank contributions keyed by dst: the src vertex).
+    ``hot_keys``: optional single-column (``key``) DataFrame of heavy
+    hitters; when given, only those keys are salted (broadcast join).
+    Returns ``(key, alias)``.
+    """
+    salt = deterministic_salt(F.col(salt_source), buckets)
+    if hot_keys is not None:
+        flags = F.broadcast(hot_keys.select(F.col(key).alias(key), F.lit(True).alias("_hot")))
+        salted = (
+            df.join(flags, key, "left")
+            .withColumn("_salt", F.when(F.col("_hot"), salt).otherwise(F.lit(0)))
+        )
+    else:
+        salted = df.withColumn("_salt", salt)
+    partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_partial"))
+    return partial.groupBy(key).agg(F.sum("_partial").alias(alias))
+
+
+def degrees(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """Degree table. direction: 'out' (per src), 'in' (per dst),
+    'both' (undirected degree over the symmetrized view)."""
+    if direction == "out":
+        return edges.groupBy(F.col("src_id").alias("vertex")).agg(F.count("*").alias("degree"))
+    if direction == "in":
+        return edges.groupBy(F.col("dst_id").alias("vertex")).agg(F.count("*").alias("degree"))
+    sym = symmetrize(edges)
+    return sym.groupBy(F.col("src_id").alias("vertex")).agg(F.count("*").alias("degree"))
+
+
+def hot_vertices(edges: DataFrame, threshold: int, direction: str = "in") -> DataFrame:
+    """Heavy-hitter vertices whose degree exceeds ``threshold``.
+
+    Output column is named for the join side it salts (``dst_id`` for the
+    rank-mass aggregation).
+    """
+    col = "dst_id" if direction == "in" else "src_id"
+    return (
+        edges.groupBy(col)
+        .agg(F.count("*").alias("_deg"))
+        .filter(F.col("_deg") > threshold)
+        .select(col)
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: both orientations, deduplicated, self-loops kept
+    out (CC/LPA/triangles treat the graph as simple; SURVEY.md §2.8 U5)."""
+    fwd = edges.select("src_id", "dst_id")
+    rev = edges.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
+    return fwd.unionByName(rev).filter(F.col("src_id") != F.col("dst_id")).distinct()
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    """All vertices appearing on either side."""
+    return (
+        edges.select(F.col("src_id").alias("vertex"))
+        .unionByName(edges.select(F.col("dst_id").alias("vertex")))
+        .distinct()
+    )
+
+
+def build_adjacency(edges: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Iteration-input adjacency: ``(src_id, dst_id, out_deg)`` hash-
+    partitioned on ``src_id`` and cached.
+
+    Partitioning on the join key means every superstep's
+    ``adjacency JOIN ranks ON src_id`` reuses this exchange: Catalyst sees
+    the in-memory relation's output partitioning and shuffles only the
+    (|V|-sized) ranks side.  In production the same effect comes from
+    writing the adjacency as an Iceberg table bucketed by ``src_id``
+    (range-partitioned variant: ``repartitionByRange`` + sort order, which
+    additionally gives clustered scans for range-restricted queries).
+    """
+    out_deg = edges.groupBy("src_id").agg(F.count("*").alias("out_deg"))
+    adj = edges.join(out_deg, "src_id")
+    n_parts = partitions or edges.sparkSession.sparkContext.defaultParallelism
+    return adj.repartition(n_parts, "src_id")

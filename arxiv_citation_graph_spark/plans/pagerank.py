@@ -1,0 +1,192 @@
+"""PageRank: damping 0.85, dangling-mass redistribution, L1 convergence.
+
+Spark-first design (SURVEY.md §2.5 J4/J8/J9, §2.6 A9, §4.3):
+
+- **Adjacency reuse.** ``(src_id, dst_id, out_deg)`` is computed once,
+  hash-partitioned on ``src_id`` and cached; every superstep's
+  contribution join then shuffles only the |V|-sized ranks frame, never
+  the |E|-sized edge list.  (Production: Iceberg table bucketed on
+  ``src_id`` — same exchange reuse across *jobs*, not just supersteps.)
+- **Salted two-stage rank-mass aggregation** for hub skew
+  (``layout.salted_sum``): hot papers' in-edges partial-sum across
+  ``buckets`` reducers before the final per-vertex sum.
+- **Dangling mass.** Vertices with no out-edges leak rank; their mass is
+  summed each superstep (a scalar over a vertex-count-sized frame, not
+  the edge list) and redistributed uniformly — the same treatment a dense
+  numpy power iteration applies, which is what the 1e-6 parity bar is
+  measured against.
+- **Per-row delta.** The new state carries ``delta = |new - old|`` so the
+  convergence L1 is a plain ``sum`` evaluated in the same job that
+  materializes the snapshot (one action per superstep + one tiny scalar
+  for dangling mass).
+
+State schema: ``ranks(vertex string, rank double, delta double)``;
+ranks always sum to 1 (up to float noise), matching the convention of a
+probability-vector power iteration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import (
+    build_adjacency,
+    hot_vertices,
+    salted_sum,
+    vertices_of,
+)
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+DEFAULT_DAMPING = 0.85
+#: L1 stop threshold: L1<=1e-8 bounds distance-to-fixpoint by d/(1-d)*L1 ~ 6e-8,
+#: comfortably under the 1e-6 parity bar across partition counts (SURVEY.md §7).
+DEFAULT_TOLERANCE = 1e-8
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (vertex, rank)
+    report: SuperstepReport
+    num_vertices: int
+    num_edges: int
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = DEFAULT_DAMPING,
+    tolerance: float = DEFAULT_TOLERANCE,
+    max_iterations: int = 100,
+    salt_buckets: int = 16,
+    hot_degree_threshold: int | None = 1000,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> PageRankResult:
+    """Iterate rank mass over ``edges(src_id, dst_id)`` to convergence.
+
+    ``hot_degree_threshold``: in-degree above which a destination vertex
+    is salted (None = salt every key).  ``resume=True`` with a ``store``
+    continues from the last committed superstep.
+    """
+    edges = edges.select("src_id", "dst_id")
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "vertex string, rank double")
+        return PageRankResult(empty, SuperstepReport(0, True), 0, 0)
+    m = edges.count()
+
+    adjacency = build_adjacency(edges).cache()
+    adjacency.count()  # materialize once; supersteps reuse the exchange
+
+    # vertex set flagged with "has no out-edges" (rank sinks); the flag is
+    # carried through the state so each superstep's aggregation pass also
+    # yields next iteration's dangling mass — no extra action.
+    vertices_flagged = (
+        vertices.join(
+            edges.select(F.col("src_id").alias("vertex")).distinct().withColumn(
+                "_has_out", F.lit(True)
+            ),
+            "vertex",
+            "left",
+        )
+        .select("vertex", F.coalesce(~F.col("_has_out"), F.lit(True)).alias("dangling"))
+        .cache()
+    )
+
+    hot = (
+        hot_vertices(edges, hot_degree_threshold, "in").cache()
+        if hot_degree_threshold is not None
+        else None
+    )
+
+    base = float((1.0 - damping) / n)
+    dangling_mass_col = F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))
+
+    def step(ranks: DataFrame, i: int, prev: Row | None) -> tuple[DataFrame, dict]:
+        if prev is not None:
+            d_mass = float(prev["d_mass"] or 0.0)
+        else:  # first superstep (or resume boundary): one tiny scalar job
+            d_mass = float(ranks.agg(dangling_mass_col.alias("m")).first()["m"] or 0.0)
+        uniform_extra = damping * d_mass / n
+
+        contribs = adjacency.join(
+            ranks.select("vertex", "rank"), adjacency.src_id == F.col("vertex"), "inner"
+        ).select(
+            F.col("dst_id"),
+            F.col("src_id"),
+            (F.col("rank") / F.col("out_deg")).alias("contrib"),
+        )
+        sums = salted_sum(
+            contribs,
+            key="dst_id",
+            value="contrib",
+            salt_source="src_id",
+            alias="mass",
+            buckets=salt_buckets,
+            hot_keys=hot,
+        )
+        new = vertices_flagged.join(sums, vertices_flagged.vertex == sums.dst_id, "left").select(
+            "vertex",
+            "dangling",
+            (
+                F.lit(base)
+                + F.lit(uniform_extra)
+                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        with_delta = (
+            new.join(ranks.select("vertex", F.col("rank").alias("old_rank")), "vertex")
+            .select(
+                "vertex",
+                "dangling",
+                "rank",
+                F.abs(F.col("rank") - F.col("old_rank")).alias("delta"),
+            )
+        )
+        return with_delta, {"delta": F.sum("delta"), "d_mass": dangling_mass_col}
+
+    start_iter = 0
+    if store is not None and resume:
+        last = store.last_committed()
+        if last >= 0:
+            initial = store.read_state(spark, last)
+            start_iter = last + 1
+        else:
+            initial = _uniform_ranks(vertices_flagged, n)
+    else:
+        initial = _uniform_ranks(vertices_flagged, n)
+
+    final, report = run_supersteps(
+        spark,
+        initial,
+        step,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+        store=store,
+        start_iteration=start_iter,
+    )
+    ranks = final.select("vertex", "rank")
+    for cached in (adjacency, vertices_flagged, vertices):
+        cached.unpersist()
+    if hot is not None:
+        hot.unpersist()
+    return PageRankResult(ranks, report, n, m)
+
+
+def _uniform_ranks(vertices_flagged: DataFrame, n: int) -> DataFrame:
+    return vertices_flagged.select(
+        "vertex", "dangling", F.lit(1.0 / n).alias("rank"), F.lit(0.0).alias("delta")
+    )
+
+
+def top_k(ranks: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k by rank — Spark plans this as TakeOrderedAndProject (W5)."""
+    return ranks.orderBy(F.desc("rank"), "vertex").limit(k)

@@ -1,0 +1,219 @@
+"""Generic superstep runtime: iterate, truncate lineage, checkpoint,
+record metrics, resume.
+
+The one genuinely novel component the engine needs on top of Catalyst
+(SURVEY.md §4.3): Spark has no fixpoint operator, so iterative kernels run
+a driver loop.  Naively chaining DataFrames grows the logical plan
+linearly and planning time explodes; every iteration must cut lineage.
+
+Two persistence modes per iteration:
+
+- **ephemeral** (no store): ``localCheckpoint(eager=True)`` — truncates
+  lineage in memory; fastest, not resumable.  Used by benchmarks.
+- **durable** (``CheckpointStore``): write the state snapshot to the
+  store, then *re-read it* as the next iteration's input.  The write is
+  the superstep barrier, the re-read starts the next superstep from
+  storage — exactly Iceberg's snapshot-per-commit model.  The run is
+  resumable from the last committed iteration.
+
+Commit protocol (resume-idempotent, SURVEY.md §4.3):
+
+1. write ``state/iter=K`` (parquet dir, overwrite — a crashed retry of
+   iteration K simply overwrites its own partial output),
+2. append per-partition metrics rows for K,
+3. update ``manifest.json`` (atomic rename) marking K committed.
+
+Resume reads the manifest, loads the newest committed state, and
+continues from K+1.  A crash between (1) and (3) re-runs iteration K onto
+the same path — safe.
+
+The metrics table mirrors SURVEY.md §1.3 ``superstep_metrics``:
+(job, iteration, partition_id, rows, wall_ms, l1_delta, snapshot).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointStore:
+    """Filesystem-backed snapshot store (stand-in for an Iceberg catalog;
+    the path layout maps 1:1 onto ``overwritePartitions`` keyed by
+    iteration)."""
+
+    def __init__(self, root: str, job: str):
+        self.root = root
+        self.job = job
+        os.makedirs(self._job_dir(), exist_ok=True)
+
+    def _job_dir(self) -> str:
+        return os.path.join(self.root, self.job)
+
+    def _state_path(self, iteration: int) -> str:
+        return os.path.join(self._job_dir(), f"state_iter={iteration:05d}")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self._job_dir(), "manifest.json")
+
+    def _metrics_path(self) -> str:
+        return os.path.join(self._job_dir(), "superstep_metrics")
+
+    # -- state snapshots ---------------------------------------------------
+
+    def write_state(self, df: DataFrame, iteration: int) -> str:
+        path = self._state_path(iteration)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def read_state(self, spark: SparkSession, iteration: int) -> DataFrame:
+        return spark.read.parquet(self._state_path(iteration))
+
+    # -- manifest ----------------------------------------------------------
+
+    def manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"job": self.job, "committed_iteration": -1, "iterations": {}}
+
+    def commit(self, iteration: int, info: dict) -> None:
+        man = self.manifest()
+        man["committed_iteration"] = iteration
+        man["iterations"][str(iteration)] = info
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic commit point
+
+    def last_committed(self) -> int:
+        return int(self.manifest()["committed_iteration"])
+
+    # -- metrics -----------------------------------------------------------
+
+    def append_metrics(self, metrics_df: DataFrame, iteration: int) -> None:
+        metrics_df.write.mode("overwrite").parquet(
+            os.path.join(self._metrics_path(), f"iter={iteration:05d}")
+        )
+
+    def read_metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("recursiveFileLookup", "true").parquet(self._metrics_path())
+
+    def clear(self) -> None:
+        shutil.rmtree(self._job_dir(), ignore_errors=True)
+        os.makedirs(self._job_dir(), exist_ok=True)
+
+
+@dataclass
+class SuperstepReport:
+    iterations: int
+    converged: bool
+    deltas: list[float] = field(default_factory=list)
+    wall_ms: list[float] = field(default_factory=list)
+    rows_per_iter: list[int] = field(default_factory=list)
+
+
+def run_supersteps(
+    spark: SparkSession,
+    state: DataFrame,
+    step: Callable[[DataFrame, int, "Row | None"], tuple[DataFrame, dict]],
+    max_iterations: int,
+    tolerance: float | None = None,
+    store: CheckpointStore | None = None,
+    start_iteration: int = 0,
+) -> tuple[DataFrame, SuperstepReport]:
+    """Drive ``state -> step -> state`` to convergence.
+
+    ``step(state, i, prev_aggs)`` returns ``(new_state, agg_exprs)``:
+    ``agg_exprs`` is a dict of named *aggregate expressions over
+    new_state*; it must include ``"delta"`` (the convergence measure —
+    L1 rank delta, count of changed labels, ...).  The runtime evaluates
+    all of them in the single pass that materializes the snapshot and
+    hands the resulting Row to the next ``step`` call as ``prev_aggs`` —
+    kernels piggyback scalars they need next iteration (e.g. PageRank's
+    dangling mass) instead of paying a separate action.
+
+    Convergence: ``delta <= tolerance`` (when tolerance is not None).
+    """
+    report = SuperstepReport(iterations=start_iteration, converged=False)
+    current = state
+    prev_aggs = None
+    # AQE re-plans every stage of every superstep; the iterative kernels
+    # pre-size their partitioning and salt their skew explicitly, so AQE
+    # is pure per-superstep overhead here (~40% at small state; measured).
+    # It is restored after the loop for everything else.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _run_loop(
+            spark, state, step, max_iterations, tolerance, store, start_iteration, report
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _run_loop(
+    spark: SparkSession,
+    state: DataFrame,
+    step,
+    max_iterations: int,
+    tolerance: float | None,
+    store: CheckpointStore | None,
+    start_iteration: int,
+    report: SuperstepReport,
+) -> tuple[DataFrame, SuperstepReport]:
+    current = state
+    prev_aggs = None
+    for i in range(start_iteration, max_iterations):
+        t0 = time.perf_counter()
+        new_state, agg_exprs = step(current, i, prev_aggs)
+        if store is not None:
+            snapshot = store.write_state(new_state, i)
+            new_state = store.read_state(spark, i)  # lineage reset from storage
+        else:
+            snapshot = ""
+            new_state = new_state.localCheckpoint(eager=True)
+        named = [col.alias(name) for name, col in agg_exprs.items()]
+        agg = new_state.agg(*named, F.count(F.lit(1)).alias("_rows")).first()
+        prev_aggs = agg
+        delta = float(agg["delta"]) if agg["delta"] is not None else 0.0
+        rows = int(agg["_rows"])
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        if store is not None:
+            per_part = (
+                new_state.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .select(
+                    F.lit(store.job).alias("job"),
+                    F.lit(i).alias("iteration"),
+                    "partition_id",
+                    "rows",
+                    F.lit(wall_ms).alias("wall_ms"),
+                    F.lit(delta).alias("l1_delta"),
+                    F.lit(snapshot).alias("snapshot"),
+                )
+            )
+            store.append_metrics(per_part, i)
+            store.commit(
+                i, {"snapshot": snapshot, "delta": delta, "rows": rows, "wall_ms": wall_ms}
+            )
+        report.iterations = i + 1
+        report.deltas.append(delta)
+        report.wall_ms.append(wall_ms)
+        report.rows_per_iter.append(rows)
+        old = current
+        current = new_state
+        if old is not state and store is None:
+            old.unpersist()
+        if tolerance is not None and delta <= tolerance:
+            report.converged = True
+            break
+    return current, report

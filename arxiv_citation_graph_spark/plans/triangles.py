@@ -1,0 +1,95 @@
+"""Per-vertex triangle counting, compact-forward style (SURVEY.md §2.5 J7).
+
+The classic DataFrame-composable algorithm:
+
+1. Simple undirected view (self-loops dropped, both-orientation dedup).
+2. Rank every vertex by ``(degree, vertex)`` — a total order.  Orient
+   each undirected edge from lower to higher rank.  Degree ordering is
+   the standard compact-forward trick: a vertex's *forward* neighborhood
+   is O(sqrt(|E|)) even for hubs, which keeps the wedge join's fan-out
+   bounded (without it a hub of degree d contributes d^2 wedges).
+3. Wedge join: forward edges (a->b) x (a->c) with rank(b) < rank(c),
+   then a **left-semi join** against forward edges on (b, c) keeps the
+   closed wedges.  Every triangle appears exactly once as its
+   rank-ordered corner triple.
+4. Explode the three corners, count per vertex.
+
+The rank is packed into a sortable string ``zero-padded-degree|vertex``
+so both the orientation comparison and the wedge ordering are single
+column comparisons (cheap codegen, no struct comparators in the join
+condition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import vertices_of
+
+
+def _simple_undirected(edges: DataFrame) -> DataFrame:
+    """Canonical (lo, hi) undirected edges, self-loops dropped."""
+    e = edges.filter(F.col("src_id") != F.col("dst_id"))
+    return e.select(
+        F.least("src_id", "dst_id").alias("u"), F.greatest("src_id", "dst_id").alias("v")
+    ).distinct()
+
+
+def triangle_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts: ``(vertex, triangles)``.
+
+    Vertices in no triangle report 0 (left join back onto the vertex set,
+    matching the brute-force oracle).
+    """
+    und = _simple_undirected(edges).cache()
+    deg = (
+        und.select(F.col("u").alias("vertex"))
+        .unionByName(und.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    rank = deg.select(
+        "vertex", F.format_string("%012d|%s", F.col("degree"), F.col("vertex")).alias("rnk")
+    )
+
+    # orient each edge low-rank -> high-rank
+    ranked = (
+        und.join(rank.withColumnRenamed("vertex", "u").withColumnRenamed("rnk", "rnk_u"), "u")
+        .join(rank.withColumnRenamed("vertex", "v").withColumnRenamed("rnk", "rnk_v"), "v")
+        .select(
+            F.when(F.col("rnk_u") < F.col("rnk_v"), F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(F.col("rnk_u") < F.col("rnk_v"), F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(F.col("rnk_u") < F.col("rnk_v"), F.col("rnk_v")).otherwise(F.col("rnk_u")).alias(
+                "rnk_b"
+            ),
+        )
+        .cache()
+    )
+    ranked.count()
+    und.unpersist()
+
+    e1 = ranked.select(F.col("a"), F.col("b").alias("w1"), F.col("rnk_b").alias("r1"))
+    e2 = ranked.select(F.col("a"), F.col("b").alias("w2"), F.col("rnk_b").alias("r2"))
+    wedges = e1.join(e2, "a").filter(F.col("r1") < F.col("r2")).select("a", "w1", "w2")
+    closing = ranked.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    triangles = wedges.join(closing, ["w1", "w2"], "left_semi")
+
+    corner_counts = (
+        triangles.select(F.explode(F.array("a", "w1", "w2")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    result = (
+        vertices_of(edges)
+        .join(corner_counts, "vertex", "left")
+        .select("vertex", F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("triangles"))
+    )
+    return result
+
+
+def total_triangles(spark: SparkSession, edges: DataFrame) -> int:
+    """Global triangle count (each triangle once)."""
+    per_vertex = triangle_counts(spark, edges)
+    total = per_vertex.agg(F.sum("triangles").alias("s")).first()["s"] or 0
+    return int(total) // 3

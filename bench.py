@@ -1,0 +1,141 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workloads (the BASELINE.json target metric is PageRank superstep
+throughput + convergence wall-clock):
+
+- extract_edges   : synthetic docs corpus -> vectorized extraction -> edge
+                    count (the reference's whole pipeline, minus network)
+- pagerank        : derived citation-style edge table, fixed 8 supersteps
+                    (salted two-stage agg); also reports edges/sec/superstep
+- pagerank_conv   : to-convergence (L1 <= 1e-8) wall-clock + iterations
+- connected_comp  : hash-min to fixpoint
+- triangles       : per-vertex triangle counts on the co-supply graph
+- minhash_lsh     : signatures + banded candidate pairs on documents
+- embed_topk      : brute-force cosine top-5 x 50 queries
+
+Scaling (N vs 4N) evidence is produced by scripts/scaling_report.py
+(separate JVMs per parallelism level) into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PR_ITERS = 8
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from arxiv_citation_graph_spark.datagen import corpus_df
+    from arxiv_citation_graph_spark.entry_queries import bipartite_edges, cosupply_edges
+    from arxiv_citation_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
+    from arxiv_citation_graph_spark.operators.simsearch import brute_force_topk
+    from arxiv_citation_graph_spark.plans.components import connected_components
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+    from arxiv_citation_graph_spark.plans.triangles import triangle_counts
+    from arxiv_citation_graph_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="acg-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # -- extraction ---------------------------------------------------------
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
+
+    def run_extract():
+        docs = corpus_df(spark, seed=42, n_docs=n_docs)
+        return edges_from_docs(docs).count()
+
+    extras["extract_edges_rows"] = timed("extract_edges", run_extract)
+    extras["extract_docs_per_sec"] = round(n_docs / timings["extract_edges"], 1)
+
+    # -- graph kernels ------------------------------------------------------
+    edges = bipartite_edges(spark, SF_DIR).cache()
+    n_edges = edges.count()
+    extras["graph_edges"] = n_edges
+
+    def run_pagerank():
+        return pagerank(
+            spark, edges, tolerance=None, max_iterations=PR_ITERS,
+            salt_buckets=16, hot_degree_threshold=1024,
+        )
+
+    pr = timed("pagerank", run_pagerank)
+    extras["pagerank_vertices"] = pr.num_vertices
+    superstep_sec = sum(pr.report.wall_ms) / 1000.0 / max(pr.report.iterations, 1)
+    extras["pagerank_superstep_sec"] = round(superstep_sec, 3)
+    extras["pagerank_edges_per_sec_per_superstep"] = round(n_edges / superstep_sec, 1)
+
+    def run_pagerank_conv():
+        return pagerank(spark, edges, tolerance=1e-8, max_iterations=200)
+
+    prc = timed("pagerank_conv", run_pagerank_conv)
+    extras["pagerank_conv_iterations"] = prc.report.iterations
+    extras["pagerank_conv_converged"] = prc.report.converged
+
+    def run_cc():
+        return connected_components(spark, edges).report.iterations
+
+    extras["cc_iterations"] = timed("connected_comp", run_cc)
+
+    cos = cosupply_edges(spark, SF_DIR)
+    extras["triangle_rows"] = timed(
+        "triangles", lambda: triangle_counts(spark, cos).count()
+    )
+
+    # -- training-data ops --------------------------------------------------
+    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    def run_minhash():
+        sigs = minhash_signatures(docs_tbl, "doc_id", "text", num_hashes=8)
+        return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).count()
+
+    extras["lsh_pairs"] = timed("minhash_lsh", run_minhash)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    extras["topk_rows"] = timed(
+        "embed_topk",
+        lambda: brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=5).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""N vs 4N scaling evidence (BASELINE.md protocol; sandbox stand-in for
+the two-cluster-size criterion in BASELINE.json north_rule).
+
+Runs the SAME PageRank job on the SAME input at two local parallelism
+levels in separate JVMs (local[N] and local[4N], shuffle partitions scaled
+proportionally), measures superstep throughput, and writes the table +
+scaling efficiency into BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_report.py [--n 8] [--iters 8] [--docs 12000]
+The inner per-level run re-invokes this file with --worker.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def worker(cores: int, iters: int, n_docs: int) -> None:
+    """One parallelism level: synth corpus -> extract -> PageRank."""
+    from arxiv_citation_graph_spark.datagen import corpus_df
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+    from arxiv_citation_graph_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores, app_name=f"scale-{cores}")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    docs = corpus_df(spark, seed=42, n_docs=n_docs)
+    edges = edges_from_docs(docs).cache()
+    n_edges = edges.count()
+    extract_sec = time.perf_counter() - t0
+
+    result = pagerank(
+        spark, edges, tolerance=None, max_iterations=iters,
+        salt_buckets=16, hot_degree_threshold=256,
+    )
+    superstep_sec = sum(result.report.wall_ms) / 1000.0 / max(result.report.iterations, 1)
+
+    t1 = time.perf_counter()
+    conv = pagerank(spark, edges, tolerance=1e-8, max_iterations=200)
+    conv_sec = time.perf_counter() - t1
+
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "edges": n_edges,
+                "vertices": result.num_vertices,
+                "extract_sec": round(extract_sec, 2),
+                "superstep_sec": round(superstep_sec, 3),
+                "edges_per_sec": round(n_edges / superstep_sec, 1),
+                "conv_sec": round(conv_sec, 2),
+                "conv_iters": conv.report.iterations,
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_level(cores: int, iters: int, n_docs: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", "--n", str(cores),
+         "--iters", str(iters), "--docs", str(n_docs)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("WORKER_RESULT "):
+            return json.loads(line[len("WORKER_RESULT "):])
+    raise RuntimeError(f"worker {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--docs", type=int, default=12000)
+    ap.add_argument("--worker", action="store_true")
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(args.n, args.iters, args.docs)
+        return
+
+    small = run_level(args.n, args.iters, args.docs)
+    large = run_level(args.n * 4, args.iters, args.docs)
+    eff = (large["edges_per_sec"] / small["edges_per_sec"]) / 4.0
+    report = {
+        "n_cores": small,
+        "n4_cores": large,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report, indent=1))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as fh:
+        fh.write(
+            f"""# BENCH/BASELINE — scaling evidence (N vs 4N)
+
+Protocol (BASELINE.md): same job, same input, two local parallelism
+levels in separate JVMs; `spark.sql.shuffle.partitions` = core count.
+Input: deterministic synthetic corpus (seed=42, {args.docs} docs,
+zipf-skewed citation targets) -> extracted edge table
+({small['edges']} edges, {small['vertices']} vertices);
+PageRank damping 0.85, salted two-stage aggregation, {args.iters}
+fixed supersteps for the throughput row; convergence at L1<=1e-8.
+
+| run | master | superstep throughput (edges/sec) | superstep wall (s) | convergence wall-clock (s) | iterations |
+|---|---|---|---|---|---|
+| N  | local[{small['cores']}]  | {small['edges_per_sec']:,.0f} | {small['superstep_sec']} | {small['conv_sec']} | {small['conv_iters']} |
+| 4N | local[{large['cores']}] | {large['edges_per_sec']:,.0f} | {large['superstep_sec']} | {large['conv_sec']} | {large['conv_iters']} |
+
+**scaling efficiency = (throughput_4N / throughput_N) / 4 =
+{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "MISS"})
+
+Extraction stage (same corpus): {small['extract_sec']} s at N vs
+{large['extract_sec']} s at 4N.
+
+Caveat: single-JVM local mode shares one driver, one shuffle service and
+one GC across "executors"; per-superstep fixed costs (job scheduling,
+planning) do not parallelize, so local scaling efficiency is a *lower
+bound* on multi-executor cluster efficiency for this shuffle-light,
+embarrassingly-parallel-map workload.
+"""
+        )
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Dense/pure-Python graph oracles for the kernel tests (SURVEY.md §5.2.4).
+
+Conventions must match the engine exactly:
+
+- PageRank: probability-vector power iteration, damping 0.85, dangling
+  mass redistributed uniformly, self-loops kept.
+- Connected components: weak components, label = lexicographic min
+  vertex id.
+- LPA: synchronous, neighbor-mode with (max count, then min label)
+  tie-break, vertex keeps its label when it has no neighbors.
+- Triangles: simple undirected graph (self-loops dropped).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+
+
+def _vertex_index(edges: list[tuple[str, str]]) -> list[str]:
+    return sorted({v for e in edges for v in e})
+
+
+def pagerank_dense(
+    edges: list[tuple[str, str]],
+    damping: float = 0.85,
+    tol: float | None = 1e-12,
+    max_iter: int = 500,
+) -> dict[str, float]:
+    """Dense power iteration; ``tol=None`` runs exactly ``max_iter``
+    supersteps (for fixed-iteration parity against the engine)."""
+    verts = _vertex_index(edges)
+    n = len(verts)
+    idx = {v: i for i, v in enumerate(verts)}
+    out_deg = Counter(s for s, _ in edges)
+    mat = np.zeros((n, n))
+    for s, d in edges:
+        mat[idx[d], idx[s]] += 1.0 / out_deg[s]
+    dangling = np.array([1.0 if out_deg[v] == 0 else 0.0 for v in verts])
+    rank = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        d_mass = float(dangling @ rank)
+        new = (1 - damping) / n + damping * (mat @ rank + d_mass / n)
+        if tol is not None and np.abs(new - rank).sum() < tol:
+            rank = new
+            break
+        rank = new
+    return dict(zip(verts, rank))
+
+
+def components_unionfind(edges: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # resolve to min label per component
+    members = defaultdict(list)
+    for v in {x for e in edges for x in e}:
+        members[find(v)].append(v)
+    return {v: min(vs) for _, vs in members.items() for v in vs}
+
+
+def lpa_sync(edges: list[tuple[str, str]], max_iter: int = 10) -> dict[str, str]:
+    verts = _vertex_index(edges)
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    labels = {v: v for v in verts}
+    for _ in range(max_iter):
+        new = {}
+        for v in verts:
+            if not nbrs[v]:
+                new[v] = labels[v]
+                continue
+            counts = Counter(labels[u] for u in nbrs[v])
+            best = max(counts.items(), key=lambda kv: (kv[1], _neg_str(kv[0])))
+            new[v] = best[0]
+        if new == labels:
+            labels = new
+            break
+        labels = new
+    return labels
+
+
+class _neg_str(str):
+    """Inverts comparison so max() breaks count ties by MIN label."""
+
+    def __lt__(self, other):  # type: ignore[override]
+        return str.__gt__(self, other)
+
+    def __gt__(self, other):  # type: ignore[override]
+        return str.__lt__(self, other)
+
+
+def triangles_brute(edges: list[tuple[str, str]]) -> dict[str, int]:
+    nbrs = defaultdict(set)
+    verts = {x for e in edges for x in e}
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    counts = dict.fromkeys(verts, 0)
+    vlist = sorted(verts)
+    for i, a in enumerate(vlist):
+        for b in vlist[i + 1 :]:
+            if b not in nbrs[a]:
+                continue
+            for c in vlist[vlist.index(b) + 1 :]:
+                if c in nbrs[a] and c in nbrs[b]:
+                    counts[a] += 1
+                    counts[b] += 1
+                    counts[c] += 1
+    return counts

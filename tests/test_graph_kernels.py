@@ -1,0 +1,112 @@
+"""Graph kernels vs dense oracles on the FIXTURES.md toy graphs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+from arxiv_citation_graph_spark.plans.components import connected_components
+from arxiv_citation_graph_spark.plans.labelprop import label_propagation
+from arxiv_citation_graph_spark.plans.pagerank import pagerank, top_k
+from arxiv_citation_graph_spark.plans.triangles import total_triangles, triangle_counts
+from tests import oracle_graph
+
+GRAPHS = toy_graphs()
+
+
+@pytest.mark.parametrize("name", ["twocomp", "star", "cycle", "k4", "dangling", "selfloop", "resume"])
+def test_pagerank_allclose_oracle(spark, name):
+    """Fixed-iteration parity: engine superstep K == dense power-iteration
+    step K (validates every superstep's math, not just the fixpoint)."""
+    edges = toy_edges_df(spark, name)
+    expected = oracle_graph.pagerank_dense(GRAPHS[name], tol=None, max_iter=12)
+    result = pagerank(spark, edges, tolerance=None, max_iterations=12,
+                      salt_buckets=4, hot_degree_threshold=10)
+    got = {r.vertex: r.rank for r in result.ranks.collect()}
+    assert set(got) == set(expected)
+    for v, r in expected.items():
+        assert math.isclose(got[v], r, abs_tol=1e-9), (name, v, got[v], r)
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_pagerank_to_convergence_allclose(spark):
+    """One full to-convergence run vs the converged dense oracle
+    (the north-rule 1e-6 bar)."""
+    edges = toy_edges_df(spark, "resume")
+    expected = oracle_graph.pagerank_dense(GRAPHS["resume"])
+    result = pagerank(spark, edges, tolerance=1e-8, max_iterations=200)
+    got = {r.vertex: r.rank for r in result.ranks.collect()}
+    for v, r in expected.items():
+        assert math.isclose(got[v], r, abs_tol=1e-6), (v, got[v], r)
+    assert result.report.converged
+
+
+def test_pagerank_cycle_closed_form(spark):
+    result = pagerank(spark, toy_edges_df(spark, "cycle"), tolerance=1e-10)
+    for r in result.ranks.collect():
+        assert math.isclose(r.rank, 0.25, abs_tol=1e-9)
+    assert result.report.converged
+
+
+def test_pagerank_salt_modes_agree(spark):
+    """salt-everything vs hot-only vs effectively-unsalted: identical to 1e-12."""
+    edges = toy_edges_df(spark, "star")
+    expected = oracle_graph.pagerank_dense(GRAPHS["star"], tol=None, max_iter=8)
+    for kwargs in [
+        dict(hot_degree_threshold=None, salt_buckets=8),
+        dict(hot_degree_threshold=5, salt_buckets=8),
+        dict(hot_degree_threshold=10**9, salt_buckets=8),
+    ]:
+        got = {r.vertex: r.rank for r in pagerank(
+            spark, edges, tolerance=None, max_iterations=8, **kwargs).ranks.collect()}
+        for v, r in expected.items():
+            assert math.isclose(got[v], r, abs_tol=1e-9)
+
+
+def test_pagerank_topk(spark):
+    result = pagerank(spark, toy_edges_df(spark, "star"), tolerance=None, max_iterations=5)
+    top = top_k(result.ranks, 1).collect()
+    assert top[0].vertex == "hub"
+
+
+@pytest.mark.parametrize("name", ["twocomp", "star", "cycle", "k4", "dangling", "selfloop", "resume"])
+def test_connected_components_exact(spark, name):
+    edges = toy_edges_df(spark, name)
+    expected = oracle_graph.components_unionfind(GRAPHS[name])
+    result = connected_components(spark, edges)
+    got = {r.vertex: r.component for r in result.components.collect()}
+    assert got == expected
+    assert result.report.converged
+
+
+def test_two_components_distinct(spark):
+    result = connected_components(spark, toy_edges_df(spark, "twocomp"))
+    comps = {r.vertex: r.component for r in result.components.collect()}
+    assert comps["a1"] == comps["a4"] == "a1"
+    assert comps["b1"] == comps["b3"] == "b1"
+    assert comps["a1"] != comps["b1"]
+
+
+@pytest.mark.parametrize("name", ["twocomp", "k4", "cycle", "star"])
+def test_lpa_matches_sync_oracle(spark, name):
+    edges = toy_edges_df(spark, name)
+    expected = oracle_graph.lpa_sync(GRAPHS[name], max_iter=4)
+    result = label_propagation(spark, edges, max_iterations=4)
+    got = {r.vertex: r.label for r in result.labels.collect()}
+    assert got == expected, name
+
+
+@pytest.mark.parametrize("name", ["twocomp", "star", "cycle", "k4", "dangling", "selfloop", "resume"])
+def test_triangles_match_bruteforce(spark, name):
+    edges = toy_edges_df(spark, name)
+    expected = oracle_graph.triangles_brute(GRAPHS[name])
+    got = {r.vertex: r.triangles for r in triangle_counts(spark, edges).collect()}
+    assert got == expected, name
+
+
+def test_k4_triangles(spark):
+    got = {r.vertex: r.triangles for r in triangle_counts(spark, toy_edges_df(spark, "k4")).collect()}
+    assert got == {f"k{i}": 3 for i in range(4)}
+    assert total_triangles(spark, toy_edges_df(spark, "k4")) == 4

@@ -1,0 +1,52 @@
+"""Checkpoint/resume identity (SURVEY.md §5.2.5): interrupting PageRank
+mid-convergence and resuming from the store reproduces the uninterrupted
+run exactly (same floats — the superstep math is deterministic)."""
+
+from __future__ import annotations
+
+import math
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df
+from arxiv_citation_graph_spark.plans.pagerank import pagerank
+from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+
+def test_pagerank_resume_identical(spark, tmp_path):
+    edges = toy_edges_df(spark, "resume").cache()
+
+    uninterrupted = pagerank(spark, edges, tolerance=None, max_iterations=12)
+    full = {r.vertex: r.rank for r in uninterrupted.ranks.collect()}
+
+    # run 1: stop after 3 supersteps ("kill")
+    store = CheckpointStore(str(tmp_path / "ckpt"), "pr_resume")
+    partial = pagerank(spark, edges, tolerance=None, max_iterations=3, store=store)
+    assert not partial.report.converged
+    assert store.last_committed() == 2  # iterations 0..2 committed
+
+    # run 2: resume from the manifest, continue to superstep 12
+    resumed = pagerank(spark, edges, tolerance=None, max_iterations=12, store=store, resume=True)
+    got = {r.vertex: r.rank for r in resumed.ranks.collect()}
+
+    assert set(got) == set(full)
+    for v in full:
+        assert math.isclose(got[v], full[v], rel_tol=0, abs_tol=1e-12), v
+
+    # metrics table: rows for every committed iteration, l1 monotone-ish
+    metrics = store.read_metrics(spark).collect()
+    iters = {m.iteration for m in metrics}
+    assert iters == set(range(resumed.report.iterations))
+    by_iter = {m.iteration: m.l1_delta for m in metrics}
+    assert by_iter[max(iters)] < by_iter[min(iters)]  # L1 strictly shrinking
+
+
+def test_resume_skips_completed_iterations(spark, tmp_path):
+    edges = toy_edges_df(spark, "cycle")
+    store = CheckpointStore(str(tmp_path / "ckpt2"), "pr_cycle")
+    first = pagerank(spark, edges, tolerance=1e-8, max_iterations=50, store=store)
+    assert first.report.converged
+    done_at = store.last_committed()
+
+    # resuming a converged run performs at most one verification superstep
+    again = pagerank(spark, edges, tolerance=1e-8, max_iterations=50, store=store, resume=True)
+    assert again.report.converged
+    assert again.report.iterations - (done_at + 1) <= 1

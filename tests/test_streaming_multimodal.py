@@ -1,0 +1,103 @@
+"""Structured Streaming lift of the extraction pipeline + multimodal
+plumbing (decode stubbed, Spark machinery real)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.datagen import corpus_pdf
+from arxiv_citation_graph_spark.sources.docs import DOCS_SCHEMA
+
+
+def test_stream_edges_match_batch(spark, tmp_path):
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
+    from arxiv_citation_graph_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_docs,
+        stream_edges,
+    )
+
+    pdf = corpus_pdf(seed=777, n_docs=40)
+    docs = spark.createDataFrame(pdf, schema=DOCS_SCHEMA)
+    path = str(tmp_path / "docs_stream")
+    # several files -> several micro-batches
+    docs.repartition(4).write.parquet(path)
+
+    batch_edges = {(r.src_id, r.dst_id) for r in edges_from_docs(docs).collect()}
+    streamed = run_stream_to_memory(
+        spark, stream_edges(stream_docs(spark, path, max_files_per_trigger=1)), "edges_mem"
+    )
+    got = {(r.src_id, r.dst_id) for r in streamed.collect()}
+    assert got == batch_edges
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    from arxiv_citation_graph_spark.streaming.events import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "events_stream")
+    events.repartition(2).write.parquet(path)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    streamed = run_stream_to_memory(
+        spark, windowed_event_counts(stream, "1 hour", "2 hours"), "win_mem"
+    )
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    got = {(r.window_start, r.event_type): (r.n, r.total_value) for r in streamed.collect()}
+    expect = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 4)) for r in batch.collect()
+    }
+    # append-mode emits only watermark-closed windows; everything emitted
+    # must match the batch result, and most windows must have closed.
+    assert got
+    for key, val in got.items():
+        assert (val[0], round(val[1], 4)) == expect[key]
+    assert len(got) >= len(expect) - 3
+
+
+def test_multimodal_features(spark):
+    from arxiv_citation_graph_spark.multimodal.binary import (
+        extract_features,
+        fake_decode_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 24)
+    feats = extract_features(media, dims=8).collect()
+    assert len(feats) == 24
+    by_id = {r.media_id: r for r in feats}
+    for row in media.select("media_id", "payload").collect():
+        expect_sha = hashlib.sha256(bytes(row.payload)).hexdigest()
+        got = by_id[row.media_id]
+        assert got.sha256 == expect_sha
+        assert got.n_bytes == len(bytes(row.payload))
+        assert len(got.feature) == 8
+        assert got.feature == pytest.approx(fake_decode_features(bytes(row.payload), 8))
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    from arxiv_citation_graph_spark.multimodal.binary import real_decode_features
+
+    with pytest.raises(NotImplementedError):
+        real_decode_features(b"xx", 8)
+
+
+def test_frame_sampling_shapes(spark):
+    from arxiv_citation_graph_spark.multimodal.binary import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, 9).filter(F.col("kind") == "video")
+    frames = sample_frames(media, every_n_bytes=64, frame_len=16)
+    rows = frames.collect()
+    assert rows and all(len(bytes(r.frame_bytes)) <= 16 for r in rows)
+    assert frames.groupBy("media_id").count().count() == media.count()

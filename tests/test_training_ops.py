@@ -1,0 +1,209 @@
+"""Dedup / similarity / text-analysis operators vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in text.split() if t]
+
+
+def _py_shingles(text: str, k: int) -> list[str]:
+    toks = _py_tokens(text)
+    seen = dict.fromkeys(
+        " ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))
+    )
+    return list(seen)
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_exact_dedup_with_planted_duplicates(spark):
+    from arxiv_citation_graph_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark).limit(50)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    both = docs.unionByName(dup)
+    result = exact_dedup(both, "doc_id", "text")
+    rows = result.collect()
+    assert len(rows) == 50
+    assert all(r.n_dups == 2 for r in rows)
+    assert all(r.keep_id < 10_000 for r in rows)  # min-id representative
+
+
+def test_minhash_signature_matches_python(spark):
+    from arxiv_citation_graph_spark.operators.dedup import (
+        MINHASH_COEFFS,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark).filter(F.col("doc_id") < 20)
+    got = {r.doc: list(r.sig) for r in minhash_signatures(docs, "doc_id", "text", 4).collect()}
+    p = 2147483647
+    for row in docs.select("doc_id", "text").collect():
+        shingles = _py_shingles(row.text, 3)
+        if not shingles:
+            continue
+        hs = [_h32(s) for s in shingles]
+        expected = [min((a * (x % p) + b) % p for x in hs) for a, b in MINHASH_COEFFS[:4]]
+        assert got[row.doc_id] == expected, row.doc_id
+
+
+def test_lsh_contains_all_near_identical_pairs(spark):
+    """Planted near-duplicates (one token changed) must collide in LSH."""
+    from arxiv_citation_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark).filter(F.col("doc_id") < 30).select("doc_id", "text")
+    # plant: copy with the last token dropped => shingle sets nearly equal
+    near = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 5)").alias("text"),
+    )
+    sigs = minhash_signatures(docs.unionByName(near), "doc_id", "text", num_hashes=8)
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs, 4, 2).collect()}
+    hits = sum((d, d + 1000) in pairs for d in range(30))
+    assert hits >= 27  # banded 4x2 LSH: overwhelming collision probability
+
+
+def test_ngram_jaccard_exact_values(spark):
+    from arxiv_citation_graph_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark).filter(F.col("doc_id") < 40)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = set(_py_shingles(texts[a], 3)), set(_py_shingles(texts[b], 3))
+            inter = len(sa & sb)
+            if not inter:
+                assert (a, b) not in got
+                continue
+            j = round(inter / len(sa | sb), 6)
+            if j >= 0.05:
+                assert math.isclose(got[(a, b)], j, abs_tol=1e-9), (a, b)
+            else:
+                assert (a, b) not in got
+
+
+def test_simhash_detects_planted_near_dup(spark):
+    from arxiv_citation_graph_spark.operators.dedup import simhash_near_pairs
+
+    docs = _docs(spark).filter(F.col("doc_id") < 25).select("doc_id", "text")
+    # token-set-preserving edit (duplicate the text): simhash over distinct
+    # tokens is IDENTICAL -> hamming 0, found deterministically
+    same_set = docs.select(
+        (F.col("doc_id") + 500).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
+    )
+    # one-novel-token edit: flips only near-zero vote bits (probabilistic)
+    edited = docs.select(
+        (F.col("doc_id") + 900).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzznovel")).alias("text"),
+    )
+    pairs = simhash_near_pairs(
+        docs.unionByName(same_set).unionByName(edited), "doc_id", "text", max_hamming=4
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert all(got.get((d, d + 500)) == 0 for d in range(25))  # deterministic
+    soft_hits = sum((d, d + 900) in got for d in range(25))
+    assert soft_hits >= 5  # loose sanity floor for the probabilistic path
+
+
+def test_brute_force_topk_vs_numpy(spark):
+    import numpy as np
+
+    from arxiv_citation_graph_spark.operators.simsearch import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(F.col("vec_id") < 60)
+    got = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for q in range(5):
+        sims = {
+            i: float(vecs[q] @ v / (np.linalg.norm(vecs[q]) * np.linalg.norm(v)))
+            for i, v in vecs.items()
+            if i != q
+        }
+        expect = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:3]
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == q]
+        assert mine == expect, q
+
+
+def test_lsh_topk_recall(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, dims=64, k=5, n_planes=4, n_tables=3).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # random (near-orthogonal) embeddings are LSH's worst case; this is a
+    # plumbing sanity floor, not a quality bar
+    assert recall >= 0.1
+    # every ANN candidate's similarity must equal the exact computation
+    exact_sims = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert math.isclose(r.cos_sim, exact_sims[(r.query_id, r.neighbor_id)], abs_tol=1e-9)
+
+
+def test_langid_and_quality_deterministic(spark):
+    from arxiv_citation_graph_spark.functions.texttools import (
+        STOPWORDS,
+        langid_pick,
+        quality_score,
+        token_count,
+    )
+
+    docs = _docs(spark).filter(F.col("doc_id") < 50)
+    rows = docs.select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("n"),
+        langid_pick(F.col("text")).alias("pred"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    for r in rows:
+        toks = _py_tokens(r.text)
+        assert r.n == len(toks)
+        lower = [t for t in r.text.lower().split() if t]
+        hits = {
+            lang: sum(t in words for t in lower) for lang, words in sorted(STOPWORDS.items())
+        }
+        best = max(sorted(hits), key=lambda L: (hits[L], [-ord(c) for c in L]))
+        # deterministic argmax: max hits, lexicographically first on ties
+        best = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert r.pred == best, r.doc_id
+        assert 0.0 <= r.q <= 1.0
+
+
+def test_fingerprint_stability(spark):
+    from arxiv_citation_graph_spark.functions.texttools import fingerprint
+
+    docs = _docs(spark).filter(F.col("doc_id") < 30)
+    fp1 = {r.doc_id: r.fp for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    # appending a token changes at most the min (often not); identical text -> identical fp
+    again = {r.doc_id: r.fp for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fp1 == again
