@@ -1,0 +1,126 @@
+"""spark-submit entry point.
+
+Ship the package as a zip and drive any stage of the pipeline:
+
+    python scripts/build_zip.py
+    spark-submit --py-files dist/arxiv_citation_graph_spark.zip \
+        -- arxiv_citation_graph_spark/cli.py extract \
+        --docs /path/docs_parquet --out /path/warehouse
+
+Subcommands: extract | pagerank | cc | lpa | triangles | bench-corpus.
+Every graph command reads ``edges`` from the warehouse catalog (or a
+parquet path), runs to convergence with checkpoint/resume, and commits
+results + superstep metrics back to the warehouse.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="arxiv-citation-graph-spark")
+    ap.add_argument("--master", default=None, help="override spark master")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract", help="docs parquet -> edges table")
+    p.add_argument("--docs", required=True)
+    p.add_argument("--manifest", default=None, help="sha256 manifest parquet (fail-fast gate)")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--extended", action="store_true", help="also write reference_tree-style table")
+
+    for name in ("pagerank", "cc", "lpa", "triangles"):
+        p = sub.add_parser(name)
+        p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
+        p.add_argument("--out", required=True, help="warehouse root")
+        p.add_argument("--max-iterations", type=int, default=100)
+        p.add_argument("--resume", action="store_true")
+        if name == "pagerank":
+            p.add_argument("--damping", type=float, default=0.85)
+            p.add_argument("--tolerance", type=float, default=1e-8)
+
+    p = sub.add_parser("bench-corpus", help="write a deterministic synthetic docs corpus")
+    p.add_argument("--n-docs", type=int, default=10000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+
+    from arxiv_citation_graph_spark.session import get_spark
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    spark = get_spark(master=args.master, app_name=f"acg-{args.cmd}")
+
+    if args.cmd == "bench-corpus":
+        from arxiv_citation_graph_spark.datagen import corpus_df
+
+        corpus_df(spark, seed=args.seed, n_docs=args.n_docs).write.mode("overwrite").parquet(args.out)
+        print(f"wrote corpus to {args.out}")
+        return 0
+
+    catalog = SnapshotCatalog(args.out)
+
+    if args.cmd == "extract":
+        from arxiv_citation_graph_spark.operators.extract import (
+            edges_from_docs,
+            references_from_docs,
+        )
+        from arxiv_citation_graph_spark.sources.docs import load_docs, require_sha256
+
+        docs = load_docs(spark, args.docs)
+        if args.manifest:
+            manifest = spark.read.parquet(args.manifest)
+            docs = require_sha256(docs, manifest)
+        snap = catalog.create_or_replace("edges", edges_from_docs(docs))
+        print(f"edges committed at snapshot {snap}")
+        if args.extended:
+            snap = catalog.create_or_replace("reference_tree", references_from_docs(docs))
+            print(f"reference_tree committed at snapshot {snap}")
+        return 0
+
+    # graph commands
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    edges = (
+        spark.read.parquet(args.edges) if args.edges else catalog.read(spark, "edges")
+    ).select("src_id", "dst_id")
+    store = CheckpointStore(f"{args.out}/_checkpoints", args.cmd)
+
+    if args.cmd == "pagerank":
+        from arxiv_citation_graph_spark.plans.pagerank import pagerank, top_k
+
+        result = pagerank(
+            spark, edges, damping=args.damping, tolerance=args.tolerance,
+            max_iterations=args.max_iterations, store=store, resume=args.resume,
+        )
+        catalog.create_or_replace("ranks", result.ranks)
+        print(
+            f"pagerank: {result.num_vertices} vertices, {result.num_edges} edges, "
+            f"{result.report.iterations} supersteps, converged={result.report.converged}"
+        )
+        top_k(result.ranks, 10).show(truncate=False)
+    elif args.cmd == "cc":
+        from arxiv_citation_graph_spark.plans.components import connected_components
+
+        result = connected_components(
+            spark, edges, max_iterations=args.max_iterations, store=store, resume=args.resume
+        )
+        catalog.create_or_replace("components", result.components)
+        print(f"cc: {result.report.iterations} supersteps, converged={result.report.converged}")
+    elif args.cmd == "lpa":
+        from arxiv_citation_graph_spark.plans.labelprop import label_propagation
+
+        result = label_propagation(spark, edges, max_iterations=args.max_iterations, store=store)
+        catalog.create_or_replace("labels", result.labels)
+        print(f"lpa: {result.report.iterations} supersteps")
+    elif args.cmd == "triangles":
+        from arxiv_citation_graph_spark.plans.triangles import triangle_counts
+
+        catalog.create_or_replace("triangles", triangle_counts(spark, edges))
+        print("triangles committed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

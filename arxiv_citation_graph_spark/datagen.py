@@ -224,6 +224,35 @@ def manifest_df(docs: DataFrame) -> DataFrame:
     return docs.select("repo", "path", F.sha2(F.col("content"), 256).alias("sha256"))
 
 
+def synthetic_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    n_edges: int,
+    zipf_alpha: float = 2.0,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic zipf-in-degree edge table, generated fully JVM-side.
+
+    Used by the scaling benchmark (BASELINE.md protocol): big enough that
+    a PageRank superstep does real shuffle work, no Python anywhere, and
+    bit-identical across parallelism levels (hash-derived, not rand()).
+
+    dst in-degree ~ zipf: dst = floor(V * u^alpha) for u uniform via
+    xxhash64 — low ids become hubs (the skew salting must absorb).
+    """
+    parts = partitions or spark.sparkContext.defaultParallelism
+    ids = spark.range(0, n_edges, numPartitions=parts)
+    u_src = (F.pmod(F.xxhash64(F.col("id") + seed), 1_000_003) / 1_000_003.0)
+    u_dst = (F.pmod(F.xxhash64(F.col("id") * 31 + seed + 7), 1_000_033) / 1_000_033.0)
+    src = F.floor(u_src * n_vertices).cast("long")
+    dst = F.floor(F.pow(u_dst, F.lit(zipf_alpha)) * n_vertices).cast("long")
+    return ids.select(
+        F.concat(F.lit("v"), src).alias("src_id"),
+        F.concat(F.lit("v"), dst).alias("dst_id"),
+    ).filter(F.col("src_id") != F.col("dst_id"))
+
+
 # --------------------------------------------------------------------------
 # Toy graph fixtures (FIXTURES.md §4)
 # --------------------------------------------------------------------------

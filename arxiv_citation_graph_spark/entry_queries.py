@@ -964,11 +964,11 @@ def _simhash_sql(bits: int = 16) -> str:
 @register("simhash_fingerprints", _simhash_sql(16))
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (sign-sum over distinct token hashes)."""
-    from arxiv_citation_graph_spark.operators.dedup import simhash
+    from arxiv_citation_graph_spark.operators.dedup import simhash_df
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(F.col("text"), bits=16, shingle_k=1).alias("sh")).filter(
-        F.col("sh").isNotNull()
+    return simhash_df(docs, "doc_id", "text", bits=16, shingle_k=1).select(
+        F.col("doc").alias("doc_id"), "sh"
     )
 
 

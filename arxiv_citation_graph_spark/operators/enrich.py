@@ -1,0 +1,113 @@
+"""Metadata enrichment: the engine-side stance on the reference's HTTP tier.
+
+The reference spends ~3.3 s/reference calling arXiv/Crossref APIs per row
+(reference ``create_database.py:591-727``; SURVEY.md §2.9).  The engine
+replaces that with a *relational* stage: a broadcast-or-shuffle equi-join
+against a locally materialized metadata table (in production: a
+Crossref/arXiv bulk dump in Iceberg — both are publicly distributed as
+snapshots), with the reference's observable semantics kept:
+
+- null-tolerant field extraction -> ``F.coalesce`` chains over typed
+  columns (the analog of its per-field try/except, ``:829-954``),
+- match-score threshold (P6, ``:1226,1294-1296``): below-threshold
+  matches are kept but classified,
+- status classifier (P7): ``resolved`` (joined & scored), ``unresolved``
+  (no match / low score), ``ignored`` (no identifier at all) —
+  ``:892,1138,1296,1302,726``.
+
+Shape: one equi-join on ``reference_id``.  The metadata side is
+dimension-like; Spark broadcasts it under the threshold, sort-merge joins
+above it — nothing here needs custom code at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Crossref-style guidance: score > 50 "almost always correct"
+#: (reference ``create_database.py:293-299``).
+DEFAULT_SCORE_THRESHOLD = 50.0
+
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("reference_id", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("authors", T.StringType(), True),
+        T.StructField("published", T.StringType(), True),  # ISO date string
+        T.StructField("container", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ]
+)
+
+STATUS_RESOLVED = "resolved"
+STATUS_UNRESOLVED = "unresolved"
+STATUS_IGNORED = "ignored"
+
+
+def enrich_references(
+    references: DataFrame,
+    metadata: DataFrame,
+    score_threshold: float = DEFAULT_SCORE_THRESHOLD,
+) -> DataFrame:
+    """references (from ``references_from_docs``) x metadata -> enriched.
+
+    Adds title/authors/published/container/type/score plus ``status``;
+    date fields sliced to year/month the way the reference slices ISO
+    strings (F8, ``create_database.py:920-927``).
+    """
+    joined = references.join(
+        metadata.withColumnRenamed("reference_id", "_meta_id"),
+        references.reference_id == F.col("_meta_id"),
+        "left",
+    )
+    good_score = F.col("score").isNotNull() & (F.col("score") > score_threshold)
+    status = (
+        F.when(F.col("reference_id").isNull(), F.lit(STATUS_IGNORED))
+        .when(F.col("_meta_id").isNotNull() & good_score, F.lit(STATUS_RESOLVED))
+        .otherwise(F.lit(STATUS_UNRESOLVED))
+    )
+    return joined.select(
+        "repo",
+        "path",
+        "reference_num",
+        "id_type",
+        "reference_id",
+        F.coalesce(F.col("title"), F.lit(None).cast("string")).alias("title"),
+        "authors",
+        "published",
+        F.substring_index(F.col("published"), "-", 1).alias("published_year"),
+        "container",
+        "type",
+        "score",
+        status.alias("status"),
+        "clean_bibitem",
+        "length_of_bibitem",
+    )
+
+
+def synthetic_metadata(spark, edges: DataFrame, seed: int = 7, hit_rate: float = 0.8) -> DataFrame:
+    """Deterministic local metadata table covering ``hit_rate`` of the
+    distinct cited ids (tests/demo; production reads a bulk dump)."""
+    ids = edges.select(F.col("dst_id").alias("reference_id")).distinct()
+    h = F.pmod(F.xxhash64(F.concat(F.col("reference_id"), F.lit(str(seed)))), 1000)
+    return (
+        ids.filter(h < int(hit_rate * 1000))
+        .select(
+            "reference_id",
+            F.concat(F.lit("Title of "), F.col("reference_id")).alias("title"),
+            F.concat(F.lit("Author, A. ("), F.col("reference_id"), F.lit(")")).alias("authors"),
+            F.concat(
+                F.lit("20"),
+                F.lpad((F.pmod(F.xxhash64("reference_id"), 20)).cast("string"), 2, "0"),
+                F.lit("-01-15"),
+            ).alias("published"),
+            F.lit("Synthetic Journal").alias("container"),
+            F.when(F.pmod(F.xxhash64("reference_id"), 2) == 0, "journal-article")
+            .otherwise("posted-content")
+            .alias("type"),
+            (F.pmod(F.xxhash64("reference_id"), 100) + F.lit(1.0)).cast("double").alias("score"),
+        )
+    )

@@ -44,16 +44,24 @@ def connected_components(
     max_iterations: int = 50,
     store: CheckpointStore | None = None,
     resume: bool = False,
+    broadcast_labels: bool | None = None,
 ) -> ComponentsResult:
     sym = symmetrize(edges).repartition(
         spark.sparkContext.defaultParallelism, "src_id"
     ).cache()
     sym.count()
     vertices = vertices_of(edges).cache()
+    if broadcast_labels is None:
+        broadcast_labels = vertices.count() <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        # broadcast the |V|-sized label vector while it fits (same
+        # rationale as pagerank's broadcast_ranks; shuffle join at scale)
+        return F.broadcast(df) if broadcast_labels else df
 
     def step(labels: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
         nbr_min = (
-            sym.join(labels.select(F.col("vertex"), F.col("component")), sym.src_id == F.col("vertex"))
+            sym.join(_mb(labels.select(F.col("vertex"), F.col("component"))), sym.src_id == F.col("vertex"))
             .groupBy(F.col("dst_id").alias("vertex"))
             .agg(F.min("component").alias("nbr_component"))
         )

@@ -41,16 +41,22 @@ def label_propagation(
     edges: DataFrame,
     max_iterations: int = 10,
     store: CheckpointStore | None = None,
+    broadcast_labels: bool | None = None,
 ) -> LabelPropResult:
     sym = symmetrize(edges).repartition(
         spark.sparkContext.defaultParallelism, "src_id"
     ).cache()
     sym.count()
     vertices = vertices_of(edges).cache()
+    if broadcast_labels is None:
+        broadcast_labels = vertices.count() <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_labels else df
 
     def step(labels: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
         nbr_labels = sym.join(
-            labels.select("vertex", "label"), sym.src_id == F.col("vertex")
+            _mb(labels.select("vertex", "label")), sym.src_id == F.col("vertex")
         ).select(F.col("dst_id").alias("vertex"), "label")
         counts = nbr_labels.groupBy("vertex", "label").agg(F.count(F.lit(1)).alias("cnt"))
         # arg-max with deterministic tie-break: max over (cnt, reversed-label)

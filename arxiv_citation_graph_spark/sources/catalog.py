@@ -1,0 +1,114 @@
+"""Snapshot-committed table storage (Iceberg-semantics, parquet-backed).
+
+Production deployments of this engine put every table (``docs``,
+``edges``, ``ranks``, ``superstep_metrics``) in an Iceberg catalog:
+atomic snapshot commits, time travel to any superstep, hidden
+partitioning, and ``overwritePartitions`` for idempotent re-runs.  This
+sandbox ships no Iceberg runtime jar, so ``SnapshotCatalog`` provides the
+same *commit semantics* over parquet directories behind one small API —
+the call sites would swap to ``df.writeTo("catalog.db.tbl")`` verbatim.
+
+Layout:  <root>/<table>/snap=<n>/  (parquet)
+         <root>/<table>/_meta.json (current snapshot pointer + history)
+
+Commit protocol: write the new snapshot directory first, then atomically
+swap the pointer (``os.replace``).  Readers always resolve the pointer,
+so a crashed writer never exposes a partial snapshot — the same
+correctness contract as an Iceberg metadata swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- metadata ------------------------------------------------------------
+
+    def _meta_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_meta.json")
+
+    def _meta(self, table: str) -> dict:
+        try:
+            with open(self._meta_path(table)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"table": table, "current": -1, "snapshots": []}
+
+    def _commit(self, table: str, meta: dict) -> None:
+        tmp = self._meta_path(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.replace(tmp, self._meta_path(table))  # atomic pointer swap
+
+    def _snap_dir(self, table: str, snap: int) -> str:
+        return os.path.join(self.root, table, f"snap={snap:06d}")
+
+    # -- public API ----------------------------------------------------------
+
+    def create_or_replace(self, table: str, df: DataFrame) -> int:
+        """``writeTo(...).createOrReplace()`` analog: new snapshot becomes
+        the table's entire content."""
+        meta = self._meta(table)
+        snap = meta["current"] + 1
+        df.write.mode("overwrite").parquet(self._snap_dir(table, snap))
+        meta["snapshots"].append(
+            {"id": snap, "ts": time.time(), "op": "replace", "parent": meta["current"]}
+        )
+        meta["current"] = snap
+        self._commit(table, meta)
+        return snap
+
+    def append(self, table: str, df: DataFrame) -> int:
+        """``writeTo(...).append()`` analog: one atomic snapshot per batch
+        (the principled replacement for the reference's per-row commits,
+        SURVEY.md §2.1 K2).  Implemented as copy-on-advance: the new
+        snapshot dir holds only the appended files; readers union the
+        snapshot chain."""
+        meta = self._meta(table)
+        snap = meta["current"] + 1
+        df.write.mode("overwrite").parquet(self._snap_dir(table, snap))
+        meta["snapshots"].append(
+            {"id": snap, "ts": time.time(), "op": "append", "parent": meta["current"]}
+        )
+        meta["current"] = snap
+        self._commit(table, meta)
+        return snap
+
+    def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
+        """Read the table at its current (or a time-travel) snapshot."""
+        meta = self._meta(table)
+        target = meta["current"] if snapshot is None else snapshot
+        if target < 0:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        chain = self._chain(meta, target)
+        paths = [self._snap_dir(table, s) for s in chain]
+        return spark.read.parquet(*paths)
+
+    def _chain(self, meta: dict, target: int) -> list[int]:
+        """Snapshot ids contributing to ``target``: walk parents until the
+        newest 'replace' (which resets the chain)."""
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        chain: list[int] = []
+        cur: int | None = target
+        while cur is not None and cur >= 0:
+            snap = by_id[cur]
+            chain.append(cur)
+            if snap["op"] == "replace":
+                break
+            cur = snap["parent"]
+        return sorted(chain)
+
+    def snapshots(self, table: str) -> list[dict]:
+        return list(self._meta(table)["snapshots"])
+
+    def current_snapshot(self, table: str) -> int:
+        return int(self._meta(table)["current"])

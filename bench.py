@@ -56,9 +56,11 @@ def main() -> None:
     extras: dict[str, object] = {}
 
     def timed(name: str, fn):
+        print(f"bench: {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"bench: {name} done in {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
     # -- extraction ---------------------------------------------------------
@@ -72,6 +74,9 @@ def main() -> None:
     extras["extract_docs_per_sec"] = round(n_docs / timings["extract_edges"], 1)
 
     # -- graph kernels ------------------------------------------------------
+    # iterative kernels at this |E| are overhead-bound: fewer, fuller
+    # shuffle partitions (at 100 TB you size this to cluster cores x 2-3)
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, CPUS // 4)))
     edges = bipartite_edges(spark, SF_DIR).cache()
     n_edges = edges.count()
     extras["graph_edges"] = n_edges
@@ -89,7 +94,7 @@ def main() -> None:
     extras["pagerank_edges_per_sec_per_superstep"] = round(n_edges / superstep_sec, 1)
 
     def run_pagerank_conv():
-        return pagerank(spark, edges, tolerance=1e-8, max_iterations=200)
+        return pagerank(spark, edges, tolerance=1e-8, max_iterations=120)
 
     prc = timed("pagerank_conv", run_pagerank_conv)
     extras["pagerank_conv_iterations"] = prc.report.iterations

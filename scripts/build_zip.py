@@ -1,0 +1,27 @@
+"""Build dist/arxiv_citation_graph_spark.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    out = os.path.join(dist, "arxiv_citation_graph_spark.zip")
+    pkg = os.path.join(REPO, "arxiv_citation_graph_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for base, _dirs, files in os.walk(pkg):
+            for fname in files:
+                if fname.endswith(".pyc") or "__pycache__" in base:
+                    continue
+                full = os.path.join(base, fname)
+                zf.write(full, os.path.relpath(full, REPO))
+    print(f"wrote {out} ({os.path.getsize(out)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""SnapshotCatalog commit semantics + CLI pipeline end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+
+def test_catalog_replace_append_timetravel(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    df1 = spark.range(5).select(F.col("id"))
+    s0 = cat.create_or_replace("t", df1)
+    assert cat.read(spark, "t").count() == 5
+
+    s1 = cat.append("t", spark.range(5, 8).select(F.col("id")))
+    assert cat.read(spark, "t").count() == 8
+    # time travel: snapshot s0 still reads the original 5 rows
+    assert cat.read(spark, "t", snapshot=s0).count() == 5
+
+    s2 = cat.create_or_replace("t", spark.range(2).select(F.col("id")))
+    assert cat.read(spark, "t").count() == 2
+    assert cat.read(spark, "t", snapshot=s1).count() == 8
+    assert cat.current_snapshot("t") == s2
+    assert [s["op"] for s in cat.snapshots("t")] == ["replace", "append", "replace"]
+
+
+def test_catalog_missing_table(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wh2"))
+    with pytest.raises(FileNotFoundError):
+        cat.read(spark, "nope")
+
+
+def test_cli_extract_then_pagerank(spark, tmp_path, monkeypatch):
+    """Full CLI path: corpus -> extract (with sha gate) -> pagerank."""
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+
+    # CLI calls get_spark(); reuse the test session to keep this cheap
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(cli, "__name__", "cli-test", raising=False)
+
+    from arxiv_citation_graph_spark.datagen import corpus_pdf, manifest_df
+    from arxiv_citation_graph_spark.sources.docs import DOCS_SCHEMA
+
+    docs_path = str(tmp_path / "docs")
+    manifest_path = str(tmp_path / "manifest")
+    wh = str(tmp_path / "wh3")
+    docs = spark.createDataFrame(corpus_pdf(seed=5, n_docs=40), schema=DOCS_SCHEMA)
+    docs.write.parquet(docs_path)
+    manifest_df(docs).write.parquet(manifest_path)
+
+    rc = cli.main(
+        ["extract", "--docs", docs_path, "--manifest", manifest_path, "--out", wh, "--extended"]
+    )
+    assert rc == 0
+    cat = SnapshotCatalog(wh)
+    n_edges = cat.read(spark, "edges").count()
+    assert n_edges > 0
+    assert cat.read(spark, "reference_tree").count() >= n_edges
+
+    rc = cli.main(["pagerank", "--out", wh, "--max-iterations", "5", "--tolerance", "0"])
+    assert rc == 0
+    ranks = cat.read(spark, "ranks")
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9

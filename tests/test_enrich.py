@@ -1,0 +1,59 @@
+"""Metadata enrichment stage (SURVEY.md §2.9, P6/P7 semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.datagen import corpus_pdf
+from arxiv_citation_graph_spark.operators.enrich import (
+    STATUS_RESOLVED,
+    STATUS_UNRESOLVED,
+    enrich_references,
+    synthetic_metadata,
+)
+from arxiv_citation_graph_spark.operators.extract import (
+    edges_from_docs,
+    references_from_docs,
+)
+from arxiv_citation_graph_spark.sources.docs import DOCS_SCHEMA
+
+
+def test_enrichment_statuses_and_fields(spark):
+    docs = spark.createDataFrame(corpus_pdf(seed=31, n_docs=60), schema=DOCS_SCHEMA)
+    refs = references_from_docs(docs).cache()
+    edges = edges_from_docs(docs)
+    meta = synthetic_metadata(spark, edges, hit_rate=0.7).cache()
+    enriched = enrich_references(refs, meta, score_threshold=50.0).cache()
+
+    assert enriched.count() == refs.count()  # left join preserves rows
+
+    meta_scores = {r.reference_id: r.score for r in meta.collect()}
+    rows = enriched.collect()
+    for r in rows:
+        if r.reference_id is None:
+            assert r.status == "ignored"
+            assert r.title is None
+        elif r.reference_id in meta_scores and meta_scores[r.reference_id] > 50.0:
+            assert r.status == STATUS_RESOLVED
+            assert r.title == f"Title of {r.reference_id}"
+            assert r.published_year == r.published.split("-")[0]
+        else:
+            assert r.status == STATUS_UNRESOLVED
+
+    # every status class occurs in a 60-doc corpus with 70% coverage
+    statuses = {r.status for r in rows}
+    assert statuses == {"resolved", "unresolved", "ignored"}
+
+
+def test_score_threshold_boundary(spark):
+    docs = spark.createDataFrame(corpus_pdf(seed=31, n_docs=30), schema=DOCS_SCHEMA)
+    refs = references_from_docs(docs)
+    edges = edges_from_docs(docs)
+    meta = synthetic_metadata(spark, edges, hit_rate=1.0)
+    # threshold above every score -> nothing resolves
+    none_resolved = enrich_references(refs, meta, score_threshold=1e9)
+    assert none_resolved.filter(F.col("status") == STATUS_RESOLVED).count() == 0
+    # threshold below every score -> every identified ref resolves
+    all_resolved = enrich_references(refs, meta, score_threshold=0.0)
+    identified = refs.filter(F.col("reference_id").isNotNull()).count()
+    assert all_resolved.filter(F.col("status") == STATUS_RESOLVED).count() == identified

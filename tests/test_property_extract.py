@@ -1,0 +1,116 @@
+"""Hypothesis property tests: extraction scalar semantics vs the
+reference's own behavior on adversarial generated inputs.
+
+These are pure-Python (no Spark) — they pin the scalar kernels the Spark
+pipeline batches over, differentially against the reference's regex
+module loaded from /root/reference when present.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arxiv_citation_graph_spark.functions.cleaning import (
+    clean_bibtex,
+    extract_bibitems,
+    slice_bibliography,
+    split_bibitems,
+)
+from arxiv_citation_graph_spark.functions.identifiers import (
+    find_arxiv_flexible,
+    find_arxiv_strict,
+    find_dois,
+    pick_identifier,
+)
+
+_REF = "/root/reference/arxiv_regex/arxiv_regex.py"
+
+# fragments that regularly confuse citation parsers
+_FRAGMENTS = st.sampled_from(
+    [
+        "arXiv:", "doi:", "10.", "/", ";", "v2", "hep-th", "cond-mat",
+        "1503.01017", "math.PR/0003156", "10.1145/321105.321114",
+        "\\bibitem", "{label}", "[12]", "\\em{x}", "~", "%", "\n",
+        "e-print", "abs/", "http://arxiv.org/abs/", " ", "Phys. Rev.",
+        "(2005)", "pp. 1--10", "arxiv.org/", "preprint", "\\end{thebibliography}",
+    ]
+)
+_TEXT = st.lists(_FRAGMENTS, min_size=0, max_size=30).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TEXT)
+def test_pick_identifier_total_and_consistent(text):
+    """Never raises; DOI beats arXiv; winner comes from the hit lists."""
+    rid, rtype = pick_identifier(text)
+    dois = find_dois(text)
+    if dois:
+        assert rtype == "DOI"
+        assert rid == (dois[0][:-1] if dois[0].endswith(";") else dois[0])
+    elif find_arxiv_strict(text) or find_arxiv_flexible(text):
+        assert rtype == "arxivID"
+        assert rid == rid.lower() or "/" in rid  # lowercased (old-style keeps cat case rules)
+    else:
+        assert (rid, rtype) == (None, None)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TEXT)
+def test_slice_split_match_reference_semantics(text):
+    """Window slice + split equal a direct transcription of the
+    reference's string ops (incl. the -1 slice quirk)."""
+    window = slice_bibliography(text)
+    if text.find("\\bibitem") < 0:
+        assert window is None
+        return
+    start = text.find("\\bibitem")
+    end = text.find("\\end{thebibliography}")
+    assert window == text[start:end]
+    items = split_bibitems(window)
+    assert items == [f.strip() for f in window.split("\\bibitem") if f]
+    # extract_bibitems agrees and keeps positions dense
+    rows = extract_bibitems(text)
+    assert [r[1] for r in rows] == items
+    assert [r[0] for r in rows] == list(range(len(items)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_TEXT)
+def test_clean_bibtex_idempotent_on_clean_output_shape(text):
+    out = clean_bibtex(text)
+    assert "\n" not in out
+    for ch in "{}[]\"'%":
+        # brace/bracket/quote chars only survive if reintroduced by
+        # nothing — the translate pass deletes them all
+        assert ch not in out
+    assert "~" not in out
+    assert "  " not in out.strip() or re.search(r"\s{2,}", out) is None
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+@settings(max_examples=400, deadline=None)
+@given(_TEXT)
+def test_differential_hits_vs_reference(text):
+    """Hit SETS equal the reference's regexes on adversarial text
+    (set-compare dodges the reference's list(set(...)) order hazard)."""
+    spec = importlib.util.spec_from_file_location("_refpat_prop", _REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def ref_hits(pattern_str, s):
+        out = set()
+        for hit in re.findall(pattern_str, s):
+            groups = hit if isinstance(hit, tuple) else (hit,)
+            out.update(g.lower() for g in groups if g)
+        return out
+
+    assert set(find_arxiv_strict(text)) == ref_hits(mod.REGEX_ARXIV_STRICT, text)
+    assert set(find_arxiv_flexible(text)) == ref_hits(mod.REGEX_ARXIV_FLEXIBLE, text)
+    ref_dois = set(re.findall("10.\\d{4,9}/[-._;()/:a-z0-9A-Z]+", text, re.IGNORECASE))
+    assert set(find_dois(text)) == ref_dois

@@ -1,0 +1,30 @@
+"""Superstep runtime invariants (lineage, stats, metrics)."""
+
+from __future__ import annotations
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df
+from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+
+def test_state_stats_do_not_compound(spark):
+    """Regression: Spark 4 checkpointing carries origin ``sizeInBytes``
+    into the new LogicalRDD; a kernel joining its state twice per
+    superstep then squares the BigInt estimate every iteration (digit
+    count doubles -> exponential driver time in BigInteger.multiply).
+    The runtime resets stats after every snapshot; 12 supersteps must
+    leave a bounded estimate."""
+    edges = toy_edges_df(spark, "resume")
+    result = pagerank(spark, edges, tolerance=None, max_iterations=12)
+    size = result.ranks._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    assert len(str(size)) < 30, f"stats compounding again: {size}"
+
+
+def test_superstep_wall_time_is_flat(spark):
+    """The last supersteps may not be drastically slower than the early
+    ones (catches any re-introduced per-iteration compounding)."""
+    edges = toy_edges_df(spark, "resume")
+    result = pagerank(spark, edges, tolerance=None, max_iterations=14)
+    w = result.report.wall_ms
+    early = sum(w[2:6]) / 4
+    late = sum(w[-4:]) / 4
+    assert late < early * 5, (early, late, w)
