@@ -1020,3 +1020,43 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arxiv_citation_graph_spark.operators.simsearch import centroid_per_label
 
     return centroid_per_label(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# Metadata enrichment / status classification (SURVEY.md §2.9, P6/P7)
+# ===========================================================================
+
+
+@register(
+    "enrich_status_classify",
+    f"""
+    WITH edges AS MATERIALIZED ({EDGES_BIPARTITE_SQL}),
+    ids AS (SELECT DISTINCT dst_id AS reference_id FROM edges),
+    meta AS (
+      SELECT reference_id,
+             'Title of ' || reference_id AS title,
+             (('0x' || substr(md5(reference_id), 1, 8))::BIGINT % 100) + 1.0 AS score
+      FROM ids
+      WHERE ('0x' || substr(md5(reference_id || '7'), 1, 8))::BIGINT % 1000 < 800
+    )
+    SELECT e.src_id, e.dst_id, m.title, m.score,
+           CASE WHEN m.reference_id IS NOT NULL AND m.score > 50.0 THEN 'resolved'
+                ELSE 'unresolved' END AS status
+    FROM edges e LEFT JOIN meta m ON e.dst_id = m.reference_id
+    """,
+)
+def q_enrich_status_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7: score-threshold join + resolved/unresolved classification
+    against a deterministic local metadata table (the engine's stance on
+    the reference's per-row HTTP enrichment)."""
+    from arxiv_citation_graph_spark.operators.enrich import synthetic_metadata
+
+    edges = bipartite_edges(spark, sf_dir)
+    meta = synthetic_metadata(spark, edges, seed=7, hit_rate=0.8)
+    joined = edges.join(
+        meta.withColumnRenamed("reference_id", "_mid"), edges.dst_id == F.col("_mid"), "left"
+    )
+    status = F.when(
+        F.col("_mid").isNotNull() & (F.col("score") > 50.0), F.lit("resolved")
+    ).otherwise(F.lit("unresolved"))
+    return joined.select("src_id", "dst_id", "title", "score", status.alias("status"))

@@ -92,22 +92,25 @@ def synthetic_metadata(spark, edges: DataFrame, seed: int = 7, hit_rate: float =
     """Deterministic local metadata table covering ``hit_rate`` of the
     distinct cited ids (tests/demo; production reads a bulk dump)."""
     ids = edges.select(F.col("dst_id").alias("reference_id")).distinct()
-    h = F.pmod(F.xxhash64(F.concat(F.col("reference_id"), F.lit(str(seed)))), 1000)
+    # portable hash (= DuckDB ('0x'||substr(md5(..),1,8))::bigint) so the
+    # oracle SQL can rebuild this table exactly
+    h0 = F.conv(F.substring(F.md5(F.concat(F.col("reference_id"), F.lit(str(seed)))), 1, 8), 16, 10).cast("long")
+    h1 = F.conv(F.substring(F.md5(F.col("reference_id")), 1, 8), 16, 10).cast("long")
     return (
-        ids.filter(h < int(hit_rate * 1000))
+        ids.filter(F.pmod(h0, 1000) < int(hit_rate * 1000))
         .select(
             "reference_id",
             F.concat(F.lit("Title of "), F.col("reference_id")).alias("title"),
             F.concat(F.lit("Author, A. ("), F.col("reference_id"), F.lit(")")).alias("authors"),
             F.concat(
                 F.lit("20"),
-                F.lpad((F.pmod(F.xxhash64("reference_id"), 20)).cast("string"), 2, "0"),
+                F.lpad(F.pmod(h1, 20).cast("string"), 2, "0"),
                 F.lit("-01-15"),
             ).alias("published"),
             F.lit("Synthetic Journal").alias("container"),
-            F.when(F.pmod(F.xxhash64("reference_id"), 2) == 0, "journal-article")
+            F.when(F.pmod(h1, 2) == 0, "journal-article")
             .otherwise("posted-content")
             .alias("type"),
-            (F.pmod(F.xxhash64("reference_id"), 100) + F.lit(1.0)).cast("double").alias("score"),
+            (F.pmod(h1, 100) + F.lit(1.0)).cast("double").alias("score"),
         )
     )

