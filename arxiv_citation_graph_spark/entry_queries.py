@@ -188,18 +188,23 @@ def q_status_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-           list(DISTINCT source ORDER BY source) AS sources
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources
     FROM documents GROUP BY lang
     """,
 )
 def q_distinct_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: collect_set census with deterministic (sorted) ordering."""
+    """A6: collect_set census with deterministic (sorted) ordering.
+
+    Emitted as a comma-joined flat string — the driver's canonicalizer
+    sorts rows via pandas and cannot hash array-typed cells, so no
+    ``queries()`` entry may return an array column (round-1 verdict #1).
+    """
     return (
         _t(spark, sf_dir, "documents")
         .groupBy("lang")
         .agg(
             F.countDistinct("source").alias("n_sources"),
-            F.sort_array(F.collect_set("source")).alias("sources"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
         )
     )
 
@@ -917,7 +922,11 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents)
     ),
     sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-    expl AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    expl0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    -- document-frequency cap mirrored from the engine (df <= 1000):
+    -- hot shingles are dropped from the intersection on both sides
+    rare AS (SELECT shingle FROM expl0 GROUP BY shingle HAVING count(*) <= 1000),
+    expl AS (SELECT doc_id, shingle FROM expl0 WHERE shingle IN (SELECT shingle FROM rare)),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
       FROM expl x JOIN expl y ON x.shingle = y.shingle AND x.doc_id < y.doc_id

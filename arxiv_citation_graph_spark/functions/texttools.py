@@ -54,10 +54,19 @@ def md5_int32(col: Column) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles (space-joined), the dedup unit."""
+    """Distinct k-token shingles (space-joined), the dedup unit.
+
+    Docs with fewer than ``k`` tokens yield an empty array.  The guard is
+    load-bearing: ``F.sequence(1, 0)`` produces the *descending* array
+    ``[1, 0]``, and ``slice(toks, 0, k)`` then throws
+    ``INVALID_PARAMETER_VALUE.START`` at runtime — one empty document
+    would crash every dedup/fingerprint consumer (round-1 advice, high).
+    """
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    idx = F.when(n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     )

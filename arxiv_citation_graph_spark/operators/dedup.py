@@ -129,24 +129,46 @@ def lsh_candidate_pairs(
     )
 
 
+#: default document-frequency cap for the Jaccard verifier's shingle join
+#: — a shingle appearing in k documents emits k^2 join rows, so one hot
+#: boilerplate shingle is a cartesian bomb at scale.  Shingles above the
+#: cap are dropped from the *intersection* count on both sides (standard
+#: for Jaccard verification: ultra-common shingles carry negligible
+#: similarity mass; |union| still uses the full shingle-set sizes, so the
+#: capped jaccard is a lower bound of the exact one).
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact Jaccard over distinct k-shingles for pairs sharing >= 1
     shingle: ``(doc_a, doc_b, jaccard)``.
 
     |intersection| comes from the shingle-join count; |union| =
     |A| + |B| - |inter| (sizes joined in, no second pass over text).
+    The self-join row count is bounded by ``max_shingle_df`` (see
+    ``DEFAULT_MAX_SHINGLE_DF``); pass ``None`` for the exact-but-unbounded
+    join (small corpora only).
     """
     shingled = df.select(
         F.col(id_col).alias("doc"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
     sizes = shingled.select("doc", F.size("sh").alias("n_sh"))
     exploded = shingled.select("doc", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle", "left_semi")
     inter = (
         exploded.alias("x")
         .join(exploded.alias("y"), "shingle")

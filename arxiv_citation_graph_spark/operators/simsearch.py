@@ -44,17 +44,36 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+#: ``brute_force_topk`` refuses query sets above this size — the cross
+#: join is O(Q x N) by design (exactness baseline); large Q must go
+#: through ``lsh_topk``.  Raise explicitly (``max_queries=None``) only
+#: when you mean it.
+DEFAULT_MAX_QUERIES = 10_000
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int | None = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Exact cosine top-k: ``(query_id, neighbor_id, cos_sim, rank)``.
 
     Deterministic: ties broken by neighbor id; self-matches excluded.
+    Guarded: the O(Q x N) cross join is the exactness baseline, so query
+    sets larger than ``max_queries`` raise — use ``lsh_topk`` for scale.
     """
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"brute_force_topk got >{max_queries} query vectors; the "
+                "cross join is O(Q x N) and intended as an exactness "
+                "baseline only — use lsh_topk for large query sets, or "
+                "pass max_queries=None to override."
+            )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (

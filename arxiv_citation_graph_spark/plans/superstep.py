@@ -34,6 +34,7 @@ The metrics table mirrors SURVEY.md §1.3 ``superstep_metrics``:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -42,6 +43,13 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
+
+#: any plan whose estimated sizeInBytes exceeds this is compounding —
+#: real tables are < 2^80 bytes; the squaring pathology blows past this
+#: within a few supersteps (tripwire for the exponential-driver-time bug).
+_STATS_TRIPWIRE_BYTES = 1 << 200
 
 
 class CheckpointStore:
@@ -112,7 +120,10 @@ class CheckpointStore:
         os.makedirs(self._job_dir(), exist_ok=True)
 
 
-def _reset_stats(checkpointed: DataFrame) -> DataFrame:
+_reset_stats_failures = 0
+
+
+def _reset_stats(checkpointed: DataFrame) -> tuple[DataFrame, object | None]:
     """Drop carried-over Catalyst statistics from a checkpointed state.
 
     Spark 4 propagates the origin plan's ``sizeInBytes`` through
@@ -124,16 +135,49 @@ def _reset_stats(checkpointed: DataFrame) -> DataFrame:
     0.2 s supersteps explode to minutes past ~iteration 18).  Rebuilding
     the DataFrame over the already-materialized InternalRow RDD resets
     stats to the session default and keeps supersteps O(1).
+
+    Returns ``(frame, jrdd_handle)``.  ``jrdd_handle`` is the underlying
+    checkpointed JVM RDD, kept so the loop can ``unpersist`` its blocks
+    when the iteration advances (``Dataset.unpersist`` on the rebuilt
+    frame is a no-op — it is not registered in the cache manager; without
+    the handle, old supersteps' blocks linger until the ContextCleaner
+    GCs them).  On failure the original frame is returned *and a loud
+    warning is logged*: silently degrading here reintroduces the
+    exponential pathology this function exists to prevent.
     """
+    global _reset_stats_failures
     try:
         jdf = checkpointed._jdf  # type: ignore[attr-defined]
         jspark = checkpointed.sparkSession._jsparkSession  # type: ignore[attr-defined]
         fresh = jspark.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
-        return DataFrame(fresh, checkpointed.sparkSession)
-    except Exception:  # pragma: no cover - internal API moved; degrade gracefully
-        return checkpointed
+        # the RDD localCheckpoint actually persisted is the LogicalRDD's
+        # wrapped rdd (analyzed().rdd()), NOT toRdd()'s derived RDD —
+        # verified via getRDDStorageInfo; this is the unpersist handle
+        jrdd = jdf.queryExecution().analyzed().rdd()
+        return DataFrame(fresh, checkpointed.sparkSession), jrdd
+    except Exception as exc:  # internal API moved; degrade loudly
+        _reset_stats_failures += 1
+        if _reset_stats_failures == 1:
+            _LOG.warning(
+                "superstep._reset_stats: private JVM API unavailable (%s: %s); "
+                "Catalyst sizeInBytes will compound across supersteps and "
+                "driver planning time can grow exponentially past ~15 "
+                "iterations. Check Spark-version compatibility of "
+                "SparkSession.internalCreateDataFrame.",
+                type(exc).__name__,
+                exc,
+            )
+        return checkpointed, None
+
+
+def _stats_size_in_bytes(df: DataFrame) -> int | None:
+    """Estimated sizeInBytes of the optimized plan (tripwire probe)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # type: ignore[attr-defined]
+    except Exception:
+        return None
 
 
 @dataclass
@@ -190,6 +234,8 @@ def _run_loop(
     report: SuperstepReport,
 ) -> tuple[DataFrame, SuperstepReport]:
     current = state
+    current_rdd_handle: object | None = None
+    stats_tripped = False
     prev_aggs = None
     for i in range(start_iteration, max_iterations):
         t0 = time.perf_counter()
@@ -197,9 +243,22 @@ def _run_loop(
         if store is not None:
             snapshot = store.write_state(new_state, i)
             new_state = store.read_state(spark, i)  # lineage reset from storage
+            new_rdd_handle = None
         else:
             snapshot = ""
-            new_state = _reset_stats(new_state.localCheckpoint(eager=True))
+            new_state, new_rdd_handle = _reset_stats(new_state.localCheckpoint(eager=True))
+            if not stats_tripped:
+                est = _stats_size_in_bytes(new_state)
+                if est is not None and est > _STATS_TRIPWIRE_BYTES:
+                    stats_tripped = True
+                    _LOG.warning(
+                        "superstep: plan sizeInBytes estimate is %d digits at "
+                        "iteration %d — Catalyst stats are compounding (the "
+                        "exponential-driver-time pathology); _reset_stats is "
+                        "not taking effect on this Spark build.",
+                        len(str(est)),
+                        i,
+                    )
         named = [col.alias(name) for name, col in agg_exprs.items()]
         agg = new_state.agg(*named, F.count(F.lit(1)).alias("_rows")).first()
         prev_aggs = agg
@@ -229,9 +288,19 @@ def _run_loop(
         report.wall_ms.append(wall_ms)
         report.rows_per_iter.append(rows)
         old = current
+        old_handle = current_rdd_handle
         current = new_state
+        current_rdd_handle = new_rdd_handle
         if old is not state and store is None:
-            old.unpersist()
+            if old_handle is not None:
+                # free the previous superstep's checkpoint blocks now
+                # instead of waiting for the ContextCleaner to GC them
+                try:
+                    old_handle.unpersist(False)  # type: ignore[attr-defined]
+                except Exception:
+                    old.unpersist()
+            else:
+                old.unpersist()
         if tolerance is not None and delta <= tolerance:
             report.converged = True
             break

@@ -97,6 +97,12 @@ class SnapshotCatalog:
         """Snapshot ids contributing to ``target``: walk parents until the
         newest 'replace' (which resets the chain)."""
         by_id = {s["id"]: s for s in meta["snapshots"]}
+        if target not in by_id:
+            known = sorted(by_id)
+            raise ValueError(
+                f"unknown snapshot id {target} for table {meta['table']!r}; "
+                f"known snapshots: {known}"
+            )
         chain: list[int] = []
         cur: int | None = target
         while cur is not None and cur >= 0:

@@ -1,0 +1,178 @@
+"""Round-2 hardening: short-doc shingles, Jaccard df-cap, brute-force
+guard, catalog errors, _reset_stats fallback visibility."""
+
+from __future__ import annotations
+
+import logging
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# word_shingles: empty / short docs must not crash any consumer
+# ---------------------------------------------------------------------------
+
+
+def test_word_shingles_short_and_empty_docs(spark):
+    from arxiv_citation_graph_spark.functions.texttools import word_shingles
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "one two"), (3, "one two three"), (4, "a b c d")],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert rows[0] == []
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == ["one two three"]
+    assert rows[4] == ["a b c", "b c d"]
+
+
+def test_dedup_consumers_survive_short_docs(spark):
+    """minhash / LSH / jaccard / simhash / fingerprint over a corpus
+    containing empty and sub-k documents (the round-1 latent crash)."""
+    from arxiv_citation_graph_spark.functions.texttools import fingerprint
+    from arxiv_citation_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash_df,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "xy"),
+            (2, "common text body shared across documents here"),
+            (3, "common text body shared across documents here"),
+        ],
+        "doc_id int, text string",
+    )
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=4)
+    # empty-shingle docs produce no signature rows (nothing to hash)
+    assert {r.doc for r in sigs.collect()} == {2, 3}
+    pairs = lsh_candidate_pairs(sigs, bands=2, rows_per_band=2).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(2, 3)]
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in jac] == [(2, 3, 1.0)]
+    sh = simhash_df(df, "doc_id", "text", bits=8, shingle_k=1)
+    assert {r.doc for r in sh.collect()} == {1, 2, 3}  # doc 0 has no tokens
+    fps = df.select("doc_id", fingerprint(F.col("text"), 4).alias("fp")).collect()
+    assert all(r.fp is None for r in fps if r.doc_id in (0, 1))
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs: shingle document-frequency cap bounds the join
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_blowup(spark):
+    from arxiv_citation_graph_spark.operators.dedup import ngram_jaccard_pairs
+
+    # every doc shares one boilerplate shingle; only 0/1 are near-dups
+    boiler = "standard legal disclaimer text"
+    rows = [(i, f"{boiler} unique{i} filler{i} words{i} here{i}") for i in range(40)]
+    rows[1] = (1, rows[0][1])  # exact dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # cap below the corpus size: the hot shingle is excluded, so only the
+    # planted duplicate pair survives any positive threshold
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, shingle_k=4, max_shingle_df=10
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in capped] == [(0, 1)]
+
+    # uncapped: the hot shingle emits ~40^2/2 intersection rows; with a
+    # low threshold those become output pairs — the blowup the cap stops
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.01, shingle_k=4, max_shingle_df=None
+    ).count()
+    low_capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.01, shingle_k=4, max_shingle_df=10
+    ).count()
+    assert uncapped == 40 * 39 // 2
+    assert low_capped == 1
+
+
+# ---------------------------------------------------------------------------
+# brute_force_topk: O(Q x N) misuse guard
+# ---------------------------------------------------------------------------
+
+
+def test_brute_force_topk_query_guard(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="lsh_topk"):
+        brute_force_topk(emb, emb, k=3, max_queries=10)
+    # small query sets pass through the guard untouched
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, max_queries=10)
+    assert out.count() == 9
+
+
+# ---------------------------------------------------------------------------
+# SnapshotCatalog: descriptive time-travel errors
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_unknown_snapshot_error(spark, tmp_path):
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    df = spark.range(3).select(F.col("id").alias("k"))
+    cat.create_or_replace("t", df)
+    with pytest.raises(ValueError, match="unknown snapshot id 99 for table 't'"):
+        cat.read(spark, "t", snapshot=99)
+
+
+# ---------------------------------------------------------------------------
+# _reset_stats: fallback is loud, not silent
+# ---------------------------------------------------------------------------
+
+
+class _BrokenFrame:
+    """Stand-in whose _jdf access raises — simulates the private JVM API
+    moving on a future Spark build."""
+
+    @property
+    def _jdf(self):
+        raise AttributeError("internalCreateDataFrame moved")
+
+
+def test_reset_stats_fallback_warns(caplog):
+    from arxiv_citation_graph_spark.plans import superstep
+
+    superstep._reset_stats_failures = 0
+    broken = _BrokenFrame()
+    with caplog.at_level(logging.WARNING, logger="arxiv_citation_graph_spark.plans.superstep"):
+        frame, handle = superstep._reset_stats(broken)  # type: ignore[arg-type]
+    assert frame is broken
+    assert handle is None
+    assert any("exponential" in r.message.lower() or "compound" in r.message.lower()
+               for r in caplog.records)
+    # warning fires once, not per superstep
+    with caplog.at_level(logging.WARNING):
+        caplog.clear()
+        superstep._reset_stats(broken)  # type: ignore[arg-type]
+    assert not caplog.records
+
+
+def test_superstep_storage_does_not_accumulate(spark):
+    """Ephemeral mode unpersists prior supersteps' checkpoint blocks: the
+    number of persisted RDDs stays bounded across iterations."""
+    from arxiv_citation_graph_spark.plans.superstep import run_supersteps
+
+    state = spark.range(100).select(F.col("id").alias("v"), F.lit(0).alias("x"))
+
+    def step(s, i, prev):
+        new = s.select("v", (F.col("x") + 1).alias("x"))
+        return new, {"delta": F.lit(1.0)}
+
+    run_supersteps(spark, state, step, max_iterations=10, tolerance=None)
+    jsc = spark.sparkContext._jsc.sc()
+    n_persisted = len(jsc.getRDDStorageInfo())
+    assert n_persisted <= 3, f"{n_persisted} persisted RDDs after 10 supersteps"
