@@ -683,8 +683,179 @@ def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Text analysis (training-data ops)
+# Extraction pipeline under the driver oracle (P3/P4/P5, F1-F5, X1-X3)
 # ===========================================================================
+#
+# The engine's core product — docs -> edges — runs here over a synthetic
+# LaTeX corpus derived *deterministically* from the driver's ``documents``
+# table, so DuckDB can state the expected output in closed form.  The
+# Spark side runs the REAL pipeline (mapInPandas bibliography slicing,
+# regex identifier precedence, dedup); the oracle recomputes the
+# generator's intent.  They agree iff the extractor is correct.
+#
+# Per document (d = doc_id), the generated .tex bibliography contains:
+#   a: DOI  10.1234/ref.<d%50>;        (trailing ';' strip quirk, F1)
+#   b: arXiv:1501.<lpad(d%100,4,0)>    (strict new-style id, F2)
+#   c: astro-ph.GA/9901<d%900+100>     (bare old-style id -> flexible F3;
+#                                       subcategory stripped by F4)
+#   d: "short one"                     (<=30 chars -> dropped, P5)
+#   e: doi:10.5555/both.<d%25> + an arXiv id  (DOI precedence, X1)
+#   f: no identifier                   (id-null filter)
+#   g: duplicate of a                  (edge dedup, X3)
+# and for d % 3 == 0 the \end{thebibliography} marker is OMITTED,
+# exercising the reference's missing-end-marker slice quirk (P3).
+
+
+# shared literal fragments — the Spark content builder and the DuckDB
+# oracles are both assembled from these, so they cannot diverge by typo
+_TEX_A = "Author A. Padded reference title text. DOI: 10.1234/ref."  # + m50 + ';'
+_TEX_B = "Author B. Another padded reference title arXiv:1501."  # + m100 + '.'
+_TEX_C1 = "Author C. Old-style posting astro-ph.GA/9901"  # + m900
+_TEX_C2 = " with padding words."
+_TEX_D = "short one"
+_TEX_E1 = "Author E. Both ids doi:10.5555/both."  # + m25
+_TEX_E2 = " also cites arXiv:1602.01234."
+_TEX_F = "Author F. No identifier here, only padding words galore."
+_TEX_G = "Author G. Repeat citation. DOI: 10.1234/ref."  # + m50 + ';'
+_TEX_QUIRK_TAIL = "Trailing text end missing quirk"  # + 'X' (the dropped char)
+
+
+def _synthetic_tex_docs(docs: DataFrame) -> DataFrame:
+    """documents -> docs(repo, path, commit, lang, content) synthetic corpus."""
+    d = F.col("doc_id")
+    m50 = (d % 50).cast("string")
+    m100 = F.lpad((d % 100).cast("string"), 4, "0")
+    m900 = ((d % 900) + 100).cast("string")
+    m25 = (d % 25).cast("string")
+    content = F.concat(
+        F.lit("\\documentclass{article}\nIntro body text, no identifiers.\n"),
+        F.lit("\\begin{thebibliography}{99}\n"),
+        F.lit("\\bibitem{a} " + _TEX_A),
+        m50,
+        F.lit(";\n"),
+        F.lit("\\bibitem{b} " + _TEX_B),
+        m100,
+        F.lit(".\n"),
+        F.lit("\\bibitem{c} " + _TEX_C1),
+        m900,
+        F.lit(_TEX_C2 + "\n"),
+        F.lit("\\bibitem{d} " + _TEX_D + "\n"),
+        F.lit("\\bibitem{e} " + _TEX_E1),
+        m25,
+        F.lit(_TEX_E2 + "\n"),
+        F.lit("\\bibitem{f} " + _TEX_F + "\n"),
+        F.lit("\\bibitem{g} " + _TEX_G),
+        m50,
+        F.lit(";\n"),
+        F.when(d % 3 != 0, F.lit("\\end{thebibliography}\nPost-bibliography text."))
+        .otherwise(F.lit(_TEX_QUIRK_TAIL + "X")),
+    )
+    return docs.select(
+        F.concat(F.lit("doc"), d.cast("string")).alias("repo"),
+        F.lit("refs.tex").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("tex").alias("lang"),
+        content.alias("content"),
+    )
+
+
+@register(
+    "extract_edges",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 50 AS VARCHAR) AS m50,
+             lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS m100,
+             CAST(doc_id % 900 + 100 AS VARCHAR) AS m900,
+             CAST(doc_id % 25 AS VARCHAR) AS m25
+      FROM documents
+    ),
+    e AS (
+      SELECT 'doc' || CAST(doc_id AS VARCHAR) AS src_id,
+             '10.1234/ref.' || m50 AS dst_id FROM d          -- bibitems a+g dedup
+      UNION ALL
+      SELECT 'doc' || CAST(doc_id AS VARCHAR), '1501.' || m100 FROM d
+      UNION ALL
+      SELECT 'doc' || CAST(doc_id AS VARCHAR), 'astro-ph/9901' || m900 FROM d
+      UNION ALL
+      SELECT 'doc' || CAST(doc_id AS VARCHAR), '10.5555/both.' || m25 FROM d
+    )
+    SELECT DISTINCT src_id, dst_id FROM e
+    """,
+)
+def q_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship docs -> edges pipeline end-to-end under the DuckDB
+    oracle: bibliography slice/split (P3/P4), len>30 gate (P5), DOI /
+    strict / flexible precedence (F1-F3, X1), subcategory strip (F4),
+    trailing-';' strip, edge dedup (X3), missing-end-marker quirk."""
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
+
+    return edges_from_docs(_synthetic_tex_docs(_t(spark, sf_dir, "documents")))
+
+
+def _extract_references_sql() -> str:
+    """Closed-form expected output of ``references_from_docs`` over the
+    synthetic corpus: raw bibitem, label-stripped clean_bibitem (F5),
+    provenance pos / reference_num (W2 window) and id columns."""
+
+    def row(pos, refnum, label, raw_expr, clean_expr, id_expr, type_expr):
+        return f"""
+      SELECT 'doc' || CAST(doc_id AS VARCHAR) AS repo, 'refs.tex' AS path,
+             CAST({pos} AS INT) AS pos, CAST({refnum} AS INT) AS reference_num,
+             {raw_expr} AS bibitem, {clean_expr} AS clean_bibitem,
+             CAST(length({raw_expr}) AS INT) AS length_of_bibitem,
+             {type_expr} AS id_type, {id_expr} AS reference_id
+      FROM d"""
+
+    # bibitem 'd' (pos 3, "short one") is absent: <=30 chars, dropped by P5
+    quirk = (
+        "CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{tail}' ELSE '' END".format(
+            tail=_TEX_QUIRK_TAIL
+        )
+    )
+    quirk_clean = (
+        "CASE WHEN doc_id % 3 = 0 THEN '{tail}' ELSE '' END".format(tail=_TEX_QUIRK_TAIL)
+    )
+    rows = [
+        row(0, 1, "a", f"'{{a}} {_TEX_A}' || m50 || ';'", f"'{_TEX_A}' || m50 || ';'",
+            "'10.1234/ref.' || m50", "'DOI'"),
+        row(1, 2, "b", f"'{{b}} {_TEX_B}' || m100 || '.'", f"'{_TEX_B}' || m100 || '.'",
+            "'1501.' || m100", "'arxivID'"),
+        row(2, 3, "c", f"'{{c}} {_TEX_C1}' || m900 || '{_TEX_C2}'",
+            f"'{_TEX_C1}' || m900 || '{_TEX_C2}'",
+            "'astro-ph/9901' || m900", "'arxivID'"),
+        row(4, 4, "e", f"'{{e}} {_TEX_E1}' || m25 || '{_TEX_E2}'",
+            f"'{_TEX_E1}' || m25 || '{_TEX_E2}'",
+            "'10.5555/both.' || m25", "'DOI'"),
+        row(5, 5, "f", f"'{{f}} {_TEX_F}'", f"'{_TEX_F}'",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+        row(6, 6, "g", f"'{{g}} {_TEX_G}' || m50 || ';' || {quirk}",
+            f"'{_TEX_G}' || m50 || ';' || {quirk_clean}",
+            "'10.1234/ref.' || m50", "'DOI'"),
+    ]
+    return (
+        """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 50 AS VARCHAR) AS m50,
+             lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS m100,
+             CAST(doc_id % 900 + 100 AS VARCHAR) AS m900,
+             CAST(doc_id % 25 AS VARCHAR) AS m25
+      FROM documents
+    )"""
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register("extract_references", _extract_references_sql())
+def q_extract_references(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended extraction (``references_from_docs``) under the oracle:
+    adds the F5 clean-bibtex chain (leading-label strip, newline drop),
+    per-repo reference_num window (W2/X2) and nullable id columns for
+    unidentified bibitems — the ``clean.db``-shaped provenance view."""
+    from arxiv_citation_graph_spark.operators.extract import references_from_docs
+
+    return references_from_docs(_synthetic_tex_docs(_t(spark, sf_dir, "documents")))
 
 
 @register(
@@ -819,6 +990,181 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text"), 4).alias("fp")).filter(
         F.col("fp").isNotNull()
+    )
+
+
+# ===========================================================================
+# Quality / token-count scalars under the oracle
+# ===========================================================================
+
+
+@register(
+    "quality_score",
+    r"""
+    SELECT doc_id,
+           round(0.4 * least(stop * 5.0, 1.0) + 0.3 * len_sig + 0.3 * shape, 6)
+             AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_filter(ltoks, t -> t IN ('the','a','of','and','to')))
+                  AS DOUBLE) / greatest(len(ltoks), 1) AS stop,
+             least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_sig,
+             CASE WHEN (CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                             AS DOUBLE) / greatest(len(toks), 1)) BETWEEN 3.0 AND 8.0
+                  THEN 1.0 ELSE 0.5 END AS shape
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ltoks
+            FROM documents)
+    )
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic (stopword + length + word-shape signals)
+    reproduced to the digit by the DuckDB oracle."""
+    from arxiv_citation_graph_spark.functions.texttools import quality_score
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+@register(
+    "bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token count: alnum runs + non-space punctuation marks.
+    Spark splits on alnum/non-alnum boundaries (lookaround regex, RE2-free
+    JVM path); the oracle counts the equivalent closed form (maximal
+    alnum runs + individual non-alnum non-space chars)."""
+    from arxiv_citation_graph_spark.functions.texttools import bpe_ish_token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens")
+    )
+
+
+# ===========================================================================
+# JSON source (S7), author join (F9), spread stats (A4)
+# ===========================================================================
+
+
+@register(
+    "json_year_ids",
+    """
+    SELECT CAST(2000 + doc_id % 20 AS INT) AS year, doc_id AS paper_id
+    FROM (SELECT doc_id,
+                 row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 50
+    """,
+)
+def q_json_year_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the reference's ``{year:[ids]}`` JSON document source.
+
+    A reference-shaped fixture is derived deterministically from the
+    ``documents`` table (year = 2000 + doc_id % 20, ids sorted, capped at
+    50/year — the reference's ingest cap, ``grab_ids_by_year.py:50``),
+    written as one JSON object, then loaded back through
+    ``spark.read.json`` + ``F.explode`` (``sources/jsonids.py``)."""
+    import hashlib
+
+    from arxiv_citation_graph_spark.sources.jsonids import (
+        write_year_ids_json,
+        year_ids_from_json,
+    )
+
+    capped = (
+        _t(spark, sf_dir, "documents")
+        .groupBy((F.lit(2000) + F.col("doc_id") % 20).cast("int").alias("year"))
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, 50).alias("ids"))
+    )
+    pairs = {r.year: r.ids for r in capped.collect()}  # ~20 rows: fixture build only
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/acg_year_ids_{tag}.json"
+    write_year_ids_json(pairs, path)
+    return year_ids_from_json(spark, path)
+
+
+@register(
+    "author_join",
+    """
+    SELECT c_custkey,
+           array_to_string(
+             list_transform(
+               [struct_pack(given := string_split(c_name, '#')[1],
+                            family := string_split(c_name, '#')[2]),
+                struct_pack(given := c_mktsegment, family := CAST(NULL AS VARCHAR))],
+               s -> trim(concat(coalesce(s.given, ''), ' ', coalesce(s.family, '')))),
+             ', ') AS authors
+    FROM customer
+    """,
+)
+def q_author_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: the reference's author join — ``", ".join(names)`` over
+    given/family name parts with empty-string fallback
+    (``create_database.py:931,1076-1093``) as
+    ``F.array_join(F.transform(...))`` over an array of name structs."""
+    name_parts = F.split(F.col("c_name"), "#")
+    authors = F.array(
+        F.struct(
+            name_parts.getItem(0).alias("given"), name_parts.getItem(1).alias("family")
+        ),
+        F.struct(
+            F.col("c_mktsegment").alias("given"), F.lit(None).cast("string").alias("family")
+        ),
+    )
+    joined = F.array_join(
+        F.transform(
+            authors,
+            lambda s: F.trim(
+                F.concat(
+                    F.coalesce(s["given"], F.lit("")),
+                    F.lit(" "),
+                    F.coalesce(s["family"], F.lit("")),
+                )
+            ),
+        ),
+        ", ",
+    )
+    return _t(spark, sf_dir, "customer").select("c_custkey", joined.alias("authors"))
+
+
+@register(
+    "spread_stats",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(stddev(o_totalprice), 4) AS std_price,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS q1_price,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS q3_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_spread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (complete): mean +/- err and boxplot quartiles per year — the
+    reference's errorbar/boxplot stats (``arxiv_ids_analysis.py:16-25,
+    61-69``) as stddev + exact linear-interpolation percentiles."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.stddev("o_totalprice"), 4).alias("std_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3_price"),
+        )
     )
 
 
@@ -981,6 +1327,36 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_near_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    half = bits // 2
+    return f"""
+    WITH sh AS ({_simhash_sql(bits)}),
+    banded AS (
+      SELECT doc_id, sh, 0 AS band, sh >> {half} AS key FROM sh
+      UNION ALL
+      SELECT doc_id, sh, 1 AS band, sh & {(1 << half) - 1} AS key FROM sh
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+@register("simhash_near_pairs", _simhash_near_pairs_sql(16, 3))
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: half-band bucketing + exact Hamming verify."""
+    from arxiv_citation_graph_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=16, max_hamming=3
+    ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 # ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
@@ -1012,6 +1388,49 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _lsh_topk_sql(dims: int = 64, n_planes: int = 8, k: int = 5) -> str:
+    """Unrolled hyperplane-LSH ANN: the deterministic plane weights are
+    embedded as double literals, so DuckDB rebuilds the exact signatures."""
+    from arxiv_citation_graph_spark.operators.simsearch import _plane_weight
+
+    sig_terms = []
+    for p in range(n_planes):
+        weights = ", ".join(repr(_plane_weight(p, d)) for d in range(dims))
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(e, [{weights}]) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sigs AS (SELECT vec_id, e, {sig} AS sig FROM v),
+    q AS (SELECT * FROM sigs WHERE vec_id < 10),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+      FROM q JOIN sigs c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+@register("lsh_ann_topk", _lsh_topk_sql(64, 8, 5))
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5 (the scale path for similarity search):
+    candidates restricted to signature-equal buckets, then exact cosine."""
+    from arxiv_citation_graph_spark.operators.simsearch import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dims=64, k=5, n_planes=8, n_tables=1
+    )
 
 
 @register(

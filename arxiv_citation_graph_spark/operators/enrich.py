@@ -88,6 +88,69 @@ def enrich_references(
     )
 
 
+#: ``clean.db::reference_tree``'s exact 18-column shape (reference golden
+#: DB, queried by ``type_extraction.py:14-17``; SURVEY.md §1.1) — the
+#: compat view mirrors it column-for-column so golden-DB diffs line up.
+REFERENCE_TREE_COLUMNS = [
+    "paper_id",
+    "reference_num",
+    "id_type",
+    "reference_id",
+    "title",
+    "authors",
+    "URL",
+    "published",
+    "summary",
+    "arxiv_comment",
+    "arxiv_primary_category",
+    "type",
+    "container",
+    "score",
+    "length_of_bibitem",
+    "time_taken",
+    "clean_bibitem",
+    "bibitem",
+]
+
+
+def reference_tree_view(references: DataFrame, metadata: DataFrame) -> DataFrame:
+    """``references_from_docs`` x metadata -> the golden ``clean.db``
+    ``reference_tree`` schema, exactly (names, order, 18 columns).
+
+    Typed upgrades vs the untyped SQLite original are kept honest: real
+    NULLs instead of the string ``"Null"`` (SURVEY.md §1.3 records the
+    decision); ``score`` double, counters int/long.  Fields only the live
+    arXiv Atom API provides (summary / arxiv_comment /
+    arxiv_primary_category / URL / time_taken) are NULL of the right type
+    — enrichment is a pluggable local-join stage, never HTTP."""
+    joined = references.join(
+        metadata.withColumnRenamed("reference_id", "_meta_id"),
+        references.reference_id == F.col("_meta_id"),
+        "left",
+    )
+    ns = F.lit(None).cast("string")
+    return joined.select(
+        F.col("repo").alias("paper_id"),
+        "reference_num",
+        "id_type",
+        "reference_id",
+        "title",
+        "authors",
+        ns.alias("URL"),
+        "published",
+        ns.alias("summary"),
+        ns.alias("arxiv_comment"),
+        ns.alias("arxiv_primary_category"),
+        "type",
+        "container",
+        F.col("score").cast("double").alias("score"),
+        "length_of_bibitem",
+        F.lit(None).cast("double").alias("time_taken"),
+        "clean_bibitem",
+        "bibitem",
+    )
+
+
 def synthetic_metadata(spark, edges: DataFrame, seed: int = 7, hit_rate: float = 0.8) -> DataFrame:
     """Deterministic local metadata table covering ``hit_rate`` of the
     distinct cited ids (tests/demo; production reads a bulk dump)."""

@@ -1,0 +1,71 @@
+"""JSON id-list source and JSON sink (SURVEY.md §2.1 S7 / K3).
+
+The reference stores per-year paper-id lists as a single JSON object
+``{year: [paper_id, ...]}`` capped at 50 ids/year and re-loads it as the
+input of the coverage analysis (reference
+``arxivIDs_percentage_analysis/Scripts/grab_ids_by_year.py:9,50,58-59``
+and ``arxiv_ids_citations_extraction.py:215-218``); per-year ratio
+results are dumped back to JSON (``:243-246``).
+
+Spark-side semantics:
+
+- **source**: ``spark.read.json`` on the reference-shaped single-object
+  file yields one column per year key; each column is exploded to
+  ``(year, paper_id)`` rows.  The iteration is over the *schema* (a few
+  dozen year columns), never over data — the explode itself is
+  distributed.  A JSON-Lines variant (one ``{"year":..,"ids":[..]}``
+  object per line — the layout a Spark pipeline would actually write at
+  scale) reads through the same explode path.
+- **sink**: ``df.write.json`` — one JSON object per row, the scalable
+  layout; ``coalesce(1)`` only when a single small file is required
+  (the reference's dict dump is the driver-side special case).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def year_ids_from_json(spark: SparkSession, path: str) -> DataFrame:
+    """Load a ``{year: [ids]}`` JSON object as ``(year int, paper_id)``
+    rows (S7: ``spark.read.json`` + ``F.explode``)."""
+    raw = spark.read.json(path)
+    per_year = [
+        raw.select(
+            F.lit(int(year)).alias("year"), F.explode(F.col(f"`{year}`")).alias("paper_id")
+        )
+        for year in raw.columns
+    ]
+    out = per_year[0]
+    for other in per_year[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def year_ids_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Load JSON-Lines ``{"year":..,"ids":[..]}`` rows as ``(year,
+    paper_id)`` — the scale-friendly layout of the same data."""
+    raw = spark.read.json(path)
+    return raw.select("year", F.explode("ids").alias("paper_id"))
+
+
+def write_year_ids_json(pairs: dict[int, list], path: str) -> None:
+    """Write the reference-shaped single-object fixture (driver-side,
+    bounded by #years — test/demo helper, not a distributed sink)."""
+    with open(path, "w") as fh:
+        json.dump({str(k): list(v) for k, v in sorted(pairs.items())}, fh)
+
+
+def write_json_sink(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """K3: JSON dump sink — ``df.write.json`` (one object per row).
+
+    ``single_file=True`` coalesces to one partition first, mirroring the
+    reference's one-dict dump; leave False at scale."""
+    (df.coalesce(1) if single_file else df).write.mode("overwrite").json(path)
+
+
+def read_json_sink(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.json(path)

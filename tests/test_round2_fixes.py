@@ -172,7 +172,8 @@ def test_superstep_storage_does_not_accumulate(spark):
         new = s.select("v", (F.col("x") + 1).alias("x"))
         return new, {"delta": F.lit(1.0)}
 
-    run_supersteps(spark, state, step, max_iterations=10, tolerance=None)
     jsc = spark.sparkContext._jsc.sc()
-    n_persisted = len(jsc.getRDDStorageInfo())
-    assert n_persisted <= 3, f"{n_persisted} persisted RDDs after 10 supersteps"
+    before = len(jsc.getRDDStorageInfo())  # session is shared across tests
+    run_supersteps(spark, state, step, max_iterations=10, tolerance=None)
+    grown = len(jsc.getRDDStorageInfo()) - before
+    assert grown <= 3, f"{grown} new persisted RDDs after 10 supersteps"

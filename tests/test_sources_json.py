@@ -1,0 +1,95 @@
+"""S7 JSON id-list source, K3 JSON sink, and the reference_tree compat
+view (round-2 additions from the SURVEY.md §2 gap list)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arxiv_citation_graph_spark.datagen import corpus_pdf
+from arxiv_citation_graph_spark.operators.enrich import (
+    REFERENCE_TREE_COLUMNS,
+    reference_tree_view,
+    synthetic_metadata,
+)
+from arxiv_citation_graph_spark.operators.extract import (
+    edges_from_docs,
+    references_from_docs,
+)
+from arxiv_citation_graph_spark.sources.docs import DOCS_SCHEMA
+from arxiv_citation_graph_spark.sources.jsonids import (
+    read_json_sink,
+    write_json_sink,
+    write_year_ids_json,
+    year_ids_from_json,
+    year_ids_from_jsonl,
+)
+
+
+def test_year_ids_json_source_roundtrip(spark, tmp_path):
+    """S7: {year:[ids]} object -> spark.read.json -> exploded rows."""
+    pairs = {2019: [11, 12, 13], 2020: [21], 2021: [31, 32]}
+    path = str(tmp_path / "ids.json")
+    write_year_ids_json(pairs, path)
+    out = year_ids_from_json(spark, path)
+    rows = sorted((r.year, r.paper_id) for r in out.collect())
+    expected = sorted((y, pid) for y, ids in pairs.items() for pid in ids)
+    assert rows == expected
+
+
+def test_year_ids_jsonl_variant(spark, tmp_path):
+    path = str(tmp_path / "ids.jsonl")
+    with open(path, "w") as fh:
+        fh.write(json.dumps({"year": 2019, "ids": [1, 2]}) + "\n")
+        fh.write(json.dumps({"year": 2020, "ids": [3]}) + "\n")
+    out = year_ids_from_jsonl(spark, path)
+    assert sorted((r.year, r.paper_id) for r in out.collect()) == [
+        (2019, 1),
+        (2019, 2),
+        (2020, 3),
+    ]
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    """K3: per-year ratio dump -> write.json -> read back identical."""
+    ratios = spark.createDataFrame(
+        [(2019, 0.25), (2020, 0.5), (2021, 0.125)], "year int, ratio double"
+    )
+    path = str(tmp_path / "ratios_json")
+    write_json_sink(ratios, path, single_file=True)
+    back = read_json_sink(spark, path).select("year", "ratio")
+    assert sorted((r.year, r.ratio) for r in back.collect()) == [
+        (2019, 0.25),
+        (2020, 0.5),
+        (2021, 0.125),
+    ]
+
+
+def test_reference_tree_compat_schema(spark):
+    """The compat view matches clean.db::reference_tree column-for-column
+    (18 columns, exact names and order) with principled types."""
+    docs = spark.createDataFrame(corpus_pdf(seed=31, n_docs=40), schema=DOCS_SCHEMA)
+    refs = references_from_docs(docs)
+    meta = synthetic_metadata(spark, edges_from_docs(docs), hit_rate=0.8)
+    view = reference_tree_view(refs, meta)
+
+    assert view.columns == REFERENCE_TREE_COLUMNS
+    assert len(view.columns) == 18
+    types = dict(view.dtypes)
+    assert types["score"] == "double"
+    assert types["time_taken"] == "double"
+    assert types["reference_num"] == "int"
+    assert types["length_of_bibitem"] == "int"
+    for c in ("paper_id", "id_type", "reference_id", "title", "authors", "URL",
+              "published", "summary", "arxiv_comment", "arxiv_primary_category",
+              "type", "container", "clean_bibitem", "bibitem"):
+        assert types[c] == "string", c
+
+    rows = view.collect()
+    assert len(rows) == refs.count()  # left join preserves reference rows
+    # id_type domain matches the golden DB's {DOI, arxivID, null}
+    assert {r.id_type for r in rows} <= {"DOI", "arxivID", None}
+    # out-of-scope API fields are NULL, never the string "Null"
+    assert all(r.summary is None and r.URL is None for r in rows)
