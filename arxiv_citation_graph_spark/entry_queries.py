@@ -993,6 +993,55 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "normalize_ids",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 900 + 100 AS VARCHAR) AS m900,
+             lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS m100
+      FROM documents
+    )
+    SELECT doc_id, 'dashless_old' AS variant, 'cond-mat/9901' || m900 AS norm_id FROM d
+    UNION ALL SELECT doc_id, 'new_pad', '1501.0' || m100 FROM d
+    UNION ALL SELECT doc_id, 'subcat_old', 'math/0003' || m900 FROM d
+    """,
+)
+def q_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: optional arXiv-id normalizers (version strip, dashless-category
+    repair, post-1501 zero-pad) as JVM column expressions — three
+    synthetic malformed-id variants per doc, normalized, vs the
+    closed-form oracle of the generator's intent."""
+    from arxiv_citation_graph_spark.functions.identifiers import normalize_arxiv_id_col
+
+    d = F.col("doc_id")
+    m900 = ((d % 900) + 100).cast("string")
+    m100 = F.lpad((d % 100).cast("string"), 4, "0")
+    raw = F.array(
+        F.struct(
+            F.lit("dashless_old").alias("variant"),
+            F.concat(F.lit("condmat/9901"), m900, F.lit("v2")).alias("raw_id"),
+        ),
+        F.struct(
+            F.lit("new_pad").alias("variant"),
+            F.concat(F.lit("1501."), m100, F.lit("v1")).alias("raw_id"),
+        ),
+        F.struct(
+            F.lit("subcat_old").alias("variant"),
+            F.concat(F.lit("math.PR/0003"), m900).alias("raw_id"),
+        ),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(raw).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.variant").alias("variant"),
+            normalize_arxiv_id_col(F.col("s.raw_id")).alias("norm_id"),
+        )
+    )
+
+
 # ===========================================================================
 # Quality / token-count scalars under the oracle
 # ===========================================================================

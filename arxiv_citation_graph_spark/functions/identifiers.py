@@ -186,6 +186,86 @@ def clean_arxiv_id(arxiv_id: str) -> str:
     return arxiv_id
 
 
+# --------------------------------------------------------------------------
+# Optional id normalizers (F6).  The reference DEFINES these but its
+# pipeline never calls them (reference ``arxiv_regex/arxiv_regex.py:
+# 102-137``; only ``clean_arxiv_id`` runs, ``create_database.py:578,582``)
+# — provided for parity of capability, with matching semantics on every
+# id the extraction regexes can produce.
+# --------------------------------------------------------------------------
+
+_RE_VERSION_TOKEN = re.compile(r"[vV][1-9]\d*")
+
+
+def strip_version(arxiv_id: str) -> str:
+    """``1501.21981v1 -> 1501.21981`` — cut at the *first* version token
+    (the reference splits on the token and keeps part [0], so anything
+    after the token is dropped too)."""
+    m = _RE_VERSION_TOKEN.search(arxiv_id)
+    return arxiv_id[: m.start()] if m else arxiv_id
+
+
+def repair_category(arxiv_id: str) -> str:
+    """Old-style ids: strip the subcategory and repair a dashless category
+    typo (``condmat/9901123 -> cond-mat/9901123``) via ``DASHDICT``."""
+    if "/" in arxiv_id:
+        catsub, _, num = arxiv_id.partition("/")
+        cat = catsub.partition(".")[0]
+        return DASHDICT.get(cat, cat) + "/" + num
+    return arxiv_id
+
+
+def zeropad_new_style(arxiv_id: str) -> str:
+    """New-style ids with yymm > 1500 use 5-digit numbers; pad 4-digit
+    ones (``1501.2198 -> 1501.02198``)."""
+    if "/" not in arxiv_id:
+        yymm, dot, num = arxiv_id.partition(".")
+        if dot and yymm.isdigit() and int(yymm) > 1500 and len(num) < 5:
+            return yymm + ".0" + num
+    return arxiv_id
+
+
+def normalize_arxiv_id(arxiv_id: str) -> str:
+    """The reference's ``clean`` chain: strip version, repair category,
+    zero-pad post-1501 numbers."""
+    for fn in (strip_version, repair_category, zeropad_new_style):
+        arxiv_id = fn(arxiv_id)
+    return arxiv_id
+
+
+def normalize_arxiv_id_col(arxiv_id):
+    """JVM-side Column version of :func:`normalize_arxiv_id` — pure
+    ``pyspark.sql.functions`` expressions (regexp_replace + a broadcast
+    literal map for the dash repair), whole-stage-codegen friendly.
+
+    Normalization runs over already-extracted id *columns* (not raw
+    text), so unlike the extraction regexes there is no Python-``re``
+    parity hazard: the patterns here are engine-portable.
+    """
+    from pyspark.sql import functions as F
+
+    # strip version: everything from the first v-token onward
+    no_v = F.regexp_replace(arxiv_id, r"[vV][1-9]\d*.*$", "")
+    # old-style: subcategory strip + dashdict repair
+    cat = F.split_part(F.split_part(no_v, F.lit("/"), F.lit(1)), F.lit("."), F.lit(1))
+    num = F.split_part(no_v, F.lit("/"), F.lit(2))
+    map_items: list = []
+    for k, v in sorted(DASHDICT.items()):
+        map_items.extend([F.lit(k), F.lit(v)])
+    dashmap = F.create_map(*map_items)
+    repaired = F.concat(F.coalesce(F.element_at(dashmap, cat), cat), F.lit("/"), num)
+    # new-style: zero-pad post-1501 4-digit numbers
+    yymm = F.split_part(no_v, F.lit("."), F.lit(1))
+    nnum = F.split_part(no_v, F.lit("."), F.lit(2))
+    padded = F.when(
+        no_v.contains(".")
+        & (yymm.try_cast("int") > 1500)
+        & (F.length(nnum) < 5),
+        F.concat(yymm, F.lit(".0"), nnum),
+    ).otherwise(no_v)
+    return F.when(no_v.contains("/"), repaired).otherwise(padded)
+
+
 ID_TYPE_DOI = "DOI"
 ID_TYPE_ARXIV = "arxivID"
 

@@ -15,6 +15,10 @@ throughput + convergence wall-clock):
 - triangles       : per-vertex triangle counts on the co-supply graph
 - minhash_lsh     : signatures + banded candidate pairs on documents
 - embed_topk      : brute-force cosine top-5 x 50 queries
+- pagerank_zipf   : 40M-edge zipf graph (BENCH/BASELINE.md's scaling
+                    input), fixed supersteps on the shuffle-join path —
+                    the at-scale edges/sec/superstep headline
+                    (SPARK_GRAFT_BENCH_ZIPF_EDGES to resize)
 
 Scaling (N vs 4N) evidence is produced by scripts/scaling_report.py
 (separate JVMs per parallelism level) into BENCH/BASELINE.md.
@@ -127,6 +131,33 @@ def main() -> None:
         "embed_topk",
         lambda: brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=5).count(),
     )
+
+    # -- at-scale PageRank throughput (BASELINE.md's 40M-edge zipf input) ----
+    import statistics
+
+    from arxiv_citation_graph_spark.datagen import synthetic_edges
+
+    zipf_edges = int(os.environ.get("SPARK_GRAFT_BENCH_ZIPF_EDGES", "40000000"))
+    zipf_iters = 4
+    spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
+
+    def run_zipf():
+        ze = synthetic_edges(spark, max(zipf_edges // 50, 1000), zipf_edges).cache()
+        m = ze.count()
+        res = pagerank(
+            spark, ze, tolerance=None, max_iterations=zipf_iters,
+            salt_buckets=32, hot_degree_threshold=5000, broadcast_ranks=False,
+        )
+        steady = [w / 1000.0 for w in res.report.wall_ms[1:]]
+        med = statistics.median(steady)
+        extras["zipf_edges"] = m
+        extras["zipf_vertices"] = res.num_vertices
+        extras["zipf_superstep_sec"] = round(med, 3)
+        extras["zipf_edges_per_sec_per_superstep"] = round(m / med, 1)
+        ze.unpersist()
+        return res.report.iterations
+
+    timed("pagerank_zipf", run_zipf)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1,0 +1,85 @@
+"""F6 optional id normalizers: parity with the reference's own functions
+(loaded from /root/reference when present) + scalar/Column agreement.
+
+The reference defines these but never calls them from the pipeline
+(``arxiv_regex/arxiv_regex.py:102-137``); the engine ships them as
+documented-optional normalization, so parity is checked directly against
+the reference module's ``strip_version`` / ``format_cat`` /
+``zeropad_1501`` / ``clean``.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.functions.identifiers import (
+    normalize_arxiv_id,
+    normalize_arxiv_id_col,
+    repair_category,
+    strip_version,
+    zeropad_new_style,
+)
+
+_REF = "/root/reference/arxiv_regex/arxiv_regex.py"
+
+#: ids covering every branch: version suffixes, dashless typos,
+#: subcategories, pre/post-1501 new-style, already-clean ids
+CORPUS = [
+    "1501.21981v1",
+    "1501.2198v1",
+    "1501.2198",
+    "1412.9999",
+    "1412.999",
+    "2203.00021v3",
+    "condmat/9901123",
+    "condmat/9901123v2",
+    "cond-mat/9901123",
+    "cond-mat.str-el/9901123",
+    "astro-ph.GA/0701013",
+    "math.PR/0003156",
+    "math/0003156",
+    "heplat/9901001",
+    "hep-th/9901001v12",
+    "1601.0001",
+    "1601.00010",
+]
+
+
+def _ref_module():
+    spec = importlib.util.spec_from_file_location("_ref_norm", _REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # type: ignore[union-attr]
+    return mod
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference tree absent")
+def test_normalizers_match_reference_module():
+    ref = _ref_module()
+    for aid in CORPUS:
+        assert strip_version(aid) == ref.strip_version(aid), aid
+        assert repair_category(aid) == ref.format_cat(aid), aid
+        assert zeropad_new_style(aid) == ref.zeropad_1501(aid), aid
+        assert normalize_arxiv_id(aid) == ref.clean(aid), aid
+
+
+def test_column_normalizer_matches_scalar(spark):
+    df = spark.createDataFrame([(a,) for a in CORPUS], "raw_id string")
+    rows = df.select(
+        "raw_id", normalize_arxiv_id_col(F.col("raw_id")).alias("norm")
+    ).collect()
+    for r in rows:
+        assert r.norm == normalize_arxiv_id(r.raw_id), r.raw_id
+
+
+def test_normalizer_branch_values():
+    assert strip_version("1501.21981v1") == "1501.21981"
+    assert repair_category("condmat/9901123") == "cond-mat/9901123"
+    assert repair_category("cond-mat.str-el/9901123") == "cond-mat/9901123"
+    assert zeropad_new_style("1501.2198") == "1501.02198"
+    assert zeropad_new_style("1412.999") == "1412.999"  # pre-1501 untouched
+    assert normalize_arxiv_id("condmat/9901123v2") == "cond-mat/9901123"
+    assert normalize_arxiv_id("1501.2198v1") == "1501.02198"
