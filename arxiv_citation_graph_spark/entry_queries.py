@@ -1482,6 +1482,91 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_topk_sql(
+    n_centroids: int = 8, iters: int = 3, n_probe: int = 2, k: int = 5
+) -> str:
+    """Unrolled deterministic k-means + IVF probe, mirroring
+    ``operators/simsearch.ivf_train``/``ivf_topk`` to the rounding digit:
+    hash-ordered init, argmax-cosine assignment (sim rounded to 6 dp,
+    ties -> lowest cell), per-dim mean update (6 dp), empty cells keep
+    their previous centroid."""
+    sim = (
+        "round(list_dot_product({v}.e, {c}.ce)"
+        " / (sqrt(list_dot_product({v}.e, {v}.e))"
+        " * sqrt(list_dot_product({c}.ce, {c}.ce))), 6)"
+    )
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
+      SELECT cid, ce FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+               list_transform(e, x -> round(x, 6)) AS ce
+        FROM v
+      ) WHERE cid < {n_centroids})""",
+    ]
+
+    def assign(name: str, prev_c: str, src: str = "v", n_keep: int = 1) -> str:
+        s = sim.format(v=src, c="c")
+        return f"""{name} AS MATERIALIZED (
+      SELECT vec_id, e, cid FROM (
+        SELECT {src}.vec_id, {src}.e, c.cid,
+               row_number() OVER (PARTITION BY {src}.vec_id
+                                  ORDER BY {s} DESC, c.cid) AS rn
+        FROM {src} CROSS JOIN {prev_c} c
+      ) WHERE rn <= {n_keep})"""
+
+    for it in range(1, iters + 1):
+        ctes.append(assign(f"a{it}", f"c{it - 1}"))
+        ctes.append(
+            f"""c{it} AS MATERIALIZED (
+      SELECT p.cid, coalesce(n.ce, p.ce) AS ce FROM c{it - 1} p LEFT JOIN (
+        SELECT cid, list(av ORDER BY dim) AS ce FROM (
+          SELECT cid, dim, round(avg(val), 6) AS av
+          FROM (SELECT cid, unnest(e) AS val, generate_subscripts(e, 1) AS dim FROM a{it})
+          GROUP BY cid, dim
+        ) GROUP BY cid
+      ) n ON n.cid = p.cid)"""
+        )
+    ctes.append(assign("inv", f"c{iters}"))
+    ctes.append("qv AS (SELECT * FROM v WHERE vec_id < 10)")
+    ctes.append(assign("qp", f"c{iters}", src="qv", n_keep=n_probe))
+    ctes.append(
+        """cand AS (
+      SELECT qp.vec_id AS query_id, inv.vec_id AS neighbor_id,
+             round(list_dot_product(qp.e, inv.e)
+                   / (sqrt(list_dot_product(qp.e, qp.e))
+                      * sqrt(list_dot_product(inv.e, inv.e))), 6) AS cos_sim
+      FROM qp JOIN inv ON qp.cid = inv.cid AND qp.vec_id <> inv.vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= {k}"""
+    )
+
+
+@register("ivf_ann_topk", _ivf_topk_sql(8, 3, 2, 5))
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: deterministic k-means coarse quantizer (3 iters,
+    8 cells), 2-cell probe — vs the fully unrolled k-means oracle."""
+    from arxiv_citation_graph_spark.operators.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=8,
+        n_probe=2,
+        iterations=3,
+    )
+
+
 @register(
     "embedding_centroids",
     """

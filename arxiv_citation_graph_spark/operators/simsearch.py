@@ -168,6 +168,137 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: deterministic k-means coarse quantizer
+# ---------------------------------------------------------------------------
+#
+# The production-shaped scale path beyond hyperplane LSH: vectors are
+# assigned to their nearest centroid (the inverted lists); a query probes
+# only the ``n_probe`` nearest cells.  Everything is deterministic so the
+# DuckDB oracle can unroll the training loop:
+#
+# - init: the ``n_centroids`` corpus vectors with the smallest
+#   ``md5(vec_id)`` (hash-ordered pseudo-random sample, no RNG state),
+# - assignment: argmax cosine, rounded to 6 dp, ties -> lowest cell id,
+# - update: per-dimension mean, rounded to 6 dp; empty cells keep their
+#   previous centroid.
+#
+# Centroids are model parameters (n_centroids x dims floats): collecting
+# them to the driver per iteration is the legitimate k-means shape — the
+# data-sized work (assignment, partial sums) stays distributed, and the
+# assignment join broadcasts the tiny centroid table.
+
+
+def _cosine_to_lit(vec: Column, centroid: list[float]) -> Column:
+    c_norm = math.sqrt(sum(w * w for w in centroid))
+    dot = F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(w) for w in centroid]),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / (_norm(vec) * F.lit(c_norm))
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """Array of the n_probe nearest cell ids (cosine desc, cid asc)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(_cosine_to_lit(vec, c), 6).alias("sim"),
+                F.lit(-cid).alias("ncid"),  # struct order: sim desc, cid asc
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return F.transform(top, lambda s: -s["ncid"])
+
+
+def ivf_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iterations: int = 3,
+) -> list[list[float]]:
+    """Deterministic k-means: returns the trained centroids."""
+    v = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    )
+    init_rows = (
+        v.orderBy(F.md5(F.col("vid").cast("string")), "vid").limit(n_centroids).collect()
+    )
+    centroids = [[round(float(x), 6) for x in r.e] for r in init_rows]
+    for _ in range(iterations):
+        assigned = v.select(
+            "vid", "e", _nearest_cells(F.col("e"), centroids, 1)[0].alias("cid")
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("e").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("av"))
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in sums:
+            new.setdefault(int(r.cid), {})[int(r.dim)] = float(r.av)
+        centroids = [
+            [new[cid][d] for d in range(len(centroids[cid]))] if cid in new else centroids[cid]
+            for cid in range(n_centroids)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iterations: int = 3,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: train (or reuse) centroids, probe n_probe cells.
+
+    Same output shape as ``brute_force_topk``; recall < 1 by design
+    (tests measure it against the brute-force oracle).  Pass pre-trained
+    ``centroids`` to skip training (the production pattern: train once,
+    reuse across queries).
+    """
+    if centroids is None:
+        centroids = ivf_train(corpus, id_col, vec_col, n_centroids, iterations)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cid"),
+    )
+    scored = (
+        q.join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
 def centroid_per_label(
     embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

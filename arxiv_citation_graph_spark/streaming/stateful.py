@@ -1,0 +1,144 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState``.
+
+The engine's batch surface has a sessionize query (30-min-gap sessions
+over the ``events`` table); this is its incremental form — the canonical
+"custom stateful operator" shape Structured Streaming offers when the
+built-in windows can't express the semantics (session windows with
+per-key mutable state + event-time timeout).
+
+Semantics (deterministic, batch-equivalent):
+
+- events arrive per ``user_id`` group; state = the currently-open
+  session ``(start_s, end_s, n_events)`` in epoch seconds;
+- an event more than ``gap_seconds`` after the open session's end CLOSES
+  it (emitted) and opens a new one;
+- on event-time timeout (watermark passed ``end + gap``) the open
+  session is emitted and state cleared.
+
+Per Arrow batch the per-user events are sorted by (ts, event_id) —
+event-time order with a deterministic tie-break, matching the batch
+query's window ordering.  State is O(1) per key: three scalars.
+
+Scale shape: one shuffle on ``user_id`` into the state store, state
+size bounded by |active users|, timeouts evict — this is exactly the
+plan a 100 TB clickstream would want.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.LongType(), False),  # epoch s
+        T.StructField("session_end", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_s", T.LongType(), False),
+        T.StructField("end_s", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def _sessionize_fn(gap_seconds: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_s, end_s, n = state.get
+                closed.append((start_s, end_s, n))
+                state.remove()
+        else:
+            events = pd.concat(list(pdfs))
+            events = events.sort_values(["epoch_s", "event_id"])
+            if state.exists:
+                start_s, end_s, n = state.get
+            else:
+                start_s = end_s = -1
+                n = 0
+            for ts in events["epoch_s"]:
+                ts = int(ts)
+                if start_s < 0:
+                    start_s, end_s, n = ts, ts, 1
+                elif ts - end_s > gap_seconds:
+                    closed.append((start_s, end_s, n))
+                    start_s, end_s, n = ts, ts, 1
+                else:
+                    end_s, n = ts, n + 1
+            state.update((start_s, end_s, n))
+            # evict once the watermark passes the gap after the last event
+            state.setTimeoutTimestamp((end_s + gap_seconds) * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """events stream -> closed-session stream (open sessions live in the
+    state store until the gap times out)."""
+    prepared = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("epoch_s"), "ts")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """The batch query the stream must agree with: full session bounds via
+    the lag-gap cumulative-sum technique (one window chain, no state)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("epoch_s", "event_id")
+    prepared = events.select(
+        "user_id", "event_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch_s")
+    )
+    gaps = prepared.withColumn(
+        "new_session",
+        F.when(
+            (F.col("epoch_s") - F.lag("epoch_s").over(w) > gap_seconds)
+            | F.lag("epoch_s").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    numbered = gaps.withColumn("session_no", F.sum("new_session").over(w))
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.min("epoch_s").alias("session_start"),
+            F.max("epoch_s").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )

@@ -1,0 +1,67 @@
+"""applyInPandasWithState sessionization: streaming output must agree
+with the batch sessionization on every emitted session."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.streaming.events import run_stream_to_memory
+from arxiv_citation_graph_spark.streaming.stateful import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # one file -> one micro-batch: all in-batch gaps close deterministically
+    src = str(tmp_path / "events_single")
+    events.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = run_stream_to_memory(
+        spark, sessionize_stream(stream, gap_seconds=1800), "stateful_sessions"
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in out.collect()
+    }
+
+    batch = sessionize_batch(events, gap_seconds=1800)
+    all_sessions = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in batch.collect()
+    }
+    # the per-user trailing session may legitimately still be open in the
+    # state store when the available-now stream drains (event-time timeout
+    # fires only if a later batch advances the watermark past it)
+    w = Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+    closed_in_batch = batch.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") > 1
+    )
+    must_have = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in closed_in_batch.collect()
+    }
+
+    assert got <= all_sessions  # every emitted session is exactly a batch session
+    assert must_have <= got  # every in-batch-closed session was emitted
+    assert len(must_have) > 0  # the fixture actually exercises gap closing
+
+
+def test_stateful_sessionize_session_counts_match_query(spark):
+    """sessionize_batch agrees with the registered `sessionize` oracle
+    query's per-user session counts (same gap rule, different plan)."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    per_user = (
+        sessionize_batch(events, 1800)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    from arxiv_citation_graph_spark.entry_queries import q_sessionize
+
+    oracle = q_sessionize(spark, SF_DIR)
+    a = {(r.user_id, r.n_sessions, r.n_events) for r in per_user.collect()}
+    b = {(r.user_id, r.n_sessions, r.n_events) for r in oracle.collect()}
+    assert a == b

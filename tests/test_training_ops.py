@@ -207,3 +207,43 @@ def test_fingerprint_stability(spark):
     # appending a token changes at most the min (often not); identical text -> identical fp
     again = {r.doc_id: r.fp for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
     assert fp1 == again
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    centroids = ivf_train(emb, n_centroids=8, iterations=3)
+    approx = ivf_topk(emb, queries, k=5, n_probe=4, centroids=centroids).collect()
+
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 of 8 cells probed: random embeddings are the worst case; floor only
+    assert recall >= 0.2
+    # every candidate's cosine equals the exact computation
+    exact_sims = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert math.isclose(
+                r.cos_sim, exact_sims[(r.query_id, r.neighbor_id)], abs_tol=1e-9
+            )
+
+    # training is deterministic: same input -> byte-identical centroids
+    again = ivf_train(emb, n_centroids=8, iterations=3)
+    assert again == centroids
+    # every vector lands in exactly one cell; cells partition the corpus
+    from pyspark.sql import functions as SF
+    from arxiv_citation_graph_spark.operators.simsearch import _nearest_cells
+
+    assigned = emb.select(
+        "vec_id", _nearest_cells(SF.col("embedding"), centroids, 1)[0].alias("cid")
+    )
+    assert assigned.count() == emb.count()
+    assert assigned.select("cid").distinct().count() <= 8
