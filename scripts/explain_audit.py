@@ -112,6 +112,46 @@ def main() -> None:
         )
     )
 
+    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from arxiv_citation_graph_spark.operators.dedup import ngram_jaccard_pairs
+
+    jac = ngram_jaccard_pairs(docs_tbl, "doc_id", "text", threshold=0.18)
+    sections.append(
+        (
+            "n-gram Jaccard verifier (df-capped)",
+            "The hot-shingle guard must appear as a pre-aggregation + "
+            "LeftSemi join BEFORE the pair self-join, bounding the join's "
+            "fan-out to df<=cap per shingle.",
+            condense(plan_of(jac), KEEP + ("LeftSemi",)),
+        )
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from arxiv_citation_graph_spark.operators.simsearch import ivf_topk, lsh_topk
+
+    lsh = lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dims=64, k=5, n_planes=8)
+    sections.append(
+        (
+            "Hyperplane-LSH ANN top-k",
+            "Candidates come from an equi-join on the signature (hash join "
+            "on sig), never a cross join; per-query ranking is a bounded "
+            "window over bucket-mates only.",
+            condense(plan_of(lsh), KEEP),
+        )
+    )
+
+    ivf = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8,
+                   n_probe=2, iterations=1)
+    sections.append(
+        (
+            "IVF ANN probe join",
+            "After (driver-side, tiny) k-means training, the probe is an "
+            "equi-join on the cell id — candidates are per-cell, not "
+            "all-pairs; centroid distances are literal-folded expressions.",
+            condense(plan_of(ivf), KEEP),
+        )
+    )
+
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out_path, "w") as fh:
         fh.write("# PLANS — executed-plan audit (generated by scripts/explain_audit.py)\n")
