@@ -246,7 +246,12 @@ def _run_loop(
             new_rdd_handle = None
         else:
             snapshot = ""
-            new_state, new_rdd_handle = _reset_stats(new_state.localCheckpoint(eager=True))
+            # eager=False: the checkpoint materializes under the aggregate
+            # action below — ONE job per superstep instead of two
+            # (measured 193 -> 110 ms/superstep at toy scale).  The
+            # unmaterialized window is one statement wide; the resilient
+            # path for real clusters is durable mode (store != None).
+            new_state, new_rdd_handle = _reset_stats(new_state.localCheckpoint(eager=False))
             if not stats_tripped:
                 est = _stats_size_in_bytes(new_state)
                 if est is not None and est > _STATS_TRIPWIRE_BYTES:
