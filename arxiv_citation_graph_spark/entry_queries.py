@@ -1585,6 +1585,66 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Multimodal binary-column plumbing under the oracle
+# ===========================================================================
+#
+# Payloads are utf-8-encoded document text (deterministic binary both
+# engines can rebuild); the Spark side runs the REAL mapInPandas feature
+# kernel / JVM binary slicing from ``multimodal/binary.py``.  The float
+# feature vector itself is float32-typed (cross-engine rounding hazard)
+# and stays pytest-verified; the oracle pins the binary metadata path.
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata via the mapInPandas feature kernel:
+    byte counts + content digests, payloads never on the driver."""
+    from arxiv_citation_graph_spark.multimodal.binary import extract_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return extract_features(media, dims=4).select("media_id", "kind", "n_bytes", "sha256")
+
+
+@register(
+    "multimodal_frames",
+    """
+    -- blob slicing via the hex plane: hex(bytes[a:b]) == substr(hex(bytes), 2a+1, 2n)
+    SELECT doc_id AS media_id, CAST(i - 1 AS INT) AS frame_no,
+           substr(hex(encode(text)), CAST((i - 1) * 64 * 2 + 1 AS INT), 16) AS frame_hex
+    FROM documents,
+         UNNEST(range(1, greatest(octet_length(encode(text)) // 64, 1) + 1)) AS t(i)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: fixed-stride JVM substring
+    slices (zero Python), hex-encoded for the hash compare."""
+    from arxiv_citation_graph_spark.multimodal.binary import sample_frames
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    frames = sample_frames(media, every_n_bytes=64, frame_len=8)
+    return frames.select(
+        "media_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.hex(F.col("frame_bytes")).alias("frame_hex"),
+    )
+
+
+# ===========================================================================
 # Metadata enrichment / status classification (SURVEY.md §2.9, P6/P7)
 # ===========================================================================
 
