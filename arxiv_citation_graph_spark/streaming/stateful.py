@@ -82,8 +82,13 @@ def _sessionize_fn(gap_seconds: int):
                 else:
                     end_s, n = ts, n + 1
             state.update((start_s, end_s, n))
-            # evict once the watermark passes the gap after the last event
-            state.setTimeoutTimestamp((end_s + gap_seconds) * 1000)
+            # evict once the watermark passes the gap after the last event;
+            # clamp above the current watermark — Spark rejects timeout
+            # timestamps at/below it (possible when this user's events are
+            # old relative to other keys' progress)
+            timeout_ms = (end_s + gap_seconds) * 1000
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(closed),

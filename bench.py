@@ -139,14 +139,16 @@ def main() -> None:
 
     zipf_edges = int(os.environ.get("SPARK_GRAFT_BENCH_ZIPF_EDGES", "40000000"))
     zipf_iters = 4
-    spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
+    # 2x cores: measured best at this |E| (6.5 vs 7.0 s/superstep at 1x;
+    # 128 partitions regress — partition overhead exceeds the skew relief)
+    spark.conf.set("spark.sql.shuffle.partitions", str(CPUS * 2))
 
     def run_zipf():
         ze = synthetic_edges(spark, max(zipf_edges // 50, 1000), zipf_edges).cache()
         m = ze.count()
         res = pagerank(
             spark, ze, tolerance=None, max_iterations=zipf_iters,
-            salt_buckets=32, hot_degree_threshold=5000, broadcast_ranks=False,
+            salt_buckets=16, hot_degree_threshold=5000, broadcast_ranks=False,
         )
         steady = [w / 1000.0 for w in res.report.wall_ms[1:]]
         med = statistics.median(steady)
