@@ -41,8 +41,11 @@ def label_propagation(
     edges: DataFrame,
     max_iterations: int = 10,
     store: CheckpointStore | None = None,
+    resume: bool = False,
     broadcast_labels: bool | None = None,
 ) -> LabelPropResult:
+    """``resume=True`` with a ``store`` continues from the last committed
+    superstep (same manifest protocol as PageRank/CC)."""
     sym = symmetrize(edges).repartition(
         spark.sparkContext.defaultParallelism, "src_id"
     ).cache()
@@ -84,10 +87,31 @@ def label_propagation(
         )
         return new, {"delta": F.sum("delta")}
 
-    initial = vertices.select("vertex", F.col("vertex").alias("label"), F.lit(0.0).alias("delta"))
+    start_iter = 0
+    if store is not None and resume:
+        last = store.last_committed()
+        if last >= 0:
+            initial = store.read_state(spark, last)
+            start_iter = last + 1
+        else:
+            initial = _initial_labels(vertices)
+    else:
+        initial = _initial_labels(vertices)
     final, report = run_supersteps(
-        spark, initial, step, max_iterations=max_iterations, tolerance=0.0, store=store
+        spark,
+        initial,
+        step,
+        max_iterations=max_iterations,
+        tolerance=0.0,
+        store=store,
+        start_iteration=start_iter,
     )
     sym.unpersist()
     vertices.unpersist()
     return LabelPropResult(final.select("vertex", "label"), report)
+
+
+def _initial_labels(vertices: DataFrame) -> DataFrame:
+    return vertices.select(
+        "vertex", F.col("vertex").alias("label"), F.lit(0.0).alias("delta")
+    )

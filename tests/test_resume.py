@@ -50,3 +50,22 @@ def test_resume_skips_completed_iterations(spark, tmp_path):
     again = pagerank(spark, edges, tolerance=1e-8, max_iterations=50, store=store, resume=True)
     assert again.report.converged
     assert again.report.iterations - (done_at + 1) <= 1
+
+
+def test_lpa_resume_identical(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.labelprop import label_propagation
+
+    edges = toy_edges_df(spark, "resume").cache()
+    full = {
+        r.vertex: r.label
+        for r in label_propagation(spark, edges, max_iterations=6).labels.collect()
+    }
+
+    store = CheckpointStore(str(tmp_path / "ckpt_lpa"), "lpa_resume")
+    partial = label_propagation(spark, edges, max_iterations=2, store=store)
+    assert store.last_committed() >= 0
+    resumed = label_propagation(
+        spark, edges, max_iterations=6, store=store, resume=True
+    )
+    got = {r.vertex: r.label for r in resumed.labels.collect()}
+    assert got == full  # labels are exact (deterministic ties)
