@@ -1,0 +1,62 @@
+"""Bucketed adjacency storage: shuffle-free co-located joins.
+
+The 10^12-scale layout decision (SURVEY.md §4.3, BASELINE.json
+north_rule "partitioning / shuffle / skew handled explicitly"): the edge
+table is written ONCE bucketed (hash-clustered + sorted) on ``src_id``,
+and every downstream equi-join against another table bucketed on the
+same key with the same bucket count runs with ZERO Exchange — Spark's
+SortMergeJoin consumes the bucket files directly (verified in
+``tests/test_bucketed.py`` and PLANS.md: no Exchange operator in the
+executed plan).
+
+This is the catalog-table analog of the in-memory
+``plans/layout.build_adjacency`` (hash-partition + cache): caching
+amortizes the shuffle across *supersteps of one job*; bucketing
+amortizes it across *jobs and runs*.  In production the same property
+comes from Iceberg's ``bucket(N, src_id)`` partition transform +
+storage-partitioned joins; the Spark-bucketed-table form below is the
+sandbox equivalent with identical plan shape.
+
+Sizing note: pick ``buckets`` ~= total cluster cores x 2 at the target
+scale (buckets are the join's parallelism floor — too few starves the
+cluster, too many makes small files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a bucketed external parquet table.
+
+    ``sortBy(key)`` makes each bucket file key-sorted, so the co-located
+    SortMergeJoin needs no per-task sort of the big side either.
+    """
+    writer = df.write.bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.option("path", path).mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (bucket metadata comes from the catalog —
+    a plain ``spark.read.parquet`` of the same files would NOT carry the
+    bucket spec and would reintroduce the shuffle)."""
+    return spark.table(table)
+
+
+def cobucketed_join(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str, how: str = "inner"
+) -> DataFrame:
+    """Equi-join two co-bucketed tables.  Pure sugar — the shuffle-free
+    plan comes from the bucket specs, not from this function; it exists
+    so call sites document the intent."""
+    return left.join(right, left[left_key] == right[right_key], how)

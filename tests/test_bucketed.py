@@ -1,0 +1,79 @@
+"""Bucketed adjacency tables: the co-located join must plan with ZERO
+Exchange operators, and results must equal the plain-join results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.sources.bucketed import (
+    cobucketed_join,
+    read_bucketed,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cobucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
+    edges = spark.range(20000).select(
+        (F.col("id") % 500).cast("string").alias("src_id"),
+        (F.col("id") % 700).cast("string").alias("dst_id"),
+    )
+    ranks = spark.range(500).select(
+        F.col("id").cast("string").alias("vertex"), (F.col("id") * 1.0).alias("rank")
+    )
+    write_bucketed(edges, "t_edges_b", str(tmp_path / "edges"), "src_id", buckets=8)
+    write_bucketed(ranks, "t_ranks_b", str(tmp_path / "ranks"), "vertex", buckets=8)
+
+    e = read_bucketed(spark, "t_edges_b")
+    r = read_bucketed(spark, "t_ranks_b")
+    joined = cobucketed_join(e, r, "src_id", "vertex")
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+    # same rows as the plain (shuffling) join
+    plain = edges.join(ranks, edges.src_id == ranks.vertex)
+    assert joined.count() == plain.count()
+    got = joined.groupBy("dst_id").agg(F.round(F.sum("rank"), 6).alias("m"))
+    want = plain.groupBy("dst_id").agg(F.round(F.sum("rank"), 6).alias("m"))
+    assert {(r.dst_id, r.m) for r in got.collect()} == {
+        (r.dst_id, r.m) for r in want.collect()
+    }
+
+    spark.sql("DROP TABLE IF EXISTS t_edges_b")
+    spark.sql("DROP TABLE IF EXISTS t_ranks_b")
+
+
+def test_unbucketed_read_of_same_files_shuffles(spark, tmp_path, no_broadcast):
+    """Reading the same parquet files WITHOUT the catalog bucket spec
+    reintroduces the Exchange — the metadata, not the layout, carries
+    the guarantee (documented failure mode)."""
+    edges = spark.range(5000).select(
+        (F.col("id") % 100).cast("string").alias("src_id"),
+        (F.col("id") % 130).cast("string").alias("dst_id"),
+    )
+    ranks = spark.range(100).select(
+        F.col("id").cast("string").alias("vertex"), F.lit(1.0).alias("rank")
+    )
+    write_bucketed(edges, "t_e2", str(tmp_path / "e2"), "src_id", buckets=4)
+    write_bucketed(ranks, "t_r2", str(tmp_path / "r2"), "vertex", buckets=4)
+    e_raw = spark.read.parquet(str(tmp_path / "e2"))
+    r_raw = spark.read.parquet(str(tmp_path / "r2"))
+    plan = (
+        e_raw.join(r_raw, e_raw.src_id == r_raw.vertex)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in plan
+    spark.sql("DROP TABLE IF EXISTS t_e2")
+    spark.sql("DROP TABLE IF EXISTS t_r2")
