@@ -530,11 +530,12 @@ _CC_ITERS = 12
 _LPA_ITERS = 2
 
 
-def _pagerank_unrolled_sql(iters: int) -> str:
+def _pagerank_unrolled_sql(iters: int, edges_sql: str | None = None) -> str:
     """Unrolled power iteration: r0 uniform; per superstep dangling mass
-    redistributed uniformly; damping 0.85 — the same math the engine runs."""
+    redistributed uniformly; damping 0.85 — the same math the engine runs.
+    ``edges_sql`` defaults to the bipartite customer->supplier graph."""
     ctes = [
-        f"edges AS MATERIALIZED ({EDGES_BIPARTITE_SQL})",
+        f"edges AS MATERIALIZED ({edges_sql or EDGES_BIPARTITE_SQL})",
         "verts AS MATERIALIZED (SELECT src_id AS vertex FROM edges UNION SELECT dst_id FROM edges)",
         "outd AS MATERIALIZED (SELECT src_id, CAST(count(*) AS DOUBLE) AS out_deg FROM edges GROUP BY src_id)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
@@ -759,18 +760,18 @@ def _synthetic_tex_docs(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "extract_edges",
-    """
-    WITH d AS (
-      SELECT doc_id,
-             CAST(doc_id % 50 AS VARCHAR) AS m50,
-             lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS m100,
-             CAST(doc_id % 900 + 100 AS VARCHAR) AS m900,
-             CAST(doc_id % 25 AS VARCHAR) AS m25
-      FROM documents
-    ),
-    e AS (
+#: closed-form statement of the synthetic corpus's expected edge table
+#: (reused by the chained extraction -> PageRank oracle below)
+EXTRACT_EDGES_SQL = """
+    SELECT DISTINCT src_id, dst_id FROM (
+      WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % 50 AS VARCHAR) AS m50,
+               lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS m100,
+               CAST(doc_id % 900 + 100 AS VARCHAR) AS m900,
+               CAST(doc_id % 25 AS VARCHAR) AS m25
+        FROM documents
+      )
       SELECT 'doc' || CAST(doc_id AS VARCHAR) AS src_id,
              '10.1234/ref.' || m50 AS dst_id FROM d          -- bibitems a+g dedup
       UNION ALL
@@ -780,9 +781,10 @@ def _synthetic_tex_docs(docs: DataFrame) -> DataFrame:
       UNION ALL
       SELECT 'doc' || CAST(doc_id AS VARCHAR), '10.5555/both.' || m25 FROM d
     )
-    SELECT DISTINCT src_id, dst_id FROM e
-    """,
-)
+"""
+
+
+@register("extract_edges", EXTRACT_EDGES_SQL)
 def q_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship docs -> edges pipeline end-to-end under the DuckDB
     oracle: bibliography slice/split (P3/P4), len>30 gate (P5), DOI /
@@ -791,6 +793,27 @@ def q_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arxiv_citation_graph_spark.operators.extract import edges_from_docs
 
     return edges_from_docs(_synthetic_tex_docs(_t(spark, sf_dir, "documents")))
+
+
+@register("extract_pagerank", None)  # oracle registered below (needs _pagerank_unrolled_sql)
+def q_extract_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship end-to-end chain (BASELINE.json north_star): synthetic
+    docs -> vectorized extraction -> deduplicated edges -> PageRank
+    (salted two-stage agg, dangling mass, damping 0.85, 4 supersteps) —
+    against a DuckDB oracle that unrolls the power iteration over the
+    corpus's closed-form edge table."""
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    edges = edges_from_docs(_synthetic_tex_docs(_t(spark, sf_dir, "documents")))
+    result = pagerank(
+        spark, edges, tolerance=None, max_iterations=4, salt_buckets=8,
+        hot_degree_threshold=64,
+    )
+    return result.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+
+_ORACLES["extract_pagerank"] = _pagerank_unrolled_sql(4, edges_sql=EXTRACT_EDGES_SQL)
 
 
 def _extract_references_sql() -> str:
