@@ -20,15 +20,17 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: derive the citation-style edge table from sf0.001,
-    run PageRank (salted two-stage aggregation, dangling handling) to a
-    fixed superstep count, return the ranked vertex table."""
+    """Flagship (BASELINE.json north_star): docs -> vectorized citation
+    extraction -> deduplicated edge table -> PageRank (salted two-stage
+    aggregation, dangling-mass handling) -> ranked vertex table."""
     from pyspark.sql import functions as F
 
-    from arxiv_citation_graph_spark.entry_queries import bipartite_edges
+    from arxiv_citation_graph_spark.entry_queries import _synthetic_tex_docs, _t
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
     from arxiv_citation_graph_spark.plans.pagerank import pagerank
 
-    edges = bipartite_edges(spark, SF0001)
+    docs = _synthetic_tex_docs(_t(spark, SF0001, "documents"))
+    edges = edges_from_docs(docs)
     result = pagerank(
         spark, edges, tolerance=None, max_iterations=8, salt_buckets=8, hot_degree_threshold=64
     )
