@@ -1591,6 +1591,35 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dups",
+    """
+    -- planted duplicates: positively-scaled copies have cosine exactly 1
+    -- and identical hyperplane signatures; every natural pair is < 0.52,
+    -- so the LSH+verify output is this closed form
+    SELECT vec_id AS doc_a, vec_id + 100000 AS doc_b, 1.0 AS cos_sim
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the dedup-family member for
+    embedding columns), scale path: hyperplane-LSH buckets + exact
+    cosine verification at threshold 0.999."""
+    from arxiv_citation_graph_spark.operators.simsearch import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dup = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.02).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup)
+    return embedding_near_dups(
+        corpus, threshold=0.999, method="lsh", n_planes=8, n_tables=2
+    )
+
+
+@register(
     "embedding_centroids",
     """
     SELECT label, CAST(dim - 1 AS INT) AS dim, round(avg(v), 6) AS centroid_v

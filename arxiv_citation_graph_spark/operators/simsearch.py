@@ -168,6 +168,71 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    max_rows_exact: int | None = 20_000,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: ``(doc_a, doc_b,
+    cos_sim)`` with ``cos_sim >= threshold``, ``doc_a < doc_b``.
+
+    The dedup-family member for embedding columns (exact/minhash/simhash
+    cover text).  ``method='lsh'`` is the scale path: near-identical
+    vectors collide in hyperplane-signature buckets (a vector pair at
+    cosine >= 0.95 disagrees on a random hyperplane with probability
+    arccos(0.95)/pi ~ 0.1, so an 8-bit table catches it with p ~ 0.43;
+    ``n_tables`` drives recall toward 1), then exact cosine verifies —
+    false positives never escape.  ``method='exact'`` is the O(N^2)
+    baseline, guarded by ``max_rows_exact`` like ``brute_force_topk``.
+    """
+    v = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("e"))
+    if method == "exact":
+        if max_rows_exact is not None:
+            n = v.limit(max_rows_exact + 1).count()
+            if n > max_rows_exact:
+                raise ValueError(
+                    f"embedding_near_dups(method='exact') on >{max_rows_exact} "
+                    "rows is an O(N^2) cross join — use method='lsh'."
+                )
+        a = v.select(F.col("doc").alias("doc_a"), F.col("e").alias("ea"))
+        b = v.select(F.col("doc").alias("doc_b"), F.col("e").alias("eb"))
+        pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    elif method == "lsh":
+        dims = len(corpus.select(vec_col).first()[0])
+        banded = v.select(
+            "doc",
+            "e",
+            F.posexplode(
+                F.array(
+                    *[
+                        hyperplane_signature(F.col("e"), dims, n_planes, plane_offset=t * n_planes)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("band", "key"),
+        )
+        a = banded.select(F.col("doc").alias("doc_a"), F.col("e").alias("ea"), "band", "key")
+        b = banded.select(F.col("doc").alias("doc_b"), F.col("e").alias("eb"), "band", "key")
+        pairs = (
+            a.join(b, ["band", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ea", "eb")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'exact' or 'lsh')")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: deterministic k-means coarse quantizer
 # ---------------------------------------------------------------------------

@@ -167,6 +167,10 @@ def main() -> None:
 
     timed("pagerank_zipf", run_zipf)
 
+    extras["workload_changes_r2"] = (
+        "added pagerank_zipf (40M-edge at-scale headline); extract_edges now "
+        "timed after an untimed Python-worker warmup (was cold-start in r1)"
+    )
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

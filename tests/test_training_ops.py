@@ -247,3 +247,28 @@ def test_ivf_topk_recall_and_determinism(spark):
     )
     assert assigned.count() == emb.count()
     assert assigned.select("cid").distinct().count() <= 8
+
+
+def test_embedding_near_dups_exact_and_lsh_agree_on_planted(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dup = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup)
+    exact = embedding_near_dups(corpus, threshold=0.999, method="exact")
+    lsh = embedding_near_dups(corpus, threshold=0.999, method="lsh", n_tables=2)
+    want = {(i, i + 5000) for i in range(10)}
+    assert {(r.doc_a, r.doc_b) for r in exact.collect()} == want
+    # scaled copies share signatures exactly -> LSH recall 1.0 here
+    assert {(r.doc_a, r.doc_b) for r in lsh.collect()} == want
+
+    # O(N^2) guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lsh"):
+        embedding_near_dups(corpus, method="exact", max_rows_exact=5).collect()
