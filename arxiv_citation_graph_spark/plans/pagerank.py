@@ -151,25 +151,23 @@ def pagerank(
             buckets=salt_buckets,
             hot_keys=hot,
         )
-        new = vertices_flagged.join(sums, vertices_flagged.vertex == sums.dst_id, "left").select(
-            "vertex",
-            "dangling",
-            (
-                F.lit(base)
-                + F.lit(uniform_extra)
-                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-            ).alias("rank"),
+        # the state already carries (vertex, dangling, old rank), so the
+        # new rank AND the convergence delta come from ONE |V|-sized left
+        # join with the rank-mass sums — not a vertex join plus a second
+        # delta join (one shuffle fewer per superstep)
+        new_rank = (
+            F.lit(base)
+            + F.lit(uniform_extra)
+            + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
         )
         with_delta = (
-            new.join(
-                _maybe_broadcast(ranks.select("vertex", F.col("rank").alias("old_rank"))),
-                "vertex",
-            )
+            ranks.select("vertex", "dangling", F.col("rank").alias("old_rank"))
+            .join(sums, F.col("vertex") == sums.dst_id, "left")
             .select(
                 "vertex",
                 "dangling",
-                "rank",
-                F.abs(F.col("rank") - F.col("old_rank")).alias("delta"),
+                new_rank.alias("rank"),
+                F.abs(new_rank - F.col("old_rank")).alias("delta"),
             )
         )
         return with_delta, {"delta": F.sum("delta"), "d_mass": dangling_mass_col}
