@@ -610,6 +610,20 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.components
 
 
+@register("connected_components_star", _cc_unrolled_sql(_CC_ITERS))
+def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star components (the O(log^2 n)-round variant for
+    giant-diameter graphs).  At convergence the labels equal hash-min's
+    lexicographic-min convention, so the same unrolled-fixpoint oracle
+    applies."""
+    from arxiv_citation_graph_spark.plans.components_star import (
+        connected_components_star,
+    )
+
+    result = connected_components_star(spark, cosupply_edges(spark, sf_dir))
+    return result.components.select("vertex", "component")
+
+
 def _lpa_unrolled_sql(iters: int) -> str:
     ctes = [
         f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",

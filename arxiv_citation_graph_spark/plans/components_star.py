@@ -1,0 +1,123 @@
+"""Connected components via alternating large-star / small-star rounds.
+
+Hash-min (``plans/components.py``) converges in O(diameter) supersteps —
+the right default for link graphs (small diameter), but pathological for
+path/chain-shaped graphs (diameter ~ |V|).  The two-phase star algorithm
+(Kiveris et al., *Connected Components in MapReduce and Beyond*, SoCC'14
+— public algorithm, original implementation here) converges in
+O(log^2 n) rounds regardless of diameter by rewriting the edge set
+itself toward a star per component:
+
+- **large-star** (on the symmetric neighbor view): every vertex ``u``
+  links each *strictly larger* neighbor directly to
+  ``m = min(N(u) + {u})``.
+- **small-star** (on the canonical ``parent <= child`` view): every
+  vertex ``u`` links its smaller-or-equal neighbors and itself to ``m``.
+
+Both phases are one groupBy (min per vertex) + one join + distinct —
+the same shuffle shape as a hash-min superstep, but the *edge list*
+shrinks/reshapes each round, so convergence is round-count-bounded, not
+diameter-bounded.  Labels are lexicographic minima, identical to
+hash-min's convention, so the two algorithms are interchangeable and
+cross-checked in tests.
+
+Convergence detection: the canonical edge set is stable when its count
+AND an order-insensitive checksum (bit_xor of 64-bit pair hashes — XOR
+cannot overflow and the edge set is distinct by construction) both stop
+changing — computed in the same action that sizes the round.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.superstep import _reset_stats
+
+
+@dataclass
+class StarComponentsResult:
+    components: DataFrame  # (vertex, component)
+    rounds: int
+    converged: bool
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """edges: symmetric (u, v) pairs -> rewritten pairs (v, m(u)) for
+    v > u, where m(u) = min(neighbors(u) + {u})."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("nbr_min"))
+    m = mins.select("u", F.least(F.col("u"), F.col("nbr_min")).alias("m"))
+    return (
+        edges.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """edges: canonical (child, parent) with parent <= child -> each
+    child's smaller neighbors (and the child) link to the minimum."""
+    canon = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        canon.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_links = mins.select("u", F.col("m").alias("v"))
+    return (
+        relinked.unionByName(self_links)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+
+
+def connected_components_star(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 30,
+) -> StarComponentsResult:
+    """O(log^2 n)-round weakly-connected components; output identical to
+    ``connected_components`` (component = lexicographic min vertex)."""
+    vertices = vertices_of(edges).cache()
+    work = (
+        edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    work, _ = _reset_stats(work.localCheckpoint(eager=False))
+    prev_sig: tuple[int, int] | None = None
+    rounds = 0
+    converged = False
+    for rounds in range(1, max_rounds + 1):
+        work = _small_star(_large_star(_sym(work)))
+        work, _ = _reset_stats(work.localCheckpoint(eager=False))
+        sig_row = work.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        sig = (int(sig_row["n"]), int(sig_row["h"]))
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    # converged edge set is (child, root) stars; roots self-label
+    roots = vertices.join(
+        work.select(F.col("u").alias("vertex")).distinct(), "vertex", "left_anti"
+    ).select("vertex", F.col("vertex").alias("component"))
+    children = work.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
+    components = children.unionByName(roots)
+    vertices.unpersist()
+    return StarComponentsResult(components, rounds, converged)

@@ -1,0 +1,62 @@
+"""Large-star/small-star components vs hash-min: identical labels, and
+round count bounded by O(log^2 n) on the diameter-pathological graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.components import connected_components
+from arxiv_citation_graph_spark.plans.components_star import connected_components_star
+
+
+def _labels(df):
+    return {(r.vertex, r.component) for r in df.collect()}
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src_id string, dst_id string")
+
+
+def test_star_matches_hashmin_on_toy_graphs(spark):
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+
+    for name in ("cycle", "k4", "resume"):
+        edges = toy_edges_df(spark, name).cache()
+        want = _labels(connected_components(spark, edges).components)
+        got = connected_components_star(spark, edges)
+        assert got.converged
+        assert _labels(got.components) == want, name
+
+
+def test_star_matches_hashmin_on_random_graph(spark):
+    # deterministic pseudo-random multi-component graph
+    e = spark.range(400).select(
+        F.concat(F.lit("v"), (F.pmod(F.xxhash64("id"), 150)).cast("string")).alias("src_id"),
+        F.concat(F.lit("v"), (F.pmod(F.xxhash64(F.col("id") + 1000), 150)).cast("string")).alias("dst_id"),
+    ).filter(F.col("src_id") != F.col("dst_id")).cache()
+    want = _labels(connected_components(spark, e, max_iterations=60).components)
+    got = connected_components_star(spark, e)
+    assert got.converged
+    assert _labels(got.components) == want
+
+
+def test_star_beats_hashmin_rounds_on_path_graph(spark):
+    n = 64  # path v00-v01-...-v63: diameter 63
+    pairs = [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(n - 1)]
+    edges = _edges(spark, pairs).cache()
+
+    hashmin = connected_components(spark, edges, max_iterations=n + 2)
+    star = connected_components_star(spark, edges)
+
+    assert star.converged
+    assert _labels(star.components) == _labels(hashmin.components)
+    # hash-min needs ~diameter supersteps; star needs ~log^2(n) rounds
+    assert hashmin.report.iterations >= n // 2
+    assert star.rounds <= 12, star.rounds
+
+
+def test_star_isolated_and_self_loop_vertices(spark):
+    edges = _edges(spark, [("a", "a"), ("b", "c"), ("c", "b")])
+    got = connected_components_star(spark, edges)
+    assert got.converged
+    assert _labels(got.components) == {("a", "a"), ("b", "b"), ("c", "b")}
