@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
         if name == "pagerank":
             p.add_argument("--damping", type=float, default=0.85)
             p.add_argument("--tolerance", type=float, default=1e-8)
+        if name == "cc":
+            p.add_argument(
+                "--algo", choices=("hashmin", "star"), default="hashmin",
+                help="hashmin: O(diameter) supersteps (link-graph default); "
+                "star: O(log^2 n) rounds (giant-diameter graphs)",
+            )
 
     p = sub.add_parser("bench-corpus", help="write a deterministic synthetic docs corpus")
     p.add_argument("--n-docs", type=int, default=10000)
@@ -101,17 +107,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         top_k(result.ranks, 10).show(truncate=False)
     elif args.cmd == "cc":
-        from arxiv_citation_graph_spark.plans.components import connected_components
+        if args.algo == "star":
+            from arxiv_citation_graph_spark.plans.components_star import (
+                connected_components_star,
+            )
 
-        result = connected_components(
-            spark, edges, max_iterations=args.max_iterations, store=store, resume=args.resume
-        )
-        catalog.create_or_replace("components", result.components)
-        print(f"cc: {result.report.iterations} supersteps, converged={result.report.converged}")
+            sresult = connected_components_star(spark, edges, max_rounds=args.max_iterations)
+            catalog.create_or_replace("components", sresult.components)
+            print(f"cc(star): {sresult.rounds} rounds, converged={sresult.converged}")
+        else:
+            from arxiv_citation_graph_spark.plans.components import connected_components
+
+            result = connected_components(
+                spark, edges, max_iterations=args.max_iterations, store=store, resume=args.resume
+            )
+            catalog.create_or_replace("components", result.components)
+            print(f"cc: {result.report.iterations} supersteps, converged={result.report.converged}")
     elif args.cmd == "lpa":
         from arxiv_citation_graph_spark.plans.labelprop import label_propagation
 
-        result = label_propagation(spark, edges, max_iterations=args.max_iterations, store=store)
+        result = label_propagation(
+            spark, edges, max_iterations=args.max_iterations, store=store, resume=args.resume
+        )
         catalog.create_or_replace("labels", result.labels)
         print(f"lpa: {result.report.iterations} supersteps")
     elif args.cmd == "triangles":
