@@ -232,7 +232,12 @@ def simhash_df(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance.
 
@@ -243,7 +248,15 @@ def simhash_near_pairs(
     keeps the self-join bucketed instead of all-pairs, then the exact
     Hamming filter verifies.  Recall is probabilistic for edits that flip
     bits in both halves (more bands -> higher recall; production uses 64
-    bits x 4 bands)."""
+    bits x 4 bands).
+
+    Scale guard: a ``bits/2``-bit band has only ``2^(bits/2)`` buckets, so
+    a near-uniform corpus much larger than that makes every bucket
+    quadratic.  ``max_bucket_size`` drops over-full (band, key) buckets
+    from candidate generation (standard hot-bucket capping: members of a
+    giant bucket are near-dups of *many* things and surface through the
+    other band or a wider fingerprint; at 10^12 docs use 128-bit
+    fingerprints so buckets stay sparse INSTEAD of leaning on the cap)."""
     half = bits // 2
     sh = simhash_df(df, id_col, text_col, bits)
     banded = sh.select(
@@ -256,6 +269,14 @@ def simhash_near_pairs(
             )
         ).alias("band", "key"),
     )
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "key")
+        )
+        banded = banded.join(small, ["band", "key"], "left_semi")
     a = banded.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "key")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "key")
     pairs = (

@@ -177,3 +177,18 @@ def test_superstep_storage_does_not_accumulate(spark):
     run_supersteps(spark, state, step, max_iterations=10, tolerance=None)
     grown = len(jsc.getRDDStorageInfo()) - before
     assert grown <= 3, f"{grown} new persisted RDDs after 10 supersteps"
+
+
+def test_simhash_bucket_cap_bounds_hot_buckets(spark):
+    from arxiv_citation_graph_spark.operators.dedup import simhash_near_pairs
+
+    # 60 near-identical docs: every fingerprint equal -> one giant bucket
+    rows = [(i, "same text body for every single document here") for i in range(60)]
+    rows += [(100, "a completely different and unrelated body of words")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = simhash_near_pairs(df, "doc_id", "text", bits=16, max_hamming=0)
+    assert uncapped.count() == 60 * 59 // 2  # the quadratic bucket
+    capped = simhash_near_pairs(
+        df, "doc_id", "text", bits=16, max_hamming=0, max_bucket_size=10
+    )
+    assert capped.count() == 0  # hot bucket dropped entirely, nothing leaks
