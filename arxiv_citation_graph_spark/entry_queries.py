@@ -460,6 +460,33 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stateful_sessions", None)  # rows-only: custom stateful streaming op
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionization drained with AvailableNow:
+    closed sessions (in-batch gaps + event-time-timeout evictions).
+
+    No DuckDB oracle on purpose: emission depends on watermark/timeout
+    trigger semantics (a genuinely non-SQL-expressible stateful op);
+    pytest pins stream-output ⊆ batch-sessions and closed ⊆ emitted
+    (``tests/test_stateful_streaming.py``), and the batch twin
+    (``sessionize``) carries the SQL oracle for the session math."""
+    import hashlib
+    import os
+
+    from arxiv_citation_graph_spark.streaming.events import run_stream_to_memory
+    from arxiv_citation_graph_spark.streaming.stateful import sessionize_stream
+
+    events = _t(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/tmp/acg_events_single_{tag}"
+    if not os.path.exists(src + "/_SUCCESS"):
+        events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    return run_stream_to_memory(
+        spark, sessionize_stream(stream, gap_seconds=1800), f"stateful_sessions_{tag}"
+    )
+
+
 @register(
     "sessionize",
     """
