@@ -17,8 +17,9 @@ Spark-first design (SURVEY.md §2.5 J4/J8/J9, §2.6 A9, §4.3):
   measured against.
 - **Per-row delta.** The new state carries ``delta = |new - old|`` so the
   convergence L1 is a plain ``sum`` evaluated in the same job that
-  materializes the snapshot (one action per superstep + one tiny scalar
-  for dangling mass).
+  materializes the snapshot — exactly ONE action per superstep (the
+  dangling mass is a 1-row in-plan aggregate broadcast back onto the
+  vertices, not a collected scalar).
 
 State schema: ``ranks(vertex string, rank double, delta double)``;
 ranks always sum to 1 (up to float noise), matching the convention of a
@@ -76,6 +77,14 @@ def pagerank(
     is salted (None = salt every key).  ``resume=True`` with a ``store``
     continues from the last committed superstep.
 
+    One checkpoint + one action per superstep.  Do NOT be tempted to
+    chain multiple updates into one lineage to amortize driver cost:
+    the in-plan dangling-mass aggregate is a second consumer of the
+    prior state, and unmaterialized branches re-execute per consumer —
+    measured 2^k work for k chained updates.  With the checkpoint
+    between updates both consumers share the materialized state and the
+    branch is a free LogicalRDD scan.
+
     ``broadcast_ranks``: hash-join strategy for the per-superstep
     contribution join.  ``True`` broadcasts the |V|-sized rank vector to
     every task — the cached adjacency is then never reshuffled and a
@@ -126,13 +135,11 @@ def pagerank(
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_ranks else df
 
-    def step(ranks: DataFrame, i: int, prev: Row | None) -> tuple[DataFrame, dict]:
-        if prev is not None:
-            d_mass = float(prev["d_mass"] or 0.0)
-        else:  # first superstep (or resume boundary): one tiny scalar job
-            d_mass = float(ranks.agg(dangling_mass_col.alias("m")).first()["m"] or 0.0)
-        uniform_extra = damping * d_mass / n
-
+    def _update(ranks: DataFrame) -> DataFrame:
+        # dangling mass in-plan: a 1-row aggregate over the checkpointed
+        # state, broadcast onto every vertex — no driver action, and the
+        # second read of `ranks` is a free LogicalRDD scan
+        dm = ranks.agg((dangling_mass_col / F.lit(float(n))).alias("_dm_per_v"))
         contribs = adjacency.join(
             _maybe_broadcast(ranks.select("vertex", "rank")),
             adjacency.src_id == F.col("vertex"),
@@ -157,12 +164,13 @@ def pagerank(
         # delta join (one shuffle fewer per superstep)
         new_rank = (
             F.lit(base)
-            + F.lit(uniform_extra)
+            + F.lit(damping) * F.col("_dm_per_v")
             + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
         )
-        with_delta = (
+        return (
             ranks.select("vertex", "dangling", F.col("rank").alias("old_rank"))
             .join(sums, F.col("vertex") == sums.dst_id, "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "vertex",
                 "dangling",
@@ -170,7 +178,9 @@ def pagerank(
                 F.abs(new_rank - F.col("old_rank")).alias("delta"),
             )
         )
-        return with_delta, {"delta": F.sum("delta"), "d_mass": dangling_mass_col}
+
+    def step(ranks: DataFrame, i: int, prev: Row | None) -> tuple[DataFrame, dict]:
+        return _update(ranks), {"delta": F.sum("delta")}
 
     start_iter = 0
     if store is not None and resume:
