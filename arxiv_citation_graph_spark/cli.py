@@ -112,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
                 connected_components_star,
             )
 
+            if args.resume:
+                print(
+                    "warning: --resume is not supported by --algo star "
+                    "(round-count-bounded, no checkpoint store); restarting from scratch",
+                    file=sys.stderr,
+                )
             sresult = connected_components_star(spark, edges, max_rounds=args.max_iterations)
             catalog.create_or_replace("components", sresult.components)
             print(f"cc(star): {sresult.rounds} rounds, converged={sresult.converged}")

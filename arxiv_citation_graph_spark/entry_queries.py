@@ -471,7 +471,6 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``tests/test_stateful_streaming.py``), and the batch twin
     (``sessionize``) carries the SQL oracle for the session math."""
     import hashlib
-    import os
 
     from arxiv_citation_graph_spark.streaming.events import run_stream_to_memory
     from arxiv_citation_graph_spark.streaming.stateful import sessionize_stream
@@ -479,8 +478,9 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     src = f"/tmp/acg_events_single_{tag}"
-    if not os.path.exists(src + "/_SUCCESS"):
-        events.coalesce(1).write.mode("overwrite").parquet(src)
+    # always rewritten: a cached fixture would silently go stale if the
+    # source table is regenerated at the same path
+    events.coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     return run_stream_to_memory(
         spark, sessionize_stream(stream, gap_seconds=1800), f"stateful_sessions_{tag}"

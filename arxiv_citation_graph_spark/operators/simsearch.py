@@ -66,7 +66,9 @@ def brute_force_topk(
     sets larger than ``max_queries`` raise — use ``lsh_topk`` for scale.
     """
     if max_queries is not None:
-        n_q = queries.limit(max_queries + 1).count()
+        # column-pruned limit scan: the guard reads one column up to the
+        # cap, not a second full evaluation of the queries plan
+        n_q = len(queries.select(id_col).limit(max_queries + 1).collect())
         if n_q > max_queries:
             raise ValueError(
                 f"brute_force_topk got >{max_queries} query vectors; the "
@@ -177,6 +179,7 @@ def embedding_near_dups(
     n_planes: int = 8,
     n_tables: int = 2,
     max_rows_exact: int | None = 20_000,
+    dims: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: ``(doc_a, doc_b,
     cos_sim)`` with ``cos_sim >= threshold``, ``doc_a < doc_b``.
@@ -203,7 +206,15 @@ def embedding_near_dups(
         b = v.select(F.col("doc").alias("doc_b"), F.col("e").alias("eb"))
         pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
     elif method == "lsh":
-        dims = len(corpus.select(vec_col).first()[0])
+        if dims is None:
+            # probe the dimensionality (pass dims explicitly to skip the job)
+            sample = corpus.select(vec_col).limit(1).collect()
+            if not sample:
+                id_type = corpus.schema[id_col].dataType.simpleString()
+                return corpus.sparkSession.createDataFrame(
+                    [], f"doc_a {id_type}, doc_b {id_type}, cos_sim double"
+                )
+            dims = len(sample[0][0])
         banded = v.select(
             "doc",
             "e",
@@ -299,6 +310,10 @@ def ivf_train(
         v.orderBy(F.md5(F.col("vid").cast("string")), "vid").limit(n_centroids).collect()
     )
     centroids = [[round(float(x), 6) for x in r.e] for r in init_rows]
+    # tiny corpus: fewer vectors than requested cells — train what exists
+    n_centroids = len(centroids)
+    if n_centroids == 0:
+        return []
     for _ in range(iterations):
         assigned = v.select(
             "vid", "e", _nearest_cells(F.col("e"), centroids, 1)[0].alias("cid")

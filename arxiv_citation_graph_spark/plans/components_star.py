@@ -29,6 +29,7 @@ changing — computed in the same action that sizes the round.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,8 @@ from pyspark.sql import functions as F
 
 from arxiv_citation_graph_spark.plans.layout import vertices_of
 from arxiv_citation_graph_spark.plans.superstep import _reset_stats
+
+_LOG = logging.getLogger(__name__)
 
 
 @dataclass
@@ -97,27 +100,46 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    work, _ = _reset_stats(work.localCheckpoint(eager=False))
+    work, handle = _reset_stats(work.localCheckpoint(eager=False))
     prev_sig: tuple[int, int] | None = None
     rounds = 0
     converged = False
     for rounds in range(1, max_rounds + 1):
-        work = _small_star(_large_star(_sym(work)))
-        work, _ = _reset_stats(work.localCheckpoint(eager=False))
-        sig_row = work.agg(
+        new_work = _small_star(_large_star(_sym(work)))
+        new_work, new_handle = _reset_stats(new_work.localCheckpoint(eager=False))
+        sig_row = new_work.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         ).first()
+        # free the previous round's checkpoint blocks (same protocol as
+        # the superstep runtime — Dataset.unpersist would be a no-op)
+        if handle is not None:
+            try:
+                handle.unpersist(False)  # type: ignore[attr-defined]
+            except Exception:
+                pass
+        work, handle = new_work, new_handle
         sig = (int(sig_row["n"]), int(sig_row["h"]))
         if sig == prev_sig:
             converged = True
             break
         prev_sig = sig
     # converged edge set is (child, root) stars; roots self-label
-    roots = vertices.join(
-        work.select(F.col("u").alias("vertex")).distinct(), "vertex", "left_anti"
-    ).select("vertex", F.col("vertex").alias("component"))
     children = work.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
+    if not converged:
+        # a mid-run edge set is not yet a star: a child may carry two
+        # parents — collapse to the minimum so the output is well-formed
+        # (one row per vertex), and say so
+        _LOG.warning(
+            "connected_components_star: not converged after %d rounds; "
+            "returning min-label-per-vertex of the in-progress edge set "
+            "(labels may not be final) — raise max_rounds.",
+            rounds,
+        )
+        children = children.groupBy("vertex").agg(F.min("component").alias("component"))
+    roots = vertices.join(
+        children.select("vertex").distinct(), "vertex", "left_anti"
+    ).select("vertex", F.col("vertex").alias("component"))
     components = children.unionByName(roots)
     vertices.unpersist()
     return StarComponentsResult(components, rounds, converged)

@@ -76,11 +76,23 @@ def _sessionize_fn(gap_seconds: int):
                 ts = int(ts)
                 if start_s < 0:
                     start_s, end_s, n = ts, ts, 1
-                elif ts - end_s > gap_seconds:
+                elif ts > end_s + gap_seconds:
                     closed.append((start_s, end_s, n))
                     start_s, end_s, n = ts, ts, 1
+                elif ts < start_s - gap_seconds:
+                    # a late cross-batch event entirely BEFORE the open
+                    # session: with only (start, end, n) summary state it
+                    # cannot be re-ordered into history, so it closes as
+                    # its own single-event session (batch-equivalent when
+                    # no other events fell in its gap window)
+                    closed.append((ts, ts, 1))
                 else:
-                    end_s, n = ts, n + 1
+                    # in-gap event: extend the open session on either side
+                    # (late events within the watermark may arrive out of
+                    # order ACROSS batches; never move bounds inward)
+                    start_s = min(start_s, ts)
+                    end_s = max(end_s, ts)
+                    n += 1
             state.update((start_s, end_s, n))
             # evict once the watermark passes the gap after the last event;
             # clamp above the current watermark — Spark rejects timeout

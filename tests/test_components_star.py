@@ -60,3 +60,14 @@ def test_star_isolated_and_self_loop_vertices(spark):
     got = connected_components_star(spark, edges)
     assert got.converged
     assert _labels(got.components) == {("a", "a"), ("b", "b"), ("c", "b")}
+
+
+def test_star_nonconverged_output_is_well_formed(spark):
+    """Cutting rounds short must still yield ONE label per vertex."""
+    pairs = [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(40)]
+    edges = _edges(spark, pairs)
+    got = connected_components_star(spark, edges, max_rounds=1)
+    assert not got.converged
+    rows = got.components.collect()
+    assert len(rows) == len({r.vertex for r in rows})  # no duplicate vertices
+    assert len(rows) == 41

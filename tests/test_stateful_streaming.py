@@ -65,3 +65,58 @@ def test_stateful_sessionize_session_counts_match_query(spark):
     a = {(r.user_id, r.n_sessions, r.n_events) for r in per_user.collect()}
     b = {(r.user_id, r.n_sessions, r.n_events) for r in oracle.collect()}
     assert a == b
+
+
+def test_stateful_sessionize_cross_batch_late_events(spark, tmp_path):
+    """Late events within the watermark arriving in a LATER micro-batch
+    must not corrupt session bounds (out-of-order merge + stray-earlier
+    emission)."""
+    import json
+
+    base = 1_700_000_000
+    f1 = [(1, base, 10), (2, base + 100, 10)]          # batch 1: user 10
+    f2 = [(3, base + 50, 10), (4, base + 90, 10)]      # batch 2: late, in-gap
+    f1 += [(5, base, 20), (6, base + 2000, 20)]        # user 20: far apart
+    f2 += [(7, base - 500, 20)]                        # stray BEFORE open start
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            [(i, ts, u, "x", 0.0, "{}") for i, ts, u in rows],
+            "event_id long, epoch long, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.col("epoch").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        return df
+
+    write(f1, "b1")
+    write(f2, "b2")
+    import shutil, glob, os
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # one file per micro-batch, ordered: b1 then b2
+    for i, d in enumerate(("b1", "b2")):
+        part = glob.glob(str(tmp_path / d / "part-*.parquet"))[0]
+        shutil.copy(part, f"{src}/{i:03d}.parquet")
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = run_stream_to_memory(
+        spark, sessionize_stream(stream, gap_seconds=200, watermark="24 hours"),
+        "late_sessions",
+    )
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in out.collect()}
+    # user 10: all four events merge into one OPEN session (base..base+100)
+    # -> nothing emitted; bounds must not have shrunk (no spurious close)
+    assert not any(u == 10 for (u, *_rest) in got)
+    # user 20: batch1 closes (base) when base+2000 arrives; batch2's stray
+    # event at base-500 (before open-start - gap) emits as its own session
+    assert (20, base, base, 1) in got
+    assert (20, base - 500, base - 500, 1) in got

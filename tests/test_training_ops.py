@@ -272,3 +272,23 @@ def test_embedding_near_dups_exact_and_lsh_agree_on_planted(spark):
 
     with _pytest.raises(ValueError, match="lsh"):
         embedding_near_dups(corpus, method="exact", max_rows_exact=5).collect()
+
+
+def test_ivf_tiny_and_empty_corpus(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        embedding_near_dups,
+        ivf_topk,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    tiny = emb.filter(F.col("vec_id") < 5)
+    cents = ivf_train(tiny, n_centroids=8, iterations=2)  # fewer rows than cells
+    assert 0 < len(cents) <= 5
+    out = ivf_topk(tiny, tiny.filter(F.col("vec_id") < 2), k=3, centroids=cents)
+    assert out.count() > 0
+
+    empty = emb.filter(F.col("vec_id") < 0)
+    assert ivf_train(empty, n_centroids=4) == []
+    nd = embedding_near_dups(empty, method="lsh")
+    assert nd.count() == 0
