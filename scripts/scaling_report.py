@@ -64,9 +64,14 @@ def worker(cores: int, n_edges: int, n_docs: int) -> None:
         ).parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
     edges_from_docs(docs.limit(2000)).count()  # warm python workers / JIT
-    t0 = time.perf_counter()
-    n_extracted = edges_from_docs(docs).count()
-    extract_sec = time.perf_counter() - t0
+    # steady-state throughput: median of 3 timed runs (a single run is
+    # contaminated by residual worker-spawn/JIT variance at low core counts)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_extracted = edges_from_docs(docs).count()
+        runs.append(time.perf_counter() - t0)
+    extract_sec = statistics.median(runs)
 
     n_vertices = max(n_edges // 50, 1000)
     edges = synthetic_edges(spark, n_vertices, n_edges).cache()
@@ -170,7 +175,11 @@ Caveat: single-JVM local mode shares one driver, scheduler, shuffle
 service and GC across "executors", and the per-superstep fixed cost
 (driver planning, job scheduling) does not parallelize, so local-mode
 efficiency is a conservative lower bound for a real multi-executor
-cluster where those costs are amortized across machines.
+cluster where those costs are amortized across machines.  The
+extraction number is additionally frequency-confounded on shared VMs
+(2 busy cores boost higher than 8), which deflates its N->4N ratio; the
+authoritative criterion (BASELINE.json) is the PageRank superstep
+throughput ratio above.
 """
         )
     print(f"wrote {path}")

@@ -96,10 +96,13 @@ def test_stateful_sessionize_cross_batch_late_events(spark, tmp_path):
     import shutil, glob, os
     src = str(tmp_path / "stream_src")
     os.makedirs(src)
-    # one file per micro-batch, ordered: b1 then b2
+    # one file per micro-batch, ordered: b1 then b2 (the file source
+    # orders by modification time — pin distinct mtimes, not just names)
     for i, d in enumerate(("b1", "b2")):
         part = glob.glob(str(tmp_path / d / "part-*.parquet"))[0]
-        shutil.copy(part, f"{src}/{i:03d}.parquet")
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
 
     schema = spark.read.parquet(src).schema
     stream = (
