@@ -38,14 +38,17 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """A BPE-flavored proxy: count of letter-runs, digit-runs and
-    punctuation marks (what a byte-level BPE roughly segments into)."""
-    return F.size(
-        F.filter(
-            F.split(text, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-            lambda t: (t != "") & (t != " "),
-        )
-    )
+    """A BPE-flavored proxy: count of alnum runs + non-space punctuation
+    marks (what a byte-level BPE roughly segments into).
+
+    Formulated as two regexp_count terms, NOT a lookaround split: split
+    positions are UTF-16 char indices, so a boundary can land between
+    the surrogates of a non-BMP codepoint (emoji counted twice);
+    regexp_count matches whole codepoints."""
+    return (
+        F.regexp_count(text, F.lit(r"[A-Za-z0-9]+"))
+        + F.regexp_count(text, F.lit(r"[^A-Za-z0-9 ]"))
+    ).cast("int")
 
 
 def md5_int32(col: Column) -> Column:

@@ -1,0 +1,118 @@
+"""Differential test: the JVM-side text/dedup column expressions vs
+pure-Python oracles on an adversarial corpus (unicode, odd whitespace,
+short docs, repeated tokens, punctuation storms) — one Spark job."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.functions.texttools import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    langid_pick,
+    md5_int32,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+
+ADVERSARIAL = [
+    "",
+    " ",
+    "\t\n  ",
+    "one",
+    "one two",
+    "one two three",
+    "a a a a a a a a",
+    "the the the of of and to a",
+    "der die das und ein der die",
+    "el la los que y el la",
+    "word " * 150,
+    "x" * 500,
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "punctuation!!! storm??? ... ;;; ::: (((  ))) [brackets] {braces}",
+    "mixed 123 numbers 4567 and letters abc123def",
+    "  leading and trailing spaces  ",
+    "tabs\tbetween\ttokens\there",
+    "newlines\nbetween\nlines\nhere",
+    "unicode café naïve über straße",
+    "cyrillic слово тест",
+    "emoji \U0001f600 in text \U0001f680 stream",
+    "hyphen-ated words co-exist re-use",
+    "dots.every.where.in.tokens",
+    "a1 b2 c3 d4 e5 f6 g7 h8",
+    "same same same different same same",
+]
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text) if t]
+
+
+def _py_shingles(text: str, k: int) -> list[str]:
+    toks = _py_tokens(text)
+    if len(toks) < k:
+        return []
+    return list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)))
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_bpe_count(text: str) -> int:
+    parts = re.split(r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])", text)
+    return sum(1 for p in parts if p not in ("", " "))
+
+
+def _py_quality(text: str) -> float:
+    toks = _py_tokens(text)
+    n = max(len(toks), 1)
+    mean_len = sum(len(t) for t in toks) / n
+    ltoks = _py_tokens(text.lower())
+    stop = sum(1 for t in ltoks if t in STOPWORDS["en"]) / max(len(ltoks), 1)
+    len_signal = min(len(toks) / 100.0, 1.0)
+    shape = 1.0 if 3.0 <= mean_len <= 8.0 else 0.5
+    return round(0.4 * min(stop * 5.0, 1.0) + 0.3 * len_signal + 0.3 * shape, 6)
+
+
+def _py_langid(text: str) -> str:
+    toks = _py_tokens(text.lower())
+    best, best_hits = "und", -1
+    for lang, words in sorted(STOPWORDS.items()):
+        hits = sum(1 for t in toks if t in words)
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best
+
+
+def test_texttools_match_python_oracles(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL)], "doc_id int, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("n_tok"),
+        word_shingles(F.col("text"), 3).alias("sh3"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+        quality_score(F.col("text")).alias("q"),
+        langid_pick(F.col("text")).alias("lang"),
+        fingerprint(F.col("text"), 4).alias("fp"),
+        md5_int32(F.col("text")).alias("h32"),
+    ).collect()
+    assert len(rows) == len(ADVERSARIAL)
+    for r in rows:
+        t = r.text
+        assert r.n_tok == len(_py_tokens(t)), repr(t)
+        assert r.sh3 == _py_shingles(t, 3), repr(t)
+        assert r.bpe == _py_bpe_count(t), repr(t)
+        assert abs(r.q - _py_quality(t)) < 1e-9, repr(t)
+        assert r.lang == _py_langid(t), repr(t)
+        want_fp = min((_h32(s) for s in _py_shingles(t, 4)), default=None)
+        assert r.fp == want_fp, repr(t)
+        assert r.h32 == _h32(t), repr(t)
