@@ -112,13 +112,9 @@ def main(argv: list[str] | None = None) -> int:
                 connected_components_star,
             )
 
-            if args.resume:
-                print(
-                    "warning: --resume is not supported by --algo star "
-                    "(round-count-bounded, no checkpoint store); restarting from scratch",
-                    file=sys.stderr,
-                )
-            sresult = connected_components_star(spark, edges, max_rounds=args.max_iterations)
+            sresult = connected_components_star(
+                spark, edges, max_rounds=args.max_iterations, store=store, resume=args.resume
+            )
             catalog.create_or_replace("components", sresult.components)
             print(f"cc(star): {sresult.rounds} rounds, converged={sresult.converged}")
         else:

@@ -471,15 +471,16 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``tests/test_stateful_streaming.py``), and the batch twin
     (``sessionize``) carries the SQL oracle for the session math."""
     import hashlib
+    import tempfile
 
     from arxiv_citation_graph_spark.streaming.events import run_stream_to_memory
     from arxiv_citation_graph_spark.streaming.stateful import sessionize_stream
 
     events = _t(spark, sf_dir, "events")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    src = f"/tmp/acg_events_single_{tag}"
-    # always rewritten: a cached fixture would silently go stale if the
-    # source table is regenerated at the same path
+    # fresh per-process private dir (never a fixed world-writable /tmp
+    # name: cross-user collisions + stale-cache hazards)
+    src = tempfile.mkdtemp(prefix=f"acg_events_single_{tag}_") + "/data"
     events.coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     return run_stream_to_memory(

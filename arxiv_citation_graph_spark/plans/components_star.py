@@ -21,10 +21,13 @@ diameter-bounded.  Labels are lexicographic minima, identical to
 hash-min's convention, so the two algorithms are interchangeable and
 cross-checked in tests.
 
-Convergence detection: the canonical edge set is stable when its count
-AND an order-insensitive checksum (bit_xor of 64-bit pair hashes — XOR
-cannot overflow and the edge set is distinct by construction) both stop
-changing — computed in the same action that sizes the round.
+The iteration runs on the shared superstep runtime (``run_supersteps``)
+with the *edge set as the state*, so checkpoint/resume and per-round
+metrics work exactly like the other kernels.  Convergence: the state's
+(count, bit_xor-of-pair-hashes) signature — order-insensitive,
+overflow-free, distinct rows by construction — stops changing; the
+previous round's signature arrives through the runtime's ``prev_aggs``
+hand-off, so the check costs nothing extra.
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arxiv_citation_graph_spark.plans.layout import vertices_of
-from arxiv_citation_graph_spark.plans.superstep import _reset_stats
+from arxiv_citation_graph_spark.plans.superstep import CheckpointStore, run_supersteps
 
 _LOG = logging.getLogger(__name__)
 
@@ -91,42 +94,56 @@ def connected_components_star(
     spark: SparkSession,
     edges: DataFrame,
     max_rounds: int = 30,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
 ) -> StarComponentsResult:
     """O(log^2 n)-round weakly-connected components; output identical to
-    ``connected_components`` (component = lexicographic min vertex)."""
-    vertices = vertices_of(edges).cache()
-    work = (
+    ``connected_components`` (component = lexicographic min vertex).
+    ``resume=True`` with a ``store`` continues from the last committed
+    round (the state IS the in-progress edge set)."""
+    vertices = vertices_of(edges)
+
+    sig_n = F.count(F.lit(1))
+    sig_h = F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
+
+    def step(work: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        new_work = _small_star(_large_star(_sym(work)))
+        if prev is None:
+            delta = F.lit(1.0)
+        else:
+            delta = (
+                F.when(
+                    (sig_n == F.lit(int(prev["n"]))) & (sig_h == F.lit(int(prev["h"]))),
+                    0.0,
+                ).otherwise(1.0)
+            )
+        return new_work, {"delta": delta, "n": sig_n, "h": sig_h}
+
+    start_iter = 0
+    initial = (
         edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    work, handle = _reset_stats(work.localCheckpoint(eager=False))
-    prev_sig: tuple[int, int] | None = None
-    rounds = 0
-    converged = False
-    for rounds in range(1, max_rounds + 1):
-        new_work = _small_star(_large_star(_sym(work)))
-        new_work, new_handle = _reset_stats(new_work.localCheckpoint(eager=False))
-        sig_row = new_work.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).first()
-        # free the previous round's checkpoint blocks (same protocol as
-        # the superstep runtime — Dataset.unpersist would be a no-op)
-        if handle is not None:
-            try:
-                handle.unpersist(False)  # type: ignore[attr-defined]
-            except Exception:
-                pass
-        work, handle = new_work, new_handle
-        sig = (int(sig_row["n"]), int(sig_row["h"]))
-        if sig == prev_sig:
-            converged = True
-            break
-        prev_sig = sig
+    if store is not None and resume:
+        last = store.last_committed()
+        if last >= 0:
+            initial = store.read_state(spark, last)
+            start_iter = last + 1
+
+    work, report = run_supersteps(
+        spark,
+        initial,
+        step,
+        max_iterations=max_rounds,
+        tolerance=0.0,
+        store=store,
+        start_iteration=start_iter,
+    )
+
     # converged edge set is (child, root) stars; roots self-label
     children = work.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
-    if not converged:
+    if not report.converged:
         # a mid-run edge set is not yet a star: a child may carry two
         # parents — collapse to the minimum so the output is well-formed
         # (one row per vertex), and say so
@@ -134,12 +151,11 @@ def connected_components_star(
             "connected_components_star: not converged after %d rounds; "
             "returning min-label-per-vertex of the in-progress edge set "
             "(labels may not be final) — raise max_rounds.",
-            rounds,
+            report.iterations,
         )
         children = children.groupBy("vertex").agg(F.min("component").alias("component"))
     roots = vertices.join(
         children.select("vertex").distinct(), "vertex", "left_anti"
     ).select("vertex", F.col("vertex").alias("component"))
     components = children.unionByName(roots)
-    vertices.unpersist()
-    return StarComponentsResult(components, rounds, converged)
+    return StarComponentsResult(components, report.iterations, report.converged)

@@ -206,8 +206,9 @@ def run_supersteps(
     L1 rank delta, count of changed labels, ...).  The runtime evaluates
     all of them in the single pass that materializes the snapshot and
     hands the resulting Row to the next ``step`` call as ``prev_aggs`` —
-    kernels piggyback scalars they need next iteration (e.g. PageRank's
-    dangling mass) instead of paying a separate action.
+    kernels piggyback scalars they need next iteration (e.g. star
+    components' edge-set signature, whose delta is "did (count, hash)
+    change vs the previous round") instead of paying a separate action.
 
     Convergence: ``delta <= tolerance`` (when tolerance is not None).
     """

@@ -67,32 +67,38 @@ def _sessionize_fn(gap_seconds: int):
         else:
             events = pd.concat(list(pdfs))
             events = events.sort_values(["epoch_s", "event_id"])
-            if state.exists:
-                start_s, end_s, n = state.get
-            else:
-                start_s = end_s = -1
-                n = 0
+            # 1. group this batch's (sorted) events into sessions
+            sessions: list[list[int]] = []  # [start, end, n]
             for ts in events["epoch_s"]:
                 ts = int(ts)
-                if start_s < 0:
-                    start_s, end_s, n = ts, ts, 1
-                elif ts > end_s + gap_seconds:
-                    closed.append((start_s, end_s, n))
-                    start_s, end_s, n = ts, ts, 1
-                elif ts < start_s - gap_seconds:
-                    # a late cross-batch event entirely BEFORE the open
-                    # session: with only (start, end, n) summary state it
-                    # cannot be re-ordered into history, so it closes as
-                    # its own single-event session (batch-equivalent when
-                    # no other events fell in its gap window)
-                    closed.append((ts, ts, 1))
+                if sessions and ts - sessions[-1][1] <= gap_seconds:
+                    sessions[-1][1] = max(sessions[-1][1], ts)
+                    sessions[-1][2] += 1
                 else:
-                    # in-gap event: extend the open session on either side
-                    # (late events within the watermark may arrive out of
-                    # order ACROSS batches; never move bounds inward)
-                    start_s = min(start_s, ts)
-                    end_s = max(end_s, ts)
-                    n += 1
+                    sessions.append([ts, ts, 1])
+            # 2. merge the open session from state as an interval: late
+            #    cross-batch events may fall before, inside, or bridging
+            #    it — interval-union by gap is exactly the batch query's
+            #    semantics on the information the summary state retains
+            if state.exists:
+                s0, e0, n0 = state.get
+                sessions.append([s0, e0, n0])
+                sessions.sort(key=lambda s: (s[0], s[1]))
+                merged: list[list[int]] = []
+                for s in sessions:
+                    if merged and s[0] - merged[-1][1] <= gap_seconds:
+                        merged[-1][1] = max(merged[-1][1], s[1])
+                        merged[-1][2] += s[2]
+                    else:
+                        merged.append(s)
+                sessions = merged
+            # 3. everything but the latest session closes; the latest
+            #    stays open in state (only one open interval is held —
+            #    an extremely late event for an already-closed session
+            #    surfaces as its own session next batch, the bounded
+            #    information loss of O(1) state)
+            closed.extend((s[0], s[1], s[2]) for s in sessions[:-1])
+            start_s, end_s, n = sessions[-1]
             state.update((start_s, end_s, n))
             # evict once the watermark passes the gap after the last event;
             # clamp above the current watermark — Spark rejects timeout

@@ -71,3 +71,22 @@ def test_star_nonconverged_output_is_well_formed(spark):
     rows = got.components.collect()
     assert len(rows) == len({r.vertex for r in rows})  # no duplicate vertices
     assert len(rows) == 41
+
+
+def test_star_resume_identical(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    pairs = [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(30)]
+    pairs += [("w1", "w2"), ("w2", "w3")]
+    edges = _edges(spark, pairs).cache()
+    full = connected_components_star(spark, edges)
+    want = _labels(full.components)
+
+    store = CheckpointStore(str(tmp_path / "ckpt"), "star_resume")
+    partial = connected_components_star(spark, edges, max_rounds=2, store=store)
+    assert not partial.converged
+    resumed = connected_components_star(
+        spark, edges, max_rounds=30, store=store, resume=True
+    )
+    assert resumed.converged
+    assert _labels(resumed.components) == want

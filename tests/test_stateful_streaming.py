@@ -78,6 +78,10 @@ def test_stateful_sessionize_cross_batch_late_events(spark, tmp_path):
     f2 = [(3, base + 50, 10), (4, base + 90, 10)]      # batch 2: late, in-gap
     f1 += [(5, base, 20), (6, base + 2000, 20)]        # user 20: far apart
     f2 += [(7, base - 500, 20)]                        # stray BEFORE open start
+    f1 += [(8, base + 10000, 30)]                      # user 30: open far right
+    f2 += [(9, base + 5000, 30), (10, base + 5100, 30)]  # two strays, in-gap of EACH OTHER
+    f1 += [(11, base + 1000, 40)]                      # user 40: open at base+1000
+    f2 += [(12, base + 700, 40), (13, base + 850, 40)]  # strays BRIDGING into the open session
 
     def write(rows, name):
         df = spark.createDataFrame(
@@ -123,3 +127,10 @@ def test_stateful_sessionize_cross_batch_late_events(spark, tmp_path):
     # event at base-500 (before open-start - gap) emits as its own session
     assert (20, base, base, 1) in got
     assert (20, base - 500, base - 500, 1) in got
+    # user 30: two strays within gap of EACH OTHER merge into ONE session
+    # before emission (not two singletons)
+    assert (30, base + 5000, base + 5100, 2) in got
+    assert (30, base + 5000, base + 5000, 1) not in got
+    # user 40: strays bridge into the open session -> everything merges
+    # into one still-open interval; nothing emitted
+    assert not any(u == 40 for (u, *_rest) in got)
