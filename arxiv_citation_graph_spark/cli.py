@@ -91,7 +91,10 @@ def main(argv: list[str] | None = None) -> int:
     edges = (
         spark.read.parquet(args.edges) if args.edges else catalog.read(spark, "edges")
     ).select("src_id", "dst_id")
-    store = CheckpointStore(f"{args.out}/_checkpoints", args.cmd)
+    # job name includes the algorithm: star and hash-min state schemas
+    # differ, so sharing one checkpoint dir would cross-corrupt resumes
+    job = f"{args.cmd}-{args.algo}" if getattr(args, "algo", None) else args.cmd
+    store = CheckpointStore(f"{args.out}/_checkpoints", job)
 
     if args.cmd == "pagerank":
         from arxiv_citation_graph_spark.plans.pagerank import pagerank, top_k

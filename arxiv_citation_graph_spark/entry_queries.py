@@ -471,6 +471,7 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``tests/test_stateful_streaming.py``), and the batch twin
     (``sessionize``) carries the SQL oracle for the session math."""
     import hashlib
+    import os
     import tempfile
 
     from arxiv_citation_graph_spark.streaming.events import run_stream_to_memory
@@ -478,9 +479,11 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    # fresh per-process private dir (never a fixed world-writable /tmp
-    # name: cross-user collisions + stale-cache hazards)
-    src = tempfile.mkdtemp(prefix=f"acg_events_single_{tag}_") + "/data"
+    # deterministic per-user path, rewritten every call: no cross-user
+    # collision (uid in the name), no stale cache (overwrite), no
+    # per-invocation tempdir leak
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    src = os.path.join(tempfile.gettempdir(), f"acg_events_single_{uid}_{tag}")
     events.coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     return run_stream_to_memory(

@@ -83,16 +83,9 @@ def connected_components(
         )
         return new, {"delta": F.sum("delta")}
 
-    start_iter = 0
     initial = vertices.select(
         "vertex", F.col("vertex").alias("component"), F.lit(0.0).alias("delta")
     )
-    if store is not None and resume:
-        last = store.last_committed()
-        if last >= 0:
-            initial = store.read_state(spark, last)
-            start_iter = last + 1
-
     final, report = run_supersteps(
         spark,
         initial,
@@ -100,7 +93,7 @@ def connected_components(
         max_iterations=max_iterations,
         tolerance=0.0,  # stop when zero labels changed
         store=store,
-        start_iteration=start_iter,
+        resume=resume,
     )
     sym.unpersist()
     vertices.unpersist()

@@ -119,18 +119,11 @@ def connected_components_star(
             )
         return new_work, {"delta": delta, "n": sig_n, "h": sig_h}
 
-    start_iter = 0
     initial = (
         edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    if store is not None and resume:
-        last = store.last_committed()
-        if last >= 0:
-            initial = store.read_state(spark, last)
-            start_iter = last + 1
-
     work, report = run_supersteps(
         spark,
         initial,
@@ -138,7 +131,7 @@ def connected_components_star(
         max_iterations=max_rounds,
         tolerance=0.0,
         store=store,
-        start_iteration=start_iter,
+        resume=resume,
     )
 
     # converged edge set is (child, root) stars; roots self-label

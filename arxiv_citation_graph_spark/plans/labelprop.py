@@ -87,24 +87,14 @@ def label_propagation(
         )
         return new, {"delta": F.sum("delta")}
 
-    start_iter = 0
-    if store is not None and resume:
-        last = store.last_committed()
-        if last >= 0:
-            initial = store.read_state(spark, last)
-            start_iter = last + 1
-        else:
-            initial = _initial_labels(vertices)
-    else:
-        initial = _initial_labels(vertices)
     final, report = run_supersteps(
         spark,
-        initial,
+        _initial_labels(vertices),
         step,
         max_iterations=max_iterations,
         tolerance=0.0,
         store=store,
-        start_iteration=start_iter,
+        resume=resume,
     )
     sym.unpersist()
     vertices.unpersist()

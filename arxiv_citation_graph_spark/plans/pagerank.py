@@ -182,25 +182,14 @@ def pagerank(
     def step(ranks: DataFrame, i: int, prev: Row | None) -> tuple[DataFrame, dict]:
         return _update(ranks), {"delta": F.sum("delta")}
 
-    start_iter = 0
-    if store is not None and resume:
-        last = store.last_committed()
-        if last >= 0:
-            initial = store.read_state(spark, last)
-            start_iter = last + 1
-        else:
-            initial = _uniform_ranks(vertices_flagged, n)
-    else:
-        initial = _uniform_ranks(vertices_flagged, n)
-
     final, report = run_supersteps(
         spark,
-        initial,
+        _uniform_ranks(vertices_flagged, n),
         step,
         max_iterations=max_iterations,
         tolerance=tolerance,
         store=store,
-        start_iteration=start_iter,
+        resume=resume,  # the runtime restarts from the committed snapshot
     )
     ranks = final.select("vertex", "rank")
     for cached in (adjacency, vertices_flagged, vertices):

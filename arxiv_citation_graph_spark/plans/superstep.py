@@ -93,6 +93,9 @@ class CheckpointStore:
         except FileNotFoundError:
             return {"job": self.job, "committed_iteration": -1, "iterations": {}}
 
+    def committed_info(self, iteration: int) -> dict | None:
+        return self.manifest()["iterations"].get(str(iteration))
+
     def commit(self, iteration: int, info: dict) -> None:
         man = self.manifest()
         man["committed_iteration"] = iteration
@@ -197,6 +200,7 @@ def run_supersteps(
     tolerance: float | None = None,
     store: CheckpointStore | None = None,
     start_iteration: int = 0,
+    resume: bool = False,
 ) -> tuple[DataFrame, SuperstepReport]:
     """Drive ``state -> step -> state`` to convergence.
 
@@ -211,16 +215,43 @@ def run_supersteps(
     change vs the previous round") instead of paying a separate action.
 
     Convergence: ``delta <= tolerance`` (when tolerance is not None).
+
+    ``resume=True`` (requires ``store``): the loop restarts from the last
+    committed iteration's snapshot; its aggregate row is rehydrated from
+    the manifest, so a kernel's ``prev_aggs``-dependent delta (e.g. star
+    components' signature compare) does not re-prove convergence, and a
+    run that had already converged reports ``converged=True`` without
+    burning rounds.  ``resume`` supersedes ``state``/``start_iteration``
+    when committed progress exists.
     """
     report = SuperstepReport(iterations=start_iteration, converged=False)
+    prev_from_manifest: dict | None = None
+    if store is not None and resume:
+        last = store.last_committed()
+        if last >= 0:
+            state = store.read_state(spark, last)
+            start_iteration = last + 1
+            report.iterations = start_iteration
+            info = store.committed_info(last) or {}
+            prev_from_manifest = info.get("aggs")
+            last_delta = info.get("delta")
+            if (
+                tolerance is not None
+                and last_delta is not None
+                and float(last_delta) <= tolerance
+            ):
+                report.converged = True  # nothing left to do unless asked
     # NOTE: AQE must stay ON for the loop.  Measured on this Spark build:
     # with adaptive.enabled=false a localCheckpoint-per-iteration loop
     # degrades exponentially (~3x per superstep past ~15 iterations —
     # lineage stops truncating effectively); with AQE on, per-superstep
     # wall time is flat for 100+ iterations.  AQE's per-stage re-planning
     # costs ~0.2s/superstep at toy scale, which is the cheaper trade.
+    if report.converged:
+        return state, report  # resumed at a committed fixpoint
     return _run_loop(
-        spark, state, step, max_iterations, tolerance, store, start_iteration, report
+        spark, state, step, max_iterations, tolerance, store, start_iteration,
+        report, prev_from_manifest,
     )
 
 
@@ -233,11 +264,12 @@ def _run_loop(
     store: CheckpointStore | None,
     start_iteration: int,
     report: SuperstepReport,
+    prev_init: dict | None = None,
 ) -> tuple[DataFrame, SuperstepReport]:
     current = state
     current_rdd_handle: object | None = None
     stats_tripped = False
-    prev_aggs = None
+    prev_aggs = prev_init
     for i in range(start_iteration, max_iterations):
         t0 = time.perf_counter()
         new_state, agg_exprs = step(current, i, prev_aggs)
@@ -267,6 +299,12 @@ def _run_loop(
                     )
         named = [col.alias(name) for name, col in agg_exprs.items()]
         agg = new_state.agg(*named, F.count(F.lit(1)).alias("_rows")).first()
+        agg_values = {}
+        for name in agg_exprs:  # JSON-safe copy for the manifest
+            v = agg[name]
+            if v is not None and not isinstance(v, (bool, int, float, str)):
+                v = float(v)
+            agg_values[name] = v
         prev_aggs = agg
         delta = float(agg["delta"]) if agg["delta"] is not None else 0.0
         rows = int(agg["_rows"])
@@ -287,7 +325,16 @@ def _run_loop(
             )
             store.append_metrics(per_part, i)
             store.commit(
-                i, {"snapshot": snapshot, "delta": delta, "rows": rows, "wall_ms": wall_ms}
+                i,
+                {
+                    "snapshot": snapshot,
+                    "delta": delta,
+                    "rows": rows,
+                    "wall_ms": wall_ms,
+                    # full aggregate row: rehydrated into prev_aggs on
+                    # resume so delta logic doesn't re-prove convergence
+                    "aggs": agg_values,
+                },
             )
         report.iterations = i + 1
         report.deltas.append(delta)

@@ -90,3 +90,24 @@ def test_star_resume_identical(spark, tmp_path):
     )
     assert resumed.converged
     assert _labels(resumed.components) == want
+
+
+def test_star_resume_of_converged_run_is_noop(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    pairs = [("a", "b"), ("b", "c"), ("x", "y")]
+    edges = _edges(spark, pairs).cache()
+    store = CheckpointStore(str(tmp_path / "ckpt"), "star_conv")
+    first = connected_components_star(spark, edges, max_rounds=10, store=store)
+    assert first.converged
+    want = _labels(first.components)
+
+    # same max_rounds: zero loop headroom left — must still report
+    # converged (from the manifest) and return the committed fixpoint,
+    # not the min-label fallback + warning
+    again = connected_components_star(
+        spark, edges, max_rounds=first.rounds, store=store, resume=True
+    )
+    assert again.converged
+    assert _labels(again.components) == want
+    assert again.rounds == first.rounds
