@@ -91,9 +91,12 @@ def main(argv: list[str] | None = None) -> int:
     edges = (
         spark.read.parquet(args.edges) if args.edges else catalog.read(spark, "edges")
     ).select("src_id", "dst_id")
-    # job name includes the algorithm: star and hash-min state schemas
-    # differ, so sharing one checkpoint dir would cross-corrupt resumes
-    job = f"{args.cmd}-{args.algo}" if getattr(args, "algo", None) else args.cmd
+    # non-default algorithms get their own checkpoint job: star and
+    # hash-min state schemas differ, so sharing one directory would
+    # cross-corrupt resumes.  The default keeps the bare command name so
+    # checkpoints from before this distinction still resume.
+    algo = getattr(args, "algo", None)
+    job = args.cmd if algo in (None, "hashmin") else f"{args.cmd}-{algo}"
     store = CheckpointStore(f"{args.out}/_checkpoints", job)
 
     if args.cmd == "pagerank":

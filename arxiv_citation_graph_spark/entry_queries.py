@@ -479,11 +479,17 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    # deterministic per-user path, rewritten every call: no cross-user
-    # collision (uid in the name), no stale cache (overwrite), no
-    # per-invocation tempdir leak
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    src = os.path.join(tempfile.gettempdir(), f"acg_events_single_{uid}_{tag}")
+    # deterministic leaf under a PRIVATE (0700, ownership-verified)
+    # per-user dir: no stale cache (overwritten each call), no tempdir
+    # leak (one dir per user), and a pre-created/squatted path fails the
+    # ownership check instead of silently writing into it
+    uid = os.getuid() if hasattr(os, "getuid") else None
+    who = uid if uid is not None else "anon"
+    base = os.path.join(tempfile.gettempdir(), f"acg_fixtures_{who}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    if uid is not None and os.stat(base).st_uid != uid:
+        raise RuntimeError(f"{base} is owned by another user; refusing to use it")
+    src = os.path.join(base, f"events_single_{tag}")
     events.coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     return run_stream_to_memory(

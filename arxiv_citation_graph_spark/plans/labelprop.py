@@ -49,10 +49,11 @@ def label_propagation(
     sym = symmetrize(edges).repartition(
         spark.sparkContext.defaultParallelism, "src_id"
     ).cache()
-    sym.count()
+    n_sym = sym.count()
     vertices = vertices_of(edges).cache()
+    n_vertices = vertices.count()
     if broadcast_labels is None:
-        broadcast_labels = vertices.count() <= 1_000_000
+        broadcast_labels = n_vertices <= 1_000_000
 
     def _mb(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_labels else df
@@ -95,6 +96,7 @@ def label_propagation(
         tolerance=0.0,
         store=store,
         resume=resume,
+        input_signature={"n_vertices": n_vertices, "n_sym_edges": n_sym},
     )
     sym.unpersist()
     vertices.unpersist()

@@ -190,6 +190,7 @@ def pagerank(
         tolerance=tolerance,
         store=store,
         resume=resume,  # the runtime restarts from the committed snapshot
+        input_signature={"n_vertices": n, "n_edges": m, "damping": damping},
     )
     ranks = final.select("vertex", "rank")
     for cached in (adjacency, vertices_flagged, vertices):

@@ -96,6 +96,19 @@ class CheckpointStore:
     def committed_info(self, iteration: int) -> dict | None:
         return self.manifest()["iterations"].get(str(iteration))
 
+    # -- job-level metadata (input fingerprint for resume safety) ----------
+
+    def job_info(self) -> dict:
+        return self.manifest().get("job_info", {})
+
+    def set_job_info(self, info: dict) -> None:
+        man = self.manifest()
+        man["job_info"] = info
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1)
+        os.replace(tmp, self._manifest_path())
+
     def commit(self, iteration: int, info: dict) -> None:
         man = self.manifest()
         man["committed_iteration"] = iteration
@@ -201,6 +214,7 @@ def run_supersteps(
     store: CheckpointStore | None = None,
     start_iteration: int = 0,
     resume: bool = False,
+    input_signature: dict | None = None,
 ) -> tuple[DataFrame, SuperstepReport]:
     """Drive ``state -> step -> state`` to convergence.
 
@@ -218,14 +232,34 @@ def run_supersteps(
 
     ``resume=True`` (requires ``store``): the loop restarts from the last
     committed iteration's snapshot; its aggregate row is rehydrated from
-    the manifest, so a kernel's ``prev_aggs``-dependent delta (e.g. star
-    components' signature compare) does not re-prove convergence, and a
-    run that had already converged reports ``converged=True`` without
-    burning rounds.  ``resume`` supersedes ``state``/``start_iteration``
-    when committed progress exists.
+    the manifest into ``prev_aggs``, so a kernel's delta logic (e.g. star
+    components' signature compare) does not re-prove convergence.  A
+    resumed run with iteration headroom always executes at least one
+    verification superstep; the committed convergence flag is trusted
+    as-is only when ``max_iterations`` leaves no headroom.  ``resume``
+    supersedes ``state``/``start_iteration`` when committed progress
+    exists.
+
+    Resume assumes the SAME inputs as the original run — the state
+    snapshot embeds the original vertex/edge universe, so resuming onto
+    a changed graph can neither be detected from deltas alone nor
+    produce the new graph's answer.  Kernels therefore pass
+    ``input_signature`` (cheap invariants like vertex/edge counts): it
+    is recorded in the manifest on the first run and a mismatched resume
+    raises instead of silently converging on stale state.
     """
     report = SuperstepReport(iterations=start_iteration, converged=False)
-    prev_from_manifest: dict | None = None
+    prev_from_manifest: "Row | None" = None
+    if store is not None and input_signature is not None:
+        recorded = store.job_info().get("input_signature")
+        if resume and recorded is not None and recorded != input_signature:
+            raise ValueError(
+                f"resume refused: input signature {input_signature} does not "
+                f"match the checkpointed run's {recorded} (job {store.job!r}). "
+                "The inputs changed — start a fresh run (or clear the store)."
+            )
+        if recorded is None:
+            store.set_job_info({"input_signature": input_signature})
     if store is not None and resume:
         last = store.last_committed()
         if last >= 0:
@@ -233,22 +267,25 @@ def run_supersteps(
             start_iteration = last + 1
             report.iterations = start_iteration
             info = store.committed_info(last) or {}
-            prev_from_manifest = info.get("aggs")
+            aggs = info.get("aggs")
+            if aggs is not None:
+                # same shape step() sees mid-run: a Row incl. _rows
+                prev_from_manifest = Row(**aggs, _rows=info.get("rows"))
             last_delta = info.get("delta")
             if (
-                tolerance is not None
+                start_iteration >= max_iterations
+                and tolerance is not None
                 and last_delta is not None
                 and float(last_delta) <= tolerance
             ):
-                report.converged = True  # nothing left to do unless asked
+                # no headroom to verify: trust the committed fixpoint
+                report.converged = True
     # NOTE: AQE must stay ON for the loop.  Measured on this Spark build:
     # with adaptive.enabled=false a localCheckpoint-per-iteration loop
     # degrades exponentially (~3x per superstep past ~15 iterations —
     # lineage stops truncating effectively); with AQE on, per-superstep
     # wall time is flat for 100+ iterations.  AQE's per-stage re-planning
     # costs ~0.2s/superstep at toy scale, which is the cheaper trade.
-    if report.converged:
-        return state, report  # resumed at a committed fixpoint
     return _run_loop(
         spark, state, step, max_iterations, tolerance, store, start_iteration,
         report, prev_from_manifest,
@@ -299,12 +336,6 @@ def _run_loop(
                     )
         named = [col.alias(name) for name, col in agg_exprs.items()]
         agg = new_state.agg(*named, F.count(F.lit(1)).alias("_rows")).first()
-        agg_values = {}
-        for name in agg_exprs:  # JSON-safe copy for the manifest
-            v = agg[name]
-            if v is not None and not isinstance(v, (bool, int, float, str)):
-                v = float(v)
-            agg_values[name] = v
         prev_aggs = agg
         delta = float(agg["delta"]) if agg["delta"] is not None else 0.0
         rows = int(agg["_rows"])
@@ -324,6 +355,15 @@ def _run_loop(
                 )
             )
             store.append_metrics(per_part, i)
+            agg_values = {}
+            for name in agg_exprs:  # JSON-safe copy for the manifest
+                v = agg[name]
+                if v is not None and not isinstance(v, (bool, int, float, str)):
+                    try:
+                        v = float(v)
+                    except (TypeError, ValueError):
+                        v = str(v)
+                agg_values[name] = v
             store.commit(
                 i,
                 {

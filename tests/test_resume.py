@@ -69,3 +69,27 @@ def test_lpa_resume_identical(spark, tmp_path):
     )
     got = {r.vertex: r.label for r in resumed.labels.collect()}
     assert got == full  # labels are exact (deterministic ties)
+
+
+def test_resume_refuses_changed_inputs(spark, tmp_path):
+    """Resume assumes the same inputs: the checkpointed state embeds the
+    original vertex universe, so a changed edge table must be REFUSED
+    loudly (input-signature mismatch), never silently converged on."""
+    import pytest
+
+    store = CheckpointStore(str(tmp_path / "ckpt3"), "pr_stale")
+    old_edges = toy_edges_df(spark, "cycle")
+    first = pagerank(spark, old_edges, tolerance=1e-8, max_iterations=50, store=store)
+    assert first.report.converged
+
+    new_edges = toy_edges_df(spark, "k4")
+    with pytest.raises(ValueError, match="resume refused"):
+        pagerank(spark, new_edges, tolerance=1e-8, max_iterations=80, store=store, resume=True)
+
+    # unchanged inputs still resume cleanly after the refusal
+    again = pagerank(spark, old_edges, tolerance=1e-8, max_iterations=80, store=store, resume=True)
+    assert again.report.converged
+    want = {r.vertex: r.rank for r in first.ranks.collect()}
+    got = {r.vertex: r.rank for r in again.ranks.collect()}
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=0, abs_tol=1e-9), v
