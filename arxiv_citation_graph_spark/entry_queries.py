@@ -487,7 +487,10 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     who = uid if uid is not None else "anon"
     base = os.path.join(tempfile.gettempdir(), f"acg_fixtures_{who}")
     os.makedirs(base, mode=0o700, exist_ok=True)
-    if uid is not None and os.stat(base).st_uid != uid:
+    # lstat + islink: a planted symlink must not redirect the write
+    if os.path.islink(base):
+        raise RuntimeError(f"{base} is a symlink; refusing to use it")
+    if uid is not None and os.lstat(base).st_uid != uid:
         raise RuntimeError(f"{base} is owned by another user; refusing to use it")
     src = os.path.join(base, f"events_single_{tag}")
     events.coalesce(1).write.mode("overwrite").parquet(src)

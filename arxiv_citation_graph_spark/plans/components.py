@@ -87,16 +87,18 @@ def connected_components(
     initial = vertices.select(
         "vertex", F.col("vertex").alias("component"), F.lit(0.0).alias("delta")
     )
-    final, report = run_supersteps(
-        spark,
-        initial,
-        step,
-        max_iterations=max_iterations,
-        tolerance=0.0,  # stop when zero labels changed
-        store=store,
-        resume=resume,
-        input_signature={"n_vertices": n_vertices, "n_sym_edges": n_sym},
-    )
-    sym.unpersist()
-    vertices.unpersist()
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,  # stop when zero labels changed
+            store=store,
+            resume=resume,
+            input_signature={"n_vertices": n_vertices, "n_sym_edges": n_sym},
+        )
+    finally:
+        sym.unpersist()
+        vertices.unpersist()
     return ComponentsResult(final.select("vertex", "component"), report)

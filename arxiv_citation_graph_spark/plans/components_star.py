@@ -124,6 +124,9 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # input fingerprint only when checkpointing (the count is one extra
+    # pass; pointless without a store to resume from)
+    signature = {"n_initial_edges": initial.count()} if store is not None else None
     work, report = run_supersteps(
         spark,
         initial,
@@ -132,6 +135,7 @@ def connected_components_star(
         tolerance=0.0,
         store=store,
         resume=resume,
+        input_signature=signature,
     )
 
     # converged edge set is (child, root) stars; roots self-label

@@ -88,18 +88,20 @@ def label_propagation(
         )
         return new, {"delta": F.sum("delta")}
 
-    final, report = run_supersteps(
-        spark,
-        _initial_labels(vertices),
-        step,
-        max_iterations=max_iterations,
-        tolerance=0.0,
-        store=store,
-        resume=resume,
-        input_signature={"n_vertices": n_vertices, "n_sym_edges": n_sym},
-    )
-    sym.unpersist()
-    vertices.unpersist()
+    try:
+        final, report = run_supersteps(
+            spark,
+            _initial_labels(vertices),
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+            store=store,
+            resume=resume,
+            input_signature={"n_vertices": n_vertices, "n_sym_edges": n_sym},
+        )
+    finally:
+        sym.unpersist()
+        vertices.unpersist()
     return LabelPropResult(final.select("vertex", "label"), report)
 
 

@@ -182,21 +182,25 @@ def pagerank(
     def step(ranks: DataFrame, i: int, prev: Row | None) -> tuple[DataFrame, dict]:
         return _update(ranks), {"delta": F.sum("delta")}
 
-    final, report = run_supersteps(
-        spark,
-        _uniform_ranks(vertices_flagged, n),
-        step,
-        max_iterations=max_iterations,
-        tolerance=tolerance,
-        store=store,
-        resume=resume,  # the runtime restarts from the committed snapshot
-        input_signature={"n_vertices": n, "n_edges": m, "damping": damping},
-    )
-    ranks = final.select("vertex", "rank")
-    for cached in (adjacency, vertices_flagged, vertices):
-        cached.unpersist()
-    if hot is not None:
-        hot.unpersist()
+    try:
+        final, report = run_supersteps(
+            spark,
+            _uniform_ranks(vertices_flagged, n),
+            step,
+            max_iterations=max_iterations,
+            tolerance=tolerance,
+            store=store,
+            resume=resume,  # the runtime restarts from the committed snapshot
+            input_signature={"n_vertices": n, "n_edges": m, "damping": damping},
+        )
+        ranks = final.select("vertex", "rank")
+    finally:
+        # unpersist even when resume is refused — a retry loop must not
+        # accumulate pinned adjacency/vertex caches
+        for cached in (adjacency, vertices_flagged, vertices):
+            cached.unpersist()
+        if hot is not None:
+            hot.unpersist()
     return PageRankResult(ranks, report, n, m)
 
 

@@ -250,36 +250,50 @@ def run_supersteps(
     """
     report = SuperstepReport(iterations=start_iteration, converged=False)
     prev_from_manifest: "Row | None" = None
+    resuming = store is not None and resume and store.last_committed() >= 0
     if store is not None and input_signature is not None:
-        recorded = store.job_info().get("input_signature")
-        if resume and recorded is not None and recorded != input_signature:
-            raise ValueError(
-                f"resume refused: input signature {input_signature} does not "
-                f"match the checkpointed run's {recorded} (job {store.job!r}). "
-                "The inputs changed — start a fresh run (or clear the store)."
-            )
-        if recorded is None:
+        if resuming:
+            recorded = store.job_info().get("input_signature")
+            if recorded is not None and recorded != input_signature:
+                raise ValueError(
+                    f"resume refused: input signature {input_signature} does "
+                    f"not match the checkpointed run's {recorded} (job "
+                    f"{store.job!r}). The inputs changed — start a fresh run "
+                    "(or clear the store)."
+                )
+            if recorded is None:
+                _LOG.warning(
+                    "resuming job %r from a manifest with no recorded input "
+                    "signature (written by an older version): cannot verify "
+                    "the inputs are unchanged.",
+                    store.job,
+                )
+        else:
+            # fresh run: the signature must track THIS run's inputs, even
+            # when overwriting an older job's manifest — otherwise a later
+            # resume validates against the wrong graph
             store.set_job_info({"input_signature": input_signature})
-    if store is not None and resume:
+    if resuming:
         last = store.last_committed()
-        if last >= 0:
-            state = store.read_state(spark, last)
-            start_iteration = last + 1
-            report.iterations = start_iteration
-            info = store.committed_info(last) or {}
-            aggs = info.get("aggs")
-            if aggs is not None:
-                # same shape step() sees mid-run: a Row incl. _rows
-                prev_from_manifest = Row(**aggs, _rows=info.get("rows"))
-            last_delta = info.get("delta")
-            if (
-                start_iteration >= max_iterations
-                and tolerance is not None
-                and last_delta is not None
-                and float(last_delta) <= tolerance
-            ):
-                # no headroom to verify: trust the committed fixpoint
-                report.converged = True
+        state = store.read_state(spark, last)
+        start_iteration = last + 1
+        report.iterations = start_iteration
+        info = store.committed_info(last) or {}
+        aggs = info.get("aggs")
+        if aggs is not None:
+            # same shape step() sees mid-run: a Row incl. _rows (values
+            # must be JSON scalars — exotic aggregate types degrade to
+            # str in the manifest and will not round-trip)
+            prev_from_manifest = Row(**aggs, _rows=info.get("rows"))
+        last_delta = info.get("delta")
+        if (
+            start_iteration >= max_iterations
+            and tolerance is not None
+            and last_delta is not None
+            and float(last_delta) <= tolerance
+        ):
+            # no headroom to verify: trust the committed fixpoint
+            report.converged = True
     # NOTE: AQE must stay ON for the loop.  Measured on this Spark build:
     # with adaptive.enabled=false a localCheckpoint-per-iteration loop
     # degrades exponentially (~3x per superstep past ~15 iterations —
