@@ -28,3 +28,64 @@ def test_superstep_wall_time_is_flat(spark):
     early = sum(w[2:6]) / 4
     late = sum(w[-4:]) / 4
     assert late < early * 5, (early, late, w)
+
+
+def test_input_signature_lifecycle(spark, tmp_path):
+    """Fresh runs (re)record the signature; matching resumes proceed;
+    mismatched resumes refuse; legacy manifests warn but resume."""
+    import json as _json
+    import logging
+    import pytest
+    from pyspark.sql import functions as F
+
+    from arxiv_citation_graph_spark.plans.superstep import (
+        CheckpointStore,
+        run_supersteps,
+    )
+
+    def step(s, i, prev):
+        new = s.select("v", (F.col("x") * 0.5).alias("x"))
+        return new, {"delta": F.sum("x")}
+
+    state = spark.range(8).select(F.col("id").alias("v"), F.lit(1.0).alias("x"))
+    store = CheckpointStore(str(tmp_path / "ckpt"), "sig")
+
+    run_supersteps(spark, state, step, 2, tolerance=None, store=store,
+                   input_signature={"n": 1})
+    assert store.job_info()["input_signature"] == {"n": 1}
+
+    # a fresh run over the same store re-records the CURRENT signature
+    run_supersteps(spark, state, step, 2, tolerance=None, store=store,
+                   input_signature={"n": 2})
+    assert store.job_info()["input_signature"] == {"n": 2}
+
+    # mismatched resume refuses
+    with pytest.raises(ValueError, match="resume refused"):
+        run_supersteps(spark, state, step, 4, tolerance=None, store=store,
+                       resume=True, input_signature={"n": 3})
+
+    # matching resume proceeds from the committed iteration
+    _, rep = run_supersteps(spark, state, step, 4, tolerance=None, store=store,
+                            resume=True, input_signature={"n": 2})
+    assert rep.iterations == 4
+
+    # legacy manifest (no job_info): resume warns but does not refuse
+    man_path = store._manifest_path()
+    man = _json.load(open(man_path))
+    man.pop("job_info", None)
+    _json.dump(man, open(man_path, "w"))
+    import logging as _logging
+    caplog_records = []
+    handler = _logging.Handler()
+    handler.emit = lambda rec: caplog_records.append(rec)
+    lg = _logging.getLogger("arxiv_citation_graph_spark.plans.superstep")
+    lg.addHandler(handler)
+    try:
+        _, rep2 = run_supersteps(spark, state, step, 6, tolerance=None, store=store,
+                                 resume=True, input_signature={"n": 9})
+    finally:
+        lg.removeHandler(handler)
+    assert rep2.iterations == 6
+    assert any("no recorded input signature" in r.getMessage() for r in caplog_records)
+    # and the mismatched signature was NOT silently blessed into the manifest
+    assert store.job_info().get("input_signature") is None
