@@ -1,0 +1,126 @@
+"""Single-source BFS hop distances (link-graph tier).
+
+Distance-from-a-paper is the basic reachability query over a citation
+graph ("how far is X from the seminal paper?").  Same superstep shape as
+hash-min connected components (SURVEY.md §2.5 J5) with ``min(dist+1)``
+as the exchanged label:
+
+- symmetric adjacency cached and hash-partitioned on ``src_id`` once,
+- per superstep: one equi-join (frontier distances onto the adjacency),
+  one min-aggregate (map-side partial), one |V|-sized merge join,
+- ``delta`` = number of vertices whose distance improved, evaluated in
+  the snapshot action; ``tolerance=0`` stops after the frontier stalls.
+
+Runs O(eccentricity) supersteps.  Unreached vertices carry a sentinel
+and are dropped from the result.
+
+The state join ships the full |V|-sized distance vector each superstep
+rather than only the frontier — at link-graph diameters (tiny) the
+simplicity wins; a frontier-only variant would save shuffle bytes on
+high-diameter graphs at the cost of a second state table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+#: "unreached" distance sentinel — larger than any real hop count.
+UNREACHED = 1 << 40
+
+
+@dataclass
+class BfsResult:
+    distances: DataFrame  # (vertex, dist) — reached vertices only
+    report: SuperstepReport
+    source: str
+
+
+def bfs_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: str | None = None,
+    max_iterations: int = 200,
+    directed: bool = False,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_state: bool | None = None,
+) -> BfsResult:
+    """Hop distances from ``source`` over ``edges(src_id, dst_id)``.
+
+    ``source=None`` picks the lexicographic-min vertex (deterministic).
+    ``directed=True`` follows edges src->dst only; default symmetrizes
+    (conventions pinned by ``tests/oracle_graph.bfs_dist``).
+    """
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "vertex string, dist long")
+        return BfsResult(empty, SuperstepReport(0, True), source or "")
+    if source is None:
+        source = vertices.agg(F.min("vertex")).first()[0]
+    adj = (edges.select("src_id", "dst_id") if directed else symmetrize(edges)).repartition(
+        spark.sparkContext.defaultParallelism, "src_id"
+    ).cache()
+    adj.count()
+
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        nbr = (
+            adj.join(
+                _mb(state.filter(F.col("dist") < UNREACHED).select("vertex", "dist")),
+                adj.src_id == F.col("vertex"),
+            )
+            .groupBy(F.col("dst_id").alias("vertex"))
+            .agg(F.min(F.col("dist") + F.lit(1)).alias("nbr_dist"))
+        )
+        new_dist = F.least(F.col("old_dist"), F.coalesce(F.col("nbr_dist"), F.col("old_dist")))
+        new = (
+            state.select("vertex", F.col("dist").alias("old_dist"))
+            .join(nbr, "vertex", "left")
+            .select(
+                "vertex",
+                new_dist.alias("dist"),
+                (new_dist < F.col("old_dist")).cast("double").alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = vertices.select(
+        "vertex",
+        F.when(F.col("vertex") == F.lit(source), F.lit(0))
+        .otherwise(F.lit(UNREACHED))
+        .cast("long")
+        .alias("dist"),
+        F.lit(0.0).alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+            store=store,
+            resume=resume,
+            input_signature={"n_vertices": n, "source": source, "directed": directed},
+        )
+        out = final.filter(F.col("dist") < UNREACHED).select("vertex", "dist")
+    finally:
+        adj.unpersist()
+        vertices.unpersist()
+    return BfsResult(out, report, source)

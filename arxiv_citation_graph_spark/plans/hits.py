@@ -1,0 +1,218 @@
+"""HITS (hubs & authorities) over the directed citation edge table.
+
+Kleinberg's algorithm is the classic citation-analysis companion to
+PageRank (survey papers are *hubs*, foundational papers are
+*authorities*) — a natural beyond-reference kernel for the link-graph
+tier mandated by ``BASELINE.json`` (the reference never materializes a
+graph at all; see SURVEY.md §1.1 "Implicit graph").
+
+Per full iteration: ``auth = A^T hub`` then L2-normalize, ``hub = A
+auth`` then L2-normalize.  The Spark-first trick is how normalization is
+paid for: a naive plan computes the raw scores, then a 1-row
+sum-of-squares aggregate over them, then divides — two consumers of the
+unmaterialized score frame, so the |E|-sized contribution join executes
+twice per half-step (and the nesting compounds to 4x per full
+iteration).  Instead the runtime's aggregate channel carries
+``sum(x^2)`` of the freshly-computed raw side to the *next* superstep as
+a driver scalar (``prev_aggs``), where the division is a free column
+expression.  Each superstep is therefore:
+
+- exactly ONE |E|-sized equi-join (contributions from the other side),
+- salted two-stage aggregation for hub skew (same ``salted_sum`` as
+  PageRank — a survey paper citing 10^4 works is a hot key),
+- normalization of the side being read via a carried scalar,
+- delta + next norm evaluated in the same action that snapshots state.
+
+State: ``(vertex, hub, auth, hub_prev, auth_prev, delta)``.  The side
+refreshed this superstep is raw; the other side is normalized in place
+(its norm is the carried scalar).  ``{hub,auth}_prev`` hold each side's
+normalized values from its previous refresh so the delta is an L1
+change of *normalized* scores, entirely in-plan.
+
+A full HITS iteration is 2 supersteps (auth refresh, then hub refresh).
+Convergence (``tolerance`` set): stop when one side's normalized L1
+change between consecutive refreshes is <= tolerance — the interleaved
+power iterations on ``A^T A`` / ``A A^T`` converge together, so a
+one-sided test is sufficient in practice (and the fixed-iteration mode
+used for oracle parity never consults it).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import (
+    hot_vertices,
+    salted_sum,
+    vertices_of,
+)
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+#: guard against a zero-norm side (graph with no edges): dividing by
+#: max(norm, floor) keeps the all-zero vector all-zero.
+_NORM_FLOOR = 1e-300
+
+_STATE_COLS = ("vertex", "hub", "auth", "hub_prev", "auth_prev", "delta")
+
+
+@dataclass
+class HitsResult:
+    scores: DataFrame  # (vertex, hub, auth) — both L2-normalized
+    report: SuperstepReport
+    num_vertices: int
+    num_edges: int
+
+
+def hits(
+    spark: SparkSession,
+    edges: DataFrame,
+    iterations: int = 8,
+    tolerance: float | None = None,
+    salt_buckets: int = 16,
+    hot_degree_threshold: int | None = 1000,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_scores: bool | None = None,
+) -> HitsResult:
+    """Run ``iterations`` full HITS iterations (2x supersteps) over
+    ``edges(src_id, dst_id)``; duplicate edges collapsed, self-loops kept
+    (conventions pinned by ``tests/oracle_graph.hits_dense``)."""
+    edges = edges.select("src_id", "dst_id").distinct()
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "vertex string, hub double, auth double")
+        return HitsResult(empty, SuperstepReport(0, True), 0, 0)
+    # adjacency cached once, hash-partitioned on the auth half-step's
+    # join key (src_id); the hub half-step joins on dst_id and shuffles
+    # only the |V|-sized score frame, never the edge list.
+    adj = edges.repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    m = adj.count()
+
+    hot_in = (
+        hot_vertices(edges, hot_degree_threshold, "in").cache()
+        if hot_degree_threshold is not None
+        else None
+    )
+    hot_out = (
+        hot_vertices(edges, hot_degree_threshold, "out").cache()
+        if hot_degree_threshold is not None
+        else None
+    )
+
+    if broadcast_scores is None:
+        broadcast_scores = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_scores else df
+
+    def _refresh(
+        state: DataFrame,
+        read_col: str,  # side being read: raw in state, normalized here
+        write_col: str,  # side being refreshed from the contribution sums
+        join_key: str,  # adjacency column the read side joins on
+        group_key: str,  # adjacency column the sums group on
+        norm_scalar: float,
+        hot: DataFrame | None,
+    ) -> DataFrame:
+        inv = 1.0 / max(norm_scalar, _NORM_FLOOR)
+        contribs = (
+            adj.join(
+                _mb(state.select("vertex", F.col(read_col).alias("_score"))),
+                F.col(join_key) == F.col("vertex"),
+            )
+            .select(
+                F.col(group_key),
+                F.col(join_key),
+                (F.col("_score") * F.lit(inv)).alias("contrib"),
+            )
+        )
+        sums = salted_sum(
+            contribs,
+            key=group_key,
+            value="contrib",
+            salt_source=join_key,
+            alias="raw",
+            buckets=salt_buckets,
+            hot_keys=hot,
+        )
+        read_n = F.col(read_col) * F.lit(inv)
+        new_cols = {
+            read_col: read_n,
+            write_col: F.coalesce(F.col("raw"), F.lit(0.0)),
+            f"{read_col}_prev": read_n,
+            f"{write_col}_prev": F.col(f"{write_col}_prev"),
+            "delta": F.abs(read_n - F.col(f"{read_col}_prev")),
+        }
+        return (
+            state.select("vertex", read_col, "hub_prev", "auth_prev")
+            .join(sums, F.col("vertex") == F.col(group_key), "left")
+            .select("vertex", *(new_cols[c].alias(c) for c in _STATE_COLS[1:]))
+        )
+
+    sqrt_n = math.sqrt(float(n))
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        # prev carries sum-of-squares of the raw side refreshed last
+        # superstep; at i==0 both sides are all-ones (norm sqrt(n)).
+        norm = sqrt_n if prev is None else math.sqrt(max(float(prev["sq"]), 0.0))
+        if i % 2 == 0:  # auth refresh: read hubs along src_id -> dst_id
+            new = _refresh(state, "hub", "auth", "src_id", "dst_id", norm, hot_in)
+            sq_side = "auth"
+        else:  # hub refresh: read auths along dst_id -> src_id
+            new = _refresh(state, "auth", "hub", "dst_id", "src_id", norm, hot_out)
+            sq_side = "hub"
+        return new, {
+            "delta": F.sum("delta"),
+            "sq": F.sum(F.col(sq_side) * F.col(sq_side)),
+        }
+
+    initial = vertices.select(
+        "vertex",
+        F.lit(1.0).alias("hub"),
+        F.lit(1.0).alias("auth"),
+        # prev = the normalized all-ones vector, so each side's first
+        # delta measures movement from the uniform start
+        F.lit(1.0 / sqrt_n).alias("hub_prev"),
+        F.lit(1.0 / sqrt_n).alias("auth_prev"),
+        F.lit(0.0).alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=2 * iterations,
+            tolerance=tolerance,
+            store=store,
+            resume=resume,
+            input_signature={"n_vertices": n, "n_edges": m, "kernel": "hits"},
+        )
+        # one side is still raw (whichever was refreshed last); normalize
+        # both with one final action.
+        norms = final.agg(
+            F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("nh"),
+            F.sqrt(F.sum(F.col("auth") * F.col("auth"))).alias("na"),
+        ).first()
+        nh = 1.0 / max(float(norms["nh"] or 0.0), _NORM_FLOOR)
+        na = 1.0 / max(float(norms["na"] or 0.0), _NORM_FLOOR)
+        scores = final.select(
+            "vertex",
+            (F.col("hub") * F.lit(nh)).alias("hub"),
+            (F.col("auth") * F.lit(na)).alias("auth"),
+        )
+    finally:
+        adj.unpersist()
+        vertices.unpersist()
+        for h in (hot_in, hot_out):
+            if h is not None:
+                h.unpersist()
+    return HitsResult(scores, report, n, m)

@@ -122,3 +122,73 @@ def triangles_brute(edges: list[tuple[str, str]]) -> dict[str, int]:
                     counts[b] += 1
                     counts[c] += 1
     return counts
+
+
+def hits_dense(
+    edges: list[tuple[str, str]],
+    iterations: int = 8,
+) -> dict[str, tuple[float, float]]:
+    """Dense HITS (Kleinberg): per full iteration, auth = A^T hub then
+    L2-normalize, hub = A auth then L2-normalize.  Hubs/auths start at
+    all-ones (L2-normalized before first use).  Returns
+    ``{vertex: (hub, auth)}`` after ``iterations`` full iterations.
+    Conventions must match ``plans/hits.py`` exactly: directed simple
+    graph (duplicate edges collapsed, self-loops kept), a zero-norm side
+    stays all-zero (norm guard max(norm, 1))."""
+    dedup = sorted(set(edges))
+    verts = _vertex_index(dedup)
+    n = len(verts)
+    idx = {v: i for i, v in enumerate(verts)}
+    adj = np.zeros((n, n))
+    for s, d in dedup:
+        adj[idx[s], idx[d]] = 1.0
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iterations):
+        hub_n = hub / max(float(np.sqrt((hub * hub).sum())), 1e-300)
+        auth = adj.T @ hub_n
+        auth_n = auth / max(float(np.sqrt((auth * auth).sum())), 1e-300)
+        hub = adj @ auth_n
+    hub_n = hub / max(float(np.sqrt((hub * hub).sum())), 1e-300)
+    auth_n = auth / max(float(np.sqrt((auth * auth).sum())), 1e-300)
+    return {v: (float(hub_n[idx[v]]), float(auth_n[idx[v]])) for v in verts}
+
+
+def kcore_peel(edges: list[tuple[str, str]], k: int) -> dict[str, int]:
+    """Iterative k-core peeling on the simple undirected graph (self-loops
+    dropped).  Returns ``{vertex: degree_within_core}`` for the k-core."""
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    alive = {v for v in nbrs if len(nbrs[v]) > 0}
+    while True:
+        drop = {v for v in alive if sum(1 for u in nbrs[v] if u in alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {v: sum(1 for u in nbrs[v] if u in alive) for v in alive}
+
+
+def bfs_dist(edges: list[tuple[str, str]], source: str | None = None) -> dict[str, int]:
+    """Hop distances from ``source`` (default: lexicographic-min vertex)
+    over the symmetrized graph; unreachable vertices omitted."""
+    verts = _vertex_index(edges)
+    if source is None:
+        source = verts[0]
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    dist = {source: 0}
+    frontier = [source]
+    while frontier:
+        nxt = []
+        for v in frontier:
+            for u in nbrs[v]:
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    nxt.append(u)
+        frontier = nxt
+    return dist

@@ -1,0 +1,149 @@
+"""HITS / k-core / BFS kernels vs dense oracles (beyond-reference
+link-graph tier; conventions pinned in tests/oracle_graph.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+from arxiv_citation_graph_spark.plans.bfs import bfs_distances
+from arxiv_citation_graph_spark.plans.hits import hits
+from arxiv_citation_graph_spark.plans.kcore import kcore
+from tests import oracle_graph
+
+GRAPHS = toy_graphs()
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, ["src_id", "dst_id"])
+
+
+# --------------------------------------------------------------------- HITS
+
+
+@pytest.mark.parametrize("name", ["twocomp", "star", "k4", "dangling", "selfloop", "resume"])
+def test_hits_allclose_oracle(spark, name):
+    """Fixed-iteration parity vs the dense HITS oracle (1e-9, every
+    superstep's math validated through 6 full iterations)."""
+    expected = oracle_graph.hits_dense(GRAPHS[name], iterations=6)
+    result = hits(spark, toy_edges_df(spark, name), iterations=6,
+                  salt_buckets=4, hot_degree_threshold=5)
+    got = {r.vertex: (r.hub, r.auth) for r in result.scores.collect()}
+    assert set(got) == set(expected)
+    for v, (eh, ea) in expected.items():
+        assert math.isclose(got[v][0], eh, abs_tol=1e-9), (name, v, "hub")
+        assert math.isclose(got[v][1], ea, abs_tol=1e-9), (name, v, "auth")
+
+
+def test_hits_star_is_extremal(spark):
+    """On spokes->hub the hub vertex is the unique authority and every
+    spoke an equal hub; scores are L2-normalized."""
+    result = hits(spark, toy_edges_df(spark, "star"), iterations=4)
+    rows = {r.vertex: r for r in result.scores.collect()}
+    assert math.isclose(rows["hub"].auth, 1.0, abs_tol=1e-12)
+    assert math.isclose(rows["hub"].hub, 0.0, abs_tol=1e-12)
+    spokes = [r for v, r in rows.items() if v != "hub"]
+    assert all(math.isclose(r.hub, spokes[0].hub, abs_tol=1e-12) for r in spokes)
+    assert math.isclose(sum(r.hub ** 2 for r in spokes), 1.0, abs_tol=1e-9)
+
+
+def test_hits_tolerance_stops_early(spark):
+    """k4 is symmetric: scores are uniform after one iteration, so the
+    L1 delta hits zero and the loop stops well before max."""
+    result = hits(spark, toy_edges_df(spark, "k4"), iterations=50, tolerance=1e-12)
+    assert result.report.converged
+    assert result.report.iterations < 100
+
+
+def test_hits_salt_modes_agree(spark):
+    expected = oracle_graph.hits_dense(GRAPHS["star"], iterations=5)
+    for kwargs in [
+        dict(hot_degree_threshold=None, salt_buckets=8),
+        dict(hot_degree_threshold=5, salt_buckets=8),
+        dict(hot_degree_threshold=10**9, salt_buckets=8),
+    ]:
+        result = hits(spark, toy_edges_df(spark, "star"), iterations=5, **kwargs)
+        got = {r.vertex: (r.hub, r.auth) for r in result.scores.collect()}
+        for v, (eh, ea) in expected.items():
+            assert math.isclose(got[v][0], eh, abs_tol=1e-12), (kwargs, v)
+            assert math.isclose(got[v][1], ea, abs_tol=1e-12), (kwargs, v)
+
+
+# ------------------------------------------------------------------- k-core
+
+
+@pytest.mark.parametrize("name", ["twocomp", "star", "k4", "selfloop", "resume"])
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_kcore_matches_peel_oracle(spark, name, k):
+    expected = oracle_graph.kcore_peel(GRAPHS[name], k)
+    result = kcore(spark, toy_edges_df(spark, name), k)
+    got = {r.vertex: r.core_deg for r in result.core.collect()}
+    assert got == expected, (name, k)
+
+
+def test_kcore_chain_peels_iteratively(spark):
+    """A path graph peels one layer per superstep from both ends — the
+    multi-round case (k=2 core of a path is empty, reached gradually)."""
+    chain = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(10)]
+    expected = oracle_graph.kcore_peel(chain, 2)
+    assert expected == {}
+    result = kcore(spark, _df(spark, chain), 2)
+    assert result.core.count() == 0
+    assert result.report.iterations >= 4  # genuinely iterative peeling
+    assert result.report.converged
+
+
+def test_kcore_lollipop_keeps_clique_only(spark):
+    """k4 with a tail: the tail peels away, the clique survives with
+    in-core degrees (the tail-attachment vertex keeps core_deg 3)."""
+    lollipop = GRAPHS["k4"] + [("k0", "t1"), ("t1", "t2")]
+    expected = oracle_graph.kcore_peel(lollipop, 3)
+    result = kcore(spark, _df(spark, lollipop), 3)
+    got = {r.vertex: r.core_deg for r in result.core.collect()}
+    assert got == expected
+    assert set(got) == {"k0", "k1", "k2", "k3"}
+    assert got["k0"] == 3
+
+
+def test_kcore_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        kcore(spark, toy_edges_df(spark, "k4"), 0)
+
+
+# ---------------------------------------------------------------------- BFS
+
+
+@pytest.mark.parametrize("name", ["twocomp", "star", "cycle", "k4", "resume"])
+def test_bfs_matches_oracle(spark, name):
+    expected = oracle_graph.bfs_dist(GRAPHS[name])
+    result = bfs_distances(spark, toy_edges_df(spark, name))
+    got = {r.vertex: r.dist for r in result.distances.collect()}
+    assert got == expected, name
+
+
+def test_bfs_unreachable_omitted(spark):
+    """twocomp: the default source (a1) cannot reach the b-component."""
+    result = bfs_distances(spark, toy_edges_df(spark, "twocomp"))
+    got = {r.vertex: r.dist for r in result.distances.collect()}
+    assert set(got) == {"a1", "a2", "a3", "a4"}
+    assert got["a1"] == 0 and got["a4"] == 3
+
+
+def test_bfs_directed_vs_undirected(spark):
+    """Directed mode follows edge orientation only: from d0 the chain is
+    reachable, but from the sink nothing is."""
+    res_fwd = bfs_distances(spark, toy_edges_df(spark, "dangling"), source="d0", directed=True)
+    assert {r.vertex: r.dist for r in res_fwd.distances.collect()} == {
+        "d0": 0, "d1": 1, "d2": 2, "sink": 3,
+    }
+    res_sink = bfs_distances(spark, toy_edges_df(spark, "dangling"), source="sink", directed=True)
+    assert {r.vertex: r.dist for r in res_sink.distances.collect()} == {"sink": 0}
+
+
+def test_bfs_explicit_source(spark):
+    expected = oracle_graph.bfs_dist(GRAPHS["resume"], source="v050")
+    result = bfs_distances(spark, toy_edges_df(spark, "resume"), source="v050")
+    got = {r.vertex: r.dist for r in result.distances.collect()}
+    assert got == expected
