@@ -880,6 +880,71 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.distances.select("vertex", F.col("dist").cast("long").alias("dist"))
 
 
+#: personalized-PageRank source predicate — must select the SAME vertices
+#: in Spark and DuckDB (customers whose key is divisible by 97; 15 of the
+#: 1500 sf0.01 customers).
+_PPR_SRC_SQL = "vertex LIKE 'c%' AND (CAST(substr(vertex, 2) AS INTEGER) % 97) = 0"
+
+
+def _ppr_unrolled_sql(iters: int) -> str:
+    """Unrolled personalized power iteration: teleport + dangling mass
+    land uniformly on the source set; r0 = the teleport distribution
+    (same math as plans/pagerank.py with ``sources=``)."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_BIPARTITE_SQL})",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM edges UNION SELECT dst_id FROM edges)",
+        "outd AS MATERIALIZED (SELECT src_id, CAST(count(*) AS DOUBLE) AS out_deg FROM edges GROUP BY src_id)",
+        f"ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM verts WHERE {_PPR_SRC_SQL})",
+        "dang AS MATERIALIZED (SELECT vertex FROM verts WHERE vertex NOT IN (SELECT src_id FROM edges))",
+        f"tp AS MATERIALIZED (SELECT vertex, CASE WHEN {_PPR_SRC_SQL} "
+        "THEN 1.0 / (SELECT s FROM ns) ELSE 0.0 END AS w FROM verts)",
+        "r0 AS MATERIALIZED (SELECT vertex, w AS rank FROM tp)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{p} "
+            f"WHERE vertex IN (SELECT vertex FROM dang))"
+        )
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst_id AS vertex, sum(r.rank / o.out_deg) AS mass "
+            f"FROM edges e JOIN r{p} r ON e.src_id = r.vertex "
+            f"JOIN outd o ON e.src_id = o.src_id GROUP BY e.dst_id)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT t.vertex, 0.15 * t.w "
+            f"+ 0.85 * ((SELECT dm FROM d{k}) * t.w + coalesce(c.mass, 0.0)) AS rank "
+            f"FROM tp t LEFT JOIN c{k} c ON t.vertex = c.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vertex, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+@register("pagerank_personalized", _ppr_unrolled_sql(PAGERANK_ITERS))
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set ("related papers"): teleport
+    weight carried as a state column, same salted superstep plan."""
+    from arxiv_citation_graph_spark.plans.layout import vertices_of
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    edges = bipartite_edges(spark, sf_dir)
+    sources = vertices_of(edges).filter(
+        F.col("vertex").like("c%")
+        & (F.substring("vertex", 2, 100).cast("int") % 97 == 0)
+    )
+    result = pagerank(
+        spark,
+        edges,
+        tolerance=None,
+        max_iterations=PAGERANK_ITERS,
+        salt_buckets=8,
+        hot_degree_threshold=64,
+        sources=sources,
+    )
+    return result.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+
 # ===========================================================================
 # Extraction pipeline under the driver oracle (P3/P4/P5, F1-F5, X1-X3)
 # ===========================================================================

@@ -70,12 +70,22 @@ def pagerank(
     store: CheckpointStore | None = None,
     resume: bool = False,
     broadcast_ranks: bool | None = None,
+    sources: DataFrame | None = None,
 ) -> PageRankResult:
     """Iterate rank mass over ``edges(src_id, dst_id)`` to convergence.
 
     ``hot_degree_threshold``: in-degree above which a destination vertex
     is salted (None = salt every key).  ``resume=True`` with a ``store``
     continues from the last committed superstep.
+
+    ``sources``: optional single-column (``vertex``) DataFrame — when
+    given, runs *personalized* PageRank: teleport (and dangling-mass
+    redistribution) lands uniformly on the source set instead of all
+    vertices, and ranks start at the teleport distribution.  The
+    citation-graph reading: "papers related to this seed set".  The
+    per-vertex teleport weight is carried as a state column, so the
+    superstep plan is unchanged — one |E| join, salted aggregation, one
+    |V| state join; sources outside the graph are ignored.
 
     One checkpoint + one action per superstep.  Do NOT be tempted to
     chain multiple updates into one lineage to amortize driver cost:
@@ -118,7 +128,6 @@ def pagerank(
             "left",
         )
         .select("vertex", F.coalesce(~F.col("_has_out"), F.lit(True)).alias("dangling"))
-        .cache()
     )
 
     hot = (
@@ -126,6 +135,29 @@ def pagerank(
         if hot_degree_threshold is not None
         else None
     )
+
+    personalized = sources is not None
+    if personalized:
+        src_set = sources.select("vertex").distinct()
+        n_sources = vertices.join(F.broadcast(src_set), "vertex", "semi").count()
+        if n_sources == 0:
+            raise ValueError("personalized PageRank: no source vertex is in the graph")
+        # per-vertex teleport weight, carried through the state
+        vertices_flagged = (
+            vertices_flagged.join(
+                F.broadcast(src_set.withColumn("_is_src", F.lit(True))), "vertex", "left"
+            )
+            .select(
+                "vertex",
+                "dangling",
+                F.when(F.col("_is_src"), F.lit(1.0 / n_sources))
+                .otherwise(F.lit(0.0))
+                .alias("teleport"),
+            )
+        )
+    else:
+        n_sources = 0
+    vertices_flagged = vertices_flagged.cache()
 
     base = float((1.0 - damping) / n)
     dangling_mass_col = F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))
@@ -135,11 +167,16 @@ def pagerank(
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_ranks else df
 
+    state_cols = ["vertex", "dangling"] + (["teleport"] if personalized else [])
+
     def _update(ranks: DataFrame) -> DataFrame:
         # dangling mass in-plan: a 1-row aggregate over the checkpointed
         # state, broadcast onto every vertex — no driver action, and the
-        # second read of `ranks` is a free LogicalRDD scan
-        dm = ranks.agg((dangling_mass_col / F.lit(float(n))).alias("_dm_per_v"))
+        # second read of `ranks` is a free LogicalRDD scan.  Uniform mode
+        # pre-divides by n; personalized mode multiplies by the per-vertex
+        # teleport weight instead.
+        dm_expr = dangling_mass_col if personalized else dangling_mass_col / F.lit(float(n))
+        dm = ranks.agg(dm_expr.alias("_dm_per_v"))
         contribs = adjacency.join(
             _maybe_broadcast(ranks.select("vertex", "rank")),
             adjacency.src_id == F.col("vertex"),
@@ -162,18 +199,24 @@ def pagerank(
         # new rank AND the convergence delta come from ONE |V|-sized left
         # join with the rank-mass sums — not a vertex join plus a second
         # delta join (one shuffle fewer per superstep)
-        new_rank = (
-            F.lit(base)
-            + F.lit(damping) * F.col("_dm_per_v")
-            + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-        )
+        if personalized:
+            new_rank = (
+                F.lit(1.0 - damping) * F.col("teleport")
+                + F.lit(damping) * F.col("_dm_per_v") * F.col("teleport")
+                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+            )
+        else:
+            new_rank = (
+                F.lit(base)
+                + F.lit(damping) * F.col("_dm_per_v")
+                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+            )
         return (
-            ranks.select("vertex", "dangling", F.col("rank").alias("old_rank"))
+            ranks.select(*state_cols, F.col("rank").alias("old_rank"))
             .join(sums, F.col("vertex") == sums.dst_id, "left")
             .crossJoin(F.broadcast(dm))
             .select(
-                "vertex",
-                "dangling",
+                *state_cols,
                 new_rank.alias("rank"),
                 F.abs(new_rank - F.col("old_rank")).alias("delta"),
             )
@@ -182,16 +225,28 @@ def pagerank(
     def step(ranks: DataFrame, i: int, prev: Row | None) -> tuple[DataFrame, dict]:
         return _update(ranks), {"delta": F.sum("delta")}
 
+    if personalized:
+        initial = vertices_flagged.select(
+            "vertex", "dangling", "teleport",
+            F.col("teleport").alias("rank"), F.lit(0.0).alias("delta"),
+        )
+        signature = {
+            "n_vertices": n, "n_edges": m, "damping": damping,
+            "mode": "personalized", "n_sources": n_sources,
+        }
+    else:
+        initial = _uniform_ranks(vertices_flagged, n)
+        signature = {"n_vertices": n, "n_edges": m, "damping": damping}
     try:
         final, report = run_supersteps(
             spark,
-            _uniform_ranks(vertices_flagged, n),
+            initial,
             step,
             max_iterations=max_iterations,
             tolerance=tolerance,
             store=store,
             resume=resume,  # the runtime restarts from the committed snapshot
-            input_signature={"n_vertices": n, "n_edges": m, "damping": damping},
+            input_signature=signature,
         )
         ranks = final.select("vertex", "rank")
     finally:

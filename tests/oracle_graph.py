@@ -27,9 +27,13 @@ def pagerank_dense(
     damping: float = 0.85,
     tol: float | None = 1e-12,
     max_iter: int = 500,
+    personalization: set[str] | None = None,
 ) -> dict[str, float]:
     """Dense power iteration; ``tol=None`` runs exactly ``max_iter``
-    supersteps (for fixed-iteration parity against the engine)."""
+    supersteps (for fixed-iteration parity against the engine).
+    ``personalization``: source set — teleport + dangling mass land
+    uniformly on it and ranks start at the teleport distribution
+    (must match ``plans/pagerank.py`` with ``sources=`` exactly)."""
     verts = _vertex_index(edges)
     n = len(verts)
     idx = {v: i for i, v in enumerate(verts)}
@@ -38,10 +42,17 @@ def pagerank_dense(
     for s, d in edges:
         mat[idx[d], idx[s]] += 1.0 / out_deg[s]
     dangling = np.array([1.0 if out_deg[v] == 0 else 0.0 for v in verts])
-    rank = np.full(n, 1.0 / n)
+    if personalization is None:
+        teleport = np.full(n, 1.0 / n)
+    else:
+        srcs = personalization & set(verts)
+        if not srcs:
+            raise ValueError("no personalization vertex is in the graph")
+        teleport = np.array([1.0 / len(srcs) if v in srcs else 0.0 for v in verts])
+    rank = np.full(n, 1.0 / n) if personalization is None else teleport.copy()
     for _ in range(max_iter):
         d_mass = float(dangling @ rank)
-        new = (1 - damping) / n + damping * (mat @ rank + d_mass / n)
+        new = (1 - damping) * teleport + damping * (mat @ rank + d_mass * teleport)
         if tol is not None and np.abs(new - rank).sum() < tol:
             rank = new
             break

@@ -147,3 +147,67 @@ def test_bfs_explicit_source(spark):
     result = bfs_distances(spark, toy_edges_df(spark, "resume"), source="v050")
     got = {r.vertex: r.dist for r in result.distances.collect()}
     assert got == expected
+
+
+# ------------------------------------------------------- personalized PR
+
+
+@pytest.mark.parametrize(
+    "name,srcs",
+    [
+        ("twocomp", {"a1"}),
+        ("star", {"spoke00", "spoke01"}),
+        ("dangling", {"d0"}),
+        ("resume", {"v000", "v050", "v099"}),
+    ],
+)
+def test_personalized_pagerank_allclose(spark, name, srcs):
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    expected = oracle_graph.pagerank_dense(
+        GRAPHS[name], tol=None, max_iter=10, personalization=srcs
+    )
+    sources = spark.createDataFrame([(s,) for s in srcs], ["vertex"])
+    result = pagerank(spark, toy_edges_df(spark, name), tolerance=None,
+                      max_iterations=10, salt_buckets=4,
+                      hot_degree_threshold=10, sources=sources)
+    got = {r.vertex: r.rank for r in result.ranks.collect()}
+    assert set(got) == set(expected)
+    for v, r in expected.items():
+        assert math.isclose(got[v], r, abs_tol=1e-9), (name, v)
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_personalized_pagerank_convergence(spark):
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    expected = oracle_graph.pagerank_dense(GRAPHS["resume"], personalization={"v000"})
+    result = pagerank(spark, toy_edges_df(spark, "resume"), tolerance=1e-10,
+                      max_iterations=200,
+                      sources=spark.createDataFrame([("v000",)], ["vertex"]))
+    assert result.report.converged
+    got = {r.vertex: r.rank for r in result.ranks.collect()}
+    for v, r in expected.items():
+        assert math.isclose(got[v], r, abs_tol=1e-6), v
+
+
+def test_personalized_pagerank_ignores_unknown_sources(spark):
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    expected = oracle_graph.pagerank_dense(
+        GRAPHS["cycle"], tol=None, max_iter=6, personalization={"c0"}
+    )
+    sources = spark.createDataFrame([("c0",), ("nonexistent",)], ["vertex"])
+    result = pagerank(spark, toy_edges_df(spark, "cycle"), tolerance=None,
+                      max_iterations=6, sources=sources)
+    got = {r.vertex: r.rank for r in result.ranks.collect()}
+    for v, r in expected.items():
+        assert math.isclose(got[v], r, abs_tol=1e-9), v
+
+
+def test_personalized_pagerank_rejects_disjoint_sources(spark):
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    with pytest.raises(ValueError):
+        pagerank(spark, toy_edges_df(spark, "cycle"),
+                 sources=spark.createDataFrame([("zz",)], ["vertex"]))
