@@ -7,7 +7,8 @@ Ship the package as a zip and drive any stage of the pipeline:
         -- arxiv_citation_graph_spark/cli.py extract \
         --docs /path/docs_parquet --out /path/warehouse
 
-Subcommands: extract | pagerank | cc | lpa | triangles | bench-corpus.
+Subcommands: extract | pagerank | cc | lpa | triangles | hits | kcore |
+bfs | bench-corpus.
 Every graph command reads ``edges`` from the warehouse catalog (or a
 parquet path), runs to convergence with checkpoint/resume, and commits
 results + superstep metrics back to the warehouse.
@@ -30,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="warehouse root")
     p.add_argument("--extended", action="store_true", help="also write reference_tree-style table")
 
-    for name in ("pagerank", "cc", "lpa", "triangles"):
+    for name in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore", "bfs"):
         p = sub.add_parser(name)
         p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
         p.add_argument("--out", required=True, help="warehouse root")
@@ -39,6 +40,18 @@ def main(argv: list[str] | None = None) -> int:
         if name == "pagerank":
             p.add_argument("--damping", type=float, default=0.85)
             p.add_argument("--tolerance", type=float, default=1e-8)
+            p.add_argument(
+                "--sources", default=None,
+                help="comma-separated seed vertices -> personalized PageRank",
+            )
+        if name == "hits":
+            p.add_argument("--iterations", type=int, default=20)
+            p.add_argument("--tolerance", type=float, default=1e-8)
+        if name == "kcore":
+            p.add_argument("--k", type=int, required=True)
+        if name == "bfs":
+            p.add_argument("--source", default=None, help="default: lexicographic-min vertex")
+            p.add_argument("--directed", action="store_true")
         if name == "cc":
             p.add_argument(
                 "--algo", choices=("hashmin", "star"), default="hashmin",
@@ -97,14 +110,22 @@ def main(argv: list[str] | None = None) -> int:
     # checkpoints from before this distinction still resume.
     algo = getattr(args, "algo", None)
     job = args.cmd if algo in (None, "hashmin") else f"{args.cmd}-{algo}"
+    if args.cmd == "kcore":
+        job = f"kcore-k{args.k}"  # each k is a distinct resumable job
     store = CheckpointStore(f"{args.out}/_checkpoints", job)
 
     if args.cmd == "pagerank":
         from arxiv_citation_graph_spark.plans.pagerank import pagerank, top_k
 
+        sources = None
+        if args.sources:
+            sources = spark.createDataFrame(
+                [(v.strip(),) for v in args.sources.split(",") if v.strip()], ["vertex"]
+            )
         result = pagerank(
             spark, edges, damping=args.damping, tolerance=args.tolerance,
             max_iterations=args.max_iterations, store=store, resume=args.resume,
+            sources=sources,
         )
         catalog.create_or_replace("ranks", result.ranks)
         print(
@@ -144,6 +165,42 @@ def main(argv: list[str] | None = None) -> int:
 
         catalog.create_or_replace("triangles", triangle_counts(spark, edges))
         print("triangles committed")
+    elif args.cmd == "hits":
+        from arxiv_citation_graph_spark.plans.hits import hits
+
+        hresult = hits(
+            spark, edges, iterations=args.iterations, tolerance=args.tolerance,
+            store=store, resume=args.resume,
+        )
+        catalog.create_or_replace("hits_scores", hresult.scores)
+        print(
+            f"hits: {hresult.num_vertices} vertices, "
+            f"{hresult.report.iterations} supersteps, converged={hresult.report.converged}"
+        )
+    elif args.cmd == "kcore":
+        from arxiv_citation_graph_spark.plans.kcore import kcore
+
+        kresult = kcore(
+            spark, edges, args.k, max_iterations=args.max_iterations,
+            store=store, resume=args.resume,
+        )
+        catalog.create_or_replace(f"kcore_{args.k}", kresult.core)
+        print(
+            f"kcore(k={args.k}): {kresult.core.count()} members, "
+            f"{kresult.report.iterations} peel rounds"
+        )
+    elif args.cmd == "bfs":
+        from arxiv_citation_graph_spark.plans.bfs import bfs_distances
+
+        bresult = bfs_distances(
+            spark, edges, source=args.source, directed=args.directed,
+            max_iterations=args.max_iterations, store=store, resume=args.resume,
+        )
+        catalog.create_or_replace("bfs_distances", bresult.distances)
+        print(
+            f"bfs from {bresult.source}: {bresult.distances.count()} reached, "
+            f"{bresult.report.iterations} supersteps"
+        )
     return 0
 
 

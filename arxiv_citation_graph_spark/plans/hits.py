@@ -179,10 +179,13 @@ def hits(
         "vertex",
         F.lit(1.0).alias("hub"),
         F.lit(1.0).alias("auth"),
-        # prev = the normalized all-ones vector, so each side's first
-        # delta measures movement from the uniform start
-        F.lit(1.0 / sqrt_n).alias("hub_prev"),
-        F.lit(1.0 / sqrt_n).alias("auth_prev"),
+        # prev = -1 sentinel ("no previous refresh"): scores are
+        # non-negative, so the first two supersteps report delta >= n —
+        # without it superstep 0 would compare the read side against its
+        # own initialization (always 0) and a tolerance run would stop
+        # before doing any work.  Genuine deltas start at superstep 2.
+        F.lit(-1.0).alias("hub_prev"),
+        F.lit(-1.0).alias("auth_prev"),
         F.lit(0.0).alias("delta"),
     )
     try:

@@ -65,3 +65,40 @@ def test_cli_extract_then_pagerank(spark, tmp_path, monkeypatch):
     ranks = cat.read(spark, "ranks")
     total = ranks.agg(F.sum("rank")).first()[0]
     assert abs(total - 1.0) < 1e-9
+
+
+def test_cli_new_kernels(spark, tmp_path, monkeypatch):
+    """hits / kcore / bfs / personalized pagerank CLI commands commit
+    their result tables to the warehouse."""
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+
+    from arxiv_citation_graph_spark.datagen import toy_graphs
+
+    wh = str(tmp_path / "wh4")
+    edges_path = str(tmp_path / "edges")
+    spark.createDataFrame(toy_graphs()["resume"], ["src_id", "dst_id"]).write.parquet(edges_path)
+
+    assert cli.main(["hits", "--edges", edges_path, "--out", wh, "--iterations", "4"]) == 0
+    cat = SnapshotCatalog(wh)
+    scores = cat.read(spark, "hits_scores")
+    assert scores.columns == ["vertex", "hub", "auth"]
+    assert scores.count() == 100
+
+    assert cli.main(["kcore", "--edges", edges_path, "--out", wh, "--k", "2"]) == 0
+    core = cat.read(spark, "kcore_2")
+    assert core.columns == ["vertex", "core_deg"]
+    assert core.count() > 0
+
+    assert cli.main(["bfs", "--edges", edges_path, "--out", wh]) == 0
+    dists = cat.read(spark, "bfs_distances")
+    assert dists.filter(F.col("dist") == 0).count() == 1
+
+    assert cli.main([
+        "pagerank", "--edges", edges_path, "--out", wh,
+        "--max-iterations", "4", "--tolerance", "0", "--sources", "v000,v001",
+    ]) == 0
+    ranks = cat.read(spark, "ranks")
+    assert abs(ranks.agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
