@@ -93,3 +93,71 @@ def test_resume_refuses_changed_inputs(spark, tmp_path):
     got = {r.vertex: r.rank for r in again.ranks.collect()}
     for v in want:
         assert math.isclose(got[v], want[v], rel_tol=0, abs_tol=1e-9), v
+
+
+def test_hits_resume_identical(spark, tmp_path):
+    """HITS resume rehydrates the carried normalization scalar (sum of
+    squares of the raw side) from the manifest — the resumed run must
+    reproduce the uninterrupted floats exactly."""
+    import math
+
+    from arxiv_citation_graph_spark.plans.hits import hits
+
+    import json as _json
+    import os as _os
+
+    edges = toy_edges_df(spark, "resume").cache()
+    full_run = hits(spark, edges, iterations=6)
+    full = {r.vertex: (r.hub, r.auth) for r in full_run.scores.collect()}
+
+    # durable run, then simulate a kill mid-iteration by truncating the
+    # manifest to superstep 4 (2.5 full iterations): the resume picks up
+    # an odd (hub-refresh) step whose auth-side norm must come from the
+    # manifest's carried aggregate row
+    killed = CheckpointStore(str(tmp_path / "ckpt_h"), "hits_killed")
+    hits(spark, edges, iterations=6, store=killed)
+    man = killed.manifest()
+    man["committed_iteration"] = 4
+    man["iterations"] = {k: v for k, v in man["iterations"].items() if int(k) <= 4}
+    with open(_os.path.join(str(tmp_path / "ckpt_h"), "hits_killed", "manifest.json"), "w") as fh:
+        _json.dump(man, fh)
+    resumed = hits(spark, edges, iterations=6, store=killed, resume=True)
+    got = {r.vertex: (r.hub, r.auth) for r in resumed.scores.collect()}
+    assert set(got) == set(full)
+    for v, (eh, ea) in full.items():
+        assert math.isclose(got[v][0], eh, rel_tol=0, abs_tol=1e-12), v
+        assert math.isclose(got[v][1], ea, rel_tol=0, abs_tol=1e-12), v
+
+
+def test_kcore_resume_identical(spark, tmp_path):
+    """k-core resume rehydrates prev _rows from the manifest so the next
+    delta (vertices peeled) stays correct across the restart."""
+    from arxiv_citation_graph_spark.plans.kcore import kcore
+
+    chain = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(12)]
+    edges = spark.createDataFrame(chain, ["src_id", "dst_id"])
+    full = kcore(spark, edges, 2)
+    assert full.core.count() == 0
+
+    store = CheckpointStore(str(tmp_path / "ckpt_k"), "kcore_resume")
+    partial = kcore(spark, edges, 2, max_iterations=2, store=store)
+    assert not partial.report.converged
+    resumed = kcore(spark, edges, 2, store=store, resume=True)
+    assert resumed.report.converged
+    assert resumed.core.count() == 0
+    assert resumed.report.iterations == full.report.iterations
+
+
+def test_bfs_resume_identical(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.bfs import bfs_distances
+
+    edges = toy_edges_df(spark, "resume").cache()
+    full = bfs_distances(spark, edges)
+    expected = {r.vertex: r.dist for r in full.distances.collect()}
+
+    store = CheckpointStore(str(tmp_path / "ckpt_b"), "bfs_resume")
+    partial = bfs_distances(spark, edges, max_iterations=1, store=store)
+    assert not partial.report.converged
+    resumed = bfs_distances(spark, edges, store=store, resume=True)
+    got = {r.vertex: r.dist for r in resumed.distances.collect()}
+    assert got == expected
