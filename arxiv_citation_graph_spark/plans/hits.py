@@ -91,11 +91,17 @@ def hits(
     if n == 0:
         empty = spark.createDataFrame([], "vertex string, hub double, auth double")
         return HitsResult(empty, SuperstepReport(0, True), 0, 0)
-    # adjacency cached once, hash-partitioned on the auth half-step's
-    # join key (src_id); the hub half-step joins on dst_id and shuffles
-    # only the |V|-sized score frame, never the edge list.
-    adj = edges.repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
-    m = adj.count()
+    # two cached adjacency copies, each hash-partitioned on its
+    # half-step's join key (forward on src_id for the auth refresh,
+    # reverse on dst_id for the hub refresh) — so neither half-step ever
+    # reshuffles the edge list, only the |V|-sized score frame moves.
+    # 2x |E| memory; the alternative (one copy) re-exchanges |E| rows on
+    # every odd superstep, which is the wrong trade at 10^12 scale.
+    parallelism = spark.sparkContext.defaultParallelism
+    adj_by_src = edges.repartition(parallelism, "src_id").cache()
+    adj_by_dst = edges.repartition(parallelism, "dst_id").cache()
+    m = adj_by_src.count()
+    adj_by_dst.count()
 
     hot_in = (
         hot_vertices(edges, hot_degree_threshold, "in").cache()
@@ -123,6 +129,7 @@ def hits(
         norm_scalar: float,
         hot: DataFrame | None,
     ) -> DataFrame:
+        adj = adj_by_src if join_key == "src_id" else adj_by_dst
         inv = 1.0 / max(norm_scalar, _NORM_FLOOR)
         contribs = (
             adj.join(
@@ -213,7 +220,8 @@ def hits(
             (F.col("auth") * F.lit(na)).alias("auth"),
         )
     finally:
-        adj.unpersist()
+        adj_by_src.unpersist()
+        adj_by_dst.unpersist()
         vertices.unpersist()
         for h in (hot_in, hot_out):
             if h is not None:
