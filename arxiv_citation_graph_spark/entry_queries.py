@@ -880,6 +880,47 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.distances.select("vertex", F.col("dist").cast("long").alias("dist"))
 
 
+def _pair_counts_sql(shared: str, paired: str, min_count: int, hub_cap: int | None) -> str:
+    """Oracle for plans/cocite.py: canonical (a<b) pair counts over the
+    bipartite graph, with the hub-cap exclusion stated in SQL."""
+    cap_cte = (
+        f"ok AS MATERIALIZED (SELECT {shared} FROM edges GROUP BY {shared} "
+        f"HAVING count(*) <= {hub_cap}),\n"
+        f"e AS MATERIALIZED (SELECT d.{shared}, d.{paired} FROM edges d "
+        f"JOIN ok USING ({shared}))"
+        if hub_cap is not None
+        else f"e AS MATERIALIZED (SELECT {shared}, {paired} FROM edges)"
+    )
+    return f"""
+WITH edges AS MATERIALIZED ({EDGES_BIPARTITE_SQL}),
+{cap_cte}
+SELECT l.{paired} AS a, r.{paired} AS b, CAST(count(*) AS BIGINT) AS pair_count
+FROM e l JOIN e r ON l.{shared} = r.{shared} AND l.{paired} < r.{paired}
+GROUP BY l.{paired}, r.{paired} HAVING count(*) >= {min_count}
+"""
+
+
+@register("cocitation_pairs", _pair_counts_sql("src_id", "dst_id", 60, 35))
+def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation (Small 1973): cited-work pairs sharing citing papers.
+    The hub cap (reference lists > 35 excluded) is active at sf0.01 —
+    the oracle states the same exclusion, proving the guard's semantics."""
+    from arxiv_citation_graph_spark.plans.cocite import cocitation_pairs
+
+    return cocitation_pairs(bipartite_edges(spark, sf_dir), min_count=60, hub_cap=35)
+
+
+@register("biblio_coupling", _pair_counts_sql("dst_id", "src_id", 20, 1000))
+def q_biblio_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): citing-paper pairs sharing
+    references (>= 20 shared)."""
+    from arxiv_citation_graph_spark.plans.cocite import bibliographic_coupling_pairs
+
+    return bibliographic_coupling_pairs(
+        bipartite_edges(spark, sf_dir), min_count=20, hub_cap=1000
+    )
+
+
 #: personalized-PageRank source predicate — must select the SAME vertices
 #: in Spark and DuckDB (customers whose key is divisible by 97; 15 of the
 #: 1500 sf0.01 customers).

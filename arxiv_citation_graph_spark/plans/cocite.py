@@ -1,0 +1,80 @@
+"""Co-citation and bibliographic coupling (citation-analysis pair
+operators).
+
+The two classic relatedness measures over a citation edge table
+``edges(src_id, dst_id)`` = "paper src cites work dst":
+
+- **Co-citation** (Small 1973): works ``(a, b)`` are related when many
+  papers cite both — pairs of ``dst_id`` sharing a ``src_id``.
+- **Bibliographic coupling** (Kessler 1963): papers ``(x, y)`` are
+  related when their reference lists overlap — pairs of ``src_id``
+  sharing a ``dst_id``.
+
+Both are the same plan with the roles swapped: self-join the edge table
+on the shared column, aggregate pair counts.  The scale hazard is the
+join's fan-out: a hub key shared by k rows emits k*(k-1)/2 pairs, so one
+paper citing 10^4 works (coupling) or one work cited by 10^5 papers
+(co-citation) is a quadratic bomb — exactly the shingle-frequency
+problem in ``operators/dedup.ngram_jaccard_pairs``, with the same fix:
+
+- ``hub_cap``: keys whose group size exceeds the cap are *excluded*
+  from pair generation (a work cited by everyone relates everything to
+  everything — zero signal, like a stopword; standard practice for
+  co-citation studies).  The cap is enforced in-plan by a pre-aggregated
+  degree table joined as a semi-filter, so the guard is code, not prose.
+- ``min_count``: pairs below the support threshold are dropped AFTER
+  aggregation (they still shuffle once; the cap is what bounds that).
+
+Pairs are canonical (``a < b``); counts are symmetric by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pair_counts(
+    edges: DataFrame,
+    shared: str,
+    paired: str,
+    min_count: int,
+    hub_cap: int | None,
+) -> DataFrame:
+    e = edges.select(shared, paired).distinct()
+    if hub_cap is not None:
+        ok = (
+            e.groupBy(shared)
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") <= hub_cap)
+            .select(shared)
+        )
+        e = e.join(ok, shared, "semi")
+    left = e.select(F.col(shared).alias("_k"), F.col(paired).alias("a"))
+    right = e.select(F.col(shared).alias("_k"), F.col(paired).alias("b"))
+    return (
+        left.join(right, "_k")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+
+
+def cocitation_pairs(
+    edges: DataFrame, min_count: int = 2, hub_cap: int | None = 1000
+) -> DataFrame:
+    """Pairs of cited works co-cited by >= ``min_count`` papers:
+    ``(a, b, pair_count)`` with ``a < b``.  Papers whose reference list
+    exceeds ``hub_cap`` are excluded from pair generation (fan-out
+    guard; None disables)."""
+    return _pair_counts(edges, "src_id", "dst_id", min_count, hub_cap)
+
+
+def bibliographic_coupling_pairs(
+    edges: DataFrame, min_count: int = 2, hub_cap: int | None = 1000
+) -> DataFrame:
+    """Pairs of citing papers sharing >= ``min_count`` references:
+    ``(a, b, pair_count)`` with ``a < b``.  Works cited by more than
+    ``hub_cap`` papers are excluded from pair generation."""
+    return _pair_counts(edges, "dst_id", "src_id", min_count, hub_cap)

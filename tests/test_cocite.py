@@ -1,0 +1,85 @@
+"""Co-citation / bibliographic coupling vs brute force, incl. the
+hub-cap fan-out guard."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from itertools import combinations
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.cocite import (
+    bibliographic_coupling_pairs,
+    cocitation_pairs,
+)
+
+EDGES = [
+    ("p1", "w1"), ("p1", "w2"), ("p1", "w3"),
+    ("p2", "w1"), ("p2", "w2"),
+    ("p3", "w2"), ("p3", "w3"),
+    ("p4", "w1"), ("p4", "w2"), ("p4", "w4"),
+    ("p5", "w4"),
+    ("p1", "w1"),  # duplicate edge must not double-count
+]
+
+
+def _brute(edges, shared_idx, min_count, hub_cap=None):
+    groups = defaultdict(set)
+    for e in set(edges):
+        groups[e[shared_idx]].add(e[1 - shared_idx])
+    counts = defaultdict(int)
+    for _, members in groups.items():
+        if hub_cap is not None and len(members) > hub_cap:
+            continue
+        for a, b in combinations(sorted(members), 2):
+            counts[(a, b)] += 1
+    return {p: c for p, c in counts.items() if c >= min_count}
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, ["src_id", "dst_id"]).cache()
+
+
+@pytest.mark.parametrize("min_count", [1, 2, 3])
+def test_cocitation_matches_brute(spark, edges_df, min_count):
+    expected = _brute(EDGES, 0, min_count)
+    got = {(r.a, r.b): r.pair_count
+           for r in cocitation_pairs(edges_df, min_count, hub_cap=None).collect()}
+    assert got == expected
+
+
+@pytest.mark.parametrize("min_count", [1, 2])
+def test_coupling_matches_brute(spark, edges_df, min_count):
+    expected = _brute(EDGES, 1, min_count)
+    got = {(r.a, r.b): r.pair_count
+           for r in bibliographic_coupling_pairs(edges_df, min_count, hub_cap=None).collect()}
+    assert got == expected
+
+
+def test_hub_cap_excludes_heavy_keys(spark):
+    """One work cited by every paper: with the cap it contributes no
+    coupling pairs; without it, all-pairs explode quadratically."""
+    n = 40
+    edges = [(f"p{i:02d}", "hubwork") for i in range(n)]
+    edges += [("p00", "w1"), ("p01", "w1")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+
+    uncapped = bibliographic_coupling_pairs(df, 1, hub_cap=None)
+    # quadratic in the hub: every paper pair couples via hubwork (the
+    # (p00,p01) pair additionally counts w1, folded into the same row)
+    assert uncapped.count() == n * (n - 1) // 2
+    assert {(r.a, r.b): r.pair_count for r in uncapped.collect()}[("p00", "p01")] == 2
+
+    capped = bibliographic_coupling_pairs(df, 1, hub_cap=n - 1)
+    got = {(r.a, r.b): r.pair_count for r in capped.collect()}
+    assert got == {("p00", "p01"): 1}  # only the w1 coupling survives
+
+    expected = _brute(edges, 1, 1, hub_cap=n - 1)
+    assert got == expected
+
+
+def test_pairs_are_canonical_and_symmetric(spark, edges_df):
+    rows = cocitation_pairs(edges_df, 1, hub_cap=None).collect()
+    assert all(r.a < r.b for r in rows)
+    assert len({(r.a, r.b) for r in rows}) == len(rows)
