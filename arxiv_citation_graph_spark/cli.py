@@ -35,7 +35,8 @@ def main(argv: list[str] | None = None) -> int:
         p = sub.add_parser(name)
         p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
         p.add_argument("--out", required=True, help="warehouse root")
-        p.add_argument("--max-iterations", type=int, default=100)
+        if name != "hits":  # hits counts FULL iterations via --iterations
+            p.add_argument("--max-iterations", type=int, default=100)
         p.add_argument("--resume", action="store_true")
         if name == "pagerank":
             p.add_argument("--damping", type=float, default=0.85)
@@ -119,9 +120,10 @@ def main(argv: list[str] | None = None) -> int:
 
         sources = None
         if args.sources:
-            sources = spark.createDataFrame(
-                [(v.strip(),) for v in args.sources.split(",") if v.strip()], ["vertex"]
-            )
+            seed = [(v.strip(),) for v in args.sources.split(",") if v.strip()]
+            if not seed:
+                raise SystemExit("--sources given but contains no vertex ids")
+            sources = spark.createDataFrame(seed, ["vertex"])
         result = pagerank(
             spark, edges, damping=args.damping, tolerance=args.tolerance,
             max_iterations=args.max_iterations, store=store, resume=args.resume,

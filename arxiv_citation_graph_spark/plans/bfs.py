@@ -68,10 +68,22 @@ def bfs_distances(
         return BfsResult(empty, SuperstepReport(0, True), source or "")
     if source is None:
         source = vertices.agg(F.min("vertex")).first()[0]
+    elif vertices.filter(F.col("vertex") == source).count() == 0:
+        # an unknown source would silently converge to an empty result
+        # (no vertex at distance 0) — fail loudly like personalized
+        # PageRank does for a disjoint seed set
+        vertices.unpersist()
+        raise ValueError(f"BFS source {source!r} is not a vertex of the graph")
     adj = (edges.select("src_id", "dst_id") if directed else symmetrize(edges)).repartition(
         spark.sparkContext.defaultParallelism, "src_id"
     ).cache()
-    adj.count()
+    m = adj.count()
+    # order-independent edge-set fingerprint (XOR of per-edge hashes —
+    # overflow-free under ANSI mode): distances are min-only, so resuming
+    # after an edge removal that preserves vertex count/source would
+    # report stale (too-short) distances with no error
+    edge_fp_row = adj.agg(F.expr("bit_xor(xxhash64(src_id, dst_id))")).first()
+    edge_fp = int(edge_fp_row[0]) if edge_fp_row[0] is not None else 0
 
     if broadcast_state is None:
         broadcast_state = n <= 1_000_000
@@ -117,7 +129,10 @@ def bfs_distances(
             tolerance=0.0,
             store=store,
             resume=resume,
-            input_signature={"n_vertices": n, "source": source, "directed": directed},
+            input_signature={
+                "n_vertices": n, "n_edges": m, "source": source,
+                "directed": directed, "edge_fp": edge_fp,
+            },
         )
         out = final.filter(F.col("dist") < UNREACHED).select("vertex", "dist")
     finally:

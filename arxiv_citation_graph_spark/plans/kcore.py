@@ -72,13 +72,24 @@ def kcore(
     if m == 0:
         empty = spark.createDataFrame([], "vertex string, core_deg long")
         return KCoreResult(empty, SuperstepReport(0, True), k)
+    # order-independent edge-set fingerprint for the resume guard: the
+    # count alone accepts a same-size edge swap, and peeling is monotone
+    # over the checkpointed survivor set, so resuming onto a different
+    # graph yields a silently wrong core (one agg over the cached sym;
+    # XOR-aggregation: order-independent, overflow-free under ANSI mode,
+    # and sym is distinct so no self-cancelling duplicates)
+    edge_fp = int(
+        sym.agg(F.expr("bit_xor(xxhash64(src_id, dst_id))")).first()[0]
+    )
 
     # initial state: every vertex with its full degree (vertices with no
-    # edges never enter — their degree 0 < k for any valid k)
+    # edges never enter — their degree 0 < k for any valid k); cached so
+    # the n0 count and superstep 0's consumption run the aggregation once
     initial = (
         sym.groupBy(F.col("src_id").alias("vertex"))
         .agg(F.count(F.lit(1)).alias("core_deg"))
         .filter(F.col("core_deg") >= k)
+        .cache()
     )
     n0 = initial.count()
 
@@ -117,8 +128,11 @@ def kcore(
             tolerance=0.0,
             store=store,
             resume=resume,
-            input_signature={"n_sym_edges": m, "k": k, "kernel": "kcore"},
+            input_signature={
+                "n_sym_edges": m, "k": k, "kernel": "kcore", "edge_fp": edge_fp,
+            },
         )
     finally:
         sym.unpersist()
+        initial.unpersist()
     return KCoreResult(final.select("vertex", "core_deg"), report, k)

@@ -137,11 +137,22 @@ def pagerank(
     )
 
     personalized = sources is not None
+    sources_fp = 0
     if personalized:
         src_set = sources.select("vertex").distinct()
-        n_sources = vertices.join(F.broadcast(src_set), "vertex", "semi").count()
+        in_graph = vertices.join(F.broadcast(src_set), "vertex", "semi")
+        # count + order-independent seed-set fingerprint in one action:
+        # a resume must refuse a DIFFERENT same-size seed set (the
+        # teleport column is baked into the checkpointed state, so the
+        # new seeds would be silently ignored)
+        agg = in_graph.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(vertex))").alias("fp"),
+        ).first()
+        n_sources = int(agg["n"])
         if n_sources == 0:
             raise ValueError("personalized PageRank: no source vertex is in the graph")
+        sources_fp = int(agg["fp"])
         # per-vertex teleport weight, carried through the state
         vertices_flagged = (
             vertices_flagged.join(
@@ -233,6 +244,7 @@ def pagerank(
         signature = {
             "n_vertices": n, "n_edges": m, "damping": damping,
             "mode": "personalized", "n_sources": n_sources,
+            "sources_fp": sources_fp,
         }
     else:
         initial = _uniform_ranks(vertices_flagged, n)

@@ -58,6 +58,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
+    try:
+        # external host load inflates toy-scale wall-clock 1.5-2x run to
+        # run (measured); record it so cross-round comparisons carry the
+        # measurement context
+        with open("/proc/loadavg") as fh:
+            extras["host_loadavg_at_start"] = fh.read().split()[0]
+    except OSError:
+        pass
 
     def timed(name: str, fn):
         print(f"bench: {name} ...", file=sys.stderr, flush=True)

@@ -2,9 +2,9 @@
 the two-cluster-size criterion in BASELINE.json north_rule).
 
 Runs the SAME jobs on the SAME deterministic input at two local
-parallelism levels in separate JVMs (local[N] / local[4N], shuffle
-partitions = core count), measures throughput, and writes the table +
-scaling efficiency into BENCH/BASELINE.md.
+parallelism levels (local[N] / local[4N], shuffle partitions = core
+count), one fresh JVM per workload per level, measures throughput, and
+writes the table + scaling efficiency into BENCH/BASELINE.md.
 
 Workloads are sized so per-core work dominates fixed per-superstep
 overhead (the thing that does NOT parallelize in any engine):
@@ -34,10 +34,7 @@ sys.path.insert(0, REPO)
 PR_ITERS = 6
 
 
-def worker(cores: int, n_edges: int, n_docs: int) -> None:
-    from arxiv_citation_graph_spark.datagen import corpus_df, synthetic_edges
-    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
-    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+def _worker_session(cores: int):
     from arxiv_citation_graph_spark.session import get_spark
 
     extra = {}
@@ -52,7 +49,18 @@ def worker(cores: int, n_edges: int, n_docs: int) -> None:
         app_name=f"scale-{cores}", extra_configs=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark, extra
 
+
+def worker_extract(cores: int, n_docs: int) -> None:
+    """Extraction throughput in its OWN JVM — sharing a JVM with the 40M-
+    edge PageRank run contaminates both (cached graph + GC pressure
+    depress extraction; spawned Python workers + cached corpus depress
+    supersteps; measured up to 1.6x on either side)."""
+    from arxiv_citation_graph_spark.datagen import corpus_df
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
+
+    spark, extra = _worker_session(cores)
     # materialize the corpus first (generator cost is not engine cost)
     corpus_path = extra.get("spark.local.dir", "/tmp") + f"/scale_corpus_{n_docs}"
     if not os.path.exists(corpus_path + "/_SUCCESS"):
@@ -72,18 +80,34 @@ def worker(cores: int, n_edges: int, n_docs: int) -> None:
         n_extracted = edges_from_docs(docs).count()
         runs.append(time.perf_counter() - t0)
     extract_sec = statistics.median(runs)
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "extract_docs": n_docs,
+                "extract_edges": n_extracted,
+                "extract_sec": round(extract_sec, 2),
+                "extract_docs_per_sec": round(n_docs / extract_sec, 1),
+            }
+        )
+    )
+    spark.stop()
 
+
+def worker_pagerank(cores: int, n_edges: int) -> None:
+    from arxiv_citation_graph_spark.datagen import synthetic_edges
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    spark, _ = _worker_session(cores)
     n_vertices = max(n_edges // 50, 1000)
     edges = synthetic_edges(spark, n_vertices, n_edges).cache()
     m = edges.count()
-
     result = pagerank(
         spark, edges, tolerance=None, max_iterations=PR_ITERS,
         salt_buckets=32, hot_degree_threshold=5000, broadcast_ranks=False,
     )
     steady = [w / 1000.0 for w in result.report.wall_ms[1:]]
     superstep_sec = statistics.median(steady)
-
     print(
         "WORKER_RESULT "
         + json.dumps(
@@ -91,10 +115,6 @@ def worker(cores: int, n_edges: int, n_docs: int) -> None:
                 "cores": cores,
                 "edges": m,
                 "vertices": result.num_vertices,
-                "extract_docs": n_docs,
-                "extract_edges": n_extracted,
-                "extract_sec": round(extract_sec, 2),
-                "extract_docs_per_sec": round(n_docs / extract_sec, 1),
                 "superstep_sec": round(superstep_sec, 3),
                 "superstep_all": [round(w / 1000.0, 2) for w in result.report.wall_ms],
                 "edges_per_sec": round(m / superstep_sec, 1),
@@ -104,17 +124,56 @@ def worker(cores: int, n_edges: int, n_docs: int) -> None:
     spark.stop()
 
 
-def run_level(cores: int, n_edges: int, n_docs: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+def _spawn(phase: str, cores: int, n_edges: int, n_docs: int) -> dict:
+    # heap scales with core count (4g/core): a 4N-executor cluster has 4x
+    # the total memory of an N-executor cluster, so a fixed single-JVM
+    # heap would starve the 4N side with 4x the concurrent task memory
+    # and misattribute GC pressure as poor scaling
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", f"{4 * cores}g"),
+    )
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", "--n", str(cores),
-         "--edges", str(n_edges), "--docs", str(n_docs)],
+        [sys.executable, os.path.abspath(__file__), f"--worker-{phase}",
+         "--n", str(cores), "--edges", str(n_edges), "--docs", str(n_docs)],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("WORKER_RESULT "):
             return json.loads(line[len("WORKER_RESULT "):])
-    raise RuntimeError(f"worker {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+    raise RuntimeError(
+        f"worker {phase}/{cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}"
+    )
+
+
+def run_levels(n: int, n_edges: int, n_docs: int, trials: int) -> tuple[dict, dict]:
+    """One fresh JVM per workload per parallelism level.
+
+    PageRank trials are INTERLEAVED across the two levels (N, 4N, N, 4N,
+    ...) and the per-level median superstep is taken across trials: the
+    sandbox host's effective throughput swings 2-3x over minutes
+    (external noisy neighbors), and interleaving exposes both levels to
+    the same noise distribution instead of letting one level eat a bad
+    patch wholesale."""
+    small_runs, large_runs = [], []
+    for t in range(trials):
+        small_runs.append(_spawn("pagerank", n, n_edges, n_docs))
+        large_runs.append(_spawn("pagerank", 4 * n, n_edges, n_docs))
+
+    def merge(runs: list[dict]) -> dict:
+        med = statistics.median(r["superstep_sec"] for r in runs)
+        best = min(runs, key=lambda r: abs(r["superstep_sec"] - med))
+        out = dict(best)
+        out["superstep_sec"] = round(med, 3)
+        out["edges_per_sec"] = round(out["edges"] / med, 1)
+        out["superstep_sec_trials"] = [r["superstep_sec"] for r in runs]
+        return out
+
+    small, large = merge(small_runs), merge(large_runs)
+    small.update(_spawn("extract", n, n_edges, n_docs))
+    large.update(_spawn("extract", 4 * n, n_edges, n_docs))
+    return small, large
 
 
 def main() -> None:
@@ -122,15 +181,19 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--edges", type=int, default=40_000_000)
     ap.add_argument("--docs", type=int, default=30_000)
-    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--worker-extract", action="store_true")
+    ap.add_argument("--worker-pagerank", action="store_true")
     args = ap.parse_args()
 
-    if args.worker:
-        worker(args.n, args.edges, args.docs)
+    if args.worker_extract:
+        worker_extract(args.n, args.docs)
+        return
+    if args.worker_pagerank:
+        worker_pagerank(args.n, args.edges)
         return
 
-    small = run_level(args.n, args.edges, args.docs)
-    large = run_level(args.n * 4, args.edges, args.docs)
+    small, large = run_levels(args.n, args.edges, args.docs, args.trials)
     eff = (large["edges_per_sec"] / small["edges_per_sec"]) / 4.0
     eff_extract = (large["extract_docs_per_sec"] / small["extract_docs_per_sec"]) / 4.0
     report = {
@@ -150,8 +213,9 @@ def main() -> None:
             f"""# BENCH/BASELINE — scaling evidence (N vs 4N)
 
 Protocol (BASELINE.md): same jobs, same deterministic input, two local
-parallelism levels in separate JVMs; `spark.sql.shuffle.partitions` =
-core count.  PageRank input: seed-42 zipf(alpha=2) edge table,
+parallelism levels, one fresh JVM per workload per level (extraction
+and PageRank contaminate each other's steady state when they share a
+JVM); `spark.sql.shuffle.partitions` = core count.  PageRank input: seed-42 zipf(alpha=2) edge table,
 {small['edges']:,} edges / {small['vertices']:,} vertices (hub max
 in-degree >> mean — the salted two-stage aggregation path is active);
 fixed {PR_ITERS} supersteps, shuffle-join mode (the 10^12-scale
@@ -168,8 +232,12 @@ docs -> {small['extract_edges']:,} edges.
 {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "MISS"})
 Extraction scaling efficiency = {eff_extract:.3f}.
 
-Per-superstep walls (s): N={small['superstep_all']},
-4N={large['superstep_all']}.
+Per-superstep walls of the median trial (s): N={small['superstep_all']},
+4N={large['superstep_all']}; median steady superstep across interleaved
+trials (s): N={small.get('superstep_sec_trials')}, 4N={large.get('superstep_sec_trials')}.
+Host-load context: external noisy neighbors swing effective throughput
+2-3x over minutes on this sandbox; trials are interleaved N/4N and the
+per-level median is used so both levels sample the same noise.
 
 Caveat: single-JVM local mode shares one driver, scheduler, shuffle
 service and GC across "executors", and the per-superstep fixed cost

@@ -192,3 +192,79 @@ def test_simhash_bucket_cap_bounds_hot_buckets(spark):
         df, "doc_id", "text", bits=16, max_hamming=0, max_bucket_size=10
     )
     assert capped.count() == 0  # hot bucket dropped entirely, nothing leaks
+
+
+# --- code-review round-2 fixes: resume guards + CLI arg handling ---------
+
+
+def test_bfs_rejects_unknown_source(spark):
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+    from arxiv_citation_graph_spark.plans.bfs import bfs_distances
+
+    with pytest.raises(ValueError, match="not a vertex"):
+        bfs_distances(spark, toy_edges_df(spark, "cycle"), source="nope")
+
+
+def test_kcore_resume_refuses_edge_swap(spark, tmp_path):
+    """Same symmetric-edge COUNT, different edge set: the fingerprint in
+    the input signature must refuse the resume."""
+    from arxiv_citation_graph_spark.plans.kcore import kcore
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    g1 = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], ["src_id", "dst_id"])
+    g2 = spark.createDataFrame([("a", "b"), ("b", "d"), ("d", "a")], ["src_id", "dst_id"])
+    store = CheckpointStore(str(tmp_path / "ck"), "kcore_swap")
+    kcore(spark, g1, 2, store=store)
+    with pytest.raises(ValueError, match="resume refused"):
+        kcore(spark, g2, 2, store=store, resume=True)
+
+
+def test_bfs_resume_refuses_edge_change(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.bfs import bfs_distances
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    g1 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["src_id", "dst_id"]
+    )
+    g2 = spark.createDataFrame(  # same vertex set + edge count, one edge differs
+        [("a", "b"), ("b", "c"), ("c", "b")], ["src_id", "dst_id"]
+    )
+    store = CheckpointStore(str(tmp_path / "ckb"), "bfs_swap")
+    bfs_distances(spark, g1, source="a", store=store)
+    with pytest.raises(ValueError, match="resume refused"):
+        bfs_distances(spark, g2, source="a", store=store, resume=True)
+
+
+def test_ppr_resume_refuses_different_seed_set(spark, tmp_path):
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    edges = toy_edges_df(spark, "cycle")
+    store = CheckpointStore(str(tmp_path / "ckp"), "ppr_seed")
+    pagerank(spark, edges, tolerance=None, max_iterations=2, store=store,
+             sources=spark.createDataFrame([("c0",)], ["vertex"]))
+    with pytest.raises(ValueError, match="resume refused"):
+        pagerank(spark, edges, tolerance=None, max_iterations=4, store=store,
+                 resume=True, sources=spark.createDataFrame([("c1",)], ["vertex"]))
+
+
+def test_cli_hits_rejects_max_iterations(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["hits", "--edges", "x", "--out", str(tmp_path), "--max-iterations", "5"])
+
+
+def test_cli_sources_all_empty_is_clear_error(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    from arxiv_citation_graph_spark.datagen import toy_graphs
+
+    edges_path = str(tmp_path / "e")
+    spark.createDataFrame(toy_graphs()["cycle"], ["src_id", "dst_id"]).write.parquet(edges_path)
+    with pytest.raises(SystemExit, match="no vertex ids"):
+        cli.main(["pagerank", "--edges", edges_path, "--out", str(tmp_path / "wh"),
+                  "--sources", " , "])
