@@ -41,7 +41,13 @@ def _pair_counts(
     min_count: int,
     hub_cap: int | None,
 ) -> DataFrame:
-    e = edges.select(shared, paired).distinct()
+    # cached: the deduped frame has three consumers (both self-join
+    # sides + the degree filter) and an uncached plan re-runs the
+    # distinct's full shuffle per branch — at 100 TB that is two extra
+    # |E| exchanges.  Left to LRU eviction after the query (same policy
+    # as the kernels' adjacency caches, which unpersist on completion;
+    # here the operator returns a lazy frame, so eviction is Spark's).
+    e = edges.select(shared, paired).distinct().cache()
     if hub_cap is not None:
         ok = (
             e.groupBy(shared)

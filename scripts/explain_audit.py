@@ -152,6 +152,20 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.plans.cocite import cocitation_pairs
+
+    cocite = cocitation_pairs(edges, min_count=60, hub_cap=35)
+    sections.append(
+        (
+            "Co-citation pair join (hub-capped)",
+            "The quadratic-fan-out guard must appear as a degree "
+            "pre-aggregation + LeftSemi join BEFORE the pair self-join "
+            "(same discipline as the Jaccard df-cap): a key shared by k "
+            "rows emits k^2/2 pairs, so heavy keys never reach the join.",
+            condense(plan_of(cocite), KEEP + ("LeftSemi",)),
+        )
+    )
+
     import tempfile
 
     from arxiv_citation_graph_spark.sources.bucketed import read_bucketed, write_bucketed
