@@ -921,6 +921,33 @@ def q_biblio_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "degree_histogram",
+    f"""
+WITH edges AS MATERIALIZED ({EDGES_BIPARTITE_SQL}),
+deg AS (SELECT dst_id, count(*) AS d FROM edges GROUP BY dst_id)
+SELECT CAST(floor(log2(d)) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(min(d) AS BIGINT) AS min_degree,
+       CAST(max(d) AS BIGINT) AS max_degree
+FROM deg GROUP BY 1
+""",
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned in-degree distribution — the first diagnostic run on
+    any link graph (power-law check; picks the salting threshold).  Two
+    map-side-combined aggregations, no joins."""
+    edges = bipartite_edges(spark, sf_dir)
+    deg = edges.groupBy("dst_id").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(
+        F.floor(F.log2("d")).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+    )
+
+
 #: personalized-PageRank source predicate — must select the SAME vertices
 #: in Spark and DuckDB (customers whose key is divisible by 97; 15 of the
 #: 1500 sf0.01 customers).
