@@ -921,6 +921,51 @@ def q_biblio_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _walks_unrolled_sql(length: int) -> str:
+    """Unrolled deterministic walks over the symmetrized co-supply graph:
+    at step k, walk w moves to argmin over out-neighbors v of
+    md5(w || ':' || k || ':' || v) — DuckDB's md5 hex equals Spark's for
+    identical input, so the corpus is bit-reproducible across engines."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "w0 AS MATERIALIZED (SELECT DISTINCT src_id AS walk_id, src_id AS cur, "
+        "CAST(src_id AS VARCHAR) AS path FROM sym)",
+    ]
+    for k in range(1, length + 1):
+        p = k - 1
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT walk_id, nxt FROM ("
+            f"SELECT w.walk_id, e.dst_id AS nxt, "
+            f"row_number() OVER (PARTITION BY w.walk_id ORDER BY "
+            f"md5(w.walk_id || ':' || {k} || ':' || e.dst_id), e.dst_id) AS rn "
+            f"FROM w{p} w JOIN sym e ON w.cur = e.src_id) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT w.walk_id, "
+            f"coalesce(p.nxt, w.cur) AS cur, "
+            f"CASE WHEN p.nxt IS NULL THEN w.path "
+            f"ELSE w.path || '->' || p.nxt END AS path "
+            f"FROM w{p} w LEFT JOIN p{k} p ON w.walk_id = p.walk_id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT walk_id, path FROM w{length}"
+
+
+_WALK_LEN = 4
+
+
+@register("random_walks", _walks_unrolled_sql(_WALK_LEN))
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus (plans/walks.py): keyed
+    md5 neighbor ranking, one walk per vertex, 4 hops, undirected."""
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+    from arxiv_citation_graph_spark.plans.walks import random_walks
+
+    sym = symmetrize(cosupply_edges(spark, sf_dir))
+    result = random_walks(spark, sym, length=_WALK_LEN)
+    return result.walks
+
+
 @register(
     "degree_histogram",
     f"""

@@ -1,0 +1,134 @@
+"""Deterministic random walks (DeepWalk-style corpus generation).
+
+Graph-embedding pipelines (DeepWalk, node2vec) train on walk sequences;
+generating them is the canonical link-graph -> training-data bridge.
+Spark has no walk primitive, so this runs on the superstep runtime:
+state = one row per walk, each superstep advances every walk one hop.
+
+**Determinism is the design center** (same rule as the engine's salting
+and LSH planes): the "random" neighbor choice at step k of walk w is
+``argmin over out-neighbors v of md5(w || ':' || k || ':' || v)`` — a
+keyed hash ranking, so the corpus is reproducible run-to-run, resumable
+mid-walk, and *oracle-checkable* (DuckDB's ``md5`` produces identical
+hex for identical input; ``tests/oracle_graph.walks_det`` reimplements
+the rule with ``hashlib``).
+
+Per superstep:
+
+- one equi-join of the |W|-sized walk frame onto the cached adjacency
+  (hash-partitioned on ``src_id`` once, the pagerank layout),
+- a min-aggregate per walk over the candidate (hash, neighbor) pairs
+  (map-side partial combine; ``min(struct(score, nbr))`` picks the
+  smallest hash with the neighbor id as collision tie-break),
+- a |W|-sized left join back onto the walk state (walks whose current
+  vertex has no out-edge stall: path unchanged).
+
+Walk hotspots are bounded by construction: each walk contributes
+exactly deg(cur) candidate rows, so the fan-out equals the edge table's
+natural skew, which the adjacency partitioning already absorbs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+
+@dataclass
+class WalksResult:
+    walks: DataFrame  # (walk_id, path) — '->'-joined vertex sequence
+    report: SuperstepReport
+    length: int
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    length: int,
+    starts: DataFrame | None = None,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> WalksResult:
+    """Advance one walk per start vertex ``length`` hops over directed
+    ``edges(src_id, dst_id)`` (symmetrize first for undirected walks).
+
+    ``starts``: single-column (``vertex``) start set; default = every
+    vertex with at least one out-edge.  Returns '->'-joined paths (a
+    flat string, not an array — stable to hash and to store).
+    """
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    adj = edges.select("src_id", "dst_id").distinct().repartition(
+        spark.sparkContext.defaultParallelism, "src_id"
+    ).cache()
+    m = adj.count()
+    if starts is None:
+        starts = adj.select(F.col("src_id").alias("vertex")).distinct()
+    start_set = starts.select("vertex").distinct()
+    n_walks = start_set.count()
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        k = i + 1  # 1-indexed step, pinned in the hash preimage
+        cand = state.select("walk_id", "cur").join(
+            adj, F.col("cur") == adj.src_id
+        )
+        score = F.md5(
+            F.concat_ws(":", F.col("walk_id"), F.lit(str(k)), F.col("dst_id"))
+        )
+        picks = (
+            cand.select("walk_id", F.struct(score.alias("s"), F.col("dst_id").alias("nxt")).alias("c"))
+            .groupBy("walk_id")
+            .agg(F.min("c").alias("c"))
+            .select("walk_id", F.col("c.nxt").alias("nxt"))
+        )
+        new = (
+            state.select("walk_id", "cur", "path")
+            .join(picks, "walk_id", "left")
+            .select(
+                "walk_id",
+                F.coalesce(F.col("nxt"), F.col("cur")).alias("cur"),
+                F.when(
+                    F.col("nxt").isNotNull(),
+                    F.concat(F.col("path"), F.lit("->"), F.col("nxt")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+                F.col("nxt").isNotNull().cast("double").alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = start_set.select(
+        F.col("vertex").alias("walk_id"),
+        F.col("vertex").alias("cur"),
+        F.col("vertex").alias("path"),
+        F.lit(0.0).alias("delta"),
+    )
+    edge_fp_row = adj.agg(F.expr("bit_xor(xxhash64(src_id, dst_id))")).first()
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=length,
+            tolerance=None,  # fixed-length walks, no convergence test
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_walks": n_walks,
+                "n_edges": m,
+                "length": length,
+                "edge_fp": int(edge_fp_row[0]) if edge_fp_row[0] is not None else 0,
+            },
+        )
+    finally:
+        adj.unpersist()
+    return WalksResult(final.select("walk_id", "path"), report, length)

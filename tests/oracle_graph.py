@@ -203,3 +203,36 @@ def bfs_dist(edges: list[tuple[str, str]], source: str | None = None) -> dict[st
                     nxt.append(u)
         frontier = nxt
     return dist
+
+
+def walks_det(
+    edges: list[tuple[str, str]],
+    length: int,
+    starts: list[str] | None = None,
+) -> dict[str, str]:
+    """Deterministic random walks: at step k (1-indexed), walk w moves to
+    argmin over out-neighbors v of md5(f"{w}:{k}:{v}") (hex compare,
+    neighbor id tie-break).  Dead ends stall.  Must match
+    ``plans/walks.py`` exactly.  Returns {walk_id: '->'-joined path}."""
+    import hashlib
+
+    nbrs = defaultdict(set)
+    for s, d in set(edges):
+        nbrs[s].add(d)
+    if starts is None:
+        starts = sorted(nbrs)
+    paths = {}
+    for w in sorted(set(starts)):
+        cur, path = w, [w]
+        for k in range(1, length + 1):
+            out = nbrs.get(cur)
+            if not out:
+                continue
+            nxt = min(
+                out,
+                key=lambda v: (hashlib.md5(f"{w}:{k}:{v}".encode()).hexdigest(), v),
+            )
+            path.append(nxt)
+            cur = nxt
+        paths[w] = "->".join(path)
+    return paths

@@ -211,3 +211,43 @@ def test_personalized_pagerank_rejects_disjoint_sources(spark):
     with pytest.raises(ValueError):
         pagerank(spark, toy_edges_df(spark, "cycle"),
                  sources=spark.createDataFrame([("zz",)], ["vertex"]))
+
+
+# ------------------------------------------------------------ random walks
+
+
+@pytest.mark.parametrize("name", ["cycle", "k4", "selfloop", "resume"])
+def test_walks_match_det_oracle(spark, name):
+    from arxiv_citation_graph_spark.plans.walks import random_walks
+
+    expected = oracle_graph.walks_det(GRAPHS[name], length=4)
+    result = random_walks(spark, toy_edges_df(spark, name), length=4)
+    got = {r.walk_id: r.path for r in result.walks.collect()}
+    assert got == expected, name
+
+
+def test_walks_stall_at_dead_end(spark):
+    """dangling: d0->d1->d2->sink then stall (sink has no out-edges);
+    walks from the sink never move."""
+    from arxiv_citation_graph_spark.plans.walks import random_walks
+
+    starts = spark.createDataFrame([("d0",), ("sink",)], ["vertex"])
+    result = random_walks(spark, toy_edges_df(spark, "dangling"), length=6, starts=starts)
+    got = {r.walk_id: r.path for r in result.walks.collect()}
+    assert got["d0"] == "d0->d1->d2->sink"
+    assert got["sink"] == "sink"
+
+
+def test_walks_deterministic_across_runs(spark):
+    from arxiv_citation_graph_spark.plans.walks import random_walks
+
+    a = {r.walk_id: r.path for r in random_walks(spark, toy_edges_df(spark, "resume"), 3).walks.collect()}
+    b = {r.walk_id: r.path for r in random_walks(spark, toy_edges_df(spark, "resume"), 3).walks.collect()}
+    assert a == b
+
+
+def test_walks_rejects_bad_length(spark):
+    from arxiv_citation_graph_spark.plans.walks import random_walks
+
+    with pytest.raises(ValueError):
+        random_walks(spark, toy_edges_df(spark, "cycle"), 0)
