@@ -967,6 +967,33 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skipgram_pairs",
+    f"""
+WITH walks AS MATERIALIZED ({_walks_unrolled_sql(_WALK_LEN)}),
+tok AS (SELECT walk_id, string_split(path, '->') AS parts FROM walks),
+pos AS (
+  SELECT walk_id, unnest(parts) AS vertex,
+         unnest(generate_series(1, len(parts))) AS pos
+  FROM tok
+)
+SELECT a.vertex AS center, b.vertex AS context, CAST(count(*) AS BIGINT) AS pair_count
+FROM pos a JOIN pos b
+  ON a.walk_id = b.walk_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+GROUP BY 1, 2
+""",
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk step 2: walk corpus -> (center, context) skip-gram
+    training pairs, window 2 (plans/walks.py::skipgram_pairs)."""
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+    from arxiv_citation_graph_spark.plans.walks import random_walks, skipgram_pairs
+
+    sym = symmetrize(cosupply_edges(spark, sf_dir))
+    result = random_walks(spark, sym, length=_WALK_LEN)
+    return skipgram_pairs(result.walks, window=2)
+
+
+@register(
     "degree_histogram",
     f"""
 WITH edges AS MATERIALIZED ({EDGES_BIPARTITE_SQL}),

@@ -132,3 +132,30 @@ def random_walks(
     finally:
         adj.unpersist()
     return WalksResult(final.select("walk_id", "path"), report, length)
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Walk corpus -> (center, context, pair_count) skip-gram training
+    pairs (the word2vec-over-walks step of DeepWalk): for each walk,
+    every ordered token pair within ``window`` positions.
+
+    Fan-out is bounded by construction: a walk of length L emits at most
+    L * 2*window pairs, so the join key (walk_id) has no skew regardless
+    of graph shape — no cap needed, unlike the co-citation self-join.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = walks.select(
+        "walk_id", F.posexplode(F.split("path", "->")).alias("pos", "vertex")
+    )
+    a = toks.select("walk_id", F.col("pos").alias("pa"), F.col("vertex").alias("center"))
+    b = toks.select("walk_id", F.col("pos").alias("pb"), F.col("vertex").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("pa") != F.col("pb"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )

@@ -251,3 +251,29 @@ def test_walks_rejects_bad_length(spark):
 
     with pytest.raises(ValueError):
         random_walks(spark, toy_edges_df(spark, "cycle"), 0)
+
+
+def test_skipgram_pairs_match_brute(spark):
+    from collections import Counter
+
+    from arxiv_citation_graph_spark.plans.walks import random_walks, skipgram_pairs
+
+    result = random_walks(spark, toy_edges_df(spark, "resume"), length=4)
+    expected = Counter()
+    for path in oracle_graph.walks_det(GRAPHS["resume"], length=4).values():
+        toks = path.split("->")
+        for i, c in enumerate(toks):
+            for j, x in enumerate(toks):
+                if i != j and abs(i - j) <= 2:
+                    expected[(c, x)] += 1
+    got = {(r.center, r.context): r.pair_count
+           for r in skipgram_pairs(result.walks, window=2).collect()}
+    assert got == dict(expected)
+
+
+def test_skipgram_rejects_bad_window(spark):
+    from arxiv_citation_graph_spark.plans.walks import random_walks, skipgram_pairs
+
+    w = random_walks(spark, toy_edges_df(spark, "cycle"), 2).walks
+    with pytest.raises(ValueError):
+        skipgram_pairs(w, window=0)
