@@ -1020,6 +1020,78 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDGES_WEIGHTED_SQL = """
+SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src_id,
+       's' || CAST(l_suppkey AS VARCHAR) AS dst_id,
+       CAST(sum(l_quantity) AS DOUBLE) AS w
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def _wpr_unrolled_sql(iters: int) -> str:
+    """Unrolled WEIGHTED power iteration: rank splits over out-edges
+    proportionally to weight (same contrib order as the engine:
+    rank / out_w * w)."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_WEIGHTED_SQL})",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM edges UNION SELECT dst_id FROM edges)",
+        "outw AS MATERIALIZED (SELECT src_id, sum(w) AS out_w FROM edges GROUP BY src_id)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "dang AS MATERIALIZED (SELECT vertex FROM verts WHERE vertex NOT IN (SELECT src_id FROM edges))",
+        "r0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{p} "
+            f"WHERE vertex IN (SELECT vertex FROM dang))"
+        )
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst_id AS vertex, "
+            f"sum(r.rank / o.out_w * e.w) AS mass "
+            f"FROM edges e JOIN r{p} r ON e.src_id = r.vertex "
+            f"JOIN outw o ON e.src_id = o.src_id GROUP BY e.dst_id)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vertex, 0.15 / (SELECT n FROM nn) "
+            f"+ 0.85 * ((SELECT dm FROM d{k}) / (SELECT n FROM nn) "
+            f"+ coalesce(c.mass, 0.0)) AS rank "
+            f"FROM verts v LEFT JOIN c{k} c ON v.vertex = c.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vertex, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+@register("pagerank_weighted", _wpr_unrolled_sql(PAGERANK_ITERS))
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: quantity-weighted customer->supplier edges,
+    rank split proportional to edge weight (plans/pagerank.py weight=)."""
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src_id"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst_id"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("w"))
+    )
+    result = pagerank(
+        spark,
+        edges,
+        tolerance=None,
+        max_iterations=PAGERANK_ITERS,
+        salt_buckets=8,
+        hot_degree_threshold=64,
+        weight="w",
+    )
+    return result.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+
 #: personalized-PageRank source predicate — must select the SAME vertices
 #: in Spark and DuckDB (customers whose key is divisible by 97; 15 of the
 #: 1500 sf0.01 customers).

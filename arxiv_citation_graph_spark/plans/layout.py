@@ -108,9 +108,13 @@ def vertices_of(edges: DataFrame) -> DataFrame:
     )
 
 
-def build_adjacency(edges: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Iteration-input adjacency: ``(src_id, dst_id, out_deg)`` hash-
-    partitioned on ``src_id`` and cached.
+def build_adjacency(
+    edges: DataFrame, partitions: int | None = None, weight: str | None = None
+) -> DataFrame:
+    """Iteration-input adjacency: ``(src_id, dst_id[, weight], out_deg)``
+    hash-partitioned on ``src_id`` and cached.  With ``weight``,
+    ``out_deg`` is the per-source weight sum (weighted PageRank splits
+    rank proportionally); weights must be positive.
 
     Partitioning on the join key means every superstep's
     ``adjacency JOIN ranks ON src_id`` reuses this exchange: Catalyst sees
@@ -120,7 +124,8 @@ def build_adjacency(edges: DataFrame, partitions: int | None = None) -> DataFram
     (range-partitioned variant: ``repartitionByRange`` + sort order, which
     additionally gives clustered scans for range-restricted queries).
     """
-    out_deg = edges.groupBy("src_id").agg(F.count("*").alias("out_deg"))
+    agg = F.sum(weight) if weight is not None else F.count("*")
+    out_deg = edges.groupBy("src_id").agg(agg.alias("out_deg"))
     adj = edges.join(out_deg, "src_id")
     n_parts = partitions or edges.sparkSession.sparkContext.defaultParallelism
     return adj.repartition(n_parts, "src_id")

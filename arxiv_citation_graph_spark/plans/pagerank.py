@@ -71,6 +71,7 @@ def pagerank(
     resume: bool = False,
     broadcast_ranks: bool | None = None,
     sources: DataFrame | None = None,
+    weight: str | None = None,
 ) -> PageRankResult:
     """Iterate rank mass over ``edges(src_id, dst_id)`` to convergence.
 
@@ -105,7 +106,17 @@ def pagerank(
     shuffle otherwise — the same decision AQE would make per-join, made
     once for the whole iteration.
     """
-    edges = edges.select("src_id", "dst_id")
+    weighted = weight is not None
+    if weighted:
+        # positive edge weights (e.g. citation multiplicity): a vertex's
+        # rank splits over out-edges proportionally to weight instead of
+        # uniformly.  Same plan — out_deg becomes the out-weight sum and
+        # each contribution scales by its edge weight.
+        edges = edges.select(
+            "src_id", "dst_id", F.col(weight).cast("double").alias("_w")
+        )
+    else:
+        edges = edges.select("src_id", "dst_id")
     vertices = vertices_of(edges).cache()
     n = vertices.count()
     if n == 0:
@@ -113,7 +124,7 @@ def pagerank(
         return PageRankResult(empty, SuperstepReport(0, True), 0, 0)
     m = edges.count()
 
-    adjacency = build_adjacency(edges).cache()
+    adjacency = build_adjacency(edges, weight="_w" if weighted else None).cache()
     adjacency.count()  # materialize once; supersteps reuse the exchange
 
     # vertex set flagged with "has no out-edges" (rank sinks); the flag is
@@ -188,6 +199,11 @@ def pagerank(
         # teleport weight instead.
         dm_expr = dangling_mass_col if personalized else dangling_mass_col / F.lit(float(n))
         dm = ranks.agg(dm_expr.alias("_dm_per_v"))
+        contrib_expr = (
+            F.col("rank") / F.col("out_deg") * F.col("_w")
+            if weighted
+            else F.col("rank") / F.col("out_deg")
+        )
         contribs = adjacency.join(
             _maybe_broadcast(ranks.select("vertex", "rank")),
             adjacency.src_id == F.col("vertex"),
@@ -195,7 +211,7 @@ def pagerank(
         ).select(
             F.col("dst_id"),
             F.col("src_id"),
-            (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            contrib_expr.alias("contrib"),
         )
         sums = salted_sum(
             contribs,
@@ -249,6 +265,8 @@ def pagerank(
     else:
         initial = _uniform_ranks(vertices_flagged, n)
         signature = {"n_vertices": n, "n_edges": m, "damping": damping}
+    if weighted:
+        signature["weighted"] = True
     try:
         final, report = run_supersteps(
             spark,

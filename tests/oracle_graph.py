@@ -236,3 +236,33 @@ def walks_det(
             cur = nxt
         paths[w] = "->".join(path)
     return paths
+
+
+def pagerank_weighted_dense(
+    edges: list[tuple[str, str, float]],
+    damping: float = 0.85,
+    tol: float | None = 1e-12,
+    max_iter: int = 500,
+) -> dict[str, float]:
+    """Dense weighted power iteration: rank splits over out-edges
+    proportionally to (positive) edge weight; duplicate (s, d) rows sum.
+    Must match ``plans/pagerank.py`` with ``weight=``."""
+    verts = sorted({v for s, d, _ in edges for v in (s, d)})
+    n = len(verts)
+    idx = {v: i for i, v in enumerate(verts)}
+    out_w = defaultdict(float)
+    for s, _, w in edges:
+        out_w[s] += w
+    mat = np.zeros((n, n))
+    for s, d, w in edges:
+        mat[idx[d], idx[s]] += w / out_w[s]
+    dangling = np.array([0.0 if out_w.get(v) else 1.0 for v in verts])
+    rank = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        d_mass = float(dangling @ rank)
+        new = (1 - damping) / n + damping * (mat @ rank + d_mass / n)
+        if tol is not None and np.abs(new - rank).sum() < tol:
+            rank = new
+            break
+        rank = new
+    return dict(zip(verts, rank))

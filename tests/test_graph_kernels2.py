@@ -277,3 +277,50 @@ def test_skipgram_rejects_bad_window(spark):
     w = random_walks(spark, toy_edges_df(spark, "cycle"), 2).walks
     with pytest.raises(ValueError):
         skipgram_pairs(w, window=0)
+
+
+# -------------------------------------------------------- weighted PR
+
+
+def test_weighted_pagerank_allclose(spark):
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    wedges = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+        ("c", "a", 1.0), ("c", "d", 1.0), ("d", "a", 5.0),
+        ("b", "a", 0.5),
+    ]
+    expected = oracle_graph.pagerank_weighted_dense(wedges, tol=None, max_iter=10)
+    df = spark.createDataFrame(wedges, ["src_id", "dst_id", "w"])
+    result = pagerank(spark, df, tolerance=None, max_iterations=10, weight="w")
+    got = {r.vertex: r.rank for r in result.ranks.collect()}
+    assert set(got) == set(expected)
+    for v, r in expected.items():
+        assert math.isclose(got[v], r, abs_tol=1e-9), v
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_weighted_uniform_weights_equal_unweighted(spark):
+    """weight=1 on every edge must reproduce the unweighted ranks."""
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    edges = toy_edges_df(spark, "resume")
+    base = pagerank(spark, edges, tolerance=None, max_iterations=6)
+    wdf = edges.selectExpr("src_id", "dst_id", "1.0 AS w")
+    wres = pagerank(spark, wdf, tolerance=None, max_iterations=6, weight="w")
+    a = {r.vertex: r.rank for r in base.ranks.collect()}
+    b = {r.vertex: r.rank for r in wres.ranks.collect()}
+    for v in a:
+        assert math.isclose(a[v], b[v], rel_tol=0, abs_tol=1e-12), v
+
+
+def test_weighted_pagerank_with_dangling(spark):
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    wedges = [("a", "b", 2.0), ("b", "sink", 4.0)]
+    expected = oracle_graph.pagerank_weighted_dense(wedges, tol=None, max_iter=8)
+    df = spark.createDataFrame(wedges, ["src_id", "dst_id", "w"])
+    result = pagerank(spark, df, tolerance=None, max_iterations=8, weight="w")
+    got = {r.vertex: r.rank for r in result.ranks.collect()}
+    for v, r in expected.items():
+        assert math.isclose(got[v], r, abs_tol=1e-9), v
