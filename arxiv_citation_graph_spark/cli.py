@@ -8,7 +8,7 @@ Ship the package as a zip and drive any stage of the pipeline:
         --docs /path/docs_parquet --out /path/warehouse
 
 Subcommands: extract | pagerank | cc | lpa | triangles | hits | kcore |
-bfs | bench-corpus.
+bfs | walks | bench-corpus.
 Every graph command reads ``edges`` from the warehouse catalog (or a
 parquet path), runs to convergence with checkpoint/resume, and commits
 results + superstep metrics back to the warehouse.
@@ -31,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="warehouse root")
     p.add_argument("--extended", action="store_true", help="also write reference_tree-style table")
 
-    for name in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore", "bfs"):
+    for name in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore", "bfs", "walks"):
         p = sub.add_parser(name)
         p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
         p.add_argument("--out", required=True, help="warehouse root")
@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
                 "--sources", default=None,
                 help="comma-separated seed vertices -> personalized PageRank",
             )
+            p.add_argument(
+                "--weight", default=None,
+                help="edge-weight column in the edges table -> weighted PageRank",
+            )
         if name == "hits":
             p.add_argument("--iterations", type=int, default=20)
             p.add_argument("--tolerance", type=float, default=1e-8)
@@ -53,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
         if name == "bfs":
             p.add_argument("--source", default=None, help="default: lexicographic-min vertex")
             p.add_argument("--directed", action="store_true")
+        if name == "walks":
+            p.add_argument("--length", type=int, default=8)
+            p.add_argument("--undirected", action="store_true")
         if name == "cc":
             p.add_argument(
                 "--algo", choices=("hashmin", "star"), default="hashmin",
@@ -102,9 +109,12 @@ def main(argv: list[str] | None = None) -> int:
     # graph commands
     from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
 
+    edge_cols = ["src_id", "dst_id"]
+    if getattr(args, "weight", None):
+        edge_cols.append(args.weight)
     edges = (
         spark.read.parquet(args.edges) if args.edges else catalog.read(spark, "edges")
-    ).select("src_id", "dst_id")
+    ).select(*edge_cols)
     # non-default algorithms get their own checkpoint job: star and
     # hash-min state schemas differ, so sharing one directory would
     # cross-corrupt resumes.  The default keeps the bare command name so
@@ -127,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
         result = pagerank(
             spark, edges, damping=args.damping, tolerance=args.tolerance,
             max_iterations=args.max_iterations, store=store, resume=args.resume,
-            sources=sources,
+            sources=sources, weight=args.weight,
         )
         catalog.create_or_replace("ranks", result.ranks)
         print(
@@ -191,6 +201,16 @@ def main(argv: list[str] | None = None) -> int:
             f"kcore(k={args.k}): {kresult.core.count()} members, "
             f"{kresult.report.iterations} peel rounds"
         )
+    elif args.cmd == "walks":
+        from arxiv_citation_graph_spark.plans.layout import symmetrize
+        from arxiv_citation_graph_spark.plans.walks import random_walks
+
+        wedges = symmetrize(edges) if args.undirected else edges
+        wresult = random_walks(
+            spark, wedges, length=args.length, store=store, resume=args.resume
+        )
+        catalog.create_or_replace("walks", wresult.walks)
+        print(f"walks: {wresult.walks.count()} walks of length {args.length}")
     elif args.cmd == "bfs":
         from arxiv_citation_graph_spark.plans.bfs import bfs_distances
 

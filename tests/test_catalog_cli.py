@@ -102,3 +102,30 @@ def test_cli_new_kernels(spark, tmp_path, monkeypatch):
     ]) == 0
     ranks = cat.read(spark, "ranks")
     assert abs(ranks.agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
+
+
+def test_cli_walks_and_weighted_pagerank(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    from arxiv_citation_graph_spark.datagen import toy_graphs
+
+    wh = str(tmp_path / "wh5")
+    edges_path = str(tmp_path / "wedges")
+    spark.createDataFrame(
+        [(s, d, 2.0) for s, d in toy_graphs()["resume"]], ["src_id", "dst_id", "wcol"]
+    ).write.parquet(edges_path)
+
+    assert cli.main(["walks", "--edges", edges_path, "--out", wh,
+                     "--length", "3", "--undirected"]) == 0
+    cat = SnapshotCatalog(wh)
+    walks = cat.read(spark, "walks")
+    assert walks.columns == ["walk_id", "path"]
+    assert walks.count() == 100
+
+    assert cli.main(["pagerank", "--edges", edges_path, "--out", wh,
+                     "--max-iterations", "4", "--tolerance", "0",
+                     "--weight", "wcol"]) == 0
+    ranks = cat.read(spark, "ranks")
+    assert abs(ranks.agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
