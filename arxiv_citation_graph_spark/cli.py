@@ -35,7 +35,10 @@ def main(argv: list[str] | None = None) -> int:
         p = sub.add_parser(name)
         p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
         p.add_argument("--out", required=True, help="warehouse root")
-        if name != "hits":  # hits counts FULL iterations via --iterations
+        # hits counts FULL iterations via --iterations; walks' superstep
+        # count IS the walk length (--length) — a --max-iterations flag on
+        # either would be silently ignored, so don't register it
+        if name not in ("hits", "walks"):
             p.add_argument("--max-iterations", type=int, default=100)
         p.add_argument("--resume", action="store_true")
         if name == "pagerank":

@@ -460,16 +460,57 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stateful_sessions", None)  # rows-only: custom stateful streaming op
+@register(
+    "stateful_sessions",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events
+    ),
+    gaps AS (
+      SELECT user_id, event_id, epoch_s,
+             CASE WHEN epoch_s - lag(epoch_s) OVER
+                       (PARTITION BY user_id ORDER BY epoch_s, event_id) > 1800
+                       OR lag(epoch_s) OVER
+                       (PARTITION BY user_id ORDER BY epoch_s, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ),
+    numbered AS (
+      SELECT user_id, epoch_s,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    ),
+    sessions AS (
+      SELECT user_id,
+             CAST(min(epoch_s) AS BIGINT) AS session_start,
+             CAST(max(epoch_s) AS BIGINT) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, session_no
+    ),
+    umax AS (SELECT user_id, max(epoch_s) AS max_ts FROM ev GROUP BY user_id)
+    SELECT s.user_id, s.session_start, s.session_end, s.n_events
+    FROM sessions s JOIN umax u ON s.user_id = u.user_id
+    WHERE u.max_ts > s.session_end + 1800
+    """,
+)
 def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState sessionization drained with AvailableNow:
-    closed sessions (in-batch gaps + event-time-timeout evictions).
+    """applyInPandasWithState sessionization drained with AvailableNow,
+    restricted to its *deterministically emitted* subset.
 
-    No DuckDB oracle on purpose: emission depends on watermark/timeout
-    trigger semantics (a genuinely non-SQL-expressible stateful op);
-    pytest pins stream-output ⊆ batch-sessions and closed ⊆ emitted
-    (``tests/test_stateful_streaming.py``), and the batch twin
-    (``sessionize``) carries the SQL oracle for the session math."""
+    The raw emission set is trigger-dependent (an open session that would
+    time out is only emitted if a batch runs after the watermark passes
+    ``end + gap``), so the full stream output has no SQL oracle.  But a
+    session that is NOT its user's last — i.e. some later event exists
+    beyond the gap (``user_max_ts > session_end + gap``) — is closed and
+    emitted *in-batch*, deterministically, and must agree exactly with
+    the batch sessionizer.  The single-file source drains in one
+    AvailableNow batch, and a user's last session never satisfies the
+    predicate (its end IS the user's max ts), so filtering BOTH the
+    stream output and the DuckDB lag-gap session table by the same
+    predicate yields a value-comparable result.  pytest keeps the
+    superset checks (stream ⊆ batch, closed ⊆ emitted,
+    ``tests/test_stateful_streaming.py``)."""
     import hashlib
     import os
     import tempfile
@@ -495,8 +536,18 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, f"events_single_{tag}")
     events.coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
-    return run_stream_to_memory(
+    emitted = run_stream_to_memory(
         spark, sessionize_stream(stream, gap_seconds=1800), f"stateful_sessions_{tag}"
+    )
+    # deterministic subset: sessions with a later same-user event beyond
+    # the gap are closed in-batch; drop the trigger-dependent tail
+    user_max = events.groupBy("user_id").agg(
+        F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))).alias("_max_ts")
+    )
+    return (
+        emitted.join(user_max, "user_id")
+        .filter(F.col("_max_ts") > F.col("session_end") + 1800)
+        .select("user_id", "session_start", "session_end", "n_events")
     )
 
 
@@ -2208,3 +2259,48 @@ def q_enrich_status_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_mid").isNotNull() & (F.col("score") > 50.0), F.lit("resolved")
     ).otherwise(F.lit("unresolved"))
     return joined.select("src_id", "dst_id", "title", "score", status.alias("status"))
+
+
+# ===========================================================================
+# Registry priority order
+# ===========================================================================
+# The driver samples registry entries in insertion order (CORRECTNESS_r02
+# covered exactly the first 50 of 64).  Reorder so queries that have never
+# (or not recently) had a driver row register first; everything else keeps
+# its original relative order.  Names listed here but not registered are
+# ignored, so new queries can be added to the front list before they exist.
+
+_PRIORITY_FIRST = [
+    # never driver-checked through round 2
+    "simhash_near_pairs",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "embedding_near_dups",
+    "multimodal_features",
+    "multimodal_frames",
+    # new in round 3
+    "stateful_sessions",
+    "node2vec_walks",
+    "cocitation_cosine",
+    # green in r1 but dropped from the driver's r2 sample
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "embedding_topk",
+    "embedding_centroids",
+    "enrich_status_classify",
+]
+
+
+def _reorder_registry() -> None:
+    global _QUERIES, _ORACLES
+    front = [n for n in _PRIORITY_FIRST if n in _QUERIES]
+    rest = [n for n in _QUERIES if n not in set(front)]
+    order = front + rest
+    _QUERIES = {n: _QUERIES[n] for n in order}
+    _ORACLES = {n: _ORACLES[n] for n in order if n in _ORACLES}
+
+
+_reorder_registry()

@@ -100,7 +100,15 @@ def hits(
     parallelism = spark.sparkContext.defaultParallelism
     adj_by_src = edges.repartition(parallelism, "src_id").cache()
     adj_by_dst = edges.repartition(parallelism, "dst_id").cache()
-    m = adj_by_src.count()
+    # materialize + order-independent edge-set fingerprint in one action:
+    # resume must refuse a different same-size graph (same guard as
+    # bfs/kcore/walks/pagerank)
+    eagg = adj_by_src.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ).first()
+    m = int(eagg["m"])
+    edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
     adj_by_dst.count()
 
     hot_in = (
@@ -204,7 +212,9 @@ def hits(
             tolerance=tolerance,
             store=store,
             resume=resume,
-            input_signature={"n_vertices": n, "n_edges": m, "kernel": "hits"},
+            input_signature={
+                "n_vertices": n, "n_edges": m, "edge_fp": edge_fp, "kernel": "hits"
+            },
         )
         # one side is still raw (whichever was refreshed last); normalize
         # both with one final action.

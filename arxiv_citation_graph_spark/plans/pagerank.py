@@ -122,7 +122,34 @@ def pagerank(
     if n == 0:
         empty = spark.createDataFrame([], "vertex string, rank double")
         return PageRankResult(empty, SuperstepReport(0, True), 0, 0)
-    m = edges.count()
+    # One setup aggregate: edge count, an order-independent edge-set
+    # fingerprint (resume must refuse a different same-size graph — same
+    # guard as bfs/kcore/walks), and weight validation.  Null weights
+    # would silently drop contributions (lost rank mass) and non-positive
+    # weights produce wrong or divergent ranks, so fail fast.
+    edge_aggs = [
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ]
+    if weighted:
+        edge_aggs += [
+            F.min("_w").alias("wmin"),
+            F.sum(F.when(F.col("_w").isNull(), 1).otherwise(0)).alias("wnulls"),
+        ]
+    eagg = edges.agg(*edge_aggs).first()
+    m = int(eagg["m"])
+    edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
+    if weighted and m > 0:
+        if int(eagg["wnulls"]) > 0:
+            raise ValueError(
+                f"weighted PageRank: {eagg['wnulls']} edges have null/non-numeric "
+                f"weight in column {weight!r}; weights must be positive"
+            )
+        if float(eagg["wmin"]) <= 0.0:
+            raise ValueError(
+                f"weighted PageRank: min({weight}) = {eagg['wmin']} — "
+                "edge weights must be strictly positive"
+            )
 
     adjacency = build_adjacency(edges, weight="_w" if weighted else None).cache()
     adjacency.count()  # materialize once; supersteps reuse the exchange
@@ -258,13 +285,13 @@ def pagerank(
             F.col("teleport").alias("rank"), F.lit(0.0).alias("delta"),
         )
         signature = {
-            "n_vertices": n, "n_edges": m, "damping": damping,
+            "n_vertices": n, "n_edges": m, "edge_fp": edge_fp, "damping": damping,
             "mode": "personalized", "n_sources": n_sources,
             "sources_fp": sources_fp,
         }
     else:
         initial = _uniform_ranks(vertices_flagged, n)
-        signature = {"n_vertices": n, "n_edges": m, "damping": damping}
+        signature = {"n_vertices": n, "n_edges": m, "edge_fp": edge_fp, "damping": damping}
     if weighted:
         signature["weighted"] = True
     try:

@@ -324,3 +324,51 @@ def test_weighted_pagerank_with_dangling(spark):
     got = {r.vertex: r.rank for r in result.ranks.collect()}
     for v, r in expected.items():
         assert math.isclose(got[v], r, abs_tol=1e-9), v
+
+
+def test_weighted_pagerank_rejects_bad_weights(spark):
+    """Null, zero, and negative weights must fail fast, not silently
+    drop rank mass (ADVICE r2)."""
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    for bad in (None, 0.0, -1.5):
+        df = spark.createDataFrame(
+            [("a", "b", 2.0), ("b", "a", bad)],
+            "src_id string, dst_id string, w double",
+        )
+        with pytest.raises(ValueError, match="weight"):
+            pagerank(spark, df, tolerance=None, max_iterations=2, weight="w")
+
+
+def test_pagerank_resume_refuses_different_edge_set(spark, tmp_path):
+    """Same |V|/|E| but a different edge set must be refused on resume
+    (edge_fp in the input signature, ADVICE r2)."""
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    e1 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src_id", "dst_id"]
+    )
+    e2 = spark.createDataFrame(
+        [("a", "c"), ("c", "b"), ("b", "a")], ["src_id", "dst_id"]
+    )
+    store = CheckpointStore(str(tmp_path / "pr_fp"), "pr")
+    pagerank(spark, e1, tolerance=None, max_iterations=2, store=store)
+    with pytest.raises(ValueError, match="signature"):
+        pagerank(spark, e2, tolerance=None, max_iterations=4, store=store, resume=True)
+
+
+def test_hits_resume_refuses_different_edge_set(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.hits import hits
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    e1 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src_id", "dst_id"]
+    )
+    e2 = spark.createDataFrame(
+        [("a", "c"), ("c", "b"), ("b", "a")], ["src_id", "dst_id"]
+    )
+    store = CheckpointStore(str(tmp_path / "hits_fp"), "hits")
+    hits(spark, e1, iterations=1, tolerance=None, store=store)
+    with pytest.raises(ValueError, match="signature"):
+        hits(spark, e2, iterations=2, tolerance=None, store=store, resume=True)
