@@ -63,6 +63,14 @@ def main(argv: list[str] | None = None) -> int:
         if name == "walks":
             p.add_argument("--length", type=int, default=8)
             p.add_argument("--undirected", action="store_true")
+            p.add_argument(
+                "--p", type=float, default=None,
+                help="node2vec return parameter (with --q: biased walks)",
+            )
+            p.add_argument(
+                "--q", type=float, default=None,
+                help="node2vec in-out parameter (with --p: biased walks)",
+            )
         if name == "cc":
             p.add_argument(
                 "--algo", choices=("hashmin", "star"), default="hashmin",
@@ -206,12 +214,20 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "walks":
         from arxiv_citation_graph_spark.plans.layout import symmetrize
-        from arxiv_citation_graph_spark.plans.walks import random_walks
+        from arxiv_citation_graph_spark.plans.walks import node2vec_walks, random_walks
 
         wedges = symmetrize(edges) if args.undirected else edges
-        wresult = random_walks(
-            spark, wedges, length=args.length, store=store, resume=args.resume
-        )
+        if args.p is not None or args.q is not None:
+            wresult = node2vec_walks(
+                spark, wedges, length=args.length,
+                p=args.p if args.p is not None else 1.0,
+                q=args.q if args.q is not None else 1.0,
+                store=store, resume=args.resume,
+            )
+        else:
+            wresult = random_walks(
+                spark, wedges, length=args.length, store=store, resume=args.resume
+            )
         catalog.create_or_replace("walks", wresult.walks)
         print(f"walks: {wresult.walks.count()} walks of length {args.length}")
     elif args.cmd == "bfs":

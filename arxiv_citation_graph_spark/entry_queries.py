@@ -961,6 +961,26 @@ def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cocitation_pairs(bipartite_edges(spark, sf_dir), min_count=60, hub_cap=35)
 
 
+@register(
+    "cocitation_cosine",
+    f"""
+WITH pairs AS MATERIALIZED ({_pair_counts_sql("src_id", "dst_id", 60, 35)}),
+edges AS MATERIALIZED ({EDGES_BIPARTITE_SQL}),
+cites AS (SELECT dst_id, count(*) AS c FROM edges GROUP BY dst_id)
+SELECT p.a, p.b, p.pair_count,
+       p.pair_count / sqrt((ca.c * cb.c)::DOUBLE) AS cosine
+FROM pairs p JOIN cites ca ON p.a = ca.dst_id JOIN cites cb ON p.b = cb.dst_id
+""",
+)
+def q_cocitation_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salton-cosine-normalized co-citation strengths (VERDICT r2 #8):
+    pair counts / sqrt(cites(a) * cites(b)), normalization over the full
+    edge table."""
+    from arxiv_citation_graph_spark.plans.cocite import cocitation_cosine
+
+    return cocitation_cosine(bipartite_edges(spark, sf_dir), min_count=60, hub_cap=35)
+
+
 @register("biblio_coupling", _pair_counts_sql("dst_id", "src_id", 20, 1000))
 def q_biblio_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bibliographic coupling (Kessler 1963): citing-paper pairs sharing
@@ -1014,6 +1034,63 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sym = symmetrize(cosupply_edges(spark, sf_dir))
     result = random_walks(spark, sym, length=_WALK_LEN)
+    return result.walks
+
+
+def _node2vec_unrolled_sql(length: int, p: float, q: float) -> str:
+    """Unrolled node2vec-biased walks (plans/walks.py::node2vec_walks):
+    at step k each candidate x draws h = int(md5(w:k:x)[:15], 16) and the
+    walk takes argmin (h+1)*scale, scale = p on return to prev, 1 for a
+    neighbor of prev, q otherwise (first hop uniform).  IEEE multiply and
+    compare only, so DuckDB replays Spark's choices bit-for-bit."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "w0 AS MATERIALIZED (SELECT DISTINCT src_id AS walk_id, src_id AS cur, "
+        "CAST(NULL AS VARCHAR) AS prev, CAST(src_id AS VARCHAR) AS path FROM sym)",
+    ]
+    for k in range(1, length + 1):
+        pk = k - 1
+        score = (
+            f"(CAST(('0x' || substr(md5(c.walk_id || ':' || {k} || ':' || c.nxt), 1, 15)) "
+            f"AS BIGINT) + 1)::DOUBLE * "
+            f"(CASE WHEN c.prev IS NULL THEN 1.0 "
+            f"WHEN c.nxt = c.prev THEN {p!r} "
+            f"WHEN t.src_id IS NOT NULL THEN 1.0 "
+            f"ELSE {q!r} END)"
+        )
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT walk_id, nxt FROM ("
+            f"SELECT c.walk_id, c.nxt, "
+            f"row_number() OVER (PARTITION BY c.walk_id ORDER BY {score}, c.nxt) AS rn "
+            f"FROM (SELECT w.walk_id, w.prev, e.dst_id AS nxt "
+            f"      FROM w{pk} w JOIN sym e ON w.cur = e.src_id) c "
+            f"LEFT JOIN sym t ON t.src_id = c.prev AND t.dst_id = c.nxt"
+            f") WHERE rn = 1)"
+        )
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT w.walk_id, "
+            f"coalesce(p.nxt, w.cur) AS cur, "
+            f"CASE WHEN p.nxt IS NULL THEN w.prev ELSE w.cur END AS prev, "
+            f"CASE WHEN p.nxt IS NULL THEN w.path "
+            f"ELSE w.path || '->' || p.nxt END AS path "
+            f"FROM w{pk} w LEFT JOIN p{k} p ON w.walk_id = p.walk_id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT walk_id, path FROM w{length}"
+
+
+_N2V_P, _N2V_Q = 4.0, 0.25
+
+
+@register("node2vec_walks", _node2vec_unrolled_sql(_WALK_LEN, _N2V_P, _N2V_Q))
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec biased walk corpus (return p=4, in-out q=0.25: DFS-ish
+    exploration), deterministic weight-scaled hash race — VERDICT r2 #6."""
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+    from arxiv_citation_graph_spark.plans.walks import node2vec_walks
+
+    sym = symmetrize(cosupply_edges(spark, sf_dir))
+    result = node2vec_walks(spark, sym, length=_WALK_LEN, p=_N2V_P, q=_N2V_Q)
     return result.walks
 
 

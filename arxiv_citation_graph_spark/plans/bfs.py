@@ -14,10 +14,17 @@ as the exchanged label:
 Runs O(eccentricity) supersteps.  Unreached vertices carry a sentinel
 and are dropped from the result.
 
-The state join ships the full |V|-sized distance vector each superstep
-rather than only the frontier — at link-graph diameters (tiny) the
-simplicity wins; a frontier-only variant would save shuffle bytes on
-high-diameter graphs at the cost of a second state table.
+**Frontier-delta join** (round-3 upgrade): the state's ``delta`` column
+already marks "distance improved last superstep", so the adjacency join
+consumes only ``state.filter(delta > 0)`` — the frontier — instead of
+every reached vertex.  A vertex can only improve via a neighbor that
+improved in the previous round (the BFS frontier invariant), so results
+are identical; the join input shrinks from O(|reached|) to O(|frontier|)
+rows per superstep, which on a high-diameter graph (path/mesh/road
+networks) turns the total join work from O(|V| * ecc) into O(|V|) —
+sum of frontier sizes.  The |V|-sized distance table is still merged
+once per superstep (``frontier=False`` restores the dense join for A/B
+plan comparison; see PLANS.md).
 """
 
 from __future__ import annotations
@@ -54,6 +61,7 @@ def bfs_distances(
     store: CheckpointStore | None = None,
     resume: bool = False,
     broadcast_state: bool | None = None,
+    frontier: bool = True,
 ) -> BfsResult:
     """Hop distances from ``source`` over ``edges(src_id, dst_id)``.
 
@@ -92,11 +100,13 @@ def bfs_distances(
         return F.broadcast(df) if broadcast_state else df
 
     def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        if frontier:
+            # only vertices improved last superstep can improve a neighbor
+            joined = state.filter(F.col("delta") > 0).select("vertex", "dist")
+        else:
+            joined = state.filter(F.col("dist") < UNREACHED).select("vertex", "dist")
         nbr = (
-            adj.join(
-                _mb(state.filter(F.col("dist") < UNREACHED).select("vertex", "dist")),
-                adj.src_id == F.col("vertex"),
-            )
+            adj.join(_mb(joined), adj.src_id == F.col("vertex"))
             .groupBy(F.col("dst_id").alias("vertex"))
             .agg(F.min(F.col("dist") + F.lit(1)).alias("nbr_dist"))
         )
@@ -112,13 +122,13 @@ def bfs_distances(
         )
         return new, {"delta": F.sum("delta")}
 
+    is_src = F.col("vertex") == F.lit(source)
     initial = vertices.select(
         "vertex",
-        F.when(F.col("vertex") == F.lit(source), F.lit(0))
-        .otherwise(F.lit(UNREACHED))
-        .cast("long")
-        .alias("dist"),
-        F.lit(0.0).alias("delta"),
+        F.when(is_src, F.lit(0)).otherwise(F.lit(UNREACHED)).cast("long").alias("dist"),
+        # the source "improved" to 0 at initialization: it IS the first
+        # frontier (delta > 0 marks frontier membership)
+        F.when(is_src, F.lit(1.0)).otherwise(F.lit(0.0)).alias("delta"),
     )
     try:
         final, report = run_supersteps(

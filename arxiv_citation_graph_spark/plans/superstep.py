@@ -16,16 +16,21 @@ Two persistence modes per iteration:
   storage — exactly Iceberg's snapshot-per-commit model.  The run is
   resumable from the last committed iteration.
 
-Commit protocol (resume-idempotent, SURVEY.md §4.3):
+Commit protocol (resume-idempotent, SURVEY.md §4.3) — ONE protocol,
+shared with every other table via ``sources.catalog.SnapshotCatalog``:
 
-1. write ``state/iter=K`` (parquet dir, overwrite — a crashed retry of
-   iteration K simply overwrites its own partial output),
-2. append per-partition metrics rows for K,
-3. update ``manifest.json`` (atomic rename) marking K committed.
+1. *stage* the state snapshot for iteration K in the job catalog
+   (``overwrite_partition`` keyed by iteration: data files written,
+   pointer untouched — a crashed retry overwrites its own orphan),
+2. commit the per-partition metrics rows for K (their own
+   ``overwrite_partition``, each row carrying the state snapshot id),
+3. *commit* the staged state snapshot (atomic metadata swap) with the
+   iteration's aggregate summary as the snapshot summary.
 
-Resume reads the manifest, loads the newest committed state, and
-continues from K+1.  A crash between (1) and (3) re-runs iteration K onto
-the same path — safe.
+Resume reads the catalog (newest committed iteration partition), loads
+that state, and continues from K+1.  A crash between (1) and (3) re-runs
+iteration K onto the same ids — safe.  Any mid-run state stays reachable
+by snapshot id (time travel), which the metrics rows record.
 
 The metrics table mirrors SURVEY.md §1.3 ``superstep_metrics``:
 (job, iteration, partition_id, rows, wall_ms, l1_delta, snapshot).
@@ -33,7 +38,6 @@ The metrics table mirrors SURVEY.md §1.3 ``superstep_metrics``:
 
 from __future__ import annotations
 
-import json
 import logging
 import os
 import shutil
@@ -53,88 +57,125 @@ _STATS_TRIPWIRE_BYTES = 1 << 200
 
 
 class CheckpointStore:
-    """Filesystem-backed snapshot store (stand-in for an Iceberg catalog;
-    the path layout maps 1:1 onto ``overwritePartitions`` keyed by
-    iteration)."""
+    """Superstep state/metrics persistence over ``SnapshotCatalog`` — ONE
+    commit protocol for tables, iteration state, and metrics.
+
+    Both tables live in the job's catalog and are written with
+    ``overwrite_partition`` keyed by iteration (the north_star's Iceberg
+    ``overwritePartitions``-per-superstep shape):
+
+    - ``state``: two-phase per superstep — ``write_state`` *stages* the
+      snapshot (data files on disk, pointer untouched) so the runtime can
+      re-read it for lineage truncation; ``commit`` publishes it
+      atomically with the iteration's aggregate summary (Iceberg snapshot
+      summary).  A crash before ``commit`` leaves an orphan directory the
+      retried iteration overwrites — resume-idempotent.
+    - ``superstep_metrics``: one committed partition per iteration, each
+      row carrying the state table's snapshot id, so any mid-run state is
+      reachable via ``catalog.read_partition(..., snapshot=<that id>)``
+      (time travel).
+
+    Job-level metadata (the resume input-signature guard) is an Iceberg
+    table *property* on the state table.
+    """
+
+    STATE_TABLE = "state"
+    METRICS_TABLE = "superstep_metrics"
 
     def __init__(self, root: str, job: str):
+        from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
         self.root = root
         self.job = job
-        os.makedirs(self._job_dir(), exist_ok=True)
-
-    def _job_dir(self) -> str:
-        return os.path.join(self.root, self.job)
-
-    def _state_path(self, iteration: int) -> str:
-        return os.path.join(self._job_dir(), f"state_iter={iteration:05d}")
-
-    def _manifest_path(self) -> str:
-        return os.path.join(self._job_dir(), "manifest.json")
-
-    def _metrics_path(self) -> str:
-        return os.path.join(self._job_dir(), "superstep_metrics")
+        self.catalog = SnapshotCatalog(os.path.join(root, job))
+        # staged-but-uncommitted state snapshot dirs, readable pre-commit
+        self._staged_iters: dict[int, int] = {}
 
     # -- state snapshots ---------------------------------------------------
 
-    def write_state(self, df: DataFrame, iteration: int) -> str:
-        path = self._state_path(iteration)
-        df.write.mode("overwrite").parquet(path)
-        return path
+    def write_state(self, df: DataFrame, iteration: int) -> int:
+        """Stage iteration state; returns the catalog snapshot id that
+        ``commit`` will publish (recorded in the metrics rows)."""
+        snap = self.catalog.stage(
+            self.STATE_TABLE, df, "overwrite_partition", {"iteration": iteration}
+        )
+        self._staged_iters[iteration] = snap
+        return snap
 
     def read_state(self, spark: SparkSession, iteration: int) -> DataFrame:
-        return spark.read.parquet(self._state_path(iteration))
+        snap = self._staged_iters.get(iteration)
+        if snap is not None:  # staged this session (possibly committed since)
+            return spark.read.parquet(self.catalog._snap_dir(self.STATE_TABLE, snap))
+        return self.catalog.read_partition(spark, self.STATE_TABLE, {"iteration": iteration})
 
-    # -- manifest ----------------------------------------------------------
+    def commit(self, iteration: int, info: dict) -> None:
+        """Atomic commit point: publish the staged state snapshot with the
+        iteration summary."""
+        self.catalog.commit_staged(self.STATE_TABLE, summary=info)
+
+    # -- manifest-shaped views over catalog metadata -----------------------
+
+    def _committed_parts(self) -> dict[int, dict]:
+        return {
+            int(s["partition"]["iteration"]): s
+            for s in self.catalog.partitions(self.STATE_TABLE)
+        }
 
     def manifest(self) -> dict:
-        try:
-            with open(self._manifest_path()) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return {"job": self.job, "committed_iteration": -1, "iterations": {}}
+        parts = self._committed_parts()
+        return {
+            "job": self.job,
+            "committed_iteration": max(parts, default=-1),
+            "iterations": {str(i): s.get("summary", {}) for i, s in parts.items()},
+            "job_info": self.job_info(),
+        }
 
     def committed_info(self, iteration: int) -> dict | None:
-        return self.manifest()["iterations"].get(str(iteration))
+        snap = self._committed_parts().get(iteration)
+        return None if snap is None else snap.get("summary", {})
+
+    def last_committed(self) -> int:
+        return max(self._committed_parts(), default=-1)
+
+    def rollback_to_iteration(self, iteration: int) -> None:
+        """Move the state table's pointer back so ``iteration`` is the last
+        committed superstep (catalog history kept) — the supported way to
+        simulate/repair a partial run."""
+        snap = self.catalog.partition_snapshot(self.STATE_TABLE, {"iteration": iteration})
+        if snap is None:
+            raise ValueError(f"iteration {iteration} has no committed snapshot")
+        self.catalog.rollback(self.STATE_TABLE, snap)
+        self._staged_iters = {i: s for i, s in self._staged_iters.items() if s <= snap}
 
     # -- job-level metadata (input fingerprint for resume safety) ----------
 
     def job_info(self) -> dict:
-        return self.manifest().get("job_info", {})
+        return self.catalog.properties(self.STATE_TABLE).get("job_info", {})
 
     def set_job_info(self, info: dict) -> None:
-        man = self.manifest()
-        man["job_info"] = info
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(man, fh, indent=1)
-        os.replace(tmp, self._manifest_path())
-
-    def commit(self, iteration: int, info: dict) -> None:
-        man = self.manifest()
-        man["committed_iteration"] = iteration
-        man["iterations"][str(iteration)] = info
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(man, fh, indent=1)
-        os.replace(tmp, self._manifest_path())  # atomic commit point
-
-    def last_committed(self) -> int:
-        return int(self.manifest()["committed_iteration"])
+        self.catalog.set_property(self.STATE_TABLE, "job_info", info)
 
     # -- metrics -----------------------------------------------------------
 
     def append_metrics(self, metrics_df: DataFrame, iteration: int) -> None:
-        metrics_df.write.mode("overwrite").parquet(
-            os.path.join(self._metrics_path(), f"iter={iteration:05d}")
+        self.catalog.overwrite_partition(
+            self.METRICS_TABLE, metrics_df, {"iteration": iteration}
         )
 
     def read_metrics(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("recursiveFileLookup", "true").parquet(self._metrics_path())
+        return self.catalog.read(spark, self.METRICS_TABLE)
 
     def clear(self) -> None:
-        shutil.rmtree(self._job_dir(), ignore_errors=True)
-        os.makedirs(self._job_dir(), exist_ok=True)
+        shutil.rmtree(self.catalog.root, ignore_errors=True)
+        os.makedirs(self.catalog.root, exist_ok=True)
+        self._staged_iters = {}
 
+
+#: Diagnostic hook: when set, called as ``PLAN_PROBE(iteration, new_state)``
+#: right after ``step()`` builds the superstep's frame (before checkpoint/
+#: truncation) — scripts/explain_audit.py uses it to capture one executed
+#: superstep plan per kernel for PLANS.md.  Never set in production paths.
+PLAN_PROBE = None
 
 _reset_stats_failures = 0
 
@@ -324,6 +365,8 @@ def _run_loop(
     for i in range(start_iteration, max_iterations):
         t0 = time.perf_counter()
         new_state, agg_exprs = step(current, i, prev_aggs)
+        if PLAN_PROBE is not None:
+            PLAN_PROBE(i, new_state)
         if store is not None:
             snapshot = store.write_state(new_state, i)
             new_state = store.read_state(spark, i)  # lineage reset from storage

@@ -3,10 +3,11 @@
 Production deployments of this engine put every table (``docs``,
 ``edges``, ``ranks``, ``superstep_metrics``) in an Iceberg catalog:
 atomic snapshot commits, time travel to any superstep, hidden
-partitioning, and ``overwritePartitions`` for idempotent re-runs.  This
-sandbox ships no Iceberg runtime jar, so ``SnapshotCatalog`` provides the
-same *commit semantics* over parquet directories behind one small API —
-the call sites would swap to ``df.writeTo("catalog.db.tbl")`` verbatim.
+partitioning, ``overwritePartitions`` for idempotent re-runs, and
+table properties.  This sandbox ships no Iceberg runtime jar, so
+``SnapshotCatalog`` provides the same *commit semantics* over parquet
+directories behind one small API — the call sites would swap to
+``df.writeTo("catalog.db.tbl")`` verbatim.
 
 Layout:  <root>/<table>/snap=<n>/  (parquet)
          <root>/<table>/_meta.json (current snapshot pointer + history)
@@ -15,21 +16,45 @@ Commit protocol: write the new snapshot directory first, then atomically
 swap the pointer (``os.replace``).  Readers always resolve the pointer,
 so a crashed writer never exposes a partial snapshot — the same
 correctness contract as an Iceberg metadata swap.
+
+Snapshot operations (mirroring Iceberg's):
+
+- ``replace``   — the snapshot is the table's entire content,
+- ``append``    — the snapshot adds files; readers union the chain,
+- ``overwrite_partition`` — the snapshot replaces one logical partition
+  (e.g. ``{"iteration": 7}``); readers take, per partition key, the
+  NEWEST snapshot that wrote it.  Re-running the same partition write is
+  idempotent — exactly ``overwritePartitions`` keyed by iteration, the
+  superstep checkpoint shape (BASELINE.json north_star).
+
+Two-phase writes: ``stage()`` writes the data files without moving the
+pointer; ``commit_staged()`` performs the atomic swap (optionally with a
+summary dict — Iceberg's snapshot summary).  A crash between the two
+leaves an orphan directory that the retried iteration simply overwrites.
+``rollback()`` moves the pointer back to an earlier snapshot without
+deleting history (Iceberg ``rollback_to_snapshot``).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _part_key(partition: dict) -> str:
+    return json.dumps(partition, sort_keys=True)
 
 
 class SnapshotCatalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # one outstanding staged snapshot per table (single-writer driver)
+        self._staged: dict[str, dict] = {}
 
     # -- metadata ------------------------------------------------------------
 
@@ -41,9 +66,10 @@ class SnapshotCatalog:
             with open(self._meta_path(table)) as fh:
                 return json.load(fh)
         except FileNotFoundError:
-            return {"table": table, "current": -1, "snapshots": []}
+            return {"table": table, "current": -1, "snapshots": [], "properties": {}}
 
     def _commit(self, table: str, meta: dict) -> None:
+        os.makedirs(os.path.join(self.root, table), exist_ok=True)
         tmp = self._meta_path(table) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(meta, fh, indent=1)
@@ -52,20 +78,52 @@ class SnapshotCatalog:
     def _snap_dir(self, table: str, snap: int) -> str:
         return os.path.join(self.root, table, f"snap={snap:06d}")
 
-    # -- public API ----------------------------------------------------------
+    def _next_snap_id(self, meta: dict) -> int:
+        # max over history (not current+1): rollback moves `current` back
+        # but already-used ids must never be reassigned
+        return max((s["id"] for s in meta["snapshots"]), default=-1) + 1
+
+    # -- two-phase write ----------------------------------------------------
+
+    def stage(
+        self, table: str, df: DataFrame, op: str, partition: dict | None = None
+    ) -> int:
+        """Write a snapshot's data files WITHOUT committing the pointer.
+        Returns the snapshot id the subsequent ``commit_staged`` will
+        publish.  A crashed (never-committed) stage leaves an orphan
+        directory with the same id, which the retry overwrites."""
+        meta = self._meta(table)
+        snap = self._next_snap_id(meta)
+        df.write.mode("overwrite").parquet(self._snap_dir(table, snap))
+        self._staged[table] = {"id": snap, "op": op, "partition": partition}
+        return snap
+
+    def commit_staged(self, table: str, summary: dict | None = None) -> int:
+        """Atomically publish the staged snapshot (Iceberg metadata swap)."""
+        st = self._staged.pop(table)
+        meta = self._meta(table)
+        entry = {
+            "id": st["id"],
+            "ts": time.time(),
+            "op": st["op"],
+            "parent": meta["current"],
+        }
+        if st["partition"] is not None:
+            entry["partition"] = st["partition"]
+        if summary is not None:
+            entry["summary"] = summary
+        meta["snapshots"].append(entry)
+        meta["current"] = st["id"]
+        self._commit(table, meta)
+        return st["id"]
+
+    # -- public write API ----------------------------------------------------
 
     def create_or_replace(self, table: str, df: DataFrame) -> int:
         """``writeTo(...).createOrReplace()`` analog: new snapshot becomes
         the table's entire content."""
-        meta = self._meta(table)
-        snap = meta["current"] + 1
-        df.write.mode("overwrite").parquet(self._snap_dir(table, snap))
-        meta["snapshots"].append(
-            {"id": snap, "ts": time.time(), "op": "replace", "parent": meta["current"]}
-        )
-        meta["current"] = snap
-        self._commit(table, meta)
-        return snap
+        self.stage(table, df, "replace")
+        return self.commit_staged(table)
 
     def append(self, table: str, df: DataFrame) -> int:
         """``writeTo(...).append()`` analog: one atomic snapshot per batch
@@ -73,29 +131,41 @@ class SnapshotCatalog:
         SURVEY.md §2.1 K2).  Implemented as copy-on-advance: the new
         snapshot dir holds only the appended files; readers union the
         snapshot chain."""
+        self.stage(table, df, "append")
+        return self.commit_staged(table)
+
+    def overwrite_partition(
+        self, table: str, df: DataFrame, partition: dict, summary: dict | None = None
+    ) -> int:
+        """``writeTo(...).overwritePartitions()`` analog, one logical
+        partition per commit: re-running the same write is idempotent
+        (readers resolve newest-per-partition)."""
+        self.stage(table, df, "overwrite_partition", partition)
+        return self.commit_staged(table, summary)
+
+    def rollback(self, table: str, snapshot: int) -> None:
+        """Move the current pointer back to ``snapshot`` (history kept)."""
         meta = self._meta(table)
-        snap = meta["current"] + 1
-        df.write.mode("overwrite").parquet(self._snap_dir(table, snap))
-        meta["snapshots"].append(
-            {"id": snap, "ts": time.time(), "op": "append", "parent": meta["current"]}
-        )
-        meta["current"] = snap
+        if snapshot not in {s["id"] for s in meta["snapshots"]}:
+            raise ValueError(f"unknown snapshot id {snapshot} for table {table!r}")
+        meta["current"] = snapshot
         self._commit(table, meta)
-        return snap
 
-    def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
-        """Read the table at its current (or a time-travel) snapshot."""
+    # -- table properties (Iceberg table properties analog) ------------------
+
+    def properties(self, table: str) -> dict:
+        return dict(self._meta(table).get("properties", {}))
+
+    def set_property(self, table: str, key: str, value) -> None:
         meta = self._meta(table)
-        target = meta["current"] if snapshot is None else snapshot
-        if target < 0:
-            raise FileNotFoundError(f"table {table} has no committed snapshot")
-        chain = self._chain(meta, target)
-        paths = [self._snap_dir(table, s) for s in chain]
-        return spark.read.parquet(*paths)
+        meta.setdefault("properties", {})[key] = value
+        self._commit(table, meta)
 
-    def _chain(self, meta: dict, target: int) -> list[int]:
-        """Snapshot ids contributing to ``target``: walk parents until the
-        newest 'replace' (which resets the chain)."""
+    # -- reads ----------------------------------------------------------------
+
+    def _lineage(self, meta: dict, target: int) -> list[dict]:
+        """Snapshot entries contributing to ``target``, oldest first:
+        walk parents until (and including) the newest 'replace'."""
         by_id = {s["id"]: s for s in meta["snapshots"]}
         if target not in by_id:
             known = sorted(by_id)
@@ -103,18 +173,91 @@ class SnapshotCatalog:
                 f"unknown snapshot id {target} for table {meta['table']!r}; "
                 f"known snapshots: {known}"
             )
-        chain: list[int] = []
+        lineage: list[dict] = []
         cur: int | None = target
         while cur is not None and cur >= 0:
             snap = by_id[cur]
-            chain.append(cur)
+            lineage.append(snap)
             if snap["op"] == "replace":
                 break
             cur = snap["parent"]
-        return sorted(chain)
+        lineage.reverse()
+        return lineage
+
+    def _resolve_snap_ids(self, meta: dict, target: int) -> list[int]:
+        """Data-contributing snapshot ids as of ``target``: every
+        append/replace in the lineage, plus the newest writer of each
+        logical partition."""
+        newest_per_part: dict[str, int] = {}
+        ids: list[int] = []
+        for s in self._lineage(meta, target):
+            if s["op"] == "overwrite_partition":
+                newest_per_part[_part_key(s["partition"])] = s["id"]
+            else:
+                ids.append(s["id"])
+        ids.extend(newest_per_part.values())
+        return sorted(ids)
+
+    def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
+        """Read the table at its current (or a time-travel) snapshot."""
+        meta = self._meta(table)
+        target = meta["current"] if snapshot is None else snapshot
+        if target < 0:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        paths = [self._snap_dir(table, s) for s in self._resolve_snap_ids(meta, target)]
+        return spark.read.parquet(*paths)
+
+    def read_partition(
+        self,
+        spark: SparkSession,
+        table: str,
+        partition: dict,
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Read one logical partition at the newest snapshot that wrote it
+        (as of ``snapshot``, default current) — partition-pruned: only
+        that snapshot's files are scanned."""
+        snap = self.partition_snapshot(table, partition, snapshot)
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {table} has no committed snapshot for partition {partition}"
+            )
+        return spark.read.parquet(self._snap_dir(table, snap))
+
+    def partition_snapshot(
+        self, table: str, partition: dict, snapshot: int | None = None
+    ) -> int | None:
+        """Snapshot id of the newest committed writer of ``partition``
+        as of ``snapshot`` (default current); None if never written."""
+        meta = self._meta(table)
+        target = meta["current"] if snapshot is None else snapshot
+        if target < 0:
+            return None
+        want = _part_key(partition)
+        for s in reversed(self._lineage(meta, target)):
+            if s["op"] == "overwrite_partition" and _part_key(s["partition"]) == want:
+                return s["id"]
+        return None
+
+    def partitions(self, table: str, snapshot: int | None = None) -> list[dict]:
+        """Logical partitions present as of ``snapshot`` (default current),
+        each with its newest snapshot entry."""
+        meta = self._meta(table)
+        target = meta["current"] if snapshot is None else snapshot
+        if target < 0:
+            return []
+        newest: dict[str, dict] = {}
+        for s in self._lineage(meta, target):
+            if s["op"] == "overwrite_partition":
+                newest[_part_key(s["partition"])] = s
+        return list(newest.values())
 
     def snapshots(self, table: str) -> list[dict]:
         return list(self._meta(table)["snapshots"])
 
     def current_snapshot(self, table: str) -> int:
         return int(self._meta(table)["current"])
+
+    def drop_table(self, table: str) -> None:
+        shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)
+        self._staged.pop(table, None)

@@ -67,12 +67,19 @@ def main() -> None:
     except OSError:
         pass
 
+    import statistics
+    from collections import defaultdict
+
+    trial_times: dict[str, list[float]] = defaultdict(list)
+
     def timed(name: str, fn):
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"bench: {name} done in {timings[name]}s", file=sys.stderr, flush=True)
+        elapsed = round(time.perf_counter() - t0, 3)
+        trial_times[name].append(elapsed)
+        timings[name] = round(statistics.median(trial_times[name]), 3)
+        print(f"bench: {name} done in {elapsed}s", file=sys.stderr, flush=True)
         return out
 
     # -- extraction ---------------------------------------------------------
@@ -89,31 +96,79 @@ def main() -> None:
     # query in any long-lived deployment pays exactly once)
     edges_from_docs(bench_docs).count()
 
-    def run_extract():
-        return edges_from_docs(bench_docs).count()
+    # -- interleaved short workloads (median of BENCH_TRIALS rounds) --------
+    # bench noise control (VERDICT r2 #9): this sandbox's wall-clock swings
+    # 2-3x over minutes, so short queries run in interleaved rounds and the
+    # reported number is the per-query MEDIAN; per-trial spreads go to
+    # extras.  Workload definitions are byte-frozen vs r2 — each keeps the
+    # same shuffle-partitions setting it ran with there (extraction at the
+    # session default, kernels/dedup at max(8, CPUS // 4)).
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    kernel_parts = str(max(8, CPUS // 4))
+    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
-    extras["extract_edges_rows"] = timed("extract_edges", run_extract)
-    extras["extract_docs_per_sec"] = round(n_docs / timings["extract_edges"], 1)
-
-    # -- graph kernels ------------------------------------------------------
-    # iterative kernels at this |E| are overhead-bound: fewer, fuller
-    # shuffle partitions (at 100 TB you size this to cluster cores x 2-3)
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, CPUS // 4)))
     edges = bipartite_edges(spark, SF_DIR).cache()
     n_edges = edges.count()
     extras["graph_edges"] = n_edges
+    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cos = cosupply_edges(spark, SF_DIR)
+
+    def run_extract():
+        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+        extras["extract_edges_rows"] = edges_from_docs(bench_docs).count()
 
     def run_pagerank():
-        return pagerank(
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        pr = pagerank(
             spark, edges, tolerance=None, max_iterations=PR_ITERS,
             salt_buckets=16, hot_degree_threshold=1024,
         )
+        extras["pagerank_vertices"] = pr.num_vertices
+        sec = sum(pr.report.wall_ms) / 1000.0 / max(pr.report.iterations, 1)
+        extras.setdefault("pagerank_superstep_sec_trials", []).append(round(sec, 3))
 
-    pr = timed("pagerank", run_pagerank)
-    extras["pagerank_vertices"] = pr.num_vertices
-    superstep_sec = sum(pr.report.wall_ms) / 1000.0 / max(pr.report.iterations, 1)
+    def run_cc():
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        extras["cc_iterations"] = connected_components(spark, edges).report.iterations
+
+    def run_triangles():
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        extras["triangle_rows"] = triangle_counts(spark, cos).count()
+
+    def run_minhash():
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        sigs = minhash_signatures(docs_tbl, "doc_id", "text", num_hashes=8)
+        extras["lsh_pairs"] = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).count()
+
+    def run_topk():
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        extras["topk_rows"] = brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 50), k=5
+        ).count()
+
+    short_workloads = [
+        ("extract_edges", run_extract),
+        ("pagerank", run_pagerank),
+        ("connected_comp", run_cc),
+        ("triangles", run_triangles),
+        ("minhash_lsh", run_minhash),
+        ("embed_topk", run_topk),
+    ]
+    for _round in range(trials):
+        for name, fn in short_workloads:
+            timed(name, fn)
+    extras["extract_docs_per_sec"] = round(n_docs / timings["extract_edges"], 1)
+    import statistics
+
+    pr_trials = extras.pop("pagerank_superstep_sec_trials")
+    superstep_sec = statistics.median(pr_trials)
     extras["pagerank_superstep_sec"] = round(superstep_sec, 3)
+    extras["pagerank_superstep_sec_trials"] = pr_trials
     extras["pagerank_edges_per_sec_per_superstep"] = round(n_edges / superstep_sec, 1)
+
+    # -- long workloads (single run: 80+ supersteps self-average) -----------
+    spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
 
     def run_pagerank_conv():
         return pagerank(spark, edges, tolerance=1e-8, max_iterations=120)
@@ -122,33 +177,7 @@ def main() -> None:
     extras["pagerank_conv_iterations"] = prc.report.iterations
     extras["pagerank_conv_converged"] = prc.report.converged
 
-    def run_cc():
-        return connected_components(spark, edges).report.iterations
-
-    extras["cc_iterations"] = timed("connected_comp", run_cc)
-
-    cos = cosupply_edges(spark, SF_DIR)
-    extras["triangle_rows"] = timed(
-        "triangles", lambda: triangle_counts(spark, cos).count()
-    )
-
-    # -- training-data ops --------------------------------------------------
-    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    def run_minhash():
-        sigs = minhash_signatures(docs_tbl, "doc_id", "text", num_hashes=8)
-        return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).count()
-
-    extras["lsh_pairs"] = timed("minhash_lsh", run_minhash)
-
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    extras["topk_rows"] = timed(
-        "embed_topk",
-        lambda: brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=5).count(),
-    )
-
     # -- at-scale PageRank throughput (BASELINE.md's 40M-edge zipf input) ----
-    import statistics
-
     from arxiv_citation_graph_spark.datagen import synthetic_edges
 
     zipf_edges = int(os.environ.get("SPARK_GRAFT_BENCH_ZIPF_EDGES", "40000000"))
@@ -179,6 +208,13 @@ def main() -> None:
         "added pagerank_zipf (40M-edge at-scale headline); extract_edges now "
         "timed after an untimed Python-worker warmup (was cold-start in r1)"
     )
+    extras["workload_changes_r3"] = (
+        "short queries now run SPARK_GRAFT_BENCH_TRIALS=3 interleaved rounds; "
+        "reported number is the per-query median (per-trial spreads in "
+        "*_trials) — workload definitions themselves byte-frozen vs r2"
+    )
+    extras["trials"] = trials
+    extras["trial_times"] = {k: v for k, v in trial_times.items() if len(v) > 1}
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

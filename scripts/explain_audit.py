@@ -166,6 +166,98 @@ def main() -> None:
         )
     )
 
+    # -- iterative-kernel superstep plans (VERDICT r2 #10) -------------------
+    # capture ONE steady-state superstep plan per kernel via the runtime's
+    # PLAN_PROBE hook; the claim under audit is "one |E|-sized join per
+    # superstep" (HITS: per half-step) with the state-side joins |V|-sized,
+    # annotated with the plan's Exchange count.
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+    from arxiv_citation_graph_spark.plans import superstep as ss_mod
+
+    def capture_superstep(run_fn, want_iter: int = 1) -> str:
+        captured: dict[str, str] = {}
+
+        def probe(i, df):
+            if i == want_iter and "plan" not in captured:
+                captured["plan"] = df._jdf.queryExecution().executedPlan().toString()
+
+        ss_mod.PLAN_PROBE = probe
+        try:
+            run_fn()
+        finally:
+            ss_mod.PLAN_PROBE = None
+        return captured.get("plan", "(probe iteration not reached)")
+
+    def exchange_count(plan: str) -> str:
+        n = sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange" in line and "ReusedExchange" not in line
+        )
+        r = sum(1 for line in plan.splitlines() if "ReusedExchange" in line)
+        return f"{n} Exchange(s), {r} ReusedExchange(s)"
+
+    tedges = toy_edges_df(spark, "resume").cache()
+    tedges.count()
+
+    from arxiv_citation_graph_spark.plans.hits import hits
+
+    plan = capture_superstep(lambda: hits(spark, tedges, iterations=2))
+    sections.append(
+        (
+            "HITS superstep (iteration 1 = auth half-step)",
+            "One |E| join of the half-step's cached adjacency copy against "
+            "the |V|-sized score frame, salted aggregation, one |V| state "
+            "merge — the forward/reverse adjacency copies are each "
+            "partitioned on their half-step's key so the edge list is never "
+            f"re-exchanged.  [{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.kcore import kcore
+
+    plan = capture_superstep(lambda: kcore(spark, tedges, 2, max_iterations=3))
+    sections.append(
+        (
+            "k-core peel round (iteration 1)",
+            "Survivor semi-join (|E| vs current-core vertex set) + degree "
+            "re-aggregation; the |E|-sized adjacency is cached and the "
+            f"exchanged frames are |V|-sized.  [{exchange_count(plan)}]",
+            condense(plan, KEEP + ("LeftSemi",)),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.bfs import bfs_distances
+
+    plan = capture_superstep(lambda: bfs_distances(spark, tedges, max_iterations=3))
+    sections.append(
+        (
+            "BFS superstep (iteration 1, frontier-delta)",
+            "The adjacency joins only state.filter(delta > 0) — the frontier "
+            "— not every reached vertex (round-3 upgrade); one min-aggregate "
+            "with map-side partials, one |V| distance merge.  "
+            f"[{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.walks import random_walks
+
+    plan = capture_superstep(lambda: random_walks(spark, tedges, length=2))
+    sections.append(
+        (
+            "Random-walk superstep (iteration 1)",
+            "One |W|-frame join onto the cached adjacency (fan-out = "
+            "deg(cur) per walk), min-aggregate with map-side partial "
+            "combine picks the keyed-md5 argmin, one |W| state merge.  "
+            f"[{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
+    tedges.unpersist()
+
     import tempfile
 
     from arxiv_citation_graph_spark.sources.bucketed import read_bucketed, write_bucketed

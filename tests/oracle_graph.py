@@ -266,3 +266,50 @@ def pagerank_weighted_dense(
             break
         rank = new
     return dict(zip(verts, rank))
+
+
+def node2vec_det(
+    edges: list[tuple[str, str]],
+    length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    starts: list[str] | None = None,
+) -> dict[str, str]:
+    """node2vec-biased deterministic walks: at step k walk w takes
+    argmin over out-neighbors x of (h+1)*scale where
+    h = int(md5(f"{w}:{k}:{x}")[:15], 16) and scale is p for the return
+    candidate (x == prev), 1 for a neighbor of prev, q otherwise (first
+    hop: scale 1).  IEEE double multiply — must match
+    ``plans/walks.node2vec_walks`` exactly."""
+    import hashlib
+
+    nbrs = defaultdict(set)
+    for s, d in set(edges):
+        nbrs[s].add(d)
+    if starts is None:
+        starts = sorted(nbrs)
+    paths = {}
+    for w in sorted(set(starts)):
+        cur, prev, path = w, None, [w]
+        for k in range(1, length + 1):
+            out = nbrs.get(cur)
+            if not out:
+                continue
+
+            def score(x):
+                h = int(hashlib.md5(f"{w}:{k}:{x}".encode()).hexdigest()[:15], 16)
+                if prev is None:
+                    scale = 1.0
+                elif x == prev:
+                    scale = float(p)
+                elif x in nbrs.get(prev, ()):
+                    scale = 1.0
+                else:
+                    scale = float(q)
+                return (float(h + 1) * scale, x)
+
+            nxt = min(out, key=score)
+            path.append(nxt)
+            prev, cur = cur, nxt
+        paths[w] = "->".join(path)
+    return paths

@@ -372,3 +372,133 @@ def test_hits_resume_refuses_different_edge_set(spark, tmp_path):
     hits(spark, e1, iterations=1, tolerance=None, store=store)
     with pytest.raises(ValueError, match="signature"):
         hits(spark, e2, iterations=2, tolerance=None, store=store, resume=True)
+
+
+# -------------------------------------------------------- node2vec walks
+
+
+def test_node2vec_matches_oracle(spark):
+    from arxiv_citation_graph_spark.plans.walks import node2vec_walks
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("c", "d"),
+        ("d", "b"), ("d", "e"), ("e", "a"), ("a", "d"), ("b", "e"),
+    ]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    for p, q in ((1.0, 1.0), (4.0, 0.25), (0.25, 4.0)):
+        expected = oracle_graph.node2vec_det(edges, length=6, p=p, q=q)
+        got = {
+            r.walk_id: r.path
+            for r in node2vec_walks(spark, df, length=6, p=p, q=q).walks.collect()
+        }
+        assert got == expected, (p, q)
+
+
+def test_node2vec_bias_changes_walks(spark):
+    """Different (p, q) must actually change at least one path on a graph
+    with return/in-out choices (guards against the scale column being
+    dropped from the race)."""
+    from arxiv_citation_graph_spark.plans.walks import node2vec_walks
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"),
+        ("a", "c"), ("c", "d"), ("d", "c"), ("d", "a"),
+    ]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"]).cache()
+    base = {r.walk_id: r.path for r in node2vec_walks(spark, df, 8).walks.collect()}
+    ret = {
+        r.walk_id: r.path
+        for r in node2vec_walks(spark, df, 8, p=0.01, q=100.0).walks.collect()
+    }
+    assert base != ret
+
+
+def test_node2vec_rejects_bad_params(spark):
+    from arxiv_citation_graph_spark.plans.walks import node2vec_walks
+
+    df = spark.createDataFrame([("a", "b")], ["src_id", "dst_id"])
+    with pytest.raises(ValueError):
+        node2vec_walks(spark, df, 3, p=0.0)
+    with pytest.raises(ValueError):
+        node2vec_walks(spark, df, 3, q=-1.0)
+    with pytest.raises(ValueError):
+        node2vec_walks(spark, df, 0)
+
+
+def test_node2vec_resume_identical(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+    from arxiv_citation_graph_spark.plans.walks import node2vec_walks
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"), ("a", "d")
+    ]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"]).cache()
+    full = {
+        r.walk_id: r.path
+        for r in node2vec_walks(spark, df, 6, p=2.0, q=0.5).walks.collect()
+    }
+    store = CheckpointStore(str(tmp_path / "n2v"), "n2v")
+    node2vec_walks(spark, df, 3, p=2.0, q=0.5, store=store)
+    # resume with a longer length would be a changed input -> refused
+    with pytest.raises(ValueError, match="signature"):
+        node2vec_walks(spark, df, 6, p=2.0, q=0.5, store=store, resume=True)
+    store2 = CheckpointStore(str(tmp_path / "n2v6"), "n2v6")
+    node2vec_walks(spark, df, 6, p=2.0, q=0.5, store=store2)
+    store2.rollback_to_iteration(2)
+    resumed = node2vec_walks(spark, df, 6, p=2.0, q=0.5, store=store2, resume=True)
+    got = {r.walk_id: r.path for r in resumed.walks.collect()}
+    assert got == full
+
+
+# -------------------------------------------------------- frontier BFS
+
+
+def test_bfs_frontier_equals_dense_on_path(spark):
+    """Frontier-delta BFS (default) must produce identical distances to
+    the dense-join variant on a high-diameter path graph."""
+    from arxiv_citation_graph_spark.plans.bfs import bfs_distances
+
+    chain = [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(40)]
+    df = spark.createDataFrame(chain, ["src_id", "dst_id"]).cache()
+    frontier = bfs_distances(spark, df, max_iterations=60)
+    dense = bfs_distances(spark, df, max_iterations=60, frontier=False)
+    f = {r.vertex: r.dist for r in frontier.distances.collect()}
+    d = {r.vertex: r.dist for r in dense.distances.collect()}
+    expected = oracle_graph.bfs_dist(chain)
+    assert f == d == expected
+
+
+# -------------------------------------------------------- cocitation cosine
+
+
+def test_cocitation_cosine_values(spark):
+    from arxiv_citation_graph_spark.plans.cocite import cocitation_cosine
+
+    edges = [
+        ("p1", "a"), ("p1", "b"), ("p2", "a"), ("p2", "b"), ("p3", "a"), ("p3", "c"),
+    ]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    rows = {
+        (r.a, r.b): (r.pair_count, r.cosine)
+        for r in cocitation_cosine(df, min_count=1, hub_cap=None).collect()
+    }
+    # cocite(a,b)=2, cites(a)=3, cites(b)=2 -> 2/sqrt(6)
+    assert rows[("a", "b")][0] == 2
+    assert math.isclose(rows[("a", "b")][1], 2.0 / math.sqrt(6.0), rel_tol=0, abs_tol=1e-15)
+    # cocite(a,c)=1, cites(c)=1 -> 1/sqrt(3)
+    assert math.isclose(rows[("a", "c")][1], 1.0 / math.sqrt(3.0), rel_tol=0, abs_tol=1e-15)
+
+
+def test_pair_counts_releases_edge_cache(spark):
+    """VERDICT r2 #7: the |E|-sized distinct cache must not outlive the
+    pair-count call (materialize-and-release; no CacheManager entry)."""
+    from arxiv_citation_graph_spark.plans.cocite import cocitation_pairs
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(f"p{i}", f"w{j}") for i in range(20) for j in range(i % 5 + 1)],
+        ["src_id", "dst_id"],
+    )
+    result = cocitation_pairs(df, min_count=1)
+    assert result.count() > 0  # already materialized; count is cheap
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

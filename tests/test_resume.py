@@ -103,24 +103,18 @@ def test_hits_resume_identical(spark, tmp_path):
 
     from arxiv_citation_graph_spark.plans.hits import hits
 
-    import json as _json
-    import os as _os
-
     edges = toy_edges_df(spark, "resume").cache()
     full_run = hits(spark, edges, iterations=6)
     full = {r.vertex: (r.hub, r.auth) for r in full_run.scores.collect()}
 
-    # durable run, then simulate a kill mid-iteration by truncating the
-    # manifest to superstep 4 (2.5 full iterations): the resume picks up
+    # durable run, then simulate a kill mid-iteration by rolling the state
+    # table back to superstep 4 (2.5 full iterations): the resume picks up
     # an odd (hub-refresh) step whose auth-side norm must come from the
-    # manifest's carried aggregate row
+    # committed snapshot's carried aggregate summary
     killed = CheckpointStore(str(tmp_path / "ckpt_h"), "hits_killed")
     hits(spark, edges, iterations=6, store=killed)
-    man = killed.manifest()
-    man["committed_iteration"] = 4
-    man["iterations"] = {k: v for k, v in man["iterations"].items() if int(k) <= 4}
-    with open(_os.path.join(str(tmp_path / "ckpt_h"), "hits_killed", "manifest.json"), "w") as fh:
-        _json.dump(man, fh)
+    killed.rollback_to_iteration(4)
+    assert killed.last_committed() == 4
     resumed = hits(spark, edges, iterations=6, store=killed, resume=True)
     got = {r.vertex: (r.hub, r.auth) for r in resumed.scores.collect()}
     assert set(got) == set(full)
@@ -161,3 +155,86 @@ def test_bfs_resume_identical(spark, tmp_path):
     resumed = bfs_distances(spark, edges, store=store, resume=True)
     got = {r.vertex: r.dist for r in resumed.distances.collect()}
     assert got == expected
+
+
+def test_state_snapshot_ids_in_metrics_and_time_travel(spark, tmp_path):
+    """Unified commit protocol (VERDICT r2 #2): superstep state and
+    metrics go through the SnapshotCatalog; each metrics row records the
+    state table's catalog snapshot id, any mid-run state is readable via
+    that id (time travel), and resume reads exactly the state the
+    metrics point at."""
+    edges = toy_edges_df(spark, "resume").cache()
+    store = CheckpointStore(str(tmp_path / "ckpt_uni"), "pr_uni")
+    pagerank(spark, edges, tolerance=None, max_iterations=4, store=store)
+
+    cat = store.catalog
+    metrics = store.read_metrics(spark).collect()
+    snap_by_iter = {m.iteration: m.snapshot for m in metrics}
+    assert set(snap_by_iter) == {0, 1, 2, 3}
+
+    # every iteration's metrics row points at a committed state snapshot
+    for i, snap in snap_by_iter.items():
+        assert cat.partition_snapshot("state", {"iteration": i}) == snap
+
+    # time travel: reading the state table AS OF iteration 1's snapshot
+    # sees only iterations 0..1
+    mid = snap_by_iter[1]
+    as_of = cat.read(spark, "state", snapshot=mid)
+    n_vertices = edges.selectExpr("src_id AS v").union(
+        edges.selectExpr("dst_id AS v")
+    ).distinct().count()
+    assert as_of.count() == 2 * n_vertices
+    # and the partition read at that snapshot equals what resume loads
+    via_snapshot = {
+        r.vertex: r.rank
+        for r in cat.read_partition(
+            spark, "state", {"iteration": 1}, snapshot=mid
+        ).collect()
+    }
+    via_resume = {
+        r.vertex: r.rank for r in store.read_state(spark, 1).collect()
+    }
+    assert via_snapshot == via_resume
+
+    # a resumed run continues from the state the metrics row points at
+    fresh_store = CheckpointStore(str(tmp_path / "ckpt_uni"), "pr_uni")
+    resumed = pagerank(
+        spark, edges, tolerance=None, max_iterations=8, store=fresh_store, resume=True
+    )
+    full = pagerank(spark, edges, tolerance=None, max_iterations=8)
+    want = {r.vertex: r.rank for r in full.ranks.collect()}
+    got = {r.vertex: r.rank for r in resumed.ranks.collect()}
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=0, abs_tol=1e-12), v
+
+
+def test_catalog_partition_ops(spark, tmp_path):
+    """overwrite_partition is idempotent (newest-per-partition wins) and
+    rollback moves the pointer without losing history."""
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    df1 = spark.createDataFrame([(1, "a")], ["k", "v"])
+    df2 = spark.createDataFrame([(2, "b")], ["k", "v"])
+    df2b = spark.createDataFrame([(2, "B")], ["k", "v"])
+
+    s0 = cat.overwrite_partition("t", df1, {"iteration": 0})
+    s1 = cat.overwrite_partition("t", df2, {"iteration": 1})
+    assert sorted(r.v for r in cat.read(spark, "t").collect()) == ["a", "b"]
+
+    # re-writing partition 1 supersedes, not duplicates
+    s1b = cat.overwrite_partition("t", df2b, {"iteration": 1}, summary={"retry": True})
+    assert sorted(r.v for r in cat.read(spark, "t").collect()) == ["B", "a"]
+    assert cat.partition_snapshot("t", {"iteration": 1}) == s1b
+    # time travel still sees the pre-retry value
+    assert sorted(r.v for r in cat.read(spark, "t", snapshot=s1).collect()) == ["a", "b"]
+
+    # rollback: pointer moves back, history intact, new ids keep growing
+    cat.rollback("t", s1)
+    assert cat.partition_snapshot("t", {"iteration": 1}) == s1
+    s2 = cat.overwrite_partition("t", df2b, {"iteration": 2})
+    assert s2 > s1b
+    assert sorted(r.v for r in cat.read(spark, "t").collect()) == ["B", "a", "b"]
+    assert cat.properties("t") == {}
+    cat.set_property("t", "job_info", {"sig": 1})
+    assert cat.properties("t")["job_info"] == {"sig": 1}
