@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
         if name == "bfs":
             p.add_argument("--source", default=None, help="default: lexicographic-min vertex")
             p.add_argument("--directed", action="store_true")
+            p.add_argument(
+                "--landmarks", type=int, default=None,
+                help="K: multi-source landmark distances instead of single-source",
+            )
         if name == "walks":
             p.add_argument("--length", type=int, default=8)
             p.add_argument("--undirected", action="store_true")
@@ -231,17 +235,29 @@ def main(argv: list[str] | None = None) -> int:
         catalog.create_or_replace("walks", wresult.walks)
         print(f"walks: {wresult.walks.count()} walks of length {args.length}")
     elif args.cmd == "bfs":
-        from arxiv_citation_graph_spark.plans.bfs import bfs_distances
+        from arxiv_citation_graph_spark.plans.bfs import bfs_distances, landmark_distances
 
-        bresult = bfs_distances(
-            spark, edges, source=args.source, directed=args.directed,
-            max_iterations=args.max_iterations, store=store, resume=args.resume,
-        )
-        catalog.create_or_replace("bfs_distances", bresult.distances)
-        print(
-            f"bfs from {bresult.source}: {bresult.distances.count()} reached, "
-            f"{bresult.report.iterations} supersteps"
-        )
+        if args.landmarks is not None:
+            lresult = landmark_distances(
+                spark, edges, n_landmarks=args.landmarks, directed=args.directed,
+                max_iterations=args.max_iterations, store=store, resume=args.resume,
+            )
+            catalog.create_or_replace("landmark_distances", lresult.distances)
+            print(
+                f"landmarks {lresult.landmarks}: "
+                f"{lresult.distances.count()} reached pairs, "
+                f"{lresult.report.iterations} supersteps"
+            )
+        else:
+            bresult = bfs_distances(
+                spark, edges, source=args.source, directed=args.directed,
+                max_iterations=args.max_iterations, store=store, resume=args.resume,
+            )
+            catalog.create_or_replace("bfs_distances", bresult.distances)
+            print(
+                f"bfs from {bresult.source}: {bresult.distances.count()} reached, "
+                f"{bresult.report.iterations} supersteps"
+            )
     return 0
 
 

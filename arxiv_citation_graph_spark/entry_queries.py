@@ -931,6 +931,47 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.distances.select("vertex", F.col("dist").cast("long").alias("dist"))
 
 
+def _landmarks_unrolled_sql(rounds: int, k: int) -> str:
+    """Unrolled multi-source BFS (plans/bfs.py::landmark_distances):
+    sparse (vertex, landmark, dist) relaxation from the k lexicographic-
+    min vertices of the symmetrized co-supply graph."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym UNION SELECT dst_id FROM sym)",
+        f"lms AS MATERIALIZED (SELECT vertex AS landmark FROM verts ORDER BY vertex LIMIT {k})",
+        "d0 AS MATERIALIZED (SELECT landmark AS vertex, landmark, 0 AS dist FROM lms)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT vertex, landmark, min(dist) AS dist FROM ("
+            f"SELECT vertex, landmark, dist FROM d{p} "
+            f"UNION ALL "
+            f"SELECT e.dst_id AS vertex, l.landmark, l.dist + 1 AS dist "
+            f"FROM sym e JOIN d{p} l ON e.src_id = l.vertex"
+            f") GROUP BY vertex, landmark)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, landmark, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
+    )
+
+
+@register("landmark_distances", _landmarks_unrolled_sql(rounds=8, k=3))
+def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source landmark BFS (plans/bfs.py::landmark_distances): one
+    shared frontier-delta superstep run for all 3 landmarks; sparse
+    reached-pair state."""
+    from arxiv_citation_graph_spark.plans.bfs import landmark_distances
+
+    result = landmark_distances(spark, cosupply_edges(spark, sf_dir), n_landmarks=3)
+    return result.distances.select(
+        "vertex", "landmark", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def _pair_counts_sql(shared: str, paired: str, min_count: int, hub_cap: int | None) -> str:
     """Oracle for plans/cocite.py: canonical (a<b) pair counts over the
     bipartite graph, with the hub-cap exclusion stated in SQL."""
@@ -2359,6 +2400,7 @@ _PRIORITY_FIRST = [
     "stateful_sessions",
     "node2vec_walks",
     "cocitation_cosine",
+    "landmark_distances",
     # green in r1 but dropped from the driver's r2 sample
     "exact_dedup",
     "minhash_signatures",

@@ -52,6 +52,13 @@ class BfsResult:
     source: str
 
 
+@dataclass
+class LandmarkResult:
+    distances: DataFrame  # (vertex, landmark, dist) — reached pairs only
+    report: SuperstepReport
+    landmarks: list[str]
+
+
 def bfs_distances(
     spark: SparkSession,
     edges: DataFrame,
@@ -149,3 +156,118 @@ def bfs_distances(
         adj.unpersist()
         vertices.unpersist()
     return BfsResult(out, report, source)
+
+
+def landmark_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: DataFrame | None = None,
+    n_landmarks: int = 4,
+    max_iterations: int = 200,
+    directed: bool = False,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_state: bool | None = None,
+) -> LandmarkResult:
+    """Multi-source BFS: hop distance from each of k landmark vertices —
+    the standard landmark/pivot distance embedding (distance features for
+    ML models, diameter lower bounds, closeness approximations).
+
+    One superstep runtime drives ALL landmarks at once: state is the
+    SPARSE set of reached ``(vertex, landmark, dist)`` pairs, and the
+    frontier-delta rule (rows improved last superstep) bounds the
+    adjacency join input to the union of the k frontiers, so k landmarks
+    cost one shared |frontier| join per superstep instead of k separate
+    BFS runs over the same graph.  State is at most |V| * k rows — pick
+    k accordingly (16-64 typical).
+
+    ``landmarks``: single-column (``vertex``) frame; default = the
+    ``n_landmarks`` lexicographically smallest vertices (deterministic).
+    Landmarks not in the graph raise.  Returns reached pairs only.
+    """
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "vertex string, landmark string, dist long")
+        return LandmarkResult(empty, SuperstepReport(0, True), [])
+    if landmarks is None:
+        lm_rows = vertices.orderBy("vertex").limit(n_landmarks).collect()
+        lms = [r.vertex for r in lm_rows]
+    else:
+        lm_set = landmarks.select("vertex").distinct()
+        missing = lm_set.join(vertices, "vertex", "anti").count()
+        if missing:
+            vertices.unpersist()
+            raise ValueError(f"{missing} landmark(s) are not vertices of the graph")
+        lms = [r.vertex for r in lm_set.collect()]
+    if not lms:
+        vertices.unpersist()
+        raise ValueError("empty landmark set")
+    adj = (edges.select("src_id", "dst_id") if directed else symmetrize(edges)).repartition(
+        spark.sparkContext.defaultParallelism, "src_id"
+    ).cache()
+    eagg = adj.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ).first()
+    m = int(eagg["m"])
+    edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
+
+    if broadcast_state is None:
+        broadcast_state = n * len(lms) <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        frontier = state.filter(F.col("delta") > 0).select("vertex", "landmark", "dist")
+        nbr = (
+            adj.join(_mb(frontier), adj.src_id == F.col("vertex"))
+            .groupBy(F.col("dst_id").alias("vertex"), "landmark")
+            .agg(F.min(F.col("dist") + F.lit(1)).alias("nbr_dist"))
+        )
+        old = state.select("vertex", "landmark", F.col("dist").alias("old_dist"))
+        new_dist = F.least(
+            F.coalesce(F.col("old_dist"), F.lit(UNREACHED)),
+            F.coalesce(F.col("nbr_dist"), F.lit(UNREACHED)),
+        )
+        # sparse state: the full-outer merge ADMITS newly reached pairs
+        new = old.join(nbr, ["vertex", "landmark"], "full_outer").select(
+            "vertex",
+            "landmark",
+            new_dist.cast("long").alias("dist"),
+            (new_dist < F.coalesce(F.col("old_dist"), F.lit(UNREACHED)))
+            .cast("double")
+            .alias("delta"),
+        )
+        return new, {"delta": F.sum("delta")}
+
+    lm_df = spark.createDataFrame([(v,) for v in sorted(lms)], "landmark string")
+    initial = lm_df.select(
+        F.col("landmark").alias("vertex"),
+        "landmark",
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1.0).alias("delta"),  # landmarks ARE the first frontier
+    )
+    lm_fp_row = lm_df.agg(F.expr("bit_xor(xxhash64(landmark))")).first()
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n, "n_edges": m, "edge_fp": edge_fp,
+                "n_landmarks": len(lms),
+                "landmarks_fp": int(lm_fp_row[0]) if lm_fp_row[0] is not None else 0,
+                "directed": directed, "kernel": "landmarks",
+            },
+        )
+        out = final.select("vertex", "landmark", "dist")
+    finally:
+        adj.unpersist()
+        vertices.unpersist()
+    return LandmarkResult(out, report, sorted(lms))

@@ -137,6 +137,23 @@ class CheckpointStore:
     def last_committed(self) -> int:
         return max(self._committed_parts(), default=-1)
 
+    def prune_iterations(self, keep_last: int = 2) -> list[int]:
+        """Retention for long runs: drop state partitions older than the
+        last ``keep_last`` committed iterations (resume only ever needs
+        the newest) and reclaim their files via the catalog's
+        ``expire_snapshots`` — the Iceberg maintenance pairing of
+        ``DELETE WHERE iteration < N`` + ``expire_snapshots``.  Returns
+        the pruned iteration numbers."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        parts = sorted(self._committed_parts())
+        victims = parts[:-keep_last] if len(parts) > keep_last else []
+        for i in victims:
+            self.catalog.delete_partition(self.STATE_TABLE, {"iteration": i})
+            self._staged_iters.pop(i, None)
+        self.catalog.expire_snapshots(self.STATE_TABLE)
+        return victims
+
     def rollback_to_iteration(self, iteration: int) -> None:
         """Move the state table's pointer back so ``iteration`` is the last
         committed superstep (catalog history kept) — the supported way to

@@ -49,16 +49,34 @@ class WalksResult:
     length: int
 
 
+def _walk_frame(start_set: DataFrame, num_walks: int) -> DataFrame:
+    """(walk_id, vertex) rows: ``num_walks`` walks per start vertex (the
+    DeepWalk gamma parameter).  walk_id = vertex for a single walk, else
+    ``vertex#i`` — the id is part of every hash preimage, so the i walks
+    from one vertex diverge deterministically."""
+    if num_walks < 1:
+        raise ValueError(f"num_walks must be >= 1, got {num_walks}")
+    if num_walks == 1:
+        return start_set.select(F.col("vertex").alias("walk_id"), "vertex")
+    spark = start_set.sparkSession
+    idx = spark.range(num_walks).select(F.col("id").cast("string").alias("_i"))
+    return start_set.crossJoin(F.broadcast(idx)).select(
+        F.concat("vertex", F.lit("#"), "_i").alias("walk_id"), "vertex"
+    )
+
+
 def random_walks(
     spark: SparkSession,
     edges: DataFrame,
     length: int,
     starts: DataFrame | None = None,
+    num_walks: int = 1,
     store: CheckpointStore | None = None,
     resume: bool = False,
 ) -> WalksResult:
-    """Advance one walk per start vertex ``length`` hops over directed
-    ``edges(src_id, dst_id)`` (symmetrize first for undirected walks).
+    """Advance ``num_walks`` walks per start vertex ``length`` hops over
+    directed ``edges(src_id, dst_id)`` (symmetrize first for undirected
+    walks).
 
     ``starts``: single-column (``vertex``) start set; default = every
     vertex with at least one out-edge.  Returns '->'-joined paths (a
@@ -72,7 +90,7 @@ def random_walks(
     m = adj.count()
     if starts is None:
         starts = adj.select(F.col("src_id").alias("vertex")).distinct()
-    start_set = starts.select("vertex").distinct()
+    start_set = _walk_frame(starts.select("vertex").distinct(), num_walks)
     n_walks = start_set.count()
 
     def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
@@ -107,7 +125,7 @@ def random_walks(
         return new, {"delta": F.sum("delta")}
 
     initial = start_set.select(
-        F.col("vertex").alias("walk_id"),
+        "walk_id",
         F.col("vertex").alias("cur"),
         F.col("vertex").alias("path"),
         F.lit(0.0).alias("delta"),
@@ -126,6 +144,7 @@ def random_walks(
                 "n_walks": n_walks,
                 "n_edges": m,
                 "length": length,
+                "num_walks": num_walks,
                 "edge_fp": int(edge_fp_row[0]) if edge_fp_row[0] is not None else 0,
             },
         )
@@ -141,6 +160,7 @@ def node2vec_walks(
     p: float = 1.0,
     q: float = 1.0,
     starts: DataFrame | None = None,
+    num_walks: int = 1,
     store: CheckpointStore | None = None,
     resume: bool = False,
 ) -> WalksResult:
@@ -178,7 +198,7 @@ def node2vec_walks(
     m = adj.count()
     if starts is None:
         starts = adj.select(F.col("src_id").alias("vertex")).distinct()
-    start_set = starts.select("vertex").distinct()
+    start_set = _walk_frame(starts.select("vertex").distinct(), num_walks)
     n_walks = start_set.count()
     nbr_marker = adj.select(
         F.col("src_id").alias("_t"), F.col("dst_id").alias("_x"), F.lit(True).alias("_nbr")
@@ -242,7 +262,7 @@ def node2vec_walks(
         return new, {"delta": F.sum("delta")}
 
     initial = start_set.select(
-        F.col("vertex").alias("walk_id"),
+        "walk_id",
         F.col("vertex").alias("cur"),
         F.lit(None).cast("string").alias("prev"),
         F.col("vertex").alias("path"),
@@ -262,6 +282,7 @@ def node2vec_walks(
                 "n_walks": n_walks,
                 "n_edges": m,
                 "length": length,
+                "num_walks": num_walks,
                 "p": float(p),
                 "q": float(q),
                 "kernel": "node2vec",

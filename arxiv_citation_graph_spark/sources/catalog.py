@@ -151,6 +151,46 @@ class SnapshotCatalog:
         meta["current"] = snapshot
         self._commit(table, meta)
 
+    def delete_partition(self, table: str, partition: dict) -> int:
+        """Drop a logical partition (``DELETE WHERE <partition>`` +
+        Iceberg partition-drop analog): commits a data-less snapshot that
+        masks the partition from resolution.  The partition's old data
+        files are reclaimed by ``expire_snapshots``."""
+        meta = self._meta(table)
+        entry = {
+            "id": self._next_snap_id(meta),
+            "ts": time.time(),
+            "op": "delete_partition",
+            "parent": meta["current"],
+            "partition": partition,
+        }
+        meta["snapshots"].append(entry)
+        meta["current"] = entry["id"]
+        self._commit(table, meta)
+        return entry["id"]
+
+    def expire_snapshots(self, table: str) -> list[int]:
+        """Iceberg ``expire_snapshots`` analog: delete the data files of
+        snapshots no longer contributing to the CURRENT state (superseded
+        partition overwrites, deleted partitions, rolled-back branches).
+        Entries stay in the metadata (flagged ``expired``) so parent
+        chains remain walkable; time-travel reads that would touch an
+        expired snapshot raise instead of returning partial data."""
+        meta = self._meta(table)
+        if meta["current"] < 0:
+            return []
+        keep = set(self._resolve_snap_ids(meta, meta["current"]))
+        expired: list[int] = []
+        for s in meta["snapshots"]:
+            if s["id"] in keep or s.get("expired") or s["op"] == "delete_partition":
+                continue
+            shutil.rmtree(self._snap_dir(table, s["id"]), ignore_errors=True)
+            s["expired"] = True
+            expired.append(s["id"])
+        if expired:
+            self._commit(table, meta)
+        return expired
+
     # -- table properties (Iceberg table properties analog) ------------------
 
     def properties(self, table: str) -> dict:
@@ -187,16 +227,29 @@ class SnapshotCatalog:
     def _resolve_snap_ids(self, meta: dict, target: int) -> list[int]:
         """Data-contributing snapshot ids as of ``target``: every
         append/replace in the lineage, plus the newest writer of each
-        logical partition."""
+        logical partition (a ``delete_partition`` masks earlier writers;
+        a later overwrite re-creates the partition)."""
         newest_per_part: dict[str, int] = {}
         ids: list[int] = []
         for s in self._lineage(meta, target):
             if s["op"] == "overwrite_partition":
                 newest_per_part[_part_key(s["partition"])] = s["id"]
+            elif s["op"] == "delete_partition":
+                newest_per_part.pop(_part_key(s["partition"]), None)
             else:
                 ids.append(s["id"])
         ids.extend(newest_per_part.values())
         return sorted(ids)
+
+    def _check_not_expired(self, meta: dict, ids: list[int], table: str) -> None:
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        gone = [i for i in ids if by_id.get(i, {}).get("expired")]
+        if gone:
+            raise ValueError(
+                f"snapshot(s) {gone} of table {table!r} were expired "
+                "(expire_snapshots reclaimed their data files); time travel "
+                "to them is no longer possible"
+            )
 
     def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
         """Read the table at its current (or a time-travel) snapshot."""
@@ -204,7 +257,9 @@ class SnapshotCatalog:
         target = meta["current"] if snapshot is None else snapshot
         if target < 0:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
-        paths = [self._snap_dir(table, s) for s in self._resolve_snap_ids(meta, target)]
+        ids = self._resolve_snap_ids(meta, target)
+        self._check_not_expired(meta, ids, table)
+        paths = [self._snap_dir(table, s) for s in ids]
         return spark.read.parquet(*paths)
 
     def read_partition(
@@ -222,6 +277,7 @@ class SnapshotCatalog:
             raise FileNotFoundError(
                 f"table {table} has no committed snapshot for partition {partition}"
             )
+        self._check_not_expired(self._meta(table), [snap], table)
         return spark.read.parquet(self._snap_dir(table, snap))
 
     def partition_snapshot(
@@ -235,8 +291,8 @@ class SnapshotCatalog:
             return None
         want = _part_key(partition)
         for s in reversed(self._lineage(meta, target)):
-            if s["op"] == "overwrite_partition" and _part_key(s["partition"]) == want:
-                return s["id"]
+            if s.get("partition") is not None and _part_key(s["partition"]) == want:
+                return s["id"] if s["op"] == "overwrite_partition" else None
         return None
 
     def partitions(self, table: str, snapshot: int | None = None) -> list[dict]:
@@ -250,6 +306,8 @@ class SnapshotCatalog:
         for s in self._lineage(meta, target):
             if s["op"] == "overwrite_partition":
                 newest[_part_key(s["partition"])] = s
+            elif s["op"] == "delete_partition":
+                newest.pop(_part_key(s["partition"]), None)
         return list(newest.values())
 
     def snapshots(self, table: str) -> list[dict]:

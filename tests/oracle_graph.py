@@ -221,9 +221,12 @@ def walks_det(
         nbrs[s].add(d)
     if starts is None:
         starts = sorted(nbrs)
+    # a start may be a vertex (walk_id = vertex) or a (walk_id, vertex)
+    # pair (the num_walks > 1 "vertex#i" form)
+    norm = [(s, s) if isinstance(s, str) else tuple(s) for s in starts]
     paths = {}
-    for w in sorted(set(starts)):
-        cur, path = w, [w]
+    for w, v0 in sorted(set(norm)):
+        cur, path = v0, [v0]
         for k in range(1, length + 1):
             out = nbrs.get(cur)
             if not out:
@@ -288,9 +291,10 @@ def node2vec_det(
         nbrs[s].add(d)
     if starts is None:
         starts = sorted(nbrs)
+    norm = [(s, s) if isinstance(s, str) else tuple(s) for s in starts]
     paths = {}
-    for w in sorted(set(starts)):
-        cur, prev, path = w, None, [w]
+    for w, v0 in sorted(set(norm)):
+        cur, prev, path = v0, None, [v0]
         for k in range(1, length + 1):
             out = nbrs.get(cur)
             if not out:

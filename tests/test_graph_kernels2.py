@@ -502,3 +502,116 @@ def test_pair_counts_releases_edge_cache(spark):
     result = cocitation_pairs(df, min_count=1)
     assert result.count() > 0  # already materialized; count is cheap
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# -------------------------------------------------------- num_walks
+
+
+def test_num_walks_per_vertex_matches_oracle(spark):
+    """DeepWalk gamma: num_walks=3 emits walk ids vertex#0..2, each an
+    independent deterministic walk (the id is in every hash preimage)."""
+    from arxiv_citation_graph_spark.plans.walks import random_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("b", "a")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    result = random_walks(spark, df, length=5, num_walks=3)
+    got = {r.walk_id: r.path for r in result.walks.collect()}
+    starts = [(f"{v}#{i}", v) for v in ("a", "b", "c") for i in range(3)]
+    expected = oracle_graph.walks_det(edges, length=5, starts=starts)
+    assert got == expected
+    # the walks from one vertex are not all identical
+    assert len({got[f"a#{i}"] for i in range(3)}) > 1
+
+
+def test_num_walks_node2vec(spark):
+    from arxiv_citation_graph_spark.plans.walks import node2vec_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("b", "a")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    result = node2vec_walks(spark, df, length=4, p=2.0, q=0.5, num_walks=2)
+    got = {r.walk_id: r.path for r in result.walks.collect()}
+    starts = [(f"{v}#{i}", v) for v in ("a", "b", "c") for i in range(2)]
+    expected = oracle_graph.node2vec_det(edges, length=4, p=2.0, q=0.5, starts=starts)
+    assert got == expected
+
+
+# -------------------------------------------------------- snapshot expiry
+
+
+def test_expire_snapshots_and_prune_iterations(spark, tmp_path):
+    """Iceberg-maintenance analogs: superseded/rolled-back snapshots are
+    reclaimed by expire_snapshots (current reads unaffected, time travel
+    to expired raises); prune_iterations drops old state partitions."""
+    import os
+
+    import pytest
+
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    df1 = spark.createDataFrame([(1, "a")], ["k", "v"])
+    df2 = spark.createDataFrame([(1, "A")], ["k", "v"])
+    s1 = cat.overwrite_partition("t", df1, {"iteration": 0})
+    s2 = cat.overwrite_partition("t", df2, {"iteration": 0})  # supersedes s1
+    expired = cat.expire_snapshots("t")
+    assert expired == [s1]
+    assert not os.path.exists(cat._snap_dir("t", s1))
+    assert [r.v for r in cat.read(spark, "t").collect()] == ["A"]
+    with pytest.raises(ValueError, match="expired"):
+        cat.read(spark, "t", snapshot=s1)
+    assert cat.expire_snapshots("t") == []  # idempotent
+
+    # prune_iterations: old superstep states dropped, newest kept, resume OK
+    edges = toy_edges_df(spark, "resume").cache()
+    store = CheckpointStore(str(tmp_path / "ckpt"), "pr_prune")
+    pagerank(spark, edges, tolerance=None, max_iterations=5, store=store)
+    assert store.prune_iterations(keep_last=2) == [0, 1, 2]
+    assert sorted(store._committed_parts()) == [3, 4]
+    assert store.last_committed() == 4
+    with pytest.raises((ValueError, FileNotFoundError)):
+        store.read_state(spark, 1)
+    full = pagerank(spark, edges, tolerance=None, max_iterations=8)
+    resumed = pagerank(
+        spark, edges, tolerance=None, max_iterations=8, store=store, resume=True
+    )
+    want = {r.vertex: r.rank for r in full.ranks.collect()}
+    got = {r.vertex: r.rank for r in resumed.ranks.collect()}
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=0, abs_tol=1e-12), v
+
+
+# -------------------------------------------------------- landmark BFS
+
+
+def test_landmark_distances_match_per_source_bfs(spark):
+    from arxiv_citation_graph_spark.plans.bfs import landmark_distances
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+        ("a", "d"), ("x", "y"),  # separate component
+    ]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"]).cache()
+    result = landmark_distances(spark, df, n_landmarks=3)
+    assert result.landmarks == ["a", "b", "c"]
+    got = {(r.vertex, r.landmark): r.dist for r in result.distances.collect()}
+    for lm in result.landmarks:
+        expected = oracle_graph.bfs_dist(edges, source=lm)
+        mine = {v: d for (v, l), d in got.items() if l == lm}
+        assert mine == expected, lm
+    # unreached pairs are absent (x/y not reachable from a/b/c)
+    assert ("x", "a") not in got
+
+
+def test_landmark_distances_explicit_and_errors(spark):
+    from arxiv_citation_graph_spark.plans.bfs import landmark_distances
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["src_id", "dst_id"])
+    lms = spark.createDataFrame([("c",)], ["vertex"])
+    result = landmark_distances(spark, df, landmarks=lms)
+    got = {(r.vertex, r.landmark): r.dist for r in result.distances.collect()}
+    assert got == {("c", "c"): 0, ("b", "c"): 1, ("a", "c"): 2}
+    bad = spark.createDataFrame([("zz",)], ["vertex"])
+    with pytest.raises(ValueError, match="landmark"):
+        landmark_distances(spark, df, landmarks=bad)
