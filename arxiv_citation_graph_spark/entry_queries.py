@@ -972,6 +972,25 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "landmark_closeness",
+    f"""
+WITH lmd AS MATERIALIZED ({_landmarks_unrolled_sql(rounds=8, k=3)})
+SELECT vertex,
+       sum(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END) AS closeness,
+       CAST(count(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached
+FROM lmd GROUP BY vertex
+""",
+)
+def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality estimated from the 3-landmark
+    distance table (plans/bfs.py::harmonic_closeness)."""
+    from arxiv_citation_graph_spark.plans.bfs import harmonic_closeness, landmark_distances
+
+    result = landmark_distances(spark, cosupply_edges(spark, sf_dir), n_landmarks=3)
+    return harmonic_closeness(result.distances)
+
+
 def _pair_counts_sql(shared: str, paired: str, min_count: int, hub_cap: int | None) -> str:
     """Oracle for plans/cocite.py: canonical (a<b) pair counts over the
     bipartite graph, with the hub-cap exclusion stated in SQL."""
@@ -2401,6 +2420,7 @@ _PRIORITY_FIRST = [
     "node2vec_walks",
     "cocitation_cosine",
     "landmark_distances",
+    "landmark_closeness",
     # green in r1 but dropped from the driver's r2 sample
     "exact_dedup",
     "minhash_signatures",

@@ -271,3 +271,21 @@ def landmark_distances(
         adj.unpersist()
         vertices.unpersist()
     return LandmarkResult(out, report, sorted(lms))
+
+
+def harmonic_closeness(distances: DataFrame) -> DataFrame:
+    """Landmark-estimated harmonic closeness centrality: for each vertex,
+    ``sum over reached landmarks of 1/dist`` (dist > 0; the vertex's own
+    landmark row contributes 0).  With k landmarks this is the standard
+    sampling estimator of harmonic centrality (Boldi & Vigna 2014) —
+    scale-free: one |V*k| aggregation over ``landmark_distances`` output,
+    no further graph traversal."""
+    return (
+        distances.groupBy("vertex")
+        .agg(
+            F.sum(
+                F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist")).otherwise(F.lit(0.0))
+            ).alias("closeness"),
+            F.count(F.when(F.col("dist") > 0, F.lit(1))).alias("n_reached"),
+        )
+    )

@@ -615,3 +615,18 @@ def test_landmark_distances_explicit_and_errors(spark):
     bad = spark.createDataFrame([("zz",)], ["vertex"])
     with pytest.raises(ValueError, match="landmark"):
         landmark_distances(spark, df, landmarks=bad)
+
+
+def test_harmonic_closeness_values(spark):
+    from arxiv_citation_graph_spark.plans.bfs import harmonic_closeness, landmark_distances
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    result = landmark_distances(spark, df, n_landmarks=2)  # landmarks a, b
+    rows = {r.vertex: (r.closeness, r.n_reached) for r in
+            harmonic_closeness(result.distances).collect()}
+    # d: dist(a,d)=3, dist(b,d)=2 -> 1/3 + 1/2
+    assert math.isclose(rows["d"][0], 1 / 3 + 1 / 2, rel_tol=0, abs_tol=1e-15)
+    assert rows["d"][1] == 2
+    # a: dist(a,a)=0 (excluded), dist(b,a)=1 -> 1.0
+    assert math.isclose(rows["a"][0], 1.0, rel_tol=0, abs_tol=1e-15)
