@@ -138,6 +138,17 @@ def main(argv: list[str] | None = None) -> int:
     job = args.cmd if algo in (None, "hashmin") else f"{args.cmd}-{algo}"
     if args.cmd == "kcore":
         job = f"kcore-k{args.k}"  # each k is a distinct resumable job
+    if args.cmd == "bfs" and args.landmarks is not None:
+        # landmark mode has a different state schema (vertex, landmark,
+        # dist) — sharing the single-source job would cross-corrupt resumes
+        if args.source is not None:
+            raise SystemExit(
+                "--source and --landmarks are mutually exclusive: landmark "
+                "mode picks its own K sources (the lexicographic-min vertices)"
+            )
+        job = f"bfs-landmarks{args.landmarks}"
+    if args.cmd == "walks" and (args.p is not None or args.q is not None):
+        job = "walks-node2vec"  # extra `prev` state column vs uniform walks
     store = CheckpointStore(f"{args.out}/_checkpoints", job)
 
     if args.cmd == "pagerank":

@@ -977,18 +977,23 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH lmd AS MATERIALIZED ({_landmarks_unrolled_sql(rounds=8, k=3)})
 SELECT vertex,
-       sum(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END) AS closeness,
+       round(sum(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END), 9) AS closeness,
        CAST(count(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached
 FROM lmd GROUP BY vertex
 """,
 )
 def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic closeness centrality estimated from the 3-landmark
-    distance table (plans/bfs.py::harmonic_closeness)."""
+    distance table (plans/bfs.py::harmonic_closeness).  The float sum is
+    rounded to 9 decimals on both sides — summation ORDER differs between
+    engines and an exact value hash would flap at the ulp (module
+    rounding convention: ranks->9, hub/auth->7, ratios->6)."""
     from arxiv_citation_graph_spark.plans.bfs import harmonic_closeness, landmark_distances
 
     result = landmark_distances(spark, cosupply_edges(spark, sf_dir), n_landmarks=3)
-    return harmonic_closeness(result.distances)
+    return harmonic_closeness(result.distances).select(
+        "vertex", F.round("closeness", 9).alias("closeness"), "n_reached"
+    )
 
 
 def _pair_counts_sql(shared: str, paired: str, min_count: int, hub_cap: int | None) -> str:

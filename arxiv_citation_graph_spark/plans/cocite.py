@@ -52,28 +52,36 @@ def _pair_counts(
     # explicit-lifetime convention as pagerank's `finally: unpersist`.
     e = edges.select(shared, paired).distinct().cache()
     try:
-        if hub_cap is not None:
-            ok = (
-                e.groupBy(shared)
-                .agg(F.count(F.lit(1)).alias("_deg"))
-                .filter(F.col("_deg") <= hub_cap)
-                .select(shared)
-            )
-            filtered = e.join(ok, shared, "semi")
-        else:
-            filtered = e
-        left = filtered.select(F.col(shared).alias("_k"), F.col(paired).alias("a"))
-        right = filtered.select(F.col(shared).alias("_k"), F.col(paired).alias("b"))
-        pairs = (
-            left.join(right, "_k")
-            .filter(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("pair_count"))
-            .filter(F.col("pair_count") >= min_count)
+        return _pairs_over_cached(e, shared, paired, min_count, hub_cap).localCheckpoint(
+            eager=True
         )
-        return pairs.localCheckpoint(eager=True)
     finally:
         e.unpersist()
+
+
+def _pairs_over_cached(
+    e: DataFrame, shared: str, paired: str, min_count: int, hub_cap: int | None
+) -> DataFrame:
+    """Pair counts over an already-cached deduped edge frame (lazy)."""
+    if hub_cap is not None:
+        ok = (
+            e.groupBy(shared)
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") <= hub_cap)
+            .select(shared)
+        )
+        filtered = e.join(ok, shared, "semi")
+    else:
+        filtered = e
+    left = filtered.select(F.col(shared).alias("_k"), F.col(paired).alias("a"))
+    right = filtered.select(F.col(shared).alias("_k"), F.col(paired).alias("b"))
+    return (
+        left.join(right, "_k")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
 
 
 def cocitation_pairs(
@@ -104,29 +112,39 @@ def cocitation_cosine(
     (distinct) citation count over the FULL edge table — normalization is
     not subject to the pair-generation hub cap.
 
-    Plan: the pair table (already materialized result-sized by
-    ``_pair_counts``) joined twice against the |V|-sized degree table —
-    two equi-joins on the pair endpoints, no additional self-join, so
-    the quadratic hazard stays confined to the capped pair step.
-    sqrt/divide are correctly-rounded IEEE ops, so the scores are
-    bit-reproducible across engines (DuckDB oracle-checkable)."""
-    pairs = _pair_counts(edges, "src_id", "dst_id", min_count, hub_cap)
-    cites = (
-        edges.select("src_id", "dst_id")
-        .distinct()
-        .groupBy(F.col("dst_id").alias("_w"))
-        .agg(F.count(F.lit(1)).alias("_cites"))
-    )
-    return (
-        pairs.join(cites.withColumnRenamed("_w", "a").withColumnRenamed("_cites", "_ca"), "a")
-        .join(cites.withColumnRenamed("_w", "b").withColumnRenamed("_cites", "_cb"), "b")
-        .select(
-            "a",
-            "b",
-            "pair_count",
-            (
-                F.col("pair_count")
-                / F.sqrt((F.col("_ca") * F.col("_cb")).cast("double"))
-            ).alias("cosine"),
+    Plan: ONE |E| distinct scan shared (cached) by the pair self-join,
+    the hub-cap degree filter, and the citation-count aggregation; the
+    pair table is materialized result-sized inside the cache's scope and
+    then joined twice against the |V|-sized degree table — two equi-joins
+    on the pair endpoints, no additional self-join, so the quadratic
+    hazard stays confined to the capped pair step.  sqrt/divide are
+    correctly-rounded IEEE ops, so the scores are bit-reproducible across
+    engines (DuckDB oracle-checkable)."""
+    e = edges.select("src_id", "dst_id").distinct().cache()
+    try:
+        pairs = _pairs_over_cached(e, "src_id", "dst_id", min_count, hub_cap)
+        cites = e.groupBy(F.col("dst_id").alias("_w")).agg(
+            F.count(F.lit(1)).alias("_cites")
         )
-    )
+        out = (
+            pairs.join(
+                cites.withColumnRenamed("_w", "a").withColumnRenamed("_cites", "_ca"),
+                "a",
+            )
+            .join(
+                cites.withColumnRenamed("_w", "b").withColumnRenamed("_cites", "_cb"),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                "pair_count",
+                (
+                    F.col("pair_count")
+                    / F.sqrt((F.col("_ca") * F.col("_cb")).cast("double"))
+                ).alias("cosine"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

@@ -132,18 +132,24 @@ def pagerank(
         F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
     ]
     if weighted:
+        # NaN counted alongside null: Spark's min() sorts NaN above every
+        # value, so a NaN weight would otherwise pass the wmin > 0 check
+        # and silently poison every rank
         edge_aggs += [
             F.min("_w").alias("wmin"),
-            F.sum(F.when(F.col("_w").isNull(), 1).otherwise(0)).alias("wnulls"),
+            F.sum(
+                F.when(F.col("_w").isNull() | F.isnan("_w"), 1).otherwise(0)
+            ).alias("wbad"),
         ]
     eagg = edges.agg(*edge_aggs).first()
     m = int(eagg["m"])
     edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
     if weighted and m > 0:
-        if int(eagg["wnulls"]) > 0:
+        if int(eagg["wbad"]) > 0:
             raise ValueError(
-                f"weighted PageRank: {eagg['wnulls']} edges have null/non-numeric "
-                f"weight in column {weight!r}; weights must be positive"
+                f"weighted PageRank: {eagg['wbad']} edges have null/NaN/"
+                f"non-numeric weight in column {weight!r}; weights must be "
+                "positive"
             )
         if float(eagg["wmin"]) <= 0.0:
             raise ValueError(

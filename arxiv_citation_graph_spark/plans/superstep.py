@@ -137,6 +137,19 @@ class CheckpointStore:
     def last_committed(self) -> int:
         return max(self._committed_parts(), default=-1)
 
+    def reset_for_fresh_run(self) -> None:
+        """Truncate the state and metrics tables (history kept, data
+        reclaimed): called by the runtime when a FRESH durable run starts
+        on a store with prior commits.  Without this, a shorter fresh run
+        leaves the old run's higher-iteration partitions reachable
+        through the snapshot parent chain, and a later resume would
+        silently restart from the STALE old-run state."""
+        for table in (self.STATE_TABLE, self.METRICS_TABLE):
+            if self.catalog.current_snapshot(table) >= 0:
+                self.catalog.truncate(table)
+                self.catalog.expire_snapshots(table)
+        self._staged_iters = {}
+
     def prune_iterations(self, keep_last: int = 2) -> list[int]:
         """Retention for long runs: drop state partitions older than the
         last ``keep_last`` committed iterations (resume only ever needs
@@ -309,6 +322,11 @@ def run_supersteps(
     report = SuperstepReport(iterations=start_iteration, converged=False)
     prev_from_manifest: "Row | None" = None
     resuming = store is not None and resume and store.last_committed() >= 0
+    if store is not None and not resuming and start_iteration == 0:
+        # fresh durable run on a store with prior commits: truncate so the
+        # old run's higher-iteration partitions cannot leak into a later
+        # resume (they would otherwise stay reachable via the parent chain)
+        store.reset_for_fresh_run()
     if store is not None and input_signature is not None:
         if resuming:
             recorded = store.job_info().get("input_signature")

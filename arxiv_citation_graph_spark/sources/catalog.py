@@ -151,6 +151,23 @@ class SnapshotCatalog:
         meta["current"] = snapshot
         self._commit(table, meta)
 
+    def truncate(self, table: str) -> int:
+        """Commit a data-less snapshot that resets the table to empty
+        (``DELETE FROM t`` / Iceberg truncate): the lineage walk stops
+        here, masking ALL earlier snapshots from resolution.  History is
+        kept; ``expire_snapshots`` reclaims the masked data files."""
+        meta = self._meta(table)
+        entry = {
+            "id": self._next_snap_id(meta),
+            "ts": time.time(),
+            "op": "truncate",
+            "parent": meta["current"],
+        }
+        meta["snapshots"].append(entry)
+        meta["current"] = entry["id"]
+        self._commit(table, meta)
+        return entry["id"]
+
     def delete_partition(self, table: str, partition: dict) -> int:
         """Drop a logical partition (``DELETE WHERE <partition>`` +
         Iceberg partition-drop analog): commits a data-less snapshot that
@@ -182,7 +199,11 @@ class SnapshotCatalog:
         keep = set(self._resolve_snap_ids(meta, meta["current"]))
         expired: list[int] = []
         for s in meta["snapshots"]:
-            if s["id"] in keep or s.get("expired") or s["op"] == "delete_partition":
+            if (
+                s["id"] in keep
+                or s.get("expired")
+                or s["op"] in ("delete_partition", "truncate")  # data-less
+            ):
                 continue
             shutil.rmtree(self._snap_dir(table, s["id"]), ignore_errors=True)
             s["expired"] = True
@@ -218,7 +239,7 @@ class SnapshotCatalog:
         while cur is not None and cur >= 0:
             snap = by_id[cur]
             lineage.append(snap)
-            if snap["op"] == "replace":
+            if snap["op"] in ("replace", "truncate"):
                 break
             cur = snap["parent"]
         lineage.reverse()
@@ -236,6 +257,8 @@ class SnapshotCatalog:
                 newest_per_part[_part_key(s["partition"])] = s["id"]
             elif s["op"] == "delete_partition":
                 newest_per_part.pop(_part_key(s["partition"]), None)
+            elif s["op"] == "truncate":
+                pass  # data-less chain reset (lineage walk already stopped here)
             else:
                 ids.append(s["id"])
         ids.extend(newest_per_part.values())

@@ -107,6 +107,9 @@ def main() -> None:
     kernel_parts = str(max(8, CPUS // 4))
     default_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
+    # materialize the cached edge table under kernel_parts, exactly as r2
+    # did — the cached partitioning is part of the frozen workload
+    spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
     edges = bipartite_edges(spark, SF_DIR).cache()
     n_edges = edges.count()
     extras["graph_edges"] = n_edges

@@ -630,3 +630,14 @@ def test_harmonic_closeness_values(spark):
     assert rows["d"][1] == 2
     # a: dist(a,a)=0 (excluded), dist(b,a)=1 -> 1.0
     assert math.isclose(rows["a"][0], 1.0, rel_tol=0, abs_tol=1e-15)
+
+
+def test_weighted_pagerank_rejects_nan_weights(spark):
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "a", float("nan"))],
+        "src_id string, dst_id string, w double",
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        pagerank(spark, df, tolerance=None, max_iterations=2, weight="w")

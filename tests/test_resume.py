@@ -238,3 +238,30 @@ def test_catalog_partition_ops(spark, tmp_path):
     assert cat.properties("t") == {}
     cat.set_property("t", "job_info", {"sig": 1})
     assert cat.properties("t")["job_info"] == {"sig": 1}
+
+
+def test_fresh_run_truncates_stale_iterations(spark, tmp_path):
+    """A fresh (resume=False) durable run on a store with prior commits
+    must not leave the old run's higher iterations reachable: without
+    truncation, a later resume would silently restart from the STALE
+    old-run state (round-3 review finding)."""
+    store = CheckpointStore(str(tmp_path / "ckpt_stale"), "pr_fresh")
+    old_edges = toy_edges_df(spark, "resume").cache()
+    pagerank(spark, old_edges, tolerance=None, max_iterations=9, store=store)
+    assert store.last_committed() == 8
+
+    new_edges = toy_edges_df(spark, "k4")
+    pagerank(spark, new_edges, tolerance=None, max_iterations=3, store=store)
+    # old iterations 3..8 are gone, not lurking behind the fresh run
+    assert store.last_committed() == 2
+    assert sorted(store._committed_parts()) == [0, 1, 2]
+
+    resumed = pagerank(
+        spark, new_edges, tolerance=None, max_iterations=6, store=store, resume=True
+    )
+    full = pagerank(spark, new_edges, tolerance=None, max_iterations=6)
+    want = {r.vertex: r.rank for r in full.ranks.collect()}
+    got = {r.vertex: r.rank for r in resumed.ranks.collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=0, abs_tol=1e-12), v
