@@ -281,6 +281,10 @@ class SnapshotCatalog:
         if target < 0:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
         ids = self._resolve_snap_ids(meta, target)
+        if not ids:  # truncated (or only deleted partitions) as of target
+            raise FileNotFoundError(
+                f"table {table} is empty as of snapshot {target} (truncated)"
+            )
         self._check_not_expired(meta, ids, table)
         paths = [self._snap_dir(table, s) for s in ids]
         return spark.read.parquet(*paths)

@@ -242,6 +242,22 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.plans.bfs import landmark_distances
+
+    plan = capture_superstep(
+        lambda: landmark_distances(spark, tedges, n_landmarks=3, max_iterations=3)
+    )
+    sections.append(
+        (
+            "Landmark BFS superstep (iteration 1, sparse multi-source)",
+            "One shared adjacency join for all k landmarks, input bounded "
+            "to the union of the k frontiers (delta > 0 rows of the sparse "
+            "reached-pair state); full-outer merge admits newly reached "
+            f"pairs.  [{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
     from arxiv_citation_graph_spark.plans.walks import random_walks
 
     plan = capture_superstep(lambda: random_walks(spark, tedges, length=2))

@@ -265,3 +265,25 @@ def test_fresh_run_truncates_stale_iterations(spark, tmp_path):
     assert set(got) == set(want)
     for v in want:
         assert math.isclose(got[v], want[v], rel_tol=0, abs_tol=1e-12), v
+
+
+def test_truncate_read_and_fresh_reset(spark, tmp_path):
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    import pytest
+
+    cat = SnapshotCatalog(str(tmp_path / "wh_t"))
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    s0 = cat.overwrite_partition("t", df, {"iteration": 0})
+    cat.truncate("t")
+    with pytest.raises(FileNotFoundError, match="truncated"):
+        cat.read(spark, "t")
+    assert cat.partitions("t") == []
+    # time travel BEFORE the truncate still works until expiry
+    assert [r.v for r in cat.read(spark, "t", snapshot=s0).collect()] == ["a"]
+    cat.expire_snapshots("t")
+    with pytest.raises(ValueError, match="expired"):
+        cat.read(spark, "t", snapshot=s0)
+    # writes after truncate start a fresh chain
+    cat.overwrite_partition("t", df, {"iteration": 0})
+    assert [r.v for r in cat.read(spark, "t").collect()] == ["a"]
