@@ -33,7 +33,6 @@ def test_superstep_wall_time_is_flat(spark):
 def test_input_signature_lifecycle(spark, tmp_path):
     """Fresh runs (re)record the signature; matching resumes proceed;
     mismatched resumes refuse; legacy manifests warn but resume."""
-    import json as _json
     import logging
     import pytest
     from pyspark.sql import functions as F
@@ -69,11 +68,9 @@ def test_input_signature_lifecycle(spark, tmp_path):
                             resume=True, input_signature={"n": 2})
     assert rep.iterations == 4
 
-    # legacy manifest (no job_info): resume warns but does not refuse
-    man_path = store._manifest_path()
-    man = _json.load(open(man_path))
-    man.pop("job_info", None)
-    _json.dump(man, open(man_path, "w"))
+    # legacy store (no recorded signature): resume warns but does not
+    # refuse — simulate by clearing the job_info table property
+    store.catalog.set_property(store.STATE_TABLE, "job_info", {})
     import logging as _logging
     caplog_records = []
     handler = _logging.Handler()
