@@ -701,6 +701,22 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.components
 
 
+@register(
+    "component_sizes",
+    f"""
+WITH cc AS MATERIALIZED ({_cc_unrolled_sql(_CC_ITERS)})
+SELECT component, CAST(count(*) AS BIGINT) AS size FROM cc GROUP BY component
+""",
+)
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component size distribution (the first diagnostic over any CC run:
+    is there a giant component?) — one aggregation over the label table."""
+    from arxiv_citation_graph_spark.plans.components import connected_components
+
+    result = connected_components(spark, cosupply_edges(spark, sf_dir), max_iterations=_CC_ITERS)
+    return result.components.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
 @register("connected_components_star", _cc_unrolled_sql(_CC_ITERS))
 def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-star/small-star components (the O(log^2 n)-round variant for
@@ -1184,6 +1200,62 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = symmetrize(cosupply_edges(spark, sf_dir))
     result = random_walks(spark, sym, length=_WALK_LEN)
     return skipgram_pairs(result.walks, window=2)
+
+
+_SGNS_NEG, _SGNS_BUCKETS = 2, 16
+
+
+@register(
+    "skipgram_negatives",
+    f"""
+WITH walks AS MATERIALIZED ({_walks_unrolled_sql(_WALK_LEN)}),
+tok AS (SELECT walk_id, string_split(path, '->') AS parts FROM walks),
+pos AS (
+  SELECT walk_id, unnest(parts) AS vertex,
+         unnest(generate_series(1, len(parts))) AS pos
+  FROM tok
+),
+pairs AS (
+  SELECT DISTINCT a.vertex AS center, b.vertex AS context
+  FROM pos a JOIN pos b
+    ON a.walk_id = b.walk_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+),
+vocab AS (SELECT DISTINCT unnest(parts) AS vertex FROM tok),
+vb AS (
+  SELECT vertex,
+         ('0x' || substr(md5(vertex), 1, 8))::BIGINT % {_SGNS_BUCKETS} AS b
+  FROM vocab
+),
+draws AS (
+  SELECT center, context, i,
+         ('0x' || substr(md5(center || ':' || context || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           % {_SGNS_BUCKETS} AS b
+  FROM pairs CROSS JOIN (SELECT unnest(generate_series(0, {_SGNS_NEG - 1})) AS i)
+),
+neg AS (
+  SELECT d.center, d.context,
+         split_part(min(md5(d.center || ':' || d.context || ':' || CAST(d.i AS VARCHAR)
+                            || ':' || v.vertex) || '|' || v.vertex), '|', 2) AS other
+  FROM draws d JOIN vb v ON v.b = d.b
+  GROUP BY d.center, d.context, d.i
+)
+SELECT center, context AS other, CAST(1.0 AS DOUBLE) AS label FROM pairs
+UNION ALL
+SELECT center, other, CAST(0.0 AS DOUBLE) AS label FROM neg
+WHERE other <> center AND other <> context
+""",
+)
+def q_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SGNS training triples (plans/walks.py::skipgram_with_negatives):
+    positives + deterministic bucketed negative draws."""
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+    from arxiv_citation_graph_spark.plans.walks import random_walks, skipgram_with_negatives
+
+    sym = symmetrize(cosupply_edges(spark, sf_dir))
+    corpus = random_walks(spark, sym, length=_WALK_LEN).walks
+    return skipgram_with_negatives(
+        corpus, window=2, negatives=_SGNS_NEG, buckets=_SGNS_BUCKETS
+    )
 
 
 @register(
@@ -2426,6 +2498,8 @@ _PRIORITY_FIRST = [
     "cocitation_cosine",
     "landmark_distances",
     "landmark_closeness",
+    "skipgram_negatives",
+    "component_sizes",
     # green in r1 but dropped from the driver's r2 sample
     "exact_dedup",
     "minhash_signatures",

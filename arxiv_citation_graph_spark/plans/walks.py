@@ -319,3 +319,79 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
+
+
+def skipgram_with_negatives(
+    walks: DataFrame, window: int = 2, negatives: int = 2, buckets: int = 64
+) -> DataFrame:
+    """SGNS training triples: every distinct skip-gram (center, context)
+    positive pair plus ``negatives`` deterministic negative samples per
+    pair — the word2vec-with-negative-sampling input a graph-embedding
+    trainer consumes downstream of the walk corpus.
+
+    **Deterministic bucketed sampling** (no global vertex index, fully
+    distributed): draw i of pair (c, x) lands in vocabulary bucket
+    ``int(md5(c:x:i)[:8], 16) % buckets``; within that bucket the sampled
+    vertex is ``argmin md5(c:x:i:v)`` over the bucket's vertices (vertex
+    buckets via the same md5-prefix hash).  The per-draw candidate scan
+    is |V|/buckets rows — ``buckets`` is the fan-out knob (size it so a
+    bucket fits a task; the draw is an equi-join on the bucket id plus a
+    min-aggregate with map-side partials, never an all-|V| scan per
+    pair).  Sampling is uniform-per-bucket (near-uniform overall) — the
+    unigram^0.75 weighting of classic word2vec is a documented
+    simplification.  Draws colliding with the pair's own center/context
+    are dropped (standard practice), so a pair can carry fewer than
+    ``negatives`` rows.
+
+    Output: ``(center, other, label)`` with label 1.0 for positives,
+    0.0 for negatives; bit-reproducible (DuckDB-oracle-checkable — the
+    race uses string-min over ``md5hex|vertex``, IEEE-free).
+    """
+    if negatives < 0:
+        raise ValueError(f"negatives must be >= 0, got {negatives}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    pairs = skipgram_pairs(walks, window=window).select("center", "context")
+    vocab = walks.select(
+        F.explode(F.split("path", "->")).alias("vertex")
+    ).distinct()
+    vb = vocab.select(
+        "vertex",
+        (
+            F.conv(F.substring(F.md5("vertex"), 1, 8), 16, 10).cast("bigint")
+            % buckets
+        ).alias("_b"),
+    )
+    positives = pairs.select(
+        "center", F.col("context").alias("other"), F.lit(1.0).alias("label")
+    )
+    if negatives == 0:
+        return positives
+    draws = pairs.select(
+        "center",
+        "context",
+        F.explode(F.array(*[F.lit(i) for i in range(negatives)])).alias("_i"),
+    )
+    draw_key = F.concat_ws(":", F.col("center"), F.col("context"), F.col("_i"))
+    draws = draws.withColumn(
+        "_b",
+        F.conv(F.substring(F.md5(draw_key), 1, 8), 16, 10).cast("bigint") % buckets,
+    )
+    race = F.concat(
+        F.md5(F.concat_ws(":", F.col("center"), F.col("context"), F.col("_i"), F.col("vertex"))),
+        F.lit("|"),
+        F.col("vertex"),
+    )
+    neg = (
+        draws.join(vb, "_b")
+        .groupBy("center", "context", "_i")
+        .agg(F.min(race).alias("_win"))
+        .select(
+            "center",
+            "context",
+            F.substring_index(F.col("_win"), "|", -1).alias("other"),
+        )
+        .filter((F.col("other") != F.col("center")) & (F.col("other") != F.col("context")))
+        .select("center", "other", F.lit(0.0).alias("label"))
+    )
+    return positives.unionByName(neg)

@@ -641,3 +641,69 @@ def test_weighted_pagerank_rejects_nan_weights(spark):
     )
     with pytest.raises(ValueError, match="NaN"):
         pagerank(spark, df, tolerance=None, max_iterations=2, weight="w")
+
+
+# -------------------------------------------------------- SGNS negatives
+
+
+def test_skipgram_with_negatives_deterministic(spark):
+    """Positives = distinct skip-gram pairs; negatives replay the
+    bucketed md5 race exactly (hashlib reference below)."""
+    import hashlib
+
+    from arxiv_citation_graph_spark.plans.walks import skipgram_with_negatives
+
+    walks = spark.createDataFrame(
+        [("w1", "a->b->c->d"), ("w2", "b->a->e")], ["walk_id", "path"]
+    )
+    B, K, W = 8, 2, 2
+    got = {
+        (r.center, r.other, r.label)
+        for r in skipgram_with_negatives(
+            walks, window=W, negatives=K, buckets=B
+        ).collect()
+    }
+
+    def pairs_of(path):
+        t = path.split("->")
+        return {
+            (t[i], t[j])
+            for i in range(len(t))
+            for j in range(len(t))
+            if i != j and abs(i - j) <= W
+        }
+
+    pairs = pairs_of("a->b->c->d") | pairs_of("b->a->e")
+    vocab = {v for p in ("a->b->c->d", "b->a->e") for v in p.split("->")}
+    hb = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    by_bucket = {}
+    for v in vocab:
+        by_bucket.setdefault(hb(v) % B, []).append(v)
+    expected = {(c, x, 1.0) for c, x in pairs}
+    for c, x in pairs:
+        for i in range(K):
+            b = hb(f"{c}:{x}:{i}") % B
+            cands = by_bucket.get(b, [])
+            if not cands:
+                continue
+            other = min(
+                cands,
+                key=lambda v: hashlib.md5(f"{c}:{x}:{i}:{v}".encode()).hexdigest()
+                + "|" + v,
+            )
+            if other not in (c, x):
+                expected.add((c, other, 0.0))
+    assert got == expected
+    assert any(lbl == 0.0 for _, _, lbl in got)  # some negatives survived
+
+
+def test_skipgram_with_negatives_validation(spark):
+    from arxiv_citation_graph_spark.plans.walks import skipgram_with_negatives
+
+    walks = spark.createDataFrame([("w", "a->b")], ["walk_id", "path"])
+    with pytest.raises(ValueError):
+        skipgram_with_negatives(walks, negatives=-1)
+    with pytest.raises(ValueError):
+        skipgram_with_negatives(walks, buckets=0)
+    only_pos = skipgram_with_negatives(walks, negatives=0).collect()
+    assert all(r.label == 1.0 for r in only_pos)
