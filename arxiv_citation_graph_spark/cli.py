@@ -141,6 +141,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "bfs" and args.landmarks is not None:
         # landmark mode has a different state schema (vertex, landmark,
         # dist) — sharing the single-source job would cross-corrupt resumes
+        if args.landmarks < 1:
+            raise SystemExit(f"--landmarks must be >= 1, got {args.landmarks}")
         if args.source is not None:
             raise SystemExit(
                 "--source and --landmarks are mutually exclusive: landmark "

@@ -1234,8 +1234,8 @@ draws AS (
 ),
 neg AS (
   SELECT d.center, d.context,
-         split_part(min(md5(d.center || ':' || d.context || ':' || CAST(d.i AS VARCHAR)
-                            || ':' || v.vertex) || '|' || v.vertex), '|', 2) AS other
+         substr(min(md5(d.center || ':' || d.context || ':' || CAST(d.i AS VARCHAR)
+                        || ':' || v.vertex) || '|' || v.vertex), 34) AS other
   FROM draws d JOIN vb v ON v.b = d.b
   GROUP BY d.center, d.context, d.i
 )

@@ -134,12 +134,16 @@ def pagerank(
     if weighted:
         # NaN counted alongside null: Spark's min() sorts NaN above every
         # value, so a NaN weight would otherwise pass the wmin > 0 check
-        # and silently poison every rank
+        # and silently poison every rank.  The weight fingerprint covers
+        # the VALUES: edge_fp alone would accept a resume onto the same
+        # (src, dst) pairs with different weights and return the old
+        # weights' ranks as a "trusted fixpoint".
         edge_aggs += [
             F.min("_w").alias("wmin"),
             F.sum(
                 F.when(F.col("_w").isNull() | F.isnan("_w"), 1).otherwise(0)
             ).alias("wbad"),
+            F.expr("bit_xor(xxhash64(src_id, dst_id, _w))").alias("weight_fp"),
         ]
     eagg = edges.agg(*edge_aggs).first()
     m = int(eagg["m"])
@@ -300,6 +304,9 @@ def pagerank(
         signature = {"n_vertices": n, "n_edges": m, "edge_fp": edge_fp, "damping": damping}
     if weighted:
         signature["weighted"] = True
+        signature["weight_fp"] = (
+            int(eagg["weight_fp"]) if eagg["weight_fp"] is not None else 0
+        )
     try:
         final, report = run_supersteps(
             spark,

@@ -140,11 +140,14 @@ def random_walks(
             tolerance=None,  # fixed-length walks, no convergence test
             store=store,
             resume=resume,
+            # num_walks only when non-default: pre-existing durable
+            # checkpoints recorded signatures without the key and must
+            # keep resuming (same policy as cli.py's cc job naming)
             input_signature={
                 "n_walks": n_walks,
                 "n_edges": m,
                 "length": length,
-                "num_walks": num_walks,
+                **({"num_walks": num_walks} if num_walks != 1 else {}),
                 "edge_fp": int(edge_fp_row[0]) if edge_fp_row[0] is not None else 0,
             },
         )
@@ -282,7 +285,7 @@ def node2vec_walks(
                 "n_walks": n_walks,
                 "n_edges": m,
                 "length": length,
-                "num_walks": num_walks,
+                **({"num_walks": num_walks} if num_walks != 1 else {}),
                 "p": float(p),
                 "q": float(q),
                 "kernel": "node2vec",
@@ -389,7 +392,10 @@ def skipgram_with_negatives(
         .select(
             "center",
             "context",
-            F.substring_index(F.col("_win"), "|", -1).alias("other"),
+            # fixed offset, not separator split: md5 hex is exactly 32
+            # chars, so the vertex starts at char 34 — safe even for
+            # vertex ids containing '|'
+            F.expr("substring(_win, 34)").alias("other"),
         )
         .filter((F.col("other") != F.col("center")) & (F.col("other") != F.col("context")))
         .select("center", "other", F.lit(0.0).alias("label"))

@@ -707,3 +707,24 @@ def test_skipgram_with_negatives_validation(spark):
         skipgram_with_negatives(walks, buckets=0)
     only_pos = skipgram_with_negatives(walks, negatives=0).collect()
     assert all(r.label == 1.0 for r in only_pos)
+
+
+def test_weighted_pagerank_resume_refuses_changed_weights(spark, tmp_path):
+    """Same (src, dst) pairs, different weight VALUES must refuse resume —
+    edge_fp alone cannot see weights (round-3 review finding)."""
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    e1 = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 2.0)], "src_id string, dst_id string, w double"
+    )
+    e2 = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "a", 1.0)], "src_id string, dst_id string, w double"
+    )
+    store = CheckpointStore(str(tmp_path / "wpr"), "wpr")
+    pagerank(spark, e1, tolerance=None, max_iterations=2, store=store, weight="w")
+    with pytest.raises(ValueError, match="signature"):
+        pagerank(
+            spark, e2, tolerance=None, max_iterations=2, store=store,
+            resume=True, weight="w",
+        )
