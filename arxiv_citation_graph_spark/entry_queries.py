@@ -1259,6 +1259,38 @@ def q_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "degree_assortativity",
+    f"""
+WITH cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL}),
+sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos),
+deg AS (SELECT src_id AS v, count(*) AS d FROM sym GROUP BY src_id)
+SELECT round(corr(da.d, db.d), 6) AS assortativity,
+       CAST(count(*) AS BIGINT) AS n_directed_edges
+FROM sym e JOIN deg da ON e.src_id = da.v JOIN deg db ON e.dst_id = db.v
+""",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    degrees over the symmetrized co-supply graph — do hubs link to hubs?
+    One |V| degree aggregation + two equi-joins + one corr aggregate
+    (rounded to 6: the sum-of-products order differs across engines)."""
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+    sym = symmetrize(cosupply_edges(spark, sf_dir))
+    deg = sym.groupBy(F.col("src_id").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.withColumnRenamed("v", "_va").withColumnRenamed("d", "_da")
+    db = deg.withColumnRenamed("v", "_vb").withColumnRenamed("d", "_db")
+    return (
+        sym.join(da, sym.src_id == F.col("_va"))
+        .join(db, sym.dst_id == F.col("_vb"))
+        .agg(
+            F.round(F.corr("_da", "_db"), 6).alias("assortativity"),
+            F.count(F.lit(1)).alias("n_directed_edges"),
+        )
+    )
+
+
+@register(
     "degree_histogram",
     f"""
 WITH edges AS MATERIALIZED ({EDGES_BIPARTITE_SQL}),
@@ -2500,6 +2532,7 @@ _PRIORITY_FIRST = [
     "landmark_closeness",
     "skipgram_negatives",
     "component_sizes",
+    "degree_assortativity",
     # green in r1 but dropped from the driver's r2 sample
     "exact_dedup",
     "minhash_signatures",
