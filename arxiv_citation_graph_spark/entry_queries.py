@@ -785,6 +785,29 @@ FROM verts v LEFT JOIN cnts c ON v.vertex = c.vertex
 """
 
 
+@register(
+    "clustering_coefficients",
+    f"""
+WITH t AS MATERIALIZED ({TRIANGLES_SQL}),
+cos2 AS ({EDGES_COSUPPLY_SQL}),
+und2 AS (SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+         FROM cos2 WHERE src_id <> dst_id),
+deg AS (SELECT vertex, count(*) AS d FROM
+        (SELECT u AS vertex FROM und2 UNION ALL SELECT v FROM und2) GROUP BY vertex)
+SELECT t.vertex, t.triangles, CAST(d.d AS BIGINT) AS degree,
+       round(CASE WHEN d.d >= 2 THEN 2.0 * t.triangles / (d.d * (d.d - 1))
+                  ELSE 0.0 END, 9) AS lcc
+FROM t JOIN deg d ON t.vertex = d.vertex
+""",
+)
+def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients (Watts-Strogatz) on the co-supply
+    graph (plans/triangles.py::clustering_coefficients)."""
+    from arxiv_citation_graph_spark.plans.triangles import clustering_coefficients
+
+    return clustering_coefficients(spark, cosupply_edges(spark, sf_dir))
+
+
 @register("triangle_counts", TRIANGLES_SQL)
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/A10: per-vertex triangle counts, compact-forward wedge join."""
@@ -2533,6 +2556,7 @@ _PRIORITY_FIRST = [
     "skipgram_negatives",
     "component_sizes",
     "degree_assortativity",
+    "clustering_coefficients",
     # green in r1 but dropped from the driver's r2 sample
     "exact_dedup",
     "minhash_signatures",

@@ -93,3 +93,28 @@ def total_triangles(spark: SparkSession, edges: DataFrame) -> int:
     per_vertex = triangle_counts(spark, edges)
     total = per_vertex.agg(F.sum("triangles").alias("s")).first()["s"] or 0
     return int(total) // 3
+
+
+def clustering_coefficients(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998):
+    ``lcc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1))`` over the
+    simple undirected graph (0 for degree < 2).  One degree aggregation
+    + one |V| join on top of ``triangle_counts`` — the per-vertex
+    "how clique-like is my neighborhood" metric.  Returns
+    ``(vertex, triangles, degree, lcc)``; lcc rounded to 9 decimals
+    (engine-order-independent)."""
+    tri = triangle_counts(spark, edges)
+    und = _simple_undirected(edges)
+    degs = (
+        und.select(F.col("u").alias("vertex"))
+        .unionAll(und.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0) * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return tri.join(degs, "vertex").select(
+        "vertex", "triangles", "degree", F.round(lcc, 9).alias("lcc")
+    )

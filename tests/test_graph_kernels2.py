@@ -728,3 +728,18 @@ def test_weighted_pagerank_resume_refuses_changed_weights(spark, tmp_path):
             spark, e2, tolerance=None, max_iterations=2, store=store,
             resume=True, weight="w",
         )
+
+
+def test_clustering_coefficients_values(spark):
+    from arxiv_citation_graph_spark.plans.triangles import clustering_coefficients
+
+    # k4 minus one edge: a-b, a-c, a-d, b-c, b-d (no c-d)
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    rows = {r.vertex: (r.triangles, r.degree, r.lcc) for r in
+            clustering_coefficients(spark, df).collect()}
+    # a: deg 3, triangles 2 (abc, abd) -> 2*2/(3*2) = 2/3
+    assert rows["a"][:2] == (2, 3)
+    assert math.isclose(rows["a"][2], round(2 / 3, 9), rel_tol=0, abs_tol=1e-12)
+    # c: deg 2, triangles 1 -> 1.0
+    assert rows["c"] == (1, 2, 1.0)
