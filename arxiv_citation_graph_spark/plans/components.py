@@ -49,7 +49,15 @@ def connected_components(
     sym = symmetrize(edges).repartition(
         spark.sparkContext.defaultParallelism, "src_id"
     ).cache()
-    n_sym = sym.count()
+    # count + order-independent edge-set fingerprint in ONE materializing
+    # action: resume must refuse a different same-size graph (the guard
+    # every other kernel carries — VERDICT r3 #5)
+    sym_agg = sym.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("fp"),
+    ).first()
+    n_sym = int(sym_agg["m"])
+    edge_fp = int(sym_agg["fp"]) if sym_agg["fp"] is not None else 0
     vertices = vertices_of(edges).cache()
     n_vertices = vertices.count()
     if broadcast_labels is None:
@@ -96,7 +104,9 @@ def connected_components(
             tolerance=0.0,  # stop when zero labels changed
             store=store,
             resume=resume,
-            input_signature={"n_vertices": n_vertices, "n_sym_edges": n_sym},
+            input_signature={
+                "n_vertices": n_vertices, "n_sym_edges": n_sym, "edge_fp": edge_fp,
+            },
         )
     finally:
         sym.unpersist()

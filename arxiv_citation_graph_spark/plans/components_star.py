@@ -125,8 +125,20 @@ def connected_components_star(
         .distinct()
     )
     # input fingerprint only when checkpointing (the count is one extra
-    # pass; pointless without a store to resume from)
-    signature = {"n_initial_edges": initial.count()} if store is not None else None
+    # pass; pointless without a store to resume from).  Count + edge-set
+    # fingerprint in one action: resume refuses a different same-size
+    # graph (VERDICT r3 #5).
+    if store is not None:
+        sig_row = initial.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("fp"),
+        ).first()
+        signature = {
+            "n_initial_edges": int(sig_row["m"]),
+            "edge_fp": int(sig_row["fp"]) if sig_row["fp"] is not None else 0,
+        }
+    else:
+        signature = None
     work, report = run_supersteps(
         spark,
         initial,

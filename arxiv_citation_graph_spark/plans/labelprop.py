@@ -49,7 +49,14 @@ def label_propagation(
     sym = symmetrize(edges).repartition(
         spark.sparkContext.defaultParallelism, "src_id"
     ).cache()
-    n_sym = sym.count()
+    # count + edge-set fingerprint in one action (resume refuses a
+    # different same-size graph — VERDICT r3 #5)
+    sym_agg = sym.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("fp"),
+    ).first()
+    n_sym = int(sym_agg["m"])
+    edge_fp = int(sym_agg["fp"]) if sym_agg["fp"] is not None else 0
     vertices = vertices_of(edges).cache()
     n_vertices = vertices.count()
     if broadcast_labels is None:
@@ -97,7 +104,9 @@ def label_propagation(
             tolerance=0.0,
             store=store,
             resume=resume,
-            input_signature={"n_vertices": n_vertices, "n_sym_edges": n_sym},
+            input_signature={
+                "n_vertices": n_vertices, "n_sym_edges": n_sym, "edge_fp": edge_fp,
+            },
         )
     finally:
         sym.unpersist()

@@ -135,7 +135,21 @@ class CheckpointStore:
         return None if snap is None else snap.get("summary", {})
 
     def last_committed(self) -> int:
-        return max(self._committed_parts(), default=-1)
+        last = max(self._committed_parts(), default=-1)
+        if last < 0:
+            # a pre-SnapshotCatalog store used manifest.json/state_iter=*;
+            # that layout is unreadable now and a --resume would otherwise
+            # silently restart fresh on top of it
+            legacy = os.path.join(self.catalog.root, "manifest.json")
+            if os.path.exists(legacy):
+                raise ValueError(
+                    f"legacy checkpoint layout at {self.catalog.root!r} "
+                    "(manifest.json found, no catalog metadata): this store "
+                    "was written by a pre-catalog version and cannot be "
+                    "resumed — clear() it (or point the job at a new root) "
+                    "and start a fresh run"
+                )
+        return last
 
     def reset_for_fresh_run(self) -> None:
         """Truncate the state and metrics tables (history kept, data
@@ -199,6 +213,10 @@ class CheckpointStore:
         shutil.rmtree(self.catalog.root, ignore_errors=True)
         os.makedirs(self.catalog.root, exist_ok=True)
         self._staged_iters = {}
+        # drop the catalog's staged-snapshot bookkeeping too: a
+        # stage -> clear -> commit sequence must raise, not publish
+        # metadata pointing at a deleted snapshot directory
+        self.catalog._staged.clear()
 
 
 #: Diagnostic hook: when set, called as ``PLAN_PROBE(iteration, new_state)``

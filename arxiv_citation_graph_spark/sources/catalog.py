@@ -100,6 +100,12 @@ class SnapshotCatalog:
 
     def commit_staged(self, table: str, summary: dict | None = None) -> int:
         """Atomically publish the staged snapshot (Iceberg metadata swap)."""
+        if table not in self._staged:
+            raise ValueError(
+                f"commit_staged({table!r}): no snapshot is staged — call "
+                "stage() first (a clear()/drop_table() discards staged "
+                "snapshots)"
+            )
         st = self._staged.pop(table)
         meta = self._meta(table)
         entry = {
