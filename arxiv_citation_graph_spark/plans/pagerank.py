@@ -72,6 +72,7 @@ def pagerank(
     broadcast_ranks: bool | None = None,
     sources: DataFrame | None = None,
     weight: str | None = None,
+    warm_start: DataFrame | None = None,
 ) -> PageRankResult:
     """Iterate rank mass over ``edges(src_id, dst_id)`` to convergence.
 
@@ -96,6 +97,20 @@ def pagerank(
     between updates both consumers share the materialized state and the
     branch is a free LogicalRDD scan.
 
+    ``warm_start``: optional ``(vertex, rank)`` frame — seed the power
+    iteration from a PRIOR fixpoint instead of the uniform vector.  This
+    is the daily-append operating mode at scale: yesterday's ranks on
+    today's graph (edges appended, vertices added/removed) converge in a
+    handful of supersteps instead of ~1/log10(damping)·tolerance-digits.
+    Seeds are matched by vertex: vertices absent from the seed start at
+    1/n, seeds for vanished vertices are dropped, and the whole vector is
+    renormalized to sum 1 — the fixpoint is therefore IDENTICAL to a
+    fresh run (the stationary distribution does not depend on the start
+    vector), only the convergence path differs.  Distinct from
+    ``resume``, which strictly continues the SAME graph's checkpointed
+    run and refuses a changed edge set; ``warm_start`` exists precisely
+    for changed graphs.  Mutually exclusive with ``resume=True``.
+
     ``broadcast_ranks``: hash-join strategy for the per-superstep
     contribution join.  ``True`` broadcasts the |V|-sized rank vector to
     every task — the cached adjacency is then never reshuffled and a
@@ -106,6 +121,12 @@ def pagerank(
     shuffle otherwise — the same decision AQE would make per-join, made
     once for the whole iteration.
     """
+    if warm_start is not None and resume:
+        raise ValueError(
+            "warm_start and resume are mutually exclusive: resume strictly "
+            "continues the same graph's checkpointed run; warm_start seeds "
+            "a NEW run (typically on a changed graph) from prior ranks"
+        )
     weighted = weight is not None
     if weighted:
         # positive edge weights (e.g. citation multiplicity): a vertex's
@@ -302,6 +323,8 @@ def pagerank(
     else:
         initial = _uniform_ranks(vertices_flagged, n)
         signature = {"n_vertices": n, "n_edges": m, "edge_fp": edge_fp, "damping": damping}
+    if warm_start is not None:
+        initial = _warm_start_ranks(vertices_flagged, state_cols, warm_start, n)
     if weighted:
         signature["weighted"] = True
         signature["weight_fp"] = (
@@ -332,6 +355,48 @@ def pagerank(
 def _uniform_ranks(vertices_flagged: DataFrame, n: int) -> DataFrame:
     return vertices_flagged.select(
         "vertex", "dangling", F.lit(1.0 / n).alias("rank"), F.lit(0.0).alias("delta")
+    )
+
+
+def _warm_start_ranks(
+    vertices_flagged: DataFrame, state_cols: list[str], warm_start: DataFrame, n: int
+) -> DataFrame:
+    """Seed ranks from a prior fixpoint: match by vertex (new vertices at
+    1/n, vanished seeds dropped by the left join), validate, renormalize
+    to sum 1.  One |V|-sized setup aggregate; the iteration plan is
+    unchanged."""
+    seed = (
+        warm_start.select("vertex", F.col("rank").cast("double").alias("_seed"))
+        # duplicate seed rows per vertex are averaged (deterministic;
+        # renormalization below absorbs any scale effect)
+        .groupBy("vertex")
+        .agg(F.avg("_seed").alias("_seed"))
+    )
+    joined = vertices_flagged.join(seed, "vertex", "left").select(
+        *state_cols, F.coalesce(F.col("_seed"), F.lit(1.0 / n)).alias("_r0")
+    )
+    agg = joined.agg(
+        F.sum("_r0").alias("total"),
+        F.min("_r0").alias("mn"),
+        F.sum(
+            F.when(F.col("_r0").isNull() | F.isnan("_r0"), 1).otherwise(0)
+        ).alias("bad"),
+    ).first()
+    if int(agg["bad"]) > 0:
+        raise ValueError(
+            f"warm_start: {agg['bad']} seed ranks are null/NaN — the prior "
+            "ranks frame is corrupt"
+        )
+    total = float(agg["total"])
+    if float(agg["mn"]) < 0.0 or total <= 0.0:
+        raise ValueError(
+            f"warm_start: seed ranks must be non-negative with a positive "
+            f"sum (min={agg['mn']}, sum={total})"
+        )
+    return joined.select(
+        *state_cols,
+        (F.col("_r0") / F.lit(total)).alias("rank"),
+        F.lit(0.0).alias("delta"),
     )
 
 

@@ -180,6 +180,28 @@ def main() -> None:
     extras["pagerank_conv_iterations"] = prc.report.iterations
     extras["pagerank_conv_converged"] = prc.report.converged
 
+    # -- warm-start on a changed graph (the daily-append operating mode) ----
+    # seed today's perturbed graph (0.5% appended edges incl. new vertices)
+    # with yesterday's fixpoint; converges in a fraction of the supersteps
+    def run_pagerank_warm():
+        appended = (
+            edges.orderBy("src_id", "dst_id")
+            .limit(max(n_edges // 200, 10))
+            .select(
+                F.concat(F.lit("w"), F.col("src_id")).alias("src_id"), "dst_id"
+            )
+        )
+        e2 = edges.unionByName(appended).cache()
+        e2.count()
+        res = pagerank(
+            spark, e2, tolerance=1e-8, max_iterations=120, warm_start=prc.ranks
+        )
+        extras["pagerank_warm_iterations"] = res.report.iterations
+        extras["pagerank_warm_converged"] = res.report.converged
+        e2.unpersist()
+
+    timed("pagerank_warm", run_pagerank_warm)
+
     # -- at-scale PageRank throughput (BASELINE.md's 40M-edge zipf input) ----
     from arxiv_citation_graph_spark.datagen import synthetic_edges
 
@@ -215,6 +237,11 @@ def main() -> None:
         "short queries now run SPARK_GRAFT_BENCH_TRIALS=3 interleaved rounds; "
         "reported number is the per-query median (per-trial spreads in "
         "*_trials) — workload definitions themselves byte-frozen vs r2"
+    )
+    extras["workload_changes_r4"] = (
+        "added pagerank_warm (warm-start convergence on a 0.5%-appended "
+        "graph, seeded from pagerank_conv's fixpoint) — the only workload "
+        "change vs r3; everything else byte-frozen"
     )
     extras["trials"] = trials
     extras["trial_times"] = {k: v for k, v in trial_times.items() if len(v) > 1}
