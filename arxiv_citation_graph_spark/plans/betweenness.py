@@ -1,0 +1,239 @@
+"""Approximate betweenness centrality — Brandes over sampled sources.
+
+Betweenness(v) = sum over pairs (s, t) of the fraction of s->t shortest
+paths through v.  Exact betweenness is all-pairs (O(|V|*|E|), Brandes
+2001); the standard approximation samples k source vertices and sums
+their dependency scores (Brandes & Pich 2007) — exactly the engine's
+landmark machinery (``plans/bfs.py::landmark_distances``) extended with
+shortest-path COUNTS and a backward dependency sweep:
+
+**Forward phase** (one superstep run, shared by all k sources): layered
+multi-source BFS over sparse ``(vertex, source, dist, sigma)`` state.
+The BFS frontier invariant makes sigma accumulation exact: every vertex
+of depth d enters the frontier at superstep d TOGETHER, so a vertex first
+reached at depth d+1 receives ``sigma = sum of sigma over all its
+depth-d predecessors`` in that one aggregate — no per-edge DAG pass.
+
+**Backward phase** (one superstep run, ``max_depth`` iterations):
+dependency accumulation in decreasing-depth order,
+
+    dep(v) = sum over DAG successors w (dist_w = dist_v + 1, edge v->w):
+             sigma_v / sigma_w * (1 + dep_w)
+
+one depth level per superstep — superstep i finalizes level
+``max_depth - 1 - i``.  Every shortest-path-DAG edge is joined exactly
+once across the whole sweep (its predecessor's level), so total backward
+join work is O(|DAG edges|), not O(|E| * depth).
+
+Betweenness estimate: ``sum over sources s != v of dep_s(v)`` (the
+vertex's own source row, dist = 0, is excluded — Brandes' convention).
+Undirected graphs count each (s, t) pair from both endpoints when both
+are sampled; the raw sampled sum is reported (deterministic, matching
+the unrolled DuckDB oracle value-for-value).
+
+Determinism: distances/sigma/dep are integer-or-rational valued and the
+source set is deterministic (lexicographic-min by default), so the only
+cross-engine noise is float summation order in dep — absorbed by the
+module's round-to-9 output convention.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+
+@dataclass
+class BetweennessResult:
+    scores: DataFrame  # (vertex, betweenness, n_sources_reached)
+    forward_report: SuperstepReport
+    backward_report: SuperstepReport
+    sources: list[str]
+    max_depth: int
+
+
+def approx_betweenness(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    n_sources: int = 4,
+    max_iterations: int = 200,
+    directed: bool = False,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> BetweennessResult:
+    """Sampled-source betweenness over ``edges(src_id, dst_id)``.
+
+    ``sources``: single-column (``vertex``) frame; default = the
+    ``n_sources`` lexicographically smallest vertices (deterministic,
+    same convention as ``landmark_distances``).  ``directed=False``
+    symmetrizes.  ``store``/``resume`` checkpoint the FORWARD run (the
+    long phase; the backward sweep is bounded by the measured depth).
+    """
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame(
+            [], "vertex string, betweenness double, n_sources_reached long"
+        )
+        rep = SuperstepReport(0, True)
+        return BetweennessResult(empty, rep, rep, [], 0)
+    if sources is None:
+        src_rows = vertices.orderBy("vertex").limit(n_sources).collect()
+        srcs = [r.vertex for r in src_rows]
+    else:
+        src_set = sources.select("vertex").distinct()
+        missing = src_set.join(vertices, "vertex", "anti").count()
+        if missing:
+            vertices.unpersist()
+            raise ValueError(f"{missing} source(s) are not vertices of the graph")
+        srcs = [r.vertex for r in src_set.collect()]
+    if not srcs:
+        vertices.unpersist()
+        raise ValueError("empty source set")
+    adj = (
+        edges.select("src_id", "dst_id") if directed else symmetrize(edges)
+    ).repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    eagg = adj.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ).first()
+    m = int(eagg["m"])
+    edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
+    src_df = spark.createDataFrame([(v,) for v in sorted(srcs)], "source string")
+    src_fp_row = src_df.agg(F.expr("bit_xor(xxhash64(source))")).first()
+    src_fp = int(src_fp_row[0]) if src_fp_row[0] is not None else 0
+
+    broadcast_state = n * len(srcs) <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    # -- forward: layered BFS with path counts ------------------------------
+
+    def fstep(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        frontier = state.filter(F.col("delta") > 0).select(
+            "vertex", "source", "dist", "sigma"
+        )
+        nbr = (
+            adj.join(_mb(frontier), adj.src_id == F.col("vertex"))
+            .groupBy(F.col("dst_id").alias("vertex"), "source")
+            .agg(
+                F.min(F.col("dist") + F.lit(1)).alias("nbr_dist"),
+                F.sum("sigma").alias("nbr_sigma"),
+            )
+        )
+        old = state.select(
+            "vertex", "source", F.col("dist").alias("old_dist"),
+            F.col("sigma").alias("old_sigma"),
+        )
+        # unit-weight layered BFS: a reached pair's dist is final, so the
+        # merge only ADMITS previously-unreached pairs
+        fresh = F.col("old_dist").isNull() & F.col("nbr_dist").isNotNull()
+        new = old.join(nbr, ["vertex", "source"], "full_outer").select(
+            "vertex",
+            "source",
+            F.coalesce(F.col("old_dist"), F.col("nbr_dist")).cast("long").alias("dist"),
+            F.coalesce(F.col("old_sigma"), F.col("nbr_sigma")).cast("double").alias("sigma"),
+            fresh.cast("double").alias("delta"),
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = src_df.select(
+        F.col("source").alias("vertex"),
+        "source",
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1.0).alias("sigma"),
+        F.lit(1.0).alias("delta"),  # sources ARE the first frontier
+    )
+    try:
+        fwd, forward_report = run_supersteps(
+            spark,
+            initial,
+            fstep,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n, "n_edges": m, "edge_fp": edge_fp,
+                "n_sources": len(srcs), "sources_fp": src_fp,
+                "directed": directed, "kernel": "betweenness_forward",
+            },
+        )
+        max_depth = fwd.agg(F.max("dist")).first()[0]
+        max_depth = int(max_depth) if max_depth is not None else 0
+
+        # -- backward: one depth level per superstep -------------------------
+
+        def bstep(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+            level = max_depth - 1 - i
+            succ = state.filter(F.col("dist") == level + 1).select(
+                F.col("vertex").alias("_w"),
+                "source",
+                F.col("sigma").alias("_sigma_w"),
+                F.col("dep").alias("_dep_w"),
+            )
+            # DAG edges into level+1: every shortest-path edge is consumed
+            # exactly once across the sweep (at its predecessor's level)
+            contrib = adj.join(_mb(succ), adj.dst_id == F.col("_w")).select(
+                F.col("src_id").alias("vertex"), "source", "_sigma_w", "_dep_w"
+            )
+            dep_new = (
+                state.filter(F.col("dist") == level)
+                .select("vertex", "source", "sigma")
+                .join(contrib, ["vertex", "source"])
+                .groupBy("vertex", "source")
+                .agg(
+                    F.sum(
+                        F.col("sigma") / F.col("_sigma_w") * (F.lit(1.0) + F.col("_dep_w"))
+                    ).alias("_dep_new")
+                )
+            )
+            at_level = F.col("dist") == F.lit(level)
+            new = state.join(dep_new, ["vertex", "source"], "left").select(
+                "vertex",
+                "source",
+                "dist",
+                "sigma",
+                F.when(at_level, F.coalesce(F.col("_dep_new"), F.lit(0.0)))
+                .otherwise(F.col("dep"))
+                .alias("dep"),
+                at_level.cast("double").alias("delta"),
+            )
+            return new, {"delta": F.sum("delta")}
+
+        b_initial = fwd.select(
+            "vertex", "source", "dist", "sigma",
+            F.lit(0.0).alias("dep"), F.lit(0.0).alias("delta"),
+        )
+        final, backward_report = run_supersteps(
+            spark,
+            b_initial,
+            bstep,
+            max_iterations=max_depth,
+            tolerance=None,  # fixed sweep: exactly one superstep per level
+        )
+        scores = (
+            final.filter(F.col("dist") > 0)  # exclude each source's own row
+            .groupBy("vertex")
+            .agg(
+                F.round(F.sum("dep"), 9).alias("betweenness"),
+                F.count(F.lit(1)).alias("n_sources_reached"),
+            )
+        )
+    finally:
+        adj.unpersist()
+        vertices.unpersist()
+    return BetweennessResult(
+        scores, forward_report, backward_report, sorted(srcs), max_depth
+    )

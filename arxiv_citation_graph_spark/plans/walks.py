@@ -65,12 +65,82 @@ def _walk_frame(start_set: DataFrame, num_walks: int) -> DataFrame:
     )
 
 
+def _prep_adjacency(
+    spark: SparkSession, edges: DataFrame, weight: str | None
+) -> tuple[DataFrame, dict]:
+    """Deduped, src-partitioned, cached adjacency + the walk kernels'
+    shared resume-signature fields (edge count/fingerprint; weight
+    validation + value fingerprint when weighted).
+
+    Weighted mode: duplicate ``(src, dst)`` rows SUM their weights
+    (citation multiplicity); null/NaN/non-positive weights fail fast —
+    the same contract as weighted PageRank (``plans/pagerank.py``).
+    """
+    if weight is None:
+        adj = edges.select("src_id", "dst_id").distinct()
+    else:
+        adj = (
+            edges.select("src_id", "dst_id", F.col(weight).cast("double").alias("_w"))
+            .groupBy("src_id", "dst_id")
+            .agg(F.sum("_w").alias("_w"))
+        )
+    adj = adj.repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    aggs = [
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ]
+    if weight is not None:
+        aggs += [
+            F.min("_w").alias("wmin"),
+            F.sum(
+                F.when(F.col("_w").isNull() | F.isnan("_w"), 1).otherwise(0)
+            ).alias("wbad"),
+            F.expr("bit_xor(xxhash64(src_id, dst_id, _w))").alias("weight_fp"),
+        ]
+    row = adj.agg(*aggs).first()
+    sig = {
+        "n_edges": int(row["m"]),
+        "edge_fp": int(row["edge_fp"]) if row["edge_fp"] is not None else 0,
+    }
+    if weight is not None and int(row["m"]) > 0:
+        if int(row["wbad"]) > 0:
+            adj.unpersist()
+            raise ValueError(
+                f"weighted walks: {row['wbad']} edges have null/NaN weight "
+                f"in column {weight!r}; weights must be positive"
+            )
+        if float(row["wmin"]) <= 0.0:
+            adj.unpersist()
+            raise ValueError(
+                f"weighted walks: min({weight}) = {row['wmin']} — edge "
+                "weights must be strictly positive"
+            )
+        sig["weighted"] = True
+        sig["weight_fp"] = int(row["weight_fp"]) if row["weight_fp"] is not None else 0
+    return adj, sig
+
+
+def _hash60(k: int) -> "F.Column":
+    """60-bit uniform draw for the current candidate row:
+    ``int(md5(walk:k:dst)[:15], 16)`` — DuckDB replays it bit-for-bit."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("walk_id"), F.lit(str(k)), F.col("dst_id"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def random_walks(
     spark: SparkSession,
     edges: DataFrame,
     length: int,
     starts: DataFrame | None = None,
     num_walks: int = 1,
+    weight: str | None = None,
     store: CheckpointStore | None = None,
     resume: bool = False,
 ) -> WalksResult:
@@ -81,13 +151,20 @@ def random_walks(
     ``starts``: single-column (``vertex``) start set; default = every
     vertex with at least one out-edge.  Returns '->'-joined paths (a
     flat string, not an array — stable to hash and to store).
+
+    ``weight``: optional positive edge-weight column (e.g. citation
+    multiplicity) — the neighbor choice becomes the deterministic
+    WEIGHTED hash race ``argmin (h+1)/w`` with ``h`` the 60-bit
+    ``md5(walk:k:dst)`` draw (VERDICT r3 #7): heavier edges win
+    proportionally more races.  IEEE division is correctly rounded, so
+    DuckDB replays the choice bit-for-bit, like node2vec's ``(h+1)*scale``
+    race.  Unweighted mode keeps the original full-hex string race
+    unchanged (existing corpora and resume signatures stay valid).
     """
     if length < 1:
         raise ValueError(f"length must be >= 1, got {length}")
-    adj = edges.select("src_id", "dst_id").distinct().repartition(
-        spark.sparkContext.defaultParallelism, "src_id"
-    ).cache()
-    m = adj.count()
+    adj, adj_sig = _prep_adjacency(spark, edges, weight)
+    m = adj_sig["n_edges"]
     if starts is None:
         starts = adj.select(F.col("src_id").alias("vertex")).distinct()
     start_set = _walk_frame(starts.select("vertex").distinct(), num_walks)
@@ -98,9 +175,12 @@ def random_walks(
         cand = state.select("walk_id", "cur").join(
             adj, F.col("cur") == adj.src_id
         )
-        score = F.md5(
-            F.concat_ws(":", F.col("walk_id"), F.lit(str(k)), F.col("dst_id"))
-        )
+        if weight is None:
+            score = F.md5(
+                F.concat_ws(":", F.col("walk_id"), F.lit(str(k)), F.col("dst_id"))
+            )
+        else:
+            score = (_hash60(k) + F.lit(1)).cast("double") / F.col("_w")
         picks = (
             cand.select("walk_id", F.struct(score.alias("s"), F.col("dst_id").alias("nxt")).alias("c"))
             .groupBy("walk_id")
@@ -130,7 +210,6 @@ def random_walks(
         F.col("vertex").alias("path"),
         F.lit(0.0).alias("delta"),
     )
-    edge_fp_row = adj.agg(F.expr("bit_xor(xxhash64(src_id, dst_id))")).first()
     try:
         final, report = run_supersteps(
             spark,
@@ -140,15 +219,14 @@ def random_walks(
             tolerance=None,  # fixed-length walks, no convergence test
             store=store,
             resume=resume,
-            # num_walks only when non-default: pre-existing durable
-            # checkpoints recorded signatures without the key and must
-            # keep resuming (same policy as cli.py's cc job naming)
+            # num_walks/weight keys only when non-default: pre-existing
+            # durable checkpoints recorded signatures without them and
+            # must keep resuming (same policy as cli.py's cc job naming)
             input_signature={
                 "n_walks": n_walks,
-                "n_edges": m,
                 "length": length,
                 **({"num_walks": num_walks} if num_walks != 1 else {}),
-                "edge_fp": int(edge_fp_row[0]) if edge_fp_row[0] is not None else 0,
+                **adj_sig,
             },
         )
     finally:
@@ -164,6 +242,7 @@ def node2vec_walks(
     q: float = 1.0,
     starts: DataFrame | None = None,
     num_walks: int = 1,
+    weight: str | None = None,
     store: CheckpointStore | None = None,
     resume: bool = False,
 ) -> WalksResult:
@@ -190,15 +269,20 @@ def node2vec_walks(
     ``(prev, candidate)`` to flag neighbors-of-previous; candidate
     fan-out is still exactly deg(cur) rows per walk.  First hop has no
     previous vertex: uniform scale 1.
+
+    ``weight``: optional positive edge-weight column — composes with the
+    p/q topology bias by DIVIDING the race score by the edge weight
+    (``argmin ((h+1)*scale)/w``, VERDICT r3 #7): heavier edges (citation
+    multiplicity) win proportionally more races at every scale class.
+    Exact op order ``((h+1)*scale)/w`` — multiply then divide, both
+    IEEE-correctly-rounded, so DuckDB replays it bit-for-bit.
     """
     if length < 1:
         raise ValueError(f"length must be >= 1, got {length}")
     if p <= 0 or q <= 0:
         raise ValueError(f"p and q must be positive, got p={p}, q={q}")
-    adj = edges.select("src_id", "dst_id").distinct().repartition(
-        spark.sparkContext.defaultParallelism, "src_id"
-    ).cache()
-    m = adj.count()
+    adj, adj_sig = _prep_adjacency(spark, edges, weight)
+    m = adj_sig["n_edges"]
     if starts is None:
         starts = adj.select(F.col("src_id").alias("vertex")).distinct()
     start_set = _walk_frame(starts.select("vertex").distinct(), num_walks)
@@ -233,6 +317,8 @@ def node2vec_walks(
             .otherwise(F.lit(float(q)))
         )
         score = (h + F.lit(1)).cast("double") * scale
+        if weight is not None:
+            score = score / F.col("_w")
         picks = (
             flagged.select(
                 "walk_id",
@@ -271,7 +357,6 @@ def node2vec_walks(
         F.col("vertex").alias("path"),
         F.lit(0.0).alias("delta"),
     )
-    edge_fp_row = adj.agg(F.expr("bit_xor(xxhash64(src_id, dst_id))")).first()
     try:
         final, report = run_supersteps(
             spark,
@@ -283,13 +368,12 @@ def node2vec_walks(
             resume=resume,
             input_signature={
                 "n_walks": n_walks,
-                "n_edges": m,
                 "length": length,
                 **({"num_walks": num_walks} if num_walks != 1 else {}),
                 "p": float(p),
                 "q": float(q),
                 "kernel": "node2vec",
-                "edge_fp": int(edge_fp_row[0]) if edge_fp_row[0] is not None else 0,
+                **adj_sig,
             },
         )
     finally:
@@ -325,51 +409,67 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
 
 
 def skipgram_with_negatives(
-    walks: DataFrame, window: int = 2, negatives: int = 2, buckets: int = 64
+    walks: DataFrame, window: int = 2, negatives: int = 2, buckets: int | None = None
 ) -> DataFrame:
     """SGNS training triples: every distinct skip-gram (center, context)
     positive pair plus ``negatives`` deterministic negative samples per
     pair — the word2vec-with-negative-sampling input a graph-embedding
     trainer consumes downstream of the walk corpus.
 
-    **Deterministic bucketed sampling** (no global vertex index, fully
-    distributed): draw i of pair (c, x) lands in vocabulary bucket
-    ``int(md5(c:x:i)[:8], 16) % buckets``; within that bucket the sampled
-    vertex is ``argmin md5(c:x:i:v)`` over the bucket's vertices (vertex
-    buckets via the same md5-prefix hash).  The per-draw candidate scan
-    is |V|/buckets rows — ``buckets`` is the fan-out knob (size it so a
-    bucket fits a task; the draw is an equi-join on the bucket id plus a
+    **Deterministic bucketed unigram^0.75 sampling** (no global vertex
+    index, fully distributed): draw i of pair (c, x) lands in vocabulary
+    bucket ``int(md5(c:x:i)[:8], 16) % buckets``; within that bucket the
+    sampled vertex is the winner of a frequency-weighted hash race
+    (VERDICT r3 #6 — the classic word2vec noise distribution):
+
+        h(v)     = int(md5(c:x:i:v)[:15], 16)          (60-bit uniform)
+        w(v)     = sqrt(cnt_v * sqrt(cnt_v))            (= cnt_v^0.75)
+        winner   = argmin over bucket of ((h(v)+1) / w(v), v)
+
+    where ``cnt_v`` is v's OCCURRENCE count in the walk corpus, so
+    high-frequency vertices win proportionally more races — node2vec's
+    weight-scaled deterministic choice, applied to negative sampling.
+    ``x^0.75`` is computed as ``sqrt(x*sqrt(x))`` on purpose: IEEE-754
+    requires sqrt/multiply/divide to be correctly rounded, so the score
+    is bit-identical in Spark and DuckDB (``pow(x, 0.75)`` carries no
+    such guarantee) and the corpus stays oracle-checkable.
+
+    The per-draw candidate scan is |V|/buckets rows — ``buckets`` is the
+    fan-out knob (the draw is an equi-join on the bucket id plus a
     min-aggregate with map-side partials, never an all-|V| scan per
-    pair).  Sampling is uniform-per-bucket (near-uniform overall) — the
-    unigram^0.75 weighting of classic word2vec is a documented
-    simplification.  Draws colliding with the pair's own center/context
-    are dropped (standard practice), so a pair can carry fewer than
-    ``negatives`` rows.
+    pair).  ``buckets=None`` auto-sizes to ``max(64, ceil(|V|/4096))``
+    so a bucket stays task-sized at any vocabulary (one extra count
+    action at setup).  Draws colliding with the pair's own
+    center/context are dropped (standard practice), so a pair can carry
+    fewer than ``negatives`` rows.
 
     Output: ``(center, other, label)`` with label 1.0 for positives,
-    0.0 for negatives; bit-reproducible (DuckDB-oracle-checkable — the
-    race uses string-min over ``md5hex|vertex``, IEEE-free).
+    0.0 for negatives; bit-reproducible across engines.
     """
     if negatives < 0:
         raise ValueError(f"negatives must be >= 0, got {negatives}")
-    if buckets < 1:
+    if buckets is not None and buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     pairs = skipgram_pairs(walks, window=window).select("center", "context")
-    vocab = walks.select(
-        F.explode(F.split("path", "->")).alias("vertex")
-    ).distinct()
-    vb = vocab.select(
-        "vertex",
-        (
-            F.conv(F.substring(F.md5("vertex"), 1, 8), 16, 10).cast("bigint")
-            % buckets
-        ).alias("_b"),
-    )
+    toks = walks.select(F.explode(F.split("path", "->")).alias("vertex"))
+    freq = toks.groupBy("vertex").agg(F.count(F.lit(1)).alias("_cnt"))
     positives = pairs.select(
         "center", F.col("context").alias("other"), F.lit(1.0).alias("label")
     )
     if negatives == 0:
         return positives
+    if buckets is None:
+        n_vocab = freq.count()
+        buckets = max(64, -(-n_vocab // 4096))
+    w = F.sqrt(F.col("_cnt").cast("double") * F.sqrt(F.col("_cnt").cast("double")))
+    vb = freq.select(
+        "vertex",
+        (
+            F.conv(F.substring(F.md5("vertex"), 1, 8), 16, 10).cast("bigint")
+            % buckets
+        ).alias("_b"),
+        w.alias("_w"),
+    )
     draws = pairs.select(
         "center",
         "context",
@@ -380,23 +480,29 @@ def skipgram_with_negatives(
         "_b",
         F.conv(F.substring(F.md5(draw_key), 1, 8), 16, 10).cast("bigint") % buckets,
     )
-    race = F.concat(
-        F.md5(F.concat_ws(":", F.col("center"), F.col("context"), F.col("_i"), F.col("vertex"))),
-        F.lit("|"),
-        F.col("vertex"),
-    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("center"), F.col("context"), F.col("_i"), F.col("vertex")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    score = (h + F.lit(1)).cast("double") / F.col("_w")
     neg = (
         draws.join(vb, "_b")
         .groupBy("center", "context", "_i")
-        .agg(F.min(race).alias("_win"))
-        .select(
-            "center",
-            "context",
-            # fixed offset, not separator split: md5 hex is exactly 32
-            # chars, so the vertex starts at char 34 — safe even for
-            # vertex ids containing '|'
-            F.expr("substring(_win, 34)").alias("other"),
+        .agg(
+            F.min(
+                F.struct(score.alias("s"), F.col("vertex").alias("v"))
+            ).alias("_win")
         )
+        .select("center", "context", F.col("_win.v").alias("other"))
         .filter((F.col("other") != F.col("center")) & (F.col("other") != F.col("context")))
         .select("center", "other", F.lit(0.0).alias("label"))
     )

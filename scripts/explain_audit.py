@@ -272,6 +272,41 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.plans.betweenness import approx_betweenness
+
+    bw_plans: list[str] = []
+
+    def probe_all(i, df):
+        bw_plans.append(df._jdf.queryExecution().executedPlan().toString())
+
+    ss_mod.PLAN_PROBE = probe_all
+    try:
+        approx_betweenness(spark, tedges, n_sources=2)
+    finally:
+        ss_mod.PLAN_PROBE = None
+    if len(bw_plans) >= 2:
+        sections.append(
+            (
+                "Betweenness forward superstep (layered BFS + path counts)",
+                "The landmark frontier-delta join extended with a sigma sum: "
+                "new pairs get dist AND path count from ONE aggregate over "
+                "the frontier (BFS layering finalizes each depth together). "
+                f" [{exchange_count(bw_plans[1])}]",
+                condense(bw_plans[1], KEEP),
+            )
+        )
+        sections.append(
+            (
+                "Betweenness backward superstep (one depth level)",
+                "Dependency sweep: level-L predecessors join the level-L+1 "
+                "dependency rows through the adjacency; every shortest-path-"
+                "DAG edge is consumed at exactly one level, so the whole "
+                "sweep is one pass over the DAG.  "
+                f"[{exchange_count(bw_plans[-1])}]",
+                condense(bw_plans[-1], KEEP),
+            )
+        )
+
     tedges.unpersist()
 
     import tempfile
