@@ -922,7 +922,7 @@ SELECT d.vertex, CAST(d.deg AS BIGINT) AS core_deg FROM (
 _KCORE_K = 16  # measured at sf0.01: 93/100 vertices survive after 4 peel rounds
 
 
-@register("kcore_members", _kcore_unrolled_sql(_KCORE_K, rounds=10))
+@register("kcore_members", _kcore_unrolled_sql(_KCORE_K, rounds=16))
 def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core membership with in-core degrees, iterative peeling to the
     fixpoint (plans/kcore.py; the oracle unrolls past the peel depth)."""
@@ -930,6 +930,14 @@ def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     result = kcore(spark, cosupply_edges(spark, sf_dir), _KCORE_K)
     return result.core.select("vertex", F.col("core_deg").cast("long").alias("core_deg"))
+
+
+#: Unrolled BFS depth for the bfs/landmark oracles.  Must exceed the
+#: source-set eccentricity at the driver's sf (measured 3 at sf0.01) —
+#: ADVICE r3: a too-shallow unroll silently truncates and shows up as a
+#: confusing driver mismatch.  16 gives >4x margin; the margin itself is
+#: pinned by tests/test_round4_fixes.py::test_bfs_oracle_rounds_margin.
+_BFS_ORACLE_ROUNDS = 16
 
 
 def _bfs_unrolled_sql(rounds: int) -> str:
@@ -960,7 +968,7 @@ def _bfs_unrolled_sql(rounds: int) -> str:
     )
 
 
-@register("bfs_distances", _bfs_unrolled_sql(rounds=8))
+@register("bfs_distances", _bfs_unrolled_sql(rounds=_BFS_ORACLE_ROUNDS))
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS hop distances (plans/bfs.py), hash-min style
     min(dist+1) exchange to the frontier fixpoint."""
@@ -998,7 +1006,7 @@ def _landmarks_unrolled_sql(rounds: int, k: int) -> str:
     )
 
 
-@register("landmark_distances", _landmarks_unrolled_sql(rounds=8, k=3))
+@register("landmark_distances", _landmarks_unrolled_sql(rounds=_BFS_ORACLE_ROUNDS, k=3))
 def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source landmark BFS (plans/bfs.py::landmark_distances): one
     shared frontier-delta superstep run for all 3 landmarks; sparse
@@ -1014,7 +1022,7 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "landmark_closeness",
     f"""
-WITH lmd AS MATERIALIZED ({_landmarks_unrolled_sql(rounds=8, k=3)})
+WITH lmd AS MATERIALIZED ({_landmarks_unrolled_sql(rounds=_BFS_ORACLE_ROUNDS, k=3)})
 SELECT vertex,
        round(sum(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END), 9) AS closeness,
        CAST(count(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached
@@ -1032,6 +1040,98 @@ def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = landmark_distances(spark, cosupply_edges(spark, sf_dir), n_landmarks=3)
     return harmonic_closeness(result.distances).select(
         "vertex", F.round("closeness", 9).alias("closeness"), "n_reached"
+    )
+
+
+def _betweenness_unrolled_sql(rounds: int, k: int) -> str:
+    """Unrolled Brandes over k sampled sources
+    (plans/betweenness.py::approx_betweenness): (1) multi-source BFS
+    distances, (2) path counts sigma over the shortest-path DAG,
+    (3) dependency accumulation dep(v) = sum over DAG successors w of
+    sigma_v/sigma_w * (1 + dep_w), each phase unrolled ``rounds`` times
+    (recomputed-from-scratch per round, so extra rounds are stable).
+    Betweenness = sum of dep over sources with dist > 0."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym UNION SELECT dst_id FROM sym)",
+        f"srcs AS MATERIALIZED (SELECT vertex AS source FROM verts ORDER BY vertex LIMIT {k})",
+        "d0 AS MATERIALIZED (SELECT source AS vertex, source, 0 AS dist FROM srcs)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT vertex, source, min(dist) AS dist FROM ("
+            f"SELECT vertex, source, dist FROM d{p} UNION ALL "
+            f"SELECT e.dst_id AS vertex, l.source, l.dist + 1 AS dist "
+            f"FROM sym e JOIN d{p} l ON e.src_id = l.vertex"
+            f") GROUP BY vertex, source)"
+        )
+    ctes += [
+        f"distf AS MATERIALIZED (SELECT vertex, source, dist FROM d{rounds})",
+        "dag AS MATERIALIZED ("
+        "SELECT e.src_id AS u, e.dst_id AS v, a.source "
+        "FROM sym e JOIN distf a ON a.vertex = e.src_id "
+        "JOIN distf b ON b.vertex = e.dst_id AND b.source = a.source "
+        "AND b.dist = a.dist + 1)",
+        "s0 AS MATERIALIZED (SELECT vertex, source, "
+        "CASE WHEN dist = 0 THEN 1.0 ELSE 0.0 END AS sigma FROM distf)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT f.vertex, f.source, "
+            f"CASE WHEN f.dist = 0 THEN 1.0 ELSE coalesce(x.sg, 0.0) END AS sigma "
+            f"FROM distf f LEFT JOIN ("
+            f"SELECT g.v AS vertex, g.source, sum(a.sigma) AS sg "
+            f"FROM dag g JOIN s{p} a ON a.vertex = g.u AND a.source = g.source "
+            f"GROUP BY g.v, g.source) x "
+            f"ON x.vertex = f.vertex AND x.source = f.source)"
+        )
+    ctes += [
+        f"sigf AS MATERIALIZED (SELECT * FROM s{rounds})",
+        "p0 AS MATERIALIZED (SELECT vertex, source, 0.0 AS dep FROM distf)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT f.vertex, f.source, "
+            f"coalesce(x.dp, 0.0) AS dep "
+            f"FROM distf f LEFT JOIN ("
+            f"SELECT g.u AS vertex, g.source, "
+            f"sum(sv.sigma / sw.sigma * (1.0 + pw.dep)) AS dp "
+            f"FROM dag g "
+            f"JOIN sigf sv ON sv.vertex = g.u AND sv.source = g.source "
+            f"JOIN sigf sw ON sw.vertex = g.v AND sw.source = g.source "
+            f"JOIN p{p} pw ON pw.vertex = g.v AND pw.source = g.source "
+            f"GROUP BY g.u, g.source) x "
+            f"ON x.vertex = f.vertex AND x.source = f.source)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT p.vertex, round(sum(p.dep), 9) AS betweenness,
+       CAST(count(*) AS BIGINT) AS n_sources_reached
+FROM p{rounds} p JOIN distf f
+  ON f.vertex = p.vertex AND f.source = p.source AND f.dist > 0
+GROUP BY p.vertex"""
+    )
+
+
+@register(
+    "approx_betweenness", _betweenness_unrolled_sql(rounds=_BFS_ORACLE_ROUNDS, k=3)
+)
+def q_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source betweenness centrality (Brandes 2001 / Brandes &
+    Pich 2007) over the co-supply graph: forward layered BFS with path
+    counts + backward dependency sweep, one superstep per depth level
+    (plans/betweenness.py)."""
+    from arxiv_citation_graph_spark.plans.betweenness import approx_betweenness
+
+    result = approx_betweenness(spark, cosupply_edges(spark, sf_dir), n_sources=3)
+    return result.scores.select(
+        "vertex", "betweenness", F.col("n_sources_reached").cast("long").alias("n_sources_reached")
     )
 
 
@@ -1198,6 +1298,69 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.walks
 
 
+def _weighted_walks_unrolled_sql(length: int) -> str:
+    """Unrolled edge-weight-biased walks (plans/walks.py::random_walks
+    with ``weight=``): deterministic synthetic weights
+    ``w = md5(src|dst)[:4] % 4 + 1`` per directed edge; at step k walk w
+    takes argmin over out-neighbors x of ``(h+1)/w`` where
+    ``h = int(md5(w:k:x)[:15], 16)``.  IEEE division is correctly
+    rounded, so DuckDB replays Spark's choices bit-for-bit."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "symw AS MATERIALIZED (SELECT src_id, dst_id, "
+        "((('0x' || substr(md5(src_id || '|' || dst_id), 1, 4))::BIGINT % 4) + 1)::DOUBLE AS w "
+        "FROM sym)",
+        "w0 AS MATERIALIZED (SELECT DISTINCT src_id AS walk_id, src_id AS cur, "
+        "CAST(src_id AS VARCHAR) AS path FROM symw)",
+    ]
+    for k in range(1, length + 1):
+        p = k - 1
+        score = (
+            f"(('0x' || substr(md5(w.walk_id || ':' || {k} || ':' || e.dst_id), 1, 15))"
+            f"::BIGINT + 1)::DOUBLE / e.w"
+        )
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT walk_id, nxt FROM ("
+            f"SELECT w.walk_id, e.dst_id AS nxt, "
+            f"row_number() OVER (PARTITION BY w.walk_id ORDER BY {score}, e.dst_id) AS rn "
+            f"FROM w{p} w JOIN symw e ON w.cur = e.src_id) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT w.walk_id, "
+            f"coalesce(p.nxt, w.cur) AS cur, "
+            f"CASE WHEN p.nxt IS NULL THEN w.path "
+            f"ELSE w.path || '->' || p.nxt END AS path "
+            f"FROM w{p} w LEFT JOIN p{k} p ON w.walk_id = p.walk_id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT walk_id, path FROM w{length}"
+
+
+@register("weighted_walks", _weighted_walks_unrolled_sql(_WALK_LEN))
+def q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weight-biased walk corpus (VERDICT r3 #7): deterministic
+    synthetic multiplicity weights (md5-derived 1..4) bias the hash race
+    — heavier edges win proportionally more neighbor choices."""
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+    from arxiv_citation_graph_spark.plans.walks import random_walks
+
+    sym = symmetrize(cosupply_edges(spark, sf_dir)).select(
+        "src_id",
+        "dst_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "src_id", "dst_id")), 1, 4), 16, 10
+            ).cast("bigint")
+            % 4
+            + 1
+        )
+        .cast("double")
+        .alias("mult"),
+    )
+    result = random_walks(spark, sym, length=_WALK_LEN, weight="mult")
+    return result.walks
+
+
 @register(
     "skipgram_pairs",
     f"""
@@ -1243,11 +1406,17 @@ pairs AS (
   FROM pos a JOIN pos b
     ON a.walk_id = b.walk_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
 ),
-vocab AS (SELECT DISTINCT unnest(parts) AS vertex FROM tok),
+freq AS (
+  SELECT vertex, count(*) AS cnt FROM (SELECT unnest(parts) AS vertex FROM tok)
+  GROUP BY vertex
+),
 vb AS (
+  -- w = cnt^0.75 via sqrt(x*sqrt(x)): IEEE-correctly-rounded in both
+  -- engines (pow(x, 0.75) is not), so the race replays bit-for-bit
   SELECT vertex,
-         ('0x' || substr(md5(vertex), 1, 8))::BIGINT % {_SGNS_BUCKETS} AS b
-  FROM vocab
+         ('0x' || substr(md5(vertex), 1, 8))::BIGINT % {_SGNS_BUCKETS} AS b,
+         sqrt(CAST(cnt AS DOUBLE) * sqrt(CAST(cnt AS DOUBLE))) AS w
+  FROM freq
 ),
 draws AS (
   SELECT center, context, i,
@@ -1256,11 +1425,18 @@ draws AS (
   FROM pairs CROSS JOIN (SELECT unnest(generate_series(0, {_SGNS_NEG - 1})) AS i)
 ),
 neg AS (
-  SELECT d.center, d.context,
-         substr(min(md5(d.center || ':' || d.context || ':' || CAST(d.i AS VARCHAR)
-                        || ':' || v.vertex) || '|' || v.vertex), 34) AS other
-  FROM draws d JOIN vb v ON v.b = d.b
-  GROUP BY d.center, d.context, d.i
+  SELECT center, context, vertex AS other FROM (
+    SELECT d.center, d.context, v.vertex,
+           row_number() OVER (
+             PARTITION BY d.center, d.context, d.i
+             ORDER BY
+               (('0x' || substr(md5(d.center || ':' || d.context || ':'
+                  || CAST(d.i AS VARCHAR) || ':' || v.vertex), 1, 15))::BIGINT
+                + 1)::DOUBLE / v.w,
+               v.vertex
+           ) AS rn
+    FROM draws d JOIN vb v ON v.b = d.b
+  ) WHERE rn = 1
 )
 SELECT center, context AS other, CAST(1.0 AS DOUBLE) AS label FROM pairs
 UNION ALL
@@ -1270,7 +1446,9 @@ WHERE other <> center AND other <> context
 )
 def q_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SGNS training triples (plans/walks.py::skipgram_with_negatives):
-    positives + deterministic bucketed negative draws."""
+    positives + deterministic bucketed unigram^0.75 negative draws (the
+    classic word2vec noise distribution; cnt^0.75 = sqrt(x*sqrt(x)) so
+    the weighted race is IEEE-bit-identical across engines)."""
     from arxiv_citation_graph_spark.plans.layout import symmetrize
     from arxiv_citation_graph_spark.plans.walks import random_walks, skipgram_with_negatives
 
@@ -2531,49 +2709,49 @@ def q_enrich_status_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Registry priority order
+# Registry priority order (self-maintaining rotation)
 # ===========================================================================
-# The driver samples registry entries in insertion order (CORRECTNESS_r02
-# covered exactly the first 50 of 64).  Reorder so queries that have never
-# (or not recently) had a driver row register first; everything else keeps
-# its original relative order.  Names listed here but not registered are
-# ignored, so new queries can be added to the front list before they exist.
+# The driver samples registry entries in insertion order and caps at ~50
+# per round, so with 70+ registered queries some never get a fresh
+# correctness row.  The CORRECTNESS_r*.json files the driver leaves in the
+# repo root ARE the sampling record: sort the registry by each query's most
+# recently sampled round ascending (never-sampled first, then stalest),
+# stable by registration order within ties.  Every round the driver then
+# re-checks exactly the queries whose signal is oldest — no hand-kept
+# priority list to go stale (VERDICT r3 #1 / ADVICE r3).
 
-_PRIORITY_FIRST = [
-    # never driver-checked through round 2
-    "simhash_near_pairs",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "embedding_near_dups",
-    "multimodal_features",
-    "multimodal_frames",
-    # new in round 3
-    "stateful_sessions",
-    "node2vec_walks",
-    "cocitation_cosine",
-    "landmark_distances",
-    "landmark_closeness",
-    "skipgram_negatives",
-    "component_sizes",
-    "degree_assortativity",
-    "clustering_coefficients",
-    # green in r1 but dropped from the driver's r2 sample
-    "exact_dedup",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_fingerprints",
-    "embedding_topk",
-    "embedding_centroids",
-    "enrich_status_classify",
-]
+
+def _last_sampled_rounds() -> dict[str, int]:
+    """{query name: newest round number with a driver correctness row}."""
+    import glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    sampled: dict[str, int] = {}
+    for path in glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            sampled[name] = max(sampled.get(name, -1), rnd)
+    return sampled
 
 
 def _reorder_registry() -> None:
     global _QUERIES, _ORACLES
-    front = [n for n in _PRIORITY_FIRST if n in _QUERIES]
-    rest = [n for n in _QUERIES if n not in set(front)]
-    order = front + rest
+    sampled = _last_sampled_rounds()
+    reg_idx = {n: i for i, n in enumerate(_QUERIES)}
+    order = sorted(_QUERIES, key=lambda n: (sampled.get(n, -1), reg_idx[n]))
     _QUERIES = {n: _QUERIES[n] for n in order}
     _ORACLES = {n: _ORACLES[n] for n in order if n in _ORACLES}
 

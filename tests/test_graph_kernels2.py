@@ -648,13 +648,16 @@ def test_weighted_pagerank_rejects_nan_weights(spark):
 
 def test_skipgram_with_negatives_deterministic(spark):
     """Positives = distinct skip-gram pairs; negatives replay the
-    bucketed md5 race exactly (hashlib reference below)."""
+    bucketed frequency-weighted (unigram^0.75) md5 race exactly
+    (hashlib reference below)."""
     import hashlib
+    from collections import Counter
 
     from arxiv_citation_graph_spark.plans.walks import skipgram_with_negatives
 
+    paths = ["a->b->c->d", "b->a->e"]
     walks = spark.createDataFrame(
-        [("w1", "a->b->c->d"), ("w2", "b->a->e")], ["walk_id", "path"]
+        list(zip(["w1", "w2"], paths)), ["walk_id", "path"]
     )
     B, K, W = 8, 2, 2
     got = {
@@ -673,11 +676,13 @@ def test_skipgram_with_negatives_deterministic(spark):
             if i != j and abs(i - j) <= W
         }
 
-    pairs = pairs_of("a->b->c->d") | pairs_of("b->a->e")
-    vocab = {v for p in ("a->b->c->d", "b->a->e") for v in p.split("->")}
+    pairs = set().union(*(pairs_of(p) for p in paths))
+    freq = Counter(v for p in paths for v in p.split("->"))
+    # cnt^0.75 via sqrt(x*sqrt(x)) — the engine's IEEE-reproducible form
+    wgt = {v: math.sqrt(c * math.sqrt(c)) for v, c in freq.items()}
     hb = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
     by_bucket = {}
-    for v in vocab:
+    for v in freq:
         by_bucket.setdefault(hb(v) % B, []).append(v)
     expected = {(c, x, 1.0) for c, x in pairs}
     for c, x in pairs:
@@ -686,15 +691,54 @@ def test_skipgram_with_negatives_deterministic(spark):
             cands = by_bucket.get(b, [])
             if not cands:
                 continue
-            other = min(
-                cands,
-                key=lambda v: hashlib.md5(f"{c}:{x}:{i}:{v}".encode()).hexdigest()
-                + "|" + v,
-            )
+
+            def score(v):
+                h = int(hashlib.md5(f"{c}:{x}:{i}:{v}".encode()).hexdigest()[:15], 16)
+                return (float(h + 1) / wgt[v], v)
+
+            other = min(cands, key=score)
             if other not in (c, x):
                 expected.add((c, other, 0.0))
     assert got == expected
     assert any(lbl == 0.0 for _, _, lbl in got)  # some negatives survived
+
+
+def test_skipgram_negatives_favor_frequent_vertices(spark):
+    """Unigram^0.75 weighting: a vertex dominating the corpus must win
+    proportionally more negative draws than rare vertices (VERDICT r3 #6).
+    buckets=1 puts every vertex in one race so the weighting is isolated
+    from bucket routing."""
+    from collections import Counter
+
+    from arxiv_citation_graph_spark.plans.walks import skipgram_with_negatives
+
+    # 'hub' appears 16x in the corpus; every other vertex once.  The
+    # a->b style paths generate hub-FREE pairs, whose negative draws can
+    # legitimately land on hub (a draw colliding with its own pair is
+    # dropped, so hub-containing pairs never count hub).
+    rows = [(f"w{i}", f"u{i}->hub") for i in range(16)]
+    rows += [(f"p{i}", f"a{i}->b{i}") for i in range(8)]
+    walks = spark.createDataFrame(rows, ["walk_id", "path"])
+    out = skipgram_with_negatives(walks, window=1, negatives=16, buckets=1).collect()
+    neg_counts = Counter(r.other for r in out if r.label == 0.0)
+    assert neg_counts, "expected some negative draws"
+    hub_wins = neg_counts.get("hub", 0)
+    rare_max = max((c for v, c in neg_counts.items() if v != "hub"), default=0)
+    # hub weight = 16^0.75 = 8: it should beat every rare vertex clearly
+    assert hub_wins > 2 * rare_max, (
+        f"hub won {hub_wins} draws vs best rare {rare_max} — "
+        "frequency weighting not taking effect"
+    )
+
+
+def test_skipgram_buckets_auto_size(spark):
+    from arxiv_citation_graph_spark.plans.walks import skipgram_with_negatives
+
+    walks = spark.createDataFrame([("w", "a->b->c")], ["walk_id", "path"])
+    out = skipgram_with_negatives(walks, window=1, negatives=2, buckets=None)
+    rows = out.collect()  # tiny vocab -> auto buckets=64; just runs clean
+    assert {r.label for r in rows} <= {0.0, 1.0}
+    assert any(r.label == 1.0 for r in rows)
 
 
 def test_skipgram_with_negatives_validation(spark):

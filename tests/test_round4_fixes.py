@@ -1,0 +1,538 @@
+"""Round-4 fixes: registry rotation, triangle cache lifetime, resume
+edge fingerprints for CC/LPA/star-CC, catalog staging hygiene, legacy
+checkpoint-layout detection (VERDICT r3 #1/#3/#4/#5 + ADVICE r3)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- VERDICT #1: self-maintaining driver-oracle rotation -------------------
+
+
+def test_registry_rotation_orders_stalest_first():
+    from arxiv_citation_graph_spark import entry_queries as eq
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(eq.__file__)))
+    r3 = os.path.join(repo_root, "CORRECTNESS_r03.json")
+    if not os.path.exists(r3):
+        pytest.skip("no driver correctness files in this checkout")
+    with open(r3) as fh:
+        sampled_r3 = set(json.load(fh))
+    names = list(eq.queries())
+    stale = [n for n in names if n not in sampled_r3]
+    fresh = [n for n in names if n in sampled_r3]
+    assert stale, "expected at least one query without an r3 driver row"
+    pos = {n: i for i, n in enumerate(names)}
+    assert max(pos[n] for n in stale) < min(pos[n] for n in fresh), (
+        "queries with stale driver signal must register before freshly "
+        "sampled ones (the driver samples the registry front)"
+    )
+    # oracle dict follows the same order and stays aligned
+    assert set(eq.oracle_sql()) <= set(names)
+
+
+def test_registry_rotation_reorder_is_idempotent():
+    from arxiv_citation_graph_spark import entry_queries as eq
+
+    before = list(eq.queries())
+    eq._reorder_registry()  # stable: re-running must not shuffle anything
+    assert list(eq.queries()) == before
+
+
+# --- VERDICT #3/#4: triangle cache lifetime + shared degree scan -----------
+
+
+def test_triangle_counts_releases_caches(spark):
+    from arxiv_citation_graph_spark.plans.triangles import triangle_counts
+
+    spark.catalog.clearCache()  # isolate from other tests' fixtures
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    out = {r.vertex: r.triangles for r in triangle_counts(spark, df).collect()}
+    assert out == {"a": 2, "b": 2, "c": 1, "d": 1}
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "triangle_counts must release its |E|-sized caches before returning"
+    )
+
+
+def test_clustering_coefficients_releases_caches_and_matches(spark):
+    from arxiv_citation_graph_spark.plans.triangles import clustering_coefficients
+
+    spark.catalog.clearCache()
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    rows = {r.vertex: (r.triangles, r.degree, r.lcc) for r in
+            clustering_coefficients(spark, df).collect()}
+    assert rows["a"][:2] == (2, 3)
+    assert rows["c"] == (1, 2, 1.0)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_lcc_drops_self_loop_only_vertices(spark):
+    # 'z' has only a self-loop: no simple-undirected degree -> excluded,
+    # matching the DuckDB oracle's inner join against the degree table
+    from arxiv_citation_graph_spark.plans.triangles import clustering_coefficients
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("z", "z")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    verts = {r.vertex for r in clustering_coefficients(spark, df).collect()}
+    assert verts == {"a", "b", "c"}
+
+
+# --- VERDICT #5: resume refuses same-size different-edge graphs ------------
+
+
+def _square(spark, rot):
+    # 4-cycle; `rot` permutes vertex names so size is identical, edges not
+    names = ["p", "q", "r", "s"]
+    names = names[rot:] + names[:rot]
+    pairs = list(zip(names, names[1:] + names[:1]))
+    return spark.createDataFrame(pairs, ["src_id", "dst_id"])
+
+
+def test_cc_resume_refuses_changed_edges(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.components import connected_components
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "cc"), "cc")
+    connected_components(spark, _square(spark, 0), max_iterations=2, store=store)
+    e2 = spark.createDataFrame(
+        [("p", "q"), ("r", "s"), ("p", "r"), ("q", "s")], ["src_id", "dst_id"]
+    )  # same vertex set + edge count, different edges
+    with pytest.raises(ValueError, match="signature"):
+        connected_components(spark, e2, max_iterations=2, store=store, resume=True)
+
+
+def test_lpa_resume_refuses_changed_edges(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.labelprop import label_propagation
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "lpa"), "lpa")
+    label_propagation(spark, _square(spark, 0), max_iterations=2, store=store)
+    e2 = spark.createDataFrame(
+        [("p", "q"), ("r", "s"), ("p", "r"), ("q", "s")], ["src_id", "dst_id"]
+    )
+    with pytest.raises(ValueError, match="signature"):
+        label_propagation(spark, e2, max_iterations=2, store=store, resume=True)
+
+
+def test_star_cc_resume_refuses_changed_edges(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.components_star import (
+        connected_components_star,
+    )
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "star"), "star")
+    connected_components_star(spark, _square(spark, 0), max_rounds=2, store=store)
+    e2 = spark.createDataFrame(
+        [("p", "q"), ("r", "s"), ("p", "r"), ("q", "s")], ["src_id", "dst_id"]
+    )
+    with pytest.raises(ValueError, match="signature"):
+        connected_components_star(
+            spark, e2, max_rounds=2, store=store, resume=True
+        )
+
+
+# --- VERDICT #2: warm-start PageRank on a changed graph --------------------
+
+
+def test_warm_start_appended_graph_same_fixpoint_fewer_supersteps(spark):
+    """Daily-append mode: new-vertex edges appended to a 20k-edge zipf
+    graph.  The warm-started run must land on the SAME fixpoint as a
+    fresh run (the stationary distribution is start-independent) in
+    strictly fewer supersteps.  Iterations-to-converge scale with
+    log(seed_error / tolerance), so the saving here tracks the
+    perturbation's relative size — the 3x-cut criterion is pinned by the
+    epsilon-perturbation test below at the at-scale relative delta."""
+    from arxiv_citation_graph_spark.datagen import synthetic_edges
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    base = synthetic_edges(spark, 5000, 20000).cache()
+    base.count()
+    prior = pagerank(spark, base, tolerance=1e-8, max_iterations=100)
+    assert prior.report.converged
+    extra = spark.createDataFrame(
+        [("newv0", "v7"), ("newv1", "v13")], ["src_id", "dst_id"]
+    )
+    e2 = base.unionByName(extra).cache()
+    e2.count()
+    fresh = pagerank(spark, e2, tolerance=1e-8, max_iterations=100)
+    warm = pagerank(
+        spark, e2, tolerance=1e-8, max_iterations=100, warm_start=prior.ranks
+    )
+    assert fresh.report.converged and warm.report.converged
+    fresh_ranks = {r.vertex: r.rank for r in fresh.ranks.collect()}
+    warm_ranks = {r.vertex: r.rank for r in warm.ranks.collect()}
+    assert set(fresh_ranks) == set(warm_ranks)
+    worst = max(abs(fresh_ranks[v] - warm_ranks[v]) for v in fresh_ranks)
+    assert worst < 1e-6, f"warm-start fixpoint drifted by {worst}"
+    assert warm.report.iterations < fresh.report.iterations, (
+        f"warm {warm.report.iterations} vs fresh {fresh.report.iterations}"
+    )
+    # the warm seed starts orders of magnitude closer to the fixpoint
+    assert warm.report.deltas[0] < fresh.report.deltas[0] / 100
+    base.unpersist()
+    e2.unpersist()
+
+
+def test_warm_start_at_scale_relative_delta_cuts_supersteps_3x(spark):
+    """The 100 TB daily-append regime: a day's appended edges change a
+    10^12-file graph's fixpoint by ~|dE|/|E| ~ 1e-6 relative.  A single
+    structural edge on a toy graph is already a ~1e-3 relative change,
+    so the at-scale ratio is emulated exactly with a weighted graph
+    whose one perturbed edge weight moves by 1e-6 — a REAL changed
+    graph (different weight fingerprint; resume would refuse it).
+    Warm-started convergence must take <= 1/3 the fresh supersteps
+    (VERDICT r3 #2) and land within 1e-6 of the fresh ranks."""
+    from pyspark.sql import functions as F
+
+    from arxiv_citation_graph_spark.datagen import synthetic_edges
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    base = synthetic_edges(spark, 5000, 20000).withColumn(
+        "mult", F.lit(1.0)
+    ).cache()
+    base.count()
+    prior = pagerank(spark, base, tolerance=1e-8, max_iterations=100, weight="mult")
+    assert prior.report.converged
+    one = base.select("src_id", "dst_id").orderBy("src_id", "dst_id").first()
+    bump = (F.col("src_id") == one.src_id) & (F.col("dst_id") == one.dst_id)
+    e2 = base.select(
+        "src_id",
+        "dst_id",
+        F.when(bump, F.lit(1.0 + 1e-6)).otherwise(F.col("mult")).alias("mult"),
+    ).cache()
+    e2.count()
+    fresh = pagerank(spark, e2, tolerance=1e-8, max_iterations=100, weight="mult")
+    warm = pagerank(
+        spark, e2, tolerance=1e-8, max_iterations=100,
+        weight="mult", warm_start=prior.ranks,
+    )
+    assert fresh.report.converged and warm.report.converged
+    fresh_ranks = {r.vertex: r.rank for r in fresh.ranks.collect()}
+    warm_ranks = {r.vertex: r.rank for r in warm.ranks.collect()}
+    worst = max(abs(fresh_ranks[v] - warm_ranks[v]) for v in fresh_ranks)
+    assert worst < 1e-6, f"warm-start fixpoint drifted by {worst}"
+    assert warm.report.iterations <= fresh.report.iterations / 3, (
+        f"warm start took {warm.report.iterations} supersteps vs fresh "
+        f"{fresh.report.iterations} — expected at least a 3x cut"
+    )
+    base.unpersist()
+    e2.unpersist()
+
+
+def test_warm_start_validates_seeds_and_excludes_resume(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], ["src_id", "dst_id"])
+    bad = spark.createDataFrame([("a", -0.5), ("b", 1.5)], "vertex string, rank double")
+    with pytest.raises(ValueError, match="non-negative"):
+        pagerank(spark, e, tolerance=None, max_iterations=1, warm_start=bad)
+    nan = spark.createDataFrame(
+        [("a", float("nan")), ("b", 1.0)], "vertex string, rank double"
+    )
+    with pytest.raises(ValueError, match="null/NaN"):
+        pagerank(spark, e, tolerance=None, max_iterations=1, warm_start=nan)
+    seed = spark.createDataFrame([("a", 0.5), ("b", 0.5)], "vertex string, rank double")
+    store = CheckpointStore(str(tmp_path / "ws"), "ws")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pagerank(
+            spark, e, tolerance=None, max_iterations=1,
+            store=store, resume=True, warm_start=seed,
+        )
+
+
+# --- VERDICT #7: edge-weight-biased walks -----------------------------------
+
+
+def _weighted_walks_py(edges_w, length):
+    """Python replay of plans/walks.random_walks(weight=...): at step k
+    walk w takes argmin over out-neighbors x of ((h+1)/w, x) with
+    h = int(md5(w:k:x)[:15], 16); duplicate (s, d) weights sum."""
+    import hashlib
+    from collections import defaultdict
+
+    nbrs: dict = defaultdict(lambda: defaultdict(float))
+    for s, d, w in edges_w:
+        nbrs[s][d] += w
+    paths = {}
+    for v0 in sorted(nbrs):
+        cur, path = v0, [v0]
+        for k in range(1, length + 1):
+            out = nbrs.get(cur)
+            if not out:
+                continue
+            nxt = min(
+                out,
+                key=lambda x: (
+                    float(
+                        int(hashlib.md5(f"{v0}:{k}:{x}".encode()).hexdigest()[:15], 16)
+                        + 1
+                    )
+                    / out[x],
+                    x,
+                ),
+            )
+            path.append(nxt)
+            cur = nxt
+        paths[v0] = "->".join(path)
+    return paths
+
+
+def test_weighted_walks_match_python_oracle(spark):
+    from arxiv_citation_graph_spark.plans.walks import random_walks
+
+    edges_w = [
+        ("a", "b", 1.0), ("a", "c", 3.0), ("a", "d", 0.5),
+        ("b", "a", 2.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("c", "d", 4.0),
+        ("d", "a", 1.0),
+        # duplicate row: weights must sum (multiplicity semantics)
+        ("a", "b", 1.5),
+    ]
+    df = spark.createDataFrame(edges_w, "src_id string, dst_id string, mult double")
+    got = {
+        r.walk_id: r.path
+        for r in random_walks(spark, df, length=5, weight="mult").walks.collect()
+    }
+    dedup = [("a", "b", 2.5)] + [e for e in edges_w if (e[0], e[1]) != ("a", "b")]
+    assert got == _weighted_walks_py(dedup, 5)
+
+
+def test_weighted_walks_bias_heavy_edges(spark):
+    from arxiv_citation_graph_spark.plans.walks import random_walks
+
+    # hub fans out to 12 leaves; one edge carries 50x the weight
+    rows = [("hub", f"leaf{i}", 1.0) for i in range(12)]
+    rows[4] = ("hub", "leaf4", 50.0)
+    rows += [(f"leaf{i}", "hub", 1.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "src_id string, dst_id string, mult double")
+    walks = random_walks(spark, df, length=1, num_walks=40, weight="mult").walks
+    first_hops = [r.path.split("->")[1] for r in walks.collect() if r.path.startswith("hub")]
+    assert first_hops, "expected walks starting at hub"
+    from collections import Counter
+
+    wins = Counter(first_hops)
+    heavy = wins.get("leaf4", 0)
+    assert heavy > max(
+        (c for v, c in wins.items() if v != "leaf4"), default=0
+    ), f"heavy edge won {heavy} of {len(first_hops)} first hops: {wins}"
+
+
+def test_weighted_walks_validation(spark):
+    from arxiv_citation_graph_spark.plans.walks import node2vec_walks, random_walks
+
+    bad = spark.createDataFrame(
+        [("a", "b", 0.0), ("b", "a", 1.0)], "src_id string, dst_id string, mult double"
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        random_walks(spark, bad, length=1, weight="mult")
+    nan = spark.createDataFrame(
+        [("a", "b", float("nan")), ("b", "a", 1.0)],
+        "src_id string, dst_id string, mult double",
+    )
+    with pytest.raises(ValueError, match="null/NaN"):
+        node2vec_walks(spark, nan, length=1, weight="mult")
+
+
+def test_node2vec_weighted_composes_with_pq(spark):
+    """Weighted node2vec: score = ((h+1)*scale)/w — replicated in Python."""
+    import hashlib
+    from collections import defaultdict
+
+    from arxiv_citation_graph_spark.plans.walks import node2vec_walks
+
+    edges_w = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "a", 1.0), ("b", "c", 3.0),
+        ("c", "a", 1.0), ("c", "b", 1.0), ("c", "d", 2.0), ("d", "c", 1.0),
+    ]
+    P, Q, L = 4.0, 0.25, 4
+    df = spark.createDataFrame(edges_w, "src_id string, dst_id string, mult double")
+    got = {
+        r.walk_id: r.path
+        for r in node2vec_walks(
+            spark, df, length=L, p=P, q=Q, weight="mult"
+        ).walks.collect()
+    }
+
+    nbrs: dict = defaultdict(dict)
+    for s, d, w in edges_w:
+        nbrs[s][d] = nbrs[s].get(d, 0.0) + w
+    expected = {}
+    for v0 in sorted(nbrs):
+        cur, prev, path = v0, None, [v0]
+        for k in range(1, L + 1):
+            out = nbrs.get(cur)
+            if not out:
+                continue
+
+            def score(x):
+                h = int(hashlib.md5(f"{v0}:{k}:{x}".encode()).hexdigest()[:15], 16)
+                if prev is None:
+                    scale = 1.0
+                elif x == prev:
+                    scale = P
+                elif x in nbrs.get(prev, {}):
+                    scale = 1.0
+                else:
+                    scale = Q
+                return ((float(h + 1) * scale) / out[x], x)
+
+            nxt = min(out, key=score)
+            path.append(nxt)
+            prev, cur = cur, nxt
+        expected[v0] = "->".join(path)
+    assert got == expected
+
+
+# --- stretch: approximate betweenness centrality (Brandes, sampled) --------
+
+
+def _brandes_py(edges, sources):
+    """Textbook Brandes (2001) over an already-symmetrized edge list;
+    returns {vertex: sum of per-source dependencies} (v != s)."""
+    from collections import defaultdict, deque
+
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        nbrs[s].add(d)
+    total = defaultdict(float)
+    for s in sources:
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        preds = defaultdict(list)
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in sorted(nbrs[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        for v in order:
+            if v != s:
+                total[v] += delta[v]
+    return dict(total)
+
+
+def test_approx_betweenness_matches_brandes(spark):
+    from arxiv_citation_graph_spark.plans.betweenness import approx_betweenness
+
+    # two diamonds in a row + a tail: multiple shortest paths exercise
+    # the sigma accumulation and the fractional dependency split
+    und = [
+        ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("d", "f"), ("e", "g"), ("f", "g"),
+        ("g", "h"),
+    ]
+    sym = und + [(y, x) for x, y in und]
+    df = spark.createDataFrame(und, ["src_id", "dst_id"])
+    for srcs in (["a"], ["a", "d", "h"]):
+        src_df = spark.createDataFrame([(v,) for v in srcs], "vertex string")
+        res = approx_betweenness(spark, df, sources=src_df)
+        got = {r.vertex: r.betweenness for r in res.scores.collect()}
+        want = _brandes_py(sym, srcs)
+        # engine reports vertices reached with dist > 0 from >= 1 source —
+        # exactly the per-source v != s union Brandes accumulates
+        want = {v: round(x, 9) for v, x in want.items()}
+        assert set(got) == set(want)
+        for v in got:
+            assert math.isclose(got[v], want.get(v, 0.0), rel_tol=0, abs_tol=1e-9), (
+                f"betweenness({v}) = {got[v]}, Brandes says {want.get(v, 0.0)} "
+                f"(sources {srcs})"
+            )
+
+
+def test_approx_betweenness_validates_sources(spark):
+    from arxiv_citation_graph_spark.plans.betweenness import approx_betweenness
+
+    df = spark.createDataFrame([("a", "b")], ["src_id", "dst_id"])
+    ghost = spark.createDataFrame([("zz",)], "vertex string")
+    with pytest.raises(ValueError, match="not vertices"):
+        approx_betweenness(spark, df, sources=ghost)
+
+
+# --- ADVICE: BFS/landmark oracle unroll depth margin ------------------------
+
+
+def test_bfs_oracle_rounds_margin(spark):
+    """The unrolled BFS/landmark oracles run a FIXED number of relaxation
+    rounds while the engine iterates to convergence; if the test graph's
+    eccentricity ever crept past the unroll depth the oracle would
+    silently truncate (ADVICE r3).  Pin a >=2x margin against the
+    engine's measured convergence at the driver's scale factor."""
+    from arxiv_citation_graph_spark.entry_queries import (
+        _BFS_ORACLE_ROUNDS,
+        cosupply_edges,
+    )
+    from arxiv_citation_graph_spark.plans.bfs import bfs_distances, landmark_distances
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        pytest.skip("driver testdata not present")
+    edges = cosupply_edges(spark, sf_dir)
+    single = bfs_distances(spark, edges)
+    multi = landmark_distances(spark, edges, n_landmarks=3)
+    # report.iterations includes the final no-change verification round,
+    # so it upper-bounds the true eccentricity
+    worst = max(single.report.iterations, multi.report.iterations)
+    assert worst * 2 <= _BFS_ORACLE_ROUNDS, (
+        f"BFS converged in {worst} rounds but the oracle unrolls only "
+        f"{_BFS_ORACLE_ROUNDS} — margin below 2x; raise _BFS_ORACLE_ROUNDS"
+    )
+
+
+# --- ADVICE: catalog staging hygiene + legacy layout detection -------------
+
+
+def test_commit_staged_without_stage_raises(tmp_path):
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    with pytest.raises(ValueError, match="no snapshot is staged"):
+        cat.commit_staged("t")
+
+
+def test_clear_discards_staged_snapshot(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "job"), "j")
+    df = spark.range(3).select(F.col("id").cast("string").alias("v"))
+    store.write_state(df, 0)  # stages in the catalog
+    store.clear()
+    # stage -> clear -> commit must raise, never publish metadata
+    # pointing at the deleted snapshot directory
+    with pytest.raises(ValueError, match="no snapshot is staged"):
+        store.catalog.commit_staged(store.STATE_TABLE)
+
+
+def test_legacy_manifest_layout_refuses_resume(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "old"), "oldjob")
+    with open(os.path.join(store.catalog.root, "manifest.json"), "w") as fh:
+        json.dump({"job": "oldjob", "committed_iteration": 3}, fh)
+    with pytest.raises(ValueError, match="legacy checkpoint layout"):
+        store.last_committed()
+    # a store with real catalog commits is unaffected even if a stray
+    # manifest.json sits next to them
+    df = spark.range(2).select(F.col("id").cast("string").alias("v"))
+    store.write_state(df, 0)
+    store.commit(0, {"delta": 0.0})
+    assert store.last_committed() == 0
