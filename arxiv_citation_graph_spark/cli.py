@@ -31,7 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="warehouse root")
     p.add_argument("--extended", action="store_true", help="also write reference_tree-style table")
 
-    for name in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore", "bfs", "walks"):
+    for name in (
+        "pagerank", "cc", "lpa", "triangles", "hits", "kcore", "bfs", "walks",
+        "betweenness",
+    ):
         p = sub.add_parser(name)
         p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
         p.add_argument("--out", required=True, help="warehouse root")
@@ -52,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
                 "--weight", default=None,
                 help="edge-weight column in the edges table -> weighted PageRank",
             )
+            p.add_argument(
+                "--warm-start-from", default=None,
+                help="prior (vertex, rank) parquet path, or 'ranks' for the "
+                "warehouse table — seeds the iteration (changed-graph daily-"
+                "append mode; incompatible with --resume)",
+            )
         if name == "hits":
             p.add_argument("--iterations", type=int, default=20)
             p.add_argument("--tolerance", type=float, default=1e-8)
@@ -64,9 +73,19 @@ def main(argv: list[str] | None = None) -> int:
                 "--landmarks", type=int, default=None,
                 help="K: multi-source landmark distances instead of single-source",
             )
+        if name == "betweenness":
+            p.add_argument(
+                "--n-sources", type=int, default=4,
+                help="sampled Brandes sources (lexicographic-min vertices)",
+            )
+            p.add_argument("--directed", action="store_true")
         if name == "walks":
             p.add_argument("--length", type=int, default=8)
             p.add_argument("--undirected", action="store_true")
+            p.add_argument(
+                "--weight", default=None,
+                help="edge-weight column -> weight-biased neighbor choice",
+            )
             p.add_argument(
                 "--p", type=float, default=None,
                 help="node2vec return parameter (with --q: biased walks)",
@@ -81,6 +100,26 @@ def main(argv: list[str] | None = None) -> int:
                 help="hashmin: O(diameter) supersteps (link-graph default); "
                 "star: O(log^2 n) rounds (giant-diameter graphs)",
             )
+            p.add_argument(
+                "--warm-start-append-only", default=None,
+                help="prior (vertex, component) parquet path, or 'components' "
+                "for the warehouse table — incremental WCC; VALID ONLY when "
+                "edges were appended since the prior run (hashmin algo)",
+            )
+
+    p = sub.add_parser(
+        "ingest",
+        help="drain new docs files (streaming file source, AvailableNow) "
+        "into snapshot-per-batch edge commits; idempotent and incremental",
+    )
+    p.add_argument("--docs", required=True, help="directory the stream watches")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--max-files-per-trigger", type=int, default=8)
+    p.add_argument(
+        "--refresh-pagerank", action="store_true",
+        help="after draining, re-rank the edge union, warm-started from the "
+        "warehouse 'ranks' table when present, and commit the new ranks",
+    )
 
     p = sub.add_parser("bench-corpus", help="write a deterministic synthetic docs corpus")
     p.add_argument("--n-docs", type=int, default=10000)
@@ -102,6 +141,33 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     catalog = SnapshotCatalog(args.out)
+
+    if args.cmd == "ingest":
+        from arxiv_citation_graph_spark.streaming.ingest import (
+            ingest_edges,
+            refresh_pagerank,
+        )
+
+        batches = ingest_edges(
+            spark, args.docs, catalog, f"{args.out}/_stream_checkpoint",
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(f"ingest: committed {len(batches)} batch(es): {batches}")
+        if args.refresh_pagerank:
+            prior = None
+            try:
+                prior = catalog.read(spark, "ranks")
+            except FileNotFoundError:
+                pass  # first refresh: cold start from the uniform vector
+            result = refresh_pagerank(spark, catalog, prior_ranks=prior)
+            catalog.create_or_replace("ranks", result.ranks)
+            print(
+                f"refresh: {result.num_vertices} vertices, "
+                f"{result.report.iterations} supersteps "
+                f"({'warm' if prior is not None else 'cold'} start), "
+                f"converged={result.report.converged}"
+            )
+        return 0
 
     if args.cmd == "extract":
         from arxiv_citation_graph_spark.operators.extract import (
@@ -151,6 +217,10 @@ def main(argv: list[str] | None = None) -> int:
         job = f"bfs-landmarks{args.landmarks}"
     if args.cmd == "walks" and (args.p is not None or args.q is not None):
         job = "walks-node2vec"  # extra `prev` state column vs uniform walks
+    if args.cmd == "walks" and args.weight:
+        # weighted runs are a different corpus: don't clobber (or falsely
+        # resume) an unweighted checkpoint under the same job name
+        job = f"{job}-weighted"
     store = CheckpointStore(f"{args.out}/_checkpoints", job)
 
     if args.cmd == "pagerank":
@@ -162,10 +232,23 @@ def main(argv: list[str] | None = None) -> int:
             if not seed:
                 raise SystemExit("--sources given but contains no vertex ids")
             sources = spark.createDataFrame(seed, ["vertex"])
+        warm = None
+        if args.warm_start_from:
+            if args.resume:
+                raise SystemExit(
+                    "--warm-start-from and --resume are mutually exclusive: "
+                    "resume continues the SAME graph's run; warm start seeds "
+                    "a new run on a changed graph"
+                )
+            warm = (
+                catalog.read(spark, "ranks")
+                if args.warm_start_from == "ranks"
+                else spark.read.parquet(args.warm_start_from)
+            )
         result = pagerank(
             spark, edges, damping=args.damping, tolerance=args.tolerance,
             max_iterations=args.max_iterations, store=store, resume=args.resume,
-            sources=sources, weight=args.weight,
+            sources=sources, weight=args.weight, warm_start=warm,
         )
         catalog.create_or_replace("ranks", result.ranks)
         print(
@@ -174,6 +257,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         top_k(result.ranks, 10).show(truncate=False)
     elif args.cmd == "cc":
+        if args.warm_start_append_only and args.algo == "star":
+            raise SystemExit(
+                "--warm-start-append-only requires the hashmin algo (star's "
+                "state is an edge set, not labels)"
+            )
+        if args.warm_start_append_only and args.resume:
+            raise SystemExit(
+                "--warm-start-append-only and --resume are mutually exclusive"
+            )
         if args.algo == "star":
             from arxiv_citation_graph_spark.plans.components_star import (
                 connected_components_star,
@@ -187,8 +279,16 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from arxiv_citation_graph_spark.plans.components import connected_components
 
+            warm_labels = None
+            if args.warm_start_append_only:
+                warm_labels = (
+                    catalog.read(spark, "components")
+                    if args.warm_start_append_only == "components"
+                    else spark.read.parquet(args.warm_start_append_only)
+                )
             result = connected_components(
-                spark, edges, max_iterations=args.max_iterations, store=store, resume=args.resume
+                spark, edges, max_iterations=args.max_iterations, store=store,
+                resume=args.resume, warm_start_append_only=warm_labels,
             )
             catalog.create_or_replace("components", result.components)
             print(f"cc: {result.report.iterations} supersteps, converged={result.report.converged}")
@@ -233,20 +333,34 @@ def main(argv: list[str] | None = None) -> int:
         from arxiv_citation_graph_spark.plans.layout import symmetrize
         from arxiv_citation_graph_spark.plans.walks import node2vec_walks, random_walks
 
-        wedges = symmetrize(edges) if args.undirected else edges
+        wedges = symmetrize(edges, extra_cols=[args.weight] if args.weight else None) \
+            if args.undirected else edges
         if args.p is not None or args.q is not None:
             wresult = node2vec_walks(
                 spark, wedges, length=args.length,
                 p=args.p if args.p is not None else 1.0,
                 q=args.q if args.q is not None else 1.0,
-                store=store, resume=args.resume,
+                weight=args.weight, store=store, resume=args.resume,
             )
         else:
             wresult = random_walks(
-                spark, wedges, length=args.length, store=store, resume=args.resume
+                spark, wedges, length=args.length, weight=args.weight,
+                store=store, resume=args.resume,
             )
         catalog.create_or_replace("walks", wresult.walks)
         print(f"walks: {wresult.walks.count()} walks of length {args.length}")
+    elif args.cmd == "betweenness":
+        from arxiv_citation_graph_spark.plans.betweenness import approx_betweenness
+
+        bw = approx_betweenness(
+            spark, edges, n_sources=args.n_sources, directed=args.directed,
+            max_iterations=args.max_iterations, store=store, resume=args.resume,
+        )
+        catalog.create_or_replace("betweenness", bw.scores)
+        print(
+            f"betweenness: sources {bw.sources}, depth {bw.max_depth}, "
+            f"{bw.forward_report.iterations}+{bw.backward_report.iterations} supersteps"
+        )
     elif args.cmd == "bfs":
         from arxiv_citation_graph_spark.plans.bfs import bfs_distances, landmark_distances
 

@@ -717,6 +717,26 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.components.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
 
 
+@register("connected_components_warm", _cc_unrolled_sql(_CC_ITERS))
+def q_connected_components_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only incremental WCC (plans/components.py
+    ``warm_start_append_only``): labels from an 80%-edge prior run seed
+    the full-graph run.  The fixpoint is seed-independent for appends,
+    so the oracle is the SAME unrolled hash-min SQL as
+    ``connected_components`` — equality here is exactly the exactness
+    claim."""
+    from arxiv_citation_graph_spark.plans.components import connected_components
+
+    full = cosupply_edges(spark, sf_dir)
+    prior_edges = full.filter(F.pmod(F.xxhash64("src_id", "dst_id"), F.lit(5)) != 0)
+    prior = connected_components(spark, prior_edges, max_iterations=_CC_ITERS)
+    result = connected_components(
+        spark, full, max_iterations=_CC_ITERS,
+        warm_start_append_only=prior.components,
+    )
+    return result.components
+
+
 @register("connected_components_star", _cc_unrolled_sql(_CC_ITERS))
 def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-star/small-star components (the O(log^2 n)-round variant for

@@ -45,7 +45,27 @@ def connected_components(
     store: CheckpointStore | None = None,
     resume: bool = False,
     broadcast_labels: bool | None = None,
+    warm_start_append_only: DataFrame | None = None,
 ) -> ComponentsResult:
+    """``warm_start_append_only``: optional prior ``(vertex, component)``
+    labels — incremental WCC for the daily-APPEND operating mode.  When
+    edges/vertices were only ADDED since the prior run, seeding each
+    surviving vertex with its old label (= its old component's min
+    vertex, still a member of its new component) makes hash-min converge
+    to the EXACT fresh answer in O(diameter of the merged region)
+    supersteps instead of O(graph diameter).  The name is deliberate:
+    with edge REMOVALS a split-off half can keep the other half's old
+    minimum as its label with no detectable error — deletions require a
+    fresh run (same reason ``resume`` refuses changed graphs).  New
+    vertices start at their own id; labels of vanished vertices are
+    dropped; mutually exclusive with ``resume``.
+    """
+    if warm_start_append_only is not None and resume:
+        raise ValueError(
+            "warm_start_append_only and resume are mutually exclusive: "
+            "resume continues the SAME graph's checkpointed run; warm "
+            "start seeds a new run on an appended graph"
+        )
     sym = symmetrize(edges).repartition(
         spark.sparkContext.defaultParallelism, "src_id"
     ).cache()
@@ -92,9 +112,28 @@ def connected_components(
         )
         return new, {"delta": F.sum("delta")}
 
-    initial = vertices.select(
-        "vertex", F.col("vertex").alias("component"), F.lit(0.0).alias("delta")
-    )
+    if warm_start_append_only is not None:
+        seed = (
+            warm_start_append_only.select(
+                "vertex", F.col("component").alias("_seed")
+            )
+            # duplicate rows per vertex collapse to the min (deterministic)
+            .groupBy("vertex")
+            .agg(F.min("_seed").alias("_seed"))
+        )
+        initial = vertices.join(seed, "vertex", "left").select(
+            "vertex",
+            # least(): a prior label can never exceed the vertex's own id,
+            # but clamping keeps even a malformed seed monotone-safe
+            F.least(
+                F.coalesce(F.col("_seed"), F.col("vertex")), F.col("vertex")
+            ).alias("component"),
+            F.lit(0.0).alias("delta"),
+        )
+    else:
+        initial = vertices.select(
+            "vertex", F.col("vertex").alias("component"), F.lit(0.0).alias("delta")
+        )
     try:
         final, report = run_supersteps(
             spark,

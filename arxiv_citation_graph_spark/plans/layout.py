@@ -91,11 +91,16 @@ def hot_vertices(edges: DataFrame, threshold: int, direction: str = "in") -> Dat
     )
 
 
-def symmetrize(edges: DataFrame) -> DataFrame:
+def symmetrize(edges: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
     """Undirected view: both orientations, deduplicated, self-loops kept
-    out (CC/LPA/triangles treat the graph as simple; SURVEY.md §2.8 U5)."""
-    fwd = edges.select("src_id", "dst_id")
-    rev = edges.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
+    out (CC/LPA/triangles treat the graph as simple; SURVEY.md §2.8 U5).
+    ``extra_cols`` (e.g. a weight) ride along unchanged on both
+    orientations."""
+    extra = list(extra_cols or [])
+    fwd = edges.select("src_id", "dst_id", *extra)
+    rev = edges.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"), *extra
+    )
     return fwd.unionByName(rev).filter(F.col("src_id") != F.col("dst_id")).distinct()
 
 

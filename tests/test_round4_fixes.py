@@ -392,6 +392,75 @@ def test_node2vec_weighted_composes_with_pq(spark):
     assert got == expected
 
 
+# --- warm-start connected components (append-only incremental WCC) ---------
+
+
+def _path_edges(prefix, n):
+    return [(f"{prefix}{i:03d}", f"{prefix}{i + 1:03d}") for i in range(n - 1)]
+
+
+def test_cc_warm_start_appended_graph_exact_and_faster(spark):
+    """Daily-append WCC: a short new chain attaches to a long path.  The
+    warm-started run must produce the EXACT fresh labels while only
+    flooding the attached region (supersteps ~ its diameter, not the
+    graph's)."""
+    from arxiv_citation_graph_spark.plans.components import connected_components
+
+    long_path = _path_edges("p", 40)
+    short_path = _path_edges("q", 4)
+    base = spark.createDataFrame(long_path + short_path, ["src_id", "dst_id"])
+    prior = connected_components(spark, base, max_iterations=60)
+    assert prior.report.converged
+
+    merged = long_path + short_path + [("p039", "q000")]
+    e2 = spark.createDataFrame(merged, ["src_id", "dst_id"])
+    fresh = connected_components(spark, e2, max_iterations=60)
+    warm = connected_components(
+        spark, e2, max_iterations=60, warm_start_append_only=prior.components
+    )
+    assert fresh.report.converged and warm.report.converged
+    fl = {r.vertex: r.component for r in fresh.components.collect()}
+    wl = {r.vertex: r.component for r in warm.components.collect()}
+    assert wl == fl, "warm-started labels differ from the fresh run"
+    assert set(wl.values()) == {"p000"}  # one merged component, min vertex
+    assert warm.report.iterations <= fresh.report.iterations / 3, (
+        f"warm {warm.report.iterations} vs fresh {fresh.report.iterations}"
+    )
+
+
+def test_cc_warm_start_is_exact_even_when_big_side_loses(spark):
+    """Append that forces the old minimum to flood the LONG chain: no
+    speed win, but exactness must hold (monotone min over seeded labels)."""
+    from arxiv_citation_graph_spark.plans.components import connected_components
+
+    long_path = _path_edges("q", 30)  # labels q000..; component q000
+    base = spark.createDataFrame(long_path, ["src_id", "dst_id"])
+    prior = connected_components(spark, base, max_iterations=60)
+    merged = long_path + [("a000", "q029")]  # 'a000' < every q vertex
+    e2 = spark.createDataFrame(merged, ["src_id", "dst_id"])
+    fresh = connected_components(spark, e2, max_iterations=60)
+    warm = connected_components(
+        spark, e2, max_iterations=60, warm_start_append_only=prior.components
+    )
+    fl = {r.vertex: r.component for r in fresh.components.collect()}
+    wl = {r.vertex: r.component for r in warm.components.collect()}
+    assert wl == fl
+    assert set(wl.values()) == {"a000"}
+
+
+def test_cc_warm_start_excludes_resume(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.components import connected_components
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    df = spark.createDataFrame([("a", "b")], ["src_id", "dst_id"])
+    seed = spark.createDataFrame([("a", "a")], "vertex string, component string")
+    store = CheckpointStore(str(tmp_path / "ccws"), "ccws")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        connected_components(
+            spark, df, store=store, resume=True, warm_start_append_only=seed
+        )
+
+
 # --- stretch: approximate betweenness centrality (Brandes, sampled) --------
 
 
@@ -466,6 +535,93 @@ def test_approx_betweenness_validates_sources(spark):
     ghost = spark.createDataFrame([("zz",)], "vertex string")
     with pytest.raises(ValueError, match="not vertices"):
         approx_betweenness(spark, df, sources=ghost)
+
+
+# --- CLI surface for the round-4 capabilities --------------------------------
+
+
+def test_cli_ingest_betweenness_and_warm_flags(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+
+    from arxiv_citation_graph_spark.datagen import corpus_pdf
+    from arxiv_citation_graph_spark.sources.docs import DOCS_SCHEMA
+
+    docs_dir = str(tmp_path / "docs_in")
+    wh = str(tmp_path / "wh")
+    docs = spark.createDataFrame(corpus_pdf(seed=9, n_docs=40), schema=DOCS_SCHEMA)
+    docs.filter(F.col("repo") < "paper000020").write.mode("append").parquet(docs_dir)
+
+    # day 1: ingest + cold refresh
+    assert cli.main(
+        ["ingest", "--docs", docs_dir, "--out", wh, "--refresh-pagerank"]
+    ) == 0
+    cat = SnapshotCatalog(wh)
+    day1_edges = cat.read(spark, "edges").count()
+    assert day1_edges > 0
+    assert abs(cat.read(spark, "ranks").agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
+
+    # day 2: more files land; only they are ingested; refresh warm-starts
+    docs.filter(F.col("repo") >= "paper000020").write.mode("append").parquet(docs_dir)
+    assert cli.main(
+        ["ingest", "--docs", docs_dir, "--out", wh, "--refresh-pagerank"]
+    ) == 0
+    assert cat.read(spark, "edges").count() > day1_edges
+
+    # warm-start pagerank from the warehouse ranks table, on the edge union
+    edges_path = str(tmp_path / "edges_pq")
+    cat.read(spark, "edges").dropDuplicates(["src_id", "dst_id"]).write.parquet(
+        edges_path
+    )
+    assert cli.main(
+        ["pagerank", "--edges", edges_path, "--out", wh,
+         "--warm-start-from", "ranks", "--max-iterations", "50"]
+    ) == 0
+
+    # cc, then incremental cc seeded from the committed components table
+    assert cli.main(["cc", "--edges", edges_path, "--out", wh]) == 0
+    assert cli.main(
+        ["cc", "--edges", edges_path, "--out", wh,
+         "--warm-start-append-only", "components"]
+    ) == 0
+
+    # betweenness + weighted walks commit their tables
+    assert cli.main(
+        ["betweenness", "--edges", edges_path, "--out", wh, "--n-sources", "2"]
+    ) == 0
+    assert cat.read(spark, "betweenness").count() > 0
+    wedges_path = str(tmp_path / "wedges_pq")
+    spark.read.parquet(edges_path).withColumn("mult", F.lit(2.0)).write.parquet(
+        wedges_path
+    )
+    assert cli.main(
+        ["walks", "--edges", wedges_path, "--out", wh, "--length", "3",
+         "--undirected", "--weight", "mult"]
+    ) == 0
+    assert cat.read(spark, "walks").count() > 0
+
+
+def test_cli_warm_flags_mutual_exclusions(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    edges_path = str(tmp_path / "e")
+    spark.createDataFrame([("a", "b")], ["src_id", "dst_id"]).write.parquet(edges_path)
+    wh = str(tmp_path / "wh2")
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["pagerank", "--edges", edges_path, "--out", wh,
+             "--warm-start-from", "ranks", "--resume"]
+        )
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["cc", "--edges", edges_path, "--out", wh, "--algo", "star",
+             "--warm-start-append-only", "components"]
+        )
 
 
 # --- ADVICE: BFS/landmark oracle unroll depth margin ------------------------

@@ -1,0 +1,104 @@
+"""Incremental edge ingest (streaming/ingest.py): snapshot-per-batch
+commits, checkpointed incrementality, replay idempotency, and the
+warm-started PageRank refresh — the daily-append pipeline end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus_halves(spark):
+    from arxiv_citation_graph_spark.datagen import corpus_df
+
+    docs = corpus_df(spark, seed=17, n_docs=60).cache()
+    docs.count()
+    half_a = docs.filter(F.col("repo") < "paper000030")
+    half_b = docs.filter(F.col("repo") >= "paper000030")
+    yield docs, half_a, half_b
+    docs.unpersist()
+
+
+def _expected_edges(docs):
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
+
+    return {(r.src_id, r.dst_id) for r in edges_from_docs(docs).collect()}
+
+
+def test_ingest_commits_and_is_incremental(spark, tmp_path, corpus_halves):
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+    from arxiv_citation_graph_spark.streaming.ingest import (
+        edges_snapshot,
+        ingest_edges,
+    )
+
+    docs, half_a, half_b = corpus_halves
+    stream_dir = str(tmp_path / "docs_stream")
+    ckpt = str(tmp_path / "ckpt")
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+
+    half_a.write.mode("append").parquet(stream_dir)
+    batches1 = ingest_edges(spark, stream_dir, cat, ckpt, max_files_per_trigger=4)
+    assert batches1, "first drain committed no batches"
+    got_a = {(r.src_id, r.dst_id) for r in edges_snapshot(spark, cat).collect()}
+    assert got_a == _expected_edges(half_a)
+
+    # nothing new -> no-op drain (checkpoint remembers consumed files)
+    assert ingest_edges(spark, stream_dir, cat, ckpt) == []
+
+    # second day's files land; only THEY are processed
+    half_b.write.mode("append").parquet(stream_dir)
+    batches2 = ingest_edges(spark, stream_dir, cat, ckpt, max_files_per_trigger=4)
+    assert batches2 and min(batches2) > max(batches1)
+    got_all = {(r.src_id, r.dst_id) for r in edges_snapshot(spark, cat).collect()}
+    assert got_all == _expected_edges(docs)
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path, corpus_halves):
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+    from arxiv_citation_graph_spark.streaming.ingest import edges_snapshot
+
+    _, half_a, _ = corpus_halves
+    cat = SnapshotCatalog(str(tmp_path / "cat2"))
+    edges = edges_from_docs(half_a)
+    # a crashed-and-retried micro-batch re-runs under the SAME batch id:
+    # overwrite_partition must leave exactly one copy
+    cat.overwrite_partition("edges", edges, {"batch": 0})
+    cat.overwrite_partition("edges", edges, {"batch": 0})
+    got = [tuple(r) for r in edges_snapshot(spark, cat).collect()]
+    assert len(got) == len(set(got)) == len(_expected_edges(half_a))
+
+
+def test_refresh_pagerank_warm_start_round_trip(spark, tmp_path, corpus_halves):
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+    from arxiv_citation_graph_spark.streaming.ingest import (
+        ingest_edges,
+        refresh_pagerank,
+    )
+
+    docs, half_a, half_b = corpus_halves
+    stream_dir = str(tmp_path / "docs_stream3")
+    ckpt = str(tmp_path / "ckpt3")
+    cat = SnapshotCatalog(str(tmp_path / "cat3"))
+
+    half_a.write.mode("append").parquet(stream_dir)
+    ingest_edges(spark, stream_dir, cat, ckpt)
+    day1 = refresh_pagerank(spark, cat, tolerance=1e-8, max_iterations=100)
+    assert day1.report.converged
+
+    half_b.write.mode("append").parquet(stream_dir)
+    ingest_edges(spark, stream_dir, cat, ckpt)
+    warm = refresh_pagerank(
+        spark, cat, prior_ranks=day1.ranks, tolerance=1e-8, max_iterations=100
+    )
+    fresh = refresh_pagerank(spark, cat, tolerance=1e-8, max_iterations=100)
+    assert warm.report.converged and fresh.report.converged
+    fr = {r.vertex: r.rank for r in fresh.ranks.collect()}
+    wr = {r.vertex: r.rank for r in warm.ranks.collect()}
+    assert set(fr) == set(wr)
+    worst = max(abs(fr[v] - wr[v]) for v in fr)
+    assert worst < 1e-6, f"warm refresh drifted {worst} from the fresh ranks"
