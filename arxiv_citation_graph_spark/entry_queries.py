@@ -908,6 +908,153 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _katz_unrolled_sql(iters: int, alpha: float, beta: float) -> str:
+    """Unrolled Katz series on the symmetrized co-supply graph:
+    ``x0 = beta``, ``xk = beta + alpha * sum of neighbors' x`` — the same
+    truncated series plans/centrality.py::katz_centrality runs in
+    fixed-iteration mode."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym UNION SELECT dst_id FROM sym)",
+        f"x0 AS MATERIALIZED (SELECT vertex, {beta!r} AS x FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"x{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"{beta!r} + {alpha!r} * coalesce(s.s, 0.0) AS x "
+            f"FROM verts v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, sum(x.x) AS s "
+            f"FROM sym e JOIN x{p} x ON e.src_id = x.vertex GROUP BY e.dst_id"
+            f") s ON v.vertex = s.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, round(x, 9) AS score FROM x{iters}"
+    )
+
+
+_KATZ_ITERS, _KATZ_ALPHA, _KATZ_BETA = 8, 0.01, 1.0
+
+
+@register("katz_centrality", _katz_unrolled_sql(_KATZ_ITERS, _KATZ_ALPHA, _KATZ_BETA))
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (Katz 1953), 8 superstep terms of the attenuated
+    path-count series, alpha validated against the degree bound on the
+    spectral radius (plans/centrality.py::katz_centrality)."""
+    from arxiv_citation_graph_spark.plans.centrality import katz_centrality
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+    result = katz_centrality(
+        spark,
+        symmetrize(cosupply_edges(spark, sf_dir)),
+        alpha=_KATZ_ALPHA,
+        beta=_KATZ_BETA,
+        tolerance=None,
+        max_iterations=_KATZ_ITERS,
+        salt_buckets=8,
+        hot_degree_threshold=64,
+    )
+    return result.scores.select("vertex", F.round("score", 9).alias("score"))
+
+
+def _eigencentrality_unrolled_sql(iters: int) -> str:
+    """Unrolled normalized power iteration on the symmetrized co-supply
+    graph: ``xk = A x_{k-1} / ||x_{k-1}||_2`` from all-ones — the
+    single-sided version of the HITS oracle's normalization scheme
+    (plans/centrality.py::eigenvector_centrality)."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym UNION SELECT dst_id FROM sym)",
+        "x0 AS MATERIALIZED (SELECT vertex, 1.0 AS x FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"x{k} AS MATERIALIZED (SELECT v.vertex, coalesce(s.s, 0.0) AS x "
+            f"FROM verts v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, "
+            f"sum(x.x / greatest((SELECT sqrt(sum(y.x * y.x)) FROM x{p} y), 1e-300)) AS s "
+            f"FROM sym e JOIN x{p} x ON e.src_id = x.vertex GROUP BY e.dst_id"
+            f") s ON v.vertex = s.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vertex,
+       round(x / greatest((SELECT sqrt(sum(y.x * y.x)) FROM x{iters} y), 1e-300), 7) AS score
+FROM x{iters}"""
+    )
+
+
+_EIGEN_ITERS = 8
+
+
+@register("eigencentrality", _eigencentrality_unrolled_sql(_EIGEN_ITERS))
+def q_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (Bonacich 1972): 8 power-iteration
+    supersteps, L2 normalization scalar carried through the superstep
+    aggregate channel (plans/centrality.py::eigenvector_centrality)."""
+    from arxiv_citation_graph_spark.plans.centrality import eigenvector_centrality
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+    result = eigenvector_centrality(
+        spark,
+        symmetrize(cosupply_edges(spark, sf_dir)),
+        iterations=_EIGEN_ITERS,
+        salt_buckets=8,
+        hot_degree_threshold=64,
+    )
+    return result.scores.select("vertex", F.round("score", 7).alias("score"))
+
+
+def _modularity_sql(lpa_iters: int) -> str:
+    """Newman modularity of the unrolled-LPA partition over the
+    undirected co-supply graph — the fraction-of-degree term is computed
+    as ``x * x`` (not pow) so both engines use only correctly-rounded
+    IEEE multiply/divide before the final rounded sum."""
+    return f"""
+WITH lpa AS MATERIALIZED ({_lpa_unrolled_sql(lpa_iters)}),
+cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL}),
+und AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u,
+                     greatest(src_id, dst_id) AS v FROM cos WHERE src_id <> dst_id),
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und),
+degs AS MATERIALIZED (SELECT vertex, CAST(count(*) AS DOUBLE) AS deg FROM (
+  SELECT u AS vertex FROM und UNION ALL SELECT v FROM und) GROUP BY vertex),
+within AS (SELECT la.label, CAST(count(*) AS DOUBLE) AS mc
+           FROM und e JOIN lpa la ON la.vertex = e.u
+           JOIN lpa lb ON lb.vertex = e.v AND lb.label = la.label
+           GROUP BY la.label),
+dsum AS (SELECT l.label, sum(d.deg) AS dc
+         FROM lpa l JOIN degs d ON d.vertex = l.vertex GROUP BY l.label)
+SELECT round(sum(coalesce(w.mc, 0.0) / (SELECT m FROM mm)
+           - (d.dc / (2.0 * (SELECT m FROM mm))) * (d.dc / (2.0 * (SELECT m FROM mm)))), 9)
+         AS modularity,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       CAST((SELECT m FROM mm) AS BIGINT) AS m_edges
+FROM dsum d LEFT JOIN within w ON w.label = d.label
+"""
+
+
+@register("modularity_score", _modularity_sql(_LPA_ITERS))
+def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA communities over the undirected
+    co-supply graph (Newman & Girvan 2004): Q = sum_c [m_c/M -
+    (D_c/2M)^2] — the standard "was this partition better than chance"
+    diagnostic over any community run (plans/labelprop.py::modularity)."""
+    from arxiv_citation_graph_spark.plans.labelprop import label_propagation, modularity
+
+    edges = cosupply_edges(spark, sf_dir)
+    labels = label_propagation(spark, edges, max_iterations=_LPA_ITERS).labels
+    return modularity(labels, edges).select(
+        F.round("modularity", 9).alias("modularity"), "n_communities", "m_edges"
+    )
+
+
 def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peeling on the symmetrized co-supply graph —
     ``rounds`` must exceed the peeling depth so the oracle reaches the

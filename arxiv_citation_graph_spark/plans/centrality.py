@@ -1,0 +1,306 @@
+"""Katz and eigenvector centrality — power-iteration kernels.
+
+Two classic link-analysis centralities the engine's tier (BASELINE.json
+``link_graph``) is expected to carry alongside PageRank/HITS; the
+reference computes neither (it never materializes a graph at all —
+SURVEY.md §1.1).  Both reuse the PageRank superstep shape exactly:
+
+- ONE |E|-sized equi-join per superstep (contributions along edges),
+- salted two-stage aggregation for hub skew (``layout.salted_sum``),
+- ONE |V|-sized state join that also evaluates the convergence delta,
+- lineage truncated per superstep by ``run_supersteps`` (checkpoint +
+  single action), resumable with edge-fingerprint-guarded signatures.
+
+**Katz** (Katz 1953): ``x = alpha * A^T x + beta * 1``.  Unlike
+eigenvector centrality it is well-defined on DAG-ish citation graphs
+(every vertex gets the ``beta`` floor, so acyclic chains accumulate
+attenuated path counts instead of draining to zero).  Convergence
+requires ``alpha < 1/lambda_max``; since ``lambda_max <= min(max
+in-degree, max out-degree)`` for a non-negative adjacency, the kernel
+validates ``alpha * min(max_in, max_out) < 1`` up front and fails fast
+(override with ``check_alpha=False`` when a tighter spectral bound is
+known).  The degree maxima cost one extra setup action over the cached
+adjacency — a per-run constant, not a per-superstep cost.
+
+**Eigenvector centrality** (Bonacich 1972): power iteration
+``x <- normalize(A^T x)``.  The L2 norm of the freshly-computed raw
+vector is carried to the *next* superstep through the runtime's
+aggregate channel (the ``plans/hits.py`` trick, single-sided): dividing
+by a carried driver scalar is a free column expression, so
+normalization never adds a second |E|-join or extra action.  State
+``(vertex, score, score_prev, delta)``: ``score`` is raw, ``score_prev``
+holds the previous *normalized* value so the delta is an L1 change of
+normalized scores, entirely in-plan.
+
+At 10^12 scale both kernels inherit PageRank's audited plan
+(PLANS.md "pagerank superstep"): the adjacency is hash-partitioned once
+and cached; only the |V|-sized score frame moves per superstep.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import (
+    hot_vertices,
+    salted_sum,
+    vertices_of,
+)
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+_NORM_FLOOR = 1e-300
+
+
+@dataclass
+class CentralityResult:
+    scores: DataFrame  # (vertex, score)
+    report: SuperstepReport
+    num_vertices: int
+    num_edges: int
+
+
+def katz_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float = 0.01,
+    beta: float = 1.0,
+    tolerance: float | None = 1e-10,
+    max_iterations: int = 64,
+    salt_buckets: int = 16,
+    hot_degree_threshold: int | None = 1000,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_scores: bool | None = None,
+    check_alpha: bool = True,
+) -> CentralityResult:
+    """Katz centrality over ``edges(src_id, dst_id)``: the fixpoint of
+    ``x(v) = beta + alpha * sum_{u->v} x(u)`` (duplicate edges collapse;
+    score flows src -> dst, the citation "authority" direction — pass a
+    symmetrized edge list for the undirected variant).
+
+    ``x0 = beta`` (the zero-vector's first iterate), so ``iterations``
+    fixed-mode runs are exactly the truncated Katz series both engines
+    can replay term-for-term.
+    """
+    if alpha <= 0 or beta <= 0:
+        raise ValueError(f"katz: alpha and beta must be positive (got {alpha}, {beta})")
+    edges = edges.select("src_id", "dst_id").distinct()
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "vertex string, score double")
+        return CentralityResult(empty, SuperstepReport(0, True), 0, 0)
+    parallelism = spark.sparkContext.defaultParallelism
+    adjacency = edges.repartition(parallelism, "src_id").cache()
+    # setup aggregate: count + order-independent fingerprint (resume
+    # guard) + the degree maxima the alpha validation needs — one action
+    eagg = adjacency.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ).first()
+    m = int(eagg["m"])
+    edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
+    if check_alpha and m > 0:
+        degs = (
+            adjacency.groupBy("src_id").count().agg(F.max("count").alias("mx_out"))
+            .crossJoin(
+                adjacency.groupBy("dst_id").count().agg(F.max("count").alias("mx_in"))
+            )
+            .first()
+        )
+        lam_bound = min(int(degs["mx_out"]), int(degs["mx_in"]))
+        if alpha * lam_bound >= 1.0:
+            raise ValueError(
+                f"katz: alpha={alpha} >= 1/{lam_bound} (min of max in/out "
+                "degree bounds the spectral radius) — the series may "
+                "diverge. Lower alpha, or pass check_alpha=False if a "
+                "tighter bound on lambda_max is known."
+            )
+    hot = (
+        hot_vertices(edges, hot_degree_threshold, "in").cache()
+        if hot_degree_threshold is not None
+        else None
+    )
+    if broadcast_scores is None:
+        broadcast_scores = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_scores else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        contribs = adjacency.join(
+            _mb(state.select("vertex", "score")),
+            adjacency.src_id == F.col("vertex"),
+        ).select("dst_id", "src_id", F.col("score").alias("contrib"))
+        sums = salted_sum(
+            contribs,
+            key="dst_id",
+            value="contrib",
+            salt_source="src_id",
+            alias="mass",
+            buckets=salt_buckets,
+            hot_keys=hot,
+        )
+        new_score = F.lit(beta) + F.lit(alpha) * F.coalesce(F.col("mass"), F.lit(0.0))
+        return (
+            state.select("vertex", F.col("score").alias("_old"))
+            .join(sums, F.col("vertex") == sums.dst_id, "left")
+            .select(
+                "vertex",
+                new_score.alias("score"),
+                F.abs(new_score - F.col("_old")).alias("delta"),
+            )
+        ), {"delta": F.sum("delta")}
+
+    initial = vertices.select(
+        "vertex", F.lit(float(beta)).alias("score"), F.lit(0.0).alias("delta")
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=tolerance,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n, "n_edges": m, "edge_fp": edge_fp,
+                "kernel": "katz", "alpha": alpha, "beta": beta,
+            },
+        )
+        scores = final.select("vertex", "score")
+    finally:
+        adjacency.unpersist()
+        vertices.unpersist()
+        if hot is not None:
+            hot.unpersist()
+    return CentralityResult(scores, report, n, m)
+
+
+def eigenvector_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    iterations: int = 8,
+    tolerance: float | None = None,
+    salt_buckets: int = 16,
+    hot_degree_threshold: int | None = 1000,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_scores: bool | None = None,
+) -> CentralityResult:
+    """Power iteration ``x <- normalize_L2(A^T x)`` from the all-ones
+    vector over ``edges(src_id, dst_id)`` (duplicates collapse; score
+    flows src -> dst — symmetrize for the standard undirected form,
+    where convergence to the principal eigenvector is guaranteed for
+    connected non-bipartite graphs).
+
+    Fixed-``iterations`` mode is the oracle-parity mode; ``tolerance``
+    stops early when the L1 change of *normalized* scores between
+    consecutive supersteps is <= tolerance.  Returned scores are
+    L2-normalized."""
+    edges = edges.select("src_id", "dst_id").distinct()
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "vertex string, score double")
+        return CentralityResult(empty, SuperstepReport(0, True), 0, 0)
+    parallelism = spark.sparkContext.defaultParallelism
+    adjacency = edges.repartition(parallelism, "src_id").cache()
+    eagg = adjacency.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ).first()
+    m = int(eagg["m"])
+    edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
+    hot = (
+        hot_vertices(edges, hot_degree_threshold, "in").cache()
+        if hot_degree_threshold is not None
+        else None
+    )
+    if broadcast_scores is None:
+        broadcast_scores = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_scores else df
+
+    sqrt_n = math.sqrt(float(n))
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        # carried scalar: sum-of-squares of the raw scores computed last
+        # superstep (all-ones at i==0, norm sqrt(n))
+        norm = sqrt_n if prev is None else math.sqrt(max(float(prev["sq"]), 0.0))
+        inv = 1.0 / max(norm, _NORM_FLOOR)
+        contribs = adjacency.join(
+            _mb(state.select("vertex", "score")),
+            adjacency.src_id == F.col("vertex"),
+        ).select(
+            "dst_id", "src_id", (F.col("score") * F.lit(inv)).alias("contrib")
+        )
+        sums = salted_sum(
+            contribs,
+            key="dst_id",
+            value="contrib",
+            salt_source="src_id",
+            alias="raw",
+            buckets=salt_buckets,
+            hot_keys=hot,
+        )
+        read_n = F.col("score") * F.lit(inv)  # normalized previous scores
+        new_raw = F.coalesce(F.col("raw"), F.lit(0.0))
+        return (
+            state.select("vertex", "score", "score_prev")
+            .join(sums, F.col("vertex") == sums.dst_id, "left")
+            .select(
+                "vertex",
+                new_raw.alias("score"),
+                read_n.alias("score_prev"),
+                F.abs(read_n - F.col("score_prev")).alias("delta"),
+            )
+        ), {
+            # aggregate expressions are evaluated over the NEW state:
+            # "score" there is the freshly-computed raw vector
+            "delta": F.sum("delta"),
+            "sq": F.sum(F.col("score") * F.col("score")),
+        }
+
+    initial = vertices.select(
+        "vertex",
+        F.lit(1.0).alias("score"),
+        # -1 sentinel: first superstep's delta >= n, so a tolerance run
+        # never stops before doing work (plans/hits.py convention)
+        F.lit(-1.0).alias("score_prev"),
+        F.lit(0.0).alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=iterations,
+            tolerance=tolerance,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n, "n_edges": m, "edge_fp": edge_fp,
+                "kernel": "eigenvector",
+            },
+        )
+        # final state's score is raw — normalize with one action
+        nrm = final.agg(F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("s")).first()
+        inv = 1.0 / max(float(nrm["s"] or 0.0), _NORM_FLOOR)
+        scores = final.select("vertex", (F.col("score") * F.lit(inv)).alias("score"))
+    finally:
+        adjacency.unpersist()
+        vertices.unpersist()
+        if hot is not None:
+            hot.unpersist()
+    return CentralityResult(scores, report, n, m)

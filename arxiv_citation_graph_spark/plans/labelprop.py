@@ -118,3 +118,68 @@ def _initial_labels(vertices: DataFrame) -> DataFrame:
     return vertices.select(
         "vertex", F.col("vertex").alias("label"), F.lit(0.0).alias("delta")
     )
+
+
+def modularity(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Newman modularity Q of a community partition (Newman & Girvan
+    2004): over the canonical undirected simple graph derived from
+    ``edges(src_id, dst_id)``, ``Q = sum_c [m_c/M - (D_c/(2M))^2]`` with
+    ``M`` = undirected edge count, ``m_c`` = edges inside community c,
+    ``D_c`` = total degree of c's vertices.
+
+    One-pass relational shape, no iteration: the |E|-sized work is one
+    ``distinct`` to canonicalize plus two broadcast-ready joins against
+    the |V|-sized label table; community aggregates are |C|-sized.  The
+    label frame is joined twice (both endpoints), so at 10^12 scale it
+    rides the same broadcast-vs-shuffle decision as every kernel here —
+    labels are |V|-sized, and Catalyst/AQE picks the strategy.
+
+    Returns ONE row ``(modularity, n_communities, m_edges)`` —
+    unrounded; callers needing cross-engine hash parity round to 9
+    (entry_queries convention).  Self-loops are excluded from the
+    canonical graph (the co-supply/cocite convention throughout).
+    """
+    und = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("u"),
+            F.greatest("src_id", "dst_id").alias("v"),
+        )
+        .distinct()
+    )
+    lab = labels.select("vertex", "label")
+    both = (
+        und.join(lab.withColumnRenamed("vertex", "u").withColumnRenamed("label", "lu"), "u")
+        .join(lab.withColumnRenamed("vertex", "v").withColumnRenamed("label", "lv"), "v")
+    )
+    # degree mass per community: explode each undirected edge into its
+    # two endpoint labels; within-edge mass: count where lu == lv
+    per_label = (
+        both.select(F.col("lu").alias("label"), (F.col("lu") == F.col("lv")).alias("w"))
+        .unionAll(
+            both.select(F.col("lv").alias("label"), (F.col("lu") == F.col("lv")).alias("w"))
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("dc"),
+            # each within edge contributes to BOTH unioned halves -> /2
+            (F.sum(F.when(F.col("w"), 1).otherwise(0)) / F.lit(2.0)).alias("mc"),
+        )
+    )
+    m_row = und.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    return (
+        per_label.crossJoin(F.broadcast(m_row))
+        .select(
+            (
+                F.col("mc") / F.col("m")
+                - (F.col("dc") / (F.lit(2.0) * F.col("m")))
+                * (F.col("dc") / (F.lit(2.0) * F.col("m")))
+            ).alias("q_c"),
+            "m",
+        )
+        .agg(
+            F.sum("q_c").alias("modularity"),
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.first("m").cast("long").alias("m_edges"),
+        )
+    )

@@ -317,3 +317,68 @@ def node2vec_det(
             prev, cur = cur, nxt
         paths[w] = "->".join(path)
     return paths
+
+
+def katz_dense(
+    edges: list[tuple[str, str]],
+    alpha: float,
+    beta: float,
+    iterations: int,
+) -> dict[str, float]:
+    """Truncated Katz series, x0 = beta, xk = beta + alpha * A^T x
+    (duplicate edges collapse — must match plans/centrality.py)."""
+    es = sorted(set(edges))
+    verts = _vertex_index(es)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    a_t = np.zeros((n, n))
+    for s, d in es:
+        a_t[idx[d], idx[s]] = 1.0
+    x = np.full(n, beta)
+    for _ in range(iterations):
+        x = beta + alpha * (a_t @ x)
+    return dict(zip(verts, x))
+
+
+def eigenvector_dense(
+    edges: list[tuple[str, str]], iterations: int
+) -> dict[str, float]:
+    """Normalized power iteration from all-ones: x <- A^T x / ||x||_2
+    per step, final vector L2-normalized (matches
+    plans/centrality.py::eigenvector_centrality fixed mode)."""
+    es = sorted(set(edges))
+    verts = _vertex_index(es)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    a_t = np.zeros((n, n))
+    for s, d in es:
+        a_t[idx[d], idx[s]] = 1.0
+    x = np.ones(n)
+    for _ in range(iterations):
+        nrm = max(float(np.sqrt((x * x).sum())), 1e-300)
+        x = a_t @ (x / nrm)
+    nrm = max(float(np.sqrt((x * x).sum())), 1e-300)
+    return dict(zip(verts, x / nrm))
+
+
+def modularity_dense(
+    edges: list[tuple[str, str]], labels: dict[str, str]
+) -> tuple[float, int, int]:
+    """Newman modularity over the canonical undirected simple graph:
+    returns (Q, n_communities, m_edges) — communities counted only if
+    they own at least one edge endpoint (matches plans/labelprop.py)."""
+    und = sorted({(min(s, d), max(s, d)) for s, d in edges if s != d})
+    m = len(und)
+    deg: Counter = Counter()
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    mc: Counter = Counter()
+    dc: Counter = Counter()
+    for u, v in und:
+        if labels[u] == labels[v]:
+            mc[labels[u]] += 1
+    for vtx, d in deg.items():
+        dc[labels[vtx]] += d
+    q = sum(mc[c] / m - (dc[c] / (2.0 * m)) ** 2 for c in dc)
+    return q, len(dc), m

@@ -1,0 +1,179 @@
+"""Katz / eigenvector centrality / modularity vs dense oracles
+(plans/centrality.py, plans/labelprop.py::modularity)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+from arxiv_citation_graph_spark.plans.centrality import (
+    eigenvector_centrality,
+    katz_centrality,
+)
+from arxiv_citation_graph_spark.plans.labelprop import label_propagation, modularity
+from arxiv_citation_graph_spark.plans.layout import symmetrize
+from tests import oracle_graph
+
+GRAPHS = toy_graphs()
+
+
+# --------------------------------------------------------------------- Katz
+
+
+@pytest.mark.parametrize("name", ["twocomp", "star", "k4", "dangling", "selfloop"])
+def test_katz_allclose_dense(spark, name):
+    """Fixed-iteration parity vs the truncated dense Katz series."""
+    expected = oracle_graph.katz_dense(GRAPHS[name], alpha=0.05, beta=1.0, iterations=6)
+    result = katz_centrality(
+        spark, toy_edges_df(spark, name), alpha=0.05, beta=1.0,
+        tolerance=None, max_iterations=6, salt_buckets=4, hot_degree_threshold=5,
+        check_alpha=False,
+    )
+    got = {r.vertex: r.score for r in result.scores.collect()}
+    assert set(got) == set(expected)
+    for v, e in expected.items():
+        assert math.isclose(got[v], e, abs_tol=1e-9), (name, v)
+
+
+def test_katz_converges_within_tolerance(spark):
+    """With alpha well under 1/lambda_max the series converges and the
+    fixpoint satisfies x = beta + alpha * A^T x."""
+    result = katz_centrality(
+        spark, toy_edges_df(spark, "twocomp"), alpha=0.1, beta=1.0,
+        tolerance=1e-12, max_iterations=200, check_alpha=True,
+    )
+    assert result.report.converged
+    # residual check against a long dense run
+    expected = oracle_graph.katz_dense(
+        GRAPHS["twocomp"], alpha=0.1, beta=1.0, iterations=300
+    )
+    got = {r.vertex: r.score for r in result.scores.collect()}
+    for v, e in expected.items():
+        assert math.isclose(got[v], e, abs_tol=1e-9), v
+
+
+def test_katz_alpha_guard_raises(spark):
+    """alpha >= 1/min(max_in, max_out) is refused up front: on K4
+    (in-degree = out-degree = 3, lambda_max = 3) alpha = 0.5 diverges.
+    On the star graph the same alpha is fine (min bound = 1, and the
+    adjacency is nilpotent) — the guard must NOT fire there."""
+    with pytest.raises(ValueError, match="alpha"):
+        katz_centrality(
+            spark, toy_edges_df(spark, "k4"), alpha=0.5, beta=1.0,
+            tolerance=None, max_iterations=4,
+        )
+    katz_centrality(
+        spark, toy_edges_df(spark, "star"), alpha=0.5, beta=1.0,
+        tolerance=None, max_iterations=4,
+    )
+
+
+def test_katz_rejects_nonpositive_params(spark):
+    with pytest.raises(ValueError, match="positive"):
+        katz_centrality(spark, toy_edges_df(spark, "k4"), alpha=-0.1)
+    with pytest.raises(ValueError, match="positive"):
+        katz_centrality(spark, toy_edges_df(spark, "k4"), beta=0.0)
+
+
+# -------------------------------------------------------------- eigenvector
+
+
+@pytest.mark.parametrize("name", ["k4", "twocomp", "star"])
+def test_eigenvector_allclose_dense(spark, name):
+    """Fixed-iteration parity vs the dense normalized power iteration on
+    the symmetrized graph (the standard undirected form)."""
+    sym_edges = GRAPHS[name] + [(d, s) for s, d in GRAPHS[name]]
+    expected = oracle_graph.eigenvector_dense(sym_edges, iterations=6)
+    result = eigenvector_centrality(
+        spark, symmetrize(toy_edges_df(spark, name)), iterations=6,
+        salt_buckets=4, hot_degree_threshold=5,
+    )
+    got = {r.vertex: r.score for r in result.scores.collect()}
+    assert set(got) == set(expected)
+    for v, e in expected.items():
+        assert math.isclose(got[v], e, abs_tol=1e-9), (name, v)
+
+
+def test_eigenvector_k4_uniform(spark):
+    """On K4 (vertex-transitive) the principal eigenvector is uniform:
+    every score = 1/2 after L2 normalization."""
+    result = eigenvector_centrality(
+        spark, symmetrize(toy_edges_df(spark, "k4")), iterations=4
+    )
+    for r in result.scores.collect():
+        assert math.isclose(r.score, 0.5, abs_tol=1e-12), r
+
+
+def test_eigenvector_tolerance_stops_early(spark):
+    result = eigenvector_centrality(
+        spark, symmetrize(toy_edges_df(spark, "k4")), iterations=50, tolerance=1e-12
+    )
+    assert result.report.converged
+    assert result.report.iterations < 50
+
+
+# --------------------------------------------------------------- modularity
+
+
+def test_modularity_two_cliques(spark):
+    """Two disjoint triangles labeled by component: every edge is
+    within-community, D_c = 2m_c -> Q = 1 - 2*(1/2)^2 = 0.5."""
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")]
+    labels = {"a": "L", "b": "L", "c": "L", "x": "R", "y": "R", "z": "R"}
+    df_e = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    df_l = spark.createDataFrame(list(labels.items()), ["vertex", "label"])
+    row = modularity(df_l, df_e).first()
+    q, n_c, m = oracle_graph.modularity_dense(edges, labels)
+    assert math.isclose(row.modularity, q, abs_tol=1e-12)
+    assert math.isclose(row.modularity, 0.5, abs_tol=1e-12)
+    assert row.n_communities == n_c == 2
+    assert row.m_edges == m == 6
+
+
+def test_modularity_single_community_is_zero(spark):
+    """All vertices in one community: Q = m/m - (2m/2m)^2 = 0."""
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]
+    df_e = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    df_l = spark.createDataFrame([(v, "one") for v in "abc"], ["vertex", "label"])
+    row = modularity(df_l, df_e).first()
+    assert math.isclose(row.modularity, 0.0, abs_tol=1e-12)
+
+
+def test_modularity_of_lpa_matches_dense(spark):
+    """End-to-end: LPA labels on the twocomp fixture scored by the Spark
+    aggregation equal the dense computation; the component partition
+    scores strictly positive (disjoint components are better than
+    chance)."""
+    edges_df = toy_edges_df(spark, "twocomp")
+    labels_df = label_propagation(spark, edges_df, max_iterations=5).labels
+    labels = {r.vertex: r.label for r in labels_df.collect()}
+    sym = GRAPHS["twocomp"] + [(d, s) for s, d in GRAPHS["twocomp"]]
+    q, n_c, m = oracle_graph.modularity_dense(sym, labels)
+    row = modularity(labels_df, edges_df).first()
+    assert math.isclose(row.modularity, q, abs_tol=1e-12)
+    assert row.n_communities == n_c
+    # the true component partition is better than chance
+    comp = oracle_graph.components_unionfind(GRAPHS["twocomp"])
+    comp_df = spark.createDataFrame(list(comp.items()), ["vertex", "label"])
+    q_comp = modularity(comp_df, edges_df).first().modularity
+    assert q_comp > 0.0
+    assert math.isclose(
+        q_comp, oracle_graph.modularity_dense(sym, comp)[0], abs_tol=1e-12
+    )
+
+
+def test_modularity_ignores_duplicates_and_selfloops(spark):
+    """Duplicate directed edges and self-loops collapse into the
+    canonical undirected simple graph before scoring."""
+    edges = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c")]
+    df_e = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    df_l = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "R")], ["vertex", "label"]
+    )
+    row = modularity(df_l, df_e).first()
+    assert row.m_edges == 2
+    q, _, _ = oracle_graph.modularity_dense(edges, {"a": "L", "b": "L", "c": "R"})
+    assert math.isclose(row.modularity, q, abs_tol=1e-12)
