@@ -1302,6 +1302,123 @@ def q_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANF_HOPS, _ANF_RCAP = 5, 30
+#: 2^(j/8) fractional factors (plans/anf.py::FRAC_POW2_8) as SQL CASE —
+#: exact double literals so the estimate uses only IEEE multiply/divide
+_ANF_FRAC_CASE = (
+    "CASE CAST(S % 8 AS INT) "
+    "WHEN 0 THEN 1.0 WHEN 1 THEN 1.0905077326652577 "
+    "WHEN 2 THEN 1.189207115002721 WHEN 3 THEN 1.2968395546510096 "
+    "WHEN 4 THEN 1.4142135623730951 WHEN 5 THEN 1.5422108254079407 "
+    "WHEN 6 THEN 1.681792830507429 ELSE 1.834008086409342 END"
+)
+
+
+def _anf_sketch_ctes(hops: int, r_cap: int) -> list[str]:
+    """Shared CTE chain for the ANF oracles: md5-seeded FM sketches in
+    (vertex, j, s) row form, OR-propagated ``hops`` rounds over the
+    symmetrized co-supply graph (replays plans/anf.py bit-for-bit:
+    DuckDB's md5/bit_count/&/| semantics equal Spark's)."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym UNION SELECT dst_id FROM sym)",
+        "ks AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(j))",
+        "hs AS MATERIALIZED (SELECT vertex, j, "
+        "CAST(('0x' || substr(md5(vertex || ':' || j), 1, 15)) AS BIGINT) AS h "
+        "FROM verts CROSS JOIN ks)",
+        f"g0 AS MATERIALIZED (SELECT vertex, j, (CAST(1 AS BIGINT) << "
+        f"least(bit_count((h & (-h)) - 1), {r_cap})) AS s FROM hs)",
+    ]
+    for r in range(1, hops + 1):
+        p = r - 1
+        ctes.append(
+            f"g{r} AS MATERIALIZED (SELECT v.vertex, v.j, "
+            f"(v.s | coalesce(b.bs, 0)) AS s "
+            f"FROM g{p} v LEFT JOIN ("
+            f"SELECT e.src_id AS vertex, x.j, bit_or(x.s) AS bs "
+            f"FROM sym e JOIN g{p} x ON e.dst_id = x.vertex GROUP BY e.src_id, x.j"
+            f") b ON v.vertex = b.vertex AND v.j = b.j)"
+        )
+    return ctes
+
+
+def _anf_sketches_sql(hops: int, r_cap: int) -> str:
+    """Final-hop per-vertex sketch summary: b_sum = integer sum of
+    lowest-zero positions, est = 2^(b_sum/8)/phi via the exact
+    power-times-table decomposition."""
+    ctes = _anf_sketch_ctes(hops, r_cap)
+    ctes.append(
+        f"bsum AS (SELECT vertex, CAST(sum(bit_count(s & (~(s + 1)))) AS BIGINT) AS S "
+        f"FROM g{hops} GROUP BY vertex)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT vertex, S AS b_sum,
+       round(power(2.0, CAST(S // 8 AS DOUBLE)) * {_ANF_FRAC_CASE} / 0.77351, 9) AS est
+FROM bsum"""
+    )
+
+
+def _anf_function_sql(hops: int, r_cap: int) -> str:
+    """Per-hop neighborhood-function rows 0..hops: the sum over vertices
+    of the per-vertex estimate (rounded to 6 — summation order differs
+    between engines)."""
+    ctes = _anf_sketch_ctes(hops, r_cap)
+    hop_rows = []
+    for r in range(0, hops + 1):
+        ctes.append(
+            f"b{r} AS (SELECT vertex, CAST(sum(bit_count(s & (~(s + 1)))) AS BIGINT) AS S "
+            f"FROM g{r} GROUP BY vertex)"
+        )
+        hop_rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS hop, "
+            f"round(sum(power(2.0, CAST(S // 8 AS DOUBLE)) * {_ANF_FRAC_CASE} / 0.77351), 6) "
+            f"AS est_pairs FROM b{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(hop_rows)
+
+
+@register("anf_sketches", _anf_sketches_sql(_ANF_HOPS, _ANF_RCAP))
+def q_anf_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF / HADI neighborhood sketches (Palmer et al. 2002, Kang et al.
+    2008): per-vertex Flajolet-Martin reachability estimates after 5
+    OR-propagation supersteps (plans/anf.py; fixed-hop parity mode —
+    both engines run the same hop count, so no truncation exposure)."""
+    from arxiv_citation_graph_spark.plans.anf import neighborhood_function
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+    result = neighborhood_function(
+        spark,
+        symmetrize(cosupply_edges(spark, sf_dir)),
+        max_hops=_ANF_HOPS,
+        r_cap=_ANF_RCAP,
+        stop_on_converge=False,
+    )
+    return result.sketches.select(
+        "vertex", "b_sum", F.round("est", 9).alias("est")
+    )
+
+
+@register("anf_function", _anf_function_sql(_ANF_HOPS, _ANF_RCAP))
+def q_anf_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The neighborhood function N(h), hops 0..5: estimated reachable
+    pairs per hop, assembled from the per-superstep aggregate channel
+    (plans/anf.py) — the curve the effective diameter reads off."""
+    from arxiv_citation_graph_spark.plans.anf import neighborhood_function
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+    result = neighborhood_function(
+        spark,
+        symmetrize(cosupply_edges(spark, sf_dir)),
+        max_hops=_ANF_HOPS,
+        r_cap=_ANF_RCAP,
+        stop_on_converge=False,
+    )
+    rows = [(h, round(e, 6)) for h, e in result.function]
+    return spark.createDataFrame(rows, "hop bigint, est_pairs double")
+
+
 def _pair_counts_sql(shared: str, paired: str, min_count: int, hub_cap: int | None) -> str:
     """Oracle for plans/cocite.py: canonical (a<b) pair counts over the
     bipartite graph, with the hub-cap exclusion stated in SQL."""

@@ -1,0 +1,258 @@
+"""Approximate Neighborhood Function + effective diameter (ANF / HADI).
+
+The classic web-scale graph measurement (Palmer, Gibbons & Faloutsos,
+"ANF", KDD 2002; Kang et al., "HADI", ICDM 2008 — HADI measured exactly
+this on billions of edges in MapReduce; Boldi & Vigna's HyperANF is the
+HyperLogLog refinement): estimate ``N(h)`` = the number of reachable
+pairs within ``h`` hops, for all ``h``, in ``diameter`` supersteps over
+|E|-sized joins — where the exact computation is all-pairs BFS.  The
+effective diameter (smallest ``h`` with ``N(h) >= 0.9 * N(inf)``) falls
+out of the curve; it is THE published statistic for citation/web graphs
+("six degrees").
+
+Per vertex we keep ``K`` Flajolet-Martin bitmask sketches; the sketch
+union over a set S estimates |S| as ``2^b / 0.77351`` with ``b`` the
+lowest zero bit of the OR-ed mask (averaged over the K sketches).  The
+superstep recurrence is pure bitwise OR::
+
+    sketch_j(v, h) = sketch_j(v, h-1)  |  OR over out-edges (v,u) of sketch_j(u, h-1)
+
+which is exactly the PageRank plan shape with ``bit_or`` in place of
+``sum``: ONE |E|-sized equi-join per superstep (neighbor sketches), a
+``groupBy`` whose ``bit_or`` partial-aggregates map-side (hub skew is
+absorbed by partial aggregation — bit_or is idempotent, so hot keys
+combine before the shuffle, no salting needed), and ONE |V|-sized state
+join evaluating the per-vertex OR, the changed-count delta, and the
+neighborhood estimate in the same action that snapshots state.
+Convergence: a superstep that changes no sketch means every vertex has
+saturated its reachable set — ``delta = 0`` stops the loop, giving the
+true (sketch-resolution) diameter without knowing it in advance.
+
+**Determinism / oracle parity.** Sketch bits are seeded from
+``md5(vertex || ':' || j)`` — DuckDB's md5 hex equals Spark's, and the
+trailing-zero extraction uses only integer ops both engines define
+identically (``h & -h``, ``bit_count``): an unrolled SQL oracle replays
+every sketch bit-for-bit (entry_queries ``anf_*``).  The estimate
+``2^(S/K)`` with ``S`` the integer sum of lowest-zero positions is
+computed as ``power(2, S div K) * C[S mod K]`` with the K fractional
+constants inlined as double literals — exact IEEE multiplies, no
+cross-engine ``pow(noninteger)`` rounding exposure.
+
+At 10^12 scale: state is |V| x K longs (K=8 -> 64 B/vertex); the r cap
+(default 30, i.e. set sizes up to ~2^30 per sketch position) should be
+raised to ~50 for 10^12 vertices — it only widens the bigint's used
+bits.  Reference scope: the reference computes no graph statistic at
+all (SURVEY.md §1.1); this is the beyond-reference measurement tier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+#: Flajolet-Martin bias correction (phi from the 1985 paper).
+FM_PHI = 0.77351
+
+#: 2^(j/8) for j = 0..7, printed exactly (repr round-trips): the
+#: fractional part of the 2^(S/8) estimate is a table lookup so both
+#: engines only multiply exact doubles.
+FRAC_POW2_8 = (
+    1.0,
+    1.0905077326652577,
+    1.189207115002721,
+    1.2968395546510096,
+    1.4142135623730951,
+    1.5422108254079407,
+    1.681792830507429,
+    1.834008086409342,
+)
+
+
+@dataclass
+class AnfResult:
+    sketches: DataFrame  # (vertex, b_sum, est) — final-hop per-vertex
+    function: list[tuple[int, float]]  # (hop, sum of per-vertex estimates)
+    effective_diameter: int | None  # smallest h with N(h) >= 0.9 * N(last)
+    report: SuperstepReport
+    num_vertices: int
+    num_edges: int
+
+
+def _seed_sketch(j: int, r_cap: int) -> Column:
+    """Initial FM sketch for sketch index ``j``: one bit at position
+    ``r`` = trailing zeros of a 60-bit md5-derived draw (geometric,
+    p(r) = 2^-(r+1)), capped at ``r_cap``."""
+    # trailing zeros: bit_count((h & -h) - 1); h == 0 -> bit_count(-1) = 64,
+    # clamped by the cap.  (Pure SQL expr: shiftleft's bit count must be
+    # an expression, which the Python DSL wrapper does not accept.)
+    h_sql = (
+        f"cast(conv(substring(md5(concat(vertex, ':{j}')), 1, 15), 16, 10) as bigint)"
+    )
+    return F.expr(
+        f"shiftleft(cast(1 as bigint), "
+        f"least(bit_count(({h_sql} & -{h_sql}) - 1), {r_cap}))"
+    )
+
+
+def _lowest_zero(col: Column) -> Column:
+    """Position of the lowest UNSET bit: bit_count(x & ~(x+1)) counts
+    the trailing-ones run."""
+    return F.bit_count(col.bitwiseAND(F.bitwise_not(col + F.lit(1))))
+
+
+def _est_expr(k_sketches: int) -> Column:
+    """Per-vertex neighborhood estimate from the K sketch columns:
+    ``2^(S/K) / phi`` with S = sum of lowest-zero positions, decomposed
+    into an exact integer power times a table-lookup fractional factor
+    (only exact IEEE ops — replayable by the SQL oracle)."""
+    if k_sketches != 8:
+        raise ValueError("est tables are built for k_sketches=8")
+    s = _lowest_zero(F.col("s0"))
+    for j in range(1, k_sketches):
+        s = s + _lowest_zero(F.col(f"s{j}"))
+    frac = F.element_at(
+        F.array(*[F.lit(c) for c in FRAC_POW2_8]), (s % 8).cast("int") + F.lit(1)
+    )
+    return F.pow(F.lit(2.0), F.floor(s / 8).cast("double")) * frac / F.lit(FM_PHI)
+
+
+def neighborhood_function(
+    spark: SparkSession,
+    edges: DataFrame,
+    k_sketches: int = 8,
+    max_hops: int = 32,
+    r_cap: int = 30,
+    stop_on_converge: bool = True,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_sketches: bool | None = None,
+) -> AnfResult:
+    """ANF over ``edges(src_id, dst_id)``: per hop, the estimated number
+    of (source, reachable-vertex) pairs within that many hops, following
+    edge direction src -> dst (pass a symmetrized frame for the
+    undirected form).  Runs until no sketch changes or ``max_hops``.
+
+    ``function[h]`` includes self-reachability (hop 0 estimates ~|V|);
+    ``effective_diameter`` is the smallest hop whose estimate reaches
+    90% of the final hop's (None when the loop hit ``max_hops`` without
+    saturating — the curve is still useful, the diameter claim is not).
+
+    ``stop_on_converge=False`` runs exactly ``max_hops`` supersteps —
+    the fixed-iteration oracle-parity mode (entry_queries unrolls the
+    same hop count); sketches past saturation are unchanged, so a
+    fixed run past the diameter equals the converged fixpoint.
+    """
+    if k_sketches != 8:
+        raise ValueError("k_sketches must be 8 (estimate tables are K=8)")
+    edges = edges.select("src_id", "dst_id").distinct()
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "vertex string, b_sum long, est double")
+        return AnfResult(empty, [], None, SuperstepReport(0, True), 0, 0)
+    parallelism = spark.sparkContext.defaultParallelism
+    # the per-superstep join reads neighbor sketches along dst, so the
+    # cached adjacency is partitioned on dst_id: only the |V|-sized
+    # sketch frame moves per superstep (shuffle mode)
+    adjacency = edges.repartition(parallelism, "dst_id").cache()
+    eagg = adjacency.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ).first()
+    m = int(eagg["m"])
+    edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
+    if broadcast_sketches is None:
+        broadcast_sketches = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_sketches else df
+
+    s_cols = [f"s{j}" for j in range(k_sketches)]
+    function: list[tuple[int, float]] = []
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        if prev is not None:
+            # est_sum of superstep i-1, evaluated in its snapshot action
+            function.append((i, float(prev["est_sum"])))
+        nbr = (
+            adjacency.join(
+                _mb(state.select("vertex", *s_cols)),
+                adjacency.dst_id == F.col("vertex"),
+            )
+            .groupBy("src_id")
+            .agg(*[F.expr(f"bit_or({c})").alias(f"n_{c}") for c in s_cols])
+        )
+        merged = F.coalesce  # alias for brevity below
+        new_cols = [
+            (F.col(c).bitwiseOR(merged(F.col(f"n_{c}"), F.lit(0)))).alias(c)
+            for c in s_cols
+        ]
+        changed = F.greatest(
+            *[
+                (F.col(c).bitwiseOR(merged(F.col(f"n_{c}"), F.lit(0))) != F.col(c)).cast(
+                    "int"
+                )
+                for c in s_cols
+            ]
+        )
+        return (
+            state.select("vertex", *s_cols)
+            .join(nbr, F.col("vertex") == nbr.src_id, "left")
+            .select("vertex", *new_cols, changed.cast("double").alias("delta"))
+        ), {"delta": F.sum("delta"), "est_sum": F.sum(_est_expr(k_sketches))}
+
+    initial = vertices.select(
+        "vertex",
+        *[_seed_sketch(j, r_cap).alias(f"s{j}") for j in range(k_sketches)],
+        F.lit(0.0).alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_hops,
+            tolerance=0.0 if stop_on_converge else None,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n, "n_edges": m, "edge_fp": edge_fp,
+                "kernel": "anf", "k": k_sketches, "r_cap": r_cap,
+            },
+        )
+        # hop 0 (initial state, self only) + the last superstep's
+        # est_sum were never routed through a prev row — one final
+        # bounded action each
+        first = initial.agg(F.sum(_est_expr(k_sketches)).alias("e")).first()
+        function.insert(0, (0, float(first["e"])))
+        sketches = final.select(
+            "vertex",
+            sum(
+                (_lowest_zero(F.col(c)) for c in s_cols), F.lit(0)
+            ).cast("long").alias("b_sum"),
+            _est_expr(k_sketches).alias("est"),
+        )
+        last = final.agg(F.sum(_est_expr(k_sketches)).alias("e")).first()
+        last_hop = report.iterations
+        if not function or function[-1][0] != last_hop:
+            function.append((last_hop, float(last["e"])))
+        eff: int | None = None
+        if report.converged and function:
+            target = 0.9 * function[-1][1]
+            for hop, est in function:
+                if est >= target:
+                    eff = hop
+                    break
+    finally:
+        adjacency.unpersist()
+        vertices.unpersist()
+    return AnfResult(sketches, function, eff, report, n, m)

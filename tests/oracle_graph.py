@@ -382,3 +382,56 @@ def modularity_dense(
         dc[labels[vtx]] += d
     q = sum(mc[c] / m - (dc[c] / (2.0 * m)) ** 2 for c in dc)
     return q, len(dc), m
+
+
+def anf_det(
+    edges: list[tuple[str, str]],
+    hops: int,
+    k: int = 8,
+    r_cap: int = 30,
+) -> tuple[dict[str, tuple[int, float]], list[tuple[int, float]]]:
+    """Deterministic replay of plans/anf.py: md5-seeded FM sketches,
+    OR-propagated along src->dst for ``hops`` rounds.  Returns
+    (per-vertex {v: (b_sum, est)} at the final hop, per-hop
+    [(hop, est_sum)]).  Must match the Spark kernel bit-for-bit."""
+    import hashlib
+
+    es = sorted(set(edges))
+    verts = _vertex_index(es)
+    frac = (
+        1.0, 1.0905077326652577, 1.189207115002721, 1.2968395546510096,
+        1.4142135623730951, 1.5422108254079407, 1.681792830507429,
+        1.834008086409342,
+    )
+
+    def seed(v: str, j: int) -> int:
+        h = int(hashlib.md5(f"{v}:{j}".encode()).hexdigest()[:15], 16)
+        r = r_cap if h == 0 else min((h & -h).bit_length() - 1, r_cap)
+        return 1 << r
+
+    def lowest_zero(x: int) -> int:
+        p = 0
+        while x & (1 << p):
+            p += 1
+        return p
+
+    def est_of(sketches: list[int]) -> tuple[int, float]:
+        s = sum(lowest_zero(x) for x in sketches)
+        return s, (2.0 ** (s // 8)) * frac[s % 8] / 0.77351
+
+    state = {v: [seed(v, j) for j in range(k)] for v in verts}
+    function = [(0, sum(est_of(sk)[1] for sk in state.values()))]
+    out: dict[str, list[str]] = defaultdict(list)
+    for s, d in es:
+        out[s].append(d)
+    for h in range(1, hops + 1):
+        new = {}
+        for v in verts:
+            sk = list(state[v])
+            for u in out.get(v, ()):
+                for j in range(k):
+                    sk[j] |= state[u][j]
+            new[v] = sk
+        state = new
+        function.append((h, sum(est_of(sk)[1] for sk in state.values())))
+    return {v: est_of(sk) for v, sk in state.items()}, function

@@ -1,0 +1,100 @@
+"""ANF / effective diameter vs the deterministic sketch replay
+(plans/anf.py; oracle tests/oracle_graph.py::anf_det)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+from arxiv_citation_graph_spark.plans.anf import neighborhood_function
+from arxiv_citation_graph_spark.plans.layout import symmetrize
+from tests import oracle_graph
+
+GRAPHS = toy_graphs()
+
+
+def _sym(name: str) -> list[tuple[str, str]]:
+    es = GRAPHS[name]
+    return sorted(set(es) | {(d, s) for s, d in es})
+
+
+@pytest.mark.parametrize("name", ["twocomp", "star", "k4", "selfloop"])
+def test_anf_bitforbit_vs_replay(spark, name):
+    """Fixed-hop sketches equal the python md5 replay exactly — every
+    OR, every trailing-zero draw (this is the DuckDB-oracle claim too)."""
+    per_vertex, function = oracle_graph.anf_det(_sym(name), hops=4)
+    result = neighborhood_function(
+        spark, symmetrize(toy_edges_df(spark, name)), max_hops=4,
+        stop_on_converge=False,
+    )
+    got = {r.vertex: (r.b_sum, r.est) for r in result.sketches.collect()}
+    assert set(got) == set(per_vertex)
+    for v, (b, e) in per_vertex.items():
+        assert got[v][0] == b, (name, v)
+        assert math.isclose(got[v][1], e, rel_tol=1e-15), (name, v)
+    assert len(result.function) == len(function)
+    for (gh, ge), (eh, ee) in zip(result.function, function):
+        assert gh == eh
+        # distributed sum vs python sum: reorder noise only
+        assert math.isclose(ge, ee, rel_tol=1e-9), (name, gh)
+
+
+def test_anf_converges_at_diameter(spark):
+    """On twocomp (diameters 2 and 1) sketches saturate after
+    max-component-diameter rounds + 1 confirming superstep."""
+    result = neighborhood_function(
+        spark, symmetrize(toy_edges_df(spark, "twocomp")), max_hops=16
+    )
+    assert result.report.converged
+    # a1-a4 form a path-ish component of diameter 2
+    assert result.report.iterations <= 4
+    # function is monotone nondecreasing and flat at the end
+    ests = [e for _, e in result.function]
+    assert all(b >= a - 1e-9 for a, b in zip(ests, ests[1:]))
+    assert math.isclose(ests[-1], ests[-2], rel_tol=1e-12)
+    assert result.effective_diameter is not None
+    assert 0 <= result.effective_diameter <= 3
+
+
+def test_anf_effective_diameter_star(spark):
+    """Symmetrized star saturates in 2 hops (diameter 2 via the hub);
+    the 90% threshold lands at hop <= 2."""
+    result = neighborhood_function(
+        spark, symmetrize(toy_edges_df(spark, "star")), max_hops=8
+    )
+    assert result.report.converged
+    assert result.effective_diameter in (1, 2)
+
+
+def test_anf_directed_dag_counts_forward_only(spark):
+    """On the directed chain a->b->c the source reaches 3, the sink 1 —
+    ANF follows edge direction when not symmetrized."""
+    edges = [("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    per_vertex, _ = oracle_graph.anf_det(edges, hops=3)
+    result = neighborhood_function(spark, df, max_hops=3, stop_on_converge=False)
+    got = {r.vertex: r.b_sum for r in result.sketches.collect()}
+    assert got == {v: b for v, (b, _) in per_vertex.items()}
+    # b_sum orders by true reachability: a (3) >= b (2) >= c (1)
+    assert got["a"] >= got["b"] >= got["c"]
+
+
+def test_anf_fixed_equals_converged_past_saturation(spark):
+    """A fixed run past the diameter returns the converged fixpoint —
+    the property the driver-oracle parity mode relies on."""
+    sym = symmetrize(toy_edges_df(spark, "twocomp"))
+    fixed = neighborhood_function(spark, sym, max_hops=6, stop_on_converge=False)
+    conv = neighborhood_function(spark, sym, max_hops=16)
+    f = {r.vertex: (r.b_sum, r.est) for r in fixed.sketches.collect()}
+    c = {r.vertex: (r.b_sum, r.est) for r in conv.sketches.collect()}
+    assert f == c
+
+
+def test_anf_empty_graph(spark):
+    df = spark.createDataFrame([], "src_id string, dst_id string")
+    result = neighborhood_function(spark, df, max_hops=4)
+    assert result.num_vertices == 0
+    assert result.sketches.count() == 0
+    assert result.effective_diameter is None
