@@ -74,6 +74,16 @@ WHERE l1.l_quantity < 3 AND l2.l_quantity < 3
 """
 
 
+EDGES_SEQSUPPLY_SQL = """
+SELECT DISTINCT 's' || CAST(l1.l_suppkey AS VARCHAR) AS src_id,
+                's' || CAST(l2.l_suppkey AS VARCHAR) AS dst_id
+FROM lineitem l1 JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+WHERE l1.l_quantity <= 3 AND l2.l_quantity <= 3
+  AND l1.l_suppkey <> l2.l_suppkey
+"""
+
+
 def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -82,6 +92,32 @@ def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src_id"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst_id"),
+        )
+        .distinct()
+    )
+
+
+def seqsupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed supplier-succession graph: an edge when supplier b's
+    lineitem directly follows supplier a's within an order (small-
+    quantity filter keeps it sparse).  Unlike co-supply (a<b, acyclic)
+    different orders create edges in BOTH directions — real cycles, the
+    SCC test graph (~81 vertices, SCCs of size 5/4/1x72 at sf0.01)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"
+    ).filter(F.col("l_quantity") <= 3)
+    l1 = li.select("l_orderkey", "l_linenumber", F.col("l_suppkey").alias("a"))
+    l2 = li.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("l_linenumber"),
+        F.col("l_suppkey").alias("b"),
+    )
+    return (
+        l1.join(l2, ["l_orderkey", "l_linenumber"])
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.concat(F.lit("s"), F.col("a").cast("string")).alias("src_id"),
+            F.concat(F.lit("s"), F.col("b").cast("string")).alias("dst_id"),
         )
         .distinct()
     )
@@ -749,6 +785,47 @@ def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     result = connected_components_star(spark, cosupply_edges(spark, sf_dir))
     return result.components.select("vertex", "component")
+
+
+def _scc_closure_sql(doublings: int) -> str:
+    """SCC oracle by definition: mutual reachability on the supplier-
+    succession graph via squared transitive closure (reflexive base, so
+    ``doublings`` rounds cover paths up to 2^doublings — 7 covers any
+    simple path over the ~81-vertex fixture with >50% margin).  SCC id
+    = min mutually-reachable vertex, the engine's label convention."""
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES_SEQSUPPLY_SQL})",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM e UNION SELECT dst_id FROM e)",
+        "r0 AS MATERIALIZED (SELECT vertex AS a, vertex AS b FROM verts "
+        "UNION SELECT src_id, dst_id FROM e)",
+    ]
+    for k in range(1, doublings + 1):
+        p = k - 1
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT DISTINCT x.a, y.b "
+            f"FROM r{p} x JOIN r{p} y ON x.b = y.a)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT f.a AS vertex, min(f.b) AS scc
+FROM r{doublings} f JOIN r{doublings} g ON f.a = g.b AND f.b = g.a
+GROUP BY f.a"""
+    )
+
+
+@register("scc_labels", _scc_closure_sql(doublings=7))
+def q_scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (FW-BW coloring with trim,
+    plans/scc.py) over the directed supplier-succession graph; the
+    oracle is mutual reachability by squared transitive closure — a
+    definitionally different computation, so agreement is a strong
+    correctness check."""
+    from arxiv_citation_graph_spark.plans.scc import strongly_connected_components
+
+    result = strongly_connected_components(spark, seqsupply_edges(spark, sf_dir))
+    return result.components
 
 
 def _lpa_unrolled_sql(iters: int) -> str:

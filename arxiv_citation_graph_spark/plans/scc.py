@@ -1,0 +1,277 @@
+"""Strongly connected components — distributed FW-BW coloring with trim.
+
+WCC (``plans/components.py``) ignores edge direction; citation/link
+graphs are directed, and their cycle structure (mutual-citation
+clusters, link farms) is an SCC question.  The classic distributed
+algorithm (Orzan 2004 "On distributed verification of SCC"; FW-BW-Trim
+as analyzed by Slota, Rajamanickam & Madduri, IPDPS 2014; also the
+Pregel formulation of Yan et al.) runs phases of three superstep
+fixpoints, each with the engine's standard one-|E|-join-per-superstep
+shape:
+
+1. **Trim** — peel vertices with no in-edges or no out-edges among the
+   still-unlabeled subgraph; each is its own singleton SCC.  On
+   DAG-like graphs (citation graphs are mostly acyclic) trim does
+   nearly all the work in peel-depth rounds — this is what makes
+   FW-BW viable at web scale.
+2. **Color** — forward hash-min: ``color(v) = min id over vertices
+   that can reach v`` (iterated min over in-neighbors).  A vertex with
+   ``color(v) == v`` is a *root*: no smaller vertex reaches it.
+3. **Backward sweep** — within each color class, mark vertices that
+   can reach their root, propagating along reverse edges.  Every
+   intermediate vertex on such a path provably carries the same color,
+   so the sweep never leaves the class.  ``{v : color(v) = r, v
+   reaches r}`` is exactly SCC(r) — labeled and removed.  At least
+   every root's SCC completes per phase, so the phase count is bounded
+   by the longest chain of SCCs sharing minima (small in practice).
+
+The phase loop is driver-coordinated (a bounded number of |V|-sized
+actions); each inner fixpoint runs through ``run_supersteps`` so
+lineage is truncated and Catalyst-stats compounding is reset every
+superstep.  Ephemeral only: a durable multi-loop checkpoint protocol
+would need a phase-level manifest — out of scope here, and SCC runs
+are diameter-bounded, not convergence-bounded like PageRank.
+
+Labels follow the engine's component convention: the SCC id is the
+lexicographic minimum vertex id in the SCC (the backward sweep's root
+is the class minimum by construction — no smaller vertex reaches the
+root, and every class member reaches it, so a smaller member would
+recolor it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.superstep import (
+    SuperstepReport,
+    _reset_stats,
+    run_supersteps,
+)
+
+
+@dataclass
+class SccResult:
+    components: DataFrame  # (vertex, scc) — scc = min vertex id in the SCC
+    phases: int
+    supersteps: int  # total inner supersteps across all fixpoints
+    num_vertices: int
+    num_edges: int
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_phases: int = 64,
+    max_iterations: int = 256,
+    broadcast_state: bool | None = None,
+) -> SccResult:
+    """SCC labels over the directed ``edges(src_id, dst_id)`` (duplicate
+    edges collapse; self-loops allowed — a self-loop vertex is its own
+    singleton SCC like any other).  ``max_iterations`` bounds each inner
+    fixpoint (trim depth / color propagation / backward sweep), all of
+    which converge within the relevant diameter."""
+    edges = edges.select("src_id", "dst_id").distinct()
+    vertices = vertices_of(edges)
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "vertex string, scc string")
+        return SccResult(empty, 0, 0, 0, 0)
+    m = edges.count()
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def _mat(df: DataFrame) -> tuple[DataFrame, object | None]:
+        """Eager lineage cut for the phase-level frames (the inner
+        fixpoints go through run_supersteps, which does its own)."""
+        return _reset_stats(df.localCheckpoint(eager=True))
+
+    parallelism = spark.sparkContext.defaultParallelism
+    total_steps = 0
+    label_frames: list[DataFrame] = []
+    handles: list[object] = []
+
+    remaining, h = _mat(vertices)
+    handles.append(h)
+    rem_edges, h = _mat(edges.repartition(parallelism, "src_id"))
+    handles.append(h)
+
+    phases = 0
+    try:
+        while phases < max_phases:
+            # ---- trim: peel no-in/no-out vertices (singleton SCCs) ----
+            def trim_step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+                alive = state.filter(F.col("alive")).select("vertex")
+                e = rem_edges.join(
+                    _mb(alive.withColumnRenamed("vertex", "src_id")), "src_id", "semi"
+                ).join(
+                    _mb(alive.withColumnRenamed("vertex", "dst_id")), "dst_id", "semi"
+                )
+                has_out = e.select(F.col("src_id").alias("vertex")).distinct()
+                has_in = e.select(F.col("dst_id").alias("vertex")).distinct()
+                keep = has_out.join(has_in, "vertex", "semi").withColumn(
+                    "_keep", F.lit(True)
+                )
+                new_alive = F.col("alive") & F.coalesce(F.col("_keep"), F.lit(False))
+                return (
+                    state.join(_mb(keep), "vertex", "left")
+                    .select(
+                        "vertex",
+                        new_alive.alias("alive"),
+                        (F.col("alive") & ~new_alive).cast("double").alias("delta"),
+                    )
+                ), {"delta": F.sum("delta")}
+
+            trim_init = remaining.select(
+                "vertex", F.lit(True).alias("alive"), F.lit(0.0).alias("delta")
+            )
+            trimmed_state, trim_report = run_supersteps(
+                spark, trim_init, trim_step,
+                max_iterations=max_iterations, tolerance=0.0,
+            )
+            total_steps += trim_report.iterations
+            singles = trimmed_state.filter(~F.col("alive")).select(
+                "vertex", F.col("vertex").alias("scc")
+            )
+            singles, h = _mat(singles)
+            handles.append(h)
+            label_frames.append(singles)
+            remaining, h = _mat(trimmed_state.filter(F.col("alive")).select("vertex"))
+            handles.append(h)
+            if remaining.limit(1).count() == 0:
+                phases += 1
+                break
+            rem_edges, h = _mat(
+                rem_edges.join(
+                    _mb(remaining.withColumnRenamed("vertex", "src_id")), "src_id", "semi"
+                ).join(
+                    _mb(remaining.withColumnRenamed("vertex", "dst_id")), "dst_id", "semi"
+                ).repartition(parallelism, "src_id")
+            )
+            handles.append(h)
+
+            # ---- color: forward hash-min over the trimmed subgraph ----
+            def color_step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+                nbr_min = (
+                    rem_edges.join(
+                        _mb(state.select(F.col("vertex").alias("src_id"), "color")),
+                        "src_id",
+                    )
+                    .groupBy("dst_id")
+                    .agg(F.min("color").alias("nbr_color"))
+                )
+                new_color = F.least(
+                    F.col("color"), F.coalesce(F.col("nbr_color"), F.col("color"))
+                )
+                return (
+                    state.select("vertex", F.col("color").alias("color"))
+                    .join(nbr_min, F.col("vertex") == F.col("dst_id"), "left")
+                    .select(
+                        "vertex",
+                        new_color.alias("color"),
+                        (new_color != F.col("color")).cast("double").alias("delta"),
+                    )
+                ), {"delta": F.sum("delta")}
+
+            color_init = remaining.select(
+                "vertex", F.col("vertex").alias("color"), F.lit(0.0).alias("delta")
+            )
+            colored, color_report = run_supersteps(
+                spark, color_init, color_step,
+                max_iterations=max_iterations, tolerance=0.0,
+            )
+            total_steps += color_report.iterations
+
+            # ---- backward sweep: reach the root within the color class ----
+            def reach_step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+                # v becomes reached if some out-edge (v, w) has w reached
+                # with the same color — reverse-direction propagation
+                reached_dst = state.filter(F.col("reached")).select(
+                    F.col("vertex").alias("dst_id"), F.col("color").alias("_dst_color")
+                )
+                hits = (
+                    rem_edges.join(_mb(reached_dst), "dst_id")
+                    .select(F.col("src_id").alias("_hv"), "_dst_color")
+                    .distinct()
+                )
+                # join on (vertex, color) so a reached neighbor of a
+                # DIFFERENT color class can never mark v (and a matching
+                # one always does, regardless of other neighbors)
+                joined = state.join(
+                    _mb(hits),
+                    (F.col("vertex") == F.col("_hv"))
+                    & (F.col("color") == F.col("_dst_color")),
+                    "left",
+                )
+                return (
+                    joined.select(
+                        "vertex",
+                        "color",
+                        (F.col("reached") | F.col("_hv").isNotNull()).alias("reached"),
+                        (~F.col("reached") & F.col("_hv").isNotNull())
+                        .cast("double")
+                        .alias("delta"),
+                    )
+                ), {"delta": F.sum("delta")}
+
+            reach_init = colored.select(
+                "vertex", "color",
+                (F.col("vertex") == F.col("color")).alias("reached"),
+                F.lit(0.0).alias("delta"),
+            )
+            swept, reach_report = run_supersteps(
+                spark, reach_init, reach_step,
+                max_iterations=max_iterations, tolerance=0.0,
+            )
+            total_steps += reach_report.iterations
+
+            found = swept.filter(F.col("reached")).select(
+                "vertex", F.col("color").alias("scc")
+            )
+            found, h = _mat(found)
+            handles.append(h)
+            label_frames.append(found)
+            remaining, h = _mat(
+                swept.filter(~F.col("reached")).select("vertex")
+            )
+            handles.append(h)
+            phases += 1
+            if remaining.limit(1).count() == 0:
+                break
+            rem_edges, h = _mat(
+                rem_edges.join(
+                    _mb(remaining.withColumnRenamed("vertex", "src_id")), "src_id", "semi"
+                ).join(
+                    _mb(remaining.withColumnRenamed("vertex", "dst_id")), "dst_id", "semi"
+                ).repartition(parallelism, "src_id")
+            )
+            handles.append(h)
+        else:
+            raise RuntimeError(
+                f"SCC did not finish within max_phases={max_phases} "
+                f"({remaining.count()} vertices unlabeled) — raise max_phases"
+            )
+
+        components = label_frames[0]
+        for f in label_frames[1:]:
+            components = components.unionAll(f)
+        # result-sized materialization so phase-level blocks can be freed
+        components, h = _mat(components)
+        handles.append(h)
+    finally:
+        # free every phase-level localCheckpoint block except the one
+        # backing the returned result (the last handle)
+        for h in handles[:-1]:
+            if h is not None:
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass
+    return SccResult(components, phases, total_steps, n, m)

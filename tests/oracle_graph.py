@@ -435,3 +435,55 @@ def anf_det(
         state = new
         function.append((h, sum(est_of(sk)[1] for sk in state.values())))
     return {v: est_of(sk) for v, sk in state.items()}, function
+
+
+def scc_kosaraju(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Kosaraju SCC labeled by min member (iterative, matches
+    plans/scc.py's label convention)."""
+    es = sorted(set(edges))
+    verts = _vertex_index(es)
+    g: dict[str, list[str]] = defaultdict(list)
+    gr: dict[str, list[str]] = defaultdict(list)
+    for s, d in es:
+        g[s].append(d)
+        gr[d].append(s)
+    visited: set[str] = set()
+    order: list[str] = []
+    for v in verts:
+        if v in visited:
+            continue
+        stack = [(v, iter(g[v]))]
+        visited.add(v)
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in visited:
+                    visited.add(w)
+                    stack.append((w, iter(g[w])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(node)
+                stack.pop()
+    comp: dict[str, str] = {}
+    for v in reversed(order):
+        if v in comp:
+            continue
+        stack2 = [v]
+        comp[v] = v
+        while stack2:
+            u = stack2.pop()
+            for w in gr[u]:
+                if w not in comp:
+                    comp[w] = v
+                    stack2.append(w)
+    members: dict[str, list[str]] = defaultdict(list)
+    for v, c in comp.items():
+        members[c].append(v)
+    out: dict[str, str] = {}
+    for vs in members.values():
+        mn = min(vs)
+        for v in vs:
+            out[v] = mn
+    return out

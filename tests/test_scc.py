@@ -1,0 +1,85 @@
+"""Strongly connected components vs Kosaraju (plans/scc.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+from arxiv_citation_graph_spark.plans.scc import strongly_connected_components
+from tests import oracle_graph
+
+CASES = {
+    # two 2-3 cycles joined by a bridge, plus a dangling tail
+    "two_cycles_bridge": [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "x"), ("x", "y"), ("y", "x"), ("y", "z"),
+    ],
+    # pure DAG: every vertex its own SCC, trim does all the work
+    "dag": [("a", "b"), ("b", "c"), ("a", "c")],
+    # self-loop is a singleton SCC like any other
+    "selfloop": [("a", "a"), ("a", "b")],
+    # one big cycle: single SCC found by the FW-BW core (trim removes
+    # nothing)
+    "big_cycle": [(f"v{i}", f"v{(i + 1) % 7}") for i in range(7)],
+    # chained SCCs: two 2-cycles connected a->...->e, multiple phases
+    "nested": [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"), ("d", "e"),
+    ],
+    # cycles that share the same hash-min color root transitively
+    "shared_min": [
+        ("a", "p"), ("p", "q"), ("q", "p"),
+        ("a", "r"), ("r", "s"), ("s", "r"), ("s", "q"),
+    ],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_scc_matches_kosaraju(spark, name):
+    edges = CASES[name]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    result = strongly_connected_components(spark, df)
+    got = {r.vertex: r.scc for r in result.components.collect()}
+    assert got == oracle_graph.scc_kosaraju(edges), name
+    # every vertex labeled exactly once
+    assert result.components.count() == result.num_vertices
+
+
+def test_scc_on_directed_toy_graphs(spark):
+    """The shared toy fixtures are DAG-ish or symmetric; labels must
+    still match Kosaraju exactly."""
+    graphs = toy_graphs()
+    for name in ("twocomp", "star", "k4", "dangling"):
+        result = strongly_connected_components(spark, toy_edges_df(spark, name))
+        got = {r.vertex: r.scc for r in result.components.collect()}
+        assert got == oracle_graph.scc_kosaraju(graphs[name]), name
+
+
+def test_scc_trim_only_is_single_phase(spark):
+    """A DAG finishes in one phase: trim peels everything, the FW-BW
+    core never runs (the at-scale fast path for citation graphs)."""
+    edges = [(f"n{i}", f"n{i + 1}") for i in range(6)]
+    result = strongly_connected_components(
+        spark, spark.createDataFrame(edges, ["src_id", "dst_id"])
+    )
+    assert result.phases == 1
+    got = {r.vertex: r.scc for r in result.components.collect()}
+    assert got == {f"n{i}": f"n{i}" for i in range(7)}
+
+
+def test_scc_empty(spark):
+    df = spark.createDataFrame([], "src_id string, dst_id string")
+    result = strongly_connected_components(spark, df)
+    assert result.num_vertices == 0
+    assert result.components.count() == 0
+
+
+def test_scc_max_phases_guard(spark):
+    """An unfinishable budget raises instead of returning partial
+    labels."""
+    edges = CASES["nested"]
+    with pytest.raises(RuntimeError, match="max_phases"):
+        strongly_connected_components(
+            spark,
+            spark.createDataFrame(edges, ["src_id", "dst_id"]),
+            max_phases=1,
+        )
