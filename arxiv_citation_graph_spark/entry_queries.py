@@ -1176,6 +1176,56 @@ def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.core.select("vertex", F.col("core_deg").cast("long").alias("core_deg"))
 
 
+def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peeling on the simple-undirected co-supply
+    graph (plans/truss.py): per round, per-edge triangle support via
+    id-ordered triangle enumeration, edges below ``k - 2`` dropped.
+    ``rounds`` must exceed the peel depth (measured 3 at sf0.01 for
+    k=4; 8 gives >2x margin, pinned by tests/test_truss.py)."""
+    thr = k - 2
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "t0 AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u, "
+        "greatest(src_id, dst_id) AS v FROM cos WHERE src_id <> dst_id)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"tri{r} AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM t{p} e1 JOIN t{p} e2 ON e1.v = e2.u "
+            f"JOIN t{p} e3 ON e3.u = e1.u AND e3.v = e2.v)"
+        )
+        ctes.append(
+            f"sup{r} AS MATERIALIZED (SELECT u, v, count(*) AS c FROM ("
+            f"SELECT a AS u, b AS v FROM tri{r} UNION ALL "
+            f"SELECT b, c FROM tri{r} UNION ALL "
+            f"SELECT a, c FROM tri{r}) GROUP BY u, v)"
+        )
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT t.u, t.v, "
+            f"CAST(coalesce(s.c, 0) AS BIGINT) AS support "
+            f"FROM t{p} t LEFT JOIN sup{r} s ON s.u = t.u AND s.v = t.v "
+            f"WHERE coalesce(s.c, 0) >= {thr})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT u, v, support FROM t{rounds}"
+    )
+
+
+_KTRUSS_K = 4
+
+
+@register("ktruss_edges", _ktruss_unrolled_sql(_KTRUSS_K, rounds=8))
+def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the co-supply graph (Cohen 2008): every surviving edge
+    closes >= 2 triangles within the truss — iterative support peeling
+    with the degree-ranked wedge join (plans/truss.py)."""
+    from arxiv_citation_graph_spark.plans.truss import ktruss
+
+    result = ktruss(spark, cosupply_edges(spark, sf_dir), _KTRUSS_K)
+    return result.edges.select("u", "v", F.col("support").cast("long").alias("support"))
+
+
 #: Unrolled BFS depth for the bfs/landmark oracles.  Must exceed the
 #: source-set eccentricity at the driver's sf (measured 3 at sf0.01) —
 #: ADVICE r3: a too-shallow unroll silently truncates and shows up as a

@@ -1,0 +1,106 @@
+"""k-truss decomposition vs brute-force peeling (plans/truss.py)."""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import pytest
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+from arxiv_citation_graph_spark.plans.truss import ktruss
+
+
+def truss_brute(edges: list[tuple[str, str]], k: int) -> dict[tuple[str, str], int]:
+    """Peel to fixpoint; returns surviving canonical edges with their
+    in-truss support."""
+    E = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    while True:
+        nbrs: dict[str, set] = defaultdict(set)
+        for u, v in E:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+        sup = {e: len(nbrs[e[0]] & nbrs[e[1]]) for e in E}
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return {e: sup[e] for e in E}
+        E -= drop
+
+
+CASES = {
+    # K4 with a 2-edge tail: the 4-truss is exactly the K4
+    "k4_plus_tail": [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("e", "f"),
+    ],
+    # two triangles sharing edge (b,c): 3-truss keeps all, 4-truss none
+    "two_tris_sharing_edge": [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+    ],
+    # disjoint-ish triangles chained through c
+    "triangle_chain": [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("c", "e"),
+    ],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("k", [3, 4])
+def test_ktruss_matches_brute(spark, name, k):
+    edges = CASES[name]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    result = ktruss(spark, df, k)
+    got = {(r.u, r.v): r.support for r in result.edges.collect()}
+    assert got == truss_brute(edges, k), (name, k)
+
+
+def test_ktruss_on_toy_graphs(spark):
+    graphs = toy_graphs()
+    for name in ("k4", "twocomp", "star", "selfloop"):
+        for k in (3, 4):
+            result = ktruss(spark, toy_edges_df(spark, name), k)
+            got = {(r.u, r.v): r.support for r in result.edges.collect()}
+            assert got == truss_brute(graphs[name], k), (name, k)
+
+
+def test_ktruss_cascade_peels_multiple_rounds(spark):
+    """A triangle strip where removing the weakest edge cascades: each
+    round peels more — exercises the multi-round path."""
+    # path of triangles: (v0 v1 v2), (v1 v2 v3), ... skip-edges have
+    # support 1 and drop first; the leftover path then loses all
+    # triangles — a second peel round empties it
+    edges = []
+    for i in range(8):
+        edges += [(f"v{i}", f"v{i + 1}"), (f"v{i}", f"v{i + 2}")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    result = ktruss(spark, df, 4)
+    assert result.rounds >= 2
+    got = {(r.u, r.v): r.support for r in result.edges.collect()}
+    assert got == truss_brute(edges, 4)
+
+
+def test_ktruss_k2_is_whole_simple_graph(spark):
+    edges = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c")]
+    result = ktruss(spark, spark.createDataFrame(edges, ["src_id", "dst_id"]), 2)
+    got = {(r.u, r.v) for r in result.edges.collect()}
+    assert got == {("a", "b"), ("b", "c")}
+    with pytest.raises(ValueError, match="k must be"):
+        ktruss(spark, spark.createDataFrame(edges, ["src_id", "dst_id"]), 1)
+
+
+def test_ktruss_oracle_rounds_margin(spark):
+    """The driver oracle unrolls a fixed peel depth; pin a >=2x margin
+    over the engine's measured rounds at the driver's scale factor
+    (the BFS-oracle convention from ADVICE r3)."""
+    from arxiv_citation_graph_spark.entry_queries import _KTRUSS_K, cosupply_edges
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        pytest.skip("driver testdata not present")
+    result = ktruss(spark, cosupply_edges(spark, sf_dir), _KTRUSS_K)
+    # rounds includes the final no-drop verification round
+    assert result.rounds * 2 <= 8, (
+        f"ktruss peeled in {result.rounds} rounds but the oracle unrolls "
+        "only 8 — margin below 2x; raise the oracle rounds"
+    )
+    assert result.num_edges_truss > 0  # the fixture keeps a real truss
