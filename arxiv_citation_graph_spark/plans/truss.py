@@ -47,11 +47,12 @@ class TrussResult:
     num_vertices_truss: int
 
 
-def _edge_support(und: DataFrame) -> DataFrame:
-    """Per-edge triangle support over the simple undirected frame
-    ``und(u, v)``: degree-ranked wedge enumeration, each triangle
-    credited to its three canonical edges.  Edges in no triangle get no
-    row (callers left-join and coalesce to 0)."""
+def _ranked_edges(und: DataFrame) -> DataFrame:
+    """Degree-ranked orientation of the simple undirected frame
+    ``und(u, v)``: each edge as ``(a, b)`` with ``a`` the lower
+    ``(degree, vertex)`` endpoint, plus ``b``'s rank for the wedge
+    ordering.  Callers checkpoint this once per peel round — the wedge
+    join consumes it THREE times (two legs + closing-edge probe)."""
     deg = (
         und.select(F.col("u").alias("vertex"))
         .unionByName(und.select(F.col("v").alias("vertex")))
@@ -62,7 +63,7 @@ def _edge_support(und: DataFrame) -> DataFrame:
         "vertex",
         F.format_string("%012d|%s", F.col("degree"), F.col("vertex")).alias("rnk"),
     )
-    ranked = (
+    return (
         und.join(rank.withColumnRenamed("vertex", "u").withColumnRenamed("rnk", "rnk_u"), "u")
         .join(rank.withColumnRenamed("vertex", "v").withColumnRenamed("rnk", "rnk_v"), "v")
         .select(
@@ -73,6 +74,23 @@ def _edge_support(und: DataFrame) -> DataFrame:
             .alias("rnk_b"),
         )
     )
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over the simple undirected frame
+    ``und(u, v)``: degree-ranked wedge enumeration, each triangle
+    credited to its three canonical edges.  Edges in no triangle get no
+    row (callers left-join and coalesce to 0).
+
+    Lazy composition over ``und`` — the peel loop in :func:`ktruss`
+    instead checkpoints the ranked frame once per round and calls
+    :func:`_support_of_ranked` directly, so the degree aggregation and
+    rank joins run ONCE per round rather than once per wedge-join
+    consumer (two legs + closing probe = 3x otherwise)."""
+    return _support_of_ranked(_ranked_edges(und))
+
+
+def _support_of_ranked(ranked: DataFrame) -> DataFrame:
     e1 = ranked.select(F.col("a"), F.col("b").alias("w1"), F.col("rnk_b").alias("r1"))
     e2 = ranked.select(F.col("a"), F.col("b").alias("w2"), F.col("rnk_b").alias("r2"))
     wedges = e1.join(e2, "a").filter(F.col("r1") < F.col("r2")).select("a", "w1", "w2")
@@ -116,7 +134,14 @@ def ktruss(
     try:
         while rounds < max_rounds:
             base = current.select("u", "v")  # drop prior-round support
-            support = _edge_support(base)
+            # checkpoint the degree-ranked orientation once per round:
+            # the wedge join reads it three times (two legs + closing
+            # probe), and without this each read re-runs the degree
+            # aggregation and both rank joins
+            ranked, rank_handle = _reset_stats(
+                _ranked_edges(base).localCheckpoint(eager=True)
+            )
+            support = _support_of_ranked(ranked)
             survivors = (
                 base.join(support, ["u", "v"], "left")
                 .select(
@@ -126,6 +151,11 @@ def ktruss(
                 .filter(F.col("support") >= threshold)
             )
             survivors, new_handle = _reset_stats(survivors.localCheckpoint(eager=True))
+            if rank_handle is not None:
+                try:
+                    rank_handle.unpersist()
+                except Exception:
+                    pass
             n_now = survivors.count()
             n_prev = current.count()  # cheap: checkpointed frame
             if handle is not None:

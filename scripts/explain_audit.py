@@ -307,6 +307,92 @@ def main() -> None:
             )
         )
 
+    from arxiv_citation_graph_spark.plans.centrality import katz_centrality
+
+    plan = capture_superstep(lambda: katz_centrality(spark, tedges, max_iterations=3))
+    sections.append(
+        (
+            "Katz centrality superstep (iteration 1)",
+            "The PageRank shape verbatim: one |E| join of the cached "
+            "hash-partitioned adjacency against the |V| score frame, salted "
+            "two-stage sum, one |V| state merge carrying the fused L1 "
+            f"delta.  [{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.anf import neighborhood_function
+
+    plan = capture_superstep(lambda: neighborhood_function(spark, tedges, max_hops=3))
+    sections.append(
+        (
+            "ANF hop superstep (iteration 1)",
+            "Flajolet-Martin sketch union along edges: one |E| join against "
+            "the |V| sketch frame, bit_or aggregate with map-side partial "
+            "combine (the FM union IS bitwise-or, so partials are exact), "
+            f"one |V| sketch merge.  [{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.scc import strongly_connected_components
+
+    scc_plans: list[str] = []
+
+    def probe_scc(i, df):
+        scc_plans.append(df._jdf.queryExecution().executedPlan().toString())
+
+    ss_mod.PLAN_PROBE = probe_scc
+    try:
+        strongly_connected_components(spark, tedges)
+    finally:
+        ss_mod.PLAN_PROBE = None
+    if scc_plans:
+        sections.append(
+            (
+                "SCC color-propagation superstep (FW-BW phase 1)",
+                "Max-color flood over the active subgraph: one join of the "
+                "|E_active| adjacency against the |V_active| color frame, "
+                "max-aggregate with map-side partials, one state merge; "
+                "converged SCCs leave the active set each phase so the "
+                "frames only shrink.  "
+                f"[{exchange_count(scc_plans[min(1, len(scc_plans) - 1)])}]",
+                condense(scc_plans[min(1, len(scc_plans) - 1)], KEEP),
+            )
+        )
+
+    from arxiv_citation_graph_spark.plans.truss import _ranked_edges, _support_of_ranked
+    from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+    und = _simple_undirected(tedges).localCheckpoint(eager=True)
+    base = und.select("u", "v")
+    ranked = _ranked_edges(base).localCheckpoint(eager=True)
+    support = _support_of_ranked(ranked)
+    truss_round = (
+        base.join(support, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+        )
+        .filter(F.col("support") >= 2)
+    )
+    tr_plan = plan_of(truss_round)
+    sections.append(
+        (
+            "k-truss peel round (support + threshold filter)",
+            "Per-edge triangle support via the degree-ranked compact-forward "
+            "wedge join (hub fan-out O(sqrt(|E|)) per pivot); the ranked "
+            "orientation is checkpointed once per round so its three "
+            "consumers (two wedge legs + closing probe) scan blocks instead "
+            "of re-running the degree aggregation; three-way edge credit "
+            "exploded then hash-aggregated with map-side partials, left join "
+            "back onto the (checkpointed, shrinking) edge frame, threshold "
+            f"filter in-plan.  [{exchange_count(tr_plan)}]",
+            condense(tr_plan, KEEP + ("LeftSemi",)),
+        )
+    )
+
     tedges.unpersist()
 
     import tempfile
