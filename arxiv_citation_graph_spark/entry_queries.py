@@ -1902,6 +1902,79 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINKPRED_CAP = 40
+_LINKPRED_MIN_CN = 3
+
+
+def _linkpred_sql(hub_cap: int, min_common: int) -> str:
+    """Oracle for plans/linkpred.py: wedge-join overlap scores with the
+    pivot hub cap, per-pivot AA/RA weights attached pre-join, existing
+    edges anti-joined away — the same plan stated in SQL."""
+    return f"""
+WITH bip AS MATERIALIZED ({EDGES_BIPARTITE_SQL}),
+und AS MATERIALIZED (SELECT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+  FROM bip WHERE src_id <> dst_id GROUP BY 1, 2),
+adj AS MATERIALIZED (SELECT u AS w, v AS n FROM und UNION ALL SELECT v, u FROM und),
+deg AS MATERIALIZED (SELECT w, count(*) AS d FROM adj GROUP BY w),
+piv AS (SELECT w, 1.0 / ln(CAST(d AS DOUBLE)) AS aa_w, 1.0 / CAST(d AS DOUBLE) AS ra_w
+  FROM deg WHERE d >= 2 AND d <= {hub_cap}),
+aw AS MATERIALIZED (SELECT a.w, a.n, p.aa_w, p.ra_w FROM adj a JOIN piv p USING (w)),
+sc AS MATERIALIZED (
+  SELECT l.n AS a, r.n AS b, count(*) AS cn, sum(l.aa_w) AS aa, sum(l.ra_w) AS ra
+  FROM aw l JOIN aw r ON l.w = r.w AND l.n < r.n
+  GROUP BY l.n, r.n HAVING count(*) >= {min_common}
+),
+ne AS (SELECT sc.* FROM sc LEFT JOIN und ON und.u = sc.a AND und.v = sc.b
+  WHERE und.u IS NULL)
+SELECT ne.a, ne.b,
+       CAST(ne.cn AS BIGINT) AS common_neighbors,
+       CAST(ne.cn AS DOUBLE) / CAST(da.d + db.d - ne.cn AS DOUBLE) AS jaccard,
+       round(ne.aa, 6) AS adamic_adar,
+       round(ne.ra, 6) AS resource_alloc,
+       CAST(da.d * db.d AS BIGINT) AS pref_attach
+FROM ne JOIN deg da ON da.w = ne.a JOIN deg db ON db.w = ne.b
+"""
+
+
+@register("link_prediction", _linkpred_sql(_LINKPRED_CAP, _LINKPRED_MIN_CN))
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores (Liben-Nowell & Kleinberg 2003) over the
+    customer-supplier graph: common neighbors / Jaccard / Adamic-Adar /
+    resource allocation / preferential attachment for non-adjacent pairs
+    sharing >= 3 neighbors.  The hub cap (40) is active at sf0.01 — the
+    oracle states the same pivot exclusion (plans/linkpred.py)."""
+    from arxiv_citation_graph_spark.plans.linkpred import link_prediction_scores
+
+    return link_prediction_scores(
+        bipartite_edges(spark, sf_dir),
+        hub_cap=_LINKPRED_CAP,
+        min_common=_LINKPRED_MIN_CN,
+    )
+
+
+@register(
+    "reciprocity",
+    f"""
+WITH seq AS MATERIALIZED ({EDGES_SEQSUPPLY_SQL}),
+e AS MATERIALIZED (SELECT src_id, dst_id FROM seq WHERE src_id <> dst_id GROUP BY 1, 2)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM e
+             JOIN e r ON r.src_id = e.dst_id AND r.dst_id = e.src_id) AS BIGINT)
+         AS n_reciprocated,
+       CAST((SELECT count(*) FROM e
+             JOIN e r ON r.src_id = e.dst_id AND r.dst_id = e.src_id) AS DOUBLE)
+         / CAST((SELECT count(*) FROM e) AS DOUBLE) AS reciprocity
+""",
+)
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity (Newman 2002) of the directed supplier-succession
+    graph: the fraction of edges with a reverse edge — the classic
+    directedness diagnostic (plans/linkpred.py::reciprocity)."""
+    from arxiv_citation_graph_spark.plans.linkpred import reciprocity
+
+    return reciprocity(seqsupply_edges(spark, sf_dir))
+
+
 @register(
     "degree_histogram",
     f"""

@@ -1,0 +1,164 @@
+"""Link-prediction scores — the classic neighborhood-overlap measures.
+
+For a simple undirected graph, score every candidate vertex pair
+``(a, b)`` by how much their neighborhoods overlap (Liben-Nowell &
+Kleinberg 2003 "The link prediction problem for social networks"):
+
+- **common neighbors**: ``|N(a) ∩ N(b)|``
+- **Jaccard**: ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|``
+- **Adamic-Adar** (2003): ``sum_{w in N(a) ∩ N(b)} 1 / ln(deg(w))`` —
+  rare shared neighbors count more than hubs.
+- **resource allocation** (Zhou, Lü & Zhang 2009): same with ``1 /
+  deg(w)`` — the strongest simple predictor in most benchmarks.
+- **preferential attachment**: ``deg(a) * deg(b)`` (no overlap needed;
+  computed for the pairs the wedge join surfaces).
+
+The reference engine has no link prediction; this is a beyond-reference
+capability of the citation graph tier (predict missing citations /
+recommend related work).
+
+Plan shape — the co-citation wedge join with per-pivot weights:
+
+1. ONE |E| distinct scan builds the canonical undirected frame (cached,
+   scoped lifetime per the ``cocite._pair_counts`` convention).
+2. Degrees are |V|-sized; the pivot's Adamic-Adar / resource-allocation
+   weight is attached to the adjacency BEFORE the self-join, so the
+   per-pair aggregation is one shuffle on ``(a, b)`` with map-side
+   partial sums.
+3. ``hub_cap`` excludes high-degree pivots from pair generation — the
+   quadratic fan-out guard (a shared hub neighbor carries ~zero signal
+   AND k*(k-1)/2 pairs; standard practice, same cap semantics as
+   co-citation).  Endpoint degrees for Jaccard / preferential attachment
+   always use the FULL degree table, not the capped one.
+4. Existing edges are anti-joined away by default — link prediction
+   ranks *absent* pairs; ``include_existing=True`` keeps them (useful as
+   a similarity measure).
+
+Determinism: common neighbors / Jaccard / preferential attachment are
+exact-integer arithmetic (single IEEE division for Jaccard — bit-equal
+across engines).  Adamic-Adar and resource allocation sum doubles whose
+addition order differs across engines/partitionings, so they are rounded
+to 6 decimals (the ``degree_assortativity`` convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    hub_cap: int | None = 1000,
+    min_common: int = 1,
+    include_existing: bool = False,
+) -> DataFrame:
+    """Neighborhood-overlap link-prediction scores over
+    ``edges(src_id, dst_id)`` (canonicalized to the simple undirected
+    graph): ``(a, b, common_neighbors, jaccard, adamic_adar,
+    resource_alloc, pref_attach)`` with ``a < b``, one row per candidate
+    pair with at least ``min_common`` shared neighbors.
+
+    Pivot vertices with degree > ``hub_cap`` generate no pairs (fan-out
+    guard; ``None`` disables).  Pairs already joined by an edge are
+    excluded unless ``include_existing``.
+    """
+    und = _simple_undirected(edges).cache()
+    try:
+        out = _scores_over_cached(und, hub_cap, min_common, include_existing)
+        return out.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+
+
+def _scores_over_cached(
+    und: DataFrame,
+    hub_cap: int | None,
+    min_common: int,
+    include_existing: bool,
+) -> DataFrame:
+    adj = und.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
+        und.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    # pivots: degree >= 2 (a degree-1 vertex bridges no pair) and under
+    # the cap; the pivot's AA/RA weights ride along into the wedge join
+    piv = deg.filter(F.col("d") >= 2)
+    if hub_cap is not None:
+        piv = piv.filter(F.col("d") <= hub_cap)
+    adjw = adj.join(
+        piv.select(
+            "w",
+            (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("_aa_w"),
+            (F.lit(1.0) / F.col("d").cast("double")).alias("_ra_w"),
+        ),
+        "w",
+    )
+    left = adjw.select("w", F.col("n").alias("a"), "_aa_w", "_ra_w")
+    right = adjw.select("w", F.col("n").alias("b"))
+    scores = (
+        left.join(right, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("_aa_w").alias("_aa"),
+            F.sum("_ra_w").alias("_ra"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    if not include_existing:
+        scores = scores.join(
+            und.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+    da = deg.select(F.col("w").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("w").alias("b"), F.col("d").alias("_db"))
+    return (
+        scores.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("common_neighbors").cast("long").alias("common_neighbors"),
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("common_neighbors")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            F.round(F.col("_aa"), 6).alias("adamic_adar"),
+            F.round(F.col("_ra"), 6).alias("resource_alloc"),
+            (F.col("_da") * F.col("_db")).cast("long").alias("pref_attach"),
+        )
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Edge reciprocity of a DIRECTED graph (Newman, Forrest & Balthrop
+    2002): the fraction of directed edges whose reverse edge also exists
+    — ``(n_edges, n_reciprocated, reciprocity)``, self-loops dropped,
+    duplicates collapsed.  One |E| distinct + one self-equi-join on the
+    reversed key; counts are exact, the ratio is a single IEEE division.
+    """
+    e = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    recip = e.join(rev, ["src_id", "dst_id"], "left_semi")
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        recip.agg(F.count(F.lit(1)).alias("n_reciprocated"))
+    ).select(
+        "n_edges",
+        "n_reciprocated",
+        (
+            F.col("n_reciprocated").cast("double") / F.col("n_edges").cast("double")
+        ).alias("reciprocity"),
+    )

@@ -1,0 +1,154 @@
+"""Link-prediction scores and reciprocity vs brute force
+(plans/linkpred.py)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+from arxiv_citation_graph_spark.plans.linkpred import (
+    link_prediction_scores,
+    reciprocity,
+)
+
+
+def linkpred_brute(
+    edges: list[tuple[str, str]],
+    hub_cap: int | None,
+    min_common: int,
+    include_existing: bool,
+) -> dict[tuple[str, str], tuple]:
+    E = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    nbrs: dict[str, set] = defaultdict(set)
+    for u, v in E:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    deg = {w: len(ns) for w, ns in nbrs.items()}
+    scores: dict[tuple[str, str], list] = defaultdict(lambda: [0, 0.0, 0.0])
+    for w, ns in nbrs.items():
+        d = deg[w]
+        if d < 2 or (hub_cap is not None and d > hub_cap):
+            continue
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1 :]:
+                s = scores[(a, b)]
+                s[0] += 1
+                s[1] += 1.0 / math.log(d)
+                s[2] += 1.0 / d
+    out = {}
+    for (a, b), (cn, aa, ra) in scores.items():
+        if cn < min_common:
+            continue
+        if not include_existing and (a, b) in E:
+            continue
+        out[(a, b)] = (
+            cn,
+            cn / (deg[a] + deg[b] - cn),
+            round(aa, 6),
+            round(ra, 6),
+            deg[a] * deg[b],
+        )
+    return out
+
+
+CASES = {
+    # path a-b-c-d: (a,c) and (b,d) share one neighbor each; (a,d) none
+    "path": [("a", "b"), ("b", "c"), ("c", "d")],
+    # K4 + tail: inside the clique every non-pair is an edge (excluded
+    # by default), the tail vertex pairs with clique members via d
+    "k4_tail": [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"),
+    ],
+    # two hubs sharing leaves: classic common-neighbor signal
+    "bihub": [("h1", f"x{i}") for i in range(6)]
+    + [("h2", f"x{i}") for i in range(6)],
+    "resume": toy_graphs()["resume"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("include_existing", [False, True])
+def test_linkpred_matches_brute(spark, name, include_existing):
+    edges = CASES[name]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    got = {
+        (r["a"], r["b"]): (
+            r["common_neighbors"],
+            r["jaccard"],
+            r["adamic_adar"],
+            r["resource_alloc"],
+            r["pref_attach"],
+        )
+        for r in link_prediction_scores(
+            df, hub_cap=None, min_common=1, include_existing=include_existing
+        ).collect()
+    }
+    want = linkpred_brute(edges, None, 1, include_existing)
+    assert set(got) == set(want)
+    for pair in want:
+        g, w = got[pair], want[pair]
+        assert g[0] == w[0], (pair, g, w)  # common neighbors exact
+        assert g[1] == pytest.approx(w[1], abs=1e-12)  # single division
+        assert g[2] == pytest.approx(w[2], abs=2e-6)  # rounded sums
+        assert g[3] == pytest.approx(w[3], abs=2e-6)
+        assert g[4] == w[4]  # pref attach exact
+
+
+def test_linkpred_hub_cap_excludes_pivot(spark):
+    # star: hub degree 50 >> cap, spokes degree 1 — with the cap no pair
+    # survives (the hub is the only possible pivot)
+    df = toy_edges_df(spark, "star")
+    assert (
+        link_prediction_scores(df, hub_cap=10, min_common=1).count() == 0
+    )
+    # uncapped, every spoke pair shares exactly the hub
+    uncapped = link_prediction_scores(df, hub_cap=None, min_common=1)
+    n = 50
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_linkpred_min_common_threshold(spark):
+    edges = CASES["bihub"]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    # (h1, h2) share all six leaves; leaf pairs share the two hubs
+    rows = {
+        (r["a"], r["b"]): r["common_neighbors"]
+        for r in link_prediction_scores(df, min_common=3).collect()
+    }
+    assert rows == {("h1", "h2"): 6}
+
+
+def test_linkpred_releases_cache(spark):
+    df = toy_edges_df(spark, "resume")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    link_prediction_scores(df, hub_cap=20, min_common=2).count()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before
+
+
+def test_reciprocity_counts(spark):
+    edges = [
+        ("a", "b"), ("b", "a"),  # reciprocated both ways
+        ("b", "c"),              # one-way
+        ("c", "c"),              # self-loop dropped
+        ("a", "b"),              # duplicate collapsed
+    ]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    row = reciprocity(df).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_reciprocated"] == 2
+    assert row["reciprocity"] == pytest.approx(2 / 3)
+
+
+def test_reciprocity_symmetric_graph_is_one(spark):
+    cyc = toy_edges_df(spark, "cycle")
+    sym = cyc.union(
+        cyc.selectExpr("dst_id AS src_id", "src_id AS dst_id")
+    )
+    row = reciprocity(sym).collect()[0]
+    assert row["reciprocity"] == pytest.approx(1.0)
