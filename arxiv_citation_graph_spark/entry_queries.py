@@ -1132,6 +1132,80 @@ def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _louvain_unrolled_sql(rounds: int) -> str:
+    """Unrolled oracle for the deterministic synchronous Louvain local-
+    moving phase (plans/louvain.py, ``fixed_rounds`` mode, level 0): per
+    round, community volumes + vertex->community edge weights feed an
+    exact-integer gain ``4W*e - 2*k_v*vol(c\\v)`` (every term BIGINT, so
+    the argmax is bit-identical across engines); moves are direction-
+    gated by round parity (even rounds: only to smaller community ids,
+    odd: larger) and ties prefer staying, then the smallest id."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u, "
+        "greatest(src_id, dst_id) AS v FROM cos WHERE src_id <> dst_id)",
+        "adj AS MATERIALIZED (SELECT u AS x, v AS y FROM und "
+        "UNION ALL SELECT v, u FROM und)",
+        "kdeg AS MATERIALIZED (SELECT x AS vertex, CAST(count(*) AS BIGINT) AS kv "
+        "FROM adj GROUP BY 1)",
+        "tw AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS w FROM und)",
+        "l0 AS MATERIALIZED (SELECT vertex, vertex AS comm FROM kdeg)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        gate = "c.comm < o.comm" if (k - 1) % 2 == 0 else "c.comm > o.comm"
+        ctes.append(
+            f"vol{k} AS MATERIALIZED (SELECT l.comm, CAST(sum(d.kv) AS BIGINT) AS vol "
+            f"FROM l{p} l JOIN kdeg d ON d.vertex = l.vertex GROUP BY 1)"
+        )
+        ctes.append(
+            f"evc{k} AS MATERIALIZED (SELECT a.x AS vertex, l.comm, "
+            f"CAST(count(*) AS BIGINT) AS e "
+            f"FROM adj a JOIN l{p} l ON a.y = l.vertex GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"cand{k} AS MATERIALIZED (SELECT vertex, comm, max(e) AS e FROM ("
+            f"SELECT vertex, comm, e FROM evc{k} "
+            f"UNION ALL SELECT vertex, comm, CAST(0 AS BIGINT) FROM l{p}) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"sc{k} AS MATERIALIZED (SELECT c.vertex, c.comm, o.comm AS own, "
+            f"4 * (SELECT w FROM tw) * c.e - 2 * d.kv * "
+            f"(v.vol - CASE WHEN c.comm = o.comm THEN d.kv ELSE 0 END) AS iscore "
+            f"FROM cand{k} c JOIN l{p} o ON o.vertex = c.vertex "
+            f"JOIN kdeg d ON d.vertex = c.vertex JOIN vol{k} v ON v.comm = c.comm "
+            f"WHERE c.comm = o.comm OR {gate})"
+        )
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT vertex, comm FROM ("
+            f"SELECT vertex, comm, row_number() OVER (PARTITION BY vertex "
+            f"ORDER BY iscore DESC, CASE WHEN comm = own THEN 0 ELSE 1 END, comm) AS rn "
+            f"FROM sc{k}) WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, comm AS community FROM l{rounds}"
+    )
+
+
+_LOUVAIN_ROUNDS = 4
+
+
+@register("louvain_communities", _louvain_unrolled_sql(_LOUVAIN_ROUNDS))
+def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic parallel Louvain (Blondel et al. 2008; synchronous
+    direction-gated variant), oracle-parity mode: exactly 4 local-moving
+    rounds on the undirected co-supply graph, exact-integer modularity
+    gains (plans/louvain.py)."""
+    from arxiv_citation_graph_spark.plans.louvain import louvain_communities
+
+    result = louvain_communities(
+        spark, cosupply_edges(spark, sf_dir), fixed_rounds=_LOUVAIN_ROUNDS
+    )
+    return result.labels
+
+
 def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peeling on the symmetrized co-supply graph —
     ``rounds`` must exceed the peeling depth so the oracle reaches the

@@ -1,0 +1,292 @@
+"""Deterministic parallel Louvain community detection.
+
+Louvain (Blondel, Guillaume, Lambiotte & Lefebvre 2008 "Fast unfolding
+of communities in large networks") alternates two phases: **local
+moving** (each vertex greedily joins the neighboring community with the
+best modularity gain) and **coarsening** (contract each community to a
+single vertex, keep edge weights, repeat).  The sequential algorithm
+visits vertices one at a time; that order-dependence is unusable on a
+cluster, so this is the *synchronous deterministic* variant used by
+distributed implementations (cf. Que, Checconi, Petrini & Gunnels 2015,
+"Scalable community detection with the Louvain algorithm"):
+
+- All vertices evaluate moves against the SAME previous-round state.
+- Synchronous moves of adjacent vertices can oscillate (two vertices
+  swap into each other's community forever), so moves are
+  **direction-gated by round parity**: on even rounds a vertex may only
+  move to a community id lexicographically SMALLER than its current
+  one, on odd rounds only LARGER (the remedy used by Sotera's
+  distributed Louvain on Giraph).  A swap needs ``c_b < c_a`` and
+  ``c_a < c_b`` in the same round — impossible — and any within-round
+  exchange cycle is likewise acyclic, so oscillation cannot occur
+  inside a round; a full two-round cycle with zero moves is the
+  fixpoint test.  The gate is a plain string comparison, bit-identical
+  in any engine.
+- **Exact integer gains**: the move score ``e(v,c\\v) - k_v *
+  vol(c\\v) / (2W)`` is compared as ``4W * e - 2 * k_v * vol`` — every
+  term a BIGINT (weights are integer multiplicities), so the argmax is
+  bit-identical across engines, partitionings, and float regimes.
+  (At 10^12-edge scale ``4W * e`` approaches the int64 range; the
+  formula then needs decimal(38) — a type swap, same plan.)
+- Ties: higher score first, then the vertex's CURRENT community (no
+  gratuitous moves), then lexicographically smallest community id.
+
+Convergence per level: a full color cycle (two consecutive rounds) with
+zero moves.  ``fixed_rounds`` instead runs exactly that many rounds —
+the oracle-parity mode (the driver unrolls the same rounds in SQL).
+
+Per-round plan shape (the LPA/PageRank template): ONE |E|-sized join
+(adjacency against the |V| community frame) feeding a two-stage
+aggregation on ``(vertex, community)``, two |V|-sized aggregations
+(community volumes, winner argmax via ``min_by`` over an integer
+struct), one |V| state merge.  Coarsening is one |E| double-join against
+the |V| mapping + an aggregation — once per level, not per round.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.superstep import (
+    SuperstepReport,
+    run_supersteps,
+)
+from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+
+@dataclass
+class LouvainResult:
+    labels: DataFrame  # (vertex, community) for the ORIGINAL vertices
+    levels: int
+    rounds_per_level: list[int] = field(default_factory=list)
+    n_communities: int = 0
+    reports: list[SuperstepReport] = field(default_factory=list)
+
+
+def _local_moving(
+    spark: SparkSession,
+    und: DataFrame,  # (u, v, w) canonical, no self-loops, cached by caller
+    selfw: DataFrame | None,  # (vertex, sw) community-internal weight, or None
+    total_w: int,  # W: sum of und weights + selfw weights (level-invariant)
+    max_rounds: int,
+    fixed_rounds: int | None,
+    broadcast_state: bool,
+) -> tuple[DataFrame, SuperstepReport]:
+    """One Louvain level: synchronous color-alternating local moves to a
+    fixpoint (or exactly ``fixed_rounds``).  Returns ``(vertex, comm)``."""
+    adj = und.select(
+        F.col("u").alias("x"), F.col("v").alias("y"), "w"
+    ).unionByName(und.select(F.col("v").alias("x"), F.col("u").alias("y"), "w"))
+    kdeg = adj.groupBy(F.col("x").alias("vertex")).agg(
+        F.sum("w").cast("long").alias("kv")
+    )
+    if selfw is not None:
+        kdeg = (
+            kdeg.join(selfw, "vertex", "left")
+            .select(
+                "vertex",
+                (F.col("kv") + 2 * F.coalesce(F.col("sw"), F.lit(0))).alias("kv"),
+            )
+        )
+    kdeg = kdeg.cache()
+    kdeg.count()
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    w4 = 4 * total_w
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        lab = state.select("vertex", "comm")
+        vol = (
+            lab.join(_mb(kdeg.select("vertex", "kv")), "vertex")
+            .groupBy("comm")
+            .agg(F.sum("kv").cast("long").alias("vol"))
+        )
+        evc = (
+            adj.join(
+                _mb(lab.select(F.col("vertex").alias("y"), F.col("comm"))), "y"
+            )
+            .groupBy(F.col("x").alias("vertex"), "comm")
+            .agg(F.sum("w").cast("long").alias("e"))
+        )
+        cand = (
+            evc.unionByName(
+                lab.select("vertex", "comm", F.lit(0).cast("long").alias("e"))
+            )
+            .groupBy("vertex", "comm")
+            .agg(F.max("e").alias("e"))
+        )
+        own = lab.select("vertex", F.col("comm").alias("own"))
+        # direction gate: even rounds move DOWN the id order, odd UP —
+        # applied BEFORE the argmax so the best *allowed* move wins
+        if i % 2 == 0:
+            gate = F.col("comm") < F.col("own")
+        else:
+            gate = F.col("comm") > F.col("own")
+        scored = (
+            cand.join(_mb(own), "vertex")
+            .filter((F.col("comm") == F.col("own")) | gate)
+            .join(_mb(kdeg), "vertex")
+            .join(_mb(vol), "comm")
+            .select(
+                "vertex",
+                "comm",
+                "own",
+                (
+                    F.lit(w4) * F.col("e")
+                    - 2
+                    * F.col("kv")
+                    * (
+                        F.col("vol")
+                        - F.when(F.col("comm") == F.col("own"), F.col("kv")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                ).alias("iscore"),
+            )
+        )
+        winner = scored.groupBy("vertex").agg(
+            F.min_by(
+                "comm",
+                F.struct(
+                    (-F.col("iscore")).alias("neg"),
+                    (F.col("comm") != F.col("own")).cast("int").alias("notown"),
+                    F.col("comm").alias("c"),
+                ),
+            ).alias("win"),
+            F.min("own").alias("own"),
+        )
+        new = winner.select(
+            "vertex",
+            F.col("win").alias("comm"),
+            (F.col("win") != F.col("own")).cast("double").alias("delta"),
+        )
+        # converged only after a FULL color cycle with no move: this
+        # round's moves + the previous round's (piggybacked aggregate)
+        prev_moves = float(prev["moves"]) if prev is not None else 1.0
+        return new, {
+            "delta": F.sum("delta") + F.lit(prev_moves),
+            "moves": F.sum("delta"),
+        }
+
+    init = kdeg.select(
+        "vertex", F.col("vertex").alias("comm"), F.lit(0.0).alias("delta")
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            init,
+            step,
+            max_iterations=fixed_rounds if fixed_rounds is not None else max_rounds,
+            tolerance=None if fixed_rounds is not None else 0.0,
+        )
+    finally:
+        kdeg.unpersist()
+    return final.select("vertex", "comm"), report
+
+
+def louvain_communities(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_levels: int = 4,
+    max_rounds: int = 40,
+    fixed_rounds: int | None = None,
+    broadcast_state: bool | None = None,
+) -> LouvainResult:
+    """Louvain communities over ``edges(src_id, dst_id)`` (canonicalized
+    to the simple undirected graph; edge multiplicities collapse —
+    weights emerge from coarsening).  ``fixed_rounds`` runs exactly that
+    many local-moving rounds on the FIRST level only and skips
+    coarsening — the deterministic oracle-parity mode.  Check the
+    partition quality with :func:`plans.labelprop.modularity`."""
+    und0 = _simple_undirected(edges).select(
+        "u", "v", F.lit(1).cast("long").alias("w")
+    )
+    und = und0.localCheckpoint(eager=True)
+    total_w = und.count()  # sum of unit weights
+    if total_w == 0:
+        empty = spark.createDataFrame([], "vertex string, community string")
+        return LouvainResult(empty, 0)
+    if broadcast_state is None:
+        broadcast_state = True  # |V|-sized frames; flip off past ~1M vertices
+
+    selfw: DataFrame | None = None
+    mapping: DataFrame | None = None  # orig vertex -> current comm
+    rounds_per_level: list[int] = []
+    reports: list[SuperstepReport] = []
+    levels = 0
+    for level in range(max_levels):
+        state, report = _local_moving(
+            spark,
+            und,
+            selfw,
+            total_w,
+            max_rounds,
+            fixed_rounds if level == 0 else None,
+            broadcast_state,
+        )
+        state = state.localCheckpoint(eager=True)
+        levels += 1
+        rounds_per_level.append(report.iterations)
+        reports.append(report)
+        if mapping is None:
+            mapping = state.select(
+                F.col("vertex").alias("orig"), F.col("comm").alias("community")
+            )
+        else:
+            mapping = mapping.join(
+                state.select(
+                    F.col("vertex").alias("community"), F.col("comm").alias("_new")
+                ),
+                "community",
+            ).select("orig", F.col("_new").alias("community"))
+        mapping = mapping.localCheckpoint(eager=True)
+        if fixed_rounds is not None:
+            break
+        n_comms = state.select("comm").distinct().count()
+        n_verts = state.count()
+        if n_comms == n_verts:
+            break  # nothing merged — coarsening would be the identity
+        # ---- coarsen: communities become vertices, weights aggregate
+        mu = state.select(F.col("vertex").alias("u"), F.col("comm").alias("cu"))
+        mv = state.select(F.col("vertex").alias("v"), F.col("comm").alias("cv"))
+        mapped = und.join(mu, "u").join(mv, "v")
+        cross = (
+            mapped.filter(F.col("cu") != F.col("cv"))
+            .groupBy(
+                F.least("cu", "cv").alias("u"), F.greatest("cu", "cv").alias("v")
+            )
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+        internal = (
+            mapped.filter(F.col("cu") == F.col("cv"))
+            .groupBy(F.col("cu").alias("vertex"))
+            .agg(F.sum("w").cast("long").alias("sw"))
+        )
+        if selfw is not None:
+            carried = selfw.join(
+                state.select(F.col("vertex"), F.col("comm")), "vertex"
+            ).groupBy(F.col("comm").alias("vertex")).agg(
+                F.sum("sw").cast("long").alias("sw")
+            )
+            internal = (
+                internal.unionByName(carried)
+                .groupBy("vertex")
+                .agg(F.sum("sw").cast("long").alias("sw"))
+            )
+        und = cross.localCheckpoint(eager=True)
+        selfw = internal.localCheckpoint(eager=True)
+        if und.limit(1).count() == 0:
+            break  # one community per component — fully coarsened
+    n_final = mapping.select("community").distinct().count()
+    return LouvainResult(
+        mapping.select(F.col("orig").alias("vertex"), "community"),
+        levels,
+        rounds_per_level,
+        n_final,
+        reports,
+    )

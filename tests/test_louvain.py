@@ -1,0 +1,118 @@
+"""Deterministic parallel Louvain (plans/louvain.py): convergence on
+classic fixtures, multi-level coarsening, determinism, and modularity
+quality vs LPA on the same graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.labelprop import label_propagation, modularity
+from arxiv_citation_graph_spark.plans.louvain import louvain_communities
+
+TWO_TRIANGLES = [
+    ("a", "b"), ("b", "c"), ("a", "c"),
+    ("d", "e"), ("e", "f"), ("d", "f"),
+    ("c", "d"),
+]
+
+# four triangles in a ring — needs coarsening to merge beyond level 0
+TRI_RING = [
+    ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+    ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+    ("c1", "c2"), ("c2", "c3"), ("c1", "c3"),
+    ("d1", "d2"), ("d2", "d3"), ("d1", "d3"),
+    ("a3", "b1"), ("b3", "c1"), ("c3", "d1"), ("d3", "a1"),
+]
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+def _parts(result):
+    """{community: frozenset(vertices)} from a LouvainResult."""
+    rows = result.labels.collect()
+    out: dict[str, set[str]] = {}
+    for r in rows:
+        out.setdefault(r.community, set()).add(r.vertex)
+    return {c: frozenset(vs) for c, vs in out.items()}
+
+
+def test_two_triangles_exact_partition(spark):
+    """The canonical Louvain sanity case: two triangles joined by one
+    bridge must converge (well below max_rounds) to exactly the two
+    triangle communities."""
+    res = louvain_communities(spark, _df(spark, TWO_TRIANGLES))
+    assert set(_parts(res).values()) == {
+        frozenset({"a", "b", "c"}),
+        frozenset({"d", "e", "f"}),
+    }
+    assert res.n_communities == 2
+    assert res.rounds_per_level[0] < 40  # converged, did not hit the cap
+
+
+def test_triangle_ring_groups_triangles(spark):
+    """Each triangle of the 4-triangle ring ends up inside ONE community
+    (triangles never split), and coarsening merges at least one level."""
+    res = louvain_communities(spark, _df(spark, TRI_RING))
+    label_of = {r.vertex: r.community for r in res.labels.collect()}
+    for t in ("a", "b", "c", "d"):
+        assert len({label_of[f"{t}1"], label_of[f"{t}2"], label_of[f"{t}3"]}) == 1
+    assert 1 <= res.n_communities <= 4
+    assert res.levels >= 2  # level-0 moves alone cannot merge the ring ends
+
+
+def test_ring8_nontrivial_partition(spark):
+    """A cycle of 8 has no dominant cut; Louvain still must produce a
+    proper partition (every vertex labeled, >1 community, none
+    singleton — arcs of >= 2 beat singletons on a cycle)."""
+    ring = [(str(i), str((i + 1) % 8)) for i in range(8)]
+    res = louvain_communities(spark, _df(spark, ring))
+    parts = _parts(res)
+    assert sum(len(v) for v in parts.values()) == 8
+    assert 2 <= len(parts) <= 4
+    assert all(len(v) >= 2 for v in parts.values())
+
+
+def test_fixed_rounds_deterministic(spark):
+    """Oracle-parity mode: byte-identical labels across two runs."""
+    a = louvain_communities(spark, _df(spark, TWO_TRIANGLES), fixed_rounds=3)
+    b = louvain_communities(spark, _df(spark, TWO_TRIANGLES), fixed_rounds=3)
+    rows_a = sorted((r.vertex, r.community) for r in a.labels.collect())
+    rows_b = sorted((r.vertex, r.community) for r in b.labels.collect())
+    assert rows_a == rows_b
+    assert a.levels == 1  # fixed_rounds skips coarsening
+
+
+def test_modularity_positive_and_not_worse_than_lpa(spark):
+    """On the two-triangle fixture Louvain's partition reaches the known
+    optimum Q and is never worse than 2-iteration LPA's."""
+    edges = _df(spark, TWO_TRIANGLES)
+    res = louvain_communities(spark, edges)
+    q_louvain = modularity(
+        res.labels.select("vertex", F.col("community").alias("label")), edges
+    ).collect()[0].modularity
+    lpa = label_propagation(spark, edges, max_iterations=2)
+    q_lpa = modularity(lpa.labels, edges).collect()[0].modularity
+    # optimum for two triangles + bridge: 2*(3/7 - (7/14)^2) = 0.357142...
+    assert abs(q_louvain - (2 * (3 / 7 - 0.25))) < 1e-9
+    assert q_louvain >= q_lpa - 1e-12
+
+
+def test_duplicate_and_self_edges_collapse(spark):
+    """Edge multiplicities and self-loops must not perturb the level-0
+    graph (the _simple_undirected convention shared with triangles)."""
+    noisy = TWO_TRIANGLES + [("a", "b"), ("b", "a"), ("c", "c")]
+    res = louvain_communities(spark, _df(spark, noisy))
+    assert set(_parts(res).values()) == {
+        frozenset({"a", "b", "c"}),
+        frozenset({"d", "e", "f"}),
+    }
+
+
+def test_empty_graph(spark):
+    res = louvain_communities(
+        spark, spark.createDataFrame([], "src_id string, dst_id string")
+    )
+    assert res.labels.count() == 0
+    assert res.levels == 0
