@@ -393,6 +393,25 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.plans.louvain import louvain_communities
+
+    plan = capture_superstep(
+        lambda: louvain_communities(spark, tedges, fixed_rounds=2)
+    )
+    sections.append(
+        (
+            "Louvain local-moving round (iteration 1)",
+            "One |E| join (adjacency against the |V| community frame) into "
+            "a two-stage (vertex, community) edge-weight aggregate; two "
+            "|V|-sized aggregates (community volumes, min_by argmax over "
+            "the exact-integer gain struct); direction gate is an in-plan "
+            "filter, no extra pass.  Volumes/own/degree frames are "
+            "|V|-sized broadcasts below 1M vertices, shuffle joins above.  "
+            f"[{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
     tedges.unpersist()
 
     import tempfile
