@@ -1346,6 +1346,74 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.distances.select("vertex", F.col("dist").cast("long").alias("dist"))
 
 
+#: deterministic per-edge integer weight (1..4) on the canonical
+#: co-supply edge — the weighted_walks convention, replayed bit-for-bit
+#: by DuckDB's md5.
+_EDGE_WEIGHT_SQL = (
+    "((('0x' || substr(md5(src_id || '|' || dst_id), 1, 4))::BIGINT % 4) + 1)"
+)
+
+
+def weighted_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-supply edges carrying the deterministic md5 weight (1..4)."""
+    return cosupply_edges(spark, sf_dir).select(
+        "src_id",
+        "dst_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "src_id", "dst_id")), 1, 4), 16, 10
+            ).cast("long")
+            % 4
+            + 1
+        ).alias("weight"),
+    )
+
+
+def _sssp_unrolled_sql(rounds: int) -> str:
+    """Unrolled Bellman-Ford relaxation (plans/sssp.py) from the
+    lexicographic-min vertex over the symmetrized weighted co-supply
+    graph; dense per-round relaxation equals the engine's frontier-delta
+    state round-for-round (a non-improved vertex re-contributes only
+    already-applied candidates), so ``rounds`` >= the convergence round
+    suffices — 16 vs the measured weighted-hop depth ~6 at sf0.01."""
+    sentinel = 1 << 40
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        f"wed AS MATERIALIZED (SELECT src_id, dst_id, {_EDGE_WEIGHT_SQL} AS w FROM cos)",
+        "adj AS MATERIALIZED (SELECT src_id, dst_id, min(w) AS w FROM ("
+        "SELECT src_id, dst_id, w FROM wed "
+        "UNION ALL SELECT dst_id, src_id, w FROM wed) GROUP BY 1, 2)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM adj UNION SELECT dst_id FROM adj)",
+        "d0 AS MATERIALIZED (SELECT vertex, CASE WHEN vertex = (SELECT min(vertex) FROM verts) "
+        f"THEN 0 ELSE {sentinel} END AS dist FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT v.vertex, "
+            f"least(v.dist, coalesce(m.nd, v.dist)) AS dist FROM d{p} v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, min(l.dist + e.w) AS nd FROM adj e "
+            f"JOIN d{p} l ON e.src_id = l.vertex WHERE l.dist < {sentinel} "
+            f"GROUP BY e.dst_id) m ON v.vertex = m.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, CAST(dist AS BIGINT) AS dist FROM d{rounds} WHERE dist < {sentinel}"
+    )
+
+
+@register("sssp_distances", _sssp_unrolled_sql(rounds=_BFS_ORACLE_ROUNDS))
+def q_sssp_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (plans/sssp.py): Bellman-
+    Ford supersteps with exact BIGINT distances over md5-weighted
+    co-supply edges, run to the frontier fixpoint."""
+    from arxiv_citation_graph_spark.plans.sssp import sssp_distances
+
+    result = sssp_distances(spark, weighted_cosupply_edges(spark, sf_dir))
+    return result.distances
+
+
 def _landmarks_unrolled_sql(rounds: int, k: int) -> str:
     """Unrolled multi-source BFS (plans/bfs.py::landmark_distances):
     sparse (vertex, landmark, dist) relaxation from the k lexicographic-

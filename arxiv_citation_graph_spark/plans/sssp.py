@@ -1,0 +1,178 @@
+"""Single-source shortest paths with edge weights (Bellman-Ford
+supersteps, frontier-delta).
+
+The weighted complement to :mod:`plans.bfs` — "cheapest path from X"
+over a weighted link graph (citation multiplicity, co-purchase volume,
+latency ...).  Distributed Bellman-Ford is the textbook Pregel kernel
+(Malewicz et al. 2010 §5.2): per superstep every improved vertex relaxes
+its out-edges and each target keeps the minimum tentative distance.
+
+Plan shape per superstep (the BFS template, weights riding the join):
+
+- adjacency ``(src, dst, w)`` cached and hash-partitioned once; parallel
+  edges collapse to their MINIMUM weight up front (the only one a
+  shortest path can use), so the join input is the simple graph,
+- one equi-join of the **frontier** (vertices whose distance improved in
+  the previous superstep — the Bellman-Ford invariant: a vertex can only
+  improve via a neighbor that itself improved) against the adjacency,
+- one ``min(dist + w)`` aggregate with map-side partial combine,
+- one |V|-sized state merge keeping ``least(old, candidate)``; ``delta``
+  = improved-vertex count, 0 == converged (no negative cycles reachable).
+
+Weights are **integers** (cast to BIGINT, validated): distances stay
+exact 64-bit sums, so cross-engine comparison is bit-identical — the
+same reason Louvain compares integer gains.  Null / negative weights
+fail fast (negative edges would need |V| rounds + cycle detection; the
+engine's graphs are multiplicities, always >= 1).  Converges in
+O(max hop count of any shortest weighted path) supersteps — bounded by
+the unweighted diameter only when weights are uniform; ``max_iterations``
+caps pathological chains.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.bfs import UNREACHED
+from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+
+@dataclass
+class SsspResult:
+    distances: DataFrame  # (vertex, dist) — reached vertices only
+    report: SuperstepReport
+    source: str
+
+
+def sssp_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: str | None = None,
+    weight_col: str = "weight",
+    max_iterations: int = 200,
+    directed: bool = False,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_state: bool | None = None,
+) -> SsspResult:
+    """Cheapest-path distances from ``source`` over
+    ``edges(src_id, dst_id, <weight_col>)``.
+
+    ``source=None`` picks the lexicographic-min vertex (deterministic,
+    the BFS convention).  ``directed=False`` (default) symmetrizes —
+    each undirected edge is traversable both ways at the same weight.
+    Weights must be non-null integers >= 1; violations raise before any
+    superstep runs (the weighted-PageRank validation convention).
+    """
+    w = F.col(weight_col).cast("long")
+    bad = edges.filter(
+        F.col(weight_col).isNull()
+        | F.isnan(F.col(weight_col).cast("double"))
+        | (w < 1)
+    ).limit(1)
+    if bad.count() > 0:
+        row = bad.first()
+        raise ValueError(
+            f"sssp_distances requires integer weights >= 1; offending edge "
+            f"({row['src_id']!r} -> {row['dst_id']!r}, "
+            f"{weight_col}={row[weight_col]!r})"
+        )
+    directed_edges = edges.select("src_id", "dst_id", w.alias("_w"))
+    if not directed:
+        directed_edges = directed_edges.unionByName(
+            edges.select(
+                F.col("dst_id").alias("src_id"),
+                F.col("src_id").alias("dst_id"),
+                w.alias("_w"),
+            )
+        )
+    # parallel edges: only the lightest can lie on a shortest path
+    adj = (
+        directed_edges.groupBy("src_id", "dst_id")
+        .agg(F.min("_w").alias("_w"))
+        .repartition(spark.sparkContext.defaultParallelism, "src_id")
+        .cache()
+    )
+    m = adj.count()
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        adj.unpersist()
+        vertices.unpersist()
+        empty = spark.createDataFrame([], "vertex string, dist long")
+        return SsspResult(empty, SuperstepReport(0, True), source or "")
+    if source is None:
+        source = vertices.agg(F.min("vertex")).first()[0]
+    elif vertices.filter(F.col("vertex") == source).count() == 0:
+        adj.unpersist()
+        vertices.unpersist()
+        raise ValueError(f"SSSP source {source!r} is not a vertex of the graph")
+    # weight-aware fingerprint: resuming onto a reweighted graph would
+    # keep stale (too-short) min-only distances with no error
+    fp_row = adj.agg(F.expr("bit_xor(xxhash64(src_id, dst_id, _w))")).first()
+    edge_fp = int(fp_row[0]) if fp_row[0] is not None else 0
+
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        frontier = state.filter(F.col("delta") > 0).select("vertex", "dist")
+        nbr = (
+            adj.join(_mb(frontier), adj.src_id == F.col("vertex"))
+            .groupBy(F.col("dst_id").alias("vertex"))
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("nbr_dist"))
+        )
+        new_dist = F.least(
+            F.col("old_dist"), F.coalesce(F.col("nbr_dist"), F.col("old_dist"))
+        )
+        new = (
+            state.select("vertex", F.col("dist").alias("old_dist"))
+            .join(nbr, "vertex", "left")
+            .select(
+                "vertex",
+                new_dist.alias("dist"),
+                (new_dist < F.col("old_dist")).cast("double").alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    is_src = F.col("vertex") == F.lit(source)
+    initial = vertices.select(
+        "vertex",
+        F.when(is_src, F.lit(0)).otherwise(F.lit(UNREACHED)).cast("long").alias("dist"),
+        F.when(is_src, F.lit(1.0)).otherwise(F.lit(0.0)).alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n,
+                "n_edges": m,
+                "source": source,
+                "directed": directed,
+                "edge_fp": edge_fp,
+                "kernel": "sssp",
+            },
+        )
+        out = final.filter(F.col("dist") < UNREACHED).select("vertex", "dist")
+    finally:
+        adj.unpersist()
+        vertices.unpersist()
+    return SsspResult(out, report, source)

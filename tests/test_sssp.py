@@ -1,0 +1,125 @@
+"""Weighted SSSP (plans/sssp.py): Bellman-Ford supersteps vs hand-solved
+fixtures, a Dijkstra differential oracle, validation, and resume guards."""
+
+from __future__ import annotations
+
+import heapq
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.sssp import sssp_distances
+
+SCHEMA = "src_id string, dst_id string, weight long"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _dists(result):
+    return {r.vertex: r.dist for r in result.distances.collect()}
+
+
+def _dijkstra(rows, source, directed=False):
+    adj: dict[str, list[tuple[str, int]]] = {}
+    verts = set()
+    for u, v, w in rows:
+        verts.update((u, v))
+        adj.setdefault(u, []).append((v, w))
+        if not directed:
+            adj.setdefault(v, []).append((u, w))
+    dist = {source: 0}
+    pq = [(0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_cheapest_path_beats_fewest_hops(spark):
+    """The defining weighted case: direct edge weight 10 loses to a
+    three-hop detour of weight 3."""
+    rows = [("a", "b", 10), ("a", "c", 1), ("c", "d", 1), ("d", "b", 1)]
+    res = sssp_distances(spark, _df(spark, rows), source="a")
+    assert _dists(res) == {"a": 0, "b": 3, "c": 1, "d": 2}
+    assert res.report.converged
+
+
+def test_matches_dijkstra_on_random_graph(spark):
+    """Differential oracle: 40-vertex deterministic pseudo-random graph
+    vs a driver-side Dijkstra."""
+    import hashlib
+
+    rows = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+            if h % 7 == 0:  # ~14% density
+                rows.append((f"v{i:02d}", f"v{j:02d}", h % 9 + 1))
+    res = sssp_distances(spark, _df(spark, rows), source="v00")
+    expected = _dijkstra(rows, "v00")
+    got = _dists(res)
+    assert got == {v: d for v, d in expected.items()}
+
+
+def test_directed_follows_edge_direction(spark):
+    rows = [("a", "b", 2), ("b", "c", 2), ("c", "a", 2)]
+    res = sssp_distances(spark, _df(spark, rows), source="a", directed=True)
+    assert _dists(res) == {"a": 0, "b": 2, "c": 4}
+    res_u = sssp_distances(spark, _df(spark, rows), source="a", directed=False)
+    assert _dists(res_u) == {"a": 0, "b": 2, "c": 2}
+
+
+def test_unreached_vertices_dropped(spark):
+    rows = [("a", "b", 1), ("x", "y", 1)]
+    res = sssp_distances(spark, _df(spark, rows), source="a")
+    assert _dists(res) == {"a": 0, "b": 1}
+
+
+def test_parallel_edges_use_minimum_weight(spark):
+    rows = [("a", "b", 5), ("a", "b", 2), ("b", "a", 7)]
+    res = sssp_distances(spark, _df(spark, rows), source="a")
+    assert _dists(res)["b"] == 2
+
+
+def test_default_source_is_lexicographic_min(spark):
+    rows = [("m", "z", 4), ("b", "m", 1)]
+    res = sssp_distances(spark, _df(spark, rows))
+    assert res.source == "b"
+    assert _dists(res) == {"b": 0, "m": 1, "z": 5}
+
+
+def test_validates_weights_and_source(spark):
+    with pytest.raises(ValueError, match="weights >= 1"):
+        sssp_distances(spark, _df(spark, [("a", "b", 0)]), source="a")
+    with pytest.raises(ValueError, match="weights >= 1"):
+        sssp_distances(spark, _df(spark, [("a", "b", None)]), source="a")
+    with pytest.raises(ValueError, match="not a vertex"):
+        sssp_distances(spark, _df(spark, [("a", "b", 1)]), source="zz")
+
+
+def test_resume_refuses_reweighted_edges(spark, tmp_path):
+    """Same topology, different weights — min-only distances would go
+    stale silently, so the fingerprint must cover weight values."""
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    rows = [("a", "b", 1), ("b", "c", 1)]
+    store = CheckpointStore(str(tmp_path / "sssp"), "sssp")
+    sssp_distances(spark, _df(spark, rows), source="a", store=store)
+    reweighted = [("a", "b", 3), ("b", "c", 1)]
+    with pytest.raises(ValueError, match="signature"):
+        sssp_distances(
+            spark, _df(spark, reweighted), source="a", store=store, resume=True
+        )
+
+
+def test_empty_graph(spark):
+    res = sssp_distances(spark, spark.createDataFrame([], SCHEMA))
+    assert res.distances.count() == 0
