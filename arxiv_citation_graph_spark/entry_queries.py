@@ -1206,6 +1206,71 @@ def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.labels
 
 
+def _mis_unrolled_sql(rounds: int) -> str:
+    """Unrolled deterministic Luby MIS (plans/mis.py): per round every
+    active vertex draws the keyed-hash priority ``lpad(int(md5(round ||
+    ':' || v)[:15], 16), 19, '0') || '|' || v`` (a tie-free total order
+    both engines compare as plain strings); a vertex beating every
+    active neighbor joins the MIS (status 1) and its neighbors drop out
+    (status 2).  ``rounds`` >= the convergence round makes the extra
+    rounds no-ops (no active vertices left)."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id AS x, dst_id AS y FROM cos "
+        "UNION SELECT dst_id, src_id FROM cos)",
+        "s0 AS MATERIALIZED (SELECT DISTINCT x AS vertex, 0 AS status FROM sym)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        i = k - 1  # engine superstep index (starts at 0)
+        ctes.append(
+            f"key{k} AS MATERIALIZED (SELECT vertex, "
+            f"lpad(CAST(CAST(('0x' || substr(md5('{i}:' || vertex), 1, 15)) AS BIGINT) "
+            f"AS VARCHAR), 19, '0') || '|' || vertex AS key "
+            f"FROM s{p} WHERE status = 0)"
+        )
+        ctes.append(
+            f"nm{k} AS MATERIALIZED (SELECT a.x AS vertex, min(kk.key) AS nbr_key "
+            f"FROM sym a JOIN key{k} kk ON a.y = kk.vertex GROUP BY 1)"
+        )
+        ctes.append(
+            f"win{k} AS MATERIALIZED (SELECT kk.vertex FROM key{k} kk "
+            f"LEFT JOIN nm{k} nm ON kk.vertex = nm.vertex "
+            f"WHERE kk.key < coalesce(nm.nbr_key, '~'))"
+        )
+        ctes.append(
+            f"exc{k} AS MATERIALIZED (SELECT DISTINCT a.x AS vertex "
+            f"FROM sym a JOIN win{k} w ON a.y = w.vertex)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT s.vertex, "
+            f"CASE WHEN s.status <> 0 THEN s.status "
+            f"WHEN w.vertex IS NOT NULL THEN 1 "
+            f"WHEN e.vertex IS NOT NULL THEN 2 ELSE 0 END AS status "
+            f"FROM s{p} s LEFT JOIN win{k} w ON s.vertex = w.vertex "
+            f"LEFT JOIN exc{k} e ON s.vertex = e.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, CAST(status AS INT) AS status FROM s{rounds}"
+    )
+
+
+_MIS_ORACLE_ROUNDS = 12
+
+
+@register("mis_statuses", _mis_unrolled_sql(_MIS_ORACLE_ROUNDS))
+def q_mis_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby maximal independent set (plans/mis.py) over
+    the undirected co-supply graph: every vertex ends in the MIS (1) or
+    excluded by an MIS neighbor (2)."""
+    from arxiv_citation_graph_spark.plans.mis import maximal_independent_set
+
+    result = maximal_independent_set(spark, cosupply_edges(spark, sf_dir))
+    return result.statuses
+
+
 def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peeling on the symmetrized co-supply graph —
     ``rounds`` must exceed the peeling depth so the oracle reaches the

@@ -1,0 +1,167 @@
+"""Maximal independent set via deterministic Luby rounds.
+
+Luby's algorithm (Luby 1986, "A simple parallel algorithm for the
+maximal independent set problem") is the canonical O(log n)-round
+symmetric-breaking kernel: each round every still-active vertex draws a
+random priority; a vertex whose priority beats ALL its active
+neighbors' joins the MIS, and the new members' neighbors drop out.
+MIS is the building block for distributed coloring, scheduling and
+clustering passes over a link graph.
+
+Determinism: the "random" draw is ``int(md5(round || ':' || vertex)
+[:15], 16)`` — the engine-wide keyed-hash convention (walks, ANF) —
+compared as the zero-padded string ``lpad(pri, 19, '0') || '|' ||
+vertex``, a total order with no ties that DuckDB replays byte-for-byte
+(no struct-comparison semantics to match across engines).
+
+Per-round plan shape: priorities exist only for ACTIVE vertices
+(|A|-sized, shrinking geometrically), so both |E|-sized joins prune
+through them — (1) adjacency x active priorities -> per-vertex min
+neighbor key (map-side partial min), (2) adjacency x new winners ->
+exclusion flags.  One |V|-sized state merge carries status
+(0 active / 1 in MIS / 2 excluded); ``delta`` = vertices still active,
+0 == converged (every vertex decided — Luby guarantees progress every
+round, so ``max_iterations`` is a pathology cap, not a tuning knob).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.superstep import (
+    SuperstepReport,
+    run_supersteps,
+)
+from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+ACTIVE, IN_MIS, EXCLUDED = 0, 1, 2
+
+#: sorts after every real "<19 digits>|<vertex>" key
+_KEY_SENTINEL = "~"
+
+
+@dataclass
+class MisResult:
+    members: DataFrame  # (vertex) — the MIS
+    statuses: DataFrame  # (vertex, status) 1=in MIS, 2=excluded
+    report: SuperstepReport
+
+
+def _priority_key(round_no: int):
+    """Total-order tie-free priority key for one Luby round."""
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(round_no)), F.col("vertex"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.concat_ws("|", F.lpad(pri.cast("string"), 19, "0"), F.col("vertex"))
+
+
+def maximal_independent_set(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 100,
+    broadcast_state: bool | None = None,
+) -> MisResult:
+    """Deterministic Luby MIS over the simple undirected graph derived
+    from ``edges(src_id, dst_id)`` (duplicates collapse, self-loops
+    drop — a self-looped vertex is its own neighbor only in the
+    multigraph reading, which MIS does not use)."""
+    und = _simple_undirected(edges)
+    adj = (
+        und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionByName(und.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .repartition(spark.sparkContext.defaultParallelism, "x")
+        .cache()
+    )
+    verts = (
+        adj.select(F.col("x").alias("vertex"))
+        .unionByName(
+            edges.select(F.col("src_id").alias("vertex")).unionByName(
+                edges.select(F.col("dst_id").alias("vertex"))
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    n = verts.count()
+    adj.count()
+    if n == 0:
+        adj.unpersist()
+        verts.unpersist()
+        empty_m = spark.createDataFrame([], "vertex string")
+        empty_s = spark.createDataFrame([], "vertex string, status int")
+        return MisResult(empty_m, empty_s, SuperstepReport(0, True))
+
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        active = state.filter(F.col("status") == ACTIVE).select(
+            "vertex", _priority_key(i).alias("key")
+        )
+        nbr_min = (
+            adj.join(_mb(active.select(F.col("vertex").alias("y"), "key")), "y")
+            .groupBy(F.col("x").alias("vertex"))
+            .agg(F.min("key").alias("nbr_key"))
+        )
+        decided = (
+            active.join(nbr_min, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.col("key")
+                    < F.coalesce(F.col("nbr_key"), F.lit(_KEY_SENTINEL))
+                ).alias("won"),
+            )
+        )
+        winners = decided.filter(F.col("won")).select("vertex")
+        shut_out = (
+            adj.join(_mb(winners.withColumnRenamed("vertex", "y")), "y")
+            .select(F.col("x").alias("vertex"))
+            .distinct()
+            .withColumn("excl", F.lit(True))
+        )
+        new = (
+            state.join(_mb(winners.withColumn("won", F.lit(True))), "vertex", "left")
+            .join(_mb(shut_out), "vertex", "left")
+            .select(
+                "vertex",
+                F.when(F.col("status") != ACTIVE, F.col("status"))
+                .when(F.col("won"), F.lit(IN_MIS))
+                .when(F.col("excl"), F.lit(EXCLUDED))
+                .otherwise(F.lit(ACTIVE))
+                .cast("int")
+                .alias("status"),
+            )
+            .withColumn(
+                "delta", (F.col("status") == ACTIVE).cast("double")
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = verts.select(
+        "vertex", F.lit(ACTIVE).cast("int").alias("status"), F.lit(1.0).alias("delta")
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+        )
+        statuses = final.select("vertex", "status")
+        members = statuses.filter(F.col("status") == IN_MIS).select("vertex")
+    finally:
+        adj.unpersist()
+        verts.unpersist()
+    return MisResult(members, statuses, report)

@@ -1,0 +1,92 @@
+"""Deterministic Luby MIS (plans/mis.py): independence + maximality
+properties on varied fixtures, determinism, degenerate graphs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.mis import maximal_independent_set
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+def _check_mis(edges, members, statuses):
+    adj: dict[str, set[str]] = {}
+    verts = set()
+    for u, v in edges:
+        verts.update((u, v))
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    ms = set(members)
+    assert ms <= verts
+    # independence: no two MIS members adjacent
+    for u in ms:
+        assert not (adj.get(u, set()) & ms), f"{u} adjacent to MIS member"
+    # maximality: every non-member has an MIS neighbor
+    for u in verts - ms:
+        assert adj.get(u, set()) & ms, f"{u} could be added"
+    # statuses consistent and total
+    assert set(statuses) == verts
+    assert all(statuses[u] == (1 if u in ms else 2) for u in verts)
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_mis_properties_on_pseudo_random_graphs(spark, seed):
+    edges = []
+    for i in range(30):
+        for j in range(i + 1, 30):
+            h = int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16)
+            if h % 6 == 0:
+                edges.append((f"v{i:02d}", f"v{j:02d}"))
+    res = maximal_independent_set(spark, _df(spark, edges))
+    members = [r.vertex for r in res.members.collect()]
+    statuses = {r.vertex: r.status for r in res.statuses.collect()}
+    _check_mis(edges, members, statuses)
+    assert res.report.converged
+
+
+def test_mis_deterministic(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    a = sorted(r.vertex for r in maximal_independent_set(spark, _df(spark, edges)).members.collect())
+    b = sorted(r.vertex for r in maximal_independent_set(spark, _df(spark, edges)).members.collect())
+    assert a == b
+
+
+def test_complete_graph_yields_single_member(spark):
+    edges = [(f"k{i}", f"k{j}") for i in range(6) for j in range(i + 1, 6)]
+    res = maximal_independent_set(spark, _df(spark, edges))
+    assert res.members.count() == 1
+    assert res.statuses.count() == 6
+
+
+def test_no_edges_between_isolates_all_join(spark):
+    """Self-loop-only and isolated vertices have no simple-graph
+    neighbors, so all of them enter the MIS in round one."""
+    edges = [("x", "x"), ("y", "y")]
+    res = maximal_independent_set(spark, _df(spark, edges))
+    assert sorted(r.vertex for r in res.members.collect()) == ["x", "y"]
+    assert res.report.iterations == 1
+
+
+def test_star_graph(spark):
+    """hub-spoke: either the hub alone or all spokes — both are maximal;
+    whichever wins, the properties must hold."""
+    edges = [("hub", f"s{i}") for i in range(8)]
+    res = maximal_independent_set(spark, _df(spark, edges))
+    members = [r.vertex for r in res.members.collect()]
+    statuses = {r.vertex: r.status for r in res.statuses.collect()}
+    _check_mis(edges, members, statuses)
+    assert members == ["hub"] or sorted(members) == [f"s{i}" for i in range(8)]
+
+
+def test_empty_graph(spark):
+    res = maximal_independent_set(
+        spark, spark.createDataFrame([], "src_id string, dst_id string")
+    )
+    assert res.members.count() == 0
+    assert res.statuses.count() == 0
