@@ -1271,6 +1271,54 @@ def q_mis_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.statuses
 
 
+def _coreness_unrolled_sql(rounds: int) -> str:
+    """Unrolled h-operator coreness (plans/coreness.py): start at the
+    degree, each round lower every vertex to the h-index of its
+    neighbors' values (largest h with >= h neighbors claiming >= h,
+    computed as ``max(least(row_number desc-by-value, value))``), capped
+    by the old value.  Monotone non-increasing, so ``rounds`` >= the
+    convergence round yields the exact fixpoint (the coreness)."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id AS x, dst_id AS y FROM cos "
+        "UNION SELECT dst_id, src_id FROM cos)",
+        "c0 AS MATERIALIZED (SELECT x AS vertex, CAST(count(*) AS BIGINT) AS core "
+        "FROM sym GROUP BY 1)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT vertex, max(least(rn, nc)) AS h FROM ("
+            f"SELECT a.x AS vertex, c.core AS nc, "
+            f"CAST(row_number() OVER (PARTITION BY a.x ORDER BY c.core DESC) AS BIGINT) AS rn "
+            f"FROM sym a JOIN c{p} c ON a.y = c.vertex) GROUP BY vertex)"
+        )
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT c.vertex, "
+            f"least(c.core, coalesce(h.h, c.core)) AS core "
+            f"FROM c{p} c LEFT JOIN h{k} h ON c.vertex = h.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, core AS coreness FROM c{rounds}"
+    )
+
+
+_CORENESS_ORACLE_ROUNDS = 16
+
+
+@register("coreness_numbers", _coreness_unrolled_sql(_CORENESS_ORACLE_ROUNDS))
+def q_coreness_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core decomposition (plans/coreness.py): every vertex's
+    coreness via the distributed h-operator fixpoint (Montresor et al.
+    2011) over the undirected co-supply graph."""
+    from arxiv_citation_graph_spark.plans.coreness import coreness_decomposition
+
+    result = coreness_decomposition(spark, cosupply_edges(spark, sf_dir))
+    return result.coreness
+
+
 def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peeling on the symmetrized co-supply graph —
     ``rounds`` must exceed the peeling depth so the oracle reaches the

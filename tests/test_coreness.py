@@ -1,0 +1,116 @@
+"""Coreness decomposition (plans/coreness.py) vs a sequential
+min-degree peeling oracle, plus consistency with the fixed-k kcore
+kernel and degenerate inputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.coreness import coreness_decomposition
+from arxiv_citation_graph_spark.plans.kcore import kcore
+
+K4_PENDANT_TRI = [
+    ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+    ("d", "p"),
+    ("d", "t1"), ("t1", "t2"), ("t2", "d"),
+]
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+def _peel(edges):
+    """Sequential peeling (Batagelj-Zaversnik style) ground truth."""
+    adj: dict[str, set[str]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    core: dict[str, int] = {}
+    deg = {v: len(ns) for v, ns in adj.items()}
+    alive = set(adj)
+    k = 0
+    while alive:
+        k = max(k, min(deg[v] for v in alive))
+        stack = [v for v in alive if deg[v] <= k]
+        while stack:
+            v = stack.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            alive.discard(v)
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        stack.append(u)
+    return core
+
+
+def _rand_graph(seed, n=32, mod=5):
+    edges = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            h = int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16)
+            if h % mod == 0:
+                edges.append((f"v{i:02d}", f"v{j:02d}"))
+    return edges
+
+
+def test_mixed_fixture_exact(spark):
+    res = coreness_decomposition(spark, _df(spark, K4_PENDANT_TRI))
+    got = {r.vertex: r.coreness for r in res.coreness.collect()}
+    assert got == _peel(K4_PENDANT_TRI)
+    assert res.degeneracy == 3
+    assert res.report.converged
+
+
+@pytest.mark.parametrize("seed", [7, 19, 41])
+def test_matches_peeling_on_random_graphs(spark, seed):
+    edges = _rand_graph(seed)
+    res = coreness_decomposition(spark, _df(spark, edges))
+    got = {r.vertex: r.coreness for r in res.coreness.collect()}
+    assert got == _peel(edges)
+
+
+def test_consistent_with_fixed_k_kcore(spark):
+    """coreness(v) >= k must equal membership in the kcore(k) peel for
+    every realized k."""
+    edges = _rand_graph(13, n=24, mod=4)
+    df = _df(spark, edges)
+    core = {
+        r.vertex: r.coreness
+        for r in coreness_decomposition(spark, df).coreness.collect()
+    }
+    for k in (2, 3):
+        members = {r.vertex for r in kcore(spark, df, k=k).core.collect()}
+        assert members == {v for v, c in core.items() if c >= k}, k
+
+
+def test_long_chain_converges_to_ones(spark):
+    """A path is 1-degenerate everywhere; the h-operator walks the chain
+    down in O(length) rounds — convergence, not the cap, must stop it."""
+    path = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(12)]
+    res = coreness_decomposition(spark, _df(spark, path))
+    got = {r.vertex: r.coreness for r in res.coreness.collect()}
+    assert set(got.values()) == {1}
+    assert res.report.converged
+
+
+def test_duplicates_and_self_loops_collapse(spark):
+    noisy = K4_PENDANT_TRI + [("a", "b"), ("b", "a"), ("p", "p")]
+    res = coreness_decomposition(spark, _df(spark, noisy))
+    got = {r.vertex: r.coreness for r in res.coreness.collect()}
+    assert got == _peel(K4_PENDANT_TRI)
+
+
+def test_empty_graph(spark):
+    res = coreness_decomposition(
+        spark, spark.createDataFrame([], "src_id string, dst_id string")
+    )
+    assert res.coreness.count() == 0
+    assert res.degeneracy == 0
