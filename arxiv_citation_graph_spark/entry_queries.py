@@ -123,6 +123,29 @@ def seqsupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic per-edge integer weight (1..4) on the raw-orientation
+#: co-supply edge — the weighted_walks convention, replayed bit-for-bit
+#: by DuckDB's md5.
+_EDGE_WEIGHT_SQL = (
+    "((('0x' || substr(md5(src_id || '|' || dst_id), 1, 4))::BIGINT % 4) + 1)"
+)
+
+
+def weighted_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-supply edges carrying the deterministic md5 weight (1..4)."""
+    return cosupply_edges(spark, sf_dir).select(
+        "src_id",
+        "dst_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "src_id", "dst_id")), 1, 4), 16, 10
+            ).cast("long")
+            % 4
+            + 1
+        ).alias("weight"),
+    )
+
+
 def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     l1 = li.filter(F.col("l_quantity") < 3).select("l_partkey", F.col("l_suppkey").alias("a"))
@@ -1206,6 +1229,85 @@ def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.labels
 
 
+def _msf_unrolled_sql(rounds: int, jumps: int) -> str:
+    """Unrolled deterministic Boruvka minimum spanning forest
+    (plans/mst.py) over md5-weighted co-supply edges.  Per round: every
+    component picks its cheapest outgoing edge under the TOTAL order
+    ``(w, u, v)`` (row_number, so the forest is unique despite duplicate
+    weights); the picks' functional graph has only mutual 2-cycles,
+    rooted at ``min(label)``; ``jumps`` pointer-jumping doublings
+    resolve every chain (2^jumps >= component count); vertices relabel
+    through the roots.  ``rounds`` >= ceil(log2(n)) makes extra rounds
+    no-ops (no inter-component edges left)."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        f"wraw AS MATERIALIZED (SELECT src_id, dst_id, {_EDGE_WEIGHT_SQL} AS w FROM cos)",
+        "wund AS MATERIALIZED (SELECT least(src_id, dst_id) AS u, "
+        "greatest(src_id, dst_id) AS v, min(w) AS w FROM wraw "
+        "WHERE src_id <> dst_id GROUP BY 1, 2)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS vertex, u AS comp FROM wund "
+        "UNION SELECT v, v FROM wund)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"cand{r} AS MATERIALIZED (SELECT lu.comp AS comp, lv.comp AS target, "
+            f"e.w, e.u, e.v FROM wund e "
+            f"JOIN l{p} lu ON e.u = lu.vertex JOIN l{p} lv ON e.v = lv.vertex "
+            f"WHERE lu.comp <> lv.comp "
+            f"UNION ALL SELECT lv.comp, lu.comp, e.w, e.u, e.v FROM wund e "
+            f"JOIN l{p} lu ON e.u = lu.vertex JOIN l{p} lv ON e.v = lv.vertex "
+            f"WHERE lu.comp <> lv.comp)"
+        )
+        ctes.append(
+            f"pick{r} AS MATERIALIZED (SELECT comp, target, w, u, v FROM ("
+            f"SELECT comp, target, w, u, v, "
+            f"row_number() OVER (PARTITION BY comp ORDER BY w, u, v) AS rn "
+            f"FROM cand{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"sel{r} AS MATERIALIZED (SELECT DISTINCT u, v, w FROM pick{r})"
+        )
+        ctes.append(
+            f"par{r}_0 AS MATERIALIZED (SELECT p.comp, "
+            f"CASE WHEN m.comp IS NOT NULL AND p.comp < p.target THEN p.comp "
+            f"ELSE p.target END AS parent FROM pick{r} p "
+            f"LEFT JOIN pick{r} m ON m.comp = p.target AND m.target = p.comp)"
+        )
+        for j in range(1, jumps + 1):
+            jp = j - 1
+            ctes.append(
+                f"par{r}_{j} AS MATERIALIZED (SELECT x.comp, "
+                f"coalesce(y.parent, x.parent) AS parent "
+                f"FROM par{r}_{jp} x LEFT JOIN par{r}_{jp} y ON x.parent = y.comp)"
+            )
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT l.vertex, "
+            f"coalesce(pp.parent, l.comp) AS comp FROM l{p} l "
+            f"LEFT JOIN par{r}_{jumps} pp ON l.comp = pp.comp)"
+        )
+    union = " UNION ".join(f"SELECT u, v, w FROM sel{r}" for r in range(1, rounds + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT u, v, CAST(w AS BIGINT) AS weight FROM ({union})"
+    )
+
+
+_MSF_ROUNDS, _MSF_JUMPS = 7, 7
+
+
+@register("msf_edges", _msf_unrolled_sql(_MSF_ROUNDS, _MSF_JUMPS))
+def q_msf_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Boruvka minimum spanning forest (plans/mst.py) of
+    the md5-weighted co-supply graph: the unique MSF under the total
+    edge order (w, u, v)."""
+    from arxiv_citation_graph_spark.plans.mst import minimum_spanning_forest
+
+    result = minimum_spanning_forest(spark, weighted_cosupply_edges(spark, sf_dir))
+    return result.edges
+
+
 def _mis_unrolled_sql(rounds: int) -> str:
     """Unrolled deterministic Luby MIS (plans/mis.py): per round every
     active vertex draws the keyed-hash priority ``lpad(int(md5(round ||
@@ -1457,29 +1559,6 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     result = bfs_distances(spark, cosupply_edges(spark, sf_dir))
     return result.distances.select("vertex", F.col("dist").cast("long").alias("dist"))
-
-
-#: deterministic per-edge integer weight (1..4) on the canonical
-#: co-supply edge — the weighted_walks convention, replayed bit-for-bit
-#: by DuckDB's md5.
-_EDGE_WEIGHT_SQL = (
-    "((('0x' || substr(md5(src_id || '|' || dst_id), 1, 4))::BIGINT % 4) + 1)"
-)
-
-
-def weighted_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-supply edges carrying the deterministic md5 weight (1..4)."""
-    return cosupply_edges(spark, sf_dir).select(
-        "src_id",
-        "dst_id",
-        (
-            F.conv(
-                F.substring(F.md5(F.concat_ws("|", "src_id", "dst_id")), 1, 4), 16, 10
-            ).cast("long")
-            % 4
-            + 1
-        ).alias("weight"),
-    )
 
 
 def _sssp_unrolled_sql(rounds: int) -> str:

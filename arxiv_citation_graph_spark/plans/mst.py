@@ -1,0 +1,213 @@
+"""Minimum spanning forest via deterministic distributed Boruvka.
+
+Boruvka (1926; the distributed formulation is the GHS lineage,
+Gallager-Humblet-Spira 1983) is THE parallel MST algorithm: every
+component picks its cheapest outgoing edge, all picks merge at once, and
+the component count at least halves per round — O(log |V|) supersteps,
+each a constant number of joins/aggregations.  MST/MSF over a link
+graph backs clustering (single-linkage dendrograms), network design,
+and graph sparsification.
+
+Determinism without random tie-breaks: edges are totally ordered by
+``(w, u, v)`` — the lexicographic canonical form — so the "minimum
+spanning forest under a total order" is UNIQUE even with duplicate
+weights, and both engines (and any rerun) produce the identical edge
+set.
+
+Round structure (all relational, no driver-side graph state):
+
+1. map both endpoints of every inter-component edge to component labels
+   (two |V|-frame joins against the |E| frame),
+2. per component: ``min_by`` pick of the cheapest ``(w, u, v)`` outgoing
+   edge (map-side partial min over a struct),
+3. the picks form a functional graph on components (out-degree 1);
+   under a total edge order every cycle is a MUTUAL pair (the same edge
+   picked from both sides), resolved root := min(label) — one self-join
+   of the |C|-sized pick table,
+4. pointer-jumping (``p := p o p``) to the fixpoint — O(log depth)
+   doublings over the |C|-sized parent table, localCheckpointed per
+   doubling (lineage, not data, is the hazard),
+5. relabel vertices through the resolved roots, accumulate the picked
+   edges (dedup on ``(u, v)`` — a pair of components can pick the same
+   edge from both sides).
+
+Stops when no component has an outgoing edge (forest complete: one tree
+per connected component).  The |E| edge frame shrinks logically each
+round via the inter-component filter; the physical frame is re-derived
+from the cached canonical edge set + the current |V| label frame, so no
+re-checkpointing of edges is needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MstResult:
+    edges: DataFrame  # (u, v, weight) — the forest's edges, canonical u < v
+    total_weight: int
+    n_edges: int
+    n_components: int  # trees in the forest == connected components
+    rounds: int
+    labels: DataFrame = field(repr=False, default=None)  # (vertex, component)
+
+
+def minimum_spanning_forest(
+    spark: SparkSession,
+    edges: DataFrame,
+    weight_col: str = "weight",
+    max_rounds: int = 40,
+    jump_rounds: int = 30,
+) -> MstResult:
+    """Minimum spanning forest of ``edges(src_id, dst_id, <weight_col>)``
+    treated as undirected simple (parallel edges collapse to their
+    minimum weight, self-loops drop); weights must be non-null integers
+    (any sign works for MSF, unlike SSSP — validation only rejects
+    null/NaN)."""
+    w = F.col(weight_col).cast("long")
+    bad = edges.filter(
+        F.col(weight_col).isNull() | F.isnan(F.col(weight_col).cast("double"))
+    ).limit(1)
+    if bad.count() > 0:
+        row = bad.first()
+        raise ValueError(
+            f"minimum_spanning_forest requires non-null integer weights; "
+            f"offending edge ({row['src_id']!r} -> {row['dst_id']!r}, "
+            f"{weight_col}={row[weight_col]!r})"
+        )
+    und = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("u"),
+            F.greatest("src_id", "dst_id").alias("v"),
+            w.alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    m = und.count()
+    verts = (
+        und.select(F.col("u").alias("vertex"))
+        .unionByName(und.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    if n == 0:
+        empty_e = spark.createDataFrame([], "u string, v string, weight long")
+        empty_l = spark.createDataFrame([], "vertex string, component string")
+        return MstResult(empty_e, 0, 0, 0, 0, empty_l)
+
+    labels = verts.select("vertex", F.col("vertex").alias("comp"))
+    picked: DataFrame | None = None
+    rounds = 0
+    for _ in range(max_rounds):
+        lu = labels.select(F.col("vertex").alias("u"), F.col("comp").alias("cu"))
+        lv = labels.select(F.col("vertex").alias("v"), F.col("comp").alias("cv"))
+        inter = (
+            und.join(lu, "u")
+            .join(lv, "v")
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        # both endpoints' components compete for the same edge
+        cand = inter.select(
+            F.col("cu").alias("comp"), F.col("cv").alias("other"), "w", "u", "v"
+        ).unionByName(
+            inter.select(
+                F.col("cv").alias("comp"), F.col("cu").alias("other"), "w", "u", "v"
+            )
+        )
+        pick = (
+            cand.groupBy("comp")
+            .agg(
+                F.min_by(
+                    F.struct("other", "w", "u", "v"), F.struct("w", "u", "v")
+                ).alias("sel")
+            )
+            .select(
+                "comp",
+                F.col("sel.other").alias("target"),
+                F.col("sel.w").alias("w"),
+                F.col("sel.u").alias("u"),
+                F.col("sel.v").alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_picked = pick.count()
+        if n_picked == 0:
+            break
+        rounds += 1
+        new_edges = pick.select("u", "v", F.col("w").alias("weight")).distinct()
+        picked = new_edges if picked is None else picked.unionByName(new_edges)
+        picked = picked.localCheckpoint(eager=True)
+        # mutual pairs are the cycle roots: root = min(comp, target)
+        a = pick.select("comp", "target")
+        swapped = a.select(
+            F.col("target").alias("comp"), F.col("comp").alias("target")
+        )
+        mutual = a.join(swapped, ["comp", "target"], "left_semi")
+        parent = a.join(
+            mutual.select("comp").withColumn("is_mut", F.lit(True)), "comp", "left"
+        ).select(
+            "comp",
+            F.when(
+                F.col("is_mut") & (F.col("comp") < F.col("target")), F.col("comp")
+            )
+            .otherwise(F.col("target"))
+            .alias("parent"),
+        )
+        parent = parent.localCheckpoint(eager=True)
+        # pointer jumping to the root fixpoint
+        for _j in range(jump_rounds):
+            p2 = parent.alias("x").join(
+                parent.select(
+                    F.col("comp").alias("parent"), F.col("parent").alias("gp")
+                ),
+                "parent",
+                "left",
+            ).select(
+                F.col("comp"), F.coalesce("gp", "parent").alias("parent")
+            )
+            p2 = p2.localCheckpoint(eager=True)
+            changed = (
+                p2.alias("n")
+                .join(parent.alias("o"), "comp")
+                .filter(F.col("n.parent") != F.col("o.parent"))
+                .limit(1)
+                .count()
+            )
+            parent = p2
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"pointer jumping did not converge in {jump_rounds} doublings"
+            )
+        labels = (
+            labels.join(
+                parent.select(F.col("comp"), F.col("parent")), "comp", "left"
+            )
+            .select("vertex", F.coalesce("parent", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    forest = (
+        picked
+        if picked is not None
+        else spark.createDataFrame([], "u string, v string, weight long")
+    )
+    agg = forest.agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).alias("tw"), F.count("*").alias("ne")
+    ).first()
+    out_labels = labels.select("vertex", F.col("comp").alias("component"))
+    n_components = labels.select("comp").distinct().count()
+    assert int(agg["ne"]) == n - n_components, (
+        "forest edge count must equal |V| - #components"
+    )
+    return MstResult(
+        forest, int(agg["tw"]), int(agg["ne"]), n_components, rounds, out_labels
+    )

@@ -1,0 +1,116 @@
+"""Boruvka minimum spanning forest (plans/mst.py) vs a total-order
+Kruskal oracle: exact edge sets, duplicate weights, disconnected
+forests, degenerate inputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.mst import minimum_spanning_forest
+
+SCHEMA = "src_id string, dst_id string, weight long"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _kruskal(rows):
+    """The unique MSF under the total order (w, u, v)."""
+    es: dict[tuple[str, str], int] = {}
+    for s, d, w in rows:
+        if s == d:
+            continue
+        u, v = min(s, d), max(s, d)
+        es[(u, v)] = min(es.get((u, v), 1 << 60), w)
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    for (u, v), w in sorted(es.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            chosen.append((u, v, w))
+    return sorted(chosen)
+
+
+def _got(res):
+    return sorted((r.u, r.v, r.weight) for r in res.edges.collect())
+
+
+def test_duplicate_weights_unique_forest(spark):
+    """A weight-1 triangle has three valid MSTs by weight alone; the
+    (w, u, v) total order pins exactly one."""
+    rows = [("a", "b", 1), ("b", "c", 1), ("a", "c", 1)]
+    res = minimum_spanning_forest(spark, _df(spark, rows))
+    assert _got(res) == [("a", "b", 1), ("a", "c", 1)]
+    assert res.total_weight == 2
+
+
+def test_two_component_forest(spark):
+    rows = [
+        ("a", "b", 1), ("b", "c", 1), ("a", "c", 1), ("c", "d", 5), ("d", "e", 2),
+        ("x", "y", 7), ("y", "z", 3), ("x", "z", 3),
+    ]
+    res = minimum_spanning_forest(spark, _df(spark, rows))
+    assert _got(res) == _kruskal(rows)
+    assert res.n_components == 2
+    assert res.n_edges == 6
+    assert res.total_weight == sum(w for _, _, w in _kruskal(rows))
+
+
+@pytest.mark.parametrize("seed,mod", [(5, 6), (17, 4), (23, 9)])
+def test_matches_kruskal_on_random_graphs(spark, seed, mod):
+    rows = []
+    for i in range(36):
+        for j in range(i + 1, 36):
+            h = int(hashlib.md5(f"{seed}/{i}/{j}".encode()).hexdigest()[:8], 16)
+            if h % mod == 0:
+                rows.append((f"v{i:02d}", f"v{j:02d}", h % 11 + 1))
+    res = minimum_spanning_forest(spark, _df(spark, rows))
+    assert _got(res) == _kruskal(rows)
+
+
+def test_labels_partition_matches_components(spark):
+    """The returned labels are exactly the connected components."""
+    rows = [("a", "b", 1), ("b", "c", 2), ("x", "y", 3)]
+    res = minimum_spanning_forest(spark, _df(spark, rows))
+    lab = {r.vertex: r.component for r in res.labels.collect()}
+    assert lab["a"] == lab["b"] == lab["c"]
+    assert lab["x"] == lab["y"]
+    assert lab["a"] != lab["x"]
+
+
+def test_parallel_and_self_edges_collapse(spark):
+    rows = [("a", "b", 9), ("b", "a", 2), ("a", "a", 1), ("b", "c", 4)]
+    res = minimum_spanning_forest(spark, _df(spark, rows))
+    assert _got(res) == [("a", "b", 2), ("b", "c", 4)]
+
+
+def test_chain_graph_long_pointer_jumps(spark):
+    """Strictly increasing path weights make every component point down
+    the chain — the deepest functional-graph chains Boruvka produces."""
+    rows = [(f"p{i:02d}", f"p{i + 1:02d}", i + 1) for i in range(20)]
+    res = minimum_spanning_forest(spark, _df(spark, rows))
+    assert _got(res) == _kruskal(rows)
+    assert res.n_components == 1
+
+
+def test_validates_weights(spark):
+    with pytest.raises(ValueError, match="non-null"):
+        minimum_spanning_forest(spark, _df(spark, [("a", "b", None)]))
+
+
+def test_empty_graph(spark):
+    res = minimum_spanning_forest(spark, spark.createDataFrame([], SCHEMA))
+    assert res.n_edges == 0
+    assert res.n_components == 0
+    assert res.total_weight == 0
