@@ -393,6 +393,113 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.plans.sssp import sssp_distances
+
+    wedges = tedges.select(
+        "src_id",
+        "dst_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "src_id", "dst_id")), 1, 4), 16, 10
+            ).cast("long")
+            % 4
+            + 1
+        ).alias("weight"),
+    )
+    plan = capture_superstep(lambda: sssp_distances(spark, wedges, max_iterations=4))
+    sections.append(
+        (
+            "SSSP superstep (iteration 1, weighted frontier-delta)",
+            "Bellman-Ford relaxation riding the BFS frontier plan: the "
+            "improved-last-round frontier joins the weight-collapsed "
+            "adjacency once, min(dist + w) aggregates with map-side "
+            "partials (exact BIGINT sums), one |V| merge keeps "
+            f"least(old, candidate).  [{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.mis import maximal_independent_set
+
+    plan = capture_superstep(lambda: maximal_independent_set(spark, tedges))
+    sections.append(
+        (
+            "Luby MIS superstep (iteration 1)",
+            "Priorities exist only for ACTIVE vertices (geometrically "
+            "shrinking), so both |E| joins prune through the active frame: "
+            "adjacency x priorities -> per-vertex min neighbor key "
+            "(map-side partial min over the tie-free padded-hash string), "
+            "adjacency x winners -> exclusions, one |V| status merge.  "
+            f"[{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.coreness import coreness_decomposition
+
+    plan = capture_superstep(lambda: coreness_decomposition(spark, tedges))
+    sections.append(
+        (
+            "Coreness h-operator superstep (iteration 1)",
+            "One |E| join (adjacency x |V| value frame), |E|-sized "
+            "row_number window partitioned by vertex feeding "
+            "max(least(rank, value)) — the h-index — then a |V| merge "
+            "capped by the old value; window and groupBy share the same "
+            f"hash partitioning.  [{exchange_count(plan)}]",
+            condense(plan, KEEP + ("RunningWindowFunction",)),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.mst import minimum_spanning_forest
+
+    res = minimum_spanning_forest(spark, wedges)
+    # capture the round-1 pick plan directly (the per-round hot path)
+    from pyspark.sql import functions as _F
+
+    und = (
+        wedges.filter(_F.col("src_id") != _F.col("dst_id"))
+        .select(
+            _F.least("src_id", "dst_id").alias("u"),
+            _F.greatest("src_id", "dst_id").alias("v"),
+            _F.col("weight").cast("long").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(_F.min("w").alias("w"))
+    )
+    labels0 = (
+        und.select(_F.col("u").alias("vertex"))
+        .unionByName(und.select(_F.col("v").alias("vertex")))
+        .distinct()
+        .select("vertex", _F.col("vertex").alias("comp"))
+    )
+    lu = labels0.select(_F.col("vertex").alias("u"), _F.col("comp").alias("cu"))
+    lv = labels0.select(_F.col("vertex").alias("v"), _F.col("comp").alias("cv"))
+    inter = und.join(lu, "u").join(lv, "v").filter(_F.col("cu") != _F.col("cv"))
+    cand = inter.select(
+        _F.col("cu").alias("comp"), _F.col("cv").alias("other"), "w", "u", "v"
+    ).unionByName(
+        inter.select(
+            _F.col("cv").alias("comp"), _F.col("cu").alias("other"), "w", "u", "v"
+        )
+    )
+    pick = cand.groupBy("comp").agg(
+        _F.min_by(_F.struct("other", "w", "u", "v"), _F.struct("w", "u", "v")).alias(
+            "sel"
+        )
+    )
+    sections.append(
+        (
+            "Boruvka MSF round (cheapest-outgoing pick)",
+            "Two |V|-frame joins label the |E| frame, inter-component "
+            "filter in-plan, then ONE min_by aggregate over the total-order "
+            "struct (w, u, v) with map-side partial min — the per-round "
+            "O(|E|) work; cycle-breaking + pointer jumping touch only the "
+            "|C|-sized pick table (halving per round).  "
+            f"[{exchange_count(plan_of(pick))}] (forest rounds run: {res.rounds})",
+            condense(plan_of(pick), KEEP),
+        )
+    )
+
     from arxiv_citation_graph_spark.plans.louvain import louvain_communities
 
     plan = capture_superstep(
