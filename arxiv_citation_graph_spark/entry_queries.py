@@ -1421,6 +1421,81 @@ def q_coreness_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.coreness
 
 
+_COLOR_KEY_SQL = (
+    "lpad(CAST(CAST(('0x' || substr(md5(vertex), 1, 15)) AS BIGINT) AS VARCHAR), "
+    "19, '0') || '|' || vertex"
+)
+
+
+def _coloring_unrolled_sql(rounds: int) -> str:
+    """Unrolled Jones-Plassmann coloring (plans/coloring.py): fixed
+    md5-priority keys; per round every uncolored vertex beating all
+    uncolored neighbors takes the smallest color absent from its
+    colored neighborhood (relational mex via an ascending row_number
+    window: first rank r with color != r-1, else the count)."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id AS x, dst_id AS y FROM cos "
+        "UNION SELECT dst_id, src_id FROM cos)",
+        "s0 AS MATERIALIZED (SELECT DISTINCT x AS vertex, "
+        "CAST(NULL AS BIGINT) AS color FROM sym)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"unc{k} AS MATERIALIZED (SELECT vertex, {_COLOR_KEY_SQL} AS key "
+            f"FROM s{p} WHERE color IS NULL)"
+        )
+        ctes.append(
+            f"riv{k} AS MATERIALIZED (SELECT a.x AS vertex, min(u.key) AS rk "
+            f"FROM sym a JOIN unc{k} u ON a.y = u.vertex GROUP BY 1)"
+        )
+        ctes.append(
+            f"win{k} AS MATERIALIZED (SELECT u.vertex FROM unc{k} u "
+            f"LEFT JOIN riv{k} r ON u.vertex = r.vertex "
+            f"WHERE u.key < coalesce(r.rk, '~'))"
+        )
+        ctes.append(
+            f"nbc{k} AS MATERIALIZED (SELECT DISTINCT a.x AS vertex, s.color AS nc "
+            f"FROM sym a JOIN win{k} w ON a.x = w.vertex "
+            f"JOIN s{p} s ON a.y = s.vertex WHERE s.color IS NOT NULL)"
+        )
+        ctes.append(
+            f"mex{k} AS MATERIALIZED (SELECT vertex, "
+            f"coalesce(min(CASE WHEN nc <> rn - 1 THEN rn - 1 END), count(*)) AS mex "
+            f"FROM (SELECT vertex, nc, row_number() OVER "
+            f"(PARTITION BY vertex ORDER BY nc) AS rn FROM nbc{k}) GROUP BY vertex)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT s.vertex, coalesce(s.color, "
+            f"CASE WHEN w.vertex IS NOT NULL THEN coalesce(m.mex, 0) END) AS color "
+            f"FROM s{p} s LEFT JOIN win{k} w ON s.vertex = w.vertex "
+            f"LEFT JOIN mex{k} m ON s.vertex = m.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, CAST(color AS BIGINT) AS color FROM s{rounds}"
+    )
+
+
+_COLORING_ORACLE_ROUNDS = 12
+
+
+@register("greedy_coloring", _coloring_unrolled_sql(_COLORING_ORACLE_ROUNDS))
+def q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy vertex coloring (plans/coloring.py) of the
+    undirected co-supply graph, oracle-parity mode: exactly 12 rounds
+    (NULL = not yet reached — convergence needs ~max-clique-size rounds
+    here, validated to properness in tests/test_coloring.py)."""
+    from arxiv_citation_graph_spark.plans.coloring import greedy_coloring
+
+    result = greedy_coloring(
+        spark, cosupply_edges(spark, sf_dir), fixed_rounds=_COLORING_ORACLE_ROUNDS
+    )
+    return result.colors
+
+
 def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peeling on the symmetrized co-supply graph —
     ``rounds`` must exceed the peeling depth so the oracle reaches the

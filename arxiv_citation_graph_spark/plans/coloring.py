@@ -1,0 +1,179 @@
+"""Distributed greedy graph coloring (Jones-Plassmann).
+
+Jones & Plassmann 1993 ("A parallel graph coloring heuristic"): give
+every vertex a fixed random priority; each round, every still-uncolored
+vertex that beats ALL its uncolored neighbors colors itself with the
+smallest color absent from its already-colored neighborhood (the greedy
+``mex``).  Winners per round form an independent set of the uncolored
+subgraph, so the coloring is proper by construction and uses at most
+``max_degree + 1`` colors; rounds = longest decreasing-priority path,
+O(log n / log log n) expected for random priorities.  Coloring backs
+conflict-free scheduling of graph updates (the same reason Louvain
+needs symmetry breaking) and register/partition assignment.
+
+Determinism: the priority is the engine-wide keyed hash
+``lpad(int(md5(vertex)[:15], 16), 19, '0') || '|' || vertex`` — fixed
+across rounds (Jones-Plassmann proper, vs Luby MIS's per-round redraw),
+tie-free, and replayed byte-for-byte by DuckDB.
+
+The ``mex`` is relational, no UDF: distinct colored-neighbor colors per
+vertex, ranked ascending by a window; the first rank r where
+``color != r - 1`` marks the gap, else the count itself:
+
+    mex = coalesce(min(CASE WHEN c != rn-1 THEN rn-1 END), count(*))
+
+Per-round plan: two |E| joins pruned through the (shrinking) uncolored
+frame — adjacency x uncolored keys -> per-vertex min rival key;
+adjacency x colored frame (winner-semi-joined) -> neighbor colors — one
+|W|-sized window + aggregate for the mex, one |V| state merge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.superstep import (
+    SuperstepReport,
+    run_supersteps,
+)
+from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+#: sorts after every real "<19 digits>|<vertex>" priority key
+_KEY_SENTINEL = "~"
+
+
+@dataclass
+class ColoringResult:
+    colors: DataFrame  # (vertex, color) — 0-based
+    report: SuperstepReport
+    n_colors: int
+
+
+def _priority_key():
+    pri = F.conv(F.substring(F.md5(F.col("vertex")), 1, 15), 16, 10).cast("long")
+    return F.concat_ws("|", F.lpad(pri.cast("string"), 19, "0"), F.col("vertex"))
+
+
+def greedy_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 100,
+    fixed_rounds: int | None = None,
+    broadcast_state: bool | None = None,
+) -> ColoringResult:
+    """Proper vertex coloring of the simple undirected graph derived
+    from ``edges(src_id, dst_id)`` (duplicates collapse, self-loops
+    drop); at most ``max_degree + 1`` colors.
+
+    ``fixed_rounds`` runs exactly that many rounds and returns the
+    partial state (NULL color = still uncolored) — the oracle-parity
+    mode (the Louvain convention): rounds-to-converge is the longest
+    decreasing-priority path, which on clique-heavy graphs reaches the
+    max clique size, too deep to unroll in SQL."""
+    und = _simple_undirected(edges)
+    adj = (
+        und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionByName(und.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .repartition(spark.sparkContext.defaultParallelism, "x")
+        .cache()
+    )
+    verts = (
+        adj.select(F.col("x").alias("vertex"))
+        .unionByName(
+            edges.select(F.col("src_id").alias("vertex")).unionByName(
+                edges.select(F.col("dst_id").alias("vertex"))
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    n = verts.count()
+    adj.count()
+    if n == 0:
+        adj.unpersist()
+        verts.unpersist()
+        empty = spark.createDataFrame([], "vertex string, color long")
+        return ColoringResult(empty, SuperstepReport(0, True), 0)
+
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        unc = state.filter(F.col("color").isNull()).select(
+            "vertex", _priority_key().alias("key")
+        )
+        rival = (
+            adj.join(_mb(unc.select(F.col("vertex").alias("y"), "key")), "y")
+            .groupBy(F.col("x").alias("vertex"))
+            .agg(F.min("key").alias("rival_key"))
+        )
+        winners = (
+            unc.join(rival, "vertex", "left")
+            .filter(
+                F.col("key") < F.coalesce(F.col("rival_key"), F.lit(_KEY_SENTINEL))
+            )
+            .select("vertex")
+        )
+        colored = state.filter(F.col("color").isNotNull()).select(
+            F.col("vertex").alias("y"), F.col("color").alias("nc")
+        )
+        nbr_colors = (
+            adj.join(_mb(winners.withColumnRenamed("vertex", "x")), "x", "left_semi")
+            .join(_mb(colored), "y")
+            .select(F.col("x").alias("vertex"), "nc")
+            .distinct()
+        )
+        w = Window.partitionBy("vertex").orderBy("nc")
+        mex = (
+            nbr_colors.withColumn("rn", F.row_number().over(w))
+            .groupBy("vertex")
+            .agg(
+                F.coalesce(
+                    F.min(
+                        F.when(
+                            F.col("nc") != F.col("rn") - 1, F.col("rn") - 1
+                        )
+                    ),
+                    F.count("*"),
+                )
+                .cast("long")
+                .alias("mex")
+            )
+        )
+        assigned = winners.join(mex, "vertex", "left").select(
+            "vertex", F.coalesce("mex", F.lit(0)).cast("long").alias("new_color")
+        )
+        new = (
+            state.join(_mb(assigned), "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce(F.col("color"), F.col("new_color")).alias("color"),
+            )
+            .withColumn("delta", F.col("color").isNull().cast("double"))
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = verts.select(
+        "vertex", F.lit(None).cast("long").alias("color"), F.lit(1.0).alias("delta")
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=fixed_rounds if fixed_rounds is not None else max_iterations,
+            tolerance=None if fixed_rounds is not None else 0.0,
+        )
+        colors = final.select("vertex", "color").localCheckpoint(eager=True)
+        ncol_row = colors.agg(F.countDistinct("color")).first()
+        n_colors = int(ncol_row[0]) if ncol_row[0] is not None else 0
+    finally:
+        adj.unpersist()
+        verts.unpersist()
+    return ColoringResult(colors, report, n_colors)

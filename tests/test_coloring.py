@@ -1,0 +1,101 @@
+"""Jones-Plassmann coloring (plans/coloring.py): properness and the
+max_degree + 1 bound on varied fixtures, greedy-mex behavior,
+determinism, fixed-rounds parity mode."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.coloring import greedy_coloring
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+def _check_proper(edges, colors):
+    adj: dict[str, set[str]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    maxdeg = max((len(ns) for ns in adj.values()), default=0)
+    for v, ns in adj.items():
+        assert colors[v] is not None
+        for u in ns:
+            assert colors[v] != colors[u], (v, u)
+    assert all(0 <= c <= maxdeg for c in colors.values() if c is not None)
+
+
+@pytest.mark.parametrize("seed,mod", [(2, 5), (31, 3), (47, 8)])
+def test_proper_and_bounded_on_random_graphs(spark, seed, mod):
+    edges = []
+    for i in range(32):
+        for j in range(i + 1, 32):
+            h = int(hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()[:8], 16)
+            if h % mod == 0:
+                edges.append((f"v{i:02d}", f"v{j:02d}"))
+    res = greedy_coloring(spark, _df(spark, edges))
+    colors = {r.vertex: r.color for r in res.colors.collect()}
+    _check_proper(edges, colors)
+    assert res.report.converged
+
+
+def test_clique_uses_exactly_k_colors_one_per_round(spark):
+    """K5: every vertex adjacent to every other — 5 colors 0..4, one
+    winner per round, so exactly 5 rounds."""
+    edges = [(f"k{i}", f"k{j}") for i in range(5) for j in range(i + 1, 5)]
+    res = greedy_coloring(spark, _df(spark, edges))
+    colors = sorted(r.color for r in res.colors.collect())
+    assert colors == [0, 1, 2, 3, 4]
+    assert res.n_colors == 5
+    assert res.report.iterations == 5
+
+
+def test_bipartite_star_two_colors(spark):
+    edges = [("hub", f"s{i}") for i in range(10)]
+    res = greedy_coloring(spark, _df(spark, edges))
+    colors = {r.vertex: r.color for r in res.colors.collect()}
+    _check_proper(edges, colors)
+    assert res.n_colors == 2
+
+
+def test_path_within_delta_plus_one(spark):
+    """Greedy mex on a path: a winner can see both neighbors already
+    colored 0 and 1, so 3 colors (= max_degree + 1) is the tight bound —
+    not 2 — and the mex must still fill from 0."""
+    edges = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(15)]
+    res = greedy_coloring(spark, _df(spark, edges))
+    colors = {r.vertex: r.color for r in res.colors.collect()}
+    _check_proper(edges, colors)
+    assert res.n_colors <= 3
+    assert min(colors.values()) == 0
+
+
+def test_deterministic(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    a = sorted((r.vertex, r.color) for r in greedy_coloring(spark, _df(spark, edges)).colors.collect())
+    b = sorted((r.vertex, r.color) for r in greedy_coloring(spark, _df(spark, edges)).colors.collect())
+    assert a == b
+
+
+def test_fixed_rounds_partial_state(spark):
+    """Parity mode: after 1 round only priority-local-minima are
+    colored (with color 0); the rest stay NULL."""
+    edges = [(f"k{i}", f"k{j}") for i in range(4) for j in range(i + 1, 4)]
+    res = greedy_coloring(spark, _df(spark, edges), fixed_rounds=1)
+    colors = {r.vertex: r.color for r in res.colors.collect()}
+    done = [v for v, c in colors.items() if c is not None]
+    assert len(done) == 1  # one winner per clique round
+    assert colors[done[0]] == 0
+
+
+def test_empty_graph(spark):
+    res = greedy_coloring(
+        spark, spark.createDataFrame([], "src_id string, dst_id string")
+    )
+    assert res.colors.count() == 0
+    assert res.n_colors == 0
