@@ -671,6 +671,92 @@ def q_degree_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: second co-supply snapshot for the graph-diff queries: both line items
+#: with quantity in [2, 4] instead of < 3 — overlapping but neither a
+#: subset, so the diff has BOTH added and removed edges.
+EDGES_COSUPPLY_V2_SQL = """
+SELECT DISTINCT 's' || CAST(l1.l_suppkey AS VARCHAR) AS src_id,
+                's' || CAST(l2.l_suppkey AS VARCHAR) AS dst_id
+FROM lineitem l1
+JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey AND l1.l_suppkey < l2.l_suppkey
+WHERE l1.l_quantity BETWEEN 2 AND 4 AND l2.l_quantity BETWEEN 2 AND 4
+"""
+
+
+def cosupply_edges_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    keep = F.col("l_quantity").between(2, 4)
+    l1 = li.filter(keep).select("l_partkey", F.col("l_suppkey").alias("a"))
+    l2 = li.filter(keep).select("l_partkey", F.col("l_suppkey").alias("b"))
+    return (
+        l1.join(l2, "l_partkey")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.concat(F.lit("s"), F.col("a").cast("string")).alias("src_id"),
+            F.concat(F.lit("s"), F.col("b").cast("string")).alias("dst_id"),
+        )
+        .distinct()
+    )
+
+
+_GRAPH_DIFF_EDGES_SQL = f"""
+WITH old AS MATERIALIZED ({EDGES_COSUPPLY_SQL}),
+new AS MATERIALIZED ({EDGES_COSUPPLY_V2_SQL})
+SELECT n.src_id, n.dst_id, 'added' AS change FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM old o
+                  WHERE o.src_id = n.src_id AND o.dst_id = n.dst_id)
+UNION ALL
+SELECT o.src_id, o.dst_id, 'removed' AS change FROM old o
+WHERE NOT EXISTS (SELECT 1 FROM new n
+                  WHERE n.src_id = o.src_id AND n.dst_id = o.dst_id)
+"""
+
+
+@register("graph_diff_edges", _GRAPH_DIFF_EDGES_SQL)
+def q_graph_diff_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot edge delta (plans/graphdiff.py): edges added/removed
+    between the quantity<3 and quantity-in-[2,4] co-supply snapshots —
+    the daily-append 'what changed' feed for warm-start seeding."""
+    from arxiv_citation_graph_spark.plans.graphdiff import graph_diff
+
+    d = graph_diff(
+        cosupply_edges(spark, sf_dir), cosupply_edges_v2(spark, sf_dir)
+    )
+    return d.added.withColumn("change", F.lit("added")).unionByName(
+        d.removed.withColumn("change", F.lit("removed"))
+    )
+
+
+_GRAPH_DIFF_CHURN_SQL = f"""
+WITH old AS MATERIALIZED ({EDGES_COSUPPLY_SQL}),
+new AS MATERIALIZED ({EDGES_COSUPPLY_V2_SQL}),
+do_ AS (SELECT vertex, CAST(sum(o) AS BIGINT) AS out_old, CAST(sum(i) AS BIGINT) AS in_old
+        FROM (SELECT src_id AS vertex, 1 AS o, 0 AS i FROM old
+              UNION ALL SELECT dst_id, 0, 1 FROM old) GROUP BY vertex),
+dn AS (SELECT vertex, CAST(sum(o) AS BIGINT) AS out_new, CAST(sum(i) AS BIGINT) AS in_new
+       FROM (SELECT src_id AS vertex, 1 AS o, 0 AS i FROM new
+             UNION ALL SELECT dst_id, 0, 1 FROM new) GROUP BY vertex)
+SELECT coalesce(do_.vertex, dn.vertex) AS vertex,
+       coalesce(out_old, 0) AS out_old, coalesce(out_new, 0) AS out_new,
+       coalesce(in_old, 0) AS in_old, coalesce(in_new, 0) AS in_new
+FROM do_ FULL OUTER JOIN dn ON do_.vertex = dn.vertex
+WHERE coalesce(out_old, 0) <> coalesce(out_new, 0)
+   OR coalesce(in_old, 0) <> coalesce(in_new, 0)
+"""
+
+
+@register("graph_diff_churn", _GRAPH_DIFF_CHURN_SQL)
+def q_graph_diff_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex degree churn between the two co-supply snapshots
+    (plans/graphdiff.py) — delta-sized, changed vertices only."""
+    from arxiv_citation_graph_spark.plans.graphdiff import graph_diff
+
+    d = graph_diff(
+        cosupply_edges(spark, sf_dir), cosupply_edges_v2(spark, sf_dir)
+    )
+    return d.degree_churn
+
+
 # ===========================================================================
 # Graph kernels (fixed-iteration runs vs unrolled-CTE oracles)
 # ===========================================================================

@@ -1,0 +1,131 @@
+"""Graph snapshot diff: edge deltas and degree churn between two
+versions of an edge table.
+
+The 100 TB operating mode is daily-append (yesterday's graph + today's
+crawl), and the first question against any new snapshot is "what
+changed": which edges appeared/disappeared, which vertices' in/out
+degrees moved, which vertices are new.  These feed warm-start seeding
+(:func:`plans.pagerank.pagerank` ``warm_start=``, incremental CC),
+monitoring (sudden hub growth), and invalidation (which cached
+per-vertex stats are stale).
+
+Everything here is one-pass relational — no iteration:
+
+- ``added`` / ``removed``: distinct-canonical edge sets diffed with
+  ``left_anti`` joins on ``(src_id, dst_id)`` (one shuffle each, and
+  Catalyst pushes the distinct below the join; ``EXCEPT`` would plan
+  the same but anti-join keeps the columns explicit),
+- ``degree_churn``: per-vertex out/in degrees of BOTH snapshots in ONE
+  aggregation each, stitched with a full outer join on vertex; only
+  vertices whose degree changed survive the final filter, so the result
+  is delta-sized, not |V|-sized,
+- ``summary``: one row of counts (added/removed/vertices
+  gained/lost/churned) — the monitoring heartbeat.
+
+At scale both inputs are already partitioned by ``src_id`` (the
+adjacency layout convention), so the anti-joins co-locate; the degree
+aggregation is the same salted-agg shape every kernel uses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class GraphDiffResult:
+    added: DataFrame  # (src_id, dst_id) in new, not old
+    removed: DataFrame  # (src_id, dst_id) in old, not new
+    degree_churn: DataFrame  # per-vertex degree movement (changed only)
+    summary: DataFrame  # one row of counts
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    return edges.select("src_id", "dst_id").distinct()
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """(vertex, out_deg, in_deg) in one pass: explode each edge into
+    its two endpoint roles, aggregate once."""
+    return (
+        edges.select(
+            F.col("src_id").alias("vertex"), F.lit(1).alias("o"), F.lit(0).alias("i")
+        )
+        .unionAll(
+            edges.select(
+                F.col("dst_id").alias("vertex"),
+                F.lit(0).alias("o"),
+                F.lit(1).alias("i"),
+            )
+        )
+        .groupBy("vertex")
+        .agg(
+            F.sum("o").cast("long").alias("out_deg"),
+            F.sum("i").cast("long").alias("in_deg"),
+        )
+    )
+
+
+def graph_diff(edges_old: DataFrame, edges_new: DataFrame) -> GraphDiffResult:
+    """Diff two snapshots of a directed edge table
+    ``(src_id, dst_id, ...)``; extra columns are ignored and edge
+    multiplicities collapse (the snapshot identity is the distinct edge
+    set, matching the engine-wide dedup convention)."""
+    old = _canon(edges_old)
+    new = _canon(edges_new)
+    added = new.join(old, ["src_id", "dst_id"], "left_anti")
+    removed = old.join(new, ["src_id", "dst_id"], "left_anti")
+
+    do = _degrees(old).select(
+        "vertex",
+        F.col("out_deg").alias("out_old"),
+        F.col("in_deg").alias("in_old"),
+    )
+    dn = _degrees(new).select(
+        "vertex",
+        F.col("out_deg").alias("out_new"),
+        F.col("in_deg").alias("in_new"),
+    )
+    churn = (
+        do.join(dn, "vertex", "full_outer")
+        .select(
+            "vertex",
+            F.coalesce("out_old", F.lit(0)).alias("out_old"),
+            F.coalesce("out_new", F.lit(0)).alias("out_new"),
+            F.coalesce("in_old", F.lit(0)).alias("in_old"),
+            F.coalesce("in_new", F.lit(0)).alias("in_new"),
+        )
+        .filter(
+            (F.col("out_old") != F.col("out_new"))
+            | (F.col("in_old") != F.col("in_new"))
+        )
+    )
+    summary = (
+        added.agg(F.count("*").alias("edges_added"))
+        .crossJoin(removed.agg(F.count("*").alias("edges_removed")))
+        .crossJoin(
+            churn.agg(
+                F.count("*").alias("vertices_churned"),
+                F.coalesce(
+                    F.sum(
+                        (
+                            (F.col("out_old") + F.col("in_old")) == 0
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("vertices_gained"),
+                F.coalesce(
+                    F.sum(
+                        (
+                            (F.col("out_new") + F.col("in_new")) == 0
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("vertices_lost"),
+            )
+        )
+    )
+    return GraphDiffResult(added, removed, churn, summary)

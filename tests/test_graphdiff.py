@@ -1,0 +1,72 @@
+"""Graph snapshot diff (plans/graphdiff.py): edge deltas, degree churn,
+summary counts, multiplicity/extra-column handling."""
+
+from __future__ import annotations
+
+from arxiv_citation_graph_spark.plans.graphdiff import graph_diff
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+def test_added_removed_and_churn(spark):
+    old = [("a", "b"), ("b", "c"), ("c", "d")]
+    new = [("a", "b"), ("b", "c"), ("b", "d"), ("e", "a")]
+    d = graph_diff(_df(spark, old), _df(spark, new))
+    assert sorted((r.src_id, r.dst_id) for r in d.added.collect()) == [
+        ("b", "d"), ("e", "a"),
+    ]
+    assert [(r.src_id, r.dst_id) for r in d.removed.collect()] == [("c", "d")]
+    churn = {
+        r.vertex: (r.out_old, r.out_new, r.in_old, r.in_new)
+        for r in d.degree_churn.collect()
+    }
+    # a: gains an in-edge; b: out 1->2; c: out 1->0; d: in via b not c
+    # (in_old 1 == in_new 1, out 0 == 0 -> NOT churned); e: brand new
+    assert churn == {
+        "a": (1, 1, 0, 1),
+        "b": (1, 2, 1, 1),
+        "c": (1, 0, 1, 1),
+        "e": (0, 1, 0, 0),
+    }
+    s = d.summary.collect()[0]
+    assert (s.edges_added, s.edges_removed) == (2, 1)
+    assert s.vertices_churned == 4
+    assert s.vertices_gained == 1  # e: degree 0 in old
+    assert s.vertices_lost == 0
+
+
+def test_vertex_disappearance_counts_as_lost(spark):
+    old = [("a", "b"), ("x", "y")]
+    new = [("a", "b")]
+    d = graph_diff(_df(spark, old), _df(spark, new))
+    s = d.summary.collect()[0]
+    assert s.edges_removed == 1 and s.edges_added == 0
+    assert s.vertices_lost == 2  # x and y drop to degree 0
+
+
+def test_multiplicities_and_extra_columns_ignored(spark):
+    old = spark.createDataFrame(
+        [("a", "b", 9), ("a", "b", 9)], "src_id string, dst_id string, w long"
+    )
+    new = spark.createDataFrame([("a", "b", 1)], "src_id string, dst_id string, w long")
+    d = graph_diff(old, new)
+    assert d.added.count() == 0
+    assert d.removed.count() == 0
+    assert d.degree_churn.count() == 0
+
+
+def test_identical_snapshots_empty_diff(spark):
+    e = [("a", "b"), ("b", "c")]
+    d = graph_diff(_df(spark, e), _df(spark, e))
+    s = d.summary.collect()[0]
+    assert (s.edges_added, s.edges_removed, s.vertices_churned) == (0, 0, 0)
+
+
+def test_empty_old_snapshot(spark):
+    empty = spark.createDataFrame([], "src_id string, dst_id string")
+    d = graph_diff(empty, _df(spark, [("a", "b")]))
+    s = d.summary.collect()[0]
+    assert s.edges_added == 1 and s.edges_removed == 0
+    assert s.vertices_gained == 2
