@@ -1507,6 +1507,72 @@ def q_coreness_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.coreness
 
 
+def _matching_unrolled_sql(rounds: int) -> str:
+    """Unrolled local-max maximal matching (plans/matching.py): per
+    round every live edge (both endpoints unmatched) draws the keyed
+    priority ``lpad(int(md5(round:u:v)[:15], 16), 19, '0')|u|v``; an
+    edge that is the minimum at BOTH endpoints matches its endpoints.
+    Zero winners == no live edges, so ``rounds`` past convergence are
+    no-ops."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u, "
+        "greatest(src_id, dst_id) AS v FROM cos WHERE src_id <> dst_id)",
+        "m0 AS MATERIALIZED (SELECT u AS vertex, CAST(NULL AS VARCHAR) AS mate "
+        "FROM und UNION SELECT v, NULL FROM und)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        i = k - 1
+        key = (
+            f"lpad(CAST(CAST(('0x' || substr(md5('{i}:' || e.u || ':' || e.v), 1, 15)) "
+            f"AS BIGINT) AS VARCHAR), 19, '0') || '|' || e.u || '|' || e.v"
+        )
+        ctes.append(
+            f"keyed{k} AS MATERIALIZED (SELECT e.u, e.v, {key} AS key FROM und e "
+            f"JOIN m{p} mu ON e.u = mu.vertex AND mu.mate IS NULL "
+            f"JOIN m{p} mv ON e.v = mv.vertex AND mv.mate IS NULL)"
+        )
+        ctes.append(
+            f"vmin{k} AS MATERIALIZED (SELECT vertex, min(key) AS mk FROM ("
+            f"SELECT u AS vertex, key FROM keyed{k} "
+            f"UNION ALL SELECT v, key FROM keyed{k}) GROUP BY 1)"
+        )
+        ctes.append(
+            f"win{k} AS MATERIALIZED (SELECT kk.u, kk.v FROM keyed{k} kk "
+            f"JOIN vmin{k} a ON kk.u = a.vertex AND kk.key = a.mk "
+            f"JOIN vmin{k} b ON kk.v = b.vertex AND kk.key = b.mk)"
+        )
+        ctes.append(
+            f"nm{k} AS MATERIALIZED (SELECT u AS vertex, v AS new_mate FROM win{k} "
+            f"UNION ALL SELECT v, u FROM win{k})"
+        )
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT m.vertex, "
+            f"coalesce(m.mate, n.new_mate) AS mate "
+            f"FROM m{p} m LEFT JOIN nm{k} n ON m.vertex = n.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, mate FROM m{rounds} WHERE mate IS NOT NULL"
+    )
+
+
+_MATCHING_ORACLE_ROUNDS = 12
+
+
+@register("maximal_matching", _matching_unrolled_sql(_MATCHING_ORACLE_ROUNDS))
+def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic local-max maximal matching (plans/matching.py)
+    over the undirected co-supply graph: (vertex, mate) pairs, both
+    directions."""
+    from arxiv_citation_graph_spark.plans.matching import maximal_matching
+
+    result = maximal_matching(spark, cosupply_edges(spark, sf_dir))
+    return result.mates
+
+
 _COLOR_KEY_SQL = (
     "lpad(CAST(CAST(('0x' || substr(md5(vertex), 1, 15)) AS BIGINT) AS VARCHAR), "
     "19, '0') || '|' || vertex"

@@ -1,0 +1,160 @@
+"""Maximal matching via deterministic local-max edge races.
+
+The edge-side sibling of Luby MIS (Israeli & Itai 1986; analyzed as
+"local-max matching", O(log^2 n) rounds w.h.p., Blelloch-Fineman-Shun
+2012): per round every edge with both endpoints unmatched draws a keyed
+random priority, and an edge whose key is the minimum among ALL edges
+incident to either endpoint joins the matching — such an edge conflicts
+with nothing, so the matching is valid by construction, and the
+round's global-minimum live edge always wins, so progress is guaranteed
+and **zero winners == no live edges == maximal**.  Matching backs
+graph coarsening (pair contraction), task assignment, and switch
+scheduling.
+
+Determinism: key = ``lpad(int(md5(round || ':' || u || ':' || v)[:15],
+16), 19, '0') || '|' || u || '|' || v`` — tie-free (the edge id is the
+suffix), engine-portable, redrawn per round (the Luby convention).
+
+Per-round plan shape: live edges = the canonical |E| frame semi-joined
+twice against the (shrinking) unmatched vertex set; ONE aggregation
+(min key per endpoint, map-side partial over the union of both endpoint
+projections); winners = live edges equi-joined back to both endpoint
+minima; one |V| state merge assigning mates symmetrically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.superstep import (
+    SuperstepReport,
+    run_supersteps,
+)
+from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+
+@dataclass
+class MatchingResult:
+    edges: DataFrame  # (u, v) — the matching, canonical u < v
+    mates: DataFrame  # (vertex, mate) — both directions, matched only
+    report: SuperstepReport
+    n_matched_edges: int
+
+
+def _edge_key(round_no: int):
+    pri = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(str(round_no)), F.col("u"), F.col("v"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.concat_ws(
+        "|", F.lpad(pri.cast("string"), 19, "0"), F.col("u"), F.col("v")
+    )
+
+
+def maximal_matching(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 100,
+    broadcast_state: bool | None = None,
+) -> MatchingResult:
+    """Deterministic maximal matching of the simple undirected graph
+    derived from ``edges(src_id, dst_id)`` (duplicates collapse,
+    self-loops drop — a vertex cannot match itself)."""
+    und = (
+        _simple_undirected(edges)
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+        .cache()
+    )
+    verts = (
+        und.select(F.col("u").alias("vertex"))
+        .unionByName(und.select(F.col("v").alias("vertex")))
+        .distinct()
+        .cache()
+    )
+    n = verts.count()
+    und.count()
+    if n == 0:
+        und.unpersist()
+        verts.unpersist()
+        empty_e = spark.createDataFrame([], "u string, v string")
+        empty_m = spark.createDataFrame([], "vertex string, mate string")
+        return MatchingResult(empty_e, empty_m, SuperstepReport(0, True), 0)
+
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        unmatched = state.filter(F.col("mate").isNull()).select("vertex")
+        live = und.join(
+            _mb(unmatched.withColumnRenamed("vertex", "u")), "u", "left_semi"
+        ).join(_mb(unmatched.withColumnRenamed("vertex", "v")), "v", "left_semi")
+        keyed = live.select("u", "v", _edge_key(i).alias("key"))
+        vmin = (
+            keyed.select(F.col("u").alias("vertex"), "key")
+            .unionByName(keyed.select(F.col("v").alias("vertex"), "key"))
+            .groupBy("vertex")
+            .agg(F.min("key").alias("mk"))
+        )
+        win = (
+            keyed.join(
+                _mb(vmin.select(F.col("vertex").alias("u"), F.col("mk").alias("mku"))),
+                "u",
+            )
+            .join(
+                _mb(vmin.select(F.col("vertex").alias("v"), F.col("mk").alias("mkv"))),
+                "v",
+            )
+            .filter((F.col("key") == F.col("mku")) & (F.col("key") == F.col("mkv")))
+            .select("u", "v")
+        )
+        new_mates = win.select(
+            F.col("u").alias("vertex"), F.col("v").alias("new_mate")
+        ).unionByName(win.select(F.col("v").alias("vertex"), F.col("u").alias("new_mate")))
+        # delta = vertices matched THIS round, fused into the state merge
+        new = (
+            state.select("vertex", F.col("mate").alias("old_mate"))
+            .join(_mb(new_mates), "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("old_mate", "new_mate").alias("mate"),
+                (
+                    F.col("old_mate").isNull() & F.col("new_mate").isNotNull()
+                ).cast("double").alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = verts.select(
+        "vertex", F.lit(None).cast("string").alias("mate"), F.lit(1.0).alias("delta")
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+        )
+        mates = final.filter(F.col("mate").isNotNull()).select("vertex", "mate")
+        mates = mates.localCheckpoint(eager=True)
+        medges = mates.filter(F.col("vertex") < F.col("mate")).select(
+            F.col("vertex").alias("u"), F.col("mate").alias("v")
+        )
+        n_matched = medges.count()
+    finally:
+        und.unpersist()
+        verts.unpersist()
+    return MatchingResult(medges, mates, report, n_matched)

@@ -1,0 +1,92 @@
+"""Maximal matching (plans/matching.py): validity + maximality
+properties, determinism, degenerate graphs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.matching import maximal_matching
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+def _check(edges, res):
+    medges = [(r.u, r.v) for r in res.edges.collect()]
+    mates = {r.vertex: r.mate for r in res.mates.collect()}
+    adj: dict[str, set[str]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    seen: set[str] = set()
+    for u, v in medges:
+        assert v in adj[u], (u, v)  # real edges only
+        assert u not in seen and v not in seen  # vertex-disjoint
+        seen.update((u, v))
+        assert mates[u] == v and mates[v] == u  # symmetric mate table
+    assert set(mates) == seen
+    for u, ns in adj.items():  # maximal: no live edge remains
+        if u not in seen:
+            assert ns <= seen, u
+    return medges
+
+
+@pytest.mark.parametrize("seed,mod", [(1, 5), (9, 3), (27, 7)])
+def test_properties_on_pseudo_random_graphs(spark, seed, mod):
+    edges = []
+    for i in range(34):
+        for j in range(i + 1, 34):
+            h = int(hashlib.md5(f"{seed}^{i}^{j}".encode()).hexdigest()[:8], 16)
+            if h % mod == 0:
+                edges.append((f"v{i:02d}", f"v{j:02d}"))
+    res = maximal_matching(spark, _df(spark, edges))
+    _check(edges, res)
+    assert res.report.converged
+
+
+def test_path_and_isolated_triangle(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("t1", "t2")]
+    res = maximal_matching(spark, _df(spark, edges))
+    m = _check(edges, res)
+    assert ("t1", "t2") in m
+    assert 2 <= len(m) <= 3
+
+
+def test_perfect_matching_on_even_cycle(spark):
+    ring = [(f"r{i}", f"r{(i + 1) % 8}") for i in range(8)]
+    res = maximal_matching(spark, _df(spark, ring))
+    m = _check(ring, res)
+    assert len(m) >= 3  # a maximal matching on C8 has 3 or 4 edges
+
+
+def test_star_matches_exactly_one_spoke(spark):
+    edges = [("hub", f"s{i}") for i in range(7)]
+    res = maximal_matching(spark, _df(spark, edges))
+    m = _check(edges, res)
+    assert len(m) == 1 and "hub" in m[0]
+
+
+def test_deterministic(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    a = sorted((r.u, r.v) for r in maximal_matching(spark, _df(spark, edges)).edges.collect())
+    b = sorted((r.u, r.v) for r in maximal_matching(spark, _df(spark, edges)).edges.collect())
+    assert a == b
+
+
+def test_self_loops_and_duplicates_collapse(spark):
+    edges = [("a", "a"), ("a", "b"), ("b", "a")]
+    res = maximal_matching(spark, _df(spark, edges))
+    assert [(r.u, r.v) for r in res.edges.collect()] == [("a", "b")]
+
+
+def test_empty_graph(spark):
+    res = maximal_matching(
+        spark, spark.createDataFrame([], "src_id string, dst_id string")
+    )
+    assert res.n_matched_edges == 0
+    assert res.mates.count() == 0
