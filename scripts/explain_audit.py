@@ -500,6 +500,54 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.plans.coloring import greedy_coloring
+
+    plan = capture_superstep(lambda: greedy_coloring(spark, tedges, fixed_rounds=3))
+    sections.append(
+        (
+            "Jones-Plassmann coloring round (iteration 1)",
+            "Two |E| joins pruned through the shrinking uncolored frame "
+            "(min rival key; winner-semi-joined neighbor colors) and a "
+            "winners-sized window computing the relational mex — no UDF, "
+            f"no per-vertex loop.  [{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.matching import maximal_matching
+
+    plan = capture_superstep(lambda: maximal_matching(spark, tedges))
+    sections.append(
+        (
+            "Local-max matching round (iteration 1)",
+            "Live edges = |E| frame semi-joined twice against the "
+            "unmatched set; ONE min-key aggregate over both endpoint "
+            "projections (map-side partials), winners equi-join back to "
+            "both minima, symmetric |V| mate merge.  "
+            f"[{exchange_count(plan)}]",
+            condense(plan, KEEP + ("LeftSemi",)),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.graphdiff import graph_diff
+
+    e_old = tedges
+    e_new = tedges.filter(F.col("src_id") != F.lit("zzz_never")).unionByName(
+        spark.createDataFrame([("nu", "nv")], ["src_id", "dst_id"])
+    )
+    gd = graph_diff(e_old, e_new)
+    sections.append(
+        (
+            "Graph snapshot diff (degree churn)",
+            "Both snapshots' out/in degrees in ONE aggregation each "
+            "(endpoint-role union, map-side partials), stitched by a full "
+            "outer join on vertex, changed-only filter in-plan — "
+            "delta-sized output, no iteration.  "
+            f"[{exchange_count(plan_of(gd.degree_churn))}]",
+            condense(plan_of(gd.degree_churn), KEEP),
+        )
+    )
+
     from arxiv_citation_graph_spark.plans.louvain import louvain_communities
 
     plan = capture_superstep(
