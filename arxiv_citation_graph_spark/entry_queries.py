@@ -972,6 +972,81 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.labels
 
 
+def _seeded_lpa_unrolled_sql(iters: int, n_seeds: int) -> str:
+    """Unrolled semi-supervised LPA (plans/labelprop.py::
+    seeded_label_propagation): the ``n_seeds`` lexicographically
+    smallest vertices are clamped to labels c0..c{n-1}; unlabeled
+    vertices adopt the most frequent label among LABELED neighbors
+    (ties: count desc, label asc); NULL rows drop at the end."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos "
+        "UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src_id AS vertex FROM sym)",
+        f"seeds AS MATERIALIZED (SELECT vertex, 'c' || CAST(rn - 1 AS VARCHAR) AS label "
+        f"FROM (SELECT vertex, row_number() OVER (ORDER BY vertex) AS rn FROM verts) "
+        f"WHERE rn <= {n_seeds})",
+        "l0 AS MATERIALIZED (SELECT v.vertex, s.label, "
+        "s.label IS NOT NULL AS is_seed FROM verts v "
+        "LEFT JOIN seeds s ON v.vertex = s.vertex)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"cnt{k} AS MATERIALIZED (SELECT e.dst_id AS vertex, l.label, "
+            f"count(*) AS cnt FROM sym e JOIN l{p} l ON e.src_id = l.vertex "
+            f"WHERE l.label IS NOT NULL GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"win{k} AS MATERIALIZED (SELECT vertex, label FROM ("
+            f"SELECT vertex, label, row_number() OVER (PARTITION BY vertex "
+            f"ORDER BY cnt DESC, label) AS rn FROM cnt{k}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"CASE WHEN v.is_seed THEN v.label "
+            f"ELSE coalesce(w.label, v.label) END AS label, v.is_seed "
+            f"FROM l{p} v LEFT JOIN win{k} w ON v.vertex = w.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, label FROM l{iters} WHERE label IS NOT NULL"
+    )
+
+
+_SEEDED_LPA_ITERS, _SEEDED_LPA_SEEDS = 6, 4
+
+
+@register(
+    "seeded_label_propagation",
+    _seeded_lpa_unrolled_sql(_SEEDED_LPA_ITERS, _SEEDED_LPA_SEEDS),
+)
+def q_seeded_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised hard-clamp LPA (Zhu & Ghahramani 2002) over the
+    co-supply graph: 4 lexicographic-min seed vertices labeled c0..c3,
+    6 synchronous rounds (plans/labelprop.py)."""
+    from pyspark.sql import Window
+
+    from arxiv_citation_graph_spark.plans.labelprop import seeded_label_propagation
+    from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+
+    edges = cosupply_edges(spark, sf_dir)
+    w = Window.orderBy("vertex")
+    seeds = (
+        vertices_of(edges)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SEEDED_LPA_SEEDS)
+        .select(
+            "vertex", F.concat(F.lit("c"), (F.col("rn") - 1).cast("string")).alias("label")
+        )
+    )
+    result = seeded_label_propagation(
+        spark, edges, seeds, max_iterations=_SEEDED_LPA_ITERS
+    )
+    return result.labels
+
+
 TRIANGLES_SQL = f"""
 WITH cos AS ({EDGES_COSUPPLY_SQL}),
 und AS (SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v FROM cos

@@ -120,6 +120,122 @@ def _initial_labels(vertices: DataFrame) -> DataFrame:
     )
 
 
+def seeded_label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iterations: int = 10,
+    broadcast_labels: bool | None = None,
+) -> LabelPropResult:
+    """Semi-supervised label propagation (the hard-clamp variant of
+    Zhu & Ghahramani 2002): ``seeds(vertex, label)`` keep their label
+    FOREVER; every other vertex starts unlabeled (NULL) and each
+    superstep adopts the most frequent label among its *labeled*
+    neighbors (ties: highest count, then smallest label — the engine's
+    LPA rule).  The everyday classification flood: "these 50 papers are
+    physics, those 50 are biology — label the rest of the graph".
+
+    Runs exactly ``max_iterations`` rounds (the fixed-rounds LPA
+    convention: synchronous LPA has no guaranteed fixpoint on
+    bipartite-ish structure, and fixed rounds are what the DuckDB oracle
+    unrolls).  Vertices no label reached stay NULL and are DROPPED from
+    the result (the BFS unreached convention).
+
+    Fails fast on seeds that are not vertices of the graph and on
+    conflicting duplicate seeds — both would otherwise silently skew
+    every downstream label.
+    """
+    sym = symmetrize(edges).repartition(
+        spark.sparkContext.defaultParallelism, "src_id"
+    ).cache()
+    sym.count()
+    vertices = vertices_of(edges).cache()
+    n_vertices = vertices.count()
+    seeds = seeds.select("vertex", F.col("label").cast("string").alias("label"))
+    n_seeds = seeds.count()
+    conflicted = (
+        seeds.groupBy("vertex").agg(F.countDistinct("label").alias("nl"))
+        .filter(F.col("nl") > 1)
+        .limit(1)
+    )
+    if conflicted.count() > 0:
+        sym.unpersist()
+        vertices.unpersist()
+        raise ValueError(
+            f"conflicting labels for seed vertex "
+            f"{conflicted.first()['vertex']!r}"
+        )
+    missing = seeds.join(vertices, "vertex", "left_anti").limit(1)
+    if n_seeds > 0 and missing.count() > 0:
+        sym.unpersist()
+        vertices.unpersist()
+        raise ValueError(
+            f"seed vertex {missing.first()['vertex']!r} is not a vertex "
+            f"of the graph"
+        )
+    if broadcast_labels is None:
+        broadcast_labels = n_vertices <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_labels else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        labeled = state.filter(F.col("label").isNotNull()).select("vertex", "label")
+        nbr_labels = sym.join(
+            _mb(labeled), sym.src_id == F.col("vertex")
+        ).select(F.col("dst_id").alias("vertex"), "label")
+        counts = nbr_labels.groupBy("vertex", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        winner = counts.groupBy("vertex").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("neg"), F.col("label"))
+            ).alias("nbr_label")
+        )
+        new_label = F.when(F.col("is_seed"), F.col("old_label")).otherwise(
+            F.coalesce(F.col("nbr_label"), F.col("old_label"))
+        )
+        new = (
+            state.select(
+                "vertex", F.col("label").alias("old_label"), "is_seed"
+            )
+            .join(winner, "vertex", "left")
+            .select(
+                "vertex",
+                new_label.alias("label"),
+                "is_seed",
+                (
+                    ~new_label.eqNullSafe(F.col("old_label"))
+                ).cast("double").alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = (
+        vertices.join(seeds.distinct(), "vertex", "left")
+        .select(
+            "vertex",
+            "label",
+            F.col("label").isNotNull().alias("is_seed"),
+            F.lit(0.0).alias("delta"),
+        )
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=None,
+        )
+    finally:
+        sym.unpersist()
+        vertices.unpersist()
+    return LabelPropResult(
+        final.filter(F.col("label").isNotNull()).select("vertex", "label"), report
+    )
+
+
 def modularity(labels: DataFrame, edges: DataFrame) -> DataFrame:
     """Newman modularity Q of a community partition (Newman & Girvan
     2004): over the canonical undirected simple graph derived from

@@ -1,0 +1,101 @@
+"""Semi-supervised (hard-clamp) label propagation
+(plans/labelprop.py::seeded_label_propagation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.labelprop import seeded_label_propagation
+
+TWO_TRIANGLES = [
+    ("a", "b"), ("b", "c"), ("a", "c"),
+    ("d", "e"), ("e", "f"), ("d", "f"),
+    ("c", "d"),
+]
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+def _seeds(spark, rows):
+    return spark.createDataFrame(rows, "vertex string, label string")
+
+
+def test_two_seeds_split_the_bridge(spark):
+    res = seeded_label_propagation(
+        spark,
+        _df(spark, TWO_TRIANGLES),
+        _seeds(spark, [("a", "phys"), ("f", "bio")]),
+        max_iterations=6,
+    )
+    got = {r.vertex: r.label for r in res.labels.collect()}
+    assert got == {
+        "a": "phys", "b": "phys", "c": "phys",
+        "d": "bio", "e": "bio", "f": "bio",
+    }
+
+
+def test_seeds_never_flip(spark):
+    """A seed surrounded by the other label keeps its own."""
+    edges = [("s", f"n{i}") for i in range(4)] + [(f"n{i}", f"n{i+1}") for i in range(3)]
+    seeds = [("s", "red")] + [(f"n{i}", "blue") for i in range(4)]
+    res = seeded_label_propagation(
+        spark, _df(spark, edges), _seeds(spark, seeds), max_iterations=4
+    )
+    got = {r.vertex: r.label for r in res.labels.collect()}
+    assert got["s"] == "red"
+    assert all(got[f"n{i}"] == "blue" for i in range(4))
+
+
+def test_unreached_vertices_dropped(spark):
+    edges = TWO_TRIANGLES + [("iso1", "iso2")]
+    res = seeded_label_propagation(
+        spark, _df(spark, edges), _seeds(spark, [("a", "x")]), max_iterations=6
+    )
+    got = {r.vertex: r.label for r in res.labels.collect()}
+    assert "iso1" not in got and "iso2" not in got
+    assert set(got.values()) == {"x"}
+
+
+def test_frequency_beats_proximity_ties(spark):
+    """v has two 'maj' neighbors and one 'min' neighbor: count wins."""
+    edges = [("v", "m1"), ("v", "m2"), ("v", "k1")]
+    seeds = [("m1", "maj"), ("m2", "maj"), ("k1", "min")]
+    res = seeded_label_propagation(
+        spark, _df(spark, edges), _seeds(spark, seeds), max_iterations=2
+    )
+    got = {r.vertex: r.label for r in res.labels.collect()}
+    assert got["v"] == "maj"
+
+
+def test_tie_breaks_to_smallest_label(spark):
+    edges = [("v", "x1"), ("v", "x2")]
+    seeds = [("x1", "zeta"), ("x2", "alpha")]
+    res = seeded_label_propagation(
+        spark, _df(spark, edges), _seeds(spark, seeds), max_iterations=1
+    )
+    got = {r.vertex: r.label for r in res.labels.collect()}
+    assert got["v"] == "alpha"
+
+
+def test_validates_seeds(spark):
+    df = _df(spark, TWO_TRIANGLES)
+    with pytest.raises(ValueError, match="not a vertex"):
+        seeded_label_propagation(
+            spark, df, _seeds(spark, [("ghost", "x")]), max_iterations=2
+        )
+    with pytest.raises(ValueError, match="conflicting"):
+        seeded_label_propagation(
+            spark, df, _seeds(spark, [("a", "x"), ("a", "y")]), max_iterations=2
+        )
+
+
+def test_duplicate_consistent_seeds_ok(spark):
+    res = seeded_label_propagation(
+        spark,
+        _df(spark, TWO_TRIANGLES),
+        _seeds(spark, [("a", "x"), ("a", "x")]),
+        max_iterations=2,
+    )
+    assert {r.vertex: r.label for r in res.labels.collect()}["a"] == "x"
