@@ -1469,6 +1469,42 @@ def q_msf_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.edges
 
 
+CLIQUE4_SQL = f"""
+WITH cos AS ({EDGES_COSUPPLY_SQL}),
+und AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u,
+    greatest(src_id, dst_id) AS v FROM cos WHERE src_id <> dst_id),
+verts AS (SELECT u AS vertex FROM und UNION SELECT v FROM und),
+q4 AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c, e4.v AS d
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+  JOIN und e4 ON e4.u = e2.v
+  JOIN und e5 ON e5.u = e1.u AND e5.v = e4.v
+  JOIN und e6 ON e6.u = e1.v AND e6.v = e4.v
+),
+corners AS (
+  SELECT a AS vertex FROM q4 UNION ALL SELECT b FROM q4
+  UNION ALL SELECT c FROM q4 UNION ALL SELECT d FROM q4
+),
+cnts AS (SELECT vertex, count(*) AS c FROM corners GROUP BY vertex)
+SELECT v.vertex, CAST(coalesce(c.c, 0) AS BIGINT) AS cliques4
+FROM verts v LEFT JOIN cnts c ON v.vertex = c.vertex
+"""
+
+
+@register("clique4_counts", CLIQUE4_SQL)
+def q_clique4_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex 4-clique census (plans/motifs.py): degree-oriented
+    Chiba-Nishizeki listing, each K4 counted once; the oracle
+    enumerates lexicographic quads with all six edges — a different
+    total order, same census."""
+    from arxiv_citation_graph_spark.plans.motifs import four_clique_counts
+
+    result = four_clique_counts(spark, cosupply_edges(spark, sf_dir))
+    return result.counts
+
+
 def _mis_unrolled_sql(rounds: int) -> str:
     """Unrolled deterministic Luby MIS (plans/mis.py): per round every
     active vertex draws the keyed-hash priority ``lpad(int(md5(round ||

@@ -1,0 +1,141 @@
+"""4-clique census — the next motif up from triangles.
+
+Counting K4s per vertex extends the triangle census (SURVEY.md §2.6
+A10) to the motif most used for dense-community screening (a 4-clique
+is the smallest motif that survives both edge sampling and triangle
+coincidence; k-clique densest-subgraph methods start at k=4).
+
+Enumeration is the k-clique listing scheme of Chiba-Nishizeki (1985)
+/ kClist (Danisch et al. 2018), expressed relationally: orient every
+edge from lower to higher ``(degree, vertex)`` rank — each vertex's
+oriented out-degree is O(sqrt(|E|)) on any graph (the arboricity
+bound), so join fan-out stays task-sized even at hub vertices:
+
+1. oriented triangles ``(a, b, c)`` with rank(a) < rank(b) < rank(c):
+   the compact-forward wedge join (two oriented legs + closing probe),
+2. extend by ``c``'s oriented out-edges: candidate ``d`` with
+   rank(d) > rank(c),
+3. keep candidates adjacent to BOTH ``a`` and ``b`` — two left-semi
+   probes against the oriented frame (the edges must be ``a -> d`` and
+   ``b -> d`` because ``d`` out-ranks everything in the triangle),
+4. every surviving quad is a K4 counted EXACTLY once; explode its four
+   corners and aggregate per vertex (map-side partial).
+
+Each join is an equi-join on a vertex id — no cross joins, no windows;
+the |T|-sized triangle frame is the working set, localCheckpointed so
+the two semi-probes and the extension scan blocks instead of replaying
+the wedge join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+
+@dataclass
+class Clique4Result:
+    counts: DataFrame  # (vertex, cliques4) — every vertex, 0 included
+    total: int  # number of distinct K4s in the graph
+
+
+def _oriented(und: DataFrame) -> DataFrame:
+    """(a, b) per edge with rank(a) < rank(b), rank = (degree, vertex)
+    zero-padded so string order == tuple order (the truss convention)."""
+    deg = (
+        und.select(F.col("u").alias("vertex"))
+        .unionByName(und.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    rank = deg.select(
+        "vertex",
+        F.format_string("%012d|%s", F.col("degree"), F.col("vertex")).alias("rnk"),
+    )
+    return (
+        und.join(
+            rank.withColumnRenamed("vertex", "u").withColumnRenamed("rnk", "rnk_u"),
+            "u",
+        )
+        .join(
+            rank.withColumnRenamed("vertex", "v").withColumnRenamed("rnk", "rnk_v"),
+            "v",
+        )
+        .select(
+            F.when(F.col("rnk_u") < F.col("rnk_v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("a"),
+            F.when(F.col("rnk_u") < F.col("rnk_v"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("b"),
+            F.greatest("rnk_u", "rnk_v").alias("rnk_b"),
+        )
+    )
+
+
+def four_clique_counts(spark: SparkSession, edges: DataFrame) -> Clique4Result:
+    """Per-vertex K4 participation counts over the simple undirected
+    graph derived from ``edges(src_id, dst_id)`` (the triangle-census
+    conventions: duplicates collapse, self-loops drop, every vertex of
+    the graph appears in the result, zero included)."""
+    und = _simple_undirected(edges)
+    verts = (
+        und.select(F.col("u").alias("vertex"))
+        .unionByName(und.select(F.col("v").alias("vertex")))
+        .distinct()
+    )
+    ori = _oriented(und).localCheckpoint(eager=True)
+    e_ab = ori.select(F.col("a"), F.col("b"), F.col("rnk_b"))
+    # oriented triangles a->b, a->c, b->c with rank(b) < rank(c)
+    tri = (
+        e_ab.alias("x")
+        .join(
+            ori.select(
+                F.col("a"), F.col("b").alias("c"), F.col("rnk_b").alias("rnk_c")
+            ).alias("y"),
+            "a",
+        )
+        .filter(F.col("rnk_b") < F.col("rnk_c"))
+        .join(
+            ori.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+        .select("a", "b", "c")
+        .localCheckpoint(eager=True)
+    )
+    # extend by c's oriented out-edges, close against a and b
+    quads = (
+        tri.join(
+            ori.select(F.col("a").alias("c"), F.col("b").alias("d")), "c"
+        )
+        .join(
+            ori.select(F.col("a"), F.col("b").alias("d")), ["a", "d"], "left_semi"
+        )
+        .join(
+            ori.select(F.col("a").alias("b"), F.col("b").alias("d")),
+            ["b", "d"],
+            "left_semi",
+        )
+    )
+    corners = (
+        quads.select(F.col("a").alias("vertex"))
+        .unionAll(quads.select(F.col("b").alias("vertex")))
+        .unionAll(quads.select(F.col("c").alias("vertex")))
+        .unionAll(quads.select(F.col("d").alias("vertex")))
+    )
+    cnts = corners.groupBy("vertex").agg(F.count(F.lit(1)).alias("c4"))
+    counts = (
+        verts.join(cnts, "vertex", "left")
+        .select(
+            "vertex", F.coalesce("c4", F.lit(0)).cast("long").alias("cliques4")
+        )
+        .localCheckpoint(eager=True)
+    )
+    total_row = counts.agg((F.sum("cliques4") / 4).cast("long")).first()
+    total = int(total_row[0]) if total_row[0] is not None else 0
+    return Clique4Result(counts, total)

@@ -1,0 +1,81 @@
+"""4-clique census (plans/motifs.py) vs brute-force enumeration."""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.motifs import four_clique_counts
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+def _brute(edges):
+    adj: dict[str, set[str]] = {}
+    verts: set[str] = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        verts.update((u, v))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {v: 0 for v in verts}
+    total = 0
+    for q in combinations(sorted(verts), 4):
+        if all(b in adj.get(a, set()) for a, b in combinations(q, 2)):
+            total += 1
+            for v in q:
+                counts[v] += 1
+    return counts, total
+
+
+def test_k5_census(spark):
+    """K5 contains C(5,4)=5 K4s, each vertex in 4; pendant path in 0."""
+    edges = [(f"k{i}", f"k{j}") for i in range(5) for j in range(i + 1, 5)]
+    edges += [("k0", "p"), ("p", "q")]
+    res = four_clique_counts(spark, _df(spark, edges))
+    got = {r.vertex: r.cliques4 for r in res.counts.collect()}
+    assert got == {**{f"k{i}": 4 for i in range(5)}, "p": 0, "q": 0}
+    assert res.total == 5
+
+
+def test_triangle_has_no_k4(spark):
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]
+    res = four_clique_counts(spark, _df(spark, edges))
+    assert res.total == 0
+    assert all(r.cliques4 == 0 for r in res.counts.collect())
+
+
+@pytest.mark.parametrize("seed,mod", [(3, 3), (12, 2), (50, 4)])
+def test_matches_brute_force(spark, seed, mod):
+    edges = []
+    for i in range(22):
+        for j in range(i + 1, 22):
+            h = int(hashlib.md5(f"{seed}%{i}%{j}".encode()).hexdigest()[:8], 16)
+            if h % mod == 0:
+                edges.append((f"v{i:02d}", f"v{j:02d}"))
+    res = four_clique_counts(spark, _df(spark, edges))
+    got = {r.vertex: r.cliques4 for r in res.counts.collect()}
+    exp, exp_total = _brute(edges)
+    assert got == exp
+    assert res.total == exp_total
+
+
+def test_duplicates_and_self_loops_collapse(spark):
+    base = [(f"k{i}", f"k{j}") for i in range(4) for j in range(i + 1, 4)]
+    noisy = base + [("k0", "k1"), ("k1", "k0"), ("k2", "k2")]
+    res = four_clique_counts(spark, _df(spark, noisy))
+    assert res.total == 1
+    assert all(r.cliques4 == 1 for r in res.counts.collect())
+
+
+def test_empty_graph(spark):
+    res = four_clique_counts(
+        spark, spark.createDataFrame([], "src_id string, dst_id string")
+    )
+    assert res.total == 0
+    assert res.counts.count() == 0
