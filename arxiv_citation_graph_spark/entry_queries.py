@@ -1316,6 +1316,57 @@ def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _conductance_sql(lpa_iters: int) -> str:
+    """Per-community conductance of the unrolled-LPA partition
+    (plans/labelprop.py::community_conductance): phi = cut / min(vol,
+    2M - vol), exact integer vol/cut, IEEE divide, rounded at 9."""
+    return f"""
+WITH lpa AS MATERIALIZED ({_lpa_unrolled_sql(lpa_iters)}),
+cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL}),
+und AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u,
+    greatest(src_id, dst_id) AS v FROM cos WHERE src_id <> dst_id),
+both_ AS MATERIALIZED (SELECT la.label AS lu, lb.label AS lv
+    FROM und e JOIN lpa la ON la.vertex = e.u JOIN lpa lb ON lb.vertex = e.v),
+per AS (SELECT label, CAST(count(*) AS BIGINT) AS volume,
+        CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS cut FROM (
+          SELECT lu AS label, lu <> lv AS x FROM both_
+          UNION ALL SELECT lv, lu <> lv FROM both_) GROUP BY label),
+sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM lpa GROUP BY label),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und)
+SELECT s.label, s.n_members,
+       coalesce(p.volume, 0) AS volume,
+       coalesce(p.cut, 0) AS cut,
+       round(CASE WHEN least(coalesce(p.volume, 0),
+                             2 * (SELECT m FROM mm) - coalesce(p.volume, 0)) > 0
+             THEN CAST(coalesce(p.cut, 0) AS DOUBLE)
+                  / least(coalesce(p.volume, 0),
+                          2 * (SELECT m FROM mm) - coalesce(p.volume, 0)) END, 9)
+         AS conductance
+FROM sizes s LEFT JOIN per p ON s.label = p.label
+"""
+
+
+@register("community_conductance", _conductance_sql(_LPA_ITERS))
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (normalized-cut family) of the LPA
+    partition over the undirected co-supply graph
+    (plans/labelprop.py::community_conductance)."""
+    from arxiv_citation_graph_spark.plans.labelprop import (
+        community_conductance,
+        label_propagation,
+    )
+
+    edges = cosupply_edges(spark, sf_dir)
+    labels = label_propagation(spark, edges, max_iterations=_LPA_ITERS).labels
+    return community_conductance(labels, edges).select(
+        "label",
+        F.col("size").alias("n_members"),
+        "volume",
+        "cut",
+        F.round("conductance", 9).alias("conductance"),
+    )
+
+
 def _louvain_unrolled_sql(rounds: int) -> str:
     """Unrolled oracle for the deterministic synchronous Louvain local-
     moving phase (plans/louvain.py, ``fixed_rounds`` mode, level 0): per

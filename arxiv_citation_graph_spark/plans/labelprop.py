@@ -299,3 +299,68 @@ def modularity(labels: DataFrame, edges: DataFrame) -> DataFrame:
             F.first("m").cast("long").alias("m_edges"),
         )
     )
+
+
+def community_conductance(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-community conductance of a partition: ``phi(C) = cut(C) /
+    min(vol(C), 2M - vol(C))`` (Shi & Malik 2000 normalized-cut family;
+    the standard "is this community well-separated" diagnostic after
+    any community run — Louvain, LPA, seeded LPA).
+
+    Same one-pass relational shape as :func:`modularity`: canonical
+    undirected simple graph, labels joined onto both endpoints, then
+    ONE aggregation over the endpoint-role union computing volume
+    (degree mass) and cut (edges whose endpoints disagree) per label.
+    Communities with ``vol == 0`` cannot occur (every labeled vertex in
+    the frame came from an edge endpoint); a community owning ALL edge
+    mass (``2M - vol == 0``) gets conductance NULL — the measure is
+    undefined for the whole graph.
+
+    Returns ``(label, size, volume, cut, conductance)``; unrounded —
+    callers needing cross-engine hash parity round (entry_queries
+    convention).
+    """
+    und = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("u"),
+            F.greatest("src_id", "dst_id").alias("v"),
+        )
+        .distinct()
+    )
+    lab = labels.select("vertex", "label")
+    both = (
+        und.join(lab.withColumnRenamed("vertex", "u").withColumnRenamed("label", "lu"), "u")
+        .join(lab.withColumnRenamed("vertex", "v").withColumnRenamed("label", "lv"), "v")
+    )
+    per_label = (
+        both.select(F.col("lu").alias("label"), (F.col("lu") != F.col("lv")).alias("x"))
+        .unionAll(
+            both.select(F.col("lv").alias("label"), (F.col("lu") != F.col("lv")).alias("x"))
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("volume"),
+            F.sum(F.when(F.col("x"), 1).otherwise(0)).cast("long").alias("cut"),
+        )
+    )
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("size"))
+    m_row = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    denom = F.least(F.col("volume"), 2 * F.col("m") - F.col("volume"))
+    return (
+        sizes.join(per_label, "label", "left")
+        .select(
+            "label",
+            "size",
+            F.coalesce("volume", F.lit(0)).alias("volume"),
+            F.coalesce("cut", F.lit(0)).alias("cut"),
+        )
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "label",
+            "size",
+            "volume",
+            "cut",
+            F.when(denom > 0, F.col("cut") / denom).alias("conductance"),
+        )
+    )

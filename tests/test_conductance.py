@@ -1,0 +1,74 @@
+"""Per-community conductance (plans/labelprop.py::community_conductance)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.labelprop import community_conductance
+
+TWO_TRIANGLES = [
+    ("a", "b"), ("b", "c"), ("a", "c"),
+    ("d", "e"), ("e", "f"), ("d", "f"),
+    ("c", "d"),
+]
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+def _labels(spark, rows):
+    return spark.createDataFrame(rows, "vertex string, label string")
+
+
+def test_two_triangle_partition(spark):
+    labels = _labels(
+        spark,
+        [("a", "L"), ("b", "L"), ("c", "L"), ("d", "R"), ("e", "R"), ("f", "R")],
+    )
+    rows = {
+        r.label: r for r in community_conductance(labels, _df(spark, TWO_TRIANGLES)).collect()
+    }
+    for lbl in ("L", "R"):
+        assert (rows[lbl].size, rows[lbl].volume, rows[lbl].cut) == (3, 7, 1)
+        assert math.isclose(rows[lbl].conductance, 1 / 7)
+
+
+def test_bad_partition_scores_worse(spark):
+    """Splitting a triangle across communities must raise conductance
+    vs the natural split."""
+    natural = _labels(
+        spark,
+        [("a", "L"), ("b", "L"), ("c", "L"), ("d", "R"), ("e", "R"), ("f", "R")],
+    )
+    skewed = _labels(
+        spark,
+        [("a", "L"), ("b", "L"), ("c", "R"), ("d", "R"), ("e", "R"), ("f", "R")],
+    )
+    df = _df(spark, TWO_TRIANGLES)
+    nat = {r.label: r.conductance for r in community_conductance(natural, df).collect()}
+    skw = {r.label: r.conductance for r in community_conductance(skewed, df).collect()}
+    assert min(skw.values()) > min(nat.values())
+
+
+def test_whole_graph_community_is_null(spark):
+    labels = _labels(spark, [(v, "ALL") for v in "abcdef"])
+    r = community_conductance(labels, _df(spark, TWO_TRIANGLES)).collect()[0]
+    assert r.cut == 0 and r.volume == 14
+    assert r.conductance is None
+
+
+def test_singleton_community(spark):
+    """An isolated-in-label vertex: every incident edge is cut, so
+    conductance 1.0."""
+    labels = _labels(
+        spark,
+        [("a", "X"), ("b", "Y"), ("c", "Y"), ("d", "Y"), ("e", "Y"), ("f", "Y")],
+    )
+    rows = {
+        r.label: r for r in community_conductance(labels, _df(spark, TWO_TRIANGLES)).collect()
+    }
+    assert rows["X"].size == 1 and rows["X"].volume == 2 and rows["X"].cut == 2
+    assert math.isclose(rows["X"].conductance, 1.0)
