@@ -2152,6 +2152,57 @@ def q_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _khop_sample_sql(k_seeds: int, fanouts: tuple[int, ...]) -> str:
+    """Unrolled k-hop neighbor sample
+    (plans/sampling.py::khop_neighbor_sample): per hop, rank unvisited
+    neighbors of each frontier vertex by md5(seed|src|dst|hop) — the
+    engine-portable keyed draw — and keep the ``fanouts[h]`` smallest
+    per (seed, src).  Visited vertices (per seed) are never re-sampled."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym UNION SELECT dst_id FROM sym)",
+        f"seeds AS MATERIALIZED (SELECT vertex AS seed FROM verts ORDER BY vertex LIMIT {k_seeds})",
+        "f0 AS MATERIALIZED (SELECT seed, seed AS vertex FROM seeds)",
+        "vis0 AS MATERIALIZED (SELECT seed, vertex FROM f0)",
+    ]
+    for h, fan in enumerate(fanouts, start=1):
+        p = h - 1
+        ctes += [
+            f"b{h} AS MATERIALIZED (SELECT seed, {h} AS hop, src, dst FROM ("
+            f"SELECT f.seed, e.src_id AS src, e.dst_id AS dst, "
+            f"row_number() OVER (PARTITION BY f.seed, e.src_id "
+            f"ORDER BY md5(f.seed || '|' || e.src_id || '|' || e.dst_id || '|{h}'), e.dst_id"
+            f") AS rk "
+            f"FROM sym e JOIN f{p} f ON e.src_id = f.vertex "
+            f"WHERE e.src_id <> e.dst_id AND NOT EXISTS ("
+            f"SELECT 1 FROM vis{p} x WHERE x.seed = f.seed AND x.vertex = e.dst_id)"
+            f") WHERE rk <= {fan})",
+            f"f{h} AS MATERIALIZED (SELECT DISTINCT seed, dst AS vertex FROM b{h})",
+            f"vis{h} AS MATERIALIZED (SELECT seed, vertex FROM vis{p} "
+            f"UNION SELECT seed, vertex FROM f{h})",
+        ]
+    body = "\nUNION ALL ".join(
+        f"SELECT seed, CAST(hop AS INT) AS hop, src, dst FROM b{h}"
+        for h in range(1, len(fanouts) + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+@register("khop_neighbor_sample", _khop_sample_sql(k_seeds=8, fanouts=(3, 2)))
+def q_khop_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-hop neighbor sampling (Hamilton et al. 2017)
+    around the 8 lexicographic-min vertices of the co-supply graph,
+    fan-outs (3, 2): the GNN minibatch block generator
+    (plans/sampling.py::khop_neighbor_sample)."""
+    from arxiv_citation_graph_spark.plans.sampling import khop_neighbor_sample
+
+    result = khop_neighbor_sample(
+        spark, cosupply_edges(spark, sf_dir), n_seeds=8, fanouts=(3, 2)
+    )
+    return result.blocks.select("seed", F.col("hop").cast("int").alias("hop"), "src", "dst")
+
+
 _ANF_HOPS, _ANF_RCAP = 5, 30
 #: 2^(j/8) fractional factors (plans/anf.py::FRAC_POW2_8) as SQL CASE —
 #: exact double literals so the estimate uses only IEEE multiply/divide

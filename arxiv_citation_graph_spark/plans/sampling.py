@@ -1,0 +1,141 @@
+"""GraphSAGE-style k-hop neighbor sampling (link-graph tier).
+
+The minibatch primitive of every large-scale GNN training pipeline
+(Hamilton, Ying & Leskovec 2017): from a set of seed vertices, walk out
+``len(fanouts)`` hops, keeping at most ``fanouts[h]`` neighbors per
+frontier vertex at hop ``h``, and emit the sampled edge blocks
+``(seed, hop, src, dst)`` — exactly the per-layer message-flow blocks a
+GNN consumes.  At 100 TB the seeds are a minibatch and the output is
+bounded by ``|seeds| * prod(fanouts)`` rows regardless of graph size,
+which is what makes this the scale path (vs materializing full k-hop
+neighborhoods, which explodes on power-law graphs).
+
+Determinism (the repo-wide convention for "random" choices, cf.
+plans/walks.py hash races and plans/anf.py md5 sketches): neighbor
+selection ranks candidates by ``md5(seed|src|dst|hop)`` — a keyed
+pseudo-random draw both Spark and DuckDB evaluate bit-identically — and
+keeps the ``fanouts[h]`` smallest digests per (seed, src).  No RNG
+state, so the sample is reproducible across runs, engines, and resumes.
+
+Sampling frame semantics (pinned by the oracle in entry_queries.py):
+
+- the graph is the simple undirected view (``symmetrize``) unless
+  ``directed=True`` (then edges are followed src->dst as-is, deduped);
+- a vertex already visited by a seed (any earlier hop, including the
+  seed itself) is never re-sampled for that seed — frontiers are the
+  NEW vertices only, so blocks form a tree-like DAG per seed and the
+  hop column is the true hop distance within the sample;
+- ranking partitions are (seed, src): every frontier vertex gets its
+  own fanout budget, the GraphSAGE per-node fan-out.
+
+Plan shape per hop (all key-partitioned, no all-pairs anywhere):
+one equi-join frontier->adjacency, one per-seed anti-join against the
+visited set, one (seed, src)-windowed top-fanout rank.  ``len(fanouts)``
+hops = that shape repeated; the visited set and frontier are at most
+``|seeds| * prod(fanouts)`` rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+
+
+@dataclass
+class SampleResult:
+    blocks: DataFrame  # (seed, hop, src, dst) sampled edge blocks
+    seeds: list[str]
+    fanouts: tuple[int, ...]
+
+
+def khop_neighbor_sample(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    n_seeds: int = 8,
+    fanouts: tuple[int, ...] = (3, 2),
+    directed: bool = False,
+) -> SampleResult:
+    """Sample ``len(fanouts)``-hop neighborhoods around ``seeds`` over
+    ``edges(src_id, dst_id)``.
+
+    ``seeds``: single-column (``vertex``) frame; default = the
+    ``n_seeds`` lexicographically smallest vertices (deterministic, the
+    landmark convention).  Seeds not in the graph raise.  ``fanouts[h]``
+    caps neighbors kept per frontier vertex at hop ``h+1``.
+    """
+    if not fanouts or any(f <= 0 for f in fanouts):
+        raise ValueError(f"fanouts must be positive, got {fanouts!r}")
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame(
+            [], "seed string, hop int, src string, dst string"
+        )
+        vertices.unpersist()
+        return SampleResult(empty, [], tuple(fanouts))
+    if seeds is None:
+        seed_rows = vertices.orderBy("vertex").limit(n_seeds).collect()
+        seed_list = [r.vertex for r in seed_rows]
+    else:
+        seed_set = seeds.select("vertex").distinct()
+        missing = seed_set.join(vertices, "vertex", "anti").count()
+        if missing:
+            vertices.unpersist()
+            raise ValueError(f"{missing} seed(s) are not vertices of the graph")
+        seed_list = [r.vertex for r in seed_set.collect()]
+    vertices.unpersist()
+    if not seed_list:
+        raise ValueError("empty seed set")
+
+    adj = (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        if directed
+        else symmetrize(edges)
+    ).repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    adj.count()  # materialize once; every hop joins this
+
+    seed_df = spark.createDataFrame(
+        [(s,) for s in sorted(seed_list)], "seed string"
+    )
+    frontier = seed_df.select("seed", F.col("seed").alias("vertex"))
+    visited = frontier
+    blocks: DataFrame | None = None
+    try:
+        for h, fanout in enumerate(fanouts, start=1):
+            cand = (
+                adj.join(frontier, adj.src_id == frontier.vertex)
+                .select("seed", F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
+                .join(
+                    visited.select("seed", F.col("vertex").alias("dst")),
+                    ["seed", "dst"],
+                    "anti",
+                )
+            )
+            digest = F.md5(
+                F.concat_ws("|", "seed", "src", "dst", F.lit(str(h)))
+            )
+            rank = F.row_number().over(
+                Window.partitionBy("seed", "src").orderBy(digest, F.col("dst"))
+            )
+            block = (
+                cand.withColumn("_rk", rank)
+                .filter(F.col("_rk") <= fanout)
+                .select("seed", F.lit(h).cast("int").alias("hop"), "src", "dst")
+            )
+            # cut lineage + reuse: the block feeds the result, the next
+            # frontier, AND the visited set
+            block = block.localCheckpoint(eager=True)
+            blocks = block if blocks is None else blocks.unionByName(block)
+            frontier = block.select("seed", F.col("dst").alias("vertex")).distinct()
+            visited = visited.unionByName(frontier)
+        out = blocks.localCheckpoint(eager=True)
+    finally:
+        adj.unpersist()
+    return SampleResult(out, sorted(seed_list), tuple(fanouts))

@@ -1,0 +1,115 @@
+"""k-hop neighbor sampling (plans/sampling.py::khop_neighbor_sample)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.sampling import khop_neighbor_sample
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+    ("b", "c"), ("b", "f"), ("c", "g"), ("d", "g"),
+    ("e", "h"), ("f", "h"), ("g", "h"), ("h", "i"),
+]
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+def _brute(edges, seeds, fanouts):
+    """Reference replica: md5-race top-fanout per (seed, src), visited
+    excluded per seed across hops."""
+    adj: dict[str, set[str]] = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    out = []
+    for s in seeds:
+        visited = {s}
+        frontier = {s}
+        for h, fan in enumerate(fanouts, start=1):
+            nxt = set()
+            for u in sorted(frontier):
+                cand = [v for v in adj.get(u, ()) if v not in visited]
+                cand.sort(
+                    key=lambda v: (
+                        hashlib.md5(f"{s}|{u}|{v}|{h}".encode()).hexdigest(),
+                        v,
+                    )
+                )
+                for v in cand[:fan]:
+                    out.append((s, h, u, v))
+                    nxt.add(v)
+            visited |= nxt
+            frontier = nxt
+    return sorted(out)
+
+
+def _run(spark, edges, **kw):
+    res = khop_neighbor_sample(spark, _df(spark, edges), **kw)
+    return sorted((r.seed, r.hop, r.src, r.dst) for r in res.blocks.collect())
+
+
+def test_matches_brute_force_replica(spark):
+    got = _run(spark, EDGES, n_seeds=3, fanouts=(2, 2))
+    assert got == _brute(EDGES, ["a", "b", "c"], (2, 2))
+
+
+def test_fanout_cap_and_no_revisit(spark):
+    rows = _run(spark, EDGES, n_seeds=2, fanouts=(3, 2))
+    per_src: dict[tuple, int] = {}
+    per_seed_seen: dict[str, set] = {}
+    for s, h, u, v in rows:
+        per_src[(s, h, u)] = per_src.get((s, h, u), 0) + 1
+        seen = per_seed_seen.setdefault(s, {s})
+        assert v not in seen or any(
+            (s2, h2, u2, v2) == (s, h, u, v) for (s2, h2, u2, v2) in rows
+        )
+    for (s, h, u), cnt in per_src.items():
+        assert cnt <= (3 if h == 1 else 2)
+    # hop-1 sources are exactly the seeds
+    assert {u for s, h, u, v in rows if h == 1} <= {"a", "b"}
+    # a dst sampled at hop 1 never reappears as a hop-2 dst for the same seed
+    for s in ("a", "b"):
+        h1 = {v for s2, h, u, v in rows if s2 == s and h == 1}
+        h2 = {v for s2, h, u, v in rows if s2 == s and h == 2}
+        assert not (h1 & h2) and s not in h1 | h2
+
+
+def test_deterministic_across_runs(spark):
+    a = _run(spark, EDGES, n_seeds=4, fanouts=(2, 2))
+    b = _run(spark, EDGES, n_seeds=4, fanouts=(2, 2))
+    assert a == b and a
+
+
+def test_explicit_seeds_and_validation(spark):
+    seeds = spark.createDataFrame([("h",)], "vertex string")
+    res = khop_neighbor_sample(spark, _df(spark, EDGES), seeds=seeds, fanouts=(10,))
+    rows = sorted((r.seed, r.hop, r.src, r.dst) for r in res.blocks.collect())
+    # h's full neighborhood fits inside fanout 10
+    assert rows == [("h", 1, "h", v) for v in ["e", "f", "g", "i"]]
+    bad = spark.createDataFrame([("zz",)], "vertex string")
+    with pytest.raises(ValueError, match="not vertices"):
+        khop_neighbor_sample(spark, _df(spark, EDGES), seeds=bad, fanouts=(2,))
+    with pytest.raises(ValueError, match="fanouts"):
+        khop_neighbor_sample(spark, _df(spark, EDGES), fanouts=())
+
+
+def test_directed_follows_orientation(spark):
+    res = khop_neighbor_sample(
+        spark,
+        _df(spark, [("x", "y"), ("y", "z")]),
+        seeds=_seed(spark, "y"),
+        fanouts=(5,),
+        directed=True,
+    )
+    rows = sorted((r.seed, r.hop, r.src, r.dst) for r in res.blocks.collect())
+    assert rows == [("y", 1, "y", "z")]
+
+
+def _seed(spark, v):
+    return spark.createDataFrame([(v,)], "vertex string")
