@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
@@ -309,12 +309,17 @@ def community_conductance(labels: DataFrame, edges: DataFrame) -> DataFrame:
 
     Same one-pass relational shape as :func:`modularity`: canonical
     undirected simple graph, labels joined onto both endpoints, then
-    ONE aggregation over the endpoint-role union computing volume
-    (degree mass) and cut (edges whose endpoints disagree) per label.
-    Communities with ``vol == 0`` cannot occur (every labeled vertex in
-    the frame came from an edge endpoint); a community owning ALL edge
-    mass (``2M - vol == 0``) gets conductance NULL — the measure is
-    undefined for the whole graph.
+    ONE aggregation computing volume (degree mass) and cut (edges whose
+    endpoints disagree) per label.  Both endpoint roles are emitted via
+    ``explode`` from the single labeled-edge pass — NOT a ``unionAll``
+    of two selects, which would re-execute the whole |E| distinct +
+    label-join subtree per branch — and ``2M`` is recovered as
+    ``sum(volume)`` over the (community-count-sized) per-label frame,
+    since every edge contributes exactly two role rows; the edge set is
+    scanned ONCE total.  Communities with ``vol == 0`` cannot occur
+    (every labeled vertex in the frame came from an edge endpoint); a
+    community owning ALL edge mass (``2M - vol == 0``) gets conductance
+    NULL — the measure is undefined for the whole graph.
 
     Returns ``(label, size, volume, cut, conductance)``; unrounded —
     callers needing cross-engine hash parity round (entry_queries
@@ -333,10 +338,10 @@ def community_conductance(labels: DataFrame, edges: DataFrame) -> DataFrame:
         und.join(lab.withColumnRenamed("vertex", "u").withColumnRenamed("label", "lu"), "u")
         .join(lab.withColumnRenamed("vertex", "v").withColumnRenamed("label", "lv"), "v")
     )
+    disagree = F.col("lu") != F.col("lv")
     per_label = (
-        both.select(F.col("lu").alias("label"), (F.col("lu") != F.col("lv")).alias("x"))
-        .unionAll(
-            both.select(F.col("lv").alias("label"), (F.col("lu") != F.col("lv")).alias("x"))
+        both.select(
+            F.explode(F.array("lu", "lv")).alias("label"), disagree.alias("x")
         )
         .groupBy("label")
         .agg(
@@ -345,22 +350,23 @@ def community_conductance(labels: DataFrame, edges: DataFrame) -> DataFrame:
         )
     )
     sizes = lab.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("size"))
-    m_row = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    denom = F.least(F.col("volume"), 2 * F.col("m") - F.col("volume"))
-    return (
-        sizes.join(per_label, "label", "left")
-        .select(
-            "label",
-            "size",
-            F.coalesce("volume", F.lit(0)).alias("volume"),
-            F.coalesce("cut", F.lit(0)).alias("cut"),
-        )
-        .crossJoin(F.broadcast(m_row))
-        .select(
-            "label",
-            "size",
-            "volume",
-            "cut",
-            F.when(denom > 0, F.col("cut") / denom).alias("conductance"),
-        )
+    joined = sizes.join(per_label, "label", "left").select(
+        "label",
+        "size",
+        F.coalesce("volume", F.lit(0)).alias("volume"),
+        F.coalesce("cut", F.lit(0)).alias("cut"),
+    )
+    # sum(volume) over communities IS 2M (two role rows per edge), and
+    # every per_label row survives the left join exactly once — so the
+    # total is a window sum over the community-count-sized result, not a
+    # second pass over the edge set.  The unpartitioned window gathers
+    # only |communities| rows.
+    total = F.sum("volume").over(Window.partitionBy())
+    denom = F.least(F.col("volume"), total - F.col("volume"))
+    return joined.select(
+        "label",
+        "size",
+        "volume",
+        "cut",
+        F.when(denom > 0, F.col("cut") / denom).alias("conductance"),
     )
