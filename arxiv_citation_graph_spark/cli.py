@@ -108,6 +108,20 @@ def main(argv: list[str] | None = None) -> int:
             )
 
     p = sub.add_parser(
+        "sample",
+        help="GraphSAGE-style k-hop neighbor sampling -> minibatch blocks table",
+    )
+    p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument(
+        "--seeds", default=None,
+        help="comma-separated seed vertices (default: --n-seeds lexicographic-min)",
+    )
+    p.add_argument("--n-seeds", type=int, default=8)
+    p.add_argument("--fanouts", default="3,2", help="comma-separated per-hop neighbor caps")
+    p.add_argument("--directed", action="store_true")
+
+    p = sub.add_parser(
         "ingest",
         help="drain new docs files (streaming file source, AvailableNow) "
         "into snapshot-per-batch edge commits; idempotent and incremental",
@@ -185,6 +199,33 @@ def main(argv: list[str] | None = None) -> int:
         if args.extended:
             snap = catalog.create_or_replace("reference_tree", references_from_docs(docs))
             print(f"reference_tree committed at snapshot {snap}")
+        return 0
+
+    if args.cmd == "sample":
+        from arxiv_citation_graph_spark.plans.sampling import khop_neighbor_sample
+
+        try:
+            fanouts = tuple(int(x) for x in args.fanouts.split(",") if x.strip())
+        except ValueError:
+            raise SystemExit(f"--fanouts must be comma-separated ints, got {args.fanouts!r}")
+        seeds = None
+        if args.seeds:
+            seeds = spark.createDataFrame(
+                [(s.strip(),) for s in args.seeds.split(",") if s.strip()],
+                "vertex string",
+            )
+        sedges = (
+            spark.read.parquet(args.edges) if args.edges else catalog.read(spark, "edges")
+        ).select("src_id", "dst_id")
+        sres = khop_neighbor_sample(
+            spark, sedges, seeds=seeds, n_seeds=args.n_seeds,
+            fanouts=fanouts, directed=args.directed,
+        )
+        snap = catalog.create_or_replace("sample_blocks", sres.blocks)
+        print(
+            f"sample: {len(sres.seeds)} seed(s), fanouts {sres.fanouts}, "
+            f"{sres.blocks.count()} blocks committed at snapshot {snap}"
+        )
         return 0
 
     # graph commands

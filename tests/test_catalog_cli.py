@@ -129,3 +129,35 @@ def test_cli_walks_and_weighted_pagerank(spark, tmp_path, monkeypatch):
                      "--weight", "wcol"]) == 0
     ranks = cat.read(spark, "ranks")
     assert abs(ranks.agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
+
+
+def test_cli_sample(spark, tmp_path, monkeypatch):
+    """sample CLI: commits minibatch blocks; explicit seeds + fanout
+    caps respected; bad fanouts refused."""
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+
+    from arxiv_citation_graph_spark.datagen import toy_graphs
+
+    wh = str(tmp_path / "wh_sample")
+    edges_path = str(tmp_path / "edges_sample")
+    spark.createDataFrame(toy_graphs()["resume"], ["src_id", "dst_id"]).write.parquet(edges_path)
+
+    assert cli.main([
+        "sample", "--edges", edges_path, "--out", wh,
+        "--seeds", "v000,v001", "--fanouts", "2,2",
+    ]) == 0
+    blocks = SnapshotCatalog(wh).read(spark, "sample_blocks")
+    assert blocks.columns == ["seed", "hop", "src", "dst"]
+    rows = blocks.collect()
+    assert {r.seed for r in rows} <= {"v000", "v001"}
+    assert {r.hop for r in rows} <= {1, 2}
+    per = {}
+    for r in rows:
+        per[(r.seed, r.hop, r.src)] = per.get((r.seed, r.hop, r.src), 0) + 1
+    assert per and max(per.values()) <= 2
+
+    with pytest.raises(SystemExit):
+        cli.main(["sample", "--edges", edges_path, "--out", wh, "--fanouts", "2,x"])
