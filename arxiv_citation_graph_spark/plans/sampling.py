@@ -59,6 +59,7 @@ def khop_neighbor_sample(
     n_seeds: int = 8,
     fanouts: tuple[int, ...] = (3, 2),
     directed: bool = False,
+    max_seeds: int = 1_000_000,
 ) -> SampleResult:
     """Sample ``len(fanouts)``-hop neighborhoods around ``seeds`` over
     ``edges(src_id, dst_id)``.
@@ -66,7 +67,11 @@ def khop_neighbor_sample(
     ``seeds``: single-column (``vertex``) frame; default = the
     ``n_seeds`` lexicographically smallest vertices (deterministic, the
     landmark convention).  Seeds not in the graph raise.  ``fanouts[h]``
-    caps neighbors kept per frontier vertex at hop ``h+1``.
+    caps neighbors kept per frontier vertex at hop ``h+1``.  Seeds are a
+    MINIBATCH (driver-materialized, like landmarks) — a frame above
+    ``max_seeds`` raises rather than silently pulling it to the driver;
+    to sample around every vertex of a huge graph, loop over seed
+    batches (each batch's output is independent of the others).
     """
     if not fanouts or any(f <= 0 for f in fanouts):
         raise ValueError(f"fanouts must be positive, got {fanouts!r}")
@@ -83,6 +88,13 @@ def khop_neighbor_sample(
         seed_list = [r.vertex for r in seed_rows]
     else:
         seed_set = seeds.select("vertex").distinct()
+        n_seed_rows = seed_set.count()
+        if n_seed_rows > max_seeds:
+            vertices.unpersist()
+            raise ValueError(
+                f"{n_seed_rows} seeds exceed max_seeds={max_seeds}; sample in "
+                "batches (per-batch output is independent)"
+            )
         missing = seed_set.join(vertices, "vertex", "anti").count()
         if missing:
             vertices.unpersist()

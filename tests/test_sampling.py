@@ -113,3 +113,11 @@ def test_directed_follows_orientation(spark):
 
 def _seed(spark, v):
     return spark.createDataFrame([(v,)], "vertex string")
+
+
+def test_max_seeds_guard(spark):
+    seeds = spark.createDataFrame([("a",), ("b",), ("c",)], "vertex string")
+    with pytest.raises(ValueError, match="max_seeds"):
+        khop_neighbor_sample(
+            spark, _df(spark, EDGES), seeds=seeds, fanouts=(2,), max_seeds=2
+        )
