@@ -120,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-seeds", type=int, default=8)
     p.add_argument("--fanouts", default="3,2", help="comma-separated per-hop neighbor caps")
     p.add_argument("--directed", action="store_true")
+    p.add_argument(
+        "--weight", default=None,
+        help="edge-weight column -> importance sampling (heavier edges "
+        "win the keyed race proportionally more)",
+    )
 
     p = sub.add_parser(
         "ingest",
@@ -214,12 +219,13 @@ def main(argv: list[str] | None = None) -> int:
                 [(s.strip(),) for s in args.seeds.split(",") if s.strip()],
                 "vertex string",
             )
+        scols = ["src_id", "dst_id"] + ([args.weight] if args.weight else [])
         sedges = (
             spark.read.parquet(args.edges) if args.edges else catalog.read(spark, "edges")
-        ).select("src_id", "dst_id")
+        ).select(*scols)
         sres = khop_neighbor_sample(
             spark, sedges, seeds=seeds, n_seeds=args.n_seeds,
-            fanouts=fanouts, directed=args.directed,
+            fanouts=fanouts, directed=args.directed, weight=args.weight,
         )
         snap = catalog.create_or_replace("sample_blocks", sres.blocks)
         print(

@@ -2189,6 +2189,69 @@ def _khop_sample_sql(k_seeds: int, fanouts: tuple[int, ...]) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + body
 
 
+def _khop_weighted_sample_sql(k_seeds: int, fanouts: tuple[int, ...]) -> str:
+    """Unrolled WEIGHTED k-hop sample
+    (plans/sampling.py::khop_neighbor_sample, ``weight=``): per-orientation
+    md5 weights (the weighted_walks convention) summed into a symmetric
+    adjacency, candidates ranked by ``(h60 + 1) / w`` with ``h60`` the
+    60-bit keyed draw — one IEEE divide, replayed bit-for-bit."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "wed AS MATERIALIZED (SELECT src_id, dst_id, "
+        "((('0x' || substr(md5(src_id || '|' || dst_id), 1, 4))::BIGINT % 4) + 1)::DOUBLE AS w "
+        "FROM cos WHERE src_id <> dst_id)",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id, sum(w) AS w FROM ("
+        "SELECT src_id, dst_id, w FROM wed "
+        "UNION ALL SELECT dst_id AS src_id, src_id AS dst_id, w FROM wed"
+        ") GROUP BY src_id, dst_id)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym UNION SELECT dst_id FROM sym)",
+        f"seeds AS MATERIALIZED (SELECT vertex AS seed FROM verts ORDER BY vertex LIMIT {k_seeds})",
+        "f0 AS MATERIALIZED (SELECT seed, seed AS vertex FROM seeds)",
+        "vis0 AS MATERIALIZED (SELECT seed, vertex FROM f0)",
+    ]
+    for h, fan in enumerate(fanouts, start=1):
+        p = h - 1
+        score = (
+            f"(('0x' || substr(md5(f.seed || '|' || e.src_id || '|' || e.dst_id || "
+            f"'|{h}'), 1, 15))::BIGINT + 1)::DOUBLE / e.w"
+        )
+        ctes += [
+            f"b{h} AS MATERIALIZED (SELECT seed, {h} AS hop, src, dst FROM ("
+            f"SELECT f.seed, e.src_id AS src, e.dst_id AS dst, "
+            f"row_number() OVER (PARTITION BY f.seed, e.src_id "
+            f"ORDER BY {score}, e.dst_id) AS rk "
+            f"FROM sym e JOIN f{p} f ON e.src_id = f.vertex "
+            f"WHERE NOT EXISTS ("
+            f"SELECT 1 FROM vis{p} x WHERE x.seed = f.seed AND x.vertex = e.dst_id)"
+            f") WHERE rk <= {fan})",
+            f"f{h} AS MATERIALIZED (SELECT DISTINCT seed, dst AS vertex FROM b{h})",
+            f"vis{h} AS MATERIALIZED (SELECT seed, vertex FROM vis{p} "
+            f"UNION SELECT seed, vertex FROM f{h})",
+        ]
+    body = "\nUNION ALL ".join(
+        f"SELECT seed, CAST(hop AS INT) AS hop, src, dst FROM b{h}"
+        for h in range(1, len(fanouts) + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+@register("khop_weighted_sample", _khop_weighted_sample_sql(k_seeds=8, fanouts=(3, 2)))
+def q_khop_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted 2-hop neighbor sampling over the md5-weighted
+    co-supply graph: heavier edges win the (h60+1)/w keyed race
+    proportionally more often (plans/sampling.py, ``weight=``)."""
+    from arxiv_citation_graph_spark.plans.sampling import khop_neighbor_sample
+
+    result = khop_neighbor_sample(
+        spark,
+        weighted_cosupply_edges(spark, sf_dir),
+        n_seeds=8,
+        fanouts=(3, 2),
+        weight="weight",
+    )
+    return result.blocks.select("seed", F.col("hop").cast("int").alias("hop"), "src", "dst")
+
+
 @register("khop_neighbor_sample", _khop_sample_sql(k_seeds=8, fanouts=(3, 2)))
 def q_khop_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style 2-hop neighbor sampling (Hamilton et al. 2017)

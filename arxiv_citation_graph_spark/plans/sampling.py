@@ -60,6 +60,7 @@ def khop_neighbor_sample(
     fanouts: tuple[int, ...] = (3, 2),
     directed: bool = False,
     max_seeds: int = 1_000_000,
+    weight: str | None = None,
 ) -> SampleResult:
     """Sample ``len(fanouts)``-hop neighborhoods around ``seeds`` over
     ``edges(src_id, dst_id)``.
@@ -72,6 +73,15 @@ def khop_neighbor_sample(
     ``max_seeds`` raises rather than silently pulling it to the driver;
     to sample around every vertex of a huge graph, loop over seed
     batches (each batch's output is independent of the others).
+
+    ``weight``: optional positive edge-weight column — importance
+    sampling: each candidate draws a keyed 60-bit uniform ``h`` and the
+    ``fanouts[h]`` SMALLEST ``(h + 1) / w`` win, so heavier edges are
+    kept proportionally more often (the walks-kernel weighted hash race,
+    ``plans/walks.py``; only IEEE division, so DuckDB replays every
+    draw).  Duplicate ``(src, dst)`` rows SUM their weights; undirected
+    mode sums across both orientations; null/NaN/non-positive weights
+    fail fast (the weighted-PageRank contract).
     """
     if not fanouts or any(f <= 0 for f in fanouts):
         raise ValueError(f"fanouts must be positive, got {fanouts!r}")
@@ -104,14 +114,51 @@ def khop_neighbor_sample(
     if not seed_list:
         raise ValueError("empty seed set")
 
-    adj = (
-        edges.select("src_id", "dst_id")
-        .filter(F.col("src_id") != F.col("dst_id"))
-        .distinct()
-        if directed
-        else symmetrize(edges)
-    ).repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
-    adj.count()  # materialize once; every hop joins this
+    if weight is None:
+        adj = (
+            edges.select("src_id", "dst_id")
+            .filter(F.col("src_id") != F.col("dst_id"))
+            .distinct()
+            if directed
+            else symmetrize(edges)
+        )
+    else:
+        wedges = edges.select(
+            "src_id", "dst_id", F.col(weight).cast("double").alias("_w")
+        ).filter(F.col("src_id") != F.col("dst_id"))
+        if not directed:
+            wedges = wedges.unionByName(
+                wedges.select(
+                    F.col("dst_id").alias("src_id"),
+                    F.col("src_id").alias("dst_id"),
+                    "_w",
+                )
+            )
+        adj = wedges.groupBy("src_id", "dst_id").agg(F.sum("_w").alias("_w"))
+    adj = adj.repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    if weight is None:
+        adj.count()  # materialize once; every hop joins this
+    else:
+        wrow = adj.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.min("_w").alias("wmin"),
+            F.sum(
+                F.when(F.col("_w").isNull() | F.isnan("_w"), 1).otherwise(0)
+            ).alias("wbad"),
+        ).first()
+        if int(wrow["m"]) > 0:
+            if int(wrow["wbad"]) > 0:
+                adj.unpersist()
+                raise ValueError(
+                    f"weighted sampling: {wrow['wbad']} edges have null/NaN "
+                    f"weight in column {weight!r}; weights must be positive"
+                )
+            if float(wrow["wmin"]) <= 0.0:
+                adj.unpersist()
+                raise ValueError(
+                    f"weighted sampling: min({weight}) = {wrow['wmin']} — "
+                    "edge weights must be strictly positive"
+                )
 
     seed_df = spark.createDataFrame(
         [(s,) for s in sorted(seed_list)], "seed string"
@@ -121,9 +168,12 @@ def khop_neighbor_sample(
     blocks: DataFrame | None = None
     try:
         for h, fanout in enumerate(fanouts, start=1):
+            keep = ["seed", F.col("src_id").alias("src"), F.col("dst_id").alias("dst")]
+            if weight is not None:
+                keep.append("_w")
             cand = (
                 adj.join(frontier, adj.src_id == frontier.vertex)
-                .select("seed", F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
+                .select(*keep)
                 .join(
                     visited.select("seed", F.col("vertex").alias("dst")),
                     ["seed", "dst"],
@@ -133,8 +183,15 @@ def khop_neighbor_sample(
             digest = F.md5(
                 F.concat_ws("|", "seed", "src", "dst", F.lit(str(h)))
             )
+            if weight is None:
+                score = digest
+            else:
+                # 60-bit keyed uniform draw scaled by 1/w: one IEEE
+                # divide, replayed bit-for-bit by the DuckDB oracle
+                hash60 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+                score = (hash60 + F.lit(1)).cast("double") / F.col("_w")
             rank = F.row_number().over(
-                Window.partitionBy("seed", "src").orderBy(digest, F.col("dst"))
+                Window.partitionBy("seed", "src").orderBy(score, F.col("dst"))
             )
             block = (
                 cand.withColumn("_rk", rank)

@@ -121,3 +121,83 @@ def test_max_seeds_guard(spark):
         khop_neighbor_sample(
             spark, _df(spark, EDGES), seeds=seeds, fanouts=(2,), max_seeds=2
         )
+
+
+def _brute_weighted(edges_w, seeds, fanouts):
+    """Replica of the weighted race: keep fanout smallest (h60+1)/w,
+    h60 = int(md5(seed|src|dst|hop)[:15], 16); undirected sum of dups."""
+    adj: dict[str, dict[str, float]] = {}
+    for u, v, w in edges_w:
+        if u != v:
+            adj.setdefault(u, {})[v] = adj.setdefault(u, {}).get(v, 0.0) + w
+            adj.setdefault(v, {})[u] = adj.setdefault(v, {}).get(u, 0.0) + w
+    out = []
+    for s in seeds:
+        visited = {s}
+        frontier = {s}
+        for h, fan in enumerate(fanouts, start=1):
+            nxt = set()
+            for u in sorted(frontier):
+                cand = [(v, w) for v, w in adj.get(u, {}).items() if v not in visited]
+
+                def key(vw):
+                    v, w = vw
+                    h60 = int(
+                        hashlib.md5(f"{s}|{u}|{v}|{h}".encode()).hexdigest()[:15], 16
+                    )
+                    return ((h60 + 1) / w, v)
+
+                cand.sort(key=key)
+                for v, _ in cand[:fan]:
+                    out.append((s, h, u, v))
+                    nxt.add(v)
+            visited |= nxt
+            frontier = nxt
+    return sorted(out)
+
+
+WEIGHTED_EDGES = [
+    ("a", "b", 4.0), ("a", "c", 1.0), ("a", "d", 2.0), ("a", "e", 3.0),
+    ("b", "c", 1.0), ("b", "f", 2.0), ("c", "g", 4.0), ("d", "g", 1.0),
+    ("e", "h", 2.0), ("f", "h", 3.0), ("g", "h", 1.0), ("h", "i", 4.0),
+    ("a", "b", 1.0),  # duplicate pair: weights must SUM (-> 5.0)
+]
+
+
+def test_weighted_matches_replica(spark):
+    df = spark.createDataFrame(
+        WEIGHTED_EDGES, "src_id string, dst_id string, w double"
+    )
+    res = khop_neighbor_sample(spark, df, n_seeds=3, fanouts=(2, 2), weight="w")
+    got = sorted((r.seed, r.hop, r.src, r.dst) for r in res.blocks.collect())
+    assert got == _brute_weighted(WEIGHTED_EDGES, ["a", "b", "c"], (2, 2))
+
+
+def test_heavy_edges_win_more_races(spark):
+    """Statistical bias check: star center with one heavy and one light
+    neighbor, many seed-keyed draws via distinct seed vertices."""
+    edges = []
+    for i in range(60):
+        edges.append((f"s{i:02d}", "heavy", 50.0))
+        edges.append((f"s{i:02d}", "light", 1.0))
+    df = spark.createDataFrame(edges, "src_id string, dst_id string, w double")
+    seeds = spark.createDataFrame(
+        [(f"s{i:02d}",) for i in range(60)], "vertex string"
+    )
+    res = khop_neighbor_sample(spark, df, seeds=seeds, fanouts=(1,), weight="w")
+    picks = [r.dst for r in res.blocks.collect()]
+    assert len(picks) == 60
+    assert picks.count("heavy") > 45  # E[heavy] = 60 * 50/51 ~ 58.8
+
+
+def test_weight_validation(spark):
+    df = spark.createDataFrame(
+        [("a", "b", -1.0), ("b", "c", 2.0)], "src_id string, dst_id string, w double"
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        khop_neighbor_sample(spark, df, n_seeds=1, fanouts=(2,), weight="w")
+    df2 = spark.createDataFrame(
+        [("a", "b", float("nan"))], "src_id string, dst_id string, w double"
+    )
+    with pytest.raises(ValueError, match="null/NaN"):
+        khop_neighbor_sample(spark, df2, n_seeds=1, fanouts=(2,), weight="w")
