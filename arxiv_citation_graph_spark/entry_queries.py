@@ -2189,6 +2189,47 @@ def _khop_sample_sql(k_seeds: int, fanouts: tuple[int, ...]) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + body
 
 
+def _wl_colors_sql(iterations: int) -> str:
+    """Unrolled 1-WL refinement (plans/wl.py::wl_refinement): degree-
+    string init over the symmetrized co-supply graph, then per round
+    ``md5(color || '|' || sorted ','-joined neighbor colors)`` —
+    ``string_agg(... ORDER BY ...)`` replays Spark's
+    ``array_join(array_sort(collect_list(...)))`` byte-for-byte."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM ("
+        "SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos"
+        ") WHERE src_id <> dst_id)",
+        "c0 AS MATERIALIZED (SELECT src_id AS vertex, "
+        "CAST(count(*) AS VARCHAR) AS color FROM sym GROUP BY src_id)",
+    ]
+    for r in range(1, iterations + 1):
+        p = r - 1
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT c.vertex, "
+            f"md5(c.color || '|' || coalesce(s.sig, '')) AS color "
+            f"FROM c{p} c LEFT JOIN ("
+            f"SELECT e.src_id AS vertex, "
+            f"string_agg(nc.color, ',' ORDER BY nc.color) AS sig "
+            f"FROM sym e JOIN c{p} nc ON nc.vertex = e.dst_id "
+            f"GROUP BY e.src_id) s ON s.vertex = c.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vertex, color FROM c{iterations}"
+    )
+
+
+@register("wl_colors", _wl_colors_sql(iterations=2))
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round Weisfeiler-Lehman color refinement (Shervashidze et al.
+    2011) over the co-supply graph: structural-role fingerprints, the
+    1-WL/GNN expressiveness partition (plans/wl.py)."""
+    from arxiv_citation_graph_spark.plans.wl import wl_refinement
+
+    result = wl_refinement(spark, cosupply_edges(spark, sf_dir), iterations=2)
+    return result.colors.select("vertex", "color")
+
+
 def _khop_weighted_sample_sql(k_seeds: int, fanouts: tuple[int, ...]) -> str:
     """Unrolled WEIGHTED k-hop sample
     (plans/sampling.py::khop_neighbor_sample, ``weight=``): per-orientation

@@ -1,0 +1,76 @@
+"""1-WL color refinement (plans/wl.py::wl_refinement)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.wl import wl_refinement
+
+PATH5 = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+def _brute(edges, iterations, directed=False):
+    adj: dict[str, set[str]] = {}
+    verts = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        verts |= {u, v}
+        adj.setdefault(u, set()).add(v)
+        if not directed:
+            adj.setdefault(v, set()).add(u)
+    colors = {v: str(len(adj.get(v, ()))) for v in verts}
+    for _ in range(iterations):
+        colors = {
+            v: hashlib.md5(
+                (
+                    colors[v]
+                    + "|"
+                    + ",".join(sorted(colors[u] for u in adj.get(v, ())))
+                ).encode()
+            ).hexdigest()
+            for v in verts
+        }
+    return colors
+
+
+def test_path_refinement_trajectory(spark):
+    res = wl_refinement(spark, _df(spark, PATH5), iterations=2)
+    # degrees {1,2} -> endpoints split from mid after 1 round -> stable
+    assert res.n_classes == [2, 3, 3]
+    got = {r.vertex: r.color for r in res.colors.collect()}
+    assert got == _brute(PATH5, 2)
+    # symmetry classes: {a,e}, {b,d}, {c}
+    assert got["a"] == got["e"] and got["b"] == got["d"]
+    assert len({got["a"], got["b"], got["c"]}) == 3
+
+
+def test_directed_sink_kept_and_matches_replica(spark):
+    edges = [("a", "b"), ("c", "b"), ("b", "d")]
+    res = wl_refinement(spark, _df(spark, edges), iterations=2, directed=True)
+    got = {r.vertex: r.color for r in res.colors.collect()}
+    assert set(got) == {"a", "b", "c", "d"}  # sink d has out-degree 0
+    assert got == _brute(edges, 2, directed=True)
+    assert got["a"] == got["c"] != got["b"]
+
+
+def test_zero_iterations_is_degree_partition(spark):
+    res = wl_refinement(spark, _df(spark, PATH5), iterations=0)
+    got = {r.vertex: r.color for r in res.colors.collect()}
+    assert got == {"a": "1", "b": "2", "c": "2", "d": "2", "e": "1"}
+    with pytest.raises(ValueError, match="iterations"):
+        wl_refinement(spark, _df(spark, PATH5), iterations=-1)
+
+
+def test_regular_graph_stays_one_class(spark):
+    """1-WL cannot refine a regular graph from uniform-degree init (the
+    classic C6-vs-2xC3 indistinguishability)."""
+    cycle = [(f"v{i}", f"v{(i + 1) % 6}") for i in range(6)]
+    res = wl_refinement(spark, _df(spark, cycle), iterations=3)
+    assert res.n_classes == [1, 1, 1, 1]
