@@ -2192,9 +2192,13 @@ def _khop_sample_sql(k_seeds: int, fanouts: tuple[int, ...]) -> str:
 def _wl_colors_sql(iterations: int) -> str:
     """Unrolled 1-WL refinement (plans/wl.py::wl_refinement): degree-
     string init over the symmetrized co-supply graph, then per round
-    ``md5(color || '|' || sorted ','-joined neighbor colors)`` —
-    ``string_agg(... ORDER BY ...)`` replays Spark's
-    ``array_join(array_sort(collect_list(...)))`` byte-for-byte."""
+    ``md5(color || '|' || sorted ','-joined 'neighborcolor:count'
+    run-length pairs)`` — the hub-safe two-stage signature (VERDICT r4
+    #2); ``string_agg(... ORDER BY <the same concatenated string>)``
+    replays Spark's ``array_join(array_sort(collect_list(
+    concat_ws(':', nc, cnt))))`` byte-for-byte (both engines compare
+    the full ``color:count`` string binary, so e.g. '10:2' vs '1:5'
+    order identically)."""
     ctes = [
         f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
         "sym AS MATERIALIZED (SELECT src_id, dst_id FROM ("
@@ -2206,13 +2210,17 @@ def _wl_colors_sql(iterations: int) -> str:
     for r in range(1, iterations + 1):
         p = r - 1
         ctes.append(
+            f"pc{r} AS MATERIALIZED (SELECT e.src_id AS vertex, "
+            f"nc.color || ':' || CAST(count(*) AS VARCHAR) AS pair "
+            f"FROM sym e JOIN c{p} nc ON nc.vertex = e.dst_id "
+            f"GROUP BY e.src_id, nc.color)"
+        )
+        ctes.append(
             f"c{r} AS MATERIALIZED (SELECT c.vertex, "
             f"md5(c.color || '|' || coalesce(s.sig, '')) AS color "
             f"FROM c{p} c LEFT JOIN ("
-            f"SELECT e.src_id AS vertex, "
-            f"string_agg(nc.color, ',' ORDER BY nc.color) AS sig "
-            f"FROM sym e JOIN c{p} nc ON nc.vertex = e.dst_id "
-            f"GROUP BY e.src_id) s ON s.vertex = c.vertex)"
+            f"SELECT vertex, string_agg(pair, ',' ORDER BY pair) AS sig "
+            f"FROM pc{r} GROUP BY vertex) s ON s.vertex = c.vertex)"
         )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT vertex, color FROM c{iterations}"

@@ -101,7 +101,14 @@ def approx_betweenness(
         vertices.unpersist()
         raise ValueError("empty source set")
     adj = (
-        edges.select("src_id", "dst_id") if directed else symmetrize(edges)
+        # dedup + drop self-loops on the directed path too (symmetrize
+        # already does both): duplicate (src, dst) rows would double-count
+        # sigma path counts and skew dependencies (ADVICE r4)
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        if directed
+        else symmetrize(edges)
     ).repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
     eagg = adj.agg(
         F.count(F.lit(1)).alias("m"),

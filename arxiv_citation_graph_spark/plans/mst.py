@@ -69,8 +69,13 @@ def minimum_spanning_forest(
     (any sign works for MSF, unlike SSSP — validation only rejects
     null/NaN)."""
     w = F.col(weight_col).cast("long")
+    wd = F.col(weight_col).cast("double")
     bad = edges.filter(
-        F.col(weight_col).isNull() | F.isnan(F.col(weight_col).cast("double"))
+        F.col(weight_col).isNull()
+        | F.isnan(wd)
+        # fractional weights silently truncate under the long cast and
+        # would produce a wrong forest (ADVICE r4): reject them
+        | (w.cast("double") != wd)
     ).limit(1)
     if bad.count() > 0:
         row = bad.first()

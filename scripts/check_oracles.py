@@ -64,9 +64,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
@@ -109,7 +111,7 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{ran - len(failures)}/{ran} pass")
     spark.stop()
     return 1 if failures else 0
 
