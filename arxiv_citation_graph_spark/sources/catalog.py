@@ -328,6 +328,29 @@ class SnapshotCatalog:
                 return s["id"] if s["op"] == "overwrite_partition" else None
         return None
 
+    def read_excluding_partition(
+        self, spark: SparkSession, table: str, partition: dict
+    ) -> DataFrame | None:
+        """Union of every committed partition EXCEPT ``partition`` (newest
+        copy of each), or None when no other partition exists.  The
+        ingest-time dedup read (streaming/ingest.py): a replayed
+        micro-batch must anti-join against everything committed BY OTHER
+        BATCHES — including its own partition would see the crashed
+        attempt's rows and overwrite them with nothing."""
+        want = _part_key(partition)
+        entries = [
+            e for e in self.partitions(table)
+            if _part_key(e["partition"]) != want
+        ]
+        if not entries:
+            return None
+        self._check_not_expired(
+            self._meta(table), [e["id"] for e in entries], table
+        )
+        return spark.read.parquet(
+            *[self._snap_dir(table, e["id"]) for e in entries]
+        )
+
     def partitions(self, table: str, snapshot: int | None = None) -> list[dict]:
         """Logical partitions present as of ``snapshot`` (default current),
         each with its newest snapshot entry."""
