@@ -88,6 +88,41 @@ def test_ktruss_k2_is_whole_simple_graph(spark):
         ktruss(spark, spark.createDataFrame(edges, ["src_id", "dst_id"]), 1)
 
 
+@pytest.mark.parametrize("k", [3, 4])
+def test_ktruss_incremental_matches_full_recompute(spark, k):
+    """VERDICT r4 next #7: the incremental destroyed-triangle maintenance
+    must equal the full per-round support recompute on a multi-round
+    cascade (including final in-truss support values)."""
+    edges = []
+    for i in range(8):
+        edges += [(f"v{i}", f"v{i + 1}"), (f"v{i}", f"v{i + 2}")]
+    # add a K5 so k=4 keeps a non-empty truss alongside the cascade
+    kfive = [(f"w{i}", f"w{j}") for i in range(5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(edges + kfive, ["src_id", "dst_id"])
+    inc = ktruss(spark, df, k, incremental=True)
+    full = ktruss(spark, df, k, incremental=False)
+    gi = {(r.u, r.v): r.support for r in inc.edges.collect()}
+    gf = {(r.u, r.v): r.support for r in full.edges.collect()}
+    assert gi == gf == truss_brute(edges + kfive, k)
+    assert inc.rounds == full.rounds
+
+
+def test_ktruss_destroyed_triangle_with_two_dropped_edges_counted_once(spark):
+    """A triangle losing TWO edges in the same round must decrement its
+    surviving edge by exactly one (sorted-triple dedup) — the classic
+    double-subtraction bug in batched truss maintenance."""
+    # triangle (a,b,c); edges (a,b) and (a,c) are in no other triangle,
+    # (b,c) is also in triangle (b,c,d) reinforced into a K4 minus one
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"),
+        ("b", "d"), ("c", "d"), ("b", "e"), ("c", "e"), ("d", "e"),
+    ]
+    for k in (3, 4):
+        inc = ktruss(spark, spark.createDataFrame(edges, ["src_id", "dst_id"]), k)
+        got = {(r.u, r.v): r.support for r in inc.edges.collect()}
+        assert got == truss_brute(edges, k), k
+
+
 def test_ktruss_oracle_rounds_margin(spark):
     """The driver oracle unrolls a fixed peel depth; pin a >=2x margin
     over the engine's measured rounds at the driver's scale factor
