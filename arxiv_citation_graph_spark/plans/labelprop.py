@@ -43,9 +43,25 @@ def label_propagation(
     store: CheckpointStore | None = None,
     resume: bool = False,
     broadcast_labels: bool | None = None,
+    warm_start: DataFrame | None = None,
 ) -> LabelPropResult:
     """``resume=True`` with a ``store`` continues from the last committed
-    superstep (same manifest protocol as PageRank/CC)."""
+    superstep (same manifest protocol as PageRank/CC).
+
+    ``warm_start``: optional prior ``(vertex, label)`` frame — the
+    daily-append mode (VERDICT r4 stretch #10).  Surviving vertices
+    start from their previous community label, new vertices from their
+    own id, vanished vertices are dropped.  Unlike CC/PageRank, LPA
+    fixpoints are START-DEPENDENT, so this is the standard convergence
+    accelerator for small appends (the propagation only has to repair
+    the perturbed region), NOT an exactness guarantee against a fresh
+    run; mutually exclusive with ``resume``."""
+    if warm_start is not None and resume:
+        raise ValueError(
+            "warm_start and resume are mutually exclusive: resume "
+            "continues the SAME graph's checkpointed run; warm start "
+            "seeds a new run on a changed graph"
+        )
     sym = symmetrize(edges).repartition(
         spark.sparkContext.defaultParallelism, "src_id"
     ).cache()
@@ -95,10 +111,24 @@ def label_propagation(
         )
         return new, {"delta": F.sum("delta")}
 
+    if warm_start is not None:
+        seed = (
+            warm_start.select("vertex", F.col("label").alias("_seed"))
+            # duplicate rows per vertex collapse deterministically
+            .groupBy("vertex")
+            .agg(F.min("_seed").alias("_seed"))
+        )
+        initial = vertices.join(seed, "vertex", "left").select(
+            "vertex",
+            F.coalesce(F.col("_seed"), F.col("vertex")).alias("label"),
+            F.lit(0.0).alias("delta"),
+        )
+    else:
+        initial = _initial_labels(vertices)
     try:
         final, report = run_supersteps(
             spark,
-            _initial_labels(vertices),
+            initial,
             step,
             max_iterations=max_iterations,
             tolerance=0.0,

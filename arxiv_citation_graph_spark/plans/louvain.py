@@ -26,8 +26,9 @@ distributed implementations (cf. Que, Checconi, Petrini & Gunnels 2015,
   vol(c\\v) / (2W)`` is compared as ``4W * e - 2 * k_v * vol`` — every
   term a BIGINT (weights are integer multiplicities), so the argmax is
   bit-identical across engines, partitionings, and float regimes.
-  (At 10^12-edge scale ``4W * e`` approaches the int64 range; the
-  formula then needs decimal(38) — a type swap, same plan.)
+  At 10^12-edge scale ``8*W^2`` exceeds int64, so the same formula
+  auto-switches to exact decimal(38) arithmetic (``exact_decimal=``)
+  — a type swap, identical plan, identical argmax.
 - Ties: higher score first, then the vertex's CURRENT community (no
   gratuitous moves), then lexicographically smallest community id.
 
@@ -66,6 +67,19 @@ class LouvainResult:
     reports: list[SuperstepReport] = field(default_factory=list)
 
 
+#: max |iscore| is bounded by 8*W^2 (e <= W, kv <= 2W, vol <= 2W); past
+#: this W the int64 comparison would overflow and the gain argmax silently
+#: corrupts — the decimal(38) path takes over (VERDICT r4 stretch #9)
+_INT64_MAX = 2**63 - 1
+
+
+def _needs_decimal_gains(total_w: int) -> bool:
+    """True when the exact-integer gain ``4W*e - 2*kv*vol`` can exceed
+    int64 (W ≈ 1.07e9 edges; the 10^12-edge regime is firmly decimal).
+    Python ints are unbounded, so the check itself cannot overflow."""
+    return 8 * total_w * total_w > _INT64_MAX
+
+
 def _local_moving(
     spark: SparkSession,
     und: DataFrame,  # (u, v, w) canonical, no self-loops, cached by caller
@@ -74,6 +88,8 @@ def _local_moving(
     max_rounds: int,
     fixed_rounds: int | None,
     broadcast_state: bool,
+    use_decimal: bool = False,
+    warm_start: DataFrame | None = None,  # (vertex, community) prior labels
 ) -> tuple[DataFrame, SuperstepReport]:
     """One Louvain level: synchronous color-alternating local moves to a
     fixpoint (or exactly ``fixed_rounds``).  Returns ``(vertex, comm)``."""
@@ -98,6 +114,13 @@ def _local_moving(
         return F.broadcast(df) if broadcast_state else df
 
     w4 = 4 * total_w
+
+    def _num(c):
+        # decimal(20,0) operands -> decimal(38,0) products: exact integer
+        # arithmetic to 1e38, enough for 4W*e at 10^12 edges (4e24); the
+        # int64 path stays the default below the overflow bound because
+        # whole-stage codegen on longs is measurably faster than decimal
+        return c.cast("decimal(20,0)") if use_decimal else c
 
     def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
         lab = state.select("vertex", "comm")
@@ -137,10 +160,10 @@ def _local_moving(
                 "comm",
                 "own",
                 (
-                    F.lit(w4) * F.col("e")
-                    - 2
-                    * F.col("kv")
-                    * (
+                    _num(F.lit(w4)) * _num(F.col("e"))
+                    - _num(F.lit(2))
+                    * _num(F.col("kv"))
+                    * _num(
                         F.col("vol")
                         - F.when(F.col("comm") == F.col("own"), F.col("kv")).otherwise(
                             F.lit(0)
@@ -173,9 +196,21 @@ def _local_moving(
             "moves": F.sum("delta"),
         }
 
-    init = kdeg.select(
-        "vertex", F.col("vertex").alias("comm"), F.lit(0.0).alias("delta")
-    )
+    if warm_start is not None:
+        seed = (
+            warm_start.select("vertex", F.col("community").alias("_seed"))
+            .groupBy("vertex")
+            .agg(F.min("_seed").alias("_seed"))
+        )
+        init = kdeg.join(seed, "vertex", "left").select(
+            "vertex",
+            F.coalesce(F.col("_seed"), F.col("vertex")).alias("comm"),
+            F.lit(0.0).alias("delta"),
+        )
+    else:
+        init = kdeg.select(
+            "vertex", F.col("vertex").alias("comm"), F.lit(0.0).alias("delta")
+        )
     try:
         final, report = run_supersteps(
             spark,
@@ -196,13 +231,28 @@ def louvain_communities(
     max_rounds: int = 40,
     fixed_rounds: int | None = None,
     broadcast_state: bool | None = None,
+    exact_decimal: bool | None = None,
+    warm_start: DataFrame | None = None,
 ) -> LouvainResult:
     """Louvain communities over ``edges(src_id, dst_id)`` (canonicalized
     to the simple undirected graph; edge multiplicities collapse —
     weights emerge from coarsening).  ``fixed_rounds`` runs exactly that
     many local-moving rounds on the FIRST level only and skips
     coarsening — the deterministic oracle-parity mode.  Check the
-    partition quality with :func:`plans.labelprop.modularity`."""
+    partition quality with :func:`plans.labelprop.modularity`.
+
+    ``exact_decimal``: gain-arithmetic type.  ``None`` (default)
+    auto-switches to decimal(38) once ``8*W^2`` exceeds int64 (the
+    10^12-edge regime); ``True`` forces decimal; ``False`` pins int64
+    and RAISES if the bound is exceeded — an overflow there would
+    silently corrupt the argmax, never a tolerable failure mode.
+
+    ``warm_start``: optional prior ``(vertex, community)`` labels — the
+    daily-append accelerator (VERDICT r4 stretch #10): level 0 starts
+    from the previous partition instead of singletons, so local moving
+    only has to repair the perturbed region.  Like LPA (and unlike
+    CC/PageRank) the Louvain fixpoint is start-dependent, so this
+    trades strict fresh-run equality for convergence speed."""
     und0 = _simple_undirected(edges).select(
         "u", "v", F.lit(1).cast("long").alias("w")
     )
@@ -211,6 +261,18 @@ def louvain_communities(
     if total_w == 0:
         empty = spark.createDataFrame([], "vertex string, community string")
         return LouvainResult(empty, 0)
+    if exact_decimal is None:
+        use_decimal = _needs_decimal_gains(total_w)
+    elif exact_decimal:
+        use_decimal = True
+    else:
+        if _needs_decimal_gains(total_w):
+            raise ValueError(
+                f"louvain_communities: W={total_w} puts the int64 gain "
+                "comparison past 2^63-1 (8*W^2 overflow) — pass "
+                "exact_decimal=True (or None for auto)"
+            )
+        use_decimal = False
     if broadcast_state is None:
         broadcast_state = True  # |V|-sized frames; flip off past ~1M vertices
 
@@ -228,6 +290,8 @@ def louvain_communities(
             max_rounds,
             fixed_rounds if level == 0 else None,
             broadcast_state,
+            use_decimal=use_decimal,
+            warm_start=warm_start if level == 0 else None,
         )
         state = state.localCheckpoint(eager=True)
         levels += 1

@@ -38,6 +38,50 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PR_ITERS = 8
 
 
+def wait_for_idle_host(extras: dict) -> None:
+    """Clean-window gate (VERDICT r4 #1): this sandbox's noisy-neighbor
+    swing is 2-3x+ over minutes, and r4's headline file landed entirely
+    inside such a window.  Poll /proc/loadavg until the 1-minute load is
+    below SPARK_GRAFT_BENCH_LOADAVG_GATE (default 1.0; 0 disables) or
+    SPARK_GRAFT_BENCH_MAX_WAIT seconds (default 900) elapse, then record
+    what was observed so every bench file carries its own measurement
+    context.  The gate changes WHEN the suite runs, never WHAT it runs —
+    workloads stay byte-frozen."""
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_GATE", "1.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "900"))
+    extras["loadavg_gate"] = gate
+    if gate <= 0:
+        return
+    t0 = time.time()
+    seen = []
+    while True:
+        try:
+            with open("/proc/loadavg") as fh:
+                load1 = float(fh.read().split()[0])
+        except OSError:
+            return
+        seen.append(load1)
+        if load1 < gate:
+            extras["loadavg_gate_waited_sec"] = round(time.time() - t0, 1)
+            extras["loadavg_gate_history"] = seen[-20:]
+            return
+        if time.time() - t0 > max_wait:
+            extras["loadavg_gate_waited_sec"] = round(time.time() - t0, 1)
+            extras["loadavg_gate_history"] = seen[-20:]
+            extras["loadavg_gate_timed_out"] = True
+            print(
+                f"bench: WARNING load {load1} still >= gate {gate} after "
+                f"{max_wait}s — running anyway (numbers may be noisy)",
+                file=sys.stderr, flush=True,
+            )
+            return
+        print(
+            f"bench: host load {load1} >= gate {gate}, waiting for a clean "
+            "window ...", file=sys.stderr, flush=True,
+        )
+        time.sleep(15)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -54,10 +98,11 @@ def main() -> None:
     from arxiv_citation_graph_spark.plans.triangles import triangle_counts
     from arxiv_citation_graph_spark.session import get_spark
 
-    spark = get_spark(master=f"local[{CPUS}]", app_name="acg-bench")
-    spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
+    wait_for_idle_host(extras)
+    spark = get_spark(master=f"local[{CPUS}]", app_name="acg-bench")
+    spark.sparkContext.setLogLevel("ERROR")
     try:
         # external host load inflates toy-scale wall-clock 1.5-2x run to
         # run (measured); record it so cross-round comparisons carry the
@@ -243,8 +288,21 @@ def main() -> None:
         "graph, seeded from pagerank_conv's fixpoint) — the only workload "
         "change vs r3; everything else byte-frozen"
     )
+    extras["workload_changes_r5"] = (
+        "no workload changes — added a pre-run loadavg clean-window gate "
+        "(wait_for_idle_host; r4's file landed in a noisy window) that "
+        "changes WHEN the suite runs, never what it runs"
+    )
     extras["trials"] = trials
     extras["trial_times"] = {k: v for k, v in trial_times.items() if len(v) > 1}
+    try:
+        # r3 and r4 had near-identical START loads (3.10 vs 3.17) yet r4
+        # was uniformly 2-3.6x slower — the contention arrived mid-run,
+        # so the END load is the other half of the measurement context
+        with open("/proc/loadavg") as fh:
+            extras["host_loadavg_at_end"] = fh.read().split()[0]
+    except OSError:
+        pass
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

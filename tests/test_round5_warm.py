@@ -1,0 +1,105 @@
+"""Round-5 stretch goals: Louvain decimal(38) exact-gain mode (VERDICT
+r4 #9) and warm-started LPA/Louvain on appended graphs (#10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.labelprop import label_propagation
+from arxiv_citation_graph_spark.plans.louvain import (
+    _needs_decimal_gains,
+    louvain_communities,
+)
+
+
+def _two_cliques(spark, bridge=False, pendant=False):
+    edges = [(f"a{i}", f"a{j}") for i in range(6) for j in range(i + 1, 6)]
+    edges += [(f"b{i}", f"b{j}") for i in range(6) for j in range(i + 1, 6)]
+    if bridge:
+        edges.append(("a0", "b0"))
+    if pendant:
+        edges.append(("a3", "zpend"))
+    return spark.createDataFrame(edges, ["src_id", "dst_id"])
+
+
+# --- VERDICT #9: decimal(38) gain mode ---------------------------------------
+
+
+def test_needs_decimal_boundary_is_exact():
+    """8*W^2 > 2^63-1 flips exactly at W = 2^30 (Python ints are
+    unbounded, so the check itself cannot overflow)."""
+    assert not _needs_decimal_gains(2**30 - 1)
+    assert _needs_decimal_gains(2**30)
+    assert not _needs_decimal_gains(0)
+    assert _needs_decimal_gains(10**12)  # the north-star scale is decimal
+
+
+def test_louvain_decimal_path_same_communities(spark):
+    df = _two_cliques(spark, bridge=True)
+    i64 = louvain_communities(spark, df, exact_decimal=False)
+    dec = louvain_communities(spark, df, exact_decimal=True)
+    gi = {r.vertex: r.community for r in i64.labels.collect()}
+    gd = {r.vertex: r.community for r in dec.labels.collect()}
+    assert gi == gd
+    assert i64.levels == dec.levels
+    assert i64.rounds_per_level == dec.rounds_per_level
+    # the fixture really is two communities
+    assert len(set(gi.values())) == 2
+
+
+def test_louvain_int64_mode_raises_past_overflow_bound(spark, monkeypatch):
+    import arxiv_citation_graph_spark.plans.louvain as lv
+
+    monkeypatch.setattr(lv, "_needs_decimal_gains", lambda w: True)
+    df = _two_cliques(spark)
+    with pytest.raises(ValueError, match="overflow"):
+        lv.louvain_communities(spark, df, exact_decimal=False)
+    # auto mode switches instead of raising
+    res = lv.louvain_communities(spark, df, exact_decimal=None)
+    assert res.n_communities == 2
+
+
+# --- VERDICT #10: warm-started LPA / Louvain ---------------------------------
+
+
+def test_lpa_warm_start_appended_graph_fewer_rounds_same_labels(spark):
+    base = _two_cliques(spark)
+    prior = label_propagation(spark, base, max_iterations=20)
+    assert prior.report.converged
+    appended = _two_cliques(spark, pendant=True)
+    fresh = label_propagation(spark, appended, max_iterations=20)
+    warm = label_propagation(
+        spark, appended, max_iterations=20, warm_start=prior.labels
+    )
+    assert fresh.report.converged and warm.report.converged
+    fl = {r.vertex: r.label for r in fresh.labels.collect()}
+    wl = {r.vertex: r.label for r in warm.labels.collect()}
+    assert wl == fl  # on this fixture the seeded run lands the same partition
+    assert wl["zpend"] == wl["a0"]  # the appended vertex joined clique A
+    assert warm.report.iterations < fresh.report.iterations
+
+
+def test_lpa_warm_start_excludes_resume(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    df = spark.createDataFrame([("a", "b")], ["src_id", "dst_id"])
+    seed = spark.createDataFrame([("a", "a")], "vertex string, label string")
+    store = CheckpointStore(str(tmp_path / "lpaws"), "lpaws")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        label_propagation(spark, df, store=store, resume=True, warm_start=seed)
+
+
+def test_louvain_warm_start_appended_graph(spark):
+    base = _two_cliques(spark, bridge=True)
+    prior = louvain_communities(spark, base)
+    appended = _two_cliques(spark, bridge=True, pendant=True)
+    fresh = louvain_communities(spark, appended)
+    warm = louvain_communities(spark, appended, warm_start=prior.labels)
+    fl = {r.vertex: r.community for r in fresh.labels.collect()}
+    wl = {r.vertex: r.community for r in warm.labels.collect()}
+    assert wl == fl  # fixture-stable partition
+    assert wl["zpend"] == wl["a0"]
+    # seeded level 0 starts at the prior partition: strictly fewer
+    # local-moving rounds than the singleton start
+    assert warm.rounds_per_level[0] < fresh.rounds_per_level[0]
