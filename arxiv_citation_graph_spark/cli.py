@@ -94,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
                 "--q", type=float, default=None,
                 help="node2vec in-out parameter (with --p: biased walks)",
             )
+        if name == "lpa":
+            p.add_argument(
+                "--warm-start-from", default=None,
+                help="prior (vertex, label) parquet path, or 'labels' for the "
+                "warehouse table — daily-append accelerator (start-dependent "
+                "fixpoint, unlike cc's append-only exactness; incompatible "
+                "with --resume)",
+            )
         if name == "cc":
             p.add_argument(
                 "--algo", choices=("hashmin", "star"), default="hashmin",
@@ -125,6 +133,38 @@ def main(argv: list[str] | None = None) -> int:
         help="edge-weight column -> importance sampling (heavier edges "
         "win the keyed race proportionally more)",
     )
+
+    p = sub.add_parser(
+        "dedup",
+        help="fuzzy-dedup a docs corpus: LSH candidates -> exact-Jaccard "
+        "verify -> CC clusters -> canonical keepers (training-data hygiene)",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--threshold", type=float, default=0.5, help="Jaccard cutoff")
+    p.add_argument("--num-hashes", type=int, default=8)
+    p.add_argument("--bands", type=int, default=4)
+    p.add_argument("--rows-per-band", type=int, default=2)
+    p.add_argument("--shingle-k", type=int, default=3)
+    p.add_argument(
+        "--write-corpus", action="store_true",
+        help="also commit the deduplicated corpus rows (keepers only)",
+    )
+
+    p = sub.add_parser(
+        "decontaminate",
+        help="flag corpus docs sharing >= k distinct n-gram shingles with "
+        "an eval set (benchmark-leak hygiene)",
+    )
+    p.add_argument("--docs", required=True, help="corpus parquet path")
+    p.add_argument("--eval-docs", required=True, help="eval-set parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-overlap", type=int, default=3)
+    p.add_argument("--shingle-k", type=int, default=3)
 
     p = sub.add_parser(
         "ingest",
@@ -186,6 +226,45 @@ def main(argv: list[str] | None = None) -> int:
                 f"({'warm' if prior is not None else 'cold'} start), "
                 f"converged={result.report.converged}"
             )
+        return 0
+
+    if args.cmd == "dedup":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.operators.dedup import dedup_clusters
+
+        docs = spark.read.parquet(args.docs)
+        clusters = dedup_clusters(
+            spark, docs, args.id_col, args.text_col,
+            threshold=args.threshold, num_hashes=args.num_hashes,
+            bands=args.bands, rows_per_band=args.rows_per_band,
+            shingle_k=args.shingle_k,
+        ).localCheckpoint(eager=True)  # one pipeline run feeds all 3 tables
+        catalog.create_or_replace("dedup_clusters", clusters)
+        cans = clusters.groupBy("cluster").agg(
+            F.min("doc").alias("keep_id"), F.count(F.lit(1)).alias("n_members")
+        )
+        catalog.create_or_replace("canonical_docs", cans)
+        n_docs, n_clusters = clusters.count(), cans.count()
+        if args.write_corpus:
+            keepers = cans.select(F.col("keep_id").alias(args.id_col))
+            catalog.create_or_replace(
+                "dedup_corpus", docs.join(keepers, args.id_col, "left_semi")
+            )
+        print(f"dedup: {n_docs} docs -> {n_clusters} clusters")
+        return 0
+
+    if args.cmd == "decontaminate":
+        from arxiv_citation_graph_spark.operators.dedup import contamination_flags
+
+        flags = contamination_flags(
+            spark.read.parquet(args.docs),
+            spark.read.parquet(args.eval_docs),
+            args.id_col, args.text_col,
+            min_overlap=args.min_overlap, shingle_k=args.shingle_k,
+        )
+        catalog.create_or_replace("contamination", flags)
+        print(f"decontaminate: {flags.count()} flagged (doc, eval_doc) pairs")
         return 0
 
     if args.cmd == "extract":
@@ -342,11 +421,24 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "lpa":
         from arxiv_citation_graph_spark.plans.labelprop import label_propagation
 
+        if args.warm_start_from and args.resume:
+            raise SystemExit("--warm-start-from and --resume are mutually exclusive")
+        warm = None
+        if args.warm_start_from:
+            warm = (
+                catalog.read(spark, "labels")
+                if args.warm_start_from == "labels"
+                else spark.read.parquet(args.warm_start_from)
+            )
         result = label_propagation(
-            spark, edges, max_iterations=args.max_iterations, store=store, resume=args.resume
+            spark, edges, max_iterations=args.max_iterations, store=store,
+            resume=args.resume, warm_start=warm,
         )
         catalog.create_or_replace("labels", result.labels)
-        print(f"lpa: {result.report.iterations} supersteps")
+        print(
+            f"lpa: {result.report.iterations} supersteps"
+            + (" (warm start)" if warm is not None else "")
+        )
     elif args.cmd == "triangles":
         from arxiv_citation_graph_spark.plans.triangles import triangle_counts
 

@@ -3876,6 +3876,67 @@ def _contamination_sql(min_overlap: int = 3) -> str:
     """
 
 
+_SEQ_LEN = 2048  # packing block size for the driver query
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH counts AS (
+      SELECT doc_id AS doc,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset,
+           CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) // {_SEQ_LEN} AS seq_id
+    FROM counts
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing (concatenate-then-chunk): token start offsets
+    + 2048-token block ids per doc, via the TWO-stage bucketed prefix
+    sum (operators/packing.py) — never a single-partition global
+    window.  The oracle runs the equivalent global window in DuckDB."""
+    from arxiv_citation_graph_spark.operators.packing import sequence_packing
+
+    return sequence_packing(
+        spark, _t(spark, sf_dir, "documents"), "doc_id", "text",
+        seq_len=_SEQ_LEN, buckets=16,
+    )
+
+
+#: driver mixture: half of src1, a quarter of src7, all of src3, rest dropped
+_MIXTURE_RATES = [("src1", 0.5), ("src3", 1.0), ("src7", 0.25)]
+
+
+@register(
+    "mixture_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < CAST(round(CASE source {' '.join(f"WHEN '{d}' THEN {r}" for d, r in _MIXTURE_RATES)}
+                       ELSE 0.0 END * 1000000) AS BIGINT)
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain mixture sampling: keep iff the keyed md5
+    draw of the doc id lands under the domain's rate — a pure function
+    of the id, stable under appends, replayed exactly by the oracle."""
+    from arxiv_citation_graph_spark.operators.packing import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(_MIXTURE_RATES, "domain string, rate double")
+    return mixture_sample(docs, "doc_id", "source", rates).select(
+        "doc_id", "source"
+    )
+
+
 @register("contamination_flags", _contamination_sql(min_overlap=3))
 def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (VERDICT r4 missing #3): corpus docs

@@ -1,0 +1,178 @@
+"""LLM training-data assembly operators: sequence packing and
+deterministic mixture sampling.
+
+Both are the last-mile steps between a cleaned/deduplicated corpus and a
+token pipeline; neither exists in the reference (its unit of work is one
+paper), but any corpus this engine serves to a trainer needs them.
+
+**Sequence packing** (`sequence_packing`): the standard
+concatenate-then-chunk assignment — documents in deterministic id order,
+token offsets accumulated, a document belongs to the ``seq_len``-token
+block containing its START offset (it may span into the next block; the
+token-level splitter downstream handles the cut).  The prefix sum is
+computed scale-safely in TWO stages: per-range-bucket token sums first
+(P parallel aggregations), a bucket-count-sized window for the bucket
+base offsets, then P parallel per-bucket windows — never one
+single-partition global window, which is the classic Spark
+WindowExec-without-PARTITION-BY bottleneck.  Equal by construction to
+the global ``sum() OVER (ORDER BY doc)`` the DuckDB oracle runs.
+
+**Mixture sampling** (`mixture_sample`): per-domain inclusion rates
+applied via a keyed md5 draw — ``md5(doc_id) mod 1e6 < rate * 1e6`` —
+so the sample is a pure function of the doc id: deterministic across
+runs, partitionings, and engines (the repo-wide keyed-md5 convention),
+stable under corpus appends (old docs keep their verdict), and exactly
+replayable in SQL.  Rates arrive as a tiny table and broadcast; the
+corpus scan never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.functions.texttools import token_count
+
+#: md5-draw resolution for mixture rates (rate quantized to 1e-6)
+MIXTURE_MOD = 1_000_000
+
+
+def sequence_packing(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    buckets: int = 64,
+    count_fn=None,
+) -> DataFrame:
+    """``(doc, n_tokens, start_offset, seq_id)`` — concatenation order is
+    ascending integer ``id_col``; ``seq_id = floor(start_offset /
+    seq_len)``.
+
+    ``id_col`` must be integral (the range bucketing keys on it); the
+    deterministic corpus convention everywhere else in this engine.
+    ``count_fn``: column function for per-doc token counts (default
+    whitespace ``token_count``; pass ``bpe_ish_token_count`` for the
+    BPE-flavored proxy).
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    counter = count_fn if count_fn is not None else token_count
+    counts = df.select(
+        # try_cast: ANSI mode would THROW mid-shuffle on a malformed id;
+        # null + the explicit raise below is the proper validation error
+        F.col(id_col).try_cast("long").alias("doc"),
+        counter(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    bad = counts.filter(F.col("doc").isNull()).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"sequence_packing: {id_col!r} must be integral and non-null"
+        )
+    # deterministic range buckets over the id span: bucket boundaries are
+    # a pure function of (min, max, buckets) — no sampled partitioner
+    lo, hi = counts.agg(F.min("doc"), F.max("doc")).first()
+    span = max((int(hi) - int(lo)) // buckets + 1, 1)
+    counts = counts.withColumn(
+        "_bucket", ((F.col("doc") - F.lit(int(lo))) / F.lit(span)).cast("long")
+    )
+    # stage 1: per-bucket token sums (P parallel partial aggregations)
+    bucket_sums = counts.groupBy("_bucket").agg(
+        F.sum("n_tokens").alias("_bucket_tokens")
+    )
+    # stage 2: bucket base offsets — a window over the BUCKET-COUNT-sized
+    # frame (tiny), not the corpus
+    w_b = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bases = bucket_sums.select(
+        "_bucket",
+        F.coalesce(F.sum("_bucket_tokens").over(w_b), F.lit(0)).alias("_base"),
+    )
+    # stage 3: per-bucket prefix sums, P independent window partitions
+    w_d = (
+        Window.partitionBy("_bucket")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        counts.join(F.broadcast(bases), "_bucket")
+        .select(
+            "doc",
+            "n_tokens",
+            (
+                F.col("_base")
+                + F.coalesce(F.sum("n_tokens").over(w_d), F.lit(0))
+            ).alias("start_offset"),
+        )
+        .withColumn(
+            "seq_id", (F.col("start_offset") / F.lit(seq_len)).cast("long")
+        )
+    )
+
+
+def mixture_draw(id_col: Column) -> Column:
+    """The keyed md5 draw in [0, 1e6): ``('0x' || md5(id)[0:8]) % 1e6``,
+    replayable in DuckDB with the same expression."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % MIXTURE_MOD
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    rates: DataFrame,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Rows of ``df`` kept by the per-domain deterministic draw.
+
+    ``rates``: a tiny ``(domain, rate)`` frame (rate in [0, 1]); domains
+    absent from it use ``default_rate``.  Broadcast-joined on
+    ``domain_col`` — the corpus side never shuffles.  Validation is
+    driver-side on the collected rates (model-sized by definition).
+    """
+    rate_rows = rates.select(
+        F.col("domain").cast("string").alias("_domain"),
+        F.col("rate").cast("double").alias("_rate"),
+    ).collect()
+    seen = set()
+    for r in rate_rows:
+        if r._rate is None or not (0.0 <= r._rate <= 1.0):
+            raise ValueError(
+                f"mixture_sample: rate for domain {r._domain!r} must be in "
+                f"[0, 1], got {r._rate!r}"
+            )
+        if r._domain in seen:
+            raise ValueError(
+                f"mixture_sample: duplicate rate row for domain {r._domain!r}"
+            )
+        seen.add(r._domain)
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(
+            f"mixture_sample: default_rate must be in [0, 1], got {default_rate}"
+        )
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        [(r._domain, r._rate) for r in rate_rows], "_domain string, _rate double"
+    )
+    draw = mixture_draw(F.col(id_col))
+    return (
+        df.join(
+            F.broadcast(rates_df),
+            df[domain_col] == rates_df["_domain"],
+            "left",
+        )
+        .filter(
+            draw
+            < F.round(
+                F.coalesce(F.col("_rate"), F.lit(float(default_rate)))
+                * MIXTURE_MOD
+            ).cast("long")
+        )
+        .drop("_domain", "_rate")
+    )

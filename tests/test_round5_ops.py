@@ -182,6 +182,165 @@ def test_contamination_flags_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+# --- LLM training-data assembly: packing + mixture sampling ------------------
+
+
+def _packing_py(rows, seq_len):
+    """Global concatenate-then-chunk replica (the DuckDB oracle shape)."""
+    out, cum = {}, 0
+    for doc, text in sorted(rows):
+        n = len(text.split())
+        out[doc] = (n, cum, cum // seq_len)
+        cum += n
+    return out
+
+
+def test_sequence_packing_matches_global_prefix_sum(spark):
+    from arxiv_citation_graph_spark.operators.packing import sequence_packing
+
+    # non-contiguous ids: bucketing must not assume density
+    rows = [(i * 7 + (i % 3), f"tok{i} " * (5 + 11 * (i % 4))) for i in range(40)]
+    rows = [(i, t.strip()) for i, t in rows]
+    df = _docs(spark, rows)
+    for buckets in (1, 4, 16):
+        got = {
+            r.doc: (r.n_tokens, r.start_offset, r.seq_id)
+            for r in sequence_packing(
+                spark, df, "doc_id", "text", seq_len=64, buckets=buckets
+            ).collect()
+        }
+        assert got == _packing_py(rows, 64), f"buckets={buckets}"
+
+
+def test_sequence_packing_validation(spark):
+    from arxiv_citation_graph_spark.operators.packing import sequence_packing
+
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="seq_len"):
+        sequence_packing(spark, df, "doc_id", "text", seq_len=0)
+    bad = spark.createDataFrame([("x1", "a b")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integral"):
+        sequence_packing(spark, bad, "doc_id", "text", seq_len=8)
+
+
+def _mixture_py(rows, rates, default, mod=1_000_000):
+    import hashlib
+
+    kept = []
+    for doc, dom in rows:
+        draw = int(hashlib.md5(str(doc).encode()).hexdigest()[:8], 16) % mod
+        if draw < round(rates.get(dom, default) * mod):
+            kept.append((doc, dom))
+    return sorted(kept)
+
+
+def test_mixture_sample_matches_keyed_md5_replica(spark):
+    from arxiv_citation_graph_spark.operators.packing import mixture_sample
+
+    rows = [(i, f"dom{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"dom0": 0.5, "dom1": 1.0, "dom2": 0.0}
+    rates_df = spark.createDataFrame(list(rates.items()), "domain string, rate double")
+    got = sorted(
+        (r.doc_id, r.source)
+        for r in mixture_sample(
+            df, "doc_id", "source", rates_df, default_rate=0.25
+        ).collect()
+    )
+    want = _mixture_py(rows, rates, 0.25)
+    assert got == want
+    # rate 1.0 keeps every dom1 doc; rate 0.0 drops every dom2 doc
+    assert sum(1 for _, d in got if d == "dom1") == 100
+    assert not any(d == "dom2" for _, d in got)
+    # deterministic: same verdicts on a re-run over a repartitioned frame
+    again = sorted(
+        (r.doc_id, r.source)
+        for r in mixture_sample(
+            df.repartition(13), "doc_id", "source", rates_df, default_rate=0.25
+        ).collect()
+    )
+    assert again == got
+
+
+def test_mixture_sample_validates_rates(spark):
+    from arxiv_citation_graph_spark.operators.packing import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    bad = spark.createDataFrame([("a", 1.5)], "domain string, rate double")
+    with pytest.raises(ValueError, match="\\[0, 1\\]"):
+        mixture_sample(df, "doc_id", "source", bad)
+    dup = spark.createDataFrame(
+        [("a", 0.5), ("a", 0.7)], "domain string, rate double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        mixture_sample(df, "doc_id", "source", dup)
+    ok = spark.createDataFrame([("a", 0.5)], "domain string, rate double")
+    with pytest.raises(ValueError, match="default_rate"):
+        mixture_sample(df, "doc_id", "source", ok, default_rate=-0.1)
+
+
+# --- CLI surface for the round-5 capabilities --------------------------------
+
+
+def test_cli_dedup_and_decontaminate(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    docs_path = str(tmp_path / "docs_pq")
+    _docs(spark).write.parquet(docs_path)
+    wh = str(tmp_path / "wh")
+
+    assert cli.main(
+        ["dedup", "--docs", docs_path, "--out", wh,
+         "--threshold", "0.5", "--num-hashes", "4", "--bands", "2",
+         "--write-corpus"]
+    ) == 0
+    cat = SnapshotCatalog(wh)
+    clusters = {r.doc: r.cluster for r in cat.read(spark, "dedup_clusters").collect()}
+    assert clusters[0] == clusters[1] == clusters[5] == 0
+    cans = {r.cluster: (r.keep_id, r.n_members)
+            for r in cat.read(spark, "canonical_docs").collect()}
+    assert cans[0] == (0, 3)
+    kept = sorted(r.doc_id for r in cat.read(spark, "dedup_corpus").collect())
+    assert kept == [0, 2, 3, 4]
+
+    eval_path = str(tmp_path / "eval_pq")
+    _docs(spark, [(100, "the quick brown fox jumps over the lazy dog tonight")]).write.parquet(eval_path)
+    assert cli.main(
+        ["decontaminate", "--docs", docs_path, "--eval-docs", eval_path,
+         "--out", wh, "--min-overlap", "3"]
+    ) == 0
+    flagged = {(r.doc, r.eval_doc) for r in cat.read(spark, "contamination").collect()}
+    # docs 0/1/5 are near-dups of the eval doc; 2/3/4 are clean
+    assert flagged == {(0, 100), (1, 100), (5, 100)}
+
+
+def test_cli_lpa_warm_start_flag(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    edges_path = str(tmp_path / "edges_pq")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src_id", "dst_id"]
+    ).write.parquet(edges_path)
+    wh = str(tmp_path / "wh2")
+    assert cli.main(["lpa", "--edges", edges_path, "--out", wh]) == 0
+    assert cli.main(
+        ["lpa", "--edges", edges_path, "--out", wh, "--warm-start-from", "labels"]
+    ) == 0
+    cat = SnapshotCatalog(wh)
+    assert cat.read(spark, "labels").count() == 5
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["lpa", "--edges", edges_path, "--out", wh,
+             "--warm-start-from", "labels", "--resume"]
+        )
+
+
 # --- ADVICE r4: weight integrality + betweenness duplicate edges ------------
 
 
