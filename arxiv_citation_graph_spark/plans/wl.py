@@ -38,6 +38,11 @@ from pyspark.sql import functions as F
 from arxiv_citation_graph_spark.plans.layout import symmetrize
 
 
+#: audit hook (the plans/superstep.PLAN_PROBE convention): called with
+#: (round_index, refined_colors_df) before each round's checkpoint
+PLAN_PROBE = None
+
+
 @dataclass
 class WlResult:
     colors: DataFrame  # (vertex, color) — color is a 32-hex md5 string
@@ -90,7 +95,7 @@ def wl_refinement(
     ).localCheckpoint(eager=True)
     n_classes = [colors.select("color").distinct().count()]
     try:
-        for _ in range(iterations):
+        for _round in range(iterations):
             # WL refines on the multiset of colors a vertex RECEIVES
             # from its (out-)neighbors: join colors onto dst_id.
             # Hub-safe two-stage signature (VERDICT r4 #2): stage 1
@@ -119,15 +124,15 @@ def wl_refinement(
                     ",",
                 ).alias("sig")
             )
-            colors = (
-                colors.join(nbr_sig, "vertex", "left")
-                .select(
-                    "vertex",
-                    F.md5(
-                        F.concat_ws("|", "color", F.coalesce("sig", F.lit("")))
-                    ).alias("color"),
-                )
-            ).localCheckpoint(eager=True)
+            refined = colors.join(nbr_sig, "vertex", "left").select(
+                "vertex",
+                F.md5(
+                    F.concat_ws("|", "color", F.coalesce("sig", F.lit("")))
+                ).alias("color"),
+            )
+            if PLAN_PROBE is not None:
+                PLAN_PROBE(_round + 1, refined)
+            colors = refined.localCheckpoint(eager=True)
             n_classes.append(colors.select("color").distinct().count())
     finally:
         adj.unpersist()
