@@ -3937,6 +3937,34 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_repetition_stats",
+    """
+    WITH grams AS (
+      SELECT doc_id AS doc, unnest(list_transform(
+        range(1, greatest(len(toks) - 1, 0) + 1),
+        i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents)
+    ),
+    cnt AS (SELECT doc, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+    SELECT doc, CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(1 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_frac,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac
+    FROM cnt GROUP BY doc
+    """,
+)
+def q_ngram_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style within-doc repetition profile over ALL
+    2-grams (duplicates kept — the signal): duplicate-gram and
+    top-gram fractions, the thresholds quality filters drop on."""
+    from arxiv_citation_graph_spark.operators.quality import ngram_repetition_stats
+
+    return ngram_repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+
+
 @register("contamination_flags", _contamination_sql(min_overlap=3))
 def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (VERDICT r4 missing #3): corpus docs

@@ -1,0 +1,78 @@
+"""Corpus-quality operators: within-document n-gram repetition stats
+(the Gopher/MassiveText-style repetition rules) — the signal the
+existing per-doc quality/stopword/langid columns (functions/texttools)
+don't carry: machine-generated or boilerplate-heavy text repeats the
+same n-grams far more than natural prose.
+
+Plan shape (the at-scale story): one explode of NON-distinct n-grams
+(repetition is the point — ``word_shingles`` is distinct by design and
+would erase the signal), a two-stage ``(doc, gram) -> count`` aggregate
+whose map-side partials absorb within-doc repetition before the
+shuffle, then a doc-keyed rollup.  No windows, no arrays held whole on
+one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.functions.texttools import tokens
+
+
+def raw_ngrams(text: Column, n: int) -> Column:
+    """ALL n-token grams (space-joined), duplicates KEPT — the repetition
+    unit.  Fewer than ``n`` tokens yields an empty array (the
+    ``word_shingles`` guard: ``sequence(1, 0)`` is descending and the
+    slice would throw)."""
+    toks = tokens(text)
+    m = F.size(toks)
+    idx = F.when(m >= F.lit(n), F.sequence(F.lit(1), m - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def ngram_repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-doc repetition profile over ALL n-grams: ``(doc, n_grams,
+    n_distinct, dup_frac, top_frac)``.
+
+    ``dup_frac = 1 - n_distinct / n_grams`` (the fraction of gram slots
+    occupied by a repeat) and ``top_frac = count(most frequent gram) /
+    n_grams`` — the two rules MassiveText-style quality filters threshold
+    on.  Docs with fewer than ``n`` tokens produce no grams and are
+    absent from the output (the oracle's inner-aggregation semantics).
+    Fractions rounded to 6 decimals for cross-engine hash equality.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(raw_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_frac"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_frac"),
+    )
+
+
+def repetition_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    max_dup_frac: float = 0.3,
+    max_top_frac: float = 0.2,
+) -> DataFrame:
+    """Docs whose repetition profile breaches either threshold:
+    ``(doc, dup_frac, top_frac)`` — the drop list a quality pipeline
+    feeds to the corpus anti-join."""
+    stats = ngram_repetition_stats(df, id_col, text_col, n)
+    return stats.filter(
+        (F.col("dup_frac") > max_dup_frac) | (F.col("top_frac") > max_top_frac)
+    ).select("doc", "dup_frac", "top_frac")

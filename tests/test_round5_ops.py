@@ -182,6 +182,75 @@ def test_contamination_flags_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+# --- Gopher-style repetition stats -------------------------------------------
+
+
+def _rep_py(rows, n):
+    from collections import Counter
+
+    out = {}
+    for doc, text in rows:
+        toks = text.split()
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            continue
+        cnt = Counter(grams)
+        total, distinct = len(grams), len(cnt)
+        out[doc] = (
+            total,
+            distinct,
+            round(1 - distinct / total, 6),
+            round(max(cnt.values()) / total, 6),
+        )
+    return out
+
+
+def test_ngram_repetition_stats_matches_replica(spark):
+    from arxiv_citation_graph_spark.operators.quality import ngram_repetition_stats
+
+    rows = [
+        (0, "spam spam spam spam spam"),          # one gram repeated 4x
+        (1, "all tokens here are fully unique"),  # no repetition
+        (2, "ab cd ab cd ab cd ef"),              # alternating repeats
+        (3, "solo"),                              # < n tokens -> no row
+    ]
+    df = _docs(spark, rows)
+    for n in (1, 2, 3):
+        got = {
+            r.doc: (r.n_grams, r.n_distinct, r.dup_frac, r.top_frac)
+            for r in ngram_repetition_stats(df, "doc_id", "text", n=n).collect()
+        }
+        assert got == _rep_py(rows, n), f"n={n}"
+    # headline spot values for n=2: 'spam spam' x4 -> dup 0.75, top 1.0
+    got2 = {
+        r.doc: (r.dup_frac, r.top_frac)
+        for r in ngram_repetition_stats(df, "doc_id", "text", n=2).collect()
+    }
+    assert got2[0] == (0.75, 1.0)
+    assert got2[1] == (0.0, 0.2)
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_repetition_stats(df, "doc_id", "text", n=0)
+
+
+def test_repetition_flags_thresholds(spark):
+    from arxiv_citation_graph_spark.operators.quality import repetition_flags
+
+    rows = [
+        (0, "spam spam spam spam spam"),
+        (1, "all tokens here are fully unique"),
+        (2, "ab cd ab cd ab cd ef"),
+    ]
+    flagged = {
+        r.doc
+        for r in repetition_flags(
+            _docs(spark, rows), "doc_id", "text", n=2,
+            max_dup_frac=0.5, max_top_frac=0.45,
+        ).collect()
+    }
+    # doc 0: dup 0.75 > 0.5; doc 2: top 'ab cd' 3/6 = 0.5 > 0.45; doc 1 clean
+    assert flagged == {0, 2}
+
+
 # --- LLM training-data assembly: packing + mixture sampling ------------------
 
 
