@@ -4170,6 +4170,40 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dedup_clusters",
+    """
+    -- planted duplicates (the embedding_near_dups fixture): each pair
+    -- (v, v+100000) for v < 50 is one 2-member cluster labeled v (the
+    -- CC min convention); every other vector is a singleton
+    SELECT vec_id AS doc, vec_id AS cluster FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS doc, vec_id AS cluster
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-modality fuzzy-dedup composition (cosine near-pairs ->
+    CC -> min-member cluster): the dedup_clusters analog for the
+    embedding column, on the planted-duplicate corpus."""
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        embedding_dedup_clusters,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dup = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.02).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup)
+    return embedding_dedup_clusters(
+        spark, corpus, threshold=0.999, method="lsh", n_planes=8, n_tables=2,
+        max_iterations=4,
+    )
+
+
+@register(
     "embedding_centroids",
     """
     SELECT label, CAST(dim - 1 AS INT) AS dim, round(avg(v), 6) AS centroid_v

@@ -244,6 +244,37 @@ def embedding_near_dups(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def embedding_dedup_clusters(
+    spark,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_iterations: int = 20,
+    **near_kwargs,
+) -> DataFrame:
+    """End-to-end embedding-modality fuzzy dedup: ``(doc, cluster)`` for
+    EVERY corpus row — the ``operators/dedup.dedup_clusters`` composition
+    with cosine near-dup pairs as the pair graph (LSH buckets + exact
+    cosine verify -> hash-min connected components -> min-member
+    cluster label; no-near-dup rows are singleton clusters).  Together
+    the two compositions cover both dedup modalities a training corpus
+    carries: text shingles and embedding vectors."""
+    from arxiv_citation_graph_spark.plans.components import connected_components
+
+    pairs = embedding_near_dups(
+        corpus, id_col, vec_col, threshold, **near_kwargs
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src_id"), F.col("doc_b").alias("dst_id")
+    )
+    cc = connected_components(spark, edges, max_iterations=max_iterations)
+    docs = corpus.select(F.col(id_col).alias("doc")).distinct()
+    return docs.join(
+        cc.components.withColumnRenamed("vertex", "doc"), "doc", "left"
+    ).select("doc", F.coalesce(F.col("component"), F.col("doc")).alias("cluster"))
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: deterministic k-means coarse quantizer
 # ---------------------------------------------------------------------------

@@ -182,6 +182,42 @@ def test_contamination_flags_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+# --- embedding-modality dedup clusters ---------------------------------------
+
+
+def test_embedding_dedup_clusters_planted(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        embedding_dedup_clusters,
+    )
+
+    import math
+
+    # three orthogonal-ish base vectors; 10 and 11 are scaled copies of
+    # 0 and 1 (cosine exactly 1); 2 is unrelated
+    def vec(i):
+        return [math.cos(i * 1.1), math.sin(i * 1.1), float(i % 2), 1.0]
+
+    rows = [(0, vec(0)), (1, vec(1)), (2, vec(2)),
+            (10, [x * 2.0 for x in vec(0)]), (11, [x * 0.5 for x in vec(1)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.doc: r.cluster
+        for r in embedding_dedup_clusters(
+            spark, df, threshold=0.999, method="exact", max_iterations=4
+        ).collect()
+    }
+    assert got == {0: 0, 10: 0, 1: 1, 11: 1, 2: 2}
+    # LSH path agrees on the same fixture
+    got_lsh = {
+        r.doc: r.cluster
+        for r in embedding_dedup_clusters(
+            spark, df, threshold=0.999, method="lsh", n_planes=8, n_tables=2,
+            max_iterations=4,
+        ).collect()
+    }
+    assert got_lsh == got
+
+
 # --- Gopher-style repetition stats -------------------------------------------
 
 
