@@ -247,6 +247,21 @@ def main() -> None:
 
     timed("pagerank_warm", run_pagerank_warm)
 
+    # -- end-to-end fuzzy dedup (the round-5 flagship composition) ----------
+    def run_dedup_clusters():
+        from arxiv_citation_graph_spark.operators.dedup import dedup_clusters
+
+        clusters = dedup_clusters(
+            spark, docs_tbl, "doc_id", "text",
+            threshold=0.18, num_hashes=4, bands=2, rows_per_band=2,
+        )
+        n_docs = clusters.count()
+        n_clusters = clusters.select("cluster").distinct().count()
+        extras["dedup_docs"] = n_docs
+        extras["dedup_clusters_found"] = n_clusters
+
+    timed("dedup_clusters", run_dedup_clusters)
+
     # -- at-scale PageRank throughput (BASELINE.md's 40M-edge zipf input) ----
     from arxiv_citation_graph_spark.datagen import synthetic_edges
 
@@ -289,9 +304,12 @@ def main() -> None:
         "change vs r3; everything else byte-frozen"
     )
     extras["workload_changes_r5"] = (
-        "no workload changes — added a pre-run loadavg clean-window gate "
-        "(wait_for_idle_host; r4's file landed in a noisy window) that "
-        "changes WHEN the suite runs, never what it runs"
+        "added dedup_clusters (end-to-end fuzzy dedup: LSH -> Jaccard "
+        "verify -> CC -> cluster label, the round-5 flagship composition) "
+        "— the only workload change vs r4; also added a pre-run loadavg "
+        "clean-window gate (wait_for_idle_host; r4's file landed in a "
+        "noisy window) that changes WHEN the suite runs, never what the "
+        "frozen workloads run"
     )
     extras["trials"] = trials
     extras["trial_times"] = {k: v for k, v in trial_times.items() if len(v) > 1}
