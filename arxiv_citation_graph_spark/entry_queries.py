@@ -3602,7 +3602,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-def _minhash_sql(num_hashes: int = 4) -> str:
+def _minhash_sql(num_hashes: int = 4, table: str = "documents") -> str:
     from arxiv_citation_graph_spark.operators.dedup import MINHASH_COEFFS
 
     p = 2147483647
@@ -3622,7 +3622,7 @@ def _minhash_sql(num_hashes: int = 4) -> str:
                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
         FROM (SELECT doc_id,
                      list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
-              FROM documents)
+              FROM {table})
       ) WHERE len(shingles) > 0
     )
     """
@@ -3640,8 +3640,8 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_sql() -> str:
-    sig = _minhash_sql(4)
+def _lsh_pairs_sql(table: str = "documents") -> str:
+    sig = _minhash_sql(4, table)
     return f"""
     WITH sigs AS ({sig}),
     banded AS (
@@ -3669,9 +3669,8 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_pairs",
-    """
+def _jaccard_sql(threshold: float = 0.18, table: str = "documents") -> str:
+    return f"""
     WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -3679,7 +3678,7 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
-            FROM documents)
+            FROM {table})
     ),
     sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
     expl0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
@@ -3697,9 +3696,11 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.18
-    """,
-)
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+    """
+
+
+@register("ngram_jaccard_pairs", _jaccard_sql(threshold=0.18))
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.18)."""
     from arxiv_citation_graph_spark.operators.dedup import ngram_jaccard_pairs
@@ -3771,14 +3772,14 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-def _verified_pairs_sql() -> str:
+def _verified_pairs_sql(table: str = "documents") -> str:
     """LSH candidates intersected with the exact-Jaccard pairs — by
     construction (same shingles, same df cap, same threshold) identical
     to ``operators/dedup.verified_near_dup_pairs``, which computes the
     Jaccard only FOR the candidates."""
     return f"""
-    WITH cand AS MATERIALIZED ({_lsh_pairs_sql()}),
-    jac AS MATERIALIZED ({_ORACLES["ngram_jaccard_pairs"]})
+    WITH cand AS MATERIALIZED ({_lsh_pairs_sql(table)}),
+    jac AS MATERIALIZED ({_jaccard_sql(threshold=0.18, table=table)})
     SELECT c.doc_a AS a, c.doc_b AS b
     FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
     """
@@ -3787,14 +3788,16 @@ def _verified_pairs_sql() -> str:
 _DEDUP_CC_ROUNDS = 8  # max verified-cluster size at sf0.01 is 6 -> diameter <= 5
 
 
-def _dedup_clusters_sql(rounds: int = _DEDUP_CC_ROUNDS) -> str:
+def _dedup_clusters_sql(
+    rounds: int = _DEDUP_CC_ROUNDS, table: str = "documents"
+) -> str:
     """Unrolled hash-min CC over the verified near-dup pair graph, every
     document a vertex (singletons label themselves) — the
     ``operators/dedup.dedup_clusters`` composition replayed in SQL."""
     ctes = [
-        f"vp AS MATERIALIZED ({_verified_pairs_sql()})",
+        f"vp AS MATERIALIZED ({_verified_pairs_sql(table)})",
         "vsym AS MATERIALIZED (SELECT a, b FROM vp UNION SELECT b, a FROM vp)",
-        "dverts AS MATERIALIZED (SELECT DISTINCT doc_id AS vertex FROM documents)",
+        f"dverts AS MATERIALIZED (SELECT DISTINCT doc_id AS vertex FROM {table})",
         "dl0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM dverts)",
     ]
     for k in range(1, rounds + 1):
@@ -3963,6 +3966,109 @@ def q_ngram_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arxiv_citation_graph_spark.operators.quality import ngram_repetition_stats
 
     return ngram_repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+
+
+def _training_pipeline_sql(
+    max_dup_frac: float = 0.1,
+    max_top_frac: float = 0.1,
+    min_overlap: int = 3,
+    seq_len: int = 2048,
+) -> str:
+    """The full prepare_training_corpus pipeline as chained CTEs:
+    repetition filter -> decontamination -> fuzzy dedup over the
+    SURVIVORS -> sequence packing of the kept docs."""
+
+    def _sh3(table: str) -> str:
+        return f"""
+      SELECT doc_id, unnest(shingles) AS shingle FROM (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(toks) - 2, 0) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+              FROM {table})
+      )"""
+
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT * FROM documents WHERE doc_id % {_EVAL_SPLIT_MOD} <> 0
+    ),
+    evals AS MATERIALIZED (
+      SELECT * FROM documents WHERE doc_id % {_EVAL_SPLIT_MOD} = 0
+    ),
+    repst AS MATERIALIZED (
+      WITH grams AS (
+        SELECT doc_id AS doc, unnest(list_transform(
+          range(1, greatest(len(toks) - 1, 0) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+              FROM corpus)
+      ),
+      cnt AS (SELECT doc, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+      SELECT doc,
+             round(1 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_frac,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac
+      FROM cnt GROUP BY doc
+    ),
+    reps AS MATERIALIZED (
+      SELECT doc FROM repst
+      WHERE dup_frac > {max_dup_frac} OR top_frac > {max_top_frac}
+    ),
+    csh AS MATERIALIZED ({_sh3('corpus')}),
+    esh AS MATERIALIZED ({_sh3('evals')}),
+    cflag AS MATERIALIZED (
+      SELECT c.doc_id AS doc FROM csh c JOIN esh e ON c.shingle = e.shingle
+      GROUP BY c.doc_id, e.doc_id HAVING count(*) >= {min_overlap}
+    ),
+    surv AS MATERIALIZED (
+      SELECT * FROM corpus
+      WHERE doc_id NOT IN (SELECT doc FROM reps)
+        AND doc_id NOT IN (SELECT DISTINCT doc FROM cflag)
+    ),
+    cl AS MATERIALIZED ({_dedup_clusters_sql(table="surv")}),
+    kept AS MATERIALIZED (
+      SELECT d.* FROM surv d
+      WHERE d.doc_id IN (SELECT DISTINCT cluster FROM cl)
+    ),
+    kcounts AS MATERIALIZED (
+      SELECT doc_id AS doc,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM kept
+    )
+    SELECT doc, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset,
+           CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) // {seq_len} AS seq_id
+    FROM kcounts
+    """
+
+
+@register("training_corpus_pipeline", _training_pipeline_sql())
+def q_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition a 100 TB LLM pipeline materializes, as
+    ONE deterministic query: Gopher-style repetition filter ->
+    benchmark decontamination -> fuzzy dedup over the survivors (keeper
+    = min member) -> 2048-token sequence packing of the kept docs.
+    Every stage replayed by the chained-CTE DuckDB oracle."""
+    from arxiv_citation_graph_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % _EVAL_SPLIT_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _EVAL_SPLIT_MOD != 0)
+    res = prepare_training_corpus(
+        spark, corpus, "doc_id", "text", eval_df=eval_df,
+        rep_n=2, max_dup_frac=0.1, max_top_frac=0.1, min_overlap=3,
+        dedup_threshold=0.18, num_hashes=4, bands=2, rows_per_band=2,
+        dedup_cc_iterations=_DEDUP_CC_ROUNDS, seq_len=2048, buckets=16,
+    )
+    return res.packed
 
 
 @register("contamination_flags", _contamination_sql(min_overlap=3))

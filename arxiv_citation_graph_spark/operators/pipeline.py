@@ -1,0 +1,115 @@
+"""The end-to-end training-corpus preparation pipeline — the composition
+a 100 TB LLM data pipeline actually materializes, wired from the
+engine's per-stage operators in a fixed, auditable order:
+
+1. **Repetition filter** (``operators/quality.repetition_flags``):
+   drop docs whose duplicate-gram or top-gram fraction breaches the
+   Gopher-style thresholds.
+2. **Decontamination** (``operators/dedup.contamination_flags``): drop
+   surviving docs sharing >= ``min_overlap`` distinct shingles with the
+   eval set (skipped when no eval set is given).
+3. **Fuzzy dedup** (``operators/dedup.dedup_clusters``): cluster the
+   survivors' near-dups, keep one canonical doc per cluster (min id).
+   Dedup runs AFTER the drops — pair-graph work scales with what
+   survived, and a dropped doc must not steal a cluster's keeper slot.
+4. **Sequence packing** (``operators/packing.sequence_packing``):
+   assign the kept docs to fixed-length token blocks.
+
+Every stage is deterministic (keyed hashes, min conventions, exact
+thresholds), so the whole pipeline is replayable in SQL — the driver
+oracle chains the same stages as CTEs and must hash-match.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.operators.dedup import (
+    DEFAULT_MAX_SHINGLE_DF,
+    contamination_flags,
+    dedup_clusters,
+)
+from arxiv_citation_graph_spark.operators.packing import sequence_packing
+from arxiv_citation_graph_spark.operators.quality import repetition_flags
+
+
+@dataclass
+class TrainingCorpusResult:
+    packed: DataFrame  # (doc, n_tokens, start_offset, seq_id) — kept docs
+    stats: dict = field(default_factory=dict)  # stage counts (with_stats=True)
+
+
+def prepare_training_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame | None = None,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    rep_n: int = 2,
+    max_dup_frac: float = 0.3,
+    max_top_frac: float = 0.2,
+    min_overlap: int = 3,
+    dedup_threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    dedup_cc_iterations: int = 20,
+    seq_len: int = 2048,
+    buckets: int = 64,
+    with_stats: bool = False,
+) -> TrainingCorpusResult:
+    """Run the full filter -> decontaminate -> dedup -> pack pipeline.
+
+    Returns the packed block assignment for every KEPT doc.  With
+    ``with_stats=True`` the result also carries per-stage drop counts
+    (each an extra action — skip in the hot path, use for audits)."""
+    stats: dict = {}
+    if with_stats:
+        stats["n_input"] = docs.count()
+
+    rep = repetition_flags(
+        docs, id_col, text_col, n=rep_n,
+        max_dup_frac=max_dup_frac, max_top_frac=max_top_frac,
+    ).select(F.col("doc").alias(id_col))
+    surv = docs.join(rep, id_col, "left_anti")
+    if with_stats:
+        stats["n_after_repetition"] = surv.count()
+
+    if eval_df is not None:
+        cont = (
+            contamination_flags(
+                surv, eval_df, id_col, text_col, eval_id_col, eval_text_col,
+                min_overlap=min_overlap, shingle_k=shingle_k,
+            )
+            .select(F.col("doc").alias(id_col))
+            .distinct()
+        )
+        surv = surv.join(cont, id_col, "left_anti")
+        if with_stats:
+            stats["n_after_decontamination"] = surv.count()
+
+    # dedup over the SURVIVORS: a dropped doc must not hold a keeper slot
+    clusters = dedup_clusters(
+        spark, surv, id_col, text_col,
+        threshold=dedup_threshold, num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, shingle_k=shingle_k,
+        max_shingle_df=max_shingle_df, max_iterations=dedup_cc_iterations,
+    )
+    keepers = clusters.groupBy("cluster").agg(F.min("doc").alias("keep")).select(
+        F.col("keep").alias(id_col)
+    )
+    kept = surv.join(keepers, id_col, "left_semi")
+    if with_stats:
+        stats["n_kept"] = kept.count()
+
+    packed = sequence_packing(
+        spark, kept, id_col, text_col, seq_len=seq_len, buckets=buckets
+    )
+    return TrainingCorpusResult(packed, stats)

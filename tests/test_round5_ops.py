@@ -182,6 +182,65 @@ def test_contamination_flags_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+# --- end-to-end training-corpus pipeline --------------------------------------
+
+
+def test_prepare_training_corpus_every_stage_fires(spark):
+    """One planted victim per stage: a repetitive doc, a contaminated
+    doc, a near-dup pair (higher id dropped), and clean docs packed in
+    id order with correct offsets."""
+    from arxiv_citation_graph_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    corpus_rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),   # keeper
+        (1, "the quick brown fox jumps over the lazy dog today"),     # near-dup of 0
+        (2, "completely different text about spark shuffle partitions here"),
+        (3, "spam spam spam spam spam spam spam spam"),               # repetitive
+        (4, "what is the capital of france answer paris obviously padded"),  # leak
+        (5, "graphs are made of vertices and edges connected together"),
+    ]
+    eval_rows = [(100, "what is the capital of france answer paris obviously")]
+    res = prepare_training_corpus(
+        spark, _docs(spark, corpus_rows), "doc_id", "text",
+        eval_df=_docs(spark, eval_rows),
+        rep_n=2, max_dup_frac=0.3, max_top_frac=0.5, min_overlap=3,
+        dedup_threshold=0.5, num_hashes=4, bands=2, rows_per_band=2,
+        dedup_cc_iterations=4, seq_len=16, buckets=2, with_stats=True,
+    )
+    got = {r.doc: (r.n_tokens, r.start_offset, r.seq_id) for r in res.packed.collect()}
+    # dropped: 3 (repetition), 4 (contamination), 1 (near-dup loser)
+    assert set(got) == {0, 2, 5}
+    # packing: 10 + 8 + 9 tokens over seq_len 16
+    assert got[0] == (10, 0, 0)
+    assert got[2] == (8, 10, 0)
+    assert got[5] == (9, 18, 1)
+    assert res.stats == {
+        "n_input": 6,
+        "n_after_repetition": 5,
+        "n_after_decontamination": 4,
+        "n_kept": 3,
+    }
+
+
+def test_prepare_training_corpus_without_eval_set(spark):
+    from arxiv_citation_graph_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    rows = [(0, "a b c d e f"), (1, "g h i j k l")]
+    res = prepare_training_corpus(
+        spark, _docs(spark, rows), "doc_id", "text",
+        rep_n=2, max_dup_frac=0.9, max_top_frac=0.9,
+        dedup_threshold=0.9, num_hashes=4, bands=2, rows_per_band=2,
+        dedup_cc_iterations=2, seq_len=8, buckets=1,
+    )
+    got = {r.doc: (r.start_offset, r.seq_id) for r in res.packed.collect()}
+    assert got == {0: (0, 0), 1: (6, 0)}
+    assert res.stats == {}  # with_stats defaults off: zero extra actions
+
+
 # --- embedding-modality dedup clusters ---------------------------------------
 
 
