@@ -95,6 +95,12 @@ def prepare_training_corpus(
         if with_stats:
             stats["n_after_decontamination"] = surv.count()
 
+    # the survivor frame feeds THREE independent scans downstream
+    # (minhash signatures, Jaccard shingles, the keeper semi-join) —
+    # checkpoint it once so the filter anti-joins don't recompute per
+    # consumer (and lineage stays flat through the CC supersteps)
+    surv = surv.localCheckpoint(eager=True)
+
     # dedup over the SURVIVORS: a dropped doc must not hold a keeper slot
     clusters = dedup_clusters(
         spark, surv, id_col, text_col,
@@ -105,7 +111,9 @@ def prepare_training_corpus(
     keepers = clusters.groupBy("cluster").agg(F.min("doc").alias("keep")).select(
         F.col("keep").alias(id_col)
     )
-    kept = surv.join(keepers, id_col, "left_semi")
+    # kept feeds the packing's count scan plus the validation probe and
+    # the (min, max) range aggregate — checkpoint once
+    kept = surv.join(keepers, id_col, "left_semi").localCheckpoint(eager=True)
     if with_stats:
         stats["n_kept"] = kept.count()
 
