@@ -4427,6 +4427,188 @@ def q_enrich_status_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-5 additions: PII scrub, unigram-LM scoring, quantile quality band,
+# deterministic splits, corpus top n-grams (operators/pii.py, quality.py,
+# packing.py)
+# ===========================================================================
+
+# The documents fixture carries no real PII, so both engines inject the
+# SAME deterministic PII (a pure function of doc_id) before scrubbing —
+# the oracle exercises the actual regex/replace semantics, not an
+# identity pass.  Pattern strings below are byte-identical to
+# operators/pii.py (kept in sync by tests/test_round5b_ops.py).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9][0-9\-. ]{6,16}[0-9]\b"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or host 10.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                  || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  || ' tel +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IPV4}', '<IP>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM injected
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII census + redaction digest over documents with deterministic
+    injected PII (email, IPv4, phone built from doc_id) so the oracle
+    verifies the regex and replacement-order semantics byte-for-byte.
+    Single codegen projection — no shuffle, no UDF."""
+    from arxiv_citation_graph_spark.operators.pii import pii_stats
+
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com or host 10."),
+        (d % 256).cast("string"),
+        F.lit(".0."),
+        ((d * 7) % 256).cast("string"),
+        F.lit(" tel +1-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", injected.alias("t"))
+    return pii_stats(docs, "doc_id", "t").withColumnRenamed("doc", "doc_id")
+
+
+@register(
+    "unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    dt AS (SELECT doc, tok, COUNT(*) AS c FROM toks GROUP BY doc, tok),
+    vocab AS (SELECT tok, SUM(c) AS tf FROM dt GROUP BY tok),
+    tot AS (SELECT SUM(tf) AS n_total, COUNT(*) AS v_size FROM vocab)
+    SELECT doc AS doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(SUM(c * ln((tf + 1.0) / (n_total + v_size))) / SUM(c), 6)
+             AS avg_logprob
+    FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram LM (add-one smoothing), per-doc average natural-log
+    probability — the deterministic perplexity proxy for quality
+    ranking.  Two aggregates + one token equi-join; totals are a 1-row
+    broadcast crossJoin."""
+    from arxiv_citation_graph_spark.operators.quality import unigram_logprob
+
+    return unigram_logprob(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("doc", "doc_id")
+
+
+@register(
+    "quality_band",
+    r"""
+    WITH scored AS (
+      SELECT doc_id AS doc,
+             round(0.4 * least(stop * 5.0, 1.0) + 0.3 * len_sig + 0.3 * shape, 6)
+               AS quality
+      FROM (
+        SELECT doc_id,
+               CAST(len(list_filter(ltoks, t -> t IN ('the','a','of','and','to')))
+                    AS DOUBLE) / greatest(len(ltoks), 1) AS stop,
+               least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_sig,
+               CASE WHEN (CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                               AS DOUBLE) / greatest(len(toks), 1)) BETWEEN 3.0 AND 8.0
+                    THEN 1.0 ELSE 0.5 END AS shape
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
+                     list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ltoks
+              FROM documents)
+      )
+    ),
+    bounds AS (SELECT quantile_cont(quality, 0.05) AS qlo,
+                      quantile_cont(quality, 0.95) AS qhi
+               FROM scored)
+    SELECT doc AS doc_id, quality FROM scored CROSS JOIN bounds
+    WHERE quality BETWEEN qlo AND qhi
+    """,
+)
+def q_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-calibrated quality filter: keep docs inside the corpus
+    [p05, p95] quality band.  Exact percentiles via the established
+    percentile == quantile_cont parity; bounds are a broadcast 1-row
+    crossJoin."""
+    from arxiv_citation_graph_spark.operators.quality import quality_band_filter
+
+    return quality_band_filter(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("doc", "doc_id")
+
+
+@register(
+    "train_val_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS b
+          FROM documents)
+    """,
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split via the salted keyed md5
+    draw — stable under appends and engines, zero shuffles."""
+    from arxiv_citation_graph_spark.operators.packing import train_val_split
+
+    return train_val_split(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    ).withColumnRenamed("doc", "doc_id")
+
+
+@register(
+    "top_ngrams",
+    r"""
+    WITH grams AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram
+      FROM (SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+            FROM documents)
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY gram
+    ORDER BY cnt DESC, gram ASC
+    LIMIT 50
+    """,
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 trigrams (boilerplate discovery).  Two-stage
+    count aggregate then TakeOrderedAndProject; (cnt desc, gram asc)
+    makes equal-count boundaries deterministic on both engines."""
+    from arxiv_citation_graph_spark.operators.quality import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=50)
+
+
+# ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================
 # The driver samples registry entries in insertion order and caps at ~50

@@ -176,3 +176,48 @@ def mixture_sample(
         )
         .drop("_domain", "_rate")
     )
+
+
+def split_assign(
+    id_col: Column, train_pct: int = 80, val_pct: int = 10
+) -> Column:
+    """Deterministic train/val/test assignment: the salted keyed md5
+    draw ``('0x' || md5('split:' || id)[0:8]) % 100`` bucketed by the
+    two cut points.  A pure function of the id — stable under appends,
+    repartitioning, and engine (DuckDB replays the same expression);
+    the ``split:`` salt decorrelates it from ``mixture_draw``'s
+    unsalted stream so sampling and splitting are independent draws.
+    """
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(
+            f"split percentages must be >= 0 and sum <= 100, got "
+            f"train={train_pct} val={val_pct}"
+        )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), id_col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def train_val_split(
+    df: DataFrame, id_col: str, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """``(doc, split)`` for every row — the corpus partition a training
+    run consumes.  Zero shuffles: one whole-stage-codegen projection
+    (writers then route on the ``split`` column via partitionBy, which
+    is the one shuffle the SINK owns, not this operator)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        split_assign(F.col(id_col), train_pct, val_pct).alias("split"),
+    )

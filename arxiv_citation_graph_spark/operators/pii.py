@@ -1,0 +1,99 @@
+"""PII detection and redaction over text columns — the scrub pass a
+training-data pipeline runs before anything leaves the corpus
+(emails, phone numbers, IPv4 addresses).
+
+The reference engine has no PII stage (its corpus is arXiv TeX,
+`create_database.py:530-560` extracts bibliographies only); this is part
+of the beyond-reference training-data tier, alongside dedup and
+decontamination (SURVEY.md round-5 status).
+
+Regex dialect: every pattern below uses only the intersection of Java
+regex (Spark executors) and RE2 (the DuckDB oracle) — character
+classes, bounded repetition, ``\\b`` ASCII word boundaries,
+non-capturing groups.  No backreferences, no lookaround, no
+alternation whose leftmost-first vs leftmost-longest semantics could
+diverge.  Replacement ORDER is load-bearing and identical on both
+engines: EMAIL first (an address contains digit runs the other
+patterns could nibble), then IPV4 (dotted digit runs), then PHONE
+(requires a leading ``+`` so it cannot fire on years, ids, or the
+already-redacted tokens).  Replacement tokens contain no ``$`` or
+``\\`` so Java's group-reference rewrite syntax and RE2's ``\\1``
+rewrite syntax both treat them as literals.
+
+Plan shape at 100 TB: pure column expressions — three
+``regexp_count`` + three chained ``regexp_replace`` inside one
+whole-stage-codegen projection over the scan.  No shuffle, no UDF, no
+driver involvement; filters/projections above it still push down to
+the parquet/Iceberg scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Keep these three in sync with PII_ORACLE_* below (byte-identical
+# pattern strings — the oracle embeds them verbatim).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9][0-9\-. ]{6,16}[0-9]\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def pii_email_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(EMAIL_RE)).cast("long")
+
+
+def pii_ipv4_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(IPV4_RE)).cast("long")
+
+
+def pii_phone_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PHONE_RE)).cast("long")
+
+
+def redact_pii(text: Column) -> Column:
+    """Text with every email, IPv4, and ``+``-prefixed phone number
+    replaced by a typed token.  Order: email -> ipv4 -> phone (see
+    module docstring — the order is part of the contract)."""
+    step = F.regexp_replace(text, EMAIL_RE, EMAIL_TOKEN)
+    step = F.regexp_replace(step, IPV4_RE, IPV4_TOKEN)
+    return F.regexp_replace(step, PHONE_RE, PHONE_TOKEN)
+
+
+def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(doc, n_emails, n_ipv4, n_phones, redacted_md5)`` — per-doc PII
+    census plus a digest of the scrubbed text (the digest, not the text,
+    so the driver compare never ships payloads).
+
+    Counts are of the ORIGINAL text; the digest is of the redacted
+    text.  A doc with all-zero counts has ``redacted_md5 =
+    md5(original)`` by construction — the identity-scrub invariant the
+    pytest pins.
+    """
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        pii_email_count(text).alias("n_emails"),
+        pii_ipv4_count(text).alias("n_ipv4"),
+        pii_phone_count(text).alias("n_phones"),
+        F.md5(redact_pii(text)).alias("redacted_md5"),
+    )
+
+
+def pii_flagged_docs(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Docs containing ANY detectable PII: ``(doc, n_hits)`` — the drop /
+    review list.  Same single-projection plan plus one filter."""
+    text = F.col(text_col)
+    total = (
+        pii_email_count(text) + pii_ipv4_count(text) + pii_phone_count(text)
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), total.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )

@@ -61,6 +61,115 @@ def ngram_repetition_stats(
     )
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Self-contained corpus unigram language model: per-doc average
+    natural-log probability under add-one smoothing — the standard cheap
+    perplexity proxy a training pipeline uses to rank document quality
+    when no external LM is available (no model files, fully
+    deterministic, oracle-replayable).
+
+    ``logp(t) = ln((tf(t) + 1) / (N + V))`` where ``tf`` is the corpus
+    term frequency, ``N`` total tokens, ``V`` vocabulary size; output is
+    ``(doc, n_tokens, avg_logprob)`` with the average rounded to 6
+    decimals (the engine-wide float-parity convention — summation-order
+    and libm-ulp noise is ~1e-12 relative, far below the bucket).
+
+    Plan shape at 100 TB: (1) ``(doc, token) -> count`` aggregate whose
+    map-side partials absorb within-doc repetition before the shuffle;
+    (2) vocabulary rollup (one shuffle on token, partial-agg combined);
+    (3) a 1-row (N, V) aggregate crossJoined back (broadcast of one
+    row — the engine's established scalar-bounds pattern); (4) an
+    equi-join token -> tf (AQE skew-join splits the hot stopword keys;
+    the build side is one row per token) and a final doc rollup.  No
+    windows, no driver collect, no UDFs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    doc_tok = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("c").alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    logp = F.log(
+        (F.col("tf") + F.lit(1.0)) / (F.col("n_total") + F.col("v_size"))
+    )
+    return (
+        doc_tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * logp) / F.sum("c"), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def quality_band_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Docs whose heuristic quality score falls inside the corpus
+    ``[p_lo, p_hi]`` band — quantile-calibrated filtering (drop the
+    trash tail AND the suspiciously-perfect tail), the way production
+    corpus filters are tuned rather than hand-picking thresholds.
+
+    Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, the established spread_stats parity);
+    the two bounds are a 1-row aggregate crossJoined broadcast — no
+    driver collect.  Output ``(doc, quality)``.
+    """
+    from arxiv_citation_graph_spark.functions.texttools import quality_score
+
+    scored = df.select(
+        F.col(id_col).alias("doc"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    bounds = scored.agg(
+        F.expr(f"percentile(quality, {lo!r})").alias("_qlo"),
+        F.expr(f"percentile(quality, {hi!r})").alias("_qhi"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .filter(F.col("quality").between(F.col("_qlo"), F.col("_qhi")))
+        .select("doc", "quality")
+    )
+
+
+def top_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 50
+) -> DataFrame:
+    """Corpus-wide most frequent n-grams: ``(gram, cnt)``, top ``k`` by
+    (count desc, gram asc) — the boilerplate-discovery scan (frequent
+    n-grams ARE the site templates / license headers a corpus filter
+    wants to know about).
+
+    Deterministic: the gram itself is the tie-break, so equal-count
+    boundaries are stable across engines and partitionings.  Plan
+    shape: explode -> two-stage count aggregate (map-side partials) ->
+    global top-k, which Spark executes as TakeOrderedAndProject —
+    every task keeps only its local k, the driver merges k*P rows,
+    never a full sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grams = df.select(
+        F.explode(raw_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
 def repetition_flags(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,231 @@
+"""Round-5 second wave: PII scrub (operators/pii.py), corpus unigram-LM
+scoring / quantile quality band / top n-grams (operators/quality.py),
+and deterministic train/val/test splits (operators/packing.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+# --- PII ---------------------------------------------------------------------
+
+PII_ROWS = [
+    (0, "reach me at jane.doe+spam@mail.example.org thanks"),
+    (1, "server at 192.168.10.7 and backup 10.0.0.1 are down"),
+    (2, "call +1-555-0042 or +44 20 7946 0958 now"),
+    (3, "no pii here just plain prose about spark plans"),
+    (4, "mixed: bob@x.io from 172.16.254.3 dial +1 555 867 5309 ok"),
+]
+
+
+def test_pii_counts_and_redaction(spark):
+    from arxiv_citation_graph_spark.operators.pii import (
+        EMAIL_TOKEN,
+        IPV4_TOKEN,
+        PHONE_TOKEN,
+        pii_stats,
+        redact_pii,
+    )
+
+    docs = _docs(spark, PII_ROWS)
+    stats = {r.doc: r for r in pii_stats(docs, "doc_id", "text").collect()}
+    assert (stats[0].n_emails, stats[0].n_ipv4, stats[0].n_phones) == (1, 0, 0)
+    assert (stats[1].n_emails, stats[1].n_ipv4, stats[1].n_phones) == (0, 2, 0)
+    assert (stats[2].n_emails, stats[2].n_ipv4, stats[2].n_phones) == (0, 0, 2)
+    assert (stats[3].n_emails, stats[3].n_ipv4, stats[3].n_phones) == (0, 0, 0)
+    assert (stats[4].n_emails, stats[4].n_ipv4, stats[4].n_phones) == (1, 1, 1)
+
+    red = {
+        r.doc_id: r.red
+        for r in docs.select(
+            "doc_id", redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert red[0] == f"reach me at {EMAIL_TOKEN} thanks"
+    assert red[1] == f"server at {IPV4_TOKEN} and backup {IPV4_TOKEN} are down"
+    assert red[2] == f"call {PHONE_TOKEN} or {PHONE_TOKEN} now"
+    assert red[4] == f"mixed: {EMAIL_TOKEN} from {IPV4_TOKEN} dial {PHONE_TOKEN} ok"
+
+
+def test_pii_identity_scrub_invariant(spark):
+    """Docs with zero PII hits must have redacted_md5 == md5(original)."""
+    from arxiv_citation_graph_spark.operators.pii import pii_stats
+
+    docs = _docs(spark, PII_ROWS)
+    row = (
+        pii_stats(docs, "doc_id", "text").filter(F.col("doc") == 3).first()
+    )
+    expect = hashlib.md5(PII_ROWS[3][1].encode()).hexdigest()
+    assert row.redacted_md5 == expect
+
+
+def test_pii_flagged_docs(spark):
+    from arxiv_citation_graph_spark.operators.pii import pii_flagged_docs
+
+    docs = _docs(spark, PII_ROWS)
+    flagged = {
+        r.doc: r.n_hits
+        for r in pii_flagged_docs(docs, "doc_id", "text").collect()
+    }
+    assert flagged == {0: 1, 1: 2, 2: 2, 4: 3}
+
+
+def test_pii_patterns_in_sync_with_oracle():
+    """The oracle SQL in entry_queries embeds the pattern strings
+    verbatim; a drift between module and oracle would silently weaken
+    the driver check."""
+    from arxiv_citation_graph_spark import entry_queries as eq
+    from arxiv_citation_graph_spark.operators.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    assert eq._PII_EMAIL == EMAIL_RE
+    assert eq._PII_IPV4 == IPV4_RE
+    assert eq._PII_PHONE == PHONE_RE
+    sql = eq.oracle_sql()["pii_scrub"]
+    for pat in (EMAIL_RE, IPV4_RE, PHONE_RE):
+        assert pat in sql
+
+
+# --- unigram LM --------------------------------------------------------------
+
+
+def test_unigram_logprob_matches_hand_model(spark):
+    from arxiv_citation_graph_spark.operators.quality import unigram_logprob
+
+    rows = [
+        (0, "a a b"),
+        (1, "b c"),
+        (2, "a zzz"),
+    ]
+    docs = _docs(spark, rows)
+    got = {r.doc: r for r in unigram_logprob(docs, "doc_id", "text").collect()}
+
+    tf = {"a": 3, "b": 2, "c": 1, "zzz": 1}
+    n, v = sum(tf.values()), len(tf)
+
+    def logp(t):
+        return math.log((tf[t] + 1) / (n + v))
+
+    assert got[0].n_tokens == 3
+    assert got[0].avg_logprob == pytest.approx(
+        (2 * logp("a") + logp("b")) / 3, abs=1e-6
+    )
+    assert got[2].n_tokens == 2
+    assert got[2].avg_logprob == pytest.approx(
+        (logp("a") + logp("zzz")) / 2, abs=1e-6
+    )
+    # the rare-token doc must score strictly lower than the common-token doc
+    assert got[2].avg_logprob < got[0].avg_logprob
+
+
+def test_unigram_logprob_lowercases(spark):
+    from arxiv_citation_graph_spark.operators.quality import unigram_logprob
+
+    docs = _docs(spark, [(0, "Spark SPARK spark")])
+    row = unigram_logprob(docs, "doc_id", "text").first()
+    # one vocab entry (tf=3, N=3, V=1) -> logp = ln(4/4) = 0
+    assert row.n_tokens == 3
+    assert row.avg_logprob == pytest.approx(0.0, abs=1e-9)
+
+
+# --- quality band ------------------------------------------------------------
+
+
+def test_quality_band_filter_keeps_inner_band(spark):
+    from arxiv_citation_graph_spark.functions.texttools import quality_score
+    from arxiv_citation_graph_spark.operators.quality import quality_band_filter
+
+    rows = [(i, " ".join(["tok"] * (1 + 7 * i))) for i in range(20)]
+    docs = _docs(spark, rows)
+    scored = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    vals = sorted(scored.values())
+
+    def pct(p):
+        # linear-interpolation percentile (Spark `percentile` semantics)
+        idx = (len(vals) - 1) * p
+        lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+        return vals[lo] + (vals[hi] - vals[lo]) * (idx - lo)
+
+    qlo, qhi = pct(0.25), pct(0.75)
+    kept = {
+        r.doc
+        for r in quality_band_filter(
+            docs, "doc_id", "text", lo=0.25, hi=0.75
+        ).collect()
+    }
+    expect = {d for d, q in scored.items() if qlo <= q <= qhi}
+    assert kept == expect
+    assert 0 < len(kept) < len(rows)
+
+
+# --- splits ------------------------------------------------------------------
+
+
+def test_train_val_split_matches_manual_md5(spark):
+    from arxiv_citation_graph_spark.operators.packing import train_val_split
+
+    docs = _docs(spark, [(i, "x") for i in range(300)])
+    got = {r.doc: r.split for r in train_val_split(docs, "doc_id").collect()}
+    assert len(got) == 300
+    for i in (0, 7, 123, 299):
+        b = int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:8], 16) % 100
+        expect = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[i] == expect, i
+    # all three splits populated and roughly proportioned
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_split_assign_validates_percentages(spark):
+    from arxiv_citation_graph_spark.operators.packing import split_assign
+
+    with pytest.raises(ValueError, match="sum <= 100"):
+        split_assign(F.col("doc_id"), train_pct=95, val_pct=10)
+
+
+# --- top n-grams -------------------------------------------------------------
+
+
+def test_top_ngrams_rank_and_tiebreak(spark):
+    from arxiv_citation_graph_spark.operators.quality import top_ngrams
+
+    rows = [
+        (0, "x y z x y z x y z"),  # "x y z" appears 3x here
+        (1, "a b c d"),  # "a b c" and "b c d" once each
+        (2, "x y z q"),  # one more "x y z"
+    ]
+    docs = _docs(spark, rows)
+    got = [(r.gram, r.cnt) for r in top_ngrams(docs, "doc_id", "text", n=3, k=4).collect()]
+    assert got[0] == ("x y z", 4)
+    # ties (all cnt=1 grams) break ascending by gram text
+    tail = [g for g, c in got[1:] if c == 1]
+    assert tail == sorted(tail)
+    assert len(got) == 4
+
+
+def test_top_ngrams_validates_k(spark):
+    from arxiv_citation_graph_spark.operators.quality import top_ngrams
+
+    with pytest.raises(ValueError, match="k must be"):
+        top_ngrams(_docs(spark, [(0, "a b c")]), "doc_id", "text", k=0)
