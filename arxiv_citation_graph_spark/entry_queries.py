@@ -4608,6 +4608,75 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=50)
 
 
+def _salsa_unrolled_sql(iters: int) -> str:
+    """Unrolled SALSA on the bipartite graph: per full iteration
+    ``auth(j) = sum_{i->j} hub(i) * (1/outdeg(i))`` then
+    ``hub(i) = sum_{i->j} auth(j) * (1/indeg(j))`` — the same one-divide
+    one-multiply IEEE order ``plans/salsa.py`` computes (weights baked
+    into the adjacency), init hub uniform 1/n, auth 0."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_BIPARTITE_SQL})",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM edges "
+        "UNION SELECT dst_id FROM edges)",
+        "outd AS MATERIALIZED (SELECT src_id AS vertex, count(*) AS d "
+        "FROM edges GROUP BY src_id)",
+        "ind AS MATERIALIZED (SELECT dst_id AS vertex, count(*) AS d "
+        "FROM edges GROUP BY dst_id)",
+        "h0 AS MATERIALIZED (SELECT vertex, "
+        "1.0 / (SELECT count(*) FROM verts) AS h FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT v.vertex, coalesce(s.s, 0.0) AS a "
+            f"FROM verts v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, sum(h.h * (1.0 / o.d)) AS s "
+            f"FROM edges e JOIN h{p} h ON e.src_id = h.vertex "
+            f"JOIN outd o ON e.src_id = o.vertex GROUP BY e.dst_id"
+            f") s ON v.vertex = s.vertex)"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT v.vertex, coalesce(s.s, 0.0) AS h "
+            f"FROM verts v LEFT JOIN ("
+            f"SELECT e.src_id AS vertex, sum(a.a * (1.0 / i.d)) AS s "
+            f"FROM edges e JOIN a{k} a ON e.dst_id = a.vertex "
+            f"JOIN ind i ON e.dst_id = i.vertex GROUP BY e.src_id"
+            f") s ON v.vertex = s.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.vertex, round(h.h, 9) AS hub, round(a.a, 9) AS auth
+FROM h{iters} h JOIN a{iters} a ON h.vertex = a.vertex"""
+    )
+
+
+_SALSA_ITERS = 6
+
+
+@register("salsa_scores", _salsa_unrolled_sql(_SALSA_ITERS))
+def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hubs/authorities (degree-stochastic HITS), 6 full
+    iterations; 1/deg weights baked into the cached adjacency so each
+    superstep is one join + salted aggregation with no norm scalars
+    (plans/salsa.py)."""
+    from arxiv_citation_graph_spark.plans.salsa import salsa
+
+    result = salsa(
+        spark,
+        bipartite_edges(spark, sf_dir),
+        iterations=_SALSA_ITERS,
+        salt_buckets=8,
+        hot_degree_threshold=64,
+    )
+    return result.scores.select(
+        "vertex",
+        F.round("hub", 9).alias("hub"),
+        F.round("auth", 9).alias("auth"),
+    )
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

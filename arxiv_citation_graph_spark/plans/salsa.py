@@ -1,0 +1,222 @@
+"""SALSA (Stochastic Approach for Link-Structure Analysis; Lempel &
+Moran 2000) over the directed citation edge table.
+
+The random-walk sibling of HITS: authorities/hubs are the stationary
+distributions of alternating forward/backward walks, so each half-step
+is DEGREE-normalized (divide by outdeg when pushing hub mass forward,
+by indeg when pulling it back) instead of L2-normalized.  SALSA is what
+large link-graph systems actually deploy for related-item ranking
+(e.g. who-to-follow literature) because the degree normalization tames
+the hub-concentration pathology of raw HITS.
+
+Beyond-reference kernel for the link-graph tier mandated by
+``BASELINE.json`` (the reference never materializes a graph; SURVEY.md
+§1.1 "Implicit graph").
+
+Spark-first shape — strictly SIMPLER than ``plans/hits.py`` because the
+normalizers are static graph properties, not per-iteration scalars:
+
+- the 1/outdeg and 1/indeg weights are joined into the adjacency ONCE
+  and cached with it, each copy hash-partitioned on its half-step's
+  join key (forward on src_id, reverse on dst_id) — no per-superstep
+  norm aggregate, no carried scalar, no second pass;
+- each superstep is exactly one |E|-sized equi-join (score side moves,
+  |V| rows; the edge list never reshuffles) + the salted two-stage
+  aggregation (``plans/layout.salted_sum``) for hot-vertex skew;
+- convergence delta = L1 change of the hub vector between consecutive
+  hub refreshes, evaluated in the same action that snapshots state.
+
+Mass semantics (pinned by the oracle): hub mass at vertices with no
+out-edges simply drops out of the authority sum (a walk cannot leave
+them forward); symmetrically for in-edge-free vertices on the pull.
+No teleport, no renormalization — both engines compute the identical
+linear recurrence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import (
+    hot_vertices,
+    salted_sum,
+    vertices_of,
+)
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+_STATE_COLS = ("vertex", "hub", "auth", "hub_prev", "delta")
+
+
+@dataclass
+class SalsaResult:
+    scores: DataFrame  # (vertex, hub, auth)
+    report: SuperstepReport
+    num_vertices: int
+    num_edges: int
+
+
+def salsa(
+    spark: SparkSession,
+    edges: DataFrame,
+    iterations: int = 8,
+    tolerance: float | None = None,
+    salt_buckets: int = 16,
+    hot_degree_threshold: int | None = 1000,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_scores: bool | None = None,
+) -> SalsaResult:
+    """Run ``iterations`` full SALSA iterations (auth refresh then hub
+    refresh) over ``edges(src_id, dst_id)``; duplicate edges collapsed,
+    self-loops kept (the engine-wide edge conventions).
+
+    Init: ``hub = 1/n`` uniform, ``auth = 0``.  Each full iteration:
+    ``auth(j) = sum_{i->j} hub(i)/outdeg(i)`` then
+    ``hub(i) = sum_{i->j} auth(j)/indeg(j)``.
+    """
+    edges = edges.select("src_id", "dst_id").distinct()
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "vertex string, hub double, auth double")
+        return SalsaResult(empty, SuperstepReport(0, True), 0, 0)
+
+    parallelism = spark.sparkContext.defaultParallelism
+    outdeg = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("_d"))
+    indeg = edges.groupBy("dst_id").agg(F.count(F.lit(1)).alias("_d"))
+    # weights are static: bake them into the two cached adjacency
+    # copies, each partitioned on its half-step's join key, so a
+    # superstep moves only the |V|-sized score frame.
+    adj_fwd = (
+        edges.join(outdeg, "src_id")
+        .select("src_id", "dst_id", (F.lit(1.0) / F.col("_d")).alias("w"))
+        .repartition(parallelism, "src_id")
+        .cache()
+    )
+    adj_bwd = (
+        edges.join(indeg, "dst_id")
+        .select("src_id", "dst_id", (F.lit(1.0) / F.col("_d")).alias("w"))
+        .repartition(parallelism, "dst_id")
+        .cache()
+    )
+    eagg = adj_fwd.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ).first()
+    m = int(eagg["m"])
+    edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
+    adj_bwd.count()
+
+    hot_in = (
+        hot_vertices(edges, hot_degree_threshold, "in").cache()
+        if hot_degree_threshold is not None
+        else None
+    )
+    hot_out = (
+        hot_vertices(edges, hot_degree_threshold, "out").cache()
+        if hot_degree_threshold is not None
+        else None
+    )
+
+    if broadcast_scores is None:
+        broadcast_scores = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_scores else df
+
+    def _push(
+        state: DataFrame,
+        read_col: str,
+        write_col: str,
+        join_key: str,
+        group_key: str,
+        hot: DataFrame | None,
+    ) -> DataFrame:
+        adj = adj_fwd if join_key == "src_id" else adj_bwd
+        contribs = adj.join(
+            _mb(state.select("vertex", F.col(read_col).alias("_score"))),
+            F.col(join_key) == F.col("vertex"),
+        ).select(
+            F.col(group_key),
+            F.col(join_key),
+            (F.col("_score") * F.col("w")).alias("contrib"),
+        )
+        sums = salted_sum(
+            contribs,
+            key=group_key,
+            value="contrib",
+            salt_source=join_key,
+            alias="raw",
+            buckets=salt_buckets,
+            hot_keys=hot,
+        )
+        fresh = F.coalesce(F.col("raw"), F.lit(0.0))
+        if write_col == "auth":
+            new_cols = {
+                "hub": F.col("hub"),
+                "auth": fresh,
+                "hub_prev": F.col("hub_prev"),
+                "delta": F.lit(0.0),
+            }
+        else:
+            new_cols = {
+                "hub": fresh,
+                "auth": F.col("auth"),
+                "hub_prev": fresh,
+                # first hub refresh compares against the -1 sentinel and
+                # reports delta >= 1 (scores are non-negative), so a
+                # tolerance run never stops before doing work.
+                "delta": F.abs(fresh - F.col("hub_prev")),
+            }
+        return (
+            state.select("vertex", "hub", "auth", "hub_prev")
+            .join(sums, F.col("vertex") == F.col(group_key), "left")
+            .select("vertex", *(new_cols[c].alias(c) for c in _STATE_COLS[1:]))
+        )
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        if i % 2 == 0:  # auth refresh: push hub mass forward src -> dst
+            new = _push(state, "hub", "auth", "src_id", "dst_id", hot_in)
+        else:  # hub refresh: pull auth mass back dst -> src
+            new = _push(state, "auth", "hub", "dst_id", "src_id", hot_out)
+        return new, {"delta": F.sum("delta")}
+
+    initial = vertices.select(
+        "vertex",
+        F.lit(1.0 / n).alias("hub"),
+        F.lit(0.0).alias("auth"),
+        F.lit(-1.0).alias("hub_prev"),
+        F.lit(0.0).alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=2 * iterations,
+            tolerance=tolerance,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n,
+                "n_edges": m,
+                "edge_fp": edge_fp,
+                "kernel": "salsa",
+            },
+        )
+        scores = final.select("vertex", "hub", "auth")
+    finally:
+        adj_fwd.unpersist()
+        adj_bwd.unpersist()
+        vertices.unpersist()
+        for h in (hot_in, hot_out):
+            if h is not None:
+                h.unpersist()
+    return SalsaResult(scores, report, n, m)

@@ -1,0 +1,96 @@
+"""SALSA (plans/salsa.py) vs a hand-rolled reference implementation,
+plus closed-form fixed-point invariants on cycle and star graphs."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+EDGE_SCHEMA = "src_id string, dst_id string"
+
+
+def _ref_salsa(edges, iters):
+    verts = sorted({u for e in edges for u in e})
+    out = Counter(u for u, v in edges)
+    ind = Counter(v for u, v in edges)
+    hub = {v: 1.0 / len(verts) for v in verts}
+    auth = {v: 0.0 for v in verts}
+    for _ in range(iters):
+        auth = {v: 0.0 for v in verts}
+        for u, v in edges:
+            auth[v] += hub[u] * (1.0 / out[u])
+        hub = {v: 0.0 for v in verts}
+        for u, v in edges:
+            hub[u] += auth[v] * (1.0 / ind[v])
+    return hub, auth
+
+
+def _run(spark, edges, **kw):
+    from arxiv_citation_graph_spark.plans.salsa import salsa
+
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    return salsa(spark, df, **kw)
+
+
+def test_salsa_matches_reference_on_irregular_graph(spark):
+    edges = [
+        ("a", "x"), ("a", "y"), ("a", "z"),
+        ("b", "x"), ("b", "y"),
+        ("c", "y"), ("c", "w"),
+        ("d", "w"),
+        ("x", "a"),  # back edge: x is both hub and authority
+    ]
+    res = _run(spark, edges, iterations=5, salt_buckets=4,
+               hot_degree_threshold=2)
+    hub_ref, auth_ref = _ref_salsa(edges, 5)
+    got = {r.vertex: (r.hub, r.auth) for r in res.scores.collect()}
+    assert set(got) == set(hub_ref)
+    for v in hub_ref:
+        assert got[v][0] == pytest.approx(hub_ref[v], abs=1e-12), v
+        assert got[v][1] == pytest.approx(auth_ref[v], abs=1e-12), v
+    assert res.num_edges == len(set(edges))
+
+
+def test_salsa_cycle_is_uniform_fixed_point(spark):
+    n = 6
+    edges = [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)]
+    res = _run(spark, edges, iterations=4)
+    for r in res.scores.collect():
+        assert r.hub == pytest.approx(1.0 / n, abs=1e-12)
+        assert r.auth == pytest.approx(1.0 / n, abs=1e-12)
+
+
+def test_salsa_star_fixed_point(spark):
+    """center -> k leaves: hub(center) = 1/n every iteration (the pull
+    returns exactly what the push distributed); auth(leaf) = 1/(n*k)."""
+    k = 5
+    n = k + 1
+    edges = [("hub", f"leaf{i}") for i in range(k)]
+    res = _run(spark, edges, iterations=3)
+    got = {r.vertex: r for r in res.scores.collect()}
+    assert got["hub"].hub == pytest.approx(1.0 / n, abs=1e-12)
+    assert got["hub"].auth == 0.0
+    for i in range(k):
+        leaf = got[f"leaf{i}"]
+        assert leaf.auth == pytest.approx(1.0 / (n * k), abs=1e-12)
+        assert leaf.hub == 0.0
+
+
+def test_salsa_tolerance_stops_at_fixed_point(spark):
+    n = 6
+    edges = [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)]
+    res = _run(spark, edges, iterations=10, tolerance=1e-12)
+    # cycle hits its fixed point immediately: the second hub refresh
+    # reproduces the first, so the run converges long before 20 steps
+    assert res.report.converged
+    assert res.report.iterations < 20
+
+
+def test_salsa_empty_graph(spark):
+    from arxiv_citation_graph_spark.plans.salsa import salsa
+
+    empty = spark.createDataFrame([], EDGE_SCHEMA)
+    res = salsa(spark, empty, iterations=2)
+    assert res.scores.count() == 0
+    assert res.num_vertices == 0
