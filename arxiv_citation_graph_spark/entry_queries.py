@@ -4608,6 +4608,41 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=50)
 
 
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    dt AS (SELECT doc, term, COUNT(*) AS c FROM toks GROUP BY doc, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+    nd AS (SELECT COUNT(DISTINCT doc) AS n_docs FROM dt),
+    scored AS (
+      SELECT doc, term,
+             ROUND(c * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM dt JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc AS doc_id, term, tfidf
+    FROM (SELECT doc, term, tfidf,
+                 row_number() OVER (PARTITION BY doc
+                                    ORDER BY tfidf DESC, term ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords; rank on the rounded score so an
+    engine-side ln ulp can never flip the cut (operators/quality.py)."""
+    from arxiv_citation_graph_spark.operators.quality import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    ).withColumnRenamed("doc", "doc_id")
+
+
 def _salsa_unrolled_sql(iters: int) -> str:
     """Unrolled SALSA on the bipartite graph: per full iteration
     ``auth(j) = sum_{i->j} hub(i) * (1/outdeg(i))`` then

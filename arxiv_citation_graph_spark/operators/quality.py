@@ -170,6 +170,64 @@ def top_ngrams(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-doc top-``k`` TF-IDF terms: ``(doc, term, tfidf)`` — the
+    classic keyword/topic signal a corpus pipeline attaches for routing,
+    clustering labels, and search.  ``tfidf = c * ln(D / df)`` with raw
+    within-doc count ``c``, document frequency ``df``, corpus size
+    ``D``.
+
+    Ranking is on the ROUNDED score (6 decimals) with the term string
+    as tie-break: mathematically-equal scores reached along different
+    float paths (e.g. ``2*ln(10)`` vs ``ln(100)``) can differ by an ulp
+    between engines, and an unrounded ORDER BY would let that ulp flip
+    which term makes the cut — rounding first makes the comparison
+    engine-stable, the tie-break makes it total.
+
+    Plan shape at 100 TB: the same ``(doc, token) -> count`` /
+    ``token -> df`` aggregates as ``unigram_logprob`` (one shuffle
+    each, map-side partials), a 1-row corpus-size broadcast crossJoin,
+    then a ``row_number`` window PARTITIONED BY doc — per-doc frames,
+    never a global window.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    dt = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = dt.select("doc").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        dt.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc",
+            "term",
+            F.round(
+                F.col("c")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def repetition_flags(
     df: DataFrame,
     id_col: str,

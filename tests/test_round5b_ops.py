@@ -229,3 +229,42 @@ def test_top_ngrams_validates_k(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         top_ngrams(_docs(spark, [(0, "a b c")]), "doc_id", "text", k=0)
+
+
+# --- TF-IDF ------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_matches_hand_model(spark):
+    import math
+
+    from arxiv_citation_graph_spark.operators.quality import tfidf_top_terms
+
+    rows = [
+        (0, "apple apple banana common"),
+        (1, "banana cherry common"),
+        (2, "cherry common common"),
+    ]
+    docs = _docs(spark, rows)
+    got = {}
+    for r in tfidf_top_terms(docs, "doc_id", "text", k=2).collect():
+        got.setdefault(r.doc, []).append((r.term, r.tfidf))
+    # df: apple 1, banana 2, cherry 2, common 3; D = 3
+    def tfidf(c, df):
+        return round(c * math.log(3.0 / df), 6)
+
+    # doc 0: apple c=2 df=1 -> 2*ln3 top; banana c=1 df=2 beats common (ln1=0)
+    assert got[0] == [
+        ("apple", pytest.approx(tfidf(2, 1), abs=1e-9)),
+        ("banana", pytest.approx(tfidf(1, 2), abs=1e-9)),
+    ]
+    # doc 1: banana/cherry tie exactly (c=1, df=2) -> term asc tie-break
+    assert [t for t, _ in got[1]] == ["banana", "cherry"]
+    # every doc emits at most k rows
+    assert all(len(v) <= 2 for v in got.values())
+
+
+def test_tfidf_validates_k(spark):
+    from arxiv_citation_graph_spark.operators.quality import tfidf_top_terms
+
+    with pytest.raises(ValueError, match="k must be"):
+        tfidf_top_terms(_docs(spark, [(0, "a")]), "doc_id", "text", k=0)
