@@ -4643,6 +4643,46 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("doc", "doc_id")
 
 
+@register(
+    "embedding_contamination",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id + 500000 AS eval_id,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01) AS v
+          FROM embeddings WHERE vec_id % 40 = 0)
+    SELECT c.vec_id AS doc, q.eval_id,
+           round(list_dot_product(c.v, q.v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+    FROM c, q
+    WHERE round(list_dot_product(c.v, q.v)
+                / (sqrt(list_dot_product(c.v, c.v))
+                   * sqrt(list_dot_product(q.v, q.v))), 6) >= 0.95
+    """,
+)
+def q_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: eval set = every 40th corpus
+    vector scaled by 1.01 (cosine exactly 1 with its source; every
+    natural cross-pair in this fixture is < 0.52), broadcast-exact
+    method — one corpus scan, no shuffle
+    (operators/simsearch.py::embedding_contamination)."""
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        embedding_contamination,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    eval_set = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    return embedding_contamination(
+        emb, eval_set, threshold=0.95, method="broadcast"
+    )
+
+
 def _salsa_unrolled_sql(iters: int) -> str:
     """Unrolled SALSA on the bipartite graph: per full iteration
     ``auth(j) = sum_{i->j} hub(i) * (1/outdeg(i))`` then

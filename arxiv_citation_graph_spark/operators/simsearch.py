@@ -423,3 +423,89 @@ def centroid_per_label(
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"))
         .select("label", F.col("dim").cast("int").alias("dim"), "centroid_v")
     )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    threshold: float = 0.9,
+    method: str = "broadcast",
+    dims: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    max_eval_broadcast: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: ``(doc, eval_id,
+    cos_sim)`` for every corpus vector within ``threshold`` cosine of
+    ANY eval-set vector — the semantic sibling of the n-gram
+    ``contamination_flags`` (paraphrased eval questions share no
+    shingles but sit next to the original in embedding space).
+
+    ``method='broadcast'`` (default, exact): the eval set is
+    benchmark-sized by definition, so it broadcasts and the corpus is
+    scanned ONCE with no shuffle — |corpus| x |eval| dot products,
+    embarrassingly parallel, the plan you want at 100 TB.  Guarded by
+    ``max_eval_broadcast`` (a limit+count probe, never a full count)
+    the same way ``brute_force_topk`` guards its query side.
+
+    ``method='lsh'``: hyperplane-signature equi-join + exact-cosine
+    verify (recall < 1 by design) for the rare huge-eval case where the
+    broadcast does not fit.
+    """
+    eid = eval_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("cv"))
+    q = eval_set.select(
+        F.col(eid).alias("eval_id"), F.col(vec_col).alias("qv")
+    )
+    if method == "broadcast":
+        n = q.limit(max_eval_broadcast + 1).count()
+        if n > max_eval_broadcast:
+            raise ValueError(
+                f"embedding_contamination(method='broadcast') eval set "
+                f"exceeds {max_eval_broadcast} rows — use method='lsh'."
+            )
+        pairs = c.crossJoin(F.broadcast(q))
+    elif method == "lsh":
+        if dims is None:
+            sample = eval_set.select(vec_col).limit(1).collect()
+            if not sample:
+                id_type = corpus.schema[id_col].dataType.simpleString()
+                e_type = eval_set.schema[eid].dataType.simpleString()
+                return corpus.sparkSession.createDataFrame(
+                    [], f"doc {id_type}, eval_id {e_type}, cos_sim double"
+                )
+            dims = len(sample[0][0])
+
+        def banded(df, id_alias, v_alias):
+            return df.select(
+                id_alias,
+                v_alias,
+                F.posexplode(
+                    F.array(
+                        *[
+                            hyperplane_signature(
+                                F.col(v_alias), dims, n_planes,
+                                plane_offset=t * n_planes,
+                            )
+                            for t in range(n_tables)
+                        ]
+                    )
+                ).alias("band", "key"),
+            )
+
+        pairs = (
+            banded(c, "doc", "cv")
+            .join(banded(q, "eval_id", "qv"), ["band", "key"])
+            .select("doc", "eval_id", "cv", "qv")
+            .dropDuplicates(["doc", "eval_id"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'broadcast' or 'lsh')")
+    return pairs.select(
+        "doc",
+        "eval_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -268,3 +268,80 @@ def test_tfidf_validates_k(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         tfidf_top_terms(_docs(spark, [(0, "a")]), "doc_id", "text", k=0)
+
+
+# --- embedding contamination ---------------------------------------------------
+
+
+EMB_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, EMB_SCHEMA)
+
+
+def test_embedding_contamination_broadcast_exact(spark):
+    import math
+
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        embedding_contamination,
+    )
+
+    corpus = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+        ],
+    )
+    eval_set = _emb(spark, [(100, [2.0, 0.0, 0.0])])  # scaled copy of doc 0
+    got = {
+        (r.doc, r.eval_id): r.cos_sim
+        for r in embedding_contamination(
+            corpus, eval_set, threshold=0.9
+        ).collect()
+    }
+    # doc 0 exact (cos 1.0); doc 2 at cos 0.9/|v| ~ 0.9939; doc 1 orthogonal
+    assert got[(0, 100)] == pytest.approx(1.0, abs=1e-9)
+    c2 = 0.9 / math.sqrt(0.81 + 0.01)
+    assert got[(2, 100)] == pytest.approx(round(c2, 6), abs=1e-9)
+    assert (1, 100) not in got
+
+
+def test_embedding_contamination_lsh_catches_planted_copy(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        embedding_contamination,
+    )
+
+    corpus = _emb(spark, [(i, [float(i + 1), float(i % 3), 1.0, 0.5]) for i in range(20)])
+    eval_set = _emb(spark, [(900, [5.0 * 1.02, (4 % 3) * 1.02, 1.02, 0.51])])
+    got = embedding_contamination(
+        corpus, eval_set, threshold=0.999, method="lsh", n_planes=6, n_tables=4
+    ).collect()
+    # the scaled copy of doc 4 must surface (identical signatures in every table)
+    assert any(r.doc == 4 and r.eval_id == 900 for r in got)
+
+
+def test_embedding_contamination_guards_huge_eval(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        embedding_contamination,
+    )
+
+    corpus = _emb(spark, [(0, [1.0, 0.0])])
+    eval_set = _emb(spark, [(i, [1.0, 0.0]) for i in range(5)])
+    with pytest.raises(ValueError, match="exceeds 2 rows"):
+        embedding_contamination(
+            corpus, eval_set, max_eval_broadcast=2
+        ).collect()
+
+
+def test_embedding_contamination_empty_eval_lsh(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        embedding_contamination,
+    )
+
+    corpus = _emb(spark, [(0, [1.0, 0.0])])
+    eval_set = _emb(spark, [])
+    out = embedding_contamination(corpus, eval_set, method="lsh")
+    assert out.count() == 0
