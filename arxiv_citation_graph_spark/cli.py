@@ -7,8 +7,9 @@ Ship the package as a zip and drive any stage of the pipeline:
         -- arxiv_citation_graph_spark/cli.py extract \
         --docs /path/docs_parquet --out /path/warehouse
 
-Subcommands: extract | pagerank | cc | lpa | triangles | hits | kcore |
-bfs | walks | bench-corpus.
+Subcommands: extract | pagerank | cc | lpa | triangles | hits | salsa |
+kcore | bfs | walks | betweenness | sample | dedup | decontaminate |
+scrub | split | ingest | bench-corpus.
 Every graph command reads ``edges`` from the warehouse catalog (or a
 parquet path), runs to convergence with checkpoint/resume, and commits
 results + superstep metrics back to the warehouse.
@@ -32,16 +33,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--extended", action="store_true", help="also write reference_tree-style table")
 
     for name in (
-        "pagerank", "cc", "lpa", "triangles", "hits", "kcore", "bfs", "walks",
-        "betweenness",
+        "pagerank", "cc", "lpa", "triangles", "hits", "salsa", "kcore", "bfs",
+        "walks", "betweenness",
     ):
         p = sub.add_parser(name)
         p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
         p.add_argument("--out", required=True, help="warehouse root")
-        # hits counts FULL iterations via --iterations; walks' superstep
-        # count IS the walk length (--length) — a --max-iterations flag on
-        # either would be silently ignored, so don't register it
-        if name not in ("hits", "walks"):
+        # hits/salsa count FULL iterations via --iterations; walks'
+        # superstep count IS the walk length (--length) — a
+        # --max-iterations flag on these would be silently ignored, so
+        # don't register it
+        if name not in ("hits", "salsa", "walks"):
             p.add_argument("--max-iterations", type=int, default=100)
         p.add_argument("--resume", action="store_true")
         if name == "pagerank":
@@ -61,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
                 "warehouse table — seeds the iteration (changed-graph daily-"
                 "append mode; incompatible with --resume)",
             )
-        if name == "hits":
+        if name in ("hits", "salsa"):
             p.add_argument("--iterations", type=int, default=20)
             p.add_argument("--tolerance", type=float, default=1e-8)
         if name == "kcore":
@@ -167,6 +169,30 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shingle-k", type=int, default=3)
 
     p = sub.add_parser(
+        "scrub",
+        help="PII census + redaction over a docs corpus (emails, IPv4, "
+        "phone numbers) -> pii_stats table, optionally a redacted corpus",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument(
+        "--write-redacted", action="store_true",
+        help="also commit the corpus with the text column redacted in place",
+    )
+
+    p = sub.add_parser(
+        "split",
+        help="deterministic md5-keyed train/val/test assignment -> splits table",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--train-pct", type=int, default=80)
+    p.add_argument("--val-pct", type=int, default=10)
+
+    p = sub.add_parser(
         "ingest",
         help="drain new docs files (streaming file source, AvailableNow) "
         "into snapshot-per-batch edge commits; idempotent and incremental",
@@ -252,6 +278,44 @@ def main(argv: list[str] | None = None) -> int:
                 "dedup_corpus", docs.join(keepers, args.id_col, "left_semi")
             )
         print(f"dedup: {n_docs} docs -> {n_clusters} clusters")
+        return 0
+
+    if args.cmd == "scrub":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.operators.pii import pii_stats, redact_pii
+
+        docs = spark.read.parquet(args.docs)
+        stats = pii_stats(docs, args.id_col, args.text_col)
+        catalog.create_or_replace("pii_stats", stats)
+        n_flagged = stats.filter(
+            (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")) > 0
+        ).count()
+        if args.write_redacted:
+            redacted = docs.withColumn(
+                args.text_col, redact_pii(F.col(args.text_col))
+            )
+            catalog.create_or_replace("redacted_corpus", redacted)
+        print(f"scrub: {n_flagged} doc(s) with PII hits")
+        return 0
+
+    if args.cmd == "split":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.operators.packing import train_val_split
+
+        docs = spark.read.parquet(args.docs)
+        splits = train_val_split(
+            docs, args.id_col, train_pct=args.train_pct, val_pct=args.val_pct
+        )
+        catalog.create_or_replace("splits", splits)
+        counts = {
+            r.split: r.n
+            for r in splits.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(f"split: {counts}")
         return 0
 
     if args.cmd == "decontaminate":
@@ -455,6 +519,18 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"hits: {hresult.num_vertices} vertices, "
             f"{hresult.report.iterations} supersteps, converged={hresult.report.converged}"
+        )
+    elif args.cmd == "salsa":
+        from arxiv_citation_graph_spark.plans.salsa import salsa
+
+        sares = salsa(
+            spark, edges, iterations=args.iterations, tolerance=args.tolerance,
+            store=store, resume=args.resume,
+        )
+        catalog.create_or_replace("salsa_scores", sares.scores)
+        print(
+            f"salsa: {sares.num_vertices} vertices, "
+            f"{sares.report.iterations} supersteps, converged={sares.report.converged}"
         )
     elif args.cmd == "kcore":
         from arxiv_citation_graph_spark.plans.kcore import kcore

@@ -345,3 +345,49 @@ def test_embedding_contamination_empty_eval_lsh(spark):
     eval_set = _emb(spark, [])
     out = embedding_contamination(corpus, eval_set, method="lsh")
     assert out.count() == 0
+
+
+# --- CLI: scrub / split / salsa ------------------------------------------------
+
+
+def test_cli_scrub_split_salsa(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+
+    wh = str(tmp_path / "wh")
+    docs_path = str(tmp_path / "docs")
+    _docs(spark, PII_ROWS).write.parquet(docs_path)
+
+    assert cli.main([
+        "scrub", "--docs", docs_path, "--out", wh, "--write-redacted",
+    ]) == 0
+    cat = SnapshotCatalog(wh)
+    stats = cat.read(spark, "pii_stats")
+    assert stats.count() == len(PII_ROWS)
+    red = cat.read(spark, "redacted_corpus")
+    joined = {r.doc_id: r.text for r in red.collect()}
+    assert "<EMAIL>" in joined[0] and "@" not in joined[0]
+
+    assert cli.main([
+        "split", "--docs", docs_path, "--out", wh,
+        "--train-pct", "60", "--val-pct", "20",
+    ]) == 0
+    splits = cat.read(spark, "splits")
+    assert splits.count() == len(PII_ROWS)
+    assert set(splits.columns) == {"doc", "split"}
+
+    edges_path = str(tmp_path / "edges")
+    n = 6
+    spark.createDataFrame(
+        [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)], "src_id string, dst_id string"
+    ).write.parquet(edges_path)
+    assert cli.main([
+        "salsa", "--edges", edges_path, "--out", wh, "--iterations", "3",
+    ]) == 0
+    scores = cat.read(spark, "salsa_scores")
+    assert scores.columns == ["vertex", "hub", "auth"]
+    got = {r.vertex: r.hub for r in scores.collect()}
+    assert all(abs(h - 1.0 / n) < 1e-12 for h in got.values())
