@@ -4683,6 +4683,39 @@ def q_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "substring_dup_pairs",
+    r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS shingle
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+            FROM documents)
+    ),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64)
+    SELECT x.doc AS doc_a, y.doc AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_runs
+    FROM (SELECT * FROM sh SEMI JOIN rare USING (shingle)) x
+    JOIN (SELECT * FROM sh SEMI JOIN rare USING (shingle)) y USING (shingle)
+    WHERE x.doc < y.doc
+    GROUP BY x.doc, y.doc
+    """,
+)
+def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup pairs: docs sharing >= 1 distinct 4-token
+    run (df-capped at 64 so boilerplate shingles cannot quadratically
+    pair everything; operators/dedup.py::substring_dup_pairs)."""
+    from arxiv_citation_graph_spark.operators.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        run_len=4, min_runs=1, max_shingle_df=64,
+    )
+
+
 def _salsa_unrolled_sql(iters: int) -> str:
     """Unrolled SALSA on the bipartite graph: per full iteration
     ``auth(j) = sum_{i->j} hub(i) * (1/outdeg(i))`` then

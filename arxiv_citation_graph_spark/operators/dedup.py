@@ -389,6 +389,55 @@ def contamination_flags(
     )
 
 
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    run_len: int = 8,
+    min_runs: int = 1,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact-substring dedup signal: ``(doc_a, doc_b, n_shared_runs)``
+    for pairs sharing ``>= min_runs`` distinct ``run_len``-token
+    shingles — any shared shingle witnesses a common substring of at
+    least ``run_len`` tokens, the Lee-et-al-style "deduplicating
+    training data" criterion (copied passages, license boilerplate,
+    quoted templates) that Jaccard-style whole-doc similarity misses
+    when the rest of the two documents differ.
+
+    Same plan spine as ``ngram_jaccard_pairs``: explode distinct
+    shingles, drop shingles with document frequency above
+    ``max_shingle_df`` (boilerplate so common it pairs everything —
+    the df-cap bounds the self-join at |df|^2 per shingle), self-join
+    on the shingle string (exact, no hash collisions), count distinct
+    shared shingles per ordered pair.
+    """
+    if run_len < 1:
+        raise ValueError(f"run_len must be >= 1, got {run_len}")
+    if min_runs < 1:
+        raise ValueError(f"min_runs must be >= 1, got {min_runs}")
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), run_len)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle", "left_semi")
+    return (
+        exploded.alias("x")
+        .join(exploded.alias("y"), "shingle")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_runs"))
+        .filter(F.col("n_shared_runs") >= min_runs)
+    )
+
+
 def simhash(text: Column, bits: int = 16, shingle_k: int = 1) -> Column:
     """Sign-sum simhash over token hashes (bits kept small so the DuckDB
     oracle can unroll them; production would use 64)."""

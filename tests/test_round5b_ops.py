@@ -391,3 +391,53 @@ def test_cli_scrub_split_salsa(spark, tmp_path, monkeypatch):
     assert scores.columns == ["vertex", "hub", "auth"]
     got = {r.vertex: r.hub for r in scores.collect()}
     assert all(abs(h - 1.0 / n) < 1e-12 for h in got.values())
+
+
+# --- exact-substring dedup pairs ------------------------------------------------
+
+
+def test_substring_dup_pairs_planted_run(spark):
+    from arxiv_citation_graph_spark.operators.dedup import substring_dup_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8-token run
+    rows = [
+        (0, f"intro words {shared} tail zero"),
+        (1, f"other opening {shared} different ending"),
+        (2, "no overlap here at all with anything else whatsoever"),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared_runs
+        for r in substring_dup_pairs(
+            docs, "doc_id", "text", run_len=8, min_runs=1
+        ).collect()
+    }
+    # the 8-token shared run yields exactly ONE shared 8-shingle
+    assert got == {(0, 1): 1}
+
+
+def test_substring_dup_pairs_df_cap_drops_boilerplate(spark):
+    from arxiv_citation_graph_spark.operators.dedup import substring_dup_pairs
+
+    boiler = "this license text appears in every single document verbatim"
+    rows = [(i, f"{boiler} unique{i} word{i}") for i in range(5)]
+    docs = _docs(spark, rows)
+    capped = substring_dup_pairs(
+        docs, "doc_id", "text", run_len=4, max_shingle_df=3
+    ).collect()
+    # every shared shingle has df=5 > cap -> no pairs survive
+    assert capped == []
+    uncapped = substring_dup_pairs(
+        docs, "doc_id", "text", run_len=4, max_shingle_df=None
+    ).collect()
+    assert len(uncapped) == 10  # all C(5,2) pairs share the boilerplate
+
+
+def test_substring_dup_pairs_validates(spark):
+    from arxiv_citation_graph_spark.operators.dedup import substring_dup_pairs
+
+    docs = _docs(spark, [(0, "a b c")])
+    with pytest.raises(ValueError, match="run_len"):
+        substring_dup_pairs(docs, "doc_id", "text", run_len=0)
+    with pytest.raises(ValueError, match="min_runs"):
+        substring_dup_pairs(docs, "doc_id", "text", min_runs=0)
