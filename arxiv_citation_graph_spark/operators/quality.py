@@ -87,8 +87,22 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
-    doc_tok = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("c"))
-    vocab = doc_tok.groupBy("tok").agg(F.sum("c").alias("tf"))
+    # doc_tok feeds the vocabulary rollup AND the scoring join; vocab
+    # feeds the totals AND the same join — without truncation the corpus
+    # scan + explode + (doc, token) aggregate would execute three times
+    # (verified in PLANS.md).  Checkpoint each once (the pipeline.py
+    # multi-consumer convention); at 100 TB one materialized (doc,
+    # token, count) frame is far cheaper than two extra corpus passes.
+    doc_tok = (
+        toks.groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        doc_tok.groupBy("tok")
+        .agg(F.sum("c").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     totals = vocab.agg(
         F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("v_size")
     )
@@ -200,7 +214,14 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
-    dt = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("c"))
+    # dt feeds dfreq, the corpus-size count, and the scoring join —
+    # checkpoint once so the explode+aggregate runs once (see
+    # unigram_logprob; same three-consumer shape)
+    dt = (
+        toks.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = dt.select("doc").distinct().agg(
         F.count(F.lit(1)).alias("n_docs")

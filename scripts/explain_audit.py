@@ -731,6 +731,114 @@ def main() -> None:
         )
     )
 
+    # ---- round-5 second wave: PII / LM scoring / splits / substring dedup --
+
+    from arxiv_citation_graph_spark.operators.pii import pii_stats
+
+    pii_plan = plan_of(pii_stats(docs_tbl, "doc_id", "text"))
+    sections.append(
+        (
+            "PII census + redaction digest (zero-shuffle projection)",
+            "Three regexp_count + three chained regexp_replace inside ONE "
+            "whole-stage-codegen projection over the pruned scan — no "
+            "Exchange, no UDF, no driver involvement.  "
+            f"[{exchange_count(pii_plan)}]",
+            condense(pii_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.quality import (
+        tfidf_top_terms,
+        top_ngrams,
+        unigram_logprob,
+    )
+
+    ul_plan = plan_of(unigram_logprob(docs_tbl, "doc_id", "text"))
+    sections.append(
+        (
+            "Unigram-LM scoring (corpus LM with broadcast totals)",
+            "(doc, token) counts and the vocabulary rollup both combine "
+            "map-side before their Exchanges; the corpus (N, V) totals are "
+            "a 1-row aggregate crossJoined as a BroadcastExchange; the "
+            "token->tf equi-join is AQE-skew-splittable (build side is one "
+            "row per token).  doc_tok and vocab are lazily checkpointed for "
+            "their multiple consumers — without truncation the corpus scan "
+            "+ explode + aggregate executed THREE times (9 Exchanges before "
+            "the fix).  "
+            f"[{exchange_count(ul_plan)}]",
+            condense(ul_plan, KEEP),
+        )
+    )
+
+    tn_plan = plan_of(top_ngrams(docs_tbl, "doc_id", "text", n=3, k=50))
+    sections.append(
+        (
+            "Corpus top-k n-grams (TakeOrderedAndProject)",
+            "Two-stage count aggregate then global top-k as "
+            "TakeOrderedAndProject — each task keeps its local k, the "
+            "driver merges k*P rows; a full Sort never materializes.  "
+            f"[{exchange_count(tn_plan)}]",
+            condense(tn_plan, KEEP),
+        )
+    )
+
+    tf_plan = plan_of(tfidf_top_terms(docs_tbl, "doc_id", "text", k=3))
+    sections.append(
+        (
+            "TF-IDF top terms (per-doc window, never global)",
+            "Same aggregate spine as the unigram LM plus a row_number "
+            "window PARTITIONED BY doc — per-doc frames; the rounded-score "
+            "ordering makes the cut engine-stable; dt checkpointed once "
+            "for its three consumers.  "
+            f"[{exchange_count(tf_plan)}]",
+            condense(tf_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.dedup import substring_dup_pairs
+
+    sd_plan = plan_of(
+        substring_dup_pairs(docs_tbl, "doc_id", "text", run_len=4, max_shingle_df=64)
+    )
+    sections.append(
+        (
+            "Exact-substring dedup pairs (df-capped shingle self-join)",
+            "Distinct run_len-shingle explode, document-frequency cap as an "
+            "in-plan left-semi join (boilerplate shingles never reach the "
+            "self-join), exact string equi-join bounded at df^2 per "
+            "shingle, two-stage pair count.  "
+            f"[{exchange_count(sd_plan)}]",
+            condense(sd_plan, KEEP + ("LeftSemi",)),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        embedding_contamination,
+    )
+
+    emb_tbl = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ec_plan = plan_of(
+        embedding_contamination(
+            emb_tbl,
+            emb_tbl.filter(F.col("vec_id") % 40 == 0),
+            threshold=0.95,
+        )
+    )
+    sections.append(
+        (
+            "Embedding decontamination (broadcast eval, one corpus scan)",
+            "The benchmark-sized eval set broadcasts (BroadcastNestedLoop "
+            "over the corpus scan): |corpus| x |eval| dot products with "
+            "ZERO shuffle of the corpus side — embarrassingly parallel at "
+            "100 TB.  "
+            f"[{exchange_count(ec_plan)}]",
+            condense(ec_plan, KEEP + ("BroadcastNestedLoop",)),
+        )
+    )
+
     from arxiv_citation_graph_spark.sources.bucketed import read_bucketed, write_bucketed
 
     old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
