@@ -520,6 +520,47 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_agg",
+    """
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value
+      FROM events
+    ),
+    rep AS (
+      SELECT es - (es % 1800) AS w, event_type, value FROM ev
+      UNION ALL
+      SELECT es - (es % 1800) - 1800 AS w, event_type, value FROM ev
+    )
+    SELECT w AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM rep GROUP BY 1, 2
+    """,
+)
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m event-time window (the OVERLAPPING-window batch
+    shape of the streaming agg — each event lands in exactly two
+    windows).  Spark's ``F.window`` aligns to the UTC epoch; the oracle
+    replicates each event into its two 1800s-aligned window starts."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
     "stateful_sessions",
     """
     WITH ev AS (

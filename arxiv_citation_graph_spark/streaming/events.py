@@ -60,15 +60,26 @@ def stream_edges(docs_stream: DataFrame) -> DataFrame:
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling window counts with late-data watermark."""
+    """Event-time window counts with late-data watermark: tumbling by
+    default, OVERLAPPING when ``slide`` is given (each event then lands
+    in ``window/slide`` windows — the batch-equivalent semantics the
+    ``sliding_window_agg`` driver oracle pins)."""
     # watermarks require zoned TimestampType; parquet round-trips through
     # TIMESTAMP_NTZ, so normalize first (UTC session timezone).
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(
+            (
+                F.window("ts", window, slide) if slide else F.window("ts", window)
+            ).alias("w"),
+            "event_type",
+        )
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),

@@ -101,3 +101,52 @@ def test_frame_sampling_shapes(spark):
     rows = frames.collect()
     assert rows and all(len(bytes(r.frame_bytes)) <= 16 for r in rows)
     assert frames.groupBy("media_id").count().count() == media.count()
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    """Overlapping 1h/30m windows through the streaming path equal the
+    batch sliding aggregation on watermark-closed windows."""
+    from pyspark.sql import functions as F
+
+    from arxiv_citation_graph_spark.streaming.events import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "events_slide_stream")
+    events.repartition(2).write.parquet(path)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    streamed = run_stream_to_memory(
+        spark,
+        windowed_event_counts(stream, "1 hour", "2 hours", slide="30 minutes"),
+        "slide_mem",
+    )
+    batch = (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 4))
+        for r in streamed.collect()
+    }
+    expect = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 4))
+        for r in batch.collect()
+    }
+    assert got
+    for key, val in got.items():
+        assert val == expect[key]
+    # each event lands in exactly 2 windows: sliding n-sum = 2x event count
+    n_events = events.count()
+    assert sum(v[0] for v in expect.values()) == 2 * n_events
