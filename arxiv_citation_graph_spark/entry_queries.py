@@ -1149,6 +1149,33 @@ def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pv.agg((F.sum("triangles") / 3).cast("long").alias("total_triangles"))
 
 
+@register("triangle_counts_warm", TRIANGLES_SQL)
+def q_triangle_counts_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start triangle counting: ~5% of the cosupply edges (a keyed
+    md5 slice) arrive as the append delta; the incremental count over
+    (old, delta, prior) must equal the fresh full count — the oracle is
+    the ordinary full-graph triangle SQL
+    (plans/triangles.py::triangle_counts_incremental)."""
+    from arxiv_citation_graph_spark.plans.triangles import (
+        triangle_counts,
+        triangle_counts_incremental,
+    )
+
+    edges = cosupply_edges(spark, sf_dir)
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.concat("src_id", F.lit("|"), "dst_id")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 20
+    )
+    old = edges.filter(draw != 0)
+    delta = edges.filter(draw == 0)
+    prior = triangle_counts(spark, old)
+    return triangle_counts_incremental(spark, old, delta, prior)
+
+
 def _hits_unrolled_sql(iters: int) -> str:
     """Unrolled HITS on the bipartite graph: per full iteration
     ``auth = A^T normalize(hub)`` then ``hub = A normalize(auth)`` —

@@ -151,3 +151,156 @@ def clustering_coefficients(spark: SparkSession, edges: DataFrame) -> DataFrame:
         .filter(F.col("degree") >= 1)
         .select("vertex", "triangles", "degree", F.round(lcc, 9).alias("lcc"))
     )
+
+
+def triangle_counts_incremental(
+    spark: SparkSession,
+    old_edges: DataFrame,
+    delta_edges: DataFrame,
+    prior_counts: DataFrame,
+    broadcast_delta: bool | None = None,
+) -> DataFrame:
+    """Per-vertex triangle counts for ``old + delta`` WITHOUT re-counting
+    the old graph — the daily-append warm start for triangles (the third
+    member of the pagerank/CC warm-start family).
+
+    Every NEW triangle contains 1, 2, or 3 delta edges, and the three
+    cases partition exactly (two edges of a triangle always share one
+    vertex), so each is counted once:
+
+    - **1 delta edge** ``(u, v)``: closing vertices ``w`` with both
+      ``(u, w)`` and ``(v, w)`` OLD — one join of the delta against the
+      old adjacency (pre-filtered to delta endpoints), then a semi-join
+      against old canonical edges.
+    - **2 delta edges**: delta wedges ``(w; u, v)`` closed by an OLD
+      edge — |delta|^2-bounded wedge join, old semi-join.
+    - **3 delta edges**: triangles inside the delta graph alone —
+      wedge+close within delta, deduped by sorted corner triple.
+
+    Work scales with ``|delta| * degree`` (old adjacency is semi-join
+    reduced to delta endpoints before the heavy join — broadcast when
+    the delta is append-sized, the default below 10M rows), never with
+    the old graph's triangle count.
+
+    ``prior_counts``: the ``(vertex, triangles)`` output of
+    ``triangle_counts(old_edges)``.  Guard: its vertex set must equal
+    the old graph's (a wrong prior cannot be detected from counts alone,
+    but a mismatched universe can and is refused).  Append-only by
+    construction — delta edges already in the old graph are ignored.
+    """
+    old = _simple_undirected(old_edges).cache()
+    delta = (
+        _simple_undirected(delta_edges)
+        .join(old, ["u", "v"], "left_anti")
+        .cache()
+    )
+    try:
+        n_delta = delta.count()
+        if broadcast_delta is None:
+            broadcast_delta = n_delta <= 10_000_000
+
+        old_verts = vertices_of(
+            old.select(F.col("u").alias("src_id"), F.col("v").alias("dst_id"))
+        )
+        missing = old_verts.join(prior_counts, "vertex", "left_anti").limit(1)
+        if missing.count() > 0:
+            raise ValueError(
+                "triangle_counts_incremental: prior_counts does not cover "
+                "the old graph's vertex set — it must be "
+                "triangle_counts(old_edges)"
+            )
+
+        def _mb(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if broadcast_delta else df
+
+        # old adjacency (both directions), semi-join reduced to vertices
+        # the delta touches before anything |E|-sized moves
+        dverts = (
+            delta.select(F.col("u").alias("x"))
+            .unionByName(delta.select(F.col("v").alias("x")))
+            .distinct()
+        )
+        adj_old = (
+            old.select(F.col("u").alias("x"), F.col("v").alias("y"))
+            .unionByName(old.select(F.col("v").alias("x"), F.col("u").alias("y")))
+            .join(_mb(dverts), "x", "left_semi")
+        )
+
+        # T1: delta edge (u, v) + old (u, w) + old (v, w)
+        t1 = (
+            _mb(delta)
+            .join(adj_old, F.col("u") == F.col("x"))
+            .select("u", "v", F.col("y").alias("w"))
+            .filter(F.col("w") != F.col("v"))
+            .join(
+                old.select(
+                    F.col("u").alias("_cu"), F.col("v").alias("_cv")
+                ),
+                (F.least("v", "w") == F.col("_cu"))
+                & (F.greatest("v", "w") == F.col("_cv")),
+                "left_semi",
+            )
+            .select("u", "v", "w")
+        )
+
+        # delta adjacency, both directions
+        dadj = (
+            delta.select(F.col("u").alias("x"), F.col("v").alias("y"))
+            .unionByName(delta.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        )
+
+        # T2: delta wedge (x; y1 < y2) closed by an OLD (y1, y2) edge
+        t2 = (
+            dadj.select("x", F.col("y").alias("y1"))
+            .join(dadj.select("x", F.col("y").alias("y2")), "x")
+            .filter(F.col("y1") < F.col("y2"))
+            .join(old, (F.col("y1") == F.col("u")) & (F.col("y2") == F.col("v")), "left_semi")
+            .select(F.col("x").alias("u"), F.col("y1").alias("v"), F.col("y2").alias("w"))
+        )
+
+        # T3: triangles inside the delta alone — wedge + close within
+        # delta finds each triangle 3x (once per center); dedup by the
+        # sorted corner triple
+        t3 = (
+            dadj.select("x", F.col("y").alias("y1"))
+            .join(dadj.select("x", F.col("y").alias("y2")), "x")
+            .filter(F.col("y1") < F.col("y2"))
+            .join(delta, (F.col("y1") == F.col("u")) & (F.col("y2") == F.col("v")), "left_semi")
+            .select(F.array_sort(F.array("x", "y1", "y2")).alias("t"))
+            .distinct()
+            .select(
+                F.col("t")[0].alias("u"), F.col("t")[1].alias("v"), F.col("t")[2].alias("w")
+            )
+        )
+
+        corner_deltas = (
+            t1.unionByName(t2)
+            .unionByName(t3)
+            .select(F.explode(F.array("u", "v", "w")).alias("vertex"))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+
+        all_verts = old_verts.unionByName(
+            vertices_of(
+                delta.select(F.col("u").alias("src_id"), F.col("v").alias("dst_id"))
+            )
+        ).distinct()
+        result = (
+            all_verts.join(prior_counts, "vertex", "left")
+            .join(corner_deltas, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.coalesce(F.col("triangles"), F.lit(0))
+                    + F.coalesce(F.col("_d"), F.lit(0))
+                )
+                .cast("long")
+                .alias("triangles"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        old.unpersist()
+        delta.unpersist()
+    return result

@@ -1,0 +1,93 @@
+"""Incremental (warm-start) triangle counting vs a fresh full count."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+EDGE_SCHEMA = "src_id string, dst_id string"
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, EDGE_SCHEMA)
+
+
+def _fresh(spark, edges):
+    from arxiv_citation_graph_spark.plans.triangles import triangle_counts
+
+    return {
+        r.vertex: r.triangles
+        for r in triangle_counts(spark, _df(spark, edges)).collect()
+    }
+
+
+def _warm(spark, old, delta):
+    from arxiv_citation_graph_spark.plans.triangles import (
+        triangle_counts,
+        triangle_counts_incremental,
+    )
+
+    prior = triangle_counts(spark, _df(spark, old))
+    got = triangle_counts_incremental(
+        spark, _df(spark, old), _df(spark, delta), prior
+    )
+    return {r.vertex: r.triangles for r in got.collect()}
+
+
+def test_incremental_one_delta_edge_triangles(spark):
+    old = [("a", "b"), ("b", "c"), ("c", "d")]
+    delta = [("a", "c")]  # closes triangle a-b-c via one delta edge
+    assert _warm(spark, old, delta) == _fresh(spark, old + delta)
+
+
+def test_incremental_two_delta_edge_triangles(spark):
+    old = [("a", "b"), ("x", "y")]
+    delta = [("a", "c"), ("b", "c")]  # wedge at c closed by OLD (a, b)
+    assert _warm(spark, old, delta) == _fresh(spark, old + delta)
+
+
+def test_incremental_all_delta_triangle(spark):
+    old = [("p", "q")]
+    delta = [("a", "b"), ("b", "c"), ("a", "c")]  # pure-delta triangle
+    assert _warm(spark, old, delta) == _fresh(spark, old + delta)
+
+
+def test_incremental_mixed_dense(spark):
+    """A denser mixed case: every 1/2/3-delta-edge class present at
+    once, duplicate and already-present delta rows ignored."""
+    old = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+        ("e", "f"), ("f", "g"),
+    ]
+    delta = [
+        ("b", "d"),          # 1-delta: closes b-c-d and a-b-d
+        ("e", "g"),          # 1-delta: closes e-f-g
+        ("g", "h"), ("f", "h"),  # 2-delta wedge at h closed by old (f, g)
+        ("x", "y"), ("y", "z"), ("x", "z"),  # 3-delta triangle
+        ("a", "b"),          # already in old: must be ignored
+        ("b", "d"),          # duplicate delta row: deduped
+        ("d", "b"),          # reversed duplicate: canonicalized away
+    ]
+    assert _warm(spark, old, delta) == _fresh(spark, old + delta)
+
+
+def test_incremental_refuses_mismatched_prior(spark):
+    from arxiv_citation_graph_spark.plans.triangles import (
+        triangle_counts_incremental,
+    )
+
+    old = _df(spark, [("a", "b"), ("b", "c")])
+    delta = _df(spark, [("a", "c")])
+    bad_prior = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "vertex string, triangles long"
+    )  # missing vertex c
+    with pytest.raises(ValueError, match="does not cover"):
+        triangle_counts_incremental(spark, old, delta, bad_prior)
+
+
+def test_incremental_no_new_triangles(spark):
+    old = [("a", "b"), ("b", "c"), ("a", "c")]
+    delta = [("c", "d")]  # adds a vertex, no triangle
+    warm = _warm(spark, old, delta)
+    assert warm == _fresh(spark, old + delta)
+    assert warm["d"] == 0
