@@ -1176,6 +1176,78 @@ def q_triangle_counts_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts_incremental(spark, old, delta, prior)
 
 
+@register(
+    "asof_join_events",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, max(value) AS rvalue
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT l.event_id,
+           CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(r.ts) AS BIGINT) AS matched_ts_us,
+           r.rvalue AS matched_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click matched to the user's latest view at or
+    before it (union-marker window, one shuffle on user_id —
+    operators/temporal.py::asof_join); DuckDB replays it with its
+    native ASOF LEFT JOIN."""
+    from arxiv_citation_graph_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("rvalue"))
+    )
+    return asof_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["rvalue"],
+    ).select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias(
+            "matched_ts_us"
+        ),
+        F.col("matched_rvalue").alias("matched_value"),
+    )
+
+
+@register(
+    "range_join_events",
+    """
+    WITH bands AS (
+      SELECT CAST(i AS BIGINT) AS band_id, i * 25.0 AS lo, i * 25.0 + 30.0 AS hi
+      FROM range(20) t(i)
+    )
+    SELECT e.event_id, b.band_id, b.lo, b.hi
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+    """,
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: event values matched to 20 overlapping [25i, 25i+30]
+    bands through the bucketed equi-join (intervals exploded to width-10
+    buckets, exact predicate refines — never a nested loop over
+    |P| x |I|; operators/temporal.py::range_join)."""
+    from arxiv_citation_graph_spark.operators.temporal import range_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 25.0).alias("lo"),
+        (F.col("id") * 25.0 + 30.0).alias("hi"),
+    )
+    return range_join(
+        events, bands, point_col="value", start_col="lo", end_col="hi",
+        bucket_width=10.0,
+    ).select("event_id", "band_id", "lo", "hi")
+
+
 def _hits_unrolled_sql(iters: int) -> str:
     """Unrolled HITS on the bipartite graph: per full iteration
     ``auth = A^T normalize(hub)`` then ``hub = A normalize(auth)`` —

@@ -1,0 +1,178 @@
+"""Temporal joins: as-of join and bucketed range (interval) join.
+
+Two operators the engine's relational tier was missing and that Spark
+has no built-in for (the brief's canonical "custom operator" examples):
+
+- **as-of join**: for each left row, the single most recent right row
+  at or before it per key — the point-in-time lookup every
+  event/feature pipeline needs (latest price before a trade, last
+  profile snapshot before a click).
+- **range join**: points matched to intervals containing them WITHOUT
+  the O(|P| x |I|) theta-join Spark would otherwise plan.
+
+Both are pure DataFrame compositions — no UDFs, no driver loops.
+
+As-of plan shape (the classic union-marker technique): tag both sides,
+union, ONE window partitioned by key ordered by (ts, side) carrying the
+last non-null right payload forward, filter back to left rows.  One
+shuffle on the key — same cost as a plain equi-join; never a per-row
+lookup.  At equal timestamps the right row sorts first, so a right row
+AT the left timestamp matches ("at or before" semantics, the DuckDB
+``ASOF JOIN`` contract the oracle replays).
+
+Range-join plan shape: intervals are exploded to the coarse buckets
+they overlap (``sequence(floor(start/w), floor(end/w))``), points
+compute their single bucket, the two sides EQUI-join on (key, bucket),
+and the exact ``start <= p <= end`` predicate refines.  Shuffle moves
+|P| + |I| * avg_buckets_per_interval rows instead of building a
+nested-loop over everything; ``bucket_width`` trades replication
+against candidate precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row joined to the latest
+    ``right`` row with ``right_ts <= left_ts`` on the same ``key``.
+
+    Output: all left columns plus ``matched_ts`` and the requested
+    ``payload_cols`` (null when no right row precedes).
+    ``tolerance_sec``: matches older than the tolerance are nulled out
+    (the pandas ``merge_asof`` knob).
+
+    Determinism: ties inside the right side (same key + timestamp) must
+    be resolved by the CALLER (aggregate or dedup first) — the operator
+    refuses ambiguous input with a fail-fast check rather than silently
+    picking a row, because no cross-engine tie order exists for
+    physically-unordered duplicates.
+    """
+    dup = (
+        right.groupBy(key, right_ts)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+    )
+    if dup.count() > 0:
+        raise ValueError(
+            "asof_join: right side has duplicate (key, ts) rows — "
+            "aggregate or dedup it first so the match is deterministic"
+        )
+    lcols = left.columns
+    # the right payload travels as ONE struct (timestamp + columns):
+    # last(ignorenulls) then picks the whole matched row atomically — a
+    # null VALUE inside a payload column can never desynchronize the
+    # matched payload from matched_ts by skipping to an older row
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None)
+        .cast(
+            right.select(
+                F.struct(
+                    F.col(right_ts).cast("timestamp").alias("ts"), *payload_cols
+                )
+            ).schema[0].dataType
+        )
+        .alias("_r"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("_l"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("ts"), *payload_cols
+        ).alias("_r"),
+    )
+    # right rows sort BEFORE left rows at equal ts -> "at or before"
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "_is_left",
+        "_l",
+        "_ts",
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
+    )
+    out = carried.filter(F.col("_is_left") == 1)
+    if tolerance_sec is not None:
+        stale = F.col("_m").isNull() | (
+            F.col("_ts").cast("double") - F.col("_m.ts").cast("double")
+            > F.lit(float(tolerance_sec))
+        )
+        out = out.select(
+            "_l",
+            F.when(stale, F.lit(None).cast(out.schema["_m"].dataType))
+            .otherwise(F.col("_m"))
+            .alias("_m"),
+        )
+    return out.select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        F.col("_m.ts").alias("matched_ts"),
+        *[F.col(f"_m.{c}").alias(f"matched_{c}") for c in payload_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    key: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join (``start <= point <= end``, optionally
+    also equal on ``key``) as a bucketed EQUI-join: intervals explode to
+    every ``bucket_width``-sized bucket they overlap, points hash to one
+    bucket, the join key is (bucket[, key]) and the exact range
+    predicate refines.  Returns all point columns + all interval
+    columns.
+
+    Fail-fast validation: ``end >= start`` for every interval (a
+    reversed interval silently matches nothing in a BETWEEN join —
+    better to refuse).
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    bad = intervals.filter(F.col(end_col) < F.col(start_col)).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"range_join: found interval with {end_col} < {start_col}"
+        )
+    w = float(bucket_width)
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    pb = points.withColumn("_bucket", F.floor(F.col(point_col) / w).cast("long"))
+    on = ["_bucket"] + ([key] if key else [])
+    return (
+        pb.join(ib, on)
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )

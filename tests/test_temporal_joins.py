@@ -1,0 +1,161 @@
+"""As-of join and bucketed range join (operators/temporal.py) vs
+hand-computed references, plus plan-shape assertions."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+L_SCHEMA = "lid long, k string, ts timestamp"
+R_SCHEMA = "k string, ts timestamp, px double"
+
+
+def _t(s):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_matches_reference(spark):
+    from arxiv_citation_graph_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (0, "a", _t(10)),
+            (1, "a", _t(5)),   # exactly AT a right row: matches it
+            (2, "a", _t(1)),   # before any right row: null
+            (3, "b", _t(30)),
+            (4, "c", _t(30)),  # key with no right rows at all
+        ],
+        L_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _t(5), 1.0),
+            ("a", _t(9), 2.0),
+            ("a", _t(11), 3.0),  # after every left 'a' row: never matches
+            ("b", _t(20), 7.0),
+        ],
+        R_SCHEMA,
+    )
+    got = {
+        r.lid: (r.matched_ts, r.matched_px)
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            payload_cols=["px"],
+        ).collect()
+    }
+    assert got[0] == (_t(9), 2.0)
+    assert got[1] == (_t(5), 1.0)  # "at or before" includes equality
+    assert got[2] == (None, None)
+    assert got[3] == (_t(20), 7.0)
+    assert got[4] == (None, None)
+    assert len(got) == 5  # every left row exactly once
+
+
+def test_asof_join_tolerance(spark):
+    from arxiv_citation_graph_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(0, "a", _t(50))], L_SCHEMA)
+    right = spark.createDataFrame([("a", _t(10), 1.0)], R_SCHEMA)
+    loose = asof_join(
+        left, right, "k", "ts", "ts", ["px"], tolerance_sec=60
+    ).first()
+    tight = asof_join(
+        left, right, "k", "ts", "ts", ["px"], tolerance_sec=10
+    ).first()
+    assert loose.matched_px == 1.0
+    assert tight.matched_px is None and tight.matched_ts is None
+
+
+def test_asof_join_refuses_ambiguous_right(spark):
+    from arxiv_citation_graph_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(0, "a", _t(9))], L_SCHEMA)
+    right = spark.createDataFrame(
+        [("a", _t(5), 1.0), ("a", _t(5), 2.0)], R_SCHEMA
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        asof_join(left, right, "k", "ts", "ts", ["px"])
+
+
+def test_asof_join_null_payload_stays_with_matched_row(spark):
+    """A null VALUE in the matched right row must surface as null, not
+    fall back to an older row's value (the atomic-struct guarantee)."""
+    from arxiv_citation_graph_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(0, "a", _t(10))], L_SCHEMA)
+    right = spark.createDataFrame(
+        [("a", _t(5), 1.0), ("a", _t(9), None)], R_SCHEMA
+    )
+    row = asof_join(left, right, "k", "ts", "ts", ["px"]).first()
+    assert row.matched_ts == _t(9)
+    assert row.matched_px is None
+
+
+def test_range_join_matches_bruteforce(spark):
+    from arxiv_citation_graph_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i * 3 % 50)) for i in range(60)], "pid long, x double"
+    )
+    ivals = spark.createDataFrame(
+        [(j, float(j * 7), float(j * 7 + 10)) for j in range(8)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            points, ivals, "x", "lo", "hi", bucket_width=4.0
+        ).collect()
+    }
+    expect = {
+        (p.pid, i.iid)
+        for p in points.collect()
+        for i in ivals.collect()
+        if i.lo <= p.x <= i.hi
+    }
+    assert got == expect and expect  # non-trivial overlap
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The physical plan must be a hash/sort-merge EQUI-join on the
+    bucket — never BroadcastNestedLoopJoin or CartesianProduct."""
+    from arxiv_citation_graph_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame([(0, 5.0)], "pid long, x double")
+    ivals = spark.createDataFrame([(0, 0.0, 10.0)], "iid long, lo double, hi double")
+    plan = (
+        range_join(points, ivals, "x", "lo", "hi", bucket_width=2.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_validates(spark):
+    from arxiv_citation_graph_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame([(0, 5.0)], "pid long, x double")
+    good = spark.createDataFrame([(0, 0.0, 10.0)], "iid long, lo double, hi double")
+    bad = spark.createDataFrame([(0, 10.0, 0.0)], "iid long, lo double, hi double")
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join(points, good, "x", "lo", "hi", bucket_width=0)
+    with pytest.raises(ValueError, match="lo"):
+        range_join(points, bad, "x", "lo", "hi", bucket_width=2.0)
+
+
+def test_range_join_keyed(spark):
+    from arxiv_citation_graph_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(0, "u", 5.0), (1, "v", 5.0)], "pid long, k string, x double"
+    )
+    ivals = spark.createDataFrame(
+        [("u", 0.0, 10.0)], "k string, lo double, hi double"
+    )
+    got = {(r.pid, r.k) for r in range_join(
+        points, ivals, "x", "lo", "hi", bucket_width=4.0, key="k"
+    ).collect()}
+    assert got == {(0, "u")}  # key equality enforced alongside the range
