@@ -1177,6 +1177,33 @@ def q_triangle_counts_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_take",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('take:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per source by the keyed md5 order — the
+    exact-count companion to rate-based mixture sampling
+    (operators/packing.py::stratified_take)."""
+    from arxiv_citation_graph_spark.operators.packing import stratified_take
+
+    return stratified_take(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        group_col="source",
+        id_col="doc_id",
+        n_per_group=20,
+    )
+
+
+@register(
     "asof_join_events",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -221,3 +221,33 @@ def train_val_split(
         F.col(id_col).alias("doc"),
         split_assign(F.col(id_col), train_pct, val_pct).alias("split"),
     )
+
+
+def stratified_take(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Exactly ``min(n, |group|)`` rows per group, chosen by the keyed
+    md5 order of the id — the EXACT-COUNT companion to rate-based
+    ``mixture_sample`` (build a balanced eval slice, cap a dominant
+    domain).  Deterministic: the draw is a pure function of the id, so
+    the same rows are taken on any engine, partitioning, or re-run, and
+    appends only displace rows at the md5 boundary.
+
+    Plan: one ``row_number`` window PARTITIONED BY the group (per-group
+    frames, never global); ties in the md5 draw break on the id itself,
+    making the order total.
+    """
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+    draw = F.md5(F.concat(F.lit("take:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(
+        draw.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )

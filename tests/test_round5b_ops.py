@@ -441,3 +441,38 @@ def test_substring_dup_pairs_validates(spark):
         substring_dup_pairs(docs, "doc_id", "text", run_len=0)
     with pytest.raises(ValueError, match="min_runs"):
         substring_dup_pairs(docs, "doc_id", "text", min_runs=0)
+
+
+# --- stratified take -------------------------------------------------------------
+
+
+def test_stratified_take_exact_and_deterministic(spark):
+    import hashlib
+
+    from arxiv_citation_graph_spark.operators.packing import stratified_take
+
+    rows = [(i, f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    took = stratified_take(df, "grp", "doc_id", 4).collect()
+    by_group = {}
+    for r in took:
+        by_group.setdefault(r.grp, []).append(r.doc_id)
+    assert all(len(v) == 4 for v in by_group.values())
+    # matches the manual md5 order per group
+    for g, ids in by_group.items():
+        members = [i for i in range(30) if f"g{i % 3}" == g]
+        order = sorted(
+            members, key=lambda i: (hashlib.md5(f"take:{i}".encode()).hexdigest(), i)
+        )
+        assert sorted(ids) == sorted(order[:4]), g
+    # groups smaller than n return the whole group
+    small = spark.createDataFrame([(0, "x"), (1, "x")], "doc_id long, grp string")
+    assert stratified_take(small, "grp", "doc_id", 10).count() == 2
+
+
+def test_stratified_take_validates(spark):
+    from arxiv_citation_graph_spark.operators.packing import stratified_take
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, grp string")
+    with pytest.raises(ValueError, match="n_per_group"):
+        stratified_take(df, "grp", "doc_id", 0)
