@@ -2629,6 +2629,35 @@ def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cocitation_pairs(bipartite_edges(spark, sf_dir), min_count=60, hub_cap=35)
 
 
+@register("cocitation_pairs_warm", _pair_counts_sql("src_id", "dst_id", 60, 35))
+def q_cocitation_pairs_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start co-citation: a ~5% keyed-md5 slice of the bipartite
+    edges arrives as the append delta; the incremental update over the
+    old graph's unfiltered pair counts (including hub-cap retraction
+    for keys the delta pushes over the cap) must equal the fresh
+    full-graph oracle (plans/cocite.py::cocitation_pairs_incremental)."""
+    from arxiv_citation_graph_spark.plans.cocite import (
+        cocitation_pairs,
+        cocitation_pairs_incremental,
+    )
+
+    edges = bipartite_edges(spark, sf_dir)
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.concat("src_id", F.lit("|"), "dst_id")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 20
+    )
+    old = edges.filter(draw != 0)
+    delta = edges.filter(draw == 0)
+    prior = cocitation_pairs(old, min_count=1, hub_cap=35)
+    return cocitation_pairs_incremental(
+        old, delta, prior, min_count=60, hub_cap=35
+    )
+
+
 @register(
     "cocitation_cosine",
     f"""

@@ -148,3 +148,178 @@ def cocitation_cosine(
         return out.localCheckpoint(eager=True)
     finally:
         e.unpersist()
+
+
+def _pair_counts_incremental(
+    old_edges: DataFrame,
+    delta_edges: DataFrame,
+    prior_pairs: DataFrame,
+    shared: str,
+    paired: str,
+    min_count: int,
+    hub_cap: int | None,
+) -> DataFrame:
+    """Incremental pair counts for ``old + delta`` — the co-citation /
+    coupling member of the warm-start family.
+
+    ``prior_pairs`` contract: the UNFILTERED (``min_count=1``) pair
+    counts of the old graph under the SAME ``hub_cap`` — the unfiltered
+    base is required because an append can lift a below-threshold pair
+    over ``min_count``, which a filtered prior cannot witness.
+
+    Only keys touched by the delta can change, in exactly three ways:
+
+    - under-cap before AND after: add ``delta x old`` cross pairs plus
+      delta-internal pairs (work: delta_deg * old_deg <= delta_deg *
+      hub_cap per key);
+    - under-cap before, OVER after: the key's entire old contribution is
+      RETRACTED (<= hub_cap^2 negative pairs per crossing key) — the
+      hub cap makes pair counts non-monotonic under appends, so the
+      incremental path must subtract, not just add;
+    - over-cap before: stays excluded (degrees only grow), no work.
+
+    One |E| map-side-combined degree aggregate is the only full-graph
+    pass; every pair-producing join is delta-bounded.
+    """
+    e_old = old_edges.select(shared, paired).distinct().cache()
+    e_delta = (
+        delta_edges.select(shared, paired)
+        .distinct()
+        .join(e_old, [shared, paired], "left_anti")
+        .cache()
+    )
+    try:
+        e_delta.count()
+        dkeys = e_delta.select(shared).distinct()
+        deg_old = (
+            e_old.groupBy(shared).agg(F.count(F.lit(1)).alias("_do"))
+        )
+        deg_delta = e_delta.groupBy(shared).agg(
+            F.count(F.lit(1)).alias("_dd")
+        )
+        classes = (
+            dkeys.join(deg_old, shared, "left")
+            .join(deg_delta, shared)
+            .select(
+                shared,
+                F.coalesce(F.col("_do"), F.lit(0)).alias("_do"),
+                (F.coalesce(F.col("_do"), F.lit(0)) + F.col("_dd")).alias("_dn"),
+            )
+        )
+        if hub_cap is not None:
+            a_keys = classes.filter(
+                (F.col("_do") <= hub_cap) & (F.col("_dn") <= hub_cap)
+            ).select(shared)
+            b_keys = classes.filter(
+                (F.col("_do") <= hub_cap) & (F.col("_dn") > hub_cap)
+            ).select(shared)
+        else:
+            a_keys = classes.select(shared)
+            b_keys = classes.select(shared).limit(0)
+
+        old_touched = e_old.join(
+            F.broadcast(dkeys), shared, "left_semi"
+        ).localCheckpoint(eager=True)
+
+        def canon(x, y):
+            return [F.least(x, y).alias("a"), F.greatest(x, y).alias("b")]
+
+        d_in_a = e_delta.join(F.broadcast(a_keys), shared, "left_semi")
+        old_in_a = old_touched.join(F.broadcast(a_keys), shared, "left_semi")
+        cross = (
+            d_in_a.select(F.col(shared).alias("_k"), F.col(paired).alias("_x"))
+            .join(
+                old_in_a.select(
+                    F.col(shared).alias("_k"), F.col(paired).alias("_y")
+                ),
+                "_k",
+            )
+            .filter(F.col("_x") != F.col("_y"))
+            .select(*canon(F.col("_x"), F.col("_y")), F.lit(1).alias("_c"))
+        )
+        dd = (
+            d_in_a.select(F.col(shared).alias("_k"), F.col(paired).alias("_x"))
+            .join(
+                d_in_a.select(
+                    F.col(shared).alias("_k"), F.col(paired).alias("_y")
+                ),
+                "_k",
+            )
+            .filter(F.col("_x") < F.col("_y"))
+            .select(
+                F.col("_x").alias("a"), F.col("_y").alias("b"), F.lit(1).alias("_c")
+            )
+        )
+        old_in_b = old_touched.join(F.broadcast(b_keys), shared, "left_semi")
+        retract = (
+            old_in_b.select(F.col(shared).alias("_k"), F.col(paired).alias("_x"))
+            .join(
+                old_in_b.select(
+                    F.col(shared).alias("_k"), F.col(paired).alias("_y")
+                ),
+                "_k",
+            )
+            .filter(F.col("_x") < F.col("_y"))
+            .select(
+                F.col("_x").alias("a"), F.col("_y").alias("b"),
+                F.lit(-1).alias("_c"),
+            )
+        )
+        deltas = (
+            cross.unionByName(dd)
+            .unionByName(retract)
+            .groupBy("a", "b")
+            .agg(F.sum("_c").alias("_dc"))
+        )
+        result = (
+            prior_pairs.select("a", "b", F.col("pair_count").alias("_pc"))
+            .join(deltas, ["a", "b"], "full_outer")
+            .select(
+                "a",
+                "b",
+                (
+                    F.coalesce(F.col("_pc"), F.lit(0))
+                    + F.coalesce(F.col("_dc"), F.lit(0))
+                )
+                .cast("long")
+                .alias("pair_count"),
+            )
+            .filter(F.col("pair_count") >= F.lit(max(min_count, 1)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e_old.unpersist()
+        e_delta.unpersist()
+    return result
+
+
+def cocitation_pairs_incremental(
+    old_edges: DataFrame,
+    delta_edges: DataFrame,
+    prior_pairs: DataFrame,
+    min_count: int = 2,
+    hub_cap: int | None = 1000,
+) -> DataFrame:
+    """Warm-start co-citation: update pair counts for appended edges
+    from the old graph's UNFILTERED counts (``cocitation_pairs(old,
+    min_count=1, hub_cap=<same>)``) without re-joining the old graph
+    against itself."""
+    return _pair_counts_incremental(
+        old_edges, delta_edges, prior_pairs, "src_id", "dst_id",
+        min_count, hub_cap,
+    )
+
+
+def biblio_coupling_incremental(
+    old_edges: DataFrame,
+    delta_edges: DataFrame,
+    prior_pairs: DataFrame,
+    min_count: int = 2,
+    hub_cap: int | None = 1000,
+) -> DataFrame:
+    """Warm-start bibliographic coupling (role-swapped co-citation
+    increment; same prior contract)."""
+    return _pair_counts_incremental(
+        old_edges, delta_edges, prior_pairs, "dst_id", "src_id",
+        min_count, hub_cap,
+    )

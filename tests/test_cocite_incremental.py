@@ -1,0 +1,112 @@
+"""Incremental co-citation / coupling vs fresh full recomputation,
+including the hub-cap retraction path (a key crossing the cap must
+RETRACT its old pairs)."""
+
+from __future__ import annotations
+
+import pytest
+
+EDGE_SCHEMA = "src_id string, dst_id string"
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, EDGE_SCHEMA)
+
+
+def _fresh(spark, edges, min_count, hub_cap):
+    from arxiv_citation_graph_spark.plans.cocite import cocitation_pairs
+
+    return {
+        (r.a, r.b): r.pair_count
+        for r in cocitation_pairs(
+            _df(spark, edges), min_count=min_count, hub_cap=hub_cap
+        ).collect()
+    }
+
+
+def _warm(spark, old, delta, min_count, hub_cap):
+    from arxiv_citation_graph_spark.plans.cocite import (
+        cocitation_pairs,
+        cocitation_pairs_incremental,
+    )
+
+    prior = cocitation_pairs(_df(spark, old), min_count=1, hub_cap=hub_cap)
+    got = cocitation_pairs_incremental(
+        _df(spark, old), _df(spark, delta), prior,
+        min_count=min_count, hub_cap=hub_cap,
+    )
+    return {(r.a, r.b): r.pair_count for r in got.collect()}
+
+
+def test_incremental_cocite_basic_append(spark):
+    old = [("p1", "x"), ("p1", "y"), ("p2", "x"), ("p2", "y")]
+    delta = [("p3", "x"), ("p3", "y"), ("p3", "z")]
+    for mc in (1, 2):
+        assert _warm(spark, old, delta, mc, 10) == _fresh(
+            spark, old + delta, mc, 10
+        )
+
+
+def test_incremental_cocite_lifts_pair_over_threshold(spark):
+    """A pair at count 1 in the old graph must surface once the append
+    lifts it to min_count — only possible because the prior is
+    unfiltered."""
+    old = [("p1", "x"), ("p1", "y")]
+    delta = [("p2", "x"), ("p2", "y")]
+    warm = _warm(spark, old, delta, 2, 10)
+    assert warm == {("x", "y"): 2}
+
+
+def test_incremental_cocite_hub_cap_retraction(spark):
+    """p1 has 3 references (under cap 3); the delta pushes it to 5 —
+    every old p1 pair must be retracted, exactly as the fresh
+    computation excludes the over-cap key."""
+    old = [("p1", "x"), ("p1", "y"), ("p1", "z"), ("p2", "x"), ("p2", "y")]
+    delta = [("p1", "w"), ("p1", "v"), ("p3", "z"), ("p3", "w")]
+    for mc in (1, 2):
+        assert _warm(spark, old, delta, mc, 3) == _fresh(
+            spark, old + delta, mc, 3
+        )
+
+
+def test_incremental_cocite_duplicate_and_existing_delta_rows(spark):
+    old = [("p1", "x"), ("p1", "y")]
+    delta = [("p1", "x"), ("p1", "z"), ("p1", "z"), ("p2", "x")]
+    assert _warm(spark, old, delta, 1, 10) == _fresh(
+        spark, old + delta, 1, 10
+    )
+
+
+def test_incremental_cocite_no_cap(spark):
+    old = [("p1", "x"), ("p1", "y"), ("p2", "y"), ("p2", "z")]
+    delta = [("p1", "z"), ("p3", "x"), ("p3", "z")]
+    assert _warm(spark, old, delta, 1, None) == _fresh(
+        spark, old + delta, 1, None
+    )
+
+
+def test_incremental_coupling_role_swap(spark):
+    from arxiv_citation_graph_spark.plans.cocite import (
+        biblio_coupling_incremental,
+        bibliographic_coupling_pairs,
+    )
+
+    old = [("p1", "x"), ("p2", "x"), ("p3", "y")]
+    delta = [("p3", "x"), ("p4", "y")]
+    prior = bibliographic_coupling_pairs(
+        _df(spark, old), min_count=1, hub_cap=10
+    )
+    warm = {
+        (r.a, r.b): r.pair_count
+        for r in biblio_coupling_incremental(
+            _df(spark, old), _df(spark, delta), prior,
+            min_count=1, hub_cap=10,
+        ).collect()
+    }
+    fresh = {
+        (r.a, r.b): r.pair_count
+        for r in bibliographic_coupling_pairs(
+            _df(spark, old + delta), min_count=1, hub_cap=10
+        ).collect()
+    }
+    assert warm == fresh and fresh
