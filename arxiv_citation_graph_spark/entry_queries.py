@@ -3865,7 +3865,9 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_sql(threshold: float = 0.18, table: str = "documents") -> str:
+def _jaccard_sql(
+    threshold: float = 0.18, table: str = "documents", cap: int = 1000
+) -> str:
     return f"""
     WITH sh AS (
       SELECT doc_id,
@@ -3878,9 +3880,9 @@ def _jaccard_sql(threshold: float = 0.18, table: str = "documents") -> str:
     ),
     sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
     expl0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-    -- document-frequency cap mirrored from the engine (df <= 1000):
+    -- document-frequency cap mirrored from the engine (df <= {cap}):
     -- hot shingles are dropped from the intersection on both sides
-    rare AS (SELECT shingle FROM expl0 GROUP BY shingle HAVING count(*) <= 1000),
+    rare AS (SELECT shingle FROM expl0 GROUP BY shingle HAVING count(*) <= {cap}),
     expl AS (SELECT doc_id, shingle FROM expl0 WHERE shingle IN (SELECT shingle FROM rare)),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
@@ -3968,14 +3970,14 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-def _verified_pairs_sql(table: str = "documents") -> str:
+def _verified_pairs_sql(table: str = "documents", cap: int = 1000) -> str:
     """LSH candidates intersected with the exact-Jaccard pairs — by
     construction (same shingles, same df cap, same threshold) identical
     to ``operators/dedup.verified_near_dup_pairs``, which computes the
     Jaccard only FOR the candidates."""
     return f"""
     WITH cand AS MATERIALIZED ({_lsh_pairs_sql(table)}),
-    jac AS MATERIALIZED ({_jaccard_sql(threshold=0.18, table=table)})
+    jac AS MATERIALIZED ({_jaccard_sql(threshold=0.18, table=table, cap=cap)})
     SELECT c.doc_a AS a, c.doc_b AS b
     FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
     """
@@ -3985,13 +3987,13 @@ _DEDUP_CC_ROUNDS = 8  # max verified-cluster size at sf0.01 is 6 -> diameter <= 
 
 
 def _dedup_clusters_sql(
-    rounds: int = _DEDUP_CC_ROUNDS, table: str = "documents"
+    rounds: int = _DEDUP_CC_ROUNDS, table: str = "documents", cap: int = 1000
 ) -> str:
     """Unrolled hash-min CC over the verified near-dup pair graph, every
     document a vertex (singletons label themselves) — the
     ``operators/dedup.dedup_clusters`` composition replayed in SQL."""
     ctes = [
-        f"vp AS MATERIALIZED ({_verified_pairs_sql(table)})",
+        f"vp AS MATERIALIZED ({_verified_pairs_sql(table, cap=cap)})",
         "vsym AS MATERIALIZED (SELECT a, b FROM vp UNION SELECT b, a FROM vp)",
         f"dverts AS MATERIALIZED (SELECT DISTINCT doc_id AS vertex FROM {table})",
         "dl0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM dverts)",
@@ -4027,6 +4029,42 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(
         spark, _t(spark, sf_dir, "documents"), "doc_id", "text",
         max_iterations=_DEDUP_CC_ROUNDS, **_DEDUP_KWARGS,
+    ).select(F.col("doc").alias("doc_id"), "cluster")
+
+
+#: df cap for the warm dedup query — chosen so the ~5% md5-sliced append
+#: pushes real shingles over it at sf0.01 (38 crossings measured), i.e.
+#: the driver exercises the retraction path, not just the append path.
+_DEDUP_WARM_CAP = 4
+
+
+@register("dedup_clusters_warm", _dedup_clusters_sql(cap=_DEDUP_WARM_CAP))
+def q_dedup_clusters_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup on a corpus APPEND: ~5% of documents (a
+    keyed md5 slice) arrive as the delta; verification re-runs only for
+    delta-touching LSH candidates plus stored pairs whose shared shingle
+    crossed the df cap (retraction), then CC reruns on the pair graph.
+    Oracle = the fresh full-corpus dedup_clusters SQL at the same cap
+    (operators/dedup.dedup_clusters_incremental)."""
+    from arxiv_citation_graph_spark.operators.dedup import (
+        dedup_clusters_incremental,
+        verified_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 20
+    )
+    prior = docs.filter(draw != 0)
+    delta = docs.filter(draw == 0)
+    prior_pairs = verified_near_dup_pairs(
+        prior, "doc_id", "text", max_shingle_df=_DEDUP_WARM_CAP, **_DEDUP_KWARGS
+    )
+    return dedup_clusters_incremental(
+        spark, prior, delta, "doc_id", "text", prior_pairs,
+        max_shingle_df=_DEDUP_WARM_CAP, max_iterations=_DEDUP_CC_ROUNDS,
+        **_DEDUP_KWARGS,
     ).select(F.col("doc").alias("doc_id"), "cluster")
 
 

@@ -95,17 +95,9 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
-) -> DataFrame:
-    """Banded LSH: docs agreeing on all rows of any band become a pair.
-
-    Scale shape: explode to (band, key) — one shuffle — then a per-bucket
-    self-join.  Buckets are tiny by construction (hash agreement), so the
-    join is skew-safe; a pathological bucket (all-identical corpus) is the
-    *intended* output, not a skew accident.
-    """
-    banded = signatures.select(
+def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc, band, key) bucket rows for the banded-LSH join."""
+    return signatures.select(
         "doc",
         F.posexplode(
             F.array(
@@ -119,6 +111,19 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "key"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become a pair.
+
+    Scale shape: explode to (band, key) — one shuffle — then a per-bucket
+    self-join.  Buckets are tiny by construction (hash agreement), so the
+    join is skew-safe; a pathological bucket (all-identical corpus) is the
+    *intended* output, not a skew accident.
+    """
+    banded = _banded(signatures, bands, rows_per_band)
     left = banded.select(F.col("doc").alias("doc_a"), "band", "key")
     right = banded.select(F.col("doc").alias("doc_b"), "band", "key")
     return (
@@ -217,9 +222,31 @@ def verified_near_dup_pairs(
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    shingled = df.select(
+    shingled = _shingled(df, id_col, text_col, shingle_k)
+    return _verify_candidate_pairs(cands, shingled, max_shingle_df).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> DataFrame:
+    """(doc, sh: array<string>) — the distinct shingle set per document."""
+    return df.select(
         F.col(id_col).alias("doc"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
+
+
+def _verify_candidate_pairs(
+    cands: DataFrame, shingled: DataFrame, max_shingle_df: int | None
+) -> DataFrame:
+    """Exact capped Jaccard for the given ``(doc_a, doc_b)`` candidates.
+
+    The df cap drops hot shingles from the INTERSECTION count on both
+    sides; ``|union|`` keeps the full shingle-set sizes, so the capped
+    jaccard is a lower bound of the exact one and — load-bearing for the
+    incremental path — monotone NON-INCREASING as shingles cross the cap.
+    Pairs whose capped intersection is empty are not emitted (their
+    jaccard is 0, below any positive threshold).
+    """
     sizes = shingled.select("doc", F.size("sh").alias("n_sh"))
     exploded = shingled.select("doc", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
@@ -252,7 +279,6 @@ def verified_near_dup_pairs(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -334,6 +360,173 @@ def dedup_corpus(
         F.col("keep_id").alias(id_col)
     )
     return df.join(keepers, id_col, "left_semi")
+
+
+def incremental_verified_pairs(
+    spark,
+    prior_docs: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    prior_pairs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    prior_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs over ``prior ∪ delta`` WITHOUT re-verifying
+    unaffected old-old pairs — the daily-append mode of fuzzy dedup.
+
+    ``prior_pairs`` is the stored output of ``verified_near_dup_pairs``
+    over ``prior_docs`` with the SAME parameters.  The incremental result
+    is EXACTLY the fresh result on the union, by three facts:
+
+    1. MinHash signatures (and hence LSH candidates) depend only on each
+       doc's own shingles — the old-old candidate set is append-invariant.
+    2. The df cap drops shingles from the intersection only; ``n_a``/
+       ``n_b`` stay full-size.  An append can push a shingle's df OVER
+       the cap (never under), so an old-old pair's jaccard can only
+       DROP — retraction, never promotion.  Old-old pairs below threshold
+       stay below; only stored pairs can change.
+    3. A crossing shingle changes ``I(a, b)`` only when it sits in BOTH
+       docs, so the affected set is ``prior_pairs`` ⋈ crossing-shingle
+       docs on both sides with the SAME shingle — delta-proportional when
+       cap crossings are rare (they are: a crossing needs a shingle's df
+       to straddle the cap exactly across one append).
+
+    Work is proportional to (delta-touching candidates + cap-affected
+    stored pairs), never corpus²: new candidates come from joining the
+    DELTA's band buckets against the full corpus buckets, and exact
+    verification runs only for that union.  ``prior_signatures`` lets a
+    pipeline that stores ``minhash_signatures`` skip the prior-corpus
+    signature rescan.  Delta doc ids must be NEW (fail-fast check) —
+    content updates are a delete+reinsert, not an append.
+    """
+    for c in ("doc_a", "doc_b", "jaccard"):
+        if c not in prior_pairs.columns:
+            raise ValueError(
+                f"prior_pairs must have (doc_a, doc_b, jaccard); missing {c!r}"
+            )
+    prior_ids = prior_docs.select(F.col(id_col).alias("doc"))
+    delta_ids = delta_docs.select(F.col(id_col).alias("doc")).distinct()
+    dup = prior_ids.join(F.broadcast(delta_ids), "doc").first()
+    if dup is not None:
+        raise ValueError(
+            f"append-only contract violated: delta doc id {dup.doc!r} already "
+            "exists in the prior corpus (updates are delete+reinsert)"
+        )
+
+    prior_sh = _shingled(prior_docs, id_col, text_col, shingle_k)
+    delta_sh = _shingled(delta_docs, id_col, text_col, shingle_k)
+    all_sh = prior_sh.unionByName(delta_sh)
+
+    # -- candidates touching the delta: delta band buckets vs ALL buckets
+    sigs_delta = minhash_signatures(delta_docs, id_col, text_col, num_hashes, shingle_k)
+    sigs_prior = (
+        prior_signatures
+        if prior_signatures is not None
+        else minhash_signatures(prior_docs, id_col, text_col, num_hashes, shingle_k)
+    )
+    banded_all = _banded(sigs_prior.unionByName(sigs_delta), bands, rows_per_band)
+    banded_delta = _banded(sigs_delta, bands, rows_per_band)
+    new_cands = (
+        banded_delta.select(F.col("doc").alias("d"), "band", "key")
+        .join(banded_all.select(F.col("doc").alias("o"), "band", "key"), ["band", "key"])
+        .filter(F.col("d") != F.col("o"))
+        .select(
+            F.least("d", "o").alias("doc_a"), F.greatest("d", "o").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # -- stored pairs whose capped intersection an append can change:
+    #    both docs contain a shingle whose df crossed the cap
+    if max_shingle_df is not None:
+        expl_prior = prior_sh.select("doc", F.explode("sh").alias("shingle"))
+        expl_delta = delta_sh.select("doc", F.explode("sh").alias("shingle"))
+        dfs = (
+            expl_prior.select("shingle", F.lit(0).alias("_d"))
+            .unionByName(expl_delta.select("shingle", F.lit(1).alias("_d")))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_uni"), F.sum("_d").alias("_dl"))
+        )
+        crossing = dfs.filter(
+            (F.col("_uni") - F.col("_dl") <= max_shingle_df)
+            & (F.col("_uni") > max_shingle_df)
+        ).select("shingle")
+        cross_docs = expl_prior.join(crossing, "shingle", "left_semi")
+        affected = (
+            prior_pairs.select("doc_a", "doc_b")
+            .join(cross_docs.select(F.col("doc").alias("doc_a"), "shingle"), "doc_a")
+            .join(
+                cross_docs.select(F.col("doc").alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+                "left_semi",
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    else:
+        affected = prior_pairs.select("doc_a", "doc_b").limit(0)
+
+    to_verify = new_cands.unionByName(affected)  # disjoint: new touch delta
+    verified = _verify_candidate_pairs(to_verify, all_sh, max_shingle_df).filter(
+        F.col("jaccard") >= threshold
+    )
+    survivors = prior_pairs.select("doc_a", "doc_b", "jaccard").join(
+        affected, ["doc_a", "doc_b"], "left_anti"
+    )
+    return survivors.unionByName(verified)
+
+
+def dedup_clusters_incremental(
+    spark,
+    prior_docs: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    prior_pairs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_iterations: int = 20,
+    prior_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """``dedup_clusters`` for corpus APPENDS: ``(doc, cluster)`` for every
+    doc in ``prior ∪ delta``, exactly equal to a fresh full run.
+
+    Verification work is delta-proportional (see
+    ``incremental_verified_pairs``); connected components then run FRESH
+    over the verified pair graph — cap retraction can SPLIT clusters, so
+    labels cannot be warm-started, but the pair graph holds only near-dup
+    docs (≪ corpus) with tiny cluster diameters, so the CC cost is noise
+    next to the verification it replaces.
+    """
+    from arxiv_citation_graph_spark.plans.components import connected_components
+
+    pairs = incremental_verified_pairs(
+        spark, prior_docs, delta_docs, id_col, text_col, prior_pairs,
+        threshold, num_hashes, bands, rows_per_band, shingle_k,
+        max_shingle_df, prior_signatures,
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src_id"), F.col("doc_b").alias("dst_id")
+    )
+    cc = connected_components(spark, edges, max_iterations=max_iterations)
+    docs = (
+        prior_docs.select(F.col(id_col).alias("doc"))
+        .unionByName(delta_docs.select(F.col(id_col).alias("doc")))
+        .distinct()
+    )
+    return docs.join(
+        cc.components.withColumnRenamed("vertex", "doc"), "doc", "left"
+    ).select("doc", F.coalesce(F.col("component"), F.col("doc")).alias("cluster"))
 
 
 def contamination_flags(
