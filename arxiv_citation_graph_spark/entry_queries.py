@@ -1130,6 +1130,88 @@ def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficients(spark, cosupply_edges(spark, sf_dir))
 
 
+#: simple-undirected symmetrized view + degree table, shared by the
+#: whole-graph statistics oracles below
+_SYM_DEG_SQL = f"""
+cos AS ({EDGES_COSUPPLY_SQL}),
+sym AS (SELECT src_id, dst_id FROM cos WHERE src_id <> dst_id
+        UNION SELECT dst_id, src_id FROM cos WHERE src_id <> dst_id),
+deg AS (SELECT src_id AS vertex, count(*) AS d FROM sym GROUP BY 1)
+"""
+
+
+@register(
+    "degree_assortativity",
+    f"""
+WITH {_SYM_DEG_SQL},
+p AS (SELECT da.d AS dx, db.d AS dy FROM sym s
+      JOIN deg da ON da.vertex = s.src_id JOIN deg db ON db.vertex = s.dst_id),
+t AS (SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+             sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+      FROM p)
+SELECT round(
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             0.0), 9) AS assortativity
+FROM t
+""",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman (2002) degree assortativity of the co-supply graph —
+    exact-integer stub sums, one final float expression
+    (plans/graphstats.py::degree_assortativity)."""
+    from arxiv_citation_graph_spark.plans.graphstats import degree_assortativity
+
+    return degree_assortativity(spark, cosupply_edges(spark, sf_dir))
+
+
+@register(
+    "transitivity",
+    f"""
+WITH t AS MATERIALIZED ({TRIANGLES_SQL}),
+{_SYM_DEG_SQL},
+c AS (SELECT sum(triangles) AS t3 FROM t),
+w AS (SELECT sum(d * (d - 1)) AS w2 FROM deg)
+SELECT CAST(t3 // 3 AS BIGINT) AS triangles,
+       CAST(w2 // 2 AS BIGINT) AS wedges,
+       round(CAST(t3 AS DOUBLE) / nullif(CAST(w2 AS DOUBLE) / 2.0, 0.0), 9)
+           AS transitivity
+FROM c, w
+""",
+)
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3T/W of the co-supply graph
+    (plans/graphstats.py::transitivity)."""
+    from arxiv_citation_graph_spark.plans.graphstats import transitivity
+
+    return transitivity(spark, cosupply_edges(spark, sf_dir))
+
+
+@register(
+    "h_index",
+    f"""
+WITH {_SYM_DEG_SQL},
+nbr AS (SELECT s.src_id AS vertex, d.d AS nbr_deg
+        FROM sym s JOIN deg d ON d.vertex = s.dst_id),
+cnt AS (SELECT vertex, nbr_deg, count(*) AS c FROM nbr GROUP BY 1, 2),
+cum AS (SELECT vertex, nbr_deg,
+               sum(c) OVER (PARTITION BY vertex ORDER BY nbr_deg DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cnt_ge
+        FROM cnt)
+SELECT vertex, CAST(max(least(nbr_deg, cnt_ge)) AS BIGINT) AS h_index
+FROM cum GROUP BY vertex
+""",
+)
+def q_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex h-index over neighbor degrees on the co-supply graph
+    (plans/graphstats.py::h_index)."""
+    from arxiv_citation_graph_spark.plans.graphstats import h_index
+
+    return h_index(spark, cosupply_edges(spark, sf_dir))
+
+
 @register("triangle_counts", TRIANGLES_SQL)
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/A10: per-vertex triangle counts, compact-forward wedge join."""

@@ -1,0 +1,88 @@
+"""Whole-graph statistics: degree assortativity, transitivity, h-index
+(plans/graphstats.py) — fixed graphs with hand-computed values."""
+
+from __future__ import annotations
+
+import math
+
+from arxiv_citation_graph_spark.plans.graphstats import (
+    degree_assortativity,
+    h_index,
+    transitivity,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src_id", "dst_id"])
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # K_{1,3}: hubs only connect to leaves -> perfectly disassortative
+    df = _edges(spark, [("h", "a"), ("h", "b"), ("h", "c")])
+    got = degree_assortativity(spark, df).first().assortativity
+    assert got == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # triangle: every degree is 2 -> zero variance, r undefined
+    df = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    assert degree_assortativity(spark, df).first().assortativity is None
+
+
+def test_assortativity_matches_python_pearson(spark):
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+        ("d", "e"), ("e", "f"),
+    ]
+    df = _edges(spark, pairs)
+    deg: dict = {}
+    und = {tuple(sorted(p)) for p in pairs}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    stubs = [(deg[u], deg[v]) for u, v in und] + [(deg[v], deg[u]) for u, v in und]
+    n = len(stubs)
+    sx = sum(x for x, _ in stubs)
+    sy = sum(y for _, y in stubs)
+    sxy = sum(x * y for x, y in stubs)
+    sxx = sum(x * x for x, _ in stubs)
+    syy = sum(y * y for _, y in stubs)
+    want = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    got = degree_assortativity(spark, df).first().assortativity
+    assert got == round(want, 9)
+
+
+def test_transitivity_triangle_and_path(spark):
+    tri = transitivity(spark, _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")]))
+    r = tri.first()
+    assert (r.triangles, r.wedges, r.transitivity) == (1, 3, 1.0)
+    path = transitivity(spark, _edges(spark, [("a", "b"), ("b", "c")]))
+    r = path.first()
+    assert (r.triangles, r.wedges, r.transitivity) == (0, 1, 0.0)
+
+
+def test_transitivity_k4_with_pendant(spark):
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    df = _edges(spark, k4 + [("a", "e")])
+    r = transitivity(spark, df).first()
+    # K4 has 4 triangles; wedges: deg a=4 -> 6, b/c/d=3 -> 3 each, e=1 -> 0
+    assert (r.triangles, r.wedges) == (4, 15)
+    assert r.transitivity == round(12 / 15, 9)
+
+
+def test_h_index_k4_with_pendant(spark):
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    df = _edges(spark, k4 + [("a", "e")])
+    got = {r.vertex: r.h_index for r in h_index(spark, df).collect()}
+    # a: nbr degs (3,3,3,1) -> 3; b/c/d: (4,3,3) -> 3; e: (4) -> 1
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1}
+
+
+def test_h_index_star_and_duplicates(spark):
+    # duplicate + reversed edge rows must not inflate degrees
+    df = _edges(
+        spark,
+        [("h", "a"), ("a", "h"), ("h", "a"), ("h", "b"), ("h", "c")],
+    )
+    got = {r.vertex: r.h_index for r in h_index(spark, df).collect()}
+    assert got == {"h": 1, "a": 1, "b": 1, "c": 1}
