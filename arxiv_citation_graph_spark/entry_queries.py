@@ -1212,6 +1212,68 @@ def q_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h_index(spark, cosupply_edges(spark, sf_dir))
 
 
+#: disparity-filter significance level for the driver query — chosen so
+#: the sf0.01 backbone is a strict, non-empty subset of the edges
+_DISPARITY_ALPHA = 0.3
+
+
+@register(
+    "disparity_backbone",
+    f"""
+WITH cos AS ({EDGES_COSUPPLY_SQL}),
+we AS (SELECT src_id, dst_id, {_EDGE_WEIGHT_SQL} AS w FROM cos),
+wsym AS (SELECT src_id, dst_id, w FROM we WHERE src_id <> dst_id
+         UNION SELECT dst_id, src_id, w FROM we WHERE src_id <> dst_id),
+st AS (SELECT src_id AS vv, sum(w) AS s, count(*) AS k FROM wsym GROUP BY 1),
+pd AS (SELECT least(e.src_id, e.dst_id) AS u, greatest(e.src_id, e.dst_id) AS v,
+              e.w,
+              CASE WHEN st.k > 1
+                   THEN power(1.0 - CAST(e.w AS DOUBLE) / st.s, st.k - 1)
+                   ELSE 1.0 END AS p
+       FROM wsym e JOIN st ON st.vv = e.src_id)
+SELECT u, v, CAST(min(w) AS BIGINT) AS weight, round(min(p), 6) AS p_min
+FROM pd GROUP BY u, v HAVING round(min(p), 6) < {_DISPARITY_ALPHA}
+""",
+)
+def q_disparity_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serrano-Boguñá-Vespignani multiscale backbone of the weighted
+    co-supply graph (plans/backbone.py::disparity_filter)."""
+    from arxiv_citation_graph_spark.plans.backbone import disparity_filter
+
+    return disparity_filter(
+        spark, weighted_cosupply_edges(spark, sf_dir), weight="weight",
+        alpha=_DISPARITY_ALPHA,
+    )
+
+
+@register(
+    "rich_club",
+    f"""
+WITH {_SYM_DEG_SQL},
+und AS (SELECT src_id, dst_id FROM sym WHERE src_id < dst_id),
+em AS (SELECT least(da.d, db.d) AS m FROM und u
+       JOIN deg da ON da.vertex = u.src_id
+       JOIN deg db ON db.vertex = u.dst_id),
+degcnt AS (SELECT d, count(*) AS nv FROM deg GROUP BY d),
+edgecnt AS (SELECT m, count(*) AS ne FROM em GROUP BY m),
+ks AS (SELECT d AS k FROM degcnt),
+nodes AS (SELECT k, sum(nv) AS n_nodes FROM ks JOIN degcnt ON d > k GROUP BY k),
+ce AS (SELECT k, sum(ne) AS n_edges FROM ks JOIN edgecnt ON m > k GROUP BY k)
+SELECT n.k, CAST(n.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(c.n_edges, 0) AS BIGINT) AS n_edges,
+       round(2.0 * coalesce(c.n_edges, 0) / (n.n_nodes * (n.n_nodes - 1)), 9) AS phi
+FROM nodes n LEFT JOIN ce c ON c.k = n.k
+WHERE n.n_nodes >= 2
+""",
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient per degree threshold on the co-supply graph
+    (plans/backbone.py::rich_club)."""
+    from arxiv_citation_graph_spark.plans.backbone import rich_club
+
+    return rich_club(spark, cosupply_edges(spark, sf_dir))
+
+
 @register("triangle_counts", TRIANGLES_SQL)
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/A10: per-vertex triangle counts, compact-forward wedge join."""
@@ -3301,6 +3363,31 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         sources=sources,
     )
     return result.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "trustrank_spam_mass",
+    f"""
+WITH prq AS MATERIALIZED ({_pagerank_unrolled_sql(PAGERANK_ITERS)}),
+trq AS MATERIALIZED ({_ppr_unrolled_sql(PAGERANK_ITERS)})
+SELECT p.vertex, p.rank AS pagerank, t.rank AS trustrank,
+       round((p.rank - t.rank) / p.rank, 6) AS spam_mass
+FROM prq p JOIN trq t ON p.vertex = t.vertex
+""",
+)
+def q_trustrank_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + relative spam mass (Gyongyi 2004) on the bipartite
+    graph, trusted seeds = the personalized-PR source set
+    (plans/centrality.py::trustrank_spam_mass)."""
+    from arxiv_citation_graph_spark.plans.centrality import trustrank_spam_mass
+    from arxiv_citation_graph_spark.plans.layout import vertices_of
+
+    edges = bipartite_edges(spark, sf_dir)
+    trusted = vertices_of(edges).filter(
+        F.col("vertex").like("c%")
+        & (F.substring("vertex", 2, 100).cast("int") % 97 == 0)
+    )
+    return trustrank_spam_mass(spark, edges, trusted, iterations=PAGERANK_ITERS)
 
 
 # ===========================================================================

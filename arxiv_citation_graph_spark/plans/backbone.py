@@ -1,0 +1,119 @@
+"""Edge-significance backbone and rich-club structure.
+
+Two weighted/degree-structure kernels citation-graph analyses run on the
+extracted edge table (beyond-reference analytics; reference scope is the
+extraction itself, ``create_database.py``):
+
+- **disparity filter** (Serrano, Boguñá & Vespignani 2009, "Extracting
+  the multiscale backbone of complex weighted networks"): an edge
+  survives when, from at least one endpoint's view, its weight share is
+  too large to come from a uniform split — ``p = (1 - w/s_i)^(k_i - 1) <
+  alpha``.
+- **rich-club coefficient** (Colizza, Flammini, Serrano & Vespignani
+  2006): for each degree threshold ``k``, the density of the subgraph
+  induced by vertices of degree > k — ``phi(k) = 2 E_k / (N_k (N_k -
+  1))``.
+
+Scale shapes:
+- disparity: one |E| symmetrize shuffle + a broadcastable per-vertex
+  (strength, degree) join + pure column math.  No window, no collect.
+- rich club: |E|/|V| collapse to VALUE HISTOGRAMS (degree -> count,
+  min-endpoint-degree -> count) of at most max-degree rows each; the
+  threshold join is histogram x histogram — model-sized, never |E|.
+
+Determinism: rich club is exact-integer until one final division.  The
+disparity p-value needs ``pow`` with a per-row integer exponent — the
+one operation whose last ulp libm (DuckDB) and java.lang.Math (Spark)
+may disagree on — so ``p`` is rounded to 6 dp BEFORE the alpha
+comparison in both engines (the rounded-score-ranking convention used
+by the TF-IDF query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+__all__ = ["disparity_filter", "rich_club"]
+
+
+def disparity_filter(
+    spark: SparkSession,
+    edges: DataFrame,
+    weight: str = "weight",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Multiscale backbone: ``(u, v, weight, p_min)`` for undirected
+    edges significant at ``alpha`` from at least one endpoint.
+
+    Degree-1 endpoints contribute ``p = 1`` (their single edge is never
+    evidence of disparity), the paper's convention."""
+    sym = symmetrize(edges, extra_cols=[weight])
+    stats = sym.groupBy(F.col("src_id").alias("_v")).agg(
+        F.sum(weight).alias("_s"), F.count(F.lit(1)).alias("_k")
+    )
+    per_dir = sym.join(stats, sym.src_id == stats._v).select(
+        F.least("src_id", "dst_id").alias("u"),
+        F.greatest("src_id", "dst_id").alias("v"),
+        F.col(weight).alias("w"),
+        F.when(
+            F.col("_k") > 1,
+            F.pow(F.lit(1.0) - F.col(weight) / F.col("_s"), F.col("_k") - 1),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("p"),
+    )
+    return (
+        per_dir.groupBy("u", "v")
+        .agg(
+            F.min("w").alias("weight"),  # identical on both orientations
+            F.round(F.min("p"), 6).alias("p_min"),
+        )
+        .filter(F.col("p_min") < alpha)
+    )
+
+
+def rich_club(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient per degree threshold: ``(k, n_nodes,
+    n_edges, phi)`` for every distinct degree value k with at least two
+    vertices of degree > k."""
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("src_id").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    und = sym.filter(F.col("src_id") < F.col("dst_id"))
+    edge_min = (
+        und.join(deg.withColumnsRenamed({"vertex": "src_id", "degree": "du"}), "src_id")
+        .join(deg.withColumnsRenamed({"vertex": "dst_id", "degree": "dv"}), "dst_id")
+        .select(F.least("du", "dv").alias("m"))
+    )
+    degcnt = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("nv"))
+    edgecnt = edge_min.groupBy("m").agg(F.count(F.lit(1)).alias("ne"))
+    ks = degcnt.select(F.col("degree").alias("k"))
+    nodes = (
+        ks.join(F.broadcast(degcnt), F.col("degree") > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("nv").alias("n_nodes"))
+    )
+    club_edges = (
+        ks.join(F.broadcast(edgecnt), F.col("m") > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("ne").alias("n_edges"))
+    )
+    return (
+        nodes.join(club_edges, "k", "left")
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.round(
+                2.0
+                * F.coalesce("n_edges", F.lit(0))
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                9,
+            ).alias("phi"),
+        )
+        .filter(F.col("n_nodes") >= 2)
+    )

@@ -304,3 +304,53 @@ def eigenvector_centrality(
         if hot is not None:
             hot.unpersist()
     return CentralityResult(scores, report, n, m)
+
+
+def trustrank_spam_mass(
+    spark: SparkSession,
+    edges: DataFrame,
+    trusted: DataFrame,
+    iterations: int = 8,
+    salt_buckets: int = 8,
+    hot_degree_threshold: int | None = 64,
+) -> DataFrame:
+    """TrustRank + relative spam mass (Gyongyi, Garcia-Molina & Pedersen
+    2004, "Combating web spam with TrustRank"): ``(vertex, pagerank,
+    trustrank, spam_mass)``.
+
+    TrustRank is personalized PageRank teleporting to the ``trusted``
+    seed set (one ``vertex`` column); both distributions sum to 1, so
+    ``spam_mass = (pagerank - trustrank) / pagerank`` — the rank share a
+    vertex does NOT inherit from trusted sources.  Citation reading:
+    papers whose standing rests on mass unreachable from a vetted core.
+
+    Plan: two independent salted PageRank runs over the SAME cached
+    adjacency shape (each is the stock superstep kernel) + one |V| join.
+    Ranks are rounded to 9 dp BEFORE the ratio so a summation-order ulp
+    cannot move the advertised spam mass (cross-engine convention).
+    """
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    kw = dict(
+        tolerance=None,
+        max_iterations=iterations,
+        salt_buckets=salt_buckets,
+        hot_degree_threshold=hot_degree_threshold,
+    )
+    pr = pagerank(spark, edges, **kw).ranks
+    tr = pagerank(spark, edges, sources=trusted, **kw).ranks
+    return (
+        pr.select("vertex", F.round("rank", 9).alias("pagerank"))
+        .join(
+            tr.select("vertex", F.round("rank", 9).alias("trustrank")),
+            "vertex",
+        )
+        .select(
+            "vertex",
+            "pagerank",
+            "trustrank",
+            F.round(
+                (F.col("pagerank") - F.col("trustrank")) / F.col("pagerank"), 6
+            ).alias("spam_mass"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""Disparity-filter backbone, rich-club coefficient
+(plans/backbone.py) and TrustRank spam mass (plans/centrality.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.backbone import disparity_filter, rich_club
+from arxiv_citation_graph_spark.plans.centrality import trustrank_spam_mass
+
+
+def _wedges(spark, rows):
+    return spark.createDataFrame(rows, "src_id string, dst_id string, weight long")
+
+
+def test_disparity_keeps_dominant_edge_only(spark):
+    # hub h splits strength 12 as (10, 1, 1): only the heavy edge is
+    # significant; leaves are degree-1 (p = 1 from their side)
+    df = _wedges(spark, [("h", "a", 10), ("h", "b", 1), ("h", "c", 1)])
+    rows = disparity_filter(spark, df, alpha=0.05).collect()
+    assert [(r.u, r.v, r.weight) for r in rows] == [("a", "h", 10)]
+    assert rows[0].p_min == round((1 - 10 / 12) ** 2, 6)
+
+
+def test_disparity_matches_python_reference(spark):
+    rows = [
+        ("a", "b", 5), ("a", "c", 1), ("a", "d", 1),
+        ("b", "c", 3), ("c", "d", 7), ("d", "b", 2),
+    ]
+    alpha = 0.4
+    df = _wedges(spark, rows)
+    got = {(r.u, r.v): r.p_min for r in disparity_filter(spark, df, alpha=alpha).collect()}
+
+    nbrs: dict = {}
+    for u, v, w in rows:
+        nbrs.setdefault(u, {})[v] = w
+        nbrs.setdefault(v, {})[u] = w
+    want = {}
+    for u, vs in nbrs.items():
+        s, k = sum(vs.values()), len(vs)
+        for v, w in vs.items():
+            p = (1 - w / s) ** (k - 1) if k > 1 else 1.0
+            key = (min(u, v), max(u, v))
+            want[key] = min(want.get(key, 1.0), p)
+    want = {k: round(p, 6) for k, p in want.items() if round(p, 6) < alpha}
+    assert got == want and got, "expected a non-empty backbone"
+
+
+def test_rich_club_k4_with_pendant(spark):
+    k4 = [("a", "b", 0), ("a", "c", 0), ("a", "d", 0),
+          ("b", "c", 0), ("b", "d", 0), ("c", "d", 0)]
+    df = _wedges(spark, k4 + [("a", "e", 0)]).select("src_id", "dst_id")
+    rows = {r.k: (r.n_nodes, r.n_edges, r.phi) for r in rich_club(spark, df).collect()}
+    # k=1: club = {a,b,c,d} (deg > 1), all 6 K4 edges inside -> phi 1.0;
+    # k=3 leaves a single vertex, k=4 none -> both excluded
+    assert rows == {1: (4, 6, 1.0)}
+
+
+def test_rich_club_path_graph(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src_id", "dst_id"]
+    )
+    rows = {r.k: (r.n_nodes, r.n_edges, r.phi) for r in rich_club(spark, df).collect()}
+    # degrees: a,d = 1; b,c = 2.  k=1 -> club {b,c}, 1 edge -> phi 1.0
+    assert rows == {1: (2, 1, 1.0)}
+
+
+def test_trustrank_spam_mass_flags_unreached_mass(spark):
+    # trusted t feeds x; s also feeds x but is unreachable from t
+    edges = spark.createDataFrame(
+        [("t", "x"), ("s", "x"), ("x", "t")], ["src_id", "dst_id"]
+    )
+    trusted = spark.createDataFrame([("t",)], ["vertex"])
+    out = {r.vertex: r for r in
+           trustrank_spam_mass(spark, edges, trusted, iterations=30).collect()}
+    assert set(out) == {"t", "x", "s"}
+    assert math.isclose(sum(r.pagerank for r in out.values()), 1.0, abs_tol=1e-6)
+    assert math.isclose(sum(r.trustrank for r in out.values()), 1.0, abs_tol=1e-6)
+    assert out["s"].trustrank == 0.0 and out["s"].spam_mass == 1.0
+    assert out["t"].spam_mass < 0 or out["t"].spam_mass < out["x"].spam_mass
+    assert all(-1.0 <= r.spam_mass <= 1.0 for r in out.values())
