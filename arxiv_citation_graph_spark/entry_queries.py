@@ -1274,6 +1274,56 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich_club(spark, cosupply_edges(spark, sf_dir))
 
 
+@register(
+    "triad_census",
+    f"""
+WITH seq AS ({EDGES_SEQSUPPLY_SQL}),
+e AS (SELECT DISTINCT src_id, dst_id FROM seq WHERE src_id <> dst_id),
+cyc AS (SELECT count(*) AS c3 FROM e e1
+        JOIN e e2 ON e2.src_id = e1.dst_id
+        JOIN e e3 ON e3.src_id = e2.dst_id AND e3.dst_id = e1.src_id),
+tr AS (SELECT count(*) AS t FROM e e1
+       JOIN e e2 ON e2.src_id = e1.dst_id
+       JOIN e e3 ON e3.src_id = e1.src_id AND e3.dst_id = e2.dst_id)
+SELECT CAST(c3 // 3 AS BIGINT) AS cyclic, CAST(t AS BIGINT) AS transitive
+FROM cyc, tr
+""",
+)
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triangle census (cyclic vs transitive motif instances)
+    on the supplier-succession graph — the directed-cycle companion to
+    the undirected triangle/4-clique censuses
+    (plans/motifs.py::triad_census)."""
+    from arxiv_citation_graph_spark.plans.motifs import triad_census
+
+    return triad_census(spark, seqsupply_edges(spark, sf_dir))
+
+
+@register(
+    "quotient_graph",
+    f"""
+WITH lab AS MATERIALIZED ({_lpa_unrolled_sql(_LPA_ITERS)}),
+cos AS ({EDGES_COSUPPLY_SQL}),
+e AS (SELECT DISTINCT src_id, dst_id FROM cos WHERE src_id <> dst_id)
+SELECT la.label AS src_label, lb.label AS dst_label,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM e JOIN lab la ON la.vertex = e.src_id
+       JOIN lab lb ON lb.vertex = e.dst_id
+GROUP BY 1, 2
+""",
+)
+def q_quotient_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-level super-graph over the 2-round LPA labels of the
+    co-supply graph — the Louvain coarsening step as a standalone
+    operator (plans/motifs.py::quotient_graph)."""
+    from arxiv_citation_graph_spark.plans.labelprop import label_propagation
+    from arxiv_citation_graph_spark.plans.motifs import quotient_graph
+
+    edges = cosupply_edges(spark, sf_dir)
+    labels = label_propagation(spark, edges, max_iterations=_LPA_ITERS).labels
+    return quotient_graph(spark, edges, labels)
+
+
 @register("triangle_counts", TRIANGLES_SQL)
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/A10: per-vertex triangle counts, compact-forward wedge join."""

@@ -139,3 +139,72 @@ def four_clique_counts(spark: SparkSession, edges: DataFrame) -> Clique4Result:
     total_row = counts.agg((F.sum("cliques4") / 4).cast("long")).first()
     total = int(total_row[0]) if total_row[0] is not None else 0
     return Clique4Result(counts, total)
+
+
+def triad_census(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Directed triangle census: 1-row ``(cyclic, transitive)``.
+
+    Motif-instance counts over the simple directed graph (self-loops and
+    duplicate arcs dropped): ``cyclic`` = vertex triples carrying
+    a→b→c→a (each cycle matched by its 3 rotations, so the join count is
+    divided by 3); ``transitive`` = (source, middle, sink) instances
+    carrying a→b→c plus the shortcut a→c.  No explicit inequality
+    filters are needed — every degenerate binding would require a
+    self-loop, which the input no longer contains.
+
+    Scale: the standard two-hop + closing-edge equi-join (the same shape
+    as the undirected triangle kernel); for power-law graphs the
+    degree-oriented variant in ``four_clique_counts``'s ``_oriented``
+    bounds the fan-out and is the drop-in upgrade.
+    """
+    e = (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+    e1 = e.withColumnsRenamed({"src_id": "a", "dst_id": "b"})
+    e2 = e.withColumnsRenamed({"src_id": "b", "dst_id": "c"})
+    cyc = (
+        e1.join(e2, "b")
+        .join(e.withColumnsRenamed({"src_id": "c", "dst_id": "a"}), ["c", "a"])
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    tr = (
+        e1.join(e2, "b")
+        .join(e.withColumnsRenamed({"src_id": "a", "dst_id": "c"}), ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return cyc.crossJoin(tr).select(
+        (F.col("c3") / 3).cast("long").alias("cyclic"),
+        F.col("t").cast("long").alias("transitive"),
+    )
+
+
+def quotient_graph(
+    spark: SparkSession, edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Community-level super-graph: ``(src_label, dst_label, n_edges)``.
+
+    Contracts each community of ``labels (vertex, label)`` to one
+    super-vertex over the simple directed edge set; ``src_label ==
+    dst_label`` rows carry the community's internal edge count.  Inner
+    joins — unlabeled endpoints drop their edges (labels from any of the
+    engine's community kernels cover every vertex, so nothing drops in
+    practice).  One |E| shuffle per endpoint join (label side is
+    |V|-sized and hash-joins), one aggregate whose cardinality is
+    |communities|² at worst — the coarsening step Louvain runs per
+    level, exposed as a standalone operator.
+    """
+    e = (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+    la = labels.withColumnsRenamed({"vertex": "src_id", "label": "src_label"})
+    lb = labels.withColumnsRenamed({"vertex": "dst_id", "label": "dst_label"})
+    return (
+        e.join(la, "src_id")
+        .join(lb, "dst_id")
+        .groupBy("src_label", "dst_label")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

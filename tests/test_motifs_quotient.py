@@ -1,0 +1,62 @@
+"""Directed triad census and community quotient graph
+(plans/motifs.py::triad_census / quotient_graph)."""
+
+from __future__ import annotations
+
+from arxiv_citation_graph_spark.plans.motifs import quotient_graph, triad_census
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src_id", "dst_id"])
+
+
+def test_triad_census_cycle_and_transitive(spark):
+    # one directed 3-cycle + one transitive triad, disjoint vertex sets
+    df = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"),          # cycle
+         ("x", "y"), ("y", "z"), ("x", "z")],          # transitive
+    )
+    r = triad_census(spark, df).first()
+    assert (r.cyclic, r.transitive) == (1, 1)
+
+
+def test_triad_census_complete_digraph_k3(spark):
+    # all 6 arcs among 3 vertices: 2 cyclic orientations; every ordered
+    # (source, middle, sink) of the 3! = 6 is transitive
+    arcs = [(a, b) for a in "abc" for b in "abc" if a != b]
+    r = triad_census(spark, _edges(spark, arcs)).first()
+    assert (r.cyclic, r.transitive) == (2, 6)
+
+
+def test_triad_census_ignores_self_loops_and_dups(spark):
+    df = _edges(
+        spark,
+        [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"), ("a", "a")],
+    )
+    r = triad_census(spark, df).first()
+    assert (r.cyclic, r.transitive) == (1, 0)
+
+
+def test_quotient_graph_contracts_communities(spark):
+    edges = _edges(
+        spark,
+        [("a1", "a2"), ("a2", "a3"),           # inside A
+         ("b1", "b2"),                          # inside B
+         ("a1", "b1"), ("a3", "b2"), ("b1", "a2")],  # across
+    )
+    labels = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("a3", "A"), ("b1", "B"), ("b2", "B")],
+        ["vertex", "label"],
+    )
+    got = {(r.src_label, r.dst_label): r.n_edges
+           for r in quotient_graph(spark, edges, labels).collect()}
+    assert got == {("A", "A"): 2, ("B", "B"): 1, ("A", "B"): 2, ("B", "A"): 1}
+
+
+def test_quotient_graph_drops_unlabeled_edges(spark):
+    edges = _edges(spark, [("a", "b"), ("a", "ghost")])
+    labels = spark.createDataFrame([("a", "A"), ("b", "B")], ["vertex", "label"])
+    got = {(r.src_label, r.dst_label): r.n_edges
+           for r in quotient_graph(spark, edges, labels).collect()}
+    assert got == {("A", "B"): 1}
