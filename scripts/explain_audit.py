@@ -941,6 +941,107 @@ def main() -> None:
         )
     )
 
+    # ---- round-5 fourth wave: incremental dedup + whole-graph stats --------
+
+    from arxiv_citation_graph_spark.operators.dedup import (
+        incremental_verified_pairs,
+        verified_near_dup_pairs,
+    )
+
+    docs4 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    draw4 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 20
+    )
+    prior4, delta4 = docs4.filter(draw4 != 0), docs4.filter(draw4 == 0)
+    dk = dict(threshold=0.18, num_hashes=4, bands=2, rows_per_band=2,
+              shingle_k=3, max_shingle_df=4)
+    pp4 = verified_near_dup_pairs(prior4, "doc_id", "text", **dk)
+    idp_plan = plan_of(
+        incremental_verified_pairs(spark, prior4, delta4, "doc_id", "text", pp4, **dk)
+    )
+    sections.append(
+        (
+            "Incremental fuzzy dedup (delta-probed verification)",
+            "New candidates come from joining the DELTA's band buckets "
+            "against the corpus buckets (never a corpus self-join); the "
+            "cap-crossing retraction set probes the stored pair table with "
+            "crossing-shingle semi-joins; exact Jaccard runs only for that "
+            "union.  The full-corpus passes are scan-shaped (signatures, "
+            "shingle df histogram) — each one map-side-combined.  "
+            f"[{exchange_count(idp_plan)}]",
+            condense(idp_plan, KEEP + ("LeftSemi", "LeftAnti")),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.graphstats import (
+        degree_assortativity,
+        h_index,
+    )
+
+    ga_plan = plan_of(degree_assortativity(spark, bipartite_edges(spark, SF_DIR)))
+    sections.append(
+        (
+            "Degree assortativity (exact-integer stub sums)",
+            "One symmetrize shuffle, two degree hash-joins, then a single "
+            "global aggregate of decimal(38) sums — partial_ aggregation "
+            "does the work map-side and the driver sees one row; the only "
+            "float math is the final Pearson expression.  "
+            f"[{exchange_count(ga_plan)}]",
+            condense(ga_plan, KEEP),
+        )
+    )
+
+    hi_plan = plan_of(h_index(spark, bipartite_edges(spark, SF_DIR)))
+    sections.append(
+        (
+            "h-index (hub-safe suffix-sum window)",
+            "The window partitions on (vertex) but runs over (vertex, "
+            "DISTINCT neighbor-degree value) rows produced by the "
+            "preceding hash aggregate — a 10^7-degree hub enters the sort "
+            "as at most |distinct degrees| rows, so no degree-sized task "
+            "exists (the WL hub lesson applied at design time).  "
+            f"[{exchange_count(hi_plan)}]",
+            condense(hi_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.backbone import rich_club
+
+    rc_plan = plan_of(rich_club(spark, bipartite_edges(spark, SF_DIR)))
+    sections.append(
+        (
+            "Rich club (histogram-collapsed threshold join)",
+            "|V| and |E| collapse to degree-value histograms (HashAggregate "
+            "-> at most max-degree rows) BEFORE the non-equi threshold "
+            "join, which is histogram x histogram under BroadcastExchange "
+            "— never |E|-sized.  "
+            f"[{exchange_count(rc_plan)}]",
+            condense(rc_plan, KEEP + ("BroadcastNestedLoopJoin",)),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.motifs import quotient_graph as qg_op
+
+    lab4 = bipartite_edges(spark, SF_DIR).select(
+        F.col("src_id").alias("vertex"), F.substring("src_id", 1, 2).alias("label")
+    ).unionByName(
+        bipartite_edges(spark, SF_DIR).select(
+            F.col("dst_id").alias("vertex"), F.substring("dst_id", 1, 2).alias("label")
+        )
+    ).distinct()
+    qg_plan = plan_of(qg_op(spark, bipartite_edges(spark, SF_DIR), lab4))
+    sections.append(
+        (
+            "Quotient graph (community contraction)",
+            "Two |E| label hash-joins + one aggregate whose output is "
+            "|communities|^2 at worst — the Louvain coarsening step as a "
+            "standalone plan.  "
+            f"[{exchange_count(qg_plan)}]",
+            condense(qg_plan, KEEP),
+        )
+    )
+
     from arxiv_citation_graph_spark.sources.bucketed import read_bucketed, write_bucketed
 
     old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
