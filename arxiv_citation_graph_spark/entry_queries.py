@@ -1324,6 +1324,37 @@ def q_quotient_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quotient_graph(spark, edges, labels)
 
 
+@register(
+    "attribute_assortativity",
+    f"""
+WITH lab AS MATERIALIZED ({_lpa_unrolled_sql(_LPA_ITERS)}),
+cos AS ({EDGES_COSUPPLY_SQL}),
+asym AS (SELECT src_id, dst_id FROM cos WHERE src_id <> dst_id
+         UNION SELECT dst_id, src_id FROM cos WHERE src_id <> dst_id),
+nij AS (SELECT la.label AS li, lb.label AS lj, count(*) AS n
+        FROM asym s JOIN lab la ON la.vertex = s.src_id
+                    JOIN lab lb ON lb.vertex = s.dst_id
+        GROUP BY 1, 2),
+t AS (SELECT sum(n) AS m, sum(CASE WHEN li = lj THEN n ELSE 0 END) AS tr FROM nij),
+s2 AS (SELECT sum(a * a) AS sa2
+       FROM (SELECT li, sum(n) AS a FROM nij GROUP BY li))
+SELECT round(CAST(m * tr - sa2 AS DOUBLE)
+             / nullif(CAST(m * m - sa2 AS DOUBLE), 0.0), 9) AS assortativity
+FROM t, s2
+""",
+)
+def q_attribute_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman categorical mixing coefficient over the 2-round LPA labels
+    of the co-supply graph — exact-integer mixing-matrix sums, one final
+    double division (plans/graphstats.py::attribute_assortativity)."""
+    from arxiv_citation_graph_spark.plans.graphstats import attribute_assortativity
+    from arxiv_citation_graph_spark.plans.labelprop import label_propagation
+
+    edges = cosupply_edges(spark, sf_dir)
+    labels = label_propagation(spark, edges, max_iterations=_LPA_ITERS).labels
+    return attribute_assortativity(spark, edges, labels)
+
+
 @register("triangle_counts", TRIANGLES_SQL)
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/A10: per-vertex triangle counts, compact-forward wedge join."""
@@ -4364,6 +4395,71 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing(
         spark, _t(spark, sf_dir, "documents"), "doc_id", "text",
         seq_len=_SEQ_LEN, buckets=16,
+    )
+
+
+#: token budget for the greedy best-first selection query (~44% of the
+#: 27,165-token sf0.01 corpus — a meaningful strict subset)
+_TOKEN_BUDGET = 12_000
+
+#: the quality-score subquery body shared with the q_quality_score oracle
+_QUALITY_SQL_BODY = r"""
+    SELECT doc_id,
+           round(0.4 * least(stop * 5.0, 1.0) + 0.3 * len_sig + 0.3 * shape, 6)
+             AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_filter(ltoks, t -> t IN ('the','a','of','and','to')))
+                  AS DOUBLE) / greatest(len(ltoks), 1) AS stop,
+             least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_sig,
+             CASE WHEN (CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                             AS DOUBLE) / greatest(len(toks), 1)) BETWEEN 3.0 AND 8.0
+                  THEN 1.0 ELSE 0.5 END AS shape
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ltoks
+            FROM documents)
+    )
+"""
+
+
+@register(
+    "token_budget_selection",
+    f"""
+    WITH q AS MATERIALIZED ({_QUALITY_SQL_BODY}),
+    tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT q.doc_id AS doc, q.quality AS score, tok.n_tokens,
+             CAST(coalesce(sum(tok.n_tokens) OVER (
+               ORDER BY q.quality DESC, q.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_offset
+      FROM q JOIN tok ON tok.doc_id = q.doc_id
+    )
+    SELECT doc, score, n_tokens, start_offset FROM r
+    WHERE start_offset < {_TOKEN_BUDGET}
+    """,
+)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first corpus selection under a token budget: rank by
+    (quality DESC, doc ASC), keep while the cumulative token count
+    before the doc is under budget (straddler kept).  The rank-order
+    prefix sum is the two-stage quantized-score-bucket shape — never a
+    single-partition global window
+    (operators/packing.py::select_to_token_budget)."""
+    from arxiv_citation_graph_spark.functions.texttools import quality_score
+    from arxiv_citation_graph_spark.operators.packing import select_to_token_budget
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "quality", quality_score(F.col("text"))
+    )
+    return select_to_token_budget(
+        spark, docs, "doc_id", "text", "quality", budget=_TOKEN_BUDGET
     )
 
 

@@ -251,3 +251,77 @@ def stratified_take(
         .filter(F.col("_rn") <= n_per_group)
         .drop("_rn")
     )
+
+
+def select_to_token_budget(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: str,
+    budget: int,
+    score_buckets: int = 4096,
+    count_fn=None,
+) -> DataFrame:
+    """Greedy best-first corpus selection under a token budget:
+    ``(doc, score, n_tokens, start_offset)`` for the docs kept.
+
+    Documents are ranked by ``(score DESC, doc ASC)`` — a total,
+    engine-stable order — and selected while the cumulative token count
+    BEFORE each doc is under ``budget`` (the straddling doc is KEPT, the
+    `sequence_packing` start-offset convention; the token-level cut is
+    downstream's job).  This is the "fill a training-mixture budget by
+    quality rank" step.
+
+    Scale shape: the rank-order prefix sum reuses `sequence_packing`'s
+    two-stage trick, bucketed on the QUANTIZED score (``floor(score *
+    score_buckets)``) — stage-2's window runs over at most one row per
+    quantization cell, and stage-3 windows partition per cell.  Worst
+    case (every doc identical score) degrades to one partition, the same
+    documented caveat as packing's id-span assumption; real quality
+    scores spread across cells.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    counter = count_fn if count_fn is not None else token_count
+    base_cols = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(score_col).cast("double").alias("score"),
+        counter(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    bad = base_cols.filter(
+        F.col("score").isNull() | F.isnan("score") | F.col("doc").isNull()
+    ).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"select_to_token_budget: {score_col!r}/{id_col!r} must be "
+            "non-null (score also non-NaN)"
+        )
+    scored = base_cols.withColumn(
+        "_cell", F.floor(F.col("score") * F.lit(score_buckets)).cast("long")
+    )
+    cell_sums = scored.groupBy("_cell").agg(F.sum("n_tokens").alias("_cell_tokens"))
+    w_c = Window.orderBy(F.col("_cell").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = cell_sums.select(
+        "_cell",
+        F.coalesce(F.sum("_cell_tokens").over(w_c), F.lit(0)).alias("_base"),
+    )
+    w_d = (
+        Window.partitionBy("_cell")
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        scored.join(F.broadcast(bases), "_cell")
+        .select(
+            "doc",
+            "score",
+            "n_tokens",
+            (
+                F.col("_base") + F.coalesce(F.sum("n_tokens").over(w_d), F.lit(0))
+            ).alias("start_offset"),
+        )
+        .filter(F.col("start_offset") < budget)
+    )

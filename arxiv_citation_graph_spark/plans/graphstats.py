@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 
 from arxiv_citation_graph_spark.plans.layout import symmetrize
 
-__all__ = ["degree_assortativity", "transitivity", "h_index"]
+__all__ = [
+    "attribute_assortativity",
+    "degree_assortativity",
+    "h_index",
+    "transitivity",
+]
 
 _DEC = "decimal(38,0)"
 
@@ -100,6 +105,51 @@ def transitivity(spark: SparkSession, edges: DataFrame) -> DataFrame:
             / F.nullif(F.col("w2").cast("double") / F.lit(2.0), F.lit(0.0)),
             9,
         ).alias("transitivity"),
+    )
+
+
+def attribute_assortativity(
+    spark: SparkSession, edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """1-row ``(assortativity double)``: Newman's categorical mixing
+    coefficient over vertex labels — ``r = (M·tr − Σ a_i²) / (M² −
+    Σ a_i²)`` with M = directed stub count, tr = same-label stubs, a_i =
+    label i's stub total.
+
+    ENTIRELY exact-integer (decimal(38): M·tr ≤ 4e24 at 10^12 edges)
+    until ONE final double division — bit-stable across engines by
+    construction, no rounding convention needed beyond the last digit.
+    NULL when every stub is same-label on a single community (r
+    undefined: denominator 0).  Labels join inner — unlabeled endpoints
+    drop, the ``quotient_graph`` convention."""
+    sym = symmetrize(edges)
+    la = labels.withColumnsRenamed({"vertex": "src_id", "label": "_li"})
+    lb = labels.withColumnsRenamed({"vertex": "dst_id", "label": "_lj"})
+    nij = (
+        sym.join(la, "src_id")
+        .join(lb, "dst_id")
+        .groupBy("_li", "_lj")
+        .agg(F.count(F.lit(1)).cast(_DEC).alias("n"))
+    )
+    tots = nij.agg(
+        F.sum("n").alias("m"),
+        F.sum(F.when(F.col("_li") == F.col("_lj"), F.col("n")).otherwise(F.lit(0)))
+        .cast(_DEC)
+        .alias("tr"),
+    )
+    suma2 = (
+        nij.groupBy("_li")
+        .agg(F.sum("n").alias("a"))
+        .agg(F.sum(F.col("a") * F.col("a")).cast(_DEC).alias("sa2"))
+    )
+    return tots.crossJoin(suma2).select(
+        F.round(
+            (F.col("m") * F.col("tr") - F.col("sa2")).cast("double")
+            / F.nullif(
+                (F.col("m") * F.col("m") - F.col("sa2")).cast("double"), F.lit(0.0)
+            ),
+            9,
+        ).alias("assortativity")
     )
 
 

@@ -1,0 +1,121 @@
+"""Token-budget corpus selection (operators/packing.py::
+select_to_token_budget) and categorical attribute assortativity
+(plans/graphstats.py::attribute_assortativity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.operators.packing import select_to_token_budget
+from arxiv_citation_graph_spark.plans.graphstats import attribute_assortativity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, score double")
+
+
+def test_budget_greedy_order_and_straddler(spark):
+    rows = [
+        (1, "one two three four", 0.9),        # 4 tokens, picked first
+        (2, "a b c d e f", 0.8),               # 6 tokens, second
+        (3, "x y z", 0.7),                     # starts at 10 < 11 -> straddles, kept
+        (4, "p q", 0.6),                       # starts at 13 >= 11 -> dropped
+    ]
+    out = select_to_token_budget(
+        spark, _docs(spark, rows), "doc_id", "text", "score", budget=11
+    )
+    got = {r.doc: (r.n_tokens, r.start_offset) for r in out.collect()}
+    assert got == {1: (4, 0), 2: (6, 4), 3: (3, 10)}
+
+
+def test_budget_ties_break_by_doc_id(spark):
+    rows = [(2, "b b b", 0.5), (1, "a a", 0.5), (3, "c", 0.5)]
+    out = select_to_token_budget(
+        spark, _docs(spark, rows), "doc_id", "text", "score", budget=3
+    )
+    got = {r.doc: r.start_offset for r in out.collect()}
+    assert got == {1: 0, 2: 2}  # doc 1 first, doc 2 straddles, doc 3 out
+
+
+def test_budget_matches_python_greedy(spark):
+    rows = [
+        (i, " ".join(["tok"] * (1 + (i * 7) % 5)), round(((i * 13) % 10) / 10, 6))
+        for i in range(1, 31)
+    ]
+    budget = 30
+    out = select_to_token_budget(
+        spark, _docs(spark, rows), "doc_id", "text", "score",
+        budget=budget, score_buckets=2,  # force multi-doc cells
+    )
+    got = {r.doc: r.start_offset for r in out.collect()}
+    order = sorted(rows, key=lambda r: (-r[2], r[0]))
+    want, cum = {}, 0
+    for d, text, _ in order:
+        if cum < budget:
+            want[d] = cum
+        cum += len(text.split())
+    assert got == want
+
+
+def test_budget_zero_and_validation(spark):
+    rows = [(1, "a b", 0.5)]
+    assert (
+        select_to_token_budget(
+            spark, _docs(spark, rows), "doc_id", "text", "score", budget=0
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="budget"):
+        select_to_token_budget(
+            spark, _docs(spark, rows), "doc_id", "text", "score", budget=-1
+        )
+    nan = _docs(spark, [(1, "a", float("nan"))])
+    with pytest.raises(ValueError, match="non-null"):
+        select_to_token_budget(spark, nan, "doc_id", "text", "score", budget=5)
+
+
+def _graph(spark, pairs, labels):
+    e = spark.createDataFrame(pairs, ["src_id", "dst_id"])
+    lb = spark.createDataFrame(labels, ["vertex", "label"])
+    return e, lb
+
+
+def test_attr_assortativity_perfectly_assortative(spark):
+    e, lb = _graph(
+        spark,
+        [("a1", "a2"), ("b1", "b2")],
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")],
+    )
+    assert attribute_assortativity(spark, e, lb).first().assortativity == 1.0
+
+
+def test_attr_assortativity_perfectly_disassortative(spark):
+    e, lb = _graph(
+        spark, [("a", "b")], [("a", "A"), ("b", "B")]
+    )
+    assert attribute_assortativity(spark, e, lb).first().assortativity == -1.0
+
+
+def test_attr_assortativity_single_label_is_null(spark):
+    e, lb = _graph(
+        spark, [("a", "b"), ("b", "c")], [("a", "A"), ("b", "A"), ("c", "A")]
+    )
+    assert attribute_assortativity(spark, e, lb).first().assortativity is None
+
+
+def test_attr_assortativity_matches_python(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"), ("d", "e")]
+    labels = [("a", "X"), ("b", "X"), ("c", "Y"), ("d", "Y"), ("e", "X")]
+    e, lb = _graph(spark, pairs, labels)
+    lab = dict(labels)
+    und = {tuple(sorted(p)) for p in pairs}
+    stubs = [(lab[u], lab[v]) for u, v in und] + [(lab[v], lab[u]) for u, v in und]
+    m = len(stubs)
+    tr = sum(1 for i, j in stubs if i == j)
+    a: dict = {}
+    for i, _ in stubs:
+        a[i] = a.get(i, 0) + 1
+    sa2 = sum(v * v for v in a.values())
+    want = round((m * tr - sa2) / (m * m - sa2), 9)
+    assert attribute_assortativity(spark, e, lb).first().assortativity == want
