@@ -561,6 +561,27 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "first_event_per_user_type",
+    """
+    SELECT user_id, event_type, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id
+      ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first event per (user, type): argmin by comparable
+    struct — the batch contract of the watermarked streaming dedup
+    (streaming/events.py::first_events / deduplicated_event_stream)."""
+    from arxiv_citation_graph_spark.streaming.events import first_events
+
+    return first_events(_t(spark, sf_dir, "events"))
+
+
+@register(
     "stateful_sessions",
     """
     WITH ev AS (

@@ -104,3 +104,45 @@ def run_stream_to_memory(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def deduplicated_event_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked streaming dedup: emit each key's FIRST ARRIVAL, drop
+    duplicates that land within ``watermark`` of the event time.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — O(active window) state, vs the unbounded
+    forever-growing state of a bare streaming ``dropDuplicates`` (the
+    production pattern for at-least-once sources that can re-deliver).
+    Contract: the KEY SET equals the batch ``select(keys).distinct()``
+    whenever every duplicate arrives within the watermark; which
+    PHYSICAL row represents a key follows arrival order, so row-level
+    parity with a batch argmin is the job of ``first_events`` (use that
+    downstream of the dedup when a deterministic representative
+    matters)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def first_events(events: DataFrame) -> DataFrame:
+    """Deterministic first event per (user_id, event_type): argmin by the
+    total order (ts, event_id) — one hash aggregation of a comparable
+    struct (map-side combinable; NO per-group window/sort), the shape
+    that survives hot users at scale."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    first = events.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("f")
+    )
+    return first.select(
+        "user_id",
+        "event_type",
+        F.col("f.event_id").alias("event_id"),
+        F.unix_timestamp("f.ts").cast("long").alias("ts_epoch"),
+        F.col("f.value").alias("value"),
+    )

@@ -1,0 +1,109 @@
+"""Watermarked streaming dedup + deterministic first-event batch contract
+(streaming/events.py::deduplicated_event_stream / first_events)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.streaming.events import (
+    EVENTS_STREAM_SCHEMA,
+    deduplicated_event_stream,
+    first_events,
+    run_stream_to_memory,
+)
+
+
+def _ts(minute):
+    return datetime.datetime(2026, 1, 1, 10, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+
+
+def _write_stream_dir(spark, tmp_path, batches):
+    d = str(tmp_path / "events_in")
+    for rows in batches:
+        _events(spark, rows).write.mode("append").parquet(d)
+    return d
+
+
+def test_streaming_dedup_emits_each_key_once(spark, tmp_path):
+    # event_id 1 re-delivered in a later file within the watermark
+    b1 = [
+        (1, _ts(0), 100, "click", 1.0, "{}"),
+        (2, _ts(1), 100, "view", 2.0, "{}"),
+    ]
+    b2 = [
+        (1, _ts(2), 100, "click", 1.0, "{}"),   # duplicate delivery
+        (3, _ts(3), 200, "click", 3.0, "{}"),
+    ]
+    d = _write_stream_dir(spark, tmp_path, [b1, b2])
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_stream_to_memory(
+        spark, deduplicated_event_stream(stream), "dedup_mem"
+    )
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert sorted(ids) == [1, 2, 3], f"each key exactly once, got {ids}"
+    batch_keys = {r.event_id for r in spark.read.parquet(d).select("event_id").distinct().collect()}
+    assert set(ids) == batch_keys
+
+
+def test_streaming_dedup_composite_key(spark, tmp_path):
+    rows = [
+        (1, _ts(0), 100, "click", 1.0, "{}"),
+        (2, _ts(1), 100, "click", 2.0, "{}"),   # same (user, type) -> dup
+        (3, _ts(2), 100, "view", 3.0, "{}"),
+    ]
+    d = _write_stream_dir(spark, tmp_path, [rows])
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+    out = run_stream_to_memory(
+        spark,
+        deduplicated_event_stream(stream, key_cols=("user_id", "event_type")),
+        "dedup_mem2",
+    )
+    keys = {(r.user_id, r.event_type) for r in out.collect()}
+    assert keys == {(100, "click"), (100, "view")}
+    assert out.count() == 2
+
+
+def test_first_events_argmin_with_tiebreak(spark):
+    rows = [
+        (5, _ts(3), 100, "click", 5.0, "{}"),
+        (2, _ts(1), 100, "click", 2.0, "{}"),   # earliest ts -> kept
+        (1, _ts(1), 200, "view", 1.0, "{}"),
+        (3, _ts(1), 200, "view", 3.0, "{}"),    # ts tie -> min event_id (1) kept
+    ]
+    got = {(r.user_id, r.event_type): (r.event_id, r.value)
+           for r in first_events(_events(spark, rows)).collect()}
+    assert got == {(100, "click"): (2, 2.0), (200, "view"): (1, 1.0)}
+
+
+def test_streaming_dedup_then_first_events_matches_batch(spark, tmp_path):
+    """The production composition: watermarked dedup -> deterministic
+    representative.  On a static dir it must equal the pure-batch path."""
+    rows = [
+        (i, _ts(i % 7), 100 + i % 3, "click" if i % 2 else "view",
+         float(i), "{}")
+        for i in range(1, 21)
+    ] + [
+        (i, _ts(i % 7), 100 + i % 3, "click" if i % 2 else "view",
+         float(i), "{}")
+        for i in range(1, 11)   # duplicate deliveries
+    ]
+    d = _write_stream_dir(spark, tmp_path, [rows])
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+    deduped = run_stream_to_memory(
+        spark, deduplicated_event_stream(stream), "dedup_mem3"
+    )
+    got = {(r.user_id, r.event_type): (r.event_id, r.ts_epoch)
+           for r in first_events(deduped).collect()}
+    want = {(r.user_id, r.event_type): (r.event_id, r.ts_epoch)
+            for r in first_events(spark.read.parquet(d)).collect()}
+    assert got == want
