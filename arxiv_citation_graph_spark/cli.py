@@ -193,6 +193,45 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--val-pct", type=int, default=10)
 
     p = sub.add_parser(
+        "stats",
+        help="whole-graph statistics: degree assortativity, transitivity, "
+        "per-vertex h-index, rich-club curve (one pass each, committed "
+        "as graph_stats / h_index / rich_club tables)",
+    )
+    p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument(
+        "--labels", default=None,
+        help="optional (vertex, label) parquet -> also compute categorical "
+        "attribute assortativity over the labels",
+    )
+
+    p = sub.add_parser(
+        "backbone",
+        help="disparity-filter multiscale backbone of a weighted graph "
+        "(Serrano-Boguna 2009) -> backbone table",
+    )
+    p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--weight", default="weight", help="edge-weight column")
+    p.add_argument("--alpha", type=float, default=0.05, help="significance level")
+
+    p = sub.add_parser(
+        "select",
+        help="greedy best-first corpus selection under a token budget "
+        "(rank by score desc, fill until the budget) -> budget_selection",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--budget", type=int, required=True, help="token budget")
+    p.add_argument(
+        "--score-col", default=None,
+        help="ranking column (default: compute the built-in quality score)",
+    )
+
+    p = sub.add_parser(
         "ingest",
         help="drain new docs files (streaming file source, AvailableNow) "
         "into snapshot-per-batch edge commits; idempotent and incremental",
@@ -316,6 +355,67 @@ def main(argv: list[str] | None = None) -> int:
             .collect()
         }
         print(f"split: {counts}")
+        return 0
+
+    if args.cmd == "stats":
+        from arxiv_citation_graph_spark.plans.backbone import rich_club
+        from arxiv_citation_graph_spark.plans.graphstats import (
+            attribute_assortativity,
+            degree_assortativity,
+            h_index,
+            transitivity,
+        )
+
+        sedges = (
+            spark.read.parquet(args.edges) if args.edges else catalog.read(spark, "edges")
+        ).select("src_id", "dst_id")
+        summary = degree_assortativity(spark, sedges).crossJoin(
+            transitivity(spark, sedges)
+        )
+        if args.labels:
+            labels = spark.read.parquet(args.labels)
+            summary = summary.crossJoin(
+                attribute_assortativity(spark, sedges, labels).withColumnRenamed(
+                    "assortativity", "attribute_assortativity"
+                )
+            )
+        catalog.create_or_replace("graph_stats", summary)
+        catalog.create_or_replace("h_index", h_index(spark, sedges))
+        catalog.create_or_replace("rich_club", rich_club(spark, sedges))
+        row = catalog.read(spark, "graph_stats").first()
+        print(f"stats: {row.asDict()}")
+        return 0
+
+    if args.cmd == "backbone":
+        from arxiv_citation_graph_spark.plans.backbone import disparity_filter
+
+        bedges = (
+            spark.read.parquet(args.edges) if args.edges else catalog.read(spark, "edges")
+        )
+        kept = disparity_filter(spark, bedges, weight=args.weight, alpha=args.alpha)
+        snap = catalog.create_or_replace("backbone", kept)
+        print(f"backbone: {kept.count()} edge(s) kept at snapshot {snap}")
+        return 0
+
+    if args.cmd == "select":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.functions.texttools import quality_score
+        from arxiv_citation_graph_spark.operators.packing import select_to_token_budget
+
+        docs = spark.read.parquet(args.docs)
+        score_col = args.score_col
+        if score_col is None:
+            score_col = "_quality"
+            docs = docs.withColumn(score_col, quality_score(F.col(args.text_col)))
+        kept = select_to_token_budget(
+            spark, docs, args.id_col, args.text_col, score_col, budget=args.budget
+        )
+        catalog.create_or_replace("budget_selection", kept)
+        n, toks = kept.agg(
+            F.count(F.lit(1)), F.sum("n_tokens")
+        ).first()
+        print(f"select: kept {n} doc(s), {toks} token(s) vs budget {args.budget}")
         return 0
 
     if args.cmd == "decontaminate":

@@ -1,0 +1,62 @@
+"""CLI surface for the round-5 fourth wave: stats / backbone / select."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_cli_stats_backbone_select(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    wh = str(tmp_path / "wh")
+
+    edges_path = str(tmp_path / "edges_pq")
+    spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+         ("a", "e")],
+        ["src_id", "dst_id"],
+    ).write.parquet(edges_path)
+    labels_path = str(tmp_path / "labels_pq")
+    spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "Y"), ("d", "Y"), ("e", "X")],
+        ["vertex", "label"],
+    ).write.parquet(labels_path)
+
+    assert cli.main(
+        ["stats", "--edges", edges_path, "--out", wh, "--labels", labels_path]
+    ) == 0
+    cat = SnapshotCatalog(wh)
+    row = cat.read(spark, "graph_stats").first()
+    assert row.triangles == 4 and row.wedges == 15
+    assert row.transitivity == round(12 / 15, 9)
+    assert row.attribute_assortativity is not None
+    hx = {r.vertex: r.h_index for r in cat.read(spark, "h_index").collect()}
+    assert hx == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1}
+    assert cat.read(spark, "rich_club").count() >= 1
+
+    wedges_path = str(tmp_path / "wedges_pq")
+    spark.createDataFrame(
+        [("h", "a", 10), ("h", "b", 1), ("h", "c", 1)],
+        "src_id string, dst_id string, weight long",
+    ).write.parquet(wedges_path)
+    assert cli.main(
+        ["backbone", "--edges", wedges_path, "--out", wh, "--alpha", "0.05"]
+    ) == 0
+    kept = cat.read(spark, "backbone").collect()
+    assert [(r.u, r.v) for r in kept] == [("a", "h")]
+
+    docs_path = str(tmp_path / "docs_pq")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (1 + i % 3)) for i in range(1, 11)],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    assert cli.main(
+        ["select", "--docs", docs_path, "--out", wh, "--budget", "30"]
+    ) == 0
+    sel = cat.read(spark, "budget_selection")
+    assert 0 < sel.count() < 10
+    # straddler convention: every kept doc STARTS under the budget
+    assert sel.filter(F.col("start_offset") >= 30).count() == 0
