@@ -3281,6 +3281,57 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "link_prediction_auc",
+    f"""
+WITH bip AS MATERIALIZED ({EDGES_BIPARTITE_SQL}),
+und AS MATERIALIZED (SELECT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+  FROM bip WHERE src_id <> dst_id GROUP BY 1, 2),
+tst AS MATERIALIZED (SELECT u, v FROM und
+  WHERE ('0x' || substr(md5(u || '|' || v), 1, 8))::BIGINT % 5 = 0),
+trn AS MATERIALIZED (SELECT u, v FROM und
+  WHERE ('0x' || substr(md5(u || '|' || v), 1, 8))::BIGINT % 5 <> 0),
+adj AS (SELECT u AS w, v AS n FROM trn UNION ALL SELECT v, u FROM trn),
+deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+piv AS (SELECT w, 1.0 / ln(CAST(d AS DOUBLE)) AS aa_w
+  FROM deg WHERE d >= 2 AND d <= {_LINKPRED_CAP}),
+aw AS MATERIALIZED (SELECT a.w, a.n, p.aa_w FROM adj a JOIN piv p USING (w)),
+sc AS MATERIALIZED (
+  SELECT l.n AS a, r.n AS b, count(*) AS cn, round(sum(l.aa_w), 6) AS s
+  FROM aw l JOIN aw r ON l.w = r.w AND l.n < r.n
+  GROUP BY 1, 2 HAVING count(*) >= {_LINKPRED_MIN_CN}
+),
+cand AS (SELECT sc.a, sc.b, sc.s FROM sc
+  LEFT JOIN trn ON trn.u = sc.a AND trn.v = sc.b WHERE trn.u IS NULL),
+lab AS (SELECT c.s, CASE WHEN t.u IS NOT NULL THEN 1 ELSE 0 END AS pos
+  FROM cand c LEFT JOIN tst t ON t.u = c.a AND t.v = c.b),
+hist AS (SELECT s, sum(pos) AS p, sum(1 - pos) AS n FROM lab GROUP BY s),
+cum AS (SELECT s, p, n, coalesce(sum(n) OVER (
+  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_below
+  FROM hist),
+agg AS (SELECT sum(p) AS np, sum(n) AS nn,
+               sum(p * n_below) AS conc, sum(p * n) AS ties FROM cum)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       round(CAST(2 * conc + ties AS DOUBLE)
+             / nullif(CAST(2 * np * nn AS DOUBLE), 0.0), 9) AS auc
+FROM agg
+""",
+)
+def q_link_prediction_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney AUC of the Adamic-Adar score under a
+    deterministic 1-in-5 held-out-edge split on the customer-supplier
+    graph (plans/linkpred.py::link_prediction_auc)."""
+    from arxiv_citation_graph_spark.plans.linkpred import link_prediction_auc
+
+    return link_prediction_auc(
+        spark,
+        bipartite_edges(spark, sf_dir),
+        holdout_mod=5,
+        hub_cap=_LINKPRED_CAP,
+        min_common=_LINKPRED_MIN_CN,
+    )
+
+
+@register(
     "reciprocity",
     f"""
 WITH seq AS MATERIALIZED ({EDGES_SEQSUPPLY_SQL}),

@@ -1,0 +1,106 @@
+"""Exact Mann-Whitney AUC for link prediction
+(plans/linkpred.py::link_prediction_auc)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.linkpred import link_prediction_auc
+
+
+def _draw(u, v, mod):
+    return int(hashlib.md5(f"{u}|{v}".encode()).hexdigest()[:8], 16) % mod
+
+
+def _python_auc(edges, holdout_mod, hub_cap, min_common):
+    """Full protocol replay: holdout split -> AA scores on the train
+    graph -> exact tie-aware AUC."""
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    tst = {p for p in und if _draw(*p, holdout_mod) == 0}
+    trn = und - tst
+    nbrs = defaultdict(set)
+    for u, v in trn:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    scores = defaultdict(float)
+    cns = defaultdict(int)
+    for w, ns in nbrs.items():
+        d = len(ns)
+        if d < 2 or d > hub_cap:
+            continue
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1:]:
+                scores[(a, b)] += 1.0 / math.log(d)
+                cns[(a, b)] += 1
+    cand = {
+        p: round(s, 6) for p, s in scores.items()
+        if cns[p] >= min_common and p not in trn
+    }
+    pos = [s for p, s in cand.items() if p in tst]
+    neg = [s for p, s in cand.items() if p not in tst]
+    if not pos or not neg:
+        return len(pos), len(neg), None
+    conc = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    return len(pos), len(neg), round((2 * conc + ties) / (2 * len(pos) * len(neg)), 9)
+
+
+def test_auc_matches_python_protocol_replay(spark):
+    # two overlapping communities + a few bridges: enough candidates that
+    # the 1-in-5 holdout leaves both classes non-empty
+    edges = []
+    for i in range(8):
+        for j in range(i + 1, 8):
+            edges.append((f"a{i}", f"a{j}"))
+    for i in range(6):
+        for j in range(i + 1, 6):
+            edges.append((f"b{i}", f"b{j}"))
+    edges += [("a0", "b0"), ("a1", "b1"), ("a2", "b2")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    got = link_prediction_auc(
+        spark, df, holdout_mod=5, hub_cap=40, min_common=1
+    ).first()
+    np_, nn_, auc = _python_auc(edges, 5, 40, 1)
+    assert (got.n_pos, got.n_neg) == (np_, nn_)
+    assert got.auc == auc
+    assert got.n_pos > 0 and got.n_neg > 0, "fixture must exercise both classes"
+
+
+def test_auc_perfect_separation(spark):
+    """Score ranks every held-out edge above every non-edge -> AUC 1.0.
+    Star-of-cliques: within-clique held-out pairs share many neighbors,
+    cross-clique candidates share exactly one (the hub)."""
+    edges = []
+    for c in range(3):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((f"c{c}v{i}", f"c{c}v{j}"))
+        edges.append(("hub", f"c{c}v0"))
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    got = link_prediction_auc(
+        spark, df, holdout_mod=4, hub_cap=40, min_common=1
+    ).first()
+    np_, nn_, auc = _python_auc(edges, 4, 40, 1)
+    assert (got.n_pos, got.n_neg, got.auc) == (np_, nn_, auc)
+
+
+def test_auc_null_when_one_class_empty(spark):
+    # a path graph yields distance-2 candidates but (with mod huge) no
+    # held-out positives survive as candidates
+    edges = [(f"v{i}", f"v{i+1}") for i in range(6)]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    got = link_prediction_auc(
+        spark, df, holdout_mod=1000, hub_cap=40, min_common=1
+    ).first()
+    assert got.n_pos == 0 and got.auc is None
+
+
+def test_auc_validates_holdout_mod(spark):
+    df = spark.createDataFrame([("a", "b")], ["src_id", "dst_id"])
+    with pytest.raises(ValueError, match="holdout_mod"):
+        link_prediction_auc(spark, df, holdout_mod=1)
