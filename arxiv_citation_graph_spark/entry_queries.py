@@ -4535,6 +4535,49 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_js_divergence",
+    r"""
+    WITH ta_ AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+                 FROM documents WHERE source = 'src1'),
+    tb_ AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+            FROM documents WHERE source = 'src7'),
+    ca_ AS (SELECT tok, count(*) AS ca FROM ta_ GROUP BY tok),
+    cb_ AS (SELECT tok, count(*) AS cb FROM tb_ GROUP BY tok),
+    j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          FROM ca_ FULL OUTER JOIN cb_ USING (tok)),
+    t AS (SELECT count(*) AS vocab, sum(ca) AS ta, sum(cb) AS tb FROM j)
+    SELECT CAST(any_value(t.vocab) AS BIGINT) AS vocab,
+           CAST(any_value(t.ta) AS BIGINT) AS tokens_a,
+           CAST(any_value(t.tb) AS BIGINT) AS tokens_b,
+           round(0.5 * sum(
+             (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(t.ta AS DOUBLE))
+                * log2((CAST(ca AS DOUBLE) / CAST(t.ta AS DOUBLE))
+                       / ((CAST(ca AS DOUBLE) / CAST(t.ta AS DOUBLE)
+                           + CAST(cb AS DOUBLE) / CAST(t.tb AS DOUBLE)) / 2.0))
+              ELSE 0.0 END)
+           + (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(t.tb AS DOUBLE))
+                * log2((CAST(cb AS DOUBLE) / CAST(t.tb AS DOUBLE))
+                       / ((CAST(ca AS DOUBLE) / CAST(t.ta AS DOUBLE)
+                           + CAST(cb AS DOUBLE) / CAST(t.tb AS DOUBLE)) / 2.0))
+              ELSE 0.0 END)), 6) AS jsd
+    FROM j, t
+    """,
+)
+def q_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Jensen-Shannon divergence between the src1 and src7
+    document domains — the corpus-drift monitor
+    (operators/quality.py::token_js_divergence)."""
+    from arxiv_citation_graph_spark.operators.quality import token_js_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_js_divergence(
+        docs.filter(F.col("source") == "src1"),
+        docs.filter(F.col("source") == "src7"),
+        "text",
+    )
+
+
 #: driver mixture: half of src1, a quarter of src7, all of src3, rest dropped
 _MIXTURE_RATES = [("src1", 0.5), ("src3", 1.0), ("src7", 0.25)]
 
@@ -4711,9 +4754,8 @@ def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register(
-    "embedding_topk",
-    """
+def _brute_topk_sql(k: int = 5) -> str:
+    return f"""
     WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
                FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
@@ -4728,9 +4770,11 @@ def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM scored
-    ) WHERE rank <= 5
-    """,
-)
+    ) WHERE rank <= {k}
+    """
+
+
+@register("embedding_topk", _brute_topk_sql(5))
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 query vectors."""
     from arxiv_citation_graph_spark.operators.simsearch import brute_force_topk
@@ -4780,6 +4824,38 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), dims=64, k=5, n_planes=8, n_tables=1
     )
+
+
+@register(
+    "ann_recall_at_k",
+    f"""
+WITH ex AS MATERIALIZED ({_brute_topk_sql(5)}),
+ann AS MATERIALIZED ({_lsh_topk_sql(64, 8, 5)}),
+h AS (SELECT ex.query_id,
+             CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM ex LEFT JOIN ann a
+        ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       round(CAST(sum(hit) AS DOUBLE) / count(*), 9) AS recall
+FROM h GROUP BY query_id
+""",
+)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the hyperplane-LSH ANN against the exact
+    brute-force top-5 — the quality gauge a production ANN tier monitors
+    (operators/simsearch.py::ann_recall_at_k)."""
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        ann_recall_at_k,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    ann = lsh_topk(emb, queries, dims=64, k=5, n_planes=8, n_tables=1)
+    return ann_recall_at_k(spark, exact, ann)
 
 
 def _ivf_topk_sql(

@@ -264,3 +264,51 @@ def repetition_flags(
     return stats.filter(
         (F.col("dup_frac") > max_dup_frac) | (F.col("top_frac") > max_top_frac)
     ).select("doc", "dup_frac", "top_frac")
+
+
+def token_js_divergence(
+    corpus_a: DataFrame, corpus_b: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Jensen-Shannon divergence (base 2) between two corpora's unigram
+    distributions: 1-row ``(vocab, tokens_a, tokens_b, jsd)``.
+
+    The corpus-drift monitor a continuously-ingesting pipeline runs:
+    JSD in [0, 1], 0 = identical mixtures, 1 = disjoint vocabularies.
+    Counts are exact integers aggregated with map-side combine (one
+    shuffle on token); the per-token contribution ``p·log2(p/m) +
+    q·log2(p/m)`` is pure double arithmetic and the final sum is
+    rounded to 6 dp — double-summation order across partitions perturbs
+    ~1e-12, far under the rounding grain."""
+    from arxiv_citation_graph_spark.functions.texttools import tokens
+
+    def _cnt(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias(col))
+        )
+
+    ca, cb = _cnt(corpus_a, "ca"), _cnt(corpus_b, "cb")
+    joint = ca.join(cb, "tok", "full_outer").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tots = joint.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+    ).first()
+    if not tots.ta or not tots.tb:
+        raise ValueError("token_js_divergence: both corpora must be non-empty")
+    p = F.col("ca").cast("double") / F.lit(float(tots.ta))
+    q = F.col("cb").cast("double") / F.lit(float(tots.tb))
+    m = (p + q) / F.lit(2.0)
+    contrib = F.when(F.col("ca") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0)) + (
+        F.when(F.col("cb") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    )
+    return joint.agg(F.round(F.lit(0.5) * F.sum(contrib), 6).alias("jsd")).select(
+        F.lit(int(tots.vocab)).alias("vocab"),
+        F.lit(int(tots.ta)).alias("tokens_a"),
+        F.lit(int(tots.tb)).alias("tokens_b"),
+        "jsd",
+    )

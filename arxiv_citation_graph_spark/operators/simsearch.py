@@ -509,3 +509,38 @@ def embedding_contamination(
         "eval_id",
         F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def ann_recall_at_k(
+    spark, exact_topk: DataFrame, ann_topk: DataFrame
+) -> DataFrame:
+    """Per-query recall of an ANN result against the exact top-k:
+    ``(query_id, n_exact, n_hit, recall)``.
+
+    The quality metric a production ANN tier monitors: both inputs are
+    ``(query_id, neighbor_id, ...)`` top-k frames (`brute_force_topk` as
+    ground truth, `lsh_topk`/`ivf_topk` as the candidate); recall =
+    |ANN ∩ exact| / |exact| per query (|exact| may be < k on small
+    corpora — the standard denominator).  One equi-join on (query,
+    neighbor) + one aggregate; the ground-truth side is the k-bounded
+    frame, so this is cheap enough to run on a sampled query set every
+    ingest cycle.
+    """
+    hits = exact_topk.select("query_id", "neighbor_id").join(
+        ann_topk.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(F.col("n_hit") / F.col("n_exact"), 9).alias("recall"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""ANN recall@k evaluation (operators/simsearch.py::ann_recall_at_k) and
+corpus JS-divergence drift monitor (operators/quality.py::
+token_js_divergence)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.operators.quality import token_js_divergence
+from arxiv_citation_graph_spark.operators.simsearch import ann_recall_at_k
+
+
+def _topk(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, neighbor_id long")
+
+
+def test_recall_counts_hits_per_query(spark):
+    exact = _topk(spark, [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)])
+    ann = _topk(spark, [(1, 10), (1, 12), (1, 99), (2, 20), (2, 21)])
+    got = {r.query_id: (r.n_exact, r.n_hit, r.recall)
+           for r in ann_recall_at_k(spark, exact, ann).collect()}
+    assert got == {1: (3, 2, round(2 / 3, 9)), 2: (2, 2, 1.0)}
+
+
+def test_recall_zero_when_ann_misses_everything(spark):
+    exact = _topk(spark, [(1, 10), (1, 11)])
+    ann = _topk(spark, [(1, 98), (1, 99)])
+    got = ann_recall_at_k(spark, exact, ann).first()
+    assert (got.n_exact, got.n_hit, got.recall) == (2, 0, 0.0)
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame([(t,) for t in texts], "text string")
+
+
+def test_jsd_identical_corpora_is_zero(spark):
+    a = _corpus(spark, ["x y z", "x y"])
+    got = token_js_divergence(a, a).first()
+    assert got.jsd == 0.0
+    assert got.tokens_a == got.tokens_b == 5
+
+
+def test_jsd_disjoint_corpora_is_one(spark):
+    a = _corpus(spark, ["aa bb cc"])
+    b = _corpus(spark, ["xx yy zz"])
+    got = token_js_divergence(a, b).first()
+    assert got.jsd == 1.0
+    assert got.vocab == 6
+
+
+def test_jsd_matches_python(spark):
+    a_texts = ["x x y z", "x w"]
+    b_texts = ["x y y", "q q y"]
+    got = token_js_divergence(_corpus(spark, a_texts), _corpus(spark, b_texts)).first()
+
+    def counts(texts):
+        c: dict = {}
+        for t in texts:
+            for tok in t.split():
+                c[tok] = c.get(tok, 0) + 1
+        return c
+
+    ca, cb = counts(a_texts), counts(b_texts)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    jsd = 0.0
+    for tok in set(ca) | set(cb):
+        p, q = ca.get(tok, 0) / ta, cb.get(tok, 0) / tb
+        m = (p + q) / 2
+        if p > 0:
+            jsd += p * math.log2(p / m)
+        if q > 0:
+            jsd += q * math.log2(q / m)
+    assert got.jsd == round(0.5 * jsd, 6)
+    assert (got.tokens_a, got.tokens_b) == (ta, tb)
+
+
+def test_jsd_rejects_empty_corpus(spark):
+    a = _corpus(spark, ["x y"])
+    empty = _corpus(spark, [" "])
+    with pytest.raises(ValueError, match="non-empty"):
+        token_js_divergence(a, empty)
+
+
+def test_recall_on_real_ann_stack_is_sane(spark):
+    """End-to-end: LSH ANN recall vs brute force on a deterministic
+    embedding table — every per-query recall lands in [0, 1] and at
+    least one bucket-mate is found."""
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rows = [
+        (i, [math.sin(i * 0.7 + d) for d in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=3)
+    ann = lsh_topk(emb, queries, dims=8, k=3, n_planes=4, n_tables=1)
+    rec = ann_recall_at_k(spark, exact, ann).collect()
+    assert len(rec) == 5
+    assert all(0.0 <= r.recall <= 1.0 for r in rec)
+    assert sum(r.n_hit for r in rec) > 0
