@@ -5218,6 +5218,45 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_cross_logprob",
+    rf"""
+    WITH ttoks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents WHERE doc_id % {_EVAL_SPLIT_MOD} <> 0
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS tf FROM ttoks GROUP BY tok),
+    tot AS (SELECT SUM(tf) AS n_total, COUNT(*) AS v_size FROM vocab),
+    etoks AS (
+      SELECT doc_id AS doc,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents WHERE doc_id % {_EVAL_SPLIT_MOD} = 0
+    ),
+    dt AS (SELECT doc, tok, COUNT(*) AS c FROM etoks GROUP BY doc, tok)
+    SELECT doc AS doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(SUM(c * ln((coalesce(tf, 0) + 1.0) / (n_total + v_size)))
+                 / SUM(c), 6) AS avg_logprob
+    FROM dt LEFT JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc
+    """,
+)
+def q_unigram_cross_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus LM scoring: the eval slice (doc_id % 37 == 0) scored
+    under the LM trained on the REST of the corpus — OOV tokens score
+    ln(1/(N+V)) (operators/quality.py::unigram_cross_logprob)."""
+    from arxiv_citation_graph_spark.operators.quality import unigram_cross_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_cross_logprob(
+        docs.filter(F.col("doc_id") % _EVAL_SPLIT_MOD != 0),
+        docs.filter(F.col("doc_id") % _EVAL_SPLIT_MOD == 0),
+        "doc_id",
+        "text",
+    ).withColumnRenamed("doc", "doc_id")
+
+
+@register(
     "quality_band",
     r"""
     WITH scored AS (

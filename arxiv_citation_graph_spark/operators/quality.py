@@ -312,3 +312,51 @@ def token_js_divergence(
         F.lit(int(tots.tb)).alias("tokens_b"),
         "jsd",
     )
+
+
+def unigram_cross_logprob(
+    train_df: DataFrame, eval_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-doc average log-probability of ``eval_df`` documents under the
+    add-one-smoothed unigram LM of ``train_df`` — the CROSS-corpus form
+    of ``unigram_logprob`` (score new/candidate data against the current
+    training mixture; a held-out-perplexity proxy for data selection a
+    la importance resampling).
+
+    Out-of-vocabulary tokens score ``ln(1 / (N + V))`` (tf = 0 under
+    add-one), so drifted corpora rank strictly lower.  Same plan shape
+    as the self-corpus LM with the scoring join turned LEFT; the LM side
+    is a (token, tf) frame + a broadcast 1-row totals crossJoin.
+    """
+    train_toks = train_df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    vocab = (
+        train_toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    totals = vocab.agg(
+        F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    doc_tok = (
+        eval_df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(1.0))
+        / (F.col("n_total") + F.col("v_size"))
+    )
+    return (
+        doc_tok.join(vocab, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * logp) / F.sum("c"), 6).alias("avg_logprob"),
+        )
+    )

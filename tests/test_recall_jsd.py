@@ -104,3 +104,26 @@ def test_recall_on_real_ann_stack_is_sane(spark):
     assert len(rec) == 5
     assert all(0.0 <= r.recall <= 1.0 for r in rec)
     assert sum(r.n_hit for r in rec) > 0
+
+
+def test_cross_logprob_oov_penalty_and_parity(spark):
+    """Cross-corpus LM: an in-vocabulary eval doc outscores an OOV-heavy
+    one, and a doc repeated verbatim from the train corpus matches the
+    self-corpus LM's tf-based math."""
+    from arxiv_citation_graph_spark.operators.quality import unigram_cross_logprob
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "zz qq")], "doc_id long, text string"
+    )
+    got = {r.doc: r.avg_logprob
+           for r in unigram_cross_logprob(train, ev, "doc_id", "text").collect()}
+    import math
+    n, v = 7, 4  # train tokens, train vocab
+    want_in = round((math.log((3 + 1) / (n + v)) + math.log((2 + 1) / (n + v))) / 2, 6)
+    want_oov = round(math.log(1 / (n + v)), 6)
+    assert got == {10: want_in, 11: want_oov}
+    assert got[10] > got[11], "OOV-heavy doc must rank lower"
