@@ -4120,6 +4120,35 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "exact_dedup_warm",
+    """
+    SELECT md5(text) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: the ~5% md5-sliced append folds into the
+    stored digest table via one full-outer merge — oracle = the fresh
+    full-corpus digest SQL (operators/dedup.py::exact_dedup_incremental)."""
+    from arxiv_citation_graph_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 20
+    )
+    prior = exact_dedup(docs.filter(draw != 0), "doc_id", "text")
+    return exact_dedup_incremental(
+        prior, docs.filter(draw == 0), "doc_id", "text"
+    )
+
+
 def _minhash_sql(num_hashes: int = 4, table: str = "documents") -> str:
     from arxiv_citation_graph_spark.operators.dedup import MINHASH_COEFFS
 

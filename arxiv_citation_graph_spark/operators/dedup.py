@@ -54,6 +54,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_incremental(
+    prior: DataFrame, delta_docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Merge an append batch into a stored ``exact_dedup`` table without
+    rescanning the prior corpus: ``(digest, keep_id, n_dups)`` equal to
+    a fresh full run.
+
+    The delta collapses to its own (digest, min-id, count) first
+    (delta-sized shuffle); the merge is one full-outer equi-join on the
+    digest — ``min`` and ``+`` are associative, so batch-at-a-time
+    folding is exact.  At scale the stored table is bucketed on digest
+    and the join is Exchange-free on that side (the co-bucketed-join
+    pattern in PLANS.md)."""
+    new = exact_dedup(delta_docs, id_col, text_col)
+    p = prior.withColumnsRenamed({"keep_id": "_pk", "n_dups": "_pn"})
+    n = new.withColumnsRenamed({"keep_id": "_nk", "n_dups": "_nn"})
+    return p.join(n, "digest", "full_outer").select(
+        "digest",
+        F.least("_pk", "_nk").alias("keep_id"),  # least skips nulls
+        (F.coalesce("_pn", F.lit(0)) + F.coalesce("_nn", F.lit(0))).alias("n_dups"),
+    )
+
+
 def minhash_signature(text: Column, num_hashes: int = 8, shingle_k: int = 3) -> Column:
     """Array of ``num_hashes`` minhash values for a text column."""
     hashes = F.transform(word_shingles(text, shingle_k), md5_int32)

@@ -178,3 +178,24 @@ def test_prior_signatures_shortcut_matches(spark):
         spark, prior, delta, "doc_id", "text", pp, **KW
     )
     assert _pairs_dict(with_sigs) == _pairs_dict(without)
+
+
+def test_exact_dedup_incremental_merges_counts_and_keepers(spark):
+    from arxiv_citation_graph_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_incremental,
+    )
+
+    prior_rows = [("b2", "same text"), ("b3", "same text"), ("c1", "other")]
+    delta_rows = [("a1", "same text"), ("d9", "brand new")]
+    prior = _docs(spark, prior_rows)
+    delta = _docs(spark, delta_rows)
+    stored = exact_dedup(prior, "doc_id", "text")
+    got = {r.digest: (r.keep_id, r.n_dups)
+           for r in exact_dedup_incremental(stored, delta, "doc_id", "text").collect()}
+    want = {r.digest: (r.keep_id, r.n_dups)
+            for r in exact_dedup(_docs(spark, prior_rows + delta_rows),
+                                 "doc_id", "text").collect()}
+    assert got == want
+    # the delta doc a1 takes over as keeper of the shared digest
+    assert ("a1", 3) in got.values() and ("d9", 1) in got.values()
