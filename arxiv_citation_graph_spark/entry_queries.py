@@ -2363,6 +2363,60 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.distances.select("vertex", F.col("dist").cast("long").alias("dist"))
 
 
+def _double_sweep_sql(rounds: int) -> str:
+    """Two chained BFS unrolls: sweep 1 from the lexicographic-min
+    vertex, sweep 2 from sweep 1's farthest vertex (ties: min id) —
+    the Magnien-Latapy-Habib diameter lower bound."""
+    sentinel = 1 << 40
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym UNION SELECT dst_id FROM sym)",
+        "a0 AS MATERIALIZED (SELECT vertex, CASE WHEN vertex = (SELECT min(vertex) FROM verts) "
+        f"THEN 0 ELSE {sentinel} END AS dist FROM verts)",
+    ]
+    for prefix in ("a", "b"):
+        if prefix == "b":
+            ctes.append(
+                f"p1 AS MATERIALIZED (SELECT vertex FROM a{rounds} "
+                f"WHERE dist < {sentinel} ORDER BY dist DESC, vertex LIMIT 1)"
+            )
+            ctes.append(
+                "b0 AS MATERIALIZED (SELECT vertex, CASE WHEN vertex = (SELECT vertex FROM p1) "
+                f"THEN 0 ELSE {sentinel} END AS dist FROM verts)"
+            )
+        for r in range(1, rounds + 1):
+            p = r - 1
+            ctes.append(
+                f"{prefix}{r} AS MATERIALIZED (SELECT v.vertex, "
+                f"least(v.dist, coalesce(m.nd, v.dist)) AS dist FROM {prefix}{p} v LEFT JOIN ("
+                f"SELECT e.dst_id AS vertex, min(l.dist + 1) AS nd FROM sym e "
+                f"JOIN {prefix}{p} l ON e.src_id = l.vertex WHERE l.dist < {sentinel} "
+                f"GROUP BY e.dst_id) m ON v.vertex = m.vertex)"
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT min(vertex) FROM verts) AS start_vertex,
+       (SELECT vertex FROM p1) AS sweep_vertex,
+       vertex AS peripheral_vertex,
+       CAST(dist AS BIGINT) AS diameter_lb
+FROM b{rounds} WHERE dist < {sentinel}
+ORDER BY dist DESC, vertex LIMIT 1"""
+    )
+
+
+@register("double_sweep_diameter", _double_sweep_sql(rounds=_BFS_ORACLE_ROUNDS))
+def q_double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound on the co-supply graph — two
+    BFS runs + two 1-row driver picks
+    (plans/bfs.py::double_sweep_diameter)."""
+    from arxiv_citation_graph_spark.plans.bfs import double_sweep_diameter
+
+    return double_sweep_diameter(spark, cosupply_edges(spark, sf_dir))
+
+
 def _sssp_unrolled_sql(rounds: int) -> str:
     """Unrolled Bellman-Ford relaxation (plans/sssp.py) from the
     lexicographic-min vertex over the symmetrized weighted co-supply

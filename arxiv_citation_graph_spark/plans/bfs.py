@@ -289,3 +289,34 @@ def harmonic_closeness(distances: DataFrame) -> DataFrame:
             F.count(F.when(F.col("dist") > 0, F.lit(1))).alias("n_reached"),
         )
     )
+
+
+def double_sweep_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009):
+    1-row ``(start_vertex, sweep_vertex, peripheral_vertex,
+    diameter_lb)``.
+
+    BFS from the lexicographic-min vertex, hop to its farthest vertex
+    (ties: min vertex id — the engine-wide total-order convention), BFS
+    again; the second eccentricity lower-bounds the true diameter and is
+    exact on trees.  Complements the ANF effective-diameter sketch with
+    a cheap deterministic bound: two BFS runs + two 1-row driver picks
+    (the bounded-collect landmark pattern).
+    """
+    first = bfs_distances(spark, edges, max_iterations=max_iterations)
+    far1 = first.distances.orderBy(F.col("dist").desc(), F.col("vertex")).first()
+    if far1 is None:
+        raise ValueError("double_sweep_diameter: graph has no reachable vertices")
+    second = bfs_distances(
+        spark, edges, source=far1.vertex, max_iterations=max_iterations
+    )
+    far2 = second.distances.orderBy(F.col("dist").desc(), F.col("vertex")).first()
+    return spark.createDataFrame(
+        [(first.source, far1.vertex, far2.vertex, int(far2.dist))],
+        "start_vertex string, sweep_vertex string, "
+        "peripheral_vertex string, diameter_lb long",
+    )

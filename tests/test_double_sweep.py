@@ -1,0 +1,57 @@
+"""Double-sweep diameter lower bound (plans/bfs.py::double_sweep_diameter)."""
+
+from __future__ import annotations
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.bfs import double_sweep_diameter
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src_id", "dst_id"])
+
+
+def test_double_sweep_exact_on_path(spark):
+    # path a-b-c-d-e: diameter 4; sweep 1 from 'a' reaches 'e', sweep 2
+    # from 'e' measures the true diameter (exact on trees)
+    df = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    r = double_sweep_diameter(spark, df).first()
+    assert (r.start_vertex, r.sweep_vertex, r.peripheral_vertex, r.diameter_lb) == (
+        "a", "e", "a", 4
+    )
+
+
+def test_double_sweep_exact_on_offcenter_tree(spark):
+    # star with one long arm: min vertex 'arm1' is INSIDE the arm, so
+    # sweep 1 must hop to a true peripheral vertex first
+    df = _edges(
+        spark,
+        [("hub", "leafa"), ("hub", "leafb"),
+         ("hub", "arm1"), ("arm1", "arm2"), ("arm2", "arm3")],
+    )
+    r = double_sweep_diameter(spark, df).first()
+    # true diameter: arm3 -> hub -> leafa = 4
+    assert r.diameter_lb == 4
+    assert r.sweep_vertex == "arm3" or r.peripheral_vertex == "arm3"
+
+
+def test_double_sweep_cycle_lower_bound(spark):
+    # 6-cycle: true diameter 3; double sweep reports >= ecc of some
+    # peripheral vertex = exactly 3 on an even cycle
+    cyc = [(f"v{i}", f"v{(i + 1) % 6}") for i in range(6)]
+    r = double_sweep_diameter(spark, _edges(spark, cyc)).first()
+    assert r.diameter_lb == 3
+
+
+def test_double_sweep_ties_break_to_min_vertex(spark):
+    # both 'x' and 'y' sit at distance 2 from start 'a': sweep vertex
+    # must be the lexicographic smaller one
+    df = _edges(spark, [("a", "m"), ("m", "x"), ("m", "y")])
+    r = double_sweep_diameter(spark, df).first()
+    assert r.sweep_vertex == "x"
+
+
+def test_double_sweep_empty_graph_raises(spark):
+    df = spark.createDataFrame([], "src_id string, dst_id string")
+    with pytest.raises(ValueError, match="no reachable"):
+        double_sweep_diameter(spark, df)
