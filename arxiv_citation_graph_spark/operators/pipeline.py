@@ -121,3 +121,103 @@ def prepare_training_corpus(
         spark, kept, id_col, text_col, seq_len=seq_len, buckets=buckets
     )
     return TrainingCorpusResult(packed, stats)
+
+
+def prepare_training_corpus_incremental(
+    spark: SparkSession,
+    prior_docs: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame | None = None,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    prior_survivors: DataFrame | None = None,
+    prior_pairs: DataFrame | None = None,
+    rep_n: int = 2,
+    max_dup_frac: float = 0.3,
+    max_top_frac: float = 0.2,
+    min_overlap: int = 3,
+    dedup_threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    dedup_cc_iterations: int = 20,
+    seq_len: int = 2048,
+    buckets: int = 64,
+) -> TrainingCorpusResult:
+    """``prepare_training_corpus`` for corpus APPENDS — the daily
+    operating mode of a 100 TB training pipeline: yesterday's corpus +
+    today's delta -> the updated packed corpus, equal to a fresh full
+    run, without re-running the expensive stages over the old corpus.
+
+    Why it is exact: stages 1-2 (repetition filter, decontamination
+    against a FIXED eval set) are per-doc pure functions, so the union's
+    survivor set is the union of survivor sets — the delta alone is
+    scanned.  Stage 3 is ``dedup_clusters_incremental`` (delta-probed
+    LSH + cap-crossing retraction, proven exact there).  Stage 4
+    (packing) is recomputed over the kept union — dedup merges/splits
+    can reassign keepers anywhere, shifting every later offset, and the
+    packing pass is a token-count scan, not a pairwise join, so it is
+    the cheap stage by orders of magnitude.
+
+    ``prior_survivors`` (ids) and ``prior_pairs`` (verified near-dup
+    pairs among them) are yesterday's stored stage outputs; omitted,
+    they are recomputed from ``prior_docs``.  The eval set must be the
+    one the prior run used — an eval-set change invalidates stored
+    survivor flags (fresh run required).
+    """
+    def _survivors(docs: DataFrame) -> DataFrame:
+        rep = repetition_flags(
+            docs, id_col, text_col, n=rep_n,
+            max_dup_frac=max_dup_frac, max_top_frac=max_top_frac,
+        ).select(F.col("doc").alias(id_col))
+        surv = docs.join(rep, id_col, "left_anti")
+        if eval_df is not None:
+            cont = (
+                contamination_flags(
+                    surv, eval_df, id_col, text_col, eval_id_col, eval_text_col,
+                    min_overlap=min_overlap, shingle_k=shingle_k,
+                )
+                .select(F.col("doc").alias(id_col))
+                .distinct()
+            )
+            surv = surv.join(cont, id_col, "left_anti")
+        return surv
+
+    from arxiv_citation_graph_spark.operators.dedup import (
+        dedup_clusters_incremental,
+        verified_near_dup_pairs,
+    )
+
+    prior_surv = (
+        prior_docs.join(prior_survivors.select(id_col), id_col, "left_semi")
+        if prior_survivors is not None
+        else _survivors(prior_docs)
+    ).localCheckpoint(eager=True)
+    delta_surv = _survivors(delta_docs).localCheckpoint(eager=True)
+    if prior_pairs is None:
+        prior_pairs = verified_near_dup_pairs(
+            prior_surv, id_col, text_col, dedup_threshold, num_hashes,
+            bands, rows_per_band, shingle_k, max_shingle_df,
+        )
+    clusters = dedup_clusters_incremental(
+        spark, prior_surv, delta_surv, id_col, text_col, prior_pairs,
+        threshold=dedup_threshold, num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, shingle_k=shingle_k,
+        max_shingle_df=max_shingle_df, max_iterations=dedup_cc_iterations,
+    )
+    keepers = clusters.groupBy("cluster").agg(F.min("doc").alias("keep")).select(
+        F.col("keep").alias(id_col)
+    )
+    kept = (
+        prior_surv.unionByName(delta_surv)
+        .join(keepers, id_col, "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    packed = sequence_packing(
+        spark, kept, id_col, text_col, seq_len=seq_len, buckets=buckets
+    )
+    return TrainingCorpusResult(packed, {})

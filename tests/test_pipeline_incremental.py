@@ -1,0 +1,96 @@
+"""Daily-append training-corpus pipeline (operators/pipeline.py::
+prepare_training_corpus_incremental): must equal the fresh batch
+pipeline on the union, including when stage outputs come from storage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.operators.dedup import verified_near_dup_pairs
+from arxiv_citation_graph_spark.operators.pipeline import (
+    prepare_training_corpus,
+    prepare_training_corpus_incremental,
+)
+
+KW = dict(
+    rep_n=2, max_dup_frac=0.5, max_top_frac=0.5, min_overlap=2,
+    dedup_threshold=0.3, num_hashes=4, bands=4, rows_per_band=1,
+    shingle_k=1, max_shingle_df=None, dedup_cc_iterations=8,
+    seq_len=8, buckets=4,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _packed(df):
+    return {r.doc: (r.n_tokens, r.start_offset, r.seq_id) for r in df.collect()}
+
+
+PRIOR = [
+    (1, "alpha beta gamma delta"),
+    (2, "alpha beta gamma delta"),      # near-dup of 1 -> deduped away
+    (3, "zeta eta theta iota kappa"),
+    (4, "rep rep rep rep rep rep"),     # repetition-filtered
+    (5, "contaminated shared eval text here"),
+]
+DELTA = [
+    (11, "alpha beta gamma delta"),     # joins cluster {1, 2}
+    (12, "nu xi omicron pi rho"),       # novel keeper
+    (13, "loop loop loop loop"),        # repetition-filtered delta doc
+]
+EVAL = [(100, "contaminated shared eval text obviously")]
+
+
+def test_incremental_pipeline_equals_fresh(spark):
+    prior = _docs(spark, PRIOR)
+    delta = _docs(spark, DELTA)
+    union = _docs(spark, PRIOR + DELTA)
+    ev = _docs(spark, EVAL)
+    inc = prepare_training_corpus_incremental(
+        spark, prior, delta, "doc_id", "text", eval_df=ev, **KW
+    )
+    fresh = prepare_training_corpus(
+        spark, union, "doc_id", "text", eval_df=ev, **KW
+    )
+    got, want = _packed(inc.packed), _packed(fresh.packed)
+    assert got == want
+    assert 1 in got and 12 in got          # keepers survive
+    assert 2 not in got and 11 not in got  # deduped into cluster 1
+    assert 4 not in got and 13 not in got  # repetition drops both sides
+    assert 5 not in got                    # decontaminated
+
+
+def test_incremental_pipeline_with_stored_stage_outputs(spark):
+    """The production path: yesterday's survivor ids + verified pairs
+    come from storage instead of recomputation — identical result."""
+    prior = _docs(spark, PRIOR)
+    delta = _docs(spark, DELTA)
+    ev = _docs(spark, EVAL)
+    # simulate yesterday's stored outputs with the batch stages
+    from arxiv_citation_graph_spark.operators.dedup import contamination_flags
+    from arxiv_citation_graph_spark.operators.quality import repetition_flags
+
+    rep = repetition_flags(
+        prior, "doc_id", "text", n=KW["rep_n"],
+        max_dup_frac=KW["max_dup_frac"], max_top_frac=KW["max_top_frac"],
+    ).select(F.col("doc").alias("doc_id"))
+    surv = prior.join(rep, "doc_id", "left_anti")
+    cont = contamination_flags(
+        surv, ev, "doc_id", "text", min_overlap=KW["min_overlap"],
+        shingle_k=KW["shingle_k"],
+    ).select(F.col("doc").alias("doc_id")).distinct()
+    surv = surv.join(cont, "doc_id", "left_anti")
+    pairs = verified_near_dup_pairs(
+        surv, "doc_id", "text", KW["dedup_threshold"], KW["num_hashes"],
+        KW["bands"], KW["rows_per_band"], KW["shingle_k"], KW["max_shingle_df"],
+    )
+    inc = prepare_training_corpus_incremental(
+        spark, prior, delta, "doc_id", "text", eval_df=ev,
+        prior_survivors=surv.select("doc_id"), prior_pairs=pairs, **KW,
+    )
+    plain = prepare_training_corpus_incremental(
+        spark, prior, delta, "doc_id", "text", eval_df=ev, **KW
+    )
+    assert _packed(inc.packed) == _packed(plain.packed)
