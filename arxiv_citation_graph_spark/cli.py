@@ -232,6 +232,27 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "pipeline",
+        help="full training-corpus preparation: repetition filter -> "
+        "decontaminate -> fuzzy dedup -> sequence packing; --delta "
+        "switches to the daily-append incremental mode",
+    )
+    p.add_argument("--docs", required=True, help="corpus parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--eval-docs", default=None, help="eval-set parquet (decontamination)")
+    p.add_argument(
+        "--delta", default=None,
+        help="append batch parquet -> incremental mode (--docs is then "
+        "the PRIOR corpus; equal to a fresh run on the union)",
+    )
+    p.add_argument("--threshold", type=float, default=0.5, help="dedup Jaccard cutoff")
+    p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--max-dup-frac", type=float, default=0.3)
+    p.add_argument("--max-top-frac", type=float, default=0.2)
+
+    p = sub.add_parser(
         "ingest",
         help="drain new docs files (streaming file source, AvailableNow) "
         "into snapshot-per-batch edge commits; idempotent and incremental",
@@ -355,6 +376,34 @@ def main(argv: list[str] | None = None) -> int:
             .collect()
         }
         print(f"split: {counts}")
+        return 0
+
+    if args.cmd == "pipeline":
+        from arxiv_citation_graph_spark.operators.pipeline import (
+            prepare_training_corpus,
+            prepare_training_corpus_incremental,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        ev = spark.read.parquet(args.eval_docs) if args.eval_docs else None
+        kw = dict(
+            eval_df=ev, dedup_threshold=args.threshold, seq_len=args.seq_len,
+            max_dup_frac=args.max_dup_frac, max_top_frac=args.max_top_frac,
+        )
+        if args.delta:
+            res = prepare_training_corpus_incremental(
+                spark, docs, spark.read.parquet(args.delta),
+                args.id_col, args.text_col, **kw,
+            )
+        else:
+            res = prepare_training_corpus(
+                spark, docs, args.id_col, args.text_col, **kw
+            )
+        snap = catalog.create_or_replace("packed_corpus", res.packed)
+        print(
+            f"pipeline: {res.packed.count()} doc(s) packed at snapshot {snap}"
+            + (" (incremental)" if args.delta else "")
+        )
         return 0
 
     if args.cmd == "stats":

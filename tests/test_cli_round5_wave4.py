@@ -60,3 +60,37 @@ def test_cli_stats_backbone_select(spark, tmp_path, monkeypatch):
     assert 0 < sel.count() < 10
     # straddler convention: every kept doc STARTS under the budget
     assert sel.filter(F.col("start_offset") >= 30).count() == 0
+
+
+def test_cli_pipeline_batch_and_incremental_agree(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    rows = [
+        (i, f"w{i} common tail tokens {'x ' * (i % 4)}") for i in range(1, 13)
+    ] + [(20, "w1 common tail tokens ")]  # near-dup of doc 1
+    union_path = str(tmp_path / "union_pq")
+    prior_path = str(tmp_path / "prior_pq")
+    delta_path = str(tmp_path / "delta_pq")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(union_path)
+    df.filter("doc_id <= 10").write.parquet(prior_path)
+    df.filter("doc_id > 10").write.parquet(delta_path)
+
+    wh_b = str(tmp_path / "wh_b")
+    wh_i = str(tmp_path / "wh_i")
+    assert cli.main(
+        ["pipeline", "--docs", union_path, "--out", wh_b, "--threshold", "0.3",
+         "--seq-len", "8"]
+    ) == 0
+    assert cli.main(
+        ["pipeline", "--docs", prior_path, "--delta", delta_path, "--out", wh_i,
+         "--threshold", "0.3", "--seq-len", "8"]
+    ) == 0
+    batch = {r.doc: (r.n_tokens, r.start_offset, r.seq_id)
+             for r in SnapshotCatalog(wh_b).read(spark, "packed_corpus").collect()}
+    inc = {r.doc: (r.n_tokens, r.start_offset, r.seq_id)
+           for r in SnapshotCatalog(wh_i).read(spark, "packed_corpus").collect()}
+    assert batch == inc and batch
