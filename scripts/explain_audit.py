@@ -1042,6 +1042,48 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.operators.packing import select_to_token_budget
+    from arxiv_citation_graph_spark.plans.linkpred import link_prediction_auc
+
+    from arxiv_citation_graph_spark.functions.texttools import quality_score
+
+    docs5 = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "q", quality_score(F.col("text"))
+    )
+    tb_plan = plan_of(
+        select_to_token_budget(spark, docs5, "doc_id", "text", "q", budget=10000)
+    )
+    sections.append(
+        (
+            "Token-budget selection (quantized-score two-stage prefix sum)",
+            "The rank-order cumulative sum never runs as one global window: "
+            "stage 2's Window covers one row per score-quantization cell "
+            "and stage 3's windows partition per cell — the "
+            "sequence_packing trick on the score axis.  "
+            f"[{exchange_count(tb_plan)}]",
+            condense(tb_plan, KEEP),
+        )
+    )
+
+    auc_plan = plan_of(
+        link_prediction_auc(
+            spark, bipartite_edges(spark, SF_DIR), holdout_mod=5,
+            hub_cap=40, min_common=3,
+        )
+    )
+    sections.append(
+        (
+            "Link-prediction AUC (histogram rank statistic)",
+            "Candidates collapse to a per-score-VALUE histogram before the "
+            "only ordered window, so the Mann-Whitney statistic costs one "
+            "integer cumulative sum over distinct rounded scores — never a "
+            "rank window over the candidate set; decimal(38) products "
+            "protect P*N at web scale.  "
+            f"[{exchange_count(auc_plan)}]",
+            condense(auc_plan, KEEP),
+        )
+    )
+
     from arxiv_citation_graph_spark.sources.bucketed import read_bucketed, write_bucketed
 
     old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
