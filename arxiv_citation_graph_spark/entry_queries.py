@@ -1296,6 +1296,32 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "edge_embeddedness",
+    f"""
+WITH {_SYM_DEG_SQL},
+und AS (SELECT src_id AS u, dst_id AS v FROM sym WHERE src_id < dst_id),
+sup AS (SELECT e.u, e.v, count(*) AS support
+        FROM und e JOIN sym s1 ON s1.src_id = e.u
+                   JOIN sym s2 ON s2.src_id = e.v AND s2.dst_id = s1.dst_id
+        GROUP BY 1, 2)
+SELECT e.u, e.v, CAST(coalesce(s.support, 0) AS BIGINT) AS support,
+       round(coalesce(s.support, 0)
+             / nullif(CAST(da.d + db.d - 2 - coalesce(s.support, 0) AS DOUBLE),
+                      0.0), 6) AS nbr_jaccard,
+       coalesce(s.support, 0) = 0 AS is_local_bridge
+FROM und e LEFT JOIN sup s ON s.u = e.u AND s.v = e.v
+JOIN deg da ON da.vertex = e.u JOIN deg db ON db.vertex = e.v
+""",
+)
+def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge embeddedness / local-bridge detection on the co-supply
+    graph (plans/graphstats.py::edge_embeddedness)."""
+    from arxiv_citation_graph_spark.plans.graphstats import edge_embeddedness
+
+    return edge_embeddedness(spark, cosupply_edges(spark, sf_dir))
+
+
+@register(
     "triad_census",
     f"""
 WITH seq AS ({EDGES_SEQSUPPLY_SQL}),

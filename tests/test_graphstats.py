@@ -86,3 +86,27 @@ def test_h_index_star_and_duplicates(spark):
     )
     got = {r.vertex: r.h_index for r in h_index(spark, df).collect()}
     assert got == {"h": 1, "a": 1, "b": 1, "c": 1}
+
+
+def test_edge_embeddedness_triangle_with_pendant(spark):
+    from arxiv_citation_graph_spark.plans.graphstats import edge_embeddedness
+
+    df = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    got = {(r.u, r.v): (r.support, r.nbr_jaccard, r.is_local_bridge)
+           for r in edge_embeddedness(spark, df).collect()}
+    # triangle edges: support 1; (a,b): jacc = 1/(2+2-2-1) = 1.0
+    assert got[("a", "b")] == (1, 1.0, False)
+    # (a,c): deg a=2, deg c=3 -> 1/(2+3-2-1) = 0.5
+    assert got[("a", "c")] == (1, 0.5, False)
+    # pendant edge (c,d): no common neighbor -> local bridge
+    assert got[("c", "d")] == (0, 0.0, True)
+
+
+def test_edge_embeddedness_isolated_pair_null_jaccard(spark):
+    from arxiv_citation_graph_spark.plans.graphstats import edge_embeddedness
+
+    df = _edges(spark, [("x", "y")])
+    r = edge_embeddedness(spark, df).first()
+    # both endpoints degree 1: union of endpoint-excluded neighborhoods
+    # is empty -> jaccard undefined
+    assert (r.support, r.nbr_jaccard, r.is_local_bridge) == (0, None, True)
