@@ -561,6 +561,41 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interevent_stats",
+    """
+    WITH ev AS (SELECT user_id, event_id AS eid,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+    g AS (SELECT user_id,
+                 es - lag(es) OVER (PARTITION BY user_id ORDER BY es, eid) AS gap
+          FROM ev),
+    gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+    a AS (SELECT user_id, count(*) AS n_gaps,
+                 sum(gap) AS s1, sum(gap * gap) AS s2
+          FROM gg GROUP BY user_id),
+    m AS (SELECT user_id, n_gaps,
+                 CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+                 sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                               - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                                 * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                               0.0)) AS sd
+          FROM a)
+    SELECT user_id, CAST(n_gaps + 1 AS BIGINT) AS n_events,
+           CASE WHEN n_gaps >= 2 THEN round(mean, 6) END AS mean_gap,
+           CASE WHEN n_gaps >= 2 THEN round(sd / nullif(mean, 0.0), 6) END AS cv_gap,
+           CASE WHEN n_gaps >= 2
+                THEN round((sd - mean) / nullif(sd + mean, 0.0), 6) END AS burstiness
+    FROM m
+    """,
+)
+def q_interevent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics + Goh-Barabási burstiness
+    (streaming/events.py::interevent_stats)."""
+    from arxiv_citation_graph_spark.streaming.events import interevent_stats
+
+    return interevent_stats(_t(spark, sf_dir, "events"))
+
+
+@register(
     "first_event_per_user_type",
     """
     SELECT user_id, event_type, event_id,

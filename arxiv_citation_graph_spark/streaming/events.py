@@ -146,3 +146,58 @@ def first_events(events: DataFrame) -> DataFrame:
         F.unix_timestamp("f.ts").cast("long").alias("ts_epoch"),
         F.col("f.value").alias("value"),
     )
+
+
+def interevent_stats(events: DataFrame) -> DataFrame:
+    """Per-user inter-event gap statistics: ``(user_id, n_events,
+    mean_gap, cv_gap, burstiness)``.
+
+    ``burstiness = (σ − μ) / (σ + μ)`` (Goh & Barabási 2008): −1 for a
+    perfectly periodic stream, 0 for Poisson, → 1 for bursty.
+    Single-event users produce no gaps and are absent; two-event users
+    (one gap) are emitted with NULL statistics — one gap has no
+    dispersion.
+
+    Gaps come from one ``lag`` window per user ordered by (ts,
+    event_id) — partition size = that user's event count (the per-key
+    state bound sessionization already rides); moments are exact
+    integer sums of epoch-second gaps with one final float expression,
+    rounded to 6 dp.
+    """
+    from pyspark.sql import Window
+
+    ev = events.select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "eid")
+    gaps = ev.withColumn("gap", F.col("es") - F.lag("es").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("decimal(38,0)").alias("s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))  # clamp -0.0-ulp negatives
+    stats = F.when(
+        F.col("n_gaps") >= 2,
+        F.struct(
+            F.round(mean, 6).alias("mean_gap"),
+            F.round(sd / F.nullif(mean, F.lit(0.0)), 6).alias("cv_gap"),
+            F.round(
+                (sd - mean) / F.nullif(sd + mean, F.lit(0.0)), 6
+            ).alias("burstiness"),
+        ),
+    )
+    return agg.select(
+        "user_id",
+        (F.col("n_gaps") + 1).cast("long").alias("n_events"),
+        stats.getField("mean_gap").alias("mean_gap"),
+        stats.getField("cv_gap").alias("cv_gap"),
+        stats.getField("burstiness").alias("burstiness"),
+    )

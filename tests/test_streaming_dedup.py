@@ -107,3 +107,40 @@ def test_streaming_dedup_then_first_events_matches_batch(spark, tmp_path):
     want = {(r.user_id, r.event_type): (r.event_id, r.ts_epoch)
             for r in first_events(spark.read.parquet(d)).collect()}
     assert got == want
+
+
+def test_interevent_stats_periodic_and_bursty(spark):
+    from arxiv_citation_graph_spark.streaming.events import interevent_stats
+
+    rows = (
+        # user 100: perfectly periodic (gap 60s x 3) -> burstiness -1
+        [(i, _ts(i), 100, "click", 1.0, "{}") for i in range(4)]
+        # user 200: two events -> NULL stats
+        + [(10, _ts(0), 200, "view", 1.0, "{}"),
+           (11, _ts(5), 200, "view", 1.0, "{}")]
+        # user 300: one event -> absent
+        + [(20, _ts(0), 300, "click", 1.0, "{}")]
+    )
+    got = {r.user_id: r for r in interevent_stats(_events(spark, rows)).collect()}
+    assert set(got) == {100, 200}
+    assert got[100].n_events == 4
+    assert (got[100].mean_gap, got[100].cv_gap, got[100].burstiness) == (
+        60.0, 0.0, -1.0
+    )
+    assert got[200].n_events == 2 and got[200].mean_gap is None
+
+
+def test_interevent_stats_matches_python_moments(spark):
+    import math
+
+    from arxiv_citation_graph_spark.streaming.events import interevent_stats
+
+    minutes = [0, 1, 5, 6, 30]
+    rows = [(i, _ts(m), 100, "click", 1.0, "{}") for i, m in enumerate(minutes)]
+    r = interevent_stats(_events(spark, rows)).first()
+    gaps = [(b - a) * 60 for a, b in zip(minutes, minutes[1:])]
+    mean = sum(gaps) / len(gaps)
+    sd = math.sqrt(sum(g * g for g in gaps) / len(gaps) - mean * mean)
+    assert r.mean_gap == round(mean, 6)
+    assert r.cv_gap == round(sd / mean, 6)
+    assert r.burstiness == round((sd - mean) / (sd + mean), 6)
