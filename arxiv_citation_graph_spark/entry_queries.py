@@ -1331,6 +1331,40 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "degree_gini_powerlaw",
+    f"""
+WITH {_SYM_DEG_SQL},
+hist AS (SELECT d AS degree, count(*) AS c FROM deg GROUP BY d),
+runs AS (SELECT degree, c,
+                coalesce(sum(c) OVER (ORDER BY degree
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS r_before
+         FROM hist),
+a AS (SELECT sum(c) AS n, sum(degree * c) AS t,
+             sum(degree * (2 * c * r_before + c * (c + 1))) AS s2,
+             sum(CASE WHEN degree >= 2 THEN c ELSE 0 END) AS n_tail,
+             sum(CASE WHEN degree >= 2
+                      THEN c * ln(degree / 1.5) ELSE 0.0 END) AS logmass
+      FROM runs)
+SELECT CAST(n AS BIGINT) AS n_vertices,
+       CAST(t AS BIGINT) AS total_degree,
+       round(CAST(s2 AS DOUBLE) / CAST(n * t AS DOUBLE)
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS gini,
+       CAST(n_tail AS BIGINT) AS n_tail,
+       round(1.0 + CAST(n_tail AS DOUBLE) / nullif(logmass, 0.0), 6) AS alpha
+FROM a
+""",
+)
+def q_degree_gini_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact degree Gini coefficient (citation inequality) + discrete
+    power-law MLE alpha over the co-supply degree distribution
+    (plans/graphstats.py::degree_gini_powerlaw)."""
+    from arxiv_citation_graph_spark.plans.graphstats import degree_gini_powerlaw
+
+    return degree_gini_powerlaw(spark, cosupply_edges(spark, sf_dir), dmin=2)
+
+
+@register(
     "edge_embeddedness",
     f"""
 WITH {_SYM_DEG_SQL},

@@ -41,6 +41,7 @@ from arxiv_citation_graph_spark.plans.layout import symmetrize
 __all__ = [
     "attribute_assortativity",
     "degree_assortativity",
+    "degree_gini_powerlaw",
     "edge_embeddedness",
     "h_index",
     "transitivity",
@@ -222,3 +223,70 @@ def edge_embeddedness(spark: SparkSession, edges: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def degree_gini_powerlaw(
+    spark: SparkSession, edges: DataFrame, dmin: int = 2
+) -> DataFrame:
+    """Degree-inequality summary: 1-row ``(n_vertices, total_degree,
+    gini, n_tail, alpha)``.
+
+    ``gini`` is the EXACT Gini coefficient of the degree distribution
+    (citation inequality, the bibliometric staple): with degrees sorted
+    ascending, ``G = 2·Σ rank·deg / (n·Σ deg) − (n+1)/n``.  The rank sum
+    is computed from the degree-value HISTOGRAM — a run of ``c`` equal
+    values ``v`` starting after cumulative count ``R`` contributes
+    ``v·(c·R + c(c+1)/2)`` — so the only window runs over distinct
+    degree values (the rich-club histogram argument) and every term is
+    an exact decimal(38) integer until the final float expression.
+
+    ``alpha`` is the discrete power-law MLE (Clauset, Shalizi & Newman
+    2009, eq. 3.7 approximation): ``1 + n_tail / Σ ln(d / (dmin − ½))``
+    over degrees ≥ ``dmin``; NULL when the tail is empty or has zero
+    log-mass (all tail degrees == dmin == 1 would divide by zero —
+    guarded by nullif).
+    """
+    if dmin < 1:
+        raise ValueError(f"dmin must be >= 1, got {dmin}")
+    _, deg = _sym_deg(edges)
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, -1)
+    runs = hist.withColumn("r_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    v, c, r = F.col("degree").cast(_DEC), F.col("c").cast(_DEC), F.col(
+        "r_before"
+    ).cast(_DEC)
+    agg = runs.agg(
+        F.sum(F.col("c")).cast(_DEC).alias("n"),
+        F.sum(v * c).alias("t"),
+        # s2 = 2·Σ rank·deg, kept undivided so every term stays an exact
+        # integer (c·(c+1) is even but decimal division would widen scale)
+        F.sum(v * (F.lit(2).cast(_DEC) * c * r + c * (c + F.lit(1))))
+        .cast(_DEC)
+        .alias("s2"),
+        F.sum(F.when(F.col("degree") >= dmin, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_tail"),
+        F.sum(
+            F.when(
+                F.col("degree") >= dmin,
+                F.col("c") * F.log(F.col("degree") / F.lit(dmin - 0.5)),
+            ).otherwise(F.lit(0.0))
+        ).alias("logmass"),
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_vertices"),
+        F.col("t").cast("long").alias("total_degree"),
+        F.round(
+            F.col("s2").cast("double") / (F.col("n") * F.col("t")).cast("double")
+            - (F.col("n") + F.lit(1)).cast("double") / n_d,
+            9,
+        ).alias("gini"),
+        F.col("n_tail"),
+        F.round(
+            F.lit(1.0)
+            + F.col("n_tail").cast("double")
+            / F.nullif(F.col("logmass"), F.lit(0.0)),
+            6,
+        ).alias("alpha"),
+    )

@@ -110,3 +110,39 @@ def test_edge_embeddedness_isolated_pair_null_jaccard(spark):
     # both endpoints degree 1: union of endpoint-excluded neighborhoods
     # is empty -> jaccard undefined
     assert (r.support, r.nbr_jaccard, r.is_local_bridge) == (0, None, True)
+
+
+def test_degree_gini_uniform_is_zero_and_star_matches_python(spark):
+    import math
+
+    from arxiv_citation_graph_spark.plans.graphstats import degree_gini_powerlaw
+
+    # triangle: all degrees equal -> Gini 0
+    tri = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    r = degree_gini_powerlaw(spark, tri, dmin=2).first()
+    assert (r.n_vertices, r.total_degree, r.gini) == (3, 6, 0.0)
+    # all tail degrees are 2: logmass = 3*ln(2/1.5)
+    assert r.alpha == round(1 + 3 / (3 * math.log(2 / 1.5)), 6)
+
+    # star K_{1,4}: degrees [1,1,1,1,4] sorted -> exact Gini via python
+    star = _edges(spark, [("h", x) for x in "abcd"])
+    r = degree_gini_powerlaw(spark, star, dmin=2).first()
+    degs = sorted([1, 1, 1, 1, 4])
+    n, t = len(degs), sum(degs)
+    s = sum((i + 1) * d for i, d in enumerate(degs))
+    want = round(2 * s / (n * t) - (n + 1) / n, 9)
+    assert r.gini == want
+    assert r.n_tail == 1 and r.alpha == round(1 + 1 / math.log(4 / 1.5), 6)
+
+
+def test_degree_gini_alpha_null_when_tail_empty(spark):
+    from arxiv_citation_graph_spark.plans.graphstats import degree_gini_powerlaw
+
+    # single edge: both degrees 1, dmin=2 -> empty tail
+    df = _edges(spark, [("a", "b")])
+    r = degree_gini_powerlaw(spark, df, dmin=2).first()
+    assert r.n_tail == 0 and r.alpha is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dmin"):
+        degree_gini_powerlaw(spark, df, dmin=0)
