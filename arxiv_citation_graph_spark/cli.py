@@ -411,6 +411,7 @@ def main(argv: list[str] | None = None) -> int:
         from arxiv_citation_graph_spark.plans.graphstats import (
             attribute_assortativity,
             degree_assortativity,
+            degree_gini_powerlaw,
             h_index,
             transitivity,
         )
@@ -418,8 +419,10 @@ def main(argv: list[str] | None = None) -> int:
         sedges = (
             spark.read.parquet(args.edges) if args.edges else catalog.read(spark, "edges")
         ).select("src_id", "dst_id")
-        summary = degree_assortativity(spark, sedges).crossJoin(
-            transitivity(spark, sedges)
+        summary = (
+            degree_assortativity(spark, sedges)
+            .crossJoin(transitivity(spark, sedges))
+            .crossJoin(degree_gini_powerlaw(spark, sedges))
         )
         if args.labels:
             labels = spark.read.parquet(args.labels)
