@@ -80,6 +80,7 @@ def katz_centrality(
     resume: bool = False,
     broadcast_scores: bool | None = None,
     check_alpha: bool = True,
+    warm_start: DataFrame | None = None,
 ) -> CentralityResult:
     """Katz centrality over ``edges(src_id, dst_id)``: the fixpoint of
     ``x(v) = beta + alpha * sum_{u->v} x(u)`` (duplicate edges collapse;
@@ -89,9 +90,37 @@ def katz_centrality(
     ``x0 = beta`` (the zero-vector's first iterate), so ``iterations``
     fixed-mode runs are exactly the truncated Katz series both engines
     can replay term-for-term.
+
+    ``warm_start``: optional prior ``(vertex, score)`` frame — the
+    daily-append accelerator the rest of the centrality family carries.
+    The Katz map is an ``alpha·lambda_max``-contraction, so the fixpoint
+    is start-independent: seeding with yesterday's scores converges to
+    the SAME answer in O(log(seed error)/log(1/contraction)) fewer
+    iterations.  Vertices absent from the seed start at ``beta`` (new
+    vertices); tolerance-mode only (a fixed-iteration truncated series
+    is start-DEPENDENT, so warm-starting it would change the result).
     """
     if alpha <= 0 or beta <= 0:
         raise ValueError(f"katz: alpha and beta must be positive (got {alpha}, {beta})")
+    if warm_start is not None and resume:
+        raise ValueError(
+            "katz: warm_start and resume are mutually exclusive — resume "
+            "continues the SAME run; warm start seeds a new one"
+        )
+    if warm_start is not None and tolerance is None:
+        raise ValueError(
+            "katz: warm_start requires tolerance mode (a fixed-iteration "
+            "truncated series is start-dependent)"
+        )
+    if warm_start is not None:
+        bad = warm_start.filter(
+            F.col("score").isNull() | F.isnan("score") | (F.col("score") < 0)
+        ).first()
+        if bad is not None:
+            raise ValueError(
+                f"katz: warm_start scores must be non-null/NaN and "
+                f"non-negative (vertex {bad['vertex']!r})"
+            )
     edges = edges.select("src_id", "dst_id").distinct()
     vertices = vertices_of(edges).cache()
     n = vertices.count()
@@ -160,9 +189,23 @@ def katz_centrality(
             )
         ), {"delta": F.sum("delta")}
 
-    initial = vertices.select(
-        "vertex", F.lit(float(beta)).alias("score"), F.lit(0.0).alias("delta")
-    )
+    if warm_start is not None:
+        initial = (
+            vertices.join(
+                warm_start.select("vertex", F.col("score").alias("_seed")),
+                "vertex",
+                "left",
+            )
+            .select(
+                "vertex",
+                F.coalesce("_seed", F.lit(float(beta))).alias("score"),
+                F.lit(0.0).alias("delta"),
+            )
+        )
+    else:
+        initial = vertices.select(
+            "vertex", F.lit(float(beta)).alias("score"), F.lit(0.0).alias("delta")
+        )
     try:
         final, report = run_supersteps(
             spark,

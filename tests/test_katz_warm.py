@@ -1,0 +1,62 @@
+"""Warm-start Katz centrality: same fixpoint, fewer iterations
+(plans/centrality.py::katz_centrality warm_start=...)."""
+
+from __future__ import annotations
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.centrality import katz_centrality
+
+
+def _zipfish(spark, n_hub_edges=60):
+    rows = [(f"v{i}", "hub") for i in range(n_hub_edges)]
+    rows += [(f"v{i}", f"v{(i * 7) % n_hub_edges}") for i in range(n_hub_edges)]
+    return spark.createDataFrame(
+        [(a, b) for a, b in rows if a != b], ["src_id", "dst_id"]
+    )
+
+
+def test_katz_warm_start_same_fixpoint_fewer_iterations(spark):
+    base = _zipfish(spark)
+    prior = katz_centrality(spark, base, alpha=0.005, tolerance=1e-12,
+                            max_iterations=200)
+    assert prior.report.converged
+    extra = spark.createDataFrame(
+        [("newv0", "hub"), ("newv1", "v3")], ["src_id", "dst_id"]
+    )
+    e2 = base.unionByName(extra)
+    fresh = katz_centrality(spark, e2, alpha=0.005, tolerance=1e-12,
+                            max_iterations=200)
+    warm = katz_centrality(spark, e2, alpha=0.005, tolerance=1e-12,
+                           max_iterations=200, warm_start=prior.scores)
+    assert fresh.report.converged and warm.report.converged
+    f = {r.vertex: r.score for r in fresh.scores.collect()}
+    w = {r.vertex: r.score for r in warm.scores.collect()}
+    assert set(f) == set(w)
+    worst = max(abs(f[v] - w[v]) for v in f)
+    assert worst < 1e-9, f"warm fixpoint drifted by {worst}"
+    assert warm.report.iterations < fresh.report.iterations, (
+        f"warm {warm.report.iterations} vs fresh {fresh.report.iterations}"
+    )
+
+
+def test_katz_warm_start_validations(spark):
+    e = spark.createDataFrame([("a", "b")], ["src_id", "dst_id"])
+    seed = spark.createDataFrame([("a", 1.0)], "vertex string, score double")
+    with pytest.raises(ValueError, match="tolerance mode"):
+        katz_centrality(spark, e, tolerance=None, max_iterations=3,
+                        warm_start=seed)
+    nan = spark.createDataFrame([("a", float("nan"))], "vertex string, score double")
+    with pytest.raises(ValueError, match="non-null"):
+        katz_centrality(spark, e, tolerance=1e-10, warm_start=nan)
+
+
+def test_katz_warm_excludes_resume(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    e = spark.createDataFrame([("a", "b")], ["src_id", "dst_id"])
+    seed = spark.createDataFrame([("a", 1.0)], "vertex string, score double")
+    store = CheckpointStore(str(tmp_path / "kz"), "kz")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        katz_centrality(spark, e, tolerance=1e-10, store=store, resume=True,
+                        warm_start=seed)
