@@ -5733,6 +5733,113 @@ def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Line-level boilerplate removal (CCNet / RefinedWeb-style)
+# ===========================================================================
+#
+# The synthetic documents are single-line word soup, so both engines
+# first re-chunk each doc into deterministic 3-token "lines" (newline-
+# joined) — the SAME construction on both sides — and the operator under
+# test then runs on real multi-line text.  ~1.4k lines repeat across
+# docs at sf0.01, so the drop path is genuinely exercised.
+
+_LINE_TOKENS = 3
+_LINE_MIN_LEN = 8
+_LINE_MIN_DOCS = 2
+
+_LINED_DOCS_SQL = f"""
+lined AS MATERIALIZED (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             range(1, CAST(ceil(len(toks) / {_LINE_TOKENS}.0) AS INT) + 1),
+             i -> array_to_string(
+                    toks[((i-1)*{_LINE_TOKENS}+1):((i-1)*{_LINE_TOKENS}+{_LINE_TOKENS})],
+                    ' ')),
+           chr(10)) AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+lx AS MATERIALIZED (
+  SELECT doc_id, CAST(generate_subscripts(arr, 1) AS INT) - 1 AS pos,
+         unnest(arr) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined)),
+lhot AS MATERIALIZED (
+  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM lx WHERE length(line) >= {_LINE_MIN_LEN}
+  GROUP BY line HAVING count(DISTINCT doc_id) >= {_LINE_MIN_DOCS})
+"""
+
+
+def _lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-chunked into 3-token newline-joined lines — the
+    Spark half of the deterministic construction ``_LINED_DOCS_SQL``
+    replays in DuckDB."""
+    k = _LINE_TOKENS
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - F.lit(1)) * k + 1, k)),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+
+
+@register(
+    "boilerplate_lines",
+    f"WITH {_LINED_DOCS_SQL} SELECT line, doc_freq FROM lhot",
+)
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line document-frequency census: every countable line shared by
+    >= 2 docs and its doc count — the table a curator thresholds before
+    committing to a boilerplate drop
+    (operators/boilerplate.py::line_frequencies)."""
+    from arxiv_citation_graph_spark.operators.boilerplate import line_frequencies
+
+    return line_frequencies(
+        _lined_documents(spark, sf_dir),
+        "doc_id",
+        "text",
+        min_len=_LINE_MIN_LEN,
+    ).filter(F.col("doc_freq") >= _LINE_MIN_DOCS)
+
+
+@register(
+    "line_dedup",
+    f"""
+WITH {_LINED_DOCS_SQL},
+marked AS (
+  SELECT e.doc_id, e.pos, e.line, h.line IS NOT NULL AS dropped
+  FROM lx e LEFT JOIN lhot h ON e.line = h.line)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       round(1.0 - sum(CASE WHEN dropped THEN 0 ELSE 1 END)::DOUBLE
+                   / count(*), 6) AS boiler_frac,
+       md5(coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                               chr(10) ORDER BY pos), '')) AS clean_md5,
+       CAST(length(coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                                       chr(10) ORDER BY pos), ''))
+            AS BIGINT) AS clean_len
+FROM marked GROUP BY doc_id
+""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet/RefinedWeb stage): drop
+    every line >= 8 chars shared by >= 2 docs, keep the rest in order;
+    per-doc line counts + md5 of the rebuilt text
+    (operators/boilerplate.py::line_dedup)."""
+    from arxiv_citation_graph_spark.operators.boilerplate import line_dedup
+
+    return line_dedup(
+        _lined_documents(spark, sf_dir),
+        "doc_id",
+        "text",
+        min_docs=_LINE_MIN_DOCS,
+        min_len=_LINE_MIN_LEN,
+    )
+
+
+# ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================
 # The driver samples registry entries in insertion order and caps at ~50

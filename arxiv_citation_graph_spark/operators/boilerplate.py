@@ -1,0 +1,129 @@
+"""Line-level boilerplate removal (CCNet / RefinedWeb-style dedup).
+
+Web-scale training corpora carry massive *line-level* duplication that
+document-level dedup (exact digests, MinHash — ``operators/dedup.py``)
+never touches: navigation chrome, cookie banners, license footers — the
+same line pasted across millions of otherwise-distinct pages.  The
+standard pipeline stage (CCNet, Penedo et al. 2023 "RefinedWeb") drops
+every line whose *document frequency* crosses a threshold and keeps the
+rest of the document intact.
+
+Plan shape (the at-scale story):
+
+1. one ``posexplode(split(text, sep))`` — docs fan out to lines, no
+   driver involvement, no whole-corpus array anywhere;
+2. line document-frequency = ``groupBy(line).agg(count_distinct(doc))``
+   over *countable* lines only (``length >= min_len`` — short lines are
+   structural, not boilerplate, and counting them would explode the
+   aggregate with near-universal keys like ``""``).  ``count(DISTINCT)``
+   dedups map-side before the shuffle, so a line repeated within one
+   partition costs one row;
+3. the hot-line set joins back on the line key (plain equi-join — AQE
+   broadcasts it when small; when it is genuinely huge the shuffle join
+   is the correct plan, and no single key is hot on the *probe* side
+   because a document holds each line at most a few times);
+4. per-doc reconstruction is a doc-bounded ``collect_list`` (the packing
+   convention: the unit of work IS the document, so a doc-sized array in
+   the doc's own task is inherent, never degree/corpus-sized).
+
+Everything is exact string matching — deterministic across engines, so
+the DuckDB oracle replays it value-for-value (including the rebuilt
+text, compared by md5).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _exploded_lines(
+    df: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """``(id, pos, line)`` — one row per line, original order kept.
+    ``split`` with limit -1 retains trailing empty lines (matching
+    DuckDB ``string_split``), so reconstruction is byte-faithful."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep), -1)).alias(
+            "pos", "line"
+        ),
+    )
+
+
+def line_frequencies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 8,
+) -> DataFrame:
+    """``(line, doc_freq)`` for every countable line (``length(line) >=
+    min_len``): the number of DISTINCT documents containing it.  The
+    boilerplate census a corpus curator inspects before picking the
+    drop threshold."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    return (
+        _exploded_lines(df, id_col, text_col, sep)
+        .filter(F.length("line") >= min_len)
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("doc_freq"))
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_len: int = 8,
+) -> DataFrame:
+    """Remove lines shared by ``>= min_docs`` documents; keep everything
+    else in original order.
+
+    Returns ``(id, n_lines, n_kept, boiler_frac, clean_md5, clean_len)``
+    — ``boiler_frac`` is the dropped-line fraction (rounded to 6
+    decimals), ``clean_md5``/``clean_len`` fingerprint the rebuilt text
+    (kept lines re-joined with ``sep``).  Lines shorter than ``min_len``
+    are never counted and never dropped (structural lines — blank
+    separators, list bullets — are not boilerplate).  A document whose
+    every line is boilerplate survives with ``n_kept = 0`` and empty
+    text: dropping whole documents is a *different* policy decision the
+    caller layers on top.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    exploded = _exploded_lines(df, id_col, text_col, sep)
+    hot = (
+        line_frequencies(df, id_col, text_col, sep, min_len)
+        .filter(F.col("doc_freq") >= min_docs)
+        .select("line", F.lit(True).alias("_hot"))
+    )
+    marked = exploded.join(hot, "line", "left").select(
+        F.col(id_col),
+        "pos",
+        "line",
+        F.coalesce(F.col("_hot"), F.lit(False)).alias("_drop"),
+    )
+    keep_line = F.when(~F.col("_drop"), F.struct("pos", "line"))
+    clean_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(keep_line)), lambda s: s["line"]
+        ),
+        sep,
+    )
+    n_lines = F.count(F.lit(1))
+    n_kept = F.sum((~F.col("_drop")).cast("long"))
+    return marked.groupBy(id_col).agg(
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        F.round(
+            F.lit(1.0) - n_kept.cast("double") / n_lines.cast("double"), 6
+        ).alias("boiler_frac"),
+        F.md5(clean_text).alias("clean_md5"),
+        F.length(clean_text).cast("long").alias("clean_len"),
+    )

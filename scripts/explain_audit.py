@@ -812,6 +812,22 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.operators.boilerplate import line_dedup
+
+    ld_plan = plan_of(line_dedup(docs_tbl, "doc_id", "text"))
+    sections.append(
+        (
+            "Line-level boilerplate removal (CCNet/RefinedWeb stage)",
+            "One posexplode to lines, countable-line doc-frequency as a "
+            "two-stage count(DISTINCT) (map-side dedup before the "
+            "shuffle), hot-line set joined back on the line key (AQE "
+            "broadcasts when small), doc-bounded collect_list rebuilds "
+            "the text — no corpus-sized array, no per-row Python.  "
+            f"[{exchange_count(ld_plan)}]",
+            condense(ld_plan, KEEP),
+        )
+    )
+
     from arxiv_citation_graph_spark.operators.simsearch import (
         embedding_contamination,
     )

@@ -1,0 +1,93 @@
+"""Line-level boilerplate removal (operators/boilerplate.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+FOOTER = "subscribe to our newsletter today"
+BANNER = "accept all cookies to continue"
+
+DOCS = [
+    (1, f"alpha beta gamma\n{FOOTER}\nunique one"),
+    (2, f"{BANNER}\ndelta epsilon\n{FOOTER}"),
+    (3, f"{BANNER}\nunique two\nok"),  # "ok" < min_len: never counted
+    (4, f"{FOOTER}\n{FOOTER}"),  # all-boilerplate doc survives empty
+    (5, "ok\nok"),  # short lines shared by ONE doc twice: kept
+]
+
+
+def _ldd(spark, **kw):
+    from arxiv_citation_graph_spark.operators.boilerplate import line_dedup
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    return {r.doc_id: r for r in line_dedup(df, "doc_id", "text", **kw).collect()}
+
+
+def test_drops_cross_doc_lines_keeps_order(spark):
+    out = _ldd(spark)
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    clean1 = "alpha beta gamma\nunique one"
+    assert out[1].clean_md5 == hashlib.md5(clean1.encode()).hexdigest()
+    assert out[1].clean_len == len(clean1)
+    assert (out[2].n_lines, out[2].n_kept) == (3, 1)
+    assert out[3].n_kept == 2  # "unique two" + short "ok"
+
+
+def test_all_boilerplate_doc_survives_empty(spark):
+    out = _ldd(spark)
+    assert (out[4].n_lines, out[4].n_kept) == (2, 0)
+    assert out[4].boiler_frac == 1.0
+    assert out[4].clean_md5 == hashlib.md5(b"").hexdigest()
+    assert out[4].clean_len == 0
+
+
+def test_short_lines_never_counted_or_dropped(spark):
+    out = _ldd(spark)
+    # "ok" appears in docs 3 and 5 but is below min_len: kept everywhere
+    assert (out[5].n_lines, out[5].n_kept) == (2, 2)
+    assert out[5].clean_md5 == hashlib.md5(b"ok\nok").hexdigest()
+
+
+def test_min_docs_threshold_and_validation(spark):
+    from arxiv_citation_graph_spark.operators.boilerplate import (
+        line_dedup,
+        line_frequencies,
+    )
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    # FOOTER is in 3 docs, BANNER in 2: min_docs=3 keeps BANNER
+    out = {r.doc_id: r for r in
+           line_dedup(df, "doc_id", "text", min_docs=3).collect()}
+    assert out[2].n_kept == 2  # banner kept, footer dropped
+    freqs = {r.line: r.doc_freq for r in
+             line_frequencies(df, "doc_id", "text").collect()}
+    assert freqs[FOOTER] == 3 and freqs[BANNER] == 2
+    assert "ok" not in freqs  # below min_len
+    with pytest.raises(ValueError):
+        line_dedup(df, "doc_id", "text", min_docs=1)
+    with pytest.raises(ValueError):
+        line_frequencies(df, "doc_id", "text", min_len=0)
+
+
+def test_custom_separator_roundtrip(spark):
+    from arxiv_citation_graph_spark.operators.boilerplate import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, f"first part||{FOOTER}"), (2, f"{FOOTER}||second part")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           line_dedup(df, "doc_id", "text", sep="||").collect()}
+    assert out[1].clean_md5 == hashlib.md5(b"first part").hexdigest()
+    assert out[2].clean_md5 == hashlib.md5(b"second part").hexdigest()
+
+
+def test_plan_has_no_per_row_python(spark):
+    from arxiv_citation_graph_spark.operators.boilerplate import line_dedup
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    plan = line_dedup(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
