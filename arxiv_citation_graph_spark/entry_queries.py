@@ -993,12 +993,13 @@ def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.components.select("vertex", "component")
 
 
-def _scc_closure_sql(doublings: int) -> str:
-    """SCC oracle by definition: mutual reachability on the supplier-
-    succession graph via squared transitive closure (reflexive base, so
-    ``doublings`` rounds cover paths up to 2^doublings — 7 covers any
-    simple path over the ~81-vertex fixture with >50% margin).  SCC id
-    = min mutually-reachable vertex, the engine's label convention."""
+def _scc_closure_ctes(doublings: int) -> list[str]:
+    """CTE list computing SCC labels by definition: mutual reachability
+    on the supplier-succession graph via squared transitive closure
+    (reflexive base, so ``doublings`` rounds cover paths up to
+    2^doublings — 7 covers any simple path over the ~81-vertex fixture
+    with >50% margin).  Final CTE ``sccdef(vertex, scc)``; SCC id = min
+    mutually-reachable vertex, the engine's label convention."""
     ctes = [
         f"e AS MATERIALIZED ({EDGES_SEQSUPPLY_SQL})",
         "verts AS MATERIALIZED (SELECT src_id AS vertex FROM e UNION SELECT dst_id FROM e)",
@@ -1011,13 +1012,51 @@ def _scc_closure_sql(doublings: int) -> str:
             f"r{k} AS MATERIALIZED (SELECT DISTINCT x.a, y.b "
             f"FROM r{p} x JOIN r{p} y ON x.b = y.a)"
         )
+    ctes.append(
+        f"sccdef AS MATERIALIZED (SELECT f.a AS vertex, min(f.b) AS scc "
+        f"FROM r{doublings} f JOIN r{doublings} g ON f.a = g.b AND f.b = g.a "
+        f"GROUP BY f.a)"
+    )
+    return ctes
+
+
+def _scc_closure_sql(doublings: int) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_scc_closure_ctes(doublings))
+        + "\nSELECT vertex, scc FROM sccdef"
+    )
+
+
+def _dag_layers_sql(doublings: int, maxplus_doublings: int) -> str:
+    """Condensation layering oracle (plans/dagdepth.py): SCC by squared
+    transitive closure, quotient DAG, then LONGEST path into each
+    quotient node via max-plus closure squaring (reflexive 0 base, so
+    ``maxplus_doublings`` rounds cover paths up to 2^that — acyclicity
+    of the quotient bounds every path below |SCC| ~ 74)."""
+    ctes = _scc_closure_ctes(doublings)
+    ctes += [
+        "qe AS MATERIALIZED (SELECT DISTINCT sa.scc AS u, sb.scc AS v "
+        "FROM e JOIN sccdef sa ON e.src_id = sa.vertex "
+        "JOIN sccdef sb ON e.dst_id = sb.vertex WHERE sa.scc <> sb.scc)",
+        "qn AS MATERIALIZED (SELECT DISTINCT scc AS node FROM sccdef)",
+        "m0 AS MATERIALIZED (SELECT node AS a, node AS b, 0 AS len FROM qn "
+        "UNION ALL SELECT u, v, 1 FROM qe)",
+    ]
+    for k in range(1, maxplus_doublings + 1):
+        p = k - 1
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT x.a, y.b, max(x.len + y.len) AS len "
+            f"FROM m{p} x JOIN m{p} y ON x.b = y.a GROUP BY x.a, y.b)"
+        )
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT f.a AS vertex, min(f.b) AS scc
-FROM r{doublings} f JOIN r{doublings} g ON f.a = g.b AND f.b = g.a
-GROUP BY f.a"""
+SELECT s.vertex, s.scc, CAST(l.layer AS BIGINT) AS layer
+FROM sccdef s JOIN (
+  SELECT b AS node, max(len) AS layer FROM m{maxplus_doublings} GROUP BY b
+) l ON l.node = s.scc"""
     )
 
 
@@ -1032,6 +1071,19 @@ def q_scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     result = strongly_connected_components(spark, seqsupply_edges(spark, sf_dir))
     return result.components
+
+
+@register("dag_layers", _dag_layers_sql(doublings=7, maxplus_doublings=7))
+def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation-DAG layering: SCC labels -> quotient DAG -> exact
+    longest-path layer per SCC by max-relaxation supersteps
+    (plans/dagdepth.py).  The oracle recomputes SCCs by transitive
+    closure and layers by max-plus closure — definitionally different
+    on both halves."""
+    from arxiv_citation_graph_spark.plans.dagdepth import condensation_layers
+
+    result = condensation_layers(spark, seqsupply_edges(spark, sf_dir))
+    return result.layers
 
 
 def _lpa_unrolled_sql(iters: int) -> str:

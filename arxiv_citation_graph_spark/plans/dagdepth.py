@@ -1,0 +1,168 @@
+"""Condensation-DAG layering — topological generations of a cyclic graph.
+
+Any directed graph condenses to a DAG over its strongly connected
+components; the canonical "how deep is this node in the dependency
+order" question is the **longest-path layer** of its SCC in that DAG:
+
+    layer(C) = 0                          if C has no incoming quotient edge
+    layer(C) = 1 + max over predecessors  otherwise
+
+— the minimal schedule level that respects every dependency (build
+systems, citation generations, pipeline stages).  Unlike Kahn peeling
+(delete sources round by round — O(depth) rounds *and* a mutable edge
+set), the max-relaxation form below keeps the edge set immutable and
+still finishes in exactly ``depth + 1`` supersteps: Bellman-Ford with
+``max`` instead of ``min``, which terminates because the quotient is
+acyclic by construction.
+
+Plan shape per superstep (the SSSP template, §plans/sssp.py):
+
+- quotient adjacency ``(u, v)`` built once (two semi-broadcastable
+  equi-joins of the edge table against the SCC labels, distinct), cached
+  and hash-partitioned on ``u``,
+- one equi-join of the **frontier** (quotient nodes whose layer rose in
+  the previous superstep) against the adjacency,
+- one ``max(layer + 1)`` aggregate with map-side partial combine,
+- one quotient-sized state merge keeping ``greatest(old, candidate)``;
+  ``delta`` = raised-node count, 0 == converged.
+
+State is quotient-node-sized (<= |V|, typically orders of magnitude
+smaller on web/citation graphs where big SCCs collapse), and every join
+in the loop is on the quotient — at 100 TB the |E|-sized work happens
+exactly twice (SCC itself, then the quotient-edge projection).
+
+Layers are exact integers, so the DuckDB oracle (max-plus transitive
+closure over the same quotient) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.scc import strongly_connected_components
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+
+@dataclass
+class DagLayersResult:
+    layers: DataFrame  # (vertex, scc, layer) — layer of the vertex's SCC
+    quotient_edges: DataFrame  # (u, v) distinct inter-SCC edges
+    n_scc: int
+    report: SuperstepReport
+
+
+def condensation_layers(
+    spark: SparkSession,
+    edges: DataFrame,
+    scc: DataFrame | None = None,
+    max_iterations: int = 10_000,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> DagLayersResult:
+    """Longest-path layer of every vertex's SCC in the condensation DAG
+    of ``edges(src_id, dst_id)``.
+
+    ``scc``: optional precomputed ``(vertex, scc)`` labels (e.g. from a
+    prior :func:`strongly_connected_components` run); computed fresh
+    when absent.  Raises if the relaxation has not converged within
+    ``max_iterations`` — impossible for true SCC labels (the quotient is
+    acyclic), so a hit means the supplied labels were not SCCs.
+    """
+    edges = (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+    if scc is None:
+        scc = strongly_connected_components(spark, edges).components
+    labels = scc.select("vertex", "scc").cache()
+    n_scc_row = labels.agg(F.count_distinct("scc")).first()
+    n_scc = int(n_scc_row[0]) if n_scc_row[0] is not None else 0
+    parallelism = spark.sparkContext.defaultParallelism
+    quotient = (
+        edges.join(
+            labels.select(F.col("vertex").alias("src_id"), F.col("scc").alias("u")),
+            "src_id",
+        )
+        .join(
+            labels.select(F.col("vertex").alias("dst_id"), F.col("scc").alias("v")),
+            "dst_id",
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .repartition(parallelism, "u")
+        .cache()
+    )
+    qagg = quotient.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("edge_fp"),
+    ).first()
+    mq = int(qagg["m"])
+    edge_fp = int(qagg["edge_fp"]) if qagg["edge_fp"] is not None else 0
+    nodes = labels.select(F.col("scc").alias("node")).distinct()
+    broadcast_state = n_scc <= 10_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        frontier = state.filter(F.col("delta") > 0).select("node", "layer")
+        cand = (
+            quotient.join(_mb(frontier), quotient.u == F.col("node"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.max(F.col("layer") + F.lit(1)).alias("cand"))
+        )
+        raised = F.col("cand").isNotNull() & (F.col("cand") > F.col("_old"))
+        new = (
+            state.select("node", F.col("layer").alias("_old"))
+            .join(cand, "node", "left")
+            .select(
+                "node",
+                F.greatest(F.col("_old"), F.coalesce(F.col("cand"), F.lit(0)))
+                .cast("long")
+                .alias("layer"),
+                raised.cast("long").alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = nodes.select(
+        "node",
+        F.lit(0).cast("long").alias("layer"),
+        F.lit(1).cast("long").alias("delta"),  # every node relaxes once
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_scc": n_scc, "n_quotient_edges": mq, "edge_fp": edge_fp,
+                "kernel": "condensation_layers",
+            },
+        )
+        if not report.converged:
+            raise ValueError(
+                "layer relaxation did not converge within "
+                f"{max_iterations} supersteps — the supplied labels do not "
+                "condense the graph to a DAG (not true SCC labels?)"
+            )
+        layers = labels.join(
+            final.select(F.col("node").alias("scc"), "layer"), "scc"
+        ).select("vertex", "scc", "layer")
+    finally:
+        labels.unpersist()
+        quotient.unpersist()
+    return DagLayersResult(layers, quotient, n_scc, report)

@@ -242,6 +242,26 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.plans.dagdepth import condensation_layers
+    from arxiv_citation_graph_spark.plans.scc import strongly_connected_components
+
+    # precompute SCC labels OUTSIDE the probe so the captured superstep
+    # is the layer relaxation itself, not SCC's first phase
+    toy_scc = strongly_connected_components(spark, tedges).components
+    toy_scc = toy_scc.localCheckpoint(eager=True)
+    plan = capture_superstep(lambda: condensation_layers(spark, tedges, scc=toy_scc))
+    sections.append(
+        (
+            "Condensation-layer relaxation (iteration 1)",
+            "Max-relaxation over the QUOTIENT graph: the frontier joins the "
+            "cached inter-SCC adjacency (quotient-sized, not |E|), one "
+            "max(layer+1) aggregate with map-side partials, one "
+            "quotient-node-sized state merge — after SCC, no |E|-sized "
+            f"frame ever re-enters the loop.  [{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
     from arxiv_citation_graph_spark.plans.bfs import landmark_distances
 
     plan = capture_superstep(

@@ -1,0 +1,68 @@
+"""Condensation-DAG layering (plans/dagdepth.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+# d -> (a1 a2 a3 cycle) -> (b1 b2 cycle) -> c, plus shortcut d -> c and
+# a detached edge e -> f
+EDGES = [
+    ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+    ("b1", "b2"), ("b2", "b1"),
+    ("a3", "b1"), ("b2", "c"),
+    ("d", "a1"), ("d", "c"),
+    ("e", "f"),
+]
+
+
+def _run(spark, **kw):
+    from arxiv_citation_graph_spark.plans.dagdepth import condensation_layers
+
+    df = spark.createDataFrame(EDGES, ["src_id", "dst_id"])
+    return condensation_layers(spark, df, **kw)
+
+
+def test_layers_are_longest_path_generations(spark):
+    res = _run(spark)
+    rows = {r.vertex: (r.scc, r.layer) for r in res.layers.collect()}
+    assert res.n_scc == 6
+    # SCC ids are min member
+    assert rows["a1"][0] == rows["a2"][0] == rows["a3"][0] == "a1"
+    assert rows["b1"][0] == rows["b2"][0] == "b1"
+    # layers: d=0, A-cycle=1, B-cycle=2, c=max(1, 3)=3 (longest, not
+    # the d->c shortcut), detached e=0 f=1
+    assert rows["d"][1] == 0
+    assert rows["a1"][1] == rows["a2"][1] == rows["a3"][1] == 1
+    assert rows["b1"][1] == rows["b2"][1] == 2
+    assert rows["c"][1] == 3
+    assert (rows["e"][1], rows["f"][1]) == (0, 1)
+    # converged in depth+1-ish supersteps, not the cap
+    assert res.report.converged and res.report.iterations <= 6
+
+
+def test_precomputed_scc_labels_reused(spark):
+    from arxiv_citation_graph_spark.plans.scc import strongly_connected_components
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(EDGES, ["src_id", "dst_id"])
+    scc = strongly_connected_components(spark, df).components
+    res = _run(spark, scc=scc)
+    assert {(r.vertex, r.layer) for r in res.layers.collect()} >= {
+        ("d", 0), ("c", 3)
+    }
+    # quotient edges are distinct inter-SCC pairs
+    q = {(r.u, r.v) for r in res.quotient_edges.collect()}
+    assert q == {("d", "a1"), ("a1", "b1"), ("b1", "c"), ("d", "c"), ("e", "f")}
+    assert res.layers.filter(F.col("layer") < 0).count() == 0
+
+
+def test_non_scc_labels_fail_fast(spark):
+    # labels splitting the a-cycle leave a cyclic "quotient": the
+    # relaxation cannot converge and must raise, not loop forever
+    labels = [("a1", "x"), ("a2", "y"), ("a3", "x"), ("b1", "b"), ("b2", "b"),
+              ("c", "c"), ("d", "d"), ("e", "e"), ("f", "f")]
+    from pyspark.sql import SparkSession
+
+    lbl = spark.createDataFrame(labels, ["vertex", "scc"])
+    with pytest.raises(ValueError, match="not true SCC labels"):
+        _run(spark, scc=lbl, max_iterations=8)
