@@ -2674,14 +2674,14 @@ def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _betweenness_unrolled_sql(rounds: int, k: int) -> str:
-    """Unrolled Brandes over k sampled sources
-    (plans/betweenness.py::approx_betweenness): (1) multi-source BFS
-    distances, (2) path counts sigma over the shortest-path DAG,
-    (3) dependency accumulation dep(v) = sum over DAG successors w of
+def _brandes_ctes(rounds: int, k: int) -> list[str]:
+    """Shared unrolled-Brandes CTEs over k sampled sources
+    (plans/betweenness.py): (1) multi-source BFS distances, (2) path
+    counts sigma over the shortest-path DAG, (3) dependency
+    accumulation dep(v) = sum over DAG successors w of
     sigma_v/sigma_w * (1 + dep_w), each phase unrolled ``rounds`` times
     (recomputed-from-scratch per round, so extra rounds are stable).
-    Betweenness = sum of dep over sources with dist > 0."""
+    Final CTEs: ``distf``, ``dag``, ``sigf``, ``p{rounds}``."""
     ctes = [
         f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
         "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos)",
@@ -2738,15 +2738,39 @@ def _betweenness_unrolled_sql(rounds: int, k: int) -> str:
             f"GROUP BY g.u, g.source) x "
             f"ON x.vertex = f.vertex AND x.source = f.source)"
         )
+    return ctes
+
+
+def _betweenness_unrolled_sql(rounds: int, k: int) -> str:
+    """Vertex betweenness = sum of dep over sources with dist > 0."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_brandes_ctes(rounds, k))
         + f"""
 SELECT p.vertex, round(sum(p.dep), 9) AS betweenness,
        CAST(count(*) AS BIGINT) AS n_sources_reached
 FROM p{rounds} p JOIN distf f
   ON f.vertex = p.vertex AND f.source = p.source AND f.dist > 0
 GROUP BY p.vertex"""
+    )
+
+
+def _edge_betweenness_sql(rounds: int, k: int) -> str:
+    """Edge betweenness (Girvan-Newman): per shortest-path-DAG edge,
+    sum over sources of sigma_u/sigma_w * (1 + dep_w) — the same
+    per-edge term the vertex sweep aggregates, grouped by edge."""
+    return (
+        "WITH "
+        + ",\n".join(_brandes_ctes(rounds, k))
+        + f"""
+SELECT g.u AS src_id, g.v AS dst_id,
+       round(sum(sv.sigma / sw.sigma * (1.0 + pw.dep)), 9) AS edge_betweenness,
+       CAST(count(*) AS BIGINT) AS n_sources
+FROM dag g
+JOIN sigf sv ON sv.vertex = g.u AND sv.source = g.source
+JOIN sigf sw ON sw.vertex = g.v AND sw.source = g.source
+JOIN p{rounds} pw ON pw.vertex = g.v AND pw.source = g.source
+GROUP BY g.u, g.v"""
     )
 
 
@@ -2763,6 +2787,20 @@ def q_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = approx_betweenness(spark, cosupply_edges(spark, sf_dir), n_sources=3)
     return result.scores.select(
         "vertex", "betweenness", F.col("n_sources_reached").cast("long").alias("n_sources_reached")
+    )
+
+
+@register(
+    "edge_betweenness", _edge_betweenness_sql(rounds=_BFS_ORACLE_ROUNDS, k=3)
+)
+def q_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source edge betweenness (Girvan-Newman 2002): one
+    post-pass join over the finished Brandes state — no extra sweep
+    (plans/betweenness.py::approx_edge_betweenness)."""
+    from arxiv_citation_graph_spark.plans.betweenness import approx_edge_betweenness
+
+    return approx_edge_betweenness(
+        spark, cosupply_edges(spark, sf_dir), n_sources=3
     )
 
 

@@ -59,6 +59,10 @@ class BetweennessResult:
     backward_report: SuperstepReport
     sources: list[str]
     max_depth: int
+    # final per-(vertex, source) Brandes state (dist, sigma, dep) — the
+    # backward run's localCheckpointed output, so holding it is free;
+    # edge betweenness derives from it with one post-pass join
+    state: DataFrame | None = None
 
 
 def approx_betweenness(
@@ -242,5 +246,72 @@ def approx_betweenness(
         adj.unpersist()
         vertices.unpersist()
     return BetweennessResult(
-        scores, forward_report, backward_report, sorted(srcs), max_depth
+        scores, forward_report, backward_report, sorted(srcs), max_depth,
+        state=final.select("vertex", "source", "dist", "sigma", "dep"),
+    )
+
+
+def approx_edge_betweenness(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    n_sources: int = 4,
+    max_iterations: int = 200,
+    directed: bool = False,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Sampled-source EDGE betweenness (the Girvan-Newman 2002 edge
+    score): for each source s, every shortest-path-DAG edge (u, w)
+    carries ``sigma_u / sigma_w * (1 + dep_w)`` — exactly the per-edge
+    term Brandes' backward sweep aggregates per VERTEX; summing it per
+    edge instead gives the expected number of sampled shortest paths
+    crossing that edge.
+
+    Runs :func:`approx_betweenness` once, then derives edge scores with
+    ONE post-pass: adjacency joined against the final per-(vertex,
+    source) state on both endpoints, filtered to DAG edges
+    (``dist_w = dist_u + 1``), aggregated per edge — no extra sweep, no
+    per-level loop.  For undirected graphs the symmetrized adjacency
+    scores each orientation separately (an edge can be a DAG edge in
+    either direction depending on the source).
+
+    Returns ``(src_id, dst_id, edge_betweenness, n_sources)`` —
+    rounded to 9 decimals, DAG edges only."""
+    res = approx_betweenness(
+        spark, edges, sources=sources, n_sources=n_sources,
+        max_iterations=max_iterations, directed=directed,
+        store=store, resume=resume,
+    )
+    if res.state is None:  # empty graph
+        return spark.createDataFrame(
+            [], "src_id string, dst_id string, edge_betweenness double, n_sources long"
+        )
+    adj = (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        if directed
+        else symmetrize(edges)
+    )
+    u = res.state.select(
+        F.col("vertex").alias("src_id"), "source",
+        F.col("dist").alias("_du"), F.col("sigma").alias("_su"),
+    )
+    w = res.state.select(
+        F.col("vertex").alias("dst_id"), "source",
+        F.col("dist").alias("_dw"), F.col("sigma").alias("_sw"),
+        F.col("dep").alias("_pw"),
+    )
+    return (
+        adj.join(u, "src_id")
+        .join(w, ["dst_id", "source"])
+        .filter(F.col("_dw") == F.col("_du") + 1)
+        .groupBy("src_id", "dst_id")
+        .agg(
+            F.round(
+                F.sum(F.col("_su") / F.col("_sw") * (F.lit(1.0) + F.col("_pw"))), 9
+            ).alias("edge_betweenness"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+        )
     )

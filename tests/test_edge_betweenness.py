@@ -1,0 +1,113 @@
+"""Edge betweenness (plans/betweenness.py::approx_edge_betweenness)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict, deque
+
+
+def _edge_brandes_py(edges, sources):
+    """Textbook Girvan-Newman edge scores over an already-symmetrized
+    edge list: {(u, w): sum over sources of sigma_u/sigma_w*(1+dep_w)}
+    for shortest-path-DAG edges."""
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        nbrs[s].add(d)
+    total = defaultdict(float)
+    for s in sources:
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        preds = defaultdict(list)
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in sorted(nbrs[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                c = sigma[v] / sigma[w] * (1.0 + delta[w])
+                delta[v] += c
+                total[(v, w)] += c
+    return dict(total)
+
+
+UND = [
+    ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+    ("d", "e"), ("d", "f"), ("e", "g"), ("f", "g"),
+    ("g", "h"),
+]
+
+
+def test_edge_betweenness_matches_girvan_newman(spark):
+    from arxiv_citation_graph_spark.plans.betweenness import approx_edge_betweenness
+
+    sym = UND + [(y, x) for x, y in UND]
+    df = spark.createDataFrame(UND, ["src_id", "dst_id"])
+    for srcs in (["a"], ["a", "d", "h"]):
+        src_df = spark.createDataFrame([(v,) for v in srcs], "vertex string")
+        got = {
+            (r.src_id, r.dst_id): r.edge_betweenness
+            for r in approx_edge_betweenness(spark, df, sources=src_df).collect()
+        }
+        want = _edge_brandes_py(sym, srcs)
+        assert set(got) == set(want)
+        for e in got:
+            assert math.isclose(got[e], want[e], rel_tol=0, abs_tol=1e-9), (
+                f"edge_betweenness{e} = {got[e]}, Girvan-Newman says {want[e]}"
+            )
+
+
+def test_edge_betweenness_sums_to_vertex_dependencies(spark):
+    """Conservation: summing edge scores over a vertex's outgoing DAG
+    edges reproduces its vertex dependency — the Brandes identity."""
+    from arxiv_citation_graph_spark.plans.betweenness import (
+        approx_betweenness,
+        approx_edge_betweenness,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(UND, ["src_id", "dst_id"])
+    # single source: the identity dep(v) = sum of v's outgoing DAG-edge
+    # scores holds for every v != source (at the source the outgoing
+    # edges carry ALL paths while its own dep is excluded by convention)
+    src_df = spark.createDataFrame([("a",)], "vertex string")
+    v_scores = {
+        r.vertex: r.betweenness
+        for r in approx_betweenness(spark, df, sources=src_df).scores.collect()
+    }
+    e_out = {
+        r.src_id: r.s
+        for r in approx_edge_betweenness(spark, df, sources=src_df)
+        .groupBy("src_id").agg(F.sum("edge_betweenness").alias("s")).collect()
+    }
+    assert v_scores  # reaches the whole component
+    for v, dep in v_scores.items():
+        assert math.isclose(e_out.get(v, 0.0), dep, rel_tol=0, abs_tol=1e-8), (
+            f"sum of outgoing edge scores at {v} = {e_out.get(v)}, dep = {dep}"
+        )
+
+
+def test_edge_betweenness_directed_path(spark):
+    from arxiv_citation_graph_spark.plans.betweenness import approx_edge_betweenness
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src_id", "dst_id"]
+    )
+    src_df = spark.createDataFrame([("a",)], "vertex string")
+    got = {
+        (r.src_id, r.dst_id): (r.edge_betweenness, r.n_sources)
+        for r in approx_edge_betweenness(
+            spark, df, sources=src_df, directed=True
+        ).collect()
+    }
+    # path a->b->c->d from a: edge (a,b) carries 3 paths, (b,c) 2, (c,d) 1
+    assert got == {("a", "b"): (3.0, 1), ("b", "c"): (2.0, 1), ("c", "d"): (1.0, 1)}
