@@ -1086,6 +1086,69 @@ def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.layers
 
 
+def _fiedler_unrolled_sql(iters: int) -> str:
+    """Unrolled deflated power iteration on M = c*I - L over the
+    symmetrized co-supply graph (plans/spectral.py::fiedler_vector):
+    per iteration, center (mean = sum/n) + normalize (norm =
+    sqrt(sum(x^2) - sum(x)^2/n) — the ENGINE's exact two-scalar
+    formula, not DuckDB's fused var()) then one neighbor-sum join;
+    start vector = int(md5(vertex)[:8], 16)."""
+    cn = (
+        "(x - (SELECT sum(x)/count(*) FROM {p})) / "
+        "(SELECT greatest(sqrt(greatest(sum(x*x) - sum(x)*sum(x)/count(*), 0.0)),"
+        " 1e-300) FROM {p})"
+    )
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos "
+        "UNION SELECT dst_id, src_id FROM cos)",
+        "degt AS MATERIALIZED (SELECT src_id AS vertex, "
+        "CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY src_id)",
+        "cparm AS MATERIALIZED (SELECT 2.0 * max(deg) + 1.0 AS c FROM degt)",
+        "x0 AS MATERIALIZED (SELECT vertex, deg, "
+        "CAST(('0x' || substr(md5(vertex), 1, 8))::BIGINT AS DOUBLE) AS x "
+        "FROM degt)",
+    ]
+    for r in range(1, iters + 1):
+        p = f"x{r - 1}"
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT vertex, deg, "
+            f"{cn.format(p=p)} AS x FROM {p})"
+        )
+        ctes.append(
+            f"x{r} AS MATERIALIZED (SELECT v.vertex, v.deg, "
+            f"((SELECT c FROM cparm) - v.deg) * v.x + coalesce(nb.s, 0.0) AS x "
+            f"FROM c{r} v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, sum(cx.x) AS s "
+            f"FROM sym e JOIN c{r} cx ON e.src_id = cx.vertex "
+            f"GROUP BY e.dst_id) nb ON nb.vertex = v.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vertex, round({cn.format(p=f"x{iters}")}, 7) AS fiedler
+FROM x{iters}"""
+    )
+
+
+_FIEDLER_ITERS = 12
+
+
+@register("fiedler_vector", _fiedler_unrolled_sql(_FIEDLER_ITERS))
+def q_fiedler_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiedler vector by deflated power iteration on the shifted
+    Laplacian (plans/spectral.py) — spectral bisection side = sign,
+    Rayleigh quotient ~ algebraic connectivity.  Validated against
+    dense numpy eigh in pytest; the oracle replays all 12 iterations."""
+    from arxiv_citation_graph_spark.plans.spectral import fiedler_vector
+
+    result = fiedler_vector(
+        spark, cosupply_edges(spark, sf_dir), iterations=_FIEDLER_ITERS
+    )
+    return result.scores.select("vertex", F.round("fiedler", 7).alias("fiedler"))
+
+
 def _lpa_unrolled_sql(iters: int) -> str:
     ctes = [
         f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",

@@ -1,0 +1,219 @@
+"""Fiedler vector — spectral bisection by deflated power iteration.
+
+The eigenvector of the graph Laplacian ``L = D - A`` for the
+second-smallest eigenvalue (Fiedler 1973) is the classic spectral
+partitioner: its sign pattern is the minimum-ratio-cut relaxation
+(Hagen & Kahng 1992), and the eigenvalue itself is the algebraic
+connectivity.  Power iteration finds DOMINANT eigenpairs, so iterate on
+the shifted operator
+
+    M = c*I - L,  c = 2 * d_max + 1
+
+whose spectrum is ``c - lambda_i``: positive (Gershgorin bounds
+``lambda_max <= 2 * d_max``) and decreasing in lambda, making
+``lambda = 0`` (eigenvector = all-ones) dominant and ``lambda_2`` next.
+Deflating the all-ones component — subtract the mean each iteration —
+leaves ``c - lambda_2`` dominant, i.e. the Fiedler vector.  ``M``
+commutes with the deflation projector (``M 1 = c 1``), so one centering
+per iteration both deflates and absorbs float drift.
+
+Superstep plan shape (the eigencentrality template,
+plans/centrality.py): state carries the RAW iterate; the mean and the
+centered sum of squares ride the runtime's piggybacked aggregate row
+(``s1 = sum(y)``, ``s2 = sum(y*y)``; ``norm = sqrt(s2 - s1^2/n)``), so
+each superstep is exactly one |E| join of the cached adjacency against
+the |V| state + one salted hub-safe aggregation + one |V| merge — no
+extra normalization pass.
+
+Determinism: the start vector is the engine-portable keyed hash
+``int(md5(vertex)[:8], 16)`` (the MIS/matching draw convention), all
+arithmetic is IEEE double in both engines, and outputs round to 7
+decimals — the same cross-engine contract the eigencentrality oracle
+already validates.  On a DISCONNECTED graph lambda_2 = 0 and the
+limit lies in the component-indicator eigenspace; the fixed-iteration
+run is still deterministic and oracle-replayable, and the Rayleigh
+quotient reported alongside goes to ~0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from math import sqrt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import (
+    hot_vertices,
+    salted_sum,
+    symmetrize,
+)
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+_NORM_FLOOR = 1e-300
+
+
+@dataclass
+class FiedlerResult:
+    scores: DataFrame  # (vertex, fiedler) — centered, L2-normalized
+    lambda2_estimate: float  # Rayleigh quotient x^T L x of the returned x
+    shift: float  # the c in M = c*I - L
+    report: SuperstepReport
+    n_vertices: int
+    n_edges: int  # symmetrized (directed-pair) count
+
+
+def fiedler_vector(
+    spark: SparkSession,
+    edges: DataFrame,
+    iterations: int = 12,
+    salt_buckets: int = 16,
+    hot_degree_threshold: int | None = 1000,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_scores: bool | None = None,
+) -> FiedlerResult:
+    """Deflated power iteration for the Fiedler vector of the
+    symmetrized simple graph of ``edges(src_id, dst_id)``.
+
+    Fixed-``iterations`` mode is the oracle-parity mode.  Returns
+    centered L2-normalized scores; ``scores.fiedler >= 0`` is the
+    spectral bisection side, and ``lambda2_estimate`` (the Rayleigh
+    quotient of the returned vector) upper-bounds the algebraic
+    connectivity, reaching it at convergence."""
+    adjacency = symmetrize(edges)
+    parallelism = spark.sparkContext.defaultParallelism
+    adjacency = adjacency.repartition(parallelism, "src_id").cache()
+    eagg = adjacency.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ).first()
+    m = int(eagg["m"])
+    if m == 0:
+        adjacency.unpersist()
+        empty = spark.createDataFrame([], "vertex string, fiedler double")
+        return FiedlerResult(empty, 0.0, 0.0, SuperstepReport(0, True), 0, 0)
+    edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
+    deg = adjacency.groupBy(F.col("src_id").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    # engine-portable keyed start vector (the MIS draw convention)
+    seed = F.conv(F.substring(F.md5(F.col("vertex")), 1, 8), 16, 10).cast(
+        "long"
+    ).cast("double")
+    initial = deg.select(
+        "vertex", "deg", seed.alias("score"), F.lit(-1.0).alias("score_prev"),
+        F.lit(0.0).alias("delta"),
+    ).cache()
+    stats = initial.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("deg").alias("dmax"),
+        F.sum("score").alias("s1"),
+        F.sum(F.col("score") * F.col("score")).alias("s2"),
+    ).first()
+    n = int(stats["n"])
+    c = 2.0 * float(stats["dmax"]) + 1.0
+    seed_aggs = {"s1": float(stats["s1"]), "s2": float(stats["s2"])}
+    hot = (
+        hot_vertices(adjacency, hot_degree_threshold, "in").cache()
+        if hot_degree_threshold is not None
+        else None
+    )
+    if broadcast_scores is None:
+        broadcast_scores = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_scores else df
+
+    def _center_norm(s1: float, s2: float) -> tuple[float, float]:
+        mean = s1 / n
+        ss = max(s2 - s1 * s1 / n, 0.0)
+        return mean, max(sqrt(ss), _NORM_FLOOR)
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        s1 = seed_aggs["s1"] if prev is None else float(prev["s1"])
+        s2 = seed_aggs["s2"] if prev is None else float(prev["s2"])
+        mean, norm = _center_norm(s1, s2)
+        x = (F.col("score") - F.lit(mean)) / F.lit(norm)  # deflate + normalize
+        contribs = adjacency.join(
+            _mb(state.select("vertex", x.alias("x"))),
+            adjacency.src_id == F.col("vertex"),
+        ).select("dst_id", "src_id", F.col("x").alias("contrib"))
+        sums = salted_sum(
+            contribs,
+            key="dst_id",
+            value="contrib",
+            salt_source="src_id",
+            alias="nbr",
+            buckets=salt_buckets,
+            hot_keys=hot,
+        )
+        read_x = (F.col("score") - F.lit(mean)) / F.lit(norm)
+        new_raw = (F.lit(c) - F.col("deg")) * read_x + F.coalesce(
+            F.col("nbr"), F.lit(0.0)
+        )
+        return (
+            state.select("vertex", "deg", "score", "score_prev")
+            .join(sums, F.col("vertex") == sums.dst_id, "left")
+            .select(
+                "vertex",
+                "deg",
+                new_raw.alias("score"),
+                read_x.alias("score_prev"),
+                F.abs(read_x - F.col("score_prev")).alias("delta"),
+            )
+        ), {
+            "delta": F.sum("delta"),
+            "s1": F.sum("score"),
+            "s2": F.sum(F.col("score") * F.col("score")),
+        }
+
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=iterations,
+            tolerance=None,  # fixed-iteration oracle-parity mode
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n, "n_edges": m, "edge_fp": edge_fp,
+                "kernel": "fiedler", "shift": c,
+            },
+        )
+        fin = final.agg(
+            F.sum("score").alias("s1"),
+            F.sum(F.col("score") * F.col("score")).alias("s2"),
+        ).first()
+        mean, norm = _center_norm(float(fin["s1"]), float(fin["s2"]))
+        scores = final.select(
+            "vertex",
+            ((F.col("score") - F.lit(mean)) / F.lit(norm)).alias("fiedler"),
+        ).localCheckpoint(eager=True)
+        # Rayleigh quotient x^T L x = sum over directed pairs of
+        # x_u * (x_u - x_v)  (== 1/2 * sum (x_u - x_v)^2 over both
+        # orientations) — one |E| join against the finished vector
+        xs = scores.select(F.col("vertex"), F.col("fiedler"))
+        lam = (
+            adjacency.join(
+                _mb(xs.select(F.col("vertex").alias("src_id"),
+                              F.col("fiedler").alias("_xu"))), "src_id")
+            .join(
+                _mb(xs.select(F.col("vertex").alias("dst_id"),
+                              F.col("fiedler").alias("_xv"))), "dst_id")
+            .agg(F.sum(F.col("_xu") * (F.col("_xu") - F.col("_xv"))))
+            .first()[0]
+        )
+    finally:
+        adjacency.unpersist()
+        initial.unpersist()
+        if hot is not None:
+            hot.unpersist()
+    return FiedlerResult(
+        scores, float(lam or 0.0), c, report, n, m
+    )

@@ -242,6 +242,21 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.plans.spectral import fiedler_vector
+
+    plan = capture_superstep(lambda: fiedler_vector(spark, tedges, iterations=2))
+    sections.append(
+        (
+            "Fiedler power-iteration superstep (iteration 1)",
+            "Shifted-Laplacian multiply: ONE |E| join of the cached "
+            "symmetrized adjacency against the |V| state (centering/"
+            "normalization scalars ride the piggybacked aggregate row — "
+            "no extra pass), salted hub-safe neighbor sum, one |V| merge.  "
+            f"[{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
     from arxiv_citation_graph_spark.plans.dagdepth import condensation_layers
     from arxiv_citation_graph_spark.plans.scc import strongly_connected_components
 

@@ -1,0 +1,78 @@
+"""Fiedler vector / spectral bisection (plans/spectral.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+
+def _numpy_fiedler(und_edges):
+    verts = sorted({v for e in und_edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    a = np.zeros((n, n))
+    for u, v in und_edges:
+        a[idx[u], idx[v]] = a[idx[v], idx[u]] = 1.0
+    lap = np.diag(a.sum(axis=1)) - a
+    w, vec = np.linalg.eigh(lap)
+    return verts, w[1], vec[:, 1]
+
+
+# two 4-cliques joined by one bridge: textbook bisection graph
+CLIQUES = (
+    [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    + [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    + [("a0", "b0")]
+)
+
+
+def test_fiedler_matches_numpy_eigh(spark):
+    from arxiv_citation_graph_spark.plans.spectral import fiedler_vector
+
+    df = spark.createDataFrame(CLIQUES, ["src_id", "dst_id"])
+    res = fiedler_vector(spark, df, iterations=60)
+    got = {r.vertex: r.fiedler for r in res.scores.collect()}
+    verts, lam2, vec = _numpy_fiedler(CLIQUES)
+    want = dict(zip(verts, vec))
+    # eigenvector sign is arbitrary: align on one vertex
+    flip = -1.0 if got["a1"] * want["a1"] < 0 else 1.0
+    for v in verts:
+        assert math.isclose(got[v], flip * want[v], rel_tol=0, abs_tol=1e-6), (
+            f"fiedler({v}) = {got[v]}, numpy says {flip * want[v]}"
+        )
+    assert math.isclose(res.lambda2_estimate, lam2, rel_tol=1e-6, abs_tol=1e-9)
+
+
+def test_fiedler_bisects_the_bridge(spark):
+    from arxiv_citation_graph_spark.plans.spectral import fiedler_vector
+
+    df = spark.createDataFrame(CLIQUES, ["src_id", "dst_id"])
+    res = fiedler_vector(spark, df, iterations=60)
+    side = {r.vertex: r.fiedler >= 0 for r in res.scores.collect()}
+    assert len({side[f"a{i}"] for i in range(4)}) == 1
+    assert len({side[f"b{i}"] for i in range(4)}) == 1
+    assert side["a0"] != side["b0"]  # the cut crosses the bridge
+
+
+def test_fiedler_vector_is_centered_unit(spark):
+    from arxiv_citation_graph_spark.plans.spectral import fiedler_vector
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(CLIQUES, ["src_id", "dst_id"])
+    res = fiedler_vector(spark, df, iterations=12)
+    agg = res.scores.agg(
+        F.sum("fiedler").alias("s"),
+        F.sum(F.col("fiedler") * F.col("fiedler")).alias("sq"),
+    ).first()
+    assert abs(agg["s"]) < 1e-9 and math.isclose(agg["sq"], 1.0, abs_tol=1e-9)
+    assert res.shift == 2.0 * 4 + 1.0  # d_max = 4 (clique 3 + bridge 1)
+
+
+def test_fiedler_empty_graph(spark):
+    from arxiv_citation_graph_spark.plans.spectral import fiedler_vector
+
+    df = spark.createDataFrame([], "src_id string, dst_id string")
+    res = fiedler_vector(spark, df)
+    assert res.scores.count() == 0 and res.n_vertices == 0
