@@ -2904,18 +2904,19 @@ def _khop_sample_sql(k_seeds: int, fanouts: tuple[int, ...]) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + body
 
 
-def _wl_colors_sql(iterations: int) -> str:
-    """Unrolled 1-WL refinement (plans/wl.py::wl_refinement): degree-
-    string init over the symmetrized co-supply graph, then per round
-    ``md5(color || '|' || sorted ','-joined 'neighborcolor:count'
-    run-length pairs)`` — the hub-safe two-stage signature (VERDICT r4
-    #2); ``string_agg(... ORDER BY <the same concatenated string>)``
-    replays Spark's ``array_join(array_sort(collect_list(
-    concat_ws(':', nc, cnt))))`` byte-for-byte (both engines compare
-    the full ``color:count`` string binary, so e.g. '10:2' vs '1:5'
-    order identically)."""
+def _wl_round_ctes(edge_sql: str, iterations: int) -> list[str]:
+    """Unrolled 1-WL refinement CTEs (plans/wl.py::wl_refinement) over
+    an arbitrary edge source: degree-string init over the symmetrized
+    graph, then per round ``md5(color || '|' || sorted ','-joined
+    'neighborcolor:count' run-length pairs)`` — the hub-safe two-stage
+    signature (VERDICT r4 #2); ``string_agg(... ORDER BY <the same
+    concatenated string>)`` replays Spark's
+    ``array_join(array_sort(collect_list(concat_ws(':', nc, cnt))))``
+    byte-for-byte (both engines compare the full ``color:count`` string
+    binary, so e.g. '10:2' vs '1:5' order identically).  Final colors:
+    CTE ``c{iterations}``."""
     ctes = [
-        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        f"cos AS MATERIALIZED ({edge_sql})",
         "sym AS MATERIALIZED (SELECT src_id, dst_id FROM ("
         "SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos"
         ") WHERE src_id <> dst_id)",
@@ -2937,9 +2938,59 @@ def _wl_colors_sql(iterations: int) -> str:
             f"SELECT vertex, string_agg(pair, ',' ORDER BY pair) AS sig "
             f"FROM pc{r} GROUP BY vertex) s ON s.vertex = c.vertex)"
         )
+    return ctes
+
+
+def _wl_colors_sql(iterations: int) -> str:
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT vertex, color FROM c{iterations}"
+        "WITH "
+        + ",\n".join(_wl_round_ctes(EDGES_COSUPPLY_SQL, iterations))
+        + f"\nSELECT vertex, color FROM c{iterations}"
     )
+
+
+def _wl_graph_kernel_sql(iterations: int) -> str:
+    """WL subtree feature match (plans/wl.py::wl_graph_kernel): one
+    refinement over the disjoint union of an 80%-edge md5-slice of
+    co-supply (graph A) and the full graph (graph B), then a per-color
+    two-graph histogram with contrib = count_a * count_b."""
+    union_sql = f"""
+SELECT 'A:' || src_id AS src_id, 'A:' || dst_id AS dst_id
+FROM ({EDGES_COSUPPLY_SQL})
+WHERE ('0x' || substr(md5(src_id || '|' || dst_id), 1, 8))::BIGINT % 5 <> 0
+UNION ALL
+SELECT 'B:' || src_id, 'B:' || dst_id FROM ({EDGES_COSUPPLY_SQL})
+"""
+    return (
+        "WITH "
+        + ",\n".join(_wl_round_ctes(union_sql, iterations))
+        + f"""
+SELECT color, count_a, count_b, count_a * count_b AS contrib FROM (
+  SELECT color,
+         CAST(sum(CASE WHEN substr(vertex, 1, 2) = 'A:' THEN 1 ELSE 0 END)
+              AS BIGINT) AS count_a,
+         CAST(sum(CASE WHEN substr(vertex, 1, 2) = 'B:' THEN 1 ELSE 0 END)
+              AS BIGINT) AS count_b
+  FROM c{iterations} GROUP BY color)"""
+    )
+
+
+@register("wl_graph_kernel", _wl_graph_kernel_sql(iterations=2))
+def q_wl_graph_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WL graph-kernel feature match (Shervashidze et al. 2011) between
+    an 80%-edge slice of co-supply and the full graph — the structural
+    drift monitor for a daily-append pipeline (plans/wl.py)."""
+    from arxiv_citation_graph_spark.plans.wl import wl_graph_kernel
+
+    full = cosupply_edges(spark, sf_dir)
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "src_id", "dst_id")), 1, 8), 16, 10
+        ).cast("long")
+        % 5
+    )
+    prior = full.filter(draw != 0)
+    return wl_graph_kernel(spark, prior, full, iterations=2)
 
 
 @register("wl_colors", _wl_colors_sql(iterations=2))
