@@ -1073,6 +1073,59 @@ def q_scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.components
 
 
+def _simrank_sql(iterations: int, c: float) -> str:
+    """Unrolled SimRank (plans/simrank.py): diagonal-1 init, per
+    iteration one state x in-edge x in-edge join + pair aggregate +
+    diagonal union; same float expression ``c * t / (din_a * din_b)``,
+    output rounded to 9."""
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES_SEQSUPPLY_SQL})",
+        "verts AS MATERIALIZED (SELECT src_id AS v FROM e UNION SELECT dst_id FROM e)",
+        "din AS MATERIALIZED (SELECT dst_id AS v, CAST(count(*) AS BIGINT) AS din "
+        "FROM e GROUP BY dst_id)",
+        "s0 AS MATERIALIZED (SELECT v AS a, v AS b, 1.0 AS s FROM verts)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        ctes.append(
+            f"raw{k} AS MATERIALIZED (SELECT ea.dst_id AS a, eb.dst_id AS b, "
+            f"sum(s.s) AS t FROM s{p} s "
+            f"JOIN e ea ON ea.src_id = s.a JOIN e eb ON eb.src_id = s.b "
+            f"WHERE ea.dst_id <> eb.dst_id GROUP BY ea.dst_id, eb.dst_id)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED ("
+            f"SELECT v AS a, v AS b, 1.0 AS s FROM verts "
+            f"UNION ALL "
+            f"SELECT r.a, r.b, {c!r} * r.t / (da.din * db.din) AS s "
+            f"FROM raw{k} r JOIN din da ON da.v = r.a JOIN din db ON db.v = r.b)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a, b, round(s, 9) AS simrank FROM s{iterations}
+WHERE a < b AND round(s, 9) > 0"""
+    )
+
+
+_SIMRANK_ITERS = 5
+
+
+@register("simrank_pairs", _simrank_sql(_SIMRANK_ITERS, c=0.8))
+def q_simrank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact iterative SimRank (Jeh & Widom 2002) over the directed
+    supplier-succession graph — similarity through length-k co-citation
+    chains; bounded-universe kernel with an explicit quadratic-state
+    guard (plans/simrank.py)."""
+    from arxiv_citation_graph_spark.plans.simrank import simrank
+
+    result = simrank(
+        spark, seqsupply_edges(spark, sf_dir), iterations=_SIMRANK_ITERS, c=0.8
+    )
+    return result.scores
+
+
 @register("dag_layers", _dag_layers_sql(doublings=7, maxplus_doublings=7))
 def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Condensation-DAG layering: SCC labels -> quotient DAG -> exact

@@ -1,0 +1,128 @@
+"""SimRank — "two objects are similar if referenced by similar objects".
+
+Jeh & Widom (2002): over a directed graph, ``s(a, a) = 1`` and
+
+    s(a, b) = C / (|I(a)| * |I(b)|) * sum over (i, j) in I(a) x I(b)
+              of s(i, j)
+
+with ``I(v)`` the in-neighbor set and decay ``C`` (0.8 in the paper).
+The fixpoint is reached from ``S_0 = I`` by the iteration the module
+runs verbatim; ``k`` iterations score similarity through length-k
+co-citation chains (iteration 1 alone is normalized co-citation —
+plans/cocite.py; SimRank is its transitive closure).
+
+Plan shape per iteration: the sparse pair state ``(a, b, s)`` joins the
+deduped in-edge list TWICE (once per side), then one two-stage
+aggregate per result pair and one diagonal union — three shuffles, all
+keyed on pair components; no windows, no driver loops.
+
+**Scale is the caveat, stated honestly**: pair state is O(|V|^2) in the
+worst case — SimRank is a *bounded-universe* kernel.  The standard
+100 TB deployment scores a candidate subgraph (an entity-resolution
+block, a category, the k-hop ego net of a query set — e.g. from
+``plans/sampling.py``), so the constructor takes the whole graph but
+REFUSES more than ``max_vertices`` (the brute_force_topk convention:
+the guard is the documentation).  Monte-Carlo SimRank over reverse
+walks is the known unbounded-graph escape; the exact form below is the
+oracle-checkable contract.
+
+Determinism: in-degrees and pair supports are exact integers; the one
+float per pair-iteration is ``C * t / (din_a * din_b)`` — identical
+expression both engines, output rounded to 9 (the PageRank convention).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SimrankResult:
+    scores: DataFrame  # (a, b, simrank) — a < b, nonzero pairs only
+    iterations: int
+    n_vertices: int
+    n_edges: int
+
+
+def simrank(
+    spark: SparkSession,
+    edges: DataFrame,
+    iterations: int = 5,
+    c: float = 0.8,
+    max_vertices: int = 100_000,
+) -> SimrankResult:
+    """Exact iterative SimRank over the deduped directed graph of
+    ``edges(src_id, dst_id)``.  Returns off-diagonal nonzero pairs
+    (``a < b``; the score matrix is symmetric) with ``simrank`` rounded
+    to 9 decimals.  Raises when the graph exceeds ``max_vertices`` —
+    the pair state is quadratic by definition; score a bounded
+    candidate subgraph instead."""
+    if not 0.0 < c < 1.0:
+        raise ValueError(f"decay c must be in (0, 1), got {c}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    adj = (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "src_id")
+        .cache()
+    )
+    try:
+        m = adj.count()
+        vertices = (
+            adj.select(F.col("src_id").alias("v"))
+            .unionByName(adj.select(F.col("dst_id").alias("v")))
+            .distinct()
+        ).localCheckpoint(eager=True)
+        n = vertices.count()
+        if n > max_vertices:
+            raise ValueError(
+                f"graph has {n} vertices > max_vertices={max_vertices}: "
+                "SimRank pair state is O(|V|^2) — score a bounded candidate "
+                "subgraph (an ego net / block), or raise the guard knowingly"
+            )
+        if n == 0:
+            empty = spark.createDataFrame([], "a string, b string, simrank double")
+            return SimrankResult(empty, iterations, 0, 0)
+        din = adj.groupBy(F.col("dst_id").alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("din")
+        ).localCheckpoint(eager=True)
+        diag = vertices.select(
+            F.col("v").alias("a"), F.col("v").alias("b"), F.lit(1.0).alias("s")
+        )
+        state = diag.localCheckpoint(eager=True)
+        ea = adj.select(F.col("src_id").alias("a"), F.col("dst_id").alias("_na"))
+        eb = adj.select(F.col("src_id").alias("b"), F.col("dst_id").alias("_nb"))
+        for _ in range(iterations):
+            raw = (
+                state.join(ea, "a")
+                .join(eb, "b")
+                .groupBy(F.col("_na").alias("a"), F.col("_nb").alias("b"))
+                .agg(F.sum("s").alias("t"))
+                .filter(F.col("a") != F.col("b"))
+            )
+            off = (
+                raw.join(din.select(F.col("v").alias("a"),
+                                    F.col("din").alias("_da")), "a")
+                .join(din.select(F.col("v").alias("b"),
+                                 F.col("din").alias("_db")), "b")
+                .select(
+                    "a",
+                    "b",
+                    (F.lit(c) * F.col("t")
+                     / (F.col("_da") * F.col("_db")).cast("double")).alias("s"),
+                )
+            )
+            state = diag.unionByName(off).localCheckpoint(eager=True)
+        scores = (
+            state.filter(F.col("a") < F.col("b"))
+            .select("a", "b", F.round("s", 9).alias("simrank"))
+            .filter(F.col("simrank") > 0.0)
+        )
+    finally:
+        adj.unpersist()
+    return SimrankResult(scores, iterations, n, m)

@@ -1,0 +1,79 @@
+"""SimRank (plans/simrank.py) vs a textbook reference implementation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _simrank_py(edges, iterations, c):
+    """Jeh & Widom (2002) matrix iteration, dict-of-pairs form."""
+    verts = sorted({v for e in edges for v in e})
+    inn = {v: sorted({s for s, d in edges if d == v and s != d}) for v in verts}
+    s = {(v, v): 1.0 for v in verts}
+    for _ in range(iterations):
+        new = {(v, v): 1.0 for v in verts}
+        for a in verts:
+            for b in verts:
+                if a == b or not inn[a] or not inn[b]:
+                    continue
+                t = sum(s.get((i, j), 0.0) for i in inn[a] for j in inn[b])
+                if t:
+                    new[(a, b)] = c * t / (len(inn[a]) * len(inn[b]))
+        s = new
+    return s
+
+
+# the paper's running example: univ -> {profA, profB}; profs -> students
+EDGES = [
+    ("univ", "profA"), ("univ", "profB"),
+    ("profA", "studA"), ("profB", "studB"),
+    ("studA", "univ"), ("studB", "univ"),
+]
+
+
+def test_simrank_matches_textbook(spark):
+    from arxiv_citation_graph_spark.plans.simrank import simrank
+
+    df = spark.createDataFrame(EDGES, ["src_id", "dst_id"])
+    res = simrank(spark, df, iterations=6, c=0.8)
+    got = {(r.a, r.b): r.simrank for r in res.scores.collect()}
+    want = _simrank_py(EDGES, 6, 0.8)
+    want = {
+        (a, b): round(v, 9)
+        for (a, b), v in want.items()
+        if a < b and round(v, 9) > 0
+    }
+    assert set(got) == set(want)
+    for p in got:
+        assert math.isclose(got[p], want[p], rel_tol=0, abs_tol=1e-9), (
+            f"simrank{p} = {got[p]}, textbook says {want[p]}"
+        )
+    # the paper's qualitative ordering: the two professors (cited by the
+    # same university) are more similar than the two students
+    assert got[("profA", "profB")] > got[("studA", "studB")] > 0
+
+
+def test_simrank_one_iteration_is_normalized_cocitation(spark):
+    from arxiv_citation_graph_spark.plans.simrank import simrank
+
+    df = spark.createDataFrame(EDGES, ["src_id", "dst_id"])
+    got = {
+        (r.a, r.b): r.simrank
+        for r in simrank(spark, df, iterations=1, c=0.8).scores.collect()
+    }
+    # after one round only same-in-neighbor pairs score: c * |common|/(da*db)
+    assert got == {("profA", "profB"): 0.8}
+
+
+def test_simrank_guards(spark):
+    from arxiv_citation_graph_spark.plans.simrank import simrank
+
+    df = spark.createDataFrame(EDGES, ["src_id", "dst_id"])
+    with pytest.raises(ValueError, match="max_vertices"):
+        simrank(spark, df, max_vertices=3)
+    with pytest.raises(ValueError, match="decay"):
+        simrank(spark, df, c=1.0)
+    with pytest.raises(ValueError, match="iterations"):
+        simrank(spark, df, iterations=0)
