@@ -8,8 +8,9 @@ Ship the package as a zip and drive any stage of the pipeline:
         --docs /path/docs_parquet --out /path/warehouse
 
 Subcommands: extract | pagerank | cc | lpa | triangles | hits | salsa |
-kcore | bfs | walks | betweenness | sample | dedup | decontaminate |
-scrub | split | ingest | bench-corpus.
+kcore | bfs | walks | betweenness | fiedler | layers | simrank |
+wl-kernel | sample | dedup | line-dedup | decontaminate | scrub |
+split | select | stats | backbone | pipeline | ingest | bench-corpus.
 Every graph command reads ``edges`` from the warehouse catalog (or a
 parquet path), runs to convergence with checkpoint/resume, and commits
 results + superstep metrics back to the warehouse.
@@ -34,16 +35,16 @@ def main(argv: list[str] | None = None) -> int:
 
     for name in (
         "pagerank", "cc", "lpa", "triangles", "hits", "salsa", "kcore", "bfs",
-        "walks", "betweenness",
+        "walks", "betweenness", "fiedler", "layers",
     ):
         p = sub.add_parser(name)
         p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
         p.add_argument("--out", required=True, help="warehouse root")
         # hits/salsa count FULL iterations via --iterations; walks'
-        # superstep count IS the walk length (--length) — a
-        # --max-iterations flag on these would be silently ignored, so
-        # don't register it
-        if name not in ("hits", "salsa", "walks"):
+        # superstep count IS the walk length (--length); fiedler runs a
+        # FIXED iteration budget — a --max-iterations flag on these
+        # would be silently ignored, so don't register it
+        if name not in ("hits", "salsa", "walks", "fiedler"):
             p.add_argument("--max-iterations", type=int, default=100)
         p.add_argument("--resume", action="store_true")
         if name == "pagerank":
@@ -81,6 +82,16 @@ def main(argv: list[str] | None = None) -> int:
                 help="sampled Brandes sources (lexicographic-min vertices)",
             )
             p.add_argument("--directed", action="store_true")
+            p.add_argument(
+                "--edge-scores", action="store_true",
+                help="also commit Girvan-Newman edge betweenness (one "
+                "post-pass join over the finished Brandes state)",
+            )
+        if name == "fiedler":
+            p.add_argument(
+                "--iterations", type=int, default=12,
+                help="deflated power-iteration budget (fixed; no tolerance)",
+            )
         if name == "walks":
             p.add_argument("--length", type=int, default=8)
             p.add_argument("--undirected", action="store_true")
@@ -135,6 +146,40 @@ def main(argv: list[str] | None = None) -> int:
         help="edge-weight column -> importance sampling (heavier edges "
         "win the keyed race proportionally more)",
     )
+
+    p = sub.add_parser(
+        "simrank",
+        help="exact iterative SimRank over a bounded candidate graph "
+        "(quadratic pair state: refuses > --max-vertices)",
+    )
+    p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--iterations", type=int, default=5)
+    p.add_argument("--decay", type=float, default=0.8)
+    p.add_argument("--max-vertices", type=int, default=100_000)
+
+    p = sub.add_parser(
+        "wl-kernel",
+        help="WL graph-kernel feature match between two edge tables "
+        "(structural drift monitor between snapshots)",
+    )
+    p.add_argument("--edges-a", required=True, help="graph A edges parquet")
+    p.add_argument("--edges-b", required=True, help="graph B edges parquet")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--iterations", type=int, default=2)
+    p.add_argument("--directed", action="store_true")
+
+    p = sub.add_parser(
+        "line-dedup",
+        help="line-level boilerplate removal (CCNet/RefinedWeb): drop "
+        "lines shared by >= --min-docs documents, keep the rest in order",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-docs", type=int, default=2)
+    p.add_argument("--min-len", type=int, default=8)
 
     p = sub.add_parser(
         "dedup",
@@ -312,6 +357,49 @@ def main(argv: list[str] | None = None) -> int:
                 f"({'warm' if prior is not None else 'cold'} start), "
                 f"converged={result.report.converged}"
             )
+        return 0
+
+    if args.cmd == "line-dedup":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.operators.boilerplate import (
+            line_dedup,
+            line_frequencies,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        catalog.create_or_replace(
+            "boilerplate_lines",
+            line_frequencies(docs, args.id_col, args.text_col,
+                             min_len=args.min_len)
+            .filter(F.col("doc_freq") >= args.min_docs),
+        )
+        cleaned = line_dedup(
+            docs, args.id_col, args.text_col,
+            min_docs=args.min_docs, min_len=args.min_len,
+        )
+        snap = catalog.create_or_replace("line_dedup", cleaned)
+        dropped = cleaned.agg(
+            F.sum(F.col("n_lines") - F.col("n_kept"))
+        ).first()[0]
+        print(f"line-dedup: {dropped or 0} line(s) dropped, snapshot {snap}")
+        return 0
+
+    if args.cmd == "wl-kernel":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.plans.wl import wl_graph_kernel
+
+        feats = wl_graph_kernel(
+            spark,
+            spark.read.parquet(args.edges_a),
+            spark.read.parquet(args.edges_b),
+            iterations=args.iterations,
+            directed=args.directed,
+        ).localCheckpoint(eager=True)
+        catalog.create_or_replace("wl_kernel", feats)
+        kval = feats.agg(F.sum("contrib")).first()[0]
+        print(f"wl-kernel: value {kval or 0} over {feats.count()} color(s)")
         return 0
 
     if args.cmd == "dedup":
@@ -717,16 +805,60 @@ def main(argv: list[str] | None = None) -> int:
         catalog.create_or_replace("walks", wresult.walks)
         print(f"walks: {wresult.walks.count()} walks of length {args.length}")
     elif args.cmd == "betweenness":
-        from arxiv_citation_graph_spark.plans.betweenness import approx_betweenness
+        from arxiv_citation_graph_spark.plans.betweenness import (
+            approx_betweenness,
+            edge_scores_from_state,
+        )
 
         bw = approx_betweenness(
             spark, edges, n_sources=args.n_sources, directed=args.directed,
             max_iterations=args.max_iterations, store=store, resume=args.resume,
         )
         catalog.create_or_replace("betweenness", bw.scores)
+        if args.edge_scores:
+            catalog.create_or_replace(
+                "edge_betweenness",
+                edge_scores_from_state(spark, edges, bw.state, directed=args.directed),
+            )
         print(
             f"betweenness: sources {bw.sources}, depth {bw.max_depth}, "
             f"{bw.forward_report.iterations}+{bw.backward_report.iterations} supersteps"
+            + (" (+edge scores)" if args.edge_scores else "")
+        )
+    elif args.cmd == "fiedler":
+        from arxiv_citation_graph_spark.plans.spectral import fiedler_vector
+
+        fres = fiedler_vector(
+            spark, edges, iterations=args.iterations, store=store, resume=args.resume,
+        )
+        catalog.create_or_replace("fiedler", fres.scores)
+        print(
+            f"fiedler: {fres.n_vertices} vertices, lambda2 ~ "
+            f"{fres.lambda2_estimate:.6g} after {args.iterations} iterations"
+        )
+    elif args.cmd == "layers":
+        from arxiv_citation_graph_spark.plans.dagdepth import condensation_layers
+
+        lres = condensation_layers(
+            spark, edges, max_iterations=args.max_iterations,
+            store=store, resume=args.resume,
+        )
+        catalog.create_or_replace("dag_layers", lres.layers)
+        print(
+            f"layers: {lres.n_scc} SCC(s), depth "
+            f"{lres.report.iterations - 1} in {lres.report.iterations} supersteps"
+        )
+    elif args.cmd == "simrank":
+        from arxiv_citation_graph_spark.plans.simrank import simrank
+
+        sr = simrank(
+            spark, edges, iterations=args.iterations, c=args.decay,
+            max_vertices=args.max_vertices,
+        )
+        catalog.create_or_replace("simrank", sr.scores)
+        print(
+            f"simrank: {sr.n_vertices} vertices, "
+            f"{sr.scores.count()} nonzero pair(s) after {sr.iterations} iterations"
         )
     elif args.cmd == "bfs":
         from arxiv_citation_graph_spark.plans.bfs import bfs_distances, landmark_distances

@@ -283,7 +283,20 @@ def approx_edge_betweenness(
         max_iterations=max_iterations, directed=directed,
         store=store, resume=resume,
     )
-    if res.state is None:  # empty graph
+    return edge_scores_from_state(spark, edges, res.state, directed=directed)
+
+
+def edge_scores_from_state(
+    spark: SparkSession,
+    edges: DataFrame,
+    state: DataFrame | None,
+    directed: bool = False,
+) -> DataFrame:
+    """Derive Girvan-Newman edge scores from a finished
+    :func:`approx_betweenness` run's ``state`` — the one post-pass join,
+    reusable when the vertex scores were already computed (CLI
+    ``--edge-scores``)."""
+    if state is None:  # empty graph
         return spark.createDataFrame(
             [], "src_id string, dst_id string, edge_betweenness double, n_sources long"
         )
@@ -294,11 +307,11 @@ def approx_edge_betweenness(
         if directed
         else symmetrize(edges)
     )
-    u = res.state.select(
+    u = state.select(
         F.col("vertex").alias("src_id"), "source",
         F.col("dist").alias("_du"), F.col("sigma").alias("_su"),
     )
-    w = res.state.select(
+    w = state.select(
         F.col("vertex").alias("dst_id"), "source",
         F.col("dist").alias("_dw"), F.col("sigma").alias("_sw"),
         F.col("dep").alias("_pw"),

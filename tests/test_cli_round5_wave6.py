@@ -1,0 +1,97 @@
+"""CLI surface for the round-5 sixth wave: fiedler / layers / simrank /
+wl-kernel / line-dedup / betweenness --edge-scores."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _setup(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    return str(tmp_path / "wh")
+
+
+def test_cli_fiedler_layers_simrank(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    edges_path = str(tmp_path / "edges_pq")
+    # two triangles bridged -> clean bisection; a1<->a2 cycle for layers
+    spark.createDataFrame(
+        [("a0", "a1"), ("a1", "a2"), ("a2", "a0"),
+         ("b0", "b1"), ("b1", "b2"), ("b2", "b0"), ("a0", "b0")],
+        ["src_id", "dst_id"],
+    ).write.parquet(edges_path)
+
+    assert cli.main(
+        ["fiedler", "--edges", edges_path, "--out", wh, "--iterations", "40"]
+    ) == 0
+    cat = SnapshotCatalog(wh)
+    side = {r.vertex: r.fiedler >= 0 for r in cat.read(spark, "fiedler").collect()}
+    assert len({side["a0"], side["a1"], side["a2"]}) == 1
+    assert side["a0"] != side["b0"]
+
+    assert cli.main(["layers", "--edges", edges_path, "--out", wh]) == 0
+    lay = {r.vertex: r.layer for r in cat.read(spark, "dag_layers").collect()}
+    # each triangle is one SCC; A-cycle -> B-cycle via the bridge
+    assert lay["a0"] == 0 and lay["b0"] == 1
+
+    assert cli.main(
+        ["simrank", "--edges", edges_path, "--out", wh, "--iterations", "3"]
+    ) == 0
+    assert cat.read(spark, "simrank").count() > 0
+
+
+def test_cli_wl_kernel_and_line_dedup(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    a_path, b_path = str(tmp_path / "ea_pq"), str(tmp_path / "eb_pq")
+    path_edges = [("p0", "p1"), ("p1", "p2"), ("p2", "p3")]
+    spark.createDataFrame(path_edges, ["src_id", "dst_id"]).write.parquet(a_path)
+    spark.createDataFrame(path_edges, ["src_id", "dst_id"]).write.parquet(b_path)
+    assert cli.main(
+        ["wl-kernel", "--edges-a", a_path, "--edges-b", b_path, "--out", wh]
+    ) == 0
+    cat = SnapshotCatalog(wh)
+    feats = cat.read(spark, "wl_kernel")
+    assert feats.agg(F.sum("contrib")).first()[0] == 8  # identical P4s
+
+    docs_path = str(tmp_path / "docs_pq")
+    footer = "shared footer line here"
+    spark.createDataFrame(
+        [(1, f"alpha one\n{footer}"), (2, f"{footer}\nbeta two")],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    assert cli.main(["line-dedup", "--docs", docs_path, "--out", wh]) == 0
+    rows = {r.doc_id: r for r in cat.read(spark, "line_dedup").collect()}
+    assert rows[1].n_kept == 1
+    assert rows[1].clean_md5 == hashlib.md5(b"alpha one").hexdigest()
+    census = {r.line for r in cat.read(spark, "boilerplate_lines").collect()}
+    assert census == {footer}
+
+
+def test_cli_betweenness_edge_scores(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    edges_path = str(tmp_path / "edges_pq")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src_id", "dst_id"]
+    ).write.parquet(edges_path)
+    assert cli.main(
+        ["betweenness", "--edges", edges_path, "--out", wh,
+         "--n-sources", "1", "--edge-scores"]
+    ) == 0
+    cat = SnapshotCatalog(wh)
+    eb = {(r.src_id, r.dst_id): r.edge_betweenness
+          for r in cat.read(spark, "edge_betweenness").collect()}
+    # source 'a' on the undirected path a-b-c: (a,b) carries 2, (b,c) 1
+    assert eb[("a", "b")] == 2.0 and eb[("b", "c")] == 1.0
