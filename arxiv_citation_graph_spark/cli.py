@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
                 "--iterations", type=int, default=12,
                 help="deflated power-iteration budget (fixed; no tolerance)",
             )
+            p.add_argument(
+                "--warm-start-from", default=None,
+                help="prior (vertex, fiedler) parquet path, or 'fiedler' for "
+                "the warehouse table — daily-append accelerator "
+                "(incompatible with --resume)",
+            )
         if name == "walks":
             p.add_argument("--length", type=int, default=8)
             p.add_argument("--undirected", action="store_true")
@@ -828,8 +834,16 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "fiedler":
         from arxiv_citation_graph_spark.plans.spectral import fiedler_vector
 
+        fwarm = None
+        if args.warm_start_from:
+            fwarm = (
+                catalog.read(spark, "fiedler")
+                if args.warm_start_from == "fiedler"
+                else spark.read.parquet(args.warm_start_from)
+            )
         fres = fiedler_vector(
-            spark, edges, iterations=args.iterations, store=store, resume=args.resume,
+            spark, edges, iterations=args.iterations, store=store,
+            resume=args.resume, warm_start=fwarm,
         )
         catalog.create_or_replace("fiedler", fres.scores)
         print(

@@ -561,6 +561,74 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trending_topk",
+    """
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, user_id FROM events
+    ),
+    rep AS (
+      SELECT es - (es % 1800) AS w, user_id FROM ev
+      UNION ALL
+      SELECT es - (es % 1800) - 1800 AS w, user_id FROM ev
+    ),
+    cnt AS (
+      SELECT w, user_id, CAST(count(*) AS BIGINT) AS n FROM rep GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT w, user_id, n,
+             row_number() OVER (PARTITION BY w ORDER BY n DESC, user_id) AS rnk
+      FROM cnt
+    )
+    SELECT r.w AS window_start, r.user_id, r.n, CAST(r.rnk AS INT) AS rnk,
+           r.n - coalesce(p.n, 0) AS lift
+    FROM rk r LEFT JOIN cnt p ON p.w = r.w - 1800 AND p.user_id = r.user_id
+    WHERE r.rnk <= 3
+    """,
+)
+def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 users per sliding 1h/30m window with lift vs the
+    previous overlapping window — the batch shape of a streaming
+    trending monitor.  Per-window rank is a window function PARTITIONED
+    BY window (thousands of small frames, never one global sort); lift
+    is a self-equi-join on the shifted window start."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "user_id",
+            "n",
+        )
+    ).localCheckpoint(eager=True)  # feeds both the rank and the lift join
+    ranked = (
+        counts.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("window_start").orderBy(
+                    F.desc("n"), F.asc("user_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    prev = counts.select(
+        (F.col("window_start") + 1800).alias("window_start"),
+        "user_id",
+        F.col("n").alias("_prev_n"),
+    )
+    return ranked.join(prev, ["window_start", "user_id"], "left").select(
+        "window_start",
+        "user_id",
+        "n",
+        "rnk",
+        (F.col("n") - F.coalesce(F.col("_prev_n"), F.lit(0))).alias("lift"),
+    )
+
+
+@register(
     "interevent_stats",
     """
     WITH ev AS (SELECT user_id, event_id AS eid,

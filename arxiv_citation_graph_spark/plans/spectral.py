@@ -76,6 +76,7 @@ def fiedler_vector(
     store: CheckpointStore | None = None,
     resume: bool = False,
     broadcast_scores: bool | None = None,
+    warm_start: DataFrame | None = None,
 ) -> FiedlerResult:
     """Deflated power iteration for the Fiedler vector of the
     symmetrized simple graph of ``edges(src_id, dst_id)``.
@@ -84,7 +85,21 @@ def fiedler_vector(
     centered L2-normalized scores; ``scores.fiedler >= 0`` is the
     spectral bisection side, and ``lambda2_estimate`` (the Rayleigh
     quotient of the returned vector) upper-bounds the algebraic
-    connectivity, reaching it at convergence."""
+    connectivity, reaching it at convergence.
+
+    ``warm_start``: a prior run's ``(vertex, fiedler)`` frame (the
+    daily-append accelerator, same convention as PageRank/LPA warm
+    starts): vertices seed from the prior vector, new vertices from 0,
+    so a small graph delta needs few iterations to re-converge.  A
+    constant warm vector (zero variance — nothing to deflate against)
+    fails fast.  Mutually exclusive with ``resume`` (resume continues
+    the SAME run; warm start seeds a NEW one — the PageRank
+    convention)."""
+    if warm_start is not None and resume:
+        raise ValueError(
+            "warm_start and resume are mutually exclusive: resume continues "
+            "the same run's checkpoints; warm start seeds a new run"
+        )
     adjacency = symmetrize(edges)
     parallelism = spark.sparkContext.defaultParallelism
     adjacency = adjacency.repartition(parallelism, "src_id").cache()
@@ -101,12 +116,20 @@ def fiedler_vector(
     deg = adjacency.groupBy(F.col("src_id").alias("vertex")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
-    # engine-portable keyed start vector (the MIS draw convention)
-    seed = F.conv(F.substring(F.md5(F.col("vertex")), 1, 8), 16, 10).cast(
-        "long"
-    ).cast("double")
-    initial = deg.select(
-        "vertex", "deg", seed.alias("score"), F.lit(-1.0).alias("score_prev"),
+    # engine-portable keyed start vector (the MIS draw convention); a
+    # warm start replaces it with the prior vector (new vertices: 0)
+    if warm_start is not None:
+        prior = warm_start.select("vertex", F.col("fiedler").alias("_seed"))
+        seeded = deg.join(prior, "vertex", "left").select(
+            "vertex", "deg", F.coalesce("_seed", F.lit(0.0)).alias("score")
+        )
+    else:
+        seed = F.conv(F.substring(F.md5(F.col("vertex")), 1, 8), 16, 10).cast(
+            "long"
+        ).cast("double")
+        seeded = deg.select("vertex", "deg", seed.alias("score"))
+    initial = seeded.select(
+        "vertex", "deg", "score", F.lit(-1.0).alias("score_prev"),
         F.lit(0.0).alias("delta"),
     ).cache()
     stats = initial.agg(
@@ -118,6 +141,15 @@ def fiedler_vector(
     n = int(stats["n"])
     c = 2.0 * float(stats["dmax"]) + 1.0
     seed_aggs = {"s1": float(stats["s1"]), "s2": float(stats["s2"])}
+    if warm_start is not None:
+        centered_ss = seed_aggs["s2"] - seed_aggs["s1"] ** 2 / n
+        if centered_ss <= 0.0:
+            adjacency.unpersist()
+            initial.unpersist()
+            raise ValueError(
+                "warm-start vector is constant over this graph's vertices: "
+                "nothing survives deflation — run a cold start instead"
+            )
     hot = (
         hot_vertices(adjacency, hot_degree_threshold, "in").cache()
         if hot_degree_threshold is not None
@@ -184,6 +216,10 @@ def fiedler_vector(
             input_signature={
                 "n_vertices": n, "n_edges": m, "edge_fp": edge_fp,
                 "kernel": "fiedler", "shift": c,
+                # warm seeds change the trajectory: fingerprint them so a
+                # cold checkpoint never resumes a warm run (or vice versa)
+                "seed_s1": seed_aggs["s1"], "seed_s2": seed_aggs["s2"],
+                "warm": warm_start is not None,
             },
         )
         fin = final.agg(

@@ -70,6 +70,56 @@ def test_fiedler_vector_is_centered_unit(spark):
     assert res.shift == 2.0 * 4 + 1.0  # d_max = 4 (clique 3 + bridge 1)
 
 
+def _aligned_err(got, ref):
+    flip = -1.0 if sum(got[v] * ref[v] for v in ref) < 0 else 1.0
+    return max(abs(got[v] - flip * ref[v]) for v in ref)
+
+
+def test_fiedler_warm_start_accelerates_daily_append(spark):
+    from arxiv_citation_graph_spark.plans.spectral import fiedler_vector
+
+    full = CLIQUES + [("a1", "b1")]  # the appended edge
+    df_prior = spark.createDataFrame(CLIQUES, ["src_id", "dst_id"])
+    df_full = spark.createDataFrame(full, ["src_id", "dst_id"])
+    ref = {
+        r.vertex: r.fiedler
+        for r in fiedler_vector(spark, df_full, iterations=120).scores.collect()
+    }
+    prior = fiedler_vector(spark, df_prior, iterations=120).scores
+    k = 6
+    cold = {
+        r.vertex: r.fiedler
+        for r in fiedler_vector(spark, df_full, iterations=k).scores.collect()
+    }
+    warm = {
+        r.vertex: r.fiedler
+        for r in fiedler_vector(
+            spark, df_full, iterations=k, warm_start=prior
+        ).scores.collect()
+    }
+    cold_err, warm_err = _aligned_err(cold, ref), _aligned_err(warm, ref)
+    assert warm_err < cold_err / 5, (
+        f"warm start after {k} iters should be far closer to the fixpoint: "
+        f"warm_err={warm_err}, cold_err={cold_err}"
+    )
+    # and the bisection is already correct
+    assert (warm["a0"] >= 0) != (warm["b0"] >= 0)
+
+
+def test_fiedler_warm_start_guards(spark):
+    from arxiv_citation_graph_spark.plans.spectral import fiedler_vector
+
+    df = spark.createDataFrame(CLIQUES, ["src_id", "dst_id"])
+    const = spark.createDataFrame(
+        [(f"{s}{i}", 1.0) for s in "ab" for i in range(4)],
+        ["vertex", "fiedler"],
+    )
+    with pytest.raises(ValueError, match="constant"):
+        fiedler_vector(spark, df, warm_start=const)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        fiedler_vector(spark, df, warm_start=const, resume=True)
+
+
 def test_fiedler_empty_graph(spark):
     from arxiv_citation_graph_spark.plans.spectral import fiedler_vector
 
