@@ -5394,19 +5394,21 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_at_k(spark, exact, ann)
 
 
-def _ivf_topk_sql(
-    n_centroids: int = 8, iters: int = 3, n_probe: int = 2, k: int = 5
-) -> str:
-    """Unrolled deterministic k-means + IVF probe, mirroring
-    ``operators/simsearch.ivf_train``/``ivf_topk`` to the rounding digit:
-    hash-ordered init, argmax-cosine assignment (sim rounded to 6 dp,
-    ties -> lowest cell), per-dim mean update (6 dp), empty cells keep
-    their previous centroid."""
-    sim = (
-        "round(list_dot_product({v}.e, {c}.ce)"
-        " / (sqrt(list_dot_product({v}.e, {v}.e))"
-        " * sqrt(list_dot_product({c}.ce, {c}.ce))), 6)"
-    )
+_KMEANS_SIM = (
+    "round(list_dot_product({v}.e, {c}.ce)"
+    " / (sqrt(list_dot_product({v}.e, {v}.e))"
+    " * sqrt(list_dot_product({c}.ce, {c}.ce))), 6)"
+)
+
+
+def _kmeans_ctes(n_centroids: int, iters: int):
+    """Shared unrolled deterministic k-means, mirroring
+    ``operators/simsearch.ivf_train`` to the rounding digit: hash-ordered
+    init, argmax-cosine assignment (sim rounded to 6 dp, ties -> lowest
+    cell), per-dim mean update (6 dp), empty cells keep their previous
+    centroid.  Returns ``(ctes, assign)``: trained centroids in CTE
+    ``c{iters}``; ``assign(name, prev_c, src, n_keep)`` emits an
+    assignment CTE."""
     ctes = [
         "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
         f"""c0 AS MATERIALIZED (
@@ -5418,7 +5420,7 @@ def _ivf_topk_sql(
     ]
 
     def assign(name: str, prev_c: str, src: str = "v", n_keep: int = 1) -> str:
-        s = sim.format(v=src, c="c")
+        s = _KMEANS_SIM.format(v=src, c="c")
         return f"""{name} AS MATERIALIZED (
       SELECT vec_id, e, cid FROM (
         SELECT {src}.vec_id, {src}.e, c.cid,
@@ -5439,6 +5441,15 @@ def _ivf_topk_sql(
         ) GROUP BY cid
       ) n ON n.cid = p.cid)"""
         )
+    return ctes, assign
+
+
+def _ivf_topk_sql(
+    n_centroids: int = 8, iters: int = 3, n_probe: int = 2, k: int = 5
+) -> str:
+    """Unrolled k-means (``_kmeans_ctes``) + IVF probe, mirroring
+    ``operators/simsearch.ivf_topk``."""
+    ctes, assign = _kmeans_ctes(n_centroids, iters)
     ctes.append(assign("inv", f"c{iters}"))
     ctes.append("qv AS (SELECT * FROM v WHERE vec_id < 10)")
     ctes.append(assign("qp", f"c{iters}", src="qv", n_keep=n_probe))
@@ -5459,6 +5470,34 @@ def _ivf_topk_sql(
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM cand
     ) WHERE rank <= {k}"""
+    )
+
+
+def _kmeans_assign_sql(n_centroids: int = 8, iters: int = 3) -> str:
+    """k-means cluster assignments
+    (operators/simsearch.kmeans_assignments): each vector's nearest
+    trained centroid + its cosine to it."""
+    ctes, assign = _kmeans_ctes(n_centroids, iters)
+    ctes.append(assign("inv", f"c{iters}"))
+    s = _KMEANS_SIM.format(v="i", c="c")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT i.vec_id, CAST(i.cid AS INT) AS cid, {s} AS cos_sim
+FROM inv i JOIN c{iters} c ON c.cid = i.cid"""
+    )
+
+
+@register("embedding_kmeans", _kmeans_assign_sql(8, 3))
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means clustering of the embedding corpus (8
+    cells, 3 Lloyd iterations — the IVF coarse quantizer surfaced as
+    the curation-pipeline clustering pass)."""
+    from arxiv_citation_graph_spark.operators.simsearch import kmeans_assignments
+
+    return kmeans_assignments(
+        _t(spark, sf_dir, "embeddings"), n_centroids=8, iterations=3
     )
 
 

@@ -365,6 +365,48 @@ def ivf_train(
     return centroids
 
 
+def kmeans_assignments(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iterations: int = 3,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding clustering surfaced directly: each vector's nearest
+    trained centroid — ``(id, cid, cos_sim)`` with ``cos_sim`` the
+    similarity to its OWN centroid (rounded 6 dp, the IVF convention).
+    Train once / reuse via ``centroids`` exactly like :func:`ivf_topk`;
+    the assignment join broadcasts the model-sized centroid literals, so
+    the corpus scan is embarrassingly parallel — the corpus-clustering
+    pass a curation pipeline runs before per-cluster sampling."""
+    if centroids is None:
+        centroids = ivf_train(corpus, id_col, vec_col, n_centroids, iterations)
+    if not centroids:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, cid int, cos_sim double"
+        )
+    v = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(_cosine_to_lit(F.col("_e"), c), 6).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    best = F.reverse(F.array_sort(scored))[0]
+    return v.select(
+        F.col(id_col),
+        (-best["ncid"]).cast("int").alias("cid"),
+        best["sim"].alias("cos_sim"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

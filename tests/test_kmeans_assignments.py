@@ -1,0 +1,67 @@
+"""k-means cluster assignments (operators/simsearch.kmeans_assignments)."""
+
+from __future__ import annotations
+
+import math
+
+
+def _vecs():
+    # three obvious clusters on the 2-sphere directions
+    base = {
+        0: [1.0, 0.0, 0.0], 1: [0.9, 0.1, 0.0], 2: [0.95, 0.05, 0.0],
+        3: [0.0, 1.0, 0.0], 4: [0.1, 0.9, 0.0], 5: [0.0, 0.95, 0.05],
+        6: [0.0, 0.0, 1.0], 7: [0.05, 0.0, 0.95], 8: [0.0, 0.1, 0.9],
+    }
+    return [(k, v) for k, v in sorted(base.items())]
+
+
+def test_assignment_is_argmax_cosine_of_trained_centroids(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        ivf_train,
+        kmeans_assignments,
+    )
+
+    df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<double>")
+    cents = ivf_train(df, n_centroids=3, iterations=3)
+    got = {r.vec_id: (r.cid, r.cos_sim) for r in
+           kmeans_assignments(df, n_centroids=3, iterations=3).collect()}
+    assert len(got) == 9
+    for vid, e in _vecs():
+        sims = []
+        for cid, c in enumerate(cents):
+            dot = sum(x * w for x, w in zip(e, c))
+            nv = math.sqrt(sum(x * x for x in e))
+            nc = math.sqrt(sum(w * w for w in c))
+            sims.append((round(dot / (nv * nc), 6), -cid))
+        best_sim, ncid = max(sims)
+        assert got[vid] == (-ncid, best_sim), (
+            f"vec {vid}: engine {got[vid]}, argmax says {(-ncid, best_sim)}"
+        )
+
+
+def test_assignments_deterministic_and_valid(spark):
+    # NOTE: with the hash-ordered init, WHICH cells the natural clusters
+    # land in (or whether all three separate) is init-dependent — the
+    # contract under test is determinism + argmax validity, and clean
+    # separation is asserted via explicit centroids below
+    from arxiv_citation_graph_spark.operators.simsearch import kmeans_assignments
+
+    df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, kmeans_assignments(df, n_centroids=3, iterations=5).collect()))
+    b = sorted(map(tuple, kmeans_assignments(df, n_centroids=3, iterations=5).collect()))
+    assert a == b and len(a) == 9
+    assert all(0 <= cid < 3 and -1.0 <= sim <= 1.0 for _, cid, sim in a)
+
+
+def test_pretrained_centroids_reused(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import kmeans_assignments
+
+    df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    got = {r.vec_id: r.cid for r in
+           kmeans_assignments(df, centroids=cents).collect()}
+    assert got[0] == 0 and got[3] == 1 and got[6] == 2
+    empty = kmeans_assignments(
+        spark.createDataFrame([], "vec_id long, embedding array<double>")
+    )
+    assert empty.count() == 0
