@@ -2925,6 +2925,62 @@ def _brandes_ctes(rounds: int, k: int) -> list[str]:
     return ctes
 
 
+def _shortest_path_sql(rounds: int) -> str:
+    """Path reconstruction oracle (plans/paths.py::shortest_path): BFS
+    with min-id predecessors from the lexicographic-min vertex, target =
+    farthest reached (ties -> min id), backtrack unrolled ``rounds``
+    times (single-row steps; extra rounds are empty once the source's
+    null pred is hit)."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos "
+        "UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym "
+        "UNION SELECT dst_id FROM sym)",
+        "d0 AS MATERIALIZED (SELECT min(vertex) AS vertex, 0 AS dist, "
+        "CAST(NULL AS VARCHAR) AS pred FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED ("
+            f"SELECT vertex, dist, min(pred) AS pred FROM ("
+            f"SELECT vertex, dist, pred, min(dist) OVER (PARTITION BY vertex) AS md "
+            f"FROM (SELECT vertex, dist, pred FROM d{p} UNION ALL "
+            f"SELECT e.dst_id AS vertex, l.dist + 1 AS dist, l.vertex AS pred "
+            f"FROM sym e JOIN d{p} l ON e.src_id = l.vertex)"
+            f") WHERE dist = md GROUP BY vertex, dist)"
+        )
+    ctes.append(
+        f"tgt AS MATERIALIZED (SELECT vertex, dist FROM d{rounds} "
+        f"ORDER BY dist DESC, vertex LIMIT 1)"
+    )
+    ctes.append("pt0 AS MATERIALIZED (SELECT dist AS step, vertex FROM tgt)")
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"pt{k} AS MATERIALIZED (SELECT p.step - 1 AS step, d.pred AS vertex "
+            f"FROM pt{p} p JOIN d{rounds} d ON d.vertex = p.vertex "
+            f"WHERE d.pred IS NOT NULL)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM pt{k}" for k in range(rounds + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(step AS BIGINT) AS step, vertex FROM ({union})"
+    )
+
+
+@register("shortest_path", _shortest_path_sql(rounds=_BFS_ORACLE_ROUNDS))
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One reconstructed shortest path (the eccentricity witness from
+    the min vertex) over co-supply: BFS predecessor tree + L single-row
+    parent-pointer joins (plans/paths.py)."""
+    from arxiv_citation_graph_spark.plans.paths import shortest_path
+
+    return shortest_path(spark, cosupply_edges(spark, sf_dir)).path
+
+
 def _betweenness_unrolled_sql(rounds: int, k: int) -> str:
     """Vertex betweenness = sum of dep over sources with dist > 0."""
     return (

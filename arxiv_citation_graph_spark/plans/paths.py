@@ -1,0 +1,198 @@
+"""Shortest-path RECONSTRUCTION — the path itself, not just distances.
+
+``plans/bfs.py`` answers "how far"; users routing, debugging a link
+chain, or explaining a recommendation need "via which vertices".  The
+standard distributed answer is a **predecessor tree**: layered BFS
+where each vertex, the round it is first reached, records the
+minimum-id predecessor among that round's frontier neighbors (the
+deterministic tie-break every kernel here uses).  The tree is |V|-sized
+state; any individual path then falls out by following parent pointers.
+
+Plan shape:
+
+- tree build = the plans/bfs.py frontier-delta superstep with one extra
+  ``min(pred)`` aggregate riding the SAME neighbor join — no extra
+  shuffle vs plain BFS;
+- path extraction = ``L`` single-row joins against the finished
+  (localCheckpointed) tree, where ``L = dist(target)`` is bounded by
+  the graph diameter — the frames stay distributed (no driver round
+  trips), union to one ``(step, vertex)`` result, one action.  A
+  30-hop path over a 100 TB graph is 30 broadcast-joined single-row
+  lookups — trivially cheap next to the BFS itself.
+
+Determinism: distances are exact, the predecessor choice is min-id at
+first reach, and the target default is the farthest reached vertex
+(ties -> min id) — so the returned path is unique and the DuckDB oracle
+replays it row-for-row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+
+@dataclass
+class PathResult:
+    path: DataFrame  # (step, vertex): step 0 = source .. length = target
+    tree: DataFrame  # (vertex, dist, pred) — the full predecessor tree
+    source: str
+    target: str
+    length: int
+    report: SuperstepReport
+
+
+def shortest_path_tree(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: str | None = None,
+    directed: bool = False,
+    max_iterations: int = 200,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_state: bool | None = None,
+) -> tuple[DataFrame, str, SuperstepReport]:
+    """BFS predecessor tree from ``source``: ``(vertex, dist, pred)``
+    for every reached vertex (``pred`` null at the source).  Same
+    conventions as :func:`plans.bfs.bfs_distances` (lexicographic-min
+    default source, unknown source fails fast)."""
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        vertices.unpersist()
+        empty = spark.createDataFrame([], "vertex string, dist long, pred string")
+        return empty, source or "", SuperstepReport(0, True)
+    if source is None:
+        source = vertices.agg(F.min("vertex")).first()[0]
+    elif vertices.filter(F.col("vertex") == source).count() == 0:
+        vertices.unpersist()
+        raise ValueError(f"path source {source!r} is not a vertex of the graph")
+    adj = (
+        edges.select("src_id", "dst_id").filter(F.col("src_id") != F.col("dst_id")).distinct()
+        if directed
+        else symmetrize(edges)
+    ).repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    eagg = adj.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ).first()
+    m, edge_fp = int(eagg["m"]), int(eagg["edge_fp"] or 0)
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        frontier = state.filter(F.col("delta") > 0).select("vertex", "dist")
+        nbr = (
+            adj.join(_mb(frontier), adj.src_id == F.col("vertex"))
+            .groupBy(F.col("dst_id").alias("vertex"))
+            .agg(
+                F.min(F.col("dist") + F.lit(1)).alias("nbr_dist"),
+                # layered invariant: every candidate this round sits at
+                # the same (first-reach) depth, so min-id IS the
+                # deterministic predecessor choice
+                F.min(F.col("src_id")).alias("nbr_pred"),
+            )
+        )
+        old = state.select(
+            "vertex", F.col("dist").alias("_od"), F.col("pred").alias("_op")
+        )
+        fresh = F.col("_od").isNull() & F.col("nbr_dist").isNotNull()
+        new = old.join(nbr, "vertex", "full_outer").select(
+            "vertex",
+            F.coalesce(F.col("_od"), F.col("nbr_dist")).cast("long").alias("dist"),
+            F.when(F.col("_od").isNotNull(), F.col("_op"))
+            .otherwise(F.col("nbr_pred"))
+            .alias("pred"),
+            fresh.cast("long").alias("delta"),
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = spark.createDataFrame([(source,)], "vertex string").select(
+        "vertex",
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(None).cast("string").alias("pred"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n, "n_edges": m, "edge_fp": edge_fp,
+                "source": source, "directed": directed,
+                "kernel": "shortest_path_tree",
+            },
+        )
+        tree = final.select("vertex", "dist", "pred")
+    finally:
+        adj.unpersist()
+        vertices.unpersist()
+    return tree, source, report
+
+
+def shortest_path(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: str | None = None,
+    target: str | None = None,
+    directed: bool = False,
+    max_iterations: int = 200,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> PathResult:
+    """One shortest path ``source -> target`` as ``(step, vertex)``
+    rows (step 0 = source).  ``target=None`` picks the FARTHEST reached
+    vertex (ties -> min id) — the eccentricity witness.  Raises when
+    ``target`` is unreached/unknown."""
+    tree, src, report = shortest_path_tree(
+        spark, edges, source=source, directed=directed,
+        max_iterations=max_iterations, store=store, resume=resume,
+    )
+    if target is None:
+        row = tree.orderBy(F.desc("dist"), F.asc("vertex")).first()
+        if row is None:
+            raise ValueError("empty graph: no path to extract")
+        target, length = row["vertex"], int(row["dist"])
+    else:
+        row = tree.filter(F.col("vertex") == target).first()
+        if row is None:
+            raise ValueError(
+                f"target {target!r} is not reachable from {src!r}"
+            )
+        length = int(row["dist"])
+    # walk parent pointers: L single-row joins, all distributed, one
+    # plan; localCheckpoint every 8 hops bounds lineage depth
+    cur = tree.filter(F.col("vertex") == target).select(
+        F.col("dist").cast("long").alias("step"), "vertex"
+    )
+    frames = [cur]
+    parents = tree.select(F.col("vertex"), F.col("pred"))
+    for hop in range(length):
+        cur = (
+            cur.join(parents, "vertex")
+            .filter(F.col("pred").isNotNull())
+            .select((F.col("step") - 1).alias("step"), F.col("pred").alias("vertex"))
+        )
+        if (hop + 1) % 8 == 0:
+            cur = cur.localCheckpoint(eager=True)
+        frames.append(cur)
+    path = reduce(DataFrame.unionByName, frames).select("step", "vertex")
+    return PathResult(path, tree, src, target, length, report)

@@ -1,0 +1,71 @@
+"""Shortest-path reconstruction (plans/paths.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+#   a - b - d - f
+#    \  |       |
+#     c +-- e - g      (two a->...->f routes; min-id preds disambiguate)
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+    ("d", "f"), ("b", "e"), ("e", "g"), ("f", "g"),
+]
+
+
+def _path(spark, **kw):
+    from arxiv_citation_graph_spark.plans.paths import shortest_path
+
+    df = spark.createDataFrame(EDGES, ["src_id", "dst_id"])
+    return shortest_path(spark, df, **kw)
+
+
+def test_path_is_a_real_shortest_path(spark):
+    res = _path(spark, source="a", target="f")
+    steps = {r.step: r.vertex for r in res.path.collect()}
+    assert res.length == 3 and len(steps) == 4
+    assert steps[0] == "a" and steps[3] == "f"
+    # every consecutive pair is an edge
+    und = {frozenset(e) for e in EDGES}
+    for i in range(3):
+        assert frozenset((steps[i], steps[i + 1])) in und
+    # deterministic min-id predecessors: a-b-d-f (not a-b-e-g-f)
+    assert [steps[i] for i in range(4)] == ["a", "b", "d", "f"]
+
+
+def test_default_target_is_eccentricity_witness(spark):
+    res = _path(spark, source="a")
+    # distances from a: b/c=1, d/e=2, f/g=3 -> farthest ties f,g -> min id f
+    assert res.target == "f" and res.length == 3
+
+
+def test_tree_preds_are_min_id_at_first_reach(spark):
+    from arxiv_citation_graph_spark.plans.paths import shortest_path_tree
+
+    df = spark.createDataFrame(EDGES, ["src_id", "dst_id"])
+    tree, src, report = shortest_path_tree(spark, df, source="a")
+    rows = {r.vertex: (r.dist, r.pred) for r in tree.collect()}
+    assert rows["a"] == (0, None)
+    assert rows["c"] == (1, "a")  # via a, not b (same depth, min id)
+    assert rows["g"][0] == 3 and rows["g"][1] == "e"  # e < f
+    assert report.converged
+
+
+def test_unreachable_and_unknown_targets_fail(spark):
+    from arxiv_citation_graph_spark.plans.paths import shortest_path
+
+    df = spark.createDataFrame(EDGES + [("x", "y")], ["src_id", "dst_id"])
+    with pytest.raises(ValueError, match="not reachable"):
+        shortest_path(spark, df, source="a", target="x")
+    with pytest.raises(ValueError, match="not a vertex"):
+        shortest_path(spark, df, source="zz")
+
+
+def test_directed_path_respects_orientation(spark):
+    from arxiv_citation_graph_spark.plans.paths import shortest_path
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src_id", "dst_id"]
+    )
+    res = shortest_path(spark, df, source="a", target="c", directed=True)
+    assert [r.vertex for r in res.path.orderBy("step").collect()] == ["a", "b", "c"]
