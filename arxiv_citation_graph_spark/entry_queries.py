@@ -161,6 +161,47 @@ def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temporal_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed temporal contact edges over the co-supply relation: a
+    contact (s_a -> s_b, t) exists when suppliers a and b both ship the
+    same part (quantity < 3 each) and b's shipment lands on epoch day
+    ``t`` — the information held by a can reach b no earlier than b's
+    own shipment.  Distinct (src, dst, t) triples; parallel contacts at
+    different days are distinct temporal edges (Wu et al. 2014
+    semantics, plans/temporalreach.py)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    l1 = li.filter(F.col("l_quantity") < 3).select(
+        "l_partkey", F.col("l_suppkey").alias("a")
+    )
+    l2 = li.filter(F.col("l_quantity") < 3).select(
+        "l_partkey", F.col("l_suppkey").alias("b"), "l_shipdate"
+    )
+    return (
+        l1.join(l2, "l_partkey")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.concat(F.lit("s"), F.col("a").cast("string")).alias("src_id"),
+            F.concat(F.lit("s"), F.col("b").cast("string")).alias("dst_id"),
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("t"),
+        )
+        .distinct()
+    )
+
+
+TEMPORAL_COSUPPLY_SQL = """
+SELECT DISTINCT 's' || CAST(l1.l_suppkey AS VARCHAR) AS src_id,
+                's' || CAST(l2.l_suppkey AS VARCHAR) AS dst_id,
+                CAST(date_diff('day', DATE '1970-01-01', l2.l_shipdate) AS BIGINT) AS t
+FROM lineitem l1
+JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey AND l1.l_suppkey <> l2.l_suppkey
+WHERE l1.l_quantity < 3 AND l2.l_quantity < 3
+"""
+
+
 # ===========================================================================
 # Scans / filters / projections (SURVEY.md §2.1-2.2)
 # ===========================================================================
@@ -2791,6 +2832,50 @@ def q_sssp_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     result = sssp_distances(spark, weighted_cosupply_edges(spark, sf_dir))
     return result.distances
+
+
+def _temporal_reach_unrolled_sql(rounds: int) -> str:
+    """Unrolled foremost-journey relaxation (plans/temporalreach.py) from
+    the lexicographic-min vertex at t0=0 over the directed temporal
+    co-supply contacts.  Dense per-round relaxation equals the engine's
+    frontier-delta supersteps round-for-round: arrival only decreases, a
+    non-improved vertex re-contributes only candidates already applied,
+    and the temporal predicate ``t >= arr(u)`` is monotone in ``arr`` —
+    so ``rounds`` >= the engine's convergence round suffices."""
+    sentinel = 1 << 40
+    ctes = [
+        f"ted AS MATERIALIZED ({TEMPORAL_COSUPPLY_SQL})",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM ted UNION SELECT dst_id FROM ted)",
+        "a0 AS MATERIALIZED (SELECT vertex, CASE WHEN vertex = (SELECT min(vertex) FROM verts) "
+        f"THEN 0 ELSE {sentinel} END AS arr FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT v.vertex, "
+            f"least(v.arr, coalesce(m.na, v.arr)) AS arr FROM a{p} v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, min(e.t) AS na FROM ted e "
+            f"JOIN a{p} l ON e.src_id = l.vertex "
+            f"WHERE l.arr < {sentinel} AND e.t >= l.arr "
+            f"GROUP BY e.dst_id) m ON v.vertex = m.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, CAST(arr AS BIGINT) AS arrival FROM a{rounds} WHERE arr < {sentinel}"
+    )
+
+
+@register("temporal_reachability", _temporal_reach_unrolled_sql(rounds=20))
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival temporal reachability (plans/temporalreach.py):
+    foremost-journey fixpoint from the lexicographic-min supplier at
+    t0=0 over time-stamped co-supply contacts — an edge can only extend
+    a journey that has already arrived at its tail (Wu et al. 2014)."""
+    from arxiv_citation_graph_spark.plans.temporalreach import earliest_arrival
+
+    result = earliest_arrival(spark, temporal_cosupply_edges(spark, sf_dir))
+    return result.arrivals
 
 
 def _landmarks_unrolled_sql(rounds: int, k: int) -> str:

@@ -1,0 +1,157 @@
+"""Temporal reachability — earliest-arrival over time-stamped edges.
+
+A temporal edge ``(u, v, t)`` can only extend a journey that has
+already REACHED ``u`` by time ``t`` (Wu et al. 2014, "Path problems in
+temporal graphs"): influence, contagion, and provenance questions that
+static reachability answers wrongly (a 2019 edge cannot forward
+something that arrives in 2021).  The foremost-journey fixpoint
+
+    arr(source) = t0;  arr(v) = min over edges (u, v, t), t >= arr(u),
+                                 of t
+
+is a Bellman-Ford-with-a-predicate: monotone, exact-integer, and
+convergent in at most |V| rounds (each round finalizes at least the
+earliest not-yet-final journey; ``max_iterations`` still guards).
+
+Plan shape per superstep (the SSSP template): temporal adjacency
+``(src, dst, t)`` cached and hash-partitioned once; the FRONTIER
+(vertices whose arrival improved last round) joins it with the
+``t >= arr`` predicate riding the join; one ``min(t)`` aggregate with
+map-side partials; one |V| merge keeping ``least``.  Timestamps are
+BIGINT (epoch seconds/days), so cross-engine comparison is
+bit-identical."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+
+@dataclass
+class TemporalReachResult:
+    arrivals: DataFrame  # (vertex, arrival) — reached vertices only
+    report: SuperstepReport
+    source: str
+    t0: int
+
+
+def earliest_arrival(
+    spark: SparkSession,
+    tedges: DataFrame,
+    source: str | None = None,
+    t0: int = 0,
+    time_col: str = "t",
+    max_iterations: int = 200,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_state: bool | None = None,
+) -> TemporalReachResult:
+    """Foremost-journey arrival times from ``source`` at start time
+    ``t0`` over ``tedges(src_id, dst_id, <time_col>)``.  Directed;
+    parallel edges keep every timestamp (each is a distinct contact).
+    ``source=None`` picks the lexicographic-min vertex.  Timestamps
+    must be non-null integers (fails fast) — the exactness contract."""
+    dt = dict(tedges.dtypes).get(time_col)
+    if dt is None:
+        raise ValueError(f"no {time_col!r} column in the temporal edge frame")
+    if dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"{time_col!r} must be an integer epoch column, got {dt} — "
+            "cast timestamps first (exactness contract)"
+        )
+    bad = tedges.filter(F.col(time_col).isNull()).count()
+    if bad:
+        raise ValueError(f"{bad} temporal edge(s) have a null {time_col!r}")
+    adj = tedges.select(
+        "src_id", "dst_id", F.col(time_col).cast("long").alias("t")
+    ).filter(F.col("src_id") != F.col("dst_id")).distinct()
+    adj = adj.repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    eagg = adj.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id, t))").alias("edge_fp"),
+    ).first()
+    m = int(eagg["m"])
+    if m == 0:
+        adj.unpersist()
+        empty = spark.createDataFrame([], "vertex string, arrival long")
+        return TemporalReachResult(empty, SuperstepReport(0, True), source or "", t0)
+    edge_fp = int(eagg["edge_fp"] or 0)
+    vertices = (
+        adj.select(F.col("src_id").alias("vertex"))
+        .unionByName(adj.select(F.col("dst_id").alias("vertex")))
+        .distinct()
+    ).cache()
+    n = vertices.count()
+    if source is None:
+        source = vertices.agg(F.min("vertex")).first()[0]
+    elif vertices.filter(F.col("vertex") == source).count() == 0:
+        adj.unpersist()
+        vertices.unpersist()
+        raise ValueError(f"source {source!r} is not a vertex of the graph")
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    UNREACHED = (1 << 62)
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        frontier = state.filter(F.col("delta") > 0).select("vertex", "arr")
+        cand = (
+            adj.join(_mb(frontier), adj.src_id == F.col("vertex"))
+            .filter(F.col("t") >= F.col("arr"))  # the temporal predicate
+            .groupBy(F.col("dst_id").alias("vertex"))
+            .agg(F.min("t").alias("cand"))
+        )
+        improved = F.col("cand").isNotNull() & (
+            F.col("cand") < F.coalesce(F.col("_old"), F.lit(UNREACHED))
+        )
+        new = (
+            state.select("vertex", F.col("arr").alias("_old"))
+            .join(cand, "vertex", "full_outer")
+            .select(
+                "vertex",
+                F.least(
+                    F.coalesce(F.col("_old"), F.lit(UNREACHED)),
+                    F.coalesce(F.col("cand"), F.lit(UNREACHED)),
+                ).cast("long").alias("arr"),
+                improved.cast("long").alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = spark.createDataFrame([(source,)], "vertex string").select(
+        "vertex", F.lit(int(t0)).cast("long").alias("arr"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n, "n_edges": m, "edge_fp": edge_fp,
+                "source": source, "t0": int(t0),
+                "kernel": "earliest_arrival",
+            },
+        )
+        arrivals = final.filter(F.col("arr") < UNREACHED).select(
+            "vertex", F.col("arr").alias("arrival")
+        )
+    finally:
+        adj.unpersist()
+        vertices.unpersist()
+    return TemporalReachResult(arrivals, report, source, int(t0))

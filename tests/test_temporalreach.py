@@ -1,0 +1,133 @@
+"""Temporal reachability (plans/temporalreach.py): foremost-journey
+fixpoint vs hand-solved fixtures, a driver-side differential oracle,
+validation, and resume-signature guards."""
+
+from __future__ import annotations
+
+import heapq
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.temporalreach import earliest_arrival
+
+SCHEMA = "src_id string, dst_id string, t long"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _arr(result):
+    return {r.vertex: r.arrival for r in result.arrivals.collect()}
+
+
+def _foremost(rows, source, t0=0):
+    """Driver-side earliest-arrival Dijkstra (Wu et al. 2014 §4.1)."""
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for u, v, t in rows:
+        if u != v:
+            adj.setdefault(u, []).append((v, t))
+    arr = {source: t0}
+    pq = [(t0, source)]
+    while pq:
+        a, u = heapq.heappop(pq)
+        if a > arr.get(u, float("inf")):
+            continue
+        for v, t in adj.get(u, []):
+            if t >= a and t < arr.get(v, float("inf")):
+                arr[v] = t
+                heapq.heappush(pq, (t, v))
+    return arr
+
+
+def test_temporal_semantics_differ_from_static_reachability(spark):
+    """The defining case: b->e departs at t=2 but the journey reaches b
+    only at t=5, so e is temporally unreachable even though a static BFS
+    reaches it; c prefers the LATER contact (t=7) because the earlier
+    one (t=3) departs before arrival at b."""
+    rows = [
+        ("a", "b", 5),
+        ("b", "c", 3),   # departs before arrival at b — unusable
+        ("b", "c", 7),   # the usable later contact
+        ("b", "e", 2),   # departs before arrival — e unreachable
+    ]
+    res = earliest_arrival(spark, _df(spark, rows), source="a")
+    assert _arr(res) == {"a": 0, "b": 5, "c": 7}
+    assert res.report.converged
+
+
+def test_waiting_is_allowed_at_vertices(spark):
+    """A journey may wait: arrive at b at t=1, take the t=100 contact."""
+    rows = [("a", "b", 1), ("b", "c", 100)]
+    res = earliest_arrival(spark, _df(spark, rows), source="a")
+    assert _arr(res) == {"a": 0, "b": 1, "c": 100}
+
+
+def test_t0_excludes_earlier_contacts(spark):
+    rows = [("a", "b", 3), ("a", "b", 9)]
+    res = earliest_arrival(spark, _df(spark, rows), source="a", t0=5)
+    assert _arr(res) == {"a": 5, "b": 9}
+
+
+def test_directed_parallel_contacts_keep_every_timestamp(spark):
+    """Earliest-arrival can need a non-minimal contact on an earlier
+    edge: taking a->b at t=4 (not t=1) is irrelevant here, but b->c at
+    t=6 only works because arrival at b is min(1,4)=1 <= 6; the reverse
+    direction c->a does not exist (directed)."""
+    rows = [("a", "b", 4), ("a", "b", 1), ("b", "c", 6)]
+    res = earliest_arrival(spark, _df(spark, rows), source="a")
+    assert _arr(res) == {"a": 0, "b": 1, "c": 6}
+    res_c = earliest_arrival(spark, _df(spark, rows), source="c")
+    assert _arr(res_c) == {"c": 0}
+
+
+def test_matches_driver_oracle_on_random_temporal_graph(spark):
+    """Differential oracle: 40-vertex deterministic pseudo-random
+    temporal graph vs driver-side earliest-arrival Dijkstra."""
+    import hashlib
+
+    rows = []
+    for i in range(400):
+        h = hashlib.md5(f"te{i}".encode()).hexdigest()
+        u = f"v{int(h[:4], 16) % 40}"
+        v = f"v{int(h[4:8], 16) % 40}"
+        t = int(h[8:12], 16) % 50
+        if u != v:
+            rows.append((u, v, t))
+    res = earliest_arrival(spark, _df(spark, rows), source="v0")
+    assert _arr(res) == _foremost(rows, "v0")
+    assert res.report.converged
+
+
+def test_rejects_non_integer_time_column(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1.5)], "src_id string, dst_id string, t double"
+    )
+    with pytest.raises(ValueError, match="integer epoch"):
+        earliest_arrival(spark, df, source="a")
+
+
+def test_rejects_null_timestamps_and_missing_source(spark):
+    df = _df(spark, [("a", "b", 1)]).unionByName(
+        spark.createDataFrame([("b", "c", None)], SCHEMA)
+    )
+    with pytest.raises(ValueError, match="null"):
+        earliest_arrival(spark, df, source="a")
+    with pytest.raises(ValueError, match="not a vertex"):
+        earliest_arrival(spark, _df(spark, [("a", "b", 1)]), source="zz")
+
+
+def test_resume_signature_covers_timestamps(spark, tmp_path):
+    """Changing only an edge's TIMESTAMP must refuse a stale resume —
+    the fingerprint hashes (src, dst, t), not just the static edges."""
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    rows = [("a", "b", 5), ("b", "c", 7)]
+    store = CheckpointStore(str(tmp_path / "ck"), "treach")
+    earliest_arrival(spark, _df(spark, rows), source="a", store=store)
+    shifted = [("a", "b", 5), ("b", "c", 8)]
+    with pytest.raises(Exception, match="signature|resume|mismatch"):
+        earliest_arrival(
+            spark, _df(spark, shifted), source="a", store=store, resume=True
+        )
