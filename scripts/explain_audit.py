@@ -493,6 +493,31 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.plans.temporalreach import earliest_arrival
+
+    cedges = tedges.select(
+        "src_id",
+        "dst_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("@", "src_id", "dst_id")), 1, 4), 16, 10
+            ).cast("long")
+            % 16
+        ).alias("t"),
+    )
+    plan = capture_superstep(lambda: earliest_arrival(spark, cedges, max_iterations=4))
+    sections.append(
+        (
+            "Temporal-reach superstep (iteration 1, foremost journey)",
+            "The SSSP frontier shape with the temporal predicate riding "
+            "the SAME join: improved-last-round frontier joins the cached "
+            "temporal adjacency filtered by t >= arr in-join (no second "
+            "pass), min(t) aggregates with map-side partials, one |V| "
+            f"merge keeps least(old, candidate).  [{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
     from arxiv_citation_graph_spark.plans.mis import maximal_independent_set
 
     plan = capture_superstep(lambda: maximal_independent_set(spark, tedges))
