@@ -6345,6 +6345,231 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Trainable corpus filter: logistic-style classifier (full-batch GD)
+# ===========================================================================
+# Distill the thresholded quality heuristic into a linear model — the
+# fastText-style filter a production corpus ships (operators/classifier.py).
+# The link is the ALGEBRAIC sigmoid 0.5 + z/(2*(1+|z|)) so every scalar op
+# is an exactly-rounded IEEE primitive (exp is only 1-ulp-accurate and
+# differs by engine); the oracle unrolls all GD iterations as CTEs.
+
+_CLF_ITERS = 8
+_CLF_LR = 0.5
+_CLF_L2 = 0.001
+_CLF_LABEL_THRESHOLD = 0.62  # quality_score >= this  =>  y = 1
+_CLF_FEATURES = ["x0", "x1", "x2", "x3", "x4"]
+
+#: feature + label CTE shared by all three classifier oracles; mirrors
+#: _classifier_features() arithmetic op-for-op (same division operands,
+#: same left-associative folds).
+_CLF_FEAT_CTE = rf"""
+feat AS MATERIALIZED (
+  SELECT doc_id,
+         1.0 AS x0,
+         stop AS x1,
+         len_sig AS x2,
+         mean_len / 10.0 AS x3,
+         punct AS x4,
+         CASE WHEN round(0.4 * least(stop * 5.0, 1.0) + 0.3 * len_sig
+                         + 0.3 * (CASE WHEN mean_len BETWEEN 3.0 AND 8.0
+                                       THEN 1.0 ELSE 0.5 END), 6)
+                   >= {_CLF_LABEL_THRESHOLD} THEN 1.0 ELSE 0.0 END AS y
+  FROM (
+    SELECT doc_id,
+           CAST(len(list_filter(ltoks, t -> t IN ('the','a','of','and','to')))
+                AS DOUBLE) / greatest(len(ltoks), 1) AS stop,
+           least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_sig,
+           CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                AS DOUBLE) / greatest(len(toks), 1) AS mean_len,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
+                 list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ltoks
+          FROM documents)
+  )
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat)"""
+
+
+def _clf_weight_ctes(iters: int, lr: float, l2: float) -> str:
+    """Unrolled GD: w0 = zero vector; per iteration one residual-sum
+    aggregate then the w update — the same Python-double arithmetic
+    train_logistic() performs on the driver."""
+    d = len(_CLF_FEATURES)
+    ctes = [
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(d))
+        + ")"
+    ]
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(d))
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"z{k} AS (SELECT f.*, ({dot}) AS z FROM feat f CROSS JOIN w{k - 1} w)"
+        )
+        sums = ", ".join(
+            f"sum(f.x{j} * ((0.5 + f.z / (2.0 * (1.0 + abs(f.z)))) - f.y)) AS s{j}"
+            for j in range(d)
+        )
+        ctes.append(f"g{k} AS (SELECT {sums} FROM z{k} f)")
+        upd = ", ".join(
+            f"w.w{j} - {lr!r} * (g.s{j} / n.n + {l2!r} * w.w{j}) AS w{j}"
+            for j in range(d)
+        )
+        ctes.append(
+            f"w{k} AS (SELECT {upd} FROM w{k - 1} w CROSS JOIN g{k} g CROSS JOIN nn n)"
+        )
+    return ",\n".join(ctes)
+
+
+def _clf_scores_cte(iters: int) -> str:
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(len(_CLF_FEATURES)))
+    return (
+        f"zf AS (SELECT f.doc_id, f.y, ({dot}) AS z "
+        f"FROM feat f CROSS JOIN w{iters} w),\n"
+        "scored AS (SELECT doc_id, CAST(y AS BIGINT) AS label, "
+        "round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS score FROM zf)"
+    )
+
+
+def _clf_weights_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, round(w{j}, 6) AS weight FROM w{_CLF_ITERS}"
+        for j, name in enumerate(_CLF_FEATURES)
+    )
+    return (
+        "WITH " + _CLF_FEAT_CTE + ",\n"
+        + _clf_weight_ctes(_CLF_ITERS, _CLF_LR, _CLF_L2)
+        + f"\n{rows}"
+    )
+
+
+def _clf_scores_sql() -> str:
+    return (
+        "WITH " + _CLF_FEAT_CTE + ",\n"
+        + _clf_weight_ctes(_CLF_ITERS, _CLF_LR, _CLF_L2) + ",\n"
+        + _clf_scores_cte(_CLF_ITERS)
+        + """
+SELECT doc_id, score, label,
+       CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred
+FROM scored"""
+    )
+
+
+def _clf_pr_curve_sql() -> str:
+    return (
+        "WITH " + _CLF_FEAT_CTE + ",\n"
+        + _clf_weight_ctes(_CLF_ITERS, _CLF_LR, _CLF_L2) + ",\n"
+        + _clf_scores_cte(_CLF_ITERS)
+        + """,
+per AS (SELECT score AS threshold, sum(label) AS pos, count(*) AS cnt
+        FROM scored GROUP BY score),
+tot AS (SELECT sum(pos) AS p FROM per),
+cum AS (SELECT threshold,
+               sum(pos) OVER w AS tp,
+               sum(cnt) OVER w - sum(pos) OVER w AS fp
+        FROM per
+        WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING))
+SELECT threshold, tp, fp,
+       (SELECT p FROM tot) - tp AS fn,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 7) AS precision,
+       round(CAST(tp AS DOUBLE) / greatest((SELECT p FROM tot), 1), 7) AS recall
+FROM cum"""
+    )
+
+
+def _classifier_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x0..x4, y): intercept, en-stopword ratio, length signal,
+    scaled mean token length, punctuation density; label = thresholded
+    quality heuristic.  Every feature is a ratio of small integers (one
+    exactly-rounded IEEE divide), so both engines hold identical doubles."""
+    from arxiv_citation_graph_spark.functions.texttools import quality_score, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    ltoks = tokens(F.lower(F.col("text")))
+    stopwords = ["the", "a", "of", "and", "to"]
+    hits = F.size(F.filter(ltoks, lambda t: t.isin(stopwords)))
+    stop = hits / F.greatest(F.size(ltoks), F.lit(1))
+    len_sig = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+    punct = F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9 ]")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    y = (quality_score(F.col("text")) >= F.lit(_CLF_LABEL_THRESHOLD)).cast("double")
+    return docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        stop.alias("x1"),
+        len_sig.alias("x2"),
+        (mean_len / F.lit(10.0)).alias("x3"),
+        punct.alias("x4"),
+        y.alias("y"),
+    )
+
+
+def _train_doc_classifier(spark: SparkSession, sf_dir: str):
+    from arxiv_citation_graph_spark.operators.classifier import train_logistic
+
+    feats = _classifier_features(spark, sf_dir)
+    model = train_logistic(
+        feats,
+        _CLF_FEATURES,
+        "y",
+        iterations=_CLF_ITERS,
+        lr=_CLF_LR,
+        l2=_CLF_L2,
+    )
+    return feats, model
+
+
+@register("logistic_quality_weights", _clf_weights_sql())
+def q_logistic_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the distilled quality filter (full-batch GD, algebraic
+    sigmoid — operators/classifier.py) and report the learned weights.
+    The oracle replays every gradient step as an unrolled CTE; weights
+    match to 6 decimals (reduction-order noise ~1e-13)."""
+    _, model = _train_doc_classifier(spark, sf_dir)
+    rows = [(name, float(w)) for name, w in zip(model.feature_names, model.weights)]
+    out = spark.createDataFrame(rows, "feature string, weight double")
+    return out.select("feature", F.round("weight", 6).alias("weight"))
+
+
+@register("logistic_quality_scores", _clf_scores_sql())
+def q_logistic_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the trained filter: one scan, one
+    whole-stage-codegen'd arithmetic expression per row — the shape a
+    100 TB scoring pass wants (model broadcast as literals)."""
+    feats, model = _train_doc_classifier(spark, sf_dir)
+    score = F.round(model.score(feats), 6)
+    return feats.select(
+        "doc_id",
+        score.alias("score"),
+        F.col("y").cast("long").alias("label"),
+        F.when(score >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("pred"),
+    )
+
+
+@register("classifier_pr_curve", _clf_pr_curve_sql())
+def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep of the trained filter: precision/recall at every
+    distinct score (operators/classifier.py::pr_curve).  Exact-integer
+    cumulative TP/FP; the window frame is bounded by the SCORE
+    GRANULARITY (scores are rounded to 6 decimals before the sweep),
+    never by corpus size."""
+    from arxiv_citation_graph_spark.operators.classifier import pr_curve
+
+    feats, model = _train_doc_classifier(spark, sf_dir)
+    scored = feats.select(
+        F.round(model.score(feats), 6).alias("score"),
+        F.col("y").cast("long").alias("label"),
+    )
+    return pr_curve(scored, "score", "label")
+
+
+# ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================
 # The driver samples registry entries in insertion order and caps at ~50

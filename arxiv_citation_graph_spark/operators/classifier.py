@@ -1,0 +1,206 @@
+"""Distributed linear-classifier training for corpus filtering.
+
+The standard LLM-training-data move: distill an expensive or heuristic
+quality judgment into a tiny linear model, then score every document
+with one pass (the fastText-style quality filter, Joulin et al. 2017's
+shape).  The trainer here is full-batch gradient descent on a
+logistic-style objective, expressed as ONE DataFrame aggregate per
+iteration: each step is a single scan producing ``d+1`` partial sums
+(map-side combined into one d-wide row), the weight vector is
+model-sized driver state, and no per-row data ever shuffles — the
+per-iteration cost at 100 TB is a scan plus a d-double reduce, the
+same all-reduce shape a parameter server would run.
+
+Cross-engine determinism (the repo-wide contract that DuckDB oracles
+replay runs bit-for-bit modulo reduction order): the link function is
+the ALGEBRAIC sigmoid
+
+    p(z) = 0.5 + z / (2 * (1 + |z|))
+
+(Elliott 1993's ``z/(1+|z|)`` activation rescaled to (0, 1)) — built
+only from ``+ * / abs``, all exactly-rounded IEEE-754 primitives, so
+both engines produce the identical double for every row.  ``exp`` is
+NOT exactly rounded (Java's Math.exp and libm differ at 1 ulp), which
+is why the true logistic link is avoided — the same reason
+``plans/walks.py`` computes the 0.75 power as ``sqrt(x*sqrt(x))``.
+The gradient uses the cross-entropy residual ``(p - y)``; with the
+algebraic link this is a quasi-gradient scheme that converges to a
+separating direction just like the logistic one.  The only
+cross-engine noise is summation ORDER in the gradient reduce
+(~1e-15 relative per step), absorbed by rounding reported weights.
+
+The reference has no trainable filter of any kind (its only quality
+gate is the ``len > 30`` bibitem heuristic, ``create_database.py:551``);
+this generalizes the engine's deterministic ``quality_score`` tier
+into the model-based filter a production corpus actually ships.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hard cap on feature-vector width: the weight vector is collected to
+#: the driver once per iteration, so it must stay model-sized.
+MAX_FEATURES = 64
+
+
+def fast_sigmoid(z: Column) -> Column:
+    """Algebraic sigmoid ``0.5 + z / (2 * (1 + |z|))`` — range (0, 1),
+    monotone, and composed only of exactly-rounded IEEE ops so Spark
+    and DuckDB agree bit-for-bit on every row."""
+    return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+
+@dataclass(frozen=True)
+class LogisticModel:
+    """Trained weights plus the exact hyperparameters that produced
+    them (the resume/replay fingerprint: same inputs + same params =
+    same weights, which is what the oracle asserts)."""
+
+    feature_names: tuple[str, ...]
+    weights: tuple[float, ...]
+    iterations: int
+    lr: float
+    l2: float
+    n_rows: int
+
+    def score(self, df: DataFrame) -> Column:
+        """Scoring expression for ``df`` carrying the feature columns."""
+        return fast_sigmoid(_dot(self.weights, self.feature_names))
+
+
+def _dot(weights, feature_cols) -> Column:
+    """``w0*x0 + w1*x1 + ...`` folded LEFT-ASSOCIATIVELY — the same
+    association the SQL oracle's ``+`` chain parses to, so the partial
+    sums round identically."""
+    acc = F.lit(float(weights[0])) * F.col(feature_cols[0])
+    for w, c in zip(weights[1:], feature_cols[1:]):
+        acc = acc + F.lit(float(w)) * F.col(c)
+    return acc
+
+
+def train_logistic(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    iterations: int = 8,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> LogisticModel:
+    """Full-batch GD from ``w = 0``: per iteration one aggregate of
+    ``sum(x_j * (p - y))`` for every feature (plus nothing else — n is
+    counted once up front), then the driver applies
+
+        w_j <- w_j - lr * (g_j / n + l2 * w_j)
+
+    in plain Python doubles, the same IEEE ops the oracle's unrolled
+    CTE chain performs.  Fails fast on NaN/null features and labels
+    outside {0, 1} (one validation aggregate before the loop).
+    """
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("train_logistic: need at least one feature column")
+    if d > MAX_FEATURES:
+        raise ValueError(
+            f"train_logistic: {d} features > MAX_FEATURES={MAX_FEATURES}; "
+            "the weight vector must stay model-sized (driver-collected "
+            "once per iteration)"
+        )
+    if iterations < 1:
+        raise ValueError("train_logistic: iterations must be >= 1")
+
+    feats = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("_y"),
+    ).cache()
+    try:
+        bad_feature = F.lit(False)
+        for c in feature_cols:
+            bad_feature = bad_feature | F.col(c).isNull() | F.isnan(c)
+        bad_label = (
+            F.col("_y").isNull() | F.isnan("_y") | ~F.col("_y").isin(0.0, 1.0)
+        )
+        check = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(bad_feature.cast("long")).alias("bad_x"),
+            F.sum(bad_label.cast("long")).alias("bad_y"),
+        ).first()
+        n = int(check["n"])
+        if n == 0:
+            raise ValueError("train_logistic: empty training frame")
+        if check["bad_x"]:
+            raise ValueError(
+                f"train_logistic: {check['bad_x']} rows carry null/NaN "
+                "features — clean them upstream (this trainer is "
+                "deterministic and refuses silent imputation)"
+            )
+        if check["bad_y"]:
+            raise ValueError(
+                f"train_logistic: {check['bad_y']} rows have labels "
+                "outside {0, 1}"
+            )
+
+        w = [0.0] * d
+        for _ in range(iterations):
+            resid = fast_sigmoid(_dot(w, feature_cols)) - F.col("_y")
+            row = feats.agg(
+                *[F.sum(F.col(c) * resid).alias(f"g{j}") for j, c in enumerate(feature_cols)]
+            ).first()
+            w = [
+                w[j] - lr * (float(row[f"g{j}"]) / n + l2 * w[j])
+                for j in range(d)
+            ]
+    finally:
+        feats.unpersist()
+
+    return LogisticModel(
+        feature_names=tuple(feature_cols),
+        weights=tuple(w),
+        iterations=iterations,
+        lr=lr,
+        l2=l2,
+        n_rows=n,
+    )
+
+
+def pr_curve(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Precision/recall at every distinct score threshold (sweep the
+    operating point of the trained filter).
+
+    Exact-integer until the final divisions: group rows by score value,
+    take cumulative TP/FP over thresholds in DESCENDING score order
+    (a window over the distinct-score frame — bounded by the number of
+    distinct scores, not |corpus|, so the window never sees row-scale
+    data), then ``precision = tp/(tp+fp)``, ``recall = tp/(tp+fn)``.
+    """
+    from pyspark.sql import Window
+
+    per_score = scored.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    total_pos = per_score.agg(F.sum("pos").alias("p")).first()["p"] or 0
+    win = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        "threshold",
+        F.sum("pos").over(win).alias("tp"),
+        (F.sum("cnt").over(win) - F.sum("pos").over(win)).alias("fp"),
+    )
+    return cum.select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.lit(int(total_pos)) - F.col("tp")).alias("fn"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 7).alias("precision"),
+        F.round(
+            F.col("tp") / F.greatest(F.lit(int(total_pos)), F.lit(1)), 7
+        ).alias("recall"),
+    )

@@ -1,0 +1,115 @@
+"""Trainable corpus filter (operators/classifier.py): full-batch GD
+logistic-style training, scoring, and the PR-curve threshold sweep."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.operators.classifier import (
+    MAX_FEATURES,
+    LogisticModel,
+    fast_sigmoid,
+    pr_curve,
+    train_logistic,
+)
+
+
+def _toy(spark, rows):
+    return spark.createDataFrame(rows, "x0 double, x1 double, y double")
+
+
+def test_fast_sigmoid_matches_algebraic_formula(spark):
+    vals = [-10.0, -1.5, -0.25, 0.0, 0.25, 1.5, 10.0]
+    df = spark.createDataFrame([(v,) for v in vals], "z double")
+    got = [r["p"] for r in df.select(fast_sigmoid(F.col("z")).alias("p")).collect()]
+    for v, p in zip(vals, got):
+        assert p == 0.5 + v / (2.0 * (1.0 + abs(v)))  # bit-exact IEEE ops
+        assert 0.0 < p < 1.0
+
+
+def test_learns_separable_boundary(spark):
+    # y = 1 iff x1 > 0.5; intercept + x1 separate it linearly
+    rows = [(1.0, i / 20.0, 1.0 if i / 20.0 > 0.5 else 0.0) for i in range(21)]
+    model = train_logistic(
+        _toy(spark, rows), ["x0", "x1"], "y", iterations=40, lr=2.0, l2=0.0
+    )
+    assert model.weights[1] > 0  # score increases with x1
+    scored = _toy(spark, rows).select(
+        "y", (model.score(_toy(spark, rows)) >= 0.5).cast("int").alias("pred")
+    )
+    acc = scored.filter(F.col("pred") == F.col("y").cast("int")).count() / 21
+    assert acc >= 0.9
+    assert model.n_rows == 21
+    assert isinstance(model, LogisticModel)
+
+
+def test_training_is_deterministic(spark):
+    rows = [(1.0, i / 10.0, float(i % 2)) for i in range(30)]
+    m1 = train_logistic(_toy(spark, rows), ["x0", "x1"], "y", iterations=5)
+    m2 = train_logistic(_toy(spark, rows), ["x0", "x1"], "y", iterations=5)
+    assert m1.weights == m2.weights  # bit-identical re-run
+
+
+def test_rejects_nan_features_and_bad_labels(spark):
+    with pytest.raises(ValueError, match="null/NaN"):
+        train_logistic(
+            _toy(spark, [(1.0, float("nan"), 0.0)]), ["x0", "x1"], "y", iterations=1
+        )
+    with pytest.raises(ValueError, match="labels"):
+        train_logistic(
+            _toy(spark, [(1.0, 0.5, 2.0)]), ["x0", "x1"], "y", iterations=1
+        )
+    with pytest.raises(ValueError, match="empty"):
+        train_logistic(
+            _toy(spark, [(1.0, 0.5, 1.0)]).filter(F.lit(False)),
+            ["x0", "x1"],
+            "y",
+            iterations=1,
+        )
+
+
+def test_rejects_unbounded_feature_width(spark):
+    cols = [f"x{j}" for j in range(MAX_FEATURES + 1)]
+    df = spark.createDataFrame(
+        [tuple([1.0] * (MAX_FEATURES + 2))],
+        ", ".join(f"{c} double" for c in cols) + ", y double",
+    )
+    with pytest.raises(ValueError, match="MAX_FEATURES"):
+        train_logistic(df, cols, "y", iterations=1)
+
+
+def test_pr_curve_exact_on_hand_fixture(spark):
+    # scores: 0.9(y1) 0.8(y0) 0.7(y1) 0.7(y1) 0.6(y0)  -> 3 positives
+    rows = [(0.9, 1), (0.8, 0), (0.7, 1), (0.7, 1), (0.6, 0)]
+    df = spark.createDataFrame(rows, "score double, label long")
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["precision"], r["recall"])
+        for r in pr_curve(df, "score", "label").collect()
+    }
+    assert got[0.9] == (1, 0, 2, 1.0, round(1 / 3, 7))
+    assert got[0.8] == (1, 1, 2, 0.5, round(1 / 3, 7))
+    assert got[0.7] == (3, 1, 0, 0.75, 1.0)
+    assert got[0.6] == (3, 2, 0, 0.6, 1.0)
+
+
+def test_distilled_filter_beats_majority_class(spark):
+    """End-to-end on the driver tables: the distilled quality filter must
+    actually learn the heuristic band, not collapse to the intercept."""
+    from arxiv_citation_graph_spark.entry_queries import (
+        _CLF_FEATURES,
+        _classifier_features,
+        _train_doc_classifier,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    feats, model = _train_doc_classifier(spark, sf_dir)
+    assert len(model.weights) == len(_CLF_FEATURES)
+    scored = feats.select(
+        "y", (model.score(feats) >= 0.5).cast("double").alias("pred")
+    )
+    n = scored.count()
+    acc = scored.filter(F.col("pred") == F.col("y")).count() / n
+    pos_rate = feats.agg(F.avg("y")).first()[0]
+    majority = max(pos_rate, 1 - pos_rate)
+    assert acc > majority + 0.05, (acc, majority)
