@@ -5426,6 +5426,24 @@ def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, eval_df, "doc_id", "text", min_overlap=3)
 
 
+@register("contamination_flags_bloom", _contamination_sql(min_overlap=3))
+def q_contamination_flags_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via the broadcast Bloom prefilter
+    (operators/dedup.py::contamination_flags_bloom): corpus shingles are
+    screened map-side against an m-bit bitmap of the eval set's shingles
+    before the exact overlap join — same rows as contamination_flags
+    (the oracle IS the exact path's SQL), contamination-sized shuffle
+    instead of corpus-sized."""
+    from arxiv_citation_graph_spark.operators.dedup import contamination_flags_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % _EVAL_SPLIT_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _EVAL_SPLIT_MOD != 0)
+    return contamination_flags_bloom(
+        spark, corpus, eval_df, "doc_id", "text", min_overlap=3
+    )
+
+
 # ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================

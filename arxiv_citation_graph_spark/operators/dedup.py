@@ -605,6 +605,119 @@ def contamination_flags(
     )
 
 
+#: bitmap-size ceiling for the Bloom prefilter: 2^26 bits = 8 MiB of
+#: driver/broadcast state — comfortably model-sized, never row-scale.
+MAX_BLOOM_BITS = 1 << 26
+
+
+def _bloom_probe_hashes(col: Column, m_bits: int, n_hashes: int) -> list[Column]:
+    """Kirsch-Mitzenmacher double hashing: position_i = (h1 + i*h2) % m
+    with h1/h2 carved from one md5 (the repo's portable-hash convention)
+    — both engines and both build/probe sides derive identical bits."""
+    digest = F.md5(col)
+    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).cast("long")
+        for i in range(n_hashes)
+    ]
+
+
+def contamination_flags_bloom(
+    spark,
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    min_overlap: int = 3,
+    shingle_k: int = 3,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """``contamination_flags`` with a broadcast Bloom prefilter — SAME
+    RESULT, different 100 TB plan: corpus-side shingles are screened
+    map-side against an ``m_bits``-bit bitmap of the eval set's shingles
+    before any join, so the exact overlap join only ever sees the
+    (tiny) contaminated-ish fraction of corpus shingles instead of all
+    of them.  Bloom filters admit false positives but never false
+    negatives, and every survivor is re-checked by the exact shingle
+    equi-join, so the output is row-for-row identical to the exact
+    operator (the driver oracle for both IS the same SQL).
+
+    Plan shape: build = one aggregation of the eval shingles into
+    ``m_bits/64`` (word, bits) rows (map-side ``bit_or`` partials);
+    the dense bitmap is collected (bounded by ``MAX_BLOOM_BITS`` = 8 MiB,
+    model-sized like the k-means centroids in simsearch.py) and rides a
+    broadcast 1-row array column; probe = pure column arithmetic inside
+    the corpus scan's codegen stage.  At 10^12 files the corpus scan
+    emits survivors only — the shuffle is contamination-sized, not
+    corpus-sized.
+    """
+    eval_id_col = eval_id_col or id_col
+    eval_text_col = eval_text_col or text_col
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    if not 64 <= m_bits <= MAX_BLOOM_BITS:
+        raise ValueError(
+            f"m_bits must be in [64, {MAX_BLOOM_BITS}] (the bitmap is "
+            f"driver-collected + broadcast), got {m_bits}"
+        )
+    if not 1 <= n_hashes <= 8:
+        raise ValueError(f"n_hashes must be in [1, 8], got {n_hashes}")
+
+    eval_sh = eval_df.select(
+        F.col(eval_id_col).alias("eval_doc"),
+        F.explode(word_shingles(F.col(eval_text_col), shingle_k)).alias("shingle"),
+    )
+
+    # --- build: eval shingles -> (word, bits) -> dense broadcast array ---
+    pos = F.explode(
+        F.array(*_bloom_probe_hashes(F.col("shingle"), m_bits, n_hashes))
+    ).alias("pos")
+    words = (
+        eval_sh.select("shingle").distinct().select(pos)
+        .groupBy(F.expr("CAST(pos DIV 64 AS BIGINT)").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").alias(
+                "bits"
+            )
+        )
+        .collect()
+    )
+    n_words = (m_bits + 63) // 64
+    dense = [0] * n_words
+    for row in words:
+        dense[int(row["word"])] = int(row["bits"])
+    bitmap = F.broadcast(
+        spark.createDataFrame([(dense,)], "bloom_bits array<bigint>")
+    )
+
+    # --- probe: map-side screen inside the corpus scan ---
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    ).crossJoin(bitmap)
+    for i, p in enumerate(_bloom_probe_hashes(F.col("shingle"), m_bits, n_hashes)):
+        corpus_sh = corpus_sh.withColumn(f"_bp{i}", p)
+    passes = F.lit(True)
+    for i in range(n_hashes):
+        passes = passes & F.expr(
+            f"(shiftright(element_at(bloom_bits, CAST(_bp{i} DIV 64 AS INT) + 1), "
+            f"CAST(_bp{i} % 64 AS INT)) & 1) = 1"
+        )
+    survivors = corpus_sh.filter(passes).select("doc", "shingle")
+
+    # --- exact verify: false positives die here; result == exact path ---
+    return (
+        survivors.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
 def substring_dup_pairs(
     df: DataFrame,
     id_col: str,

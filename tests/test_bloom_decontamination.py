@@ -1,0 +1,88 @@
+"""Bloom-prefiltered decontamination must be row-identical to the exact
+path — false positives die in the exact verify join, false negatives
+are impossible (same hash family builds and probes the bitmap)."""
+
+from __future__ import annotations
+
+import pytest
+
+from arxiv_citation_graph_spark.operators.dedup import (
+    MAX_BLOOM_BITS,
+    contamination_flags,
+    contamination_flags_bloom,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+CORPUS = [
+    ("c1", "alpha beta gamma delta epsilon zeta"),   # shares 4 shingles with e1
+    ("c2", "alpha beta gamma nothing else here"),    # shares 1 shingle with e1
+    ("c3", "totally unrelated words in this doc"),
+    ("c4", "alpha beta gamma delta epsilon eta"),    # shares 3 shingles with e1
+]
+EVAL = [("e1", "alpha beta gamma delta epsilon zeta theta")]
+
+
+def _flags(df):
+    return {(r["doc"], r["eval_doc"]): r["n_shared"] for r in df.collect()}
+
+
+def test_bloom_matches_exact_on_planted_contamination(spark):
+    corpus, eval_df = _docs(spark, CORPUS), _docs(spark, EVAL)
+    exact = _flags(
+        contamination_flags(corpus, eval_df, "doc_id", "text", min_overlap=3)
+    )
+    bloom = _flags(
+        contamination_flags_bloom(
+            spark, corpus, eval_df, "doc_id", "text", min_overlap=3
+        )
+    )
+    assert exact == bloom
+    assert ("c1", "e1") in bloom and ("c4", "e1") in bloom
+    assert ("c2", "e1") not in bloom and ("c3", "e1") not in bloom
+
+
+def test_tiny_bitmap_forces_false_positives_result_still_exact(spark):
+    """m_bits=64 saturates the bitmap, so nearly every corpus shingle
+    passes the screen — the exact verify must still produce identical
+    rows (this is the correctness-under-collision property)."""
+    corpus, eval_df = _docs(spark, CORPUS), _docs(spark, EVAL)
+    exact = _flags(
+        contamination_flags(corpus, eval_df, "doc_id", "text", min_overlap=1)
+    )
+    bloom = _flags(
+        contamination_flags_bloom(
+            spark, corpus, eval_df, "doc_id", "text", min_overlap=1, m_bits=64
+        )
+    )
+    assert exact == bloom
+
+
+def test_empty_eval_set_flags_nothing(spark):
+    corpus = _docs(spark, CORPUS)
+    eval_df = _docs(spark, EVAL).filter("doc_id = 'nope'")
+    out = contamination_flags_bloom(
+        spark, corpus, eval_df, "doc_id", "text", min_overlap=1
+    )
+    assert out.count() == 0
+
+
+def test_guards(spark):
+    corpus, eval_df = _docs(spark, CORPUS), _docs(spark, EVAL)
+    with pytest.raises(ValueError, match="m_bits"):
+        contamination_flags_bloom(
+            spark, corpus, eval_df, "doc_id", "text", m_bits=MAX_BLOOM_BITS * 2
+        )
+    with pytest.raises(ValueError, match="m_bits"):
+        contamination_flags_bloom(spark, corpus, eval_df, "doc_id", "text", m_bits=32)
+    with pytest.raises(ValueError, match="n_hashes"):
+        contamination_flags_bloom(
+            spark, corpus, eval_df, "doc_id", "text", n_hashes=0
+        )
+    with pytest.raises(ValueError, match="min_overlap"):
+        contamination_flags_bloom(
+            spark, corpus, eval_df, "doc_id", "text", min_overlap=0
+        )
