@@ -6363,6 +6363,92 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Z-order write layout (Morton keys for two-dimensional file pruning)
+# ===========================================================================
+
+_ZORDER_BUCKET_BITS = 4
+
+
+def _zorder_interleave_sql(qx: str, qy: str) -> str:
+    from arxiv_citation_graph_spark.operators.zorder import QUANT_BITS
+
+    terms = []
+    for i in range(QUANT_BITS):
+        terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _zorder_base_sql() -> str:
+    """Shared CTE chain: events keyed on (user_id, epoch-seconds) — the
+    classic entity-by-time layout pair — quantized by exact integer
+    division, interleaved into the Morton key."""
+    return f"""
+base AS MATERIALIZED (
+  SELECT event_id, CAST(user_id AS BIGINT) AS x,
+         CAST(floor(epoch(ts)) AS BIGINT) AS y
+  FROM events),
+st AS (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+       FROM base),
+q AS (SELECT event_id, x, y,
+             (x - xmin) * 65535 // greatest(xmax - xmin, 1) AS qx,
+             (y - ymin) * 65535 // greatest(ymax - ymin, 1) AS qy
+      FROM base CROSS JOIN st),
+k AS (SELECT event_id, x, y,
+             {_zorder_interleave_sql('qx', 'qy')} AS zkey
+      FROM q)"""
+
+
+@register(
+    "zorder_keys",
+    "WITH "
+    + _zorder_base_sql()
+    + f"""
+SELECT event_id, zkey, zkey >> {32 - _ZORDER_BUCKET_BITS} AS zbucket FROM k""",
+)
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton write-layout key per event (operators/zorder.py): exact
+    integer quantization of (user_id, epoch-seconds) + bit interleave.
+    Range-partitioning the write on zkey makes every file's min/max
+    tight on BOTH user and time, so scans filtered on either prune."""
+    from arxiv_citation_graph_spark.operators.zorder import zorder_layout
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("zx"),
+        F.unix_timestamp("ts").alias("zy"),
+    )
+    return zorder_layout(ev, "zx", "zy", bucket_bits=_ZORDER_BUCKET_BITS).select(
+        "event_id", "zkey", "zbucket"
+    )
+
+
+@register(
+    "zorder_bucket_stats",
+    "WITH "
+    + _zorder_base_sql()
+    + f"""
+SELECT zkey >> {32 - _ZORDER_BUCKET_BITS} AS zbucket,
+       count(*) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM k GROUP BY 1""",
+)
+def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Morton-bucket row count + min/max of both dimensions — the
+    file-stats view a scan planner prunes on; tight two-dimensional
+    ranges per bucket are the point of the layout."""
+    from arxiv_citation_graph_spark.operators.zorder import zorder_bucket_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("zx"),
+        F.unix_timestamp("ts").alias("zy"),
+    )
+    return zorder_bucket_stats(ev, "zx", "zy", bucket_bits=_ZORDER_BUCKET_BITS)
+
+
+# ===========================================================================
 # Trainable corpus filter: logistic-style classifier (full-batch GD)
 # ===========================================================================
 # Distill the thresholded quality heuristic into a linear model — the

@@ -1,0 +1,148 @@
+"""Z-order (Morton-curve) write layout for multi-dimensional pruning.
+
+At 100 TB the dominant scan cost is files read, and file skipping runs
+on per-file min/max column stats: a table range-partitioned on ONE
+column prunes only on that column.  Interleaving the bits of two sort
+dimensions into a single Morton key and range-partitioning the write on
+that key gives files that are simultaneously tight on BOTH columns'
+min/max — the Delta/Iceberg ``OPTIMIZE ZORDER BY`` layout move,
+re-expressed as plain DataFrame arithmetic (Morton 1966).
+
+Everything here is exact integer math (quantize by integer division,
+interleave by shift/or), so the DuckDB oracle reproduces keys and
+bucket assignments to the bit, and the key expression whole-stage-
+codegens inside the write's final projection — no UDF, no shuffle
+beyond the one ``repartitionByRange`` the layout itself IS.  The
+quantization min/max come from ONE collected 4-scalar aggregate and
+ride as literals (model-sized driver state, the k-means-centroids
+pattern).
+
+The reference stores everything in a single row-ordered SQLite file and
+has no layout tier at all; this operator is the engine-native answer to
+"how do 10^12 rows get written so later scans skip".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per dimension; 2 dims * 16 bits = a 32-bit Morton key, plenty of
+#: resolution for file-level pruning (a 100 TB table has ~10^5 files).
+QUANT_BITS = 16
+_QMAX = (1 << QUANT_BITS) - 1  # 65535
+
+#: widest value span a dimension may cover: (span * 65535) must stay a
+#: BIGINT, so span < 2^63 / 2^16 = 2^47.  Wider ranges should be
+#: pre-scaled by the caller (e.g. epoch-micros -> epoch-seconds).
+MAX_SPAN = (1 << 47) - 1
+
+
+def _quantize(col_name: str, vmin: int, span: int) -> Column:
+    """Map the column into [0, 65535] by exact integer division:
+    ``((v - vmin) * 65535) DIV span``.  ``vmin``/``span`` are exact
+    BIGINT literals, the product stays under 2^63 (``span`` is
+    MAX_SPAN-guarded), and integer DIV truncates toward zero on the
+    nonnegative operands both engines see — bit-identical buckets, no
+    doubles anywhere in the path (a long->double round-trip would be
+    lossy above 2^53 and could mis-bucket by one)."""
+    return F.expr(
+        f"(CAST(`{col_name}` AS BIGINT) - CAST({vmin} AS BIGINT)) "
+        f"* CAST({_QMAX} AS BIGINT) DIV CAST({span} AS BIGINT)"
+    )
+
+
+def morton_key(qx: Column, qy: Column, bits: int = QUANT_BITS) -> Column:
+    """Interleave ``bits`` low bits of two quantized dims: bit i of x
+    lands at position 2i, bit i of y at 2i+1.  A folded 2*bits-term
+    shift/or chain — pure codegen-friendly integer arithmetic."""
+    qx = qx.cast("long")
+    qy = qy.cast("long")
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc.bitwiseOR(
+            F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return acc
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    bucket_bits: int = 4,
+    key_name: str = "zkey",
+    bucket_name: str = "zbucket",
+) -> DataFrame:
+    """Attach the Morton key and its top-``bucket_bits`` bucket for two
+    integer-valued columns.
+
+    The write path is ``result.repartitionByRange(n, F.col("zkey"))``
+    followed by the snapshot sink: each output file covers a contiguous
+    Morton range, i.e. a rectangle-ish region tight in BOTH dimensions,
+    so min/max stats prune scans filtered on either column or both.
+
+    ``zbucket = zkey >> (2*QUANT_BITS - bucket_bits)``: the first
+    ``2^bucket_bits`` Morton ranges, usable directly as a partition
+    column when range-partitioning at write time isn't available.
+
+    Fails fast on an empty frame, null dimension values, and spans
+    wider than MAX_SPAN (pre-scale those upstream) — never silently
+    mis-buckets.
+    """
+    if not 1 <= bucket_bits <= 2 * QUANT_BITS:
+        raise ValueError(
+            f"bucket_bits must be in [1, {2 * QUANT_BITS}], got {bucket_bits}"
+        )
+    stats = df.agg(
+        F.min(F.col(col_x).cast("long")).alias("xmin"),
+        F.max(F.col(col_x).cast("long")).alias("xmax"),
+        F.min(F.col(col_y).cast("long")).alias("ymin"),
+        F.max(F.col(col_y).cast("long")).alias("ymax"),
+        F.sum(
+            (F.col(col_x).isNull() | F.col(col_y).isNull()).cast("long")
+        ).alias("nulls"),
+    ).first()
+    if stats["xmin"] is None or stats["ymin"] is None:
+        raise ValueError("zorder_layout: empty input frame (or all-null dims)")
+    if stats["nulls"]:
+        raise ValueError(
+            f"zorder_layout: {stats['nulls']} rows carry null {col_x}/{col_y} "
+            "values — a Morton key has no null point; filter or impute upstream"
+        )
+    x_span = max(int(stats["xmax"]) - int(stats["xmin"]), 1)
+    y_span = max(int(stats["ymax"]) - int(stats["ymin"]), 1)
+    if x_span > MAX_SPAN or y_span > MAX_SPAN:
+        raise ValueError(
+            f"zorder_layout: dimension span exceeds MAX_SPAN=2^47-1 "
+            f"({col_x}: {x_span}, {col_y}: {y_span}) — pre-scale the column "
+            "(e.g. epoch-micros -> epoch-seconds) so quantization stays exact"
+        )
+    qx = _quantize(col_x, int(stats["xmin"]), x_span)
+    qy = _quantize(col_y, int(stats["ymin"]), y_span)
+    key = morton_key(qx, qy)
+    return df.select(
+        *df.columns,
+        key.alias(key_name),
+        F.shiftright(key, 2 * QUANT_BITS - bucket_bits).alias(bucket_name),
+    )
+
+
+def zorder_bucket_stats(
+    df: DataFrame, col_x: str, col_y: str, *, bucket_bits: int = 4
+) -> DataFrame:
+    """Per-bucket row count and min/max of both dims — the file-stats
+    view a scan planner would prune on.  Tight per-bucket ranges on
+    BOTH columns are the whole point of the layout; the oracle checks
+    them exactly."""
+    laid = zorder_layout(df, col_x, col_y, bucket_bits=bucket_bits)
+    return laid.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.col(col_x).cast("long")).alias("x_min"),
+        F.max(F.col(col_x).cast("long")).alias("x_max"),
+        F.min(F.col(col_y).cast("long")).alias("y_min"),
+        F.max(F.col(col_y).cast("long")).alias("y_max"),
+    )

@@ -1,0 +1,82 @@
+"""Z-order write layout (operators/zorder.py): exact Morton keys,
+two-dimensional bucket locality, and fail-fast guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.operators.zorder import (
+    MAX_SPAN,
+    QUANT_BITS,
+    morton_key,
+    zorder_bucket_stats,
+    zorder_layout,
+)
+
+
+def _interleave_py(qx: int, qy: int, bits: int = QUANT_BITS) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((qx >> i) & 1) << (2 * i)
+        z |= ((qy >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_key_matches_reference_interleave(spark):
+    pts = [(0, 0), (1, 0), (0, 1), (65535, 65535), (0x1234, 0xABCD), (7, 42)]
+    df = spark.createDataFrame(pts, "qx long, qy long")
+    got = df.select(
+        "qx", "qy", morton_key(F.col("qx"), F.col("qy")).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _interleave_py(r["qx"], r["qy"]), (r["qx"], r["qy"])
+
+
+def test_quantization_endpoints_and_monotonicity(spark):
+    # endpoints map to 0 and 65535; keys are monotone along each axis
+    rows = [(i, v, 5) for i, v in enumerate([10, 20, 30, 40, 50])]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {r["id"]: r["zkey"] for r in zorder_layout(df, "x", "y").collect()}
+    assert out[0] < out[1] < out[2] < out[3] < out[4]
+
+
+def test_buckets_are_two_dimensionally_tight(spark):
+    """On a uniform grid, every Morton bucket's x/y spans must be far
+    tighter than the global span — the pruning property."""
+    rows = [(x * 100 + y, x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    stats = zorder_bucket_stats(df, "x", "y", bucket_bits=4).collect()
+    assert len(stats) == 16
+    assert sum(r["n_rows"] for r in stats) == 64 * 64
+    for r in stats:
+        # 16 buckets over a 64x64 grid -> each covers a 16x32 rectangle
+        assert r["x_max"] - r["x_min"] <= 31, r
+        assert r["y_max"] - r["y_min"] <= 31, r
+
+
+def test_guards(spark):
+    df = spark.createDataFrame([(1, 1, 1)], "id long, x long, y long")
+    with pytest.raises(ValueError, match="bucket_bits"):
+        zorder_layout(df, "x", "y", bucket_bits=0)
+    with pytest.raises(ValueError, match="empty"):
+        zorder_layout(df.filter(F.lit(False)), "x", "y")
+    nulls = spark.createDataFrame([(1, None, 1), (2, 2, 2)], "id long, x long, y long")
+    with pytest.raises(ValueError, match="null"):
+        zorder_layout(nulls, "x", "y")
+    wide = spark.createDataFrame(
+        [(1, 0, 0), (2, MAX_SPAN + 2, 0)], "id long, x long, y long"
+    )
+    with pytest.raises(ValueError, match="MAX_SPAN"):
+        zorder_layout(wide, "x", "y")
+
+
+def test_wide_but_legal_span_stays_exact(spark):
+    """Just under MAX_SPAN: the quantization product brushes 2^63 —
+    integer DIV must still bucket the endpoints exactly (a double
+    round-trip here would be lossy)."""
+    hi = MAX_SPAN  # span == MAX_SPAN exactly
+    df = spark.createDataFrame([(1, 0, 0), (2, hi, hi)], "id long, x long, y long")
+    out = {r["id"]: r["zkey"] for r in zorder_layout(df, "x", "y").collect()}
+    assert out[1] == 0
+    assert out[2] == _interleave_py(65535, 65535)
