@@ -6449,6 +6449,115 @@ def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Rank-1 ALS (collaborative-filtering factorization over customer->supplier)
+# ===========================================================================
+
+_ALS_ITERS = 4
+_ALS_REG = 0.1
+
+#: exact-integer rating edges: customer -> supplier, total quantity
+_ALS_RATINGS_SQL = """
+rat AS MATERIALIZED (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+         's' || CAST(l_suppkey AS VARCHAR) AS it,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS r
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2)"""
+
+
+def _als_unrolled_ctes(iters: int, reg: float) -> str:
+    ctes = [
+        "v0 AS (SELECT it, 1.0 AS f FROM (SELECT DISTINCT it FROM rat))"
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"u{t} AS (SELECT u, sum(r * f) / ({reg!r} + sum(f * f)) AS f "
+            f"FROM rat JOIN v{t - 1} USING (it) GROUP BY u)"
+        )
+        ctes.append(
+            f"v{t} AS (SELECT it, sum(r * f) / ({reg!r} + sum(f * f)) AS f "
+            f"FROM rat JOIN u{t} USING (u) GROUP BY it)"
+        )
+    return ",\n".join(ctes)
+
+
+def _als_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("it"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("double").alias("r"))
+    )
+
+
+@register(
+    "als_rank1_factors",
+    "WITH "
+    + _ALS_RATINGS_SQL
+    + ",\n"
+    + _als_unrolled_ctes(_ALS_ITERS, _ALS_REG)
+    + f"""
+SELECT u AS vertex, 'user' AS role, round(f, 7) AS factor FROM u{_ALS_ITERS}
+UNION ALL
+SELECT it AS vertex, 'item' AS role, round(f, 7) AS factor FROM v{_ALS_ITERS}""",
+)
+def q_als_rank1_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS factors (plans/als.py) on the customer->supplier
+    quantity matrix: the dominant-singular-pair recommender.  Each
+    half-step is one edge join + one grouped reduce — the PageRank
+    contribution shape; the oracle replays all 4 rounds."""
+    from arxiv_citation_graph_spark.plans.als import als_rank1
+
+    res = als_rank1(
+        spark,
+        _als_ratings(spark, sf_dir),
+        "u",
+        "it",
+        "r",
+        iterations=_ALS_ITERS,
+        reg=_ALS_REG,
+    )
+    users = res.users.select(
+        "vertex", F.lit("user").alias("role"), F.round("factor", 7).alias("factor")
+    )
+    items = res.items.select(
+        "vertex", F.lit("item").alias("role"), F.round("factor", 7).alias("factor")
+    )
+    return users.unionByName(items)
+
+
+@register(
+    "als_rank1_rmse",
+    "WITH "
+    + _ALS_RATINGS_SQL
+    + ",\n"
+    + _als_unrolled_ctes(_ALS_ITERS, _ALS_REG)
+    + f"""
+SELECT count(*) AS n_ratings,
+       round(sqrt(sum((r - uf * vf) * (r - uf * vf)) / count(*)), 7) AS rmse
+FROM rat
+JOIN (SELECT u, f AS uf FROM u{_ALS_ITERS}) USING (u)
+JOIN (SELECT it, f AS vf FROM v{_ALS_ITERS}) USING (it)""",
+)
+def q_als_rank1_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual RMSE of the rank-1 fit on observed ratings — the
+    factorization's quality gauge, computed without ever materializing
+    the dense prediction matrix."""
+    from arxiv_citation_graph_spark.plans.als import als_rank1, als_rank1_sse
+
+    ratings = _als_ratings(spark, sf_dir)
+    res = als_rank1(
+        spark, ratings, "u", "it", "r", iterations=_ALS_ITERS, reg=_ALS_REG
+    )
+    out = als_rank1_sse(ratings, res)
+    return out.select("n_ratings", F.round("rmse", 7).alias("rmse"))
+
+
+# ===========================================================================
 # Trainable corpus filter: logistic-style classifier (full-batch GD)
 # ===========================================================================
 # Distill the thresholded quality heuristic into a linear model — the

@@ -1,0 +1,145 @@
+"""Rank-1 alternating least squares over a bipartite rating graph.
+
+The collaborative-filtering shape (Koren-Bell-Volinsky 2009; ALS-WR,
+Zhou et al. 2008) specialized to ONE latent factor per side, which
+makes every half-step a closed-form scalar:
+
+    u_c = sum_{s in N(c)} r_cs * v_s / (reg + sum_{s in N(c)} v_s^2)
+    v_s = sum_{c in N(s)} r_cs * u_c / (reg + sum_{c in N(s)} u_c^2)
+
+i.e. one edge join + one grouped aggregate per half-step — exactly the
+PageRank-contribution plan shape this engine already ships at scale
+(map-side partial sums, shuffle keyed on the grouping vertex, salted
+two-stage aggregation available if a hub user/item ever needs it).
+Rank-1 is deliberately chosen as the driver-checked variant: the
+normal-equation solve degenerates to a division, so a DuckDB oracle
+replays every half-step exactly (higher ranks need a k-by-k solve per
+vertex — same join shape, but no SQL-replayable closed form).
+
+The rank-1 factorization IS the classic "degree-weighted importance"
+recommender: u*v approximates the rating matrix's dominant singular
+pair (power iteration on the scaled graph), and residual RMSE is the
+usual fit metric (``als_rank1_rmse``).
+
+Determinism: ratings are exact integers (validated), iteration math is
+``+ * /`` on doubles (exactly-rounded IEEE), so runs replay bit-for-bit
+modulo reduction order; reported factors round at 1e-7, far above the
+~1e-15-relative reorder noise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ALSResult:
+    users: DataFrame  # (vertex, factor)
+    items: DataFrame  # (vertex, factor)
+    iterations: int
+    reg: float
+
+
+def als_rank1(
+    spark: SparkSession,
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    *,
+    iterations: int = 4,
+    reg: float = 0.1,
+) -> ALSResult:
+    """Run ``iterations`` full ALS rounds from ``v = 1`` on every item.
+
+    Each half-step joins the cached rating edges against the other
+    side's current factor and reduces per vertex — two shuffles per
+    round, both keyed on a vertex id, output state is one double per
+    vertex.  Factors are localCheckpointed per round so lineage stays
+    flat however many rounds run (the MSF pointer-jumping convention).
+
+    Fails fast on null/NaN ratings and on rating magnitudes that could
+    spill integer exactness (|r| < 2^52) — silent degradation is worse
+    than a raise.
+    """
+    if iterations < 1:
+        raise ValueError("als_rank1: iterations must be >= 1")
+    if reg <= 0.0:
+        raise ValueError("als_rank1: reg must be > 0 (the rank-1 division "
+                         "is otherwise undefined for isolated vertices)")
+
+    edges = ratings.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("it"),
+        F.col(rating_col).cast("double").alias("r"),
+    ).cache()
+    handles: list[DataFrame] = []
+    try:
+        bad = edges.filter(
+            F.col("r").isNull() | F.isnan("r") | (F.abs("r") >= F.lit(float(2**52)))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"als_rank1: {bad} ratings are null/NaN/too large — clean "
+                "them upstream (determinism contract)"
+            )
+
+        v = edges.select("it").distinct().select(
+            "it", F.lit(1.0).alias("f")
+        )
+        u = None
+        for _ in range(iterations):
+            u = (
+                edges.join(v, "it")
+                .groupBy("u")
+                .agg(
+                    (
+                        F.sum(F.col("r") * F.col("f"))
+                        / (F.lit(float(reg)) + F.sum(F.col("f") * F.col("f")))
+                    ).alias("f")
+                )
+                .localCheckpoint(eager=True)
+            )
+            handles.append(u)
+            v = (
+                edges.join(u, "u")
+                .groupBy("it")
+                .agg(
+                    (
+                        F.sum(F.col("r") * F.col("f"))
+                        / (F.lit(float(reg)) + F.sum(F.col("f") * F.col("f")))
+                    ).alias("f")
+                )
+                .localCheckpoint(eager=True)
+            )
+            handles.append(v)
+
+        users = u.select(F.col("u").alias("vertex"), F.col("f").alias("factor"))
+        items = v.select(F.col("it").alias("vertex"), F.col("f").alias("factor"))
+        return ALSResult(users=users, items=items, iterations=iterations, reg=reg)
+    finally:
+        edges.unpersist()
+
+
+def als_rank1_sse(edges: DataFrame, result: ALSResult) -> DataFrame:
+    """Residual fit of the factorization on the OBSERVED ratings:
+    one row ``(n_ratings, rmse)`` where ``rmse = sqrt(sse / n)``.
+    One join per side then a single global aggregate — the evaluation
+    never materializes the dense prediction matrix."""
+    scored = (
+        edges.select(
+            F.col(edges.columns[0]).alias("u"),
+            F.col(edges.columns[1]).alias("it"),
+            F.col(edges.columns[2]).cast("double").alias("r"),
+        )
+        .join(result.users.select(F.col("vertex").alias("u"), F.col("factor").alias("uf")), "u")
+        .join(result.items.select(F.col("vertex").alias("it"), F.col("factor").alias("vf")), "it")
+    )
+    err = F.col("r") - F.col("uf") * F.col("vf")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.sqrt(F.sum(err * err) / F.count(F.lit(1))).alias("rmse"),
+    )

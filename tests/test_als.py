@@ -1,0 +1,65 @@
+"""Rank-1 ALS (plans/als.py): recovers an exactly rank-1 matrix,
+deterministic replay, fail-fast guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.als import als_rank1, als_rank1_sse
+
+
+def _ratings(spark, rows):
+    return spark.createDataFrame(rows, "user string, item string, rating double")
+
+
+def test_recovers_rank1_matrix(spark):
+    # r(c, s) = a_c * b_s with a = (1, 2, 3), b = (2, 4): exactly rank 1
+    a = {"c1": 1.0, "c2": 2.0, "c3": 3.0}
+    b = {"s1": 2.0, "s2": 4.0}
+    rows = [(c, s, a[c] * b[s]) for c in a for s in b]
+    res = als_rank1(
+        spark, _ratings(spark, rows), iterations=8, reg=1e-6
+    )
+    fit = als_rank1_sse(_ratings(spark, rows), res).first()
+    assert fit["n_ratings"] == 6
+    assert fit["rmse"] < 1e-3, fit["rmse"]
+    # factors are proportional to the true vectors (scale is split
+    # arbitrarily between sides, so compare ratios)
+    uf = {r["vertex"]: r["factor"] for r in res.users.collect()}
+    assert uf["c2"] / uf["c1"] == pytest.approx(2.0, rel=1e-4)
+    assert uf["c3"] / uf["c1"] == pytest.approx(3.0, rel=1e-4)
+    vf = {r["vertex"]: r["factor"] for r in res.items.collect()}
+    assert vf["s2"] / vf["s1"] == pytest.approx(2.0, rel=1e-4)
+
+
+def test_deterministic_replay(spark):
+    rows = [("c1", "s1", 3.0), ("c1", "s2", 1.0), ("c2", "s1", 4.0)]
+    r1 = als_rank1(spark, _ratings(spark, rows), iterations=3)
+    r2 = als_rank1(spark, _ratings(spark, rows), iterations=3)
+    f1 = sorted((r["vertex"], r["factor"]) for r in r1.users.collect())
+    f2 = sorted((r["vertex"], r["factor"]) for r in r2.users.collect())
+    assert f1 == f2  # bit-identical
+
+
+def test_regularization_shrinks_factors(spark):
+    rows = [("c1", "s1", 4.0)]
+    lo = als_rank1(spark, _ratings(spark, rows), iterations=2, reg=1e-6)
+    hi = als_rank1(spark, _ratings(spark, rows), iterations=2, reg=10.0)
+    lo_f = lo.users.first()["factor"]
+    hi_f = hi.users.first()["factor"]
+    assert abs(hi_f) < abs(lo_f)
+
+
+def test_guards(spark):
+    ok = _ratings(spark, [("c1", "s1", 1.0)])
+    with pytest.raises(ValueError, match="iterations"):
+        als_rank1(spark, ok, iterations=0)
+    with pytest.raises(ValueError, match="reg"):
+        als_rank1(spark, ok, reg=0.0)
+    bad = _ratings(spark, [("c1", "s1", float("nan"))])
+    with pytest.raises(ValueError, match="null/NaN"):
+        als_rank1(spark, bad)
+    huge = _ratings(spark, [("c1", "s1", float(2**53))])
+    with pytest.raises(ValueError, match="null/NaN"):
+        als_rank1(spark, huge)
