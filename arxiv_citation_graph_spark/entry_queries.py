@@ -6449,6 +6449,42 @@ def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Conversion attribution (interval self-join; streaming twin in events.py)
+# ===========================================================================
+
+_CONV_WINDOW_S = 3600
+
+
+@register(
+    "conversion_attribution",
+    f"""
+WITH t AS (SELECT event_id AS trigger_id, user_id, ts AS t_ts
+           FROM events WHERE event_type = 'click'),
+f AS (SELECT event_id AS follow_id, user_id, ts AS f_ts
+      FROM events WHERE event_type = 'purchase')
+SELECT trigger_id, follow_id, user_id,
+       CAST(floor(epoch(f_ts)) AS BIGINT) - CAST(floor(epoch(t_ts)) AS BIGINT)
+         AS lag_seconds
+FROM t JOIN f USING (user_id)
+WHERE f_ts >= t_ts AND f_ts <= t_ts + INTERVAL {_CONV_WINDOW_S} SECONDS""",
+)
+def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion attribution: every purchase within one hour
+    of a click by the same user (streaming/events.py::
+    conversion_join_batch — the stream-stream watermarked interval
+    join's batch contract).  Shuffle keyed on user_id; the time bound
+    refines in-partition."""
+    from arxiv_citation_graph_spark.streaming.events import conversion_join_batch
+
+    return conversion_join_batch(
+        _t(spark, sf_dir, "events"),
+        trigger_type="click",
+        follow_type="purchase",
+        window_seconds=_CONV_WINDOW_S,
+    )
+
+
+# ===========================================================================
 # Rank-1 ALS (collaborative-filtering factorization over customer->supplier)
 # ===========================================================================
 

@@ -201,3 +201,96 @@ def interevent_stats(events: DataFrame) -> DataFrame:
         stats.getField("cv_gap").alias("cv_gap"),
         stats.getField("burstiness").alias("burstiness"),
     )
+
+
+def conversion_join_batch(
+    events: DataFrame,
+    trigger_type: str = "click",
+    follow_type: str = "purchase",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Conversion attribution, batch contract: every (trigger, follow)
+    event pair of the same user where the follow lands inside
+    ``[trigger.ts, trigger.ts + window_seconds]``.
+
+    Plan shape at scale: the shuffle key is ``user_id`` (the equi half
+    of the predicate); the time-range half refines inside the joined
+    partition, so state is per-user, never all-pairs.  A user hot
+    enough to skew the join goes through ``operators/temporal.range_join``
+    (bucketed equi-join on time) instead — same output contract.
+    Output: (trigger_id, follow_id, user_id, lag_seconds), lag measured
+    on second-truncated epochs (the oracle's integer contract).
+    """
+    if window_seconds < 0:
+        raise ValueError(f"window_seconds must be >= 0, got {window_seconds}")
+    t = events.filter(F.col("event_type") == trigger_type).select(
+        F.col("event_id").alias("trigger_id"),
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("t_ts"),
+    )
+    f = events.filter(F.col("event_type") == follow_type).select(
+        F.col("event_id").alias("follow_id"),
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("f_ts"),
+    )
+    joined = t.join(f, "user_id").filter(
+        (F.col("f_ts") >= F.col("t_ts"))
+        & (F.col("f_ts") <= F.col("t_ts") + F.expr(f"interval {int(window_seconds)} seconds"))
+    )
+    return joined.select(
+        "trigger_id",
+        "follow_id",
+        "user_id",
+        (F.unix_timestamp("f_ts") - F.unix_timestamp("t_ts")).alias("lag_seconds"),
+    )
+
+
+def conversion_join_stream(
+    triggers: DataFrame,
+    follows: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The same attribution as a STREAM-STREAM inner join: both sides
+    watermarked, the join condition time-bounds each side against the
+    other (``follow.ts in [trigger.ts, trigger.ts + window]``), so
+    Spark evicts per-user join state once the watermark passes the
+    window — O(active-window) state per side, the only stream-stream
+    join shape that survives an unbounded run.
+
+    Contract (pytest-checked): with every event inside the watermark
+    and whole-second timestamps, the emitted pairs equal
+    ``conversion_join_batch`` on the same rows.
+    """
+    if window_seconds < 0:
+        raise ValueError(f"window_seconds must be >= 0, got {window_seconds}")
+    t = (
+        triggers.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("trigger_id"),
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("t_ts"),
+        )
+    )
+    f = (
+        follows.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("follow_id"),
+            F.col("user_id").alias("f_user"),
+            F.col("ts").alias("f_ts"),
+        )
+    )
+    joined = t.join(
+        f,
+        (F.col("t_user") == F.col("f_user"))
+        & (F.col("f_ts") >= F.col("t_ts"))
+        & (F.col("f_ts") <= F.col("t_ts") + F.expr(f"interval {int(window_seconds)} seconds")),
+    )
+    return joined.select(
+        "trigger_id",
+        "follow_id",
+        F.col("t_user").alias("user_id"),
+        (F.unix_timestamp("f_ts") - F.unix_timestamp("t_ts")).alias("lag_seconds"),
+    )

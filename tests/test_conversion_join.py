@@ -1,0 +1,91 @@
+"""Stream-stream interval join (conversion attribution): the streaming
+path must emit exactly the batch contract's pairs, and join state must
+be watermark-bounded (both sides time-bounded in the condition)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from arxiv_citation_graph_spark.streaming.events import (
+    EVENTS_STREAM_SCHEMA,
+    conversion_join_batch,
+    conversion_join_stream,
+    run_stream_to_memory,
+)
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2026, 1, 1, 10, 0, second) + datetime.timedelta(
+        minutes=minute
+    )
+
+
+ROWS = [
+    # user 100: click at 10:00, purchases at 10:30 (in) and 11:30 (out of 1h)
+    (1, _ts(0), 100, "click", 1.0, "{}"),
+    (2, _ts(30), 100, "purchase", 9.0, "{}"),
+    (3, _ts(90), 100, "purchase", 9.0, "{}"),
+    # user 200: purchase BEFORE the click — never attributed
+    (4, _ts(10), 200, "purchase", 5.0, "{}"),
+    (5, _ts(20), 200, "click", 1.0, "{}"),
+    # user 200: second click; the 10:10 purchase is before it too
+    (6, _ts(50), 200, "click", 1.0, "{}"),
+    # user 300: two clicks, one purchase inside both windows -> 2 pairs
+    (7, _ts(5), 300, "click", 1.0, "{}"),
+    (8, _ts(15), 300, "click", 1.0, "{}"),
+    (9, _ts(45), 300, "purchase", 3.0, "{}"),
+]
+
+
+def _events(spark):
+    return spark.createDataFrame(ROWS, EVENTS_STREAM_SCHEMA)
+
+
+def _pairs(df):
+    return sorted(
+        (r["trigger_id"], r["follow_id"], r["user_id"], r["lag_seconds"])
+        for r in df.collect()
+    )
+
+
+def test_batch_semantics(spark):
+    got = _pairs(conversion_join_batch(_events(spark), window_seconds=3600))
+    assert got == [
+        (1, 2, 100, 1800),
+        (7, 9, 300, 2400),
+        (8, 9, 300, 1800),
+    ]
+
+
+def test_zero_window_needs_simultaneity(spark):
+    got = conversion_join_batch(_events(spark), window_seconds=0)
+    assert got.count() == 0
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    d = str(tmp_path / "conv_in")
+    _events(spark).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    triggers = stream.filter("event_type = 'click'")
+    follows = stream.filter("event_type = 'purchase'")
+    out = run_stream_to_memory(
+        spark,
+        conversion_join_stream(triggers, follows, window_seconds=3600),
+        "conv_mem",
+    )
+    assert _pairs(out) == _pairs(
+        conversion_join_batch(_events(spark), window_seconds=3600)
+    )
+
+
+def test_guards(spark):
+    with pytest.raises(ValueError, match="window_seconds"):
+        conversion_join_batch(_events(spark), window_seconds=-1)
+    with pytest.raises(ValueError, match="window_seconds"):
+        conversion_join_stream(_events(spark), _events(spark), window_seconds=-1)
