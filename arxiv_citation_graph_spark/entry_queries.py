@@ -6608,11 +6608,16 @@ _CLF_L2 = 0.001
 _CLF_LABEL_THRESHOLD = 0.62  # quality_score >= this  =>  y = 1
 _CLF_FEATURES = ["x0", "x1", "x2", "x3", "x4"]
 
-#: feature + label CTE shared by all three classifier oracles; mirrors
-#: _classifier_features() arithmetic op-for-op (same division operands,
-#: same left-associative folds).
-_CLF_FEAT_CTE = rf"""
-feat AS MATERIALIZED (
+def _clf_feat_cte(name: str = "feat", where: str = "") -> str:
+    """Feature + label CTE shared by the classifier oracles; mirrors
+    _classifier_features() arithmetic op-for-op (same division operands,
+    same left-associative folds).  ``where`` filters the doc slice (the
+    warm-start oracle trains its prior phase on a sub-corpus)."""
+    return _CLF_FEAT_TEMPLATE.format(name=name, where=where)
+
+
+_CLF_FEAT_TEMPLATE = rf"""
+{{name}} AS MATERIALIZED (
   SELECT doc_id,
          1.0 AS x0,
          stop AS x1,
@@ -6635,38 +6640,52 @@ feat AS MATERIALIZED (
     FROM (SELECT doc_id, text,
                  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
                  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ltoks
-          FROM documents)
+          FROM documents {{where}})
   )
-),
-nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat)"""
+)"""
 
 
-def _clf_weight_ctes(iters: int, lr: float, l2: float) -> str:
-    """Unrolled GD: w0 = zero vector; per iteration one residual-sum
-    aggregate then the w update — the same Python-double arithmetic
-    train_logistic() performs on the driver."""
+def _clf_weight_ctes(
+    iters: int,
+    lr: float,
+    l2: float,
+    src: str = "feat",
+    prefix: str = "w",
+    init_from: str | None = None,
+) -> str:
+    """Unrolled GD over the ``src`` feature CTE: ``{prefix}0`` is the
+    zero vector (cold) or a copy of ``init_from`` (warm start); per
+    iteration one residual-sum aggregate then the w update — the same
+    Python-double arithmetic train_logistic() performs on the driver."""
     d = len(_CLF_FEATURES)
+    if init_from:
+        init = f"SELECT {', '.join(f'w{j}' for j in range(d))} FROM {init_from}"
+    else:
+        init = "SELECT " + ", ".join(f"0.0 AS w{j}" for j in range(d))
     ctes = [
-        "w0 AS (SELECT "
-        + ", ".join(f"0.0 AS w{j}" for j in range(d))
-        + ")"
+        f"n_{prefix} AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM {src})",
+        f"{prefix}0 AS MATERIALIZED ({init})",
     ]
     dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(d))
     for k in range(1, iters + 1):
         ctes.append(
-            f"z{k} AS (SELECT f.*, ({dot}) AS z FROM feat f CROSS JOIN w{k - 1} w)"
+            f"z_{prefix}{k} AS MATERIALIZED (SELECT f.*, ({dot}) AS z "
+            f"FROM {src} f CROSS JOIN {prefix}{k - 1} w)"
         )
         sums = ", ".join(
             f"sum(f.x{j} * ((0.5 + f.z / (2.0 * (1.0 + abs(f.z)))) - f.y)) AS s{j}"
             for j in range(d)
         )
-        ctes.append(f"g{k} AS (SELECT {sums} FROM z{k} f)")
+        ctes.append(
+            f"g_{prefix}{k} AS MATERIALIZED (SELECT {sums} FROM z_{prefix}{k} f)"
+        )
         upd = ", ".join(
             f"w.w{j} - {lr!r} * (g.s{j} / n.n + {l2!r} * w.w{j}) AS w{j}"
             for j in range(d)
         )
         ctes.append(
-            f"w{k} AS (SELECT {upd} FROM w{k - 1} w CROSS JOIN g{k} g CROSS JOIN nn n)"
+            f"{prefix}{k} AS MATERIALIZED (SELECT {upd} FROM {prefix}{k - 1} w "
+            f"CROSS JOIN g_{prefix}{k} g CROSS JOIN n_{prefix} n)"
         )
     return ",\n".join(ctes)
 
@@ -6687,7 +6706,7 @@ def _clf_weights_sql() -> str:
         for j, name in enumerate(_CLF_FEATURES)
     )
     return (
-        "WITH " + _CLF_FEAT_CTE + ",\n"
+        "WITH " + _clf_feat_cte() + ",\n"
         + _clf_weight_ctes(_CLF_ITERS, _CLF_LR, _CLF_L2)
         + f"\n{rows}"
     )
@@ -6695,7 +6714,7 @@ def _clf_weights_sql() -> str:
 
 def _clf_scores_sql() -> str:
     return (
-        "WITH " + _CLF_FEAT_CTE + ",\n"
+        "WITH " + _clf_feat_cte() + ",\n"
         + _clf_weight_ctes(_CLF_ITERS, _CLF_LR, _CLF_L2) + ",\n"
         + _clf_scores_cte(_CLF_ITERS)
         + """
@@ -6707,7 +6726,7 @@ FROM scored"""
 
 def _clf_pr_curve_sql() -> str:
     return (
-        "WITH " + _CLF_FEAT_CTE + ",\n"
+        "WITH " + _clf_feat_cte() + ",\n"
         + _clf_weight_ctes(_CLF_ITERS, _CLF_LR, _CLF_L2) + ",\n"
         + _clf_scores_cte(_CLF_ITERS)
         + """,
@@ -6816,6 +6835,65 @@ def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("long").alias("label"),
     )
     return pr_curve(scored, "score", "label")
+
+
+_CLF_WARM_ITERS = 4
+_CLF_PRIOR_MOD = 17  # prior corpus = doc_id % 17 != 0 (~94%); rest is the delta
+
+
+def _clf_warm_weights_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, round(w{j}, 6) AS weight "
+        f"FROM w{_CLF_WARM_ITERS}"
+        for j, name in enumerate(_CLF_FEATURES)
+    )
+    return (
+        "WITH "
+        + _clf_feat_cte("featp", f"WHERE doc_id % {_CLF_PRIOR_MOD} != 0")
+        + ",\n"
+        + _clf_feat_cte("feat")
+        + ",\n"
+        + _clf_weight_ctes(_CLF_ITERS, _CLF_LR, _CLF_L2, src="featp", prefix="pw")
+        + ",\n"
+        + _clf_weight_ctes(
+            _CLF_WARM_ITERS,
+            _CLF_LR,
+            _CLF_L2,
+            src="feat",
+            prefix="w",
+            init_from=f"pw{_CLF_ITERS}",
+        )
+        + f"\n{rows}"
+    )
+
+
+@register("logistic_weights_warm", _clf_warm_weights_sql())
+def q_logistic_weights_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start training — the daily-append mode for the corpus
+    filter: train 8 GD iterations on the prior corpus (doc_id % 17 != 0),
+    then continue only 4 full-corpus iterations from those weights after
+    the delta lands (vs 8 cold).  The oracle unrolls BOTH phases; the
+    warm family now covers pagerank/CC/LPA/Louvain/Katz/triangles/
+    cocite/dedup/pipeline AND the trained filter."""
+    from arxiv_citation_graph_spark.operators.classifier import train_logistic
+
+    feats_all = _classifier_features(spark, sf_dir)
+    prior = feats_all.filter(F.col("doc_id") % _CLF_PRIOR_MOD != 0)
+    prior_model = train_logistic(
+        prior, _CLF_FEATURES, "y", iterations=_CLF_ITERS, lr=_CLF_LR, l2=_CLF_L2
+    )
+    warm = train_logistic(
+        feats_all,
+        _CLF_FEATURES,
+        "y",
+        iterations=_CLF_WARM_ITERS,
+        lr=_CLF_LR,
+        l2=_CLF_L2,
+        init_weights=prior_model.weights,
+    )
+    rows = [(n, float(w)) for n, w in zip(warm.feature_names, warm.weights)]
+    out = spark.createDataFrame(rows, "feature string, weight double")
+    return out.select("feature", F.round("weight", 6).alias("weight"))
 
 
 # ===========================================================================

@@ -113,3 +113,42 @@ def test_distilled_filter_beats_majority_class(spark):
     pos_rate = feats.agg(F.avg("y")).first()[0]
     majority = max(pos_rate, 1 - pos_rate)
     assert acc > majority + 0.05, (acc, majority)
+
+
+def test_warm_start_beats_cold_at_same_budget(spark):
+    """Daily-append contract: continuing from the prior corpus's weights
+    reaches a better fit in K iterations than a cold start given the
+    same K — the accelerator the warm family promises."""
+    from arxiv_citation_graph_spark.entry_queries import (
+        _CLF_FEATURES,
+        _classifier_features,
+    )
+
+    feats = _classifier_features(spark, "/root/testdata/sf0.001").cache()
+    try:
+        prior = feats.filter(F.col("doc_id") % 17 != 0)
+        prior_model = train_logistic(prior, _CLF_FEATURES, "y", iterations=8)
+        warm = train_logistic(
+            feats, _CLF_FEATURES, "y", iterations=2,
+            init_weights=prior_model.weights,
+        )
+        cold = train_logistic(feats, _CLF_FEATURES, "y", iterations=2)
+
+        def _acc(model):
+            scored = feats.select(
+                "y", (model.score(feats) >= 0.5).cast("double").alias("p")
+            )
+            return scored.filter(F.col("p") == F.col("y")).count()
+
+        assert _acc(warm) > _acc(cold)
+    finally:
+        feats.unpersist()
+
+
+def test_warm_start_rejects_wrong_width(spark):
+    rows = [(1.0, 0.5, 1.0)]
+    with pytest.raises(ValueError, match="init_weights"):
+        train_logistic(
+            _toy(spark, rows), ["x0", "x1"], "y", iterations=1,
+            init_weights=(0.0,),
+        )
