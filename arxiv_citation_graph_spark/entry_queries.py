@@ -6449,6 +6449,82 @@ def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Graph feature propagation (SGC smoothing over the label-ring graph)
+# ===========================================================================
+
+_FPROP_ITERS = 2
+_FPROP_DIMS = 64
+
+
+def _fprop_sql(iters: int) -> str:
+    ctes = [
+        # same-label ring: consecutive vec_ids within each label class
+        "ring AS MATERIALIZED (SELECT src_id, dst_id FROM ("
+        "SELECT vec_id AS src_id, "
+        "lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS dst_id "
+        "FROM embeddings) WHERE dst_id IS NOT NULL)",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM ring "
+        "UNION SELECT dst_id, src_id FROM ring)",
+        f"x0 AS MATERIALIZED (SELECT vec_id AS vertex, "
+        f"CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS x "
+        f"FROM embeddings CROSS JOIN range(1, {_FPROP_DIMS + 1}) r(i))",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT e.dst_id AS vertex, s.dim, "
+            f"sum(s.x) / count(*) AS m "
+            f"FROM sym e JOIN x{k - 1} s ON e.src_id = s.vertex GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"x{k} AS MATERIALIZED (SELECT s.vertex, s.dim, "
+            f"0.5 * s.x + 0.5 * coalesce(m.m, s.x) AS x "
+            f"FROM x{k - 1} s LEFT JOIN m{k} m USING (vertex, dim))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, dim, round(x, 7) AS x FROM x{iters}"
+    )
+
+
+def _label_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixture graph over embeddings: consecutive vec_ids
+    inside each label class (the homophily structure SGC assumes).  The
+    per-label window here builds the FIXTURE, not the operator — the
+    propagation itself never sorts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    return (
+        emb.select("vec_id", "label")
+        .withColumn("dst_id", F.lead("vec_id").over(w))
+        .filter(F.col("dst_id").isNotNull())
+        .select(F.col("vec_id").alias("src_id"), "dst_id")
+    )
+
+
+@register("feature_propagation", _fprop_sql(_FPROP_ITERS))
+def q_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SGC-style feature smoothing (plans/smoothing.py): 2 rounds of
+    x' = 0.5*x + 0.5*mean(neighbors) over the same-label ring graph,
+    long-form (vertex, dim, x) layout — one edge join + one
+    (vertex, dim)-keyed mean per round.  The oracle unrolls both."""
+    from arxiv_citation_graph_spark.plans.smoothing import feature_propagation
+
+    edges = _label_ring_edges(spark, sf_dir)
+    feats = _t(spark, sf_dir, "embeddings")
+    out = feature_propagation(
+        spark,
+        edges,
+        feats,
+        id_col="vec_id",
+        vec_col="embedding",
+        iterations=_FPROP_ITERS,
+        alpha=0.5,
+    )
+    return out.select("vertex", "dim", F.round("x", 7).alias("x"))
+
+
+# ===========================================================================
 # Conversion attribution (interval self-join; streaming twin in events.py)
 # ===========================================================================
 

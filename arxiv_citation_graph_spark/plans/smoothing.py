@@ -1,0 +1,96 @@
+"""Graph feature propagation (SGC-style smoothing) over embeddings.
+
+The GNN-preprocessing move (Simplified Graph Convolution, Wu et al.
+2019; feature propagation a la APPNP's push): repeatedly average each
+vertex's feature vector with its neighborhood,
+
+    x_v' = (1 - alpha) * x_v + alpha * mean_{u in N(v)} x_u
+
+which precomputes what a message-passing layer would do at training
+time, so the downstream model (e.g. the engine's logistic filter or
+GraphSAGE sampler consumers) trains on smoothed features with no graph
+in the loop.
+
+Distributed layout: features explode to the LONG FORM ``(vertex, dim,
+x)`` — the standard dense-matrix-as-rows representation — so one
+propagation round is one edge join + one (vertex, dim)-keyed mean, the
+PageRank contribution shape times d.  At 10^12 edges the shuffle is
+``d * |E|`` rows of three scalars; dims are independent, so AQE can
+split the key space freely and a hub vertex salts exactly like A9.
+
+Determinism: float features widen to double (exact), the mean is
+``sum / count`` (one IEEE divide), the merge is two multiplies and an
+add — bit-identical cross-engine modulo reduction order; reported
+values round at 1e-7.
+
+Reference parity: none — the reference has no feature tier; citations
+above are public literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+
+def feature_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    features: DataFrame,
+    id_col: str = "vertex",
+    vec_col: str = "emb",
+    *,
+    iterations: int = 2,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Propagate ``iterations`` rounds; returns the long form
+    ``(vertex, dim, x)`` with ``dim`` 0-based.  Isolated vertices keep
+    their features (the mean coalesces to the vertex's own value).
+    State is localCheckpointed per round — flat lineage at any depth.
+    """
+    if iterations < 1:
+        raise ValueError("feature_propagation: iterations must be >= 1")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(
+            f"feature_propagation: alpha must be in (0, 1], got {alpha}"
+        )
+
+    sym = (
+        symmetrize(
+            edges.select(
+                F.col(edges.columns[0]).alias("src_id"),
+                F.col(edges.columns[1]).alias("dst_id"),
+            )
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        .cache()
+    )
+    try:
+        state = features.select(
+            F.col(id_col).alias("vertex"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+        ).localCheckpoint(eager=True)
+        for _ in range(iterations):
+            nbr = (
+                sym.join(state, sym["src_id"] == state["vertex"])
+                .groupBy(F.col("dst_id").alias("vertex"), F.col("dim"))
+                .agg((F.sum("x") / F.count(F.lit(1))).alias("m"))
+            )
+            state = (
+                state.join(nbr, ["vertex", "dim"], "left")
+                .select(
+                    "vertex",
+                    "dim",
+                    (
+                        F.lit(1.0 - alpha) * F.col("x")
+                        + F.lit(float(alpha)) * F.coalesce(F.col("m"), F.col("x"))
+                    ).alias("x"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return state
+    finally:
+        sym.unpersist()

@@ -1,0 +1,83 @@
+"""SGC feature propagation (plans/smoothing.py): hand-computed fixture,
+isolated-vertex invariance, smoothing contracts, guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.smoothing import feature_propagation
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src_id string, dst_id string")
+
+
+def _feats(spark, rows):
+    return spark.createDataFrame(rows, "vertex string, emb array<double>")
+
+
+def _state(df):
+    return {(r["vertex"], r["dim"]): r["x"] for r in df.collect()}
+
+
+def test_one_round_matches_hand_computation(spark):
+    # path a - b - c, 1-dim features a=0, b=6, c=12; alpha=0.5
+    # a' = .5*0 + .5*6 = 3 ; b' = .5*6 + .5*(0+12)/2 = 6 ; c' = .5*12 + .5*6 = 9
+    edges = _edges(spark, [("a", "b"), ("b", "c")])
+    feats = _feats(spark, [("a", [0.0]), ("b", [6.0]), ("c", [12.0])])
+    got = _state(feature_propagation(spark, edges, feats, iterations=1))
+    assert got == {("a", 0): 3.0, ("b", 0): 6.0, ("c", 0): 9.0}
+
+
+def test_isolated_vertex_keeps_features(spark):
+    edges = _edges(spark, [("a", "b")])
+    feats = _feats(spark, [("a", [1.0]), ("b", [1.0]), ("z", [42.0])])
+    got = _state(feature_propagation(spark, edges, feats, iterations=3))
+    assert got[("z", 0)] == 42.0
+
+
+def test_converges_toward_component_consensus(spark):
+    """On a path graph, repeated smoothing shrinks the value spread
+    toward component consensus (a connected PAIR already lands exactly
+    on the average after one round: 0.5*x + 0.5*nbr on both sides)."""
+    pair = _edges(spark, [("a", "b")])
+    pf = _feats(spark, [("a", [0.0]), ("b", [8.0])])
+    got = _state(feature_propagation(spark, pair, pf, iterations=1))
+    assert got[("a", 0)] == got[("b", 0)] == 4.0
+
+    path = _edges(spark, [("a", "b"), ("b", "c")])
+    feats = _feats(spark, [("a", [0.0]), ("b", [6.0]), ("c", [12.0])])
+    prev_spread = 12.0
+    for k in (1, 2, 4):
+        got = _state(feature_propagation(spark, path, feats, iterations=k))
+        spread = max(got.values()) - min(got.values())
+        assert spread < prev_spread
+        prev_spread = spread
+    assert spread < 4.0
+
+
+def test_dims_are_independent(spark):
+    edges = _edges(spark, [("a", "b")])
+    feats = _feats(spark, [("a", [0.0, 100.0]), ("b", [8.0, 100.0])])
+    got = _state(feature_propagation(spark, edges, feats, iterations=2))
+    assert got[("a", 1)] == 100.0 and got[("b", 1)] == 100.0  # constant dim stays
+    assert got[("a", 0)] != 0.0  # moving dim moved
+
+
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    edges = _edges(spark, [("a", "b"), ("a", "b"), ("b", "a"), ("a", "a")])
+    feats = _feats(spark, [("a", [0.0]), ("b", [6.0])])
+    got = _state(feature_propagation(spark, edges, feats, iterations=1))
+    assert got == {("a", 0): 3.0, ("b", 0): 3.0}
+
+
+def test_guards(spark):
+    edges = _edges(spark, [("a", "b")])
+    feats = _feats(spark, [("a", [1.0]), ("b", [2.0])])
+    with pytest.raises(ValueError, match="iterations"):
+        feature_propagation(spark, edges, feats, iterations=0)
+    with pytest.raises(ValueError, match="alpha"):
+        feature_propagation(spark, edges, feats, alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        feature_propagation(spark, edges, feats, alpha=1.5)
