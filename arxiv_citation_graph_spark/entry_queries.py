@@ -5560,25 +5560,38 @@ _KMEANS_SIM = (
 )
 
 
-def _kmeans_ctes(n_centroids: int, iters: int):
+def _kmeans_ctes(
+    n_centroids: int,
+    iters: int,
+    prefix: str = "",
+    slice_1based: tuple[int, int] | None = None,
+):
     """Shared unrolled deterministic k-means, mirroring
     ``operators/simsearch.ivf_train`` to the rounding digit: hash-ordered
     init, argmax-cosine assignment (sim rounded to 6 dp, ties -> lowest
     cell), per-dim mean update (6 dp), empty cells keep their previous
     centroid.  Returns ``(ctes, assign)``: trained centroids in CTE
-    ``c{iters}``; ``assign(name, prev_c, src, n_keep)`` emits an
-    assignment CTE."""
+    ``c{prefix}{iters}``; ``assign(name, prev_c, src, n_keep)`` emits an
+    assignment CTE.  ``prefix`` namespaces every CTE so several trainers
+    coexist in one query (the PQ oracle runs one per subspace);
+    ``slice_1based=(a, b)`` trains on the inclusive subvector [a..b]."""
+    vsrc = "CAST(embedding AS DOUBLE[])"
+    if slice_1based is not None:
+        vsrc = f"list_slice({vsrc}, {slice_1based[0]}, {slice_1based[1]})"
+    v = f"v{prefix}"
     ctes = [
-        "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
-        f"""c0 AS MATERIALIZED (
+        f"{v} AS MATERIALIZED (SELECT vec_id, {vsrc} AS e FROM embeddings)",
+        f"""c{prefix}0 AS MATERIALIZED (
       SELECT cid, ce FROM (
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
                list_transform(e, x -> round(x, 6)) AS ce
-        FROM v
+        FROM {v}
       ) WHERE cid < {n_centroids})""",
     ]
 
     def assign(name: str, prev_c: str, src: str = "v", n_keep: int = 1) -> str:
+        if src == "v":
+            src = v
         s = _KMEANS_SIM.format(v=src, c="c")
         return f"""{name} AS MATERIALIZED (
       SELECT vec_id, e, cid FROM (
@@ -5589,13 +5602,13 @@ def _kmeans_ctes(n_centroids: int, iters: int):
       ) WHERE rn <= {n_keep})"""
 
     for it in range(1, iters + 1):
-        ctes.append(assign(f"a{it}", f"c{it - 1}"))
+        ctes.append(assign(f"a{prefix}{it}", f"c{prefix}{it - 1}"))
         ctes.append(
-            f"""c{it} AS MATERIALIZED (
-      SELECT p.cid, coalesce(n.ce, p.ce) AS ce FROM c{it - 1} p LEFT JOIN (
+            f"""c{prefix}{it} AS MATERIALIZED (
+      SELECT p.cid, coalesce(n.ce, p.ce) AS ce FROM c{prefix}{it - 1} p LEFT JOIN (
         SELECT cid, list(av ORDER BY dim) AS ce FROM (
           SELECT cid, dim, round(avg(val), 6) AS av
-          FROM (SELECT cid, unnest(e) AS val, generate_subscripts(e, 1) AS dim FROM a{it})
+          FROM (SELECT cid, unnest(e) AS val, generate_subscripts(e, 1) AS dim FROM a{prefix}{it})
           GROUP BY cid, dim
         ) GROUP BY cid
       ) n ON n.cid = p.cid)"""
@@ -5657,6 +5670,45 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmeans_assignments(
         _t(spark, sf_dir, "embeddings"), n_centroids=8, iterations=3
+    )
+
+
+def _pq_codes_sql(m: int = 4, k: int = 8, iters: int = 3, dims: int = 64) -> str:
+    """Product-quantization codes: one namespaced unrolled k-means per
+    subspace (``_kmeans_ctes`` with prefix + slice), mirroring
+    ``operators/simsearch.pq_codes``."""
+    w = dims // m
+    all_ctes: list[str] = []
+    selects: list[str] = []
+    for s in range(m):
+        p = f"s{s}"
+        ctes, assign = _kmeans_ctes(
+            k, iters, prefix=p, slice_1based=(s * w + 1, (s + 1) * w)
+        )
+        ctes.append(assign(f"inv{p}", f"c{p}{iters}"))
+        all_ctes += ctes
+        sim = _KMEANS_SIM.format(v="i", c="c")
+        selects.append(
+            f"SELECT i.vec_id, {s} AS sub, CAST(i.cid AS INT) AS cid, "
+            f"{sim} AS cos_sim FROM inv{p} i JOIN c{p}{iters} c ON c.cid = i.cid"
+        )
+    return "WITH " + ",\n".join(all_ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("pq_codes", _pq_codes_sql(4, 8, 3, 64))
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/simsearch.py::pq_codes): 4
+    subspaces x 8 codewords over the 64-dim embeddings — 64x vector
+    compression for ANN at 10^12 scale; the oracle unrolls all four
+    per-subspace k-means trainings."""
+    from arxiv_citation_graph_spark.operators.simsearch import pq_codes
+
+    return pq_codes(
+        _t(spark, sf_dir, "embeddings"),
+        dims=64,
+        m_subspaces=4,
+        n_centroids=8,
+        iterations=3,
     )
 
 

@@ -586,3 +586,73 @@ def ann_recall_at_k(
             F.round(F.col("n_hit") / F.col("n_exact"), 9).alias("recall"),
         )
     )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dims: int,
+    m_subspaces: int = 4,
+    n_centroids: int = 8,
+    iterations: int = 3,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Product quantization (Jegou-Douze-Schmid 2011): split each
+    ``dims``-dim vector into ``m_subspaces`` contiguous subvectors,
+    train an independent deterministic k-means codebook per subspace
+    (the engine's ``ivf_train``), and emit each vector's per-subspace
+    code — ``(id, sub, cid, cos_sim)`` with ``cos_sim`` the subvector's
+    similarity to its own codeword.
+
+    This is THE memory move for ANN at 10^12 vectors: a 64-dim float
+    vector (256 B) compresses to ``m`` byte-sized codes (here 4 B,
+    64x), and asymmetric distances against a query need only the
+    ``m * n_centroids`` query-to-codeword table.  Training state is
+    model-sized (m tiny codebooks on the driver, like the IVF
+    centroids); encoding is ``m`` broadcast-literal argmax expressions
+    inside one corpus scan — embarrassingly parallel, zero shuffle.
+
+    Pass ``codebooks`` (from a prior call's training) to encode without
+    retraining — the IVF train-once/reuse convention.  Fails fast when
+    ``dims`` is not divisible by ``m_subspaces`` or any vector's length
+    differs from ``dims`` (a silent ragged slice would mis-encode).
+    """
+    if m_subspaces < 1:
+        raise ValueError(f"m_subspaces must be >= 1, got {m_subspaces}")
+    if dims % m_subspaces != 0:
+        raise ValueError(
+            f"dims={dims} is not divisible by m_subspaces={m_subspaces}"
+        )
+    if codebooks is not None and len(codebooks) != m_subspaces:
+        raise ValueError(
+            f"codebooks has {len(codebooks)} entries for {m_subspaces} subspaces"
+        )
+    ragged = corpus.filter(F.size(F.col(vec_col)) != dims).count()
+    if ragged:
+        raise ValueError(
+            f"pq_codes: {ragged} vectors are not {dims}-dimensional — "
+            "ragged input would silently mis-encode"
+        )
+    w = dims // m_subspaces
+    parts = []
+    for s in range(m_subspaces):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * w + 1, w).alias(vec_col),
+        )
+        cb = codebooks[s] if codebooks is not None else None
+        part = kmeans_assignments(
+            sliced,
+            id_col,
+            vec_col,
+            n_centroids=n_centroids,
+            iterations=iterations,
+            centroids=cb,
+        )
+        parts.append(part.select(id_col, F.lit(s).alias("sub"), "cid", "cos_sim"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

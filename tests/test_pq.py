@@ -1,0 +1,72 @@
+"""Product quantization (operators/simsearch.py::pq_codes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.operators.simsearch import ivf_train, pq_codes
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _vecs(n, d=8):
+    # deterministic, clustered in two blobs so k-means has structure
+    return [
+        (i, [float((i % 2) * 10 + (i * 7 + j) % 3) for j in range(d)])
+        for i in range(n)
+    ]
+
+
+def test_codes_shape_and_range(spark):
+    df = _corpus(spark, _vecs(20))
+    out = pq_codes(df, dims=8, m_subspaces=4, n_centroids=4, iterations=2)
+    rows = out.collect()
+    assert len(rows) == 20 * 4
+    assert {r["sub"] for r in rows} == {0, 1, 2, 3}
+    assert all(0 <= r["cid"] < 4 for r in rows)
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
+
+
+def test_identical_vectors_share_codes(spark):
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]),
+            (3, [9.0, 9.0, -9.0, -9.0])]
+    out = pq_codes(_corpus(spark, rows), dims=4, m_subspaces=2,
+                   n_centroids=2, iterations=2)
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r["vec_id"], {})[r["sub"]] = r["cid"]
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_precomputed_codebooks_skip_training(spark):
+    df = _corpus(spark, _vecs(16))
+    trained = [
+        ivf_train(
+            df.select("vec_id", F.slice("embedding", s * 2 + 1, 2).alias("embedding")),
+            n_centroids=4,
+            iterations=2,
+        )
+        for s in range(4)
+    ]
+    fresh = pq_codes(df, dims=8, m_subspaces=4, n_centroids=4, iterations=2)
+    reused = pq_codes(df, dims=8, m_subspaces=4, codebooks=trained)
+    a = sorted(map(tuple, fresh.collect()))
+    b = sorted(map(tuple, reused.collect()))
+    assert a == b
+
+
+def test_guards(spark):
+    df = _corpus(spark, _vecs(8))
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codes(df, dims=8, m_subspaces=3)
+    with pytest.raises(ValueError, match="m_subspaces"):
+        pq_codes(df, dims=8, m_subspaces=0)
+    with pytest.raises(ValueError, match="codebooks"):
+        pq_codes(df, dims=8, m_subspaces=4, codebooks=[[[0.0, 0.0]]])
+    ragged = _corpus(spark, [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0, 4.0])])
+    with pytest.raises(ValueError, match="ragged|dimensional"):
+        pq_codes(ragged, dims=4, m_subspaces=2)
