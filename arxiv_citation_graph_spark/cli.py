@@ -10,7 +10,8 @@ Ship the package as a zip and drive any stage of the pipeline:
 Subcommands: extract | pagerank | cc | lpa | triangles | hits | salsa |
 kcore | bfs | walks | betweenness | fiedler | layers | simrank |
 wl-kernel | sample | dedup | line-dedup | decontaminate | scrub |
-split | select | stats | backbone | pipeline | ingest | bench-corpus.
+split | select | stats | backbone | pipeline | ingest | classify |
+zorder | als | smooth | pq | conversions | bench-corpus.
 Every graph command reads ``edges`` from the warehouse catalog (or a
 parquet path), runs to convergence with checkpoint/resume, and commits
 results + superstep metrics back to the warehouse.
@@ -218,6 +219,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--min-overlap", type=int, default=3)
     p.add_argument("--shingle-k", type=int, default=3)
+    p.add_argument(
+        "--bloom", action="store_true",
+        help="screen corpus shingles map-side against a broadcast Bloom "
+        "bitmap of the eval shingles first (identical rows, the shuffle "
+        "becomes contamination-sized)",
+    )
+    p.add_argument("--m-bits", type=int, default=1 << 20,
+                   help="Bloom bitmap size in bits (with --bloom)")
 
     p = sub.add_parser(
         "scrub",
@@ -317,6 +326,86 @@ def main(argv: list[str] | None = None) -> int:
         "warehouse 'ranks' table when present, and commit the new ranks",
     )
 
+    p = sub.add_parser(
+        "classify",
+        help="train the distilled quality filter (full-batch GD) and "
+        "score the corpus; --warm-start-from continues from prior weights",
+    )
+    p.add_argument("--docs", required=True, help="corpus parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--iterations", type=int, default=8)
+    p.add_argument("--lr", type=float, default=0.5)
+    p.add_argument("--l2", type=float, default=0.001)
+    p.add_argument("--label-threshold", type=float, default=0.62)
+    p.add_argument(
+        "--warm-start-from", default=None,
+        help="'weights' for the warehouse table, or a (feature, weight) "
+        "parquet path — the daily-append accelerator",
+    )
+
+    p = sub.add_parser(
+        "zorder",
+        help="attach Morton keys for two integer columns and rewrite the "
+        "table range-partitioned on zkey (two-dimensional file pruning)",
+    )
+    p.add_argument("--table", required=True, help="input parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--col-x", required=True)
+    p.add_argument("--col-y", required=True)
+    p.add_argument("--bucket-bits", type=int, default=4)
+    p.add_argument("--partitions", type=int, default=None,
+                   help="range partitions for the rewrite (default: 2^bucket-bits)")
+
+    p = sub.add_parser(
+        "als", help="rank-1 ALS factorization of a (user, item, rating) table"
+    )
+    p.add_argument("--ratings", required=True, help="ratings parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--user-col", default="user")
+    p.add_argument("--item-col", default="item")
+    p.add_argument("--rating-col", default="rating")
+    p.add_argument("--iterations", type=int, default=4)
+    p.add_argument("--reg", type=float, default=0.1)
+
+    p = sub.add_parser(
+        "smooth",
+        help="SGC feature propagation: x' = (1-a)x + a*mean(neighbors) "
+        "over an edge table (GNN preprocessing)",
+    )
+    p.add_argument("--edges", required=True, help="edges parquet path")
+    p.add_argument("--features", required=True, help="(id, vector) parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--iterations", type=int, default=2)
+    p.add_argument("--alpha", type=float, default=0.5)
+
+    p = sub.add_parser(
+        "pq",
+        help="product-quantize an embedding table (per-subspace k-means codes)",
+    )
+    p.add_argument("--embeddings", required=True, help="embeddings parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--dims", type=int, required=True)
+    p.add_argument("--subspaces", type=int, default=4)
+    p.add_argument("--centroids", type=int, default=8)
+    p.add_argument("--iterations", type=int, default=3)
+
+    p = sub.add_parser(
+        "conversions",
+        help="per-user conversion attribution: follow events within a "
+        "window of a trigger event (batch twin of the stream-stream join)",
+    )
+    p.add_argument("--events", required=True, help="events parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--trigger", default="click")
+    p.add_argument("--follow", default="purchase")
+    p.add_argument("--window-seconds", type=int, default=3600)
+
     p = sub.add_parser("bench-corpus", help="write a deterministic synthetic docs corpus")
     p.add_argument("--n-docs", type=int, default=10000)
     p.add_argument("--seed", type=int, default=42)
@@ -363,6 +452,161 @@ def main(argv: list[str] | None = None) -> int:
                 f"({'warm' if prior is not None else 'cold'} start), "
                 f"converged={result.report.converged}"
             )
+        return 0
+
+    if args.cmd == "classify":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.operators.classifier import (
+            doc_quality_features,
+            train_logistic,
+        )
+
+        feats = doc_quality_features(
+            spark.read.parquet(args.docs),
+            args.id_col,
+            args.text_col,
+            label_threshold=args.label_threshold,
+        )
+        feature_cols = ["x0", "x1", "x2", "x3", "x4"]
+        init = None
+        if args.warm_start_from:
+            wdf = (
+                catalog.read(spark, "classifier_weights")
+                if args.warm_start_from == "weights"
+                else spark.read.parquet(args.warm_start_from)
+            )
+            got = {r["feature"]: float(r["weight"]) for r in wdf.collect()}
+            init = tuple(got[c] for c in feature_cols)
+        model = train_logistic(
+            feats,
+            feature_cols,
+            "y",
+            iterations=args.iterations,
+            lr=args.lr,
+            l2=args.l2,
+            init_weights=init,
+        )
+        weights_df = spark.createDataFrame(
+            list(zip(model.feature_names, model.weights)),
+            "feature string, weight double",
+        )
+        catalog.create_or_replace("classifier_weights", weights_df)
+        scored = feats.select(
+            F.col(args.id_col),
+            model.score(feats).alias("score"),
+            F.col("y").cast("long").alias("label"),
+        )
+        snap = catalog.create_or_replace("classifier_scores", scored)
+        acc = (
+            scored.filter(
+                (F.col("score") >= 0.5).cast("long") == F.col("label")
+            ).count()
+            / model.n_rows
+        )
+        print(
+            f"classify: {model.n_rows} docs, {args.iterations} iterations "
+            f"({'warm' if init else 'cold'} start), train-accuracy "
+            f"{acc:.3f}, snapshot {snap}"
+        )
+        return 0
+
+    if args.cmd == "zorder":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.operators.zorder import zorder_layout
+
+        laid = zorder_layout(
+            spark.read.parquet(args.table),
+            args.col_x,
+            args.col_y,
+            bucket_bits=args.bucket_bits,
+        )
+        n_parts = args.partitions or (1 << args.bucket_bits)
+        snap = catalog.create_or_replace(
+            "zorder_layout", laid.repartitionByRange(n_parts, F.col("zkey"))
+        )
+        print(
+            f"zorder: {laid.count()} rows over ({args.col_x}, {args.col_y}) "
+            f"in {n_parts} range partition(s), snapshot {snap}"
+        )
+        return 0
+
+    if args.cmd == "als":
+        from arxiv_citation_graph_spark.plans.als import als_rank1, als_rank1_sse
+
+        ratings = spark.read.parquet(args.ratings)
+        res = als_rank1(
+            spark, ratings, args.user_col, args.item_col, args.rating_col,
+            iterations=args.iterations, reg=args.reg,
+        )
+        catalog.create_or_replace("als_user_factors", res.users)
+        snap = catalog.create_or_replace("als_item_factors", res.items)
+        fit = als_rank1_sse(
+            ratings.select(args.user_col, args.item_col, args.rating_col), res
+        ).first()
+        print(
+            f"als: {fit['n_ratings']} ratings, {args.iterations} rounds, "
+            f"rmse {fit['rmse']:.4f}, snapshot {snap}"
+        )
+        return 0
+
+    if args.cmd == "smooth":
+        from arxiv_citation_graph_spark.plans.smoothing import feature_propagation
+
+        out = feature_propagation(
+            spark,
+            spark.read.parquet(args.edges),
+            spark.read.parquet(args.features),
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            iterations=args.iterations,
+            alpha=args.alpha,
+        )
+        snap = catalog.create_or_replace("smoothed_features", out)
+        print(
+            f"smooth: {out.count()} (vertex, dim) value(s) after "
+            f"{args.iterations} round(s) at alpha={args.alpha}, snapshot {snap}"
+        )
+        return 0
+
+    if args.cmd == "pq":
+        from arxiv_citation_graph_spark.operators.simsearch import pq_codes
+
+        codes = pq_codes(
+            spark.read.parquet(args.embeddings),
+            args.id_col,
+            args.vec_col,
+            dims=args.dims,
+            m_subspaces=args.subspaces,
+            n_centroids=args.centroids,
+            iterations=args.iterations,
+        )
+        snap = catalog.create_or_replace("pq_codes", codes)
+        n = codes.count()
+        print(
+            f"pq: {n // max(args.subspaces, 1)} vectors -> {args.subspaces} "
+            f"code(s) each ({args.centroids} centroids/subspace), snapshot {snap}"
+        )
+        return 0
+
+    if args.cmd == "conversions":
+        from arxiv_citation_graph_spark.streaming.events import (
+            conversion_join_batch,
+        )
+
+        pairs = conversion_join_batch(
+            spark.read.parquet(args.events),
+            trigger_type=args.trigger,
+            follow_type=args.follow,
+            window_seconds=args.window_seconds,
+        )
+        snap = catalog.create_or_replace("conversions", pairs)
+        print(
+            f"conversions: {pairs.count()} attributed pair(s) "
+            f"({args.trigger} -> {args.follow} within "
+            f"{args.window_seconds}s), snapshot {snap}"
+        )
         return 0
 
     if args.cmd == "line-dedup":
@@ -565,16 +809,29 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "decontaminate":
-        from arxiv_citation_graph_spark.operators.dedup import contamination_flags
-
-        flags = contamination_flags(
-            spark.read.parquet(args.docs),
-            spark.read.parquet(args.eval_docs),
-            args.id_col, args.text_col,
-            min_overlap=args.min_overlap, shingle_k=args.shingle_k,
+        from arxiv_citation_graph_spark.operators.dedup import (
+            contamination_flags,
+            contamination_flags_bloom,
         )
+
+        corpus = spark.read.parquet(args.docs)
+        eval_df = spark.read.parquet(args.eval_docs)
+        if args.bloom:
+            flags = contamination_flags_bloom(
+                spark, corpus, eval_df, args.id_col, args.text_col,
+                min_overlap=args.min_overlap, shingle_k=args.shingle_k,
+                m_bits=args.m_bits,
+            )
+        else:
+            flags = contamination_flags(
+                corpus, eval_df, args.id_col, args.text_col,
+                min_overlap=args.min_overlap, shingle_k=args.shingle_k,
+            )
         catalog.create_or_replace("contamination", flags)
-        print(f"decontaminate: {flags.count()} flagged (doc, eval_doc) pairs")
+        print(
+            f"decontaminate: {flags.count()} flagged (doc, eval_doc) pairs "
+            f"({'bloom-prefiltered' if args.bloom else 'exact path'})"
+        )
         return 0
 
     if args.cmd == "extract":

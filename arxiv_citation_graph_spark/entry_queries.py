@@ -6875,34 +6875,18 @@ FROM cum"""
 
 
 def _classifier_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, x0..x4, y): intercept, en-stopword ratio, length signal,
-    scaled mean token length, punctuation density; label = thresholded
-    quality heuristic.  Every feature is a ratio of small integers (one
-    exactly-rounded IEEE divide), so both engines hold identical doubles."""
-    from arxiv_citation_graph_spark.functions.texttools import quality_score, tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    ltoks = tokens(F.lower(F.col("text")))
-    stopwords = ["the", "a", "of", "and", "to"]
-    hits = F.size(F.filter(ltoks, lambda t: t.isin(stopwords)))
-    stop = hits / F.greatest(F.size(ltoks), F.lit(1))
-    len_sig = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
-    mean_len = F.aggregate(
-        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
-    ) / F.greatest(F.size(toks), F.lit(1))
-    punct = F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9 ]")) / F.greatest(
-        F.length("text"), F.lit(1)
+    """(doc_id, x0..x4, y) over the driver documents table — the shared
+    feature builder lives in operators/classifier.py (the CLI trains on
+    arbitrary corpora through the same function)."""
+    from arxiv_citation_graph_spark.operators.classifier import (
+        doc_quality_features,
     )
-    y = (quality_score(F.col("text")) >= F.lit(_CLF_LABEL_THRESHOLD)).cast("double")
-    return docs.select(
+
+    return doc_quality_features(
+        _t(spark, sf_dir, "documents"),
         "doc_id",
-        F.lit(1.0).alias("x0"),
-        stop.alias("x1"),
-        len_sig.alias("x2"),
-        (mean_len / F.lit(10.0)).alias("x3"),
-        punct.alias("x4"),
-        y.alias("y"),
+        "text",
+        label_threshold=_CLF_LABEL_THRESHOLD,
     )
 
 

@@ -218,3 +218,46 @@ def pr_curve(
             F.col("tp") / F.greatest(F.lit(int(total_pos)), F.lit(1)), 7
         ).alias("recall"),
     )
+
+
+def doc_quality_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    label_threshold: float = 0.62,
+) -> DataFrame:
+    """The standard feature vector for the distilled quality filter:
+    ``(id, x0..x4, y)`` — intercept, en-stopword ratio, length signal,
+    scaled mean token length, punctuation density; label = thresholded
+    ``quality_score`` heuristic.  Every feature is a ratio of small
+    integers (one exactly-rounded IEEE divide), so Spark and the DuckDB
+    oracle hold identical doubles."""
+    from arxiv_citation_graph_spark.functions.texttools import (
+        quality_score,
+        tokens,
+    )
+
+    text = F.col(text_col)
+    toks = tokens(text)
+    ltoks = tokens(F.lower(text))
+    stopwords = ["the", "a", "of", "and", "to"]
+    hits = F.size(F.filter(ltoks, lambda t: t.isin(stopwords)))
+    stop = hits / F.greatest(F.size(ltoks), F.lit(1))
+    len_sig = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+    punct = F.regexp_count(text, F.lit("[^A-Za-z0-9 ]")) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+    y = (quality_score(text) >= F.lit(float(label_threshold))).cast("double")
+    return docs.select(
+        F.col(id_col),
+        F.lit(1.0).alias("x0"),
+        stop.alias("x1"),
+        len_sig.alias("x2"),
+        (mean_len / F.lit(10.0)).alias("x3"),
+        punct.alias("x4"),
+        y.alias("y"),
+    )

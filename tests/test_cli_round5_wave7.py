@@ -1,0 +1,147 @@
+"""CLI surface for the round-5 seventh wave: classify / decontaminate /
+zorder / als / smooth / pq / conversions."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _setup(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    return str(tmp_path / "wh")
+
+
+def test_cli_classify_cold_then_warm(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    docs_path = str(tmp_path / "docs_pq")
+    rows = [
+        (i, ("the quick brown fox and a dog of war to win " * (1 + i % 6)))
+        for i in range(40)
+    ] + [(100 + i, "x" * 5) for i in range(10)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs_path)
+
+    assert cli.main(["classify", "--docs", docs_path, "--out", wh]) == 0
+    cat = SnapshotCatalog(wh)
+    w = {r.feature: r.weight for r in cat.read(spark, "classifier_weights").collect()}
+    assert set(w) == {"x0", "x1", "x2", "x3", "x4"}
+    assert cat.read(spark, "classifier_scores").count() == 50
+
+    # warm start consumes the warehouse weights table
+    assert cli.main(
+        ["classify", "--docs", docs_path, "--out", wh,
+         "--warm-start-from", "weights", "--iterations", "2"]
+    ) == 0
+    w2 = {r.feature: r.weight for r in cat.read(spark, "classifier_weights").collect()}
+    assert w2 != w  # continued training moved the weights
+
+
+def test_cli_decontaminate_bloom_matches_exact(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    docs_path = str(tmp_path / "c_pq")
+    eval_path = str(tmp_path / "e_pq")
+    spark.createDataFrame(
+        [("c1", "alpha beta gamma delta epsilon zeta"),
+         ("c2", "totally unrelated words right here")],
+        "doc_id string, text string",
+    ).write.parquet(docs_path)
+    spark.createDataFrame(
+        [("e1", "alpha beta gamma delta epsilon zeta theta")],
+        "doc_id string, text string",
+    ).write.parquet(eval_path)
+
+    cat = SnapshotCatalog(wh)
+    assert cli.main(
+        ["decontaminate", "--docs", docs_path, "--eval-docs", eval_path,
+         "--out", wh]
+    ) == 0
+    exact = sorted(map(tuple, cat.read(spark, "contamination").collect()))
+    assert cli.main(
+        ["decontaminate", "--docs", docs_path, "--eval-docs", eval_path,
+         "--out", wh, "--bloom"]
+    ) == 0
+    bloom = sorted(map(tuple, cat.read(spark, "contamination").collect()))
+    assert exact == bloom and len(exact) == 1
+
+
+def test_cli_zorder_and_pq(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    tbl = str(tmp_path / "t_pq")
+    spark.createDataFrame(
+        [(i, i % 8, i // 8) for i in range(64)], "id long, x long, y long"
+    ).write.parquet(tbl)
+    assert cli.main(
+        ["zorder", "--table", tbl, "--out", wh, "--col-x", "x", "--col-y", "y"]
+    ) == 0
+    cat = SnapshotCatalog(wh)
+    laid = cat.read(spark, "zorder_layout")
+    assert laid.count() == 64
+    assert laid.select("zbucket").distinct().count() <= 16
+
+    emb = str(tmp_path / "emb_pq")
+    spark.createDataFrame(
+        [(i, [float((i % 3) + j) for j in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(emb)
+    assert cli.main(
+        ["pq", "--embeddings", emb, "--out", wh, "--dims", "8",
+         "--subspaces", "2", "--centroids", "3", "--iterations", "2"]
+    ) == 0
+    assert cat.read(spark, "pq_codes").count() == 24
+
+
+def test_cli_als_smooth_conversions(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    cat = SnapshotCatalog(wh)
+
+    ratings = str(tmp_path / "r_pq")
+    spark.createDataFrame(
+        [("c1", "s1", 2.0), ("c1", "s2", 4.0), ("c2", "s1", 1.0)],
+        "user string, item string, rating double",
+    ).write.parquet(ratings)
+    assert cli.main(["als", "--ratings", ratings, "--out", wh]) == 0
+    assert cat.read(spark, "als_user_factors").count() == 2
+    assert cat.read(spark, "als_item_factors").count() == 2
+
+    edges = str(tmp_path / "se_pq")
+    feats = str(tmp_path / "sf_pq")
+    spark.createDataFrame([("a", "b")], "src_id string, dst_id string").write.parquet(edges)
+    spark.createDataFrame(
+        [("a", [0.0]), ("b", [8.0])], "vec_id string, embedding array<double>"
+    ).write.parquet(feats)
+    assert cli.main(
+        ["smooth", "--edges", edges, "--features", feats, "--out", wh,
+         "--iterations", "1"]
+    ) == 0
+    sm = {r.vertex: r.x for r in cat.read(spark, "smoothed_features").collect()}
+    assert sm == {"a": 4.0, "b": 4.0}
+
+    events = str(tmp_path / "ev_pq")
+    t0 = datetime.datetime(2026, 1, 1, 9, 0)
+    spark.createDataFrame(
+        [
+            (1, t0, 7, "click", 1.0, "{}"),
+            (2, t0 + datetime.timedelta(minutes=10), 7, "purchase", 5.0, "{}"),
+            (3, t0 + datetime.timedelta(hours=3), 7, "purchase", 5.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(events)
+    assert cli.main(["conversions", "--events", events, "--out", wh]) == 0
+    conv = cat.read(spark, "conversions").collect()
+    assert [(r.trigger_id, r.follow_id, r.lag_seconds) for r in conv] == [(1, 2, 600)]
