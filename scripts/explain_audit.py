@@ -1190,6 +1190,138 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS plan_edges_b")
     spark.sql("DROP TABLE IF EXISTS plan_ranks_b")
 
+    # ---- round-5 wave 7: classifier / bloom / zorder / ALS / smoothing ----
+    from arxiv_citation_graph_spark.operators.classifier import (
+        doc_quality_features,
+        fast_sigmoid,
+        _dot,
+    )
+
+    feats = doc_quality_features(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), "doc_id", "text"
+    )
+    fcols = ["x0", "x1", "x2", "x3", "x4"]
+    resid = fast_sigmoid(_dot([0.1, -0.2, 0.3, 0.05, -0.4], fcols)) - F.col("y")
+    grad = feats.agg(*[F.sum(F.col(c) * resid).alias(f"g{j}") for j, c in enumerate(fcols)])
+    gplan = plan_of(grad)
+    sections.append(
+        (
+            "Classifier gradient step (one d-wide reduce per GD iteration)",
+            "Full-batch training's entire per-iteration cost: the feature "
+            "scan feeds a partial HashAggregate computing all 5 residual "
+            "sums map-side, then ONE single-row Exchange merges them — no "
+            "per-row data ever shuffles; the weight update is driver "
+            f"arithmetic on 5 doubles.  [{exchange_count(gplan)}]",
+            condense(gplan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.dedup import (
+        contamination_flags_bloom,
+    )
+
+    docs_pq = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    flags = contamination_flags_bloom(
+        spark,
+        docs_pq.filter(F.col("doc_id") % 37 != 0),
+        docs_pq.filter(F.col("doc_id") % 37 == 0),
+        "doc_id",
+        "text",
+        min_overlap=3,
+    )
+    bplan = plan_of(flags)
+    sections.append(
+        (
+            "Bloom-prefiltered decontamination (map-side screen, broadcast-only joins)",
+            "The corpus scan explodes shingles, probes the broadcast bitmap "
+            "(BroadcastNestedLoopJoin against the 1-row array — constant "
+            "memory), and the shiftright/element_at Filter kills clean "
+            "shingles BEFORE the exact verify's BroadcastHashJoin; the only "
+            "row Exchange left is the contamination-sized (doc, eval_doc) "
+            f"count.  [{exchange_count(bplan)}]",
+            condense(bplan, KEEP + ("BroadcastNestedLoop",)),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.zorder import zorder_layout
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id",
+        F.col("user_id").alias("zx"),
+        F.unix_timestamp("ts").alias("zy"),
+    )
+    laid = zorder_layout(ev, "zx", "zy").select("event_id", "zkey", "zbucket")
+    zplan = plan_of(laid)
+    sections.append(
+        (
+            "Z-order key attachment (pure projection, zero shuffle)",
+            "The Morton key is a 32-term integer shift/or expression folded "
+            "into the scan's projection — WholeStageCodegen, no Exchange; "
+            "the min/max literals come from one collected 4-scalar "
+            "aggregate.  The write then adds exactly ONE shuffle: the "
+            f"repartitionByRange(zkey) that IS the layout.  [{exchange_count(zplan)}]",
+            condense(zplan, KEEP + ("Project",)),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.als import als_rank1
+
+    rat = spark.createDataFrame(
+        [(f"c{i}", f"s{i % 7}", float(1 + i % 5)) for i in range(200)],
+        "user string, item string, rating double",
+    )
+    res = als_rank1(spark, rat, iterations=1)
+    aplan = plan_of(res.users)
+    sections.append(
+        (
+            "ALS rank-1 half-step (edge join + grouped closed-form solve)",
+            "Each half-step joins the cached rating edges to the other "
+            "side's factor and reduces per vertex: partial HashAggregate "
+            "computes sum(r*f) and sum(f*f) map-side, one Exchange keyed on "
+            "the grouping vertex, the division is the solve.  The PageRank "
+            f"contribution shape.  [{exchange_count(aplan)}]",
+            condense(aplan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.smoothing import feature_propagation
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(64)
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 64) for i in range(64)], "src_id long, dst_id long"
+    )
+    sm = feature_propagation(
+        spark, ring, emb, id_col="vec_id", vec_col="embedding", iterations=1
+    )
+    splan = plan_of(sm)
+    sections.append(
+        (
+            "Feature propagation round (long-form (vertex, dim) mean)",
+            "x' = (1-a)x + a*mean(nbrs) on the exploded (vertex, dim, x) "
+            "layout: edge join, then partial HashAggregate on (dst, dim) "
+            "before its Exchange (map-side combine), one left join merges "
+            "back.  d independent key spaces — hub vertices salt like A9, "
+            f"AQE splits freely.  [{exchange_count(splan)}]",
+            condense(splan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.streaming.events import conversion_join_batch
+
+    conv = conversion_join_batch(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    cplan = plan_of(conv)
+    sections.append(
+        (
+            "Conversion attribution (equi-join on user, range refines in-partition)",
+            "The interval join shuffles ONLY on user_id; the time-window "
+            "predicate is a post-join Filter inside the same stage, so "
+            "state per key is the user's events, never all-pairs — the "
+            "batch contract of the watermarked stream-stream join.  "
+            f"[{exchange_count(cplan)}]",
+            condense(cplan, KEEP + ("SortMergeJoin",)),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:
