@@ -5695,6 +5695,89 @@ def _pq_codes_sql(m: int = 4, k: int = 8, iters: int = 3, dims: int = 64) -> str
     return "WITH " + ",\n".join(all_ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _pq_topk_sql(
+    m: int = 4, kc: int = 8, iters: int = 3, dims: int = 64, k: int = 5
+) -> str:
+    """ADC top-k over PQ codes, mirroring
+    ``operators/simsearch.pq_topk``: per-subspace unrolled trainings,
+    the (query, sub, cid) lookup table, one grouped reduce per
+    (query, vector), rank after rounding."""
+    w = dims // m
+    all_ctes: list[str] = []
+    code_sel: list[str] = []
+    cb_sel: list[str] = []
+    for s in range(m):
+        p = f"s{s}"
+        ctes, assign = _kmeans_ctes(
+            kc, iters, prefix=p, slice_1based=(s * w + 1, (s + 1) * w)
+        )
+        ctes.append(assign(f"inv{p}", f"c{p}{iters}"))
+        all_ctes += ctes
+        code_sel.append(
+            f"SELECT vec_id AS neighbor_id, {s} AS sub, cid FROM inv{p}"
+        )
+        cb_sel.append(f"SELECT {s} AS sub, cid, ce FROM c{p}{iters}")
+    all_ctes.append(
+        "codes AS MATERIALIZED (" + " UNION ALL ".join(code_sel) + ")"
+    )
+    all_ctes.append(
+        "cb AS MATERIALIZED (SELECT sub, cid, ce, "
+        "list_dot_product(ce, ce) AS cn2 FROM ("
+        + " UNION ALL ".join(cb_sel)
+        + "))"
+    )
+    all_ctes.append(
+        "q AS MATERIALIZED (SELECT vec_id AS query_id, "
+        "CAST(embedding AS DOUBLE[]) AS qe, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS qn "
+        "FROM embeddings WHERE vec_id < 10)"
+    )
+    all_ctes.append(
+        f"adc AS MATERIALIZED (SELECT q.query_id, q.qn, cb.sub, cb.cid, "
+        f"list_dot_product(list_slice(q.qe, cb.sub * {w} + 1, "
+        f"cb.sub * {w} + {w}), cb.ce) AS d, cb.cn2 "
+        f"FROM q CROSS JOIN cb)"
+    )
+    all_ctes.append(
+        "scored AS MATERIALIZED (SELECT a.query_id, c.neighbor_id, "
+        "round(sum(a.d) / (a.qn * sqrt(sum(a.cn2))), 6) AS adc_sim "
+        "FROM codes c JOIN adc a ON a.sub = c.sub AND a.cid = c.cid "
+        "WHERE c.neighbor_id <> a.query_id "
+        "GROUP BY a.query_id, c.neighbor_id, a.qn)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(all_ctes)
+        + f"""
+SELECT query_id, neighbor_id, adc_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+    )
+
+
+@register("pq_ann_topk", _pq_topk_sql(4, 8, 3, 64, 5))
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-5 over PQ codes
+    (operators/simsearch.py::pq_topk) — the search half of product
+    quantization: queries compare against reconstructions while the
+    corpus side streams only its byte-sized codes."""
+    from arxiv_citation_graph_spark.operators.simsearch import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        dims=64,
+        m_subspaces=4,
+        n_centroids=8,
+        iterations=3,
+        k=5,
+    )
+
+
 @register("pq_codes", _pq_codes_sql(4, 8, 3, 64))
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (operators/simsearch.py::pq_codes): 4

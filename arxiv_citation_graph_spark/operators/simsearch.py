@@ -656,3 +656,126 @@ def pq_codes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dims: int,
+    m_subspaces: int = 4,
+    n_centroids: int = 8,
+    iterations: int = 3,
+    k: int = 5,
+    max_queries: int | None = DEFAULT_MAX_QUERIES,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half
+    of product quantization (Jegou-Douze-Schmid 2011):
+
+        sim(q, x) ~= sum_s dot(q_s, c_{s, code_s(x)})
+                     / (||q|| * sqrt(sum_s ||c_{s, code_s(x)}||^2))
+
+    i.e. the query is compared to each vector's RECONSTRUCTION, but the
+    only per-vector state touched is its m byte-sized codes.  Plan
+    shape: the ADC lookup table (|Q| x m x n_centroids rows of one
+    double) is built by a broadcast cross join of the queries against
+    the model-sized codebook frame; the corpus codes then broadcast-join
+    that table on (sub, cid) and reduce per (query, vector) — at 10^12
+    vectors the corpus side streams codes only, never raw vectors.
+
+    Output ``(query_id, neighbor_id, adc_sim, rank)`` — the brute-force
+    contract, so ``ann_recall_at_k`` gauges PQ quality directly against
+    ``brute_force_topk``.  Same ``max_queries`` guard as the exact
+    baseline; similarities round at 1e-6 BEFORE ranking so ties are
+    deterministic cross-engine.
+    """
+    if max_queries is not None:
+        n_q = len(queries.select(id_col).limit(max_queries + 1).collect())
+        if n_q > max_queries:
+            raise ValueError(
+                f"pq_topk got >{max_queries} query vectors — raise "
+                "max_queries explicitly if the reduce keyed on "
+                "(query, vector) is truly intended at that scale."
+            )
+    w = dims // m_subspaces
+    if codebooks is None:
+        codebooks = [
+            ivf_train(
+                corpus.select(
+                    F.col(id_col),
+                    F.slice(F.col(vec_col), s * w + 1, w).alias(vec_col),
+                ),
+                id_col,
+                vec_col,
+                n_centroids,
+                iterations,
+            )
+            for s in range(m_subspaces)
+        ]
+    codes = pq_codes(
+        corpus,
+        id_col,
+        vec_col,
+        dims=dims,
+        m_subspaces=m_subspaces,
+        n_centroids=n_centroids,
+        iterations=iterations,
+        codebooks=codebooks,
+    ).select(F.col(id_col).alias("neighbor_id"), "sub", "cid")
+
+    spark = corpus.sparkSession
+    cb_rows = [
+        (s, cid, [float(x) for x in cw])
+        for s, book in enumerate(codebooks)
+        for cid, cw in enumerate(book)
+    ]
+    cb = spark.createDataFrame(cb_rows, "sub int, cid int, ce array<double>")
+    # codeword norm^2 via the same in-order fold DuckDB's list_dot_product runs
+    cb = cb.withColumn(
+        "cn2",
+        F.aggregate(
+            F.zip_with(F.col("ce"), F.col("ce"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qe"),
+    ).withColumn("qn", _norm(F.col("qe")))
+    adc = q.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "qn",
+        "sub",
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qe"), F.col("sub") * w + 1, F.lit(w)),
+                F.col("ce"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d"),
+        "cn2",
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["sub", "cid"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id", "qn")
+        .agg(
+            F.round(
+                F.sum("d") / (F.col("qn") * F.sqrt(F.sum("cn2"))), 6
+            ).alias("adc_sim")
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), "neighbor_id")
+    return (
+        scored.select("query_id", "neighbor_id", "adc_sim")
+        .withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

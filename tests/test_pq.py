@@ -70,3 +70,35 @@ def test_guards(spark):
     ragged = _corpus(spark, [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0, 4.0])])
     with pytest.raises(ValueError, match="ragged|dimensional"):
         pq_codes(ragged, dims=4, m_subspaces=2)
+
+
+def test_pq_topk_finds_planted_neighbor(spark):
+    """ADC search must rank an (almost) identical vector first — on a
+    corpus where the duplicate pair sits in its own cluster, the
+    reconstruction-based similarity puts it at rank 1."""
+    from arxiv_citation_graph_spark.operators.simsearch import pq_topk
+
+    rows = _vecs(20) + [(100, [v + 0.01 for v in dict(_vecs(20))[0]])]
+    df = _corpus(spark, rows)
+    out = pq_topk(
+        df, df.filter("vec_id = 100"), dims=8, m_subspaces=2,
+        n_centroids=4, iterations=2, k=3,
+    )
+    top = out.filter("rank = 1").first()
+    # vec 0's blob shares its codes; the top hit must come from that blob
+    assert top["adc_sim"] > 0.99
+    got = {r["neighbor_id"] for r in out.collect()}
+    assert 0 in got  # the planted near-duplicate is in the top-3
+
+
+def test_pq_topk_guard_and_self_exclusion(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import pq_topk
+
+    df = _corpus(spark, _vecs(12))
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(df, df, dims=8, m_subspaces=2, max_queries=3)
+    out = pq_topk(
+        df, df.filter("vec_id = 1"), dims=8, m_subspaces=2,
+        n_centroids=4, iterations=1, k=5, max_queries=None,
+    )
+    assert all(r["neighbor_id"] != 1 for r in out.collect())
