@@ -11,7 +11,7 @@ Subcommands: extract | pagerank | cc | lpa | triangles | hits | salsa |
 kcore | bfs | walks | betweenness | fiedler | layers | simrank |
 wl-kernel | sample | dedup | line-dedup | decontaminate | scrub |
 split | select | stats | backbone | pipeline | ingest | classify |
-zorder | als | smooth | pq | conversions | bench-corpus.
+zorder | als | smooth | pq | conversions | table | bench-corpus.
 Every graph command reads ``edges`` from the warehouse catalog (or a
 parquet path), runs to convergence with checkpoint/resume, and commits
 results + superstep metrics back to the warehouse.
@@ -406,6 +406,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--follow", default="purchase")
     p.add_argument("--window-seconds", type=int, default=3600)
 
+    p = sub.add_parser(
+        "table",
+        help="warehouse table maintenance: history, compaction "
+        "(rewrite_data_files), snapshot expiry, rollback",
+    )
+    p.add_argument("--name", required=True, help="table name")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--history", action="store_true", help="print the snapshot log")
+    p.add_argument(
+        "--compact", action="store_true",
+        help="collapse the append chain into one replace snapshot",
+    )
+    p.add_argument(
+        "--sort-by", default=None,
+        help="comma-separated sort columns for the compaction rewrite "
+        "(e.g. the zorder key)",
+    )
+    p.add_argument("--num-files", type=int, default=None)
+    p.add_argument("--expire", action="store_true",
+                   help="reclaim data files of superseded snapshots")
+    p.add_argument("--rollback", type=int, default=None,
+                   help="move the current pointer back to this snapshot id")
+
     p = sub.add_parser("bench-corpus", help="write a deterministic synthetic docs corpus")
     p.add_argument("--n-docs", type=int, default=10000)
     p.add_argument("--seed", type=int, default=42)
@@ -452,6 +475,36 @@ def main(argv: list[str] | None = None) -> int:
                 f"({'warm' if prior is not None else 'cold'} start), "
                 f"converged={result.report.converged}"
             )
+        return 0
+
+    if args.cmd == "table":
+        did = []
+        if args.rollback is not None:
+            catalog.rollback(args.name, args.rollback)
+            did.append(f"rolled back to {args.rollback}")
+        if args.compact:
+            sort_by = (
+                [c.strip() for c in args.sort_by.split(",") if c.strip()]
+                if args.sort_by else None
+            )
+            snap = catalog.compact(
+                args.name, spark, sort_by=sort_by, num_files=args.num_files
+            )
+            did.append(f"compacted -> snapshot {snap}")
+        if args.expire:
+            gone = catalog.expire_snapshots(args.name)
+            did.append(f"expired {len(gone)} snapshot(s)")
+        if args.history or not did:
+            for snp in catalog.snapshots(args.name):
+                line = f"  {snp['id']}: {snp['op']} (parent {snp['parent']})"
+                if snp.get("expired"):
+                    line += " [expired]"
+                if snp.get("summary"):
+                    line += f" {snp['summary']}"
+                print(line)
+            print(f"current: {catalog.current_snapshot(args.name)}")
+        if did:
+            print(f"table {args.name}: " + "; ".join(did))
         return 0
 
     if args.cmd == "classify":

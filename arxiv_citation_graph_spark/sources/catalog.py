@@ -149,6 +149,53 @@ class SnapshotCatalog:
         self.stage(table, df, "overwrite_partition", partition)
         return self.commit_staged(table, summary)
 
+    def compact(
+        self,
+        table: str,
+        spark: SparkSession,
+        *,
+        sort_by: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> int:
+        """Iceberg ``rewrite_data_files`` analog: rewrite the table's
+        CURRENT state as one fresh 'replace' snapshot, collapsing a long
+        append chain (whose readers union every batch directory — the
+        small-files problem a streaming ingest accumulates) into one
+        compact, optionally sorted layout.
+
+        ``sort_by``: range-partition + sort the rewrite on these columns
+        (pass the Z-order key from ``operators/zorder.py`` for
+        two-dimensional pruning).  ``num_files``: target file count for
+        the rewrite (default: leave partitioning to the plan).
+
+        Time travel to pre-compaction snapshots keeps working until
+        ``expire_snapshots`` reclaims them — the commit records which
+        snapshot ids it collapsed in its summary, so history stays
+        auditable.
+        """
+        meta = self._meta(table)
+        if meta["current"] < 0:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        collapsed = self._resolve_snap_ids(meta, meta["current"])
+        df = self.read(spark, table)
+        if sort_by:
+            from pyspark.sql import functions as F
+
+            cols = [F.col(c) for c in sort_by]
+            n = num_files or df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        elif num_files:
+            df = df.repartition(num_files)
+        self.stage(table, df, "replace")
+        return self.commit_staged(
+            table,
+            summary={
+                "compaction": True,
+                "collapsed_snapshots": collapsed,
+                "sort_by": list(sort_by or []),
+            },
+        )
+
     def rollback(self, table: str, snapshot: int) -> None:
         """Move the current pointer back to ``snapshot`` (history kept)."""
         meta = self._meta(table)

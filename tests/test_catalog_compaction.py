@@ -1,0 +1,89 @@
+"""SnapshotCatalog.compact: collapse an append chain into one replace
+snapshot (Iceberg rewrite_data_files analog) without losing history."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_compact_collapses_append_chain(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    for lo in (0, 10, 20):
+        cat.append(
+            "t",
+            spark.createDataFrame([(i, i * i) for i in range(lo, lo + 10)], "k long, v long"),
+        )
+    before = _rows(cat.read(spark, "t"))
+    pre_snap = cat.current_snapshot("t")
+
+    snap = cat.compact("t", spark, num_files=1)
+    assert _rows(cat.read(spark, "t")) == before  # byte-identical content
+    entry = [s for s in cat.snapshots("t") if s["id"] == snap][0]
+    assert entry["op"] == "replace"
+    assert entry["summary"]["compaction"] is True
+    assert len(entry["summary"]["collapsed_snapshots"]) == 3
+
+    # the compacted snapshot resolves to ONE directory
+    meta = cat._meta("t")
+    assert cat._resolve_snap_ids(meta, snap) == [snap]
+    # time travel to the pre-compaction snapshot still works
+    assert _rows(cat.read(spark, "t", snapshot=pre_snap)) == before
+
+    # appends continue on top of the compacted base
+    cat.append("t", spark.createDataFrame([(99, 1)], "k long, v long"))
+    assert len(_rows(cat.read(spark, "t"))) == 31
+
+
+def test_compact_sorted_layout_and_expiry(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wh2"))
+    cat.append("t", spark.createDataFrame([(3, "c"), (1, "a")], "k long, s string"))
+    cat.append("t", spark.createDataFrame([(2, "b"), (4, "d")], "k long, s string"))
+    old_ids = cat._resolve_snap_ids(cat._meta("t"), cat.current_snapshot("t"))
+
+    snap = cat.compact("t", spark, sort_by=["k"], num_files=2)
+    got = _rows(cat.read(spark, "t"))
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    # old append snapshots are now reclaimable; reads keep working after
+    expired = cat.expire_snapshots("t")
+    assert set(old_ids) <= set(expired)
+    assert _rows(cat.read(spark, "t")) == got
+    # ...and time travel to the reclaimed snapshots now refuses loudly
+    with pytest.raises(ValueError, match="expired"):
+        cat.read(spark, "t", snapshot=old_ids[-1])
+
+
+def test_compact_empty_table_refuses(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wh3"))
+    with pytest.raises(FileNotFoundError):
+        cat.compact("missing", spark)
+
+
+def test_cli_table_compact_and_history(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    wh = str(tmp_path / "wh_cli")
+    cat = SnapshotCatalog(wh)
+    cat.append("edges", spark.createDataFrame([(1, 2)], "src_id long, dst_id long"))
+    cat.append("edges", spark.createDataFrame([(3, 4)], "src_id long, dst_id long"))
+
+    assert cli.main(
+        ["table", "--name", "edges", "--out", wh, "--compact", "--expire"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out and "expired" in out
+    assert _rows(cat.read(spark, "edges")) == [(1, 2), (3, 4)]
+
+    assert cli.main(["table", "--name", "edges", "--out", wh, "--history"]) == 0
+    hist = capsys.readouterr().out
+    assert "replace" in hist and "current:" in hist
