@@ -52,8 +52,17 @@ def als_rank1(
     *,
     iterations: int = 4,
     reg: float = 0.1,
+    warm_start_items: DataFrame | None = None,
 ) -> ALSResult:
     """Run ``iterations`` full ALS rounds from ``v = 1`` on every item.
+
+    ``warm_start_items``: optional prior ``(vertex, factor)`` item
+    frame (a previous run's ``result.items``) — the daily-append mode:
+    after new ratings land, seeding v from yesterday's factors reaches
+    a given fit in fewer full rounds than the cold all-ones start (the
+    warm-family contract shared with PageRank/CC/LPA/the classifier).
+    Items unseen by the prior run start at 1.0; the run stays
+    deterministic because the seed factors are replay inputs.
 
     Each half-step joins the cached rating edges against the other
     side's current factor and reduces per vertex — two shuffles per
@@ -90,6 +99,15 @@ def als_rank1(
         v = edges.select("it").distinct().select(
             "it", F.lit(1.0).alias("f")
         )
+        if warm_start_items is not None:
+            prior = warm_start_items.select(
+                F.col(warm_start_items.columns[0]).alias("it"),
+                F.col(warm_start_items.columns[1]).cast("double").alias("_pf"),
+            )
+            v = (
+                v.join(prior, "it", "left")
+                .select("it", F.coalesce("_pf", "f").alias("f"))
+            )
         u = None
         for _ in range(iterations):
             u = (

@@ -63,3 +63,36 @@ def test_guards(spark):
     huge = _ratings(spark, [("c1", "s1", float(2**53))])
     with pytest.raises(ValueError, match="null/NaN"):
         als_rank1(spark, huge)
+
+
+def test_warm_start_beats_cold_on_appended_ratings(spark):
+    """Daily-append: seed v from yesterday's factors after new ratings
+    land — one warm round must fit better than one cold round."""
+    from arxiv_citation_graph_spark.plans.als import als_rank1_sse
+
+    a = {"c1": 1.0, "c2": 2.0, "c3": 3.0}
+    b = {"s1": 2.0, "s2": 4.0}
+    prior_rows = [(c, s, a[c] * b[s]) for c in a for s in b][:-1]
+    prior = als_rank1(spark, _ratings(spark, prior_rows), iterations=6, reg=1e-6)
+
+    full_rows = prior_rows + [("c3", "s2", a["c3"] * b["s2"]), ("c4", "s1", 8.0)]
+    full = _ratings(spark, full_rows)
+    warm = als_rank1(
+        spark, full, iterations=1, reg=1e-6, warm_start_items=prior.items
+    )
+    cold = als_rank1(spark, full, iterations=1, reg=1e-6)
+    rmse_warm = als_rank1_sse(full, warm).first()["rmse"]
+    rmse_cold = als_rank1_sse(full, cold).first()["rmse"]
+    assert rmse_warm < rmse_cold
+
+
+def test_warm_start_unseen_items_default_to_one(spark):
+    prior = als_rank1(
+        spark, _ratings(spark, [("c1", "s1", 4.0)]), iterations=1
+    )
+    rows = [("c1", "s1", 4.0), ("c1", "sNEW", 2.0)]
+    res = als_rank1(
+        spark, _ratings(spark, rows), iterations=1,
+        warm_start_items=prior.items,
+    )
+    assert res.items.filter("vertex = 'sNEW'").count() == 1
