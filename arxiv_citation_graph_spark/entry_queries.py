@@ -6498,6 +6498,71 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Distributed BPE merge learning (tokenizer training)
+# ===========================================================================
+
+_BPE_MERGES = 6
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """Unrolled BPE rounds mirroring ``operators/bpe.py::bpe_train``:
+    the same 0x1F-delimited symbol strings, the same literal replace,
+    the same (count DESC, pair ASC) argmax."""
+    d = "chr(31)"
+    ctes = [
+        r"""wrd AS MATERIALIZED (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS w
+        FROM documents) GROUP BY w)""",
+        f"""s1 AS MATERIALIZED (
+      SELECT {d} || array_to_string(regexp_extract_all(w, '.'), {d} || {d}) || {d} AS s,
+             freq FROM wrd)""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"""pc{r} AS MATERIALIZED (
+      SELECT p[1] AS merge_left, p[2] AS merge_right, sum(freq) AS pair_count
+      FROM (
+        SELECT unnest(list_zip(syms, syms[2:])) AS p, freq FROM (
+          SELECT list_filter(string_split(s, {d}), x -> x <> '') AS syms, freq
+          FROM s{r}))
+      WHERE p[2] IS NOT NULL
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+      SELECT merge_left, merge_right, pair_count FROM pc{r}
+      ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1)"""
+        )
+        ctes.append(
+            f"""s{r + 1} AS MATERIALIZED (
+      SELECT replace(s.s, {d} || m.merge_left || {d} || {d} || m.merge_right || {d},
+                     {d} || m.merge_left || m.merge_right || {d}) AS s, s.freq
+      FROM s{r} s CROSS JOIN m{r} m)"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS step, merge_left, merge_right, "
+        f"merge_left || merge_right AS merged, pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+@register("bpe_merges", _bpe_sql(_BPE_MERGES))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (operators/bpe.py): the top-6
+    byte-pair merges from corpus word frequencies — per round one pair
+    count (map-side partials) + one model-sized argmax + one literal
+    replace; the oracle unrolls all six rounds on the identical
+    0x1F-delimited symbol strings."""
+    from arxiv_citation_graph_spark.operators.bpe import bpe_train
+
+    return bpe_train(
+        _t(spark, sf_dir, "documents"), "text", n_merges=_BPE_MERGES
+    )
+
+
+# ===========================================================================
 # Z-order write layout (Morton keys for two-dimensional file pruning)
 # ===========================================================================
 

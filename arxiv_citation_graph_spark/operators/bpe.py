@@ -1,0 +1,149 @@
+"""Distributed BPE merge learning (Sennrich-Haddow-Birch 2016).
+
+The tokenizer-training half of an LLM data pipeline: learn the top-N
+byte-pair merges from corpus word frequencies.  Each merge round is
+
+    1. one aggregate  — count adjacent symbol pairs weighted by word
+       frequency (map-side partial sums, shuffle keyed on the pair),
+    2. one argmax     — the (count DESC, pair ASC) top-1, model-sized,
+    3. one projection — apply the merge to every word's symbol string
+       with a single literal ``replace`` inside the scan's codegen.
+
+which is exactly how production distributed BPE trainers behave: the
+corpus-sized work per round is a count + a rewrite, and the learned
+vocabulary is driver-sized.  Words are deduplicated up front (classic
+BPE trains on the word-frequency table, not raw tokens), so round cost
+scales with |vocab|, not corpus size, after the first aggregate.
+
+Cross-engine determinism: a word's symbol sequence is encoded as a
+delimited string — every symbol wrapped in the unit-separator control
+char (0x1F): ``\\x1f a \\x1f\\x1f b \\x1f`` — so applying a merge is a
+LITERAL string replace of ``\\x1f L \\x1f\\x1f R \\x1f`` with
+``\\x1f LR \\x1f``.  Both engines' ``replace`` scans left-to-right
+non-overlapping, and because each symbol carries its own delimiters on
+BOTH sides, adjacent matches never share a boundary character — the
+rewrite is bit-identical in Spark and DuckDB (no regex, no lookarounds,
+which RE2 lacks).  Pair counts are exact integers; ties break on the
+lexicographically smallest pair.
+
+The reference has no tokenizer tier; citation above is the public BPE
+paper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.functions.texttools import tokens
+
+#: symbol delimiter — the ASCII unit separator; training fails fast if
+#: the corpus contains it (a token embedding the delimiter would let a
+#: merge pattern cross symbol boundaries).
+SEP = "\x1f"
+
+
+def _word_state(docs: DataFrame, text_col: str) -> DataFrame:
+    """(s, freq): each distinct word as its delimited char-symbol string."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.regexp_extract_all(F.col("w"), F.lit("."), 0)
+    s = F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP), F.lit(SEP))
+    return words.select(F.col("w"), s.alias("s"), F.col("freq"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 6,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns one row per merge:
+    ``(step, merge_left, merge_right, merged, pair_count)``.
+
+    Stops early (fewer rows) if the vocabulary runs out of adjacent
+    pairs before ``n_merges`` — on any realistic corpus it never does.
+    """
+    if n_merges < 1:
+        raise ValueError("bpe_train: n_merges must be >= 1")
+    spark = docs.sparkSession
+
+    state = _word_state(docs, text_col)
+    bad = state.filter(F.col("w").contains(SEP)).count()
+    if bad:
+        raise ValueError(
+            f"bpe_train: {bad} token(s) contain the 0x1F symbol delimiter — "
+            "strip control characters upstream (a delimiter inside a token "
+            "would corrupt merge boundaries)"
+        )
+    state = state.select("s", "freq").localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("s"), SEP), lambda x: x != "")
+        n = F.size(syms)
+        zipped = F.arrays_zip(
+            F.slice(syms, 1, n - 1).alias("l"),
+            F.slice(syms, 2, n - 1).alias("r"),
+        )
+        pc = (
+            state.select(F.explode(zipped).alias("p"), "freq")
+            .groupBy(
+                F.col("p.l").alias("merge_left"),
+                F.col("p.r").alias("merge_right"),
+            )
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = pc.orderBy(
+            F.desc("pair_count"), "merge_left", "merge_right"
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, cnt = top[0][0], top[0][1], int(top[0][2])
+        merges.append((step, left, right, left + right, cnt))
+        state = state.select(
+            F.replace(
+                F.col("s"),
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "step int, merge_left string, merge_right string, "
+        "merged string, pair_count long",
+    )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a learned merge list to a corpus: ``(id, n_tokens)`` under
+    the trained vocabulary — the token-budget view packing/selection
+    consume.  One scan; the merge chain is a fixed stack of literal
+    replaces inside codegen (vocabulary is model-sized)."""
+    state = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    word = F.explode(tokens(F.col("_t"))).alias("w")
+    exploded = state.select(F.col(id_col), word)
+    chars = F.regexp_extract_all(F.col("w"), F.lit("."), 0)
+    s = F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP), F.lit(SEP))
+    for left, right in merges:
+        s = F.replace(
+            s,
+            F.lit(SEP + left + SEP + SEP + right + SEP),
+            F.lit(SEP + left + right + SEP),
+        )
+    n_sym = F.size(F.filter(F.split(s, SEP), lambda x: x != ""))
+    return (
+        exploded.select(F.col(id_col), n_sym.alias("_n"))
+        .groupBy(id_col)
+        .agg(F.sum("_n").cast("long").alias("n_tokens"))
+    )

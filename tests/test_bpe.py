@@ -1,0 +1,57 @@
+"""Distributed BPE merge learning (operators/bpe.py) — the Sennrich
+textbook fixture, segmentation, and guards."""
+
+from __future__ import annotations
+
+import pytest
+
+from arxiv_citation_graph_spark.operators.bpe import SEP, bpe_segment, bpe_train
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_textbook_merges(spark):
+    """Sennrich et al.'s running example: {low x5, lower x2, newest x6,
+    widest x3}.  Highest pair is (e, s) with count 9 (newest+widest),
+    then (es, t) 9, then (est, <nothing attached — next is (l, o) 7)."""
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    out = bpe_train(_docs(spark, [" ".join(corpus)]), n_merges=4).collect()
+    got = [(r.step, r.merge_left, r.merge_right, r.pair_count) for r in out]
+    assert got[0] == (1, "e", "s", 9)
+    assert got[1] == (2, "es", "t", 9)
+    assert got[2] == (3, "l", "o", 7)
+    assert got[3] == (4, "lo", "w", 7)
+
+
+def test_merge_application_is_leftmost_nonoverlapping(spark):
+    # 'aaaa' x3: pairs (a,a) count 9 -> merge 1 = aa; round 2 sees
+    # [aa, aa] so (aa, aa) count 3 wins over leftovers
+    out = bpe_train(_docs(spark, ["aaaa aaaa aaaa"]), n_merges=2).collect()
+    got = [(r.step, r.merged, r.pair_count) for r in out]
+    assert got[0] == (1, "aa", 9)
+    assert got[1] == (2, "aaaa", 3)
+
+
+def test_segment_counts_shrink_with_merges(spark):
+    docs = _docs(spark, ["newest newest lowest"])
+    merges = [
+        (r.merge_left, r.merge_right)
+        for r in bpe_train(docs, n_merges=3).collect()
+    ]
+    base = {r.doc_id: r.n_tokens for r in bpe_segment(docs, "doc_id", "text", []).collect()}
+    seg = {r.doc_id: r.n_tokens for r in bpe_segment(docs, "doc_id", "text", merges).collect()}
+    assert base[0] == 18  # 6 + 6 + 6 chars
+    assert seg[0] < base[0]
+
+
+def test_guards(spark):
+    docs = _docs(spark, ["plain text"])
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(docs, n_merges=0)
+    dirty = _docs(spark, [f"bad{SEP}token fine"])
+    with pytest.raises(ValueError, match="delimiter"):
+        bpe_train(dirty, n_merges=1)
