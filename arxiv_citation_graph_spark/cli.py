@@ -11,7 +11,7 @@ Subcommands: extract | pagerank | cc | lpa | triangles | hits | salsa |
 kcore | bfs | walks | betweenness | fiedler | layers | simrank |
 wl-kernel | sample | dedup | line-dedup | decontaminate | scrub |
 split | select | stats | backbone | pipeline | ingest | classify |
-zorder | als | smooth | pq | conversions | table | bench-corpus.
+zorder | als | smooth | pq | conversions | bpe | table | bench-corpus.
 Every graph command reads ``edges`` from the warehouse catalog (or a
 parquet path), runs to convergence with checkpoint/resume, and commits
 results + superstep metrics back to the warehouse.
@@ -407,6 +407,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--window-seconds", type=int, default=3600)
 
     p = sub.add_parser(
+        "bpe",
+        help="learn BPE merges from corpus word frequencies; optionally "
+        "re-segment the corpus under the learned vocabulary",
+    )
+    p.add_argument("--docs", required=True, help="corpus parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--merges", type=int, default=32)
+    p.add_argument(
+        "--apply", action="store_true",
+        help="also commit per-doc token counts under the learned merges",
+    )
+
+    p = sub.add_parser(
         "table",
         help="warehouse table maintenance: history, compaction "
         "(rewrite_data_files), snapshot expiry, rollback",
@@ -475,6 +490,24 @@ def main(argv: list[str] | None = None) -> int:
                 f"({'warm' if prior is not None else 'cold'} start), "
                 f"converged={result.report.converged}"
             )
+        return 0
+
+    if args.cmd == "bpe":
+        from arxiv_citation_graph_spark.operators.bpe import bpe_segment, bpe_train
+
+        docs = spark.read.parquet(args.docs)
+        merges_df = bpe_train(docs, args.text_col, n_merges=args.merges)
+        snap = catalog.create_or_replace("bpe_merges", merges_df)
+        learned = [
+            (r["merge_left"], r["merge_right"])
+            for r in merges_df.orderBy("step").collect()
+        ]
+        print(f"bpe: learned {len(learned)} merge(s), snapshot {snap}")
+        if args.apply:
+            seg = bpe_segment(docs, args.id_col, args.text_col, learned)
+            snap = catalog.create_or_replace("bpe_token_counts", seg)
+            total = seg.agg({"n_tokens": "sum"}).first()[0]
+            print(f"bpe: corpus re-segmented to {total} token(s), snapshot {snap}")
         return 0
 
     if args.cmd == "table":

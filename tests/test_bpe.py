@@ -55,3 +55,22 @@ def test_guards(spark):
     dirty = _docs(spark, [f"bad{SEP}token fine"])
     with pytest.raises(ValueError, match="delimiter"):
         bpe_train(dirty, n_merges=1)
+
+
+def test_cli_bpe_train_and_apply(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    wh = str(tmp_path / "wh")
+    docs_path = str(tmp_path / "docs_pq")
+    _docs(spark, ["newest newest lowest"] * 3).write.parquet(docs_path)
+
+    assert cli.main(
+        ["bpe", "--docs", docs_path, "--out", wh, "--merges", "3", "--apply"]
+    ) == 0
+    cat = SnapshotCatalog(wh)
+    assert cat.read(spark, "bpe_merges").count() == 3
+    counts = {r.doc_id: r.n_tokens for r in cat.read(spark, "bpe_token_counts").collect()}
+    assert len(counts) == 3 and all(v < 18 for v in counts.values())
