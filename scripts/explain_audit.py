@@ -1322,6 +1322,58 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.operators.bpe import SEP, _word_state
+
+    state = _word_state(docs_pq.limit(200), "text")
+    syms = F.filter(F.split(F.col("s"), SEP), lambda x: x != "")
+    nsym = F.size(syms)
+    zipped = F.arrays_zip(
+        F.slice(syms, 1, nsym - 1).alias("l"),
+        F.slice(syms, 2, nsym - 1).alias("r"),
+    )
+    pc = (
+        state.select(F.explode(zipped).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("ml"), F.col("p.r").alias("mr"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    bpe_plan = plan_of(pc)
+    sections.append(
+        (
+            "BPE pair-count round (the whole per-merge corpus cost)",
+            "One generate (adjacent-pair explode over the deduplicated "
+            "word-frequency table) into a partial HashAggregate BEFORE the "
+            "pair-keyed Exchange — the merge argmax is a model-sized top-1 "
+            "and the rewrite is a literal replace in the next scan's "
+            f"projection.  [{exchange_count(bpe_plan)}]",
+            condense(bpe_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.simsearch import pq_topk
+
+    emb_pq = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    adc = pq_topk(
+        emb_pq,
+        emb_pq.filter(F.col("vec_id") < 4),
+        dims=64,
+        m_subspaces=2,
+        n_centroids=4,
+        iterations=1,
+        k=3,
+    )
+    adc_plan = plan_of(adc)
+    sections.append(
+        (
+            "PQ ADC top-k (corpus streams codes only)",
+            "The (query x codebook) lookup table broadcasts; the corpus "
+            "side joins on (sub, cid) — byte-sized codes, never raw "
+            "vectors — then one grouped reduce per (query, vector) and the "
+            "per-query WindowGroupLimit rank.  "
+            f"[{exchange_count(adc_plan)}]",
+            condense(adc_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:
