@@ -6498,6 +6498,58 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# PMI collocations (Church-Hanks association over adjacent bigrams)
+# ===========================================================================
+
+_PMI_MIN_COUNT = 5
+_PMI_K = 100
+
+
+@register(
+    "pmi_collocations",
+    rf"""
+WITH big AS MATERIALIZED (
+  SELECT p[1] AS tok_a, p[2] AS tok_b FROM (
+    SELECT unnest(list_zip(toks, toks[2:])) AS p FROM (
+      SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents))
+  WHERE p[2] IS NOT NULL),
+bc AS MATERIALIZED (
+  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS pair_count
+  FROM big GROUP BY 1, 2),
+tot AS (SELECT sum(pair_count) AS n FROM bc),
+ua AS (SELECT tok_a AS tok, sum(pair_count) AS ca FROM bc GROUP BY 1),
+ub AS (SELECT tok_b AS tok, sum(pair_count) AS cb FROM bc GROUP BY 1),
+uni AS MATERIALIZED (
+  SELECT coalesce(ua.tok, ub.tok) AS tok,
+         coalesce(ca, 0) + coalesce(cb, 0) AS cnt
+  FROM ua FULL OUTER JOIN ub ON ua.tok = ub.tok)
+SELECT tok_a, tok_b, pair_count,
+       round(ln(CAST(pair_count AS DOUBLE) * (2.0 * (SELECT n FROM tot))
+                / CAST(a.cnt * b.cnt AS DOUBLE)), 6) AS pmi
+FROM bc
+JOIN uni a ON a.tok = bc.tok_a
+JOIN uni b ON b.tok = bc.tok_b
+WHERE pair_count >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, tok_a, tok_b
+LIMIT {_PMI_K}""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (operators/quality.py::pmi_collocations): the
+    top-100 adjacent-bigram associations — exact-integer counts, one
+    ln, deterministic (pmi desc, pair asc) ordering."""
+    from arxiv_citation_graph_spark.operators.quality import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        min_count=_PMI_MIN_COUNT,
+        k=_PMI_K,
+    )
+
+
+# ===========================================================================
 # Distributed BPE merge learning (tokenizer training)
 # ===========================================================================
 

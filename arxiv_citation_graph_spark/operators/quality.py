@@ -360,3 +360,86 @@ def unigram_cross_logprob(
             F.round(F.sum(F.col("c") * logp) / F.sum("c"), 6).alias("avg_logprob"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church-Hanks 1990):
+    adjacent token pairs scored by
+
+        pmi(a, b) = ln( c_ab * 2 * N_bigrams / (c_a * c_b) )
+
+    where the marginals ``c_a`` / ``c_b`` count a token's PARTICIPATIONS
+    in bigrams (left + right), so they sum to exactly ``2 * N_bigrams``
+    — a constant ``ln 2`` from the textbook probability form, identical
+    as a ranking, and exact-integer throughout.  This is
+    the corpus-analysis pass that surfaces multiword units ("new
+    york", "machine learning") and template phrases a filter or
+    tokenizer wants to know about.  Everything is exact-integer until
+    the single ``ln`` (1-ulp cross-engine, absorbed by 1e-6 rounding;
+    no iteration amplifies it).
+
+    Plan shape: one bigram explode -> two-stage count (map-side
+    partials); unigram counts ride the SAME exploded pass; the two
+    count frames join back on the token (both sides count-filtered
+    first, so the join is vocabulary-sized, not corpus-sized); output
+    is the deterministic top-``k`` by (pmi desc, pair asc).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = tokens(F.col(text_col))
+    m = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, m - 1).alias("a"),
+        F.slice(toks, 2, m - 1).alias("b"),
+    )
+    big = df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b")
+    )
+    bc = big.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_count")
+    )
+    total = bc.agg(F.sum("pair_count").alias("n")).first()["n"] or 0
+    # unigram counts AS BIGRAM PARTICIPANTS (left + right occurrences),
+    # the convention that makes the marginals sum to 2N exactly
+    ua = bc.groupBy(F.col("tok_a").alias("tok")).agg(
+        F.sum("pair_count").alias("ca")
+    )
+    ub = bc.groupBy(F.col("tok_b").alias("tok")).agg(
+        F.sum("pair_count").alias("cb")
+    )
+    uni = (
+        ua.join(ub, "tok", "outer")
+        .select(
+            "tok",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("cnt"),
+        )
+    )
+    scored = (
+        bc.filter(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("ca")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cb")), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count").cast("double") * F.lit(float(2 * total)))
+                    / (F.col("ca") * F.col("cb")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "tok_a", "tok_b"
+    ).limit(k)

@@ -292,3 +292,44 @@ def test_ivf_tiny_and_empty_corpus(spark):
     assert ivf_train(empty, n_centroids=4) == []
     nd = embedding_near_dups(empty, method="lsh")
     assert nd.count() == 0
+
+
+def test_pmi_collocations_hand_fixture(spark):
+    """'new york' repeated must dominate PMI; singleton pairs are cut by
+    min_count; values match the closed form exactly."""
+    import math
+
+    from arxiv_citation_graph_spark.operators.quality import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "new york is big and new york is old") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.tok_a, r.tok_b): (r.pair_count, r.pmi)
+        for r in pmi_collocations(docs, "doc_id", "text", min_count=3, k=10).collect()
+    }
+    # per doc: 8 bigrams -> N = 24; 'new york' occurs 6x
+    assert out[("new", "york")][0] == 6
+    # marginals: 'new' participates 12x (6 left as new-york, 3 and-new,
+    # 3 right in and-new? recount: bigrams/doc: new-york, york-is, is-big,
+    # big-and, and-new, new-york, york-is, is-old => 'new' left 2x right 1x
+    # per doc -> 9 total; 'york' left 2 right 2 -> 12 total
+    n = 24
+    c_new, c_york = 9, 12
+    expected = round(math.log(6 * 2.0 * n / (c_new * c_york)), 6)
+    assert out[("new", "york")][1] == expected
+    assert ("is", "big") in out  # count 3 passes min_count
+    assert all(cnt >= 3 for cnt, _ in out.values())
+
+
+def test_pmi_guards(spark):
+    import pytest as _pytest
+
+    from arxiv_citation_graph_spark.operators.quality import pmi_collocations
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(docs, "doc_id", "text", min_count=0)
+    with _pytest.raises(ValueError, match="k"):
+        pmi_collocations(docs, "doc_id", "text", k=0)
