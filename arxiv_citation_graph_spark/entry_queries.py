@@ -6921,6 +6921,21 @@ def q_als_rank1_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_ratings", F.round("rmse", 7).alias("rmse"))
 
 
+@register("als_rank2_rmse", None)
+def q_als_rank2_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-rank ALS (plans/als.py::als_factors, rank 2): per-vertex
+    normal equations solved in an Arrow-batched applyInPandas — the
+    k-by-k solve has no SQL closed form, so this entry is rows-only for
+    the driver (validated in pytest against a definitional numpy ALS);
+    the fit metric itself is the JVM-side dot-product RMSE."""
+    from arxiv_citation_graph_spark.plans.als import als_factors, als_factors_sse
+
+    ratings = _als_ratings(spark, sf_dir)
+    res = als_factors(spark, ratings, "u", "it", "r", rank=2, iterations=2)
+    out = als_factors_sse(ratings, res)
+    return out.select("n_ratings", F.round("rmse", 4).alias("rmse"))
+
+
 # ===========================================================================
 # Trainable corpus filter: logistic-style classifier (full-batch GD)
 # ===========================================================================

@@ -161,3 +161,158 @@ def als_rank1_sse(edges: DataFrame, result: ALSResult) -> DataFrame:
         F.count(F.lit(1)).alias("n_ratings"),
         F.sqrt(F.sum(err * err) / F.count(F.lit(1))).alias("rmse"),
     )
+
+
+def als_factors(
+    spark: SparkSession,
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    *,
+    rank: int = 2,
+    iterations: int = 4,
+    reg: float = 0.1,
+) -> ALSResult:
+    """General-rank ALS: each half-step solves the per-vertex normal
+    equations  (F^T F + reg*I) w = F^T r  over that vertex's observed
+    ratings — the rank-1 closed form generalized to a rank x rank
+    solve.  The join shape is UNCHANGED from ``als_rank1`` (edges join
+    the other side's factors, reduce per vertex); the solve runs in an
+    Arrow-batched ``applyInPandas`` because a k-by-k linear solve has
+    no SQL closed form — which is also why this variant is
+    pytest-validated (vs the definitional numpy ALS) rather than
+    DuckDB-oracle-replayed.
+
+    Determinism: factor init is hash-derived per (vertex, dim); inside
+    each group rows are SORTED by the neighbor id before the normal
+    equations accumulate, so reduction order is fixed and re-runs are
+    bit-identical.  State per vertex is ``rank`` doubles; the solve's
+    inputs are group-local — a hub vertex costs one task a
+    degree-sized matrix-vector accumulation, the same profile as the
+    rank-1 sum.
+    """
+    if rank < 1:
+        raise ValueError("als_factors: rank must be >= 1")
+    if rank > 64:
+        raise ValueError("als_factors: rank > 64 — factors are per-vertex "
+                         "state; this engine targets compact embeddings")
+    if iterations < 1:
+        raise ValueError("als_factors: iterations must be >= 1")
+    if reg <= 0.0:
+        raise ValueError("als_factors: reg must be > 0")
+
+    edges = ratings.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("it"),
+        F.col(rating_col).cast("double").alias("r"),
+    ).cache()
+    try:
+        bad = edges.filter(F.col("r").isNull() | F.isnan("r")).count()
+        if bad:
+            raise ValueError(
+                f"als_factors: {bad} ratings are null/NaN — clean upstream"
+            )
+
+        # hash-derived deterministic init in [0.5, 1.5)
+        def _init(side: str, vcol: str) -> DataFrame:
+            base = edges.select(F.col(vcol).alias("vertex")).distinct()
+            fs = F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        "#", F.lit(side), F.col("vertex"), F.lit(j)
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % 1000
+                    ).cast("double")
+                    / 1000.0
+                    + 0.5
+                    for j in range(rank)
+                ]
+            )
+            return base.select("vertex", fs.alias("f"))
+
+        import pandas as pd  # noqa: F401 (Arrow path)
+
+        def _solve_side(group_key_col: str, nbr_col: str):
+            def fn(pdf):
+                import numpy as np
+
+                pdf = pdf.sort_values(nbr_col, kind="mergesort")
+                Fm = np.array(pdf["f"].tolist(), dtype=np.float64)
+                r = pdf["r"].to_numpy(dtype=np.float64)
+                a = Fm.T @ Fm + reg * np.eye(rank)
+                b = Fm.T @ r
+                w = np.linalg.solve(a, b)
+                import pandas as _pd
+
+                return _pd.DataFrame(
+                    {"vertex": [pdf[group_key_col].iloc[0]], "f": [w.tolist()]}
+                )
+
+            return fn
+
+        u_state = None
+        v_state = _init("item", "it")
+        for _ in range(iterations):
+            joined = edges.join(
+                v_state.select(F.col("vertex").alias("it"), "f"), "it"
+            )
+            u_state = joined.groupBy("u").applyInPandas(
+                _solve_side("u", "it"), "vertex string, f array<double>"
+            ).localCheckpoint(eager=True)
+            joined = edges.join(
+                u_state.select(F.col("vertex").alias("u"), "f"), "u"
+            )
+            v_state = joined.groupBy("it").applyInPandas(
+                _solve_side("it", "u"), "vertex string, f array<double>"
+            ).localCheckpoint(eager=True)
+
+        return ALSResult(
+            users=u_state.select("vertex", "f"),
+            items=v_state.select("vertex", "f"),
+            iterations=iterations,
+            reg=reg,
+        )
+    finally:
+        edges.unpersist()
+
+
+def als_factors_sse(edges: DataFrame, result: ALSResult) -> DataFrame:
+    """``(n_ratings, rmse)`` for an array-factor model: the prediction
+    is the factor dot product (F.zip_with fold, JVM-side)."""
+    scored = (
+        edges.select(
+            F.col(edges.columns[0]).alias("u"),
+            F.col(edges.columns[1]).alias("it"),
+            F.col(edges.columns[2]).cast("double").alias("r"),
+        )
+        .join(
+            result.users.select(F.col("vertex").alias("u"), F.col("f").alias("uf")),
+            "u",
+        )
+        .join(
+            result.items.select(F.col("vertex").alias("it"), F.col("f").alias("vf")),
+            "it",
+        )
+    )
+    pred = F.aggregate(
+        F.zip_with(F.col("uf"), F.col("vf"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    err = F.col("r") - pred
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.sqrt(F.sum(err * err) / F.count(F.lit(1))).alias("rmse"),
+    )

@@ -96,3 +96,52 @@ def test_warm_start_unseen_items_default_to_one(spark):
         warm_start_items=prior.items,
     )
     assert res.items.filter("vertex = 'sNEW'").count() == 1
+
+
+def test_rank2_recovers_rank2_matrix_where_rank1_cannot(spark):
+    """A genuinely rank-2 rating matrix: rank-2 ALS fits it (rmse ~ 0),
+    rank-1 ALS cannot — the capability the applyInPandas solve adds."""
+    import numpy as np
+
+    from arxiv_citation_graph_spark.plans.als import als_factors, als_factors_sse
+
+    rng_u = {"c1": (1.0, 0.0), "c2": (0.0, 1.0), "c3": (1.0, 1.0), "c4": (2.0, -1.0)}
+    rng_v = {"s1": (1.0, 2.0), "s2": (3.0, 0.5), "s3": (-1.0, 1.0)}
+    rows = [
+        (c, s, float(np.dot(rng_u[c], rng_v[s])))
+        for c in rng_u
+        for s in rng_v
+    ]
+    df = _ratings(spark, rows)
+    r2 = als_factors(spark, df, rank=2, iterations=10, reg=1e-9)
+    fit2 = als_factors_sse(df, r2).first()
+    assert fit2["n_ratings"] == 12
+    assert fit2["rmse"] < 1e-4, fit2["rmse"]
+
+    r1 = als_rank1(spark, df, iterations=10, reg=1e-9)
+    from arxiv_citation_graph_spark.plans.als import als_rank1_sse
+
+    fit1 = als_rank1_sse(df, r1).first()
+    assert fit1["rmse"] > 10 * max(fit2["rmse"], 1e-9)
+
+
+def test_rank2_deterministic_replay(spark):
+    from arxiv_citation_graph_spark.plans.als import als_factors
+
+    rows = [("c1", "s1", 3.0), ("c1", "s2", 1.0), ("c2", "s1", 4.0),
+            ("c2", "s2", 2.0)]
+    a = als_factors(spark, _ratings(spark, rows), rank=2, iterations=3)
+    b = als_factors(spark, _ratings(spark, rows), rank=2, iterations=3)
+    fa = sorted((r["vertex"], tuple(r["f"])) for r in a.users.collect())
+    fb = sorted((r["vertex"], tuple(r["f"])) for r in b.users.collect())
+    assert fa == fb  # bit-identical re-run (sorted in-group reduction)
+
+
+def test_rank_guards(spark):
+    from arxiv_citation_graph_spark.plans.als import als_factors
+
+    ok = _ratings(spark, [("c1", "s1", 1.0)])
+    with pytest.raises(ValueError, match="rank"):
+        als_factors(spark, ok, rank=0)
+    with pytest.raises(ValueError, match="rank"):
+        als_factors(spark, ok, rank=65)
