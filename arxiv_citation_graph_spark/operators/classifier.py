@@ -188,10 +188,17 @@ def pr_curve(
     operating point of the trained filter).
 
     Exact-integer until the final divisions: group rows by score value,
-    take cumulative TP/FP over thresholds in DESCENDING score order
-    (a window over the distinct-score frame — bounded by the number of
-    distinct scores, not |corpus|, so the window never sees row-scale
-    data), then ``precision = tp/(tp+fp)``, ``recall = tp/(tp+fn)``.
+    take cumulative TP/FP over thresholds in DESCENDING score order,
+    then ``precision = tp/(tp+fp)``, ``recall = tp/(tp+fn)``.
+
+    The cumulative sum is TWO-STAGE (the A9 / token-budget pattern, NOT
+    a single-partition global window): thresholds hash into coarse
+    score buckets, bucket subtotals prefix-sum over a bucket-count-sized
+    frame, and the per-threshold window partitions BY BUCKET — every
+    window frame is bounded by a bucket's threshold count, so the sweep
+    survives a corpus whose distinct-score count is itself huge.
+    Integer sums are order-exact, so the output is identical to the
+    naive global window.
     """
     from pyspark.sql import Window
 
@@ -200,13 +207,38 @@ def pr_curve(
         F.count(F.lit(1)).alias("cnt"),
     )
     total_pos = per_score.agg(F.sum("pos").alias("p")).first()["p"] or 0
-    win = Window.orderBy(F.col("threshold").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # coarse bucket: scores live in (0, 1); 1024 buckets bound both the
+    # bucket-frame window and each per-bucket partition
+    bucketed = per_score.withColumn(
+        "_bkt", F.floor(F.col("threshold") * 1024).cast("int")
     )
-    cum = per_score.select(
-        "threshold",
-        F.sum("pos").over(win).alias("tp"),
-        (F.sum("cnt").over(win) - F.sum("pos").over(win)).alias("fp"),
+    bucket_tot = bucketed.groupBy("_bkt").agg(
+        F.sum("pos").alias("bpos"), F.sum("cnt").alias("bcnt")
+    )
+    wb = Window.orderBy(F.col("_bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    higher = bucket_tot.select(
+        "_bkt",
+        F.coalesce(F.sum("bpos").over(wb), F.lit(0)).alias("hpos"),
+        F.coalesce(F.sum("bcnt").over(wb), F.lit(0)).alias("hcnt"),
+    )
+    win = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.join(higher, "_bkt")
+        .select(
+            "threshold",
+            (F.col("hpos") + F.sum("pos").over(win)).alias("tp"),
+            (
+                F.col("hcnt")
+                + F.sum("cnt").over(win)
+                - (F.col("hpos") + F.sum("pos").over(win))
+            ).alias("fp"),
+        )
     )
     return cum.select(
         "threshold",
