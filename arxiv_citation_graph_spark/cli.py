@@ -511,6 +511,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "table":
+        if (args.sort_by or args.num_files) and not args.compact:
+            raise SystemExit(
+                "table: --sort-by/--num-files only apply to --compact — "
+                "pass --compact to actually rewrite the table"
+            )
         did = []
         if args.rollback is not None:
             catalog.rollback(args.name, args.rollback)
@@ -563,6 +568,13 @@ def main(argv: list[str] | None = None) -> int:
                 else spark.read.parquet(args.warm_start_from)
             )
             got = {r["feature"]: float(r["weight"]) for r in wdf.collect()}
+            missing = [c for c in feature_cols if c not in got]
+            if missing:
+                raise SystemExit(
+                    f"classify: warm-start weights table lacks feature(s) "
+                    f"{missing} — warm starts must come from a model trained "
+                    "on the same feature vector (x0..x4)"
+                )
             init = tuple(got[c] for c in feature_cols)
         model = train_logistic(
             feats,

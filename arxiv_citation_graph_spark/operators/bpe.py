@@ -129,9 +129,23 @@ def bpe_segment(
     """Apply a learned merge list to a corpus: ``(id, n_tokens)`` under
     the trained vocabulary — the token-budget view packing/selection
     consume.  One scan; the merge chain is a fixed stack of literal
-    replaces inside codegen (vocabulary is model-sized)."""
+    replaces inside codegen (vocabulary is model-sized).
+
+    Every input document appears in the output — token-less docs carry
+    ``n_tokens = 0`` (a downstream budget join must see them as
+    zero-cost rows, not missing rows).  The 0x1F-delimiter guard from
+    training applies here too: a token embedding the delimiter would
+    create phantom symbol boundaries and silently wrong counts."""
     state = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
-    word = F.explode(tokens(F.col("_t"))).alias("w")
+    dirty = state.filter(
+        F.exists(tokens(F.col("_t")), lambda t: t.contains(SEP))
+    ).count()
+    if dirty:
+        raise ValueError(
+            f"bpe_segment: {dirty} doc(s) contain the 0x1F symbol "
+            "delimiter — strip control characters upstream"
+        )
+    word = F.explode_outer(tokens(F.col("_t"))).alias("w")
     exploded = state.select(F.col(id_col), word)
     chars = F.regexp_extract_all(F.col("w"), F.lit("."), 0)
     s = F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP), F.lit(SEP))
@@ -143,7 +157,7 @@ def bpe_segment(
         )
     n_sym = F.size(F.filter(F.split(s, SEP), lambda x: x != ""))
     return (
-        exploded.select(F.col(id_col), n_sym.alias("_n"))
+        exploded.select(F.col(id_col), F.coalesce(n_sym, F.lit(0)).alias("_n"))
         .groupBy(id_col)
         .agg(F.sum("_n").cast("long").alias("n_tokens"))
     )

@@ -404,9 +404,12 @@ def pmi_collocations(
     big = df.select(F.explode(pairs).alias("p")).select(
         F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b")
     )
+    # the corpus-wide explode + count is by far the expensive pass —
+    # cache it: the total, both marginals, and the scoring filter all
+    # reuse ONE materialization instead of four recomputations
     bc = big.groupBy("tok_a", "tok_b").agg(
         F.count(F.lit(1)).cast("long").alias("pair_count")
-    )
+    ).localCheckpoint(eager=True)
     total = bc.agg(F.sum("pair_count").alias("n")).first()["n"] or 0
     # unigram counts AS BIGRAM PARTICIPANTS (left + right occurrences),
     # the convention that makes the marginals sum to 2N exactly

@@ -692,6 +692,12 @@ def pq_topk(
     baseline; similarities round at 1e-6 BEFORE ranking so ties are
     deterministic cross-engine.
     """
+    if m_subspaces < 1:
+        raise ValueError(f"m_subspaces must be >= 1, got {m_subspaces}")
+    if dims % m_subspaces != 0:
+        raise ValueError(
+            f"dims={dims} is not divisible by m_subspaces={m_subspaces}"
+        )
     if max_queries is not None:
         n_q = len(queries.select(id_col).limit(max_queries + 1).collect())
         if n_q > max_queries:
@@ -700,6 +706,13 @@ def pq_topk(
                 "max_queries explicitly if the reduce keyed on "
                 "(query, vector) is truly intended at that scale."
             )
+    ragged_q = queries.filter(F.size(F.col(vec_col)) != dims).count()
+    if ragged_q:
+        raise ValueError(
+            f"pq_topk: {ragged_q} QUERY vectors are not {dims}-dimensional — "
+            "a short query slice null-pads the subspace dot products and "
+            "silently mis-ranks; fix the queries upstream"
+        )
     w = dims // m_subspaces
     if codebooks is None:
         codebooks = [

@@ -262,6 +262,10 @@ def als_factors(
 
             return fn
 
+        # the solve's output id column keeps the caller's id TYPE —
+        # a hardcoded string schema would crash integer user/item keys
+        u_type = edges.schema["u"].dataType.simpleString()
+        it_type = edges.schema["it"].dataType.simpleString()
         u_state = None
         v_state = _init("item", "it")
         for _ in range(iterations):
@@ -269,13 +273,13 @@ def als_factors(
                 v_state.select(F.col("vertex").alias("it"), "f"), "it"
             )
             u_state = joined.groupBy("u").applyInPandas(
-                _solve_side("u", "it"), "vertex string, f array<double>"
+                _solve_side("u", "it"), f"vertex {u_type}, f array<double>"
             ).localCheckpoint(eager=True)
             joined = edges.join(
                 u_state.select(F.col("vertex").alias("u"), "f"), "u"
             )
             v_state = joined.groupBy("it").applyInPandas(
-                _solve_side("it", "u"), "vertex string, f array<double>"
+                _solve_side("it", "u"), f"vertex {it_type}, f array<double>"
             ).localCheckpoint(eager=True)
 
         return ALSResult(

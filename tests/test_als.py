@@ -145,3 +145,17 @@ def test_rank_guards(spark):
         als_factors(spark, ok, rank=0)
     with pytest.raises(ValueError, match="rank"):
         als_factors(spark, ok, rank=65)
+
+
+def test_rank2_keeps_integer_id_types(spark):
+    """Review fix: the applyInPandas schema derives the id type from the
+    ratings frame — integer user/item keys must work like als_rank1."""
+    from arxiv_citation_graph_spark.plans.als import als_factors
+
+    df = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 20, 4.0), (2, 10, 1.0), (2, 20, 2.0)],
+        "user long, item long, rating double",
+    )
+    res = als_factors(spark, df, rank=2, iterations=2)
+    assert res.users.schema["vertex"].dataType.simpleString() == "bigint"
+    assert res.users.count() == 2 and res.items.count() == 2

@@ -74,3 +74,17 @@ def test_cli_bpe_train_and_apply(spark, tmp_path, monkeypatch):
     assert cat.read(spark, "bpe_merges").count() == 3
     counts = {r.doc_id: r.n_tokens for r in cat.read(spark, "bpe_token_counts").collect()}
     assert len(counts) == 3 and all(v < 18 for v in counts.values())
+
+
+def test_segment_keeps_tokenless_docs_as_zero(spark):
+    """Review fix: whitespace-only/empty docs appear with n_tokens = 0
+    instead of vanishing from the output."""
+    docs = _docs(spark, ["hello world", "   ", ""])
+    got = {r.doc_id: r.n_tokens for r in bpe_segment(docs, "doc_id", "text", []).collect()}
+    assert got == {0: 10, 1: 0, 2: 0}
+
+
+def test_segment_rejects_delimiter_tokens(spark):
+    dirty = _docs(spark, [f"bad{SEP}token fine"])
+    with pytest.raises(ValueError, match="delimiter"):
+        bpe_segment(dirty, "doc_id", "text", [])

@@ -87,3 +87,15 @@ def test_cli_table_compact_and_history(spark, tmp_path, monkeypatch, capsys):
     assert cli.main(["table", "--name", "edges", "--out", wh, "--history"]) == 0
     hist = capsys.readouterr().out
     assert "replace" in hist and "current:" in hist
+
+
+def test_cli_table_sort_by_without_compact_refuses(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    wh = str(tmp_path / "wh_guard")
+    cat = SnapshotCatalog(wh)
+    cat.append("t", spark.createDataFrame([(1, 2)], "k long, v long"))
+    with pytest.raises(SystemExit, match="--compact"):
+        cli.main(["table", "--name", "t", "--out", wh, "--sort-by", "k"])

@@ -145,3 +145,26 @@ def test_cli_als_smooth_conversions(spark, tmp_path, monkeypatch):
     assert cli.main(["conversions", "--events", events, "--out", wh]) == 0
     conv = cat.read(spark, "conversions").collect()
     assert [(r.trigger_id, r.follow_id, r.lag_seconds) for r in conv] == [(1, 2, 600)]
+
+
+def test_cli_classify_warm_start_rejects_mismatched_weights(
+    spark, tmp_path, monkeypatch
+):
+    import pytest
+
+    import arxiv_citation_graph_spark.cli as cli
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    docs_path = str(tmp_path / "docs2_pq")
+    spark.createDataFrame(
+        [(1, "the a of and to words")], "doc_id long, text string"
+    ).write.parquet(docs_path)
+    bad_w = str(tmp_path / "bad_weights_pq")
+    spark.createDataFrame(
+        [("x0", 0.1), ("x1", 0.2)], "feature string, weight double"
+    ).write.parquet(bad_w)
+    with pytest.raises(SystemExit, match="lacks feature"):
+        cli.main(
+            ["classify", "--docs", docs_path, "--out", wh,
+             "--warm-start-from", bad_w]
+        )

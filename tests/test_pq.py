@@ -102,3 +102,16 @@ def test_pq_topk_guard_and_self_exclusion(spark):
         n_centroids=4, iterations=1, k=5, max_queries=None,
     )
     assert all(r["neighbor_id"] != 1 for r in out.collect())
+
+
+def test_pq_topk_validates_inputs_early(spark):
+    """Review fixes: divisibility fails before any training; ragged
+    QUERY vectors refuse instead of silently null-padding the ADC."""
+    from arxiv_citation_graph_spark.operators.simsearch import pq_topk
+
+    df = _corpus(spark, _vecs(8))
+    with pytest.raises(ValueError, match="divisible"):
+        pq_topk(df, df.limit(1), dims=10, m_subspaces=4)
+    short_q = _corpus(spark, [(999, [1.0, 2.0, 3.0])])
+    with pytest.raises(ValueError, match="QUERY"):
+        pq_topk(df, short_q, dims=8, m_subspaces=2)
