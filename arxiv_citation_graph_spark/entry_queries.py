@@ -6498,6 +6498,46 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Corpus snapshot diff (added / removed / changed by content digest)
+# ===========================================================================
+
+
+@register(
+    "corpus_diff",
+    """
+WITH p AS (SELECT doc_id AS doc, md5(text) AS hp
+           FROM documents WHERE doc_id % 13 != 0),
+c AS (SELECT doc_id AS doc,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS hc
+      FROM documents WHERE doc_id % 11 != 0)
+SELECT coalesce(p.doc, c.doc) AS doc,
+       CASE WHEN p.doc IS NULL THEN 'added'
+            WHEN c.doc IS NULL THEN 'removed'
+            WHEN hp <> hc THEN 'changed' END AS status
+FROM p FULL OUTER JOIN c ON p.doc = c.doc
+WHERE (p.doc IS NULL OR c.doc IS NULL OR hp <> hc)""",
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/dedup.py::corpus_diff): the
+    change-detection pass incremental pipelines key off — added/
+    removed/changed docs by content digest, delta-sized output, one
+    full-outer join carrying two digest columns."""
+    from arxiv_citation_graph_spark.operators.dedup import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") % 13 != 0).select("doc_id", "text")
+    current = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(prior, current, "doc_id", "text")
+
+
+# ===========================================================================
 # PMI collocations (Church-Hanks association over adjacent bigrams)
 # ===========================================================================
 

@@ -866,3 +866,41 @@ def simhash_near_pairs(
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def corpus_diff(
+    prior: DataFrame,
+    current: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus states: ``(doc, status)`` with
+    status in ``added`` / ``removed`` / ``changed`` — unchanged docs are
+    omitted (the diff is delta-sized, the whole point).
+
+    The change-detection pass every incremental pipeline keys off: the
+    daily-append operators (incremental dedup/cocite/triangles, warm
+    kernels, training_pipeline_warm) consume exactly the ``added`` +
+    ``changed`` sets.  Content identity is the md5 digest (the
+    ``exact_dedup`` convention), so a byte-identical re-upload is NOT a
+    change.
+
+    Plan shape: one full-outer join on the doc id comparing one digest
+    column per side — each corpus is scanned once, the join carries two
+    small columns, and the output never exceeds the true delta.
+    """
+    p = prior.select(
+        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("_hp")
+    )
+    c = current.select(
+        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("_hc")
+    )
+    joined = p.join(c, "doc", "full_outer")
+    status = (
+        F.when(F.col("_hp").isNull(), F.lit("added"))
+        .when(F.col("_hc").isNull(), F.lit("removed"))
+        .when(F.col("_hp") != F.col("_hc"), F.lit("changed"))
+    )
+    return joined.select("doc", status.alias("status")).filter(
+        F.col("status").isNotNull()
+    )

@@ -199,3 +199,18 @@ def test_exact_dedup_incremental_merges_counts_and_keepers(spark):
     assert got == want
     # the delta doc a1 takes over as keeper of the shared digest
     assert ("a1", 3) in got.values() and ("d9", 1) in got.values()
+
+
+def test_corpus_diff_statuses(spark):
+    """added / removed / changed by digest; byte-identical docs omitted."""
+    from arxiv_citation_graph_spark.operators.dedup import corpus_diff
+
+    prior = spark.createDataFrame(
+        [("a", "one"), ("b", "two"), ("c", "three")], "doc_id string, text string"
+    )
+    current = spark.createDataFrame(
+        [("a", "one"), ("b", "two CHANGED"), ("d", "four")],
+        "doc_id string, text string",
+    )
+    got = {r["doc"]: r["status"] for r in corpus_diff(prior, current, "doc_id", "text").collect()}
+    assert got == {"b": "changed", "c": "removed", "d": "added"}
