@@ -7263,6 +7263,84 @@ def q_logistic_weights_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("feature", F.round("weight", 6).alias("weight"))
 
 
+def _densest_unrolled_sql(rounds: int) -> str:
+    """Unrolled batched greedy peel (plans/densest.py, Bahmani et al.
+    2012): each round removes every vertex with
+    ``deg * |S| * 2 < 6 * |E|`` (eps = 1/2, exact integers), records the
+    (|S|, |E|) trajectory, picks the densest iterate by
+    cross-multiplication (ties -> earliest round), and reports each
+    vertex's peel round + best-iterate membership.  Rounds past the
+    empty graph are no-ops, so ``rounds`` >= the engine's convergence
+    round replays it exactly."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u, "
+        "greatest(src_id, dst_id) AS v FROM cos WHERE src_id <> dst_id)",
+    ]
+    peel_parts = []
+    stats_parts = []
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"d{p} AS MATERIALIZED (SELECT vertex, CAST(count(*) AS BIGINT) AS deg "
+            f"FROM (SELECT u AS vertex FROM e{p} UNION ALL SELECT v FROM e{p}) "
+            f"GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT vertex FROM d{p} WHERE "
+            f"deg * (SELECT count(*) FROM d{p}) * 2 < 6 * (SELECT count(*) FROM e{p}))"
+        )
+        ctes.append(
+            f"e{k} AS MATERIALIZED (SELECT u, v FROM e{p} WHERE "
+            f"u NOT IN (SELECT vertex FROM r{k}) "
+            f"AND v NOT IN (SELECT vertex FROM r{k}))"
+        )
+        peel_parts.append(
+            f"SELECT vertex, CAST({k} AS BIGINT) AS peel_round FROM r{k}"
+        )
+        stats_parts.append(
+            f"SELECT {p} AS k, (SELECT count(*) FROM d{p}) AS s, "
+            f"(SELECT count(*) FROM e{p}) AS e"
+        )
+    ctes.append("peel AS MATERIALIZED (" + " UNION ALL ".join(peel_parts) + ")")
+    ctes.append(
+        "stats AS MATERIALIZED (SELECT * FROM ("
+        + " UNION ALL ".join(stats_parts)
+        + ") WHERE s > 0)"
+    )
+    ctes.append(
+        "best AS (SELECT k FROM stats a WHERE NOT EXISTS ("
+        "SELECT 1 FROM stats b WHERE b.e * a.s > a.e * b.s "
+        "OR (b.e * a.s = a.e * b.s AND b.k < a.k)))"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT vertex, peel_round, "
+        "CAST(CASE WHEN peel_round > (SELECT k FROM best) THEN 1 ELSE 0 END "
+        "AS BIGINT) AS in_densest FROM peel"
+    )
+
+
+_DENSEST_ORACLE_ROUNDS = 24
+
+
+@register("densest_subgraph", _densest_unrolled_sql(_DENSEST_ORACLE_ROUNDS))
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph 2(1+eps)-approximation + onion peel order
+    (plans/densest.py, Charikar 2000 / Bahmani et al. 2012) over the
+    undirected co-supply graph: per-vertex peel round and membership in
+    the densest iterate, eps = 1/2."""
+    from arxiv_citation_graph_spark.plans.densest import densest_subgraph
+
+    res = densest_subgraph(spark, cosupply_edges(spark, sf_dir), eps_num=1, eps_den=2)
+    return res.members.select(
+        "vertex",
+        "peel_round",
+        F.col("in_densest").cast("long").alias("in_densest"),
+    )
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

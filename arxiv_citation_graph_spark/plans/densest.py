@@ -1,0 +1,185 @@
+"""Densest-subgraph approximation + onion peel order (greedy peeling).
+
+Charikar (2000) showed the greedy peel — repeatedly delete the
+minimum-degree vertex, remember the densest prefix — 2-approximates the
+maximum-density subgraph ``max_S |E(S)| / |S|``.  Bahmani, Kumar &
+Vassilvitskii (2012, "Densest subgraph in streaming and MapReduce")
+batched it for parallel engines: each round deletes EVERY vertex whose
+degree is below ``2(1+eps) * density(S)``, which (a) always makes
+progress (the minimum degree is <= the average ``2|E|/|S|``, strictly
+below the threshold) and (b) shrinks ``S`` by a ``1/(1+eps)`` factor per
+round, so the peel finishes in ``O(log_{1+eps} |V|)`` rounds and the
+best iterate is a ``2(1+eps)``-approximation.  That batched round IS the
+Spark shape: one degree aggregate + one anti-join per round — no
+sequential min-heap, no driver-side graph.
+
+Cross-engine determinism: the peel predicate is kept in EXACT integers.
+With ``eps = p/q`` rational, ``deg(v) < 2(1+p/q) |E|/|S|`` is evaluated
+as ``deg * |S| * q < 2 (q+p) * |E|`` — no division, no floats — so a
+DuckDB replay removes bit-identical vertex sets every round.  The
+products are computed in ``decimal(38,0)``: at 10^12-edge scale
+``deg * |S|`` overflows int64 (10^12 * 10^12), while decimal(38) (and
+DuckDB's HUGEINT) carry it exactly.  Best-round selection compares
+densities by cross-multiplication (``e_j * s_k  vs  e_k * s_j``), ties
+broken toward the EARLIER (larger) subgraph.
+
+The by-product is the **onion decomposition**: ``peel_round(v)`` = the
+round that deleted ``v`` — a skew/coreness-like layering used to rank
+how deeply a vertex sits inside the dense region.
+
+Scale notes: per round = one |E|-sized explode + degree aggregate
+(map-side combinable), one driver-sized scalar row (|S|, 2|E| fused into
+a single aggregate), one broadcast-able removal anti-join, and a
+localCheckpoint to truncate the O(log |V|)-round lineage.  No step
+materializes anything vertex^2-sized; the per-round stats list on the
+driver is O(log |V|) rows.
+
+Reference scope: the reference repo has no graph algorithms at all
+(SURVEY.md §0) — this kernel is part of the beyond-reference
+link-graph tier mandated by BASELINE.json's north_rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+
+@dataclass
+class PeelRoundStats:
+    round: int  # 0 = the full graph, before any peel
+    vertices: int
+    edges: int
+
+
+@dataclass
+class DensestResult:
+    # (vertex, peel_round, in_densest) — peel_round is the 1-indexed
+    # round that deleted the vertex; in_densest marks membership in the
+    # best-density iterate S_b (vertices with peel_round > b).
+    members: DataFrame
+    stats: list[PeelRoundStats]  # density trajectory, round 0 first
+    best_round: int  # index b of the densest iterate S_b
+    best_vertices: int
+    best_edges: int
+
+
+def densest_subgraph(
+    spark: SparkSession,
+    edges: DataFrame,
+    eps_num: int = 1,
+    eps_den: int = 2,
+    max_rounds: int = 200,
+) -> DensestResult:
+    """Greedy-peel densest subgraph of the simple undirected graph
+    derived from ``edges(src_id, dst_id)`` (duplicates collapse,
+    self-loops drop — the :mod:`plans.triangles` convention).
+
+    ``eps = eps_num/eps_den`` trades approximation for rounds:
+    ``2(1+eps)``-approximate in ``log_{1+eps} |V|`` peel rounds.  The
+    default ``eps = 1/2`` peels in ``~log_1.5 |V|`` rounds.
+    """
+    if eps_num < 0 or eps_den <= 0:
+        raise ValueError(
+            f"densest_subgraph: eps must be a non-negative rational "
+            f"(got {eps_num}/{eps_den})"
+        )
+    if eps_num == 0:
+        # eps = 0 only guarantees removing the min-degree class per
+        # round — worst case |V| rounds (a path peels one layer at a
+        # time).  Refuse rather than silently run an O(|V|)-round job.
+        raise ValueError(
+            "densest_subgraph: eps must be > 0 (eps = 0 degrades to "
+            "O(|V|) sequential peel rounds)"
+        )
+
+    und = _simple_undirected(edges)
+    cur = und.localCheckpoint(eager=True)  # (u, v), u < v
+    # thresh factor: remove v iff deg(v) * |S| * q  <  2 (q+p) * |E|
+    factor = 2 * (eps_den + eps_num)
+
+    stats: list[PeelRoundStats] = []
+    peeled: list[DataFrame] = []  # (vertex, peel_round) per round
+    best = (-1, 0, 0)  # (round, |S|, |E|) of the densest iterate
+    rnd = 0
+    try:
+        while True:
+            deg = (
+                cur.select(F.col("u").alias("vertex"))
+                .unionByName(cur.select(F.col("v").alias("vertex")))
+                .groupBy("vertex")
+                .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+                .localCheckpoint(eager=True)
+            )
+            # ONE scalar row: |S| and sum(deg) = 2|E|
+            row = deg.agg(
+                F.count(F.lit(1)).alias("n_s"), F.sum("deg").alias("deg2")
+            ).first()
+            n_s = int(row.n_s or 0)
+            if n_s == 0:
+                break
+            n_e = int(row.deg2) // 2
+            stats.append(PeelRoundStats(rnd, n_s, n_e))
+            if (
+                best[0] < 0
+                or n_e * best[1] > best[2] * n_s  # strictly denser wins
+            ):
+                best = (rnd, n_s, n_e)
+            if rnd >= max_rounds:
+                raise RuntimeError(
+                    f"densest_subgraph did not empty within {max_rounds} "
+                    f"peel rounds (|S| still {n_s}); raise max_rounds"
+                )
+            # exact-integer predicate in decimal(38,0) — int64-safe at
+            # 10^12-edge scale (see module docstring)
+            lhs = (
+                F.col("deg").cast("decimal(38,0)")
+                * F.lit(n_s).cast("decimal(38,0)")
+                * F.lit(eps_den).cast("decimal(38,0)")
+            )
+            rhs = F.lit(factor).cast("decimal(38,0)") * F.lit(n_e).cast(
+                "decimal(38,0)"
+            )
+            removed = deg.filter(lhs < rhs).select("vertex")
+            rnd += 1
+            peeled.append(
+                removed.select(
+                    "vertex", F.lit(rnd).cast("long").alias("peel_round")
+                ).localCheckpoint(eager=True)
+            )
+            keep = deg.join(removed, "vertex", "left_anti").select("vertex")
+            nxt = (
+                cur.join(keep.withColumnRenamed("vertex", "u"), "u", "semi")
+                .join(keep.withColumnRenamed("vertex", "v"), "v", "semi")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+            cur.unpersist()
+            deg.unpersist()
+            cur = nxt
+    finally:
+        try:
+            cur.unpersist()
+        except Exception:
+            pass
+
+    if not peeled:
+        members = spark.createDataFrame(
+            [], "vertex string, peel_round long, in_densest boolean"
+        )
+        return DensestResult(members, stats, 0, 0, 0)
+
+    all_peeled = peeled[0]
+    for p in peeled[1:]:
+        all_peeled = all_peeled.unionByName(p)
+    b = best[0]
+    members = all_peeled.select(
+        "vertex",
+        "peel_round",
+        (F.col("peel_round") > F.lit(b)).alias("in_densest"),
+    )
+    return DensestResult(members, stats, b, best[1], best[2])

@@ -1,0 +1,140 @@
+"""Densest subgraph / onion peel (plans/densest.py) — Bahmani et al.
+2012 batched Charikar peel, exact-integer predicate."""
+
+from __future__ import annotations
+
+import itertools
+from collections import defaultdict
+
+import pytest
+
+
+def _peel_py(pairs, eps_num, eps_den):
+    """Driver-side replay of the batched greedy peel: same exact-integer
+    predicate deg*|S|*q < 2(q+p)*|E|, same cross-multiplied best-round
+    pick (ties -> earlier round)."""
+    und = {tuple(sorted(e)) for e in pairs if e[0] != e[1]}
+    factor = 2 * (eps_den + eps_num)
+    peel = {}
+    stats = []
+    rnd = 0
+    cur = set(und)
+    while True:
+        deg = defaultdict(int)
+        for u, v in cur:
+            deg[u] += 1
+            deg[v] += 1
+        n_s, n_e = len(deg), len(cur)
+        if n_s == 0:
+            break
+        stats.append((rnd, n_s, n_e))
+        rnd += 1
+        removed = {v for v, d in deg.items() if d * n_s * eps_den < factor * n_e}
+        for v in removed:
+            peel[v] = rnd
+        cur = {(u, v) for u, v in cur if u not in removed and v not in removed}
+    best = max(stats, key=lambda t: (t[2] / t[1], -t[0])) if stats else (0, 0, 0)
+    # exact tie-break replay: strictly-denser-wins scan in round order
+    b = (-1, 0, 0)
+    for r, s, e in stats:
+        if b[0] < 0 or e * b[1] > b[2] * s:
+            b = (r, s, e)
+    assert b[0] == best[0]
+    return peel, stats, b
+
+
+def test_densest_recovers_planted_clique(spark):
+    """K5 + attached 6-path: with eps=1/8 the first round strips the
+    path (deg <= 2 < 2.25 * density), leaving exactly the clique as the
+    densest iterate (density 2 vs 16/11 for the full graph)."""
+    from arxiv_citation_graph_spark.plans.densest import densest_subgraph
+
+    clique = [f"k{i}" for i in range(5)]
+    k5 = list(itertools.combinations(clique, 2))
+    path = [(f"p{i}", f"p{i + 1}") for i in range(5)] + [("k0", "p0")]
+    df = spark.createDataFrame(k5 + path, ["src_id", "dst_id"])
+    res = densest_subgraph(spark, df, eps_num=1, eps_den=8)
+    rows = {r.vertex: (r.peel_round, r.in_densest) for r in res.members.collect()}
+    assert {v for v, (_, ind) in rows.items() if ind} == set(clique)
+    assert (res.best_vertices, res.best_edges) == (5, 10)
+    py_peel, py_stats, py_best = _peel_py(k5 + path, 1, 8)
+    assert {v: r for v, (r, _) in rows.items()} == py_peel
+    assert [(s.round, s.vertices, s.edges) for s in res.stats] == py_stats
+    assert res.best_round == py_best[0]
+
+
+def test_densest_matches_python_replay_on_zipf(spark):
+    from arxiv_citation_graph_spark.datagen import synthetic_edges
+    from arxiv_citation_graph_spark.plans.densest import densest_subgraph
+
+    edges = synthetic_edges(spark, 300, 1200)
+    pairs = [(r.src_id, r.dst_id) for r in edges.collect()]
+    res = densest_subgraph(spark, edges, eps_num=1, eps_den=2)
+    py_peel, py_stats, py_best = _peel_py(pairs, 1, 2)
+    got = {r.vertex: r.peel_round for r in res.members.collect()}
+    assert got == py_peel
+    assert [(s.round, s.vertices, s.edges) for s in res.stats] == py_stats
+    assert res.best_round == py_best[0]
+    # the best iterate's density dominates every other iterate exactly
+    bs, be = res.best_vertices, res.best_edges
+    for s in res.stats:
+        assert s.edges * bs <= be * s.vertices
+
+
+def test_densest_approximation_bound_vs_exhaustive(spark):
+    """On a small graph the peel's best density must be within the
+    2(1+eps) factor of the true optimum over ALL vertex subsets."""
+    from arxiv_citation_graph_spark.plans.densest import densest_subgraph
+
+    verts = list("abcdefg")
+    pairs = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+        ("d", "e"), ("e", "f"), ("f", "g"), ("e", "g"), ("d", "f"),
+    ]
+    und = {tuple(sorted(p)) for p in pairs}
+    best_opt = 0.0
+    for k in range(2, len(verts) + 1):
+        for sub in itertools.combinations(verts, k):
+            ss = set(sub)
+            e = sum(1 for u, v in und if u in ss and v in ss)
+            best_opt = max(best_opt, e / len(ss))
+    df = spark.createDataFrame(pairs, ["src_id", "dst_id"])
+    res = densest_subgraph(spark, df, eps_num=1, eps_den=8)
+    got = res.best_edges / res.best_vertices
+    assert got >= best_opt / (2 * (1 + 1 / 8)) - 1e-12
+    assert got <= best_opt + 1e-12
+
+
+def test_densest_oracle_rounds_margin(spark):
+    """The unrolled oracle peels a FIXED number of rounds; pin a >=2x
+    margin over the engine's measured convergence at the driver's scale
+    factor (the BFS-oracle convention)."""
+    import os
+
+    from arxiv_citation_graph_spark.entry_queries import (
+        _DENSEST_ORACLE_ROUNDS,
+        cosupply_edges,
+    )
+    from arxiv_citation_graph_spark.plans.densest import densest_subgraph
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        pytest.skip("driver testdata not present")
+    res = densest_subgraph(spark, cosupply_edges(spark, sf_dir), eps_num=1, eps_den=2)
+    rounds_used = max(s.round for s in res.stats) + 1  # final round empties S
+    assert rounds_used * 2 <= _DENSEST_ORACLE_ROUNDS, (
+        f"peel used {rounds_used} rounds but the oracle unrolls only "
+        f"{_DENSEST_ORACLE_ROUNDS} — margin below 2x"
+    )
+
+
+def test_densest_validation_and_empty(spark):
+    from arxiv_citation_graph_spark.plans.densest import densest_subgraph
+
+    df = spark.createDataFrame([("a", "a")], ["src_id", "dst_id"])
+    res = densest_subgraph(spark, df)  # only a self-loop -> empty graph
+    assert res.members.count() == 0 and res.stats == []
+    with pytest.raises(ValueError, match="eps must be > 0"):
+        densest_subgraph(spark, df, eps_num=0, eps_den=1)
+    with pytest.raises(ValueError, match="non-negative rational"):
+        densest_subgraph(spark, df, eps_num=1, eps_den=0)
