@@ -7263,6 +7263,97 @@ def q_logistic_weights_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("feature", F.round("weight", 6).alias("weight"))
 
 
+_DSIR_BUCKETS = 256
+_DSIR_K = 100
+
+_DSIR_FEATS_SQL = rf"""
+    toks AS MATERIALIZED (
+      SELECT doc_id AS doc, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc, lang,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS bucket
+      FROM (
+        SELECT doc, lang, unnest(ts) AS g FROM toks
+        UNION ALL
+        SELECT doc, lang, ts[i] || ' ' || ts[i + 1] AS g
+        FROM toks, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS t(i)
+      )
+    ),
+    cq AS (SELECT bucket, count(*) AS c FROM feats GROUP BY 1),
+    cp AS (SELECT bucket, count(*) AS c FROM feats WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT (SELECT sum(c) FROM cq) AS nq,
+                   (SELECT coalesce(sum(c), 0) FROM cp) AS np),
+    ratio AS (
+      SELECT q.bucket,
+             ln((coalesce(p.c, 0) + 1.0) / (np + {_DSIR_BUCKETS}))
+               - ln((q.c + 1.0) / (nq + {_DSIR_BUCKETS})) AS logratio
+      FROM cq q LEFT JOIN cp p USING (bucket) CROSS JOIN tot
+    ),
+    dfeat AS (SELECT doc, bucket, count(*) AS n FROM feats GROUP BY 1, 2),
+    dweights AS (
+      SELECT doc AS doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+             round(sum(n * logratio), 6) AS dsir_weight
+      FROM dfeat JOIN ratio USING (bucket) GROUP BY doc
+    )
+"""
+
+
+@register(
+    "dsir_weights",
+    "WITH " + _DSIR_FEATS_SQL + "\nSELECT doc_id, n_feats, dsir_weight FROM dweights",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/selection.py, Xie et al.
+    2023): every corpus doc scored by the log ratio of the
+    English-target vs whole-pool hashed unigram+bigram distributions."""
+    from arxiv_citation_graph_spark.operators.selection import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        buckets=_DSIR_BUCKETS,
+    )
+    return out.withColumnRenamed("doc", "doc_id")
+
+
+@register(
+    "dsir_selection",
+    "WITH "
+    + _DSIR_FEATS_SQL
+    + rf"""
+    SELECT doc_id, n_feats, dsir_weight,
+           CAST(CASE WHEN row_number() OVER (
+                  ORDER BY dsir_weight DESC, doc_id ASC) <= {_DSIR_K}
+                THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM dweights
+    """,
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based DSIR selection: the top-{k} pool docs by importance
+    weight flagged ``selected`` (two-stage bucketed rank in the engine,
+    naive global rank in the oracle — identical by exactness of the
+    integer prefix offsets)."""
+    from arxiv_citation_graph_spark.operators.selection import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_select(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        k=_DSIR_K,
+        buckets=_DSIR_BUCKETS,
+    )
+    return out.withColumnRenamed("doc", "doc_id")
+
+
 def _densest_unrolled_sql(rounds: int) -> str:
     """Unrolled batched greedy peel (plans/densest.py, Bahmani et al.
     2012): each round removes every vertex with

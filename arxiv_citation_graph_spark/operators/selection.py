@@ -1,0 +1,191 @@
+"""Data selection via hashed n-gram importance resampling (DSIR-style).
+
+Xie et al. 2023 ("Data Selection for Language Models via Importance
+Resampling") select pretraining documents whose hashed n-gram feature
+distribution looks like a TARGET corpus: fit two bag-of-hashed-ngrams
+models — target ``p`` and raw pool ``q`` — and weight every raw document
+by its log importance ratio ``sum_b f_b(doc) * (ln p_b - ln q_b)``.  The
+hashing is the scale trick: unigram+bigram features collapse into a
+FIXED number of buckets, so both "models" are bucket-count vectors that
+fit in one broadcast no matter how many documents flow past — the whole
+selector is two corpus scans plus model-sized joins at 10^12-doc scale.
+
+Determinism / oracle parity: features hash with the engine-wide portable
+``int(md5(gram)[:8], 16)`` convention (`functions/texttools.md5_int32`),
+probabilities are add-one smoothed rationals, and the per-doc weight is
+rounded to 6 decimals (the engine-wide float-parity convention — the
+only float ops are one ``ln`` per bucket and the per-doc sum, whose
+summation-order noise is ~1e-12 relative).  Selection ranks by the
+ROUNDED weight with doc-id tie-break, so the top-k set is bit-stable
+across engines; this is the paper's rank-based variant (their Gumbel
+resampling draw is a seeded perturbation of the same ranking).
+
+Plan shape at 100 TB:
+1. raw + target scans -> (bucket, count) aggregates (map-side combine
+   absorbs within-doc repetition; output is <= ``buckets`` rows each);
+2. the two count vectors full-outer-join into one log-ratio table of
+   <= ``buckets`` rows — broadcast;
+3. per-doc (doc, bucket, count) aggregate joins the broadcast ratio
+   table and rolls up — one shuffle on doc, no windows in the weight
+   path;
+4. top-k selection is a global TakeOrderedAndProject-shaped rank: a
+   single window over the (doc, weight) frame (|docs|-sized, NOT
+   |tokens|-sized).  Callers selecting a fixed small k should prefer
+   ``orderBy(...).limit(k)`` which Spark plans as TakeOrdered.
+
+The reference has no data-selection tier (it filters bibitems by length
+only, ``create_database.py:551``); this operator is part of the
+beyond-reference training-data tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.functions.texttools import md5_int32, tokens
+
+
+def _ngram_list(text: Column, n: int) -> Column:
+    """All n-token grams (space-joined, WITH multiplicity — unlike
+    ``word_shingles`` these feed count features, not a dedup set)."""
+    toks = tokens(text)
+    size = F.size(toks)
+    idx = F.when(
+        size >= F.lit(n), F.sequence(F.lit(1), size - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def hashed_ngram_buckets(text: Column, buckets: int, max_n: int = 2) -> Column:
+    """Array of feature-bucket ids for all 1..max_n-gram features of
+    ``text`` (lowercased), hashed portably into ``buckets`` buckets."""
+    grams = _ngram_list(F.lower(text), 1)
+    for n in range(2, max_n + 1):
+        grams = F.concat(grams, _ngram_list(F.lower(text), n))
+    return F.transform(grams, lambda g: md5_int32(g) % buckets)
+
+
+def _bucket_counts(df: DataFrame, text_col: str, buckets: int, max_n: int) -> DataFrame:
+    return (
+        df.select(
+            F.explode(hashed_ngram_buckets(F.col(text_col), buckets, max_n)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 256,
+    max_n: int = 2,
+) -> DataFrame:
+    """Per-document DSIR importance weight of every ``raw_df`` document
+    toward ``target_df``'s hashed-ngram distribution.
+
+    Returns ``(doc, n_feats, dsir_weight)`` — weight is the log
+    importance ratio summed over the doc's features, rounded to 6
+    decimals.  Positive = looks more like the target than the pool.
+    """
+    if buckets <= 0:
+        raise ValueError(f"dsir_weights: buckets must be positive (got {buckets})")
+    if max_n < 1:
+        raise ValueError(f"dsir_weights: max_n must be >= 1 (got {max_n})")
+    raw_counts = _bucket_counts(raw_df, text_col, buckets, max_n)
+    tgt_counts = _bucket_counts(target_df, text_col, buckets, max_n)
+    # add-one smoothing over the FIXED bucket universe: p_b = (c_b + 1)
+    # / (N + buckets).  Totals ride a 1-row crossJoin (scalar-bounds
+    # pattern); the joined ratio table is <= `buckets` rows.
+    joined = raw_counts.withColumnRenamed("c", "cq").join(
+        tgt_counts.withColumnRenamed("c", "cp"), "bucket", "full_outer"
+    )
+    totals = joined.agg(
+        F.coalesce(F.sum("cq"), F.lit(0)).alias("nq"),
+        F.coalesce(F.sum("cp"), F.lit(0)).alias("np"),
+    )
+    ratio = joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1.0))
+                / (F.col("np") + F.lit(buckets))
+            )
+            - F.log(
+                (F.coalesce(F.col("cq"), F.lit(0)) + F.lit(1.0))
+                / (F.col("nq") + F.lit(buckets))
+            )
+        ).alias("logratio"),
+    )
+    doc_feats = (
+        raw_df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), buckets, max_n)
+            ).alias("bucket"),
+        )
+        .groupBy("doc", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        doc_feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.sum("n").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("n") * F.col("logratio")), 6).alias("dsir_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    buckets: int = 256,
+    max_n: int = 2,
+) -> DataFrame:
+    """Rank-based DSIR selection: the ``k`` raw documents with the
+    highest importance weight (rounded-weight desc, doc-id asc
+    tie-break).  Returns ``(doc, n_feats, dsir_weight, selected)`` for
+    ALL scored docs with ``selected`` 1/0 — callers materializing only
+    the chosen corpus filter on ``selected = 1``."""
+    if k < 0:
+        raise ValueError(f"dsir_select: k must be >= 0 (got {k})")
+    w = dsir_weights(raw_df, target_df, id_col, text_col, buckets, max_n)
+    # TWO-STAGE rank (the pr_curve / A9 pattern, no single-partition
+    # global window): docs hash into coarse weight buckets, bucket
+    # subtotals prefix-sum over a bucket-count-sized frame, and the
+    # per-doc row_number partitions BY BUCKET.  row_number over the
+    # rounded weight + doc-id total order is deterministic, and the
+    # two-stage offsets reproduce the global rank exactly.
+    bucketed = w.withColumn(
+        "_bkt", F.floor(F.col("dsir_weight") * 64).cast("long")
+    )
+    bucket_tot = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("bcnt"))
+    wb = Window.orderBy(F.col("_bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    higher = bucket_tot.select(
+        "_bkt", F.coalesce(F.sum("bcnt").over(wb), F.lit(0)).alias("hcnt")
+    )
+    win = Window.partitionBy("_bkt").orderBy(
+        F.col("dsir_weight").desc(), F.col("doc").asc()
+    )
+    return (
+        bucketed.join(higher, "_bkt")
+        .select(
+            "doc",
+            "n_feats",
+            "dsir_weight",
+            ((F.col("hcnt") + F.row_number().over(win)) <= k)
+            .cast("long")
+            .alias("selected"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""DSIR-style hashed-ngram importance resampling (operators/selection.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+
+def _grams(text, max_n):
+    toks = [t for t in text.lower().split() if t]
+    out = []
+    for n in range(1, max_n + 1):
+        out += [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return out
+
+
+def _bucket(g, buckets):
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % buckets
+
+
+def _dsir_py(raw, target, buckets, max_n):
+    """Pure-Python replay of dsir_weights (same md5 bucket hash, same
+    add-one smoothing, same 6-decimal rounding)."""
+    cq = Counter(_bucket(g, buckets) for _, t in raw for g in _grams(t, max_n))
+    cp = Counter(_bucket(g, buckets) for t in target for g in _grams(t, max_n))
+    nq, np_ = sum(cq.values()), sum(cp.values())
+    weights = {}
+    for doc, t in raw:
+        feats = Counter(_bucket(g, buckets) for g in _grams(t, max_n))
+        w = sum(
+            n
+            * (
+                math.log((cp.get(b, 0) + 1.0) / (np_ + buckets))
+                - math.log((cq.get(b, 0) + 1.0) / (nq + buckets))
+            )
+            for b, n in feats.items()
+        )
+        weights[doc] = (sum(feats.values()), round(w, 6))
+    return weights
+
+
+RAW = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "alpha beta gamma delta alpha beta gamma"),
+    (3, "stock market prices fell sharply on tuesday trading"),
+    (4, "alpha delta epsilon beta gamma alpha"),
+    (5, "lorem ipsum dolor sit amet consectetur"),
+    (6, "beta gamma alpha beta delta"),
+]
+TARGET = [
+    "alpha beta gamma delta",
+    "gamma delta alpha beta epsilon",
+    "beta alpha gamma",
+]
+
+
+def test_dsir_weights_match_python_replay(spark):
+    from arxiv_citation_graph_spark.operators.selection import dsir_weights
+
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    tgt = spark.createDataFrame([(t,) for t in TARGET], "text string")
+    got = {
+        r.doc: (r.n_feats, r.dsir_weight)
+        for r in dsir_weights(raw, tgt, "doc_id", "text", buckets=64).collect()
+    }
+    want = _dsir_py(RAW, TARGET, 64, 2)
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0]
+        assert math.isclose(got[d][1], want[d][1], rel_tol=0, abs_tol=2e-6), (
+            f"doc {d}: spark {got[d][1]} vs python {want[d][1]}"
+        )
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    from arxiv_citation_graph_spark.operators.selection import dsir_select
+
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    tgt = spark.createDataFrame([(t,) for t in TARGET], "text string")
+    out = dsir_select(raw, tgt, "doc_id", "text", k=3, buckets=64).collect()
+    sel = {r.doc for r in out if r.selected == 1}
+    assert sel == {2, 4, 6}, f"expected the greek-letter docs, got {sel}"
+    assert sum(r.selected for r in out) == 3
+    # every selected weight >= every unselected weight
+    ws = {r.doc: r.dsir_weight for r in out}
+    assert min(ws[d] for d in sel) >= max(ws[d] for d in ws if d not in sel)
+
+
+def test_dsir_two_stage_rank_matches_global_sort(spark):
+    """The bucketed two-stage rank must reproduce the naive global
+    (weight desc, doc asc) selection exactly, including ties."""
+    from arxiv_citation_graph_spark.operators.selection import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    rows = [(i, f"tok{i % 7} tok{(i * 3) % 7} alpha" if i % 2 else "beta noise") for i in range(40)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = spark.createDataFrame([("alpha tok1 tok2",)], "text string")
+    for k in (0, 5, 17, 40):
+        out = {r.doc: r.selected for r in
+               dsir_select(raw, tgt, "doc_id", "text", k=k, buckets=32).collect()}
+        w = [(r.dsir_weight, r.doc) for r in
+             dsir_weights(raw, tgt, "doc_id", "text", buckets=32).collect()]
+        want = {d for _, d in sorted(w, key=lambda t: (-t[0], t[1]))[:k]}
+        assert {d for d, s in out.items() if s == 1} == want, f"k={k}"
+
+
+def test_dsir_validation(spark):
+    from arxiv_citation_graph_spark.operators.selection import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="buckets must be positive"):
+        dsir_weights(df, df, "doc_id", "text", buckets=0)
+    with pytest.raises(ValueError, match="max_n must be >= 1"):
+        dsir_weights(df, df, "doc_id", "text", max_n=0)
+    with pytest.raises(ValueError, match="k must be >= 0"):
+        dsir_select(df, df, "doc_id", "text", k=-1)
