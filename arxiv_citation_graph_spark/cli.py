@@ -444,6 +444,32 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rollback", type=int, default=None,
                    help="move the current pointer back to this snapshot id")
 
+    p = sub.add_parser(
+        "densest",
+        help="densest-subgraph approximation + onion peel order "
+        "(batched Charikar greedy peel)",
+    )
+    p.add_argument("--edges", required=True, help="edges parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--eps-num", type=int, default=1)
+    p.add_argument("--eps-den", type=int, default=2)
+
+    p = sub.add_parser(
+        "dsir",
+        help="DSIR importance weights / top-k selection toward a target "
+        "corpus (hashed n-gram log ratio)",
+    )
+    p.add_argument("--docs", required=True, help="raw pool parquet path")
+    p.add_argument("--target-docs", required=True, help="target corpus parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--buckets", type=int, default=4096)
+    p.add_argument(
+        "--select", type=int, default=None,
+        help="also flag the top-k docs (rank-based selection)",
+    )
+
     p = sub.add_parser("bench-corpus", help="write a deterministic synthetic docs corpus")
     p.add_argument("--n-docs", type=int, default=10000)
     p.add_argument("--seed", type=int, default=42)
@@ -930,6 +956,51 @@ def main(argv: list[str] | None = None) -> int:
             f"decontaminate: {flags.count()} flagged (doc, eval_doc) pairs "
             f"({'bloom-prefiltered' if args.bloom else 'exact path'})"
         )
+        return 0
+
+    if args.cmd == "densest":
+        from arxiv_citation_graph_spark.plans.densest import densest_subgraph
+
+        res = densest_subgraph(
+            spark,
+            spark.read.parquet(args.edges),
+            eps_num=args.eps_num,
+            eps_den=args.eps_den,
+        )
+        catalog.create_or_replace("densest", res.members)
+        dens = res.best_edges / max(res.best_vertices, 1)
+        print(
+            f"densest: best iterate round {res.best_round} — "
+            f"{res.best_vertices} vertices / {res.best_edges} edges "
+            f"(density {dens:.4f}), {len(res.stats)} peel rounds"
+        )
+        return 0
+
+    if args.cmd == "dsir":
+        from arxiv_citation_graph_spark.operators.selection import (
+            dsir_select,
+            dsir_weights,
+        )
+
+        raw = spark.read.parquet(args.docs)
+        tgt = spark.read.parquet(args.target_docs)
+        if args.select is not None:
+            out = dsir_select(
+                raw, tgt, args.id_col, args.text_col,
+                k=args.select, buckets=args.buckets,
+            )
+            n_sel = out.filter(out.selected == 1).count()
+            catalog.create_or_replace("dsir_scores", out)
+            print(
+                f"dsir: scored {out.count()} docs, selected top {n_sel} "
+                f"(k={args.select}, {args.buckets} buckets)"
+            )
+        else:
+            out = dsir_weights(
+                raw, tgt, args.id_col, args.text_col, buckets=args.buckets
+            )
+            catalog.create_or_replace("dsir_scores", out)
+            print(f"dsir: scored {out.count()} docs ({args.buckets} buckets)")
         return 0
 
     if args.cmd == "extract":

@@ -1374,6 +1374,61 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.entry_queries import cosupply_edges
+    from arxiv_citation_graph_spark.plans.densest import densest_subgraph
+
+    dres = densest_subgraph(spark, cosupply_edges(spark, SF_DIR))
+    densest_plan = plan_of(dres.members)
+    # one peel round's working frame: the degree aggregate + exact-integer
+    # removal predicate over the (checkpointed) current edge set — the
+    # entire per-round cost besides the O(1)-row stats aggregate
+    cur = cosupply_edges(spark, SF_DIR).selectExpr(
+        "least(src_id, dst_id) AS u", "greatest(src_id, dst_id) AS v"
+    ).where("src_id <> dst_id").distinct()
+    deg0 = (
+        cur.selectExpr("u AS vertex")
+        .unionByName(cur.selectExpr("v AS vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg").cast("decimal(38,0)") * 100 * 2 < F.lit(6 * 1000))
+    )
+    round_plan = plan_of(deg0)
+    sections.append(
+        (
+            "Densest subgraph peel round (degree agg + removal predicate)",
+            "Per round: endpoint explode into a partial HashAggregate "
+            "BEFORE the vertex-keyed Exchange, then the exact-integer "
+            "decimal(38) removal predicate as a post-agg Filter; the "
+            "removal anti-join is broadcast-able and the O(log|V|)-round "
+            "lineage truncates via localCheckpoint.  The final members "
+            "union is scan-only over the checkpointed removal frames "
+            f"({exchange_count(densest_plan).split(',')[0]} in it).  "
+            f"[round: {exchange_count(round_plan)}]",
+            condense(round_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.selection import dsir_select
+
+    docs_pq = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dsel = dsir_select(
+        docs_pq, docs_pq.filter(F.col("lang") == "en"),
+        "doc_id", "text", k=100, buckets=256,
+    )
+    dsir_plan = plan_of(dsel)
+    sections.append(
+        (
+            "DSIR selection (hashed-ngram importance weights + two-stage rank)",
+            "Bucket-count models aggregate with map-side partials and meet "
+            "in a <=256-row BroadcastExchange; the per-doc weight is one "
+            "(doc, bucket) aggregate + the broadcast ratio join + a doc "
+            "rollup; the top-k rank is the two-stage bucketed pattern — "
+            "the only unpartitioned Window runs over the bucket-count-"
+            f"sized subtotal frame.  [{exchange_count(dsir_plan)}]",
+            condense(dsir_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:

@@ -1,0 +1,71 @@
+"""CLI surface for the round-5 eighth wave: densest / dsir."""
+
+from __future__ import annotations
+
+import itertools
+
+
+def _setup(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    return str(tmp_path / "wh")
+
+
+def test_cli_densest(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    clique = [f"k{i}" for i in range(5)]
+    k5 = list(itertools.combinations(clique, 2))
+    path = [(f"p{i}", f"p{i + 1}") for i in range(5)] + [("k0", "p0")]
+    edges_path = str(tmp_path / "edges_pq")
+    spark.createDataFrame(k5 + path, ["src_id", "dst_id"]).write.parquet(edges_path)
+
+    assert cli.main(
+        ["densest", "--edges", edges_path, "--out", wh,
+         "--eps-num", "1", "--eps-den", "8"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "5 vertices / 10 edges" in out
+    cat = SnapshotCatalog(wh)
+    rows = {r.vertex: r.in_densest for r in cat.read(spark, "densest").collect()}
+    assert {v for v, ind in rows.items() if ind} == set(clique)
+
+
+def test_cli_dsir_weights_and_select(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    raw_rows = [
+        (1, "alpha beta gamma alpha beta"),
+        (2, "stock market prices fell"),
+        (3, "beta gamma alpha delta"),
+        (4, "lorem ipsum dolor sit"),
+    ]
+    raw_path = str(tmp_path / "raw_pq")
+    tgt_path = str(tmp_path / "tgt_pq")
+    spark.createDataFrame(raw_rows, "doc_id long, text string").write.parquet(raw_path)
+    spark.createDataFrame(
+        [("alpha beta gamma",), ("gamma delta alpha beta",)], "text string"
+    ).write.parquet(tgt_path)
+
+    assert cli.main(
+        ["dsir", "--docs", raw_path, "--target-docs", tgt_path,
+         "--out", wh, "--buckets", "64"]
+    ) == 0
+    assert "scored 4 docs" in capsys.readouterr().out
+    cat = SnapshotCatalog(wh)
+    w = {r.doc: r.dsir_weight for r in cat.read(spark, "dsir_scores").collect()}
+    assert len(w) == 4
+    assert min(w[1], w[3]) > max(w[2], w[4])  # greek docs score higher
+
+    assert cli.main(
+        ["dsir", "--docs", raw_path, "--target-docs", tgt_path,
+         "--out", wh, "--buckets", "64", "--select", "2"]
+    ) == 0
+    assert "selected top 2" in capsys.readouterr().out
+    sel = {r.doc for r in cat.read(spark, "dsir_scores").collect() if r.selected == 1}
+    assert sel == {1, 3}
