@@ -470,6 +470,27 @@ def main(argv: list[str] | None = None) -> int:
         help="also flag the top-k docs (rank-based selection)",
     )
 
+    p = sub.add_parser(
+        "approx-distinct",
+        help="grouped approximate count-distinct via FM bit sketches "
+        "(map-side combinable; shuffle carries 8 longs per group)",
+    )
+    p.add_argument("--input", required=True, help="input parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--group-cols", required=True,
+                   help="comma-separated grouping columns")
+    p.add_argument("--elem-col", required=True,
+                   help="column whose distinct count is estimated")
+    p.add_argument("--r-cap", type=int, default=48)
+
+    p = sub.add_parser(
+        "tri-signif",
+        help="triangle significance: observed vs configuration-model-"
+        "expected triangles per vertex (closed-form Chung-Lu null)",
+    )
+    p.add_argument("--edges", required=True, help="edges parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+
     p = sub.add_parser("bench-corpus", help="write a deterministic synthetic docs corpus")
     p.add_argument("--n-docs", type=int, default=10000)
     p.add_argument("--seed", type=int, default=42)
@@ -1001,6 +1022,37 @@ def main(argv: list[str] | None = None) -> int:
             )
             catalog.create_or_replace("dsir_scores", out)
             print(f"dsir: scored {out.count()} docs ({args.buckets} buckets)")
+        return 0
+
+    if args.cmd == "approx-distinct":
+        from arxiv_citation_graph_spark.operators.sketches import fm_distinct
+
+        group_cols = [c.strip() for c in args.group_cols.split(",") if c.strip()]
+        est = fm_distinct(
+            spark.read.parquet(args.input),
+            group_cols,
+            args.elem_col,
+            r_cap=args.r_cap,
+        )
+        catalog.create_or_replace("approx_distinct", est)
+        print(
+            f"approx-distinct: {est.count()} group(s) over "
+            f"({args.group_cols}) x {args.elem_col}"
+        )
+        return 0
+
+    if args.cmd == "tri-signif":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.plans.triangles import triangle_significance
+
+        sig = triangle_significance(spark, spark.read.parquet(args.edges))
+        catalog.create_or_replace("triangle_significance", sig)
+        hot = sig.filter(F.col("lift") > 1.0).count()
+        print(
+            f"tri-signif: {sig.count()} vertices, "
+            f"{hot} more clustered than the configuration-model null"
+        )
         return 0
 
     if args.cmd == "extract":

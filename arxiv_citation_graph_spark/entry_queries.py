@@ -7432,6 +7432,87 @@ def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: FM fractional factors as a SQL CASE over an ``S`` alias (same table as
+#: _ANF_FRAC_CASE; repeated here against the grouped-sketch CTE names)
+_FM_FRAC_CASE = (
+    "CASE CAST(S % 8 AS INT) "
+    "WHEN 0 THEN 1.0 WHEN 1 THEN 1.0905077326652577 "
+    "WHEN 2 THEN 1.189207115002721 WHEN 3 THEN 1.2968395546510096 "
+    "WHEN 4 THEN 1.4142135623730951 WHEN 5 THEN 1.5422108254079407 "
+    "WHEN 6 THEN 1.681792830507429 ELSE 1.834008086409342 END"
+)
+
+_FM_DISTINCT_SQL = f"""
+WITH ks AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(j)),
+hs AS MATERIALIZED (SELECT event_type, j,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || j), 1, 15))
+         AS BIGINT) AS h
+    FROM events CROSS JOIN ks),
+sk AS (SELECT event_type, j,
+    (CAST(1 AS BIGINT) << least(bit_count((h & (-h)) - 1), 48)) AS s FROM hs),
+agg AS (SELECT event_type, j, bit_or(s) AS s FROM sk GROUP BY 1, 2),
+nr AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1),
+bs AS (SELECT event_type, CAST(sum(bit_count(s & (~(s + 1)))) AS BIGINT) AS S
+       FROM agg GROUP BY 1)
+SELECT b.event_type, CAST(n.n_rows AS BIGINT) AS n_rows, S AS b_sum,
+       round(power(2.0, CAST(S // 8 AS DOUBLE)) * {_FM_FRAC_CASE} / 0.77351, 9)
+           AS est_distinct
+FROM bs b JOIN nr n ON b.event_type = n.event_type
+"""
+
+
+@register("fm_group_distinct", _FM_DISTINCT_SQL)
+def q_fm_group_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped approximate count-distinct via Flajolet-Martin bit
+    sketches (operators/sketches.py::fm_distinct; FM 1985): distinct
+    users per event type with a map-side-combinable bit_or merge — the
+    shuffle carries 8 longs per group, never the raw (group, elem)
+    pairs.  The oracle replays the md5 draws, the OR-merged registers,
+    and the 2^(S/8)/phi estimate bit-for-bit."""
+    from arxiv_citation_graph_spark.operators.sketches import fm_distinct
+
+    events = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return fm_distinct(events, ["event_type"], "user_id")
+
+
+_TRI_SIGNIF_SQL = f"""
+WITH t AS MATERIALIZED ({TRIANGLES_SQL}),
+cosg AS ({EDGES_COSUPPLY_SQL}),
+undg AS (SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+         FROM cosg WHERE src_id <> dst_id),
+symg AS (SELECT u AS x, v AS y FROM undg UNION ALL SELECT v, u FROM undg),
+degg AS (SELECT x AS vertex, count(*) AS d FROM symg GROUP BY 1),
+nbr AS (SELECT s.x AS vertex,
+               sum(CAST(d.d AS DECIMAL(38,0))) AS s1,
+               sum(CAST(d.d AS DECIMAL(38,0)) * CAST(d.d AS DECIMAL(38,0))) AS s2
+        FROM symg s JOIN degg d ON d.vertex = s.y GROUP BY 1),
+tm AS (SELECT sum(CAST(d AS DECIMAL(38,0))) AS two_m FROM degg),
+raw AS (SELECT t.vertex, t.triangles, CAST(g.d AS BIGINT) AS degree,
+               (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) - CAST(s2 AS DOUBLE))
+                   / (2.0 * CAST(two_m AS DOUBLE)) AS e
+        FROM t JOIN degg g ON g.vertex = t.vertex
+               JOIN nbr n ON n.vertex = t.vertex
+        CROSS JOIN tm)
+SELECT vertex, triangles, degree,
+       round(e, 9) AS expected_triangles,
+       round(CASE WHEN e > 0 THEN triangles / e END, 6) AS lift
+FROM raw
+"""
+
+
+@register("triangle_significance", _TRI_SIGNIF_SQL)
+def q_triangle_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif significance: observed vs Chung-Lu-expected triangles per
+    vertex on the co-supply graph (plans/triangles.py::
+    triangle_significance).  The null expectation has the closed form
+    (s1^2 - s2)/4m from two neighbor-degree aggregates — no sampled
+    rewirings — so both engines compute the identical IEEE expression;
+    lift = observed/expected flags anomalously clustered vertices."""
+    from arxiv_citation_graph_spark.plans.triangles import triangle_significance
+
+    return triangle_significance(spark, cosupply_edges(spark, sf_dir))
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

@@ -1,0 +1,59 @@
+"""CLI surface for the round-5 ninth wave: approx-distinct / tri-signif."""
+
+from __future__ import annotations
+
+import itertools
+
+
+def _setup(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    return str(tmp_path / "wh")
+
+
+def test_cli_approx_distinct(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    rows = [("click", f"u{i % 25}") for i in range(100)] + [
+        ("view", f"u{i}") for i in range(40)
+    ]
+    inp = str(tmp_path / "events_pq")
+    spark.createDataFrame(rows, "event_type string, user_id string").write.parquet(inp)
+
+    assert cli.main(
+        ["approx-distinct", "--input", inp, "--out", wh,
+         "--group-cols", "event_type", "--elem-col", "user_id"]
+    ) == 0
+    assert "2 group(s)" in capsys.readouterr().out
+    got = {
+        r.event_type: r
+        for r in SnapshotCatalog(wh).read(spark, "approx_distinct").collect()
+    }
+    assert got["click"].n_rows == 100 and got["view"].n_rows == 40
+    # k=8 FM: loose band around the true cardinalities
+    assert 25 / 2.5 <= got["click"].est_distinct <= 25 * 2.5
+    assert 40 / 2.5 <= got["view"].est_distinct <= 40 * 2.5
+
+
+def test_cli_tri_signif(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    k4 = list(itertools.combinations(["a", "b", "c", "d"], 2))
+    tail = [("d", "e"), ("e", "f")]
+    edges_path = str(tmp_path / "edges_pq")
+    spark.createDataFrame(k4 + tail, ["src_id", "dst_id"]).write.parquet(edges_path)
+
+    assert cli.main(["tri-signif", "--edges", edges_path, "--out", wh]) == 0
+    out = capsys.readouterr().out
+    assert "6 vertices" in out
+    rows = {
+        r.vertex: r
+        for r in SnapshotCatalog(wh).read(spark, "triangle_significance").collect()
+    }
+    assert rows["a"].lift and rows["a"].lift > 1.0
+    assert rows["f"].lift is None and rows["f"].expected_triangles == 0.0

@@ -1,0 +1,151 @@
+"""FM grouped approx-distinct (operators/sketches.py) + triangle
+configuration-model significance (plans/triangles.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+import pytest
+
+
+# --- fm_distinct -------------------------------------------------------------
+
+
+FM_PHI = 0.77351
+
+
+def _sketch_py(elems, r_cap=48):
+    regs = [0] * 8
+    for e in elems:
+        for j in range(8):
+            h = int(hashlib.md5(f"{e}:{j}".encode()).hexdigest()[:15], 16)
+            tz = 64 if h == 0 else (h & -h).bit_length() - 1
+            regs[j] |= 1 << min(tz, r_cap)
+    s = 0
+    for r in regs:
+        # lowest unset bit = trailing-ones run length
+        b = 0
+        while r & (1 << b):
+            b += 1
+        s += b
+    frac = 2.0 ** ((s % 8) / 8)
+    est = (2.0 ** (s // 8)) * frac / FM_PHI
+    return s, est
+
+
+def test_fm_distinct_matches_python_replay(spark):
+    from arxiv_citation_graph_spark.operators.sketches import fm_distinct
+
+    rows = [(f"g{i % 3}", f"user{i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, elem string")
+    got = {
+        r.grp: (r.n_rows, r.b_sum, r.est_distinct)
+        for r in fm_distinct(df, ["grp"], "elem").collect()
+    }
+    by_grp = defaultdict(list)
+    for g, e in rows:
+        by_grp[g].append(e)
+    for g, elems in by_grp.items():
+        s, est = _sketch_py(elems)
+        assert got[g][0] == len(elems)
+        assert got[g][1] == s, f"group {g}: sketch sum {got[g][1]} != {s}"
+        assert math.isclose(got[g][2], round(est, 9), rel_tol=0, abs_tol=1e-9)
+
+
+def test_fm_distinct_depends_only_on_distinct_set(spark):
+    from arxiv_citation_graph_spark.operators.sketches import fm_distinct
+
+    base = [("g", f"u{i}") for i in range(100)]
+    df1 = spark.createDataFrame(base, "grp string, elem string")
+    df2 = spark.createDataFrame(base * 7, "grp string, elem string")
+    e1 = fm_distinct(df1, ["grp"], "elem").first()
+    e2 = fm_distinct(df2, ["grp"], "elem").first()
+    assert e1.est_distinct == e2.est_distinct and e1.b_sum == e2.b_sum
+    assert (e1.n_rows, e2.n_rows) == (100, 700)
+
+
+def test_fm_distinct_estimate_in_band(spark):
+    """k=8 FM has ~28% expected relative error; assert a loose 2.5x band
+    across three group sizes (deterministic — fixed hash)."""
+    from arxiv_citation_graph_spark.operators.sketches import fm_distinct
+
+    rows = []
+    for g, n in (("small", 30), ("mid", 300), ("big", 3000)):
+        rows += [(g, f"{g}-user{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, elem string")
+    got = {r.grp: r.est_distinct for r in fm_distinct(df, ["grp"], "elem").collect()}
+    for g, n in (("small", 30), ("mid", 300), ("big", 3000)):
+        assert n / 2.5 <= got[g] <= n * 2.5, f"{g}: est {got[g]} vs true {n}"
+
+
+def test_fm_distinct_validation(spark):
+    from arxiv_citation_graph_spark.operators.sketches import fm_distinct
+
+    df = spark.createDataFrame([("g", "x")], "grp string, elem string")
+    with pytest.raises(ValueError, match="group_cols"):
+        fm_distinct(df, [], "elem")
+    with pytest.raises(ValueError, match="r_cap"):
+        fm_distinct(df, ["grp"], "elem", r_cap=63)
+
+
+# --- triangle_significance ---------------------------------------------------
+
+
+def _signif_py(pairs):
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs = defaultdict(set)
+    for u, v in und:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    two_m = sum(deg.values())
+    out = {}
+    for v, ns in nbrs.items():
+        tri = sum(1 for u in ns for w in ns if u < w and w in nbrs[u])
+        s1 = sum(deg[u] for u in ns)
+        s2 = sum(deg[u] ** 2 for u in ns)
+        exp = (s1 * s1 - s2) / (2.0 * two_m)
+        lift = round(tri / exp, 6) if exp > 0 else None
+        out[v] = (tri, deg[v], round(exp, 9), lift)
+    return out
+
+
+def test_triangle_significance_k4_plus_tail(spark):
+    from arxiv_citation_graph_spark.plans.triangles import triangle_significance
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("d", "e"), ("e", "f")]
+    df = spark.createDataFrame(k4 + tail, ["src_id", "dst_id"])
+    got = {
+        r.vertex: (r.triangles, r.degree, r.expected_triangles, r.lift)
+        for r in triangle_significance(spark, df).collect()
+    }
+    want = _signif_py(k4 + tail)
+    assert got == want
+    # clique members are more clustered than the null expects
+    assert got["a"][3] > 1.0
+    # degree-1 leaf has zero expectation -> NULL lift
+    assert got["f"][2] == 0.0 and got["f"][3] is None
+
+
+def test_triangle_significance_matches_python_on_zipf(spark):
+    from arxiv_citation_graph_spark.datagen import synthetic_edges
+    from arxiv_citation_graph_spark.plans.triangles import triangle_significance
+
+    edges = synthetic_edges(spark, 200, 900)
+    pairs = [(r.src_id, r.dst_id) for r in edges.collect()]
+    got = {
+        r.vertex: (r.triangles, r.degree, r.expected_triangles, r.lift)
+        for r in triangle_significance(spark, edges).collect()
+    }
+    want = _signif_py(pairs)
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v][:2] == want[v][:2]
+        assert math.isclose(got[v][2], want[v][2], rel_tol=0, abs_tol=1e-8)
+        if want[v][3] is None:
+            assert got[v][3] is None
+        else:
+            assert math.isclose(got[v][3], want[v][3], rel_tol=0, abs_tol=2e-6)
