@@ -484,6 +484,36 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--r-cap", type=int, default=48)
 
     p = sub.add_parser(
+        "cms",
+        help="count-min sketch frequency upper bounds per (group, elem) "
+        "(mergeable depth x width counters; min-read estimates)",
+    )
+    p.add_argument("--input", required=True, help="input parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--group-cols", required=True,
+                   help="comma-separated grouping columns")
+    p.add_argument("--elem-col", required=True)
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument(
+        "--candidates", default=None,
+        help="optional parquet of (group, elem) probes; default = every "
+        "distinct pair in the input",
+    )
+
+    p = sub.add_parser(
+        "quantiles",
+        help="per-group histogram quantiles (mergeable fixed-width bins; "
+        "no per-group sort)",
+    )
+    p.add_argument("--input", required=True, help="input parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--group-cols", required=True)
+    p.add_argument("--value-col", required=True)
+    p.add_argument("--probs", default="0.5,0.9,0.99")
+    p.add_argument("--bins", type=int, default=128)
+
+    p = sub.add_parser(
         "tri-signif",
         help="triangle significance: observed vs configuration-model-"
         "expected triangles per vertex (closed-form Chung-Lu null)",
@@ -1038,6 +1068,56 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"approx-distinct: {est.count()} group(s) over "
             f"({args.group_cols}) x {args.elem_col}"
+        )
+        return 0
+
+    if args.cmd == "cms":
+        from arxiv_citation_graph_spark.operators.sketches import (
+            cms_build,
+            cms_counts,
+            cms_estimate,
+        )
+
+        group_cols = [c.strip() for c in args.group_cols.split(",") if c.strip()]
+        df = spark.read.parquet(args.input)
+        if args.candidates is not None:
+            counters = cms_build(
+                df, group_cols, args.elem_col, depth=args.depth, width=args.width
+            )
+            est = cms_estimate(
+                counters,
+                spark.read.parquet(args.candidates),
+                group_cols,
+                args.elem_col,
+                depth=args.depth,
+                width=args.width,
+            )
+        else:
+            est = cms_counts(
+                df, group_cols, args.elem_col, depth=args.depth, width=args.width
+            )
+        catalog.create_or_replace("cms_estimates", est)
+        print(
+            f"cms: {est.count()} estimate(s) from a {args.depth}x{args.width} sketch"
+        )
+        return 0
+
+    if args.cmd == "quantiles":
+        from arxiv_citation_graph_spark.operators.sketches import hist_quantiles
+
+        group_cols = [c.strip() for c in args.group_cols.split(",") if c.strip()]
+        probs = tuple(float(p) for p in args.probs.split(",") if p.strip())
+        q = hist_quantiles(
+            spark.read.parquet(args.input),
+            group_cols,
+            args.value_col,
+            probs=probs,
+            bins=args.bins,
+        )
+        catalog.create_or_replace("quantiles", q)
+        print(
+            f"quantiles: {q.count()} row(s) — {len(probs)} prob(s) x "
+            f"{args.bins} bins over ({args.group_cols})"
         )
         return 0
 

@@ -7513,6 +7513,88 @@ def q_triangle_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_significance(spark, cosupply_edges(spark, sf_dir))
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+_CMS_SQL = f"""
+WITH ks AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
+base AS (SELECT event_type, CAST(user_id AS VARCHAR) AS e FROM events),
+cells AS (SELECT event_type, j,
+    CAST(CAST(('0x' || substr(md5(e || ':' || j), 1, 8)) AS BIGINT) % {_CMS_WIDTH}
+         AS INT) AS col
+    FROM base CROSS JOIN ks),
+counters AS (SELECT event_type, j, col, count(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+cands AS (SELECT DISTINCT event_type, user_id, CAST(user_id AS VARCHAR) AS e
+          FROM events),
+probes AS (SELECT event_type, user_id, j,
+    CAST(CAST(('0x' || substr(md5(e || ':' || j), 1, 8)) AS BIGINT) % {_CMS_WIDTH}
+         AS INT) AS col
+    FROM cands CROSS JOIN ks)
+SELECT p.event_type, p.user_id, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+FROM probes p LEFT JOIN counters c
+  ON c.event_type = p.event_type AND c.j = p.j AND c.col = p.col
+GROUP BY 1, 2
+"""
+
+
+@register("cms_user_counts", _CMS_SQL)
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (operators/sketches.py::
+    cms_counts; Cormode & Muthukrishnan 2005): per-(event_type, user)
+    event-count upper bounds read from a 4x64 counter matrix whose
+    build is one map-side-combinable aggregate — the scale path when
+    the distinct-user set is too large to count exactly.  The oracle
+    replays the md5 cells, the counters, and the min-read bit-for-bit."""
+    from arxiv_citation_graph_spark.operators.sketches import cms_counts
+
+    events = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return cms_counts(
+        events, ["event_type"], "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+
+
+_HQ_BINS = 32
+
+_HQ_SQL = f"""
+WITH ext AS (SELECT event_type, min(value) AS lo, max(value) AS hi,
+                    count(value) AS n
+             FROM events GROUP BY 1),
+b AS (SELECT e.event_type, x.lo, x.hi, x.n,
+      CASE WHEN x.hi > x.lo
+           THEN least(CAST(floor(((e.value - x.lo) / (x.hi - x.lo)) * {_HQ_BINS})
+                           AS BIGINT), {_HQ_BINS - 1})
+           ELSE 0 END AS bin
+      FROM events e JOIN ext x ON e.event_type = x.event_type),
+cnts AS (SELECT event_type, lo, hi, n, bin, count(*) AS c FROM b GROUP BY 1,2,3,4,5),
+cum AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnts),
+ps AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.5),(0.9),(0.99)) t(p)),
+hits AS (SELECT event_type, lo, hi, p,
+                CAST(ceil(p * n) AS BIGINT) AS target_rank, bin, cum
+         FROM cum CROSS JOIN ps),
+mb AS (SELECT event_type, lo, hi, p, target_rank, min(bin) AS bin
+       FROM hits WHERE cum >= target_rank GROUP BY 1, 2, 3, 4, 5)
+SELECT event_type, p, target_rank, bin,
+       round(lo + (hi - lo) * (CAST(bin AS DOUBLE) / {_HQ_BINS}), 9) AS est
+FROM mb
+"""
+
+
+@register("hist_value_quantiles", _HQ_SQL)
+def q_hist_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (operators/sketches.py::
+    hist_quantiles): p50/p90/p99 of the event value per event type from
+    a 32-bin fixed-width histogram — two map-side-combinable aggregates
+    and a read-off window over at most 32 rows per group; exact
+    per-group sorts never happen.  Both engines evaluate the identical
+    IEEE binning and lower-edge formulas."""
+    from arxiv_citation_graph_spark.operators.sketches import hist_quantiles
+
+    events = _t(spark, sf_dir, "events").select("event_type", "value")
+    return hist_quantiles(
+        events, ["event_type"], "value", probs=(0.5, 0.9, 0.99), bins=_HQ_BINS
+    )
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from arxiv_citation_graph_spark.functions.texttools import md5_int32
 from arxiv_citation_graph_spark.plans.anf import FM_PHI, FRAC_POW2_8, _lowest_zero
 
 K_SKETCHES = 8
@@ -90,4 +91,189 @@ def fm_distinct(
         "n_rows",
         s.cast("long").alias("b_sum"),
         F.round(est, 9).alias("est_distinct"),
+    )
+
+
+# ===========================================================================
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# ===========================================================================
+#
+# The frequency-estimation companion to the FM cardinality sketch above:
+# a depth x width counter matrix per group whose merge is element-wise
+# ADDITION — so building it is one map-side-combinable aggregate over
+# (group, row, col), and the shuffle carries at most depth*width counters
+# per group no matter how many raw rows flow past.  Estimates are upper
+# bounds: est(x) = min_j counter[j][h_j(x)] >= true(x), with overshoot
+# <= 2N/width at probability 1 - 2^-depth.  Use it when the distinct-
+# element set is too large to count exactly and only candidate elements
+# need frequencies (heavy-hitter screens, join-skew probes).
+#
+# Hashing is the engine's portable md5_int32, so a DuckDB oracle replays
+# counters AND estimates bit-for-bit.
+
+
+def _cms_col(elem_sql: Column, j: int, width: int) -> Column:
+    return (md5_int32(F.concat(elem_sql, F.lit(f":{j}"))) % width).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    group_cols: list[str],
+    elem_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-group count-min counter table ``(group..., row, col, cnt)``.
+
+    ``row`` is the hash-function index ``0..depth-1``; each input row
+    contributes one count to exactly one ``col`` per row.  Counters from
+    different partitions / micro-batches merge by summing ``cnt`` —
+    Spark's partial aggregation does this map-side automatically.
+    """
+    if not group_cols:
+        raise ValueError("cms_build: group_cols must be non-empty")
+    if depth < 1 or width < 2:
+        raise ValueError(f"cms_build: need depth >= 1, width >= 2 (got {depth}x{width})")
+    e = F.col(elem_col).cast("string")
+    cols = F.array(*[_cms_col(e, j, width) for j in range(depth)])
+    return (
+        df.select(*group_cols, F.posexplode(cols).alias("row", "col"))
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    candidates: DataFrame,
+    group_cols: list[str],
+    elem_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Frequency upper bounds for ``candidates`` ``(group..., elem)``
+    rows against a ``cms_build`` counter table (same depth/width).
+
+    One equi-join on (group, row, col) — candidate-sized, never a scan
+    of the raw data.  A missing counter cell means the element never
+    hashed there, so its count is 0 (left join + coalesce).  Returns
+    ``(group..., elem_col, est_count)``.
+    """
+    e = F.col(elem_col).cast("string")
+    cols = F.array(*[_cms_col(e, j, width) for j in range(depth)])
+    probes = candidates.select(
+        *group_cols, elem_col, F.posexplode(cols).alias("row", "col")
+    )
+    return (
+        probes.join(counters, [*group_cols, "row", "col"], "left")
+        .groupBy(*group_cols, elem_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
+    )
+
+
+def cms_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    elem_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build + estimate in one call for every distinct (group, elem)
+    pair in ``df`` — the correctness harness / small-candidate-set form.
+    At 100 TB you'd ``cms_build`` once and probe only a candidate list;
+    this convenience enumerates the distinct pairs (itself one shuffle)
+    so tests can compare ``est_count`` against exact counts.
+    """
+    counters = cms_build(df, group_cols, elem_col, depth=depth, width=width)
+    cands = df.select(*group_cols, elem_col).distinct()
+    return cms_estimate(counters, cands, group_cols, elem_col, depth=depth, width=width)
+
+
+# ===========================================================================
+# Mergeable histogram quantiles
+# ===========================================================================
+
+
+def hist_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 128,
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed-width histogram.
+
+    Exact per-group percentiles at 100 TB force a full sort per group;
+    the mergeable alternative is a B-bin histogram: one min/max
+    aggregate, one (group, bin) count aggregate (both map-side
+    combinable), then the quantile read-off runs over at most B rows per
+    group — the cumulative window never sees raw data.  The estimate is
+    the LOWER EDGE of the first bin whose cumulative count reaches
+    ``ceil(p * n)``; error is bounded by one bin width.
+
+    Every expression is a single IEEE formula (`(v-lo)/(hi-lo)*B`,
+    floored and capped) that DuckDB replays bit-for-bit.  Returns
+    ``(group..., p, target_rank, bin, est)``; a constant group
+    (``hi == lo``) collapses to bin 0 with ``est = lo``.
+    """
+    if not group_cols:
+        raise ValueError("hist_quantiles: group_cols must be non-empty")
+    if bins < 2:
+        raise ValueError(f"hist_quantiles: bins must be >= 2 (got {bins})")
+    if not probs or any(not (0.0 < p <= 1.0) for p in probs):
+        raise ValueError(f"hist_quantiles: probs must be in (0, 1] (got {probs})")
+    v = F.col(value_col).cast("double")
+    ext = df.groupBy(*group_cols).agg(
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+        F.count(v).cast("long").alias("n"),
+    )
+    binned = (
+        df.join(F.broadcast(ext), group_cols)
+        .select(
+            *group_cols,
+            "lo",
+            "hi",
+            "n",
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.least(
+                    F.floor((v - F.col("lo")) / (F.col("hi") - F.col("lo")) * bins),
+                    F.lit(bins - 1).cast("long"),
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bin"),
+        )
+        .groupBy(*group_cols, "lo", "hi", "n", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("c").over(w))
+    pdf = F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p")
+    hits = (
+        cum.select(*group_cols, "lo", "hi", "n", "bin", "cum", pdf)
+        .withColumn("target_rank", F.ceil(F.col("p") * F.col("n")).cast("long"))
+        .filter(F.col("cum") >= F.col("target_rank"))
+    )
+    return (
+        hits.groupBy(*group_cols, "lo", "hi", "p", "target_rank")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            *group_cols,
+            "p",
+            "target_rank",
+            "bin",
+            F.round(
+                F.col("lo")
+                + (F.col("hi") - F.col("lo")) * (F.col("bin").cast("double") / bins),
+                9,
+            ).alias("est"),
+        )
     )

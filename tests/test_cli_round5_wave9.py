@@ -57,3 +57,33 @@ def test_cli_tri_signif(spark, tmp_path, monkeypatch, capsys):
     }
     assert rows["a"].lift and rows["a"].lift > 1.0
     assert rows["f"].lift is None and rows["f"].expected_triangles == 0.0
+
+
+def test_cli_cms_and_quantiles(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    rows = [("g", "hot", float(i)) for i in range(90)] + [
+        ("g", f"u{i}", 1000.0 + i) for i in range(10)
+    ]
+    inp = str(tmp_path / "rows_pq")
+    spark.createDataFrame(rows, "grp string, elem string, v double").write.parquet(inp)
+
+    assert cli.main(
+        ["cms", "--input", inp, "--out", wh,
+         "--group-cols", "grp", "--elem-col", "elem", "--width", "128"]
+    ) == 0
+    assert "11 estimate(s)" in capsys.readouterr().out
+    cat = SnapshotCatalog(wh)
+    got = {r.elem: r.est_count for r in cat.read(spark, "cms_estimates").collect()}
+    assert got["hot"] >= 90
+
+    assert cli.main(
+        ["quantiles", "--input", inp, "--out", wh,
+         "--group-cols", "grp", "--value-col", "v",
+         "--probs", "0.5,0.9", "--bins", "16"]
+    ) == 0
+    assert "2 prob(s)" in capsys.readouterr().out
+    q = {r.p: r.est for r in cat.read(spark, "quantiles").collect()}
+    assert 0.0 <= q[0.5] <= 200.0  # median in the dense low band

@@ -1,0 +1,134 @@
+"""Count-min sketch (operators/sketches.py::cms_*) + mergeable
+histogram quantiles (hist_quantiles)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+
+def _md5_int32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _cms_py(rows, depth=4, width=64):
+    """Python replay: {(grp, elem): est_count} via the same md5 cells."""
+    counters = defaultdict(int)
+    for g, e in rows:
+        for j in range(depth):
+            counters[(g, j, _md5_int32(f"{e}:{j}") % width)] += 1
+    out = {}
+    for g, e in set(rows):
+        out[(g, e)] = min(
+            counters[(g, j, _md5_int32(f"{e}:{j}") % width)] for j in range(depth)
+        )
+    return out
+
+
+def test_cms_counts_matches_python_replay(spark):
+    from arxiv_citation_graph_spark.operators.sketches import cms_counts
+
+    rows = [(f"g{i % 2}", f"u{i % 30}") for i in range(300)] + [("g0", "hot")] * 50
+    df = spark.createDataFrame(rows, "grp string, elem string")
+    got = {
+        (r.grp, r.elem): r.est_count
+        for r in cms_counts(df, ["grp"], "elem", depth=4, width=64).collect()
+    }
+    assert got == _cms_py(rows)
+
+
+def test_cms_estimate_is_upper_bound_and_tight_on_heavy(spark):
+    from arxiv_citation_graph_spark.operators.sketches import cms_counts
+
+    rows = [("g", "heavy")] * 500 + [("g", f"light{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, elem string")
+    got = {
+        r.elem: r.est_count
+        for r in cms_counts(df, ["grp"], "elem", depth=4, width=128).collect()
+    }
+    exact = Counter(e for _, e in rows)
+    for e, true in exact.items():
+        assert got[e] >= true, f"{e}: CMS must never undercount"
+    # overshoot on the heavy hitter is bounded by collisions with the
+    # light tail: 100 light rows over width 128 — a handful at worst
+    assert got["heavy"] - exact["heavy"] <= 10
+
+
+def test_cms_probe_for_absent_element(spark):
+    from arxiv_citation_graph_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("g", "x")], "grp string, elem string")
+    counters = cms_build(df, ["grp"], "elem", depth=4, width=1024)
+    cands = spark.createDataFrame([("g", "never-seen")], "grp string, elem string")
+    est = cms_estimate(counters, cands, ["grp"], "elem", depth=4, width=1024).first()
+    assert est.est_count == 0  # 4 independent cells all colliding is ~(1/1024)^4
+
+
+def test_cms_validation(spark):
+    from arxiv_citation_graph_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([("g", "x")], "grp string, elem string")
+    with pytest.raises(ValueError, match="group_cols"):
+        cms_build(df, [], "elem")
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(df, ["grp"], "elem", depth=0)
+
+
+# --- hist_quantiles ----------------------------------------------------------
+
+
+def _hist_py(vals, probs, bins):
+    lo, hi, n = min(vals), max(vals), len(vals)
+    cnt = Counter(
+        min(int((v - lo) / (hi - lo) * bins), bins - 1) if hi > lo else 0
+        for v in vals
+    )
+    out = {}
+    for p in probs:
+        target = math.ceil(p * n)
+        cum = 0
+        for b in sorted(cnt):
+            cum += cnt[b]
+            if cum >= target:
+                out[p] = (target, b, round(lo + (hi - lo) * (b / bins), 9))
+                break
+    return out
+
+
+def test_hist_quantiles_matches_python_replay(spark):
+    from arxiv_citation_graph_spark.operators.sketches import hist_quantiles
+
+    vals = [((i * 37) % 101) * 0.25 for i in range(400)]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    got = {
+        r.p: (r.target_rank, r.bin, r.est)
+        for r in hist_quantiles(df, ["grp"], "v", probs=(0.5, 0.9, 0.99), bins=32).collect()
+    }
+    assert got == _hist_py(vals, (0.5, 0.9, 0.99), 32)
+
+
+def test_hist_quantiles_within_one_bin_of_exact(spark):
+    from arxiv_citation_graph_spark.operators.sketches import hist_quantiles
+
+    vals = [float(i) for i in range(1, 1001)]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    got = {r.p: r.est for r in hist_quantiles(df, ["grp"], "v", bins=100).collect()}
+    binwidth = (1000.0 - 1.0) / 100
+    for p in (0.5, 0.9, 0.99):
+        exact = sorted(vals)[math.ceil(p * len(vals)) - 1]
+        assert abs(got[p] - exact) <= binwidth + 1e-9
+
+
+def test_hist_quantiles_constant_group_and_validation(spark):
+    from arxiv_citation_graph_spark.operators.sketches import hist_quantiles
+
+    df = spark.createDataFrame([("g", 7.0)] * 5, "grp string, v double")
+    rows = hist_quantiles(df, ["grp"], "v", probs=(0.5,), bins=8).collect()
+    assert rows[0].bin == 0 and rows[0].est == 7.0
+    with pytest.raises(ValueError, match="bins"):
+        hist_quantiles(df, ["grp"], "v", bins=1)
+    with pytest.raises(ValueError, match="probs"):
+        hist_quantiles(df, ["grp"], "v", probs=(0.0,))
