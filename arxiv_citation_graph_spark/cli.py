@@ -484,6 +484,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--r-cap", type=int, default=48)
 
     p = sub.add_parser(
+        "substr-dedup",
+        help="cross-document duplicate-substring scan (content-selected "
+        "anchor windows; ExactSubstr-style removal-rate stats)",
+    )
+    p.add_argument("--docs", required=True, help="corpus parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--window", type=int, default=64)
+    p.add_argument("--rate", type=int, default=16)
+    p.add_argument(
+        "--spans", action="store_true",
+        help="also commit the duplicated anchor-span detail table",
+    )
+
+    p = sub.add_parser(
         "cms",
         help="count-min sketch frequency upper bounds per (group, elem) "
         "(mergeable depth x width counters; min-read estimates)",
@@ -1069,6 +1085,31 @@ def main(argv: list[str] | None = None) -> int:
             f"approx-distinct: {est.count()} group(s) over "
             f"({args.group_cols}) x {args.elem_col}"
         )
+        return 0
+
+    if args.cmd == "substr-dedup":
+        from arxiv_citation_graph_spark.operators.substrings import (
+            duplicate_spans,
+            duplicate_substring_stats,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        stats = duplicate_substring_stats(
+            docs, args.id_col, args.text_col, window=args.window, rate=args.rate
+        )
+        catalog.create_or_replace("substr_dup_stats", stats)
+        n_dirty = stats.filter(stats.dup_spans > 0).count()
+        print(
+            f"substr-dedup: {stats.count()} docs scanned, {n_dirty} with "
+            f"duplicated {args.window}-char spans (rate {args.rate})"
+        )
+        if args.spans:
+            det = duplicate_spans(
+                docs, args.id_col, args.text_col,
+                window=args.window, rate=args.rate,
+            )
+            catalog.create_or_replace("substr_dup_spans", det)
+            print(f"substr-dedup: {det.count()} duplicated anchor span(s)")
         return 0
 
     if args.cmd == "cms":

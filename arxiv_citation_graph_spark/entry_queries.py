@@ -7595,6 +7595,47 @@ def q_hist_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_WINDOW, _SUBSTR_RATE = 64, 8
+
+_SUBSTR_SQL = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+pos AS (SELECT doc_id, text,
+        unnest(generate_series(1, length(text) - {_SUBSTR_WINDOW - 1}, 1)) AS pos
+        FROM docs WHERE length(text) >= {_SUBSTR_WINDOW}),
+anch AS (SELECT doc_id,
+         md5(substr(text, CAST(pos AS INT), {_SUBSTR_WINDOW})) AS h FROM pos),
+sel AS (SELECT doc_id, h FROM anch
+        WHERE CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % {_SUBSTR_RATE} = 0),
+hashes AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sel GROUP BY 1),
+per AS (SELECT s.doc_id, count(*) AS n,
+               sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS k
+        FROM sel s JOIN hashes USING (h) GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(k, 0) AS BIGINT) AS dup_spans,
+       round(CASE WHEN coalesce(n, 0) > 0 THEN CAST(k AS DOUBLE) / n
+                  ELSE 0.0 END, 9) AS dup_fraction
+FROM docs d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
+@register("duplicate_substrings", _SUBSTR_SQL)
+def q_duplicate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-substring scan (operators/
+    substrings.py; Lee et al. 2022): per-doc share of content-selected
+    64-char anchor windows (hash % 8 == 0 — alignment-invariant
+    mod-sampling) whose content recurs in another document.  One
+    shuffle on the window hash; the per-position md5 and the anchor
+    filter fuse into the scan stage."""
+    from arxiv_citation_graph_spark.operators.substrings import (
+        duplicate_substring_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_substring_stats(
+        docs, window=_SUBSTR_WINDOW, rate=_SUBSTR_RATE
+    )
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

@@ -1,0 +1,140 @@
+"""Cross-document duplicate-substring detection (ExactSubstr-style).
+
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better") showed that *substring*-level duplication — long spans copied
+between otherwise-distinct documents — survives document-level dedup
+and measurably hurts trained models; their ExactSubstr tool finds every
+duplicated 50-token span with a suffix array.  A suffix array is a
+sequential single-machine structure; the Spark-native equivalent is a
+fingerprint scan: hash a fixed-length character window at every
+position, KEEP only content-selected anchor windows (hash % rate == 0,
+the mod-sampling rule from the Karp-Rabin / winnowing literature —
+Schleimer et al. 2003 use the stronger local-min rule), then ONE
+shuffle on the window hash finds every anchor whose content recurs in
+another document.
+
+Content-defined selection is the load-bearing choice: a fixed position
+grid (every ``rate``-th offset) only matches two copies whose start
+offsets agree modulo the stride — misaligned copies, the common case,
+are invisible to it.  Anchors chosen by the window's own hash select
+identically wherever the copy sits, so any shared span long enough to
+contain one anchor (expected every ``rate`` positions; deterministic
+per content under md5) is caught at every alignment.
+
+Scale shape: the per-position md5 is map-side CPU inside one codegen
+stage with the ``% rate`` filter fused BEFORE any exchange — the
+shuffle carries ~len/rate anchor rows per document, the hash
+group-count and the per-doc roll-up are both map-side combinable, and
+there is no corpus self-join and no driver-side state.  Popular
+boilerplate (one hash shared by thousands of docs) costs one
+|docs|-sized group, never |docs|^2.
+
+Reference behavior: generalizes the reference's one-document-at-a-time
+bibliography slicing (create_database.py:435-520) to a corpus-wide
+recurrence scan the reference could never express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _anchor_hashes(
+    df: DataFrame, id_col: str, text_col: str, window: int, rate: int
+) -> DataFrame:
+    """(id, pos, h): md5 of each window-length span whose 32-bit hash
+    prefix is ≡ 0 mod ``rate`` (content-defined anchors; rate=1 keeps
+    every position)."""
+    text = F.col(text_col)
+    n = F.length(text)
+    positions = F.when(
+        n >= window, F.sequence(F.lit(1), n - (window - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    hashed = df.select(
+        F.col(id_col), F.explode(positions).alias("pos"), text.alias("_t")
+    ).select(
+        id_col,
+        "pos",
+        F.md5(F.substring(F.col("_t"), F.col("pos"), window)).alias("h"),
+    )
+    return hashed.filter(
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % rate == 0
+    )
+
+
+def duplicate_substring_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    rate: int = 16,
+) -> DataFrame:
+    """Per-document duplicated-anchor statistics.
+
+    An anchor is *duplicated* when its window hash occurs in >= 2
+    distinct documents (cross-document recurrence — within-doc
+    repetition is the `quality.ngram_repetition_stats` job).  Returns
+    ``(id_col, n_spans, dup_spans, dup_fraction)`` for every input
+    document; ``n_spans`` counts the doc's content-selected anchors
+    (~len/rate), and ``dup_fraction`` is the duplicated share among
+    them — the ExactSubstr removal-rate proxy.  Docs shorter than
+    ``window`` have 0 anchors and fraction 0.0.
+    """
+    if window < 2 or rate < 1:
+        raise ValueError(
+            f"duplicate_substring_stats: need window >= 2, rate >= 1 "
+            f"(got window={window}, rate={rate})"
+        )
+    spans = _anchor_hashes(df, id_col, text_col, window, rate)
+    hashes = spans.groupBy("h").agg(F.count_distinct(id_col).alias("nd"))
+    per = (
+        spans.join(hashes, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_spans"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.round(
+                F.when(
+                    F.coalesce("n_spans", F.lit(0)) > 0,
+                    F.col("dup_spans").cast("double") / F.col("n_spans"),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    rate: int = 16,
+) -> DataFrame:
+    """The anchor-level detail: ``(id_col, pos, h, n_docs)`` for every
+    content-selected window whose hash recurs in >= 2 distinct
+    documents — the rows a removal pass would cut (merge adjacent
+    positions downstream).
+    """
+    if window < 2 or rate < 1:
+        raise ValueError(
+            f"duplicate_spans: need window >= 2, rate >= 1 "
+            f"(got window={window}, rate={rate})"
+        )
+    spans = _anchor_hashes(df, id_col, text_col, window, rate)
+    hashes = spans.groupBy("h").agg(F.count_distinct(id_col).alias("n_docs"))
+    return spans.join(hashes.filter(F.col("n_docs") >= 2), "h").select(
+        id_col, "pos", "h", F.col("n_docs").cast("long").alias("n_docs")
+    )

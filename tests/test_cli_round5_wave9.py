@@ -87,3 +87,28 @@ def test_cli_cms_and_quantiles(spark, tmp_path, monkeypatch, capsys):
     assert "2 prob(s)" in capsys.readouterr().out
     q = {r.p: r.est for r in cat.read(spark, "quantiles").collect()}
     assert 0.0 <= q[0.5] <= 200.0  # median in the dense low band
+
+
+def test_cli_substr_dedup(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    shared = "The quick brown fox jumps over the lazy dog again and again forever."
+    rows = [
+        (1, "intro one. " + shared + " outro alpha padding text here."),
+        (2, "different lead-in: " + shared + " and a different tail."),
+        (3, "completely unrelated content with no copied span at all, " * 2),
+    ]
+    docs = str(tmp_path / "docs_pq")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs)
+
+    assert cli.main(
+        ["substr-dedup", "--docs", docs, "--out", wh,
+         "--window", "32", "--rate", "4", "--spans"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "3 docs scanned, 2 with" in out
+    cat = SnapshotCatalog(wh)
+    spans = cat.read(spark, "substr_dup_spans").collect()
+    assert spans and {r.doc_id for r in spans} == {1, 2}

@@ -1,0 +1,143 @@
+"""Cross-document duplicate-substring detection (operators/substrings.py)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+
+
+def _anchors_py(text, window, rate):
+    """(pos, hexhash) for content-selected anchors (1-based pos)."""
+    out = []
+    if len(text) >= window:
+        for pos in range(1, len(text) - window + 2):
+            h = hashlib.md5(text[pos - 1 : pos - 1 + window].encode()).hexdigest()
+            if int(h[:8], 16) % rate == 0:
+                out.append((pos, h))
+    return out
+
+
+def _stats_py(rows, window, rate):
+    spans = [
+        (d, pos, h) for d, t in rows for pos, h in _anchors_py(t, window, rate)
+    ]
+    docs_per_hash = defaultdict(set)
+    for d, _, h in spans:
+        docs_per_hash[h].add(d)
+    out = {d: [0, 0] for d, _ in rows}
+    for d, _, h in spans:
+        out[d][0] += 1
+        if len(docs_per_hash[h]) >= 2:
+            out[d][1] += 1
+    return {d: (n, k, round(k / n, 9) if n else 0.0) for d, (n, k) in out.items()}
+
+
+SHARED = "The quick brown fox jumps over the lazy dog again and again forever."
+
+
+def _fixture():
+    return [
+        (1, "intro one. " + SHARED + " outro alpha padding text here."),
+        (2, "different lead-in: " + SHARED + " and a different tail."),
+        (3, "completely unrelated content with no copied span at all, " * 2),
+        (4, "tiny"),
+    ]
+
+
+def test_duplicate_substring_stats_matches_python(spark):
+    from arxiv_citation_graph_spark.operators.substrings import (
+        duplicate_substring_stats,
+    )
+
+    rows = _fixture()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for window, rate in ((32, 4), (48, 8), (24, 1)):
+        got = {
+            r.doc_id: (r.n_spans, r.dup_spans, r.dup_fraction)
+            for r in duplicate_substring_stats(df, window=window, rate=rate).collect()
+        }
+        assert got == _stats_py(rows, window, rate), (window, rate)
+
+
+def test_shared_span_is_caught_and_unique_docs_clean(spark):
+    from arxiv_citation_graph_spark.operators.substrings import (
+        duplicate_substring_stats,
+    )
+
+    df = spark.createDataFrame(_fixture(), "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in duplicate_substring_stats(df, window=32, rate=4).collect()
+    }
+    # the fixture's shared sentence contains an anchor at rate=4
+    # (deterministic under md5 — verified by the Python replay above)
+    assert got[1].dup_spans > 0 and got[2].dup_spans > 0
+    assert got[3].dup_spans == 0
+    assert got[4].n_spans == 0 and got[4].dup_fraction == 0.0
+
+
+def test_duplicate_spans_detail(spark):
+    from arxiv_citation_graph_spark.operators.substrings import duplicate_spans
+
+    df = spark.createDataFrame(_fixture(), "doc_id long, text string")
+    det = duplicate_spans(df, window=32, rate=4).collect()
+    assert det and all(r.n_docs >= 2 for r in det)
+    assert {r.doc_id for r in det} == {1, 2}
+
+
+def test_alignment_invariance(spark):
+    """Content-defined anchors select identically wherever the copy
+    sits: EVERY offset of the second copy yields the same duplicated-
+    anchor count for the shared core (the fixed-grid failure mode this
+    operator exists to avoid)."""
+    from arxiv_citation_graph_spark.operators.substrings import (
+        duplicate_substring_stats,
+    )
+
+    window, rate = 24, 8
+    core = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ!@#"
+    # core anchors exist (deterministic md5) — replay says so
+    assert any(
+        pos <= len(core) - window + 1 for pos, _ in _anchors_py(core, window, rate)
+    )
+    for offset in range(rate):
+        rows = [
+            (1, "A" * 40 + core + "B" * 40),
+            (2, "C" * (40 + offset) + core + "D" * 40),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.dup_spans
+            for r in duplicate_substring_stats(df, window=window, rate=rate).collect()
+        }
+        assert got[1] > 0 and got[2] > 0, f"missed at offset {offset}"
+
+
+def test_rate_one_is_exhaustive(spark):
+    from arxiv_citation_graph_spark.operators.substrings import (
+        duplicate_substring_stats,
+    )
+
+    rows = [(1, "hello world padding"), (2, "more hello world text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n_spans
+        for r in duplicate_substring_stats(df, window=5, rate=1).collect()
+    }
+    # every position is an anchor at rate=1
+    assert got == {1: len(rows[0][1]) - 4, 2: len(rows[1][1]) - 4}
+
+
+def test_validation(spark):
+    from arxiv_citation_graph_spark.operators.substrings import (
+        duplicate_spans,
+        duplicate_substring_stats,
+    )
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        duplicate_substring_stats(df, window=1)
+    with pytest.raises(ValueError, match="rate"):
+        duplicate_spans(df, rate=0)
