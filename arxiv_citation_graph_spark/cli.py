@@ -484,6 +484,30 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--r-cap", type=int, default=48)
 
     p = sub.add_parser(
+        "lm-score",
+        help="stupid-backoff bigram LM scoring: score eval docs under "
+        "the LM trained on another corpus (KenLM-filter miniature)",
+    )
+    p.add_argument("--train-docs", required=True, help="training corpus parquet")
+    p.add_argument("--eval-docs", required=True, help="corpus to score, parquet")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--alpha", type=float, default=0.4)
+
+    p = sub.add_parser(
+        "weighted-sample",
+        help="weight-proportional k-per-group sample without replacement "
+        "(deterministic Efraimidis-Spirakis race on keyed md5 draws)",
+    )
+    p.add_argument("--input", required=True, help="input parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--group-col", required=True)
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--weight-col", required=True)
+    p.add_argument("--n", type=int, default=10, help="rows kept per group")
+
+    p = sub.add_parser(
         "substr-dedup",
         help="cross-document duplicate-substring scan (content-selected "
         "anchor windows; ExactSubstr-style removal-rate stats)",
@@ -1084,6 +1108,42 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"approx-distinct: {est.count()} group(s) over "
             f"({args.group_cols}) x {args.elem_col}"
+        )
+        return 0
+
+    if args.cmd == "lm-score":
+        from arxiv_citation_graph_spark.operators.quality import (
+            bigram_backoff_logscore,
+        )
+
+        scores = bigram_backoff_logscore(
+            spark.read.parquet(args.train_docs),
+            spark.read.parquet(args.eval_docs),
+            args.id_col,
+            args.text_col,
+            alpha=args.alpha,
+        )
+        catalog.create_or_replace("lm_scores", scores)
+        print(
+            f"lm-score: {scores.count()} docs scored "
+            f"(stupid backoff, alpha={args.alpha})"
+        )
+        return 0
+
+    if args.cmd == "weighted-sample":
+        from arxiv_citation_graph_spark.operators.packing import weighted_take
+
+        taken = weighted_take(
+            spark.read.parquet(args.input),
+            args.group_col,
+            args.id_col,
+            args.weight_col,
+            args.n,
+        )
+        catalog.create_or_replace("weighted_sample", taken)
+        print(
+            f"weighted-sample: kept {taken.count()} row(s) "
+            f"({args.n} per {args.group_col})"
         )
         return 0
 

@@ -7636,6 +7636,95 @@ def q_duplicate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BACKOFF_SQL = rf"""
+WITH tdocs AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id % {_EVAL_SPLIT_MOD} <> 0
+),
+tp AS (SELECT CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS w1, toks[i] AS w2
+       FROM (SELECT toks, unnest(generate_series(1, len(toks))) AS i
+             FROM tdocs WHERE len(toks) >= 1)),
+bigrams AS (SELECT w1, w2, count(*) AS bc FROM tp GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(bc) AS c1 FROM bigrams GROUP BY 1),
+uni AS (SELECT w2 AS tok, sum(bc) AS tf FROM bigrams GROUP BY 1),
+tot AS (SELECT sum(tf) AS n_total, count(*) AS v_size FROM uni),
+edocs AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id % {_EVAL_SPLIT_MOD} = 0
+),
+ep AS (SELECT doc, CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS w1, toks[i] AS w2
+       FROM (SELECT doc, toks, unnest(generate_series(1, len(toks))) AS i
+             FROM edocs WHERE len(toks) >= 1)),
+dt AS (SELECT doc, w1, w2, count(*) AS c FROM ep GROUP BY 1, 2, 3)
+SELECT doc AS doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(sum(c * CASE WHEN bc IS NOT NULL
+                 THEN ln(CAST(bc AS DOUBLE) / CAST(c1 AS DOUBLE))
+                 ELSE ln(CAST(0.4 AS DOUBLE))
+                      + ln((CAST(coalesce(tf, 0) AS DOUBLE) + 1.0)
+                           / CAST(n_total + v_size AS DOUBLE)) END)
+             / sum(c), 6) AS avg_logscore
+FROM dt LEFT JOIN bigrams USING (w1, w2) LEFT JOIN ctx USING (w1)
+     LEFT JOIN uni ON dt.w2 = uni.tok CROSS JOIN tot
+GROUP BY doc
+"""
+
+
+@register("bigram_backoff_scores", _BACKOFF_SQL)
+def q_bigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (operators/quality.py::
+    bigram_backoff_logscore; Brants et al. 2007): the eval slice
+    (doc_id % 37 == 0) scored under the bigram LM of the rest — seen
+    bigrams score the MLE ratio, unseen back off to 0.4x the add-one
+    unigram.  The KenLM-perplexity-filter miniature: LM = two
+    combinable count tables, scoring = three LEFT token joins."""
+    from arxiv_citation_graph_spark.operators.quality import bigram_backoff_logscore
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_backoff_logscore(
+        docs.filter(F.col("doc_id") % _EVAL_SPLIT_MOD != 0),
+        docs.filter(F.col("doc_id") % _EVAL_SPLIT_MOD == 0),
+        "doc_id",
+        "text",
+    ).withColumnRenamed("doc", "doc_id")
+
+
+_WRS_K = 5
+
+_WRS_SQL = f"""
+WITH keyed AS (
+  SELECT event_type, event_id,
+         ln(CAST(CAST(('0x' || substr(md5('wrs:' || CAST(event_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) + 1 AS DOUBLE)
+            / CAST(1152921504606846976 AS DOUBLE))
+         / CAST(value AS DOUBLE) AS k
+  FROM events
+),
+ranked AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY k DESC, event_id ASC) AS rn
+  FROM keyed
+)
+SELECT event_type, event_id FROM ranked WHERE rn <= {_WRS_K}
+"""
+
+
+@register("weighted_sample", _WRS_SQL)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (operators/packing.py::weighted_take;
+    Efraimidis & Spirakis 2006): 5 events per event type, inclusion
+    probability proportional to the event value, via the deterministic
+    ln(u)/w race on keyed md5 draws — the same rows on any engine or
+    partitioning.  One per-group row_number window."""
+    from arxiv_citation_graph_spark.operators.packing import weighted_take
+
+    events = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return weighted_take(events, "event_type", "event_id", "value", _WRS_K).select(
+        "event_type", "event_id"
+    )
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

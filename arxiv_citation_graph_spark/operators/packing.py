@@ -325,3 +325,57 @@ def select_to_token_budget(
         )
         .filter(F.col("start_offset") < budget)
     )
+
+
+def weighted_take(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement: ``min(n,
+    |group|)`` rows per group, each row's inclusion probability
+    proportional to its weight (Efraimidis & Spirakis 2006, A-ES): a
+    row with key ``u^(1/w)`` — equivalently ``ln(u)/w``, the
+    numerically safe form used here — ranks by an Exp(w) race, and the
+    top-k of that race IS a weighted sample without replacement.
+
+    ``u`` is the engine's keyed md5 draw ((h60 + 1) / 2^60, never 0),
+    so the sample is a pure function of the ids: deterministic across
+    engines, partitionings, and re-runs — appends only displace rows
+    that lose the race (the `stratified_take` property, weighted).
+
+    Plan: one ``row_number`` window PARTITIONED BY the group; ties
+    (impossible under md5 in practice) break on the id for a total
+    order.  Weights must be finite and > 0 — validated with a fail-fast
+    limit-1 scan, the `select_to_token_budget` convention.
+    """
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+    w_d = F.col(weight_col).cast("double")
+    bad = df.filter(
+        w_d.isNull() | F.isnan(w_d) | (w_d <= 0.0)
+    ).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"weighted_take: {weight_col!r} must be finite and > 0 for "
+            "every row (A-ES keys divide by the weight)"
+        )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wrs:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    key = F.log(u) / w_d
+    win = Window.partitionBy(group_col).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )

@@ -446,3 +446,94 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), "tok_a", "tok_b"
     ).limit(k)
+
+
+def _ctx_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, w1, w2): every token with its left context, BOS-marked —
+    position 1 pairs with the sentinel ``<s>`` so the bigram table
+    learns document openings and every scored token has a context."""
+    toks = tokens(F.lower(F.col(text_col)))
+    idx = F.when(F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks))).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.when(i == 1, F.lit("<s>"))
+            .otherwise(F.element_at(toks, i - 1))
+            .alias("w1"),
+            F.element_at(toks, i).alias("w2"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(pairs).alias("p")
+    ).select("doc", "p.w1", "p.w2")
+
+
+def bigram_backoff_logscore(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-doc average log score under a stupid-backoff bigram LM
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") trained on ``train_df`` — the distributed miniature
+    of the KenLM-perplexity filter every CCNet-style corpus pipeline
+    runs.
+
+    Score of token w with context w1: ``count(w1 w) / count(w1 ·)``
+    when the bigram was seen, else ``alpha * (count(w) + 1) /
+    (N + V)`` — backoff to the add-one-smoothed unigram (the
+    `unigram_cross_logprob` convention, so OOV tokens score
+    ``alpha / (N + V)`` and drifted corpora rank strictly lower).
+    Stupid backoff skips normalization by design; scores are
+    comparable ACROSS docs under one LM, which is all selection needs.
+
+    Plan shape: the LM is two count tables (bigram, context) built by
+    map-side-combinable aggregates and lineage-truncated once; scoring
+    is the eval pair table's three LEFT equi-joins on token keys plus a
+    broadcast 1-row totals frame — no UDFs, no driver state.  Returns
+    ``(doc, n_tokens, avg_logscore)`` (rounded 6).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"bigram_backoff_logscore: alpha in (0, 1] (got {alpha})")
+    tpairs = _ctx_pairs(train_df, id_col, text_col)
+    bigrams = (
+        tpairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = bigrams.groupBy("w1").agg(F.sum("bc").alias("c1"))
+    # every token occurs as w2 exactly once -> plain unigram counts
+    uni = bigrams.groupBy(F.col("w2").alias("tok")).agg(F.sum("bc").alias("tf"))
+    totals = uni.agg(F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("v_size"))
+    dt = (
+        _ctx_pairs(eval_df, id_col, text_col)
+        .groupBy("doc", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    logscore = F.when(
+        F.col("bc").isNotNull(),
+        F.log(F.col("bc").cast("double") / F.col("c1").cast("double")),
+    ).otherwise(
+        F.log(F.lit(float(alpha)))
+        + F.log(
+            (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(1.0))
+            / (F.col("n_total") + F.col("v_size"))
+        )
+    )
+    return (
+        dt.join(bigrams, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni, dt.w2 == F.col("tok"), "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * logscore) / F.sum("c"), 6).alias(
+                "avg_logscore"
+            ),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Stupid-backoff bigram LM scoring (operators/quality.py::
+bigram_backoff_logscore)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+
+def _score_py(train_texts, eval_rows, alpha=0.4):
+    def pairs(t):
+        toks = t.lower().split()
+        return [("<s>" if i == 0 else toks[i - 1], toks[i]) for i in range(len(toks))]
+
+    bc = Counter(p for t in train_texts for p in pairs(t))
+    c1 = Counter(w1 for w1, _ in bc.elements())
+    uni = Counter(w2 for _, w2 in bc.elements())
+    n, v = sum(uni.values()), len(uni)
+    out = {}
+    for doc, t in eval_rows:
+        ps = pairs(t)
+        if not ps:
+            continue
+        s = 0.0
+        for w1, w2 in ps:
+            if (w1, w2) in bc:
+                s += math.log(bc[(w1, w2)] / c1[w1])
+            else:
+                s += math.log(alpha) + math.log((uni.get(w2, 0) + 1.0) / (n + v))
+        out[doc] = (len(ps), round(s / len(ps), 6))
+    return out
+
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "the cat ran to the dog",
+]
+
+
+def test_matches_python_replay(spark):
+    from arxiv_citation_graph_spark.operators.quality import bigram_backoff_logscore
+
+    eval_rows = [
+        (1, "the cat sat on the log"),  # all-seen bigrams except sat-on? seen
+        (2, "the zebra jumped over everything"),  # mostly OOV
+        (3, "cat the on sat"),  # seen words, unseen order
+    ]
+    tdf = spark.createDataFrame(
+        [(i + 100, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        r.doc: (r.n_tokens, r.avg_logscore)
+        for r in bigram_backoff_logscore(tdf, edf, "doc_id", "text").collect()
+    }
+    want = _score_py(TRAIN, eval_rows)
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0]
+        assert math.isclose(got[d][1], want[d][1], rel_tol=0, abs_tol=2e-6), d
+
+
+def test_in_domain_scores_above_drifted(spark):
+    from arxiv_citation_graph_spark.operators.quality import bigram_backoff_logscore
+
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "quantum flux capacitors hum loudly")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc: r.avg_logscore
+        for r in bigram_backoff_logscore(tdf, edf, "doc_id", "text").collect()
+    }
+    assert got[1] > got[2]
+
+
+def test_bos_context_is_learned(spark):
+    """A doc opening with the training corpus's usual first word scores
+    its first token via the <s> bigram, not the backoff."""
+    from arxiv_citation_graph_spark.operators.quality import bigram_backoff_logscore
+
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame([(1, "the")], "doc_id long, text string")
+    got = bigram_backoff_logscore(tdf, edf, "doc_id", "text").first()
+    # all 3 train docs open with "the": S(the | <s>) = 3/3 = 1 -> log 0
+    assert got.n_tokens == 1 and got.avg_logscore == 0.0
+
+
+def test_alpha_validation(spark):
+    from arxiv_citation_graph_spark.operators.quality import bigram_backoff_logscore
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_backoff_logscore(df, df, "doc_id", "text", alpha=0.0)

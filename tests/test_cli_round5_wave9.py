@@ -112,3 +112,33 @@ def test_cli_substr_dedup(spark, tmp_path, monkeypatch, capsys):
     cat = SnapshotCatalog(wh)
     spans = cat.read(spark, "substr_dup_spans").collect()
     assert spans and {r.doc_id for r in spans} == {1, 2}
+
+
+def test_cli_lm_score_and_weighted_sample(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    train = [(1, "the cat sat on the mat"), (2, "the dog sat on the log")]
+    evald = [(10, "the cat sat"), (11, "zebra flux hum")]
+    tp, ep = str(tmp_path / "t_pq"), str(tmp_path / "e_pq")
+    spark.createDataFrame(train, "doc_id long, text string").write.parquet(tp)
+    spark.createDataFrame(evald, "doc_id long, text string").write.parquet(ep)
+
+    assert cli.main(
+        ["lm-score", "--train-docs", tp, "--eval-docs", ep, "--out", wh]
+    ) == 0
+    assert "2 docs scored" in capsys.readouterr().out
+    cat = SnapshotCatalog(wh)
+    scores = {r.doc: r.avg_logscore for r in cat.read(spark, "lm_scores").collect()}
+    assert scores[10] > scores[11]
+
+    rows = [("g", f"id{i}", 1.0 + i) for i in range(20)]
+    ip = str(tmp_path / "w_pq")
+    spark.createDataFrame(rows, "grp string, id string, w double").write.parquet(ip)
+    assert cli.main(
+        ["weighted-sample", "--input", ip, "--out", wh, "--group-col", "grp",
+         "--id-col", "id", "--weight-col", "w", "--n", "3"]
+    ) == 0
+    assert "kept 3 row(s)" in capsys.readouterr().out
+    assert cat.read(spark, "weighted_sample").count() == 3

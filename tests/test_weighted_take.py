@@ -1,0 +1,64 @@
+"""Weighted reservoir sampling (operators/packing.py::weighted_take)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+
+def _key_py(doc_id, w):
+    h = int(hashlib.md5(f"wrs:{doc_id}".encode()).hexdigest()[:15], 16)
+    return math.log((h + 1) / 2.0**60) / w
+
+
+def test_matches_python_replay(spark):
+    from arxiv_citation_graph_spark.operators.packing import weighted_take
+
+    rows = [(f"g{i % 3}", f"id{i}", float(1 + i % 7)) for i in range(90)]
+    df = spark.createDataFrame(rows, "grp string, id string, w double")
+    got = {
+        (r.grp, r.id) for r in weighted_take(df, "grp", "id", "w", 4).collect()
+    }
+    want = set()
+    for g in ("g0", "g1", "g2"):
+        members = [(i, w) for gg, i, w in rows if gg == g]
+        top = sorted(members, key=lambda t: (-_key_py(t[0], t[1]), t[0]))[:4]
+        want |= {(g, i) for i, _ in top}
+    assert got == want
+
+
+def test_small_group_keeps_all(spark):
+    from arxiv_citation_graph_spark.operators.packing import weighted_take
+
+    df = spark.createDataFrame(
+        [("g", "a", 1.0), ("g", "b", 2.0)], "grp string, id string, w double"
+    )
+    assert weighted_take(df, "grp", "id", "w", 10).count() == 2
+
+
+def test_weight_proportional_frequency(spark):
+    """k=1 over many 2-item groups with 9:1 weights: the heavy item
+    wins ~90% of groups (deterministic under md5 — fixed outcome)."""
+    from arxiv_citation_graph_spark.operators.packing import weighted_take
+
+    rows = []
+    for g in range(500):
+        rows += [(f"g{g}", f"heavy-{g}", 9.0), (f"g{g}", f"light-{g}", 1.0)]
+    df = spark.createDataFrame(rows, "grp string, id string, w double")
+    picked = weighted_take(df, "grp", "id", "w", 1).collect()
+    share = sum(1 for r in picked if r.id.startswith("heavy")) / 500
+    assert 0.85 <= share <= 0.95, share
+
+
+def test_weight_validation(spark):
+    from arxiv_citation_graph_spark.operators.packing import weighted_take
+
+    df = spark.createDataFrame(
+        [("g", "a", 0.0)], "grp string, id string, w double"
+    )
+    with pytest.raises(ValueError, match="finite and > 0"):
+        weighted_take(df, "grp", "id", "w", 1)
+    with pytest.raises(ValueError, match="n_per_group"):
+        weighted_take(df, "grp", "id", "w", 0)
