@@ -484,6 +484,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--r-cap", type=int, default=48)
 
     p = sub.add_parser(
+        "trussness",
+        help="full truss decomposition: per-edge trussness via "
+        "ascending-k incremental peel",
+    )
+    p.add_argument("--edges", required=True, help="edges parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+
+    p = sub.add_parser(
         "lm-score",
         help="stupid-backoff bigram LM scoring: score eval docs under "
         "the LM trained on another corpus (KenLM-filter miniature)",
@@ -1108,6 +1116,17 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"approx-distinct: {est.count()} group(s) over "
             f"({args.group_cols}) x {args.elem_col}"
+        )
+        return 0
+
+    if args.cmd == "trussness":
+        from arxiv_citation_graph_spark.plans.truss import truss_decomposition
+
+        tres = truss_decomposition(spark, spark.read.parquet(args.edges))
+        catalog.create_or_replace("trussness", tres.trussness)
+        print(
+            f"trussness: {tres.num_edges} edge(s), "
+            f"max trussness {tres.max_trussness}"
         )
         return 0
 

@@ -295,3 +295,133 @@ def ktruss(
         _free(scored_handle)
         raise
     return TrussResult(current, rounds, n_in, n_truss, n_verts)
+
+
+@dataclass
+class TrussDecompResult:
+    trussness: DataFrame  # (u, v, trussness) — every simple undirected edge
+    max_trussness: int
+    num_edges: int
+
+
+def truss_decomposition(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_level: int = 64,
+    max_rounds: int = 64,
+) -> TrussDecompResult:
+    """Full truss decomposition: per-edge trussness (the largest k such
+    that the edge survives the k-truss peel; 2 for triangle-free edges).
+
+    The edge-centric analog of `plans/coreness.py` — one number per
+    edge instead of one subgraph per k, so a single run answers every
+    "how cohesive is this tie" query.  Ascending-k peel (the standard
+    decomposition order): the FULL wedge enumeration runs exactly once;
+    every later round — across ALL levels — re-scores only edges that
+    lost a destroyed triangle (the `ktruss` incremental machinery), so
+    each triangle is destroyed and accounted once over the whole
+    decomposition.  Levels are bounded by the max trussness (+1 probe),
+    rounds per level by the peel depth; every level's surviving frame
+    is localCheckpoint-ed and the predecessor freed.
+    """
+
+    def _free(h) -> None:
+        if h is not None:
+            try:
+                h.unpersist()
+            except Exception:
+                pass
+
+    base, base_handle = _reset_stats(
+        _simple_undirected(edges).localCheckpoint(eager=True)
+    )
+    n_in = base.count()
+    assigned: list[DataFrame] = []
+    handles: list = []
+    scored_handle = None
+    try:
+        ranked, rank_handle = _reset_stats(
+            _ranked_edges(base).localCheckpoint(eager=True)
+        )
+        scored, scored_handle = _reset_stats(
+            base.join(_support_of_ranked(ranked), ["u", "v"], "left")
+            .select(
+                "u", "v",
+                F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _free(rank_handle)
+        _free(base_handle)
+        base_handle = None
+        n_left = n_in
+        k = 3
+        while n_left > 0:
+            if k - 3 >= max_level:
+                raise RuntimeError(
+                    f"truss_decomposition exceeded max_level={max_level} "
+                    f"with {n_left} edge(s) unassigned"
+                )
+            threshold = k - 2
+            level_dropped: list[DataFrame] = []
+            rounds = 0
+            while True:
+                if rounds >= max_rounds:
+                    raise RuntimeError(
+                        f"truss_decomposition level k={k} did not reach a "
+                        f"fixpoint within max_rounds={max_rounds}"
+                    )
+                survivors = scored.filter(F.col("support") >= threshold)
+                dropped = scored.filter(F.col("support") < threshold).select("u", "v")
+                n_dropped = dropped.count()
+                if n_dropped == 0:
+                    break
+                level_dropped.append(dropped)
+                destroyed = _destroyed_triangles(
+                    dropped,
+                    scored.select("u", "v"),
+                    broadcast_dropped=n_dropped <= BROADCAST_DROPPED_MAX,
+                )
+                new_scored, new_handle = _reset_stats(
+                    survivors.join(_support_decrements(destroyed), ["u", "v"], "left")
+                    .select(
+                        "u", "v",
+                        (F.col("support") - F.coalesce(F.col("lost"), F.lit(0)))
+                        .cast("long")
+                        .alias("support"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                _free(scored_handle)
+                scored, scored_handle = new_scored, new_handle
+                n_left -= n_dropped
+                rounds += 1
+            if level_dropped:
+                lvl = level_dropped[0]
+                for d in level_dropped[1:]:
+                    lvl = lvl.unionByName(d)
+                lvl_df, lvl_handle = _reset_stats(
+                    lvl.select(
+                        "u", "v", F.lit(k - 1).cast("long").alias("trussness")
+                    ).localCheckpoint(eager=True)
+                )
+                assigned.append(lvl_df)
+                handles.append(lvl_handle)
+            k += 1
+        out = None
+        for a in assigned:
+            out = a if out is None else out.unionByName(a)
+        if out is None:
+            out = spark.createDataFrame([], "u string, v string, trussness long")
+        out, out_handle = _reset_stats(out.localCheckpoint(eager=True))
+        max_t = out.agg(F.max("trussness")).first()[0] if n_in else None
+    except Exception:
+        _free(base_handle)
+        _free(scored_handle)
+        for h in handles:
+            _free(h)
+        raise
+    _free(scored_handle)
+    for h in handles:
+        _free(h)
+    return TrussDecompResult(out, int(max_t) if max_t is not None else 0, n_in)

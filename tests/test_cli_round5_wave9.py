@@ -142,3 +142,23 @@ def test_cli_lm_score_and_weighted_sample(spark, tmp_path, monkeypatch, capsys):
     ) == 0
     assert "kept 3 row(s)" in capsys.readouterr().out
     assert cat.read(spark, "weighted_sample").count() == 3
+
+
+def test_cli_trussness(spark, tmp_path, monkeypatch, capsys):
+    import itertools
+
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    k4 = list(itertools.combinations(["a", "b", "c", "d"], 2))
+    tail = [("d", "e")]
+    ep = str(tmp_path / "tr_pq")
+    spark.createDataFrame(k4 + tail, ["src_id", "dst_id"]).write.parquet(ep)
+    assert cli.main(["trussness", "--edges", ep, "--out", wh]) == 0
+    assert "max trussness 4" in capsys.readouterr().out
+    got = {
+        (r.u, r.v): r.trussness
+        for r in SnapshotCatalog(wh).read(spark, "trussness").collect()
+    }
+    assert got[("a", "b")] == 4 and got[("d", "e")] == 2
