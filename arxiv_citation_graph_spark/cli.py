@@ -484,6 +484,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--r-cap", type=int, default=48)
 
     p = sub.add_parser(
+        "spread",
+        help="soft-clamp label spreading from seed labels "
+        "(Zhou et al. 2004; continuous companion to seeded LPA)",
+    )
+    p.add_argument("--edges", required=True, help="edges parquet path")
+    p.add_argument("--seeds", required=True, help="(vertex, label) parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--iterations", type=int, default=8)
+
+    p = sub.add_parser(
         "trussness",
         help="full truss decomposition: per-edge trussness via "
         "ascending-k incremental peel",
@@ -1116,6 +1127,24 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"approx-distinct: {est.count()} group(s) over "
             f"({args.group_cols}) x {args.elem_col}"
+        )
+        return 0
+
+    if args.cmd == "spread":
+        from arxiv_citation_graph_spark.plans.labelprop import label_spreading
+
+        sres = label_spreading(
+            spark,
+            spark.read.parquet(args.edges),
+            spark.read.parquet(args.seeds),
+            alpha=args.alpha,
+            iterations=args.iterations,
+        )
+        catalog.create_or_replace("spread_scores", sres.scores)
+        catalog.create_or_replace("spread_labels", sres.labels)
+        print(
+            f"spread: {sres.labels.count()} labeled vertices after "
+            f"{sres.iterations} round(s) (alpha={args.alpha})"
         )
         return 0
 

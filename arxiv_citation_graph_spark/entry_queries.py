@@ -7818,6 +7818,84 @@ def q_truss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.trussness.select("u", "v", "trussness")
 
 
+_SPREAD_ITERS, _SPREAD_SEEDS, _SPREAD_ALPHA = 6, 4, 0.5
+
+
+def _label_spreading_unrolled_sql(iters: int, n_seeds: int, alpha: float) -> str:
+    """Unrolled soft-clamp label spreading (plans/labelprop.py::
+    label_spreading): F <- alpha*S F + (1-alpha)*Y with S = D^-1/2 W
+    D^-1/2, Y one-hot on the ``n_seeds`` lexicographically smallest
+    vertices (labels c0..c{n-1}); sparse (vertex, label, f) state,
+    scores rounded to 9 at the end (the PageRank convention)."""
+    a, b = float(alpha), 1.0 - float(alpha)
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM cos "
+        "UNION SELECT dst_id, src_id FROM cos)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src_id AS vertex FROM sym)",
+        "degs AS MATERIALIZED (SELECT src_id AS vertex, count(*) AS d "
+        "FROM sym GROUP BY 1)",
+        "coeff AS MATERIALIZED (SELECT e.src_id, e.dst_id, "
+        "1.0 / sqrt(CAST(da.d * db.d AS DOUBLE)) AS c "
+        "FROM sym e JOIN degs da ON da.vertex = e.src_id "
+        "JOIN degs db ON db.vertex = e.dst_id)",
+        f"y AS MATERIALIZED (SELECT vertex, 'c' || CAST(rn - 1 AS VARCHAR) AS label, "
+        f"CAST(1.0 AS DOUBLE) AS y "
+        f"FROM (SELECT vertex, row_number() OVER (ORDER BY vertex) AS rn FROM verts) "
+        f"WHERE rn <= {n_seeds})",
+        "f0 AS MATERIALIZED (SELECT vertex, label, y AS f FROM y)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"g{k} AS MATERIALIZED (SELECT e.dst_id AS vertex, s.label, "
+            f"sum(e.c * s.f) AS s FROM coeff e "
+            f"JOIN f{p} s ON e.src_id = s.vertex GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"f{k} AS MATERIALIZED (SELECT coalesce(g.vertex, y.vertex) AS vertex, "
+            f"coalesce(g.label, y.label) AS label, "
+            f"{a!r} * coalesce(g.s, 0.0) + {b!r} * coalesce(y.y, 0.0) AS f "
+            f"FROM g{k} g FULL OUTER JOIN y "
+            f"ON g.vertex = y.vertex AND g.label = y.label)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vertex, label, round(f, 9) AS score FROM f{iters}"
+    )
+
+
+@register(
+    "label_spreading_scores",
+    _label_spreading_unrolled_sql(_SPREAD_ITERS, _SPREAD_SEEDS, _SPREAD_ALPHA),
+)
+def q_label_spreading_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-clamp label spreading (Zhou et al. 2004) over the co-supply
+    graph: 4 lexicographic-min seed vertices one-hot on c0..c3, 6
+    rounds of F <- 0.5*S F + 0.5*Y with the symmetrically normalized
+    propagator (plans/labelprop.py::label_spreading) — the continuous
+    companion to `seeded_label_propagation`; boundary vertices expose
+    their ambivalence in the score gap."""
+    from arxiv_citation_graph_spark.plans.labelprop import label_spreading
+    from arxiv_citation_graph_spark.plans.layout import vertices_of
+
+    edges = cosupply_edges(spark, sf_dir)
+    w = Window.orderBy("vertex")
+    seeds = (
+        vertices_of(edges)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SPREAD_SEEDS)
+        .select(
+            "vertex",
+            F.concat(F.lit("c"), (F.col("rn") - 1).cast("string")).alias("label"),
+        )
+    )
+    res = label_spreading(
+        spark, edges, seeds, alpha=_SPREAD_ALPHA, iterations=_SPREAD_ITERS
+    )
+    return res.scores
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

@@ -400,3 +400,125 @@ def community_conductance(labels: DataFrame, edges: DataFrame) -> DataFrame:
         "cut",
         F.when(denom > 0, F.col("cut") / denom).alias("conductance"),
     )
+
+
+@dataclass
+class LabelSpreadResult:
+    scores: DataFrame  # (vertex, label, score) — rounded sparse state
+    labels: DataFrame  # (vertex, label) — argmax with deterministic ties
+    iterations: int
+
+
+def label_spreading(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.5,
+    iterations: int = 8,
+) -> LabelSpreadResult:
+    """Soft-clamp label spreading (Zhou et al. 2004, "Learning with
+    local and global consistency") — the continuous companion to the
+    hard-clamp `seeded_label_propagation`: per-(vertex, label) scores
+    iterate ``F <- alpha * S F + (1 - alpha) * Y`` with the
+    symmetrically normalized propagator ``S = D^-1/2 W D^-1/2`` and Y
+    the one-hot seed matrix, run a FIXED number of rounds (the engine's
+    unrolled-oracle convention).  Unlike the hard clamp, seeds keep only
+    (1 - alpha) loyalty to their label and evidence mixes — boundary
+    vertices expose their ambivalence in the score gap.
+
+    Scale shape: the state is the SPARSE long form (vertex, label,
+    score) — at most |V| x |label classes| rows, and per round exactly
+    one state-edges equi-join + one (vertex, label) combinable sum; the
+    per-edge coefficient 1/sqrt(d_u d_v) is computed once.  With
+    alpha = 0.5 the clamp mix is an exact IEEE halving; scores are
+    rounded to 9 at the END (the PageRank summation-order convention).
+    ``labels`` breaks argmax ties on the ROUNDED score (desc), then the
+    label (asc) — total and engine-stable.
+
+    Seeds validation is the `seeded_label_propagation` contract:
+    conflicting duplicates and off-graph vertices fail fast.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"label_spreading: alpha in (0, 1) (got {alpha})")
+    if iterations < 1:
+        raise ValueError(f"label_spreading: iterations >= 1 (got {iterations})")
+    sym = symmetrize(edges).cache()
+    vertices = vertices_of(edges).cache()
+    seeds = seeds.select("vertex", F.col("label").cast("string").alias("label"))
+    conflicted = (
+        seeds.groupBy("vertex").agg(F.countDistinct("label").alias("nl"))
+        .filter(F.col("nl") > 1)
+        .limit(1)
+    )
+    missing = seeds.join(vertices, "vertex", "left_anti").limit(1)
+    try:
+        if conflicted.count() > 0:
+            raise ValueError(
+                f"conflicting labels for seed vertex "
+                f"{conflicted.first()['vertex']!r}"
+            )
+        if missing.count() > 0:
+            raise ValueError(
+                f"seed vertex {missing.first()['vertex']!r} is not a vertex "
+                f"of the graph"
+            )
+        deg = sym.groupBy(F.col("src_id").alias("vertex")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        coeff = (
+            sym.join(deg.withColumnsRenamed({"vertex": "src_id", "d": "du"}), "src_id")
+            .join(deg.withColumnsRenamed({"vertex": "dst_id", "d": "dv"}), "dst_id")
+            .select(
+                "src_id",
+                "dst_id",
+                (
+                    F.lit(1.0)
+                    / F.sqrt((F.col("du") * F.col("dv")).cast("double"))
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        y = seeds.select("vertex", "label", F.lit(1.0).alias("y")).distinct()
+        state = y.select("vertex", "label", F.col("y").alias("f"))
+        prev_handle = None
+        for _ in range(iterations):
+            agg = (
+                coeff.join(
+                    state.withColumnRenamed("vertex", "src_id"), "src_id"
+                )
+                .groupBy(F.col("dst_id").alias("vertex"), "label")
+                .agg(F.sum(F.col("c") * F.col("f")).alias("s"))
+            )
+            new_state = (
+                agg.join(y, ["vertex", "label"], "full_outer")
+                .select(
+                    "vertex",
+                    "label",
+                    (
+                        F.lit(float(alpha)) * F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.lit(1.0 - alpha) * F.coalesce(F.col("y"), F.lit(0.0))
+                    ).alias("f"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if prev_handle is not None:
+                try:
+                    prev_handle.unpersist()
+                except Exception:
+                    pass
+            state, prev_handle = new_state, new_state
+        scores = state.select(
+            "vertex", "label", F.round("f", 9).alias("score")
+        )
+        win = Window.partitionBy("vertex").orderBy(
+            F.col("score").desc(), F.col("label").asc()
+        )
+        labels = (
+            scores.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .select("vertex", "label")
+        )
+        return LabelSpreadResult(scores, labels, iterations)
+    finally:
+        sym.unpersist()
+        vertices.unpersist()

@@ -162,3 +162,24 @@ def test_cli_trussness(spark, tmp_path, monkeypatch, capsys):
         for r in SnapshotCatalog(wh).read(spark, "trussness").collect()
     }
     assert got[("a", "b")] == 4 and got[("d", "e")] == 2
+
+
+def test_cli_spread(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    a = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"), ("a3", "a4")]
+    b = [("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("b3", "b4")]
+    ep, sp = str(tmp_path / "se_pq"), str(tmp_path / "ss_pq")
+    spark.createDataFrame(a + b + [("a4", "b4")], ["src_id", "dst_id"]).write.parquet(ep)
+    spark.createDataFrame([("a1", "A"), ("b1", "B")], ["vertex", "label"]).write.parquet(sp)
+    assert cli.main(
+        ["spread", "--edges", ep, "--seeds", sp, "--out", wh, "--iterations", "6"]
+    ) == 0
+    assert "labeled vertices after 6 round(s)" in capsys.readouterr().out
+    got = {
+        r.vertex: r.label
+        for r in SnapshotCatalog(wh).read(spark, "spread_labels").collect()
+    }
+    assert got["a2"] == "A" and got["b2"] == "B"

@@ -1,0 +1,107 @@
+"""Soft-clamp label spreading (plans/labelprop.py::label_spreading)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+
+
+def _spread_py(pairs, seeds, alpha=0.5, iterations=8):
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs = defaultdict(set)
+    for u, v in und:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    labels = sorted({l for _, l in seeds})
+    y = defaultdict(float)
+    for v, l in seeds:
+        y[(v, l)] = 1.0
+    f = dict(y)
+    for _ in range(iterations):
+        nf = {}
+        for v in nbrs:
+            for l in labels:
+                s = sum(
+                    f.get((u, l), 0.0) / math.sqrt(deg[u] * deg[v])
+                    for u in nbrs[v]
+                )
+                val = alpha * s + (1 - alpha) * y.get((v, l), 0.0)
+                if val != 0.0 or (v, l) in y:
+                    nf[(v, l)] = val
+        f = nf
+    return {k: round(v, 9) for k, v in f.items()}
+
+
+def _two_cluster():
+    a = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"), ("a3", "a4")]
+    b = [("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("b3", "b4")]
+    bridge = [("a4", "b4")]
+    return a + b + bridge
+
+
+def test_matches_python_replay(spark):
+    from arxiv_citation_graph_spark.plans.labelprop import label_spreading
+
+    pairs = _two_cluster()
+    seeds = [("a1", "A"), ("b1", "B")]
+    edf = spark.createDataFrame(pairs, ["src_id", "dst_id"])
+    sdf = spark.createDataFrame(seeds, ["vertex", "label"])
+    res = label_spreading(spark, edf, sdf, alpha=0.5, iterations=8)
+    got = {(r.vertex, r.label): r.score for r in res.scores.collect()}
+    want = _spread_py(pairs, seeds)
+    assert set(got) == {k for k, v in want.items()}
+    for k in got:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-9), k
+
+
+def test_argmax_labels_split_the_clusters(spark):
+    from arxiv_citation_graph_spark.plans.labelprop import label_spreading
+
+    edf = spark.createDataFrame(_two_cluster(), ["src_id", "dst_id"])
+    sdf = spark.createDataFrame([("a1", "A"), ("b1", "B")], ["vertex", "label"])
+    res = label_spreading(spark, edf, sdf, iterations=8)
+    got = {r.vertex: r.label for r in res.labels.collect()}
+    assert {v for v, l in got.items() if l == "A"} >= {"a1", "a2", "a3", "a4"}
+    assert {v for v, l in got.items() if l == "B"} >= {"b1", "b2", "b3", "b4"}
+
+
+def test_soft_clamp_mixes_evidence_at_the_boundary(spark):
+    """Unlike the hard clamp, a bridge vertex carries BOTH labels'
+    scores; the gap narrows toward the bridge."""
+    from arxiv_citation_graph_spark.plans.labelprop import label_spreading
+
+    edf = spark.createDataFrame(_two_cluster(), ["src_id", "dst_id"])
+    sdf = spark.createDataFrame([("a1", "A"), ("b1", "B")], ["vertex", "label"])
+    scores = {
+        (r.vertex, r.label): r.score
+        for r in label_spreading(spark, edf, sdf, iterations=8).scores.collect()
+    }
+    assert scores.get(("a4", "B"), 0.0) > 0.0  # foreign evidence crossed
+    gap_core = scores[("a1", "A")] - scores.get(("a1", "B"), 0.0)
+    gap_edge = scores[("a4", "A")] - scores.get(("a4", "B"), 0.0)
+    assert gap_core > gap_edge > 0
+
+
+def test_validation(spark):
+    from arxiv_citation_graph_spark.plans.labelprop import label_spreading
+
+    edf = spark.createDataFrame([("a", "b")], ["src_id", "dst_id"])
+    with pytest.raises(ValueError, match="alpha"):
+        label_spreading(
+            spark, edf,
+            spark.createDataFrame([("a", "X")], ["vertex", "label"]),
+            alpha=1.0,
+        )
+    with pytest.raises(ValueError, match="conflicting"):
+        label_spreading(
+            spark, edf,
+            spark.createDataFrame([("a", "X"), ("a", "Y")], ["vertex", "label"]),
+        )
+    with pytest.raises(ValueError, match="not a vertex"):
+        label_spreading(
+            spark, edf,
+            spark.createDataFrame([("zzz", "X")], ["vertex", "label"]),
+        )
