@@ -1429,6 +1429,124 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.operators.sketches import (
+        cms_counts,
+        fm_distinct,
+        hist_quantiles,
+    )
+
+    events_pq = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    fm_plan = plan_of(fm_distinct(events_pq, ["event_type"], "user_id"))
+    sections.append(
+        (
+            "FM grouped approx-distinct (bit_or sketch merge)",
+            "The 8 per-row sketch registers compute inside the scan "
+            "project; the ONLY Exchange is the group key, and the bit_or "
+            "merge runs map-side first (partial_bit_or in the "
+            "HashAggregate before the Exchange) — the shuffle carries 8 "
+            f"longs per group however many rows flow past.  "
+            f"[{exchange_count(fm_plan)}]",
+            condense(fm_plan, KEEP),
+        )
+    )
+    cms_plan = plan_of(cms_counts(events_pq, ["event_type"], "user_id", width=64))
+    sections.append(
+        (
+            "Count-min sketch build + estimate",
+            "Build: posexplode of the depth hash cells feeds a partial "
+            "count before the (group,row,col) Exchange.  Estimate: the "
+            "candidate probes LEFT-join the counter table on the same "
+            "keys and reduce with min — candidate-sized work, the raw "
+            f"rows are never rescanned.  [{exchange_count(cms_plan)}]",
+            condense(cms_plan, KEEP),
+        )
+    )
+    hq_plan = plan_of(
+        hist_quantiles(events_pq, ["event_type"], "value", bins=32)
+    )
+    sections.append(
+        (
+            "Histogram quantiles (mergeable bins, bounded read-off window)",
+            "Two combinable aggregates (min/max/count extents, then "
+            "(group, bin) counts) and a read-off whose Window partitions "
+            "per group over at most B=32 rows — no per-group sort of raw "
+            f"data anywhere in the plan.  [{exchange_count(hq_plan)}]",
+            condense(hq_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.substrings import (
+        duplicate_substring_stats,
+    )
+
+    sub_plan = plan_of(
+        duplicate_substring_stats(docs_pq, window=64, rate=8)
+    )
+    sections.append(
+        (
+            "Duplicate-substring scan (content-defined anchors)",
+            "The per-position md5 AND the hash%rate anchor Filter fuse "
+            "into the Generate stage BEFORE the first Exchange — the "
+            "shuffle carries only ~len/rate anchor rows per doc; the "
+            "hash group-count and the per-doc rollup both show partial "
+            f"aggregates.  [{exchange_count(sub_plan)}]",
+            condense(sub_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.quality import bigram_backoff_logscore
+
+    lm_plan = plan_of(
+        bigram_backoff_logscore(
+            docs_pq.filter(F.col("doc_id") % 37 != 0),
+            docs_pq.filter(F.col("doc_id") % 37 == 0),
+            "doc_id",
+            "text",
+        )
+    )
+    sections.append(
+        (
+            "Stupid-backoff bigram LM scoring",
+            "The LM side is two combinable count tables behind one "
+            "localCheckpoint; scoring is three LEFT SortMergeJoins on "
+            "token keys plus a 1-row BroadcastNestedLoopJoin for the "
+            "totals; the final per-doc rollup aggregates partially "
+            f"before its Exchange.  [{exchange_count(lm_plan)}]",
+            condense(lm_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.plans.labelprop import label_spreading
+    from arxiv_citation_graph_spark.plans.layout import vertices_of as _vof
+
+    from pyspark.sql import Window
+
+    sp_edges = cosupply_edges(spark, SF_DIR)
+    sp_w = Window.orderBy("vertex")
+    sp_seeds = (
+        _vof(sp_edges)
+        .withColumn("rn", F.row_number().over(sp_w))
+        .filter(F.col("rn") <= 4)
+        .select(
+            "vertex",
+            F.concat(F.lit("c"), (F.col("rn") - 1).cast("string")).alias("label"),
+        )
+    )
+    sp_plan = plan_of(
+        label_spreading(spark, sp_edges, sp_seeds, iterations=2).scores
+    )
+    sections.append(
+        (
+            "Label spreading round (sparse state x normalized edges)",
+            "Per round: ONE state-coefficient equi-join and one "
+            "(vertex, label) aggregate with a map-side partial; the "
+            "1/sqrt(d_u d_v) coefficient table is localCheckpoint-ed "
+            "once, so iterations read a scan, not the degree joins.  "
+            f"[final read-back: {exchange_count(sp_plan)}]",
+            condense(sp_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:
