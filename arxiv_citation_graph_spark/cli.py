@@ -206,6 +206,11 @@ def main(argv: list[str] | None = None) -> int:
         "--write-corpus", action="store_true",
         help="also commit the deduplicated corpus rows (keepers only)",
     )
+    p.add_argument(
+        "--containment", type=float, default=None, metavar="THR",
+        help="also commit directed (doc, container) pairs whose shingle "
+        "containment >= THR (subset duplication Jaccard misses)",
+    )
 
     p = sub.add_parser(
         "decontaminate",
@@ -908,6 +913,18 @@ def main(argv: list[str] | None = None) -> int:
             keepers = cans.select(F.col("keep_id").alias(args.id_col))
             catalog.create_or_replace(
                 "dedup_corpus", docs.join(keepers, args.id_col, "left_semi")
+            )
+        if args.containment is not None:
+            from arxiv_citation_graph_spark.operators.dedup import containment_pairs
+
+            cont = containment_pairs(
+                docs, args.id_col, args.text_col,
+                threshold=args.containment, shingle_k=args.shingle_k,
+            )
+            catalog.create_or_replace("containment_pairs", cont)
+            print(
+                f"dedup: {cont.count()} directed containment pair(s) "
+                f"at threshold {args.containment}"
             )
         print(f"dedup: {n_docs} docs -> {n_clusters} clusters")
         return 0

@@ -7896,6 +7896,57 @@ def q_label_spreading_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.scores
 
 
+_CONTAIN_THR = 0.5
+
+_CONTAINMENT_SQL = rf"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        FROM documents)
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+expl0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT shingle FROM expl0 GROUP BY shingle HAVING count(*) <= 1000),
+expl AS (SELECT doc_id, shingle FROM expl0
+         WHERE shingle IN (SELECT shingle FROM rare)),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+  FROM expl x JOIN expl y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+),
+directed AS (
+  SELECT doc_a AS doc, doc_b AS container,
+         CAST(n_inter AS DOUBLE) / n_a AS c FROM sized
+  UNION ALL
+  SELECT doc_b, doc_a, CAST(n_inter AS DOUBLE) / n_b FROM sized
+)
+SELECT doc, container, round(c, 6) AS containment
+FROM directed WHERE c >= {_CONTAIN_THR}
+"""
+
+
+@register("containment_pairs", _CONTAINMENT_SQL)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (operators/dedup.py::
+    containment_pairs; Broder 1997): directed (doc, container) pairs
+    where >= 50% of the doc's 3-shingles appear in the container —
+    the subset-duplication screen symmetric Jaccard structurally
+    misses.  Same df-capped shingle join as the Jaccard verifier."""
+    from arxiv_citation_graph_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return containment_pairs(docs, "doc_id", "text", threshold=_CONTAIN_THR)
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

@@ -904,3 +904,75 @@ def corpus_diff(
     return joined.select("doc", status.alias("status")).filter(
         F.col("status").isNotNull()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Asymmetric near-duplication: ``(doc, container, containment)``
+    with ``containment = |S(doc) ∩ S(container)| / |S(doc)| >=
+    threshold`` over distinct k-shingles (Broder 1997's second
+    resemblance measure).
+
+    This catches SUBSET duplication Jaccard structurally misses: a
+    short document embedded verbatim in a long one scores Jaccard
+    ``|A|/|B| ≈ 0`` but containment 1.0 — the quote-farm / aggregator
+    pattern a corpus dedup actually wants to flag.  Each unordered
+    shingle-sharing pair emits up to two directed rows (either side may
+    be contained in the other).
+
+    Scale shape is the `ngram_jaccard_pairs` verifier exactly — one
+    shingle equi-join bounded by ``max_shingle_df`` (hot shingles drop
+    from the intersection on both sides, making the reported
+    containment a lower bound) — plus the same size joins; no second
+    pass over text.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"containment_pairs: threshold in (0, 1] (got {threshold})")
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    sizes = shingled.select("doc", F.size("sh").alias("n_sh"))
+    exploded = shingled.select("doc", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle", "left_semi")
+    inter = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), "shingle")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sized = inter.join(
+        sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"),
+        "doc_a",
+    ).join(
+        sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"),
+        "doc_b",
+    )
+    directed = sized.select(
+        F.col("doc_a").alias("doc"),
+        F.col("doc_b").alias("container"),
+        (F.col("n_inter") / F.col("n_a")).alias("_c"),
+    ).unionByName(
+        sized.select(
+            F.col("doc_b").alias("doc"),
+            F.col("doc_a").alias("container"),
+            (F.col("n_inter") / F.col("n_b")).alias("_c"),
+        )
+    )
+    return directed.filter(F.col("_c") >= threshold).select(
+        "doc", "container", F.round("_c", 6).alias("containment")
+    )

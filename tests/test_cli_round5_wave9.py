@@ -183,3 +183,28 @@ def test_cli_spread(spark, tmp_path, monkeypatch, capsys):
         for r in SnapshotCatalog(wh).read(spark, "spread_labels").collect()
     }
     assert got["a2"] == "A" and got["b2"] == "B"
+
+
+def test_cli_dedup_containment_flag(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    short = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, short),
+        (2, "breaking news from the desk: " + short + " -- more follows soon"),
+        (3, "unrelated content about database engines and parquet files"),
+    ]
+    docs = str(tmp_path / "cd_pq")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs)
+    assert cli.main(
+        ["dedup", "--docs", docs, "--out", wh, "--containment", "0.8"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "containment pair(s) at threshold 0.8" in out
+    pairs = {
+        (r.doc, r.container)
+        for r in SnapshotCatalog(wh).read(spark, "containment_pairs").collect()
+    }
+    assert (1, 2) in pairs and (2, 1) not in pairs

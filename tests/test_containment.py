@@ -1,0 +1,82 @@
+"""Asymmetric containment near-dup pairs (operators/dedup.py::
+containment_pairs)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _shingles(t, k=3):
+    toks = [w for w in t.split() if w]
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _containment_py(rows, threshold, k=3):
+    sh = {d: _shingles(t, k) for d, t in rows}
+    out = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a == b or not sa:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= threshold:
+                out[(a, b)] = round(c, 6)
+    return out
+
+
+SHORT = "the quick brown fox jumps over the lazy dog"
+LONG = (
+    "breaking news today from the wire service desk: "
+    + SHORT
+    + " -- correspondents report further developments expected tomorrow morning"
+)
+
+
+def test_subset_duplication_flagged_where_jaccard_misses(spark):
+    from arxiv_citation_graph_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(1, SHORT), (2, LONG), (3, "entirely unrelated text about databases and engines here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r.doc, r.container): r.containment
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # the short doc is fully contained
+    assert (2, 1) not in cont  # the long doc is NOT contained in the short
+    # symmetric jaccard misses the same pair at any usable threshold
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)
+
+
+def test_matches_python_replay(spark):
+    from arxiv_citation_graph_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, SHORT),
+        (2, LONG),
+        (3, SHORT + " with a small tail of extra words appended"),
+        (4, "no overlap content talking about something else entirely today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.5, 0.8):
+        got = {
+            (r.doc, r.container): r.containment
+            for r in containment_pairs(df, "doc_id", "text", threshold=thr).collect()
+        }
+        want = _containment_py(rows, thr)
+        assert set(got) == set(want), thr
+        for p in got:
+            assert math.isclose(got[p], want[p], rel_tol=0, abs_tol=1e-9)
+
+
+def test_threshold_validation(spark):
+    from arxiv_citation_graph_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(df, "doc_id", "text", threshold=0.0)
