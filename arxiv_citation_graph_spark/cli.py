@@ -448,6 +448,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="reclaim data files of superseded snapshots")
     p.add_argument("--rollback", type=int, default=None,
                    help="move the current pointer back to this snapshot id")
+    p.add_argument("--tag", default=None, metavar="NAME",
+                   help="pin NAME to a snapshot (see --at; default current); "
+                   "tagged snapshots survive --expire until dropped")
+    p.add_argument("--at", type=int, default=None,
+                   help="snapshot id for --tag (default: current)")
+    p.add_argument("--drop-tag", default=None, metavar="NAME",
+                   help="remove a named tag")
 
     p = sub.add_parser(
         "densest",
@@ -661,6 +668,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.rollback is not None:
             catalog.rollback(args.name, args.rollback)
             did.append(f"rolled back to {args.rollback}")
+        if args.tag is not None:
+            snap = catalog.tag(args.name, args.tag, snapshot=args.at)
+            did.append(f"tagged {args.tag!r} -> snapshot {snap}")
+        if args.drop_tag is not None:
+            catalog.drop_tag(args.name, args.drop_tag)
+            did.append(f"dropped tag {args.drop_tag!r}")
         if args.compact:
             sort_by = (
                 [c.strip() for c in args.sort_by.split(",") if c.strip()]
@@ -682,6 +695,9 @@ def main(argv: list[str] | None = None) -> int:
                     line += f" {snp['summary']}"
                 print(line)
             print(f"current: {catalog.current_snapshot(args.name)}")
+            tags = catalog.tags(args.name)
+            if tags:
+                print("tags: " + ", ".join(f"{n} -> {s}" for n, s in sorted(tags.items())))
         if did:
             print(f"table {args.name}: " + "; ".join(did))
         return 0

@@ -250,6 +250,10 @@ class SnapshotCatalog:
         if meta["current"] < 0:
             return []
         keep = set(self._resolve_snap_ids(meta, meta["current"]))
+        # tagged refs pin their whole contributing set: a tag must stay
+        # readable until it is dropped (Iceberg retention semantics)
+        for tagged in meta.get("refs", {}).values():
+            keep.update(self._resolve_snap_ids(meta, tagged))
         expired: list[int] = []
         for s in meta["snapshots"]:
             if (
@@ -274,6 +278,45 @@ class SnapshotCatalog:
         meta = self._meta(table)
         meta.setdefault("properties", {})[key] = value
         self._commit(table, meta)
+
+    # -- named refs (Iceberg tag analog) ---------------------------------------
+
+    def tag(
+        self, table: str, name: str, snapshot: int | None = None,
+        replace: bool = False,
+    ) -> int:
+        """Pin a NAME to a snapshot (default: current) — the Iceberg tag:
+        an immutable named ref readable via ``read(..., ref=name)`` and
+        PROTECTED from ``expire_snapshots`` (a tagged state stays
+        readable until the tag is dropped).  Fails on an existing name
+        unless ``replace=True``, and on unknown/expired snapshots —
+        a tag must always point at readable state."""
+        meta = self._meta(table)
+        target = meta["current"] if snapshot is None else snapshot
+        if target < 0:
+            raise ValueError(f"table {table!r} has no committed snapshot to tag")
+        refs = meta.setdefault("refs", {})
+        if name in refs and not replace:
+            raise ValueError(
+                f"tag {name!r} already exists on table {table!r} "
+                f"(-> snapshot {refs[name]}); pass replace=True to move it"
+            )
+        ids = self._resolve_snap_ids(meta, target)  # validates the id
+        self._check_not_expired(meta, ids, table)
+        refs[name] = target
+        self._commit(table, meta)
+        return target
+
+    def drop_tag(self, table: str, name: str) -> None:
+        meta = self._meta(table)
+        refs = meta.setdefault("refs", {})
+        if name not in refs:
+            raise ValueError(f"no tag {name!r} on table {table!r}")
+        del refs[name]
+        self._commit(table, meta)
+
+    def tags(self, table: str) -> dict[str, int]:
+        return dict(self._meta(table).get("refs", {}))
 
     # -- reads ----------------------------------------------------------------
 
@@ -327,9 +370,26 @@ class SnapshotCatalog:
                 "to them is no longer possible"
             )
 
-    def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
-        """Read the table at its current (or a time-travel) snapshot."""
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        snapshot: int | None = None,
+        ref: str | None = None,
+    ) -> DataFrame:
+        """Read the table at its current snapshot, a time-travel
+        ``snapshot`` id, or a named ``ref`` (tag)."""
         meta = self._meta(table)
+        if ref is not None:
+            if snapshot is not None:
+                raise ValueError("read: pass either snapshot or ref, not both")
+            refs = meta.get("refs", {})
+            if ref not in refs:
+                raise ValueError(
+                    f"no tag {ref!r} on table {table!r} "
+                    f"(tags: {sorted(refs) or 'none'})"
+                )
+            snapshot = refs[ref]
         target = meta["current"] if snapshot is None else snapshot
         if target < 0:
             raise FileNotFoundError(f"table {table} has no committed snapshot")

@@ -1,0 +1,86 @@
+"""Named snapshot refs (Iceberg tags) on the SnapshotCatalog."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _cat(tmp_path):
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    return SnapshotCatalog(str(tmp_path / "wh"))
+
+
+def test_tag_read_and_move(spark, tmp_path):
+    cat = _cat(tmp_path)
+    s1 = cat.create_or_replace("t", spark.createDataFrame([(1,)], "x long"))
+    cat.tag("t", "v1")
+    cat.create_or_replace("t", spark.createDataFrame([(2,), (3,)], "x long"))
+    # the tag still reads the old state; current reads the new
+    assert [r.x for r in cat.read(spark, "t", ref="v1").collect()] == [1]
+    assert sorted(r.x for r in cat.read(spark, "t").collect()) == [2, 3]
+    assert cat.tags("t") == {"v1": s1}
+    # duplicate name refuses unless replace
+    with pytest.raises(ValueError, match="already exists"):
+        cat.tag("t", "v1")
+    cat.tag("t", "v1", replace=True)
+    assert sorted(r.x for r in cat.read(spark, "t", ref="v1").collect()) == [2, 3]
+
+
+def test_tag_protects_from_expiry(spark, tmp_path):
+    cat = _cat(tmp_path)
+    cat.create_or_replace("t", spark.createDataFrame([(1,)], "x long"))
+    cat.tag("t", "keep")
+    cat.create_or_replace("t", spark.createDataFrame([(2,)], "x long"))
+    gone = cat.expire_snapshots("t")
+    assert gone == []  # the tagged replace snapshot survives
+    assert [r.x for r in cat.read(spark, "t", ref="keep").collect()] == [1]
+    cat.drop_tag("t", "keep")
+    gone = cat.expire_snapshots("t")
+    assert len(gone) == 1  # now reclaimable
+    with pytest.raises(ValueError, match="expired"):
+        cat.read(spark, "t", snapshot=gone[0])
+
+
+def test_tag_validation(spark, tmp_path):
+    cat = _cat(tmp_path)
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        cat.tag("t", "v1")
+    cat.create_or_replace("t", spark.createDataFrame([(1,)], "x long"))
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        cat.tag("t", "v1", snapshot=99)
+    with pytest.raises(ValueError, match="no tag"):
+        cat.drop_tag("t", "nope")
+    with pytest.raises(ValueError, match="no tag"):
+        cat.read(spark, "t", ref="nope")
+    cat.tag("t", "v1")
+    with pytest.raises(ValueError, match="not both"):
+        cat.read(spark, "t", snapshot=0, ref="v1")
+
+
+def test_tag_on_append_chain_pins_whole_lineage(spark, tmp_path):
+    cat = _cat(tmp_path)
+    cat.create_or_replace("t", spark.createDataFrame([(1,)], "x long"))
+    s2 = cat.append("t", spark.createDataFrame([(2,)], "x long"))
+    cat.tag("t", "upto2", snapshot=s2)
+    cat.create_or_replace("t", spark.createDataFrame([(9,)], "x long"))
+    assert cat.expire_snapshots("t") == []  # both chain members pinned
+    assert sorted(r.x for r in cat.read(spark, "t", ref="upto2").collect()) == [1, 2]
+
+
+def test_cli_table_tag(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(wh)
+    cat.create_or_replace("t", spark.createDataFrame([(1,)], "x long"))
+    assert cli.main(["table", "--name", "t", "--out", wh, "--tag", "v1"]) == 0
+    assert "tagged 'v1' -> snapshot 0" in capsys.readouterr().out
+    assert cli.main(["table", "--name", "t", "--out", wh, "--history"]) == 0
+    assert "tags: v1 -> 0" in capsys.readouterr().out
+    assert cli.main(["table", "--name", "t", "--out", wh, "--drop-tag", "v1"]) == 0
+    assert "dropped tag 'v1'" in capsys.readouterr().out
+    assert cat.tags("t") == {}
