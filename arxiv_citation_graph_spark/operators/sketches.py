@@ -277,3 +277,87 @@ def hist_quantiles(
             ).alias("est"),
         )
     )
+
+
+# ===========================================================================
+# Incremental sketch maintenance (mergeable partials)
+# ===========================================================================
+#
+# The whole point of FM / CMS over exact counting is the MERGE property:
+# sketch(A ∪ B) = merge(sketch(A), sketch(B)) — bit_or for FM registers,
+# element-wise sum for CMS counters.  These helpers expose that property
+# for the daily-append warehouse flow: per-batch partials append to a
+# catalog table (one atomic snapshot per batch, the streaming/ingest.py
+# convention) and the estimate is recovered from the partials alone — a
+# refresh reads |batches| x |groups| sketch rows, NEVER the raw history.
+
+
+def fm_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    elem_col: str,
+    r_cap: int = 48,
+) -> DataFrame:
+    """Per-group FM register partial for ONE batch:
+    ``(group_cols..., n_rows, s0..s7)``.  Append these per batch;
+    :func:`fm_merge` recovers the union estimate."""
+    if not group_cols:
+        raise ValueError("fm_partials: group_cols must be non-empty")
+    if not (1 <= r_cap <= 62):
+        raise ValueError(f"fm_partials: r_cap must be in [1, 62] (got {r_cap})")
+    sk = df.select(
+        *group_cols,
+        *[
+            _elem_sketch(elem_col, j, r_cap).alias(f"s{j}")
+            for j in range(K_SKETCHES)
+        ],
+    )
+    return sk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.bit_or(f"s{j}").alias(f"s{j}") for j in range(K_SKETCHES)],
+    )
+
+
+def fm_merge(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge FM partials (any number of batches) into the
+    :func:`fm_distinct` output ``(group_cols..., n_rows, b_sum,
+    est_distinct)`` — bit_or of registers, sum of row counts.  Exactly
+    equal to running ``fm_distinct`` over the concatenated batches
+    (registers are idempotent under OR), pinned by the batch-split
+    invariance pytest."""
+    if not group_cols:
+        raise ValueError("fm_merge: group_cols must be non-empty")
+    agg = partials.groupBy(*group_cols).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        *[F.bit_or(f"s{j}").alias(f"s{j}") for j in range(K_SKETCHES)],
+    )
+    s = _lowest_zero(F.col("s0"))
+    for j in range(1, K_SKETCHES):
+        s = s + _lowest_zero(F.col(f"s{j}"))
+    frac = F.element_at(
+        F.array(*[F.lit(c) for c in FRAC_POW2_8]),
+        (s % K_SKETCHES).cast("int") + F.lit(1),
+    )
+    est = (
+        F.pow(F.lit(2.0), F.floor(s / K_SKETCHES).cast("double"))
+        * frac
+        / F.lit(FM_PHI)
+    )
+    return agg.select(
+        *group_cols,
+        "n_rows",
+        s.cast("long").alias("b_sum"),
+        F.round(est, 9).alias("est_distinct"),
+    )
+
+
+def cms_merge(counter_batches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge CMS counter partials (the :func:`cms_build` output of any
+    number of batches, unioned/appended) by summing counts per cell —
+    the estimate read off merged counters equals the single-pass build,
+    pinned by the batch-split invariance pytest."""
+    if not group_cols:
+        raise ValueError("cms_merge: group_cols must be non-empty")
+    return counter_batches.groupBy(*group_cols, "row", "col").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

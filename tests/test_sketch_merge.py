@@ -1,0 +1,111 @@
+"""Mergeable sketch partials (operators/sketches.py): incremental
+FM / CMS maintenance over append batches."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _rows(tag, n, mod):
+    return [(f"g{i % 2}", f"{tag and ''}u{i % mod}") for i in range(n)]
+
+
+def test_fm_batch_split_invariance(spark):
+    """merge(partials(A), partials(B)) == fm_distinct(A ∪ B), exactly —
+    the OR-idempotent register property, whatever the split."""
+    from arxiv_citation_graph_spark.operators.sketches import (
+        fm_distinct,
+        fm_merge,
+        fm_partials,
+    )
+
+    a = _rows("a", 120, 25)
+    b = _rows("b", 80, 40)  # overlapping element space
+    schema = "grp string, elem string"
+    da, db = spark.createDataFrame(a, schema), spark.createDataFrame(b, schema)
+    both = spark.createDataFrame(a + b, schema)
+    merged = fm_merge(
+        fm_partials(da, ["grp"], "elem").unionByName(
+            fm_partials(db, ["grp"], "elem")
+        ),
+        ["grp"],
+    )
+    want = {
+        r.grp: (r.n_rows, r.b_sum, r.est_distinct)
+        for r in fm_distinct(both, ["grp"], "elem").collect()
+    }
+    got = {r.grp: (r.n_rows, r.b_sum, r.est_distinct) for r in merged.collect()}
+    assert got == want
+
+
+def test_fm_incremental_via_catalog_appends(spark, tmp_path):
+    """The daily-append flow: per-batch partials append as snapshots;
+    the refresh reads ONLY the partial rows, never the raw history."""
+    from arxiv_citation_graph_spark.operators.sketches import (
+        fm_distinct,
+        fm_merge,
+        fm_partials,
+    )
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    schema = "grp string, elem string"
+    batches = [_rows("", 60, 20), _rows("", 50, 35), _rows("", 40, 10)]
+    for b in batches:
+        cat.append(
+            "fm_state", fm_partials(spark.createDataFrame(b, schema), ["grp"], "elem")
+        )
+    est = fm_merge(cat.read(spark, "fm_state"), ["grp"])
+    full = spark.createDataFrame(sum(batches, []), schema)
+    want = {
+        r.grp: (r.n_rows, r.b_sum, r.est_distinct)
+        for r in fm_distinct(full, ["grp"], "elem").collect()
+    }
+    got = {r.grp: (r.n_rows, r.b_sum, r.est_distinct) for r in est.collect()}
+    assert got == want
+
+
+def test_cms_batch_split_invariance(spark):
+    from arxiv_citation_graph_spark.operators.sketches import (
+        cms_build,
+        cms_counts,
+        cms_estimate,
+        cms_merge,
+    )
+
+    a = _rows("", 150, 30)
+    b = _rows("", 90, 45)
+    schema = "grp string, elem string"
+    da, db = spark.createDataFrame(a, schema), spark.createDataFrame(b, schema)
+    both = spark.createDataFrame(a + b, schema)
+    merged = cms_merge(
+        cms_build(da, ["grp"], "elem", width=64).unionByName(
+            cms_build(db, ["grp"], "elem", width=64)
+        ),
+        ["grp"],
+    )
+    cands = both.select("grp", "elem").distinct()
+    got = {
+        (r.grp, r.elem): r.est_count
+        for r in cms_estimate(merged, cands, ["grp"], "elem", width=64).collect()
+    }
+    want = {
+        (r.grp, r.elem): r.est_count
+        for r in cms_counts(both, ["grp"], "elem", width=64).collect()
+    }
+    assert got == want
+
+
+def test_merge_validation(spark):
+    from arxiv_citation_graph_spark.operators.sketches import (
+        cms_merge,
+        fm_merge,
+        fm_partials,
+    )
+
+    df = spark.createDataFrame([("g", "x")], "grp string, elem string")
+    p = fm_partials(df, ["grp"], "elem")
+    with pytest.raises(ValueError, match="group_cols"):
+        fm_merge(p, [])
+    with pytest.raises(ValueError, match="group_cols"):
+        cms_merge(p, [])
