@@ -496,6 +496,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--r-cap", type=int, default=48)
 
     p = sub.add_parser(
+        "chunk",
+        help="split documents into token-window chunks with overlap "
+        "(RAG / long-context splitter; inverse of sequence packing)",
+    )
+    p.add_argument("--docs", required=True, help="corpus parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--chunk-tokens", type=int, default=512)
+    p.add_argument("--overlap", type=int, default=64)
+
+    p = sub.add_parser(
         "spread",
         help="soft-clamp label spreading from seed labels "
         "(Zhou et al. 2004; continuous companion to seeded LPA)",
@@ -1160,6 +1172,23 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"approx-distinct: {est.count()} group(s) over "
             f"({args.group_cols}) x {args.elem_col}"
+        )
+        return 0
+
+    if args.cmd == "chunk":
+        from arxiv_citation_graph_spark.operators.packing import chunk_documents
+
+        chunks = chunk_documents(
+            spark.read.parquet(args.docs),
+            args.id_col,
+            args.text_col,
+            args.chunk_tokens,
+            overlap=args.overlap,
+        )
+        catalog.create_or_replace("chunks", chunks)
+        print(
+            f"chunk: {chunks.count()} chunk(s) "
+            f"({args.chunk_tokens} tokens, overlap {args.overlap})"
         )
         return 0
 

@@ -7947,6 +7947,48 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, "doc_id", "text", threshold=_CONTAIN_THR)
 
 
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 24, 6
+
+_CHUNK_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks), {_CHUNK_TOKENS - _CHUNK_OVERLAP}))
+             AS start_token
+  FROM docs WHERE len(toks) >= 1
+)
+SELECT doc_id,
+       CAST((start_token - 1) // {_CHUNK_TOKENS - _CHUNK_OVERLAP} AS BIGINT)
+           AS chunk_id,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(len(list_slice(toks, start_token,
+                           start_token + {_CHUNK_TOKENS} - 1)) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start_token,
+                                  start_token + {_CHUNK_TOKENS} - 1), ' ')
+           AS chunk_text
+FROM starts
+"""
+
+
+@register("chunk_documents", _CHUNK_SQL)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking with overlap (operators/
+    packing.py::chunk_documents): 24-token chunks, 6-token overlap —
+    the RAG/long-context splitter (the inverse of sequence packing).
+    Pure column expressions; the per-doc explode fuses into the scan."""
+    from arxiv_citation_graph_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        docs, "doc_id", "text", _CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

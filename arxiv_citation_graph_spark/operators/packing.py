@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.functions.texttools import token_count
+from arxiv_citation_graph_spark.functions.texttools import token_count, tokens
 
 #: md5-draw resolution for mixture rates (rate quantized to 1e-6)
 MIXTURE_MOD = 1_000_000
@@ -378,4 +378,58 @@ def weighted_take(
         df.withColumn("_rn", F.row_number().over(win))
         .filter(F.col("_rn") <= n_per_group)
         .drop("_rn")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into token-window chunks with overlap — the
+    RAG / long-context splitter (the INVERSE of `sequence_packing`,
+    which concatenates short docs; this cuts long ones).
+
+    Chunk i covers tokens ``[1 + i*(chunk_tokens - overlap),
+    ... + chunk_tokens)`` (whitespace tokens, 1-based); the last chunk
+    may be shorter, and every token belongs to >= 1 chunk.  Returns
+    ``(id_col, chunk_id, start_token, n_chunk_tokens, chunk_text)``;
+    empty documents yield no rows.
+
+    Pure column expressions — the per-doc explode is ~n/(chunk-overlap)
+    rows and fuses into the scan stage; no shuffle at all until the
+    caller aggregates.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_documents: chunk_tokens >= 1 (got {chunk_tokens})")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"chunk_documents: 0 <= overlap < chunk_tokens "
+            f"(got overlap={overlap}, chunk_tokens={chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.posexplode(starts).alias("chunk_id", "start_token"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start_token").cast("long").alias("start_token"),
+            F.size(F.slice(F.col("_toks"), F.col("start_token"), chunk_tokens))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("start_token"), chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
     )

@@ -1,0 +1,70 @@
+"""Document chunking with overlap (operators/packing.py::chunk_documents)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _chunks_py(text, chunk, overlap):
+    toks = [w for w in text.split() if w]
+    stride = chunk - overlap
+    out = []
+    i = 0
+    start = 1
+    while start <= len(toks):
+        piece = toks[start - 1 : start - 1 + chunk]
+        out.append((i, start, len(piece), " ".join(piece)))
+        i += 1
+        start += stride
+    return out
+
+
+def test_matches_python_replay(spark):
+    from arxiv_citation_graph_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(23))),
+        (2, "one two three"),
+        (3, ""),
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for chunk, overlap in ((8, 0), (8, 3), (5, 4)):
+        got = sorted(
+            (r.doc_id, r.chunk_id, r.start_token, r.n_chunk_tokens, r.chunk_text)
+            for r in chunk_documents(df, "doc_id", "text", chunk, overlap).collect()
+        )
+        want = sorted(
+            (d, i, s, n, t)
+            for d, text in rows
+            for i, s, n, t in _chunks_py(text, chunk, overlap)
+        )
+        assert got == want, (chunk, overlap)
+
+
+def test_every_token_covered_and_overlap_consistent(spark):
+    from arxiv_citation_graph_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", 16, 4).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    covered = set()
+    for r in rows:
+        covered.update(range(r.start_token, r.start_token + r.n_chunk_tokens))
+    assert covered == set(range(1, 101))
+    # consecutive chunks share exactly `overlap` tokens (except a short tail)
+    for a, b in zip(rows, rows[1:]):
+        assert b.start_token - a.start_token == 12  # stride = 16 - 4
+
+
+def test_validation(spark):
+    from arxiv_citation_graph_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, "doc_id", "text", 0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", 4, overlap=4)

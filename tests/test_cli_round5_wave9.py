@@ -208,3 +208,19 @@ def test_cli_dedup_containment_flag(spark, tmp_path, monkeypatch, capsys):
         for r in SnapshotCatalog(wh).read(spark, "containment_pairs").collect()
     }
     assert (1, 2) in pairs and (2, 1) not in pairs
+
+
+def test_cli_chunk(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    docs = str(tmp_path / "ck_pq")
+    text = " ".join(f"w{i}" for i in range(20))
+    spark.createDataFrame([(1, text)], "doc_id long, text string").write.parquet(docs)
+    assert cli.main(
+        ["chunk", "--docs", docs, "--out", wh, "--chunk-tokens", "8", "--overlap", "2"]
+    ) == 0
+    assert "4 chunk(s)" in capsys.readouterr().out
+    rows = SnapshotCatalog(wh).read(spark, "chunks").collect()
+    assert {r.chunk_id for r in rows} == {0, 1, 2, 3}
