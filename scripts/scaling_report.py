@@ -225,6 +225,15 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-appended per-round sections ("## Round-...") across
+    # regeneration — only the generated header table is replaced
+    appended = ""
+    if os.path.exists(path):
+        with open(path) as fh:
+            old = fh.read()
+        idx = old.find("\n## Round-")
+        if idx >= 0:
+            appended = old[idx:]
     with open(path, "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — scaling evidence (N vs 4N)
@@ -270,6 +279,8 @@ authoritative criterion (BASELINE.json) is the PageRank superstep
 throughput ratio above.
 """
         )
+        if appended:
+            fh.write(appended)
     print(f"wrote {path}")
 
 
