@@ -1547,6 +1547,61 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.operators.dedup import containment_pairs
+
+    cont_plan = plan_of(
+        containment_pairs(docs_pq.limit(400), "doc_id", "text", threshold=0.5)
+    )
+    sections.append(
+        (
+            "Asymmetric containment pairs (subset-duplication screen)",
+            "Same scale shape as the Jaccard verifier: ONE shingle "
+            "equi-join (df-capped in-plan before the join), a two-stage "
+            "(doc_a, doc_b) intersection count, then two size joins; "
+            "both directed rows come from one unionByName over the "
+            "same sized frame — text is scanned once.  "
+            f"[{exchange_count(cont_plan)}]",
+            condense(cont_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.packing import chunk_documents
+
+    chunk_plan = plan_of(
+        chunk_documents(docs_pq, "doc_id", "text", chunk_tokens=64, overlap=16)
+    )
+    sections.append(
+        (
+            "Token-window document chunking",
+            "Pure column expressions: tokenize + start-sequence + "
+            "posexplode + slice all fuse into the scan stage's "
+            "Generate — ZERO Exchanges; the chunk fan-out "
+            "(~n_tokens/stride rows per doc) parallelizes by input "
+            f"split with no shuffle.  [{exchange_count(chunk_plan)}]",
+            condense(chunk_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.sketches import fm_merge, fm_partials
+
+    halves = [
+        fm_partials(events_pq.filter(F.col("event_id") % 2 == i),
+                    ["event_type"], "user_id")
+        for i in (0, 1)
+    ]
+    fmm_plan = plan_of(fm_merge(halves[0].unionByName(halves[1]), ["event_type"]))
+    sections.append(
+        (
+            "Incremental FM sketch merge (per-batch partials)",
+            "Each batch partial is a two-stage bit_or aggregate (map-"
+            "side partial before its Exchange); the merge re-aggregates "
+            "|batches| x |groups| SKETCH ROWS only — the raw history is "
+            "never rescanned, which is the entire point of the "
+            f"mergeable-sketch daily-append flow.  [{exchange_count(fmm_plan)}]",
+            condense(fmm_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:
