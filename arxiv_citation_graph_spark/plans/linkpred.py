@@ -186,11 +186,12 @@ def link_prediction_auc(
     cumulative sum + one final division — no sampling, no rank window
     over candidates.
 
-    Scale: the only ordered window runs over the score-VALUE histogram
-    (distinct 6-dp-rounded scores, bounded far below candidate count —
-    the rich-club histogram argument); products are decimal(38) so
-    P·N at web scale cannot overflow int64.  NULL auc when either class
-    is empty.
+    Scale: the cumulative count uses the bucketed two-stage prefix sum
+    (the PR-sweep hardening) — no window ever spans the full
+    distinct-score histogram; the only unpartitioned frame is the
+    bucket-subtotal table, whose size tracks the score RANGE, not the
+    candidate volume.  Products are decimal(38) so P·N at web scale
+    cannot overflow int64.  NULL auc when either class is empty.
     """
     if holdout_mod < 2:
         raise ValueError(f"holdout_mod must be >= 2, got {holdout_mod}")
@@ -223,8 +224,31 @@ def link_prediction_auc(
     hist = lab.groupBy("s").agg(
         F.sum("pos").alias("p"), F.sum(F.lit(1) - F.col("pos")).alias("n")
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = hist.withColumn("n_below", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    # n_below via the bucketed two-stage prefix sum (the PR-sweep
+    # hardening): no single window ever spans the full distinct-score
+    # histogram — stage 1 prefix-sums BUCKET subtotals (frame size =
+    # bucket count, set by score RANGE x 256, independent of candidate
+    # volume), stage 2 partitions BY BUCKET.  Integer sums are
+    # order-exact, so the result is identical to the naive global
+    # window.
+    bucketed = hist.withColumn("_bkt", F.floor(F.col("s") * 256).cast("long"))
+    bucket_tot = bucketed.groupBy("_bkt").agg(F.sum("n").alias("_bn"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    lower = bucket_tot.select(
+        "_bkt", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_ln")
+    )
+    win = (
+        Window.partitionBy("_bkt")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        bucketed.join(lower, "_bkt")
+        .withColumn(
+            "n_below",
+            F.col("_ln") + F.coalesce(F.sum("n").over(win), F.lit(0)),
+        )
+    )
     dec = "decimal(38,0)"
     agg = cum.agg(
         F.sum("p").cast(dec).alias("np"),

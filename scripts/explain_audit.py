@@ -1150,11 +1150,12 @@ def main() -> None:
     sections.append(
         (
             "Link-prediction AUC (histogram rank statistic)",
-            "Candidates collapse to a per-score-VALUE histogram before the "
-            "only ordered window, so the Mann-Whitney statistic costs one "
-            "integer cumulative sum over distinct rounded scores — never a "
-            "rank window over the candidate set; decimal(38) products "
-            "protect P*N at web scale.  "
+            "Candidates collapse to a per-score-VALUE histogram, then the "
+            "cumulative count runs as the bucketed two-stage prefix sum "
+            "(the PR-sweep hardening): the only unpartitioned window "
+            "frame is the bucket-subtotal table (sized by score RANGE x "
+            "256, not candidate volume); per-score windows partition BY "
+            "BUCKET; decimal(38) products protect P*N at web scale.  "
             f"[{exchange_count(auc_plan)}]",
             condense(auc_plan, KEEP),
         )
