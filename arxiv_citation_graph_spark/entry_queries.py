@@ -1406,11 +1406,14 @@ def q_seeded_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
 
     edges = cosupply_edges(spark, sf_dir)
+    # lexicographic-min seeds via distributed top-k (TakeOrderedAndProject);
+    # the rank window then spans only the k seed rows, never |V|
     w = Window.orderBy("vertex")
     seeds = (
         vertices_of(edges)
+        .orderBy("vertex")
+        .limit(_SEEDED_LPA_SEEDS)
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _SEEDED_LPA_SEEDS)
         .select(
             "vertex", F.concat(F.lit("c"), (F.col("rn") - 1).cast("string")).alias("label")
         )
@@ -7880,11 +7883,14 @@ def q_label_spreading_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arxiv_citation_graph_spark.plans.layout import vertices_of
 
     edges = cosupply_edges(spark, sf_dir)
+    # lexicographic-min seeds via distributed top-k (TakeOrderedAndProject);
+    # the rank window then spans only the k seed rows, never |V|
     w = Window.orderBy("vertex")
     seeds = (
         vertices_of(edges)
+        .orderBy("vertex")
+        .limit(_SPREAD_SEEDS)
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _SPREAD_SEEDS)
         .select(
             "vertex",
             F.concat(F.lit("c"), (F.col("rn") - 1).cast("string")).alias("label"),

@@ -1526,8 +1526,9 @@ def main() -> None:
     sp_w = Window.orderBy("vertex")
     sp_seeds = (
         _vof(sp_edges)
+        .orderBy("vertex")
+        .limit(4)
         .withColumn("rn", F.row_number().over(sp_w))
-        .filter(F.col("rn") <= 4)
         .select(
             "vertex",
             F.concat(F.lit("c"), (F.col("rn") - 1).cast("string")).alias("label"),
