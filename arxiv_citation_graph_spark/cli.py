@@ -604,6 +604,32 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--edges", required=True, help="edges parquet path")
     p.add_argument("--out", required=True, help="warehouse root")
 
+    p = sub.add_parser(
+        "squares",
+        help="per-vertex 4-cycle (square) census via the diagonal "
+        "identity (aggregate-only — no cycle enumeration)",
+    )
+    p.add_argument("--edges", required=True, help="edges parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+
+    p = sub.add_parser(
+        "knn-graph",
+        help="k-nearest-neighbor graph over an embedding table "
+        "(LSH-bucketed by default; the similarity->graph bridge)",
+    )
+    p.add_argument("--embeddings", required=True, help="embeddings parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--dims", type=int, default=None,
+                   help="embedding dimensionality (required for lsh)")
+    p.add_argument("--method", choices=["lsh", "brute"], default="lsh")
+    p.add_argument("--n-planes", type=int, default=8)
+    p.add_argument("--n-tables", type=int, default=1)
+    p.add_argument("--mutual", action="store_true",
+                   help="keep only bidirectional pairs (hubness filter)")
+
     p = sub.add_parser("bench-corpus", help="write a deterministic synthetic docs corpus")
     p.add_argument("--n-docs", type=int, default=10000)
     p.add_argument("--seed", type=int, default=42)
@@ -1343,6 +1369,37 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"tri-signif: {sig.count()} vertices, "
             f"{hot} more clustered than the configuration-model null"
+        )
+        return 0
+
+    if args.cmd == "squares":
+        from arxiv_citation_graph_spark.plans.motifs import square_counts
+
+        res = square_counts(spark, spark.read.parquet(args.edges))
+        catalog.create_or_replace("square_counts", res.counts)
+        print(f"squares: {res.counts.count()} vertices, {res.total} squares")
+        return 0
+
+    if args.cmd == "knn-graph":
+        from arxiv_citation_graph_spark.operators.simsearch import knn_graph
+
+        g = knn_graph(
+            spark.read.parquet(args.embeddings),
+            args.id_col,
+            args.vec_col,
+            k=args.k,
+            method=args.method,
+            dims=args.dims,
+            n_planes=args.n_planes,
+            n_tables=args.n_tables,
+            mutual=args.mutual,
+        )
+        snap = catalog.create_or_replace("knn_edges", g)
+        n = catalog.read(spark, "knn_edges").count()
+        mut = catalog.read(spark, "knn_edges").filter("mutual").count()
+        print(
+            f"knn-graph: {n} edges ({mut} mutual) via {args.method}, "
+            f"k={args.k} (snapshot {snap})"
         )
         return 0
 

@@ -7995,6 +7995,91 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQUARES_SQL = f"""
+WITH cos AS ({EDGES_COSUPPLY_SQL}),
+und AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u,
+    greatest(src_id, dst_id) AS v FROM cos WHERE src_id <> dst_id),
+verts AS (SELECT u AS vertex FROM und UNION SELECT v FROM und),
+sym AS MATERIALIZED (SELECT u AS c, v AS x FROM und
+    UNION ALL SELECT v, u FROM und),
+pairs AS MATERIALIZED (
+  SELECT a.x AS p, b.x AS q, count(*) AS w
+  FROM sym a JOIN sym b ON a.c = b.c AND a.x < b.x
+  GROUP BY 1, 2
+),
+sq AS (SELECT p, q, w * (w - 1) // 2 AS s FROM pairs WHERE w >= 2),
+diag AS (SELECT p AS vertex, s FROM sq UNION ALL SELECT q, s FROM sq),
+cnts AS (SELECT vertex, sum(s) AS s FROM diag GROUP BY vertex)
+SELECT v.vertex, CAST(coalesce(c.s, 0) AS BIGINT) AS squares
+FROM verts v LEFT JOIN cnts c ON v.vertex = c.vertex
+"""
+
+
+@register("square_counts", SQUARES_SQL)
+def q_square_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex 4-cycle census (plans/motifs.py::square_counts): the
+    diagonal identity squares(v) = sum_u C(w(v,u), 2) over
+    common-neighbor counts — aggregate-only, no cycle enumeration; the
+    oracle replays the same wedge-pair histogram in SQL."""
+    from arxiv_citation_graph_spark.plans.motifs import square_counts
+
+    return square_counts(spark, cosupply_edges(spark, sf_dir)).counts
+
+
+_KNN_DIMS, _KNN_PLANES, _KNN_K = 64, 6, 5
+
+
+def _knn_graph_sql(dims: int, n_planes: int, k: int) -> str:
+    """Unrolled LSH kNN graph: hyperplane signatures as double literals
+    (the _lsh_topk_sql convention), per-vertex top-k in the bucket, then
+    the canonical-pair collapse with the union rule + mutual flag."""
+    from arxiv_citation_graph_spark.operators.simsearch import _plane_weight
+
+    sig_terms = []
+    for p in range(n_planes):
+        weights = ", ".join(repr(_plane_weight(p, d)) for d in range(dims))
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(e, [{weights}]) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sigs AS MATERIALIZED (SELECT vec_id, e, {sig} AS sig FROM v),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+      FROM sigs q JOIN sigs c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM cand
+      ) WHERE rank <= {k}
+    )
+    SELECT least(query_id, neighbor_id) AS src_id,
+           greatest(query_id, neighbor_id) AS dst_id,
+           max(cos_sim) AS cos_sim,
+           count(*) = 2 AS mutual
+    FROM topk GROUP BY 1, 2
+    """
+
+
+@register("knn_graph", _knn_graph_sql(_KNN_DIMS, _KNN_PLANES, _KNN_K))
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH kNN graph over the embeddings table (operators/simsearch.py::
+    knn_graph): hyperplane-bucketed top-5 per vertex, union rule with
+    the mutual flag — the similarity-tier -> graph-tier bridge."""
+    from arxiv_citation_graph_spark.operators.simsearch import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_graph(
+        emb, k=_KNN_K, method="lsh", dims=_KNN_DIMS, n_planes=_KNN_PLANES
+    )
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

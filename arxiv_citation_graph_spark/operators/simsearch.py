@@ -792,3 +792,72 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(win).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 10,
+    method: str = "lsh",
+    dims: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    mutual: bool = False,
+    max_vertices: int | None = DEFAULT_MAX_QUERIES,
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding corpus:
+    ``(src_id, dst_id, cos_sim, mutual)`` with ``src_id < dst_id``.
+
+    The bridge from the similarity tier to the graph tier: build the
+    kNN graph once, then ANY of the engine's graph kernels runs on it —
+    connected components / Louvain for semantic clustering (the
+    SemDeDup / k-means alternative that needs no centroid count up
+    front), coreness for density screening, components over
+    high-threshold edges for near-dup grouping.
+
+    Edges: the standard *union* rule keeps a pair when EITHER endpoint
+    ranks the other in its top-k (``mutual=False``); the stricter
+    *mutual* rule (both directions, the hubness filter the kNN-graph
+    literature recommends for skewed embedding spaces) keeps only
+    bidirectional pairs.  Either way every kept row reports
+    ``mutual`` so downstream can re-filter without recomputing.
+    ``cos_sim`` is symmetric (one rounded dot/norms expression), so the
+    pair collapse is an exact groupBy, not an approximation.
+
+    ``method="lsh"`` (default, requires ``dims``): candidates from the
+    hyperplane signature equi-join — the 100 TB path (per-table shuffle
+    keyed on the signature; recall measured by ``ann_recall_at_k``).
+    ``method="brute"``: the exact O(N^2) baseline, refused above
+    ``max_vertices`` (the ``brute_force_topk`` guard).
+    """
+    if method == "lsh":
+        if dims is None:
+            raise ValueError("knn_graph(method='lsh') requires dims")
+        directed = lsh_topk(
+            corpus, corpus, dims, id_col=id_col, vec_col=vec_col,
+            k=k, n_planes=n_planes, n_tables=n_tables,
+        )
+    elif method == "brute":
+        directed = brute_force_topk(
+            corpus, corpus, id_col=id_col, vec_col=vec_col,
+            k=k, max_queries=max_vertices,
+        )
+    else:
+        raise ValueError(f"unknown knn_graph method {method!r}")
+    pairs = (
+        directed.select(
+            F.least("query_id", "neighbor_id").alias("src_id"),
+            F.greatest("query_id", "neighbor_id").alias("dst_id"),
+            "cos_sim",
+        )
+        .groupBy("src_id", "dst_id")
+        .agg(
+            F.max("cos_sim").alias("cos_sim"),
+            (F.count(F.lit(1)) == 2).alias("mutual"),
+        )
+    )
+    if mutual:
+        pairs = pairs.filter(F.col("mutual"))
+    return pairs

@@ -208,3 +208,74 @@ def quotient_graph(
         .groupBy("src_label", "dst_label")
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+@dataclass
+class SquareResult:
+    counts: DataFrame  # (vertex, squares) — every vertex, 0 included
+    total: int  # number of distinct C4s in the graph
+
+
+def square_counts(spark: SparkSession, edges: DataFrame) -> SquareResult:
+    """Per-vertex 4-cycle (square / C4) participation counts over the
+    simple undirected graph derived from ``edges(src_id, dst_id)``.
+
+    Squares are counted as SUBGRAPHS (chords allowed, so a K4 holds
+    three C4s), the standard rectangle-count convention that complements
+    the triangle census (SURVEY.md §2.6 A10) and the K4 census
+    (``four_clique_counts``): C4 is the smallest even cycle — the motif
+    bipartite-ish structure (co-purchasing, citation cartels, retweet
+    rings) shows up in when triangles are absent.
+
+    Plan — the diagonal identity instead of cycle enumeration: a square
+    ``a-x-b-y`` has exactly one diagonal through each vertex (``(a,b)``
+    pairs the endpoints, ``(x,y)`` the centers), so with ``w(p,q)`` =
+    common-neighbor count,
+
+        squares(v)  = sum_u C(w(v,u), 2)
+        total       = sum_{p<q} C(w(p,q), 2) / 2
+
+    1. symmetrize once (|E| distinct shuffle, the triangle convention),
+    2. wedge pairs ``(x < y, center)`` via one equi-join on the center,
+    3. ``groupBy (x, y) -> w`` with map-side partial aggregation — the
+       shuffle carries combined pair counts, never raw wedges,
+    4. ``C(w,2)`` per pair (integer ``DIV`` — exact at any w), explode
+       the two diagonal endpoints, per-vertex sum (again partial-agg).
+
+    Nothing materializes per square — cost is the wedge count
+    ``sum_c C(deg(c), 2)``, the information-theoretic floor for exact
+    counting (the same bound co-citation pays; its hub_cap is the
+    approximation knob when a 10^5-degree hub makes the exact floor
+    unaffordable — here exactness is the contract, so no cap).
+    """
+    und = _simple_undirected(edges)
+    verts = (
+        und.select(F.col("u").alias("vertex"))
+        .unionByName(und.select(F.col("v").alias("vertex")))
+        .distinct()
+    )
+    sym = und.select(F.col("u").alias("c"), F.col("v").alias("x")).unionAll(
+        und.select(F.col("v").alias("c"), F.col("u").alias("x"))
+    )
+    pairs = (
+        sym.join(sym.withColumnRenamed("x", "y"), "c")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("x", "y", F.expr("w * (w - 1) DIV 2").alias("s"))
+    )
+    diag = pairs.select(F.col("x").alias("vertex"), "s").unionAll(
+        pairs.select(F.col("y").alias("vertex"), "s")
+    )
+    per_vertex = diag.groupBy("vertex").agg(F.sum("s").alias("sq"))
+    counts = (
+        verts.join(per_vertex, "vertex", "left")
+        .select(
+            "vertex", F.coalesce("sq", F.lit(0)).cast("long").alias("squares")
+        )
+        .localCheckpoint(eager=True)
+    )
+    total_row = counts.agg((F.sum("squares") / 4).cast("long")).first()
+    total = int(total_row[0]) if total_row[0] is not None else 0
+    return SquareResult(counts, total)

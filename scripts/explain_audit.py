@@ -1604,6 +1604,42 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.entry_queries import cosupply_edges as _cosup
+    from arxiv_citation_graph_spark.plans.motifs import square_counts
+
+    sq_plan = plan_of(square_counts(spark, _cosup(spark, SF_DIR)).counts)
+    sections.append(
+        (
+            "Square (C4) census — diagonal identity, aggregate-only",
+            "No cycle ever materializes: the wedge-pair count groupBy "
+            "(x, y) shows a partial HashAggregate BEFORE its Exchange "
+            "(map-side combine absorbs repeated wedges), C(w,2) is one "
+            "integer DIV projection, and the per-vertex roll-up is again "
+            "a two-stage aggregate.  Cost is the wedge count — the exact-"
+            f"counting floor co-citation also pays.  [{exchange_count(sq_plan)}]",
+            condense(sq_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.simsearch import knn_graph
+
+    emb_tbl = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    knn_plan = plan_of(
+        knn_graph(emb_tbl, k=5, method="lsh", dims=64, n_planes=6)
+    )
+    sections.append(
+        (
+            "kNN graph (LSH) — signature equi-join, no cross join",
+            "Candidate generation is a SortMergeJoin/ShuffledHashJoin on "
+            "the hyperplane signature (never a CartesianProduct / "
+            "BroadcastNestedLoopJoin); the top-k window partitions by "
+            "query vertex; the pair collapse is one groupBy on the "
+            "canonical (src, dst) with map-side partials.  The plan a "
+            f"10^12-vector corpus needs.  [{exchange_count(knn_plan)}]",
+            condense(knn_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:

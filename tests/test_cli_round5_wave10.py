@@ -1,0 +1,72 @@
+"""CLI surface for the round-5 twentieth wave: squares / knn-graph."""
+
+from __future__ import annotations
+
+
+def _setup(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    return str(tmp_path / "wh")
+
+
+def test_cli_squares(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    edges_path = str(tmp_path / "edges_pq")
+    # C4 plus a pendant vertex
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("d", "e")],
+        ["src_id", "dst_id"],
+    ).write.parquet(edges_path)
+
+    assert cli.main(["squares", "--edges", edges_path, "--out", wh]) == 0
+    assert "5 vertices, 1 squares" in capsys.readouterr().out
+    got = {
+        r.vertex: r.squares
+        for r in SnapshotCatalog(wh).read(spark, "square_counts").collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 1, "e": 0}
+
+
+def test_cli_knn_graph(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    emb_path = str(tmp_path / "emb_pq")
+    rows = [
+        (0, [1.0, 0.0, 0.05]),
+        (1, [1.0, 0.02, 0.0]),
+        (2, [0.0, 1.0, 0.03]),
+        (3, [0.02, 1.0, 0.0]),
+        (4, [0.0, 0.04, 1.0]),
+        (5, [0.03, 0.0, 1.0]),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).write.parquet(emb_path)
+
+    assert cli.main(
+        ["knn-graph", "--embeddings", emb_path, "--out", wh,
+         "--k", "1", "--method", "brute"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "via brute, k=1" in out
+    got = {
+        (r.src_id, r.dst_id): r.mutual
+        for r in SnapshotCatalog(wh).read(spark, "knn_edges").collect()
+    }
+    # each cluster pair points at its mate -> three mutual edges
+    assert got == {(0, 1): True, (2, 3): True, (4, 5): True}
+
+    # mutual filter + lsh path both run end-to-end
+    assert cli.main(
+        ["knn-graph", "--embeddings", emb_path, "--out", wh,
+         "--k", "2", "--method", "lsh", "--dims", "3",
+         "--n-planes", "2", "--mutual"]
+    ) == 0
+    mut = SnapshotCatalog(wh).read(spark, "knn_edges")
+    assert mut.filter("NOT mutual").count() == 0

@@ -1,0 +1,181 @@
+"""Round-5 wave 20: per-vertex square (C4) counts and the kNN graph
+constructor (the similarity-tier -> graph-tier bridge)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- square_counts -----------------------------------------------------------
+
+
+def _squares_py(edges):
+    """Brute-force C4 census: for every 4-subset and every one of the 3
+    diagonal pairings {(a,b),(x,y)}, a square exists iff the four cycle
+    edges a-x, x-b, b-y, y-a are all present.  Returns per-vertex counts
+    over every vertex of the graph (0 included) and the total."""
+    adj = set()
+    verts = set()
+    for s, d in edges:
+        if s == d:
+            verts.add(s)
+            continue
+        adj.add((min(s, d), max(s, d)))
+        verts.update((s, d))
+
+    def has(x, y):
+        return (min(x, y), max(x, y)) in adj
+
+    counts = {v: 0 for v in verts}
+    total = 0
+    for quad in combinations(sorted(verts), 4):
+        a, b, c, d = quad
+        for (p, q), (x, y) in (((a, b), (c, d)), ((a, c), (b, d)), ((a, d), (b, c))):
+            if has(p, x) and has(x, q) and has(q, y) and has(y, p):
+                total += 1
+                for v in quad:
+                    counts[v] += 1
+    return counts, total
+
+
+def _run_squares(spark, edges):
+    from arxiv_citation_graph_spark.plans.motifs import square_counts
+
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    res = square_counts(spark, df)
+    return {r.vertex: r.squares for r in res.counts.collect()}, res.total
+
+
+def test_squares_c4_k4_and_k23(spark):
+    # plain 4-cycle: one square, every vertex in it
+    got, total = _run_squares(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 1} and total == 1
+    # K4: chords allowed -> three squares, each vertex in all three
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    got, total = _run_squares(spark, k4)
+    assert got == {v: 3 for v in "abcd"} and total == 3
+    # K2,3: 2-side vertices in all 3 squares, 3-side vertices in 2 each
+    k23 = [(a, x) for a in ("L0", "L1") for x in ("r0", "r1", "r2")]
+    got, total = _run_squares(spark, k23)
+    assert got == {"L0": 3, "L1": 3, "r0": 2, "r1": 2, "r2": 2} and total == 3
+
+
+def test_squares_none_on_trees_and_triangles(spark):
+    got, total = _run_squares(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert got == {"a": 0, "b": 0, "c": 0} and total == 0
+    star = [("hub", f"x{i}") for i in range(5)]
+    got, total = _run_squares(spark, star)
+    assert set(got.values()) == {0} and total == 0
+
+
+def test_squares_differential_vs_bruteforce(spark):
+    """Deterministic pseudo-random graph: engine == the 4-subset brute
+    force, duplicates/self-loops/reversed rows collapse first."""
+    import hashlib
+
+    verts = [f"v{i:02d}" for i in range(14)]
+    edges = []
+    for i, a in enumerate(verts):
+        for b in verts[i + 1 :]:
+            h = int(hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:4], 16)
+            if h % 5 < 2:  # ~40% density: plenty of squares
+                edges.append((a, b))
+    noisy = edges + [(b, a) for a, b in edges[:9]] + [("v00", "v00")]
+    got, total = _run_squares(spark, noisy)
+    want, want_total = _squares_py(noisy)
+    assert got == want
+    assert total == want_total
+
+
+# --- knn_graph ---------------------------------------------------------------
+
+
+def _toy_embeddings(spark):
+    # three tight clusters on coordinate axes + one outlier between them
+    rows = [
+        (0, [1.0, 0.0, 0.05]),
+        (1, [1.0, 0.02, 0.0]),
+        (2, [0.0, 1.0, 0.03]),
+        (3, [0.02, 1.0, 0.0]),
+        (4, [0.0, 0.04, 1.0]),
+        (5, [0.03, 0.0, 1.0]),
+        (6, [0.6, 0.6, 0.55]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_knn_graph_brute_union_and_mutual(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import (
+        brute_force_topk,
+        knn_graph,
+    )
+
+    emb = _toy_embeddings(spark)
+    g = knn_graph(emb, k=1, method="brute")
+    rows = {(r.src_id, r.dst_id): r.mutual for r in g.collect()}
+    # replay: union rule over the k=1 directed top-1
+    directed = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, emb, k=1).collect()
+    }
+    want = {}
+    for q, n in directed:
+        key = (min(q, n), max(q, n))
+        want[key] = key in want or (n, q) in directed
+    assert rows == {k: bool(v) for k, v in want.items()}
+    # cluster mates point at each other -> mutual; canonical src < dst
+    assert rows[(0, 1)] and rows[(2, 3)] and rows[(4, 5)]
+    assert all(s < d for s, d in rows)
+    # mutual=True filters to exactly the mutual subset
+    mutual_rows = {
+        (r.src_id, r.dst_id)
+        for r in knn_graph(emb, k=1, method="brute", mutual=True).collect()
+    }
+    assert mutual_rows == {k for k, v in rows.items() if v}
+
+
+def test_knn_graph_simsym_and_guards(spark):
+    from arxiv_citation_graph_spark.operators.simsearch import knn_graph
+
+    emb = _toy_embeddings(spark)
+    g = knn_graph(emb, k=3, method="brute").collect()
+    # cos_sim must be the symmetric per-pair score (max == the one value)
+    from arxiv_citation_graph_spark.operators.simsearch import brute_force_topk
+
+    directed = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in brute_force_topk(emb, emb, k=3).collect()
+    }
+    for r in g:
+        vals = [
+            directed.get((r.src_id, r.dst_id)),
+            directed.get((r.dst_id, r.src_id)),
+        ]
+        assert r.cos_sim in vals
+    with pytest.raises(ValueError, match="dims"):
+        knn_graph(emb, k=2, method="lsh")
+    with pytest.raises(ValueError, match="unknown"):
+        knn_graph(emb, k=2, method="exactish")
+    with pytest.raises(ValueError, match="brute_force_topk"):
+        knn_graph(emb, k=2, method="brute", max_vertices=3)
+
+
+def test_knn_graph_lsh_is_bucket_restricted_subset(spark):
+    """LSH candidates come only from signature-equal buckets, so the LSH
+    kNN graph is a subset of the brute graph's pair universe with the
+    same schema; every returned pair's similarity matches brute's score
+    for that pair."""
+    from arxiv_citation_graph_spark.operators.simsearch import knn_graph
+
+    emb = _toy_embeddings(spark)
+    brute_all = {
+        (r.src_id, r.dst_id): r.cos_sim
+        for r in knn_graph(emb, k=6, method="brute").collect()
+    }  # k=6 over 7 vectors = the complete scored pair universe
+    lsh = knn_graph(emb, k=2, method="lsh", dims=3, n_planes=2).collect()
+    for r in lsh:
+        assert (r.src_id, r.dst_id) in brute_all
+        assert r.cos_sim == brute_all[(r.src_id, r.dst_id)]
