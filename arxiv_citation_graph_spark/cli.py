@@ -630,6 +630,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mutual", action="store_true",
                    help="keep only bidirectional pairs (hubness filter)")
 
+    p = sub.add_parser(
+        "harmonic",
+        help="HyperBall approximate harmonic centrality for EVERY vertex "
+        "(FM ball sketches; 64 B/vertex state, diameter-many supersteps)",
+    )
+    p.add_argument("--edges", required=True, help="edges parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--max-hops", type=int, default=32)
+    p.add_argument("--directed", action="store_true",
+                   help="follow edge direction (default: symmetrize)")
+
     p = sub.add_parser("bench-corpus", help="write a deterministic synthetic docs corpus")
     p.add_argument("--n-docs", type=int, default=10000)
     p.add_argument("--seed", type=int, default=42)
@@ -1369,6 +1380,22 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"tri-signif: {sig.count()} vertices, "
             f"{hot} more clustered than the configuration-model null"
+        )
+        return 0
+
+    if args.cmd == "harmonic":
+        from arxiv_citation_graph_spark.plans.anf import approx_harmonic
+        from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+        e = spark.read.parquet(args.edges)
+        if not args.directed:
+            e = symmetrize(e)
+        res = approx_harmonic(spark, e, max_hops=args.max_hops)
+        catalog.create_or_replace("harmonic", res.scores)
+        print(
+            f"harmonic: {res.num_vertices} vertices, "
+            f"{res.report.iterations} supersteps "
+            f"({'converged' if res.report.converged else 'hop-capped'})"
         )
         return 0
 

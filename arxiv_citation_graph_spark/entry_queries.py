@@ -8080,6 +8080,56 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hyperball_sql(hops: int, r_cap: int) -> str:
+    """Unrolled HyperBall harmonic centrality (plans/anf.py::
+    approx_harmonic): the shared ANF sketch CTEs give per-hop per-vertex
+    ball estimates; harmonic = the shell-weighted series summed in hop
+    order (one IEEE divide per term — same association as the engine's
+    sequential accumulation, so the replay is bit-for-bit)."""
+    ctes = _anf_sketch_ctes(hops, r_cap)
+    for r in range(0, hops + 1):
+        ctes.append(
+            f"b{r} AS (SELECT vertex, CAST(sum(bit_count(s & (~(s + 1)))) AS BIGINT) AS S "
+            f"FROM g{r} GROUP BY vertex)"
+        )
+        ctes.append(
+            f"e{r} AS (SELECT vertex, power(2.0, CAST(S // 8 AS DOUBLE)) * "
+            f"{_ANF_FRAC_CASE} / 0.77351 AS est FROM b{r})"
+        )
+    terms = " + ".join(
+        f"(e{r}.est - e{r - 1}.est) / {float(r)!r}" for r in range(1, hops + 1)
+    )
+    joins = " ".join(
+        f"JOIN e{r} ON e{r}.vertex = e0.vertex" for r in range(1, hops + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT e0.vertex, round(e{hops}.est, 9) AS ball_est,
+       round({terms}, 9) AS harmonic
+FROM e0 {joins}"""
+    )
+
+
+@register("hyperball_harmonic", _hyperball_sql(_ANF_HOPS, _ANF_RCAP))
+def q_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality for EVERY vertex (Boldi & Vigna
+    2013; plans/anf.py::approx_harmonic): FM ball estimates accumulate
+    the shell series sum_h (|B(v,h)| - |B(v,h-1)|)/h on the ANF
+    superstep — fixed-hop parity mode, 5 hops over the symmetrized
+    co-supply graph."""
+    from arxiv_citation_graph_spark.plans.anf import approx_harmonic
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+    result = approx_harmonic(
+        spark,
+        symmetrize(cosupply_edges(spark, sf_dir)),
+        max_hops=_ANF_HOPS,
+        r_cap=_ANF_RCAP,
+        stop_on_converge=False,
+    )
+    return result.scores
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

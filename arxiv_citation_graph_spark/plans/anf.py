@@ -256,3 +256,165 @@ def neighborhood_function(
         adjacency.unpersist()
         vertices.unpersist()
     return AnfResult(sketches, function, eff, report, n, m)
+
+
+@dataclass
+class HarmonicResult:
+    scores: DataFrame  # (vertex, ball_est, harmonic)
+    report: SuperstepReport
+    num_vertices: int
+    num_edges: int
+
+
+def approx_harmonic(
+    spark: SparkSession,
+    edges: DataFrame,
+    k_sketches: int = 8,
+    max_hops: int = 32,
+    r_cap: int = 30,
+    stop_on_converge: bool = True,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_sketches: bool | None = None,
+) -> HarmonicResult:
+    """HyperBall harmonic centrality (Boldi & Vigna, "In-core
+    computation of geometric centralities with HyperBall", 2013):
+    approximate ``harmonic(v) = sum_w 1 / d(v, w)`` for EVERY vertex in
+    diameter-many supersteps — where the exact computation is all-pairs
+    BFS (the landmark estimator in ``plans/bfs.py::harmonic_closeness``
+    samples sources instead; this sketches ALL of them at 64 B/vertex).
+
+    Rides the ANF recurrence unchanged: per hop the FM sketch union
+    estimates the ball size ``|B(v, h)|``, and the centrality
+    accumulates the shell-weighted series
+
+        harmonic(v) += (|B(v, h)| - |B(v, h-1)|) / h
+
+    — two extra state DOUBLES on the same one-join-one-OR-aggregate
+    superstep (no new shuffle; the ball estimate is monotone, so every
+    shell term is >= 0).  Distances follow edge direction src -> dst
+    (``d(v, w)`` = forward distance); pass the REVERSED frame for the
+    classic incoming-distance centrality or a symmetrized one for
+    undirected graphs.
+
+    Determinism: sketches are the md5-seeded bit-for-bit ANF draws and
+    the shell series is accumulated in hop order with one IEEE divide
+    per term — the unrolled DuckDB oracle (entry_queries
+    ``hyperball_harmonic``) replays ball AND centrality exactly.
+    ``stop_on_converge=False`` runs exactly ``max_hops`` supersteps (the
+    fixed-hop oracle-parity mode); converged sketches stop changing, so
+    extra hops add zero shells.
+    """
+    if k_sketches != 8:
+        raise ValueError("k_sketches must be 8 (estimate tables are K=8)")
+    edges = edges.select("src_id", "dst_id").distinct()
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame(
+            [], "vertex string, ball_est double, harmonic double"
+        )
+        return HarmonicResult(empty, SuperstepReport(0, True), 0, 0)
+    parallelism = spark.sparkContext.defaultParallelism
+    adjacency = edges.repartition(parallelism, "dst_id").cache()
+    eagg = adjacency.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),
+    ).first()
+    m = int(eagg["m"])
+    edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
+    if broadcast_sketches is None:
+        broadcast_sketches = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_sketches else df
+
+    s_cols = [f"s{j}" for j in range(k_sketches)]
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        h = float(i + 1)
+        nbr = (
+            adjacency.join(
+                _mb(state.select("vertex", *s_cols)),
+                adjacency.dst_id == F.col("vertex"),
+            )
+            .groupBy("src_id")
+            .agg(*[F.expr(f"bit_or({c})").alias(f"n_{c}") for c in s_cols])
+        )
+        new_cols = [
+            (F.col(c).bitwiseOR(F.coalesce(F.col(f"n_{c}"), F.lit(0)))).alias(c)
+            for c in s_cols
+        ]
+        changed = F.greatest(
+            *[
+                (
+                    F.col(c).bitwiseOR(F.coalesce(F.col(f"n_{c}"), F.lit(0)))
+                    != F.col(c)
+                ).cast("int")
+                for c in s_cols
+            ]
+        )
+        merged = (
+            state.select("vertex", *s_cols, "est", "harm")
+            .join(nbr, F.col("vertex") == nbr.src_id, "left")
+            .select(
+                "vertex",
+                *new_cols,
+                F.col("est").alias("est_prev"),
+                "harm",
+                changed.cast("double").alias("delta"),
+            )
+            .select(
+                "vertex",
+                *s_cols,
+                _est_expr(k_sketches).alias("est"),
+                "est_prev",
+                "harm",
+                "delta",
+            )
+        )
+        return (
+            merged.select(
+                "vertex",
+                *s_cols,
+                "est",
+                (
+                    F.col("harm") + (F.col("est") - F.col("est_prev")) / F.lit(h)
+                ).alias("harm"),
+                "delta",
+            )
+        ), {"delta": F.sum("delta")}
+
+    initial = vertices.select(
+        "vertex",
+        *[_seed_sketch(j, r_cap).alias(f"s{j}") for j in range(k_sketches)],
+    ).select(
+        "vertex",
+        *s_cols,
+        _est_expr(k_sketches).alias("est"),
+        F.lit(0.0).alias("harm"),
+        F.lit(0.0).alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_hops,
+            tolerance=0.0 if stop_on_converge else None,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n, "n_edges": m, "edge_fp": edge_fp,
+                "kernel": "hyperball", "k": k_sketches, "r_cap": r_cap,
+            },
+        )
+        scores = final.select(
+            "vertex",
+            F.round("est", 9).alias("ball_est"),
+            F.round("harm", 9).alias("harmonic"),
+        ).localCheckpoint(eager=True)
+    finally:
+        adjacency.unpersist()
+        vertices.unpersist()
+    return HarmonicResult(scores, report, n, m)

@@ -1640,6 +1640,29 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.plans.anf import approx_harmonic
+    from arxiv_citation_graph_spark.plans.layout import symmetrize as _symz
+
+    hb_plan = plan_of(
+        approx_harmonic(
+            spark, _symz(_cosup(spark, SF_DIR)), max_hops=3,
+            stop_on_converge=False,
+        ).scores
+    )
+    sections.append(
+        (
+            "HyperBall harmonic centrality — ANF superstep + 2 doubles",
+            "The shell series rides the ANF OR-propagation unchanged: "
+            "per hop ONE equi-join against the dst-partitioned adjacency "
+            "and one bit_or aggregate with a map-side partial (idempotent "
+            "— hub skew combines before the shuffle), plus pure column "
+            "expressions for the ball estimate and the harmonic "
+            "accumulator.  State is 8 longs + 2 doubles per vertex.  "
+            f"[{exchange_count(hb_plan)}]",
+            condense(hb_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:

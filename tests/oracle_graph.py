@@ -487,3 +487,61 @@ def scc_kosaraju(edges: list[tuple[str, str]]) -> dict[str, str]:
         for v in vs:
             out[v] = mn
     return out
+
+
+def hyperball_det(
+    edges: list[tuple[str, str]],
+    hops: int,
+    k: int = 8,
+    r_cap: int = 30,
+) -> dict[str, tuple[float, float]]:
+    """Deterministic replay of plans/anf.py::approx_harmonic: the
+    anf_det sketch recurrence plus the hop-ordered shell accumulation
+    harmonic(v) += (est_h - est_{h-1}) / h.  Returns
+    {v: (ball_est at final hop, harmonic)} — must match Spark exactly
+    (both engines divide by the float hop and add in hop order)."""
+    import hashlib
+
+    es = sorted(set(edges))
+    verts = _vertex_index(es)
+    frac = (
+        1.0, 1.0905077326652577, 1.189207115002721, 1.2968395546510096,
+        1.4142135623730951, 1.5422108254079407, 1.681792830507429,
+        1.834008086409342,
+    )
+
+    def seed(v: str, j: int) -> int:
+        h = int(hashlib.md5(f"{v}:{j}".encode()).hexdigest()[:15], 16)
+        r = r_cap if h == 0 else min((h & -h).bit_length() - 1, r_cap)
+        return 1 << r
+
+    def lowest_zero(x: int) -> int:
+        p = 0
+        while x & (1 << p):
+            p += 1
+        return p
+
+    def est_of(sketches: list[int]) -> float:
+        s = sum(lowest_zero(x) for x in sketches)
+        return (2.0 ** (s // 8)) * frac[s % 8] / 0.77351
+
+    state = {v: [seed(v, j) for j in range(k)] for v in verts}
+    est = {v: est_of(sk) for v, sk in state.items()}
+    harm = {v: 0.0 for v in verts}
+    out: dict[str, list[str]] = defaultdict(list)
+    for s, d in es:
+        out[s].append(d)
+    for h in range(1, hops + 1):
+        new = {}
+        for v in verts:
+            sk = list(state[v])
+            for u in out.get(v, ()):
+                for j in range(k):
+                    sk[j] |= state[u][j]
+            new[v] = sk
+        state = new
+        for v in verts:
+            e = est_of(state[v])
+            harm[v] = harm[v] + (e - est[v]) / float(h)
+            est[v] = e
+    return {v: (est[v], harm[v]) for v in verts}

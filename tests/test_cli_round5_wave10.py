@@ -70,3 +70,22 @@ def test_cli_knn_graph(spark, tmp_path, monkeypatch, capsys):
     ) == 0
     mut = SnapshotCatalog(wh).read(spark, "knn_edges")
     assert mut.filter("NOT mutual").count() == 0
+
+
+def test_cli_harmonic(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    edges_path = str(tmp_path / "edges_pq")
+    star = [("hub", f"x{i}") for i in range(6)]
+    spark.createDataFrame(star, ["src_id", "dst_id"]).write.parquet(edges_path)
+
+    assert cli.main(["harmonic", "--edges", edges_path, "--out", wh]) == 0
+    out = capsys.readouterr().out
+    assert "7 vertices" in out and "converged" in out
+    got = {
+        r.vertex: r.harmonic
+        for r in SnapshotCatalog(wh).read(spark, "harmonic").collect()
+    }
+    assert max(got, key=lambda v: got[v]) == "hub"

@@ -1,0 +1,92 @@
+"""HyperBall approximate harmonic centrality (plans/anf.py::
+approx_harmonic) vs the deterministic sketch replay."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+from arxiv_citation_graph_spark.plans.anf import approx_harmonic
+from arxiv_citation_graph_spark.plans.layout import symmetrize
+from tests import oracle_graph
+
+GRAPHS = toy_graphs()
+
+
+def _sym(name: str) -> list[tuple[str, str]]:
+    es = GRAPHS[name]
+    return sorted(set(es) | {(d, s) for s, d in es})
+
+
+@pytest.mark.parametrize("name", ["twocomp", "star", "k4"])
+def test_hyperball_bitforbit_vs_replay(spark, name):
+    """Fixed-hop ball estimates AND the accumulated harmonic series
+    equal the python md5 replay exactly — the DuckDB-oracle claim."""
+    want = oracle_graph.hyperball_det(_sym(name), hops=4)
+    result = approx_harmonic(
+        spark, symmetrize(toy_edges_df(spark, name)), max_hops=4,
+        stop_on_converge=False,
+    )
+    got = {r.vertex: (r.ball_est, r.harmonic) for r in result.scores.collect()}
+    assert set(got) == set(want)
+    for v, (ball, harm) in want.items():
+        assert math.isclose(got[v][0], round(ball, 9), rel_tol=0, abs_tol=1e-9), (
+            name, v, "ball",
+        )
+        assert math.isclose(got[v][1], round(harm, 9), rel_tol=0, abs_tol=1e-9), (
+            name, v, "harmonic",
+        )
+
+
+def test_hyperball_star_ranks_hub_first(spark):
+    """On a symmetrized star the hub (all leaves at distance 1) must
+    out-score every leaf (hub at 1, other leaves at 2) — the ordering
+    sketch noise cannot flip at this scale."""
+    result = approx_harmonic(
+        spark, symmetrize(toy_edges_df(spark, "star")), max_hops=8
+    )
+    assert result.report.converged
+    got = {r.vertex: r.harmonic for r in result.scores.collect()}
+    hub = max(got, key=lambda v: got[v])
+    leaves = [v for v in got if v != hub]
+    assert all(got[hub] > got[v] for v in leaves)
+    # leaves are mutually symmetric: identical sketch-estimated scores?
+    # no — each leaf's ball draws its OWN seeds; but all must be positive
+    assert all(got[v] > 0 for v in leaves)
+
+
+def test_hyperball_directed_follows_edge_direction(spark):
+    """On the directed chain a->b->c: a reaches {b, c}, c reaches
+    nothing — harmonic(a) > harmonic(b) > harmonic(c) == 0."""
+    edges = [("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    want = oracle_graph.hyperball_det(edges, hops=3)
+    result = approx_harmonic(spark, df, max_hops=3, stop_on_converge=False)
+    got = {r.vertex: r.harmonic for r in result.scores.collect()}
+    for v in got:
+        assert math.isclose(got[v], round(want[v][1], 9), abs_tol=1e-9)
+    assert got["c"] == 0.0
+
+
+def test_hyperball_converges_and_shells_stop(spark):
+    """Convergence mode stops when sketches saturate; running MORE
+    fixed hops afterwards adds zero shell mass (same harmonic)."""
+    conv = approx_harmonic(
+        spark, symmetrize(toy_edges_df(spark, "twocomp")), max_hops=16
+    )
+    assert conv.report.converged
+    fixed = approx_harmonic(
+        spark, symmetrize(toy_edges_df(spark, "twocomp")), max_hops=8,
+        stop_on_converge=False,
+    )
+    a = {r.vertex: r.harmonic for r in conv.scores.collect()}
+    b = {r.vertex: r.harmonic for r in fixed.scores.collect()}
+    assert a == b
+
+
+def test_hyperball_validates_k(spark):
+    df = spark.createDataFrame([("a", "b")], ["src_id", "dst_id"])
+    with pytest.raises(ValueError, match="k_sketches"):
+        approx_harmonic(spark, df, k_sketches=4)
