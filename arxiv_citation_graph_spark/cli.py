@@ -631,6 +631,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="keep only bidirectional pairs (hubness filter)")
 
     p = sub.add_parser(
+        "heavy-hitters",
+        help="exact phi=1/m heavy hitters per key (batch twin of the "
+        "space-saving streaming summary)",
+    )
+    p.add_argument("--input", required=True, help="input parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--key-col", default="event_type")
+    p.add_argument("--elem-col", default="user_id")
+    p.add_argument("--m", type=int, default=64,
+                   help="threshold denominator: keep counts > total/m")
+
+    p = sub.add_parser(
         "harmonic",
         help="HyperBall approximate harmonic centrality for EVERY vertex "
         "(FM ball sketches; 64 B/vertex state, diameter-many supersteps)",
@@ -1381,6 +1393,18 @@ def main(argv: list[str] | None = None) -> int:
             f"tri-signif: {sig.count()} vertices, "
             f"{hot} more clustered than the configuration-model null"
         )
+        return 0
+
+    if args.cmd == "heavy-hitters":
+        from arxiv_citation_graph_spark.streaming.heavyhitters import (
+            heavy_hitters_batch,
+        )
+
+        hh = heavy_hitters_batch(
+            spark.read.parquet(args.input), args.key_col, args.elem_col, m=args.m
+        )
+        catalog.create_or_replace("heavy_hitters", hh)
+        print(f"heavy-hitters: {hh.count()} elem(s) clear total/{args.m}")
         return 0
 
     if args.cmd == "harmonic":

@@ -8130,6 +8130,36 @@ def q_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.scores
 
 
+_HH_M = 100
+
+HEAVY_HITTERS_SQL = f"""
+WITH c AS (
+  SELECT event_type AS key, CAST(user_id AS VARCHAR) AS elem,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT key, sum(n) AS total FROM c GROUP BY key)
+SELECT c.key, c.elem, CAST(c.n AS BIGINT) AS n_events
+FROM c JOIN t ON c.key = t.key
+WHERE c.n * {_HH_M} > t.total
+"""
+
+
+@register("heavy_hitters", HEAVY_HITTERS_SQL)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi = 1/100 heavy hitters per event type (streaming/
+    heavyhitters.py::heavy_hitters_batch) — the ground truth the
+    space-saving streaming summary is guaranteed to cover; two
+    combinable aggregates + one key-sized join."""
+    from arxiv_citation_graph_spark.streaming.heavyhitters import (
+        heavy_hitters_batch,
+    )
+
+    return heavy_hitters_batch(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", m=_HH_M
+    )
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

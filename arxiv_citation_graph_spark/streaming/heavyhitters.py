@@ -1,0 +1,163 @@
+"""Streaming heavy hitters: the space-saving summary as a custom
+stateful operator, with the exact phi-heavy-hitters batch twin.
+
+**Space-saving** (Metwally, Agrawal & El Abbadi, "Efficient computation
+of frequent and top-k elements in data streams", ICDT 2005): per key
+keep at most ``m`` counters ``(elem, est_count, err)``; a seen elem
+increments its counter, an unseen elem with the table full REPLACES the
+minimum counter, inheriting its count (+1) and recording that count as
+the new entry's overestimation error.  Guarantees (per key, N = events
+seen):
+
+- ``est_count >= true_count >= est_count - err`` for tracked elems;
+- every elem with ``true_count > N/m`` is IN the summary (so the
+  summary is a superset of the phi = 1/m heavy hitters);
+- state is O(m) per key, FOREVER — the whole point: the exact
+  aggregate needs |distinct| state, unbounded on a 100 TB clickstream.
+
+Streaming shape: one shuffle on the key into the state store
+(``applyInPandasWithState``, update mode, no timeout — the summary is
+bounded, nothing to evict).  Each micro-batch emits the key's CURRENT
+summary rows, so the sink always holds the latest estimate (the memory
+/ Delta "upsert by (key, elem)" pattern).
+
+Determinism: within a batch, per-key events are processed in
+``(seq, elem)`` order (``seq`` = a globally unique event id), and the
+evicted minimum is the lexicographically smallest ``(count, elem)``
+pair — replays are bit-identical.  Across batch boundaries the summary
+depends on arrival order wherever evictions happen (inherent to the
+sketch); when ``|distinct| <= m`` no eviction ever fires and the
+summary equals the exact counts regardless of order (the pytest parity
+regime).
+
+**Batch twin** ``heavy_hitters_batch``: the exact phi-heavy-hitters
+the stream approximates — per key, elems whose count clears
+``total/m`` — two combinable aggregates + one key-sized join (the
+driver-oracle query `heavy_hitters`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("elem", T.StringType(), False),
+        T.StructField("est_count", T.LongType(), False),
+        T.StructField("err", T.LongType(), False),
+    ]
+)
+
+HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("elems", T.ArrayType(T.StringType()), False),
+        T.StructField("counts", T.ArrayType(T.LongType()), False),
+        T.StructField("errs", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def _space_saving_fn(m: int):
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            elems, counts, errs = state.get
+            table: dict[str, list[int]] = {
+                e: [int(c), int(r)] for e, c, r in zip(elems, counts, errs)
+            }
+        else:
+            table = {}
+        for pdf in pdf_iter:
+            ordered = pdf.sort_values(["seq", "elem"], kind="mergesort")
+            for e in ordered["elem"].astype(str):
+                hit = table.get(e)
+                if hit is not None:
+                    hit[0] += 1
+                elif len(table) < m:
+                    table[e] = [1, 0]
+                else:
+                    ve, (vc, _) = min(
+                        table.items(), key=lambda kv: (kv[1][0], kv[0])
+                    )
+                    del table[ve]
+                    table[e] = [vc + 1, vc]
+        items = sorted(table.items())
+        state.update(
+            (
+                [e for e, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(items),
+                "elem": [e for e, _ in items],
+                "est_count": [v[0] for _, v in items],
+                "err": [v[1] for _, v in items],
+            }
+        )
+
+    return fn
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    elem_col: str = "user_id",
+    seq_col: str = "event_id",
+    m: int = 64,
+) -> DataFrame:
+    """events stream -> per-key space-saving summary stream
+    ``(key, elem, est_count, err)`` (update mode: each micro-batch
+    re-emits the key's current summary)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(elem_col).cast("string").alias("elem"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _space_saving_fn(m),
+        outputStructType=SUMMARY_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def heavy_hitters_batch(
+    events: DataFrame,
+    key_col: str = "event_type",
+    elem_col: str = "user_id",
+    m: int = 64,
+) -> DataFrame:
+    """Exact phi = 1/m heavy hitters: ``(key, elem, n_events)`` for
+    every elem whose per-key count strictly clears ``total/m``.
+
+    Two aggregates with map-side partials (the elem counts absorb
+    within-partition repetition before the shuffle) + one join against
+    the key-sized totals frame — the plan shape stays flat however
+    skewed the elem distribution is.  This is the ground truth the
+    space-saving summary is guaranteed to cover."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    c = (
+        events.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(elem_col).cast("string").alias("elem"),
+        )
+        .groupBy("key", "elem")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    totals = c.groupBy("key").agg(F.sum("n_events").alias("total"))
+    return (
+        c.join(totals, "key")
+        .filter(F.col("n_events") * m > F.col("total"))
+        .select("key", "elem", "n_events")
+    )

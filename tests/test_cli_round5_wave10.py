@@ -89,3 +89,27 @@ def test_cli_harmonic(spark, tmp_path, monkeypatch, capsys):
         for r in SnapshotCatalog(wh).read(spark, "harmonic").collect()
     }
     assert max(got, key=lambda v: got[v]) == "hub"
+
+
+def test_cli_heavy_hitters(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    inp = str(tmp_path / "ev_pq")
+    rows = [(i, "click", "whale") for i in range(60)] + [
+        (100 + i, "click", f"u{i}") for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id string"
+    ).write.parquet(inp)
+
+    assert cli.main(
+        ["heavy-hitters", "--input", inp, "--out", wh, "--m", "4"]
+    ) == 0
+    assert "clear total/4" in capsys.readouterr().out
+    got = {
+        (r.key, r.elem): r.n_events
+        for r in SnapshotCatalog(wh).read(spark, "heavy_hitters").collect()
+    }
+    assert got == {("click", "whale"): 60}

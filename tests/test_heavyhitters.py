@@ -1,0 +1,139 @@
+"""Streaming space-saving heavy hitters vs the exact batch twin
+(streaming/heavyhitters.py)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.streaming.events import run_stream_to_memory
+from arxiv_citation_graph_spark.streaming.heavyhitters import (
+    heavy_hitters_batch,
+    heavy_hitters_stream,
+)
+
+
+def _events(spark, rows):
+    # rows: (event_id, key, elem)
+    return spark.createDataFrame(
+        [(i, k, e) for i, k, e in rows],
+        "event_id long, event_type string, user_id string",
+    )
+
+
+def _zipfish(n=240):
+    """Deterministic skewed stream over two keys: elem j appears ~N/2^j."""
+    rows = []
+    i = 0
+    for key in ("click", "view"):
+        for j in range(8):
+            for _ in range(max(1, n >> (j + 1))):
+                rows.append((i, key, f"u{j:02d}"))
+                i += 1
+    return rows
+
+
+def _drain(spark, df, m, name):
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, user_id string"
+    ).parquet(df)
+    out = run_stream_to_memory(
+        spark,
+        heavy_hitters_stream(stream, m=m),
+        name,
+        output_mode="update",
+    )
+    # update mode re-emits summaries per batch; the LAST emission per
+    # (key, elem) is the current one — with a single availableNow batch
+    # the table already holds exactly one row per pair
+    return {(r.key, r.elem): (r.est_count, r.err) for r in out.collect()}
+
+
+def test_stream_exact_when_table_fits(spark, tmp_path):
+    rows = _zipfish()
+    src = str(tmp_path / "ev1")
+    _events(spark, rows).coalesce(1).write.parquet(src)
+    got = _drain(spark, src, m=64, name="hh_exact")  # 8 distinct << 64
+    true = Counter((k, e) for _, k, e in rows)
+    assert {p: c for p, (c, _) in got.items()} == dict(true)
+    assert all(err == 0 for _, err in got.values())
+
+
+def test_stream_guarantees_under_eviction(spark, tmp_path):
+    rows = _zipfish()
+    src = str(tmp_path / "ev2")
+    _events(spark, rows).coalesce(1).write.parquet(src)
+    m = 3
+    got = _drain(spark, src, m=m, name="hh_skew")
+    true = Counter((k, e) for _, k, e in rows)
+    per_key_n = Counter(k for _, k, _ in rows)
+    for key in ("click", "view"):
+        summary = {e: v for (k, e), v in got.items() if k == key}
+        assert len(summary) == m
+        # every phi=1/m heavy hitter is tracked
+        for (k, e), n in true.items():
+            if k == key and n * m > per_key_n[key]:
+                assert e in summary, (key, e, n)
+        # bounds: est >= true >= est - err
+        for e, (est, err) in summary.items():
+            t = true[(key, e)]
+            assert est >= t >= est - err, (key, e, est, err, t)
+
+
+def test_stream_deterministic_replay(spark, tmp_path):
+    rows = _zipfish()
+    src = str(tmp_path / "ev3")
+    _events(spark, rows).coalesce(1).write.parquet(src)
+    a = _drain(spark, src, m=4, name="hh_det_a")
+    b = _drain(spark, src, m=4, name="hh_det_b")
+    assert a == b
+
+
+def test_batch_twin_exact_threshold(spark):
+    rows = _zipfish()
+    df = _events(spark, rows)
+    got = {
+        (r.key, r.elem): r.n_events
+        for r in heavy_hitters_batch(df, m=4).collect()
+    }
+    true = Counter((k, e) for _, k, e in rows)
+    per_key_n = Counter(k for _, k, _ in rows)
+    want = {
+        (k, e): n for (k, e), n in true.items() if n * 4 > per_key_n[k]
+    }
+    assert got == want
+    assert len(got) > 0
+    # the summary covers the exact heavy hitters (the coverage guarantee)
+    with pytest.raises(ValueError, match="m must be"):
+        heavy_hitters_batch(df, m=0)
+    with pytest.raises(ValueError, match="m must be"):
+        heavy_hitters_stream(df, m=0)
+
+
+def test_batch_twin_on_driver_events_table(spark):
+    """The registered `heavy_hitters` query shape at the driver's sf:
+    per event_type, users clearing total/m — nonempty and consistent
+    with plain exact counts."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    path = f"{sf_dir}/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    ev = spark.read.parquet(path)
+    hh = heavy_hitters_batch(ev, "event_type", "user_id", m=100)
+    exact = (
+        ev.groupBy("event_type", F.col("user_id").cast("string").alias("elem"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = exact.groupBy("event_type").agg(F.sum("n").alias("t"))
+    want = {
+        (r.event_type, r.elem): r.n
+        for r in exact.join(tot, "event_type")
+        .filter(F.col("n") * 100 > F.col("t"))
+        .collect()
+    }
+    got = {(r.key, r.elem): r.n_events for r in hh.collect()}
+    assert got == want
