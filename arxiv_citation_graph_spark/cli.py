@@ -631,6 +631,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="keep only bidirectional pairs (hubness filter)")
 
     p = sub.add_parser(
+        "bowtie",
+        help="bow-tie decomposition (Broder 2000): CORE/IN/OUT/TENDRIL/"
+        "DISCONNECTED regions relative to the largest SCC",
+    )
+    p.add_argument("--edges", required=True, help="edges parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--max-iterations", type=int, default=256)
+
+    p = sub.add_parser(
         "heavy-hitters",
         help="exact phi=1/m heavy hitters per key (batch twin of the "
         "space-saving streaming summary)",
@@ -1392,6 +1401,29 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"tri-signif: {sig.count()} vertices, "
             f"{hot} more clustered than the configuration-model null"
+        )
+        return 0
+
+    if args.cmd == "bowtie":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.plans.bowtie import bowtie_decomposition
+
+        res = bowtie_decomposition(
+            spark, spark.read.parquet(args.edges),
+            max_iterations=args.max_iterations,
+        )
+        catalog.create_or_replace("bowtie", res.regions)
+        census = {
+            r.region: r.n
+            for r in res.regions.groupBy("region")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(
+            f"bowtie: core={res.core_label} " +
+            " ".join(f"{k}={census.get(k, 0)}" for k in
+                     ("CORE", "IN", "OUT", "TENDRIL", "DISCONNECTED"))
         )
         return 0
 

@@ -8160,6 +8160,70 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bowtie_sql(squarings: int = 7) -> str:
+    """Bow-tie oracle (plans/bowtie.py): reachability by squared
+    transitive closure (identity included, so ``squarings`` doublings
+    cover paths up to 2^squarings — 128 >> the 81-vertex seqsupply
+    graph), largest-SCC core by mutual reachability with the engine's
+    (count desc, label asc) tie-break, weak membership by the symmetric
+    closure's min label."""
+    ctes = [
+        f"seq AS MATERIALIZED ({EDGES_SEQSUPPLY_SQL})",
+        "e AS MATERIALIZED (SELECT DISTINCT src_id AS a, dst_id AS b FROM seq)",
+        "verts AS MATERIALIZED (SELECT a AS v FROM e UNION SELECT b FROM e)",
+        "r0 AS MATERIALIZED (SELECT a, b FROM e UNION SELECT v, v FROM verts)",
+        "s0 AS MATERIALIZED (SELECT a, b FROM r0 UNION SELECT b, a FROM r0)",
+    ]
+    for k in range(1, squarings + 1):
+        p = k - 1
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT DISTINCT x.a, y.b "
+            f"FROM r{p} x JOIN r{p} y ON x.b = y.a)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT DISTINCT x.a, y.b "
+            f"FROM s{p} x JOIN s{p} y ON x.b = y.a)"
+        )
+    R, S = f"r{squarings}", f"s{squarings}"
+    ctes += [
+        f"mutual AS MATERIALIZED (SELECT x.a AS v, x.b AS u FROM {R} x "
+        f"JOIN {R} y ON x.a = y.b AND x.b = y.a)",
+        "sccl AS MATERIALIZED (SELECT v, min(u) AS scc FROM mutual GROUP BY v)",
+        "core_lab AS (SELECT scc FROM (SELECT scc, count(*) AS n FROM sccl "
+        "GROUP BY scc) ORDER BY n DESC, scc LIMIT 1)",
+        "corem AS MATERIALIZED (SELECT v FROM sccl "
+        "WHERE scc = (SELECT scc FROM core_lab))",
+        f"outr AS MATERIALIZED (SELECT DISTINCT r.b AS v FROM {R} r "
+        f"JOIN corem c ON r.a = c.v)",
+        f"inr AS MATERIALIZED (SELECT DISTINCT r.a AS v FROM {R} r "
+        f"JOIN corem c ON r.b = c.v)",
+        f"wcc AS MATERIALIZED (SELECT a AS v, min(b) AS comp FROM {S} GROUP BY a)",
+        "corecomp AS (SELECT min(comp) AS comp FROM wcc "
+        "JOIN corem ON wcc.v = corem.v)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT w.v AS vertex,
+  CASE WHEN w.v IN (SELECT v FROM corem) THEN 'CORE'
+       WHEN w.v IN (SELECT v FROM outr) THEN 'OUT'
+       WHEN w.v IN (SELECT v FROM inr) THEN 'IN'
+       WHEN w.comp = (SELECT comp FROM corecomp) THEN 'TENDRIL'
+       ELSE 'DISCONNECTED' END AS region
+FROM wcc w"""
+    )
+
+
+@register("bowtie_regions", _bowtie_sql())
+def q_bowtie_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (Broder et al. 2000; plans/bowtie.py) of
+    the directed supplier-succession graph: CORE = largest SCC, IN/OUT
+    by two multi-source frontier floods, TENDRIL/DISCONNECTED by weak
+    membership."""
+    from arxiv_citation_graph_spark.plans.bowtie import bowtie_decomposition
+
+    return bowtie_decomposition(spark, seqsupply_edges(spark, sf_dir)).regions
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

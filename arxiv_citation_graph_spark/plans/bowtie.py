@@ -1,0 +1,148 @@
+"""Bow-tie decomposition of a directed graph (Broder et al., "Graph
+structure in the Web", WWW 2000).
+
+The canonical macro-structure measurement for web/citation graphs:
+relative to the LARGEST strongly connected component,
+
+- ``CORE``  — the largest SCC itself (ties broken by min SCC label,
+  the engine's deterministic convention);
+- ``IN``    — vertices that reach the core but are not in it;
+- ``OUT``   — vertices the core reaches that are not in it (a vertex
+  that both reaches and is reached by the core is mutually reachable
+  with it, hence IN the core — IN/OUT are disjoint by construction);
+- ``TENDRIL`` — same weak component as the core, none of the above
+  (Broder's tendrils AND tubes: attached to IN/OUT without touching
+  the core);
+- ``DISCONNECTED`` — a different weak component entirely.
+
+Composition of three existing kernels plus two directed floods:
+``strongly_connected_components`` (FW-BW-trim), a forward and a
+backward frontier BFS seeded by the whole core (multi-source — ONE
+flood each, not per-vertex), and ``connected_components`` for the weak
+membership.  Each flood round is one frontier-sized equi-join against
+the (re)partitioned arc table + an anti-join against the reached set —
+the SSSP frontier-delta shape; rounds = the graph's eccentricity from
+the core.  The only driver-side values are the core label and the
+core's weak-component label (one bounded ``first()`` each).
+
+Reference scope: the reference computes no graph statistic at all
+(SURVEY.md §1.1); this is the beyond-reference measurement tier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.components import connected_components
+from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.scc import strongly_connected_components
+
+REGIONS = ("CORE", "IN", "OUT", "TENDRIL", "DISCONNECTED")
+
+
+@dataclass
+class BowtieResult:
+    regions: DataFrame  # (vertex, region)
+    core_label: str | None  # SCC label of the core (min member id)
+    flood_rounds: int  # forward + backward flood rounds
+    num_vertices: int
+    num_edges: int
+
+
+def _flood(
+    edges_ab: DataFrame, seeds: DataFrame, max_iterations: int
+) -> tuple[DataFrame, int]:
+    """Vertices reachable from ``seeds`` following ``a -> b`` arcs
+    (seeds included).  Frontier BFS: per round ONE equi-join of the
+    frontier against the arc table + one anti-join against the reached
+    set; every materialized frame is |V|-bounded and lineage-cut."""
+    reached = seeds.select("vertex").distinct().localCheckpoint(eager=True)
+    frontier = reached
+    rounds = 0
+    for _ in range(max_iterations):
+        nxt = (
+            edges_ab.join(frontier, edges_ab.a == frontier.vertex)
+            .select(F.col("b").alias("vertex"))
+            .distinct()
+            .join(reached, "vertex", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        if nxt.isEmpty():
+            return reached, rounds
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    raise ValueError(
+        f"reachability flood did not converge in {max_iterations} rounds"
+    )
+
+
+def bowtie_decomposition(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 256,
+) -> BowtieResult:
+    """Per-vertex bow-tie region over the simple directed graph derived
+    from ``edges(src_id, dst_id)`` (duplicate arcs collapse; self-loops
+    are reachability no-ops and SCC singletons as usual)."""
+    e = edges.select("src_id", "dst_id").distinct()
+    vertices = vertices_of(e).localCheckpoint(eager=True)
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "vertex string, region string")
+        return BowtieResult(empty, None, 0, 0, 0)
+    m = e.count()
+    parallelism = spark.sparkContext.defaultParallelism
+    fwd_arcs = e.select(
+        F.col("src_id").alias("a"), F.col("dst_id").alias("b")
+    ).repartition(parallelism, "a").localCheckpoint(eager=True)
+    bwd_arcs = fwd_arcs.select(
+        F.col("b").alias("a"), F.col("a").alias("b")
+    ).repartition(parallelism, "a").localCheckpoint(eager=True)
+
+    scc = strongly_connected_components(
+        spark, e, max_iterations=max_iterations
+    ).components.localCheckpoint(eager=True)
+    top = (
+        scc.groupBy("scc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("scc"))
+        .first()
+    )
+    core_label = top["scc"]
+    core = (
+        scc.filter(F.col("scc") == core_label)
+        .select("vertex")
+        .localCheckpoint(eager=True)
+    )
+
+    fwd, r1 = _flood(fwd_arcs, core, max_iterations)  # core ->* v
+    bwd, r2 = _flood(bwd_arcs, core, max_iterations)  # v ->* core
+
+    wcc = connected_components(
+        spark, e, max_iterations=max_iterations
+    ).components
+    core_comp = (
+        wcc.join(core, "vertex").select("component").first()["component"]
+    )
+
+    regions = (
+        vertices.join(core.withColumn("_core", F.lit(True)), "vertex", "left")
+        .join(fwd.withColumn("_fwd", F.lit(True)), "vertex", "left")
+        .join(bwd.withColumn("_bwd", F.lit(True)), "vertex", "left")
+        .join(wcc, "vertex", "left")
+        .select(
+            "vertex",
+            F.when(F.col("_core"), F.lit("CORE"))
+            .when(F.col("_fwd"), F.lit("OUT"))
+            .when(F.col("_bwd"), F.lit("IN"))
+            .when(F.col("component") == core_comp, F.lit("TENDRIL"))
+            .otherwise(F.lit("DISCONNECTED"))
+            .alias("region"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return BowtieResult(regions, core_label, r1 + r2, n, m)

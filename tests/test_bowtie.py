@@ -1,0 +1,146 @@
+"""Bow-tie decomposition (plans/bowtie.py) vs hand-built fixtures and a
+Python reachability replay."""
+
+from __future__ import annotations
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.bowtie import bowtie_decomposition
+
+
+def _bowtie_py(edges):
+    """Reference decomposition: largest SCC (ties min label) via brute
+    reachability closure, then the five-region CASE."""
+    verts = sorted({v for e in edges for v in e})
+    reach = {v: {v} for v in verts}
+    changed = True
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    while changed:
+        changed = False
+        for v in verts:
+            new = set(reach[v])
+            for u in list(new):
+                new |= adj.get(u, set())
+            if new != reach[v]:
+                reach[v] = new
+                changed = True
+    sccl = {
+        v: min(u for u in verts if u in reach[v] and v in reach[u]) for v in verts
+    }
+    sizes: dict[str, int] = {}
+    for v, l in sccl.items():
+        sizes[l] = sizes.get(l, 0) + 1
+    core_label = min(
+        sizes, key=lambda l: (-sizes[l], l)
+    )
+    core = {v for v, l in sccl.items() if l == core_label}
+    # weak components
+    und = {}
+    for s, d in set(edges):
+        und.setdefault(s, set()).add(d)
+        und.setdefault(d, set()).add(s)
+    comp = {}
+    for v in verts:
+        if v in comp:
+            continue
+        stack, members = [v], set()
+        while stack:
+            x = stack.pop()
+            if x in members:
+                continue
+            members.add(x)
+            stack.extend(und.get(x, ()))
+        for x in members:
+            comp[x] = min(members)
+    core_comp = comp[min(core)]
+    out = {}
+    for v in verts:
+        if v in core:
+            out[v] = "CORE"
+        elif any(v in reach[c] for c in core):
+            out[v] = "OUT"
+        elif core & reach[v]:
+            out[v] = "IN"
+        elif comp[v] == core_comp:
+            out[v] = "TENDRIL"
+        else:
+            out[v] = "DISCONNECTED"
+    return out
+
+
+BOWTIE_FIXTURE = [
+    # core: 3-cycle
+    ("c1", "c2"), ("c2", "c3"), ("c3", "c1"),
+    # IN chain and OUT chain
+    ("i1", "i2"), ("i2", "c1"),
+    ("c2", "o1"), ("o1", "o2"),
+    # tendril hanging off IN; tube IN -> OUT bypassing the core
+    ("i1", "t1"),
+    ("i2", "tu"), ("tu", "o1"),
+    # disconnected pair
+    ("d1", "d2"),
+]
+
+
+def test_bowtie_classic_fixture(spark):
+    df = spark.createDataFrame(BOWTIE_FIXTURE, ["src_id", "dst_id"])
+    res = bowtie_decomposition(spark, df)
+    got = {r.vertex: r.region for r in res.regions.collect()}
+    assert got == {
+        "c1": "CORE", "c2": "CORE", "c3": "CORE",
+        "i1": "IN", "i2": "IN",
+        "o1": "OUT", "o2": "OUT",
+        "t1": "TENDRIL", "tu": "TENDRIL",
+        "d1": "DISCONNECTED", "d2": "DISCONNECTED",
+    }
+    assert got == _bowtie_py(BOWTIE_FIXTURE)
+    assert res.core_label == "c1"
+    assert res.num_vertices == 11
+
+
+def test_bowtie_core_tiebreak_and_acyclic(spark):
+    # two SCCs of equal size 2: min label wins the core
+    edges = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"), ("b", "x")]
+    res = bowtie_decomposition(spark, spark.createDataFrame(edges, ["src_id", "dst_id"]))
+    got = {r.vertex: r.region for r in res.regions.collect()}
+    assert res.core_label == "a"
+    assert got == {"a": "CORE", "b": "CORE", "x": "OUT", "y": "OUT"}
+    # pure DAG: every SCC is a singleton; core = min vertex id
+    dag = [("p", "q"), ("q", "r"), ("s", "q")]
+    res2 = bowtie_decomposition(spark, spark.createDataFrame(dag, ["src_id", "dst_id"]))
+    got2 = {r.vertex: r.region for r in res2.regions.collect()}
+    assert got2 == _bowtie_py(dag)
+    assert got2["p"] == "CORE" and got2["q"] == "OUT" and got2["r"] == "OUT"
+    # s reaches q but q is not core -> s is a tendril of p's component
+    assert got2["s"] == "TENDRIL"
+
+
+def test_bowtie_differential_random(spark):
+    import hashlib
+
+    verts = [f"v{i:02d}" for i in range(12)]
+    edges = []
+    for a in verts:
+        for b in verts:
+            if a == b:
+                continue
+            h = int(hashlib.md5(f"{a}>{b}".encode()).hexdigest()[:4], 16)
+            if h % 9 == 0:
+                edges.append((a, b))
+    res = bowtie_decomposition(spark, spark.createDataFrame(edges, ["src_id", "dst_id"]))
+    got = {r.vertex: r.region for r in res.regions.collect()}
+    assert got == _bowtie_py(edges)
+
+
+def test_bowtie_empty_and_flood_cap(spark):
+    empty = spark.createDataFrame([], "src_id string, dst_id string")
+    res = bowtie_decomposition(spark, empty)
+    assert res.regions.count() == 0 and res.core_label is None
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    with pytest.raises(ValueError, match="flood did not converge"):
+        bowtie_decomposition(
+            spark, spark.createDataFrame(chain, ["src_id", "dst_id"]),
+            max_iterations=2,
+        )

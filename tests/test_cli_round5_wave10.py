@@ -113,3 +113,25 @@ def test_cli_heavy_hitters(spark, tmp_path, monkeypatch, capsys):
         for r in SnapshotCatalog(wh).read(spark, "heavy_hitters").collect()
     }
     assert got == {("click", "whale"): 60}
+
+
+def test_cli_bowtie(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    edges_path = str(tmp_path / "bt_pq")
+    edges = [
+        ("c1", "c2"), ("c2", "c1"),  # core 2-cycle
+        ("i1", "c1"), ("c2", "o1"),
+    ]
+    spark.createDataFrame(edges, ["src_id", "dst_id"]).write.parquet(edges_path)
+
+    assert cli.main(["bowtie", "--edges", edges_path, "--out", wh]) == 0
+    out = capsys.readouterr().out
+    assert "core=c1" in out and "CORE=2 IN=1 OUT=1" in out
+    got = {
+        r.vertex: r.region
+        for r in SnapshotCatalog(wh).read(spark, "bowtie").collect()
+    }
+    assert got == {"c1": "CORE", "c2": "CORE", "i1": "IN", "o1": "OUT"}
