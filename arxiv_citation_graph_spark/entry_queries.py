@@ -8224,6 +8224,42 @@ def q_bowtie_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie_decomposition(spark, seqsupply_edges(spark, sf_dir)).regions
 
 
+#: warm-ANF oracle unroll depth: the engine converges in ~4 hops on the
+#: symmetrized co-supply graph at sf0.01 (pytest-pinned 2x margin in
+#: tests/test_anf.py::test_anf_warm_oracle_margin); 12 fixed hops past
+#: saturation equal the converged fixpoint bit-for-bit.
+_ANF_WARM_ORACLE_HOPS = 12
+
+
+@register("anf_sketches_warm", _anf_sketches_sql(_ANF_WARM_ORACLE_HOPS, _ANF_RCAP))
+def q_anf_sketches_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-append ANF: converge on a deterministic edge SUBSET (one
+    md5 bucket of edges withheld), then warm-start the full graph from
+    the prior raw FM registers (plans/anf.py warm_start_append_only —
+    OR-mergeable, monotone, exact).  The oracle is the FRESH full-graph
+    fixed-hop SQL: warm == fresh is precisely the claim."""
+    from arxiv_citation_graph_spark.plans.anf import neighborhood_function
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+    full = symmetrize(cosupply_edges(spark, sf_dir))
+    sub = full.filter(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "src_id", "dst_id")), 1, 4), 16, 10
+        ).cast("long")
+        % 16
+        != 0
+    )
+    prior = neighborhood_function(spark, sub, max_hops=64, r_cap=_ANF_RCAP)
+    warm = neighborhood_function(
+        spark,
+        full,
+        max_hops=64,
+        r_cap=_ANF_RCAP,
+        warm_start_append_only=prior.raw_sketches,
+    )
+    return warm.sketches.select("vertex", "b_sum", F.round("est", 9).alias("est"))
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

@@ -85,6 +85,9 @@ class AnfResult:
     report: SuperstepReport
     num_vertices: int
     num_edges: int
+    #: (vertex, s0..s7) raw FM registers — the mergeable state a
+    #: daily-append warm start re-seeds from (None on the empty graph)
+    raw_sketches: DataFrame | None = None
 
 
 def _seed_sketch(j: int, r_cap: int) -> Column:
@@ -135,11 +138,28 @@ def neighborhood_function(
     store: CheckpointStore | None = None,
     resume: bool = False,
     broadcast_sketches: bool | None = None,
+    warm_start_append_only: DataFrame | None = None,
 ) -> AnfResult:
     """ANF over ``edges(src_id, dst_id)``: per hop, the estimated number
     of (source, reachable-vertex) pairs within that many hops, following
     edge direction src -> dst (pass a symmetrized frame for the
     undirected form).  Runs until no sketch changes or ``max_hops``.
+
+    ``warm_start_append_only``: prior ``raw_sketches`` frame
+    ``(vertex, s0..s7)`` from a run on a SUBGRAPH of this graph (the
+    daily-append mode).  FM registers are OR-mergeable and monotone, so
+    seeding each surviving vertex with ``prior | fresh_seed`` keeps the
+    invariant ``seed ⊆ state ⊆ fixpoint`` and the loop converges to the
+    EXACT fresh fixpoint — in rounds ~ how far the new edges' influence
+    travels, not the full diameter.  Exactness requires append-only
+    growth (an edge REMOVAL would need registers to forget, which OR
+    cannot); vertices absent from the prior frame get fresh seeds.  In
+    warm mode the per-hop ``function`` trace is the incremental
+    saturation curve (NOT the neighborhood function N(h)) and
+    ``effective_diameter`` is None — warm runs answer "what are the
+    saturated reachability sketches now", not "what is the hop curve".
+    Mutually exclusive with ``resume`` (the checkpoint-continuation of
+    the SAME run).
 
     ``function[h]`` includes self-reachability (hop 0 estimates ~|V|);
     ``effective_diameter`` is the smallest hop whose estimate reaches
@@ -153,6 +173,12 @@ def neighborhood_function(
     """
     if k_sketches != 8:
         raise ValueError("k_sketches must be 8 (estimate tables are K=8)")
+    if warm_start_append_only is not None and resume:
+        raise ValueError(
+            "warm_start_append_only and resume are mutually exclusive: "
+            "resume continues the SAME graph's checkpointed run; warm "
+            "start seeds a NEW (appended) graph's run from prior sketches"
+        )
     edges = edges.select("src_id", "dst_id").distinct()
     vertices = vertices_of(edges).cache()
     n = vertices.count()
@@ -215,6 +241,26 @@ def neighborhood_function(
         *[_seed_sketch(j, r_cap).alias(f"s{j}") for j in range(k_sketches)],
         F.lit(0.0).alias("delta"),
     )
+    if warm_start_append_only is not None:
+        prior = warm_start_append_only.select(
+            "vertex", *[F.col(c).alias(f"w_{c}") for c in s_cols]
+        )
+        bad = prior.filter(
+            F.greatest(*[F.col(f"w_{c}").isNull() for c in s_cols])
+            | F.col("vertex").isNull()
+        ).limit(1).count()
+        if bad:
+            raise ValueError("warm_start_append_only has null vertex/registers")
+        # prior | fresh seed: monotone lower bound on the new fixpoint;
+        # prior rows for vertices no longer in the graph drop (left join)
+        initial = initial.join(prior, "vertex", "left").select(
+            "vertex",
+            *[
+                F.col(c).bitwiseOR(F.coalesce(F.col(f"w_{c}"), F.lit(0))).alias(c)
+                for c in s_cols
+            ],
+            "delta",
+        )
     try:
         final, report = run_supersteps(
             spark,
@@ -246,16 +292,17 @@ def neighborhood_function(
         if not function or function[-1][0] != last_hop:
             function.append((last_hop, float(last["e"])))
         eff: int | None = None
-        if report.converged and function:
+        if warm_start_append_only is None and report.converged and function:
             target = 0.9 * function[-1][1]
             for hop, est in function:
                 if est >= target:
                     eff = hop
                     break
+        raw = final.select("vertex", *s_cols)
     finally:
         adjacency.unpersist()
         vertices.unpersist()
-    return AnfResult(sketches, function, eff, report, n, m)
+    return AnfResult(sketches, function, eff, report, n, m, raw)
 
 
 @dataclass

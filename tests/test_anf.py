@@ -98,3 +98,103 @@ def test_anf_empty_graph(spark):
     assert result.num_vertices == 0
     assert result.sketches.count() == 0
     assert result.effective_diameter is None
+
+
+# --- daily-append warm start (round-5 wave 24) ------------------------------
+
+
+def _path_sym(prefix: str, n: int) -> list[tuple[str, str]]:
+    und = [(f"{prefix}{i:02d}", f"{prefix}{i + 1:02d}") for i in range(n - 1)]
+    return und + [(d, s) for s, d in und]
+
+
+def test_anf_warm_start_appended_exact(spark):
+    """OR-mergeable registers: seeding the appended graph's run with the
+    prior raw sketches lands on the EXACT fresh fixpoint (bit-for-bit
+    b_sum) in no more supersteps — usually far fewer, because the new
+    seeds' influence wave dies wherever every register bit is already
+    set."""
+    base_edges = _path_sym("p", 16)
+    base = spark.createDataFrame(base_edges, ["src_id", "dst_id"])
+    prior = neighborhood_function(spark, base, max_hops=64)
+    assert prior.report.converged
+    assert prior.raw_sketches is not None
+
+    appended = base_edges + [("p15", "q00"), ("q00", "p15"), ("q00", "q01"), ("q01", "q00")]
+    e2 = spark.createDataFrame(appended, ["src_id", "dst_id"])
+    fresh = neighborhood_function(spark, e2, max_hops=64)
+    warm = neighborhood_function(
+        spark, e2, max_hops=64, warm_start_append_only=prior.raw_sketches
+    )
+    assert fresh.report.converged and warm.report.converged
+    f = {r.vertex: (r.b_sum, r.est) for r in fresh.sketches.collect()}
+    w = {r.vertex: (r.b_sum, r.est) for r in warm.sketches.collect()}
+    assert w == f
+    assert warm.report.iterations <= fresh.report.iterations
+    # warm mode answers sketches, not the hop curve
+    assert warm.effective_diameter is None
+    assert fresh.effective_diameter is not None
+
+
+def test_anf_warm_start_cuts_supersteps_on_long_path(spark):
+    """Fresh runs pay the full path diameter; a warm re-run of the SAME
+    graph (the no-op append) must verify saturation in one superstep."""
+    base = spark.createDataFrame(_path_sym("n", 20), ["src_id", "dst_id"])
+    prior = neighborhood_function(spark, base, max_hops=64)
+    warm = neighborhood_function(
+        spark, base, max_hops=64, warm_start_append_only=prior.raw_sketches
+    )
+    f = {r.vertex: r.b_sum for r in prior.sketches.collect()}
+    w = {r.vertex: r.b_sum for r in warm.sketches.collect()}
+    assert w == f
+    assert warm.report.iterations == 1
+    assert prior.report.iterations > 3
+
+
+def test_anf_warm_start_validation(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    df = spark.createDataFrame([("a", "b")], ["src_id", "dst_id"])
+    seed = spark.createDataFrame(
+        [("a", *[1] * 8)],
+        "vertex string, s0 long, s1 long, s2 long, s3 long, "
+        "s4 long, s5 long, s6 long, s7 long",
+    )
+    store = CheckpointStore(str(tmp_path / "anfws"), "anfws")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        neighborhood_function(
+            spark, df, store=store, resume=True, warm_start_append_only=seed
+        )
+    nullish = spark.createDataFrame(
+        [(None, *[1] * 8)],
+        "vertex string, s0 long, s1 long, s2 long, s3 long, "
+        "s4 long, s5 long, s6 long, s7 long",
+    )
+    with pytest.raises(ValueError, match="null"):
+        neighborhood_function(spark, df, warm_start_append_only=nullish)
+
+
+def test_anf_warm_oracle_margin(spark):
+    """The `anf_sketches_warm` oracle unrolls a FIXED 12 hops while the
+    engine converges; pin a >=2x margin on the driver graph so the
+    oracle can never silently truncate (the _BFS_ORACLE_ROUNDS
+    convention)."""
+    import os
+
+    from arxiv_citation_graph_spark.entry_queries import (
+        _ANF_WARM_ORACLE_HOPS,
+        cosupply_edges,
+    )
+    from arxiv_citation_graph_spark.plans.layout import symmetrize as symz
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        pytest.skip("driver testdata not present")
+    fresh = neighborhood_function(
+        spark, symz(cosupply_edges(spark, sf_dir)), max_hops=64
+    )
+    assert fresh.report.converged
+    assert fresh.report.iterations * 2 <= _ANF_WARM_ORACLE_HOPS, (
+        f"ANF converged in {fresh.report.iterations} hops; oracle "
+        f"unrolls {_ANF_WARM_ORACLE_HOPS} — margin below 2x"
+    )
