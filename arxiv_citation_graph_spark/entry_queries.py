@@ -8260,6 +8260,135 @@ def q_anf_sketches_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warm.sketches.select("vertex", "b_sum", F.round("est", 9).alias("est"))
 
 
+def _synthetic_code_docs(docs: DataFrame) -> DataFrame:
+    """documents -> deterministic 5-language source-code corpus
+    ``docs(repo, path, commit, lang, content)`` (the `_synthetic_tex_docs`
+    convention, aimed at operators/imports.py): each file carries known
+    imports (incl. a duplicate and commented-out negatives), so the
+    oracle is the closed-form expected import table."""
+    d = F.col("doc_id")
+    a = (d % 40).cast("string")
+    b = (d % 30).cast("string")
+    c = (d % 20).cast("string")
+    py = F.concat(
+        F.lit('"""mod"""\nimport numpy\nimport pkg'), a,
+        F.lit(".core as pc\nimport numpy\nfrom pkg"), b,
+        F.lit(".utils import helper\n# import commented_out\n"),
+    )
+    js = F.concat(
+        F.lit('import {x} from "lib'), a,
+        F.lit("\";\nconst y = require('util"), b,
+        F.lit("');\nimport \"side"), c,
+        F.lit('";\n// plain comment line\n'),
+    )
+    go = F.concat(
+        F.lit('package main\nimport "fmt"\nimport "example.com/repo'), a,
+        F.lit('/pkg"\nfunc main() {}\n'),
+    )
+    java = F.concat(
+        F.lit("package com.x;\nimport java.util.List;\nimport static org.lib"),
+        a,
+        F.lit(".Util.max;\nimport com.dep"), b,
+        F.lit(".Client;\n"),
+    )
+    cc = F.concat(
+        F.lit('#include <stdio.h>\n#include "local'), a,
+        F.lit('.h"\nint main() { return 0; }\n'),
+    )
+    m = (d % 5).cast("int")
+    lang = F.element_at(
+        F.array(
+            F.lit("python"), F.lit("javascript"), F.lit("go"),
+            F.lit("java"), F.lit("c"),
+        ),
+        m + 1,
+    )
+    path = F.element_at(
+        F.array(
+            F.lit("main.py"), F.lit("index.js"), F.lit("main.go"),
+            F.lit("Main.java"), F.lit("main.c"),
+        ),
+        m + 1,
+    )
+    content = (
+        F.when(m == 0, py)
+        .when(m == 1, js)
+        .when(m == 2, go)
+        .when(m == 3, java)
+        .otherwise(cc)
+    )
+    return docs.select(
+        F.concat(F.lit("doc"), d.cast("string")).alias("repo"),
+        path.alias("path"),
+        F.lit("c0").alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+#: closed-form expected import table of the synthetic code corpus
+#: (reused by the dependency-edge oracle below)
+CODE_IMPORTS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 40 AS VARCHAR) AS a,
+         CAST(doc_id % 30 AS VARCHAR) AS b,
+         CAST(doc_id % 20 AS VARCHAR) AS c,
+         doc_id % 5 AS m
+  FROM documents
+),
+rows AS (
+  SELECT doc_id, 'python' AS lang, 1 AS n, 'numpy' AS module FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 'python', 2, 'pkg' || a || '.core' FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 'python', 3, 'numpy' FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 'python', 4, 'pkg' || b || '.utils' FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 'javascript', 1, 'lib' || a FROM d WHERE m = 1
+  UNION ALL SELECT doc_id, 'javascript', 2, 'util' || b FROM d WHERE m = 1
+  UNION ALL SELECT doc_id, 'javascript', 3, 'side' || c FROM d WHERE m = 1
+  UNION ALL SELECT doc_id, 'go', 1, 'fmt' FROM d WHERE m = 2
+  UNION ALL SELECT doc_id, 'go', 2, 'example.com/repo' || a || '/pkg' FROM d WHERE m = 2
+  UNION ALL SELECT doc_id, 'java', 1, 'java.util.List' FROM d WHERE m = 3
+  UNION ALL SELECT doc_id, 'java', 2, 'org.lib' || a || '.Util.max' FROM d WHERE m = 3
+  UNION ALL SELECT doc_id, 'java', 3, 'com.dep' || b || '.Client' FROM d WHERE m = 3
+  UNION ALL SELECT doc_id, 'c', 1, 'stdio.h' FROM d WHERE m = 4
+  UNION ALL SELECT doc_id, 'c', 2, 'local' || a || '.h' FROM d WHERE m = 4
+)
+SELECT 'doc' || CAST(doc_id AS VARCHAR) AS repo, lang,
+       CAST(n AS INT) AS import_num, module
+FROM rows
+"""
+
+
+@register("code_imports", CODE_IMPORTS_SQL)
+def q_code_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-dispatched code-import extraction (operators/imports.py)
+    over the deterministic 5-language corpus: JVM regexp_extract_all
+    only (no Python in the hot path), pattern-major import_num, the
+    duplicate `import numpy` kept (multiplicity preserved pre-dedup),
+    commented-out imports excluded by the line anchor."""
+    from arxiv_citation_graph_spark.operators.imports import extract_imports
+
+    return extract_imports(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"))
+    ).select("repo", "lang", "import_num", "module")
+
+
+DEPENDENCY_EDGES_SQL = f"""
+SELECT DISTINCT repo AS src_id, module AS dst_id
+FROM ({CODE_IMPORTS_SQL})
+"""
+
+
+@register("dependency_edges", DEPENDENCY_EDGES_SQL)
+def q_dependency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated repo -> module dependency edge table (the code-corpus
+    analog of the citation edge table; X3 dedup contract — the python
+    files' duplicate numpy import collapses to one edge)."""
+    from arxiv_citation_graph_spark.operators.imports import dependency_edges
+
+    return dependency_edges(_synthetic_code_docs(_t(spark, sf_dir, "documents")))
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

@@ -1,0 +1,106 @@
+"""Code-import dependency extraction over a source-code corpus.
+
+The north-star input is an Iceberg table of SOURCE-CODE repositories
+``docs(repo, path, commit, lang, content)`` (BASELINE.json
+``input_hint``); the reference pipeline extracts citation edges from
+TeX bibliographies (`create_database.py:530-587`), and this operator is
+the same edge-extraction shape for code: per file, language-dispatched
+extraction of imported module identifiers, then a deduplicated
+repo -> module dependency edge table any graph kernel in the engine
+runs on (PageRank = most-depended-on modules, CC = dependency islands,
+bow-tie = the import macro-structure, ...).
+
+Spark-first: the whole extraction is JVM-side ``regexp_extract_all``
+inside whole-stage codegen — NO Python in the hot path (unlike the TeX
+extractor, which keeps pandas ``re`` for bit-parity with the
+reference's quirky patterns; here there is no reference to mirror, so
+the fast path wins).  One ``posexplode`` per file fuses into the scan.
+
+Lexer honesty: these are line-anchored REGEX extractors (the standard
+corpus-mining approximation), not parsers —
+
+- python: ``^import a.b`` (first module of a comma list) and
+  ``^from a.b import``;
+- javascript/typescript: ``from "mod"`` / ``require("mod")`` / bare
+  ``^import "mod"``;
+- go: single-line ``^import "path"`` (parenthesized import BLOCKS are
+  not walked);
+- java: ``^import [static] a.b.C;``;
+- c/c++: ``^#include <x.h>`` or ``"x.h"``.
+
+Commented-out imports at line start (``# import``, ``// import``) are
+excluded by the ``^`` anchor; mid-line strings that look like imports
+can false-positive, as in every regex-based dependency miner.
+
+``import_num`` numbers a file's imports in (pattern-major, then text)
+order — deterministic and engine-replayable; like the reference's
+``reference_num`` it is a stable ordinal, not a source line number
+(SURVEY.md §2.4 X2 documents the same caveat for citations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: language -> ordered extraction patterns (group 1 = the module);
+#: (?m) makes ^ line-anchored in both Java regex and RE2
+LANG_PATTERNS: dict[str, tuple[str, ...]] = {
+    "python": (
+        r"(?m)^import\s+([\w.]+)",
+        r"(?m)^from\s+([\w.]+)\s+import\b",
+    ),
+    "javascript": (
+        r"""from\s+["']([^"']+)["']""",
+        r"""require\(\s*["']([^"']+)["']\s*\)""",
+        r"""(?m)^import\s+["']([^"']+)["']""",
+    ),
+    "go": (r'(?m)^import\s+"([^"]+)"',),
+    "java": (r"(?m)^import\s+(?:static\s+)?([\w.]+)\s*;",),
+    "c": (r'(?m)^#include\s*[<"]([^>"]+)[>"]',),
+}
+
+
+def _modules_expr(content: Column, lang: Column) -> Column:
+    """Array of imported modules for the row's language (empty for
+    unknown languages), pattern-major order."""
+    expr = F.array().cast("array<string>")
+    for name, patterns in LANG_PATTERNS.items():
+        arrays = [
+            F.regexp_extract_all(content, F.lit(p), 1) for p in patterns
+        ]
+        combined = arrays[0]
+        for a in arrays[1:]:
+            combined = F.concat(combined, a)
+        expr = F.when(lang == name, combined).otherwise(expr)
+    return expr
+
+
+def extract_imports(docs: DataFrame) -> DataFrame:
+    """``docs(repo, path, lang, content)`` -> one row per extracted
+    import: ``(repo, path, lang, import_num, module)`` (1-based,
+    pattern-major order; files without imports emit nothing)."""
+    mods = _modules_expr(F.col("content"), F.col("lang"))
+    return docs.select(
+        "repo",
+        "path",
+        "lang",
+        F.posexplode(mods).alias("pos", "module"),
+    ).select(
+        "repo",
+        "path",
+        "lang",
+        (F.col("pos") + 1).cast("int").alias("import_num"),
+        "module",
+    )
+
+
+def dependency_edges(docs: DataFrame) -> DataFrame:
+    """Deduplicated repo-level dependency edge table
+    ``(src_id = repo, dst_id = imported module)`` — the code-corpus
+    analog of the citation edge table (X3's dropDuplicates contract)."""
+    return (
+        extract_imports(docs)
+        .select(F.col("repo").alias("src_id"), F.col("module").alias("dst_id"))
+        .distinct()
+    )
