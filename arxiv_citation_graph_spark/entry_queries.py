@@ -8389,6 +8389,225 @@ def q_dependency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dependency_edges(_synthetic_code_docs(_t(spark, sf_dir, "documents")))
 
 
+#: DuckDB reconstruction of `_synthetic_code_docs` (repo, path, lang,
+#: content) — the shared input CTE for every code-payload oracle that
+#: computes over the CONTENT (quality stats, winnowing) rather than a
+#: closed-form expected table
+CODE_DOCS_SQL = """
+WITH dd AS (
+  SELECT doc_id,
+         CAST(doc_id % 40 AS VARCHAR) AS a,
+         CAST(doc_id % 30 AS VARCHAR) AS b,
+         CAST(doc_id % 20 AS VARCHAR) AS c,
+         doc_id % 5 AS m
+  FROM documents
+)
+SELECT 'doc' || CAST(doc_id AS VARCHAR) AS repo,
+       CASE m WHEN 0 THEN 'main.py' WHEN 1 THEN 'index.js' WHEN 2 THEN 'main.go'
+              WHEN 3 THEN 'Main.java' ELSE 'main.c' END AS path,
+       CASE m WHEN 0 THEN 'python' WHEN 1 THEN 'javascript' WHEN 2 THEN 'go'
+              WHEN 3 THEN 'java' ELSE 'c' END AS lang,
+       CASE m
+         WHEN 0 THEN '\"\"\"mod\"\"\"' || chr(10) || 'import numpy' || chr(10)
+              || 'import pkg' || a || '.core as pc' || chr(10)
+              || 'import numpy' || chr(10)
+              || 'from pkg' || b || '.utils import helper' || chr(10)
+              || '# import commented_out' || chr(10)
+         WHEN 1 THEN 'import {x} from \"lib' || a || '\";' || chr(10)
+              || 'const y = require(''util' || b || ''');' || chr(10)
+              || 'import \"side' || c || '\";' || chr(10)
+              || '// plain comment line' || chr(10)
+         WHEN 2 THEN 'package main' || chr(10) || 'import \"fmt\"' || chr(10)
+              || 'import \"example.com/repo' || a || '/pkg\"' || chr(10)
+              || 'func main() {}' || chr(10)
+         WHEN 3 THEN 'package com.x;' || chr(10)
+              || 'import java.util.List;' || chr(10)
+              || 'import static org.lib' || a || '.Util.max;' || chr(10)
+              || 'import com.dep' || b || '.Client;' || chr(10)
+         ELSE '#include <stdio.h>' || chr(10)
+              || '#include \"local' || a || '.h\"' || chr(10)
+              || 'int main() { return 0; }' || chr(10)
+       END AS content
+FROM dd
+"""
+
+
+CODE_QUALITY_SQL = f"""
+WITH codedocs AS ({CODE_DOCS_SQL}),
+s AS (
+  SELECT repo, path, lang, content,
+         len(string_split(content, chr(10))) AS nl,
+         length(content) AS clen,
+         list_max(list_transform(string_split(content, chr(10)),
+                                 x -> length(x))) AS mll
+  FROM codedocs
+),
+stats AS (
+  SELECT repo, path, lang,
+         CAST(nl AS INT) AS n_lines,
+         CAST(mll AS INT) AS max_line_len,
+         round(CAST(clen - (nl - 1) AS DOUBLE) / nl, 6) AS avg_line_len,
+         CASE WHEN clen > 0 THEN round(CAST(length(regexp_replace(
+                content, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / clen, 6)
+              ELSE 0.0 END AS alnum_frac,
+         (contains(lower(content), 'auto-generated')
+          OR contains(lower(content), 'autogenerated')
+          OR contains(lower(content), 'do not edit')) AS autogen
+  FROM s
+)
+SELECT repo, path, lang, n_lines, max_line_len, avg_line_len, alnum_frac,
+       autogen,
+       (max_line_len <= 1000 AND avg_line_len <= 100.0
+        AND alnum_frac >= 0.25 AND NOT autogen) AS keep
+FROM stats
+"""
+
+
+@register("code_quality", CODE_QUALITY_SQL)
+def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder/The-Stack-style per-file code-quality filters
+    (operators/codequality.py) over the deterministic 5-language corpus:
+    line-length stats, alphanumeric fraction, generated-file markers,
+    and the published keep rule — all row-local JVM expressions."""
+    from arxiv_citation_graph_spark.operators.codequality import (
+        code_quality_stats,
+    )
+
+    return code_quality_stats(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"))
+    )
+
+
+#: winnowing parameters shared by the engine call and the oracle
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+WINNOW_FP_SQL = f"""
+WITH codedocs AS ({CODE_DOCS_SQL}),
+norm AS (
+  SELECT repo, regexp_replace(lower(content), '\\s+', '', 'g') AS s
+  FROM codedocs
+),
+grams AS (
+  SELECT repo, CAST(i AS INT) AS pos,
+         ('0x' || substr(md5(substr(s, CAST(i AS INT), {_WINNOW_K})), 1, 8))::BIGINT AS h
+  FROM norm, unnest(range(1, greatest(length(s) - {_WINNOW_K - 1}, 0) + 1)) AS t(i)
+),
+wins AS (
+  SELECT repo, pos AS wstart,
+         min(h) OVER (PARTITION BY repo ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY repo) AS p
+  FROM grams
+),
+sel AS (
+  SELECT w.repo, max(g.pos) AS pos, w.wmin AS fp
+  FROM wins w JOIN grams g
+    ON g.repo = w.repo
+   AND g.pos BETWEEN w.wstart AND w.wstart + {_WINNOW_W - 1}
+   AND g.h = w.wmin
+  WHERE w.wstart <= greatest(w.p - {_WINNOW_W - 1}, 1)
+  GROUP BY w.repo, w.wstart, w.wmin
+)
+SELECT DISTINCT repo AS doc, pos, fp FROM sel
+"""
+
+
+@register("winnowing_fingerprints", WINNOW_FP_SQL)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing (Schleimer et al. 2003) document fingerprints
+    over the code corpus: k=8 grams of the whitespace-stripped
+    lowercased content, window w=4, rightmost-minimum selection — one
+    row-local array projection, no shuffle (operators/winnow.py)."""
+    from arxiv_citation_graph_spark.operators.winnow import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents")),
+        "repo",
+        "content",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+    ).select("doc", "pos", "fp")
+
+
+_CLONE_MAX_DF = 50
+_CLONE_MIN_SHARED = 5
+
+CLONE_PAIRS_SQL = f"""
+WITH fps AS ({WINNOW_FP_SQL}),
+fpd AS (SELECT DISTINCT doc, fp FROM fps),
+rare AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= {_CLONE_MAX_DF}),
+kept AS (SELECT f.doc, f.fp FROM fpd f JOIN rare r USING (fp)),
+sizes AS (SELECT doc, count(*) AS n_fp FROM kept GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc < b.doc
+  GROUP BY 1, 2
+  HAVING count(*) >= {_CLONE_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.shared,
+       round(CAST(p.shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) AS containment
+FROM pairs p
+JOIN sizes sa ON sa.doc = p.doc_a
+JOIN sizes sb ON sb.doc = p.doc_b
+"""
+
+
+@register("clone_pairs", CLONE_PAIRS_SQL)
+def q_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style clone pairs over the winnowing fingerprints: equi-join
+    on the fingerprint hash with a document-frequency cap (ubiquitous
+    boilerplate grams never form hot buckets), shared-count threshold,
+    and containment vs the smaller surviving fingerprint set.  Docs
+    with identical content score containment 1.0; same-`a` siblings
+    surface as partial clones."""
+    from arxiv_citation_graph_spark.operators.winnow import (
+        clone_pairs,
+        winnowing_fingerprints,
+    )
+
+    fps = winnowing_fingerprints(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents")),
+        "repo",
+        "content",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+    )
+    return clone_pairs(
+        fps, max_fp_df=_CLONE_MAX_DF, min_shared=_CLONE_MIN_SHARED
+    )
+
+
+@register(
+    "module_pagerank",
+    _pagerank_unrolled_sql(PAGERANK_ITERS, edges_sql=DEPENDENCY_EDGES_SQL),
+)
+def q_module_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship A+B composition: code corpus -> language-dispatched
+    import extraction -> deduplicated repo->module dependency edges ->
+    PageRank (8 supersteps, salted two-stage aggregation) — "which
+    modules does the ecosystem depend on most".  Every module vertex is
+    a sink (modules import nothing here), so this also exercises the
+    dangling-mass redistribution path on a majority-dangling graph."""
+    from arxiv_citation_graph_spark.operators.imports import dependency_edges
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+    edges = dependency_edges(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"))
+    )
+    result = pagerank(
+        spark,
+        edges,
+        tolerance=None,
+        max_iterations=PAGERANK_ITERS,
+        salt_buckets=8,
+        hot_degree_threshold=64,
+    )
+    return result.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

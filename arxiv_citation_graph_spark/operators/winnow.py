@@ -1,0 +1,163 @@
+"""Robust winnowing fingerprints + clone-pair detection (MOSS).
+
+Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+Fingerprinting" (SIGMOD 2003) — the public algorithm behind MOSS code
+plagiarism/clone detection, the code-payload analog of the citation
+extractor's identifier mining (reference `create_database.py:530-587`
+extracts WHAT a paper cites; winnowing extracts WHAT a file textually
+shares with other files).
+
+Algorithm (guarantee: any shared substring of length >= k + w - 1 is
+detected; no shared substring shorter than k is):
+
+1. normalize: lowercase, strip ALL whitespace (so formatting-only
+   edits don't break matches);
+2. hash every k-gram of the normalized text (positions 1..P,
+   P = len - k + 1);
+3. slide a window of w consecutive hashes; in each window select the
+   MINIMUM hash, breaking ties by RIGHTMOST position (the "robust"
+   rule — consecutive windows sharing the same minimum select the
+   same position, so the expected fingerprint density is 2/(w+1));
+4. the distinct selected (position, hash) pairs are the document's
+   fingerprints.
+
+Plan shape (the 100 TB story): steps 1-4 are ONE row-local projection —
+per-document array arithmetic inside whole-stage codegen (sequence /
+transform / slice / array_min), no shuffle, no Python, no window
+functions; work per document is O(len * w) comparisons and O(len) md5
+calls, the same as the sequential algorithm.  Only the fingerprints
+(expected 2P/(w+1) rows/doc) ever shuffle.  Clone pairing is then the
+LSH-bucket shape: equi-join on the fingerprint hash with an explicit
+document-frequency cap so ubiquitous boilerplate grams (license
+headers, `importnumpy`) never create a quadratic hot bucket — the
+`operators/dedup.py` hot-bucket convention.
+
+Hashes are the repo's portable cross-engine convention
+(``texttools.md5_int32``: first 8 hex chars of md5 as a long), so a
+DuckDB oracle replays every fingerprint bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.functions.texttools import md5_int32
+
+
+def normalized_text(text: Column) -> Column:
+    """Lowercased text with ALL whitespace removed — winnowing's
+    formatting-insensitive view (step 1)."""
+    return F.regexp_replace(F.lower(text), r"\s+", "")
+
+
+def _kgram_hashes(norm: Column, k: int) -> Column:
+    """Array of portable k-gram hashes at positions 1..P (empty when
+    the normalized text is shorter than k)."""
+    p = F.length(norm) - (k - 1)
+    idx = F.when(p >= 1, F.sequence(F.lit(1), p)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: md5_int32(F.substring(norm, i, k)))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """``(doc, pos, fp)`` — the distinct robust-winnowing fingerprints
+    of each document (rightmost-minimum rule; docs whose normalized
+    text is shorter than ``k`` emit nothing).
+
+    ``pos`` is the 1-based k-gram position in the NORMALIZED text, so
+    matches can be located, not just counted.  When ``k <= len < k+w-1``
+    there are fewer than ``w`` grams: a single window covering all of
+    them is used (the sequential algorithm's warm-up window).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    hs = _kgram_hashes(normalized_text(F.col(text_col)), k)
+    grams = df.select(F.col(id_col).alias("doc"), hs.alias("hs"))
+    p = F.size(F.col("hs"))
+    # window starts 1..W, W = max(P - w + 1, 1); each selects the
+    # rightmost position attaining the window minimum
+    starts = F.when(p >= 1, F.sequence(F.lit(1), F.greatest(p - (w - 1), F.lit(1)))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sel = F.transform(
+        starts,
+        lambda j: F.struct(
+            F.array_max(
+                F.filter(
+                    F.sequence(j, F.least(j + (w - 1), p)),
+                    lambda q: F.element_at(F.col("hs"), q.cast("int"))
+                    == F.array_min(F.slice(F.col("hs"), j, w)),
+                )
+            ).alias("pos"),
+            F.array_min(F.slice(F.col("hs"), j, w)).alias("fp"),
+        ),
+    )
+    return (
+        grams.select("doc", F.explode(F.array_distinct(sel)).alias("s"))
+        .select(
+            "doc",
+            F.col("s.pos").cast("int").alias("pos"),
+            F.col("s.fp").alias("fp"),
+        )
+    )
+
+
+def clone_pairs(
+    fingerprints: DataFrame,
+    max_fp_df: int = 50,
+    min_shared: int = 5,
+) -> DataFrame:
+    """``(doc_a, doc_b, shared, containment)`` — document pairs sharing
+    >= ``min_shared`` distinct fingerprint hashes, MOSS-style.
+
+    ``containment = shared / min(|fp_a|, |fp_b|)`` over the SURVIVING
+    distinct hashes (1.0 = the smaller document's surviving fingerprint
+    set is fully contained in the other's — a whole-file clone or
+    subset copy).
+
+    Scale guards: fingerprints whose document frequency exceeds
+    ``max_fp_df`` are dropped BEFORE the self-join (ubiquitous
+    boilerplate — license headers, common import blocks — would
+    otherwise create df^2-sized hot buckets; MOSS does the same), and
+    the join itself is an equi-join on the hash, never all-pairs.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fpk = fingerprints.select("doc", "fp").distinct()
+    rare = (
+        fpk.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_fp_df)
+        .select("fp")
+    )
+    kept = fpk.join(rare, "fp")
+    sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("doc").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 6).alias("containment"),
+        )
+    )

@@ -1,0 +1,157 @@
+"""Robust winnowing + clone pairs (operators/winnow.py) vs a
+sequential textbook implementation of Schleimer et al. 2003."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+
+def _h(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+
+
+def _winnow_ref(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Sequential robust winnowing: rightmost-minimum per window,
+    single warm-up window when there are fewer than w grams."""
+    norm = "".join(text.lower().split())
+    p = len(norm) - k + 1
+    if p < 1:
+        return set()
+    hs = [_h(norm[i : i + k]) for i in range(p)]
+    out: set[tuple[int, int]] = set()
+    n_windows = max(p - w + 1, 1)
+    for j in range(n_windows):
+        window = hs[j : j + w]
+        m = min(window)
+        # rightmost position attaining the minimum (1-based)
+        pos = max(i for i in range(j, min(j + w, p)) if hs[i] == m) + 1
+        out.add((pos, m))
+    return out
+
+
+CODE_A = """def add(a, b):
+    return a + b
+
+def mul(a, b):
+    return a * b
+"""
+
+# CODE_A reformatted (indentation/blank-line changes only)
+CODE_A_REFMT = "def add(a,b):\n  return a+b\ndef mul(a,b):\n  return a*b\n"
+
+CODE_B = """class Greeter:
+    def greet(self, name):
+        print('hello', name)
+"""
+
+
+@pytest.fixture(scope="module")
+def fps(spark):
+    from arxiv_citation_graph_spark.operators.winnow import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [("a", CODE_A), ("a2", CODE_A_REFMT), ("b", CODE_B),
+         ("tiny", "x=1"), ("empty", "")],
+        ["doc", "content"],
+    )
+    return winnowing_fingerprints(df, "doc", "content", k=8, w=4).cache()
+
+
+def test_matches_sequential_reference(fps):
+    got = {
+        doc: {(r.pos, r.fp) for r in rows}
+        for doc, rows in _group(fps.collect()).items()
+    }
+    assert got.get("a", set()) == _winnow_ref(CODE_A, 8, 4)
+    assert got.get("b", set()) == _winnow_ref(CODE_B, 8, 4)
+    # whitespace-only edits do not change the fingerprints at all
+    assert got["a2"] == got["a"]
+    # normalized "x=1" is shorter than k; "" is empty: no fingerprints
+    assert "tiny" not in got and "empty" not in got
+
+
+def _group(rows):
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r.doc, []).append(r)
+    return out
+
+
+def test_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k + w - 1 must yield at least
+    one shared fingerprint (the winnowing correctness theorem)."""
+    from arxiv_citation_graph_spark.operators.winnow import (
+        winnowing_fingerprints,
+    )
+
+    shared = "thequickbrownfoxjumps"  # len 21 >= 8 + 4 - 1
+    df = spark.createDataFrame(
+        [("x", "zzzz" + shared + "qqqqqqqq"), ("y", "pppppppp" + shared)],
+        ["doc", "content"],
+    )
+    fp = winnowing_fingerprints(df, "doc", "content", k=8, w=4)
+    by_doc = {
+        doc: {r.fp for r in rows} for doc, rows in _group(fp.collect()).items()
+    }
+    assert by_doc["x"] & by_doc["y"]
+
+
+def test_warmup_window_short_doc(spark):
+    """k <= len(norm) < k + w - 1: exactly one fingerprint (the single
+    warm-up window's rightmost minimum)."""
+    from arxiv_citation_graph_spark.operators.winnow import (
+        winnowing_fingerprints,
+    )
+
+    text = "abcdefghij"  # norm len 10, k=8 -> 3 grams < w=4
+    df = spark.createDataFrame([("s", text)], ["doc", "content"])
+    rows = winnowing_fingerprints(df, "doc", "content", k=8, w=4).collect()
+    assert {(r.pos, r.fp) for r in rows} == _winnow_ref(text, 8, 4)
+    assert len(rows) == 1
+
+
+def test_clone_pairs_reformatted_is_full_clone(spark, fps):
+    from arxiv_citation_graph_spark.operators.winnow import clone_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b): r for r in clone_pairs(fps, min_shared=1).collect()
+    }
+    assert ("a", "a2") in pairs
+    assert pairs[("a", "a2")].containment == 1.0
+    # unrelated files share nothing above threshold
+    assert ("a", "b") not in pairs and ("a2", "b") not in pairs
+
+
+def test_clone_pairs_df_cap_drops_ubiquitous_grams(spark):
+    """A fingerprint present in more documents than max_fp_df must not
+    create pairs (the hot-bucket guard)."""
+    from arxiv_citation_graph_spark.operators.winnow import (
+        clone_pairs,
+        winnowing_fingerprints,
+    )
+
+    boiler = "licenseheadertextsharedbyeveryone"
+    docs = [(f"d{i}", boiler + f"uniquetail{i:04d}" * 2) for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc", "content"])
+    fp = winnowing_fingerprints(df, "doc", "content", k=8, w=4)
+    # boilerplate fingerprints have df=6 > cap=5 -> dropped; unique
+    # tails share nothing
+    assert clone_pairs(fp, max_fp_df=5, min_shared=1).count() == 0
+    # with the cap lifted the boilerplate matches every pair: C(6,2)
+    assert clone_pairs(fp, max_fp_df=100, min_shared=1).count() == 15
+
+
+def test_validation_errors():
+    from arxiv_citation_graph_spark.operators.winnow import (
+        clone_pairs,
+        winnowing_fingerprints,
+    )
+
+    with pytest.raises(ValueError):
+        winnowing_fingerprints(None, "doc", "content", k=0)
+    with pytest.raises(ValueError):
+        clone_pairs(None, min_shared=0)
