@@ -8260,12 +8260,22 @@ def q_anf_sketches_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warm.sketches.select("vertex", "b_sum", F.round("est", 9).alias("est"))
 
 
-def _synthetic_code_docs(docs: DataFrame) -> DataFrame:
+def _synthetic_code_docs(
+    docs: DataFrame, repo_size: int = 1, with_spdx: bool = False
+) -> DataFrame:
     """documents -> deterministic 5-language source-code corpus
     ``docs(repo, path, commit, lang, content)`` (the `_synthetic_tex_docs`
     convention, aimed at operators/imports.py): each file carries known
     imports (incl. a duplicate and commented-out negatives), so the
-    oracle is the closed-form expected import table."""
+    oracle is the closed-form expected import table.
+
+    ``repo_size > 1`` groups consecutive doc_ids into one repo
+    (``repo<doc_id // repo_size>``; with repo_size=5 each repo holds
+    exactly one file per language, paths unique within the repo).
+    ``with_spdx=True`` prepends a language-appropriate
+    ``SPDX-License-Identifier`` comment chosen by ``doc_id % 7``
+    (slot 5 carries no tag) — the licenses fixture.  Defaults leave
+    the corpus byte-identical to rounds <= 5's code oracles."""
     d = F.col("doc_id")
     a = (d % 40).cast("string")
     b = (d % 30).cast("string")
@@ -8317,8 +8327,30 @@ def _synthetic_code_docs(docs: DataFrame) -> DataFrame:
         .when(m == 3, java)
         .otherwise(cc)
     )
+    if with_spdx:
+        lic = F.element_at(
+            F.array(
+                F.lit("MIT"), F.lit("Apache-2.0"), F.lit("GPL-3.0-only"),
+                F.lit("BSD-3-Clause"), F.lit("AGPL-3.0-or-later"),
+                F.lit(""), F.lit("LicenseRef-Custom"),
+            ),
+            (d % 7).cast("int") + 1,
+        )
+        tag = F.concat(F.lit("SPDX-License-Identifier: "), lic)
+        header = (
+            F.when(m == 4, F.concat(F.lit("/* "), tag, F.lit(" */\n")))
+            .when(m == 0, F.concat(F.lit("# "), tag, F.lit("\n")))
+            .otherwise(F.concat(F.lit("// "), tag, F.lit("\n")))
+        )
+        content = F.when(lic == "", content).otherwise(F.concat(header, content))
+    if repo_size == 1:
+        repo = F.concat(F.lit("doc"), d.cast("string"))
+    else:
+        repo = F.concat(
+            F.lit("repo"), F.floor(d / repo_size).cast("long").cast("string")
+        )
     return docs.select(
-        F.concat(F.lit("doc"), d.cast("string")).alias("repo"),
+        repo.alias("repo"),
         path.alias("path"),
         F.lit("c0").alias("commit"),
         lang.alias("lang"),
@@ -8606,6 +8638,193 @@ def q_module_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         hot_degree_threshold=64,
     )
     return result.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+
+_CLONE_CC_ROUNDS = 8
+_CLONE_MIN_CONTAINMENT = 0.8
+
+
+def _clone_clusters_sql(rounds: int = _CLONE_CC_ROUNDS) -> str:
+    """Unrolled hash-min CC over the containment-thresholded clone-pair
+    graph, every file a vertex (the `_dedup_clusters_sql` shape on the
+    winnowing pipeline)."""
+    ctes = [
+        f"cp AS MATERIALIZED ({CLONE_PAIRS_SQL})",
+        f"ce AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cp "
+        f"WHERE containment >= {_CLONE_MIN_CONTAINMENT})",
+        "cesym AS MATERIALIZED (SELECT a, b FROM ce UNION SELECT b, a FROM ce)",
+        f"cverts AS MATERIALIZED (SELECT DISTINCT repo AS vertex FROM ({CODE_DOCS_SQL}))",
+        "cl0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM cverts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"cl{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"least(v.component, coalesce(m.nbr, v.component)) AS component "
+            f"FROM cl{p} v LEFT JOIN ("
+            f"SELECT e.b AS vertex, min(l.component) AS nbr "
+            f"FROM cesym e JOIN cl{p} l ON e.a = l.vertex GROUP BY e.b"
+            f") m ON v.vertex = m.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vertex AS doc, component AS cluster FROM cl{rounds}"
+    )
+
+
+@register("clone_clusters", _clone_clusters_sql())
+def q_clone_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end clone-dedup composition, the code twin of
+    `dedup_clusters`: winnowing fingerprints -> df-capped clone pairs ->
+    containment >= 0.8 -> hash-min CC -> min-member cluster label;
+    un-cloned (or too-short) files are singletons."""
+    from arxiv_citation_graph_spark.operators.winnow import clone_clusters
+
+    return clone_clusters(
+        spark,
+        _synthetic_code_docs(_t(spark, sf_dir, "documents")),
+        "repo",
+        "content",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        max_fp_df=_CLONE_MAX_DF,
+        min_shared=_CLONE_MIN_SHARED,
+        min_containment=_CLONE_MIN_CONTAINMENT,
+        max_iterations=_CLONE_CC_ROUNDS,
+    )
+
+
+IDENTIFIER_TOKENS_SQL = f"""
+WITH codedocs AS ({CODE_DOCS_SQL}),
+ids AS (
+  SELECT repo, path, lang, u.ident
+  FROM codedocs,
+       unnest(regexp_extract_all(content, '[A-Za-z_][A-Za-z0-9_]*')) AS u(ident)
+),
+subs AS (
+  SELECT repo, path, lang, t.token
+  FROM (
+    SELECT repo, path, lang,
+           string_split_regex(
+             lower(replace(
+               regexp_replace(
+                 regexp_replace(ident, '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+                 '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+               '_', ' ')),
+             '\\s+') AS toks
+    FROM ids
+  ), unnest(toks) AS t(token)
+  WHERE t.token <> ''
+)
+SELECT repo, path, lang, token, CAST(count(*) AS BIGINT) AS n
+FROM subs GROUP BY repo, path, lang, token
+"""
+
+
+@register("identifier_tokens", IDENTIFIER_TOKENS_SQL)
+def q_identifier_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-search tokenization (operators/codetokens.py): identifiers
+    lexed JVM-side, camelCase + snake_case subtoken split, per-file
+    term frequencies — two explodes and ONE map-side-combined
+    aggregate."""
+    from arxiv_citation_graph_spark.operators.codetokens import (
+        identifier_tokens,
+    )
+
+    return identifier_tokens(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"))
+    )
+
+
+IDENTIFIER_TOKEN_DF_SQL = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS df
+FROM ({IDENTIFIER_TOKENS_SQL})
+GROUP BY token
+"""
+
+
+@register("identifier_token_df", IDENTIFIER_TOKEN_DF_SQL)
+def q_identifier_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtoken document frequency — the idf side of the code-search
+    index (rows of the tf table are unique per (file, token), so df is
+    one further aggregate)."""
+    from arxiv_citation_graph_spark.operators.codetokens import (
+        identifier_tokens,
+        token_document_frequency,
+    )
+
+    return token_document_frequency(
+        identifier_tokens(_synthetic_code_docs(_t(spark, sf_dir, "documents")))
+    )
+
+
+#: closed-form licensed-corpus scan: repo groups of 5 (one file per
+#: language), SPDX id chosen by doc_id % 7, slot 5 untagged
+LICENSE_SCAN_SQL = """
+WITH dd AS (
+  SELECT doc_id, doc_id % 5 AS m, doc_id % 7 AS l FROM documents
+)
+SELECT 'repo' || CAST(doc_id // 5 AS VARCHAR) AS repo,
+       CASE m WHEN 0 THEN 'main.py' WHEN 1 THEN 'index.js' WHEN 2 THEN 'main.go'
+              WHEN 3 THEN 'Main.java' ELSE 'main.c' END AS path,
+       CASE m WHEN 0 THEN 'python' WHEN 1 THEN 'javascript' WHEN 2 THEN 'go'
+              WHEN 3 THEN 'java' ELSE 'c' END AS lang,
+       CASE l WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+              WHEN 2 THEN 'GPL-3.0-only' WHEN 3 THEN 'BSD-3-Clause'
+              WHEN 4 THEN 'AGPL-3.0-or-later' WHEN 6 THEN 'LicenseRef-Custom'
+              ELSE NULL END AS license,
+       CASE WHEN l = 5 THEN 'none'
+            WHEN l IN (0, 1, 3) THEN 'permissive'
+            WHEN l IN (2, 4) THEN 'copyleft'
+            ELSE 'other' END AS family
+FROM dd
+"""
+
+
+@register("license_scan", LICENSE_SCAN_SQL)
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPDX tag extraction + family classification (operators/
+    licenses.py) over the licensed 5-file-repo corpus; the oracle is
+    the closed-form expected scan (doc_id % 7 chooses the license, slot
+    5 has no tag -> NULL/'none')."""
+    from arxiv_citation_graph_spark.operators.licenses import license_scan
+
+    return license_scan(
+        _synthetic_code_docs(
+            _t(spark, sf_dir, "documents"), repo_size=5, with_spdx=True
+        )
+    )
+
+
+REPO_LICENSE_ROLLUP_SQL = f"""
+SELECT repo,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(count(license) AS BIGINT) AS n_licensed,
+       CAST(sum(CASE WHEN family = 'permissive' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_permissive,
+       CAST(sum(CASE WHEN family = 'copyleft' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_copyleft,
+       (sum(CASE WHEN family = 'copyleft' THEN 1 ELSE 0 END) > 0)
+         AS has_copyleft
+FROM ({LICENSE_SCAN_SQL})
+GROUP BY repo
+"""
+
+
+@register("repo_license_rollup", REPO_LICENSE_ROLLUP_SQL)
+def q_repo_license_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo license compliance summary — licenses vary WITHIN each
+    5-file repo (doc_id % 7 vs repo = doc_id // 5), so copyleft flags
+    are non-trivial; one map-side-combined aggregate."""
+    from arxiv_citation_graph_spark.operators.licenses import (
+        repo_license_rollup,
+    )
+
+    return repo_license_rollup(
+        _synthetic_code_docs(
+            _t(spark, sf_dir, "documents"), repo_size=5, with_spdx=True
+        )
+    )
 
 
 # ===========================================================================

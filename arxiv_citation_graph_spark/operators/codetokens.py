@@ -1,0 +1,71 @@
+"""Code identifier tokenization — the code-search indexing unit.
+
+Splits source text into identifiers and identifiers into lowercase
+subtokens the way code-search engines and code-LM tokenizer pipelines
+do (Sourcegraph/OpenGrok-style): ``parseHTTPResponse_v2`` ->
+``parse, http, response, v2``.  Two public conventions compose:
+
+- camelCase boundaries: a lower/digit followed by an upper starts a new
+  token, and an upper RUN followed by Upper+lower splits before its
+  last letter (``HTTPServer`` -> ``HTTP | Server``);
+- snake_case: underscores are separators.
+
+The whole pipeline is JVM regex + explode inside whole-stage codegen —
+no Python, no UDFs; the only shuffle is the final (file, token) count
+aggregate, which map-side-combines within-file repetition before the
+exchange (the `operators/quality.py` two-stage shape).  At 100 TB the
+token table is the inverted-index input; everything upstream of the
+single groupBy is scan-speed.
+
+Cross-engine: the same two regex rewrites + split are expressible in
+ANSI/DuckDB SQL (``regexp_replace(..., 'g')`` + ``string_split``), so
+the oracle replays every subtoken bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: identifier lexeme (letters/underscore head, word-char tail)
+IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def subtokens(ident: Column) -> Column:
+    """Array of lowercase subtokens of one identifier (camelCase +
+    snake_case split; empty strings from leading/trailing/double
+    underscores are removed)."""
+    s = F.regexp_replace(ident, r"([a-z0-9])([A-Z])", r"$1 $2")
+    s = F.regexp_replace(s, r"([A-Z]+)([A-Z][a-z])", r"$1 $2")
+    s = F.lower(F.regexp_replace(s, r"_", " "))
+    return F.filter(F.split(s, r"\s+"), lambda t: t != "")
+
+
+def identifier_tokens(docs: DataFrame) -> DataFrame:
+    """``(repo, path, lang, token, n)`` — per-file lowercase subtoken
+    frequencies over every identifier occurrence in ``content``
+    (occurrences counted, not distinct: term frequency is the ranking
+    signal).  Files with no identifiers emit nothing."""
+    idents = F.regexp_extract_all(F.col("content"), F.lit(IDENT_RE), 0)
+    return (
+        docs.select(
+            "repo",
+            "path",
+            "lang",
+            F.explode(idents).alias("ident"),
+        )
+        .select("repo", "path", "lang", F.explode(subtokens(F.col("ident"))).alias("token"))
+        .groupBy("repo", "path", "lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def token_document_frequency(tokens: DataFrame) -> DataFrame:
+    """``(token, df)`` — in how many files each subtoken appears; the
+    idf side of a code-search index (one aggregate over the token
+    table, map-side combined)."""
+    return (
+        tokens.select("repo", "path", "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )

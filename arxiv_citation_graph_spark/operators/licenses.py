@@ -1,0 +1,74 @@
+"""SPDX license scanning over the code corpus.
+
+Extracts the machine-readable ``SPDX-License-Identifier:`` tag (the
+REUSE/SPDX public convention adopted by the Linux kernel and most
+corporate OSS) from each file and classifies it into the families a
+training-data compliance pass filters on: permissive / copyleft /
+other / none.  The repo rollup answers the licensing question a corpus
+builder actually asks — "does ANY file in this repo carry copyleft?"
+
+Row-local regex + one repo-keyed aggregate (map-side combined); no
+Python, no shuffle before the rollup.  The classifier is a prefix
+table, not a full SPDX expression parser (``MIT OR GPL-2.0`` style
+dual-license expressions classify by their first identifier — the
+conservative reading is the rollup's ``n_copyleft > 0`` flag, which a
+stricter pipeline would OR across the expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+#: exact permissive ids (the common short list; public SPDX registry)
+PERMISSIVE = (
+    "MIT", "ISC", "Unlicense", "0BSD", "Apache-2.0", "BSD-2-Clause",
+    "BSD-3-Clause", "Zlib", "MPL-2.0",
+)
+#: copyleft prefixes (GPL family incl. LGPL/AGPL, EPL, CDDL)
+COPYLEFT_PREFIXES = ("GPL-", "LGPL-", "AGPL-", "EPL-", "CDDL-")
+
+
+def license_family(license_id: Column) -> Column:
+    """'permissive' | 'copyleft' | 'other' | 'none' for an SPDX id
+    column ('' or NULL -> 'none')."""
+    fam = F.when(
+        license_id.isNull() | (license_id == ""), F.lit("none")
+    ).when(license_id.isin(*PERMISSIVE), F.lit("permissive"))
+    copyleft = F.lit(False)
+    for p in COPYLEFT_PREFIXES:
+        copyleft = copyleft | license_id.startswith(p)
+    return fam.when(copyleft, F.lit("copyleft")).otherwise(F.lit("other"))
+
+
+def license_scan(docs: DataFrame) -> DataFrame:
+    """``(repo, path, lang, license, family)`` — one row per file;
+    ``license`` is the FIRST SPDX tag in the file (NULL when absent,
+    family 'none')."""
+    lic = F.regexp_extract(F.col("content"), SPDX_RE, 1)
+    lic = F.when(lic == "", F.lit(None).cast("string")).otherwise(lic)
+    return docs.select(
+        "repo",
+        "path",
+        "lang",
+        lic.alias("license"),
+        license_family(lic).alias("family"),
+    )
+
+
+def repo_license_rollup(docs: DataFrame) -> DataFrame:
+    """``(repo, n_files, n_licensed, n_permissive, n_copyleft,
+    has_copyleft)`` — the per-repo compliance summary (one aggregate,
+    map-side combined)."""
+    scan = license_scan(docs)
+    return scan.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.count("license").cast("long").alias("n_licensed"),
+        F.sum((F.col("family") == "permissive").cast("long")).alias("n_permissive"),
+        F.sum((F.col("family") == "copyleft").cast("long")).alias("n_copyleft"),
+        (F.sum((F.col("family") == "copyleft").cast("long")) > 0).alias(
+            "has_copyleft"
+        ),
+    )

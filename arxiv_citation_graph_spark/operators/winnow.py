@@ -138,26 +138,77 @@ def clone_pairs(
         .filter(F.col("df") <= max_fp_df)
         .select("fp")
     )
-    kept = fpk.join(rare, "fp")
-    sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = kept.select(F.col("doc").alias("doc_a"), "fp")
-    b = kept.select(F.col("doc").alias("doc_b"), "fp")
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= min_shared)
-    )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_fp").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_fp").alias("n_b"))
-    return (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "shared",
-            F.round(F.col("shared") / F.least("n_a", "n_b"), 6).alias("containment"),
+    # cached: the surviving fingerprint table has THREE consumers (both
+    # self-join sides + the per-doc sizes) and an uncached plan re-runs
+    # the whole winnowing projection and df-cap aggregate per consumer
+    # (the cocite.py scoped-cache convention).  The result is pair-sized
+    # (thresholded), so the localCheckpoint is small and the |fp|-sized
+    # cache is released before returning.
+    kept = fpk.join(rare, "fp").cache()
+    try:
+        sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+        a = kept.select(F.col("doc").alias("doc_a"), "fp")
+        b = kept.select(F.col("doc").alias("doc_b"), "fp")
+        pairs = (
+            a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+            .filter(F.col("shared") >= min_shared)
         )
+        na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_fp").alias("n_a"))
+        nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_fp").alias("n_b"))
+        return (
+            pairs.join(na, "doc_a")
+            .join(nb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                "shared",
+                F.round(F.col("shared") / F.least("n_a", "n_b"), 6).alias(
+                    "containment"
+                ),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        kept.unpersist()
+
+
+def clone_clusters(
+    spark,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    max_fp_df: int = 50,
+    min_shared: int = 5,
+    min_containment: float = 0.8,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """``(doc, cluster)`` for EVERY input document — the end-to-end
+    clone-dedup composition, the code-payload twin of
+    ``operators/dedup.dedup_clusters``: winnowing fingerprints ->
+    df-capped clone pairs -> containment threshold -> connected
+    components over the clone graph (hash-min; clone clusters are
+    near-cliques, so few supersteps) -> cluster label = lexicographic-
+    min member.  Files with no qualifying clone (or too short to
+    fingerprint) are singleton clusters labeled by their own id.
+    """
+    from arxiv_citation_graph_spark.plans.components import (
+        connected_components,
+    )
+
+    fps = winnowing_fingerprints(docs, id_col, text_col, k=k, w=w)
+    pairs = clone_pairs(fps, max_fp_df=max_fp_df, min_shared=min_shared)
+    edges = pairs.filter(F.col("containment") >= min_containment).select(
+        F.col("doc_a").alias("src_id"), F.col("doc_b").alias("dst_id")
+    )
+    cc = connected_components(spark, edges, max_iterations=max_iterations)
+    every = docs.select(F.col(id_col).alias("doc")).distinct()
+    return every.join(
+        cc.components.withColumnRenamed("vertex", "doc"), "doc", "left"
+    ).select(
+        "doc", F.coalesce(F.col("component"), F.col("doc")).alias("cluster")
     )

@@ -1663,6 +1663,70 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.entry_queries import _synthetic_code_docs
+    from arxiv_citation_graph_spark.operators.codequality import (
+        quality_filtered_corpus,
+    )
+    from arxiv_citation_graph_spark.operators.winnow import (
+        clone_pairs,
+        winnowing_fingerprints,
+    )
+
+    code_docs = _synthetic_code_docs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    wfp_plan = plan_of(
+        winnowing_fingerprints(code_docs, "repo", "content", k=8, w=4)
+    )
+    sections.append(
+        (
+            "Winnowing fingerprints — one row-local projection, ZERO Exchange",
+            "The whole Schleimer-2003 pipeline (normalize, k-gram md5, "
+            "sliding-window rightmost-min selection, dedup) is per-row "
+            "array arithmetic inside WholeStageCodegen: no shuffle, no "
+            "Python, no window functions — work per document is O(len*w), "
+            "identical to the sequential algorithm, so at 100 TB the stage "
+            "is scan-bound and embarrassingly parallel.  "
+            f"[{exchange_count(wfp_plan)}]",
+            condense(wfp_plan, KEEP),
+        )
+    )
+
+    cp_plan = plan_of(
+        clone_pairs(
+            winnowing_fingerprints(code_docs, "repo", "content", k=8, w=4),
+            max_fp_df=50,
+            min_shared=5,
+        )
+    )
+    sections.append(
+        (
+            "Clone pairs — df-capped fingerprint equi-join, no all-pairs",
+            "Candidate pairing is an equi-join on the fingerprint hash "
+            "(SortMergeJoin/ShuffledHashJoin — never a nested-loop "
+            "product); the document-frequency cap filters ubiquitous "
+            "boilerplate hashes BEFORE the self-join so no df^2 hot "
+            "bucket can form; shared counts and per-doc sizes are "
+            "two-stage aggregates with map-side partials.  "
+            f"[{exchange_count(cp_plan)}]",
+            condense(cp_plan, KEEP),
+        )
+    )
+
+    cq_plan = plan_of(quality_filtered_corpus(code_docs))
+    sections.append(
+        (
+            "Code-quality filter — predicate fused into the scan stage",
+            "The StarCoder keep rule (line-length stats, alnum fraction, "
+            "autogen markers) is one row-local Filter directly over the "
+            "source projection — no join, no shuffle, no second pass; at "
+            "100 TB the filter runs at scan speed and drops rows before "
+            "anything downstream sees them.  "
+            f"[{exchange_count(cq_plan)}]",
+            condense(cq_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:

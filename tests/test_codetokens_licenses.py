@@ -1,0 +1,116 @@
+"""Identifier tokenization (operators/codetokens.py) and SPDX license
+scanning (operators/licenses.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def code(spark):
+    rows = [
+        ("r1", "a.py", "c0", "python",
+         "def parseHTTPResponse_v2(raw_data):\n    return raw_data\n"),
+        ("r1", "b.c", "c0", "c",
+         "/* SPDX-License-Identifier: GPL-2.0-only */\nint x_y = 1;\n"),
+        ("r2", "c.js", "c0", "javascript",
+         "// SPDX-License-Identifier: MIT\nconst fooBar = 1;\n"),
+        ("r2", "d.go", "c0", "go", "package main\n"),
+    ]
+    return spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content"]
+    )
+
+
+def test_subtoken_split_conventions(spark, code):
+    from arxiv_citation_graph_spark.operators.codetokens import (
+        identifier_tokens,
+    )
+
+    tf = {
+        (r.path, r.token): r.n
+        for r in identifier_tokens(code).collect()
+        if r.path == "a.py"
+    }
+    # parseHTTPResponse_v2 -> parse, http, response, v2 (upper-run rule)
+    assert tf[("a.py", "parse")] == 1
+    assert tf[("a.py", "http")] == 1
+    assert tf[("a.py", "response")] == 1
+    assert tf[("a.py", "v2")] == 1
+    # raw_data occurs twice -> each subtoken counted twice
+    assert tf[("a.py", "raw")] == 2 and tf[("a.py", "data")] == 2
+    assert tf[("a.py", "def")] == 1 and tf[("a.py", "return")] == 1
+
+
+def test_token_document_frequency(spark, code):
+    from arxiv_citation_graph_spark.operators.codetokens import (
+        identifier_tokens,
+        token_document_frequency,
+    )
+
+    df = {
+        r.token: r.df
+        for r in token_document_frequency(identifier_tokens(code)).collect()
+    }
+    # 'main' appears in d.go only; 'spdx' in the two license comments
+    assert df["main"] == 1
+    assert df["spdx"] == 2
+
+
+def test_license_scan_and_families(spark, code):
+    from arxiv_citation_graph_spark.operators.licenses import license_scan
+
+    rows = {r.path: r for r in license_scan(code).collect()}
+    assert rows["b.c"].license == "GPL-2.0-only"
+    assert rows["b.c"].family == "copyleft"
+    assert rows["c.js"].license == "MIT"
+    assert rows["c.js"].family == "permissive"
+    assert rows["a.py"].license is None and rows["a.py"].family == "none"
+    assert rows["d.go"].license is None and rows["d.go"].family == "none"
+
+
+def test_repo_license_rollup(spark, code):
+    from arxiv_citation_graph_spark.operators.licenses import (
+        repo_license_rollup,
+    )
+
+    rows = {r.repo: r for r in repo_license_rollup(code).collect()}
+    r1, r2 = rows["r1"], rows["r2"]
+    assert (r1.n_files, r1.n_licensed, r1.n_copyleft) == (2, 1, 1)
+    assert r1.has_copyleft
+    assert (r2.n_files, r2.n_licensed, r2.n_permissive) == (2, 1, 1)
+    assert not r2.has_copyleft
+
+
+def test_license_family_other(spark):
+    from arxiv_citation_graph_spark.operators.licenses import license_scan
+
+    df = spark.createDataFrame(
+        [("r", "x.py", "c0", "python",
+          "# SPDX-License-Identifier: LicenseRef-Internal\n")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    row = license_scan(df).collect()[0]
+    assert row.license == "LicenseRef-Internal" and row.family == "other"
+
+
+def test_clone_clusters_end_to_end(spark):
+    """Identical + reformatted files cluster together under the min
+    member label; unrelated files stay singletons."""
+    from arxiv_citation_graph_spark.operators.winnow import clone_clusters
+
+    body = "def add(a, b):\n    return a + b\n" * 3
+    refmt = body.replace("    ", "\t").replace("\n\n", "\n")
+    other = "class Greeter:\n    def greet(self):\n        return 'hi'\n"
+    df = spark.createDataFrame(
+        [("f1", body), ("f2", refmt), ("f3", other), ("f0", "x")],
+        ["doc", "content"],
+    )
+    got = {
+        r.doc: r.cluster
+        for r in clone_clusters(
+            spark, df, "doc", "content", min_shared=1
+        ).collect()
+    }
+    assert got["f1"] == got["f2"] == "f1"  # min-member label
+    assert got["f3"] == "f3" and got["f0"] == "f0"  # singletons
