@@ -1,0 +1,85 @@
+"""Hardcoded-credential scanning over the code corpus.
+
+The standard pre-training sanitization pass for source code: flag (and
+optionally redact) committed secrets before the corpus ships.  The
+patterns are the public detector conventions (gitleaks / truffleHog
+rule sets): provider-prefixed token shapes (AWS ``AKIA...``, GitHub
+``ghp_...``, Slack ``xox?-...``), PEM private-key headers, and the
+generic quoted ``password/api_key/secret/token = "..."`` assignment.
+
+Row-local ``regexp_count`` / ``regexp_replace`` only — no Python, no
+shuffle; at 100 TB the scan fuses with the quality/license pass into
+one read of the corpus.  Regex-based scanning has the usual
+false-positive/negative trade-offs (a detector, not a verifier —
+gitleaks documents the same); entropy scoring is the known refinement
+and composes as one more column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: detector name -> regex (public gitleaks/truffleHog-style rules)
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_access_key": r"AKIA[0-9A-Z]{16}",
+    "github_pat": r"ghp_[A-Za-z0-9]{36}",
+    "slack_token": r"xox[bpars]-[A-Za-z0-9-]{10,}",
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "generic_assignment": (
+        r"(?i)(?:api[_-]?key|secret|token|passwd|password)"
+        r"""\s*[:=]\s*["'][^"']{8,}["']"""
+    ),
+}
+
+REDACTED = "<SECRET>"
+
+
+def secret_counts(docs: DataFrame) -> DataFrame:
+    """``(repo, path, lang, kind, n)`` — one row per file per detector
+    that fired (n >= 1; clean files emit nothing).  Long format so new
+    detectors never change the schema."""
+    counts = F.array(
+        *[
+            F.struct(
+                F.lit(kind).alias("kind"),
+                F.regexp_count(F.col("content"), F.lit(pat))
+                .cast("long")
+                .alias("n"),
+            )
+            for kind, pat in SECRET_PATTERNS.items()
+        ]
+    )
+    return (
+        docs.select(
+            "repo", "path", "lang", F.explode(counts).alias("c")
+        )
+        .select("repo", "path", "lang", F.col("c.kind").alias("kind"), F.col("c.n").alias("n"))
+        .filter(F.col("n") >= 1)
+    )
+
+
+def flagged_files(docs: DataFrame) -> DataFrame:
+    """``(repo, path, lang, n_secrets)`` — files with at least one hit,
+    total count across detectors (the quarantine list)."""
+    return (
+        secret_counts(docs)
+        .groupBy("repo", "path", "lang")
+        .agg(F.sum("n").cast("long").alias("n_secrets"))
+    )
+
+
+def redact_secrets(text: Column) -> Column:
+    """Content with every detector match replaced by ``<SECRET>`` —
+    applied in detector-table order (the `redact_pii` convention)."""
+    out = text
+    for pat in SECRET_PATTERNS.values():
+        out = F.regexp_replace(out, pat, REDACTED)
+    return out
+
+
+def sanitized_corpus(docs: DataFrame) -> DataFrame:
+    """The corpus with secrets redacted in-place (same schema; clean
+    rows byte-identical — redaction is a row-local projection, so the
+    pass is scan-speed)."""
+    return docs.withColumn("content", redact_secrets(F.col("content")))

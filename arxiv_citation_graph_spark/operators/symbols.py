@@ -1,0 +1,114 @@
+"""Defined-symbol extraction — the repo API surface.
+
+The definition-side twin of `operators/imports.py` (which mines what a
+file CONSUMES, this mines what it PROVIDES): language-dispatched,
+line-anchored regex extraction of top-level definition names, feeding
+the cross-repo analytics a code corpus needs — API-surface size, name
+collisions across repos, and (joined with imports) provider/consumer
+linkage.
+
+Same lexer honesty as imports.py: these are the standard corpus-mining
+REGEX approximations of each language's definition forms, not parsers —
+python ``def``/``class``, javascript ``function``/``const x =``, go
+``func``, java ``class``/``interface``, c line-start function
+definitions.  Same plan shape too: one JVM ``regexp_extract_all`` per
+pattern fused into the scan, one ``posexplode``, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: language -> ordered (kind, pattern) extraction rules (group 1 = name)
+SYMBOL_PATTERNS: dict[str, tuple[tuple[str, str], ...]] = {
+    "python": (
+        ("function", r"(?m)^def\s+(\w+)"),
+        ("class", r"(?m)^class\s+(\w+)"),
+    ),
+    "javascript": (
+        ("function", r"(?m)^function\s+(\w+)"),
+        ("const", r"(?m)^const\s+(\w+)\s*="),
+        ("class", r"(?m)^class\s+(\w+)"),
+    ),
+    "go": (("func", r"(?m)^func\s+(\w+)"),),
+    "java": (
+        ("class", r"(?m)\bclass\s+(\w+)"),
+        ("interface", r"(?m)\binterface\s+(\w+)"),
+    ),
+    "c": (
+        # definition = open brace on the signature line (prototypes end
+        # with ';' and don't match; K&R broken-brace style is missed —
+        # the documented line-anchored approximation)
+        ("function", r"(?m)^(?:static\s+)?\w+\s+(\w+)\s*\([^)]*\)\s*\{"),
+    ),
+}
+
+
+def _tag_with_kind(kind: str):
+    # a 1-arg lambda per kind: F.transform infers lambda arity from the
+    # parameter count, so a defaulted second arg would capture the
+    # element INDEX instead
+    return lambda nm: F.struct(F.lit(kind).alias("kind"), nm.alias("name"))
+
+
+def _symbols_expr(content: Column, lang: Column) -> Column:
+    """Array of (kind, name) structs for the row's language, rule-major
+    order (empty for unknown languages)."""
+    expr = F.array().cast("array<struct<kind:string,name:string>>")
+    for language, rules in SYMBOL_PATTERNS.items():
+        arrays = [
+            F.transform(
+                F.regexp_extract_all(content, F.lit(pat), 1),
+                _tag_with_kind(kind),
+            )
+            for kind, pat in rules
+        ]
+        combined = arrays[0]
+        for a in arrays[1:]:
+            combined = F.concat(combined, a)
+        expr = F.when(lang == language, combined).otherwise(expr)
+    return expr
+
+
+def extract_symbols(docs: DataFrame) -> DataFrame:
+    """``(repo, path, lang, sym_num, kind, symbol)`` — one row per
+    definition, 1-based rule-major order (files defining nothing emit
+    nothing; the `extract_imports` contract)."""
+    syms = _symbols_expr(F.col("content"), F.col("lang"))
+    return docs.select(
+        "repo",
+        "path",
+        "lang",
+        F.posexplode(syms).alias("pos", "s"),
+    ).select(
+        "repo",
+        "path",
+        "lang",
+        (F.col("pos") + 1).cast("int").alias("sym_num"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.name").alias("symbol"),
+    )
+
+
+def repo_api_surface(symbols: DataFrame) -> DataFrame:
+    """``(repo, n_symbols, n_distinct)`` — definition count and distinct
+    name count per repo (one map-side-combined aggregate)."""
+    return symbols.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_symbols"),
+        F.countDistinct("symbol").cast("long").alias("n_distinct"),
+    )
+
+
+def symbol_collisions(symbols: DataFrame, min_repos: int = 2) -> DataFrame:
+    """``(symbol, n_repos)`` — names defined in >= ``min_repos``
+    distinct repos (cross-repo reuse / shadowing screen).  Two-stage:
+    distinct (symbol, repo) first, then a count — the distinct absorbs
+    within-repo repetition before the final shuffle."""
+    return (
+        symbols.select("symbol", "repo")
+        .distinct()
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_repos"))
+        .filter(F.col("n_repos") >= min_repos)
+    )
