@@ -9075,6 +9075,141 @@ def q_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: closed-form expected definition-unit table of the with_defs corpus:
+#: python/javascript/go split at top-level definition starts (preamble
+#: unit first), java/c keep the whole file as unit 1
+DEFINITION_UNITS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 40 AS VARCHAR) AS a,
+         CAST(doc_id % 30 AS VARCHAR) AS b,
+         CAST(doc_id % 20 AS VARCHAR) AS c,
+         doc_id % 5 AS m
+  FROM documents
+),
+rows AS (
+  SELECT doc_id, 'main.py' AS path, 'python' AS lang, 1 AS n,
+         '\"\"\"mod\"\"\"' || chr(10) || 'import numpy' || chr(10)
+         || 'import pkg' || a || '.core as pc' || chr(10) || 'import numpy'
+         || chr(10) || 'from pkg' || b || '.utils import helper' || chr(10)
+         || '# import commented_out' || chr(10) AS unit,
+         7 AS n_lines
+  FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 'main.py', 'python', 2,
+         'def handler_' || a || '(x):' || chr(10) || '    return x'
+         || chr(10), 3 FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 'main.py', 'python', 3,
+         'class Widget' || b || ':' || chr(10) || '    pass' || chr(10),
+         3 FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 'index.js', 'javascript', 1,
+         'import {x} from "lib' || a || '";' || chr(10), 2 FROM d WHERE m = 1
+  UNION ALL SELECT doc_id, 'index.js', 'javascript', 2,
+         'const y = require(''util' || b || ''');' || chr(10)
+         || 'import "side' || c || '";' || chr(10)
+         || '// plain comment line' || chr(10), 4 FROM d WHERE m = 1
+  UNION ALL SELECT doc_id, 'index.js', 'javascript', 3,
+         'function render' || a || '() {}' || chr(10), 2 FROM d WHERE m = 1
+  UNION ALL SELECT doc_id, 'index.js', 'javascript', 4,
+         'const parse' || b || ' = () => {};' || chr(10), 2 FROM d WHERE m = 1
+  UNION ALL SELECT doc_id, 'index.js', 'javascript', 5,
+         'class View' || c || ' {}' || chr(10), 2 FROM d WHERE m = 1
+  UNION ALL SELECT doc_id, 'main.go', 'go', 1,
+         'package main' || chr(10) || 'import "fmt"' || chr(10)
+         || 'import "example.com/repo' || a || '/pkg"' || chr(10),
+         4 FROM d WHERE m = 2
+  UNION ALL SELECT doc_id, 'main.go', 'go', 2,
+         'func main() {}' || chr(10), 2 FROM d WHERE m = 2
+  UNION ALL SELECT doc_id, 'main.go', 'go', 3,
+         'func Handler' || a || '() {}' || chr(10), 2 FROM d WHERE m = 2
+  UNION ALL SELECT doc_id, 'main.go', 'go', 4,
+         'func helper' || b || '() {}' || chr(10), 2 FROM d WHERE m = 2
+  UNION ALL SELECT doc_id, 'Main.java', 'java', 1,
+         'package com.x;' || chr(10) || 'import java.util.List;' || chr(10)
+         || 'import static org.lib' || a || '.Util.max;' || chr(10)
+         || 'import com.dep' || b || '.Client;' || chr(10)
+         || 'class Widget' || b || ' { }' || chr(10)
+         || 'interface Api' || a || ' { }' || chr(10), 7 FROM d WHERE m = 3
+  UNION ALL SELECT doc_id, 'main.c', 'c', 1,
+         '#include <stdio.h>' || chr(10) || '#include "local' || a || '.h"'
+         || chr(10) || 'int main() { return 0; }' || chr(10)
+         || 'static int helper' || a || '(void) { return 0; }' || chr(10),
+         5 FROM d WHERE m = 4
+)
+SELECT 'doc' || CAST(doc_id AS VARCHAR) AS repo, path, lang,
+       CAST(n AS INT) AS unit_num, unit, CAST(n_lines AS INT) AS n_lines
+FROM rows
+"""
+
+
+@register("definition_units", DEFINITION_UNITS_SQL)
+def q_definition_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition-boundary re-granularization (operators/symbols.py
+    `definition_units`): content split at top-level def/class (python),
+    function/const/class (javascript), func (go) via one zero-width
+    lookahead split + posexplode — row-local, no shuffle; java/c fall
+    through whole-file.  The function-level corpus unit feeding
+    function-grain dedup and training-unit packing."""
+    from arxiv_citation_graph_spark.operators.symbols import definition_units
+
+    return definition_units(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"), with_defs=True)
+    )
+
+
+#: repo_size=5 variant of the import edge table (repo = doc_id // 5)
+DEPENDENCY_EDGES_REPO5_SQL = (
+    "SELECT DISTINCT repo AS src_id, module AS dst_id FROM ("
+    + CODE_IMPORTS_SQL.replace(
+        "'doc' || CAST(doc_id AS VARCHAR) AS repo",
+        "'repo' || CAST(doc_id // 5 AS VARCHAR) AS repo",
+    )
+    + ")"
+)
+
+
+def _hashmin_unrolled_sql(edges_sql: str, iters: int) -> str:
+    """Generic hash-min CC unroll over an arbitrary (src_id, dst_id)
+    edge SQL — the `_cc_unrolled_sql` shape, parameterized."""
+    ctes = [
+        f"dep AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM dep "
+        "UNION SELECT dst_id, src_id FROM dep)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym "
+        "UNION SELECT dst_id FROM sym)",
+        "l0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"least(v.component, coalesce(m.nbr, v.component)) AS component "
+            f"FROM l{p} v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, min(l.component) AS nbr "
+            f"FROM sym e JOIN l{p} l ON e.src_id = l.vertex GROUP BY e.dst_id"
+            f") m ON v.vertex = m.vertex)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vertex, component FROM l{iters}"
+
+
+@register(
+    "module_components",
+    _hashmin_unrolled_sql(DEPENDENCY_EDGES_REPO5_SQL, _CC_ITERS),
+)
+def q_module_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency islands: hash-min connected components over the
+    repo -> module import graph of the 5-file-repo corpus (shared
+    stdlib-ish modules weld repos into ecosystems; diameter ~6, well
+    under the unroll depth).  The A+B composition: code import
+    extraction feeding the link-graph kernel unchanged."""
+    from arxiv_citation_graph_spark.operators.imports import dependency_edges
+    from arxiv_citation_graph_spark.plans.components import connected_components
+
+    edges = dependency_edges(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"), repo_size=5)
+    )
+    return connected_components(spark, edges, max_iterations=_CC_ITERS).components
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

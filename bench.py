@@ -262,6 +262,40 @@ def main() -> None:
 
     timed("dedup_clusters", run_dedup_clusters)
 
+    # -- code-payload flagships (round-5 session 2) --------------------------
+    from arxiv_citation_graph_spark.entry_queries import _synthetic_code_docs
+
+    code_docs = _synthetic_code_docs(docs_tbl).cache()
+    code_docs.count()
+
+    def run_clone_pairs():
+        from arxiv_citation_graph_spark.operators.winnow import (
+            clone_pairs,
+            winnowing_fingerprints,
+        )
+
+        fps = winnowing_fingerprints(code_docs, "repo", "content", k=8, w=4)
+        extras["clone_pairs_rows"] = clone_pairs(
+            fps, max_fp_df=50, min_shared=5
+        ).count()
+
+    timed("code_clone_pairs", run_clone_pairs)
+
+    def run_module_pagerank():
+        from arxiv_citation_graph_spark.operators.imports import (
+            dependency_edges,
+        )
+
+        dep = dependency_edges(code_docs)
+        res = pagerank(
+            spark, dep, tolerance=None, max_iterations=PR_ITERS,
+            salt_buckets=8, hot_degree_threshold=64,
+        )
+        extras["module_pagerank_vertices"] = res.num_vertices
+
+    timed("module_pagerank", run_module_pagerank)
+    code_docs.unpersist()
+
     # -- at-scale PageRank throughput (BASELINE.md's 40M-edge zipf input) ----
     from arxiv_citation_graph_spark.datagen import synthetic_edges
 
@@ -310,6 +344,13 @@ def main() -> None:
         "clean-window gate (wait_for_idle_host; r4's file landed in a "
         "noisy window) that changes WHEN the suite runs, never what the "
         "frozen workloads run"
+    )
+    extras["workload_changes_r5_session2"] = (
+        "added code_clone_pairs (winnowing fingerprints -> df-capped clone "
+        "pair join over the 5k-file synthetic code corpus) and "
+        "module_pagerank (import extraction -> dependency edges -> 8 "
+        "salted supersteps) — the round-5 code-payload flagships; all "
+        "prior workloads byte-frozen"
     )
     extras["trials"] = trials
     extras["trial_times"] = {k: v for k, v in trial_times.items() if len(v) > 1}
