@@ -8266,6 +8266,7 @@ def _synthetic_code_docs(
     with_spdx: bool = False,
     with_defs: bool = False,
     with_secrets: bool = False,
+    with_vendored: bool = False,
 ) -> DataFrame:
     """documents -> deterministic 5-language source-code corpus
     ``docs(repo, path, commit, lang, content)`` (the `_synthetic_tex_docs`
@@ -8282,8 +8283,11 @@ def _synthetic_code_docs(
     appends known per-language symbol definitions (the symbols
     fixture); ``with_secrets=True`` appends deterministic planted
     credentials on the ``doc_id % {11,13,17,19,23}`` grids (the
-    secret-scan fixture).  Defaults leave the corpus byte-identical to
-    rounds <= 5's code oracles."""
+    secret-scan fixture); ``with_vendored=True`` moves files under
+    vendor directories on the ``doc_id % 9`` grid and prepends a
+    generated-file banner on ``doc_id % 7 == 3`` (the linguist-screen
+    fixture).  Defaults leave the corpus byte-identical to rounds
+    <= 5's code oracles."""
     d = F.col("doc_id")
     a = (d % 40).cast("string")
     b = (d % 30).cast("string")
@@ -8394,6 +8398,19 @@ def _synthetic_code_docs(
             .otherwise(F.concat(F.lit("// "), tag, F.lit("\n")))
         )
         content = F.when(lic == "", content).otherwise(F.concat(header, content))
+    if with_vendored:
+        banner = (
+            F.when(m == 0, F.lit("# @generated\n"))
+            .when(m == 4, F.lit("/* @generated */\n"))
+            .otherwise(F.lit("// Code generated by synthgen. DO NOT EDIT.\n"))
+        )
+        content = F.when(d % 7 == 3, F.concat(banner, content)).otherwise(content)
+        path = F.concat(
+            F.when(d % 9 == 0, F.lit("vendor/"))
+            .when(d % 9 == 4, F.lit("node_modules/dep/"))
+            .otherwise(F.lit("")),
+            path,
+        )
     if repo_size == 1:
         repo = F.concat(F.lit("doc"), d.cast("string"))
     else:
@@ -9208,6 +9225,67 @@ def q_module_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synthetic_code_docs(_t(spark, sf_dir, "documents"), repo_size=5)
     )
     return connected_components(spark, edges, max_iterations=_CC_ITERS).components
+
+
+#: go module paths embed the providing repo ('example.com/repo<a>/pkg')
+#: — closed-form repo -> repo citation edges of the 5-file-repo corpus
+REPO_CITATION_EDGES_SQL = """
+SELECT DISTINCT 'repo' || CAST(doc_id // 5 AS VARCHAR) AS src_id,
+       'repo' || CAST(doc_id % 40 AS VARCHAR) AS dst_id
+FROM documents
+WHERE doc_id % 5 = 2 AND doc_id // 5 <> doc_id % 40
+"""
+
+
+@register("repo_citation_edges", REPO_CITATION_EDGES_SQL)
+def q_repo_citation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo -> repo citation edges mined from import module paths
+    (operators/imports.py `repo_reference_edges`): the corpus-specific
+    module->repo regex captures the providing repo, self-references and
+    duplicates drop — the code-corpus analog of the reference's
+    paper-to-paper citation table, ready for every plans/ kernel."""
+    from arxiv_citation_graph_spark.operators.imports import (
+        repo_reference_edges,
+    )
+
+    return repo_reference_edges(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"), repo_size=5),
+        r"^example\.com/(repo\d+)/",
+    )
+
+
+VENDORED_FLAGS_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS m, doc_id % 9 AS v, doc_id % 7 AS g
+  FROM documents
+)
+SELECT 'doc' || CAST(doc_id AS VARCHAR) AS repo,
+       (CASE WHEN v = 0 THEN 'vendor/'
+             WHEN v = 4 THEN 'node_modules/dep/' ELSE '' END)
+       || (CASE m WHEN 0 THEN 'main.py' WHEN 1 THEN 'index.js'
+                  WHEN 2 THEN 'main.go' WHEN 3 THEN 'Main.java'
+                  ELSE 'main.c' END) AS path,
+       CASE m WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'
+              WHEN 2 THEN 'go' WHEN 3 THEN 'java' ELSE 'c' END AS lang,
+       (v = 0 OR v = 4) AS is_vendored,
+       (g = 3) AS is_generated
+FROM d
+"""
+
+
+@register("vendored_generated_flags", VENDORED_FLAGS_SQL)
+def q_vendored_generated_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linguist-style exclusion screen (operators/codequality.py):
+    vendored-directory / minified-asset paths + generated-file head
+    banners, over the with_vendored corpus — zero-shuffle row-local
+    flags a code corpus drops before training."""
+    from arxiv_citation_graph_spark.operators.codequality import (
+        vendored_generated_flags,
+    )
+
+    return vendored_generated_flags(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"), with_vendored=True)
+    )
 
 
 # ===========================================================================

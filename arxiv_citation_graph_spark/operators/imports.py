@@ -104,3 +104,26 @@ def dependency_edges(docs: DataFrame) -> DataFrame:
         .select(F.col("repo").alias("src_id"), F.col("module").alias("dst_id"))
         .distinct()
     )
+
+
+def repo_reference_edges(docs: DataFrame, module_repo_pattern: str) -> DataFrame:
+    """Repo -> repo citation edges mined from imports: modules whose
+    name embeds the providing repository (go module paths
+    ``host/<repo>/pkg``, scoped npm packages ``@org/<repo>``, monorepo
+    absolute imports) become edges to that repo.
+
+    ``module_repo_pattern`` is a Java regex whose GROUP 1 captures the
+    referenced repo id (corpus-convention-specific, so it is a
+    parameter, not a baked-in guess); non-matching modules drop out,
+    self-references are removed, and the edge table is deduplicated
+    (X3's contract).  The output is the code-corpus analog of the
+    reference's paper-to-paper citation table — every graph kernel in
+    ``plans/`` runs on it unchanged.  Whole plan is scan + regexp +
+    one distinct: no Python, one shuffle."""
+    ref = F.regexp_extract(F.col("module"), module_repo_pattern, 1)
+    return (
+        extract_imports(docs)
+        .select(F.col("repo").alias("src_id"), ref.alias("dst_id"))
+        .filter((F.col("dst_id") != "") & (F.col("dst_id") != F.col("src_id")))
+        .distinct()
+    )
