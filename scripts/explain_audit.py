@@ -1727,6 +1727,60 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.operators.codetokens import (
+        identifier_tokens,
+    )
+    from arxiv_citation_graph_spark.operators.imports import (
+        dependency_edges,
+        repo_reference_edges,
+    )
+
+    dep_plan = plan_of(dependency_edges(code_docs))
+    sections.append(
+        (
+            "Dependency edges — regex extraction fused into the scan",
+            "The language dispatch (CASE over lang) and every "
+            "regexp_extract_all run inside WholeStageCodegen directly "
+            "over the source projection — no Python anywhere (contrast "
+            "the TeX extractor, which keeps pandas re only for reference "
+            "bit-parity); one Generate (posexplode) per file, then the "
+            "edge dedup is the single Exchange.  At 10^12 files the "
+            "extraction is scan-bound; only distinct (repo, module) "
+            f"pairs ever shuffle.  [{exchange_count(dep_plan)}]",
+            condense(dep_plan, KEEP),
+        )
+    )
+
+    rre_plan = plan_of(
+        repo_reference_edges(code_docs, r"^example\.com/(repo\d+)/")
+    )
+    sections.append(
+        (
+            "Repo-to-repo citation edges — one more projection, same scan",
+            "The provider capture (regexp_extract on the module path) and "
+            "the self-reference drop are row-local expressions layered on "
+            "the dependency extraction — still exactly one Exchange (the "
+            "distinct edge dedup).  The output is the code-corpus analog "
+            "of the reference's citation table and feeds every plans/ "
+            f"kernel unchanged.  [{exchange_count(rre_plan)}]",
+            condense(rre_plan, KEEP),
+        )
+    )
+
+    it_plan = plan_of(identifier_tokens(code_docs))
+    sections.append(
+        (
+            "Identifier subtokens — JVM regex split + two-stage count",
+            "camelCase/snake_case splitting is two regexp_replace "
+            "rewrites + one split/posexplode in WholeStageCodegen (no "
+            "UDFs); the (file, token) count shows a partial HashAggregate "
+            "BEFORE its Exchange, so within-file token repetition "
+            "combines map-side and the shuffle carries distinct "
+            f"(file, token) rows only.  [{exchange_count(it_plan)}]",
+            condense(it_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:
