@@ -9288,6 +9288,70 @@ def q_vendored_generated_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _import_cycles_sql(edges_sql: str, doublings: int) -> str:
+    """Circular-dependency oracle: SCC by squared transitive closure
+    over an arbitrary (src_id, dst_id) edge SQL (the `_scc_closure_ctes`
+    shape, parameterized), keeping only non-trivial components — the
+    repos actually on an import cycle — with their cycle size."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM e "
+        "UNION SELECT dst_id FROM e)",
+        "r0 AS MATERIALIZED (SELECT vertex AS a, vertex AS b FROM verts "
+        "UNION SELECT src_id, dst_id FROM e)",
+    ]
+    for k in range(1, doublings + 1):
+        p = k - 1
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT DISTINCT x.a, y.b "
+            f"FROM r{p} x JOIN r{p} y ON x.b = y.a)"
+        )
+    ctes.append(
+        f"sccdef AS MATERIALIZED (SELECT f.a AS vertex, min(f.b) AS scc "
+        f"FROM r{doublings} f JOIN r{doublings} g "
+        f"ON f.a = g.b AND f.b = g.a GROUP BY f.a)"
+    )
+    ctes.append(
+        "sizes AS MATERIALIZED (SELECT scc, CAST(count(*) AS BIGINT) "
+        "AS cycle_size FROM sccdef GROUP BY scc)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT s.vertex, s.scc, z.cycle_size FROM sccdef s "
+        "JOIN sizes z ON s.scc = z.scc WHERE z.cycle_size > 1"
+    )
+
+
+@register("import_cycles", _import_cycles_sql(REPO_CITATION_EDGES_SQL, 4))
+def q_import_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular-dependency detection — the code-review question every
+    build system asks: which repos sit on an import cycle?  SCC
+    (FW-BW-trim, plans/scc.py) over the repo -> repo citation edges
+    mined by operators/imports.py, keeping components of size > 1.
+    The go-file convention makes the corpus a functional graph (one
+    out-edge per repo), whose two 4-cycles the oracle recovers by
+    definitionally-different squared transitive closure."""
+    from arxiv_citation_graph_spark.operators.imports import (
+        repo_reference_edges,
+    )
+    from arxiv_citation_graph_spark.plans.scc import (
+        strongly_connected_components,
+    )
+
+    edges = repo_reference_edges(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"), repo_size=5),
+        r"^example\.com/(repo\d+)/",
+    )
+    comps = strongly_connected_components(spark, edges).components
+    sizes = comps.groupBy("scc").agg(F.count("*").alias("cycle_size"))
+    return (
+        comps.join(sizes, "scc")
+        .filter(F.col("cycle_size") > 1)
+        .select("vertex", "scc", "cycle_size")
+    )
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================
