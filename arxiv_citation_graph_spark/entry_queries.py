@@ -9323,6 +9323,56 @@ def _import_cycles_sql(edges_sql: str, doublings: int) -> str:
     )
 
 
+#: repo_size=5 variant of the code-docs reconstruction (repo = doc_id // 5)
+CODE_DOCS_REPO5_SQL = CODE_DOCS_SQL.replace(
+    "'doc' || CAST(doc_id AS VARCHAR) AS repo",
+    "'repo' || CAST(doc_id // 5 AS VARCHAR) AS repo",
+)
+
+#: fork detection oracle: identical-content join replays digest
+#: equality (md5 is injective on the fixture; equality is equality),
+#: with the same df-cap (<= 64) and min_shared (>= 2) thresholds
+FORK_PAIRS_SQL = f"""
+WITH cd AS MATERIALIZED ({CODE_DOCS_REPO5_SQL}),
+files AS MATERIALIZED (SELECT DISTINCT repo, content FROM cd),
+rare AS MATERIALIZED (
+  SELECT content FROM files GROUP BY content HAVING COUNT(*) <= 64
+),
+kept AS MATERIALIZED (
+  SELECT f.repo, f.content FROM files f JOIN rare r ON f.content = r.content
+),
+sizes AS MATERIALIZED (SELECT repo, COUNT(*) AS n FROM kept GROUP BY repo),
+p AS MATERIALIZED (
+  SELECT a.repo AS repo_a, b.repo AS repo_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_files
+  FROM kept a JOIN kept b ON a.content = b.content AND a.repo < b.repo
+  GROUP BY a.repo, b.repo
+  HAVING COUNT(*) >= 2
+)
+SELECT p.repo_a, p.repo_b, p.shared_files,
+       round(CAST(p.shared_files AS DOUBLE) / least(sa.n, sb.n), 6)
+         AS containment
+FROM p JOIN sizes sa ON sa.repo = p.repo_a
+       JOIN sizes sb ON sb.repo = p.repo_b
+"""
+
+
+@register("fork_pairs", FORK_PAIRS_SQL)
+def q_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork / vendored-copy detection (operators/winnow.py
+    `fork_pairs`): repo pairs sharing >= 2 byte-identical files by
+    content digest, with containment vs the smaller repo — the screen
+    The Stack applies before training.  The 5-file synthetic repos
+    share their go+c files exactly when repo ids agree mod 8 (and all
+    five files mod 24), so the oracle's content-equality join recovers
+    the digest join's pairs in closed form."""
+    from arxiv_citation_graph_spark.operators.winnow import fork_pairs
+
+    return fork_pairs(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"), repo_size=5)
+    )
+
+
 @register("import_cycles", _import_cycles_sql(REPO_CITATION_EDGES_SQL, 4))
 def q_import_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Circular-dependency detection — the code-review question every

@@ -212,3 +212,81 @@ def clone_clusters(
     ).select(
         "doc", F.coalesce(F.col("component"), F.col("doc")).alias("cluster")
     )
+
+
+def fork_pairs(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    max_digest_df: int = 64,
+    min_shared: int = 2,
+) -> DataFrame:
+    """``(repo_a, repo_b, shared_files, containment)`` — repository
+    pairs sharing >= ``min_shared`` byte-identical files (by content
+    digest): fork / vendored-copy detection, the repo-granularity twin
+    of ``clone_pairs`` and the screen The Stack (Kocetkov et al. 2022)
+    applies before training (forks multiply a file's weight in the
+    corpus without adding information).
+
+    ``containment = shared_files / min(|files_a|, |files_b|)`` over
+    each repo's DISTINCT surviving digests (1.0 = the smaller repo is
+    file-for-file contained in the other — a pure fork or a vendored
+    subtree).
+
+    Scale shape (the ``clone_pairs`` guards, one granularity up):
+    digests whose repo-frequency exceeds ``max_digest_df`` drop BEFORE
+    the self-join (empty ``__init__.py`` / boilerplate LICENSE files
+    would otherwise create df^2 hot buckets); candidate pairing is an
+    equi-join on the digest, never all-pairs; shared counts and repo
+    sizes are two-stage aggregates with map-side partials.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    files = (
+        docs.select(
+            F.col(repo_col).alias("repo"),
+            F.md5(F.col(content_col)).alias("digest"),
+        )
+        .distinct()
+    )
+    rare = (
+        files.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_digest_df)
+        .select("digest")
+    )
+    # three consumers (both join sides + sizes) — scoped cache, freed
+    # before returning the pair-sized, thresholded result.
+    kept = files.join(rare, "digest").cache()
+    try:
+        sizes = kept.groupBy("repo").agg(F.count(F.lit(1)).alias("n_files"))
+        a = kept.select(F.col("repo").alias("repo_a"), "digest")
+        b = kept.select(F.col("repo").alias("repo_b"), "digest")
+        pairs = (
+            a.join(b, "digest")
+            .filter(F.col("repo_a") < F.col("repo_b"))
+            .groupBy("repo_a", "repo_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("shared_files"))
+            .filter(F.col("shared_files") >= min_shared)
+        )
+        na = sizes.select(
+            F.col("repo").alias("repo_a"), F.col("n_files").alias("n_a")
+        )
+        nb = sizes.select(
+            F.col("repo").alias("repo_b"), F.col("n_files").alias("n_b")
+        )
+        return (
+            pairs.join(na, "repo_a")
+            .join(nb, "repo_b")
+            .select(
+                "repo_a",
+                "repo_b",
+                "shared_files",
+                F.round(
+                    F.col("shared_files") / F.least("n_a", "n_b"), 6
+                ).alias("containment"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        kept.unpersist()

@@ -155,3 +155,80 @@ def test_validation_errors():
         winnowing_fingerprints(None, "doc", "content", k=0)
     with pytest.raises(ValueError):
         clone_pairs(None, min_shared=0)
+
+
+# --- fork detection (repo-granularity exact-digest clone pairs) ------------
+
+
+def test_fork_pairs_planted_fork(spark):
+    """r1/r2 share 2 of their 3 files (containment 2/3); r3 shares one
+    file with r1 — below min_shared, absent."""
+    from arxiv_citation_graph_spark.operators.winnow import fork_pairs
+
+    docs = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c", "python", "AAA"),
+            ("r1", "b.py", "c", "python", "BBB"),
+            ("r1", "c.py", "c", "python", "CCC"),
+            ("r2", "a.py", "c", "python", "AAA"),
+            ("r2", "b.py", "c", "python", "BBB"),
+            ("r2", "z.py", "c", "python", "ZZZ"),
+            ("r3", "a.py", "c", "python", "AAA"),
+            ("r3", "y.py", "c", "python", "YYY"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    rows = fork_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.repo_a, r.repo_b, r.shared_files) == ("r1", "r2", 2)
+    assert abs(r.containment - round(2 / 3, 6)) < 1e-9
+
+
+def test_fork_pairs_full_fork_containment_one(spark):
+    from arxiv_citation_graph_spark.operators.winnow import fork_pairs
+
+    docs = spark.createDataFrame(
+        [
+            ("big", "a", "c", "python", "AAA"),
+            ("big", "b", "c", "python", "BBB"),
+            ("big", "d", "c", "python", "DDD"),
+            ("sub", "a", "c", "python", "AAA"),
+            ("sub", "b", "c", "python", "BBB"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    r = fork_pairs(docs).collect()[0]
+    # the smaller repo is fully contained: a pure (partial) fork
+    assert (r.repo_a, r.repo_b, r.shared_files, r.containment) == (
+        "big", "sub", 2, 1.0,
+    )
+
+
+def test_fork_pairs_hot_digest_capped(spark):
+    """A digest present in every repo (boilerplate LICENSE) is dropped
+    before the self-join when over max_digest_df — no df^2 blowup and
+    no spurious pairs from boilerplate alone."""
+    from arxiv_citation_graph_spark.operators.winnow import fork_pairs
+
+    rows = []
+    for i in range(6):
+        rows.append((f"r{i}", "LICENSE", "c", "text", "SAME-LICENSE"))
+        rows.append((f"r{i}", "main.py", "c", "python", f"unique-{i}"))
+    docs = spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content"]
+    )
+    assert fork_pairs(docs, max_digest_df=3, min_shared=1).count() == 0
+
+
+def test_fork_pairs_min_shared_validation(spark):
+    import pytest as _pytest
+
+    from arxiv_citation_graph_spark.operators.winnow import fork_pairs
+
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "x", "y")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    with _pytest.raises(ValueError):
+        fork_pairs(docs, min_shared=0)
