@@ -9373,6 +9373,68 @@ def q_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fork_clusters_sql(iters: int) -> str:
+    """Fork families: hash-min CC unrolled over the fork-pair graph
+    (mod-8 cliques, diameter 1 — ``iters`` carries a wide margin),
+    every repo labeled (singletons = own id, the dedup convention)."""
+    ctes = [
+        f"fp AS MATERIALIZED ({FORK_PAIRS_SQL})",
+        "sym AS MATERIALIZED (SELECT repo_a AS src_id, repo_b AS dst_id "
+        "FROM fp UNION SELECT repo_b, repo_a FROM fp)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src_id AS vertex FROM sym)",
+        "l0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"least(v.component, coalesce(m.nbr, v.component)) AS component "
+            f"FROM l{p} v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, min(l.component) AS nbr "
+            f"FROM sym e JOIN l{p} l ON e.src_id = l.vertex GROUP BY e.dst_id"
+            f") m ON v.vertex = m.vertex)"
+        )
+    ctes.append(
+        f"allrepos AS MATERIALIZED (SELECT DISTINCT "
+        f"'repo' || CAST(doc_id // 5 AS VARCHAR) AS repo FROM documents)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT r.repo, coalesce(l.component, r.repo) AS cluster
+FROM allrepos r LEFT JOIN l{iters} l ON l.vertex = r.repo"""
+    )
+
+
+@register("fork_clusters", _fork_clusters_sql(4))
+def q_fork_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork families — the repo-level dedup unit: connected components
+    (hash-min, plans/components.py) over the `fork_pairs` graph, every
+    repo labeled (cluster = lexicographic-min family member; repos with
+    no fork partner are singletons).  The repo-granularity twin of
+    `dedup_clusters`/`clone_clusters`: a training corpus keeps ONE repo
+    per family."""
+    from arxiv_citation_graph_spark.operators.winnow import fork_pairs
+    from arxiv_citation_graph_spark.plans.components import (
+        connected_components,
+    )
+
+    code_docs = _synthetic_code_docs(
+        _t(spark, sf_dir, "documents"), repo_size=5
+    )
+    edges = fork_pairs(code_docs).select(
+        F.col("repo_a").alias("src_id"), F.col("repo_b").alias("dst_id")
+    )
+    cc = connected_components(spark, edges, max_iterations=8)
+    every = code_docs.select(F.col("repo")).distinct()
+    return every.join(
+        cc.components.withColumnRenamed("vertex", "repo"), "repo", "left"
+    ).select(
+        "repo", F.coalesce(F.col("component"), F.col("repo")).alias("cluster")
+    )
+
+
 @register("import_cycles", _import_cycles_sql(REPO_CITATION_EDGES_SQL, 4))
 def q_import_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Circular-dependency detection — the code-review question every
