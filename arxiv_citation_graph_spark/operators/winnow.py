@@ -114,6 +114,7 @@ def clone_pairs(
     fingerprints: DataFrame,
     max_fp_df: int = 50,
     min_shared: int = 5,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """``(doc_a, doc_b, shared, containment)`` — document pairs sharing
     >= ``min_shared`` distinct fingerprint hashes, MOSS-style.
@@ -158,7 +159,7 @@ def clone_pairs(
         )
         na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_fp").alias("n_a"))
         nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_fp").alias("n_b"))
-        return (
+        out = (
             pairs.join(na, "doc_a")
             .join(nb, "doc_b")
             .select(
@@ -169,8 +170,12 @@ def clone_pairs(
                     "containment"
                 ),
             )
-            .localCheckpoint()
         )
+        # the eager localCheckpoint severs the pair table from the
+        # scoped cache above; ``checkpoint=False`` keeps the plan lazy
+        # (each consumer recomputes the fingerprint scan) — for plan
+        # auditing and single-consumer compositions
+        return out.localCheckpoint() if checkpoint else out
     finally:
         kept.unpersist()
 
@@ -220,6 +225,7 @@ def fork_pairs(
     content_col: str = "content",
     max_digest_df: int = 64,
     min_shared: int = 2,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """``(repo_a, repo_b, shared_files, containment)`` — repository
     pairs sharing >= ``min_shared`` byte-identical files (by content
@@ -275,7 +281,7 @@ def fork_pairs(
         nb = sizes.select(
             F.col("repo").alias("repo_b"), F.col("n_files").alias("n_b")
         )
-        return (
+        out = (
             pairs.join(na, "repo_a")
             .join(nb, "repo_b")
             .select(
@@ -286,7 +292,9 @@ def fork_pairs(
                     F.col("shared_files") / F.least("n_a", "n_b"), 6
                 ).alias("containment"),
             )
-            .localCheckpoint()
         )
+        # see clone_pairs: checkpoint=False keeps the plan lazy for
+        # auditing / single-consumer compositions
+        return out.localCheckpoint() if checkpoint else out
     finally:
         kept.unpersist()

@@ -1697,6 +1697,7 @@ def main() -> None:
             winnowing_fingerprints(code_docs, "repo", "content", k=8, w=4),
             max_fp_df=50,
             min_shared=5,
+            checkpoint=False,  # keep the plan lazy so the audit sees it
         )
     )
     sections.append(
@@ -1778,6 +1779,24 @@ def main() -> None:
             "combines map-side and the shuffle carries distinct "
             f"(file, token) rows only.  [{exchange_count(it_plan)}]",
             condense(it_plan, KEEP),
+        )
+    )
+
+    from arxiv_citation_graph_spark.operators.winnow import fork_pairs
+
+    fk_plan = plan_of(fork_pairs(code_docs, checkpoint=False))
+    sections.append(
+        (
+            "Fork pairs — digest df-cap before the self-join",
+            "Repo-granularity exact-dup detection: the md5 digest is a "
+            "row-local projection; the document-frequency cap aggregates "
+            "and filters ubiquitous digests (boilerplate LICENSE / empty "
+            "files) BEFORE the self-join so no df^2 hot bucket forms; "
+            "candidate pairing is an equi-join on the digest (never "
+            "all-pairs); shared counts and repo sizes are two-stage "
+            "aggregates with map-side partials — the clone_pairs shape "
+            f"one granularity up.  [{exchange_count(fk_plan)}]",
+            condense(fk_plan, KEEP),
         )
     )
 
