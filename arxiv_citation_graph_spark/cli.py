@@ -662,6 +662,50 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--directed", action="store_true",
                    help="follow edge direction (default: symmetrize)")
 
+    p = sub.add_parser(
+        "code-imports",
+        help="code docs parquet -> repo->module dependency edges "
+        "(language-dispatched regex, JVM-only)",
+    )
+    p.add_argument("--docs", required=True,
+                   help="code docs parquet (repo,path,commit,lang,content)")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--repo-pattern", default=None, metavar="REGEX",
+                   help="module->repo capture regex (group 1): also write "
+                   "repo->repo citation edges")
+
+    p = sub.add_parser(
+        "clones",
+        help="winnowing (MOSS) clone pairs + clone clusters over a "
+        "code corpus (file id = repo:path)",
+    )
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--k", type=int, default=8)
+    p.add_argument("--w", type=int, default=4)
+    p.add_argument("--max-fp-df", type=int, default=50)
+    p.add_argument("--min-shared", type=int, default=5)
+    p.add_argument("--min-containment", type=float, default=0.8)
+
+    p = sub.add_parser(
+        "forks",
+        help="repo pairs sharing byte-identical files (by digest) + "
+        "fork families (CC over the pair graph)",
+    )
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--max-digest-df", type=int, default=64)
+    p.add_argument("--min-shared", type=int, default=2)
+
+    p = sub.add_parser(
+        "code-scan",
+        help="one-read corpus screen: per-file quality stats + SPDX "
+        "license families + secret counts + vendored/generated flags, "
+        "plus the per-repo license rollup",
+    )
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True, help="warehouse root")
+
     p = sub.add_parser("bench-corpus", help="write a deterministic synthetic docs corpus")
     p.add_argument("--n-docs", type=int, default=10000)
     p.add_argument("--seed", type=int, default=42)
@@ -682,6 +726,139 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     catalog = SnapshotCatalog(args.out)
+
+    if args.cmd == "code-imports":
+        from arxiv_citation_graph_spark.operators.imports import (
+            dependency_edges,
+            repo_reference_edges,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        edges = dependency_edges(docs)
+        snap = catalog.create_or_replace("dependency_edges", edges)
+        msg = (
+            f"code-imports: {edges.count()} repo->module edges, "
+            f"snapshot {snap}"
+        )
+        if args.repo_pattern:
+            cites = repo_reference_edges(docs, args.repo_pattern)
+            catalog.create_or_replace("repo_citation_edges", cites)
+            msg += f"; {cites.count()} repo->repo citation edges"
+        print(msg)
+        return 0
+
+    if args.cmd == "clones":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.operators.winnow import (
+            clone_clusters,
+            clone_pairs,
+            winnowing_fingerprints,
+        )
+
+        files = spark.read.parquet(args.docs).select(
+            F.concat_ws(":", "repo", "path").alias("doc"), "content"
+        )
+        pairs = clone_pairs(
+            winnowing_fingerprints(files, "doc", "content",
+                                   k=args.k, w=args.w),
+            max_fp_df=args.max_fp_df,
+            min_shared=args.min_shared,
+        )
+        catalog.create_or_replace("clone_pairs", pairs)
+        clusters = clone_clusters(
+            spark, files, "doc", "content", k=args.k, w=args.w,
+            max_fp_df=args.max_fp_df, min_shared=args.min_shared,
+            min_containment=args.min_containment,
+        )
+        catalog.create_or_replace("clone_clusters", clusters)
+        n_multi = (
+            clusters.groupBy("cluster").count().filter("count > 1").count()
+        )
+        print(
+            f"clones: {pairs.count()} clone pairs, "
+            f"{clusters.count()} files labeled, "
+            f"{n_multi} multi-file clusters"
+        )
+        return 0
+
+    if args.cmd == "forks":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.operators.winnow import fork_pairs
+        from arxiv_citation_graph_spark.plans.components import (
+            connected_components,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        pairs = fork_pairs(
+            docs,
+            max_digest_df=args.max_digest_df,
+            min_shared=args.min_shared,
+        )
+        catalog.create_or_replace("fork_pairs", pairs)
+        cc = connected_components(
+            spark,
+            pairs.select(
+                F.col("repo_a").alias("src_id"),
+                F.col("repo_b").alias("dst_id"),
+            ),
+            max_iterations=16,
+        )
+        families = (
+            docs.select("repo")
+            .distinct()
+            .join(
+                cc.components.withColumnRenamed("vertex", "repo"),
+                "repo",
+                "left",
+            )
+            .select(
+                "repo",
+                F.coalesce("component", "repo").alias("cluster"),
+            )
+        )
+        catalog.create_or_replace("fork_families", families)
+        print(
+            f"forks: {pairs.count()} fork pairs, "
+            f"{families.count()} repos labeled"
+        )
+        return 0
+
+    if args.cmd == "code-scan":
+        from arxiv_citation_graph_spark.operators.codequality import (
+            code_quality_stats,
+            vendored_generated_flags,
+        )
+        from arxiv_citation_graph_spark.operators.licenses import (
+            license_scan,
+            repo_license_rollup,
+        )
+        from arxiv_citation_graph_spark.operators.secrets import (
+            secret_counts,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        quality = code_quality_stats(docs)
+        catalog.create_or_replace("code_quality", quality)
+        catalog.create_or_replace("license_scan", license_scan(docs))
+        rollup = repo_license_rollup(docs)
+        catalog.create_or_replace("repo_license_rollup", rollup)
+        secrets = secret_counts(docs)
+        catalog.create_or_replace("secret_counts", secrets)
+        catalog.create_or_replace(
+            "vendored_generated_flags", vendored_generated_flags(docs)
+        )
+        n_files = quality.count()
+        n_keep = quality.filter("keep").count()
+        n_secret = secrets.count()
+        n_copyleft = rollup.filter("n_copyleft > 0").count()
+        print(
+            f"code-scan: {n_files} files ({n_keep} pass quality), "
+            f"{n_secret} secret detector hits, "
+            f"{n_copyleft} repos carrying copyleft"
+        )
+        return 0
 
     if args.cmd == "ingest":
         from arxiv_citation_graph_spark.streaming.ingest import (

@@ -1,0 +1,105 @@
+"""CLI surface for the code-analytics tier: code-imports, clones,
+forks, code-scan (operators/{imports,winnow,codequality,licenses,
+secrets}.py wired through cli.py + SnapshotCatalog)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def code_docs_path(spark, tmp_path):
+    rows = []
+    for r in range(4):
+        # the mod-2 go file welds repos into two fork families
+        rows.append((f"repo{r}", "main.go", "c0", "go",
+                     'package main\nimport "fmt"\nimport '
+                     f'"example.com/repo{(r + 1) % 4}/pkg"\n'))
+        rows.append((f"repo{r}", "util.py", "c0", "python",
+                     f"import numpy\nimport pkg{r % 2}.core\n"))
+        rows.append((f"repo{r}", "LICENSE.py", "c0", "python",
+                     "# SPDX-License-Identifier: "
+                     + ("GPL-3.0-only" if r == 0 else "MIT")
+                     + "\nx = 1\n"))
+        if r == 3:
+            rows.append((f"repo{r}", "cred.py", "c0", "python",
+                         'password = "hunter2-hunter2"\n'))
+    docs = spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content"]
+    )
+    path = str(tmp_path / "code_docs")
+    docs.write.parquet(path)
+    return path
+
+
+def _patched_cli(monkeypatch, spark):
+    import arxiv_citation_graph_spark.cli as cli
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    return cli
+
+
+def test_cli_code_imports(spark, tmp_path, monkeypatch, code_docs_path, capsys):
+    cli = _patched_cli(monkeypatch, spark)
+    wh = str(tmp_path / "wh")
+    rc = cli.main([
+        "code-imports", "--docs", code_docs_path, "--out", wh,
+        "--repo-pattern", r"^example\.com/(repo\d+)/",
+    ])
+    assert rc == 0
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(wh)
+    deps = cat.read(spark, "dependency_edges")
+    assert deps.filter("dst_id = 'numpy'").count() == 4
+    cites = {(r.src_id, r.dst_id)
+             for r in cat.read(spark, "repo_citation_edges").collect()}
+    assert cites == {("repo0", "repo1"), ("repo1", "repo2"),
+                     ("repo2", "repo3"), ("repo3", "repo0")}
+
+
+def test_cli_forks_and_scan(spark, tmp_path, monkeypatch, code_docs_path, capsys):
+    cli = _patched_cli(monkeypatch, spark)
+    wh = str(tmp_path / "wh2")
+    rc = cli.main([
+        "forks", "--docs", code_docs_path, "--out", wh, "--min-shared", "2",
+    ])
+    assert rc == 0
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(wh)
+    fams = {r.repo: r.cluster
+            for r in cat.read(spark, "fork_families").collect()}
+    # only repo1/repo3 share >= 2 files (odd util.py + the MIT LICENSE;
+    # repo0's LICENSE carries the GPL tag so (0,2) share util.py only)
+    assert fams == {"repo0": "repo0", "repo2": "repo2",
+                    "repo1": "repo1", "repo3": "repo1"}
+
+    rc = cli.main(["code-scan", "--docs", code_docs_path, "--out", wh])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "1 repos carrying copyleft" in out
+    assert "1 secret detector hits" in out
+    scan = cat.read(spark, "license_scan")
+    assert scan.filter("family = 'copyleft'").count() == 1
+
+
+def test_cli_clones(spark, tmp_path, monkeypatch, code_docs_path, capsys):
+    cli = _patched_cli(monkeypatch, spark)
+    wh = str(tmp_path / "wh3")
+    rc = cli.main([
+        "clones", "--docs", code_docs_path, "--out", wh,
+        "--min-shared", "2", "--min-containment", "0.5",
+    ])
+    assert rc == 0
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(wh)
+    clusters = cat.read(spark, "clone_clusters")
+    # every file labeled; the mod-2-identical util.py files cluster
+    assert clusters.count() == 13
+    util = {r.doc: r.cluster for r in
+            clusters.filter("doc LIKE '%util.py'").collect()}
+    assert util["repo0:util.py"] == util["repo2:util.py"]
+    assert util["repo1:util.py"] == util["repo3:util.py"]
