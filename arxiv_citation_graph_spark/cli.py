@@ -706,6 +706,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--docs", required=True)
     p.add_argument("--out", required=True, help="warehouse root")
 
+    p = sub.add_parser(
+        "code-corpus",
+        help="write the compliant training corpus: permissive license, "
+        "not vendored/generated, secrets redacted (one-read screen)",
+    )
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--any-license", action="store_true",
+                   help="keep unlicensed/copyleft files too")
+    p.add_argument("--require-quality", action="store_true",
+                   help="also apply the StarCoder quality keep rule")
+    p.add_argument("--no-redact", action="store_true",
+                   help="ship content as-is (skip credential redaction)")
+
     p = sub.add_parser("bench-corpus", help="write a deterministic synthetic docs corpus")
     p.add_argument("--n-docs", type=int, default=10000)
     p.add_argument("--seed", type=int, default=42)
@@ -822,6 +836,25 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"forks: {pairs.count()} fork pairs, "
             f"{families.count()} repos labeled"
+        )
+        return 0
+
+    if args.cmd == "code-corpus":
+        from arxiv_citation_graph_spark.operators.codecorpus import (
+            compliant_code_corpus,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        kept = compliant_code_corpus(
+            docs,
+            permissive_only=not args.any_license,
+            require_quality=args.require_quality,
+            redact=not args.no_redact,
+        )
+        snap = catalog.create_or_replace("training_corpus", kept)
+        print(
+            f"code-corpus: kept {kept.count()} of {docs.count()} files, "
+            f"snapshot {snap}"
         )
         return 0
 

@@ -9373,6 +9373,52 @@ def q_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: closed-form kept set of the spdx+vendored corpus: permissive tag
+#: (doc_id%7 in {0,1,3}) minus the generated-banner grid (%7 == 3)
+#: minus vendored paths (%9 in {0,4}) — so kept iff l in {0,1} and
+#: v not in {0,4}
+CODE_TRAINING_CORPUS_SQL = """
+WITH dd AS (
+  SELECT doc_id, doc_id % 5 AS m, doc_id % 7 AS l, doc_id % 9 AS v
+  FROM documents
+)
+SELECT 'repo' || CAST(doc_id // 5 AS VARCHAR) AS repo,
+       CASE m WHEN 0 THEN 'main.py' WHEN 1 THEN 'index.js'
+              WHEN 2 THEN 'main.go' WHEN 3 THEN 'Main.java'
+              ELSE 'main.c' END AS path,
+       CASE m WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'
+              WHEN 2 THEN 'go' WHEN 3 THEN 'java' ELSE 'c' END AS lang,
+       CASE l WHEN 0 THEN 'MIT' ELSE 'Apache-2.0' END AS license
+FROM dd
+WHERE l IN (0, 1) AND v NOT IN (0, 4)
+"""
+
+
+@register("code_training_corpus", CODE_TRAINING_CORPUS_SQL)
+def q_code_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-read compliant-corpus screen (operators/codecorpus.py):
+    permissive SPDX license AND not vendored AND not machine-generated,
+    fused into a single scan pass (credentials redacted in the content
+    column, which the compare omits — content equality is covered by
+    the per-screen oracles).  Over the spdx+vendored corpus the kept
+    set is closed-form: the %7 license slot must be MIT/Apache (slot 3
+    is BSD but carries the generated banner), the %9 vendored grid
+    drops the rest."""
+    from arxiv_citation_graph_spark.operators.codecorpus import (
+        compliant_code_corpus,
+    )
+
+    kept = compliant_code_corpus(
+        _synthetic_code_docs(
+            _t(spark, sf_dir, "documents"),
+            repo_size=5,
+            with_spdx=True,
+            with_vendored=True,
+        )
+    )
+    return kept.select("repo", "path", "lang", "license")
+
+
 def _fork_clusters_sql(iters: int) -> str:
     """Fork families: hash-min CC unrolled over the fork-pair graph
     (mod-8 cliques, diameter 1 — ``iters`` carries a wide margin),

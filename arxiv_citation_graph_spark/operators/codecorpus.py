@@ -1,0 +1,94 @@
+"""Compliant code training-corpus composition — the one-read screen.
+
+The table a code-LM pipeline actually materializes (The Stack /
+StarCoder preprocessing, Kocetkov et al. 2022, Li et al. 2023): keep a
+file when its repo licensing permits training use, it is not vendored
+or machine-generated, (optionally) it passes the StarCoder quality
+rules, and committed credentials are redacted from what ships.  Every
+screen in this module is a row-local column expression reused from the
+sibling operators (`licenses.py`, `codequality.py`, `secrets.py`), so
+the WHOLE composition is one pass over the corpus scan — no joins, no
+shuffle, scan-speed at 100 TB; the optional fork-family dedup is the
+single join (against the repo-sized keeper table) a pipeline adds on
+top.
+
+The reference pipeline has no code tier (it screens TeX bibliographies,
+`create_database.py:530-587`); this is the beyond-reference
+training-data composition the engine exists for, the code-payload twin
+of `operators/pipeline.py`'s text corpus pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.operators.codequality import (
+    _GENERATED_MARKER_RE,
+    _MINIFIED_RE,
+    _VENDORED_PATH_RE,
+    _stat_columns,
+)
+from arxiv_citation_graph_spark.operators.licenses import (
+    SPDX_RE,
+    license_family,
+)
+from arxiv_citation_graph_spark.operators.secrets import redact_secrets
+
+
+def compliant_code_corpus(
+    docs: DataFrame,
+    *,
+    permissive_only: bool = True,
+    drop_vendored: bool = True,
+    drop_generated: bool = True,
+    require_quality: bool = False,
+    redact: bool = True,
+    head_lines: int = 5,
+) -> DataFrame:
+    """``(repo, path, commit, lang, content, license)`` — the files a
+    compliant code corpus keeps, with credentials redacted.
+
+    Screens (all row-local, fused into the scan):
+
+    - ``permissive_only``: first SPDX tag classifies 'permissive'
+      (unlicensed and copyleft files both drop — The Stack's rule);
+    - ``drop_vendored``: linguist vendor paths / minified assets;
+    - ``drop_generated``: machine-generated banner in the first
+      ``head_lines`` lines;
+    - ``require_quality``: the StarCoder keep rule (off by default —
+      run it separately when the corpus needs the quality columns);
+    - ``redact``: credential spans replaced in ``content``.
+
+    Repo-level screens (copyleft-anywhere-in-repo, fork-family dedup)
+    are aggregations/joins, not row screens — compose them from
+    `licenses.repo_license_rollup` and `winnow.fork_pairs` +
+    `plans.components` (see the `forks` CLI command), filtering this
+    output by the surviving repo list (one broadcast-able semi-join).
+    """
+    lic = F.regexp_extract(F.col("content"), SPDX_RE, 1)
+    lic = F.when(lic == "", F.lit(None).cast("string")).otherwise(lic)
+    keep = F.lit(True)
+    if permissive_only:
+        keep = keep & (license_family(lic) == "permissive")
+    if drop_vendored:
+        keep = keep & ~(
+            F.col("path").rlike(_VENDORED_PATH_RE)
+            | F.col("path").rlike(_MINIFIED_RE)
+        )
+    if drop_generated:
+        head = F.regexp_extract(
+            F.col("content"), r"(?s)^((?:[^\n]*\n?){0,%d})" % head_lines, 1
+        )
+        keep = keep & ~head.rlike(_GENERATED_MARKER_RE)
+    if require_quality:
+        keep = keep & _stat_columns(F.col("content"))["keep"]
+    content = redact_secrets(F.col("content")) if redact else F.col("content")
+    return docs.filter(keep).select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        content.alias("content"),
+        lic.alias("license"),
+    )

@@ -103,3 +103,79 @@ def test_cli_clones(spark, tmp_path, monkeypatch, code_docs_path, capsys):
             clusters.filter("doc LIKE '%util.py'").collect()}
     assert util["repo0:util.py"] == util["repo2:util.py"]
     assert util["repo1:util.py"] == util["repo3:util.py"]
+
+
+def test_compliant_code_corpus_screens_and_redaction(spark):
+    from arxiv_citation_graph_spark.operators.codecorpus import (
+        compliant_code_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # kept: permissive, clean path, no banner; secret redacted
+            ("r1", "ok.py", "c", "python",
+             "# SPDX-License-Identifier: MIT\n"
+             'password = "hunter2-hunter2"\nx = 1\n'),
+            # copyleft -> dropped
+            ("r1", "gpl.py", "c", "python",
+             "# SPDX-License-Identifier: GPL-3.0-only\nx = 1\n"),
+            # no tag -> dropped under permissive_only
+            ("r1", "untagged.py", "c", "python", "x = 1\n"),
+            # vendored path -> dropped despite MIT
+            ("r1", "vendor/dep.py", "c", "python",
+             "# SPDX-License-Identifier: MIT\nx = 1\n"),
+            # generated banner -> dropped despite MIT
+            ("r1", "gen.py", "c", "python",
+             "# SPDX-License-Identifier: MIT\n# Code generated by tool. "
+             "DO NOT EDIT.\nx = 1\n"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    rows = compliant_code_corpus(docs).collect()
+    assert [(r.path, r.license) for r in rows] == [("ok.py", "MIT")]
+    assert "hunter2" not in rows[0].content  # credential redacted
+    # permissive_only off: untagged + copyleft come back (still no
+    # vendored/generated)
+    paths = {r.path for r in
+             compliant_code_corpus(docs, permissive_only=False).collect()}
+    assert paths == {"ok.py", "gpl.py", "untagged.py"}
+
+
+def test_compliant_code_corpus_quality_screen(spark):
+    from arxiv_citation_graph_spark.operators.codecorpus import (
+        compliant_code_corpus,
+    )
+
+    minified = ("# SPDX-License-Identifier: MIT\n"
+                + "x" * 2000 + "\n")  # max line 2000 > 1000 -> fails
+    docs = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c", "python",
+             "# SPDX-License-Identifier: MIT\nx = 1\n"),
+            ("r1", "b.py", "c", "python", minified),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    assert {r.path for r in compliant_code_corpus(docs).collect()} == {
+        "a.py", "b.py",
+    }
+    assert {r.path for r in
+            compliant_code_corpus(docs, require_quality=True).collect()} == {
+        "a.py",
+    }
+
+
+def test_cli_code_corpus(spark, tmp_path, monkeypatch, code_docs_path, capsys):
+    cli = _patched_cli(monkeypatch, spark)
+    wh = str(tmp_path / "wh4")
+    rc = cli.main(["code-corpus", "--docs", code_docs_path, "--out", wh])
+    assert rc == 0
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    kept = SnapshotCatalog(wh).read(spark, "training_corpus")
+    # only the MIT-tagged LICENSE.py files survive (repo0's is GPL);
+    # untagged main.go/util.py/cred.py drop under permissive-only
+    assert {(r.repo, r.path) for r in kept.collect()} == {
+        ("repo1", "LICENSE.py"), ("repo2", "LICENSE.py"),
+        ("repo3", "LICENSE.py"),
+    }
