@@ -1800,6 +1800,24 @@ def main() -> None:
         )
     )
 
+    from arxiv_citation_graph_spark.operators.codecorpus import (
+        compliant_code_corpus,
+    )
+
+    ccc_plan = plan_of(compliant_code_corpus(code_docs))
+    sections.append(
+        (
+            "Compliant code corpus — every screen fused into one scan",
+            "License family, vendored path, generated banner, and the "
+            "credential redaction are all row-local expressions in a "
+            "single Filter+Project over the source scan — ZERO "
+            "Exchanges, no Python: the whole compliance pass runs at "
+            "scan speed however large the corpus.  "
+            f"[{exchange_count(ccc_plan)}]",
+            condense(ccc_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:
