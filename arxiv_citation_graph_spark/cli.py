@@ -696,6 +696,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="warehouse root")
     p.add_argument("--max-digest-df", type=int, default=64)
     p.add_argument("--min-shared", type=int, default=2)
+    p.add_argument("--max-iterations", type=int, default=64,
+                   help="hash-min CC superstep cap (fork-graph diameter)")
 
     p = sub.add_parser(
         "code-scan",
@@ -750,14 +752,15 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.docs)
         edges = dependency_edges(docs)
         snap = catalog.create_or_replace("dependency_edges", edges)
-        msg = (
-            f"code-imports: {edges.count()} repo->module edges, "
-            f"snapshot {snap}"
-        )
+        # counts read the (small) written snapshots back — never
+        # re-running the extraction scans just to count
+        n = catalog.read(spark, "dependency_edges").count()
+        msg = f"code-imports: {n} repo->module edges, snapshot {snap}"
         if args.repo_pattern:
             cites = repo_reference_edges(docs, args.repo_pattern)
             catalog.create_or_replace("repo_citation_edges", cites)
-            msg += f"; {cites.count()} repo->repo citation edges"
+            nc = catalog.read(spark, "repo_citation_edges").count()
+            msg += f"; {nc} repo->repo citation edges"
         print(msg)
         return 0
 
@@ -765,14 +768,20 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from arxiv_citation_graph_spark.operators.winnow import (
-            clone_clusters,
             clone_pairs,
             winnowing_fingerprints,
+        )
+        from arxiv_citation_graph_spark.plans.components import (
+            connected_components,
         )
 
         files = spark.read.parquet(args.docs).select(
             F.concat_ws(":", "repo", "path").alias("doc"), "content"
         )
+        # ONE winnowing + pairing pass: the localCheckpoint'ed pair
+        # table feeds both the snapshot and the cluster CC (calling
+        # clone_clusters here would rebuild fingerprints+pairs from
+        # scratch — double the dominant cost on a large corpus)
         pairs = clone_pairs(
             winnowing_fingerprints(files, "doc", "content",
                                    k=args.k, w=args.w),
@@ -780,19 +789,32 @@ def main(argv: list[str] | None = None) -> int:
             min_shared=args.min_shared,
         )
         catalog.create_or_replace("clone_pairs", pairs)
-        clusters = clone_clusters(
-            spark, files, "doc", "content", k=args.k, w=args.w,
-            max_fp_df=args.max_fp_df, min_shared=args.min_shared,
-            min_containment=args.min_containment,
+        cc = connected_components(
+            spark,
+            pairs.filter(F.col("containment") >= args.min_containment)
+            .select(F.col("doc_a").alias("src_id"),
+                    F.col("doc_b").alias("dst_id")),
+            max_iterations=64,
+        )
+        clusters = (
+            files.select("doc")
+            .distinct()
+            .join(cc.components.withColumnRenamed("vertex", "doc"),
+                  "doc", "left")
+            .select("doc", F.coalesce("component", "doc").alias("cluster"))
         )
         catalog.create_or_replace("clone_clusters", clusters)
+        pairs_n = catalog.read(spark, "clone_pairs").count()
+        clusters_t = catalog.read(spark, "clone_clusters")
         n_multi = (
-            clusters.groupBy("cluster").count().filter("count > 1").count()
+            clusters_t.groupBy("cluster").count().filter("count > 1").count()
         )
         print(
-            f"clones: {pairs.count()} clone pairs, "
-            f"{clusters.count()} files labeled, "
+            f"clones: {pairs_n} clone pairs, "
+            f"{clusters_t.count()} files labeled, "
             f"{n_multi} multi-file clusters"
+            + ("" if cc.report.converged else
+               " (WARNING: CC hit the superstep cap before convergence)")
         )
         return 0
 
@@ -817,7 +839,7 @@ def main(argv: list[str] | None = None) -> int:
                 F.col("repo_a").alias("src_id"),
                 F.col("repo_b").alias("dst_id"),
             ),
-            max_iterations=16,
+            max_iterations=args.max_iterations,
         )
         families = (
             docs.select("repo")
@@ -834,8 +856,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         catalog.create_or_replace("fork_families", families)
         print(
-            f"forks: {pairs.count()} fork pairs, "
-            f"{families.count()} repos labeled"
+            f"forks: {catalog.read(spark, 'fork_pairs').count()} fork "
+            f"pairs, {catalog.read(spark, 'fork_families').count()} "
+            f"repos labeled"
+            + ("" if cc.report.converged else
+               " (WARNING: CC hit the superstep cap before convergence)")
         )
         return 0
 
@@ -852,8 +877,10 @@ def main(argv: list[str] | None = None) -> int:
             redact=not args.no_redact,
         )
         snap = catalog.create_or_replace("training_corpus", kept)
+        n_kept = catalog.read(spark, "training_corpus").count()
+        n_docs = docs.count()  # a count-only scan: no regex work
         print(
-            f"code-corpus: kept {kept.count()} of {docs.count()} files, "
+            f"code-corpus: kept {n_kept} of {n_docs} files, "
             f"snapshot {snap}"
         )
         return 0
@@ -871,21 +898,33 @@ def main(argv: list[str] | None = None) -> int:
             secret_counts,
         )
 
-        docs = spark.read.parquet(args.docs)
-        quality = code_quality_stats(docs)
-        catalog.create_or_replace("code_quality", quality)
-        catalog.create_or_replace("license_scan", license_scan(docs))
-        rollup = repo_license_rollup(docs)
-        catalog.create_or_replace("repo_license_rollup", rollup)
-        secrets = secret_counts(docs)
-        catalog.create_or_replace("secret_counts", secrets)
-        catalog.create_or_replace(
-            "vendored_generated_flags", vendored_generated_flags(docs)
-        )
+        # one cached read feeds all five screens; the summary counts
+        # read the (small) written snapshots back rather than re-running
+        # the regex pipelines over content
+        docs = spark.read.parquet(args.docs).cache()
+        try:
+            catalog.create_or_replace(
+                "code_quality", code_quality_stats(docs)
+            )
+            catalog.create_or_replace("license_scan", license_scan(docs))
+            catalog.create_or_replace(
+                "repo_license_rollup", repo_license_rollup(docs)
+            )
+            catalog.create_or_replace("secret_counts", secret_counts(docs))
+            catalog.create_or_replace(
+                "vendored_generated_flags", vendored_generated_flags(docs)
+            )
+        finally:
+            docs.unpersist()
+        quality = catalog.read(spark, "code_quality")
         n_files = quality.count()
         n_keep = quality.filter("keep").count()
-        n_secret = secrets.count()
-        n_copyleft = rollup.filter("n_copyleft > 0").count()
+        n_secret = catalog.read(spark, "secret_counts").count()
+        n_copyleft = (
+            catalog.read(spark, "repo_license_rollup")
+            .filter("n_copyleft > 0")
+            .count()
+        )
         print(
             f"code-scan: {n_files} files ({n_keep} pass quality), "
             f"{n_secret} secret detector hits, "

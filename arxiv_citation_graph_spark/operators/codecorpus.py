@@ -28,9 +28,10 @@ from arxiv_citation_graph_spark.operators.codequality import (
     _MINIFIED_RE,
     _VENDORED_PATH_RE,
     _stat_columns,
+    head_expr,
 )
 from arxiv_citation_graph_spark.operators.licenses import (
-    SPDX_RE,
+    license_expr,
     license_family,
 )
 from arxiv_citation_graph_spark.operators.secrets import redact_secrets
@@ -66,8 +67,7 @@ def compliant_code_corpus(
     `plans.components` (see the `forks` CLI command), filtering this
     output by the surviving repo list (one broadcast-able semi-join).
     """
-    lic = F.regexp_extract(F.col("content"), SPDX_RE, 1)
-    lic = F.when(lic == "", F.lit(None).cast("string")).otherwise(lic)
+    lic = license_expr(F.col("content"))
     keep = F.lit(True)
     if permissive_only:
         keep = keep & (license_family(lic) == "permissive")
@@ -77,10 +77,9 @@ def compliant_code_corpus(
             | F.col("path").rlike(_MINIFIED_RE)
         )
     if drop_generated:
-        head = F.regexp_extract(
-            F.col("content"), r"(?s)^((?:[^\n]*\n?){0,%d})" % head_lines, 1
+        keep = keep & ~head_expr(F.col("content"), head_lines).rlike(
+            _GENERATED_MARKER_RE
         )
-        keep = keep & ~head.rlike(_GENERATED_MARKER_RE)
     if require_quality:
         keep = keep & _stat_columns(F.col("content"))["keep"]
     content = redact_secrets(F.col("content")) if redact else F.col("content")

@@ -43,12 +43,19 @@ def license_family(license_id: Column) -> Column:
     return fam.when(copyleft, F.lit("copyleft")).otherwise(F.lit("other"))
 
 
+def license_expr(content: Column) -> Column:
+    """First SPDX tag in ``content`` as a nullable string (NULL when
+    absent) — the shared extraction `license_scan` and the compliant-
+    corpus screen both apply, so the two can never diverge."""
+    lic = F.regexp_extract(content, SPDX_RE, 1)
+    return F.when(lic == "", F.lit(None).cast("string")).otherwise(lic)
+
+
 def license_scan(docs: DataFrame) -> DataFrame:
     """``(repo, path, lang, license, family)`` — one row per file;
     ``license`` is the FIRST SPDX tag in the file (NULL when absent,
     family 'none')."""
-    lic = F.regexp_extract(F.col("content"), SPDX_RE, 1)
-    lic = F.when(lic == "", F.lit(None).cast("string")).otherwise(lic)
+    lic = license_expr(F.col("content"))
     return docs.select(
         "repo",
         "path",
