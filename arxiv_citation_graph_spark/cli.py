@@ -709,6 +709,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="warehouse root")
 
     p = sub.add_parser(
+        "xrefs",
+        help="cross-file symbol references within each repo: xref "
+        "edges, per-definition fan-in, and the dead-symbol screen",
+    )
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True, help="warehouse root")
+
+    p = sub.add_parser(
         "code-corpus",
         help="write the compliant training corpus: permissive license, "
         "not vendored/generated, secrets redacted (one-read screen)",
@@ -930,6 +938,29 @@ def main(argv: list[str] | None = None) -> int:
             f"{n_secret} secret detector hits, "
             f"{n_copyleft} repos carrying copyleft"
         )
+        return 0
+
+    if args.cmd == "xrefs":
+        from arxiv_citation_graph_spark.operators.symbols import (
+            dead_symbols,
+            extract_symbols,
+            symbol_fanin,
+            symbol_xrefs,
+        )
+
+        # one cached read feeds the symbol table and the identifier
+        # vocabulary; summaries read the written snapshots back
+        docs = spark.read.parquet(args.docs).cache()
+        try:
+            syms = extract_symbols(docs).localCheckpoint(eager=True)
+            catalog.create_or_replace("symbol_xrefs", symbol_xrefs(syms, docs))
+            catalog.create_or_replace("symbol_fanin", symbol_fanin(syms, docs))
+            catalog.create_or_replace("dead_symbols", dead_symbols(syms, docs))
+        finally:
+            docs.unpersist()
+        n_edges = catalog.read(spark, "symbol_xrefs").count()
+        n_dead = catalog.read(spark, "dead_symbols").count()
+        print(f"xrefs: {n_edges} cross-file reference edges, {n_dead} dead symbols")
         return 0
 
     if args.cmd == "ingest":

@@ -9510,6 +9510,150 @@ def q_import_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB reconstruction of `_synthetic_code_docs(repo_size=5,
+#: with_defs=True)` — the with-defs corpus content, recovered by
+#: appending the defs block to the shared base-content CTE (doc_id
+#: rejoined through the base repo key, so the base text stays
+#: single-sourced in CODE_DOCS_SQL)
+CODE_DOCS_DEFS5_SQL = f"""
+WITH basedocs AS ({CODE_DOCS_SQL}),
+dd AS (
+  SELECT doc_id,
+         CAST(doc_id % 40 AS VARCHAR) AS a,
+         CAST(doc_id % 30 AS VARCHAR) AS b,
+         CAST(doc_id % 20 AS VARCHAR) AS c,
+         doc_id % 5 AS m
+  FROM documents
+)
+SELECT 'repo' || CAST(dd.doc_id // 5 AS VARCHAR) AS repo,
+       bd.path, bd.lang,
+       bd.content ||
+       CASE dd.m
+         WHEN 0 THEN 'def handler_' || a || '(x):' || chr(10)
+              || '    return x' || chr(10)
+              || 'class Widget' || b || ':' || chr(10)
+              || '    pass' || chr(10)
+         WHEN 1 THEN 'function render' || a || '() {{}}' || chr(10)
+              || 'const parse' || b || ' = () => {{}};' || chr(10)
+              || 'class View' || c || ' {{}}' || chr(10)
+         WHEN 2 THEN 'func Handler' || a || '() {{}}' || chr(10)
+              || 'func helper' || b || '() {{}}' || chr(10)
+         WHEN 3 THEN 'class Widget' || b || ' {{ }}' || chr(10)
+              || 'interface Api' || a || ' {{ }}' || chr(10)
+         ELSE 'static int helper' || a || '(void) {{ return 0; }}' || chr(10)
+       END AS content
+FROM basedocs bd
+JOIN dd ON bd.repo = 'doc' || CAST(dd.doc_id AS VARCHAR)
+"""
+
+#: the closed-form symbol table re-keyed to 5-file repos (repo_size=5)
+SYMBOL_DEFS5_SQL = SYMBOL_DEFS_SQL.replace(
+    "'doc' || CAST(doc_id AS VARCHAR) AS repo",
+    "'repo' || CAST(doc_id // 5 AS VARCHAR) AS repo",
+)
+assert SYMBOL_DEFS5_SQL != SYMBOL_DEFS_SQL
+
+SYMBOL_XREFS_SQL = f"""
+WITH defdocs AS ({CODE_DOCS_DEFS5_SQL}),
+uses AS (
+  SELECT DISTINCT repo, path AS use_path, u.ident
+  FROM defdocs,
+       unnest(regexp_extract_all(content, '[A-Za-z_][A-Za-z0-9_]*')) AS u(ident)
+),
+defs AS (
+  SELECT DISTINCT repo, symbol, kind, path AS def_path
+  FROM ({SYMBOL_DEFS5_SQL})
+)
+SELECT d.repo, d.symbol, d.kind, d.def_path, u.use_path
+FROM defs d
+JOIN uses u ON u.repo = d.repo AND u.ident = d.symbol
+           AND u.use_path <> d.def_path
+"""
+
+
+@register("symbol_xrefs", SYMBOL_XREFS_SQL)
+def q_symbol_xrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-file symbol references (operators/symbols.py::symbol_xrefs)
+    over the 5-language with-defs repos: the regex find-references
+    edge table — defined names mentioned as whole identifiers in a
+    SIBLING file of the same repo.  In this corpus the surviving edges
+    are the `main` pair (main.go's func main referenced by main.c's
+    own `int main`, and vice versa — re-definition counts as mention,
+    the documented lexer convention); both sides distinct-reduced
+    before one (repo, name) equi-join."""
+    from arxiv_citation_graph_spark.operators.symbols import (
+        extract_symbols,
+        symbol_xrefs,
+    )
+
+    docs = _synthetic_code_docs(
+        _t(spark, sf_dir, "documents"), repo_size=5, with_defs=True
+    )
+    return symbol_xrefs(extract_symbols(docs), docs)
+
+
+SYMBOL_FANIN_SQL = f"""
+SELECT repo, symbol, def_path,
+       CAST(count(DISTINCT use_path) AS BIGINT) AS n_use_files
+FROM ({SYMBOL_XREFS_SQL})
+GROUP BY repo, symbol, def_path
+"""
+
+
+@register("symbol_fanin", SYMBOL_FANIN_SQL)
+def q_symbol_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-definition fan-in (how many sibling files reference each
+    symbol) — the API-importance rank a refactoring tool sorts by; one
+    map-side-combined aggregate over the xref edges."""
+    from arxiv_citation_graph_spark.operators.symbols import (
+        extract_symbols,
+        symbol_fanin,
+    )
+
+    docs = _synthetic_code_docs(
+        _t(spark, sf_dir, "documents"), repo_size=5, with_defs=True
+    )
+    return symbol_fanin(extract_symbols(docs), docs)
+
+
+DEAD_SYMBOLS_SQL = f"""
+WITH defdocs AS ({CODE_DOCS_DEFS5_SQL}),
+uses AS (
+  SELECT DISTINCT repo, path AS use_path, u.ident
+  FROM defdocs,
+       unnest(regexp_extract_all(content, '[A-Za-z_][A-Za-z0-9_]*')) AS u(ident)
+),
+defs AS (
+  SELECT DISTINCT repo, path, lang, kind, symbol
+  FROM ({SYMBOL_DEFS5_SQL})
+)
+SELECT d.repo, d.path, d.lang, d.kind, d.symbol
+FROM defs d
+WHERE NOT EXISTS (
+  SELECT 1 FROM uses u
+  WHERE u.repo = d.repo AND u.ident = d.symbol AND u.use_path <> d.path
+)
+"""
+
+
+@register("dead_symbols", DEAD_SYMBOLS_SQL)
+def q_dead_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-code screen (operators/symbols.py::dead_symbols): defined
+    symbols never mentioned outside their defining file — the exact
+    anti-join complement of `symbol_xrefs` (in this corpus: everything
+    except the go/c `main` pair), one hash anti-join on (repo, name)
+    with the use_path != def_path residual."""
+    from arxiv_citation_graph_spark.operators.symbols import (
+        dead_symbols,
+        extract_symbols,
+    )
+
+    docs = _synthetic_code_docs(
+        _t(spark, sf_dir, "documents"), repo_size=5, with_defs=True
+    )
+    return dead_symbols(extract_symbols(docs), docs)
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

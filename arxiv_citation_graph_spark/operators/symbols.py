@@ -155,3 +155,88 @@ def symbol_collisions(symbols: DataFrame, min_repos: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_repos"))
         .filter(F.col("n_repos") >= min_repos)
     )
+
+
+def file_identifiers(docs: DataFrame) -> DataFrame:
+    """``(repo, path, ident)`` — DISTINCT identifier lexemes per file,
+    the "uses" side of the cross-reference join.
+
+    ``array_distinct`` collapses within-file repetition BEFORE the
+    explode (row-local, scan-fused), so the exploded row count is
+    bounded by per-file vocabulary, not occurrence count; the final
+    ``distinct()`` additionally collapses multi-commit snapshots of the
+    same (repo, path) so a file revised in many commits contributes
+    each name once."""
+    from arxiv_citation_graph_spark.operators.codetokens import IDENT_RE
+
+    idents = F.array_distinct(
+        F.regexp_extract_all(F.col("content"), F.lit(IDENT_RE), 0)
+    )
+    return docs.select(
+        "repo", "path", F.explode(idents).alias("ident")
+    ).distinct()
+
+
+def symbol_xrefs(symbols: DataFrame, docs: DataFrame) -> DataFrame:
+    """``(repo, symbol, kind, def_path, use_path)`` — cross-FILE
+    references to defined symbols within the same repo: one row per
+    (definition, referencing file) where the referencing file is not
+    the defining file and mentions the symbol as a whole identifier.
+
+    This is the regex-corpus approximation of a call/usage graph
+    (Sourcegraph-style find-references without a type checker): a "use"
+    is any whole-identifier occurrence, including a re-DEFINITION of
+    the same name in a sibling file — lexers cannot tell shadowing from
+    reference, and the oracle replays the same convention.
+
+    Plan shape: both sides are distinct-reduced before ONE equi-join on
+    (repo, name); at 100 TB the uses side is the per-file vocabulary
+    table (scan-fused array_distinct), the defs side the symbol table —
+    no token-occurrence blow-up ever reaches the shuffle."""
+    defs = symbols.select(
+        "repo", "symbol", "kind", F.col("path").alias("def_path")
+    ).distinct()
+    uses = file_identifiers(docs).select(
+        "repo",
+        F.col("ident").alias("symbol"),
+        F.col("path").alias("use_path"),
+    )
+    return (
+        defs.join(uses, ["repo", "symbol"])
+        .filter(F.col("use_path") != F.col("def_path"))
+        .select("repo", "symbol", "kind", "def_path", "use_path")
+    )
+
+
+def symbol_fanin(symbols: DataFrame, docs: DataFrame) -> DataFrame:
+    """``(repo, symbol, def_path, n_use_files)`` — how many OTHER files
+    of the repo reference each definition (the API-importance rank a
+    refactoring tool sorts by); one map-side-combined aggregate over
+    the xref edges (which are already distinct per use file)."""
+    return symbol_xrefs(symbols, docs).groupBy(
+        "repo", "symbol", "def_path"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_use_files"))
+
+
+def dead_symbols(symbols: DataFrame, docs: DataFrame) -> DataFrame:
+    """``(repo, path, lang, kind, symbol)`` — definitions never
+    referenced from any OTHER file of their repo (the dead-code /
+    unused-export screen; same-file self-mentions do not count).
+
+    A left_anti join of the distinct symbol table against the per-file
+    identifier vocabulary: hash equi-join on (repo, name) with the
+    ``use_path != def_path`` residual — the exact complement of
+    :func:`symbol_xrefs`, so the two outputs partition the symbol
+    table."""
+    defs = symbols.select("repo", "path", "lang", "kind", "symbol").distinct()
+    uses = file_identifiers(docs).select(
+        F.col("repo").alias("u_repo"),
+        F.col("path").alias("use_path"),
+        "ident",
+    )
+    cond = (
+        (F.col("repo") == F.col("u_repo"))
+        & (F.col("symbol") == F.col("ident"))
+        & (F.col("path") != F.col("use_path"))
+    )
+    return defs.join(uses, cond, "left_anti")

@@ -1,0 +1,142 @@
+"""Cross-file symbol references and the dead-symbol screen
+(operators/symbols.py::symbol_xrefs / symbol_fanin / dead_symbols)."""
+
+from __future__ import annotations
+
+
+def _docs(spark):
+    # repo r1: util.py defines two functions; app.py calls one of them
+    # (plus mentions a name that is NOT a definition); solo.py defines
+    # a self-referencing function (same-file mention must not count).
+    # repo r2: same symbol name as r1's — repos must not cross.
+    rows = [
+        (
+            "r1", "util.py", "c0", "python",
+            "def fetch(x):\n    return x\ndef unused_helper(y):\n    return y\n",
+        ),
+        (
+            "r1", "app.py", "c0", "python",
+            "import util\ndef main():\n    return fetch(1) + fetch(2)\n",
+        ),
+        (
+            "r1", "solo.py", "c0", "python",
+            "def loop(n):\n    return loop(n - 1)\n",
+        ),
+        (
+            "r2", "other.py", "c0", "python",
+            "def fetch(x):\n    return x\n",
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content"]
+    )
+
+
+def test_symbol_xrefs_cross_file_only(spark):
+    from arxiv_citation_graph_spark.operators.symbols import (
+        extract_symbols,
+        symbol_xrefs,
+    )
+
+    docs = _docs(spark)
+    edges = {
+        (r.repo, r.symbol, r.def_path, r.use_path)
+        for r in symbol_xrefs(extract_symbols(docs), docs).collect()
+    }
+    # fetch: defined in util.py, used in app.py — the one real edge.
+    # main: defined in app.py, mentioned nowhere else.
+    # loop: only self-mentions (same file) — excluded.
+    # r2's fetch: no sibling file, and r1's app.py must not leak in.
+    assert edges == {("r1", "fetch", "util.py", "app.py")}
+
+
+def test_symbol_xrefs_counts_redefinition_as_mention(spark):
+    from arxiv_citation_graph_spark.operators.symbols import (
+        extract_symbols,
+        symbol_xrefs,
+    )
+
+    # the same name defined in two sibling files references BOTH ways
+    # (the documented lexer convention: shadowing is a mention)
+    docs = spark.createDataFrame(
+        [
+            ("r", "a.py", "c0", "python", "def init(x):\n    return x\n"),
+            ("r", "b.py", "c0", "python", "def init(y):\n    return y\n"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    edges = {
+        (r.def_path, r.use_path)
+        for r in symbol_xrefs(extract_symbols(docs), docs).collect()
+    }
+    assert edges == {("a.py", "b.py"), ("b.py", "a.py")}
+
+
+def test_dead_symbols_complement(spark):
+    from arxiv_citation_graph_spark.operators.symbols import (
+        dead_symbols,
+        extract_symbols,
+        symbol_xrefs,
+    )
+
+    docs = _docs(spark)
+    syms = extract_symbols(docs)
+    dead = {
+        (r.repo, r.path, r.symbol) for r in dead_symbols(syms, docs).collect()
+    }
+    # everything except r1's fetch is dead — including the
+    # self-recursive loop and r2's un-referenced twin of fetch
+    assert dead == {
+        ("r1", "util.py", "unused_helper"),
+        ("r1", "app.py", "main"),
+        ("r1", "solo.py", "loop"),
+        ("r2", "other.py", "fetch"),
+    }
+    # xrefs and dead partition the distinct symbol table
+    live = {
+        (r.repo, r.def_path, r.symbol)
+        for r in symbol_xrefs(syms, docs).collect()
+    }
+    all_defs = {
+        (r.repo, r.path, r.symbol)
+        for r in syms.select("repo", "path", "symbol").distinct().collect()
+    }
+    assert live | dead == all_defs
+    assert live & dead == set()
+
+
+def test_symbol_fanin_counts_distinct_files(spark):
+    from arxiv_citation_graph_spark.operators.symbols import (
+        extract_symbols,
+        symbol_fanin,
+    )
+
+    # fetch used from two sibling files, each mentioning it twice —
+    # fan-in counts FILES, not occurrences
+    docs = spark.createDataFrame(
+        [
+            ("r", "util.py", "c0", "python", "def fetch(x):\n    return x\n"),
+            ("r", "a.py", "c0", "python", "z = fetch(fetch(1))\n"),
+            ("r", "b.py", "c0", "python", "w = fetch(2) or fetch(3)\n"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    out = symbol_fanin(extract_symbols(docs), docs).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.repo, row.symbol, row.def_path, row.n_use_files) == (
+        "r", "fetch", "util.py", 2
+    )
+
+
+def test_file_identifiers_distinct_per_file(spark):
+    from arxiv_citation_graph_spark.operators.symbols import file_identifiers
+
+    docs = spark.createDataFrame(
+        [("r", "x.py", "c0", "python", "a = a + a\nb2 = a\n")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    idents = {r.ident for r in file_identifiers(docs).collect()}
+    assert idents == {"a", "b2"}
+    # repeated mentions collapse to one row per (repo, path, ident)
+    assert file_identifiers(docs).count() == 2
