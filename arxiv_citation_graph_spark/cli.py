@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
 
     for name in (
         "pagerank", "cc", "lpa", "triangles", "hits", "salsa", "kcore", "bfs",
-        "walks", "betweenness", "fiedler", "layers",
+        "walks", "betweenness", "fiedler", "layers", "onion",
     ):
         p = sub.add_parser(name)
         p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
@@ -1978,6 +1978,18 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"kcore(k={args.k}): {kresult.core.count()} members, "
             f"{kresult.report.iterations} peel rounds"
+        )
+    elif args.cmd == "onion":
+        from arxiv_citation_graph_spark.plans.onion import onion_decomposition
+
+        ores = onion_decomposition(
+            spark, edges, max_iterations=args.max_iterations,
+            store=store, resume=args.resume,
+        )
+        catalog.create_or_replace("onion_layers", ores.layers)
+        print(
+            f"onion: {ores.layers.count()} vertices in {ores.num_layers} "
+            f"layer(s), converged={ores.report.converged}"
         )
     elif args.cmd == "walks":
         from arxiv_citation_graph_spark.plans.layout import symmetrize

@@ -9654,6 +9654,75 @@ def q_dead_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dead_symbols(extract_symbols(docs), docs)
 
 
+def _onion_unrolled_sql(rounds: int) -> str:
+    """Unrolled onion decomposition (plans/onion.py) on the symmetrized
+    co-supply graph: synchronous peel rounds, the core threshold k
+    rising to the minimum remaining degree, every peeled vertex stamped
+    with its removal round (layer) and the k in force (coreness).
+    ``rounds`` must exceed the layer count (17 at sf0.01, pinned with
+    2x margin by tests/test_onion.py); emptied rounds are no-ops."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "osym AS MATERIALIZED (SELECT src_id AS x, dst_id AS y FROM cos "
+        "UNION SELECT dst_id, src_id FROM cos)",
+        "os0 AS MATERIALIZED (SELECT x AS vertex, "
+        "CAST(count(*) AS BIGINT) AS deg FROM osym GROUP BY x)",
+        "ok0 AS (SELECT CAST(0 AS BIGINT) AS k)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        # MATERIALIZED is load-bearing on the threshold chain: each
+        # ok{r} is referenced twice per round, so inlining would expand
+        # the 34-deep chain exponentially
+        ctes.append(
+            f"ok{r} AS MATERIALIZED (SELECT greatest((SELECT k FROM ok{p}), "
+            f"coalesce((SELECT min(deg) FROM os{p}), "
+            f"(SELECT k FROM ok{p}))) AS k)"
+        )
+        ctes.append(
+            f"op{r} AS MATERIALIZED (SELECT vertex, {r} AS layer, "
+            f"(SELECT k FROM ok{r}) AS core FROM os{p} "
+            f"WHERE deg <= (SELECT k FROM ok{r}))"
+        )
+        ctes.append(
+            f"os{r} AS MATERIALIZED (SELECT v.vertex, "
+            f"v.deg - coalesce(d.c, 0) AS deg FROM os{p} v LEFT JOIN ("
+            f"SELECT e.y AS vertex, count(*) AS c FROM osym e "
+            f"JOIN op{r} pe ON e.x = pe.vertex GROUP BY e.y) d "
+            f"ON v.vertex = d.vertex "
+            f"WHERE v.vertex NOT IN (SELECT vertex FROM op{r}))"
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT vertex, layer, core FROM op{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vertex, CAST(layer AS INT) AS layer, CAST(core AS BIGINT) AS coreness
+FROM ({union})"""
+    )
+
+
+#: measured at sf0.01: the co-supply onion peels in 17 layers; 34
+#: rounds = 2x margin (tests/test_onion.py pins the margin)
+_ONION_ORACLE_ROUNDS = 34
+
+
+@register("onion_layers", _onion_unrolled_sql(_ONION_ORACLE_ROUNDS))
+def q_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016;
+    plans/onion.py) of the symmetrized co-supply graph: per-vertex peel
+    layer + coreness from the synchronized k-core peel — the
+    within-shell periphery-to-center ordering plain coreness cannot
+    see.  The coreness column equals `coreness_numbers` exactly
+    (pytest-pinned); the oracle unrolls the identical peel."""
+    from arxiv_citation_graph_spark.plans.onion import onion_decomposition
+
+    result = onion_decomposition(spark, cosupply_edges(spark, sf_dir))
+    return result.layers
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

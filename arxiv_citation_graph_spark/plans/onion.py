@@ -1,0 +1,154 @@
+"""Onion decomposition — peel layers refining the k-core decomposition.
+
+Hébert-Dufresne, Grochow & Allard 2016 ("Multi-scale structure and
+topological anomaly detection via a new network statistic: the onion
+decomposition"): run the standard k-core peel, but record the ROUND at
+which each vertex is removed.  Each synchronous round removes every
+remaining vertex of degree <= the current core threshold k, where k
+only ever rises (to the minimum remaining degree when no vertex is
+removable at the old k) — so the removal round is the vertex's **onion
+layer**, and the k in force at removal is exactly its **coreness**.
+Layers order vertices WITHIN a core shell from periphery to center —
+the signal the paper uses to tell tree-like, loopy, and anomalous
+regions apart, which plain coreness (``plans/coreness.py``, the
+h-operator fixpoint) cannot see.
+
+Per-round plan: a 1-row min-degree aggregate broadcast onto the state
+(monotone threshold update), the peel predicate as a pure column
+expression, then ONE |E_peeled| join + group-count to decrement
+surviving neighbors — the same shapes as `plans/kcore.py`, plus the
+layer/coreness bookkeeping columns.  Rounds = layer count (cosupply at
+sf0.01: 17); long thin chains peel two endpoints per round, the same
+documented pathology cap as coreness.
+
+Cross-engine: the oracle unrolls the identical synchronous peel in SQL
+(`entry_queries._onion_unrolled_sql`), idempotent once the active set
+empties, so per-vertex (layer, coreness) match exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+
+@dataclass
+class OnionResult:
+    layers: DataFrame  # (vertex, layer, coreness)
+    report: SuperstepReport
+    num_layers: int
+
+
+def onion_decomposition(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 200,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> OnionResult:
+    """Per-vertex ``(layer, coreness)`` of the simple undirected graph
+    derived from ``edges(src_id, dst_id)`` (duplicates collapse,
+    self-loops drop — the `plans.kcore`/`plans.coreness` convention, so
+    the ``coreness`` column matches
+    :func:`plans.coreness.coreness_decomposition` exactly; pytest-pinned).
+
+    Isolated-by-dedup vertices never enter (degrees come from the edge
+    table); layers are 1-based removal rounds."""
+    und = _simple_undirected(edges)
+    adj = (
+        und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionByName(und.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .repartition(spark.sparkContext.defaultParallelism, "x")
+        .cache()
+    )
+    degrees = adj.groupBy(F.col("x").alias("vertex")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    n = degrees.count()
+    if n == 0:
+        adj.unpersist()
+        empty = spark.createDataFrame(
+            [], "vertex string, layer int, coreness long"
+        )
+        return OnionResult(empty, SuperstepReport(0, True), 0)
+    # order-independent edge fingerprint for the resume guard (the
+    # kcore convention): peeling resumed onto a different graph would
+    # silently mis-stamp layers
+    edge_fp = int(adj.agg(F.expr("bit_xor(xxhash64(x, y))")).first()[0])
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        active = state.filter(F.col("layer").isNull())
+        mind = active.agg(F.min("deg").alias("mindeg"))
+        st = state.crossJoin(F.broadcast(mind))
+        # the threshold only rises; an emptied active set leaves it put
+        k_new = F.greatest(F.col("k"), F.coalesce(F.col("mindeg"), F.col("k")))
+        peeled = F.col("layer").isNull() & (F.col("deg") <= k_new)
+        marked = st.select(
+            "vertex",
+            "deg",
+            k_new.alias("k"),
+            F.when(peeled, F.lit(i + 1).cast("int"))
+            .otherwise(F.col("layer"))
+            .alias("layer"),
+            F.when(peeled, k_new).otherwise(F.col("coreness")).alias("coreness"),
+        )
+        dec = (
+            adj.join(
+                marked.filter(F.col("layer") == i + 1).select(
+                    F.col("vertex").alias("x")
+                ),
+                "x",
+            )
+            .groupBy(F.col("y").alias("vertex"))
+            .agg(F.count("*").cast("long").alias("dec"))
+        )
+        new = marked.join(dec, "vertex", "left").select(
+            "vertex",
+            F.when(
+                F.col("layer").isNull(),
+                F.col("deg") - F.coalesce(F.col("dec"), F.lit(0)),
+            )
+            .otherwise(F.col("deg"))
+            .alias("deg"),
+            "k",
+            "layer",
+            "coreness",
+        )
+        return new, {"delta": F.sum(F.col("layer").isNull().cast("double"))}
+
+    initial = degrees.select(
+        "vertex",
+        "deg",
+        F.lit(0).cast("long").alias("k"),
+        F.lit(None).cast("int").alias("layer"),
+        F.lit(None).cast("long").alias("coreness"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n, "kernel": "onion", "edge_fp": edge_fp,
+            },
+        )
+        out = final.select("vertex", "layer", "coreness")
+        out = out.localCheckpoint(eager=True)
+        top = out.agg(F.max("layer")).first()
+        num_layers = int(top[0]) if top[0] is not None else 0
+    finally:
+        adj.unpersist()
+    return OnionResult(out, report, num_layers)

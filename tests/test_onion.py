@@ -1,0 +1,164 @@
+"""Onion decomposition (plans/onion.py): toy-graph layers, the
+coreness-equality identity, a brute-force differential, and the oracle
+unroll margin."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def _onion(spark, edges, **kw):
+    from arxiv_citation_graph_spark.plans.onion import onion_decomposition
+
+    return onion_decomposition(spark, edges, **kw)
+
+
+def _py_onion(edge_list):
+    """Reference synchronized peel (the paper's algorithm, plain Python)."""
+    adj: dict[str, set[str]] = {}
+    for s, d in edge_list:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    alive = set(adj)
+    k, layer = 0, 0
+    out: dict[str, tuple[int, int]] = {}
+    while alive:
+        k = max(k, min(deg[v] for v in alive))
+        layer += 1
+        peel = {v for v in alive if deg[v] <= k}
+        for v in peel:
+            out[v] = (layer, k)
+        alive -= peel
+        for v in peel:
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+    return out
+
+
+def test_onion_star(spark):
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+
+    res = _onion(spark, toy_edges_df(spark, "star"))
+    got = {r.vertex: (r.layer, r.coreness) for r in res.layers.collect()}
+    # spokes peel in layer 1 at k=1; the hub drops to degree 0 and
+    # peels in layer 2, still coreness 1
+    assert all(got[f"spoke{i:02d}"] == (1, 1) for i in range(50))
+    assert got["hub"] == (2, 1)
+    assert res.num_layers == 2
+    assert res.report.converged
+
+
+def test_onion_triangle_with_tail(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        ["src_id", "dst_id"],
+    )
+    got = {r.vertex: (r.layer, r.coreness) for r in _onion(spark, edges).layers.collect()}
+    # tail d peels first at k=1; the bare triangle then peels together
+    # at k=2 — same coreness, one layer later
+    assert got == {"d": (1, 1), "a": (2, 2), "b": (2, 2), "c": (2, 2)}
+
+
+def test_onion_k4_single_layer(spark):
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+
+    res = _onion(spark, toy_edges_df(spark, "k4"))
+    got = {r.vertex: (r.layer, r.coreness) for r in res.layers.collect()}
+    assert got == {v: (1, 3) for v in ["k0", "k1", "k2", "k3"]}
+
+
+def test_onion_matches_brute_force_and_coreness(spark):
+    """Differential vs the plain-Python peel AND the h-operator
+    coreness on the random 'resume' toy graph (self-loops dropped,
+    duplicates collapsed by both)."""
+    from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+    from arxiv_citation_graph_spark.plans.coreness import (
+        coreness_decomposition,
+    )
+
+    edges = toy_edges_df(spark, "resume")
+    res = _onion(spark, edges)
+    got = {r.vertex: (r.layer, r.coreness) for r in res.layers.collect()}
+    assert got == _py_onion(toy_graphs()["resume"])
+    hop = {
+        r.vertex: r.coreness
+        for r in coreness_decomposition(spark, edges).coreness.collect()
+    }
+    assert {v: c for v, (_, c) in got.items()} == hop
+
+
+def test_onion_selfloops_and_duplicates_collapse(spark):
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+
+    got = {
+        r.vertex: (r.layer, r.coreness)
+        for r in _onion(spark, toy_edges_df(spark, "selfloop")).layers.collect()
+    }
+    # s0-s1-s2-s0 is a bare triangle once the self-loop drops
+    assert got == {"s0": (1, 2), "s1": (1, 2), "s2": (1, 2)}
+
+
+def test_onion_empty_graph(spark):
+    edges = spark.createDataFrame([], "src_id string, dst_id string")
+    res = _onion(spark, edges)
+    assert res.layers.count() == 0
+    assert res.num_layers == 0
+    assert res.report.converged
+
+
+def test_onion_resume_identical(spark, tmp_path):
+    """A partial run (layer 1 only) resumed from checkpoint reaches the
+    same per-vertex (layer, coreness) as a fresh run — the layer stamp
+    is the GLOBAL iteration index, so it must survive the restart."""
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e")],
+        ["src_id", "dst_id"],
+    )
+    fresh = {
+        r.vertex: (r.layer, r.coreness)
+        for r in _onion(spark, edges).layers.collect()
+    }
+    store = CheckpointStore(str(tmp_path / "ckpt_onion"), "onion_resume")
+    partial = _onion(spark, edges, max_iterations=1, store=store)
+    assert not partial.report.converged
+    resumed = _onion(spark, edges, store=store, resume=True)
+    assert resumed.report.converged
+    got = {
+        r.vertex: (r.layer, r.coreness) for r in resumed.layers.collect()
+    }
+    assert got == fresh
+
+    # resume refuses a changed graph (the edge-fingerprint guard)
+    import pytest as _pytest
+
+    other = spark.createDataFrame([("x", "y")], ["src_id", "dst_id"])
+    with _pytest.raises(ValueError, match="resume refused"):
+        _onion(spark, other, store=store, resume=True)
+
+
+def test_onion_oracle_margin(spark):
+    """The sf0.01 co-supply peel must finish well inside the oracle's
+    unroll depth (the ANF-margin convention: engine layers * 2 <=
+    unrolled rounds)."""
+    from arxiv_citation_graph_spark.entry_queries import (
+        _ONION_ORACLE_ROUNDS,
+        cosupply_edges,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        pytest.skip("driver testdata not present")
+    res = _onion(spark, cosupply_edges(spark, sf_dir))
+    assert res.report.converged
+    assert res.num_layers * 2 <= _ONION_ORACLE_ROUNDS, (
+        f"onion peeled in {res.num_layers} layers; oracle unrolls "
+        f"{_ONION_ORACLE_ROUNDS} — margin below 2x"
+    )
