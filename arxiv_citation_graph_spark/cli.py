@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
 
     for name in (
         "pagerank", "cc", "lpa", "triangles", "hits", "salsa", "kcore", "bfs",
-        "walks", "betweenness", "fiedler", "layers", "onion",
+        "walks", "betweenness", "fiedler", "layers", "onion", "bridges",
     ):
         p = sub.add_parser(name)
         p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
@@ -1990,6 +1990,20 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"onion: {ores.layers.count()} vertices in {ores.num_layers} "
             f"layer(s), converged={ores.report.converged}"
+        )
+    elif args.cmd == "bridges":
+        from arxiv_citation_graph_spark.plans.bridges import bridges as _bridges
+
+        bres = _bridges(
+            spark, edges, max_iterations=args.max_iterations,
+            store=store, resume=args.resume,
+        )
+        catalog.create_or_replace("bridges", bres.bridges)
+        catalog.create_or_replace("bfs_forest", bres.forest)
+        print(
+            f"bridges: {bres.n_bridges} cut edge(s) "
+            f"(BFS {bres.bfs_report.iterations} + peel "
+            f"{bres.peel_report.iterations} supersteps)"
         )
     elif args.cmd == "walks":
         from arxiv_citation_graph_spark.plans.layout import symmetrize

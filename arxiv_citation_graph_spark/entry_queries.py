@@ -9654,6 +9654,30 @@ def q_dead_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dead_symbols(extract_symbols(docs), docs)
 
 
+UNIT_DEDUP_SQL = f"""
+SELECT md5(unit) AS digest,
+       min(repo || '/' || path || '#' || CAST(unit_num AS VARCHAR)) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM ({DEFINITION_UNITS_SQL})
+GROUP BY md5(unit)
+"""
+
+
+@register("unit_dedup", UNIT_DEDUP_SQL)
+def q_unit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-grain exact dedup (operators/symbols.py::unit_dedup):
+    definition-boundary units digest-grouped with the min-unit-id
+    keeper — copy-pasted functions collapse across files whole-file
+    dedup can never match (here: `func main() {{}}` and friends repeat
+    across every same-language doc, the parameterized defs dedupe only
+    within their mod-grid)."""
+    from arxiv_citation_graph_spark.operators.symbols import unit_dedup
+
+    return unit_dedup(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"), with_defs=True)
+    )
+
+
 def _onion_unrolled_sql(rounds: int) -> str:
     """Unrolled onion decomposition (plans/onion.py) on the symmetrized
     co-supply graph: synchronous peel rounds, the core threshold k
@@ -9721,6 +9745,163 @@ def q_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     result = onion_decomposition(spark, cosupply_edges(spark, sf_dir))
     return result.layers
+
+
+def _bridge_base_ctes(squarings: int, bfs_rounds: int) -> list[str]:
+    """Shared oracle CTEs: canonical simple seqsupply graph, components
+    via squared symmetric closure (the bowtie shape), BFS dist unroll,
+    deterministic parents (min id among dist-1 neighbors)."""
+    ctes = [
+        f"seq AS MATERIALIZED ({EDGES_SEQSUPPLY_SQL})",
+        "be AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u, "
+        "greatest(src_id, dst_id) AS v FROM seq WHERE src_id <> dst_id)",
+        "bsym AS MATERIALIZED (SELECT u AS x, v AS y FROM be "
+        "UNION SELECT v, u FROM be)",
+        "bs0 AS MATERIALIZED (SELECT x AS a, y AS b FROM bsym "
+        "UNION SELECT x, x FROM bsym)",
+    ]
+    for k in range(1, squarings + 1):
+        p = k - 1
+        ctes.append(
+            f"bs{k} AS MATERIALIZED (SELECT DISTINCT l.a, r.b "
+            f"FROM bs{p} l JOIN bs{p} r ON l.b = r.a)"
+        )
+    ctes.append(
+        f"broot AS MATERIALIZED (SELECT a AS vertex, min(b) AS root "
+        f"FROM bs{squarings} GROUP BY a)"
+    )
+    ctes.append(
+        "bd0 AS MATERIALIZED (SELECT vertex, 0 AS dist FROM broot "
+        "WHERE vertex = root)"
+    )
+    for r in range(1, bfs_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"bd{r} AS MATERIALIZED (SELECT vertex, dist FROM bd{p} "
+            f"UNION SELECT DISTINCT e.y, {r} FROM bsym e "
+            f"JOIN bd{p} f ON e.x = f.vertex AND f.dist = {r - 1} "
+            f"WHERE e.y NOT IN (SELECT vertex FROM bd{p}))"
+        )
+    ctes.append(
+        f"bdist AS MATERIALIZED (SELECT vertex, dist FROM bd{bfs_rounds})"
+    )
+    ctes.append(
+        "bpar AS MATERIALIZED (SELECT d.vertex, min(e.x) AS parent "
+        "FROM bdist d JOIN bsym e ON e.y = d.vertex "
+        "JOIN bdist dp ON dp.vertex = e.x AND dp.dist = d.dist - 1 "
+        "WHERE d.dist > 0 GROUP BY d.vertex)"
+    )
+    return ctes
+
+
+#: oracle unroll depths for the bridge kernel on seqsupply at sf0.01:
+#: closure 2^6 = 64 >> diameter 10; BFS depth 10 -> 20 rounds;
+#: peel height 10 -> 22 rounds (2x margins pinned by tests/test_bridges.py)
+_BRIDGE_SQUARINGS = 6
+_BRIDGE_BFS_ROUNDS = 20
+_BRIDGE_PEEL_ROUNDS = 22
+
+
+def _bfs_forest_sql(
+    squarings: int = _BRIDGE_SQUARINGS, bfs_rounds: int = _BRIDGE_BFS_ROUNDS
+) -> str:
+    ctes = _bridge_base_ctes(squarings, bfs_rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT br.vertex, br.root, CAST(d.dist AS INT) AS dist, bp.parent
+FROM broot br
+JOIN bdist d ON d.vertex = br.vertex
+LEFT JOIN bpar bp ON bp.vertex = br.vertex"""
+    )
+
+
+def _bridges_unrolled_sql(
+    squarings: int = _BRIDGE_SQUARINGS,
+    bfs_rounds: int = _BRIDGE_BFS_ROUNDS,
+    peel_rounds: int = _BRIDGE_PEEL_ROUNDS,
+) -> str:
+    """Unrolled spanning-forest XOR bridge detection (plans/bridges.py)
+    on seqsupply: non-tree edges get the same deterministic 60-bit md5
+    values as the engine, a(v) = bit_xor of incident values, then the
+    synchronized leaf peel accumulates subtree XORs upward — tree edges
+    whose subtree XOR is 0 are the bridges."""
+    ctes = _bridge_base_ctes(squarings, bfs_rounds)
+    ctes += [
+        "btreec AS MATERIALIZED (SELECT least(parent, vertex) AS u, "
+        "greatest(parent, vertex) AS v FROM bpar)",
+        "bnt AS MATERIALIZED (SELECT u, v, "
+        "('0x' || substr(md5(u || '|' || v), 1, 15))::BIGINT AS r FROM be "
+        "WHERE NOT EXISTS (SELECT 1 FROM btreec t "
+        "WHERE t.u = be.u AND t.v = be.v))",
+        "bav AS MATERIALIZED (SELECT vertex, bit_xor(r) AS a FROM ("
+        "SELECT u AS vertex, r FROM bnt "
+        "UNION ALL SELECT v, r FROM bnt) GROUP BY vertex)",
+        "bp0 AS MATERIALIZED (SELECT br.vertex, bp.parent, "
+        "coalesce(ba.a, 0) AS acc, CAST(NULL AS BIGINT) AS w, "
+        "FALSE AS done FROM broot br "
+        "LEFT JOIN bpar bp ON bp.vertex = br.vertex "
+        "LEFT JOIN bav ba ON ba.vertex = br.vertex)",
+    ]
+    for r in range(1, peel_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"bl{r} AS MATERIALIZED (SELECT vertex FROM bp{p} "
+            f"WHERE NOT done AND vertex NOT IN ("
+            f"SELECT parent FROM bp{p} "
+            f"WHERE NOT done AND parent IS NOT NULL))"
+        )
+        ctes.append(
+            f"bpu{r} AS MATERIALIZED (SELECT s.parent AS vertex, "
+            f"bit_xor(s.acc) AS push FROM bp{p} s "
+            f"JOIN bl{r} l ON s.vertex = l.vertex "
+            f"WHERE s.parent IS NOT NULL GROUP BY s.parent)"
+        )
+        ctes.append(
+            f"bp{r} AS MATERIALIZED (SELECT s.vertex, s.parent, "
+            f"CASE WHEN pu.push IS NOT NULL THEN xor(s.acc, pu.push) "
+            f"ELSE s.acc END AS acc, "
+            f"CASE WHEN l.vertex IS NOT NULL AND s.parent IS NOT NULL "
+            f"THEN s.acc ELSE s.w END AS w, "
+            f"s.done OR l.vertex IS NOT NULL AS done "
+            f"FROM bp{p} s "
+            f"LEFT JOIN bl{r} l ON s.vertex = l.vertex "
+            f"LEFT JOIN bpu{r} pu ON pu.vertex = s.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT least(parent, vertex) AS u, greatest(parent, vertex) AS v
+FROM bp{peel_rounds}
+WHERE parent IS NOT NULL AND w = 0"""
+    )
+
+
+@register("bfs_forest", _bfs_forest_sql())
+def q_bfs_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rooted BFS spanning forest (plans/bridges.py::
+    bridge_forest) of the seqsupply graph: root = component min vertex
+    (hash-min CC), parent = min id among dist-1 neighbors — the forest
+    the bridge kernel peels; oracle replays closure + BFS + parent
+    selection closed-form."""
+    from arxiv_citation_graph_spark.plans.bridges import bridge_forest
+
+    forest, _, adj = bridge_forest(spark, seqsupply_edges(spark, sf_dir))
+    adj.unpersist()
+    return forest
+
+
+@register("bridge_edges", _bridges_unrolled_sql())
+def q_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge detection (plans/bridges.py): spanning-forest fundamental-
+    cycle XOR (Pritchard-Thurimella cycle-space sampling with fixed
+    md5 draws) over seqsupply — 38 cut edges at sf0.01, differential-
+    pytested against brute-force edge removal."""
+    from arxiv_citation_graph_spark.plans.bridges import bridges
+
+    return bridges(spark, seqsupply_edges(spark, sf_dir)).bridges
 
 
 # ===========================================================================

@@ -134,6 +134,31 @@ def definition_units(docs: DataFrame) -> DataFrame:
     )
 
 
+def unit_dedup(docs: DataFrame) -> DataFrame:
+    """``(digest, keep_id, n_dups)`` — FUNCTION-grain exact dedup: the
+    corpus re-granularized at definition boundaries
+    (:func:`definition_units`), then one digest-keyed aggregate keeps
+    the lexicographic-min unit id per distinct unit text (the
+    `operators/dedup.py::exact_dedup` keeper convention).
+
+    This is the composition the unit splitter exists for: copy-pasted
+    functions dedupe even when their surrounding files differ, which
+    whole-file dedup can never see.  Unit ids are ``repo/path#unit_num``.
+    Plan: row-local split + md5, ONE shuffle on the digest (map-side
+    partial min/count absorbs the ubiquitous-unit skew)."""
+    from arxiv_citation_graph_spark.operators.dedup import exact_dedup
+
+    units = definition_units(docs).select(
+        F.concat_ws(
+            "#",
+            F.concat_ws("/", "repo", "path"),
+            F.col("unit_num").cast("string"),
+        ).alias("unit_id"),
+        "unit",
+    )
+    return exact_dedup(units, "unit_id", "unit")
+
+
 def repo_api_surface(symbols: DataFrame) -> DataFrame:
     """``(repo, n_symbols, n_distinct)`` — definition count and distinct
     name count per repo (one map-side-combined aggregate)."""

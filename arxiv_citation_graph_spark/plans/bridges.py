@@ -1,0 +1,295 @@
+"""Bridge detection (2-edge-connectivity) via spanning-forest
+fundamental-cycle XOR.
+
+A bridge is an edge whose removal disconnects its component — the
+cut-edge screen every resilience / backbone analysis starts from.
+Sequential Tarjan DFS does not distribute; this kernel uses the
+classical randomized-XOR reduction (folklore; see e.g. the
+cycle-space view in Pritchard & Thurimella 2011, "Fast computation of
+small cuts via cycle space sampling", ICALP 2008 / TALG):
+
+1. build a rooted spanning forest (multi-source BFS, one root per
+   component — the component's min vertex, so the forest is
+   deterministic: parent = min id among dist-1 neighbors);
+2. give every NON-tree edge a fixed 60-bit value (md5 of its canonical
+   key — deterministic, so both engines draw identical values);
+3. ``a(v)`` = XOR of the values of v's incident non-tree edges;
+4. the weight of tree edge (parent, c) is the XOR of ``a(v)`` over the
+   subtree under c: non-tree edges with BOTH endpoints inside cancel,
+   edges CROSSING the subtree boundary survive — so the weight is 0
+   iff no non-tree edge spans the cut, i.e. iff the edge is a bridge
+   (collision probability 2^-60 per edge; the differential pytest
+   checks truth against brute force, and the SQL oracle replays the
+   identical hashes, so cross-engine equality is exact regardless).
+   Non-tree edges are never bridges (they close a cycle by
+   definition).
+
+Subtree XOR without an Euler tour: synchronized LEAF PEELING — each
+round, every un-done vertex with no un-done children finalizes
+(its accumulator IS its tree-edge weight) and XORs its accumulator
+into its parent.  Rounds = forest height (the BFS depth bound), each
+round ONE group-count (who still has live children) + ONE group-XOR
+push — |V|-sized frames against the forest's parent pointers, the
+same peel shapes as `plans/onion.py`.
+
+Everything runs on the superstep runtime: component labels reuse
+:func:`plans.components.connected_components` (hash-min), the BFS and
+the peel are two further superstep loops, all checkpoint-capable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+
+@dataclass
+class BridgesResult:
+    bridges: DataFrame  # (u, v) canonical — tree edges with zero cycle-XOR
+    forest: DataFrame  # (vertex, root, dist, parent) — the BFS forest
+    bfs_report: SuperstepReport
+    peel_report: SuperstepReport
+    n_bridges: int
+
+
+def _edge_value(u, v):
+    """Deterministic 60-bit edge value — identical in DuckDB via
+    ``('0x' || substr(md5(u || '|' || v), 1, 15))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", u, v)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def bridge_forest(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 200,
+    broadcast_state: bool | None = None,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> tuple[DataFrame, SuperstepReport, DataFrame]:
+    """Rooted BFS spanning forest of the simple undirected graph:
+    ``(vertex, root, dist, parent)`` with root = the component's min
+    vertex and parent = the min dist-1 neighbor (fully deterministic).
+    ``store``/``resume`` checkpoint the BFS loop (the betweenness
+    convention: one phase per store; the CC prologue and the peel
+    re-run, both cheap relative to the forest build).
+    Returns (forest, bfs_report, cached symmetric adjacency)."""
+    from arxiv_citation_graph_spark.plans.components import (
+        connected_components,
+    )
+
+    und = _simple_undirected(edges)
+    adj = (
+        und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionByName(und.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .repartition(spark.sparkContext.defaultParallelism, "x")
+        .cache()
+    )
+    cc = connected_components(
+        spark,
+        und.select(F.col("u").alias("src_id"), F.col("v").alias("dst_id")),
+        max_iterations=max_iterations,
+    )
+    # hash-min converges to the component's min vertex id = the root
+    roots = cc.components.select(
+        "vertex", F.col("component").alias("root")
+    )
+    n = roots.count()
+    if n == 0:
+        empty = spark.createDataFrame(
+            [], "vertex string, root string, dist int, parent string"
+        )
+        return empty, SuperstepReport(0, True), adj
+
+    # the kcore/onion guarded-broadcast convention
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def bfs_step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        frontier = state.filter(F.col("dist") == i).select(
+            F.col("vertex").alias("x")
+        )
+        cand = (
+            adj.join(_mb(frontier), "x")
+            .groupBy(F.col("y").alias("vertex"))
+            .agg(F.min("x").alias("new_parent"))
+        )
+        new = state.join(cand, "vertex", "left").select(
+            "vertex",
+            "root",
+            F.when(
+                F.col("dist").isNull() & F.col("new_parent").isNotNull(),
+                F.lit(i + 1),
+            )
+            .otherwise(F.col("dist"))
+            .alias("dist"),
+            F.when(
+                F.col("dist").isNull() & F.col("new_parent").isNotNull(),
+                F.col("new_parent"),
+            )
+            .otherwise(F.col("parent"))
+            .alias("parent"),
+        )
+        return new, {
+            "delta": F.sum(
+                (F.col("dist") == i + 1).cast("double")
+            )
+        }
+
+    initial = roots.select(
+        "vertex",
+        "root",
+        F.when(F.col("vertex") == F.col("root"), F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("dist"),
+        F.lit(None).cast("string").alias("parent"),
+    )
+    edge_fp = int(adj.agg(F.expr("bit_xor(xxhash64(x, y))")).first()[0])
+    forest, bfs_report = run_supersteps(
+        spark,
+        initial,
+        bfs_step,
+        max_iterations=max_iterations,
+        tolerance=0.0,
+        store=store,
+        resume=resume,
+        input_signature={
+            "n_vertices": n, "kernel": "bridge_forest", "edge_fp": edge_fp,
+        },
+    )
+    return forest, bfs_report, adj
+
+
+def bridges(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 200,
+    broadcast_state: bool | None = None,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> BridgesResult:
+    """All bridges of ``edges(src_id, dst_id)`` treated as a simple
+    undirected graph (duplicates collapse, self-loops drop — a parallel
+    edge makes both copies non-bridges, which the dedup-first
+    convention models as the single surviving edge lying on no cut;
+    callers with true multigraphs should screen multiplicity first).
+
+    Output is the canonical ``(u, v)`` with ``u < v``."""
+    und = _simple_undirected(edges).cache()
+    forest, bfs_report, adj = bridge_forest(
+        spark, edges, max_iterations, broadcast_state, store, resume
+    )
+    if forest.isEmpty():
+        adj.unpersist()
+        und.unpersist()
+        empty = spark.createDataFrame([], "u string, v string")
+        return BridgesResult(
+            empty, forest, bfs_report, SuperstepReport(0, True), 0
+        )
+    forest = forest.localCheckpoint(eager=True)
+    if broadcast_state is None:
+        broadcast_state = forest.count() <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    try:
+        # tree edges as canonical pairs for the non-tree screen
+        tree = forest.filter(F.col("dist") > 0).select(
+            F.col("parent").alias("p"), F.col("vertex").alias("c")
+        )
+        tree_canon = tree.select(
+            F.least("p", "c").alias("u"), F.greatest("p", "c").alias("v")
+        )
+        nontree = und.join(tree_canon, ["u", "v"], "left_anti")
+        # a(v): XOR of incident non-tree edge values (both endpoint roles
+        # exploded; one map-side-combined bit_xor aggregate)
+        nt_val = nontree.select(
+            "u", "v", _edge_value(F.col("u"), F.col("v")).alias("r")
+        )
+        a_of_v = (
+            nt_val.select(F.col("u").alias("vertex"), "r")
+            .unionByName(nt_val.select(F.col("v").alias("vertex"), "r"))
+            .groupBy("vertex")
+            .agg(F.expr("bit_xor(r)").alias("a"))
+        )
+
+        def peel_step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+            alive = state.filter(~F.col("done"))
+            holders = (
+                alive.filter(F.col("parent").isNotNull())
+                .groupBy(F.col("parent").alias("vertex"))
+                .agg(F.count(F.lit(1)).alias("n_live_children"))
+            )
+            st = state.join(_mb(holders), "vertex", "left")
+            is_leaf = ~F.col("done") & F.col("n_live_children").isNull()
+            marked = st.select(
+                "vertex",
+                "parent",
+                "acc",
+                F.when(is_leaf & F.col("parent").isNotNull(), F.col("acc"))
+                .otherwise(F.col("w"))
+                .alias("w"),
+                (F.col("done") | is_leaf).alias("done"),
+                is_leaf.alias("just_peeled"),
+            )
+            push = (
+                marked.filter(F.col("just_peeled") & F.col("parent").isNotNull())
+                .groupBy(F.col("parent").alias("vertex"))
+                .agg(F.expr("bit_xor(acc)").alias("push"))
+            )
+            new = marked.join(_mb(push), "vertex", "left").select(
+                "vertex",
+                "parent",
+                F.when(
+                    F.col("push").isNotNull(),
+                    F.expr("acc ^ push"),
+                )
+                .otherwise(F.col("acc"))
+                .alias("acc"),
+                "w",
+                "done",
+            )
+            return new, {"delta": F.sum((~F.col("done")).cast("double"))}
+
+        peel_initial = forest.join(a_of_v, "vertex", "left").select(
+            "vertex",
+            "parent",
+            F.coalesce(F.col("a"), F.lit(0).cast("long")).alias("acc"),
+            F.lit(None).cast("long").alias("w"),
+            F.lit(False).alias("done"),
+        )
+        final, peel_report = run_supersteps(
+            spark,
+            peel_initial,
+            peel_step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+        )
+        out = (
+            final.filter(F.col("parent").isNotNull() & (F.col("w") == 0))
+            .select(
+                F.least("parent", "vertex").alias("u"),
+                F.greatest("parent", "vertex").alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_bridges = out.count()
+    finally:
+        adj.unpersist()
+        und.unpersist()
+    return BridgesResult(out, forest, bfs_report, peel_report, n_bridges)

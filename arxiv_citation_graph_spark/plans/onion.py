@@ -13,13 +13,16 @@ the signal the paper uses to tell tree-like, loopy, and anomalous
 regions apart, which plain coreness (``plans/coreness.py``, the
 h-operator fixpoint) cannot see.
 
-Per-round plan: a 1-row min-degree aggregate broadcast onto the state
-(monotone threshold update), the peel predicate as a pure column
-expression, then ONE |E_peeled| join + group-count to decrement
-surviving neighbors — the same shapes as `plans/kcore.py`, plus the
-layer/coreness bookkeeping columns.  Rounds = layer count (cosupply at
-sf0.01: 17); long thin chains peel two endpoints per round, the same
-documented pathology cap as coreness.
+Per-round plan: the threshold k and the next round's minimum active
+degree ride the superstep runtime's carried snapshot aggregates — they
+are Python scalars in the step closure, so the peel predicate is a
+pure column expression against a literal (ZERO threshold shuffles, no
+crossJoin); the round's only work is ONE |E_peeled| join + group-count
+decrementing surviving neighbors (guarded broadcasts, the
+`plans/kcore.py` shapes) plus the layer/coreness bookkeeping columns.
+Rounds = layer count (cosupply at sf0.01: 17); long thin chains peel
+two endpoints per round, the same documented pathology cap as
+coreness.
 
 Cross-engine: the oracle unrolls the identical synchronous peel in SQL
 (`entry_queries._onion_unrolled_sql`), idempotent once the active set
@@ -54,6 +57,7 @@ def onion_decomposition(
     max_iterations: int = 200,
     store: CheckpointStore | None = None,
     resume: bool = False,
+    broadcast_state: bool | None = None,
 ) -> OnionResult:
     """Per-vertex ``(layer, coreness)`` of the simple undirected graph
     derived from ``edges(src_id, dst_id)`` (duplicates collapse,
@@ -72,8 +76,11 @@ def onion_decomposition(
     )
     degrees = adj.groupBy(F.col("x").alias("vertex")).agg(
         F.count("*").cast("long").alias("deg")
-    )
-    n = degrees.count()
+    ).cache()
+    seed = degrees.agg(
+        F.count(F.lit(1)).alias("n"), F.min("deg").alias("mindeg")
+    ).first()
+    n, initial_mindeg = int(seed["n"]), seed["mindeg"]
     if n == 0:
         adj.unpersist()
         empty = spark.createDataFrame(
@@ -85,33 +92,54 @@ def onion_decomposition(
     # silently mis-stamp layers
     edge_fp = int(adj.agg(F.expr("bit_xor(xxhash64(x, y))")).first()[0])
 
+    # the kcore/coreness guarded-broadcast convention: below ~1M
+    # vertices the peeled set and the decrement table ride broadcasts
+    # (the adjacency never re-shuffles); above, both fall back to hash
+    # joins against the adjacency's existing partitioning
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    # the threshold chain (k, next round's min active degree) rides the
+    # runtime's carried snapshot aggregates — scalars in the step's
+    # Python closure, so each round plans ZERO threshold shuffles (no
+    # crossJoin, no per-round 1-row aggregate job); resume rehydrates
+    # them from the manifest.  Only round 0 needs a seed aggregate,
+    # fused into the vertex-count action above via `initial_mindeg`.
     def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
-        active = state.filter(F.col("layer").isNull())
-        mind = active.agg(F.min("deg").alias("mindeg"))
-        st = state.crossJoin(F.broadcast(mind))
+        if prev is None:
+            k_prev, mindeg = 0, initial_mindeg
+        else:
+            k_prev = int(prev["k"])
+            mindeg = prev["mindeg"]
         # the threshold only rises; an emptied active set leaves it put
-        k_new = F.greatest(F.col("k"), F.coalesce(F.col("mindeg"), F.col("k")))
-        peeled = F.col("layer").isNull() & (F.col("deg") <= k_new)
-        marked = st.select(
+        k_cur = max(k_prev, int(mindeg)) if mindeg is not None else k_prev
+        peeled = F.col("layer").isNull() & (F.col("deg") <= F.lit(k_cur))
+        marked = state.select(
             "vertex",
             "deg",
-            k_new.alias("k"),
             F.when(peeled, F.lit(i + 1).cast("int"))
             .otherwise(F.col("layer"))
             .alias("layer"),
-            F.when(peeled, k_new).otherwise(F.col("coreness")).alias("coreness"),
+            F.when(peeled, F.lit(k_cur).cast("long"))
+            .otherwise(F.col("coreness"))
+            .alias("coreness"),
         )
         dec = (
             adj.join(
-                marked.filter(F.col("layer") == i + 1).select(
-                    F.col("vertex").alias("x")
+                _mb(
+                    marked.filter(F.col("layer") == i + 1).select(
+                        F.col("vertex").alias("x")
+                    )
                 ),
                 "x",
             )
             .groupBy(F.col("y").alias("vertex"))
             .agg(F.count("*").cast("long").alias("dec"))
         )
-        new = marked.join(dec, "vertex", "left").select(
+        new = marked.join(_mb(dec), "vertex", "left").select(
             "vertex",
             F.when(
                 F.col("layer").isNull(),
@@ -119,16 +147,19 @@ def onion_decomposition(
             )
             .otherwise(F.col("deg"))
             .alias("deg"),
-            "k",
             "layer",
             "coreness",
         )
-        return new, {"delta": F.sum(F.col("layer").isNull().cast("double"))}
+        still = F.col("layer").isNull()
+        return new, {
+            "delta": F.sum(still.cast("double")),
+            "mindeg": F.min(F.when(still, F.col("deg"))),
+            "k": F.max(F.lit(k_cur)),
+        }
 
     initial = degrees.select(
         "vertex",
         "deg",
-        F.lit(0).cast("long").alias("k"),
         F.lit(None).cast("int").alias("layer"),
         F.lit(None).cast("long").alias("coreness"),
     )
@@ -151,4 +182,5 @@ def onion_decomposition(
         num_layers = int(top[0]) if top[0] is not None else 0
     finally:
         adj.unpersist()
+        degrees.unpersist()
     return OnionResult(out, report, num_layers)

@@ -1818,6 +1818,105 @@ def main() -> None:
         )
     )
 
+    # -- cross-file symbol references / dead symbols / unit dedup ------------
+    from arxiv_citation_graph_spark.operators.symbols import (
+        dead_symbols,
+        extract_symbols,
+        symbol_xrefs,
+        unit_dedup,
+    )
+
+    defs_docs = _synthetic_code_docs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        repo_size=5,
+        with_defs=True,
+    )
+    defs_syms = extract_symbols(defs_docs)
+    xref_plan = plan_of(symbol_xrefs(defs_syms, defs_docs))
+    sections.append(
+        (
+            "Symbol cross-references — vocabulary-bounded equi-join",
+            "Both join inputs are distinct-reduced BEFORE the (repo, "
+            "name) equi-join: the uses side is per-file vocabulary "
+            "(array_distinct fused into the scan projection, then one "
+            "distinct aggregate), the defs side the distinct symbol "
+            "table — token OCCURRENCE counts never reach the shuffle, "
+            "so a million mentions of one identifier in one file cost "
+            "the same as one.  No cross join anywhere.  "
+            f"[{exchange_count(xref_plan)}]",
+            condense(xref_plan, KEEP + ("LeftSemi",)),
+        )
+    )
+    dead_plan = plan_of(dead_symbols(defs_syms, defs_docs))
+    sections.append(
+        (
+            "Dead-symbol screen — one hash anti-join",
+            "The complement of the xref join must plan as a single "
+            "LeftAnti hash join on (repo, name) with the use_path != "
+            "def_path residual — not a join + aggregate + filter.  "
+            f"[{exchange_count(dead_plan)}]",
+            condense(dead_plan, KEEP + ("LeftAnti",)),
+        )
+    )
+    ud_plan = plan_of(unit_dedup(defs_docs))
+    sections.append(
+        (
+            "Function-grain unit dedup — one digest shuffle",
+            "Definition-boundary split + md5 are row-local (Generate "
+            "inside codegen, no Python); the ONLY Exchange is the "
+            "digest groupBy, with a partial HashAggregate absorbing "
+            "ubiquitous-unit skew map-side before it.  "
+            f"[{exchange_count(ud_plan)}]",
+            condense(ud_plan, KEEP),
+        )
+    )
+
+    # -- onion decomposition superstep ---------------------------------------
+    from arxiv_citation_graph_spark.plans.onion import onion_decomposition
+
+    onion_plan = capture_superstep(
+        lambda: onion_decomposition(spark, tedges, max_iterations=6),
+        want_iter=2,
+    )
+    sections.append(
+        (
+            "Onion decomposition superstep (peel round)",
+            "Per round: the peel threshold and next round's minimum "
+            "active degree are CARRIED SCALARS (piggybacked on the "
+            "runtime's snapshot aggregates), so the predicate compares "
+            "against a literal — no crossJoin, no per-round 1-row "
+            "aggregate; the only work is ONE adjacency join against "
+            "the just-peeled set feeding a map-side-combined "
+            "group-count that decrements surviving degrees via a "
+            "guarded-broadcast left join — the kcore shapes plus "
+            "layer/coreness bookkeeping columns.  "
+            f"[{exchange_count(onion_plan)}]",
+            condense(onion_plan, KEEP),
+        )
+    )
+
+    # -- bridge detection (forest XOR) ----------------------------------------
+    from arxiv_citation_graph_spark.plans.bridges import bridges as run_bridges
+
+    bridge_plan = capture_superstep(
+        lambda: run_bridges(spark, tedges, max_iterations=40),
+        want_iter=2,
+    )
+    sections.append(
+        (
+            "Bridge kernel superstep (BFS frontier round / leaf-peel round)",
+            "Both loops are |V|-frame rounds against the cached symmetric "
+            "adjacency: the BFS round is one frontier equi-join + group-min "
+            "(deterministic min-id parents); the peel round is one "
+            "live-children group-count + one bit_xor push, both riding "
+            "guarded broadcasts — no |E| shuffle ever repeats, and the "
+            "non-tree edge values are fixed md5 draws computed inside the "
+            "scan projection.  "
+            f"[{exchange_count(bridge_plan)}]",
+            condense(bridge_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:

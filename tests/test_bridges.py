@@ -1,0 +1,187 @@
+"""Bridge detection (plans/bridges.py): brute-force differentials,
+forest determinism, and the oracle unroll margins."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def _brute_bridges(edge_list):
+    """Ground truth: an edge is a bridge iff removing it disconnects
+    its endpoints (DFS per edge — fine at test scale)."""
+    adj: dict[str, set[str]] = {}
+    E = set()
+    for s, d in edge_list:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        E.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def connected(a, b, skip):
+        seen, stack = {a}, [a]
+        while stack:
+            v = stack.pop()
+            if v == b:
+                return True
+            for u in adj[v]:
+                if (min(v, u), max(v, u)) == skip or u in seen:
+                    continue
+                seen.add(u)
+                stack.append(u)
+        return False
+
+    return {(a, b) for (a, b) in E if not connected(a, b, (a, b))}
+
+
+def _bridges(spark, edges, **kw):
+    from arxiv_citation_graph_spark.plans.bridges import bridges
+
+    return bridges(spark, edges, **kw)
+
+
+def test_bridges_triangle_tail_and_isolated_pair(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e"), ("x", "y")],
+        ["src_id", "dst_id"],
+    )
+    got = {(r.u, r.v) for r in _bridges(spark, edges).bridges.collect()}
+    assert got == {("a", "d"), ("d", "e"), ("x", "y")}
+
+
+def test_bridges_cycle_has_none(spark):
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+
+    res = _bridges(spark, toy_edges_df(spark, "cycle"))
+    assert res.n_bridges == 0
+
+
+def test_bridges_star_all(spark):
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+
+    res = _bridges(spark, toy_edges_df(spark, "star"))
+    got = {(r.u, r.v) for r in res.bridges.collect()}
+    # canonical (u, v) is lexicographic: "hub" sorts first
+    assert got == {("hub", f"spoke{i:02d}") for i in range(50)}
+
+
+def test_bridges_random_graph_differential(spark):
+    """The engine must agree with brute-force edge removal on the
+    100-vertex random toy graph (duplicates/self-loops dropped by
+    both).  The dense 'resume' graph is 2-edge-connected (0 bridges —
+    the no-false-positive half); a sparse 105-edge graph with 37 true
+    bridges covers the recall half.  Hash draws are fixed, so a green
+    run also pins the 2^-60 XOR-collision soundness forever."""
+    import random
+
+    from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+
+    res = _bridges(spark, toy_edges_df(spark, "resume"))
+    got = {(r.u, r.v) for r in res.bridges.collect()}
+    truth = _brute_bridges(toy_graphs()["resume"])
+    assert truth == set()  # the fixture is 2-edge-connected
+    assert got == truth
+
+    rng = random.Random(7)
+    vs = [f"v{i:03d}" for i in range(100)]
+    sparse = sorted(
+        {(vs[rng.randrange(100)], vs[rng.randrange(100)]) for _ in range(110)}
+    )
+    truth2 = _brute_bridges(sparse)
+    assert len(truth2) == 37  # fixture sanity: plenty of true bridges
+    res2 = _bridges(spark, spark.createDataFrame(sparse, ["src_id", "dst_id"]))
+    assert {(r.u, r.v) for r in res2.bridges.collect()} == truth2
+
+
+def test_bridges_two_component_chain_mix(spark):
+    edges = spark.createDataFrame(
+        # chain p0-p1-p2 (all bridges) + K4 (none)
+        [("p0", "p1"), ("p1", "p2")]
+        + [(a, b) for a in "k0 k1 k2 k3".split() for b in "k0 k1 k2 k3".split() if a < b],
+        ["src_id", "dst_id"],
+    )
+    got = {(r.u, r.v) for r in _bridges(spark, edges).bridges.collect()}
+    assert got == {("p0", "p1"), ("p1", "p2")}
+
+
+def test_bridges_empty(spark):
+    edges = spark.createDataFrame([], "src_id string, dst_id string")
+    res = _bridges(spark, edges)
+    assert res.n_bridges == 0
+    assert res.bridges.count() == 0
+
+
+def test_forest_is_deterministic_spanning_forest(spark):
+    from arxiv_citation_graph_spark.plans.bridges import bridge_forest
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        ["src_id", "dst_id"],
+    )
+    forest, report, adj = bridge_forest(spark, edges)
+    adj.unpersist()
+    rows = {r.vertex: (r.root, r.dist, r.parent) for r in forest.collect()}
+    # root = min vertex; parents are the min dist-1 neighbor
+    assert rows == {
+        "a": ("a", 0, None),
+        "b": ("a", 1, "a"),
+        "c": ("a", 1, "a"),
+        "d": ("a", 1, "a"),
+    }
+    assert report.converged
+
+
+def test_bridges_resume_identical(spark, tmp_path):
+    """store/resume checkpoints the BFS-forest phase (the betweenness
+    one-phase convention): a partial forest run resumed from checkpoint
+    yields the same bridges as a fresh run, and resume refuses a
+    changed graph."""
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    edge_rows = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e")]
+    edges = spark.createDataFrame(edge_rows, ["src_id", "dst_id"])
+    fresh = {(r.u, r.v) for r in _bridges(spark, edges).bridges.collect()}
+
+    store = CheckpointStore(str(tmp_path / "ckpt_bridges"), "bridges_resume")
+    from arxiv_citation_graph_spark.plans.bridges import bridge_forest
+
+    partial_forest, partial_report, adj = bridge_forest(
+        spark, edges, max_iterations=1, store=store
+    )
+    adj.unpersist()
+    assert not partial_report.converged
+    resumed = _bridges(spark, edges, store=store, resume=True)
+    assert resumed.bfs_report.converged
+    assert {(r.u, r.v) for r in resumed.bridges.collect()} == fresh
+
+    other = spark.createDataFrame([("x", "y")], ["src_id", "dst_id"])
+    with pytest.raises(ValueError, match="resume refused"):
+        _bridges(spark, other, store=store, resume=True)
+
+
+def test_bridges_oracle_margins(spark):
+    """Engine rounds on the sf0.01 seqsupply graph must sit inside the
+    oracle's unrolls with 2x margin (the ANF-margin convention)."""
+    from arxiv_citation_graph_spark.entry_queries import (
+        _BRIDGE_BFS_ROUNDS,
+        _BRIDGE_PEEL_ROUNDS,
+        seqsupply_edges,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        pytest.skip("driver testdata not present")
+    res = _bridges(spark, seqsupply_edges(spark, sf_dir))
+    assert res.n_bridges == 38
+    assert res.bfs_report.converged and res.peel_report.converged
+    max_dist = res.forest.agg({"dist": "max"}).first()[0]
+    assert max_dist * 2 <= _BRIDGE_BFS_ROUNDS, (
+        f"BFS depth {max_dist}; oracle unrolls {_BRIDGE_BFS_ROUNDS}"
+    )
+    assert res.peel_report.iterations * 2 <= _BRIDGE_PEEL_ROUNDS, (
+        f"peel ran {res.peel_report.iterations} rounds; oracle unrolls "
+        f"{_BRIDGE_PEEL_ROUNDS}"
+    )

@@ -129,6 +129,28 @@ def test_symbol_fanin_counts_distinct_files(spark):
     )
 
 
+def test_unit_dedup_collapses_copy_pasted_functions(spark):
+    from arxiv_citation_graph_spark.operators.symbols import unit_dedup
+
+    shared = "def util(x):\n    return x\n"
+    docs = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c0", "python", "import os\n" + shared),
+            ("r2", "b.py", "c0", "python", shared + "def own(y):\n    pass\n"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    out = {r.keep_id: r.n_dups for r in unit_dedup(docs).collect()}
+    # the copy-pasted util dedupes across repos (file-level digests
+    # differ!); keeper is the lexicographic-min unit id.  a.py's util is
+    # unit 2 (preamble first), b.py's unit 1.
+    assert out == {
+        "r1/a.py#1": 1,  # the import preamble
+        "r1/a.py#2": 2,  # shared util: kept once, counted twice
+        "r2/b.py#2": 1,  # b.py's own()
+    }
+
+
 def test_file_identifiers_distinct_per_file(spark):
     from arxiv_citation_graph_spark.operators.symbols import file_identifiers
 
