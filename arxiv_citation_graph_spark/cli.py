@@ -70,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--tolerance", type=float, default=1e-8)
         if name == "kcore":
             p.add_argument("--k", type=int, required=True)
+        if name == "bridges":
+            p.add_argument(
+                "--two-ecc", action="store_true",
+                help="also write 2-edge-connected component labels",
+            )
         if name == "bfs":
             p.add_argument("--source", default=None, help="default: lexicographic-min vertex")
             p.add_argument("--directed", action="store_true")
@@ -2000,10 +2005,23 @@ def main(argv: list[str] | None = None) -> int:
         )
         catalog.create_or_replace("bridges", bres.bridges)
         catalog.create_or_replace("bfs_forest", bres.forest)
+        extra = ""
+        if args.two_ecc:
+            from arxiv_citation_graph_spark.plans.bridges import (
+                two_edge_connected_components,
+            )
+
+            labels, _ = two_edge_connected_components(
+                spark, edges, max_iterations=args.max_iterations,
+                bridge_result=bres,
+            )
+            catalog.create_or_replace("two_edge_components", labels)
+            n2 = labels.select("component").distinct().count()
+            extra = f", {n2} 2-edge-connected component(s)"
         print(
             f"bridges: {bres.n_bridges} cut edge(s) "
             f"(BFS {bres.bfs_report.iterations} + peel "
-            f"{bres.peel_report.iterations} supersteps)"
+            f"{bres.peel_report.iterations} supersteps){extra}"
         )
     elif args.cmd == "walks":
         from arxiv_citation_graph_spark.plans.layout import symmetrize

@@ -9817,16 +9817,13 @@ LEFT JOIN bpar bp ON bp.vertex = br.vertex"""
     )
 
 
-def _bridges_unrolled_sql(
+def _bridge_full_ctes(
     squarings: int = _BRIDGE_SQUARINGS,
     bfs_rounds: int = _BRIDGE_BFS_ROUNDS,
     peel_rounds: int = _BRIDGE_PEEL_ROUNDS,
-) -> str:
-    """Unrolled spanning-forest XOR bridge detection (plans/bridges.py)
-    on seqsupply: non-tree edges get the same deterministic 60-bit md5
-    values as the engine, a(v) = bit_xor of incident values, then the
-    synchronized leaf peel accumulates subtree XORs upward — tree edges
-    whose subtree XOR is 0 are the bridges."""
+) -> tuple[list[str], str]:
+    """Base CTEs + XOR leaf-peel unroll; returns (ctes, name of the
+    final peel state CTE)."""
     ctes = _bridge_base_ctes(squarings, bfs_rounds)
     ctes += [
         "btreec AS MATERIALIZED (SELECT least(parent, vertex) AS u, "
@@ -9869,14 +9866,84 @@ def _bridges_unrolled_sql(
             f"LEFT JOIN bl{r} l ON s.vertex = l.vertex "
             f"LEFT JOIN bpu{r} pu ON pu.vertex = s.vertex)"
         )
+    return ctes, f"bp{peel_rounds}"
+
+
+def _bridges_unrolled_sql(
+    squarings: int = _BRIDGE_SQUARINGS,
+    bfs_rounds: int = _BRIDGE_BFS_ROUNDS,
+    peel_rounds: int = _BRIDGE_PEEL_ROUNDS,
+) -> str:
+    """Unrolled spanning-forest XOR bridge detection (plans/bridges.py)
+    on seqsupply: non-tree edges get the same deterministic 60-bit md5
+    values as the engine, a(v) = bit_xor of incident values, then the
+    synchronized leaf peel accumulates subtree XORs upward — tree edges
+    whose subtree XOR is 0 are the bridges."""
+    ctes, final = _bridge_full_ctes(squarings, bfs_rounds, peel_rounds)
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
 SELECT least(parent, vertex) AS u, greatest(parent, vertex) AS v
-FROM bp{peel_rounds}
+FROM {final}
 WHERE parent IS NOT NULL AND w = 0"""
     )
+
+
+#: hash-min rounds for the 2ECC oracle: the largest seqsupply 2ECC has
+#: diameter 6 at sf0.01 -> 12 rounds = 2x margin (pytest-pinned)
+_TECC_CC_ROUNDS = 12
+
+
+def _two_edge_components_sql(cc_rounds: int = _TECC_CC_ROUNDS) -> str:
+    """2-edge-connected components: delete the bridges, hash-min CC
+    over what remains (bridge-isolated vertices stay singletons with
+    their own id — the dedup-cluster labeling convention)."""
+    ctes, final = _bridge_full_ctes()
+    ctes += [
+        f"bbr AS MATERIALIZED (SELECT least(parent, vertex) AS u, "
+        f"greatest(parent, vertex) AS v FROM {final} "
+        f"WHERE parent IS NOT NULL AND w = 0)",
+        "bkept AS MATERIALIZED (SELECT u, v FROM be "
+        "WHERE NOT EXISTS (SELECT 1 FROM bbr "
+        "WHERE bbr.u = be.u AND bbr.v = be.v))",
+        "bksym AS MATERIALIZED (SELECT u AS x, v AS y FROM bkept "
+        "UNION SELECT v, u FROM bkept)",
+        "tl0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM broot)",
+    ]
+    for k in range(1, cc_rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"tl{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"least(v.component, coalesce(m.nbr, v.component)) AS component "
+            f"FROM tl{p} v LEFT JOIN ("
+            f"SELECT e.y AS vertex, min(l.component) AS nbr "
+            f"FROM bksym e JOIN tl{p} l ON e.x = l.vertex GROUP BY e.y"
+            f") m ON v.vertex = m.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, component FROM tl{cc_rounds}"
+    )
+
+
+@register("two_edge_components", _two_edge_components_sql())
+def q_two_edge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-edge-connected components (plans/bridges.py::
+    two_edge_connected_components): the bridge set deleted, hash-min CC
+    over the residual graph, every vertex labeled (bridge-isolated
+    vertices are singletons) — the resilience partition 'which vertices
+    stay connected if any single link dies'.  seqsupply at sf0.01: one
+    38-vertex 2ECC plus singletons."""
+    from arxiv_citation_graph_spark.plans.bridges import (
+        two_edge_connected_components,
+    )
+
+    labels, _ = two_edge_connected_components(
+        spark, seqsupply_edges(spark, sf_dir)
+    )
+    return labels
 
 
 @register("bfs_forest", _bfs_forest_sql())

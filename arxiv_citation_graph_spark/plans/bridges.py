@@ -293,3 +293,42 @@ def bridges(
         adj.unpersist()
         und.unpersist()
     return BridgesResult(out, forest, bfs_report, peel_report, n_bridges)
+
+
+def two_edge_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 200,
+    bridge_result: BridgesResult | None = None,
+) -> tuple[DataFrame, BridgesResult]:
+    """2-edge-connected components: delete the bridges, hash-min CC
+    over the residual graph — the resilience partition ("which vertices
+    stay mutually connected if any single link dies").
+
+    Returns ``((vertex, component), BridgesResult)``; every vertex of
+    the input graph is labeled (vertices isolated by bridge removal are
+    singletons under their own id, the dedup-cluster convention), and
+    component = the 2ECC's min vertex id.  Pass ``bridge_result`` to
+    reuse an already-computed bridge set instead of re-running the
+    three bridge loops."""
+    from arxiv_citation_graph_spark.plans.components import (
+        connected_components,
+    )
+
+    res = bridge_result or bridges(spark, edges, max_iterations=max_iterations)
+    und = _simple_undirected(edges)
+    kept = und.join(res.bridges, ["u", "v"], "left_anti")
+    cc = connected_components(
+        spark,
+        kept.select(F.col("u").alias("src_id"), F.col("v").alias("dst_id")),
+        max_iterations=max_iterations,
+    )
+    labels = (
+        res.forest.select("vertex")
+        .join(cc.components, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce(F.col("component"), F.col("vertex")).alias("component"),
+        )
+    )
+    return labels, res

@@ -162,6 +162,72 @@ def test_bridges_resume_identical(spark, tmp_path):
         _bridges(spark, other, store=store, resume=True)
 
 
+def test_two_edge_components(spark):
+    """2ECC = CC after bridge deletion: the triangle is one class, the
+    tail vertices and the isolated pair are singletons."""
+    from arxiv_citation_graph_spark.plans.bridges import (
+        two_edge_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e"), ("x", "y")],
+        ["src_id", "dst_id"],
+    )
+    labels, res = two_edge_connected_components(spark, edges)
+    got = {r.vertex: r.component for r in labels.collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "d": "d", "e": "e", "x": "x", "y": "y",
+    }
+    assert res.n_bridges == 3
+
+
+def test_two_edge_components_differential(spark):
+    """On the sparse random graph, 2ECC labels must equal plain-Python
+    CC over (edges minus brute-force bridges)."""
+    import random
+
+    rng = random.Random(7)
+    vs = [f"v{i:03d}" for i in range(100)]
+    sparse = sorted(
+        {(vs[rng.randrange(100)], vs[rng.randrange(100)]) for _ in range(110)}
+    )
+    truth_bridges = _brute_bridges(sparse)
+    adj: dict[str, set[str]] = {}
+    for s, d in sparse:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        if (a, b) in truth_bridges:
+            adj.setdefault(a, set())
+            adj.setdefault(b, set())
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    comp: dict[str, str] = {}
+    for v in sorted(adj):
+        if v in comp:
+            continue
+        comp[v] = v
+        stack = [v]
+        while stack:
+            x = stack.pop()
+            for u in sorted(adj[x]):
+                if u not in comp:
+                    comp[u] = v
+                    stack.append(u)
+
+    from arxiv_citation_graph_spark.plans.bridges import (
+        two_edge_connected_components,
+    )
+
+    labels, _ = two_edge_connected_components(
+        spark, spark.createDataFrame(sparse, ["src_id", "dst_id"])
+    )
+    got = {r.vertex: r.component for r in labels.collect()}
+    assert got == comp
+
+
 def test_bridges_oracle_margins(spark):
     """Engine rounds on the sf0.01 seqsupply graph must sit inside the
     oracle's unrolls with 2x margin (the ANF-margin convention)."""
