@@ -725,6 +725,34 @@ def q_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_events(_t(spark, sf_dir, "events"))
 
 
+def _single_file_stream(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> tuple[DataFrame, str]:
+    """Write ``df`` as a single-file parquet under a PRIVATE (0700,
+    ownership-verified) per-user fixture dir and open it as a file
+    stream — one AvailableNow batch drains it deterministically.
+    Returns (stream, tag) where tag disambiguates memory-sink names
+    per sf_dir.  No stale cache (overwritten each call), no tempdir
+    leak (one dir per user); a pre-created/squatted path fails the
+    ownership check, and a planted symlink is refused outright."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    uid = os.getuid() if hasattr(os, "getuid") else None
+    who = uid if uid is not None else "anon"
+    base = os.path.join(tempfile.gettempdir(), f"acg_fixtures_{who}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    if os.path.islink(base):
+        raise RuntimeError(f"{base} is a symlink; refusing to use it")
+    if uid is not None and os.lstat(base).st_uid != uid:
+        raise RuntimeError(f"{base} is owned by another user; refusing to use it")
+    src = os.path.join(base, f"{name}_{tag}")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src), tag
+
+
 @register(
     "stateful_sessions",
     """
@@ -776,31 +804,11 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate yields a value-comparable result.  pytest keeps the
     superset checks (stream ⊆ batch, closed ⊆ emitted,
     ``tests/test_stateful_streaming.py``)."""
-    import hashlib
-    import os
-    import tempfile
-
     from arxiv_citation_graph_spark.streaming.events import run_stream_to_memory
     from arxiv_citation_graph_spark.streaming.stateful import sessionize_stream
 
     events = _t(spark, sf_dir, "events")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    # deterministic leaf under a PRIVATE (0700, ownership-verified)
-    # per-user dir: no stale cache (overwritten each call), no tempdir
-    # leak (one dir per user), and a pre-created/squatted path fails the
-    # ownership check instead of silently writing into it
-    uid = os.getuid() if hasattr(os, "getuid") else None
-    who = uid if uid is not None else "anon"
-    base = os.path.join(tempfile.gettempdir(), f"acg_fixtures_{who}")
-    os.makedirs(base, mode=0o700, exist_ok=True)
-    # lstat + islink: a planted symlink must not redirect the write
-    if os.path.islink(base):
-        raise RuntimeError(f"{base} is a symlink; refusing to use it")
-    if uid is not None and os.lstat(base).st_uid != uid:
-        raise RuntimeError(f"{base} is owned by another user; refusing to use it")
-    src = os.path.join(base, f"events_single_{tag}")
-    events.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(events.schema).parquet(src)
+    stream, tag = _single_file_stream(spark, events, sf_dir, "events_single")
     emitted = run_stream_to_memory(
         spark, sessionize_stream(stream, gap_seconds=1800), f"stateful_sessions_{tag}"
     )
@@ -9969,6 +9977,40 @@ def q_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arxiv_citation_graph_spark.plans.bridges import bridges
 
     return bridges(spark, seqsupply_edges(spark, sf_dir)).bridges
+
+
+@register(
+    "stream_enriched_counts",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC broadcast join (streaming/events.py::
+    enriched_event_counts), run as a REAL AvailableNow stream: the
+    event stream joins the customer dimension in-memory per batch (no
+    stream-side shuffle, no join state), then a running (segment,
+    event_type) aggregate in complete mode — the canonical
+    enrich-then-aggregate streaming shape.  One-batch drain is
+    deterministic, so the batch SQL join IS the oracle."""
+    from arxiv_citation_graph_spark.streaming.events import (
+        enriched_event_counts,
+        run_stream_to_memory,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream, tag = _single_file_stream(spark, events, sf_dir, "events_enrich")
+    return run_stream_to_memory(
+        spark,
+        enriched_event_counts(stream, dim),
+        f"stream_enriched_counts_{tag}",
+        output_mode="complete",
+    )
 
 
 # ===========================================================================

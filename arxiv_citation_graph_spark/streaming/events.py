@@ -90,6 +90,40 @@ def windowed_event_counts(
     )
 
 
+def enriched_event_counts(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    dim_key: str = "c_custkey",
+    segment_col: str = "c_mktsegment",
+) -> DataFrame:
+    """STREAM-STATIC broadcast join + stateful aggregate: each
+    micro-batch of events joins the (small, static) dimension table
+    in-memory — no shuffle of the stream side, no join state in the
+    state store (static-side rows never expire, so Spark plans this as
+    a plain broadcast hash join per batch) — then a running
+    ``(segment, event_type)`` count/sum maintained across batches
+    (complete output mode).
+
+    The canonical enrich-then-aggregate streaming shape: at scale the
+    dimension is the model/dim table that fits an executor, the stream
+    is unbounded, and the ONLY stateful operator is the bounded
+    aggregate (state = |segments| x |event types|)."""
+    d = F.broadcast(
+        dim.select(
+            F.col(dim_key).alias(key_col), F.col(segment_col).alias("segment")
+        )
+    )
+    return (
+        events_stream.join(d, key_col)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -1,0 +1,80 @@
+"""Stream-static broadcast join + running aggregate
+(streaming/events.py::enriched_event_counts)."""
+
+from __future__ import annotations
+
+import datetime
+
+from arxiv_citation_graph_spark.streaming.events import (
+    EVENTS_STREAM_SCHEMA,
+    enriched_event_counts,
+    run_stream_to_memory,
+)
+
+
+def _ts(minute):
+    return datetime.datetime(2026, 1, 1, 10, minute)
+
+
+def _stream_from(spark, tmp_path, rows):
+    d = str(tmp_path / "events_in")
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).write.parquet(d)
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(100, "RETAIL"), (101, "RETAIL"), (102, "WHOLESALE")],
+        ["c_custkey", "c_mktsegment"],
+    )
+
+
+def test_enriched_counts_match_batch_twin(spark, tmp_path):
+    rows = [
+        (1, _ts(0), 100, "click", 1.0, "{}"),
+        (2, _ts(1), 101, "click", 2.0, "{}"),
+        (3, _ts(2), 100, "view", 3.5, "{}"),
+        (4, _ts(3), 102, "click", 4.0, "{}"),
+        (5, _ts(4), 999, "click", 8.0, "{}"),  # no dim row -> dropped
+    ]
+    stream = _stream_from(spark, tmp_path, rows)
+    out = run_stream_to_memory(
+        spark,
+        enriched_event_counts(stream, _dim(spark)),
+        "t_enrich_counts",
+        output_mode="complete",
+    )
+    got = {
+        (r.segment, r.event_type): (r.n, r.total_value) for r in out.collect()
+    }
+    assert got == {
+        ("RETAIL", "click"): (2, 3.0),
+        ("RETAIL", "view"): (1, 3.5),
+        ("WHOLESALE", "click"): (1, 4.0),
+    }
+
+
+def test_enriched_counts_accumulate_across_batches(spark, tmp_path):
+    """Complete mode keeps running totals: a second file re-triggers the
+    aggregate and the counts include BOTH batches."""
+    d = str(tmp_path / "events_in2")
+    spark.createDataFrame(
+        [(1, _ts(0), 100, "click", 1.0, "{}")], EVENTS_STREAM_SCHEMA
+    ).write.parquet(d)
+    spark.createDataFrame(
+        [(2, _ts(1), 100, "click", 2.0, "{}")], EVENTS_STREAM_SCHEMA
+    ).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    out = run_stream_to_memory(
+        spark,
+        enriched_event_counts(stream, _dim(spark)),
+        "t_enrich_counts2",
+        output_mode="complete",
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0].segment, rows[0].event_type, rows[0].n, rows[0].total_value) == (
+        "RETAIL", "click", 2, 3.0
+    )
