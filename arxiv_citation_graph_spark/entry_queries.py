@@ -9979,6 +9979,91 @@ def q_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bridges(spark, seqsupply_edges(spark, sf_dir)).bridges
 
 
+#: hash-min rounds for the attack-curve oracle: the intact seqsupply
+#: GCC needs 10 (min-vertex eccentricity); removals only shrink
+#: components, so 20 = 2x margin for every fraction (pytest-pinned)
+_ATTACK_CC_ROUNDS = 20
+_ATTACK_FRACTIONS = (0.0, 0.05, 0.1, 0.2)
+
+
+def _attack_tolerance_sql(
+    fractions: tuple[float, ...] = _ATTACK_FRACTIONS,
+    cc_rounds: int = _ATTACK_CC_ROUNDS,
+) -> str:
+    """Unrolled targeted-attack curve (plans/graphstats.py::
+    attack_tolerance) on seqsupply: per fraction, rank-delete the top
+    hubs (degree desc, vertex asc), hash-min CC over the residual,
+    singleton isolated vertices included — one summary row each."""
+    ctes = [
+        f"seq AS MATERIALIZED ({EDGES_SEQSUPPLY_SQL})",
+        "ae AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u, "
+        "greatest(src_id, dst_id) AS v FROM seq WHERE src_id <> dst_id)",
+        "adeg AS MATERIALIZED (SELECT vertex, "
+        "CAST(count(*) AS BIGINT) AS degree FROM ("
+        "SELECT u AS vertex FROM ae UNION ALL SELECT v FROM ae"
+        ") GROUP BY vertex)",
+        "aranked AS MATERIALIZED (SELECT vertex, row_number() OVER ("
+        "ORDER BY degree DESC, vertex) AS rn FROM adeg)",
+    ]
+    selects = []
+    for i, frac in enumerate(fractions):
+        ctes.append(
+            f"arem{i} AS MATERIALIZED (SELECT vertex FROM aranked "
+            f"WHERE rn <= CAST(ceil({frac!r} * "
+            f"(SELECT count(*) FROM adeg)) AS BIGINT))"
+        )
+        ctes.append(
+            f"akept{i} AS MATERIALIZED (SELECT u, v FROM ae "
+            f"WHERE u NOT IN (SELECT vertex FROM arem{i}) "
+            f"AND v NOT IN (SELECT vertex FROM arem{i}))"
+        )
+        ctes.append(
+            f"aksym{i} AS MATERIALIZED (SELECT u AS x, v AS y FROM akept{i} "
+            f"UNION SELECT v, u FROM akept{i})"
+        )
+        ctes.append(
+            f"al{i}_0 AS MATERIALIZED (SELECT vertex, vertex AS component "
+            f"FROM adeg WHERE vertex NOT IN (SELECT vertex FROM arem{i}))"
+        )
+        for r in range(1, cc_rounds + 1):
+            p = r - 1
+            ctes.append(
+                f"al{i}_{r} AS MATERIALIZED (SELECT s.vertex, "
+                f"least(s.component, coalesce(m.nbr, s.component)) AS component "
+                f"FROM al{i}_{p} s LEFT JOIN ("
+                f"SELECT e.y AS vertex, min(l.component) AS nbr "
+                f"FROM aksym{i} e JOIN al{i}_{p} l ON e.x = l.vertex "
+                f"GROUP BY e.y) m ON s.vertex = m.vertex)"
+            )
+        ctes.append(
+            f"asz{i} AS MATERIALIZED (SELECT component, "
+            f"CAST(count(*) AS BIGINT) AS sz FROM al{i}_{cc_rounds} "
+            f"GROUP BY component)"
+        )
+        selects.append(
+            f"SELECT CAST({frac!r} AS DOUBLE) AS frac, "
+            f"(SELECT count(*) FROM arem{i}) AS n_removed, "
+            f"(SELECT count(*) FROM al{i}_0) AS n_left, "
+            f"coalesce((SELECT max(sz) FROM asz{i}), 0) AS gcc_size, "
+            f"(SELECT count(*) FROM asz{i}) AS n_components"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register("attack_tolerance", _attack_tolerance_sql())
+def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted hub-attack tolerance curve (Albert-Jeong-Barabási 2000;
+    plans/graphstats.py::attack_tolerance) on seqsupply: delete the
+    top-frac highest-degree vertices, measure the giant component —
+    GCC 69 -> 29 -> 9 -> 8 at sf0.01 as hubs fall.  One CC run per
+    fraction; the resilience composition alongside bridges/2ECC."""
+    from arxiv_citation_graph_spark.plans.graphstats import attack_tolerance
+
+    return attack_tolerance(
+        spark, seqsupply_edges(spark, sf_dir), fractions=_ATTACK_FRACTIONS
+    )
+
+
 @register(
     "stream_enriched_counts",
     """

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from arxiv_citation_graph_spark.plans.layout import symmetrize
 
 __all__ = [
+    "attack_tolerance",
     "attribute_assortativity",
     "degree_assortativity",
     "degree_gini_powerlaw",
@@ -290,3 +291,112 @@ def degree_gini_powerlaw(
             6,
         ).alias("alpha"),
     )
+
+
+def attack_tolerance(
+    spark: SparkSession,
+    edges: DataFrame,
+    fractions: tuple[float, ...] = (0.0, 0.05, 0.1, 0.2),
+    max_iterations: int = 100,
+) -> DataFrame:
+    """Targeted hub-attack tolerance curve (Albert, Jeong & Barabási
+    2000, "Error and attack tolerance of complex networks"):
+    ``(frac, n_removed, n_left, gcc_size, n_components)`` — for each
+    fraction, delete the top-frac highest-degree vertices
+    (deterministic rank: degree desc, vertex asc) and measure the giant
+    connected component of what remains.  The resilience summary read
+    together with `bridges`/`two_edge_components`: a power-law graph's
+    GCC collapses under hub removal while a random graph's degrades
+    linearly.
+
+    One CC run per fraction (a bounded, validated list — this is a
+    driver loop over O(len(fractions)) superstep jobs, not per-vertex
+    work); vertices isolated by the removal count as singleton
+    components, the 2ECC labeling convention.  The removal set is a
+    distributed TakeOrdered (sort + limit), never a full collect."""
+    import math
+
+    from arxiv_citation_graph_spark.plans.components import (
+        connected_components,
+    )
+    from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+    fracs = sorted(set(float(f) for f in fractions))
+    if not fracs:
+        raise ValueError("fractions must be non-empty")
+    if len(fracs) > 16:
+        raise ValueError(
+            f"{len(fracs)} fractions would launch {len(fracs)} CC jobs; "
+            "cap is 16 — coarsen the curve"
+        )
+    if fracs[0] < 0.0 or fracs[-1] >= 1.0:
+        raise ValueError(f"fractions must lie in [0, 1), got {fracs}")
+
+    und = _simple_undirected(edges).cache()
+    deg = (
+        und.select(F.col("u").alias("vertex"))
+        .unionByName(und.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    ).cache()
+    n = deg.count()
+    try:
+        if n == 0:
+            return spark.createDataFrame(
+                [],
+                "frac double, n_removed long, n_left long, "
+                "gcc_size long, n_components long",
+            )
+        per_frac = []
+        for frac in fracs:
+            k = math.ceil(frac * n)
+            removed = (
+                deg.orderBy(F.desc("degree"), F.asc("vertex"))
+                .limit(k)
+                .select("vertex")
+            )
+            kept = und.join(
+                removed.withColumnRenamed("vertex", "u"), "u", "left_anti"
+            ).join(removed.withColumnRenamed("vertex", "v"), "v", "left_anti")
+            cc = connected_components(
+                spark,
+                kept.select(
+                    F.col("u").alias("src_id"), F.col("v").alias("dst_id")
+                ),
+                max_iterations=max_iterations,
+            )
+            labels = (
+                deg.select("vertex")
+                .join(removed, "vertex", "left_anti")
+                .join(cc.components, "vertex", "left")
+                .select(
+                    F.coalesce(F.col("component"), F.col("vertex")).alias(
+                        "component"
+                    )
+                )
+            )
+            comp_sizes = labels.groupBy("component").agg(
+                F.count(F.lit(1)).cast("long").alias("sz")
+            )
+            per_frac.append(
+                comp_sizes.agg(
+                    F.coalesce(F.max("sz"), F.lit(0).cast("long")).alias(
+                        "gcc_size"
+                    ),
+                    F.count(F.lit(1)).cast("long").alias("n_components"),
+                ).select(
+                    F.lit(frac).cast("double").alias("frac"),
+                    F.lit(k).cast("long").alias("n_removed"),
+                    F.lit(n - k).cast("long").alias("n_left"),
+                    "gcc_size",
+                    "n_components",
+                )
+            )
+        out = per_frac[0]
+        for df in per_frac[1:]:
+            out = out.unionByName(df)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+        deg.unpersist()
+    return out

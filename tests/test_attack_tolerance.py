@@ -1,0 +1,143 @@
+"""Targeted hub-attack tolerance curve
+(plans/graphstats.py::attack_tolerance)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def _run(spark, edges, **kw):
+    from arxiv_citation_graph_spark.plans.graphstats import attack_tolerance
+
+    return attack_tolerance(spark, edges, **kw)
+
+
+def test_attack_curve_star_collapses(spark):
+    """A star is the canonical attack-fragile graph: removing ONE vertex
+    (the hub — highest degree) shatters the GCC from 51 to 1."""
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+
+    out = {
+        r.frac: (r.n_removed, r.n_left, r.gcc_size, r.n_components)
+        for r in _run(
+            spark, toy_edges_df(spark, "star"), fractions=(0.0, 0.02)
+        ).collect()
+    }
+    # 51 vertices; ceil(0.02*51) = 2 -> hub + lexicographic-min spoke
+    assert out[0.0] == (0, 51, 51, 1)
+    assert out[0.02] == (2, 49, 1, 49)
+
+
+def test_attack_curve_cycle_degrades_gracefully(spark):
+    """A cycle (all degrees equal) only loses what is removed: deleting
+    k vertices leaves paths, GCC shrinks smoothly, never collapses."""
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+
+    out = {
+        r.frac: (r.n_removed, r.gcc_size)
+        for r in _run(
+            spark, toy_edges_df(spark, "cycle"), fractions=(0.0, 0.25)
+        ).collect()
+    }
+    assert out[0.0] == (0, 4)
+    # ceil(0.25*4)=1 removed (ties broken by vertex asc -> c0): a path of 3
+    assert out[0.25] == (1, 3)
+
+
+def test_attack_curve_matches_brute_force(spark):
+    """Differential vs a plain-Python removal + CC on the sparse random
+    graph, including singleton isolated vertices."""
+    import collections
+    import math
+    import random
+
+    rng = random.Random(7)
+    vs = [f"v{i:03d}" for i in range(100)]
+    sparse = sorted(
+        {(vs[rng.randrange(100)], vs[rng.randrange(100)]) for _ in range(110)}
+    )
+    adj: dict[str, set[str]] = {}
+    for s, d in sparse:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    n = len(adj)
+
+    def brute(frac):
+        k = math.ceil(frac * n)
+        removed = set(sorted(adj, key=lambda v: (-deg[v], v))[:k])
+        seen: set[str] = set()
+        sizes = []
+        for v in sorted(adj):
+            if v in removed or v in seen:
+                continue
+            q = collections.deque([v])
+            seen.add(v)
+            size = 1
+            while q:
+                x = q.popleft()
+                for u in adj[x]:
+                    if u in removed or u in seen:
+                        continue
+                    seen.add(u)
+                    size += 1
+                    q.append(u)
+            sizes.append(size)
+        return (k, n - k, max(sizes) if sizes else 0, len(sizes))
+
+    fractions = (0.0, 0.1, 0.3)
+    out = {
+        r.frac: (r.n_removed, r.n_left, r.gcc_size, r.n_components)
+        for r in _run(
+            spark,
+            spark.createDataFrame(sparse, ["src_id", "dst_id"]),
+            fractions=fractions,
+        ).collect()
+    }
+    assert out == {f: brute(f) for f in fractions}
+
+
+def test_attack_curve_validation(spark):
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+
+    edges = toy_edges_df(spark, "cycle")
+    with pytest.raises(ValueError, match="non-empty"):
+        _run(spark, edges, fractions=())
+    with pytest.raises(ValueError, match=r"\[0, 1\)"):
+        _run(spark, edges, fractions=(0.5, 1.0))
+    with pytest.raises(ValueError, match="cap is 16"):
+        _run(spark, edges, fractions=tuple(i / 100 for i in range(17)))
+
+
+def test_attack_curve_cc_round_margin(spark):
+    """The oracle's hash-min unroll must cover the intact graph's CC
+    depth with 2x margin (removals only shrink components)."""
+    from arxiv_citation_graph_spark.entry_queries import (
+        _ATTACK_CC_ROUNDS,
+        seqsupply_edges,
+    )
+    from arxiv_citation_graph_spark.plans.components import (
+        connected_components,
+    )
+    from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+    from pyspark.sql import functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        pytest.skip("driver testdata not present")
+    und = _simple_undirected(seqsupply_edges(spark, sf_dir))
+    cc = connected_components(
+        spark,
+        und.select(F.col("u").alias("src_id"), F.col("v").alias("dst_id")),
+    )
+    assert cc.report.converged
+    # iterations includes the final zero-delta verification round; the
+    # unroll only needs the value-changing rounds, with 2x margin
+    assert (cc.report.iterations - 1) * 2 <= _ATTACK_CC_ROUNDS, (
+        f"CC changed values for {cc.report.iterations - 1} rounds; "
+        f"oracle unrolls {_ATTACK_CC_ROUNDS}"
+    )
