@@ -9989,11 +9989,18 @@ _ATTACK_FRACTIONS = (0.0, 0.05, 0.1, 0.2)
 def _attack_tolerance_sql(
     fractions: tuple[float, ...] = _ATTACK_FRACTIONS,
     cc_rounds: int = _ATTACK_CC_ROUNDS,
+    strategy: str = "degree",
 ) -> str:
-    """Unrolled targeted-attack curve (plans/graphstats.py::
-    attack_tolerance) on seqsupply: per fraction, rank-delete the top
-    hubs (degree desc, vertex asc), hash-min CC over the residual,
-    singleton isolated vertices included — one summary row each."""
+    """Unrolled removal-tolerance curve (plans/graphstats.py::
+    attack_tolerance) on seqsupply: per fraction, rank-delete vertices
+    (degree desc = targeted attack; md5 order = deterministic random
+    failure), hash-min CC over the residual, singleton isolated
+    vertices included — one summary row each."""
+    rank_order = (
+        "degree DESC, vertex"
+        if strategy == "degree"
+        else "md5(vertex), vertex"
+    )
     ctes = [
         f"seq AS MATERIALIZED ({EDGES_SEQSUPPLY_SQL})",
         "ae AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u, "
@@ -10002,8 +10009,8 @@ def _attack_tolerance_sql(
         "CAST(count(*) AS BIGINT) AS degree FROM ("
         "SELECT u AS vertex FROM ae UNION ALL SELECT v FROM ae"
         ") GROUP BY vertex)",
-        "aranked AS MATERIALIZED (SELECT vertex, row_number() OVER ("
-        "ORDER BY degree DESC, vertex) AS rn FROM adeg)",
+        f"aranked AS MATERIALIZED (SELECT vertex, row_number() OVER ("
+        f"ORDER BY {rank_order}) AS rn FROM adeg)",
     ]
     selects = []
     for i, frac in enumerate(fractions):
@@ -10061,6 +10068,24 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return attack_tolerance(
         spark, seqsupply_edges(spark, sf_dir), fractions=_ATTACK_FRACTIONS
+    )
+
+
+@register("error_tolerance", _attack_tolerance_sql(strategy="random"))
+def q_error_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-failure (ERROR) tolerance curve — the attack curve's
+    companion from the same paper: vertices fall in deterministic md5
+    order instead of degree order.  seqsupply degrades gracefully
+    (GCC 69 -> 60 -> 56 -> 38) where the targeted attack collapses it
+    (-> 29 -> 9 -> 8): the power-law error/attack asymmetry, checkable
+    because both engines draw the identical 'random' order."""
+    from arxiv_citation_graph_spark.plans.graphstats import attack_tolerance
+
+    return attack_tolerance(
+        spark,
+        seqsupply_edges(spark, sf_dir),
+        fractions=_ATTACK_FRACTIONS,
+        strategy="random",
     )
 
 

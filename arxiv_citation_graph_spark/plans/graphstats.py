@@ -298,6 +298,7 @@ def attack_tolerance(
     edges: DataFrame,
     fractions: tuple[float, ...] = (0.0, 0.05, 0.1, 0.2),
     max_iterations: int = 100,
+    strategy: str = "degree",
 ) -> DataFrame:
     """Targeted hub-attack tolerance curve (Albert, Jeong & Barabási
     2000, "Error and attack tolerance of complex networks"):
@@ -308,6 +309,13 @@ def attack_tolerance(
     together with `bridges`/`two_edge_components`: a power-law graph's
     GCC collapses under hub removal while a random graph's degrades
     linearly.
+
+    ``strategy="degree"`` is the targeted attack; ``strategy="random"``
+    is the paper's ERROR (random failure) curve — vertices fall in
+    deterministic md5 order instead (both engines draw the same
+    "random" order, so the curve is oracle-checkable).  The contrast IS
+    the result: a power-law graph shrugs off random failures and
+    collapses under attack.
 
     One CC run per fraction (a bounded, validated list — this is a
     driver loop over O(len(fractions)) superstep jobs, not per-vertex
@@ -331,6 +339,8 @@ def attack_tolerance(
         )
     if fracs[0] < 0.0 or fracs[-1] >= 1.0:
         raise ValueError(f"fractions must lie in [0, 1), got {fracs}")
+    if strategy not in ("degree", "random"):
+        raise ValueError(f"strategy must be 'degree' or 'random', got {strategy!r}")
 
     und = _simple_undirected(edges).cache()
     deg = (
@@ -350,11 +360,11 @@ def attack_tolerance(
         per_frac = []
         for frac in fracs:
             k = math.ceil(frac * n)
-            removed = (
-                deg.orderBy(F.desc("degree"), F.asc("vertex"))
-                .limit(k)
-                .select("vertex")
-            )
+            if strategy == "degree":
+                order = [F.desc("degree"), F.asc("vertex")]
+            else:  # deterministic "random": md5 order, both engines agree
+                order = [F.asc(F.md5(F.col("vertex"))), F.asc("vertex")]
+            removed = deg.orderBy(*order).limit(k).select("vertex")
             kept = und.join(
                 removed.withColumnRenamed("vertex", "u"), "u", "left_anti"
             ).join(removed.withColumnRenamed("vertex", "v"), "v", "left_anti")

@@ -101,6 +101,33 @@ def test_attack_curve_matches_brute_force(spark):
     assert out == {f: brute(f) for f in fractions}
 
 
+def test_error_vs_attack_asymmetry(spark):
+    """The paper's headline result on a star: random failure barely
+    dents the GCC (hub survives w.h.p. — here deterministically: the
+    hub's md5 sorts it outside the first few removals), while the
+    targeted attack destroys it with one removal."""
+    from arxiv_citation_graph_spark.datagen import toy_edges_df
+
+    import hashlib
+
+    edges = toy_edges_df(spark, "star")
+    vs = [f"spoke{i:02d}" for i in range(50)] + ["hub"]
+    order = sorted(vs, key=lambda v: (hashlib.md5(v.encode()).hexdigest(), v))
+    k = 2  # ceil(0.02 * 51)
+    removed = set(order[:k])
+    assert "hub" not in removed  # fixture sanity: random spares the hub
+    out = {
+        r.frac: r.gcc_size
+        for r in _run(
+            spark, edges, fractions=(0.02,), strategy="random"
+        ).collect()
+    }
+    # two spokes fall, the star stays connected through the hub
+    assert out[0.02] == 49
+    targeted = _run(spark, edges, fractions=(0.02,)).collect()[0]
+    assert targeted.gcc_size == 1  # attack kills the hub -> dust
+
+
 def test_attack_curve_validation(spark):
     from arxiv_citation_graph_spark.datagen import toy_edges_df
 
@@ -111,6 +138,8 @@ def test_attack_curve_validation(spark):
         _run(spark, edges, fractions=(0.5, 1.0))
     with pytest.raises(ValueError, match="cap is 16"):
         _run(spark, edges, fractions=tuple(i / 100 for i in range(17)))
+    with pytest.raises(ValueError, match="strategy"):
+        _run(spark, edges, strategy="betweenness")
 
 
 def test_attack_curve_cc_round_margin(spark):
