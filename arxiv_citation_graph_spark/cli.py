@@ -37,6 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "pagerank", "cc", "lpa", "triangles", "hits", "salsa", "kcore", "bfs",
         "walks", "betweenness", "fiedler", "layers", "onion", "bridges",
+        "attack-curve",
     ):
         p = sub.add_parser(name)
         p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
@@ -47,7 +48,10 @@ def main(argv: list[str] | None = None) -> int:
         # would be silently ignored, so don't register it
         if name not in ("hits", "salsa", "walks", "fiedler"):
             p.add_argument("--max-iterations", type=int, default=100)
-        p.add_argument("--resume", action="store_true")
+        # attack-curve runs a bounded list of fresh CC jobs — no
+        # checkpoint store, so --resume would be silently ignored
+        if name != "attack-curve":
+            p.add_argument("--resume", action="store_true")
         if name == "pagerank":
             p.add_argument("--damping", type=float, default=0.85)
             p.add_argument("--tolerance", type=float, default=1e-8)
@@ -74,6 +78,16 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument(
                 "--two-ecc", action="store_true",
                 help="also write 2-edge-connected component labels",
+            )
+        if name == "attack-curve":
+            p.add_argument(
+                "--fractions", default="0,0.05,0.1,0.2",
+                help="comma-separated removal fractions in [0, 1)",
+            )
+            p.add_argument(
+                "--random", action="store_true",
+                help="random-failure (md5-order) curve instead of "
+                "targeted highest-degree attack",
             )
         if name == "bfs":
             p.add_argument("--source", default=None, help="default: lexicographic-min vertex")
@@ -2022,6 +2036,28 @@ def main(argv: list[str] | None = None) -> int:
             f"bridges: {bres.n_bridges} cut edge(s) "
             f"(BFS {bres.bfs_report.iterations} + peel "
             f"{bres.peel_report.iterations} supersteps){extra}"
+        )
+    elif args.cmd == "attack-curve":
+        from arxiv_citation_graph_spark.plans.graphstats import (
+            attack_tolerance,
+        )
+
+        fractions = tuple(
+            float(x) for x in args.fractions.split(",") if x.strip() != ""
+        )
+        curve = attack_tolerance(
+            spark, edges, fractions=fractions,
+            max_iterations=args.max_iterations,
+            strategy="random" if args.random else "degree",
+        )
+        catalog.create_or_replace("attack_curve", curve)
+        pts = ", ".join(
+            f"{r.frac:g}->{r.gcc_size}"
+            for r in curve.orderBy("frac").collect()
+        )
+        print(
+            f"attack-curve ({'random' if args.random else 'degree'}): "
+            f"gcc {pts}"
         )
     elif args.cmd == "walks":
         from arxiv_citation_graph_spark.plans.layout import symmetrize
