@@ -23,9 +23,12 @@ DuckDB's HUGEINT) carry it exactly.  Best-round selection compares
 densities by cross-multiplication (``e_j * s_k  vs  e_k * s_j``), ties
 broken toward the EARLIER (larger) subgraph.
 
-The by-product is the **onion decomposition**: ``peel_round(v)`` = the
-round that deleted ``v`` — a skew/coreness-like layering used to rank
-how deeply a vertex sits inside the dense region.
+The by-product is a peel-order layering: ``peel_round(v)`` = the round
+that deleted ``v`` — ranks how deeply a vertex sits inside the dense
+region.  (Distinct from the *onion decomposition* proper — the
+Hébert-Dufresne 2016 k-core-synchronized peel with per-vertex
+(layer, coreness), which is :mod:`plans.onion`: this peel's threshold
+is the density bound ``2(1+eps)·density``, not the rising core k.)
 
 Scale notes: per round = one |E|-sized explode + degree aggregate
 (map-side combinable), one driver-sized scalar row (|S|, 2|E| fused into
