@@ -736,6 +736,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="warehouse root")
 
     p = sub.add_parser(
+        "similar-repos",
+        help="top-k most similar repos by cosine over rare identifier "
+        "subtokens (df-capped, exact-integer dot products)",
+    )
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--max-df", type=int, default=20)
+    p.add_argument("--min-shared", type=int, default=2)
+
+    p = sub.add_parser(
         "code-corpus",
         help="write the compliant training corpus: permissive license, "
         "not vendored/generated, secrets redacted (one-read screen)",
@@ -980,6 +991,20 @@ def main(argv: list[str] | None = None) -> int:
         n_edges = catalog.read(spark, "symbol_xrefs").count()
         n_dead = catalog.read(spark, "dead_symbols").count()
         print(f"xrefs: {n_edges} cross-file reference edges, {n_dead} dead symbols")
+        return 0
+
+    if args.cmd == "similar-repos":
+        from arxiv_citation_graph_spark.operators.codetokens import (
+            repo_similarity_topk,
+        )
+
+        sim = repo_similarity_topk(
+            spark.read.parquet(args.docs),
+            k=args.k, max_df=args.max_df, min_shared=args.min_shared,
+        )
+        catalog.create_or_replace("repo_similarity", sim)
+        n_pairs = catalog.read(spark, "repo_similarity").count()
+        print(f"similar-repos: {n_pairs} (repo, neighbor) rows at k={args.k}")
         return 0
 
     if args.cmd == "ingest":

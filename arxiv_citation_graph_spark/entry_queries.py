@@ -10071,6 +10071,71 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: repo5 variant of the identifier-subtoken tf table
+IDENTIFIER_TOKENS5_SQL = IDENTIFIER_TOKENS_SQL.replace(
+    "'doc' || CAST(doc_id AS VARCHAR) AS repo",
+    "'repo' || CAST(doc_id // 5 AS VARCHAR) AS repo",
+)
+assert IDENTIFIER_TOKENS5_SQL != IDENTIFIER_TOKENS_SQL
+
+_REPO_SIM_K = 5
+_REPO_SIM_MAX_DF = 20
+_REPO_SIM_MIN_SHARED = 2
+
+REPO_SIMILARITY_SQL = f"""
+WITH toks AS ({IDENTIFIER_TOKENS5_SQL}),
+rtf AS (SELECT repo, token, CAST(sum(n) AS BIGINT) AS tf
+        FROM toks GROUP BY repo, token),
+rdf AS (SELECT token FROM rtf GROUP BY token
+        HAVING count(*) <= {_REPO_SIM_MAX_DF}),
+kept AS (SELECT r.repo, r.token, r.tf FROM rtf r JOIN rdf USING (token)),
+norms AS (SELECT repo,
+          sum(CAST(tf AS HUGEINT) * CAST(tf AS HUGEINT)) AS norm2
+          FROM kept GROUP BY repo),
+prs AS (
+  SELECT x.repo AS a, y.repo AS b,
+         sum(CAST(x.tf AS HUGEINT) * CAST(y.tf AS HUGEINT)) AS dot,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM kept x JOIN kept y ON x.token = y.token AND x.repo < y.repo
+  GROUP BY 1, 2 HAVING count(*) >= {_REPO_SIM_MIN_SHARED}
+),
+scored AS (
+  SELECT a, b, round(CAST(dot AS DOUBLE) /
+         sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)), 6) AS score
+  FROM prs JOIN norms na ON na.repo = prs.a JOIN norms nb ON nb.repo = prs.b
+),
+sym AS (SELECT a AS repo, b AS similar_repo, score FROM scored
+        UNION ALL SELECT b, a, score FROM scored)
+SELECT repo, similar_repo, score, rank FROM (
+  SELECT repo, similar_repo, score,
+         CAST(row_number() OVER (PARTITION BY repo
+              ORDER BY score DESC, similar_repo) AS INT) AS rank
+  FROM sym
+) WHERE rank <= {_REPO_SIM_K}
+"""
+
+
+@register("repo_similarity_topk", REPO_SIMILARITY_SQL)
+def q_repo_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-repositories feature (operators/codetokens.py::
+    repo_similarity_topk): cosine over RARE identifier-subtoken term
+    frequencies (df <= 20 replaces idf and bounds the token self-join's
+    fan-out), exact-integer dots/norms, one IEEE sqrt+divide per pair,
+    scores rounded before ranking — top-5 per repo over the 5-file
+    repos, where shared mod-grid identifier families (pkg<a>, lib<a>,
+    render<a>, ...) create the similarity structure."""
+    from arxiv_citation_graph_spark.operators.codetokens import (
+        repo_similarity_topk,
+    )
+
+    return repo_similarity_topk(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"), repo_size=5),
+        k=_REPO_SIM_K,
+        max_df=_REPO_SIM_MAX_DF,
+        min_shared=_REPO_SIM_MIN_SHARED,
+    )
+
+
 @register("error_tolerance", _attack_tolerance_sql(strategy="random"))
 def q_error_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-failure (ERROR) tolerance curve — the attack curve's

@@ -60,6 +60,124 @@ def identifier_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+#: exact-integer product type: tf products overflow int64 at
+#: 10^12-file scale (tf ~ 10^6 squared, summed over a vocabulary);
+#: decimal(38,0) (DuckDB HUGEINT) carries the sums exactly
+_DEC = "decimal(38,0)"
+
+
+def repo_similarity_topk(
+    docs: DataFrame,
+    k: int = 5,
+    max_df: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """``(repo, similar_repo, score, rank)`` — top-k most similar repos
+    by cosine over RARE-identifier-subtoken term frequencies (the
+    "similar repositories" feature of code-search engines).
+
+    Ubiquity filtering replaces idf: only tokens appearing in at most
+    ``max_df`` repos enter the vectors (both the dot product AND the
+    norms — a consistent rare-token vector space), which simultaneously
+    bounds the pair join's fan-out to ``max_df`` rows per token — the
+    same hub-cap discipline as co-citation.  Pairs must share at least
+    ``min_shared`` kept tokens.
+
+    Cross-engine determinism: dot products and squared norms are
+    EXACT-integer sums (tf products in decimal(38,0) — order-
+    independent, overflow-free at 10^12-file scale), so the only IEEE
+    ops are one sqrt + one divide per surviving pair (the
+    `cocitation_cosine` discipline); scores are rounded to 6 digits
+    BEFORE ranking so ties break identically in both engines
+    (then by similar_repo asc)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2 (pairs need df 2), got {max_df}")
+    tf = (
+        identifier_tokens(docs)
+        .groupBy("repo", "token")
+        .agg(F.sum("n").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    kept = tf.join(
+        dfreq.filter(F.col("df") <= max_df).select("token"), "token", "semi"
+    ).cache()
+    try:
+        norms = kept.groupBy("repo").agg(
+            F.sum(F.col("tf").cast(_DEC) * F.col("tf").cast(_DEC)).alias(
+                "norm2"
+            )
+        )
+        x, y = kept.alias("x"), kept.alias("y")
+        pairs = (
+            x.join(
+                y,
+                (F.col("x.token") == F.col("y.token"))
+                & (F.col("x.repo") < F.col("y.repo")),
+            )
+            .groupBy(
+                F.col("x.repo").alias("a"), F.col("y.repo").alias("b")
+            )
+            .agg(
+                F.sum(
+                    F.col("x.tf").cast(_DEC) * F.col("y.tf").cast(_DEC)
+                ).alias("dot"),
+                F.count(F.lit(1)).cast("long").alias("shared"),
+            )
+            .filter(F.col("shared") >= min_shared)
+        )
+        na = norms.select(
+            F.col("repo").alias("a"), F.col("norm2").alias("na")
+        )
+        nb = norms.select(
+            F.col("repo").alias("b"), F.col("norm2").alias("nb")
+        )
+        scored = (
+            pairs.join(na, "a")
+            .join(nb, "b")
+            .select(
+                "a",
+                "b",
+                # norms convert to double BEFORE multiplying: a
+                # decimal(38) x decimal(38) product would overflow the
+                # 38-digit cap at scale, while double x double is the
+                # same correctly-rounded IEEE op in both engines
+                F.round(
+                    F.col("dot").cast("double")
+                    / F.sqrt(
+                        F.col("na").cast("double") * F.col("nb").cast("double")
+                    ),
+                    6,
+                ).alias("score"),
+            )
+        )
+        sym = scored.select(
+            F.col("a").alias("repo"),
+            F.col("b").alias("similar_repo"),
+            "score",
+        ).unionByName(
+            scored.select(
+                F.col("b").alias("repo"),
+                F.col("a").alias("similar_repo"),
+                "score",
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("repo").orderBy(
+            F.desc("score"), F.asc("similar_repo")
+        )
+        out = (
+            sym.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        kept.unpersist()
+    return out
+
+
 def token_document_frequency(tokens: DataFrame) -> DataFrame:
     """``(token, df)`` — in how many files each subtoken appears; the
     idf side of a code-search index (one aggregate over the token

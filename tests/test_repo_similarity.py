@@ -1,0 +1,98 @@
+"""Similar-repositories cosine over rare identifier subtokens
+(operators/codetokens.py::repo_similarity_topk)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _run(spark, rows, **kw):
+    from arxiv_citation_graph_spark.operators.codetokens import (
+        repo_similarity_topk,
+    )
+
+    docs = spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content"]
+    )
+    return repo_similarity_topk(docs, **kw)
+
+
+def test_identical_token_profiles_score_one(spark):
+    rows = [
+        ("r1", "a.py", "c0", "python", "alpha beta alpha\n"),
+        ("r2", "b.py", "c0", "python", "alpha beta alpha\n"),
+        ("r3", "c.py", "c0", "python", "gamma delta\n"),
+    ]
+    out = {
+        (r.repo, r.similar_repo): (r.score, r.rank)
+        for r in _run(spark, rows, k=3).collect()
+    }
+    # r1/r2 share the identical rare-token vector -> cosine exactly 1.0;
+    # r3 shares nothing and pairs with nobody
+    assert out == {
+        ("r1", "r2"): (1.0, 1),
+        ("r2", "r1"): (1.0, 1),
+    }
+
+
+def test_cosine_value_matches_hand_computation(spark):
+    # r1: alpha x2, beta x1; r2: alpha x1, beta x2 -> dot = 2*1 + 1*2 = 4,
+    # norms = sqrt(5)*sqrt(5) = 5 -> score 0.8
+    rows = [
+        ("r1", "a.py", "c0", "python", "alpha alpha beta\n"),
+        ("r2", "b.py", "c0", "python", "alpha beta beta\n"),
+    ]
+    out = _run(spark, rows, k=1).collect()
+    assert {(r.repo, r.similar_repo, r.score) for r in out} == {
+        ("r1", "r2", 0.8),
+        ("r2", "r1", 0.8),
+    }
+
+
+def test_df_cap_drops_ubiquitous_tokens(spark):
+    # "common" appears in all 25 repos; with max_df=10 it cannot create
+    # pairs on its own — only the planted alpha/beta pair survives
+    rows = [
+        (f"r{i:02d}", "x.py", "c0", "python", "common\n") for i in range(23)
+    ] + [
+        ("s1", "y.py", "c0", "python", "common alpha beta\n"),
+        ("s2", "z.py", "c0", "python", "common alpha beta\n"),
+    ]
+    got = {
+        (r.repo, r.similar_repo)
+        for r in _run(spark, rows, k=3, max_df=10, min_shared=2).collect()
+    }
+    assert got == {("s1", "s2"), ("s2", "s1")}
+    # the score reflects ONLY the kept (rare) tokens: identical vectors
+    scores = {r.score for r in _run(spark, rows, k=3, max_df=10).collect()}
+    assert scores == {1.0}
+
+
+def test_min_shared_and_topk_rank_order(spark):
+    rows = [
+        ("a", "x.py", "c0", "python", "t1 t2 t3\n"),
+        ("b", "x.py", "c0", "python", "t1 t2\n"),     # shares 2 with a
+        ("c", "x.py", "c0", "python", "t1 t2 t3\n"),  # shares 3 with a
+        ("d", "x.py", "c0", "python", "t1\n"),        # shares only 1
+    ]
+    out = [
+        (r.similar_repo, r.score, r.rank)
+        for r in sorted(
+            _run(spark, rows, k=2, min_shared=2).filter("repo = 'a'").collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    # c (identical) ranks above b; d never pairs (min_shared)
+    assert [x[0] for x in out] == ["c", "b"]
+    assert out[0][1] == 1.0
+    assert out[1][1] == round(2 / math.sqrt(3 * 2), 6)
+
+
+def test_validation(spark):
+    rows = [("r1", "a.py", "c0", "python", "alpha\n")]
+    with pytest.raises(ValueError, match="k must be"):
+        _run(spark, rows, k=0)
+    with pytest.raises(ValueError, match="max_df"):
+        _run(spark, rows, max_df=1)
