@@ -10071,6 +10071,40 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_COUNTS_SQL = """
+WITH fev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+f1 AS (SELECT user_id, min(es) AS t FROM fev
+       WHERE event_type = 'view' GROUP BY user_id),
+f2 AS (SELECT e.user_id, min(e.es) AS t FROM fev e
+       JOIN f1 ON e.user_id = f1.user_id
+       WHERE e.event_type = 'click' AND e.es > f1.t GROUP BY e.user_id),
+f3 AS (SELECT e.user_id, min(e.es) AS t FROM fev e
+       JOIN f2 ON e.user_id = f2.user_id
+       WHERE e.event_type = 'purchase' AND e.es > f2.t GROUP BY e.user_id)
+SELECT CAST(1 AS INT) AS step_num, 'view' AS step,
+       CAST((SELECT count(*) FROM f1) AS BIGINT) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)
+"""
+
+
+@register("funnel_counts", FUNNEL_COUNTS_SQL)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (streaming/events.py::funnel_counts):
+    users reaching view -> click -> purchase, each step strictly after
+    the user's FIRST completion of the previous one (first-match
+    funnel; k-1 chained user-keyed joins + min aggregates, stages
+    localCheckpointed so the chain never recomputes)."""
+    from arxiv_citation_graph_spark.streaming.events import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), steps=("view", "click", "purchase")
+    )
+
+
 #: repo5 variant of the identifier-subtoken tf table
 IDENTIFIER_TOKENS5_SQL = IDENTIFIER_TOKENS_SQL.replace(
     "'doc' || CAST(doc_id AS VARCHAR) AS repo",

@@ -90,6 +90,74 @@ def windowed_event_counts(
     )
 
 
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """``(step_num, step, n_users)`` — ordered-funnel analysis: how many
+    users reached step k, where reaching step k means a step-k event
+    STRICTLY after the user's first completion of step k-1 (the
+    standard first-match funnel; ties at the same timestamp do not
+    chain — documented, deterministic in both engines).
+    ``window_seconds`` additionally bounds every step to within that
+    many seconds of the user's step-1 time.
+
+    Plan: k-1 chained (|step-k events| join |funnel users|) equi-joins
+    on user_id, each followed by a map-side-combined min aggregate —
+    state is one row per surviving user per stage, k is a bounded
+    constant; no window functions, no per-user event sorting."""
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    ev = events.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es"),
+    )
+    extra = ["deadline"] if window_seconds is not None else []
+
+    def _row(i: int, stage: DataFrame) -> DataFrame:
+        return stage.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users")
+        ).select(
+            F.lit(i + 1).cast("int").alias("step_num"),
+            F.lit(steps[i]).alias("step"),
+            "n_users",
+        )
+
+    stage = (
+        ev.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t"))
+    )
+    if window_seconds is not None:
+        stage = stage.withColumn(
+            "deadline", F.col("t") + F.lit(int(window_seconds))
+        )
+    # checkpoint each stage: the next stage joins it AND its count row
+    # reads it — without truncation the chain would recompute k times
+    stage = stage.localCheckpoint(eager=True)
+    rows = [_row(0, stage)]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = ev.filter(F.col("event_type") == step).join(
+            stage.select("user_id", F.col("t").alias("prev_t"), *extra),
+            "user_id",
+        )
+        nxt = nxt.filter(F.col("es") > F.col("prev_t"))
+        if window_seconds is not None:
+            nxt = nxt.filter(F.col("es") <= F.col("deadline"))
+        stage = nxt.groupBy("user_id", *extra).agg(
+            F.min("es").alias("t")
+        ).localCheckpoint(eager=True)
+        rows.append(_row(i, stage))
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def enriched_event_counts(
     events_stream: DataFrame,
     dim: DataFrame,

@@ -54,6 +54,72 @@ def test_enriched_counts_match_batch_twin(spark, tmp_path):
     }
 
 
+def _batch_events(spark, rows):
+    return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+
+
+def test_funnel_counts_ordered_chain(spark):
+    from arxiv_citation_graph_spark.streaming.events import funnel_counts
+
+    rows = [
+        # u1 completes the full funnel in order
+        (1, _ts(0), 1, "view", 0.0, "{}"),
+        (2, _ts(1), 1, "click", 0.0, "{}"),
+        (3, _ts(2), 1, "purchase", 0.0, "{}"),
+        # u2 clicks BEFORE viewing -> stops at step 1
+        (4, _ts(1), 2, "click", 0.0, "{}"),
+        (5, _ts(2), 2, "view", 0.0, "{}"),
+        # u3 views then clicks, never purchases -> stops at step 2
+        (6, _ts(0), 3, "view", 0.0, "{}"),
+        (7, _ts(5), 3, "click", 0.0, "{}"),
+        # u4 purchase exactly AT the click time does not chain (strict >)
+        (8, _ts(0), 4, "view", 0.0, "{}"),
+        (9, _ts(1), 4, "click", 0.0, "{}"),
+        (10, _ts(1), 4, "purchase", 0.0, "{}"),
+    ]
+    out = {
+        r.step_num: (r.step, r.n_users)
+        for r in funnel_counts(_batch_events(spark, rows)).collect()
+    }
+    assert out == {
+        1: ("view", 4),
+        2: ("click", 3),  # u1, u3, u4 (u2's click precedes its view)
+        3: ("purchase", 1),  # only u1 (u4's purchase ties the click)
+    }
+
+
+def test_funnel_window_bound(spark):
+    from arxiv_citation_graph_spark.streaming.events import funnel_counts
+
+    rows = [
+        (1, _ts(0), 1, "view", 0.0, "{}"),
+        (2, _ts(2), 1, "click", 0.0, "{}"),    # 120 s after view: inside
+        (3, _ts(0), 2, "view", 0.0, "{}"),
+        (4, _ts(10), 2, "click", 0.0, "{}"),   # 600 s after view: outside
+    ]
+    out = {
+        r.step_num: r.n_users
+        for r in funnel_counts(
+            _batch_events(spark, rows),
+            steps=("view", "click"),
+            window_seconds=300,
+        ).collect()
+    }
+    assert out == {1: 2, 2: 1}
+
+
+def test_funnel_validation(spark):
+    import pytest
+
+    from arxiv_citation_graph_spark.streaming.events import funnel_counts
+
+    ev = _batch_events(spark, [(1, _ts(0), 1, "view", 0.0, "{}")])
+    with pytest.raises(ValueError, match=">= 2 steps"):
+        funnel_counts(ev, steps=("view",))
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_counts(ev, steps=("view", "view"))
+
+
 def test_enriched_counts_accumulate_across_batches(spark, tmp_path):
     """Complete mode keeps running totals: a second file re-triggers the
     aggregate and the counts include BOTH batches."""
