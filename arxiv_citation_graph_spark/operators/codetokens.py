@@ -71,6 +71,7 @@ def repo_similarity_topk(
     k: int = 5,
     max_df: int = 20,
     min_shared: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """``(repo, similar_repo, score, rank)`` — top-k most similar repos
     by cosine over RARE-identifier-subtoken term frequencies (the
@@ -168,13 +169,16 @@ def repo_similarity_topk(
         w = Window.partitionBy("repo").orderBy(
             F.desc("score"), F.asc("similar_repo")
         )
-        out = (
-            sym.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= k)
-            .localCheckpoint(eager=True)
-        )
+        out = sym.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        ).filter(F.col("rank") <= k)
+        if materialize:
+            # materialize inside the cache's scope (the plan-audit
+            # harness passes materialize=False to read the lazy plan)
+            out = out.localCheckpoint(eager=True)
     finally:
-        kept.unpersist()
+        if materialize:
+            kept.unpersist()
     return out
 
 

@@ -1917,6 +1917,50 @@ def main() -> None:
         )
     )
 
+    # -- similar-repos cosine (df-capped token self-join) ---------------------
+    from arxiv_citation_graph_spark.operators.codetokens import (
+        repo_similarity_topk,
+    )
+
+    sim_plan = plan_of(
+        repo_similarity_topk(code_docs, k=5, max_df=20, materialize=False)
+    )
+    sections.append(
+        (
+            "Similar-repos cosine — df-cap BEFORE the token self-join",
+            "The quadratic hazard is the token self-join; the ubiquity "
+            "cap must appear as a df pre-aggregation + LeftSemi join "
+            "feeding BOTH join inputs (every token fans out <= max_df "
+            "rows), with the dot/norm sums as exact decimal partial "
+            "aggregates and the final top-k as a bounded per-repo "
+            "row_number window.  "
+            f"[{exchange_count(sim_plan)}]",
+            condense(sim_plan, KEEP + ("LeftSemi",)),
+        )
+    )
+
+    # -- ordered funnel (chained first-match stages) ---------------------------
+    from arxiv_citation_graph_spark.streaming.events import funnel_counts
+
+    ev_tbl = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    funnel_plan = plan_of(
+        funnel_counts(ev_tbl, steps=("view", "click", "purchase"))
+    )
+    sections.append(
+        (
+            "Ordered funnel — k-1 chained user-keyed stages",
+            "Each stage is ONE equi-join of that step's events against "
+            "the checkpointed previous stage (scan of an ExistingRDD — "
+            "the localCheckpoint truncation, so no stage recomputes its "
+            "predecessors) followed by a map-side-combined min "
+            "aggregate; no window functions, no per-user sorting.  The "
+            "plan shown is the final union of the three 1-row stage "
+            "counts.  "
+            f"[{exchange_count(funnel_plan)}]",
+            condense(funnel_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:
