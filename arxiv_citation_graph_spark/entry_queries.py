@@ -10071,6 +10071,49 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPONENT_STATS_SQL = f"""
+WITH seq AS MATERIALIZED ({EDGES_SEQSUPPLY_SQL}),
+cse AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u,
+     greatest(src_id, dst_id) AS v FROM seq WHERE src_id <> dst_id),
+cssym AS MATERIALIZED (SELECT u AS x, y FROM (SELECT u, v AS y FROM cse
+     UNION SELECT v, u FROM cse)),
+csl0 AS MATERIALIZED (SELECT DISTINCT x AS vertex, x AS component FROM cssym),
+{",".join(
+    f"csl{k} AS MATERIALIZED (SELECT s.vertex, "
+    f"least(s.component, coalesce(m.nbr, s.component)) AS component "
+    f"FROM csl{k - 1} s LEFT JOIN ("
+    f"SELECT e.y AS vertex, min(l.component) AS nbr FROM cssym e "
+    f"JOIN csl{k - 1} l ON e.x = l.vertex GROUP BY e.y) m "
+    f"ON s.vertex = m.vertex)"
+    for k in range(1, _ATTACK_CC_ROUNDS + 1)
+)},
+csl AS MATERIALIZED (SELECT vertex, component FROM csl{_ATTACK_CC_ROUNDS}),
+vc AS (SELECT component, CAST(count(*) AS BIGINT) AS n_vertices
+       FROM csl GROUP BY component),
+ec AS (SELECT l.component, CAST(count(*) AS BIGINT) AS n_edges
+       FROM cse e JOIN csl l ON e.u = l.vertex GROUP BY l.component)
+SELECT vc.component, vc.n_vertices,
+       coalesce(ec.n_edges, 0) AS n_edges,
+       CASE WHEN vc.n_vertices > 1
+            THEN round(2.0 * coalesce(ec.n_edges, 0)
+                 / (vc.n_vertices * (vc.n_vertices - 1.0)), 6)
+            ELSE 0.0 END AS density,
+       vc.n_vertices = (SELECT max(n_vertices) FROM vc) AS is_gcc
+FROM vc LEFT JOIN ec ON ec.component = vc.component
+"""
+
+
+@register("component_stats", COMPONENT_STATS_SQL)
+def q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component census (plans/graphstats.py::component_stats):
+    vertex/edge counts, internal density, giant-component flag — the
+    graph profile over seqsupply's 6 components (GCC = 69 vertices).
+    One CC run + one |E| labeling join + two aggregates."""
+    from arxiv_citation_graph_spark.plans.graphstats import component_stats
+
+    return component_stats(spark, seqsupply_edges(spark, sf_dir))
+
+
 FUNNEL_COUNTS_SQL = """
 WITH fev AS (
   SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
@@ -10116,12 +10159,18 @@ _REPO_SIM_K = 5
 _REPO_SIM_MAX_DF = 20
 _REPO_SIM_MIN_SHARED = 2
 
-REPO_SIMILARITY_SQL = f"""
-WITH toks AS ({IDENTIFIER_TOKENS5_SQL}),
-rtf AS (SELECT repo, token, CAST(sum(n) AS BIGINT) AS tf
-        FROM toks GROUP BY repo, token),
+def _cosine_topk_sql(
+    tf_sql: str,
+    k: int = _REPO_SIM_K,
+    max_df: int = _REPO_SIM_MAX_DF,
+    min_shared: int = _REPO_SIM_MIN_SHARED,
+) -> str:
+    """Rare-vector cosine top-k oracle over any ``(repo, token, tf)``
+    statement (operators/codetokens.py::cosine_topk replay)."""
+    return f"""
+WITH rtf AS ({tf_sql}),
 rdf AS (SELECT token FROM rtf GROUP BY token
-        HAVING count(*) <= {_REPO_SIM_MAX_DF}),
+        HAVING count(*) <= {max_df}),
 kept AS (SELECT r.repo, r.token, r.tf FROM rtf r JOIN rdf USING (token)),
 norms AS (SELECT repo,
           sum(CAST(tf AS HUGEINT) * CAST(tf AS HUGEINT)) AS norm2
@@ -10131,7 +10180,7 @@ prs AS (
          sum(CAST(x.tf AS HUGEINT) * CAST(y.tf AS HUGEINT)) AS dot,
          CAST(count(*) AS BIGINT) AS shared
   FROM kept x JOIN kept y ON x.token = y.token AND x.repo < y.repo
-  GROUP BY 1, 2 HAVING count(*) >= {_REPO_SIM_MIN_SHARED}
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 ),
 scored AS (
   SELECT a, b, round(CAST(dot AS DOUBLE) /
@@ -10145,8 +10194,14 @@ SELECT repo, similar_repo, score, rank FROM (
          CAST(row_number() OVER (PARTITION BY repo
               ORDER BY score DESC, similar_repo) AS INT) AS rank
   FROM sym
-) WHERE rank <= {_REPO_SIM_K}
+) WHERE rank <= {k}
 """
+
+
+REPO_SIMILARITY_SQL = _cosine_topk_sql(
+    f"""SELECT repo, token, CAST(sum(n) AS BIGINT) AS tf
+FROM ({IDENTIFIER_TOKENS5_SQL}) GROUP BY repo, token"""
+)
 
 
 @register("repo_similarity_topk", REPO_SIMILARITY_SQL)
@@ -10163,6 +10218,39 @@ def q_repo_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return repo_similarity_topk(
+        _synthetic_code_docs(_t(spark, sf_dir, "documents"), repo_size=5),
+        k=_REPO_SIM_K,
+        max_df=_REPO_SIM_MAX_DF,
+        min_shared=_REPO_SIM_MIN_SHARED,
+    )
+
+
+#: repo5 variant of the import table
+CODE_IMPORTS5_SQL = CODE_IMPORTS_SQL.replace(
+    "'doc' || CAST(doc_id AS VARCHAR) AS repo",
+    "'repo' || CAST(doc_id // 5 AS VARCHAR) AS repo",
+)
+assert CODE_IMPORTS5_SQL != CODE_IMPORTS_SQL
+
+DEPENDENCY_SIMILARITY_SQL = _cosine_topk_sql(
+    f"""SELECT repo, module AS token, CAST(count(*) AS BIGINT) AS tf
+FROM ({CODE_IMPORTS5_SQL}) GROUP BY repo, module"""
+)
+
+
+@register("dependency_similarity_topk", DEPENDENCY_SIMILARITY_SQL)
+def q_dependency_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-stack similarity (operators/codetokens.py::
+    dependency_similarity_topk): the rare-vector cosine core over
+    IMPORTED MODULES (weights = import multiplicity) — "repos built
+    from the same libraries".  Ubiquitous stdlib modules (numpy, fmt,
+    stdio.h, java.util.List) exceed the df cap and never pair; the
+    mod-grid a/b-parameterized modules create the structure."""
+    from arxiv_citation_graph_spark.operators.codetokens import (
+        dependency_similarity_topk,
+    )
+
+    return dependency_similarity_topk(
         _synthetic_code_docs(_t(spark, sf_dir, "documents"), repo_size=5),
         k=_REPO_SIM_K,
         max_df=_REPO_SIM_MAX_DF,

@@ -91,15 +91,53 @@ def repo_similarity_topk(
     `cocitation_cosine` discipline); scores are rounded to 6 digits
     BEFORE ranking so ties break identically in both engines
     (then by similar_repo asc)."""
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    if max_df < 2:
-        raise ValueError(f"max_df must be >= 2 (pairs need df 2), got {max_df}")
     tf = (
         identifier_tokens(docs)
         .groupBy("repo", "token")
         .agg(F.sum("n").cast("long").alias("tf"))
     )
+    return cosine_topk(tf, k, max_df, min_shared, materialize)
+
+
+def dependency_similarity_topk(
+    docs: DataFrame,
+    k: int = 5,
+    max_df: int = 20,
+    min_shared: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """``(repo, similar_repo, score, rank)`` — "repos with a similar
+    dependency stack": the same rare-vector cosine as
+    :func:`repo_similarity_topk`, but over IMPORTED MODULES (weights =
+    import multiplicity) instead of identifier subtokens — the
+    complementary signal (what a repo is built FROM rather than what it
+    names).  Ubiquitous modules (stdlib: numpy/fmt/stdio.h) exceed the
+    df cap and never form pairs."""
+    from arxiv_citation_graph_spark.operators.imports import extract_imports
+
+    tf = (
+        extract_imports(docs)
+        .groupBy("repo", F.col("module").alias("token"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return cosine_topk(tf, k, max_df, min_shared, materialize)
+
+
+def cosine_topk(
+    tf: DataFrame,
+    k: int = 5,
+    max_df: int = 20,
+    min_shared: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """Shared rare-vector cosine core over any ``(repo, token, tf)``
+    frame (exact-integer dots/norms, df-capped self-join, rounded-then-
+    ranked top-k — the contract documented on
+    :func:`repo_similarity_topk`)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2 (pairs need df 2), got {max_df}")
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     kept = tf.join(
         dfreq.filter(F.col("df") <= max_df).select("token"), "token", "semi"

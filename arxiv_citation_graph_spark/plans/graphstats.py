@@ -40,6 +40,7 @@ from arxiv_citation_graph_spark.plans.layout import symmetrize
 
 __all__ = [
     "attack_tolerance",
+    "component_stats",
     "attribute_assortativity",
     "degree_assortativity",
     "degree_gini_powerlaw",
@@ -410,3 +411,66 @@ def attack_tolerance(
         und.unpersist()
         deg.unpersist()
     return out
+
+
+def component_stats(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """``(component, n_vertices, n_edges, density, is_gcc)`` — the
+    per-component census that turns a CC label table into a graph
+    profile: vertex and edge counts, internal density
+    ``2E / (V (V-1))`` (0 for singleton-by-dedup vertices), and the
+    giant-component flag (ties all flagged — deterministic).
+
+    Plan: one CC run, then ONE |E| join labeling each simple edge by
+    its (shared, by definition) component + two map-side-combined
+    aggregates; the final is_gcc max rides an unpartitioned window
+    over the component-count-sized frame — driver never collects."""
+    from pyspark.sql import Window
+
+    from arxiv_citation_graph_spark.plans.components import (
+        connected_components,
+    )
+    from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+
+    und = _simple_undirected(edges)
+    cc = connected_components(
+        spark,
+        und.select(F.col("u").alias("src_id"), F.col("v").alias("dst_id")),
+        max_iterations=max_iterations,
+    )
+    labels = cc.components
+    vcounts = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+    ecounts = (
+        und.join(labels.withColumnRenamed("vertex", "u"), "u")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    stats = vcounts.join(ecounts, "component", "left").select(
+        "component",
+        "n_vertices",
+        F.coalesce(F.col("n_edges"), F.lit(0).cast("long")).alias("n_edges"),
+    )
+    dens = F.when(
+        F.col("n_vertices") > 1,
+        F.round(
+            (F.lit(2.0) * F.col("n_edges").cast("double"))
+            / (
+                F.col("n_vertices").cast("double")
+                * (F.col("n_vertices") - 1).cast("double")
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy()
+    return stats.select(
+        "component",
+        "n_vertices",
+        "n_edges",
+        dens.alias("density"),
+        (F.col("n_vertices") == F.max("n_vertices").over(w)).alias("is_gcc"),
+    )

@@ -170,3 +170,31 @@ def test_attack_curve_cc_round_margin(spark):
         f"CC changed values for {cc.report.iterations - 1} rounds; "
         f"oracle unrolls {_ATTACK_CC_ROUNDS}"
     )
+
+
+def test_component_stats_census(spark):
+    from arxiv_citation_graph_spark.plans.graphstats import component_stats
+
+    edges = spark.createDataFrame(
+        # triangle (a,b,c) + edge pair (x,y) — two components
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y")],
+        ["src_id", "dst_id"],
+    )
+    got = {
+        r.component: (r.n_vertices, r.n_edges, r.density, r.is_gcc)
+        for r in component_stats(spark, edges).collect()
+    }
+    assert got == {
+        "a": (3, 3, 1.0, True),
+        "x": (2, 1, 1.0, False),
+    }
+
+
+def test_component_stats_gcc_tie_flags_both(spark):
+    from arxiv_citation_graph_spark.plans.graphstats import component_stats
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("x", "y")], ["src_id", "dst_id"]
+    )
+    got = {r.component: r.is_gcc for r in component_stats(spark, edges).collect()}
+    assert got == {"a": True, "x": True}

@@ -90,6 +90,33 @@ def test_min_shared_and_topk_rank_order(spark):
     assert out[1][1] == round(2 / math.sqrt(3 * 2), 6)
 
 
+def test_dependency_similarity_over_modules(spark):
+    from arxiv_citation_graph_spark.operators.codetokens import (
+        dependency_similarity_topk,
+    )
+
+    # r1/r2 import the same rare lib; everyone imports "numpy"
+    # (df-capped with max_df=2 since df=3); module multiplicity weights
+    rows = [
+        ("r1", "a.py", "c0", "python", "import numpy\nimport rarelib\n"),
+        ("r2", "b.py", "c0", "python",
+         "import numpy\nimport rarelib\nimport rarelib\n"),
+        ("r3", "c.py", "c0", "python", "import numpy\nimport otherlib\n"),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content"]
+    )
+    out = {
+        (r.repo, r.similar_repo): r.score
+        for r in dependency_similarity_topk(
+            docs, k=2, max_df=2, min_shared=1
+        ).collect()
+    }
+    # vectors restricted to rare modules: r1 = {rarelib: 1},
+    # r2 = {rarelib: 2} -> cosine exactly 1.0; r3 pairs with nobody
+    assert out == {("r1", "r2"): 1.0, ("r2", "r1"): 1.0}
+
+
 def test_validation(spark):
     rows = [("r1", "a.py", "c0", "python", "alpha\n")]
     with pytest.raises(ValueError, match="k must be"):
