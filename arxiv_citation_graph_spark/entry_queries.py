@@ -10114,6 +10114,43 @@ def q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return component_stats(spark, seqsupply_edges(spark, sf_dir))
 
 
+_RETENTION_PERIOD = 7 * 86400
+
+COHORT_RETENTION_SQL = f"""
+WITH rev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // {_RETENTION_PERIOD} AS period
+  FROM events
+),
+rcoh AS (SELECT user_id, min(period) AS cohort_period FROM rev GROUP BY user_id),
+ract AS (SELECT DISTINCT user_id, period FROM rev),
+rn AS (SELECT cohort_period, CAST(count(*) AS BIGINT) AS n_cohort
+       FROM rcoh GROUP BY cohort_period),
+rj AS (
+  SELECT c.cohort_period, a.period - c.cohort_period AS period_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM ract a JOIN rcoh c ON a.user_id = c.user_id
+  GROUP BY 1, 2
+)
+SELECT rj.cohort_period, rj.period_offset, rj.n_active, rn.n_cohort,
+       round(CAST(rj.n_active AS DOUBLE) / rn.n_cohort, 6) AS retention
+FROM rj JOIN rn ON rn.cohort_period = rj.cohort_period
+"""
+
+
+@register("cohort_retention", COHORT_RETENTION_SQL)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (streaming/events.py::cohort_retention):
+    users cohorted by the epoch-aligned week of their first event,
+    per-offset active fraction — the product-analytics companion to
+    `funnel_counts`; two aggregates + one user-keyed join."""
+    from arxiv_citation_graph_spark.streaming.events import cohort_retention
+
+    return cohort_retention(
+        _t(spark, sf_dir, "events"), period_seconds=_RETENTION_PERIOD
+    )
+
+
 FUNNEL_COUNTS_SQL = """
 WITH fev AS (
   SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es

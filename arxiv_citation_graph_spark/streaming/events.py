@@ -158,6 +158,53 @@ def funnel_counts(
     return out
 
 
+def cohort_retention(
+    events: DataFrame,
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """``(cohort_period, period_offset, n_active, n_cohort, retention)``
+    — classic cohort-retention analysis: users are cohorted by the
+    epoch-aligned period of their FIRST event; for every later period,
+    the fraction of the cohort active in it.  ``period_offset`` 0 is
+    the cohort period itself (retention 1.0 by construction).
+
+    Plan: one per-user min aggregate (the cohort), one distinct
+    (user, period) activity table, one user-keyed equi-join, one final
+    group — every stage map-side combinable; retention is ONE IEEE
+    divide rounded to 6 digits (cross-engine deterministic)."""
+    if period_seconds < 1:
+        raise ValueError(f"period_seconds must be >= 1, got {period_seconds}")
+    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    ev = events.select(
+        "user_id", (es - F.pmod(es, F.lit(period_seconds)))
+        .alias("_aligned"),
+    ).select(
+        "user_id",
+        (F.col("_aligned") / period_seconds).cast("long").alias("period"),
+    )
+    cohorts = ev.groupBy("user_id").agg(
+        F.min("period").alias("cohort_period")
+    )
+    active = ev.distinct()
+    n_cohort = cohorts.groupBy("cohort_period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    joined = active.join(cohorts, "user_id").groupBy(
+        "cohort_period",
+        (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    return joined.join(n_cohort, "cohort_period").select(
+        "cohort_period",
+        "period_offset",
+        "n_active",
+        "n_cohort",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
 def enriched_event_counts(
     events_stream: DataFrame,
     dim: DataFrame,

@@ -108,6 +108,43 @@ def test_funnel_window_bound(spark):
     assert out == {1: 2, 2: 1}
 
 
+def test_cohort_retention_fractions(spark):
+    import datetime
+
+    from arxiv_citation_graph_spark.streaming.events import cohort_retention
+
+    def day(d, h=0):
+        return datetime.datetime(2026, 1, 1 + d, 10 + h)
+
+    rows = [
+        # cohort week 0 (days 0-6): u1, u2; only u1 returns in week 1
+        (1, day(0), 1, "view", 0.0, "{}"),
+        (2, day(1), 2, "view", 0.0, "{}"),
+        (3, day(8), 1, "click", 0.0, "{}"),
+        # u3 first appears in week 1 (its own cohort)
+        (4, day(9), 3, "view", 0.0, "{}"),
+        # duplicate activity in the same week counts once
+        (5, day(9, 1), 3, "click", 0.0, "{}"),
+    ]
+    out = {
+        (r.cohort_period, r.period_offset): (r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention(
+            _batch_events(spark, rows), period_seconds=7 * 86400
+        ).collect()
+    }
+    cohorts = sorted({c for c, _ in out})
+    c0, c1 = cohorts
+    assert out[(c0, 0)] == (2, 2, 1.0)
+    assert out[(c0, 1)] == (1, 2, 0.5)
+    assert out[(c1, 0)] == (1, 1, 1.0)
+    assert len(out) == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="period_seconds"):
+        cohort_retention(_batch_events(spark, rows), period_seconds=0)
+
+
 def test_funnel_validation(spark):
     import pytest
 
