@@ -10114,6 +10114,46 @@ def q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return component_stats(spark, seqsupply_edges(spark, sf_dir))
 
 
+RFM_SEGMENTS_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_es,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(value), 6) AS monetary
+  FROM events GROUP BY user_id
+),
+b AS (
+  SELECT user_id,
+         (SELECT max(last_es) FROM pu) - last_es AS recency_s,
+         frequency, monetary
+  FROM pu
+),
+t AS (
+  SELECT user_id, recency_s, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY recency_s, user_id) AS INT) AS r_tile,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_tile,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_tile
+  FROM b
+)
+SELECT user_id, recency_s, frequency, monetary, r_tile, f_tile, m_tile,
+       CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR)
+         || CAST(m_tile AS VARCHAR) AS segment
+FROM t
+"""
+
+
+@register("rfm_segments", RFM_SEGMENTS_SQL)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral segmentation (streaming/events.py::rfm_segments):
+    recency/frequency/monetary quartiles per user, "now" derived from
+    the table's max timestamp; monetary rounded BEFORE the ntile
+    ordering and every ordering user_id-tiebroken, so tile assignment
+    is identical across engines."""
+    from arxiv_citation_graph_spark.streaming.events import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "events"), n_tiles=4)
+
+
 _RETENTION_PERIOD = 7 * 86400
 
 COHORT_RETENTION_SQL = f"""

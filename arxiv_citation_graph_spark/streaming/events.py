@@ -205,6 +205,69 @@ def cohort_retention(
     )
 
 
+def rfm_segments(events: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """``(user_id, recency_s, frequency, monetary, r_tile, f_tile,
+    m_tile, segment)`` — RFM segmentation, the standard behavioral
+    customer scoring: recency (seconds from the user's last event to
+    the table's max timestamp — data-derived "now", so the result is a
+    pure function of the table), frequency (event count), monetary
+    (value sum), each quantized into ``n_tiles`` ntiles; ``segment``
+    concatenates the three digits (tile 1 = best: most recent / most
+    frequent / highest spend).
+
+    Cross-engine determinism: ntile needs a TOTAL order — monetary is
+    rounded to 6 digits BEFORE ordering (float sums differ in the last
+    ulps across engines; the rounded sort key does not) and every
+    ordering carries a user_id tiebreak.  Three |users|-sized window
+    passes — at 100 TB users are sharded by the window partition...
+    there is none, so this is the one op here that funnels |users|
+    rows through ntile's single ordering; use it on the segment-sized
+    user table it is meant for (or pre-filter), not on raw event
+    grain."""
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    from pyspark.sql import Window
+
+    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    per_user = (
+        events.select("user_id", es.alias("es"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.max("es").alias("last_es"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum("value"), 6).alias("monetary"),
+        )
+    )
+    now = per_user.agg(F.max("last_es").alias("now_es"))
+    base = per_user.crossJoin(F.broadcast(now)).select(
+        "user_id",
+        (F.col("now_es") - F.col("last_es")).cast("long").alias("recency_s"),
+        "frequency",
+        "monetary",
+    )
+    wr = Window.orderBy(F.asc("recency_s"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    out = base.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(wr).cast("int").alias("r_tile"),
+        F.ntile(n_tiles).over(wf).cast("int").alias("f_tile"),
+        F.ntile(n_tiles).over(wm).cast("int").alias("m_tile"),
+    )
+    return out.withColumn(
+        "segment",
+        F.concat_ws(
+            "",
+            F.col("r_tile").cast("string"),
+            F.col("f_tile").cast("string"),
+            F.col("m_tile").cast("string"),
+        ),
+    )
+
+
 def enriched_event_counts(
     events_stream: DataFrame,
     dim: DataFrame,

@@ -145,6 +145,44 @@ def test_cohort_retention_fractions(spark):
         cohort_retention(_batch_events(spark, rows), period_seconds=0)
 
 
+def test_rfm_segments_quartiles(spark):
+    from arxiv_citation_graph_spark.streaming.events import rfm_segments
+
+    # 4 users, strictly ordered on every axis -> with n_tiles=4 each
+    # lands in its own tile on each dimension
+    rows = [
+        # u1: most recent, most frequent, biggest spender
+        (1, _ts(0), 1, "view", 10.0, "{}"),
+        (2, _ts(10), 1, "view", 10.0, "{}"),
+        (3, _ts(20), 1, "view", 10.0, "{}"),
+        (4, _ts(30), 1, "view", 10.0, "{}"),
+        # u2
+        (5, _ts(0), 2, "view", 5.0, "{}"),
+        (6, _ts(10), 2, "view", 5.0, "{}"),
+        (7, _ts(25), 2, "view", 5.0, "{}"),
+        # u3
+        (8, _ts(0), 3, "view", 3.0, "{}"),
+        (9, _ts(15), 3, "view", 3.0, "{}"),
+        # u4: stale, one event, cheapest
+        (10, _ts(5), 4, "view", 1.0, "{}"),
+    ]
+    out = {
+        r.user_id: (r.recency_s, r.frequency, r.monetary, r.segment)
+        for r in rfm_segments(_batch_events(spark, rows)).collect()
+    }
+    assert out == {
+        1: (0, 4, 40.0, "111"),
+        2: (300, 3, 15.0, "222"),
+        3: (900, 2, 6.0, "333"),
+        4: (1500, 1, 1.0, "444"),
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_tiles"):
+        rfm_segments(_batch_events(spark, rows), n_tiles=1)
+
+
 def test_funnel_validation(spark):
     import pytest
 
