@@ -141,7 +141,11 @@ def cosine_topk(
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     kept = tf.join(
         dfreq.filter(F.col("df") <= max_df).select("token"), "token", "semi"
-    ).cache()
+    )
+    if materialize:
+        # cache only when we materialize inside this call — the lazy
+        # (plan-audit) path must not leave a cached frame behind
+        kept = kept.cache()
     try:
         norms = kept.groupBy("repo").agg(
             F.sum(F.col("tf").cast(_DEC) * F.col("tf").cast(_DEC)).alias(
