@@ -10388,6 +10388,113 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Batch random-walk-with-restart proximity (plans/rwr.py)
+# ===========================================================================
+
+#: RWR seed predicate — must select the SAME vertices in Spark and
+#: DuckDB (seqsupply suppliers whose key is divisible by 13).
+_RWR_SEED_SQL = "(CAST(substr(vertex, 2) AS INTEGER) % 13) = 0"
+_RWR_ITERS = 6
+_RWR_RESTART = 0.15
+
+
+def _rwr_unrolled_sql(iters: int, restart: float) -> str:
+    """Unrolled batch RWR (state keyed (seed, vertex), sparse): edge
+    contributions scaled ``(mass / out_deg) * (1-c)``, dangling mass
+    returned to the OWN seed, restart mass ``c`` on the seed row —
+    exactly plans/rwr.py's recurrence."""
+    d = 1.0 - restart
+    ctes = [
+        f"raw AS MATERIALIZED ({EDGES_SEQSUPPLY_SQL})",
+        "edges AS MATERIALIZED (SELECT DISTINCT src_id, dst_id FROM raw WHERE src_id <> dst_id)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM edges UNION SELECT dst_id FROM edges)",
+        "outd AS MATERIALIZED (SELECT src_id, CAST(count(*) AS DOUBLE) AS out_deg FROM edges GROUP BY src_id)",
+        "dang AS MATERIALIZED (SELECT vertex FROM verts WHERE vertex NOT IN (SELECT src_id FROM edges))",
+        f"seeds AS MATERIALIZED (SELECT vertex AS seed FROM verts WHERE {_RWR_SEED_SQL})",
+        "r0 AS MATERIALIZED (SELECT seed, seed AS vertex, 1.0 AS mass FROM seeds)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT seed, coalesce(sum(mass), 0.0) AS dm "
+            f"FROM r{p} WHERE vertex IN (SELECT vertex FROM dang) GROUP BY seed)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT seed, vertex, sum(mass) AS mass FROM ("
+            f"SELECT r.seed, e.dst_id AS vertex, (r.mass / o.out_deg) * {d!r} AS mass "
+            f"FROM edges e JOIN r{p} r ON e.src_id = r.vertex "
+            f"JOIN outd o ON e.src_id = o.src_id "
+            f"UNION ALL "
+            f"SELECT s.seed, s.seed AS vertex, {restart!r} + {d!r} * coalesce(dd.dm, 0.0) "
+            f"FROM seeds s LEFT JOIN d{k} dd ON s.seed = dd.seed"
+            f") GROUP BY seed, vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT seed, vertex, round(mass, 9) AS score FROM r{iters}"
+    )
+
+
+def _rwr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arxiv_citation_graph_spark.plans.layout import vertices_of
+
+    return (
+        vertices_of(seqsupply_edges(spark, sf_dir))
+        .filter(F.substring("vertex", 2, 100).cast("int") % 13 == 0)
+        .select(F.col("vertex").alias("seed"))
+    )
+
+
+@register("rwr_scores", _rwr_unrolled_sql(_RWR_ITERS, _RWR_RESTART))
+def q_rwr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch random-walk-with-restart proximity from every 13th-key
+    supplier of the directed succession graph — one edge join per
+    superstep serves all seeds (plans/rwr.py)."""
+    from arxiv_citation_graph_spark.plans.rwr import rwr_scores
+
+    res = rwr_scores(
+        spark,
+        seqsupply_edges(spark, sf_dir),
+        _rwr_seeds(spark, sf_dir),
+        restart=_RWR_RESTART,
+        max_iterations=_RWR_ITERS,
+        directed=True,
+    )
+    return res.scores.select("seed", "vertex", F.round("score", 9).alias("score"))
+
+
+@register(
+    "rwr_topk",
+    f"""
+WITH scored AS MATERIALIZED ({_rwr_unrolled_sql(_RWR_ITERS, _RWR_RESTART)})
+SELECT seed, vertex, score, pos FROM (
+  SELECT seed, vertex, score,
+         CAST(row_number() OVER (PARTITION BY seed ORDER BY score DESC, vertex ASC)
+              AS INTEGER) AS pos
+  FROM scored WHERE vertex <> seed
+) WHERE pos <= 5
+""",
+)
+def q_rwr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 related vertices per seed (the serving shape of RWR):
+    score-desc, vertex-asc total order, seed-partitioned window."""
+    from arxiv_citation_graph_spark.plans.rwr import rwr_topk
+
+    top = rwr_topk(
+        spark,
+        seqsupply_edges(spark, sf_dir),
+        _rwr_seeds(spark, sf_dir),
+        k=5,
+        restart=_RWR_RESTART,
+        max_iterations=_RWR_ITERS,
+        directed=True,
+        round_digits=9,
+    )
+    return top.select("seed", "vertex", "score", "pos")
+
+
+# ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================
 # The driver samples registry entries in insertion order and caps at ~50

@@ -1,0 +1,257 @@
+"""Batch random-walk-with-restart (RWR) proximity from many seeds at once.
+
+"Papers related to X" / "repos related to X" is the canonical
+link-graph serving query (Pan et al. 2004, *Automatic Multimedia
+Cross-modal Correlation Discovery*, KDD; Tong et al. 2006 *Fast Random
+Walk with Restart*).  Personalized PageRank (plans/pagerank.py
+``sources=``) answers it for ONE restart distribution per run; a
+recommendation backfill needs it for MILLIONS of seeds.  Running one
+PPR job per seed re-scans the edge table k times — the batch
+formulation here scans it once per superstep for ALL seeds:
+
+    state  (seed, vertex, mass)   — sparse: rows only where mass > 0
+    r_0(s, v)    = [v = s]
+    r_k+1(s, v)  = c·[v = s] + (1-c)·( Σ_{(u,v)∈E} r_k(s,u)/outdeg(u)
+                                       + dang_k(s)·[v = s] )
+
+where ``c`` is the restart probability and ``dang_k(s)`` is seed s's
+mass sitting on out-degree-0 vertices — returned to the seed itself
+(the standard RWR convention: a walker at a dead end restarts), so
+per-seed mass is conserved at exactly 1.0 every superstep.
+
+Plan shape per superstep — the 100 TB story:
+
+- adjacency ``(src_id, dst_id, out_deg)`` is deduped, self-loop free,
+  cached and hash-partitioned ONCE; the per-source out-degree is
+  precomputed into the cached frame so the hot loop is a single
+  equi-join, not join + join,
+- ONE join of the sparse state against the adjacency serves every seed
+  simultaneously (the edge table is read once per superstep no matter
+  how many seeds ride the batch — that is the entire point),
+- dangling handling is a seed-count-sized aggregate (``groupBy(seed)``
+  over the state rows sitting on dangling vertices) union'd into the
+  same combine — k rows, never a driver collect, so ``seeds`` may be a
+  full vertex table,
+- one ``groupBy(seed, vertex)`` map-side-combining sum merges edge
+  contributions with the restart/dangling rows — ONE shuffle on the
+  state key per superstep.
+
+State size is bounded by Σ_s |reach_k(s)|, not k·|V|: mass only ever
+flows along edges, so untouched (seed, vertex) pairs simply have no
+row.  Skewed hubs fan out through the adjacency join exactly like the
+random-walk kernels (natural edge skew; AQE splits oversized
+partitions).
+
+Fixed-iteration runs are exact oracle-parity runs; the truncation
+error after k supersteps is bounded by the un-restarted tail mass
+(1-c)^k (geometric decay — 6 supersteps at c = 0.15 leaves < 38% of
+the mass still diffusing, 28 supersteps < 1%), so callers pick
+``max_iterations = ceil(log eps / log(1-c))`` rather than a runtime
+convergence test, the same convention as plans/centrality.py
+eigencentrality.
+
+Reference parity: the reference engine (MatejVe/arxiv_citation_graph,
+create_database.py) has no proximity kernel at all — this is
+beyond-reference capability in the engine's own idiom (superstep
+runtime, checkpoint/resume, salted layout helpers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+
+@dataclass
+class RwrResult:
+    scores: DataFrame  # (seed, vertex, score) — touched pairs only
+    report: SuperstepReport
+    n_seeds: int
+
+
+def rwr_scores(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    restart: float = 0.15,
+    max_iterations: int = 6,
+    directed: bool = True,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> RwrResult:
+    """Batch RWR proximity ``(seed, vertex, score)`` for every seed in
+    ``seeds(seed)`` over ``edges(src_id, dst_id)``.
+
+    ``seeds`` is a DataFrame column, not a Python list — it is never
+    collected; a million-seed batch is one more state key.  Seeds that
+    are not vertices of the graph raise (a silent empty result would
+    read as "nothing related").  ``directed=False`` symmetrizes.
+    """
+    if not 0.0 < restart < 1.0:
+        raise ValueError(f"rwr_scores: restart must be in (0, 1), got {restart}")
+    damping = 1.0 - restart
+
+    directed_edges = edges.select("src_id", "dst_id")
+    if not directed:
+        directed_edges = directed_edges.unionByName(
+            edges.select(
+                F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+            )
+        )
+    simple = (
+        directed_edges.filter(F.col("src_id") != F.col("dst_id")).distinct()
+    )
+    # out-degree precomputed INTO the cached adjacency: the hot loop is
+    # then a single equi-join per superstep (the division itself stays
+    # (mass / out_deg) * damping — the exact per-term float expression
+    # the DuckDB oracle replays)
+    out_deg = simple.groupBy("src_id").agg(
+        F.count(F.lit(1)).cast("double").alias("out_deg")
+    )
+    adj = (
+        simple.join(out_deg, "src_id")
+        .repartition(spark.sparkContext.defaultParallelism, "src_id")
+        .cache()
+    )
+    m = adj.count()
+    vertices = vertices_of(simple).cache()
+    n = vertices.count()
+
+    seed_frame = seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct().cache()
+    k = seed_frame.count()
+    if n == 0 or k == 0:
+        adj.unpersist()
+        vertices.unpersist()
+        seed_frame.unpersist()
+        empty = spark.createDataFrame([], "seed string, vertex string, mass double")
+        return RwrResult(empty, SuperstepReport(0, True), 0)
+    unknown = seed_frame.join(
+        vertices, seed_frame.seed == vertices.vertex, "left_anti"
+    ).limit(1)
+    if unknown.count() > 0:
+        bad = unknown.first()["seed"]
+        adj.unpersist()
+        vertices.unpersist()
+        seed_frame.unpersist()
+        raise ValueError(f"rwr_scores: seed {bad!r} is not a vertex of the graph")
+
+    # dangling set = vertices with no out-edge in the (deduped) adjacency
+    dang = vertices.join(
+        adj.select("src_id").distinct(),
+        vertices.vertex == F.col("src_id"),
+        "left_anti",
+    ).select("vertex").cache()
+    dang.count()
+
+    fp_row = adj.agg(F.expr("bit_xor(xxhash64(src_id, dst_id))")).first()
+    edge_fp = int(fp_row[0]) if fp_row[0] is not None else 0
+    sfp_row = seed_frame.agg(F.expr("bit_xor(xxhash64(seed))")).first()
+    seed_fp = int(sfp_row[0]) if sfp_row[0] is not None else 0
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        contrib = state.join(adj, state.vertex == adj.src_id).select(
+            "seed",
+            F.col("dst_id").alias("vertex"),
+            ((F.col("mass") / F.col("out_deg")) * F.lit(damping)).alias("mass"),
+        )
+        dang_mass = (
+            state.join(dang, "vertex", "left_semi")
+            .groupBy("seed")
+            .agg(F.sum("mass").alias("dm"))
+        )
+        seed_rows = seed_frame.join(dang_mass, "seed", "left").select(
+            "seed",
+            F.col("seed").alias("vertex"),
+            (
+                F.lit(restart)
+                + F.lit(damping) * F.coalesce(F.col("dm"), F.lit(0.0))
+            ).alias("mass"),
+        )
+        new = (
+            contrib.unionByName(seed_rows)
+            .groupBy("seed", "vertex")
+            .agg(F.sum("mass").alias("mass"))
+        )
+        # fixed-iteration kernel: "delta" tracks reach growth for the
+        # metrics sink; tolerance stays None (see module docstring)
+        return new, {"delta": F.count(F.lit(1)), "total_mass": F.sum("mass")}
+
+    initial = seed_frame.select(
+        "seed", F.col("seed").alias("vertex"), F.lit(1.0).alias("mass")
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=None,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n,
+                "n_edges": m,
+                "n_seeds": k,
+                "edge_fp": edge_fp,
+                "seed_fp": seed_fp,
+                "restart": restart,
+                "directed": directed,
+                "kernel": "rwr",
+            },
+        )
+        out = final.select("seed", "vertex", F.col("mass").alias("score"))
+    finally:
+        adj.unpersist()
+        vertices.unpersist()
+        seed_frame.unpersist()
+        dang.unpersist()
+    return RwrResult(out, report, k)
+
+
+def rwr_topk(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 5,
+    restart: float = 0.15,
+    max_iterations: int = 6,
+    directed: bool = True,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Top-``k`` related vertices per seed (the serving shape): RWR
+    scores, seed itself excluded, ranked score-desc with vertex-asc
+    tie-break (total order — deterministic across engines), one
+    seed-partitioned window (parallel across seeds, never a global
+    sort).
+
+    ``round_digits`` rounds scores BEFORE ranking: cross-engine replays
+    must rank the same values, or a sub-ulp summation-order difference
+    flips a tie-break the other engine resolves by vertex order.
+    """
+    res = rwr_scores(
+        spark,
+        edges,
+        seeds,
+        restart=restart,
+        max_iterations=max_iterations,
+        directed=directed,
+    )
+    scores = res.scores
+    if round_digits is not None:
+        scores = scores.withColumn("score", F.round("score", round_digits))
+    w = Window.partitionBy("seed").orderBy(F.desc("score"), F.asc("vertex"))
+    return (
+        scores.filter(F.col("vertex") != F.col("seed"))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("seed", "vertex", "score", "pos")
+    )

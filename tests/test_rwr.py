@@ -1,0 +1,153 @@
+"""Batch RWR (plans/rwr.py): hand fixtures, a driver-side differential
+oracle, mass conservation, batch-vs-single-seed equivalence, the top-k
+serving shape, and validation guards."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.rwr import rwr_scores, rwr_topk
+
+SCHEMA = "src_id string, dst_id string"
+RESTART = 0.15
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _seeds(spark, names):
+    return spark.createDataFrame([(s,) for s in names], "seed string")
+
+
+def _collect(result):
+    return {(r.seed, r.vertex): r.score for r in result.scores.collect()}
+
+
+def _reference_rwr(rows, seeds, iters, restart=RESTART, directed=True):
+    """Driver-side replay of the documented recurrence (sparse dicts)."""
+    edges = set()
+    for u, v in rows:
+        if u != v:
+            edges.add((u, v))
+            if not directed:
+                edges.add((v, u))
+    verts = {u for u, _ in edges} | {v for _, v in edges}
+    out: dict[str, list[str]] = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    state = {s: {s: 1.0} for s in seeds}
+    d = 1.0 - restart
+    for _ in range(iters):
+        new: dict[str, dict[str, float]] = {}
+        for s, masses in state.items():
+            acc: dict[str, float] = {}
+            dang = 0.0
+            for v, m in masses.items():
+                nbrs = out.get(v)
+                if not nbrs:
+                    dang += m
+                    continue
+                share = (m / float(len(nbrs))) * d
+                for w in nbrs:
+                    acc[w] = acc.get(w, 0.0) + share
+            acc[s] = acc.get(s, 0.0) + restart + d * dang
+            new[s] = acc
+        state = new
+    return state, verts
+
+
+def test_dead_end_returns_mass_to_seed(spark):
+    """A seed pointing at a dangling vertex: the walker bounces between
+    seed and dead end, restart keeps per-seed mass at exactly 1."""
+    res = rwr_scores(
+        spark, _edges(spark, [("a", "b")]), _seeds(spark, ["a"]), max_iterations=4
+    )
+    got = _collect(res)
+    ref, _ = _reference_rwr([("a", "b")], ["a"], 4)
+    assert set(got) == {("a", "a"), ("a", "b")}
+    for (s, v), score in got.items():
+        assert score == pytest.approx(ref[s][v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_matches_reference_on_random_graph(spark):
+    """Differential oracle: deterministic pseudo-random directed graph
+    (30 vertices, ~13% density, cycles + dead ends) vs the driver-side
+    sparse replay, every (seed, vertex) pair."""
+    rows = []
+    for i in range(30):
+        for j in range(30):
+            if i == j:
+                continue
+            h = int(hashlib.md5(f"{i}>{j}".encode()).hexdigest()[:8], 16)
+            if h % 8 == 0:
+                rows.append((f"v{i:02d}", f"v{j:02d}"))
+    seeds = ["v00", "v07", "v13"]
+    res = rwr_scores(spark, _edges(spark, rows), _seeds(spark, seeds), max_iterations=6)
+    got = _collect(res)
+    ref, _ = _reference_rwr(rows, seeds, 6)
+    expected = {(s, v): m for s, d in ref.items() for v, m in d.items()}
+    assert set(got) == set(expected)
+    for key, score in got.items():
+        assert score == pytest.approx(expected[key], abs=1e-9), key
+    # per-seed mass conservation
+    for s in seeds:
+        total = sum(m for (ss, _), m in got.items() if ss == s)
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_batch_equals_single_seed_runs(spark):
+    """The batch is a pure union of independent per-seed problems."""
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d")]
+    batch = _collect(
+        rwr_scores(spark, _edges(spark, rows), _seeds(spark, ["a", "d"]), max_iterations=5)
+    )
+    for s in ("a", "d"):
+        single = _collect(
+            rwr_scores(spark, _edges(spark, rows), _seeds(spark, [s]), max_iterations=5)
+        )
+        assert {k: v for k, v in batch.items() if k[0] == s} == pytest.approx(single)
+
+
+def test_undirected_symmetrizes(spark):
+    rows = [("a", "b")]
+    res = rwr_scores(
+        spark, _edges(spark, rows), _seeds(spark, ["b"]), max_iterations=3, directed=False
+    )
+    got = _collect(res)
+    ref, _ = _reference_rwr(rows, ["b"], 3, directed=False)
+    assert set(got) == {("b", "a"), ("b", "b")}
+    for (s, v), score in got.items():
+        assert score == pytest.approx(ref[s][v], abs=1e-12)
+
+
+def test_topk_excludes_seed_and_ranks_deterministically(spark):
+    """Top-k drops the seed row and breaks exact score ties by vertex
+    name ascending (total order)."""
+    # star: seed s fans out to t1..t4, all tied by symmetry
+    rows = [("s", f"t{i}") for i in range(1, 5)]
+    top = rwr_topk(
+        spark, _edges(spark, rows), _seeds(spark, ["s"]), k=3, max_iterations=4
+    ).collect()
+    assert [r.vertex for r in sorted(top, key=lambda r: r.pos)] == ["t1", "t2", "t3"]
+    assert all(r.seed == "s" and r.vertex != "s" for r in top)
+    assert [r.pos for r in sorted(top, key=lambda r: r.pos)] == [1, 2, 3]
+
+
+def test_unknown_seed_raises(spark):
+    with pytest.raises(ValueError, match="not a vertex"):
+        rwr_scores(spark, _edges(spark, [("a", "b")]), _seeds(spark, ["zz"]))
+
+
+def test_bad_restart_raises(spark):
+    with pytest.raises(ValueError, match="restart"):
+        rwr_scores(spark, _edges(spark, [("a", "b")]), _seeds(spark, ["a"]), restart=1.0)
+
+
+def test_empty_seed_frame_returns_empty(spark):
+    res = rwr_scores(spark, _edges(spark, [("a", "b")]), _seeds(spark, []))
+    assert res.scores.count() == 0
+    assert res.n_seeds == 0
