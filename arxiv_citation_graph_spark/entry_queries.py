@@ -10495,6 +10495,64 @@ def q_rwr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Partition-agreement metrics (plans/agreement.py)
+# ===========================================================================
+
+_AGREEMENT_SQL = f"""
+WITH a AS MATERIALIZED ({{a_sql}}),
+b AS MATERIALIZED ({{b_sql}}),
+j AS (SELECT a.{{a_col}} AS la, b.{{b_col}} AS lb
+      FROM a JOIN b ON a.vertex = b.vertex),
+ct AS MATERIALIZED (SELECT la, lb, CAST(count(*) AS BIGINT) AS nij
+      FROM j GROUP BY la, lb),
+ra AS (SELECT la, CAST(sum(nij) AS BIGINT) AS ai FROM ct GROUP BY la),
+rb AS (SELECT lb, CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY lb),
+s AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS sij2,
+             CAST(sum(nij) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS cells FROM ct),
+sa AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS sa2 FROM ra),
+sb AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS sb2 FROM rb),
+mi AS (SELECT sum((nij / n) * ln((CAST(n AS DOUBLE) * nij)
+                                 / (CAST(ai AS DOUBLE) * bj))) AS mi
+       FROM ct JOIN ra USING (la) JOIN rb USING (lb) CROSS JOIN s),
+ha AS (SELECT -sum((ai / n) * ln(ai / n)) AS ha FROM ra CROSS JOIN s),
+hb AS (SELECT -sum((bj / n) * ln(bj / n)) AS hb FROM rb CROSS JOIN s),
+fin AS (SELECT s.*, sa2, sb2, mi.mi, ha.ha, hb.hb,
+        (CAST(sa2 AS DOUBLE) * sb2) / (CAST(n AS DOUBLE) * (n - 1)) AS expd
+        FROM s, sa, sb, mi, ha, hb)
+SELECT n AS n_vertices, cells,
+       round(CASE WHEN (sa2 + sb2) / 2.0 - expd = 0.0 THEN 1.0
+                  ELSE (sij2 - expd) / ((sa2 + sb2) / 2.0 - expd) END, 9) AS ari,
+       round(CASE WHEN ha <= 0.0 OR hb <= 0.0 THEN 0.0
+                  ELSE mi / sqrt(ha * hb) END, 9) AS nmi
+FROM fin
+"""
+
+
+@register(
+    "community_agreement",
+    _AGREEMENT_SQL.format(
+        a_sql=_louvain_unrolled_sql(_LOUVAIN_ROUNDS),
+        b_sql=_lpa_unrolled_sql(_LPA_ITERS),
+        a_col="community",
+        b_col="label",
+    ),
+)
+def q_community_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARI + NMI between the Louvain and LPA labelings of the co-supply
+    graph (plans/agreement.py) — the standard "do my two community
+    detectors agree" eval; exact-integer pair counts, one |V| join."""
+    from arxiv_citation_graph_spark.plans.agreement import partition_agreement
+    from arxiv_citation_graph_spark.plans.labelprop import label_propagation
+    from arxiv_citation_graph_spark.plans.louvain import louvain_communities
+
+    edges = cosupply_edges(spark, sf_dir)
+    lou = louvain_communities(spark, edges, fixed_rounds=_LOUVAIN_ROUNDS).labels
+    lpa = label_propagation(spark, edges, max_iterations=_LPA_ITERS).labels
+    return partition_agreement(lou, lpa)
+
+
+# ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================
 # The driver samples registry entries in insertion order and caps at ~50

@@ -1,0 +1,137 @@
+"""Partition-agreement metrics: adjusted Rand index + normalized
+mutual information between two community labelings.
+
+The engine ships several community detectors (Louvain, LPA, seeded
+LPA, CC, triangle percolation); the standard question downstream is
+"how much do two labelings agree?" (Hubert & Arabie 1985, *Comparing
+partitions*; Strehl & Ghosh 2002, *Cluster ensembles*).  Both metrics
+reduce to the contingency table n_ij = |{v : A(v)=i, B(v)=j}| — one
+inner join on vertex plus one groupBy, after which every frame is
+community-count-sized, never |V|-sized.
+
+Determinism across engines (the driver replays this in DuckDB):
+
+- every pair count is kept as the DOUBLED integer ``x*(x-1)`` summed
+  as BIGINT — exact, associative, bit-identical regardless of shuffle
+  order; ARI is algebraically invariant under the doubling,
+- the only float ops in ARI are one multiply/divide on those exact
+  integers, written in the same order in both engines,
+- NMI needs per-cell ``p*ln(...)`` float sums (order-dependent at the
+  1e-16 level), so both outputs are rounded to 9 digits — the repo's
+  cross-engine float convention.
+
+Scale: the join shuffles on vertex once; everything after is
+O(#communities^2) worst case (nonzero contingency cells), which for
+real labelings is near-linear in #communities.  int64 pair-count
+headroom: ``x*(x-1)`` overflows past x ~ 3e9 members in one cluster —
+at that size switch the sums to decimal(38,0), same plan shape.
+
+Reference parity: the reference engine (MatejVe/arxiv_citation_graph)
+has no community detector at all — beyond-reference capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def partition_agreement(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Agreement between two labelings, each ``(vertex, <label>)`` with
+    the label in the second column.  Vertices present in only one
+    labeling are ignored (inner join).  Returns one row:
+    ``(n_vertices, cells, ari, nmi)``.
+
+    ARI uses the permutation-model expectation (Hubert & Arabie 1985);
+    NMI uses natural-log entropies with sqrt normalization.  Degenerate
+    cases follow the usual conventions: ARI = 1.0 when both index and
+    expected index coincide (e.g. both labelings are all-singletons or
+    single-cluster), NMI = 0.0 when either entropy is 0.
+    """
+    a = labels_a.select(
+        F.col(labels_a.columns[0]).alias("vertex"),
+        F.col(labels_a.columns[1]).alias("la"),
+    )
+    b = labels_b.select(
+        F.col(labels_b.columns[0]).alias("vertex"),
+        F.col(labels_b.columns[1]).alias("lb"),
+    )
+    # contingency cells: the ONLY |V|-sized shuffle in the plan
+    ct = (
+        a.join(b, "vertex")
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    ct = ct.localCheckpoint(eager=True)  # consumed 4x below
+
+    ra = ct.groupBy("la").agg(F.sum("nij").alias("ai"))
+    rb = ct.groupBy("lb").agg(F.sum("nij").alias("bj"))
+
+    # doubled pair counts — exact BIGINT sums (see module docstring)
+    s_ij2 = ct.agg(
+        F.sum(F.col("nij") * (F.col("nij") - F.lit(1))).alias("sij2"),
+        F.sum("nij").alias("n"),
+        F.count(F.lit(1)).alias("cells"),
+    )
+    s_a2 = ra.agg(F.sum(F.col("ai") * (F.col("ai") - F.lit(1))).alias("sa2"))
+    s_b2 = rb.agg(F.sum(F.col("bj") * (F.col("bj") - F.lit(1))).alias("sb2"))
+
+    # mutual information: per-cell terms, then one float sum (rounded)
+    mi = (
+        ct.join(ra, "la")
+        .join(rb, "lb")
+        .crossJoin(F.broadcast(s_ij2.select("n")))
+        .select(
+            (
+                (F.col("nij") / F.col("n"))
+                * F.log(
+                    (F.col("n").cast("double") * F.col("nij"))
+                    / (F.col("ai").cast("double") * F.col("bj"))
+                )
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("mi"))
+    )
+    ha = (
+        ra.crossJoin(F.broadcast(s_ij2.select("n")))
+        .select(
+            ((F.col("ai") / F.col("n")) * F.log(F.col("ai") / F.col("n"))).alias("t")
+        )
+        .agg((-F.sum("t")).alias("ha"))
+    )
+    hb = (
+        rb.crossJoin(F.broadcast(s_ij2.select("n")))
+        .select(
+            ((F.col("bj") / F.col("n")) * F.log(F.col("bj") / F.col("n"))).alias("t")
+        )
+        .agg((-F.sum("t")).alias("hb"))
+    )
+
+    row = (
+        s_ij2.crossJoin(s_a2)
+        .crossJoin(s_b2)
+        .crossJoin(mi)
+        .crossJoin(ha)
+        .crossJoin(hb)
+    )
+    # tot2 = n*(n-1); exp2 = sa2*sb2/tot2 (first cast to double: the
+    # integer product overflows int64 long before the doubles lose the
+    # answer); same expression text as the DuckDB oracle
+    expd = (F.col("sa2").cast("double") * F.col("sb2")) / (
+        F.col("n").cast("double") * (F.col("n") - F.lit(1))
+    )
+    ari_num = F.col("sij2") - expd
+    ari_den = (F.col("sa2") + F.col("sb2")) / F.lit(2.0) - expd
+    ari = F.when(ari_den == 0.0, F.lit(1.0)).otherwise(ari_num / ari_den)
+    nmi = F.when(
+        (F.col("ha") <= 0.0) | (F.col("hb") <= 0.0), F.lit(0.0)
+    ).otherwise(F.col("mi") / F.sqrt(F.col("ha") * F.col("hb")))
+    return row.select(
+        F.col("n").alias("n_vertices"),
+        F.col("cells"),
+        F.round(ari, round_digits).alias("ari"),
+        F.round(nmi, round_digits).alias("nmi"),
+    )

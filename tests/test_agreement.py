@@ -1,0 +1,88 @@
+"""Partition-agreement metrics (plans/agreement.py): ARI + NMI vs a
+pure-Python textbook implementation (Hubert & Arabie 1985; Strehl &
+Ghosh 2002), plus the degenerate-case conventions."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from arxiv_citation_graph_spark.plans.agreement import partition_agreement
+
+
+def _ref_ari_nmi(pairs_a, pairs_b):
+    """Textbook contingency-table ARI/NMI over dict vertex->label."""
+    common = sorted(set(pairs_a) & set(pairs_b))
+    n = len(common)
+    ct = Counter((pairs_a[v], pairs_b[v]) for v in common)
+    ra = Counter()
+    rb = Counter()
+    for (la, lb), c in ct.items():
+        ra[la] += c
+        rb[lb] += c
+    c2 = lambda x: x * (x - 1) / 2.0
+    sij = sum(c2(c) for c in ct.values())
+    sa = sum(c2(c) for c in ra.values())
+    sb = sum(c2(c) for c in rb.values())
+    tot = c2(n)
+    exp = sa * sb / tot
+    den = (sa + sb) / 2.0 - exp
+    ari = 1.0 if den == 0.0 else (sij - exp) / den
+    mi = sum(
+        (c / n) * math.log(n * c / (ra[la] * rb[lb])) for (la, lb), c in ct.items()
+    )
+    ha = -sum((c / n) * math.log(c / n) for c in ra.values())
+    hb = -sum((c / n) * math.log(c / n) for c in rb.values())
+    nmi = 0.0 if ha <= 0.0 or hb <= 0.0 else mi / math.sqrt(ha * hb)
+    return ari, nmi
+
+
+def _frames(spark, pairs_a, pairs_b, col_a="community", col_b="label"):
+    a = spark.createDataFrame(sorted(pairs_a.items()), ["vertex", col_a])
+    b = spark.createDataFrame(sorted(pairs_b.items()), ["vertex", col_b])
+    return a, b
+
+
+def test_agreement_matches_textbook(spark):
+    pairs_a = {f"v{i}": f"c{i % 3}" for i in range(30)}
+    pairs_b = {f"v{i}": f"k{(i // 2) % 4}" for i in range(30)}
+    a, b = _frames(spark, pairs_a, pairs_b)
+    row = partition_agreement(a, b).first()
+    ari, nmi = _ref_ari_nmi(pairs_a, pairs_b)
+    assert row.n_vertices == 30
+    assert row.ari == pytest.approx(ari, abs=1e-9)
+    assert row.nmi == pytest.approx(nmi, abs=1e-9)
+
+
+def test_agreement_identical_labelings(spark):
+    pairs = {f"v{i}": f"c{i % 4}" for i in range(20)}
+    a, b = _frames(spark, pairs, pairs)
+    row = partition_agreement(a, b).first()
+    assert row.ari == pytest.approx(1.0)
+    assert row.nmi == pytest.approx(1.0)
+    assert row.cells == 4
+
+
+def test_agreement_single_cluster_nmi_zero(spark):
+    pairs_a = {f"v{i}": "only" for i in range(10)}
+    pairs_b = {f"v{i}": f"c{i % 2}" for i in range(10)}
+    a, b = _frames(spark, pairs_a, pairs_b)
+    row = partition_agreement(a, b).first()
+    assert row.nmi == 0.0
+    # expected index equals index for a one-cluster side: den = 0 -> 1.0
+    ari, _ = _ref_ari_nmi(pairs_a, pairs_b)
+    assert row.ari == pytest.approx(ari, abs=1e-9)
+
+
+def test_agreement_inner_join_scope(spark):
+    # vertices missing from one side are ignored, not counted as a cluster
+    pairs_a = {f"v{i}": f"c{i % 2}" for i in range(10)}
+    pairs_b = {f"v{i}": f"k{i % 2}" for i in range(6)}
+    a, b = _frames(spark, pairs_a, pairs_b)
+    row = partition_agreement(a, b).first()
+    assert row.n_vertices == 6
+    ari, nmi = _ref_ari_nmi(pairs_a, pairs_b)
+    assert row.ari == pytest.approx(ari, abs=1e-9)
+    assert row.nmi == pytest.approx(nmi, abs=1e-9)
