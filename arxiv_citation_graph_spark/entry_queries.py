@@ -10495,6 +10495,112 @@ def q_rwr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# PPR sweep-cut local community (plans/localcom.py)
+# ===========================================================================
+
+_SWEEP_RESTART = 0.15
+_SWEEP_ITERS = 6
+
+
+def _sweep_sql(iters: int, restart: float) -> str:
+    """Unrolled Andersen-Chung-Lang sweep: single-seed RWR over the
+    symmetrized co-supply graph (seed = min vertex; no dangling
+    vertices on a symmetrized graph), degree-normalized rank order,
+    exact-integer cut/volume prefix sums (plans/localcom.py)."""
+    d = 1.0 - restart
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM ("
+        "SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos"
+        ") WHERE src_id <> dst_id)",
+        "deg AS MATERIALIZED (SELECT src_id AS vertex, CAST(count(*) AS BIGINT) AS deg "
+        "FROM sym GROUP BY src_id)",
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS vol2m FROM sym)",
+        "outd AS MATERIALIZED (SELECT src_id, CAST(count(*) AS DOUBLE) AS out_deg "
+        "FROM sym GROUP BY src_id)",
+        "seedq AS (SELECT min(src_id) AS seed FROM sym)",
+        "r0 AS (SELECT seed AS vertex, 1.0 AS mass FROM seedq)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT vertex, sum(mass) AS mass FROM ("
+            f"SELECT e.dst_id AS vertex, (r.mass / o.out_deg) * {d!r} AS mass "
+            f"FROM sym e JOIN r{p} r ON e.src_id = r.vertex "
+            f"JOIN outd o ON e.src_id = o.src_id "
+            f"UNION ALL SELECT seed AS vertex, {restart!r} FROM seedq"
+            f") GROUP BY vertex)"
+        )
+    ctes += [
+        f"scored AS (SELECT vertex, round(mass, 9) AS score FROM r{iters})",
+        "ranked AS MATERIALIZED (SELECT pos, vertex, deg FROM ("
+        "SELECT s.vertex, d.deg, "
+        "CAST(row_number() OVER (ORDER BY s.score / d.deg DESC, s.vertex) AS INTEGER) AS pos "
+        "FROM scored s JOIN deg d ON s.vertex = d.vertex))",
+        "uedges AS (SELECT src_id, dst_id FROM sym WHERE src_id < dst_id)",
+        "epos AS (SELECT "
+        "least(coalesce(p1.pos, 2147483647), coalesce(p2.pos, 2147483647)) AS minp, "
+        "greatest(coalesce(p1.pos, 2147483647), coalesce(p2.pos, 2147483647)) AS maxp "
+        "FROM uedges e LEFT JOIN ranked p1 ON e.src_id = p1.vertex "
+        "LEFT JOIN ranked p2 ON e.dst_id = p2.vertex)",
+        "op AS (SELECT minp AS pos, CAST(count(*) AS BIGINT) AS o FROM epos "
+        "WHERE minp < 2147483647 GROUP BY minp)",
+        "cl AS (SELECT maxp AS pos, CAST(count(*) AS BIGINT) AS c FROM epos "
+        "WHERE maxp < 2147483647 GROUP BY maxp)",
+        "sweep AS MATERIALIZED (SELECT r.pos, r.vertex, r.deg, "
+        "sum(coalesce(op.o, 0)) OVER w - sum(coalesce(cl.c, 0)) OVER w AS cut, "
+        "sum(r.deg) OVER w AS volume "
+        "FROM ranked r LEFT JOIN op ON r.pos = op.pos LEFT JOIN cl ON r.pos = cl.pos "
+        "WINDOW w AS (ORDER BY r.pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT pos, vertex, CAST(deg AS BIGINT) AS deg, CAST(cut AS BIGINT) AS cut, "
+        "CAST(volume AS BIGINT) AS volume, "
+        "round(CASE WHEN least(volume, (SELECT vol2m FROM tot) - volume) = 0 THEN NULL "
+        "ELSE cut / least(volume, (SELECT vol2m FROM tot) - volume) END, 9) AS conductance "
+        "FROM sweep"
+    )
+
+
+@register("ppr_sweep_curve", _sweep_sql(_SWEEP_ITERS, _SWEEP_RESTART))
+def q_ppr_sweep_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full conductance sweep curve of the degree-normalized PPR order
+    from the min-id seed of the co-supply graph (plans/localcom.py)."""
+    from arxiv_citation_graph_spark.plans.localcom import ppr_sweep
+
+    return ppr_sweep(
+        spark,
+        cosupply_edges(spark, sf_dir),
+        restart=_SWEEP_RESTART,
+        max_iterations=_SWEEP_ITERS,
+    )
+
+
+@register(
+    "ppr_local_community",
+    f"""
+WITH curve AS MATERIALIZED ({_sweep_sql(_SWEEP_ITERS, _SWEEP_RESTART)}),
+best AS (SELECT pos FROM curve WHERE conductance IS NOT NULL
+         ORDER BY conductance, pos LIMIT 1)
+SELECT pos, vertex FROM curve WHERE pos <= (SELECT pos FROM best)
+""",
+)
+def q_ppr_local_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Members of the minimum-conductance sweep prefix (ties -> the
+    smallest prefix): the seed's local community."""
+    from arxiv_citation_graph_spark.plans.localcom import local_community
+
+    return local_community(
+        spark,
+        cosupply_edges(spark, sf_dir),
+        restart=_SWEEP_RESTART,
+        max_iterations=_SWEEP_ITERS,
+    )
+
+
+# ===========================================================================
 # Partition-agreement metrics (plans/agreement.py)
 # ===========================================================================
 

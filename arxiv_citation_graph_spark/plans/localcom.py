@@ -1,0 +1,199 @@
+"""Local community detection: PPR sweep cut (Andersen, Chung & Lang
+2006, *Local graph partitioning using PageRank vectors*, FOCS).
+
+Given a seed vertex, rank vertices by degree-normalized personalized-
+PageRank score and sweep prefixes S_1 ⊆ S_2 ⊆ ... of that order; the
+prefix minimizing conductance
+
+    phi(S) = cut(S) / min(vol(S), vol(G) - vol(S))
+
+is the seed's local community.  The PPR mass comes from the batch RWR
+kernel (plans/rwr.py) restricted to one seed on the symmetrized graph.
+
+Plan shape — the 100 TB story:
+
+- the sweep operates on the PPR SUPPORT (vertices the walk actually
+  touched), not |V|: with k supersteps at restart c the support is the
+  k-hop ball around the seed, and (1-c)^k bounds the mass still
+  diffusing.  The global ``row_number`` order and the cumulative
+  window sums therefore run over a support-sized frame — local by
+  construction, which is the entire point of a LOCAL method; the edge
+  table itself is only touched by (a) the RWR supersteps (one
+  equi-join each) and (b) ONE position-lookup join to classify each
+  edge's endpoints,
+- cut(p) is computed without any per-prefix rescan: every undirected
+  edge contributes +1 to the crossing count at ``min(pos_u, pos_v)``
+  and -1 after ``max(pos_u, pos_v)`` (untouched endpoint = +inf), so
+  two support-sized cumulative sums give the whole sweep curve,
+- volumes and cuts are exact BIGINTs; the only floats are the PPR
+  scores (rounded to 9 digits BEFORE ranking, the plans/rwr.py
+  convention — both engines rank identical values) and the final
+  one-division conductance (rounded to 9).
+
+Reference parity: the reference engine has no community or proximity
+kernels; beyond-reference capability in the engine's idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.rwr import rwr_scores
+
+_INF_POS = 2147483647  # untouched endpoint sentinel (> any row_number)
+
+
+def ppr_sweep(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    restart: float = 0.15,
+    max_iterations: int = 6,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Sweep curve ``(pos, vertex, deg, cut, volume, conductance)`` of
+    the degree-normalized single-seed PPR order over the symmetrized
+    simple graph of ``edges(src_id, dst_id)``.
+
+    ``seeds`` must contain exactly one row (a sweep is per-seed by
+    definition — batch callers loop or union); ``None`` picks the
+    lexicographically smallest vertex, a choice both engines can
+    reproduce without a hardcoded id.  ``conductance`` is NULL on a
+    prefix whose complement volume is 0 (the full-support prefix of a
+    walk that touched everything).
+    """
+    sym = (
+        edges.select("src_id", "dst_id")
+        .unionByName(
+            edges.select(
+                F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+            )
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        .cache()
+    )
+    vol2m = sym.count()  # sum of degrees = 2|E_und|
+    deg = sym.groupBy("src_id").agg(F.count(F.lit(1)).alias("deg"))
+
+    if seeds is None:
+        seeds = sym.agg(F.min("src_id").alias("seed"))
+    seed_frame = seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
+    n_seeds = seed_frame.count()
+    if n_seeds != 1:
+        sym.unpersist()
+        raise ValueError(f"ppr_sweep: exactly one seed required, got {n_seeds}")
+
+    # single-seed PPR on the already-symmetrized graph (directed=True:
+    # sym carries both orientations, so rwr's own symmetrize is a no-op
+    # we skip; the adjacency it builds is identical)
+    res = rwr_scores(
+        spark,
+        sym,
+        seed_frame,
+        restart=restart,
+        max_iterations=max_iterations,
+        directed=True,
+    )
+    scored = res.scores.select(
+        "vertex", F.round("score", round_digits).alias("score")
+    )
+
+    ranked = (
+        scored.join(deg, scored.vertex == deg.src_id)
+        .select("vertex", "deg", (F.col("score") / F.col("deg")).alias("nrm"))
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy(F.desc("nrm"), F.asc("vertex"))),
+        )
+        .select("pos", "vertex", "deg")
+        .localCheckpoint(eager=True)  # support-sized; consumed 3x below
+    )
+
+    # undirected unique edges classified by endpoint positions
+    uedges = sym.filter(F.col("src_id") < F.col("dst_id"))
+    pu = ranked.select(F.col("vertex").alias("src_id"), F.col("pos").alias("pu"))
+    pv = ranked.select(F.col("vertex").alias("dst_id"), F.col("pos").alias("pv"))
+    epos = (
+        uedges.join(pu, "src_id", "left")
+        .join(pv, "dst_id", "left")
+        .select(
+            F.least(
+                F.coalesce("pu", F.lit(_INF_POS)), F.coalesce("pv", F.lit(_INF_POS))
+            ).alias("minp"),
+            F.greatest(
+                F.coalesce("pu", F.lit(_INF_POS)), F.coalesce("pv", F.lit(_INF_POS))
+            ).alias("maxp"),
+        )
+    )
+    opened = (
+        epos.filter(F.col("minp") < _INF_POS)
+        .groupBy(F.col("minp").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("opened"))
+    )
+    closed = (
+        epos.filter(F.col("maxp") < _INF_POS)
+        .groupBy(F.col("maxp").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("closed"))
+    )
+
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweep = (
+        ranked.join(opened, "pos", "left")
+        .join(closed, "pos", "left")
+        .select(
+            "pos",
+            "vertex",
+            "deg",
+            F.coalesce("opened", F.lit(0)).alias("o"),
+            F.coalesce("closed", F.lit(0)).alias("c"),
+        )
+        .withColumn("cut", F.sum("o").over(w) - F.sum("c").over(w))
+        .withColumn("volume", F.sum("deg").over(w))
+    )
+    denom = F.least(F.col("volume"), F.lit(vol2m) - F.col("volume"))
+    out = sweep.select(
+        "pos",
+        "vertex",
+        F.col("deg").cast("long").alias("deg"),
+        F.col("cut").cast("long").alias("cut"),
+        F.col("volume").cast("long").alias("volume"),
+        F.round(
+            F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+                F.col("cut") / denom
+            ),
+            round_digits,
+        ).alias("conductance"),
+    )
+    sym.unpersist()
+    return out
+
+
+def local_community(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    restart: float = 0.15,
+    max_iterations: int = 6,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Members ``(pos, vertex)`` of the minimum-conductance sweep
+    prefix (ties -> the SMALLEST prefix, so the tightest community);
+    NULL-conductance prefixes never win."""
+    sweep = ppr_sweep(
+        spark,
+        edges,
+        seeds=seeds,
+        restart=restart,
+        max_iterations=max_iterations,
+        round_digits=round_digits,
+    ).localCheckpoint(eager=True)  # consumed twice (argmin + filter)
+    best = sweep.filter(F.col("conductance").isNotNull()).agg(
+        F.min(F.struct("conductance", "pos")).alias("b")
+    )
+    return (
+        sweep.crossJoin(F.broadcast(best))
+        .filter(F.col("pos") <= F.col("b.pos"))
+        .select("pos", "vertex")
+    )

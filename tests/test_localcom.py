@@ -1,0 +1,114 @@
+"""PPR sweep cut (plans/localcom.py) vs a pure-Python replication of
+the exact algorithm, plus the barbell structural sanity check."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from arxiv_citation_graph_spark.plans.localcom import local_community, ppr_sweep
+
+RESTART = 0.15
+ITERS = 6
+
+
+def _ref_sweep(edge_list, seed=None):
+    """Reference: symmetrize, 6-iter single-seed RWR (dead-end-free),
+    round-9 scores, degree-normalized order, prefix cut/vol sweep."""
+    adj = defaultdict(set)
+    for u, v in edge_list:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    verts = sorted(adj)
+    if seed is None:
+        seed = verts[0]
+    deg = {v: len(adj[v]) for v in verts}
+    vol2m = sum(deg.values())
+    mass = {seed: 1.0}
+    for _ in range(ITERS):
+        nxt = defaultdict(float)
+        for u, m in mass.items():
+            share = (m / float(deg[u])) * (1.0 - RESTART)
+            for v in sorted(adj[u]):
+                nxt[v] += share
+        nxt[seed] += RESTART
+        mass = dict(nxt)
+    scored = {v: round(m, 9) for v, m in mass.items()}
+    order = sorted(scored, key=lambda v: (-scored[v] / deg[v], v))
+    pos = {v: i + 1 for i, v in enumerate(order)}
+    uedges = {(min(u, v), max(u, v)) for u, v in edge_list if u != v}
+    rows = []
+    vol = cut = 0
+    inset = set()
+    for p, v in enumerate(order, start=1):
+        vol += deg[v]
+        cut += sum(1 for w in adj[v] if w not in inset) - sum(
+            1 for w in adj[v] if w in inset
+        )
+        inset.add(v)
+        den = min(vol, vol2m - vol)
+        cond = None if den == 0 else round(cut / den, 9)
+        rows.append((p, v, deg[v], cut, vol, cond))
+    return rows
+
+
+BARBELL = [
+    ("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"), ("a2", "a4"),
+    ("a3", "a4"),
+    ("b1", "b2"), ("b1", "b3"), ("b1", "b4"), ("b2", "b3"), ("b2", "b4"),
+    ("b3", "b4"),
+    ("a4", "b1"),
+]
+
+
+def test_sweep_matches_reference_on_barbell(spark):
+    df = spark.createDataFrame(BARBELL, ["src_id", "dst_id"])
+    got = [
+        (r.pos, r.vertex, r.deg, r.cut, r.volume, r.conductance)
+        for r in ppr_sweep(spark, df, restart=RESTART, max_iterations=ITERS)
+        .orderBy("pos")
+        .collect()
+    ]
+    assert got == _ref_sweep(BARBELL)
+
+
+def test_local_community_finds_the_seed_clique(spark):
+    df = spark.createDataFrame(BARBELL, ["src_id", "dst_id"])
+    members = {
+        r.vertex
+        for r in local_community(spark, df, restart=RESTART, max_iterations=ITERS)
+        .collect()
+    }
+    # seeded at min vertex a1: the min-conductance prefix is the a-clique
+    assert members == {"a1", "a2", "a3", "a4"}
+
+
+def test_sweep_matches_reference_on_two_components(spark):
+    edges = BARBELL[:6] + [("z1", "z2"), ("z2", "z3")]  # a-K4 + a path
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    got = [
+        (r.pos, r.vertex, r.deg, r.cut, r.volume, r.conductance)
+        for r in ppr_sweep(spark, df, restart=RESTART, max_iterations=ITERS)
+        .orderBy("pos")
+        .collect()
+    ]
+    ref = _ref_sweep(edges, seed="a1")
+    assert got == ref
+    # the walk never leaves a1's component: sweep covers only the K4
+    assert {v for _, v, *_ in got} == {"a1", "a2", "a3", "a4"}
+
+
+def test_sweep_explicit_seed_and_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame(BARBELL, ["src_id", "dst_id"])
+    seeds = spark.createDataFrame([("b2",)], ["seed"])
+    got = [
+        (r.pos, r.vertex, r.deg, r.cut, r.volume, r.conductance)
+        for r in ppr_sweep(spark, df, seeds=seeds, restart=RESTART,
+                           max_iterations=ITERS).orderBy("pos").collect()
+    ]
+    assert got == _ref_sweep(BARBELL, seed="b2")
+    two = spark.createDataFrame([("a1",), ("b1",)], ["seed"])
+    with pytest.raises(ValueError, match="exactly one seed"):
+        ppr_sweep(spark, df, seeds=two)
