@@ -10601,6 +10601,77 @@ def q_ppr_local_community(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Triangle percolation communities (plans/percolation.py)
+# ===========================================================================
+
+#: 2x margin over the 13 hash-min rounds Spark needs at sf0.01
+_PERC_ITERS = 26
+
+
+def _percolation_sql(iters: int) -> str:
+    """Unrolled Palla k=3 percolation: lexicographic triangle join,
+    bipartite triangle<->edge incidence graph, hash-min CC unroll, min-
+    member community rename (plans/percolation.py; the Spark side
+    enumerates with the degree orientation — same triangle SET)."""
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u, "
+        "greatest(src_id, dst_id) AS v FROM cos WHERE src_id <> dst_id)",
+        "tri AS MATERIALIZED (SELECT e1.u AS x, e1.v AS y, e2.v AS z "
+        "FROM und e1 JOIN und e2 ON e1.v = e2.u "
+        "JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)",
+        "bip AS MATERIALIZED ("
+        "SELECT 'T:' || x || '|' || y || '|' || z AS src_id, "
+        "'E:' || x || '|' || y AS dst_id FROM tri "
+        "UNION ALL SELECT 'T:' || x || '|' || y || '|' || z, "
+        "'E:' || x || '|' || z FROM tri "
+        "UNION ALL SELECT 'T:' || x || '|' || y || '|' || z, "
+        "'E:' || y || '|' || z FROM tri)",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM bip "
+        "UNION SELECT dst_id, src_id FROM bip)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym "
+        "UNION SELECT dst_id FROM sym)",
+        "l0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"least(v.component, coalesce(m.nbr, v.component)) AS component "
+            f"FROM l{p} v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, min(l.component) AS nbr "
+            f"FROM sym e JOIN l{p} l ON e.src_id = l.vertex GROUP BY e.dst_id"
+            f") m ON v.vertex = m.vertex)"
+        )
+    ctes += [
+        f"mem AS MATERIALIZED ("
+        f"SELECT t.x AS vertex, l.component FROM tri t "
+        f"JOIN l{iters} l ON l.vertex = 'T:' || t.x || '|' || t.y || '|' || t.z "
+        f"UNION SELECT t.y, l.component FROM tri t "
+        f"JOIN l{iters} l ON l.vertex = 'T:' || t.x || '|' || t.y || '|' || t.z "
+        f"UNION SELECT t.z, l.component FROM tri t "
+        f"JOIN l{iters} l ON l.vertex = 'T:' || t.x || '|' || t.y || '|' || t.z)",
+        "ren AS (SELECT component, min(vertex) AS community FROM mem "
+        "GROUP BY component)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT m.vertex, r.community FROM mem m JOIN ren r USING (component)"
+    )
+
+
+@register("percolation_communities", _percolation_sql(_PERC_ITERS))
+def q_percolation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping k=3 clique-percolation communities of the co-supply
+    graph (plans/percolation.py): distinct (vertex, community) pairs,
+    community = min member vertex id."""
+    from arxiv_citation_graph_spark.plans.percolation import triangle_percolation
+
+    return triangle_percolation(spark, cosupply_edges(spark, sf_dir)).members
+
+
+# ===========================================================================
 # Partition-agreement metrics (plans/agreement.py)
 # ===========================================================================
 

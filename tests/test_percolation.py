@@ -1,0 +1,62 @@
+"""Triangle percolation (plans/percolation.py): Palla semantics on toy
+graphs — separate cliques, vertex-overlap (bowtie), edge-chained
+triangles, triangle-free graphs."""
+
+from __future__ import annotations
+
+from arxiv_citation_graph_spark.plans.percolation import (
+    enumerate_triangles,
+    triangle_percolation,
+)
+
+K4A = [("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"), ("a2", "a4"),
+       ("a3", "a4")]
+K4B = [("b1", "b2"), ("b1", "b3"), ("b1", "b4"), ("b2", "b3"), ("b2", "b4"),
+       ("b3", "b4")]
+
+
+def _members(spark, edges):
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    res = triangle_percolation(spark, df)
+    return res, {(r.vertex, r.community) for r in res.members.collect()}
+
+
+def test_enumerate_triangles_k4_once_each(spark):
+    df = spark.createDataFrame(K4A, ["src_id", "dst_id"])
+    tri = {(r.x, r.y, r.z) for r in enumerate_triangles(spark, df).collect()}
+    assert tri == {("a1", "a2", "a3"), ("a1", "a2", "a4"), ("a1", "a3", "a4"),
+                   ("a2", "a3", "a4")}
+
+
+def test_two_cliques_bridge_not_welded(spark):
+    # the bridge edge is in no triangle: the K4s stay separate communities
+    res, mem = _members(spark, K4A + K4B + [("a4", "b1")])
+    assert res.n_triangles == 8
+    assert mem == {(v, "a1") for v in ["a1", "a2", "a3", "a4"]} | {
+        (v, "b1") for v in ["b1", "b2", "b3", "b4"]
+    }
+
+
+def test_bowtie_vertex_overlap_two_communities(spark):
+    # triangles share only vertex c -> distinct communities, c in BOTH
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+             ("c", "e")]
+    res, mem = _members(spark, edges)
+    assert res.n_triangles == 2
+    assert mem == {("a", "a"), ("b", "a"), ("c", "a"),
+                   ("c", "c"), ("d", "c"), ("e", "c")}
+
+
+def test_edge_chained_triangles_weld(spark):
+    # (a,b,c)-(b,c,d) share edge bc; (b,c,d)-(c,d,e) share cd -> one community
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+             ("c", "e"), ("d", "e")]
+    res, mem = _members(spark, edges)
+    assert res.n_triangles == 3
+    assert mem == {(v, "a") for v in ["a", "b", "c", "d", "e"]}
+
+
+def test_triangle_free_graph_empty(spark):
+    res, mem = _members(spark, [("p", "q"), ("q", "r"), ("r", "s")])
+    assert res.n_triangles == 0
+    assert mem == set()
