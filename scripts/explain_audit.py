@@ -1961,6 +1961,90 @@ def main() -> None:
         )
     )
 
+    # -- batch RWR superstep (one edge join serves all seeds) ------------------
+    from arxiv_citation_graph_spark.plans.rwr import rwr_scores
+
+    rwr_seeds = tedges.select(F.col("src_id").alias("seed")).distinct().limit(2)
+    plan = capture_superstep(
+        lambda: rwr_scores(spark, tedges, rwr_seeds, max_iterations=2)
+    )
+    sections.append(
+        (
+            "Batch RWR superstep (iteration 1, all seeds in one pass)",
+            "ONE equi-join of the sparse (seed, vertex, mass) state "
+            "against the cached adjacency (out-degree precomputed into "
+            "it, so no second join), a seed-count-sized dangling "
+            "aggregate unioned with the restart rows, and one "
+            "map-side-combined groupBy(seed, vertex) merge — the edge "
+            "table is read once per superstep no matter how many seeds "
+            f"ride the batch.  [{exchange_count(plan)}]",
+            condense(plan, KEEP),
+        )
+    )
+
+    # -- PPR sweep cut (support-sized sweep, edge-classify join) ---------------
+    from arxiv_citation_graph_spark.plans.localcom import ppr_sweep
+
+    sweep_plan = plan_of(ppr_sweep(spark, tedges, max_iterations=2))
+    sections.append(
+        (
+            "PPR sweep cut — support-sized windows, one edge-classify join",
+            "After the RWR supersteps the edge table is touched exactly "
+            "once more: a position-lookup join classifying each "
+            "undirected edge by its endpoints' sweep positions.  The "
+            "row_number rank and the cumulative cut/volume sums run as "
+            "unpartitioned windows over the PPR SUPPORT (the k-hop ball "
+            "around the seed — local by construction; the SinglePartition "
+            "Exchange moves support-sized rows, never |V|), and cut/"
+            "volume are exact BIGINT prefix sums, floats only in the "
+            f"rounded score and final division.  [{exchange_count(sweep_plan)}]",
+            condense(sweep_plan, KEEP),
+        )
+    )
+
+    # -- partition agreement (contingency-table ARI/NMI) -----------------------
+    from arxiv_citation_graph_spark.plans.agreement import partition_agreement
+
+    lab_a = tedges.select(F.col("src_id").alias("vertex")).distinct().select(
+        "vertex", F.substring("vertex", 1, 1).alias("community")
+    )
+    lab_b = tedges.select(F.col("src_id").alias("vertex")).distinct().select(
+        "vertex", F.length("vertex").cast("string").alias("label")
+    )
+    agree_plan = plan_of(partition_agreement(lab_a, lab_b))
+    sections.append(
+        (
+            "Partition agreement (ARI + NMI) — one |V| join, then model-sized",
+            "The vertex-keyed inner join into the contingency groupBy is "
+            "the ONLY |V|-sized exchange (localCheckpointed once, scanned "
+            "as an ExistingRDD by all four consumers); row sums, doubled "
+            "pair counts, MI/entropy terms, and the final scalar algebra "
+            "all run over community-count-sized frames joined as "
+            "1-row broadcasts.  Pair counts stay exact BIGINTs; the two "
+            f"metrics are the only float ops.  [{exchange_count(agree_plan)}]",
+            condense(agree_plan, KEEP),
+        )
+    )
+
+    # -- triangle percolation (bipartite incidence, no pairwise join) ----------
+    from arxiv_citation_graph_spark.plans.percolation import triangle_percolation
+
+    perc_plan = plan_of(triangle_percolation(spark, tedges).members)
+    sections.append(
+        (
+            "Triangle percolation — membership expansion after bipartite CC",
+            "Triangle adjacency is never materialized pairwise: an edge "
+            "in t triangles contributes 3 bipartite incidence rows per "
+            "triangle instead of C(t,2) adjacency pairs, and hash-min CC "
+            "runs on that incidence graph through the superstep runtime. "
+            "The membership plan shown re-reads the localCheckpointed "
+            "triangle list (ExistingRDD) three times against the "
+            "T-node labels, then one community-count-sized min rename.  "
+            f"[{exchange_count(perc_plan)}]",
+            condense(perc_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:
