@@ -196,6 +196,56 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--directed", action="store_true")
 
     p = sub.add_parser(
+        "rwr",
+        help="batch random-walk-with-restart proximity from many seeds "
+        "(one edge scan per superstep serves every seed)",
+    )
+    p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument(
+        "--seeds", default=None,
+        help="comma-separated seed vertices (default: --n-seeds lexicographic-min)",
+    )
+    p.add_argument("--n-seeds", type=int, default=4)
+    p.add_argument("--restart", type=float, default=0.15)
+    p.add_argument("--iterations", type=int, default=6)
+    p.add_argument("--directed", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--top-k", type=int, default=None,
+        help="also commit the per-seed top-k related vertices (serving shape)",
+    )
+
+    p = sub.add_parser(
+        "local-community",
+        help="PPR sweep cut (Andersen-Chung-Lang): the seed's minimum-"
+        "conductance community plus the full sweep curve",
+    )
+    p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--seed", default=None, help="seed vertex (default: lexicographic min)")
+    p.add_argument("--restart", type=float, default=0.15)
+    p.add_argument("--iterations", type=int, default=6)
+
+    p = sub.add_parser(
+        "percolation",
+        help="triangle (3-clique) percolation communities — overlapping "
+        "(vertex, community) membership, Palla et al. 2005",
+    )
+    p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--max-iterations", type=int, default=50)
+
+    p = sub.add_parser(
+        "agreement",
+        help="ARI + NMI between two (vertex, label) labelings "
+        "(e.g. louvain vs lpa output tables)",
+    )
+    p.add_argument("--labels-a", required=True, help="labeling A parquet path")
+    p.add_argument("--labels-b", required=True, help="labeling B parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+
+    p = sub.add_parser(
         "line-dedup",
         help="line-level boilerplate removal (CCNet/RefinedWeb): drop "
         "lines shared by >= --min-docs documents, keep the rest in order",
@@ -1301,6 +1351,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wl-kernel: value {kval or 0} over {feats.count()} color(s)")
         return 0
 
+    if args.cmd == "agreement":
+        from arxiv_citation_graph_spark.plans.agreement import partition_agreement
+
+        result = partition_agreement(
+            spark.read.parquet(args.labels_a), spark.read.parquet(args.labels_b)
+        ).localCheckpoint(eager=True)
+        catalog.create_or_replace("partition_agreement", result)
+        row = result.first()
+        print(
+            f"agreement: ari {row.ari} nmi {row.nmi} over "
+            f"{row.n_vertices} shared vertices ({row.cells} contingency cells)"
+        )
+        return 0
+
     if args.cmd == "dedup":
         from pyspark.sql import functions as F
 
@@ -2155,6 +2219,83 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"layers: {lres.n_scc} SCC(s), depth "
             f"{lres.report.iterations - 1} in {lres.report.iterations} supersteps"
+        )
+    elif args.cmd == "rwr":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.plans.layout import vertices_of
+        from arxiv_citation_graph_spark.plans.rwr import rwr_scores, rwr_topk
+
+        if args.seeds:
+            seed_rows = [(v.strip(),) for v in args.seeds.split(",") if v.strip()]
+            if not seed_rows:
+                raise SystemExit("--seeds given but contains no vertex ids")
+            seeds = spark.createDataFrame(seed_rows, ["seed"])
+        else:
+            seeds = (
+                vertices_of(edges).orderBy("vertex").limit(args.n_seeds)
+                .select(F.col("vertex").alias("seed"))
+            )
+        rres = rwr_scores(
+            spark, edges, seeds, restart=args.restart,
+            max_iterations=args.iterations, directed=args.directed,
+            store=store, resume=args.resume,
+        )
+        catalog.create_or_replace("rwr_scores", rres.scores)
+        print(
+            f"rwr: {rres.scores.count()} (seed, vertex) scores for "
+            f"{rres.n_seeds} seed(s) after {rres.report.iterations} supersteps"
+        )
+        if args.top_k is not None:
+            top = rwr_topk(
+                spark, edges, seeds, k=args.top_k, restart=args.restart,
+                max_iterations=args.iterations, directed=args.directed,
+                round_digits=9,
+            )
+            catalog.create_or_replace("rwr_topk", top)
+            print(f"rwr: top-{args.top_k} table committed ({top.count()} rows)")
+    elif args.cmd == "local-community":
+        from pyspark.sql import functions as F
+
+        from arxiv_citation_graph_spark.plans.localcom import (
+            local_community,
+            ppr_sweep,
+        )
+
+        seeds = (
+            spark.createDataFrame([(args.seed,)], ["seed"]) if args.seed else None
+        )
+        sweep = ppr_sweep(
+            spark, edges, seeds=seeds, restart=args.restart,
+            max_iterations=args.iterations,
+        ).localCheckpoint(eager=True)
+        catalog.create_or_replace("ppr_sweep", sweep)
+        community = local_community(
+            spark, edges, seeds=seeds, restart=args.restart,
+            max_iterations=args.iterations,
+        ).localCheckpoint(eager=True)
+        catalog.create_or_replace("local_community", community)
+        best = (
+            sweep.filter(F.col("conductance").isNotNull())
+            .orderBy("conductance", "pos")
+            .first()
+        )
+        print(
+            f"local-community: {community.count()} member(s), sweep support "
+            f"{sweep.count()}, best conductance "
+            f"{best.conductance if best else None}"
+        )
+    elif args.cmd == "percolation":
+        from arxiv_citation_graph_spark.plans.percolation import triangle_percolation
+
+        pres = triangle_percolation(spark, edges, max_iterations=args.max_iterations)
+        members = pres.members.localCheckpoint(eager=True)
+        catalog.create_or_replace("percolation_communities", members)
+        n_comm = members.select("community").distinct().count()
+        print(
+            f"percolation: {pres.n_triangles} triangle(s) -> {n_comm} "
+            f"communit(ies), {members.count()} (vertex, community) pair(s), "
+            f"{pres.cc_iterations} cc supersteps"
         )
     elif args.cmd == "simrank":
         from arxiv_citation_graph_spark.plans.simrank import simrank

@@ -1,0 +1,96 @@
+"""CLI surface for the RWR / local-community / percolation / agreement
+wave."""
+
+from __future__ import annotations
+
+
+def _setup(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    return str(tmp_path / "wh")
+
+
+BARBELL = [
+    ("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"), ("a2", "a4"),
+    ("a3", "a4"),
+    ("b1", "b2"), ("b1", "b3"), ("b1", "b4"), ("b2", "b3"), ("b2", "b4"),
+    ("b3", "b4"),
+    ("a4", "b1"),
+]
+
+
+def _edges_pq(spark, tmp_path):
+    path = str(tmp_path / "edges_pq")
+    spark.createDataFrame(BARBELL, ["src_id", "dst_id"]).write.parquet(path)
+    return path
+
+
+def test_cli_rwr_with_topk(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    edges_path = _edges_pq(spark, tmp_path)
+    assert cli.main(
+        ["rwr", "--edges", edges_path, "--out", wh,
+         "--seeds", "a1,b2", "--iterations", "4", "--top-k", "3"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "2 seed(s)" in out and "top-3 table committed" in out
+    cat = SnapshotCatalog(wh)
+    scores = cat.read(spark, "rwr_scores")
+    assert {r.seed for r in scores.select("seed").distinct().collect()} == {"a1", "b2"}
+    top = cat.read(spark, "rwr_topk")
+    assert top.groupBy("seed").count().first()["count"] == 3
+
+
+def test_cli_local_community(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    edges_path = _edges_pq(spark, tmp_path)
+    assert cli.main(
+        ["local-community", "--edges", edges_path, "--out", wh, "--seed", "b2"]
+    ) == 0
+    assert "best conductance" in capsys.readouterr().out
+    members = {
+        r.vertex
+        for r in SnapshotCatalog(wh).read(spark, "local_community").collect()
+    }
+    assert members == {"b1", "b2", "b3", "b4"}
+
+
+def test_cli_percolation(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    edges_path = _edges_pq(spark, tmp_path)
+    assert cli.main(["percolation", "--edges", edges_path, "--out", wh]) == 0
+    assert "8 triangle(s) -> 2" in capsys.readouterr().out
+    got = {
+        (r.vertex, r.community)
+        for r in SnapshotCatalog(wh).read(spark, "percolation_communities").collect()
+    }
+    assert got == {(v, "a1") for v in ["a1", "a2", "a3", "a4"]} | {
+        (v, "b1") for v in ["b1", "b2", "b3", "b4"]
+    }
+
+
+def test_cli_agreement(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    la = str(tmp_path / "la_pq")
+    lb = str(tmp_path / "lb_pq")
+    rows = [(f"v{i}", f"c{i % 2}") for i in range(8)]
+    spark.createDataFrame(rows, ["vertex", "community"]).write.parquet(la)
+    spark.createDataFrame(rows, ["vertex", "label"]).write.parquet(lb)
+    assert cli.main(["agreement", "--labels-a", la, "--labels-b", lb,
+                     "--out", wh]) == 0
+    assert "ari 1.0 nmi 1.0 over 8 shared vertices" in capsys.readouterr().out
+    row = SnapshotCatalog(wh).read(spark, "partition_agreement").first()
+    assert (row.ari, row.nmi) == (1.0, 1.0)
