@@ -10601,6 +10601,66 @@ def q_ppr_local_community(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# BM25 query-targeted document selection (operators/quality.py)
+# ===========================================================================
+
+_BM25_TERMS = ["join", "partition", "shuffle"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql(terms: list[str], k: int, k1: float, b: float) -> str:
+    """Okapi BM25 top-k unroll; float literals are Python reprs of the
+    exact constants the Spark side uses (operators/quality.bm25_topk)."""
+    tlist = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in terms}))
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    dt AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY doc, term),
+    dl AS (SELECT doc, CAST(sum(c) AS BIGINT) AS dl FROM dt GROUP BY doc),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+    q AS (SELECT unnest([{tlist}]) AS term),
+    qdt AS (SELECT dt.* FROM dt JOIN q USING (term)),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM qdt GROUP BY term),
+    scored AS (
+      SELECT doc,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * ((c * {k1 + 1.0!r}) / (c + {k1!r} * ({1.0 - b!r} + {b!r}
+                * (dl / (CAST(tot AS DOUBLE) / n_docs))))) AS ts
+      FROM qdt JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN stats
+    )
+    SELECT doc AS doc_id, round(sum(ts), 6) AS bm25
+    FROM scored GROUP BY doc
+    ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
+    """
+
+
+@register("bm25_topk", _bm25_sql(_BM25_TERMS, 10, _BM25_K1, _BM25_B))
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed bag-of-terms query — the
+    query-targeted corpus-selection primitive (operators/quality.py);
+    score rounded before the cut, doc-id tie-break."""
+    from arxiv_citation_graph_spark.operators.quality import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        _BM25_TERMS,
+        k=10,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    ).withColumnRenamed("doc", "doc_id")
+
+
+# ===========================================================================
 # Triangle percolation communities (plans/percolation.py)
 # ===========================================================================
 

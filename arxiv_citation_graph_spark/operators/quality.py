@@ -537,3 +537,86 @@ def bigram_backoff_logscore(
             ),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under Okapi BM25
+    (Robertson & Walker 1994; the Lucene ``ln(1 + ...)`` idf variant):
+
+        idf(t)     = ln(1 + (D - df + 0.5) / (df + 0.5))
+        score(d)   = sum_t idf(t) * c*(k1+1) / (c + k1*(1 - b + b*dl/avgdl))
+
+    with raw within-doc count ``c``, doc length ``dl`` (whitespace
+    tokens, lowercased — the tfidf_top_terms tokenization), corpus size
+    ``D`` and mean length ``avgdl``.  This is the query-targeted data
+    SELECTION primitive (pull the benchmark-domain slice of a corpus)
+    that complements DSIR's distribution-matching resampling.
+
+    Determinism: the per-doc score is rounded to 6 digits BEFORE the
+    top-k ordering (a cross-engine term-summation ulp must not flip the
+    cut — the tfidf_top_terms rationale) with doc id as tie-break.
+    Docs containing NO query term are excluded (score 0 by definition).
+
+    Plan shape at 100 TB: the ``(doc, term) -> count`` aggregate is
+    checkpointed once for its three consumers (doc lengths, query-term
+    document frequencies, scoring); the query-term join BROADCASTS the
+    query (it is human-query-sized); corpus stats ride a 1-row
+    broadcast; the final top-k is TakeOrderedAndProject, never a global
+    sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = sorted({t.lower() for t in query_terms if t and t.strip()})
+    if not terms:
+        raise ValueError("bm25_topk: query_terms must contain at least one term")
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    dt = (
+        toks.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    dl = dt.groupBy("doc").agg(F.sum("c").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot")
+    )
+    qt = df.sparkSession.createDataFrame([(t,) for t in terms], ["term"])
+    qdt = dt.join(F.broadcast(qt), "term")
+    dfreq = qdt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("c") * F.lit(k1 + 1.0)) / (
+        F.col("c")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * (F.col("dl") / (F.col("tot").cast("double") / F.col("n_docs")))
+        )
+    )
+    scored = (
+        qdt.join(dfreq, "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select("doc", (idf * tf_part).alias("ts"))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(F.round(F.sum("ts"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc").asc())
+        .limit(k)
+    )

@@ -1,0 +1,78 @@
+"""BM25 top-k (operators/quality.py) vs a pure-Python Okapi reference,
+plus exclusion/validation semantics."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from arxiv_citation_graph_spark.operators.quality import bm25_topk
+
+K1, B = 1.2, 0.75
+
+DOCS = [
+    (1, "spark join shuffle join partition scan"),
+    (2, "filter scan value table row batch"),
+    (3, "join join join window agg partition"),
+    (4, "shuffle partition shuffle partition shuffle"),
+    (5, "the quick brown fox jumps over lazy dog"),
+]
+
+
+def _ref_bm25(docs, terms, k):
+    terms = sorted({t.lower() for t in terms})
+    tf = {d: Counter(t.lower().split()) for d, t in docs}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    dfreq = {t: sum(1 for c in tf.values() if t in c) for t in terms}
+    scores = {}
+    for d, c in tf.items():
+        s = 0.0
+        for t in terms:
+            if c[t] == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (c[t] * (K1 + 1.0)) / (
+                c[t] + K1 * (1.0 - B + B * (dl[d] / avgdl))
+            )
+        if s > 0.0:
+            scores[d] = round(s, 6)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ranked
+
+
+def test_bm25_matches_reference(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = [
+        (r.doc, r.bm25)
+        for r in bm25_topk(df, "doc_id", "text",
+                           ["join", "shuffle", "partition"], k=3).collect()
+    ]
+    assert got == _ref_bm25(DOCS, ["join", "shuffle", "partition"], 3)
+
+
+def test_bm25_excludes_docs_without_query_terms(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {r.doc for r in bm25_topk(df, "doc_id", "text", ["join"], k=10).collect()}
+    assert got == {1, 3}  # docs 2, 4, 5 contain no 'join'
+
+
+def test_bm25_unknown_term_contributes_nothing(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    base = {(r.doc, r.bm25) for r in
+            bm25_topk(df, "doc_id", "text", ["shuffle"], k=10).collect()}
+    plus = {(r.doc, r.bm25) for r in
+            bm25_topk(df, "doc_id", "text", ["shuffle", "zzzmissing"],
+                      k=10).collect()}
+    assert base == plus
+
+
+def test_bm25_validation(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="at least one term"):
+        bm25_topk(df, "doc_id", "text", ["  "])
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(df, "doc_id", "text", ["join"], k=0)
