@@ -212,6 +212,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--directed", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument(
+        "--weight", default=None,
+        help="edge-weight column -> walker leaves proportionally to weight",
+    )
+    p.add_argument(
         "--top-k", type=int, default=None,
         help="also commit the per-seed top-k related vertices (serving shape)",
     )
@@ -1950,7 +1954,7 @@ def main(argv: list[str] | None = None) -> int:
         job = f"bfs-landmarks{args.landmarks}"
     if args.cmd == "walks" and (args.p is not None or args.q is not None):
         job = "walks-node2vec"  # extra `prev` state column vs uniform walks
-    if args.cmd == "walks" and args.weight:
+    if args.cmd in ("walks", "rwr") and args.weight:
         # weighted runs are a different corpus: don't clobber (or falsely
         # resume) an unweighted checkpoint under the same job name
         job = f"{job}-weighted"
@@ -2239,7 +2243,7 @@ def main(argv: list[str] | None = None) -> int:
         rres = rwr_scores(
             spark, edges, seeds, restart=args.restart,
             max_iterations=args.iterations, directed=args.directed,
-            store=store, resume=args.resume,
+            weight=args.weight, store=store, resume=args.resume,
         )
         catalog.create_or_replace("rwr_scores", rres.scores)
         print(
@@ -2250,7 +2254,7 @@ def main(argv: list[str] | None = None) -> int:
             top = rwr_topk(
                 spark, edges, seeds, k=args.top_k, restart=args.restart,
                 max_iterations=args.iterations, directed=args.directed,
-                round_digits=9,
+                weight=args.weight, round_digits=9,
             )
             catalog.create_or_replace("rwr_topk", top)
             print(f"rwr: top-{args.top_k} table committed ({top.count()} rows)")

@@ -10495,6 +10495,84 @@ def q_rwr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Weighted batch RWR (plans/rwr.py, weight= mode)
+# ===========================================================================
+
+_WRWR_SEED_SQL = "(CAST(substr(vertex, 2) AS INTEGER) % 17) = 0"
+
+
+def _rwr_weighted_unrolled_sql(iters: int, restart: float) -> str:
+    """Weighted batch RWR over the symmetrized md5-weighted co-supply
+    graph: contributions scaled ``((mass / out_w) * w) * (1-c)`` —
+    plans/rwr.py weight= mode.  Weights are integers 1..4, so the
+    out-weight sums are exact doubles in both engines."""
+    d = 1.0 - restart
+    ctes = [
+        f"raw AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        f"wraw AS MATERIALIZED (SELECT src_id, dst_id, "
+        f"CAST({_EDGE_WEIGHT_SQL} AS DOUBLE) AS w FROM raw)",
+        "edges AS MATERIALIZED (SELECT src_id, dst_id, w FROM wraw "
+        "UNION ALL SELECT dst_id, src_id, w FROM wraw)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM edges "
+        "UNION SELECT dst_id FROM edges)",
+        "outd AS MATERIALIZED (SELECT src_id, sum(w) AS out_deg "
+        "FROM edges GROUP BY src_id)",
+        "dang AS MATERIALIZED (SELECT vertex FROM verts "
+        "WHERE vertex NOT IN (SELECT src_id FROM edges))",
+        f"seeds AS MATERIALIZED (SELECT vertex AS seed FROM verts WHERE {_WRWR_SEED_SQL})",
+        "r0 AS MATERIALIZED (SELECT seed, seed AS vertex, 1.0 AS mass FROM seeds)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT seed, coalesce(sum(mass), 0.0) AS dm "
+            f"FROM r{p} WHERE vertex IN (SELECT vertex FROM dang) GROUP BY seed)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT seed, vertex, sum(mass) AS mass FROM ("
+            f"SELECT r.seed, e.dst_id AS vertex, "
+            f"((r.mass / o.out_deg) * e.w) * {d!r} AS mass "
+            f"FROM edges e JOIN r{p} r ON e.src_id = r.vertex "
+            f"JOIN outd o ON e.src_id = o.src_id "
+            f"UNION ALL "
+            f"SELECT s.seed, s.seed AS vertex, {restart!r} + {d!r} * coalesce(dd.dm, 0.0) "
+            f"FROM seeds s LEFT JOIN d{k} dd ON s.seed = dd.seed"
+            f") GROUP BY seed, vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT seed, vertex, round(mass, 9) AS score FROM r{iters}"
+    )
+
+
+@register("rwr_weighted", _rwr_weighted_unrolled_sql(_RWR_ITERS, _RWR_RESTART))
+def q_rwr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weight-biased batch RWR from every 17th-key supplier of the
+    undirected md5-weighted co-supply graph — the walker leaves each
+    vertex proportionally to edge weight (plans/rwr.py weight= mode)."""
+    from arxiv_citation_graph_spark.plans.layout import vertices_of
+    from arxiv_citation_graph_spark.plans.rwr import rwr_scores
+
+    edges = weighted_cosupply_edges(spark, sf_dir)
+    seeds = (
+        vertices_of(edges)
+        .filter(F.substring("vertex", 2, 100).cast("int") % 17 == 0)
+        .select(F.col("vertex").alias("seed"))
+    )
+    res = rwr_scores(
+        spark,
+        edges,
+        seeds,
+        restart=_RWR_RESTART,
+        max_iterations=_RWR_ITERS,
+        directed=False,
+        weight="weight",
+    )
+    return res.scores.select("seed", "vertex", F.round("score", 9).alias("score"))
+
+
+# ===========================================================================
 # PPR sweep-cut local community (plans/localcom.py)
 # ===========================================================================
 

@@ -85,6 +85,7 @@ def rwr_scores(
     restart: float = 0.15,
     max_iterations: int = 6,
     directed: bool = True,
+    weight: str | None = None,
     store: CheckpointStore | None = None,
     resume: bool = False,
 ) -> RwrResult:
@@ -95,28 +96,56 @@ def rwr_scores(
     collected; a million-seed batch is one more state key.  Seeds that
     are not vertices of the graph raise (a silent empty result would
     read as "nothing related").  ``directed=False`` symmetrizes.
+    ``weight`` names a strictly positive edge-weight column: the walker
+    leaves a vertex proportionally to edge weight instead of uniformly
+    (duplicate (src, dst) rows collapse by weight SUM — the weighted
+    PageRank convention); null/NaN/non-positive weights fail fast, and
+    the resume signature fingerprints the weight VALUES so a resume
+    onto reweighted edges refuses.
     """
     if not 0.0 < restart < 1.0:
         raise ValueError(f"rwr_scores: restart must be in (0, 1), got {restart}")
     damping = 1.0 - restart
+    weighted = weight is not None
 
-    directed_edges = edges.select("src_id", "dst_id")
+    directed_edges = edges.select(
+        "src_id", "dst_id", *([F.col(weight).cast("double").alias("_w")] if weighted else [])
+    )
     if not directed:
         directed_edges = directed_edges.unionByName(
-            edges.select(
-                F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+            directed_edges.select(
+                F.col("dst_id").alias("src_id"),
+                F.col("src_id").alias("dst_id"),
+                *(["_w"] if weighted else []),
             )
         )
-    simple = (
-        directed_edges.filter(F.col("src_id") != F.col("dst_id")).distinct()
-    )
-    # out-degree precomputed INTO the cached adjacency: the hot loop is
-    # then a single equi-join per superstep (the division itself stays
-    # (mass / out_deg) * damping — the exact per-term float expression
-    # the DuckDB oracle replays)
-    out_deg = simple.groupBy("src_id").agg(
-        F.count(F.lit(1)).cast("double").alias("out_deg")
-    )
+    no_loops = directed_edges.filter(F.col("src_id") != F.col("dst_id"))
+    if weighted:
+        wagg = no_loops.agg(
+            F.min("_w").alias("wmin"),
+            F.sum(
+                F.when(F.col("_w").isNull() | F.isnan("_w"), 1).otherwise(0)
+            ).alias("wbad"),
+        ).first()
+        if wagg["wbad"] is not None and int(wagg["wbad"]) > 0:
+            raise ValueError(
+                f"rwr_scores: {wagg['wbad']} edges have null/NaN weight in "
+                f"column {weight!r}; weights must be positive"
+            )
+        if wagg["wmin"] is not None and float(wagg["wmin"]) <= 0.0:
+            raise ValueError(
+                f"rwr_scores: min({weight}) = {wagg['wmin']} — edge weights "
+                "must be strictly positive"
+            )
+        simple = no_loops.groupBy("src_id", "dst_id").agg(F.sum("_w").alias("_w"))
+    else:
+        simple = no_loops.distinct()
+    # out-degree (weighted: out-weight sum) precomputed INTO the cached
+    # adjacency: the hot loop is then a single equi-join per superstep
+    # (the division itself stays (mass / out_deg) [* w] * damping — the
+    # exact per-term float expressions the DuckDB oracle replays)
+    out_agg = F.sum("_w") if weighted else F.count(F.lit(1)).cast("double")
+    out_deg = simple.groupBy("src_id").agg(out_agg.alias("out_deg"))
     adj = (
         simple.join(out_deg, "src_id")
         .repartition(spark.sparkContext.defaultParallelism, "src_id")
@@ -152,16 +181,28 @@ def rwr_scores(
     ).select("vertex").cache()
     dang.count()
 
-    fp_row = adj.agg(F.expr("bit_xor(xxhash64(src_id, dst_id))")).first()
+    fp_exprs = [F.expr("bit_xor(xxhash64(src_id, dst_id))")]
+    if weighted:
+        # fingerprint the weight VALUES too: same pairs, different
+        # weights is a different run (the weighted-PageRank guard)
+        fp_exprs.append(F.expr("bit_xor(xxhash64(src_id, dst_id, _w))"))
+    fp_row = adj.agg(*fp_exprs).first()
     edge_fp = int(fp_row[0]) if fp_row[0] is not None else 0
+    weight_fp = int(fp_row[1]) if weighted and fp_row[1] is not None else 0
     sfp_row = seed_frame.agg(F.expr("bit_xor(xxhash64(seed))")).first()
     seed_fp = int(sfp_row[0]) if sfp_row[0] is not None else 0
+
+    contrib_expr = (
+        ((F.col("mass") / F.col("out_deg")) * F.col("_w")) * F.lit(damping)
+        if weighted
+        else (F.col("mass") / F.col("out_deg")) * F.lit(damping)
+    )
 
     def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
         contrib = state.join(adj, state.vertex == adj.src_id).select(
             "seed",
             F.col("dst_id").alias("vertex"),
-            ((F.col("mass") / F.col("out_deg")) * F.lit(damping)).alias("mass"),
+            contrib_expr.alias("mass"),
         )
         dang_mass = (
             state.join(dang, "vertex", "left_semi")
@@ -203,8 +244,10 @@ def rwr_scores(
                 "n_seeds": k,
                 "edge_fp": edge_fp,
                 "seed_fp": seed_fp,
+                "weight_fp": weight_fp,
                 "restart": restart,
                 "directed": directed,
+                "weighted": weighted,
                 "kernel": "rwr",
             },
         )
@@ -225,6 +268,7 @@ def rwr_topk(
     restart: float = 0.15,
     max_iterations: int = 6,
     directed: bool = True,
+    weight: str | None = None,
     round_digits: int | None = None,
 ) -> DataFrame:
     """Top-``k`` related vertices per seed (the serving shape): RWR
@@ -244,6 +288,7 @@ def rwr_topk(
         restart=restart,
         max_iterations=max_iterations,
         directed=directed,
+        weight=weight,
     )
     scores = res.scores
     if round_digits is not None:

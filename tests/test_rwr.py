@@ -151,3 +151,101 @@ def test_empty_seed_frame_returns_empty(spark):
     res = rwr_scores(spark, _edges(spark, [("a", "b")]), _seeds(spark, []))
     assert res.scores.count() == 0
     assert res.n_seeds == 0
+
+
+# --- weighted mode ----------------------------------------------------------
+
+
+def _reference_wrwr(rows, seeds, iters, restart=RESTART, directed=True):
+    """Weighted replay: walker leaves proportionally to edge weight;
+    duplicate (u, v) rows collapse by weight sum."""
+    w: dict[tuple[str, str], float] = {}
+    for u, v, wt in rows:
+        if u != v:
+            w[(u, v)] = w.get((u, v), 0.0) + wt
+            if not directed:
+                w[(v, u)] = w.get((v, u), 0.0) + wt
+    outw: dict[str, float] = {}
+    out: dict[str, list[tuple[str, float]]] = {}
+    for (u, v), wt in w.items():
+        outw[u] = outw.get(u, 0.0) + wt
+        out.setdefault(u, []).append((v, wt))
+    state = {s: {s: 1.0} for s in seeds}
+    d = 1.0 - restart
+    for _ in range(iters):
+        new: dict[str, dict[str, float]] = {}
+        for s, masses in state.items():
+            acc: dict[str, float] = {}
+            dang = 0.0
+            for v, m in masses.items():
+                if v not in out:
+                    dang += m
+                    continue
+                for nbr, wt in out[v]:
+                    acc[nbr] = acc.get(nbr, 0.0) + (m / outw[v]) * wt * d
+            acc[s] = acc.get(s, 0.0) + restart + d * dang
+            new[s] = acc
+        state = new
+    return state
+
+
+W_ROWS = [
+    ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0), ("c", "a", 1.0),
+    ("c", "d", 4.0), ("d", "a", 1.0), ("b", "d", 1.0),
+]
+
+
+def test_weighted_matches_reference(spark):
+    df = spark.createDataFrame(W_ROWS, "src_id string, dst_id string, weight double")
+    res = rwr_scores(spark, df, _seeds(spark, ["a"]), max_iterations=4,
+                     weight="weight")
+    got = _collect(res)
+    ref = _reference_wrwr(W_ROWS, ["a"], 4)
+    assert set(got) == {("a", v) for v in ref["a"]}
+    for (s, v), m in got.items():
+        assert m == pytest.approx(ref[s][v], abs=1e-12)
+
+
+def test_weighted_duplicate_rows_collapse_by_sum(spark):
+    dup = W_ROWS + [("a", "b", 2.0)]  # a->b total weight 5
+    df = spark.createDataFrame(dup, "src_id string, dst_id string, weight double")
+    res = rwr_scores(spark, df, _seeds(spark, ["a"]), max_iterations=3,
+                     weight="weight")
+    ref = _reference_wrwr(dup, ["a"], 3)
+    for (s, v), m in _collect(res).items():
+        assert m == pytest.approx(ref[s][v], abs=1e-12)
+
+
+def test_weighted_mass_conserved_per_seed(spark):
+    df = spark.createDataFrame(W_ROWS, "src_id string, dst_id string, weight double")
+    res = rwr_scores(spark, df, _seeds(spark, ["a", "b"]), max_iterations=5,
+                     weight="weight", directed=False)
+    totals = {}
+    for (s, _), m in _collect(res).items():
+        totals[s] = totals.get(s, 0.0) + m
+    assert totals["a"] == pytest.approx(1.0, abs=1e-9)
+    assert totals["b"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_bad_weights_fail_fast(spark):
+    bad = [("a", "b", 0.0), ("b", "a", 1.0)]
+    df = spark.createDataFrame(bad, "src_id string, dst_id string, weight double")
+    with pytest.raises(ValueError, match="strictly positive"):
+        rwr_scores(spark, df, _seeds(spark, ["a"]), weight="weight")
+    nan = [("a", "b", float("nan")), ("b", "a", 1.0)]
+    df2 = spark.createDataFrame(nan, "src_id string, dst_id string, weight double")
+    with pytest.raises(ValueError, match="null/NaN"):
+        rwr_scores(spark, df2, _seeds(spark, ["a"]), weight="weight")
+
+
+def test_uniform_weights_match_unweighted(spark):
+    rows = [(u, v) for u, v, _ in W_ROWS]
+    df_u = _edges(spark, rows)
+    df_w = spark.createDataFrame([(u, v, 2.5) for u, v in rows],
+                                 "src_id string, dst_id string, weight double")
+    got_u = _collect(rwr_scores(spark, df_u, _seeds(spark, ["a"]), max_iterations=4))
+    got_w = _collect(rwr_scores(spark, df_w, _seeds(spark, ["a"]), max_iterations=4,
+                                weight="weight"))
+    assert set(got_u) == set(got_w)
+    for kv, m in got_u.items():
+        assert got_w[kv] == pytest.approx(m, abs=1e-12)
