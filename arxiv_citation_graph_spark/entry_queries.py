@@ -10739,6 +10739,55 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Reciprocal-rank fusion (operators/fusion.py)
+# ===========================================================================
+
+
+@register(
+    "rrf_hybrid",
+    f"""
+WITH lex AS MATERIALIZED ({_bm25_sql(_BM25_TERMS, 50, _BM25_K1, _BM25_B)}),
+lexr AS (SELECT doc_id AS doc,
+                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS pos
+         FROM lex),
+sem AS MATERIALIZED ({_brute_topk_sql(20)}),
+semr AS (SELECT neighbor_id AS doc, rank AS pos FROM sem WHERE query_id = 0),
+terms AS (SELECT doc, 1.0 / (60 + pos) AS term FROM lexr
+          UNION ALL SELECT doc, 1.0 / (60 + pos) FROM semr)
+SELECT doc, round(sum(term), 9) AS rrf FROM terms GROUP BY doc
+ORDER BY rrf DESC, doc ASC LIMIT 10
+""",
+)
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF-fuse the BM25 lexical top-50 with the
+    embedding cosine top-20 around query vector 0 (the embeddings table
+    keys the same corpus) — rank-only fusion, no score calibration
+    (operators/fusion.py)."""
+    from pyspark.sql import Window
+
+    from arxiv_citation_graph_spark.operators.fusion import rrf_fuse
+    from arxiv_citation_graph_spark.operators.quality import bm25_topk
+    from arxiv_citation_graph_spark.operators.simsearch import brute_force_topk
+
+    lex = bm25_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        _BM25_TERMS, k=50, k1=_BM25_K1, b=_BM25_B,
+    ).select(
+        "doc",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc").asc()))
+        .alias("pos"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=20)
+        .filter(F.col("query_id") == 0)
+        .select(F.col("neighbor_id").alias("doc"), F.col("rank").alias("pos"))
+    )
+    return rrf_fuse([lex, sem], k=10)
+
+
+# ===========================================================================
 # Triangle percolation communities (plans/percolation.py)
 # ===========================================================================
 

@@ -1,0 +1,60 @@
+"""Rank fusion: reciprocal-rank fusion (RRF) of retriever outputs.
+
+Cormack, Clarke & Buettcher 2009 (*Reciprocal rank fusion outperforms
+Condorcet and individual rank learning methods*, SIGIR): given rankings
+R_1..R_m of (some of) the same items,
+
+    rrf(d) = sum_i 1 / (c + pos_i(d))     (items absent from R_i add 0)
+
+with the standard c = 60.  This is the hybrid-retrieval combiner — in a
+training-data pipeline it fuses the lexical (BM25) and semantic
+(embedding cosine) views of "documents relevant to X" without score
+calibration, since it only consumes RANKS.
+
+Plan shape: each ranking contributes |R_i| rows (retriever top-k sized,
+NOT corpus sized) to one union; one map-side-combined groupBy(doc) sum;
+final top-k is TakeOrderedAndProject.  Determinism: each term is a
+single IEEE divide of exact integers, the per-doc sum is rounded to 9
+digits before the cut, doc id breaks ties.
+
+Reference parity: the reference engine has no retrieval tier;
+beyond-reference capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 10, c: int = 60) -> DataFrame:
+    """Fuse ``rankings`` — each a DataFrame whose FIRST column is the
+    item id and SECOND column its 1-based rank position — into the
+    top-``k`` ``(doc, rrf)`` table."""
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking is required")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if c < 0:
+        raise ValueError(f"c must be >= 0, got {c}")
+    parts = []
+    for r in rankings:
+        if len(r.columns) < 2:
+            raise ValueError(
+                f"rrf_fuse: ranking needs (id, pos) columns, got {r.columns}"
+            )
+        parts.append(
+            r.select(
+                F.col(r.columns[0]).alias("doc"),
+                (F.lit(1.0) / (F.lit(c) + F.col(r.columns[1]))).alias("term"),
+            )
+        )
+    allterms = parts[0]
+    for p in parts[1:]:
+        allterms = allterms.unionByName(p)
+    return (
+        allterms.groupBy("doc")
+        .agg(F.round(F.sum("term"), 9).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc").asc())
+        .limit(k)
+    )

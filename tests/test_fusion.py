@@ -1,0 +1,52 @@
+"""Reciprocal-rank fusion (operators/fusion.py) vs hand-computed RRF."""
+
+from __future__ import annotations
+
+import pytest
+
+from arxiv_citation_graph_spark.operators.fusion import rrf_fuse
+
+
+def _rank_df(spark, pairs, id_col="doc", pos_col="pos"):
+    return spark.createDataFrame(pairs, [id_col, pos_col])
+
+
+def test_rrf_matches_hand_computation(spark):
+    a = _rank_df(spark, [("x", 1), ("y", 2), ("z", 3)])
+    b = _rank_df(spark, [("y", 1), ("w", 2), ("x", 3)])
+    got = {r.doc: r.rrf for r in rrf_fuse([a, b], k=4).collect()}
+    exp = {
+        "x": round(1.0 / 61 + 1.0 / 63, 9),
+        "y": round(1.0 / 62 + 1.0 / 61, 9),
+        "z": round(1.0 / 63, 9),
+        "w": round(1.0 / 62, 9),
+    }
+    assert got == exp
+
+
+def test_rrf_order_and_cut(spark):
+    a = _rank_df(spark, [("x", 1), ("y", 2)])
+    b = _rank_df(spark, [("y", 1), ("x", 2)])
+    rows = rrf_fuse([a, b], k=1).collect()
+    # x and y have symmetric scores -> equal rrf; doc asc breaks the tie
+    assert [(r.doc,) for r in rows] == [("x",)]
+
+
+def test_rrf_column_name_agnostic(spark):
+    a = _rank_df(spark, [(1, 1), (2, 2)], id_col="neighbor_id", pos_col="rank")
+    b = _rank_df(spark, [(2, 1)], id_col="doc_id", pos_col="position")
+    got = {r.doc: r.rrf for r in rrf_fuse([a, b], k=3, c=0).collect()}
+    assert got == {2: round(0.5 + 1.0, 9), 1: 1.0}
+
+
+def test_rrf_validation(spark):
+    a = _rank_df(spark, [("x", 1)])
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse([a], k=0)
+    with pytest.raises(ValueError, match="c must be"):
+        rrf_fuse([a], c=-1)
+    bad = a.select("doc")
+    with pytest.raises(ValueError, match=r"\(id, pos\) columns"):
+        rrf_fuse([bad])
