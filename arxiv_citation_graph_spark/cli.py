@@ -233,12 +233,20 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser(
         "percolation",
-        help="triangle (3-clique) percolation communities — overlapping "
+        help="k-clique percolation communities — overlapping "
         "(vertex, community) membership, Palla et al. 2005",
     )
     p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
     p.add_argument("--out", required=True, help="warehouse root")
     p.add_argument("--max-iterations", type=int, default=50)
+    p.add_argument(
+        "--k",
+        type=int,
+        choices=(3, 4),
+        default=3,
+        help="clique size (3 = triangles welded on edges, "
+        "4 = K4s welded on triangle faces)",
+    )
 
     p = sub.add_parser(
         "agreement",
@@ -2290,14 +2298,19 @@ def main(argv: list[str] | None = None) -> int:
             f"{best.conductance if best else None}"
         )
     elif args.cmd == "percolation":
-        from arxiv_citation_graph_spark.plans.percolation import triangle_percolation
+        from arxiv_citation_graph_spark.plans.percolation import (
+            clique4_percolation,
+            triangle_percolation,
+        )
 
-        pres = triangle_percolation(spark, edges, max_iterations=args.max_iterations)
+        kind = "K4" if args.k == 4 else "triangle"
+        runner = clique4_percolation if args.k == 4 else triangle_percolation
+        pres = runner(spark, edges, max_iterations=args.max_iterations)
         members = pres.members.localCheckpoint(eager=True)
         catalog.create_or_replace("percolation_communities", members)
         n_comm = members.select("community").distinct().count()
         print(
-            f"percolation: {pres.n_triangles} triangle(s) -> {n_comm} "
+            f"percolation: {pres.n_cliques} {kind}(s) -> {n_comm} "
             f"communit(ies), {members.count()} (vertex, community) pair(s), "
             f"{pres.cc_iterations} cc supersteps"
         )

@@ -10858,6 +10858,75 @@ def q_percolation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_percolation(spark, cosupply_edges(spark, sf_dir)).members
 
 
+def _percolation4_sql(iters: int) -> str:
+    """Unrolled Palla k=4 percolation: lexicographic K4 join (the
+    CLIQUE4_SQL enumeration), bipartite quad<->triangle-face incidence
+    graph, hash-min CC unroll, min-member community rename
+    (plans/percolation.py clique4_percolation)."""
+    faces = [("x", "y", "z"), ("x", "y", "w"), ("x", "z", "w"), ("y", "z", "w")]
+    bip_parts = " UNION ALL ".join(
+        "SELECT 'Q:' || x || '|' || y || '|' || z || '|' || w AS src_id, "
+        f"'F:' || {f1} || '|' || {f2} || '|' || {f3} AS dst_id FROM quad"
+        for f1, f2, f3 in faces
+    )
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS u, "
+        "greatest(src_id, dst_id) AS v FROM cos WHERE src_id <> dst_id)",
+        "quad AS MATERIALIZED ("
+        "SELECT e1.u AS x, e1.v AS y, e2.v AS z, e4.v AS w "
+        "FROM und e1 "
+        "JOIN und e2 ON e2.u = e1.v "
+        "JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v "
+        "JOIN und e4 ON e4.u = e2.v "
+        "JOIN und e5 ON e5.u = e1.u AND e5.v = e4.v "
+        "JOIN und e6 ON e6.u = e1.v AND e6.v = e4.v)",
+        f"bip AS MATERIALIZED ({bip_parts})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM bip "
+        "UNION SELECT dst_id, src_id FROM bip)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym "
+        "UNION SELECT dst_id FROM sym)",
+        "l0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"least(v.component, coalesce(m.nbr, v.component)) AS component "
+            f"FROM l{p} v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, min(l.component) AS nbr "
+            f"FROM sym e JOIN l{p} l ON e.src_id = l.vertex GROUP BY e.dst_id"
+            f") m ON v.vertex = m.vertex)"
+        )
+    qnode = "'Q:' || q.x || '|' || q.y || '|' || q.z || '|' || q.w"
+    mem_parts = " UNION ".join(
+        f"SELECT q.{c} AS vertex, l.component FROM quad q "
+        f"JOIN l{iters} l ON l.vertex = {qnode}"
+        for c in ("x", "y", "z", "w")
+    )
+    ctes += [
+        f"mem AS MATERIALIZED ({mem_parts})",
+        "ren AS (SELECT component, min(vertex) AS community FROM mem "
+        "GROUP BY component)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT m.vertex, r.community FROM mem m JOIN ren r USING (component)"
+    )
+
+
+@register("clique4_percolation", _percolation4_sql(_PERC_ITERS))
+def q_clique4_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping k=4 clique-percolation communities of the co-supply
+    graph (plans/percolation.py clique4_percolation): two K4s weld when
+    they share a triangle; distinct (vertex, community) pairs,
+    community = min member vertex id."""
+    from arxiv_citation_graph_spark.plans.percolation import clique4_percolation
+
+    return clique4_percolation(spark, cosupply_edges(spark, sf_dir)).members
+
+
 # ===========================================================================
 # Partition-agreement metrics (plans/agreement.py)
 # ===========================================================================

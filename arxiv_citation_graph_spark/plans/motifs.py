@@ -77,17 +77,12 @@ def _oriented(und: DataFrame) -> DataFrame:
     )
 
 
-def four_clique_counts(spark: SparkSession, edges: DataFrame) -> Clique4Result:
-    """Per-vertex K4 participation counts over the simple undirected
-    graph derived from ``edges(src_id, dst_id)`` (the triangle-census
-    conventions: duplicates collapse, self-loops drop, every vertex of
-    the graph appears in the result, zero included)."""
+def enumerate_4cliques(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """All K4s of the simple undirected graph as ``(a, b, c, d)`` in
+    ascending DEGREE-RANK order, each exactly once (the Chiba-Nishizeki
+    orientation: oriented triangles extended by the top corner's
+    oriented out-edges, closed against the other two corners)."""
     und = _simple_undirected(edges)
-    verts = (
-        und.select(F.col("u").alias("vertex"))
-        .unionByName(und.select(F.col("v").alias("vertex")))
-        .distinct()
-    )
     ori = _oriented(und).localCheckpoint(eager=True)
     e_ab = ori.select(F.col("a"), F.col("b"), F.col("rnk_b"))
     # oriented triangles a->b, a->c, b->c with rank(b) < rank(c)
@@ -109,7 +104,7 @@ def four_clique_counts(spark: SparkSession, edges: DataFrame) -> Clique4Result:
         .localCheckpoint(eager=True)
     )
     # extend by c's oriented out-edges, close against a and b
-    quads = (
+    return (
         tri.join(
             ori.select(F.col("a").alias("c"), F.col("b").alias("d")), "c"
         )
@@ -121,7 +116,22 @@ def four_clique_counts(spark: SparkSession, edges: DataFrame) -> Clique4Result:
             ["b", "d"],
             "left_semi",
         )
+        .select("a", "b", "c", "d")
     )
+
+
+def four_clique_counts(spark: SparkSession, edges: DataFrame) -> Clique4Result:
+    """Per-vertex K4 participation counts over the simple undirected
+    graph derived from ``edges(src_id, dst_id)`` (the triangle-census
+    conventions: duplicates collapse, self-loops drop, every vertex of
+    the graph appears in the result, zero included)."""
+    und = _simple_undirected(edges)
+    verts = (
+        und.select(F.col("u").alias("vertex"))
+        .unionByName(und.select(F.col("v").alias("vertex")))
+        .distinct()
+    )
+    quads = enumerate_4cliques(spark, edges)
     corners = (
         quads.select(F.col("a").alias("vertex"))
         .unionAll(quads.select(F.col("b").alias("vertex")))

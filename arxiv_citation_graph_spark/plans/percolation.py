@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 @dataclass
 class PercolationResult:
     members: DataFrame  # (vertex, community) — overlapping, distinct pairs
-    n_triangles: int
+    n_cliques: int  # k-cliques enumerated (triangles for k=3, K4s for k=4)
     cc_iterations: int
 
 
@@ -118,6 +118,64 @@ def enumerate_triangles(spark: SparkSession, edges: DataFrame) -> DataFrame:
         return tri.localCheckpoint(eager=True)
     finally:
         ranked.unpersist()
+
+
+def clique4_percolation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 50,
+) -> PercolationResult:
+    """Overlapping k=4 clique-percolation communities: two K4s are
+    adjacent when they share a TRIANGLE (k-1 = 3 vertices); communities
+    are components of that relation.  Same bipartite trick as k=3, one
+    level up — each K4 contributes 4 incidence rows to its triangle-
+    face nodes (never the C(t,2) pairwise K4 adjacency), and hash-min
+    CC runs on the incidence graph.  Output: distinct
+    ``(vertex, community)`` pairs, community = min member vertex id."""
+    from arxiv_citation_graph_spark.plans.components import connected_components
+    from arxiv_citation_graph_spark.plans.motifs import enumerate_4cliques
+
+    # lex-sorted corner ids (enumerate_4cliques orders by degree rank)
+    quads = (
+        enumerate_4cliques(spark, edges)
+        .select(F.array_sort(F.array("a", "b", "c", "d")).alias("q"))
+        .select(
+            F.col("q")[0].alias("x"),
+            F.col("q")[1].alias("y"),
+            F.col("q")[2].alias("z"),
+            F.col("q")[3].alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_quads = quads.count()
+    if n_quads == 0:
+        empty = spark.createDataFrame([], "vertex string, community string")
+        return PercolationResult(empty, 0, 0)
+
+    qid = F.concat_ws("|", "x", "y", "z", "w")
+    faces = [("x", "y", "z"), ("x", "y", "w"), ("x", "z", "w"), ("y", "z", "w")]
+    bip = None
+    for f1, f2, f3 in faces:
+        part = quads.select(
+            F.concat(F.lit("Q:"), qid).alias("src_id"),
+            F.concat(F.lit("F:"), F.concat_ws("|", f1, f2, f3)).alias("dst_id"),
+        )
+        bip = part if bip is None else bip.unionByName(part)
+    cc = connected_components(spark, bip, max_iterations=max_iterations)
+    qlabels = cc.components.filter(F.col("vertex").startswith("Q:")).select(
+        F.col("vertex").alias("qnode"), F.col("component")
+    )
+    keyed = quads.withColumn("qnode", F.concat(F.lit("Q:"), qid)).join(
+        qlabels, "qnode"
+    )
+    mem = None
+    for corner in ("x", "y", "z", "w"):
+        part = keyed.select(F.col(corner).alias("vertex"), "component")
+        mem = part if mem is None else mem.unionByName(part)
+    mem = mem.distinct()
+    rename = mem.groupBy("component").agg(F.min("vertex").alias("community"))
+    members = mem.join(rename, "component").select("vertex", "community")
+    return PercolationResult(members, n_quads, cc.report.iterations)
 
 
 def triangle_percolation(

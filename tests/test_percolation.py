@@ -31,7 +31,7 @@ def test_enumerate_triangles_k4_once_each(spark):
 def test_two_cliques_bridge_not_welded(spark):
     # the bridge edge is in no triangle: the K4s stay separate communities
     res, mem = _members(spark, K4A + K4B + [("a4", "b1")])
-    assert res.n_triangles == 8
+    assert res.n_cliques == 8
     assert mem == {(v, "a1") for v in ["a1", "a2", "a3", "a4"]} | {
         (v, "b1") for v in ["b1", "b2", "b3", "b4"]
     }
@@ -42,7 +42,7 @@ def test_bowtie_vertex_overlap_two_communities(spark):
     edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
              ("c", "e")]
     res, mem = _members(spark, edges)
-    assert res.n_triangles == 2
+    assert res.n_cliques == 2
     assert mem == {("a", "a"), ("b", "a"), ("c", "a"),
                    ("c", "c"), ("d", "c"), ("e", "c")}
 
@@ -52,11 +52,57 @@ def test_edge_chained_triangles_weld(spark):
     edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
              ("c", "e"), ("d", "e")]
     res, mem = _members(spark, edges)
-    assert res.n_triangles == 3
+    assert res.n_cliques == 3
     assert mem == {(v, "a") for v in ["a", "b", "c", "d", "e"]}
 
 
 def test_triangle_free_graph_empty(spark):
     res, mem = _members(spark, [("p", "q"), ("q", "r"), ("r", "s")])
-    assert res.n_triangles == 0
+    assert res.n_cliques == 0
     assert mem == set()
+
+
+# --- k=4 clique percolation ---------------------------------------------
+
+
+def _members4(spark, edges):
+    from arxiv_citation_graph_spark.plans.percolation import clique4_percolation
+
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    res = clique4_percolation(spark, df)
+    return res, {(r.vertex, r.community) for r in res.members.collect()}
+
+
+def _k4(vs):
+    return [(a, b) for i, a in enumerate(vs) for b in vs[i + 1:]]
+
+
+def test_cpm4_shared_triangle_welds(spark):
+    # K4{a,b,c,d} and K4{b,c,d,e} share triangle (b,c,d) -> one community
+    edges = sorted(set(_k4(["a", "b", "c", "d"]) + _k4(["b", "c", "d", "e"])))
+    res, mem = _members4(spark, edges)
+    assert res.n_cliques == 2
+    assert mem == {(v, "a") for v in ["a", "b", "c", "d", "e"]}
+
+
+def test_cpm4_shared_edge_does_not_weld(spark):
+    # K4{a,b,c,d} and K4{c,d,e,f} share only edge (c,d) -> two communities
+    edges = sorted(set(_k4(["a", "b", "c", "d"]) + _k4(["c", "d", "e", "f"])))
+    res, mem = _members4(spark, edges)
+    assert res.n_cliques == 2
+    assert mem == {(v, "a") for v in ["a", "b", "c", "d"]} | {
+        (v, "c") for v in ["c", "d", "e", "f"]
+    }
+
+
+def test_cpm4_k4_free_graph_empty(spark):
+    # a single triangle has no K4
+    res, mem = _members4(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    assert res.n_cliques == 0
+    assert mem == set()
+
+
+def test_cpm4_k5_is_one_community_of_five_quads(spark):
+    res, mem = _members4(spark, _k4(["a", "b", "c", "d", "e"]))
+    assert res.n_cliques == 5  # C(5,4)
+    assert mem == {(v, "a") for v in ["a", "b", "c", "d", "e"]}
