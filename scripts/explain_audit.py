@@ -2045,6 +2045,27 @@ def main() -> None:
         )
     )
 
+    # -- k=4 clique percolation (quad / triangle-face incidence) ---------------
+    from arxiv_citation_graph_spark.plans.percolation import clique4_percolation
+
+    perc4_plan = plan_of(
+        clique4_percolation(spark, toy_edges_df(spark, "k4")).members
+    )
+    sections.append(
+        (
+            "k=4 clique percolation — quad/face incidence after Chiba-Nishizeki listing",
+            "K4 adjacency is never materialized pairwise either: each K4 "
+            "(from the shared degree-oriented enumerate_4cliques listing, "
+            "localCheckpointed once) contributes 4 incidence rows to its "
+            "triangle-face nodes, and hash-min CC runs on that bipartite "
+            "graph.  The membership plan re-reads the checkpointed quad "
+            "list (ExistingRDD) four times against the Q-node labels, "
+            "then one community-count-sized min rename.  "
+            f"[{exchange_count(perc4_plan)}]",
+            condense(perc4_plan, KEEP),
+        )
+    )
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo_root, "PLANS.md")
     with open(out_path, "w") as fh:
