@@ -249,6 +249,23 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "partition",
+        help="Spinner balanced k-way partition labels (deterministic "
+        "penalized LPA with per-target admission, Martella et al. 2017)",
+    )
+    p.add_argument("--edges", default=None, help="edges parquet path (default: warehouse table)")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--k", type=int, default=8, help="number of partitions")
+    p.add_argument("--iterations", type=int, default=12)
+    p.add_argument(
+        "--slack-pct",
+        type=int,
+        default=5,
+        help="capacity slack over n/k in percent (0 freezes all moves)",
+    )
+    p.add_argument("--resume", action="store_true")
+
+    p = sub.add_parser(
         "agreement",
         help="ARI + NMI between two (vertex, label) labelings "
         "(e.g. louvain vs lpa output tables)",
@@ -1949,6 +1966,9 @@ def main(argv: list[str] | None = None) -> int:
     job = args.cmd if algo in (None, "hashmin") else f"{args.cmd}-{algo}"
     if args.cmd == "kcore":
         job = f"kcore-k{args.k}"  # each k is a distinct resumable job
+    if args.cmd == "partition":
+        # each (k, slack) is a distinct resumable job (capacity differs)
+        job = f"partition-k{args.k}-s{args.slack_pct}"
     if args.cmd == "bfs" and args.landmarks is not None:
         # landmark mode has a different state schema (vertex, landmark,
         # dist) — sharing the single-source job would cross-corrupt resumes
@@ -2313,6 +2333,30 @@ def main(argv: list[str] | None = None) -> int:
             f"percolation: {pres.n_cliques} {kind}(s) -> {n_comm} "
             f"communit(ies), {members.count()} (vertex, community) pair(s), "
             f"{pres.cc_iterations} cc supersteps"
+        )
+    elif args.cmd == "partition":
+        from arxiv_citation_graph_spark.plans.spinner import (
+            partition_quality,
+            spinner_partition,
+        )
+
+        sres = spinner_partition(
+            spark,
+            edges,
+            k=args.k,
+            iterations=args.iterations,
+            slack_pct=args.slack_pct,
+            store=store,
+            resume=args.resume,
+        )
+        labels = sres.labels.localCheckpoint(eager=True)
+        catalog.create_or_replace("partition_labels", labels)
+        q = partition_quality(spark, edges, labels).first()
+        print(
+            f"partition: k={args.k} capacity={sres.capacity} "
+            f"locality={q.edge_locality} loads=[{q.min_load}, {q.max_load}] "
+            f"({q.n_partitions} non-empty) after "
+            f"{sres.report.iterations} supersteps"
         )
     elif args.cmd == "simrank":
         from arxiv_citation_graph_spark.plans.simrank import simrank

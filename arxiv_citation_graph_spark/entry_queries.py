@@ -10928,6 +10928,128 @@ def q_clique4_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Spinner balanced k-way partitioning (plans/spinner.py)
+# ===========================================================================
+
+_SPINNER_K, _SPINNER_ITERS, _SPINNER_SLACK = 4, 8, 10
+
+
+def _spinner_sql(k: int, iters: int, slack_pct: int) -> str:
+    """Unrolled Spinner (plans/spinner.py): md5-mod-k init, per round
+    an all-integer score cnt * room, parity-gated strict-improvement
+    movers, per-target admission of the top `room` by (score DESC,
+    vertex) — every comparison exact, so labels replay bit-for-bit."""
+    h = "('0x' || substr(md5({v}), 1, 8))::BIGINT"
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        "sym AS MATERIALIZED (SELECT src_id, dst_id FROM "
+        "(SELECT src_id, dst_id FROM cos UNION SELECT dst_id, src_id FROM cos) "
+        "WHERE src_id <> dst_id)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM sym "
+        "UNION SELECT dst_id FROM sym)",
+        "nrow AS (SELECT count(*) AS n FROM verts)",
+        f"cap AS (SELECT CAST((n * (100 + {slack_pct}) + {100 * k} - 1) "
+        f"// {100 * k} AS BIGINT) AS c FROM nrow)",
+        "parts AS (SELECT CAST(range AS BIGINT) AS p FROM range(" + str(k) + "))",
+        f"l0 AS MATERIALIZED (SELECT vertex, "
+        f"{h.format(v='vertex')} % {k} AS p FROM verts)",
+    ]
+    for r in range(1, iters + 1):
+        i = r - 1  # Spark's 0-based round index (the parity gate uses it)
+        p = r - 1
+        ctes += [
+            f"loads{r} AS (SELECT p, count(*) AS load FROM l{p} GROUP BY p)",
+            f"room{r} AS (SELECT parts.p, greatest(cap.c - coalesce(load, 0), 0) "
+            f"AS room FROM parts CROSS JOIN cap LEFT JOIN loads{r} USING (p))",
+            f"scored{r} AS MATERIALIZED (SELECT c.vertex, c.p, c.cnt * rm.room "
+            f"AS score FROM (SELECT e.dst_id AS vertex, l.p, count(*) AS cnt "
+            f"FROM sym e JOIN l{p} l ON e.src_id = l.vertex GROUP BY 1, 2) c "
+            f"JOIN room{r} rm ON c.p = rm.p)",
+            f"best{r} AS (SELECT vertex, p AS target, score FROM ("
+            f"SELECT vertex, p, score, row_number() OVER (PARTITION BY vertex "
+            f"ORDER BY score DESC, p) AS rn FROM scored{r}) WHERE rn = 1)",
+            f"willing{r} AS (SELECT v.vertex, b.target, b.score FROM l{p} v "
+            f"JOIN best{r} b ON v.vertex = b.vertex "
+            f"LEFT JOIN scored{r} sc ON sc.vertex = v.vertex AND sc.p = v.p "
+            f"WHERE ({h.format(v='v.vertex')} + {i}) % 2 = 0 "
+            f"AND b.score > coalesce(sc.score, 0))",
+            f"adm{r} AS (SELECT vertex, target FROM ("
+            f"SELECT w.vertex, w.target, row_number() OVER (PARTITION BY "
+            f"w.target ORDER BY w.score DESC, w.vertex) AS rn, rm.room "
+            f"FROM willing{r} w JOIN room{r} rm ON w.target = rm.p) "
+            f"WHERE rn <= room)",
+            f"l{r} AS MATERIALIZED (SELECT v.vertex, "
+            f"coalesce(a.target, v.p) AS p FROM l{p} v "
+            f"LEFT JOIN adm{r} a ON v.vertex = a.vertex)",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, CAST(p AS BIGINT) AS partition FROM l{iters}"
+    )
+
+
+@register(
+    "spinner_partition",
+    _spinner_sql(_SPINNER_K, _SPINNER_ITERS, _SPINNER_SLACK),
+)
+def q_spinner_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced k-way partition labels of the co-supply graph
+    (plans/spinner.py, Martella 2017 made deterministic): one
+    (vertex, partition) row per vertex, partition in [0, k)."""
+    from arxiv_citation_graph_spark.plans.spinner import spinner_partition
+
+    return spinner_partition(
+        spark,
+        cosupply_edges(spark, sf_dir),
+        k=_SPINNER_K,
+        iterations=_SPINNER_ITERS,
+        slack_pct=_SPINNER_SLACK,
+    ).labels
+
+
+_SPINNER_QUALITY_SQL = f"""
+WITH labels AS MATERIALIZED ({_spinner_sql(_SPINNER_K, _SPINNER_ITERS, _SPINNER_SLACK)}),
+cos2 AS ({EDGES_COSUPPLY_SQL}),
+und AS (SELECT DISTINCT least(src_id, dst_id) AS u,
+    greatest(src_id, dst_id) AS v FROM cos2 WHERE src_id <> dst_id),
+es AS (SELECT count(*) AS m,
+    sum(CASE WHEN lu.partition = lv.partition THEN 1 ELSE 0 END) AS internal
+  FROM und
+  JOIN labels lu ON und.u = lu.vertex
+  JOIN labels lv ON und.v = lv.vertex),
+ls AS (SELECT max(load) AS max_load, min(load) AS min_load,
+    count(*) AS n_partitions FROM
+  (SELECT partition, count(*) AS load FROM labels GROUP BY partition))
+SELECT round(internal / CAST(m AS DOUBLE), 9) AS edge_locality,
+  CAST(internal AS BIGINT) AS internal_edges, CAST(m AS BIGINT) AS total_edges,
+  CAST(max_load AS BIGINT) AS max_load, CAST(min_load AS BIGINT) AS min_load,
+  CAST(n_partitions AS BIGINT) AS n_partitions
+FROM es CROSS JOIN ls
+"""
+
+
+@register("spinner_quality", _SPINNER_QUALITY_SQL)
+def q_spinner_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row quality summary (edge locality + load extremes) of the
+    spinner_partition labeling (plans/spinner.py partition_quality)."""
+    from arxiv_citation_graph_spark.plans.spinner import (
+        partition_quality,
+        spinner_partition,
+    )
+
+    edges = cosupply_edges(spark, sf_dir)
+    labels = spinner_partition(
+        spark,
+        edges,
+        k=_SPINNER_K,
+        iterations=_SPINNER_ITERS,
+        slack_pct=_SPINNER_SLACK,
+    ).labels
+    return partition_quality(spark, edges, labels)
+
+
+# ===========================================================================
 # Partition-agreement metrics (plans/agreement.py)
 # ===========================================================================
 

@@ -1,0 +1,286 @@
+"""Balanced k-way graph partitioning via penalized label propagation.
+
+Spinner (Martella, Logothetis, Loukas & Siganos, "Spinner: Scalable
+graph partitioning in the cloud", ICDE 2017 — public literature)
+assigns every vertex one of ``k`` partition labels so that edge
+locality is high (most edges fall inside a partition) while partition
+sizes stay within a slack of perfect balance.  This is THE operator a
+10^12-edge deployment runs before bucketing its adjacency: the labels
+become the storage partitioning, and every downstream iterative kernel
+(PageRank, CC, LPA — `plans/pagerank.py`, `plans/components.py`)
+shuffles less because co-partitioned endpoints co-locate.
+
+Engine-determinism design (the repo-wide bar: the DuckDB oracle must
+replay labels EXACTLY):
+
+- **All-integer scoring.**  Spinner scores candidate labels by
+  neighbor affinity discounted by load; here ``score(v, L) =
+  cnt(v, L) * max(capacity - load(L), 0)`` with ``capacity =
+  ceil(n * (100 + slack_pct) / (100 * k))`` — every score a BIGINT
+  product (the `plans/louvain.py` exact-gain trick), comparisons
+  bit-identical across engines.
+- **Deterministic admission control** replaces Spinner's random
+  migration probabilities: per round, each target partition admits
+  only its top ``capacity - load`` willing movers, ranked by
+  ``(score DESC, vertex ASC)``.  Loads therefore never exceed
+  ``capacity`` through moves (hard balance; the hash init is
+  n/k-balanced in expectation), and the synchronous oscillation that
+  plagues unthrottled penalized LPA dies out — on clustered fixtures
+  the labeling reaches a fixpoint within ~12 rounds.
+- **Deterministic init + migration gate.**  Initial label =
+  ``md5(vertex)[:8] % k`` (the repo's cross-engine keyed hash); a
+  vertex may migrate only in rounds of matching hash parity
+  (``(md5int(vertex) + round) % 2 == 0``) — halves simultaneous
+  movers, same damper as Louvain's parity gating.
+- **Strict-improvement moves.**  The candidate must STRICTLY beat the
+  current label's score — stationary fixpoints, no ping-pong between
+  equal-score twins.  ``slack_pct = 0`` pins every load at exactly
+  ``capacity``'s floor and (by design) admits nothing: some slack is
+  what lets vertices flow toward their communities.
+
+Fixed ``iterations`` rounds (the synchronous-LPA convention: parity
+gating means a zero-move round is not a fixpoint proof, and fixed
+rounds are what the oracle unrolls).
+
+Scale notes (100 TB): per round = one |E| equi-join (labels onto the
+symmetrized adjacency, hash-partitioned once and cached), one
+two-stage (vertex, label) count, a k-row load aggregate joined as a
+broadcast, and one row_number window over the WILLING MOVERS,
+partitioned by target label.  That window is the one skew hazard: a
+single under-loaded partition could attract many movers in one round
+(bounded by the gated half of |V|); if it ever matters, the bucketed
+two-stage prefix-sum used by `linkpred_auc`/the PR-curve sweep drops
+in — the admission rule is a per-target prefix by rank.  State is one
+row per vertex through the shared checkpoint/resume superstep runtime
+(`plans/superstep.py`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+
+@dataclass
+class SpinnerResult:
+    labels: DataFrame  # (vertex, partition) — bigint partition in [0, k)
+    capacity: int
+    report: SuperstepReport
+
+
+def _md5_int(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def spinner_partition(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 8,
+    iterations: int = 12,
+    slack_pct: int = 5,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+) -> SpinnerResult:
+    """Partition the simple undirected graph of ``edges(src_id,
+    dst_id)`` into ``k`` labeled parts of at most ``capacity =
+    ceil(n * (100 + slack_pct) / (100 * k))`` vertices (enforced on
+    every move; see module docstring).  Returns one ``(vertex,
+    partition)`` row per vertex.  ``resume=True`` with a ``store``
+    continues a killed run from its last committed superstep (same
+    manifest protocol as PageRank/CC; refuses a changed graph via the
+    edge fingerprint)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if slack_pct < 0:
+        raise ValueError(f"slack_pct must be >= 0, got {slack_pct}")
+    sym = symmetrize(edges).repartition(
+        spark.sparkContext.defaultParallelism, "src_id"
+    ).cache()
+    sym_agg = sym.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("fp"),
+    ).first()
+    n_sym = int(sym_agg["m"])
+    edge_fp = int(sym_agg["fp"]) if sym_agg["fp"] is not None else 0
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    capacity = (n * (100 + slack_pct) + 100 * k - 1) // (100 * k)
+
+    def step(labels: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        cur = labels.select("vertex", "partition")
+        loads = cur.groupBy("partition").agg(F.count(F.lit(1)).alias("load"))
+        # every label in [0, k) gets a room row — an emptied partition
+        # must keep full attractiveness, not vanish from the join
+        room = F.broadcast(
+            spark.range(k)
+            .select(F.col("id").alias("partition"))
+            .join(loads, "partition", "left")
+            .select(
+                "partition",
+                F.greatest(
+                    F.lit(capacity) - F.coalesce(F.col("load"), F.lit(0)),
+                    F.lit(0),
+                ).alias("room"),
+            )
+        )
+        # (vertex, candidate-label) neighbor counts: one |E| join + 2-stage agg
+        scored = (
+            sym.join(cur, sym.src_id == cur.vertex)
+            .select(F.col("dst_id").alias("vertex"), "partition")
+            .groupBy("vertex", "partition")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .join(room, "partition")
+            .select(
+                "vertex",
+                "partition",
+                (F.col("cnt") * F.col("room")).alias("score"),
+            )
+        )
+        best = (
+            scored.groupBy("vertex")
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("partition").alias("best_partition"),
+                        F.col("score").alias("best_score"),
+                    ),
+                    F.struct((-F.col("score")).alias("neg"), F.col("partition")),
+                ).alias("b")
+            )
+            .select("vertex", "b.best_partition", "b.best_score")
+        )
+        # willing movers: gated parity, strict improvement over the
+        # CURRENT label's score (own neighbor count x own room; 0 if no
+        # neighbor shares it)
+        willing = (
+            cur.join(
+                scored.withColumnRenamed("score", "cur_score"),
+                ["vertex", "partition"],
+                "left",
+            )
+            .join(best, "vertex", "left")
+            .filter(
+                (F.pmod(_md5_int(F.col("vertex")) + F.lit(i), F.lit(2)) == 0)
+                & (
+                    F.coalesce(F.col("best_score"), F.lit(-1))
+                    > F.coalesce(F.col("cur_score"), F.lit(0))
+                )
+            )
+            .select(
+                "vertex",
+                F.col("best_partition").alias("target"),
+                F.col("best_score").alias("score"),
+            )
+        )
+        # admission: each target admits its top `room` movers
+        admitted = (
+            willing.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("target").orderBy(
+                        F.col("score").desc(), F.col("vertex")
+                    )
+                ),
+            )
+            .join(room.withColumnRenamed("partition", "target"), "target")
+            .filter(F.col("rn") <= F.col("room"))
+            .select("vertex", "target")
+        )
+        new = (
+            cur.join(admitted, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce(F.col("target"), F.col("partition")).alias(
+                    "new_partition"
+                ),
+                "partition",
+            )
+            .select(
+                F.col("vertex"),
+                F.col("new_partition").alias("partition"),
+                (F.col("new_partition") != F.col("partition"))
+                .cast("double")
+                .alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = vertices.select(
+        "vertex",
+        F.pmod(_md5_int(F.col("vertex")), F.lit(k)).alias("partition"),
+        F.lit(0.0).alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=iterations,
+            tolerance=None,  # parity gating: a 0-move round is not a fixpoint
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n,
+                "n_sym_edges": n_sym,
+                "edge_fp": edge_fp,
+                "k": k,
+                "capacity": capacity,
+            },
+        )
+    finally:
+        sym.unpersist()
+        vertices.unpersist()
+    return SpinnerResult(final.select("vertex", "partition"), capacity, report)
+
+
+def partition_quality(
+    spark: SparkSession, edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """One-row quality summary of a ``(vertex, partition)`` labeling:
+    ``edge_locality`` = fraction of undirected edges with both endpoints
+    in the same partition, ``max_load`` / ``min_load`` the extreme
+    partition sizes, ``n_partitions`` the number of non-empty parts.
+    One |E| pass (canonical edge set joined to both endpoint labels),
+    one |V| load aggregate."""
+    und = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("u"),
+            F.greatest("src_id", "dst_id").alias("v"),
+        )
+        .distinct()
+    )
+    lu = labels.select(F.col("vertex").alias("u"), F.col("partition").alias("pu"))
+    lv = labels.select(F.col("vertex").alias("v"), F.col("partition").alias("pv"))
+    edge_stats = (
+        und.join(lu, "u")
+        .join(lv, "v")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum((F.col("pu") == F.col("pv")).cast("long")).alias("internal"),
+        )
+    )
+    load_stats = labels.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("load")
+    ).agg(
+        F.max("load").alias("max_load"),
+        F.min("load").alias("min_load"),
+        F.count(F.lit(1)).alias("n_partitions"),
+    )
+    return edge_stats.crossJoin(F.broadcast(load_stats)).select(
+        F.round(F.col("internal") / F.col("m"), 9).alias("edge_locality"),
+        F.col("internal").alias("internal_edges"),
+        F.col("m").alias("total_edges"),
+        "max_load",
+        "min_load",
+        "n_partitions",
+    )

@@ -2045,6 +2045,28 @@ def main() -> None:
         )
     )
 
+    # -- Spinner balanced partitioning superstep -------------------------------
+    from arxiv_citation_graph_spark.plans.spinner import spinner_partition
+
+    spin_plan = capture_superstep(
+        lambda: spinner_partition(spark, tedges, k=4, iterations=2)
+    )
+    sections.append(
+        (
+            "Spinner partitioning superstep (score, gate, admission)",
+            "One |E| join of the cached symmetrized adjacency against the "
+            "|V| label state, a two-stage (vertex, candidate) count, the "
+            "k-row room frame joined as a BroadcastExchange (twice: scores "
+            "and admission caps), min_by arg-max per vertex — a pure "
+            "aggregation, no window — and ONE row_number window over the "
+            "parity-gated WILLING MOVERS only, partitioned by target "
+            "label.  All scores are BIGINT products (cnt * room), so the "
+            "DuckDB oracle replays admission bit-for-bit.  "
+            f"[{exchange_count(spin_plan)}]",
+            condense(spin_plan, KEEP),
+        )
+    )
+
     # -- k=4 clique percolation (quad / triangle-face incidence) ---------------
     from arxiv_citation_graph_spark.plans.percolation import clique4_percolation
 

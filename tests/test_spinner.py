@@ -1,0 +1,162 @@
+"""Spinner balanced k-way partitioning (plans/spinner.py) vs a pure-
+Python replay of the exact algorithm, plus quality/balance/determinism
+checks."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import pytest
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+from arxiv_citation_graph_spark.plans.spinner import (
+    partition_quality,
+    spinner_partition,
+)
+
+
+def _h(v: str) -> int:
+    return int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+
+
+def _spinner_py(edges, k, iterations, slack_pct=5):
+    """Exact replay: integer scores, parity gate, per-target admission
+    of the top (capacity - load) movers by (score DESC, vertex ASC)."""
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    verts = sorted({x for e in edges for x in e})
+    n = len(verts)
+    cap = (n * (100 + slack_pct) + 100 * k - 1) // (100 * k)
+    lab = {v: _h(v) % k for v in verts}
+    adj = defaultdict(list)
+    for a, b in sym:
+        adj[a].append(b)
+    for i in range(iterations):
+        loads = Counter(lab.values())
+        room = {L: max(cap - loads.get(L, 0), 0) for L in range(k)}
+        by_target = defaultdict(list)
+        for v in verts:
+            cnt = Counter(lab[u] for u in adj[v])
+            scores = {L: c * room[L] for L, c in cnt.items()}
+            if not scores:
+                continue
+            cur_score = scores.get(lab[v], 0)
+            best_l, best_s = min(scores.items(), key=lambda t: (-t[1], t[0]))
+            if (_h(v) + i) % 2 == 0 and best_s > cur_score:
+                by_target[best_l].append((best_s, v))
+        for target, movers in by_target.items():
+            movers.sort(key=lambda t: (-t[0], t[1]))
+            for _, v in movers[: room[target]]:
+                lab[v] = target
+    return lab, cap
+
+
+def _labels(res):
+    return {(r.vertex, r.partition) for r in res.labels.collect()}
+
+
+def test_spinner_matches_python_twin(spark):
+    edges = toy_graphs()["resume"]
+    res = spinner_partition(
+        spark, toy_edges_df(spark, "resume"), k=4, iterations=6
+    )
+    expect, cap = _spinner_py(edges, k=4, iterations=6)
+    assert res.capacity == cap
+    assert _labels(res) == set(expect.items())
+
+
+def test_spinner_deterministic_across_runs(spark):
+    df = toy_edges_df(spark, "resume")
+    a = _labels(spinner_partition(spark, df, k=4, iterations=4))
+    b = _labels(spinner_partition(spark, df, k=4, iterations=4))
+    assert a == b
+
+
+def _clusters_graph():
+    # 4 cliques of 6, one bridge edge between consecutive cliques
+    edges = []
+    for c in range(4):
+        vs = [f"c{c}v{i}" for i in range(6)]
+        edges += [(a, b) for i, a in enumerate(vs) for b in vs[i + 1:]]
+    for c in range(3):
+        edges.append((f"c{c}v0", f"c{c + 1}v0"))
+    return edges
+
+
+def test_spinner_localizes_clusters(spark):
+    edges = _clusters_graph()
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    res = spinner_partition(spark, df, k=4, iterations=12, slack_pct=20)
+    q = partition_quality(spark, df, res.labels).first()
+    # initial hash assignment scatters the cliques (locality ~1/k);
+    # after refinement every clique is monolithic: only the 3 bridges
+    # can cross, and loads are perfectly balanced at 6 each
+    assert q.total_edges == 63  # 4 * C(6,2) + 3 bridges
+    assert q.internal_edges >= 60
+    assert q.max_load == 6 and q.min_load == 6 and q.n_partitions == 4
+    lab = dict(_labels(res))
+    for c in range(4):
+        assert len({lab[f"c{c}v{i}"] for i in range(6)}) == 1
+    # and the Spark result is the exact Python replay
+    expect, _ = _spinner_py(edges, k=4, iterations=12, slack_pct=20)
+    assert lab == expect
+
+
+def test_spinner_hard_capacity_on_moves(spark):
+    # K8, k=2, slack 25 -> capacity 5: no admission may push a load
+    # past capacity, so the final split is within [3, 5]
+    edges = [(f"v{i}", f"v{j}") for i in range(8) for j in range(i + 1, 8)]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    res = spinner_partition(spark, df, k=2, iterations=6, slack_pct=25)
+    assert res.capacity == 5
+    loads = Counter(p for _, p in _labels(res))
+    assert sum(loads.values()) == 8
+    init_max = max(Counter(_h(f"v{i}") % 2 for i in range(8)).values())
+    assert max(loads.values()) <= max(5, init_max)
+    expect, _ = _spinner_py(edges, k=2, iterations=6, slack_pct=25)
+    assert dict(_labels(res)) == expect
+
+
+def test_partition_quality_fixture(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "a"), ("b", "a")]
+    df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    labels = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 1), ("d", 1)], ["vertex", "partition"]
+    )
+    q = partition_quality(spark, df, labels).first()
+    # simple undirected edges: ab, bc, cd -> ab and cd internal
+    assert q.total_edges == 3
+    assert q.internal_edges == 2
+    assert q.edge_locality == pytest.approx(2 / 3, abs=1e-9)
+    assert q.max_load == 2 and q.min_load == 2 and q.n_partitions == 2
+
+
+def test_spinner_rejects_bad_params(spark):
+    df = toy_edges_df(spark, "cycle")
+    with pytest.raises(ValueError, match="k must be"):
+        spinner_partition(spark, df, k=1)
+    with pytest.raises(ValueError, match="slack_pct"):
+        spinner_partition(spark, df, k=2, slack_pct=-1)
+
+
+def test_spinner_resume_identical(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    df = toy_edges_df(spark, "resume").cache()
+    full = dict(_labels(spinner_partition(spark, df, k=4, iterations=6)))
+
+    store = CheckpointStore(str(tmp_path / "ckpt_spin"), "spin_resume")
+    spinner_partition(spark, df, k=4, iterations=2, store=store)
+    assert store.last_committed() >= 0
+    resumed = spinner_partition(
+        spark, df, k=4, iterations=6, store=store, resume=True
+    )
+    assert dict(_labels(resumed)) == full
+
+    # a different k is a different run: the signature refuses the resume
+    with pytest.raises(ValueError, match="resume refused"):
+        spinner_partition(spark, df, k=2, iterations=6, store=store, resume=True)
