@@ -264,6 +264,13 @@ def main(argv: list[str] | None = None) -> int:
         help="capacity slack over n/k in percent (0 freezes all moves)",
     )
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--warm-start-from",
+        default=None,
+        help="prior (vertex, partition) parquet path, or 'partition_labels' "
+        "for the warehouse table — daily-append accelerator (start-dependent "
+        "fixpoint; incompatible with --resume)",
+    )
 
     p = sub.add_parser(
         "agreement",
@@ -2340,6 +2347,15 @@ def main(argv: list[str] | None = None) -> int:
             spinner_partition,
         )
 
+        if args.warm_start_from and args.resume:
+            raise SystemExit("--warm-start-from and --resume are mutually exclusive")
+        warm = None
+        if args.warm_start_from:
+            warm = (
+                catalog.read(spark, "partition_labels")
+                if args.warm_start_from == "partition_labels"
+                else spark.read.parquet(args.warm_start_from)
+            )
         sres = spinner_partition(
             spark,
             edges,
@@ -2348,6 +2364,7 @@ def main(argv: list[str] | None = None) -> int:
             slack_pct=args.slack_pct,
             store=store,
             resume=args.resume,
+            warm_start=warm,
         )
         labels = sres.labels.localCheckpoint(eager=True)
         catalog.create_or_replace("partition_labels", labels)
@@ -2357,6 +2374,7 @@ def main(argv: list[str] | None = None) -> int:
             f"locality={q.edge_locality} loads=[{q.min_load}, {q.max_load}] "
             f"({q.n_partitions} non-empty) after "
             f"{sres.report.iterations} supersteps"
+            + (" (warm start)" if warm is not None else "")
         )
     elif args.cmd == "simrank":
         from arxiv_citation_graph_spark.plans.simrank import simrank

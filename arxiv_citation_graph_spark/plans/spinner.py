@@ -89,6 +89,7 @@ def spinner_partition(
     slack_pct: int = 5,
     store: CheckpointStore | None = None,
     resume: bool = False,
+    warm_start: DataFrame | None = None,
 ) -> SpinnerResult:
     """Partition the simple undirected graph of ``edges(src_id,
     dst_id)`` into ``k`` labeled parts of at most ``capacity =
@@ -97,11 +98,26 @@ def spinner_partition(
     partition)`` row per vertex.  ``resume=True`` with a ``store``
     continues a killed run from its last committed superstep (same
     manifest protocol as PageRank/CC; refuses a changed graph via the
-    edge fingerprint)."""
+    edge fingerprint).
+
+    ``warm_start``: optional prior ``(vertex, partition)`` frame — the
+    daily-append mode (the LPA/PageRank warm convention: surviving
+    vertices keep their previous partition, new vertices hash-init,
+    vanished vertices drop; duplicate rows collapse to the min; labels
+    outside [0, k) fail fast).  Like LPA, Spinner fixpoints are
+    START-DEPENDENT: warm starting means only the perturbed region has
+    to re-settle, NOT that the result equals a fresh run.  Mutually
+    exclusive with ``resume``."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if slack_pct < 0:
         raise ValueError(f"slack_pct must be >= 0, got {slack_pct}")
+    if warm_start is not None and resume:
+        raise ValueError(
+            "warm_start and resume are mutually exclusive: resume "
+            "continues the SAME graph's checkpointed run; warm start "
+            "seeds a new run on a changed graph"
+        )
     sym = symmetrize(edges).repartition(
         spark.sparkContext.defaultParallelism, "src_id"
     ).cache()
@@ -214,11 +230,34 @@ def spinner_partition(
         )
         return new, {"delta": F.sum("delta")}
 
-    initial = vertices.select(
-        "vertex",
-        F.pmod(_md5_int(F.col("vertex")), F.lit(k)).alias("partition"),
-        F.lit(0.0).alias("delta"),
-    )
+    if warm_start is not None:
+        seed = (
+            warm_start.select("vertex", F.col("partition").alias("_seed"))
+            .groupBy("vertex")
+            .agg(F.min("_seed").alias("_seed"))
+        )
+        bad = seed.filter(
+            (F.col("_seed") < 0) | (F.col("_seed") >= k)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"warm_start has {bad} label(s) outside [0, {k}): the "
+                "prior labeling was computed with a different k — rerun "
+                "fresh or pass matching labels"
+            )
+        initial = vertices.join(seed, "vertex", "left").select(
+            "vertex",
+            F.coalesce(
+                F.col("_seed"), F.pmod(_md5_int(F.col("vertex")), F.lit(k))
+            ).alias("partition"),
+            F.lit(0.0).alias("delta"),
+        )
+    else:
+        initial = vertices.select(
+            "vertex",
+            F.pmod(_md5_int(F.col("vertex")), F.lit(k)).alias("partition"),
+            F.lit(0.0).alias("delta"),
+        )
     try:
         final, report = run_supersteps(
             spark,

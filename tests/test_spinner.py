@@ -20,9 +20,10 @@ def _h(v: str) -> int:
     return int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
 
 
-def _spinner_py(edges, k, iterations, slack_pct=5):
+def _spinner_py(edges, k, iterations, slack_pct=5, prior=None):
     """Exact replay: integer scores, parity gate, per-target admission
-    of the top (capacity - load) movers by (score DESC, vertex ASC)."""
+    of the top (capacity - load) movers by (score DESC, vertex ASC);
+    ``prior`` seeds surviving vertices (the warm-start rule)."""
     sym = set()
     for a, b in edges:
         if a != b:
@@ -31,7 +32,8 @@ def _spinner_py(edges, k, iterations, slack_pct=5):
     verts = sorted({x for e in edges for x in e})
     n = len(verts)
     cap = (n * (100 + slack_pct) + 100 * k - 1) // (100 * k)
-    lab = {v: _h(v) % k for v in verts}
+    prior = prior or {}
+    lab = {v: prior.get(v, _h(v) % k) for v in verts}
     adj = defaultdict(list)
     for a, b in sym:
         adj[a].append(b)
@@ -141,6 +143,48 @@ def test_spinner_rejects_bad_params(spark):
         spinner_partition(spark, df, k=1)
     with pytest.raises(ValueError, match="slack_pct"):
         spinner_partition(spark, df, k=2, slack_pct=-1)
+
+
+def test_spinner_warm_start_append(spark):
+    # settle 4 cliques, append a 5th: warm start keeps the settled
+    # region intact and localizes the new clique in few rounds (the
+    # slack must leave room for the append — a tight cap would force
+    # settled members out when the newcomers land)
+    base = _clusters_graph()
+    df = spark.createDataFrame(base, ["src_id", "dst_id"])
+    prior = spinner_partition(spark, df, k=5, iterations=12, slack_pct=100)
+    new_clique = [
+        (a, b)
+        for i, a in enumerate([f"c4v{i}" for i in range(6)])
+        for b in [f"c4v{j}" for j in range(i + 1, 6)]
+    ]
+    appended = base + new_clique + [("c3v0", "c4v0")]
+    df2 = spark.createDataFrame(appended, ["src_id", "dst_id"])
+    warm = spinner_partition(
+        spark, df2, k=5, iterations=4, slack_pct=100, warm_start=prior.labels
+    )
+    lab = dict(_labels(warm))
+    prior_lab = dict(_labels(prior))
+    # surviving cliques keep their (monolithic) prior partitions
+    for c in range(4):
+        assert len({lab[f"c{c}v{i}"] for i in range(6)}) == 1
+        assert lab[f"c{c}v1"] == prior_lab[f"c{c}v1"]
+    # the appended clique consolidated too
+    assert len({lab[f"c4v{i}"] for i in range(6)}) == 1
+    # and the warm path is the exact Python replay
+    expect, _ = _spinner_py(
+        appended, k=5, iterations=4, slack_pct=100, prior=prior_lab
+    )
+    assert lab == expect
+
+
+def test_spinner_warm_start_rejects_bad_labels(spark):
+    df = toy_edges_df(spark, "cycle")
+    bad = spark.createDataFrame([("c0", 7)], ["vertex", "partition"])
+    with pytest.raises(ValueError, match="outside"):
+        spinner_partition(spark, df, k=2, warm_start=bad)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        spinner_partition(spark, df, k=2, warm_start=bad, resume=True)
 
 
 def test_spinner_resume_identical(spark, tmp_path):
