@@ -262,6 +262,23 @@ def main() -> None:
 
     timed("dedup_clusters", run_dedup_clusters)
 
+    # -- balanced k-way partitioning (round-5 session 3 addition) -----------
+    # the pre-bucketing operator: Spinner labels over the same cached
+    # graph the kernels run on, plus the one-pass quality summary
+    def run_spinner():
+        from arxiv_citation_graph_spark.plans.spinner import (
+            partition_quality,
+            spinner_partition,
+        )
+
+        sres = spinner_partition(spark, edges, k=8, iterations=8)
+        q = partition_quality(spark, edges, sres.labels).first()
+        extras["spinner_capacity"] = sres.capacity
+        extras["spinner_edge_locality"] = float(q.edge_locality)
+        extras["spinner_load_spread"] = [int(q.min_load), int(q.max_load)]
+
+    timed("spinner_partition", run_spinner)
+
     # -- code-payload flagships (round-5 session 2) --------------------------
     from arxiv_citation_graph_spark.entry_queries import _synthetic_code_docs
 
