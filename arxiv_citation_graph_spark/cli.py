@@ -734,6 +734,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-tables", type=int, default=1)
     p.add_argument("--mutual", action="store_true",
                    help="keep only bidirectional pairs (hubness filter)")
+    p.add_argument("--snn", type=int, default=None, metavar="MIN_SHARED",
+                   help="also write Jarvis-Patrick SNN clusters (mutual "
+                   "links with >= MIN_SHARED shared neighbors, CC over "
+                   "the strong graph) to table snn_clusters")
 
     p = sub.add_parser(
         "bowtie",
@@ -1908,6 +1912,27 @@ def main(argv: list[str] | None = None) -> int:
             f"knn-graph: {n} edges ({mut} mutual) via {args.method}, "
             f"k={args.k} (snapshot {snap})"
         )
+        if args.snn is not None:
+            from arxiv_citation_graph_spark.operators.simsearch import snn_clusters
+
+            cl = snn_clusters(
+                spark,
+                spark.read.parquet(args.embeddings),
+                args.id_col,
+                args.vec_col,
+                k=args.k,
+                min_shared=args.snn,
+                method=args.method,
+                dims=args.dims,
+                n_planes=args.n_planes,
+                n_tables=args.n_tables,
+            )
+            catalog.create_or_replace("snn_clusters", cl)
+            n_cl = cl.select("cluster").distinct().count()
+            print(
+                f"snn: {n_cl} cluster(s) over {cl.count()} point(s) "
+                f"(min_shared={args.snn})"
+            )
         return 0
 
     if args.cmd == "extract":

@@ -8088,6 +8088,83 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNN_SHARED, _SNN_CC_ROUNDS = 2, 16
+
+
+def _snn_sql(dims: int, n_planes: int, k: int, min_shared: int, iters: int) -> str:
+    """Unrolled Jarvis-Patrick SNN clustering (operators/simsearch.py::
+    snn_clusters): the _knn_graph_sql candidate/top-k CTEs, mutual
+    pairs, shared-neighbor counts, >= min_shared strong links, hash-min
+    CC unroll over the strong graph, singletons kept as themselves."""
+    from arxiv_citation_graph_spark.operators.simsearch import _plane_weight
+
+    sig_terms = []
+    for p in range(n_planes):
+        weights = ", ".join(repr(_plane_weight(p, d)) for d in range(dims))
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(e, [{weights}]) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"sigs AS MATERIALIZED (SELECT vec_id, e, {sig} AS sig FROM v)",
+        "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "round(list_dot_product(q.e, c.e) / (sqrt(list_dot_product(q.e, q.e)) "
+        "* sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim "
+        "FROM sigs q JOIN sigs c ON q.sig = c.sig AND q.vec_id <> c.vec_id)",
+        f"topk AS MATERIALIZED (SELECT query_id, neighbor_id FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand) "
+        f"WHERE rank <= {k})",
+        "mut AS (SELECT a.query_id AS u, a.neighbor_id AS w FROM topk a "
+        "JOIN topk b ON a.query_id = b.neighbor_id "
+        "AND a.neighbor_id = b.query_id WHERE a.query_id < a.neighbor_id)",
+        "shared AS (SELECT m.u, m.w, count(*) AS c FROM mut m "
+        "JOIN topk du ON du.query_id = m.u "
+        "JOIN topk dv ON dv.query_id = m.w "
+        "AND dv.neighbor_id = du.neighbor_id GROUP BY m.u, m.w)",
+        f"strong AS MATERIALIZED (SELECT u, w FROM shared WHERE c >= {min_shared})",
+        "sym AS MATERIALIZED (SELECT u AS src_id, w AS dst_id FROM strong "
+        "UNION SELECT w, u FROM strong)",
+        "sverts AS (SELECT src_id AS vertex FROM sym UNION SELECT dst_id FROM sym)",
+        "l0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM sverts)",
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT v.vertex, "
+            f"least(v.component, coalesce(m.nbr, v.component)) AS component "
+            f"FROM l{p} v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, min(l.component) AS nbr "
+            f"FROM sym e JOIN l{p} l ON e.src_id = l.vertex GROUP BY e.dst_id"
+            f") m ON v.vertex = m.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT av.vec_id, coalesce(l.component, av.vec_id) AS cluster "
+        f"FROM (SELECT DISTINCT vec_id FROM embeddings) av "
+        f"LEFT JOIN l{iters} l ON av.vec_id = l.vertex"
+    )
+
+
+@register(
+    "snn_clusters",
+    _snn_sql(_KNN_DIMS, _KNN_PLANES, _KNN_K, _SNN_SHARED, _SNN_CC_ROUNDS),
+)
+def q_snn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarvis-Patrick SNN clusters over the embeddings table
+    (operators/simsearch.py::snn_clusters): mutual top-5 links with
+    >= 2 shared neighbors, CC over the strong graph, singletons kept."""
+    from arxiv_citation_graph_spark.operators.simsearch import snn_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return snn_clusters(
+        spark, emb, k=_KNN_K, min_shared=_SNN_SHARED, method="lsh",
+        dims=_KNN_DIMS, n_planes=_KNN_PLANES,
+    )
+
+
 def _hyperball_sql(hops: int, r_cap: int) -> str:
     """Unrolled HyperBall harmonic centrality (plans/anf.py::
     approx_harmonic): the shared ANF sketch CTEs give per-hop per-vertex

@@ -1,0 +1,56 @@
+"""Jarvis-Patrick shared-nearest-neighbor clustering
+(operators/simsearch.py::snn_clusters)."""
+
+from __future__ import annotations
+
+import pytest
+
+from arxiv_citation_graph_spark.operators.simsearch import snn_clusters
+
+
+def _corpus(spark):
+    # three well-separated 4-point clusters on orthogonal axes plus two
+    # isolated points: within-cluster cosine ~0.999, cross ~0, so the
+    # top-3 lists are unambiguous (no float-tie sensitivity)
+    rows = []
+    vid = 0
+    for axis in range(3):
+        for i in range(4):
+            v = [0.0, 0.0, 0.0, 0.0]
+            v[axis] = 1.0
+            v[3] = 0.01 * (i + 1) if axis < 3 else 0.0
+            rows.append((vid, v))
+            vid += 1
+    rows.append((100, [1.0, 1.0, 1.0, 1.0]))
+    rows.append((101, [-1.0, 1.0, -1.0, 1.0]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _clusters(df):
+    return {(r.vec_id, r.cluster) for r in df.collect()}
+
+
+def test_snn_planted_clusters(spark):
+    out = snn_clusters(
+        spark, _corpus(spark), k=3, min_shared=2, method="brute"
+    )
+    got = _clusters(out)
+    expect = set()
+    for c in range(3):
+        ids = [c * 4 + i for i in range(4)]
+        expect |= {(i, min(ids)) for i in ids}
+    expect |= {(100, 100), (101, 101)}  # isolated -> singletons
+    assert got == expect
+
+
+def test_snn_min_shared_gate(spark):
+    # min_shared > k can never be met: everything is a singleton
+    out = snn_clusters(
+        spark, _corpus(spark), k=3, min_shared=10, method="brute"
+    )
+    assert _clusters(out) == {(r, r) for r in ([c * 4 + i for c in range(3) for i in range(4)] + [100, 101])}
+
+
+def test_snn_requires_dims_for_lsh(spark):
+    with pytest.raises(ValueError, match="requires dims"):
+        snn_clusters(spark, _corpus(spark), k=3, method="lsh")
