@@ -2045,6 +2045,27 @@ def main() -> None:
         )
     )
 
+    # -- SNN clustering (strong-link derivation, pre-CC) -----------------------
+    from arxiv_citation_graph_spark.operators.simsearch import snn_clusters
+
+    emb_scan = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    snn_plan = plan_of(
+        snn_clusters(spark, emb_scan, k=5, min_shared=2, dims=64, n_planes=6)
+    )
+    sections.append(
+        (
+            "Jarvis-Patrick SNN clusters (strong links -> CC -> singletons)",
+            "Directed top-k lists localCheckpointed once (ExistingRDD) and "
+            "consumed three times: the mutual self-join, then the "
+            "shared-neighbor count as two equi-joins whose fan-out is "
+            "bounded by k per row — never an all-pairs product.  CC runs "
+            "on the strong pairs through the superstep runtime; the final "
+            "left join restores singletons from the id scan.  "
+            f"[{exchange_count(snn_plan)}]",
+            condense(snn_plan, KEEP),
+        )
+    )
+
     # -- Spinner balanced partitioning superstep -------------------------------
     from arxiv_citation_graph_spark.plans.spinner import spinner_partition
 
