@@ -369,6 +369,12 @@ def main() -> None:
         "salted supersteps) — the round-5 code-payload flagships; all "
         "prior workloads byte-frozen"
     )
+    extras["workload_changes_r5_session3"] = (
+        "added spinner_partition (8 rounds of balanced k=8 partitioning + "
+        "the one-pass quality summary over the same cached graph the "
+        "kernels run on) — the only workload change vs session 2; all "
+        "prior workloads byte-frozen"
+    )
     extras["trials"] = trials
     extras["trial_times"] = {k: v for k, v in trial_times.items() if len(v) > 1}
     try:
