@@ -124,6 +124,18 @@ def worker_pagerank(cores: int, n_edges: int) -> None:
     spark.stop()
 
 
+#: when True, each worker JVM is pinned to exactly `cores` host CPUs via
+#: taskset, so "local[N]" means N cores for EVERYTHING — task slots, GC,
+#: shuffle netty, Arrow, Python workers.  Without pinning, an idle host
+#: lets an 8-slot JVM spill its non-task threads onto the other 24 cores
+#: and the N level over-measures by several x (observed: 4.8M edges/s at
+#: local[8] on an idle host vs ~1.0M under ambient contention), which
+#: destroys the N-vs-4N ratio's meaning.  Pinning restores the cluster
+#: semantics the north rule's two-cluster-size criterion assumes (an
+#: N-executor cluster cannot borrow a bigger cluster's cores).
+CPUSET = False
+
+
 def _spawn(phase: str, cores: int, n_edges: int, n_docs: int) -> dict:
     # heap scales with core count (4g/core): a 4N-executor cluster has 4x
     # the total memory of an N-executor cluster, so a fixed single-JVM
@@ -134,9 +146,11 @@ def _spawn(phase: str, cores: int, n_edges: int, n_docs: int) -> dict:
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", f"{4 * cores}g"),
     )
+    prefix = ["taskset", "-c", f"0-{cores - 1}"] if CPUSET else []
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), f"--worker-{phase}",
-         "--n", str(cores), "--edges", str(n_edges), "--docs", str(n_docs)],
+        prefix
+        + [sys.executable, os.path.abspath(__file__), f"--worker-{phase}",
+           "--n", str(cores), "--edges", str(n_edges), "--docs", str(n_docs)],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -201,7 +215,14 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--worker-extract", action="store_true")
     ap.add_argument("--worker-pagerank", action="store_true")
+    ap.add_argument(
+        "--cpuset", action="store_true",
+        help="pin each worker JVM to exactly its core budget via taskset "
+        "(required for a meaningful N level on an idle host — see CPUSET)",
+    )
     args = ap.parse_args()
+    global CPUSET
+    CPUSET = args.cpuset
 
     if args.worker_extract:
         worker_extract(args.n, args.docs)
@@ -220,6 +241,7 @@ def main() -> None:
         "extract_scaling_efficiency": round(eff_extract, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "cpuset_pinned": CPUSET,
     }
     print(json.dumps(report, indent=1))
 
@@ -257,6 +279,7 @@ docs -> {small['extract_edges']:,} edges.
 **PageRank scaling efficiency = (throughput_4N / throughput_N) / 4 =
 {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "MISS"})
 Extraction scaling efficiency = {eff_extract:.3f}.
+CPU pinning: {"each worker JVM pinned to exactly its core budget via taskset (cpuset protocol)" if CPUSET else "none (task-slot limit only; on an idle host the N level over-measures — prefer --cpuset)"}.
 
 Per-superstep walls of the median trial (s): N={small['superstep_all']},
 4N={large['superstep_all']}; median steady superstep across interleaved
