@@ -11185,6 +11185,101 @@ def q_community_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Exact set-similarity join + widest (bottleneck) paths
+# ===========================================================================
+
+
+def _prefix_jaccard_sql(threshold: float) -> str:
+    """Brute-force exact distinct-token Jaccard (DuckDB can afford the
+    shared-token pair product at sf0.01) — the engine's prefix-filtered
+    plan (operators/setjoin.py) must return the IDENTICAL pair set: the
+    prefix filter is lossless by the Chaudhuri/Bayardo lemma, so any
+    divergence is a bug, not an approximation."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')) AS tk
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(tk) AS n FROM toks),
+    expl AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS o
+      FROM expl x JOIN expl y ON x.token = y.token AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(o AS DOUBLE) / (sa.n + sb.n - o), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(o AS DOUBLE) / (sa.n + sb.n - o) >= {threshold}
+    """
+
+
+@register("prefix_jaccard_join", _prefix_jaccard_sql(threshold=0.95))
+def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-set Jaccard self-join at 0.95 via prefix filtering
+    (operators/setjoin.py) — the lossless counterpart to the MinHash/LSH
+    stack; candidates come only from each doc's rarest-token prefix."""
+    from arxiv_citation_graph_spark.operators.setjoin import prefix_jaccard_join
+
+    return prefix_jaccard_join(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.95
+    )
+
+
+def _widest_unrolled_sql(rounds: int) -> str:
+    """Unrolled (max, min)-semiring relaxation (plans/widest.py) from the
+    lexicographic-min vertex over the symmetrized weighted co-supply
+    graph — the SSSP oracle with the semiring swapped: parallel edges
+    keep their MAX weight, relaxation is max(least(width, w)), the merge
+    keeps greatest(old, candidate).  Dense per-round relaxation equals
+    the engine's frontier-delta state round-for-round (monotone DP), so
+    ``rounds`` >= the convergence round suffices."""
+    src_width = 1 << 40
+    ctes = [
+        f"cos AS MATERIALIZED ({EDGES_COSUPPLY_SQL})",
+        f"wed AS MATERIALIZED (SELECT src_id, dst_id, {_EDGE_WEIGHT_SQL} AS w FROM cos)",
+        "adj AS MATERIALIZED (SELECT src_id, dst_id, max(w) AS w FROM ("
+        "SELECT src_id, dst_id, w FROM wed "
+        "UNION ALL SELECT dst_id, src_id, w FROM wed) GROUP BY 1, 2)",
+        "verts AS MATERIALIZED (SELECT src_id AS vertex FROM adj UNION SELECT dst_id FROM adj)",
+        "src AS MATERIALIZED (SELECT min(vertex) AS v FROM verts)",
+        "w0 AS MATERIALIZED (SELECT vertex, CASE WHEN vertex = (SELECT v FROM src) "
+        f"THEN {src_width} ELSE 0 END AS width FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT v.vertex, "
+            f"greatest(v.width, coalesce(m.nw, v.width)) AS width FROM w{p} v LEFT JOIN ("
+            f"SELECT e.dst_id AS vertex, max(least(l.width, e.w)) AS nw FROM adj e "
+            f"JOIN w{p} l ON e.src_id = l.vertex WHERE l.width > 0 "
+            f"GROUP BY e.dst_id) m ON v.vertex = m.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, CAST(width AS BIGINT) AS width FROM w{rounds} "
+        "WHERE width > 0 AND vertex <> (SELECT v FROM src)"
+    )
+
+
+@register("widest_path_widths", _widest_unrolled_sql(rounds=_BFS_ORACLE_ROUNDS))
+def q_widest_path_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-bottleneck capacity from the lexicographic-min vertex over
+    the weighted co-supply graph (plans/widest.py) — Bellman-Ford in the
+    (max, min) semiring, frontier-delta supersteps."""
+    from arxiv_citation_graph_spark.plans.widest import widest_path_widths
+
+    return widest_path_widths(
+        spark, weighted_cosupply_edges(spark, sf_dir)
+    ).widths
+
+
+# ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================
 # The driver samples registry entries in insertion order and caps at ~50

@@ -1,0 +1,135 @@
+"""Exact set-similarity self-join with prefix filtering (AllPairs /
+PPJoin family: Chaudhuri-Ganti-Kaushik ICDE 2006, Bayardo-Ma-Srikant
+WWW 2007, Xiao et al. WWW 2008).
+
+The exact counterpart to the probabilistic near-dup stack in
+:mod:`operators.dedup`: MinHash+LSH (``lsh_candidate_pairs``) trades
+recall for speed, the df-capped verifier (``ngram_jaccard_pairs``)
+trades exactness for a bounded join.  This operator returns EVERY pair
+with token-set Jaccard >= t — no cap, no hashing loss — yet never
+materializes the all-pairs product:
+
+1. tokenize each document to its DISTINCT token set,
+2. order every document's tokens by a global canonical order — rarest
+   first ``(document frequency ASC, token ASC)`` — computed with one
+   ``groupBy(token).count()`` whose result rides back on a token join
+   (no global rank table, no single-task window),
+3. keep only each document's PREFIX: the first ``|x| - ceil(t*|x|) + 1``
+   ordered tokens.  Prefix-filtering lemma: if ``J(A,B) >= t`` then the
+   globally-smallest common token of A and B sits inside BOTH prefixes
+   (all common tokens trail it in the canonical order, and fewer than
+   ``ceil(t*|x|)`` tokens fit behind either prefix), so the equi-join on
+   prefix tokens finds every qualifying pair,
+4. equi-join prefixes on token (``doc_a < doc_b``) with the length
+   filter ``|B| >= ceil(t * |A|)`` (sizes ride on the exploded rows —
+   a pair with ``min < t * max`` cannot reach Jaccard t), distinct,
+5. verify candidates exactly: join both documents' full token sets,
+   count the intersection, keep ``inter / (|A| + |B| - inter) >= t``.
+
+Scale shape: the prefix tokens are by construction the RAREST tokens of
+each document, so the candidate join's per-token buckets are small even
+when the corpus shares hot vocabulary — the hot tokens ("the", license
+boilerplate) land in suffixes and never generate candidates.  Both
+shuffles key on token; verification is bounded by the candidate count,
+not the corpus square.  At 100 TB this is the published AllPairs recipe
+(plus AQE for residual token skew); the df-order broadcast is one
+corpus-vocabulary aggregate, never collected to the driver.
+
+No reference counterpart (the reference has no similarity machinery);
+cited for parity bookkeeping against SURVEY.md's beyond-reference tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(doc, token)`` — one row per distinct whitespace token per doc."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
+        .select("doc", F.explode("_toks").alias("token"))
+    )
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All pairs with distinct-token Jaccard >= ``threshold``:
+    ``(doc_a, doc_b, jaccard)``, exact, prefix-filtered (module doc).
+
+    ``threshold`` must be in (0, 1]: at 0 the prefix is the whole set
+    and the join degenerates to the all-pairs product it exists to
+    avoid — rejected rather than silently quadratic.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"prefix_jaccard_join threshold must be in (0, 1], got {threshold}"
+        )
+    tokens = _distinct_tokens(df, id_col, text_col)
+    sizes = tokens.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+
+    # canonical order: (df ASC, token ASC) — total (token unique per doc)
+    ordered = (
+        tokens.join(dfreq, "token")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("token")))
+            ).alias("_ord")
+        )
+    )
+    prefix_len = (
+        F.size("_ord") - F.ceil(F.lit(threshold) * F.size("_ord")) + F.lit(1)
+    ).cast("int")
+    prefixes = (
+        ordered.select(
+            "doc",
+            F.size("_ord").alias("n_tok"),
+            F.slice("_ord", 1, prefix_len).alias("_pfx"),
+        )
+        .select("doc", "n_tok", F.explode("_pfx").alias("_p"))
+        .select("doc", "n_tok", F.col("_p.token").alias("token"))
+    )
+
+    left = prefixes.select(
+        F.col("doc").alias("doc_a"), F.col("n_tok").alias("n_a"), "token"
+    )
+    right = prefixes.select(
+        F.col("doc").alias("doc_b"), F.col("n_tok").alias("n_b"), "token"
+    )
+    candidates = (
+        left.join(right, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.ceil(F.lit(threshold) * F.greatest("n_a", "n_b"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    ta = tokens.select(F.col("doc").alias("doc_a"), "token")
+    tb = tokens.select(F.col("doc").alias("doc_b"), "token")
+    inter = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_tok").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_tok").alias("n_b")), "doc_b")
+        .filter(jac >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

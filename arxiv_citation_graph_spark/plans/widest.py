@@ -1,0 +1,193 @@
+"""Single-source widest paths (maximum-bottleneck capacity) via
+frontier-delta supersteps.
+
+The max-min dual of :mod:`plans.sssp`: the *capacity* of a path is its
+minimum edge weight, and ``width(v)`` is the maximum capacity over all
+paths ``source -> v`` — "what is the fattest pipe to v" (max-flow along
+a single path; Pollack 1960, the classic bottleneck shortest path).
+On a citation/link graph with multiplicity weights it answers "how
+strongly is v connected to the source via its weakest hop".
+
+Same Pregel shape as Bellman-Ford, in the (max, min) semiring instead
+of (min, +) — the dynamic program is monotone (widths only grow, each
+bounded by the max edge weight), so frontier-delta is exact: a vertex
+can only widen via a neighbor that itself widened last superstep.
+Per superstep:
+
+- adjacency cached + hash-partitioned once; parallel edges collapse to
+  their MAXIMUM weight up front (the only one a widest path can use —
+  the mirror of SSSP's ``min``),
+- one equi-join of the improved frontier against the adjacency,
+- one ``max(least(width, w))`` aggregate with map-side partial combine,
+- one |V|-sized merge keeping ``greatest(old, candidate)``; ``delta`` =
+  widened-vertex count, 0 == converged.
+
+Integer weights (validated, the SSSP convention) keep widths exact
+64-bit values — cross-engine comparison is bit-identical.  The source
+itself is excluded from the output (its width is the +inf of the
+semiring, not a graph property).  Converges in <= |V| supersteps;
+in practice bounded by the hop depth of the widest-path tree.
+
+No reference counterpart (reference has no weighted-graph machinery);
+listed under SURVEY.md's beyond-reference tier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.superstep import (
+    CheckpointStore,
+    SuperstepReport,
+    run_supersteps,
+)
+
+#: semiring top element for the source row — any real width is smaller,
+#: so the source's out-edges relax to their own weight on superstep 1.
+SOURCE_WIDTH = 1 << 40
+
+
+@dataclass
+class WidestResult:
+    widths: DataFrame  # (vertex, width) — reached vertices, source excluded
+    report: SuperstepReport
+    source: str
+
+
+def widest_path_widths(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: str | None = None,
+    weight_col: str = "weight",
+    max_iterations: int = 200,
+    directed: bool = False,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_state: bool | None = None,
+) -> WidestResult:
+    """Maximum bottleneck capacity from ``source`` over
+    ``edges(src_id, dst_id, <weight_col>)``.
+
+    ``source=None`` picks the lexicographic-min vertex (the BFS/SSSP
+    convention).  ``directed=False`` symmetrizes at equal weight.
+    Weights must be non-null integers >= 1 (fail fast, the SSSP /
+    weighted-PageRank validation convention — fractional weights would
+    silently truncate under the long cast).
+    """
+    w = F.col(weight_col).cast("long")
+    wd = F.col(weight_col).cast("double")
+    bad = edges.filter(
+        F.col(weight_col).isNull()
+        | F.isnan(wd)
+        | (w < 1)
+        | (w.cast("double") != wd)
+    ).limit(1)
+    if bad.count() > 0:
+        row = bad.first()
+        raise ValueError(
+            f"widest_path_widths requires integer weights >= 1; offending "
+            f"edge ({row['src_id']!r} -> {row['dst_id']!r}, "
+            f"{weight_col}={row[weight_col]!r})"
+        )
+    directed_edges = edges.select("src_id", "dst_id", w.alias("_w"))
+    if not directed:
+        directed_edges = directed_edges.unionByName(
+            edges.select(
+                F.col("dst_id").alias("src_id"),
+                F.col("src_id").alias("dst_id"),
+                w.alias("_w"),
+            )
+        )
+    # parallel edges: only the heaviest can lie on a widest path
+    adj = (
+        directed_edges.groupBy("src_id", "dst_id")
+        .agg(F.max("_w").alias("_w"))
+        .repartition(spark.sparkContext.defaultParallelism, "src_id")
+        .cache()
+    )
+    m = adj.count()
+    vertices = vertices_of(edges).cache()
+    n = vertices.count()
+    if n == 0:
+        adj.unpersist()
+        vertices.unpersist()
+        empty = spark.createDataFrame([], "vertex string, width long")
+        return WidestResult(empty, SuperstepReport(0, True), source or "")
+    if source is None:
+        source = vertices.agg(F.min("vertex")).first()[0]
+    elif vertices.filter(F.col("vertex") == source).count() == 0:
+        adj.unpersist()
+        vertices.unpersist()
+        raise ValueError(
+            f"widest-path source {source!r} is not a vertex of the graph"
+        )
+    # weight-aware fingerprint: resuming onto a reweighted graph would
+    # keep stale (too-narrow) max-only widths with no error
+    fp_row = adj.agg(F.expr("bit_xor(xxhash64(src_id, dst_id, _w))")).first()
+    edge_fp = int(fp_row[0]) if fp_row[0] is not None else 0
+
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        frontier = state.filter(F.col("delta") > 0).select("vertex", "width")
+        nbr = (
+            adj.join(_mb(frontier), adj.src_id == F.col("vertex"))
+            .groupBy(F.col("dst_id").alias("vertex"))
+            .agg(F.max(F.least(F.col("width"), F.col("_w"))).alias("nbr_width"))
+        )
+        new_width = F.greatest(
+            F.col("old_width"), F.coalesce(F.col("nbr_width"), F.col("old_width"))
+        )
+        new = (
+            state.select("vertex", F.col("width").alias("old_width"))
+            .join(nbr, "vertex", "left")
+            .select(
+                "vertex",
+                new_width.alias("width"),
+                (new_width > F.col("old_width")).cast("double").alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    is_src = F.col("vertex") == F.lit(source)
+    initial = vertices.select(
+        "vertex",
+        F.when(is_src, F.lit(SOURCE_WIDTH))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("width"),
+        F.when(is_src, F.lit(1.0)).otherwise(F.lit(0.0)).alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n,
+                "n_edges": m,
+                "source": source,
+                "directed": directed,
+                "edge_fp": edge_fp,
+                "kernel": "widest_path",
+            },
+        )
+        out = final.filter(
+            (F.col("width") > 0) & (F.col("vertex") != F.lit(source))
+        ).select("vertex", "width")
+    finally:
+        adj.unpersist()
+        vertices.unpersist()
+    return WidestResult(out, report, source)

@@ -1,0 +1,170 @@
+"""Widest (bottleneck) paths (plans/widest.py) and the prefix-filtered
+exact Jaccard self-join (operators/setjoin.py): hand-solved fixtures,
+brute-force differential oracles, validation, and lossless-filter
+guarantees."""
+
+from __future__ import annotations
+
+import heapq
+import random
+
+import pytest
+
+from arxiv_citation_graph_spark.operators.setjoin import prefix_jaccard_join
+from arxiv_citation_graph_spark.plans.widest import widest_path_widths
+
+SCHEMA = "src_id string, dst_id string, weight long"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _widths(result):
+    return {r.vertex: r.width for r in result.widths.collect()}
+
+
+def _brute_widest(rows, source, directed=False):
+    """Max-min Dijkstra (max-heap on path capacity)."""
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for u, v, w in rows:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, [])
+        if not directed:
+            adj[v].append((u, w))
+    inf = float("inf")
+    width = {source: inf}
+    pq = [(-inf, source)]
+    while pq:
+        nw, u = heapq.heappop(pq)
+        nw = -nw
+        if nw < width.get(u, 0):
+            continue
+        for v, w in adj.get(u, []):
+            cand = min(nw, w)
+            if cand > width.get(v, 0):
+                width[v] = cand
+                heapq.heappush(pq, (-cand, v))
+    return {v: int(w) for v, w in width.items() if v != source}
+
+
+# --- widest paths ----------------------------------------------------------
+
+
+def test_bottleneck_beats_direct_edge(spark):
+    """The defining case: a direct weight-1 edge loses to a two-hop
+    detour whose narrowest edge is 5."""
+    rows = [("a", "b", 1), ("a", "c", 5), ("c", "b", 7)]
+    res = widest_path_widths(spark, _df(spark, rows), source="a")
+    assert _widths(res) == {"b": 5, "c": 5}
+
+
+def test_directed_respects_orientation(spark):
+    rows = [("a", "b", 3), ("c", "b", 9)]
+    res = widest_path_widths(spark, _df(spark, rows), source="a", directed=True)
+    # c unreachable when edges are one-way; b capped at 3
+    assert _widths(res) == {"b": 3}
+
+
+def test_parallel_edges_keep_max_weight(spark):
+    rows = [("a", "b", 2), ("a", "b", 6)]
+    res = widest_path_widths(spark, _df(spark, rows), source="a")
+    assert _widths(res) == {"b": 6}
+
+
+def test_source_excluded_and_unreached_absent(spark):
+    rows = [("a", "b", 4), ("x", "y", 2)]
+    res = widest_path_widths(spark, _df(spark, rows), source="a")
+    out = _widths(res)
+    assert "a" not in out and "x" not in out and "y" not in out
+    assert out == {"b": 4}
+
+
+def test_matches_brute_force_on_random_graph(spark):
+    rng = random.Random(75)
+    verts = [f"v{i}" for i in range(30)]
+    rows = list(
+        {
+            (rng.choice(verts), rng.choice(verts))
+            for _ in range(120)
+        }
+    )
+    rows = [(u, v, rng.randint(1, 9)) for u, v in rows if u != v]
+    res = widest_path_widths(spark, _df(spark, rows), source="v0")
+    assert _widths(res) == _brute_widest(rows, "v0")
+
+
+def test_fractional_weight_fails_fast(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1.9)], "src_id string, dst_id string, weight double"
+    )
+    with pytest.raises(ValueError, match="integer weights"):
+        widest_path_widths(spark, df, source="a")
+
+
+def test_unknown_source_fails_fast(spark):
+    with pytest.raises(ValueError, match="not a vertex"):
+        widest_path_widths(spark, _df(spark, [("a", "b", 1)]), source="zz")
+
+
+# --- prefix-filtered exact Jaccard join ------------------------------------
+
+
+def _brute_jaccard(docs, threshold):
+    toks = {d: set(t.split()) for d, t in docs}
+    out = {}
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ta, tb = toks[a], toks[b]
+            if not ta or not tb:
+                continue
+            inter = len(ta & tb)
+            if inter == 0:
+                continue
+            j = inter / (len(ta) + len(tb) - inter)
+            if j >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+def _run_join(spark, docs, threshold):
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = prefix_jaccard_join(df, "doc_id", "text", threshold).collect()
+    return {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+
+
+def test_exact_pairs_on_fixture(spark):
+    docs = [
+        ("d1", "alpha beta gamma delta"),
+        ("d2", "alpha beta gamma epsilon"),  # J(d1,d2) = 3/5 = 0.6
+        ("d3", "alpha beta gamma delta"),  # J(d1,d3) = 1.0
+        ("d4", "zeta eta theta"),  # shares nothing
+    ]
+    got = _run_join(spark, docs, 0.6)
+    assert got == {("d1", "d2"): 0.6, ("d1", "d3"): 1.0, ("d2", "d3"): 0.6}
+
+
+def test_lossless_vs_brute_force_random_corpus(spark):
+    """The prefix filter must be LOSSLESS: every qualifying pair found,
+    none invented — checked against all-pairs brute force on a corpus
+    with a hot shared vocabulary (worst case for prefix pruning)."""
+    rng = random.Random(113)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        n = rng.randint(3, 12)
+        docs.append((f"d{i:02d}", " ".join(rng.sample(vocab, n))))
+    for t in (0.4, 0.7, 0.9):
+        assert _run_join(spark, docs, t) == _brute_jaccard(docs, t), t
+
+
+def test_duplicate_tokens_in_text_collapse(spark):
+    docs = [("a", "x x x y"), ("b", "x y y")]  # both are {x, y}
+    assert _run_join(spark, docs, 0.99) == {("a", "b"): 1.0}
+
+
+def test_threshold_zero_rejected(spark):
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_jaccard_join(df, "doc_id", "text", 0.0)
