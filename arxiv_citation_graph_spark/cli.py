@@ -8,7 +8,8 @@ Ship the package as a zip and drive any stage of the pipeline:
         --docs /path/docs_parquet --out /path/warehouse
 
 Subcommands: extract | pagerank | cc | lpa | triangles | hits | salsa |
-kcore | bfs | walks | betweenness | fiedler | layers | simrank |
+kcore | bfs | walks | betweenness | widest | sim-join | fiedler |
+layers | simrank |
 wl-kernel | sample | dedup | line-dedup | decontaminate | scrub |
 split | select | stats | backbone | pipeline | ingest | classify |
 zorder | als | smooth | pq | conversions | bpe | table | bench-corpus.
@@ -738,6 +739,32 @@ def main(argv: list[str] | None = None) -> int:
                    help="also write Jarvis-Patrick SNN clusters (mutual "
                    "links with >= MIN_SHARED shared neighbors, CC over "
                    "the strong graph) to table snn_clusters")
+
+    p = sub.add_parser(
+        "widest",
+        help="single-source widest (maximum-bottleneck) paths — "
+        "Bellman-Ford in the (max, min) semiring over integer weights",
+    )
+    p.add_argument("--edges", required=True, help="edges parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--source", default=None,
+                   help="source vertex (default: lexicographic min)")
+    p.add_argument("--weight", default="weight",
+                   help="edge-weight column (integer capacities >= 1)")
+    p.add_argument("--directed", action="store_true")
+    p.add_argument("--max-iterations", type=int, default=200)
+    p.add_argument("--resume", action="store_true")
+
+    p = sub.add_parser(
+        "sim-join",
+        help="EXACT token-set Jaccard self-join via rarest-first prefix "
+        "filtering (lossless counterpart to the MinHash/LSH stack)",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--threshold", type=float, default=0.8)
 
     p = sub.add_parser(
         "bowtie",
@@ -1891,6 +1918,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"squares: {res.counts.count()} vertices, {res.total} squares")
         return 0
 
+    if args.cmd == "sim-join":
+        from arxiv_citation_graph_spark.operators.setjoin import prefix_jaccard_join
+
+        pairs = prefix_jaccard_join(
+            spark.read.parquet(args.docs), args.id_col, args.text_col,
+            threshold=args.threshold,
+        )
+        catalog.create_or_replace("jaccard_pairs", pairs)
+        print(
+            f"sim-join: {pairs.count()} exact pair(s) at "
+            f"jaccard >= {args.threshold}"
+        )
+        return 0
+
     if args.cmd == "knn-graph":
         from arxiv_citation_graph_spark.operators.simsearch import knn_graph
 
@@ -2252,6 +2293,20 @@ def main(argv: list[str] | None = None) -> int:
             f"betweenness: sources {bw.sources}, depth {bw.max_depth}, "
             f"{bw.forward_report.iterations}+{bw.backward_report.iterations} supersteps"
             + (" (+edge scores)" if args.edge_scores else "")
+        )
+    elif args.cmd == "widest":
+        from arxiv_citation_graph_spark.plans.widest import widest_path_widths
+
+        wres = widest_path_widths(
+            spark, edges, source=args.source, weight_col=args.weight,
+            directed=args.directed, max_iterations=args.max_iterations,
+            store=store, resume=args.resume,
+        )
+        catalog.create_or_replace("widest_paths", wres.widths)
+        print(
+            f"widest: source {wres.source}, {wres.widths.count()} reached "
+            f"vertices, {wres.report.iterations} supersteps, "
+            f"converged={wres.report.converged}"
         )
     elif args.cmd == "fiedler":
         from arxiv_citation_graph_spark.plans.spectral import fiedler_vector

@@ -73,7 +73,11 @@ def prefix_jaccard_join(
         raise ValueError(
             f"prefix_jaccard_join threshold must be in (0, 1], got {threshold}"
         )
-    tokens = _distinct_tokens(df, id_col, text_col)
+    # tokenization feeds FIVE consumers (df table, canonical order, both
+    # verify sides, sizes): checkpoint it once so the corpus scan +
+    # split/explode run once, not per consumer (the pipeline.py
+    # multi-consumer convention)
+    tokens = _distinct_tokens(df, id_col, text_col).localCheckpoint(eager=True)
     sizes = tokens.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
     dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
 
@@ -90,6 +94,8 @@ def prefix_jaccard_join(
     prefix_len = (
         F.size("_ord") - F.ceil(F.lit(threshold) * F.size("_ord")) + F.lit(1)
     ).cast("int")
+    # both sides of the candidate self-join read the prefix table:
+    # checkpoint so the order-sort subtree executes once
     prefixes = (
         ordered.select(
             "doc",
@@ -98,6 +104,7 @@ def prefix_jaccard_join(
         )
         .select("doc", "n_tok", F.explode("_pfx").alias("_p"))
         .select("doc", "n_tok", F.col("_p.token").alias("token"))
+        .localCheckpoint(eager=True)
     )
 
     left = prefixes.select(

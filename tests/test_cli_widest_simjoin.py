@@ -1,0 +1,59 @@
+"""CLI surface for the round-5 closing wave: widest / sim-join."""
+
+from __future__ import annotations
+
+
+def _setup(spark, tmp_path, monkeypatch):
+    import arxiv_citation_graph_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    return str(tmp_path / "wh")
+
+
+def test_cli_widest(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    edges_path = str(tmp_path / "edges_pq")
+    spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 5), ("c", "b", 7)],
+        "src_id string, dst_id string, weight long",
+    ).write.parquet(edges_path)
+
+    assert cli.main(
+        ["widest", "--edges", edges_path, "--out", wh, "--source", "a"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "source a" in out and "2 reached" in out
+    got = {
+        r.vertex: r.width
+        for r in SnapshotCatalog(wh).read(spark, "widest_paths").collect()
+    }
+    assert got == {"b": 5, "c": 5}
+
+
+def test_cli_sim_join(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    docs_path = str(tmp_path / "docs_pq")
+    spark.createDataFrame(
+        [
+            ("d1", "alpha beta gamma delta"),
+            ("d2", "alpha beta gamma epsilon"),
+            ("d3", "zeta eta theta"),
+        ],
+        "doc_id string, text string",
+    ).write.parquet(docs_path)
+
+    assert cli.main(
+        ["sim-join", "--docs", docs_path, "--out", wh, "--threshold", "0.6"]
+    ) == 0
+    assert "1 exact pair(s) at jaccard >= 0.6" in capsys.readouterr().out
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in SnapshotCatalog(wh).read(spark, "jaccard_pairs").collect()
+    }
+    assert got == {("d1", "d2"): 0.6}
