@@ -11267,6 +11267,65 @@ def _widest_unrolled_sql(rounds: int) -> str:
     )
 
 
+def _exact_dedup_clusters_sql(
+    threshold: float, rounds: int = _DEDUP_CC_ROUNDS
+) -> str:
+    """``dedup_clusters_exact`` replayed in SQL: brute-force exact
+    3-shingle Jaccard pairs (NO df cap — the lossless pair set the
+    prefix-filtered join guarantees) + the same hash-min CC unroll as
+    the fuzzy dedup_clusters oracle."""
+    ctes = [
+        """sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(toks) - 2, 0) + 1),
+        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents))""",
+        "szs AS MATERIALIZED (SELECT doc_id, len(shingles) AS n FROM sh)",
+        "expl AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS shingle FROM sh)",
+        """vp AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS o
+        FROM expl x JOIN expl y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY 1, 2) i
+      JOIN szs sa ON sa.doc_id = a JOIN szs sb ON sb.doc_id = b
+      WHERE CAST(o AS DOUBLE) / (sa.n + sb.n - o) >= """
+        + str(threshold)
+        + ")",
+        "vsym AS MATERIALIZED (SELECT a, b FROM vp UNION SELECT b, a FROM vp)",
+        "dverts AS MATERIALIZED (SELECT DISTINCT doc_id AS vertex FROM documents)",
+        "xl0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM dverts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"xl{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"least(v.component, coalesce(m.nbr, v.component)) AS component "
+            f"FROM xl{p} v LEFT JOIN ("
+            f"SELECT e.b AS vertex, min(l.component) AS nbr "
+            f"FROM vsym e JOIN xl{p} l ON e.a = l.vertex GROUP BY e.b"
+            f") m ON v.vertex = m.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vertex AS doc_id, component AS cluster FROM xl{rounds}"
+    )
+
+
+@register("dedup_clusters_exact", _exact_dedup_clusters_sql(threshold=0.5))
+def q_dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless fuzzy-dedup clusters: prefix-filtered EXACT shingle-
+    Jaccard pairs (no MinHash recall loss, no df cap) -> hash-min CC ->
+    min-member label (operators/dedup.dedup_clusters_exact)."""
+    from arxiv_citation_graph_spark.operators.dedup import dedup_clusters_exact
+
+    return dedup_clusters_exact(
+        spark, _t(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.5, shingle_k=3, max_iterations=_DEDUP_CC_ROUNDS,
+    ).select(F.col("doc").alias("doc_id"), "cluster")
+
+
 @register("widest_path_widths", _widest_unrolled_sql(rounds=_BFS_ORACLE_ROUNDS))
 def q_widest_path_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum-bottleneck capacity from the lexicographic-min vertex over

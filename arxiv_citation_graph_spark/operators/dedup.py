@@ -346,6 +346,45 @@ def dedup_clusters(
     ).select("doc", F.coalesce(F.col("component"), F.col("doc")).alias("cluster"))
 
 
+def dedup_clusters_exact(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """``dedup_clusters`` with LOSSLESS pair generation: ``(doc,
+    cluster)`` where pairs come from the prefix-filtered exact Jaccard
+    join (operators/setjoin.py) over the SAME word k-shingle sets the
+    LSH stack hashes — no MinHash recall loss, no df cap on the
+    intersection.
+
+    The trade: candidate generation keys on each doc's rarest shingles
+    instead of LSH buckets, so cost tracks true near-dup density rather
+    than signature collisions.  Use it when missed duplicates are more
+    expensive than the extra verification (eval-set curation, contamination
+    audits); use ``dedup_clusters`` for the bulk corpus pass.  Cluster
+    convention is identical (CC over pairs, min-id label, singletons
+    label themselves), so the two outputs diff cleanly.
+    """
+    from arxiv_citation_graph_spark.operators.setjoin import prefix_jaccard_join
+    from arxiv_citation_graph_spark.plans.components import connected_components
+
+    pairs = prefix_jaccard_join(
+        df, id_col, text_col, threshold=threshold, shingle_k=shingle_k
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src_id"), F.col("doc_b").alias("dst_id")
+    )
+    cc = connected_components(spark, edges, max_iterations=max_iterations)
+    docs = df.select(F.col(id_col).alias("doc")).distinct()
+    return docs.join(
+        cc.components.withColumnRenamed("vertex", "doc"), "doc", "left"
+    ).select("doc", F.coalesce(F.col("component"), F.col("doc")).alias("cluster"))
+
+
 def canonical_docs(
     spark,
     df: DataFrame,

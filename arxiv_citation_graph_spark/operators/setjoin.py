@@ -44,14 +44,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from arxiv_citation_graph_spark.functions.texttools import tokens, word_shingles
 
-def _distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """``(doc, token)`` — one row per distinct whitespace token per doc."""
-    toks = F.array_distinct(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+
+def _distinct_tokens(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 1
+) -> DataFrame:
+    """``(doc, token)`` — one row per distinct set element per doc:
+    whitespace tokens at ``shingle_k=1``, word k-shingles above (the
+    dedup-stack similarity unit, so the exact join and the LSH stack
+    compare the same sets)."""
+    col = F.col(text_col)
+    items = (
+        F.array_distinct(tokens(col))
+        if shingle_k == 1
+        else word_shingles(col, shingle_k)
     )
     return (
-        df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
+        df.select(F.col(id_col).alias("doc"), items.alias("_toks"))
         .select("doc", F.explode("_toks").alias("token"))
     )
 
@@ -61,9 +71,11 @@ def prefix_jaccard_join(
     id_col: str,
     text_col: str,
     threshold: float,
+    shingle_k: int = 1,
 ) -> DataFrame:
-    """All pairs with distinct-token Jaccard >= ``threshold``:
+    """All pairs with distinct-item Jaccard >= ``threshold``:
     ``(doc_a, doc_b, jaccard)``, exact, prefix-filtered (module doc).
+    Items are whitespace tokens (``shingle_k=1``) or word k-shingles.
 
     ``threshold`` must be in (0, 1]: at 0 the prefix is the whole set
     and the join degenerates to the all-pairs product it exists to
@@ -77,13 +89,15 @@ def prefix_jaccard_join(
     # verify sides, sizes): checkpoint it once so the corpus scan +
     # split/explode run once, not per consumer (the pipeline.py
     # multi-consumer convention)
-    tokens = _distinct_tokens(df, id_col, text_col).localCheckpoint(eager=True)
-    sizes = tokens.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
-    dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    toks = _distinct_tokens(df, id_col, text_col, shingle_k).localCheckpoint(
+        eager=True
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
 
     # canonical order: (df ASC, token ASC) — total (token unique per doc)
     ordered = (
-        tokens.join(dfreq, "token")
+        toks.join(dfreq, "token")
         .groupBy("doc")
         .agg(
             F.array_sort(
@@ -125,8 +139,8 @@ def prefix_jaccard_join(
         .distinct()
     )
 
-    ta = tokens.select(F.col("doc").alias("doc_a"), "token")
-    tb = tokens.select(F.col("doc").alias("doc_b"), "token")
+    ta = toks.select(F.col("doc").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc").alias("doc_b"), "token")
     inter = (
         candidates.join(ta, "doc_a")
         .join(tb, ["doc_b", "token"])

@@ -164,6 +164,44 @@ def test_duplicate_tokens_in_text_collapse(spark):
     assert _run_join(spark, docs, 0.99) == {("a", "b"): 1.0}
 
 
+def test_shingle_mode_matches_dedup_stack_sets(spark):
+    """shingle_k=3 must compare the SAME sets the LSH stack hashes:
+    two docs differing in one middle word share some but not all
+    3-shingles; identical docs hit jaccard 1.0."""
+    docs = [
+        ("a", "one two three four five"),
+        ("b", "one two three four five"),
+        ("c", "one two XXX four five"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = prefix_jaccard_join(df, "doc_id", "text", 0.9, shingle_k=3).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    # a/b identical (3 shingles each); a/c share none >= 0.9
+    assert got == {("a", "b"): 1.0}
+
+
+def test_dedup_clusters_exact_composition(spark):
+    """Planted duplicates cluster under the min-id label, singletons
+    label themselves, every doc gets exactly one row."""
+    from arxiv_citation_graph_spark.operators.dedup import dedup_clusters_exact
+
+    docs = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox jumps over the lazy dog"),
+        ("d3", "the quick brown fox jumps over the lazy cat"),
+        ("d4", "completely different text about graph engines here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {
+        r.doc: r.cluster
+        for r in dedup_clusters_exact(
+            spark, df, "doc_id", "text", threshold=0.5, shingle_k=3
+        ).collect()
+    }
+    # d1=d2 exactly; d3 shares 5 of 9 union shingles with them (5/9 >= 0.5)
+    assert out == {"d1": "d1", "d2": "d1", "d3": "d1", "d4": "d4"}
+
+
 def test_threshold_zero_rejected(spark):
     df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
     with pytest.raises(ValueError, match="threshold"):
