@@ -8,8 +8,8 @@ Ship the package as a zip and drive any stage of the pipeline:
         --docs /path/docs_parquet --out /path/warehouse
 
 Subcommands: extract | pagerank | cc | lpa | triangles | hits | salsa |
-kcore | bfs | walks | betweenness | widest | sim-join | fiedler |
-layers | simrank |
+kcore | bfs | walks | betweenness | widest | sim-join | influence |
+fiedler | layers | simrank |
 wl-kernel | sample | dedup | line-dedup | decontaminate | scrub |
 split | select | stats | backbone | pipeline | ingest | classify |
 zorder | als | smooth | pq | conversions | bpe | table | bench-corpus.
@@ -754,6 +754,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--directed", action="store_true")
     p.add_argument("--max-iterations", type=int, default=200)
     p.add_argument("--resume", action="store_true")
+
+    p = sub.add_parser(
+        "influence",
+        help="greedy max-cover seed selection over FM reachability "
+        "sketches (SKIM-style: k seeds maximizing estimated spread)",
+    )
+    p.add_argument("--edges", required=True, help="edges parquet path")
+    p.add_argument("--out", required=True, help="warehouse root")
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--max-hops", type=int, default=32)
+    p.add_argument("--undirected", action="store_true",
+                   help="symmetrize edges before sketching")
 
     p = sub.add_parser(
         "sim-join",
@@ -1916,6 +1928,21 @@ def main(argv: list[str] | None = None) -> int:
         res = square_counts(spark, spark.read.parquet(args.edges))
         catalog.create_or_replace("square_counts", res.counts)
         print(f"squares: {res.counts.count()} vertices, {res.total} squares")
+        return 0
+
+    if args.cmd == "influence":
+        from arxiv_citation_graph_spark.plans.influence import greedy_influence_seeds
+        from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+        iedges = spark.read.parquet(args.edges)
+        if args.undirected:
+            iedges = symmetrize(iedges)
+        ires = greedy_influence_seeds(
+            spark, iedges, k=args.k, max_hops=args.max_hops
+        )
+        catalog.create_or_replace("influence_seeds", ires.seeds)
+        picked = [r.vertex for r in ires.seeds.orderBy("seed_rank").collect()]
+        print(f"influence: {len(picked)} seed(s): {' '.join(picked)}")
         return 0
 
     if args.cmd == "sim-join":

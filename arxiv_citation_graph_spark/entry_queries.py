@@ -11338,6 +11338,73 @@ def q_widest_path_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).widths
 
 
+def _influence_sql(k: int, hops: int, r_cap: int) -> str:
+    """Greedy sketch-based seed selection (plans/influence.py) replayed
+    pick-for-pick: the shared ANF sketch CTEs (bit-identical FM
+    registers), then per round the est(sketch | acc) scan with the same
+    exact-IEEE estimate, top-1 by (est DESC, vertex), accumulator OR."""
+    ctes = _anf_sketch_ctes(hops, r_cap)
+    ctes.append(
+        "acc0 AS (SELECT j, CAST(0 AS BIGINT) AS a FROM ks)"
+    )
+    ctes.append(
+        "ch0 AS (SELECT CAST(NULL AS VARCHAR) AS vertex WHERE 1 = 0)"
+    )
+    picks = []
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes.append(
+            f"gn{r} AS MATERIALIZED (SELECT x.vertex, "
+            f"CAST(sum(bit_count((x.s | a.a) & (~((x.s | a.a) + 1)))) AS BIGINT) AS S "
+            f"FROM g{hops} x JOIN acc{p} a ON x.j = a.j "
+            f"WHERE x.vertex NOT IN (SELECT vertex FROM ch{p}) "
+            f"GROUP BY x.vertex)"
+        )
+        ctes.append(
+            f"pk{r} AS MATERIALIZED (SELECT vertex, "
+            f"power(2.0, CAST(S // 8 AS DOUBLE)) * {_ANF_FRAC_CASE} / 0.77351 AS est "
+            f"FROM gn{r} ORDER BY est DESC, vertex LIMIT 1)"
+        )
+        ctes.append(
+            f"ch{r} AS (SELECT vertex FROM ch{p} UNION ALL SELECT vertex FROM pk{r})"
+        )
+        ctes.append(
+            f"acc{r} AS (SELECT a.j, (a.a | x.s) AS a FROM acc{p} a "
+            f"JOIN g{hops} x ON x.j = a.j "
+            f"AND x.vertex = (SELECT vertex FROM pk{r}))"
+        )
+        picks.append(
+            f"SELECT CAST({r} AS INT) AS seed_rank, vertex, "
+            f"round(est, 9) AS cum_est FROM pk{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(picks)
+
+
+_INFLUENCE_K = 5
+
+
+@register("influence_seeds", _influence_sql(_INFLUENCE_K, _ANF_HOPS, _ANF_RCAP))
+def q_influence_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-cover seed selection over FM reachability sketches
+    (SKIM-style, plans/influence.py): 5 seeds maximizing estimated
+    5-hop reach coverage of the co-supply graph; cum_est is the
+    coverage estimate after each pick (monotone)."""
+    from arxiv_citation_graph_spark.plans.influence import greedy_influence_seeds
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+    result = greedy_influence_seeds(
+        spark,
+        symmetrize(cosupply_edges(spark, sf_dir)),
+        k=_INFLUENCE_K,
+        max_hops=_ANF_HOPS,
+        r_cap=_ANF_RCAP,
+        stop_on_converge=False,
+    )
+    return result.seeds.select(
+        "seed_rank", "vertex", F.round("cum_est", 9).alias("cum_est")
+    )
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================

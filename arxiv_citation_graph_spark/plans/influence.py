@@ -1,0 +1,144 @@
+"""Greedy influence-seed selection over FM reachability sketches.
+
+The sketch-based max-cover greedy (Cohen-Delling-Pajor-Werneck, "SKIM",
+CIKM 2014; the classic 1-1/e greedy of Nemhauser et al. 1978 applied to
+reach sets, as in Kempe-Kleinberg-Tardos 2003): pick k seed vertices
+whose combined h-hop reach covers as much of the graph as possible —
+the "where do I inject updates/ads/patches for maximum spread" query.
+
+Exact marginal-gain greedy needs |V| reach SETS; at scale those are the
+ANF Flajolet-Martin sketches (plans/anf.py) — 64 bytes/vertex, already
+computed in diameter supersteps, OR-mergeable.  Greedy then needs NO
+further graph traversal:
+
+- the chosen set's coverage is an 8-long accumulator ``acc`` (driver
+  state, broadcast as literals — never a join),
+- each round is ONE scan of the (vertex, s0..s7) sketch frame
+  evaluating ``est(sketch | acc)`` per vertex and taking the top-1 via
+  ``orderBy(...).limit(1)`` (TakeOrderedAndProject: map-side top-1 per
+  partition, k-row gather — no shuffle of the frame),
+- ``acc |= winner``, repeat: k rounds = k scans, zero |E| work.
+
+Deterministic cross-engine: the estimate is the ANF exact-IEEE
+decomposition (integer power x inlined fractional literal — no
+``pow(noninteger)``), ties broken by vertex id ascending, so the DuckDB
+oracle replays every pick bit-for-bit from the same md5-seeded
+sketches.  The cumulative estimate is monotone non-decreasing by FM
+sketch monotonicity (OR can only raise the lowest-zero positions).
+
+Reference scope: the reference computes no graph statistic at all
+(SURVEY.md §1.1) — beyond-reference tier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.anf import (
+    FM_PHI,
+    FRAC_POW2_8,
+    AnfResult,
+    neighborhood_function,
+)
+
+#: greedy rounds are driver-paced (one Spark job each): keep k bounded
+#: the same way seed/landmark collects are bounded elsewhere
+MAX_SEEDS = 64
+
+
+@dataclass
+class InfluenceResult:
+    seeds: DataFrame  # (seed_rank, vertex, cum_est) — greedy picks in order
+    anf: AnfResult | None  # the sketch run consumed (None with stored sketches)
+
+
+def _union_est(acc: list[int]):
+    """est(sketch_row | acc): the ANF estimate of the union of the
+    row's reach sketch with the accumulated coverage ``acc``."""
+    s = None
+    for j in range(8):
+        col = F.col(f"s{j}").bitwiseOR(F.lit(acc[j]))
+        lz = F.bit_count(col.bitwiseAND(F.bitwise_not(col + F.lit(1))))
+        s = lz if s is None else s + lz
+    frac = F.element_at(
+        F.array(*[F.lit(c) for c in FRAC_POW2_8]), (s % 8).cast("int") + F.lit(1)
+    )
+    return F.pow(F.lit(2.0), F.floor(s / 8).cast("double")) * frac / F.lit(FM_PHI)
+
+
+def greedy_influence_seeds(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 5,
+    max_hops: int = 32,
+    r_cap: int = 30,
+    stop_on_converge: bool = True,
+    sketches: DataFrame | None = None,
+) -> InfluenceResult:
+    """Pick ``k`` seeds greedily maximizing estimated h-hop reach
+    coverage over ``edges(src_id, dst_id)`` (directed as given — pass a
+    symmetrized frame for undirected spread).
+
+    Returns ``(seed_rank, vertex, cum_est)``: the i-th row's ``cum_est`` is
+    the FM estimate of the UNION of the first i seeds' reach sets (the
+    greedy objective — monotone non-decreasing; marginals are row
+    diffs).  ``sketches`` short-circuits the ANF run with a stored
+    ``raw_sketches`` frame (vertex, s0..s7) — the daily-append flow
+    pairs this with ``neighborhood_function(warm_start_append_only=)``.
+    """
+    if not 1 <= k <= MAX_SEEDS:
+        raise ValueError(f"k must be in [1, {MAX_SEEDS}], got {k}")
+    if sketches is not None:
+        anf = None
+        raw = sketches.select(
+            "vertex", *[F.col(f"s{j}").cast("long") for j in range(8)]
+        )
+    else:
+        anf = neighborhood_function(
+            spark,
+            edges,
+            max_hops=max_hops,
+            r_cap=r_cap,
+            stop_on_converge=stop_on_converge,
+        )
+        if anf.raw_sketches is None:
+            empty = spark.createDataFrame(
+                [], "seed_rank int, vertex string, cum_est double"
+            )
+            return InfluenceResult(empty, anf)
+        raw = anf.raw_sketches
+    # k rounds each rescan this frame: pin it once
+    raw = raw.localCheckpoint(eager=True)
+    try:
+        acc = [0] * 8
+        chosen: list[str] = []
+        rows: list[tuple[int, str, float]] = []
+        for rank in range(1, k + 1):
+            cand = raw
+            if chosen:
+                cand = cand.filter(~F.col("vertex").isin(chosen))
+            best = (
+                cand.select(
+                    "vertex",
+                    *[f"s{j}" for j in range(8)],
+                    _union_est(acc).alias("_gain"),
+                )
+                .orderBy(F.col("_gain").desc(), F.col("vertex").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:  # k >= |V|: every vertex already chosen
+                break
+            row = best[0]
+            chosen.append(row["vertex"])
+            rows.append((rank, row["vertex"], float(row["_gain"])))
+            acc = [acc[j] | int(row[f"s{j}"]) for j in range(8)]
+        seeds = spark.createDataFrame(
+            rows, "seed_rank int, vertex string, cum_est double"
+        )
+    finally:
+        raw.unpersist()
+    return InfluenceResult(seeds, anf)

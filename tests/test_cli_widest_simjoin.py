@@ -33,6 +33,31 @@ def test_cli_widest(spark, tmp_path, monkeypatch, capsys):
     assert got == {"b": 5, "c": 5}
 
 
+def test_cli_influence(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    edges_path = str(tmp_path / "iedges_pq")
+    rows = [("h", f"l{i}") for i in range(6)] + [("p", "q")]
+    spark.createDataFrame(
+        rows, "src_id string, dst_id string"
+    ).write.parquet(edges_path)
+
+    assert cli.main(
+        ["influence", "--edges", edges_path, "--out", wh,
+         "--k", "2", "--max-hops", "3", "--undirected"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "2 seed(s):" in out
+    seeds = SnapshotCatalog(wh).read(spark, "influence_seeds")
+    got = [r.vertex for r in seeds.orderBy("seed_rank").collect()]
+    assert len(got) == 2 and len(set(got)) == 2
+    # the star component dominates spread: its hub (or a leaf tied by
+    # sketch estimate) is picked first, the p-q component second
+    assert got[1] in ("p", "q") or got[0] in ("p", "q")
+
+
 def test_cli_sim_join(spark, tmp_path, monkeypatch, capsys):
     import arxiv_citation_graph_spark.cli as cli
     from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog

@@ -1,0 +1,142 @@
+"""Greedy influence-seed selection (plans/influence.py): exact
+pure-Python FM twin, structural properties, stored-sketch parity,
+validation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.influence import (
+    MAX_SEEDS,
+    greedy_influence_seeds,
+)
+from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+FRAC = (
+    1.0, 1.0905077326652577, 1.189207115002721, 1.2968395546510096,
+    1.4142135623730951, 1.5422108254079407, 1.681792830507429,
+    1.834008086409342,
+)
+PHI = 0.77351
+
+
+def _seed_sketch(v: str, j: int, r_cap: int = 30) -> int:
+    h = int(hashlib.md5(f"{v}:{j}".encode()).hexdigest()[:15], 16)
+    r = min((h & -h).bit_length() - 1 if h else 64, r_cap)
+    return 1 << r
+
+
+def _python_sketches(rows, hops):
+    """Exact twin of plans/anf.py fixed-hop propagation (symmetrized
+    input expected in ``rows``)."""
+    adj: dict[str, set[str]] = {}
+    verts = set()
+    for u, v in rows:
+        verts.update((u, v))
+        adj.setdefault(u, set()).add(v)
+    sk = {v: [_seed_sketch(v, j) for j in range(8)] for v in verts}
+    for _ in range(hops):
+        nxt = {}
+        for v in verts:
+            cur = list(sk[v])
+            for u in adj.get(v, ()):
+                for j in range(8):
+                    cur[j] |= sk[u][j]
+            nxt[v] = cur
+        sk = nxt
+    return sk
+
+
+def _est(regs):
+    s = 0
+    for x in regs:
+        # lowest unset bit position
+        s += ((x & ~(x + 1)).bit_count())
+    return (2.0 ** (s // 8)) * FRAC[s % 8] / PHI
+
+
+def _python_greedy(rows, k, hops):
+    sk = _python_sketches(rows, hops)
+    acc = [0] * 8
+    out = []
+    chosen = set()
+    for rank in range(1, k + 1):
+        best = None
+        for v in sorted(sk):
+            if v in chosen:
+                continue
+            gain = _est([sk[v][j] | acc[j] for j in range(8)])
+            if best is None or gain > best[1]:
+                best = (v, gain)
+        if best is None:
+            break
+        chosen.add(best[0])
+        acc = [acc[j] | sk[best[0]][j] for j in range(8)]
+        out.append((rank, best[0], best[1]))
+    return out
+
+
+def _sym_rows(rows):
+    return sorted({(u, v) for u, v in rows} | {(v, u) for u, v in rows})
+
+
+def test_matches_python_twin_exactly(spark):
+    """Every pick and every cumulative estimate must equal the
+    pure-Python FM replay bit-for-bit (same md5 seeds, same exact-IEEE
+    estimate, same vertex-asc tie-break)."""
+    rows = [("a", f"l{i}") for i in range(5)] + [("x", f"m{i}") for i in range(3)]
+    rows += [("l0", "l1"), ("m0", "m1"), ("q", "r")]
+    edges = spark.createDataFrame(rows, "src_id string, dst_id string")
+    res = greedy_influence_seeds(spark, symmetrize(edges), k=4, max_hops=4,
+                                 stop_on_converge=False)
+    got = [(r.seed_rank, r.vertex, r.cum_est) for r in
+           res.seeds.orderBy("seed_rank").collect()]
+    want = _python_greedy(_sym_rows(rows), 4, 4)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=0.0), (g, w)
+
+
+def test_coverage_monotone_and_picks_distinct(spark):
+    rows = [(f"v{i}", f"v{i+1}") for i in range(12)]
+    edges = spark.createDataFrame(rows, "src_id string, dst_id string")
+    res = greedy_influence_seeds(spark, symmetrize(edges), k=5, max_hops=3,
+                                 stop_on_converge=False)
+    out = res.seeds.orderBy("seed_rank").collect()
+    assert len({r.vertex for r in out}) == len(out)
+    ests = [r.cum_est for r in out]
+    assert ests == sorted(ests)  # OR can only grow the union estimate
+
+
+def test_stored_sketches_match_fresh_run(spark):
+    """The daily-append flow: greedy over a stored raw_sketches frame
+    must equal the fresh end-to-end run."""
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    edges = symmetrize(spark.createDataFrame(rows, "src_id string, dst_id string"))
+    fresh = greedy_influence_seeds(spark, edges, k=3, max_hops=3,
+                                   stop_on_converge=False)
+    stored = greedy_influence_seeds(
+        spark, edges, k=3, sketches=fresh.anf.raw_sketches
+    )
+    a = [(r.seed_rank, r.vertex, r.cum_est) for r in fresh.seeds.collect()]
+    b = [(r.seed_rank, r.vertex, r.cum_est) for r in stored.seeds.collect()]
+    assert sorted(a) == sorted(b)
+    assert stored.anf is None
+
+
+def test_k_exceeding_vertices_stops_early(spark):
+    edges = spark.createDataFrame([("a", "b")], "src_id string, dst_id string")
+    res = greedy_influence_seeds(spark, symmetrize(edges), k=10, max_hops=2,
+                                 stop_on_converge=False)
+    assert res.seeds.count() == 2  # both vertices, then exhaustion
+
+
+def test_k_bounds_rejected(spark):
+    edges = spark.createDataFrame([("a", "b")], "src_id string, dst_id string")
+    with pytest.raises(ValueError, match="k must be"):
+        greedy_influence_seeds(spark, edges, k=0)
+    with pytest.raises(ValueError, match="k must be"):
+        greedy_influence_seeds(spark, edges, k=MAX_SEEDS + 1)
