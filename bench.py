@@ -279,6 +279,20 @@ def main() -> None:
 
     timed("spinner_partition", run_spinner)
 
+    # -- exact similarity join (round-5 closing addition) -------------------
+    # the lossless counterpart to minhash_lsh over the same documents
+    # table: every pair at shingle-Jaccard >= 0.8, prefix-filtered
+    def run_sim_join():
+        from arxiv_citation_graph_spark.operators.setjoin import (
+            prefix_jaccard_join,
+        )
+
+        extras["sim_join_pairs"] = prefix_jaccard_join(
+            docs_tbl, "doc_id", "text", threshold=0.8, shingle_k=3
+        ).count()
+
+    timed("sim_join_exact", run_sim_join)
+
     # -- code-payload flagships (round-5 session 2) --------------------------
     from arxiv_citation_graph_spark.entry_queries import _synthetic_code_docs
 
@@ -374,6 +388,12 @@ def main() -> None:
         "the one-pass quality summary over the same cached graph the "
         "kernels run on) — the only workload change vs session 2; all "
         "prior workloads byte-frozen"
+    )
+    extras["workload_changes_r5_session4"] = (
+        "added sim_join_exact (prefix-filtered EXACT shingle-Jaccard "
+        "self-join at 0.8 over the same documents table minhash_lsh "
+        "hashes — the lossless dedup counterpart) — the only workload "
+        "change vs session 3; all prior workloads byte-frozen"
     )
     extras["trials"] = trials
     extras["trial_times"] = {k: v for k, v in trial_times.items() if len(v) > 1}
