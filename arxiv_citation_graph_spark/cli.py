@@ -313,6 +313,12 @@ def main(argv: list[str] | None = None) -> int:
         help="also commit the deduplicated corpus rows (keepers only)",
     )
     p.add_argument(
+        "--exact", action="store_true",
+        help="LOSSLESS pair generation via the prefix-filtered exact "
+        "Jaccard join (no MinHash recall loss, no df cap) — "
+        "--num-hashes/--bands/--rows-per-band are ignored",
+    )
+    p.add_argument(
         "--containment", type=float, default=None, metavar="THR",
         help="also commit directed (doc, container) pairs whose shingle "
         "containment >= THR (subset duplication Jaccard misses)",
@@ -1447,15 +1453,25 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "dedup":
         from pyspark.sql import functions as F
 
-        from arxiv_citation_graph_spark.operators.dedup import dedup_clusters
+        from arxiv_citation_graph_spark.operators.dedup import (
+            dedup_clusters,
+            dedup_clusters_exact,
+        )
 
         docs = spark.read.parquet(args.docs)
-        clusters = dedup_clusters(
-            spark, docs, args.id_col, args.text_col,
-            threshold=args.threshold, num_hashes=args.num_hashes,
-            bands=args.bands, rows_per_band=args.rows_per_band,
-            shingle_k=args.shingle_k,
-        ).localCheckpoint(eager=True)  # one pipeline run feeds all 3 tables
+        if args.exact:
+            clusters = dedup_clusters_exact(
+                spark, docs, args.id_col, args.text_col,
+                threshold=args.threshold, shingle_k=args.shingle_k,
+            )
+        else:
+            clusters = dedup_clusters(
+                spark, docs, args.id_col, args.text_col,
+                threshold=args.threshold, num_hashes=args.num_hashes,
+                bands=args.bands, rows_per_band=args.rows_per_band,
+                shingle_k=args.shingle_k,
+            )
+        clusters = clusters.localCheckpoint(eager=True)  # feeds all 3 tables
         catalog.create_or_replace("dedup_clusters", clusters)
         cans = clusters.groupBy("cluster").agg(
             F.min("doc").alias("keep_id"), F.count(F.lit(1)).alias("n_members")

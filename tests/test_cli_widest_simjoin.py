@@ -58,6 +58,33 @@ def test_cli_influence(spark, tmp_path, monkeypatch, capsys):
     assert got[1] in ("p", "q") or got[0] in ("p", "q")
 
 
+def test_cli_dedup_exact(spark, tmp_path, monkeypatch, capsys):
+    import arxiv_citation_graph_spark.cli as cli
+    from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
+
+    wh = _setup(spark, tmp_path, monkeypatch)
+    docs_path = str(tmp_path / "ddocs_pq")
+    spark.createDataFrame(
+        [
+            ("d1", "the quick brown fox jumps over the lazy dog"),
+            ("d2", "the quick brown fox jumps over the lazy dog"),
+            ("d3", "completely different text about graph engines here"),
+        ],
+        "doc_id string, text string",
+    ).write.parquet(docs_path)
+
+    assert cli.main(
+        ["dedup", "--docs", docs_path, "--out", wh, "--exact",
+         "--threshold", "0.8", "--write-corpus"]
+    ) == 0
+    assert "3 docs -> 2 clusters" in capsys.readouterr().out
+    cat = SnapshotCatalog(wh)
+    got = {r.doc: r.cluster for r in cat.read(spark, "dedup_clusters").collect()}
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d3"}
+    kept = {r.doc_id for r in cat.read(spark, "dedup_corpus").collect()}
+    assert kept == {"d1", "d3"}
+
+
 def test_cli_sim_join(spark, tmp_path, monkeypatch, capsys):
     import arxiv_citation_graph_spark.cli as cli
     from arxiv_citation_graph_spark.sources.catalog import SnapshotCatalog
