@@ -43,6 +43,7 @@ from arxiv_citation_graph_spark.plans.anf import (
     AnfResult,
     neighborhood_function,
 )
+from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
 
 #: greedy rounds are driver-paced (one Spark job each): keep k bounded
 #: the same way seed/landmark collects are bounded elsewhere
@@ -77,6 +78,8 @@ def greedy_influence_seeds(
     r_cap: int = 30,
     stop_on_converge: bool = True,
     sketches: DataFrame | None = None,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
 ) -> InfluenceResult:
     """Pick ``k`` seeds greedily maximizing estimated h-hop reach
     coverage over ``edges(src_id, dst_id)`` (directed as given — pass a
@@ -88,9 +91,17 @@ def greedy_influence_seeds(
     diffs).  ``sketches`` short-circuits the ANF run with a stored
     ``raw_sketches`` frame (vertex, s0..s7) — the daily-append flow
     pairs this with ``neighborhood_function(warm_start_append_only=)``.
+    ``store``/``resume`` forward to the ANF supersteps (the expensive
+    part; the greedy itself is k driver-paced scans, re-run cheaply) and
+    are rejected alongside ``sketches`` rather than silently ignored.
     """
     if not 1 <= k <= MAX_SEEDS:
         raise ValueError(f"k must be in [1, {MAX_SEEDS}], got {k}")
+    if sketches is not None and (store is not None or resume):
+        raise ValueError(
+            "sketches= short-circuits the ANF run; store/resume apply "
+            "only to the sketch supersteps and would be silently ignored"
+        )
     if sketches is not None:
         anf = None
         raw = sketches.select(
@@ -103,6 +114,8 @@ def greedy_influence_seeds(
             max_hops=max_hops,
             r_cap=r_cap,
             stop_on_converge=stop_on_converge,
+            store=store,
+            resume=resume,
         )
         if anf.raw_sketches is None:
             empty = spark.createDataFrame(

@@ -134,6 +134,40 @@ def test_k_exceeding_vertices_stops_early(spark):
     assert res.seeds.count() == 2  # both vertices, then exhaustion
 
 
+def test_resume_matches_fresh_run(spark, tmp_path):
+    """store/resume forward to the ANF supersteps: a resumed run must
+    reproduce the fresh picks exactly."""
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    edges = symmetrize(spark.createDataFrame(rows, "src_id string, dst_id string"))
+    store = CheckpointStore(str(tmp_path / "ckpt"), "influence")
+    fresh = greedy_influence_seeds(spark, edges, k=2, max_hops=3,
+                                   stop_on_converge=False, store=store)
+    resumed = greedy_influence_seeds(spark, edges, k=2, max_hops=3,
+                                     stop_on_converge=False, store=store,
+                                     resume=True)
+    a = [(r.seed_rank, r.vertex, r.cum_est) for r in fresh.seeds.collect()]
+    b = [(r.seed_rank, r.vertex, r.cum_est) for r in resumed.seeds.collect()]
+    assert sorted(a) == sorted(b)
+
+
+def test_sketches_with_store_rejected(spark):
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+
+    edges = spark.createDataFrame([("a", "b")], "src_id string, dst_id string")
+    sk = spark.createDataFrame(
+        [("a", *[1] * 8)],
+        "vertex string, s0 long, s1 long, s2 long, s3 long, s4 long, "
+        "s5 long, s6 long, s7 long",
+    )
+    with pytest.raises(ValueError, match="short-circuits"):
+        greedy_influence_seeds(
+            spark, edges, k=1, sketches=sk,
+            store=CheckpointStore("/tmp/unused", "x"),
+        )
+
+
 def test_k_bounds_rejected(spark):
     edges = spark.createDataFrame([("a", "b")], "src_id string, dst_id string")
     with pytest.raises(ValueError, match="k must be"):
