@@ -11405,6 +11405,45 @@ def q_influence_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "influence_seeds_warm",
+    _influence_sql(_INFLUENCE_K, _ANF_WARM_ORACLE_HOPS, _ANF_RCAP),
+)
+def q_influence_seeds_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-append influence: converge ANF on the md5-subset graph,
+    warm-start the full graph from the prior FM registers (exact — OR
+    is monotone), then run the greedy over the STORED saturated
+    sketches (plans/influence.py sketches= short-circuit).  Oracle =
+    the fresh fixed-hop greedy on the full graph: warm sketches equal
+    fresh sketches, so the picks must match pick-for-pick."""
+    from arxiv_citation_graph_spark.plans.anf import neighborhood_function
+    from arxiv_citation_graph_spark.plans.influence import greedy_influence_seeds
+    from arxiv_citation_graph_spark.plans.layout import symmetrize
+
+    full = symmetrize(cosupply_edges(spark, sf_dir))
+    sub = full.filter(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "src_id", "dst_id")), 1, 4), 16, 10
+        ).cast("long")
+        % 16
+        != 0
+    )
+    prior = neighborhood_function(spark, sub, max_hops=64, r_cap=_ANF_RCAP)
+    warm = neighborhood_function(
+        spark,
+        full,
+        max_hops=64,
+        r_cap=_ANF_RCAP,
+        warm_start_append_only=prior.raw_sketches,
+    )
+    result = greedy_influence_seeds(
+        spark, full, k=_INFLUENCE_K, sketches=warm.raw_sketches
+    )
+    return result.seeds.select(
+        "seed_rank", "vertex", F.round("cum_est", 9).alias("cum_est")
+    )
+
+
 # ===========================================================================
 # Registry priority order (self-maintaining rotation)
 # ===========================================================================
