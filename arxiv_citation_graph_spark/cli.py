@@ -1484,12 +1484,24 @@ def main(argv: list[str] | None = None) -> int:
                 "dedup_corpus", docs.join(keepers, args.id_col, "left_semi")
             )
         if args.containment is not None:
-            from arxiv_citation_graph_spark.operators.dedup import containment_pairs
+            if args.exact:
+                from arxiv_citation_graph_spark.operators.setjoin import (
+                    exact_containment_pairs as containment_pairs,
+                )
 
-            cont = containment_pairs(
-                docs, args.id_col, args.text_col,
-                threshold=args.containment, shingle_k=args.shingle_k,
-            )
+                cont = containment_pairs(
+                    docs, args.id_col, args.text_col,
+                    threshold=args.containment, shingle_k=args.shingle_k,
+                )
+            else:
+                from arxiv_citation_graph_spark.operators.dedup import (
+                    containment_pairs,
+                )
+
+                cont = containment_pairs(
+                    docs, args.id_col, args.text_col,
+                    threshold=args.containment, shingle_k=args.shingle_k,
+                )
             catalog.create_or_replace("containment_pairs", cont)
             print(
                 f"dedup: {cont.count()} directed containment pair(s) "

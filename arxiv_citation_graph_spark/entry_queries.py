@@ -11405,6 +11405,57 @@ def q_influence_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXACT_CONTAINMENT_SQL = rf"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        FROM documents)
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+expl AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+  FROM expl x JOIN expl y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+),
+directed AS (
+  SELECT doc_a AS doc, doc_b AS container,
+         CAST(n_inter AS DOUBLE) / n_a AS c FROM sized
+  UNION ALL
+  SELECT doc_b, doc_a, CAST(n_inter AS DOUBLE) / n_b FROM sized
+)
+SELECT doc, container, round(c, 6) AS containment
+FROM directed WHERE c >= {_CONTAIN_THR}
+"""
+
+
+@register("containment_pairs_exact", _EXACT_CONTAINMENT_SQL)
+def q_containment_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS asymmetric containment (operators/setjoin.py::
+    exact_containment_pairs): every directed (doc, container) pair with
+    true containment >= 0.5 — no df cap, so the score is exact, not a
+    lower bound.  Candidates = contained side's rarest-shingle prefix
+    joined against the FULL shingle table (the one-sided prefix
+    lemma); the brute-force oracle must return the identical set."""
+    from arxiv_citation_graph_spark.operators.setjoin import (
+        exact_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_containment_pairs(
+        docs, "doc_id", "text", threshold=_CONTAIN_THR, shingle_k=3
+    )
+
+
 @register(
     "influence_seeds_warm",
     _influence_sql(_INFLUENCE_K, _ANF_WARM_ORACLE_HOPS, _ANF_RCAP),

@@ -154,3 +154,86 @@ def prefix_jaccard_join(
         .filter(jac >= F.lit(threshold))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def exact_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """All DIRECTED pairs ``(doc, container, containment)`` with
+    ``|S(doc) ∩ S(container)| / |S(doc)| >= threshold`` — the LOSSLESS
+    counterpart to ``operators/dedup.containment_pairs`` (whose df cap
+    makes its score a lower bound): Broder's second resemblance measure,
+    exact, via the ASYMMETRIC prefix filter.
+
+    Containment only bounds the contained side, so the prefix lemma is
+    one-sided: ``C(A -> B) >= t`` forces ``|A ∩ B| >= ceil(t * |A|)``,
+    so A and B must share a token within A's first
+    ``|A| - ceil(t * |A|) + 1`` rarest-first tokens — candidates come
+    from A's PREFIX joined against the FULL token table (any position
+    in B), plus the necessary size bound ``|B| >= ceil(t * |A|)``.
+    The container side cannot be prefix-pruned (B may be arbitrarily
+    large), which is exactly why containment is the quote-farm /
+    aggregator detector Jaccard misses.  Verification counts the full
+    intersection per candidate; no false positives or negatives.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"exact_containment_pairs threshold must be in (0, 1], "
+            f"got {threshold}"
+        )
+    toks = _distinct_tokens(df, id_col, text_col, shingle_k).localCheckpoint(
+        eager=True
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        toks.join(dfreq, "token")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("token")))
+            ).alias("_ord")
+        )
+    )
+    prefix_len = (
+        F.size("_ord") - F.ceil(F.lit(threshold) * F.size("_ord")) + F.lit(1)
+    ).cast("int")
+    prefixes = (
+        ordered.select(
+            "doc",
+            F.size("_ord").alias("n_a"),
+            F.slice("_ord", 1, prefix_len).alias("_pfx"),
+        )
+        .select("doc", "n_a", F.explode("_pfx").alias("_p"))
+        .select("doc", "n_a", F.col("_p.token").alias("token"))
+    )
+    full = toks.join(
+        sizes.withColumnRenamed("n_tok", "n_b"), "doc"
+    ).select(F.col("doc").alias("container"), F.col("n_b"), "token")
+    candidates = (
+        prefixes.join(full, "token")
+        .filter(F.col("doc") != F.col("container"))
+        .filter(F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+        .select("doc", "container")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc").alias("doc"), "token")
+    tb = toks.select(F.col("doc").alias("container"), "token")
+    inter = (
+        candidates.join(ta, "doc")
+        .join(tb, ["container", "token"])
+        .groupBy("doc", "container")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cont = F.col("n_inter") / F.col("n_a")
+    return (
+        inter.join(
+            sizes.select(F.col("doc"), F.col("n_tok").alias("n_a")), "doc"
+        )
+        .filter(cont >= F.lit(threshold))
+        .select("doc", "container", F.round(cont, 6).alias("containment"))
+    )

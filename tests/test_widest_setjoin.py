@@ -206,3 +206,68 @@ def test_threshold_zero_rejected(spark):
     df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
     with pytest.raises(ValueError, match="threshold"):
         prefix_jaccard_join(df, "doc_id", "text", 0.0)
+
+
+# --- exact containment join ------------------------------------------------
+
+
+def _brute_containment(docs, threshold, k=1):
+    def items(t):
+        toks = [w for w in t.split() if w]
+        if k == 1:
+            return set(toks)
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {d: items(t) for d, t in docs}
+    out = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or not sa:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= threshold:
+                out[(a, b)] = round(c, 6)
+    return out
+
+
+def test_containment_catches_subset_duplication(spark):
+    """The quote-farm case Jaccard misses: a short doc embedded
+    verbatim in a long one has tiny Jaccard but containment 1.0."""
+    from arxiv_citation_graph_spark.operators.setjoin import (
+        exact_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [("s", short), ("l", long)], "doc_id string, text string"
+    )
+    got = {
+        (r.doc, r.container): r.containment
+        for r in exact_containment_pairs(df, "doc_id", "text", 0.9).collect()
+    }
+    assert got == {("s", "l"): 1.0}
+    # and the symmetric Jaccard join at the same threshold finds nothing
+    assert prefix_jaccard_join(df, "doc_id", "text", 0.9).count() == 0
+
+
+def test_containment_lossless_vs_brute_force(spark):
+    from arxiv_citation_graph_spark.operators.setjoin import (
+        exact_containment_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (f"d{i:02d}", " ".join(rng.sample(vocab, rng.randint(2, 10))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r.doc, r.container): r.containment
+            for r in exact_containment_pairs(
+                df, "doc_id", "text", t, shingle_k=1
+            ).collect()
+        }
+        assert got == _brute_containment(docs, t), t
