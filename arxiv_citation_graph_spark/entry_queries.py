@@ -11405,6 +11405,52 @@ def q_influence_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fastest_journey_sql(rounds: int) -> str:
+    """Unrolled fastest-journey relaxation (plans/temporalreach.py::
+    fastest_journey): sparse (vertex, dep, arr) state seeded with one
+    row per distinct source out-edge timestamp, the same foremost-
+    journey recurrence per departure, then ``min(arr - dep)`` per
+    vertex.  Dense per-round relaxation equals the engine's
+    frontier-delta supersteps round-for-round (monotone per (vertex,
+    dep) exactly as in the single-departure oracle)."""
+    ctes = [
+        f"ted AS MATERIALIZED ({TEMPORAL_COSUPPLY_SQL})",
+        "tverts AS MATERIALIZED (SELECT src_id AS vertex FROM ted UNION SELECT dst_id FROM ted)",
+        "tsrc AS MATERIALIZED (SELECT min(vertex) AS v FROM tverts)",
+        "f0 AS MATERIALIZED (SELECT (SELECT v FROM tsrc) AS vertex, t AS dep, t AS arr "
+        "FROM ted WHERE src_id = (SELECT v FROM tsrc) AND t >= 0 GROUP BY t)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"f{r} AS MATERIALIZED (SELECT vertex, dep, min(arr) AS arr FROM ("
+            f"SELECT vertex, dep, arr FROM f{p} "
+            f"UNION ALL "
+            f"SELECT e.dst_id AS vertex, l.dep, min(e.t) AS arr "
+            f"FROM ted e JOIN f{p} l ON e.src_id = l.vertex "
+            f"WHERE e.t >= l.arr GROUP BY e.dst_id, l.dep"
+            f") GROUP BY vertex, dep)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, CAST(min(arr - dep) AS BIGINT) AS duration "
+        f"FROM f{rounds} WHERE vertex <> (SELECT v FROM tsrc) GROUP BY vertex"
+    )
+
+
+@register("fastest_journey", _fastest_journey_sql(rounds=20))
+def q_fastest_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-duration temporal journeys (Wu et al. 2014 "fastest
+    path", plans/temporalreach.py::fastest_journey): leaving later can
+    be strictly faster, so the state carries one foremost-journey lane
+    per source departure time and the report takes min(arr - dep)."""
+    from arxiv_citation_graph_spark.plans.temporalreach import fastest_journey
+
+    result = fastest_journey(spark, temporal_cosupply_edges(spark, sf_dir))
+    return result.durations
+
+
 _EXACT_CONTAINMENT_SQL = rf"""
 WITH sh AS (
   SELECT doc_id,

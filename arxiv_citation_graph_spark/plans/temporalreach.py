@@ -155,3 +155,169 @@ def earliest_arrival(
         adj.unpersist()
         vertices.unpersist()
     return TemporalReachResult(arrivals, report, source, int(t0))
+
+
+@dataclass
+class FastestJourneyResult:
+    durations: DataFrame  # (vertex, duration) — reached, source excluded
+    report: SuperstepReport
+    source: str
+    n_departures: int
+
+
+#: per-departure state rows are |V| x |departures| worst case; a hub
+#: source with thousands of distinct contact times needs departure
+#: bucketing first — fail fast rather than silently explode (the
+#: landmark-BFS max_seeds convention)
+MAX_DEPARTURES = 512
+
+
+def fastest_journey(
+    spark: SparkSession,
+    tedges: DataFrame,
+    source: str | None = None,
+    t0: int = 0,
+    time_col: str = "t",
+    max_iterations: int = 200,
+    max_departures: int = MAX_DEPARTURES,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    broadcast_state: bool | None = None,
+) -> FastestJourneyResult:
+    """Minimum-duration journeys from ``source`` (Wu et al. 2014's
+    "fastest path"): ``duration(v)`` = min over temporal journeys of
+    ``arrival - departure``, where departure is the timestamp of the
+    journey's FIRST edge (>= ``t0``).
+
+    The static-shortest-path answer is wrong here twice over: a journey
+    must respect ``t >= arr`` at every hop, AND leaving LATER can be
+    strictly faster (wait at the source, not mid-route).  The classical
+    reduction: only departures at the source's own out-edge timestamps
+    matter, so the state is the SPARSE ``(vertex, dep, arr)`` frame —
+    the landmark-BFS multi-state shape with departure times as the
+    landmark dimension.  Per superstep: one frontier equi-join against
+    the cached temporal adjacency with the ``t >= arr`` predicate
+    riding the join, one ``min(t)`` aggregate per ``(dst, dep)`` with
+    map-side partials, one sparse merge.  The final report collapses
+    the dep dimension: ``min(arr - dep)`` per vertex.  All-integer,
+    bit-identical cross-engine; the source itself is excluded (its
+    duration is trivially 0).
+    """
+    dt = dict(tedges.dtypes).get(time_col)
+    if dt is None:
+        raise ValueError(f"no {time_col!r} column in the temporal edge frame")
+    if dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"{time_col!r} must be an integer epoch column, got {dt} — "
+            "cast timestamps first (exactness contract)"
+        )
+    bad = tedges.filter(F.col(time_col).isNull()).count()
+    if bad:
+        raise ValueError(f"{bad} temporal edge(s) have a null {time_col!r}")
+    adj = tedges.select(
+        "src_id", "dst_id", F.col(time_col).cast("long").alias("t")
+    ).filter(F.col("src_id") != F.col("dst_id")).distinct()
+    adj = adj.repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    eagg = adj.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id, t))").alias("edge_fp"),
+    ).first()
+    m = int(eagg["m"])
+    if m == 0:
+        adj.unpersist()
+        empty = spark.createDataFrame([], "vertex string, duration long")
+        return FastestJourneyResult(empty, SuperstepReport(0, True), source or "", 0)
+    edge_fp = int(eagg["edge_fp"] or 0)
+    vertices = (
+        adj.select(F.col("src_id").alias("vertex"))
+        .unionByName(adj.select(F.col("dst_id").alias("vertex")))
+        .distinct()
+    ).cache()
+    n = vertices.count()
+    if source is None:
+        source = vertices.agg(F.min("vertex")).first()[0]
+    elif vertices.filter(F.col("vertex") == source).count() == 0:
+        adj.unpersist()
+        vertices.unpersist()
+        raise ValueError(f"source {source!r} is not a vertex of the graph")
+    departures = (
+        adj.filter((F.col("src_id") == source) & (F.col("t") >= int(t0)))
+        .select(F.col("t").alias("dep"))
+        .distinct()
+    )
+    k = departures.count()
+    if k > max_departures:
+        adj.unpersist()
+        vertices.unpersist()
+        raise ValueError(
+            f"source {source!r} has {k} distinct departure times > "
+            f"max_departures={max_departures}; bucket timestamps first "
+            "(state is |V| x departures)"
+        )
+    if k == 0:
+        adj.unpersist()
+        vertices.unpersist()
+        empty = spark.createDataFrame([], "vertex string, duration long")
+        return FastestJourneyResult(empty, SuperstepReport(0, True), source, 0)
+    if broadcast_state is None:
+        broadcast_state = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    def step(state: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
+        frontier = state.filter(F.col("delta") > 0).select("vertex", "dep", "arr")
+        cand = (
+            adj.join(_mb(frontier), adj.src_id == F.col("vertex"))
+            .filter(F.col("t") >= F.col("arr"))  # the temporal predicate
+            .groupBy(F.col("dst_id").alias("vertex"), "dep")
+            .agg(F.min("t").alias("cand"))
+        )
+        improved = F.col("cand").isNotNull() & (
+            F.col("cand") < F.coalesce(F.col("_old"), F.lit(1 << 62))
+        )
+        new = (
+            state.select("vertex", "dep", F.col("arr").alias("_old"))
+            .join(cand, ["vertex", "dep"], "full_outer")
+            .select(
+                "vertex",
+                "dep",
+                F.least(
+                    F.coalesce(F.col("_old"), F.lit(1 << 62)),
+                    F.coalesce(F.col("cand"), F.lit(1 << 62)),
+                ).cast("long").alias("arr"),
+                improved.cast("long").alias("delta"),
+            )
+        )
+        return new, {"delta": F.sum("delta")}
+
+    initial = departures.select(
+        F.lit(source).alias("vertex"),
+        "dep",
+        F.col("dep").cast("long").alias("arr"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    try:
+        final, report = run_supersteps(
+            spark,
+            initial,
+            step,
+            max_iterations=max_iterations,
+            tolerance=0.0,
+            store=store,
+            resume=resume,
+            input_signature={
+                "n_vertices": n, "n_edges": m, "edge_fp": edge_fp,
+                "source": source, "t0": int(t0), "n_departures": k,
+                "kernel": "fastest_journey",
+            },
+        )
+        durations = (
+            final.filter(F.col("vertex") != source)
+            .groupBy("vertex")
+            .agg(F.min(F.col("arr") - F.col("dep")).alias("duration"))
+        )
+    finally:
+        adj.unpersist()
+        vertices.unpersist()
+    return FastestJourneyResult(durations, report, source, k)

@@ -131,3 +131,81 @@ def test_resume_signature_covers_timestamps(spark, tmp_path):
         earliest_arrival(
             spark, _df(spark, shifted), source="a", store=store, resume=True
         )
+
+
+# --- fastest journeys (min duration, Wu et al. 2014) -----------------------
+
+
+def _brute_fastest(rows, source, t0=0):
+    """Enumerate per departure: foremost-journey fixpoint per dep, then
+    min(arr - dep) per vertex."""
+    deps = sorted({t for u, v, t in rows if u == source and t >= t0})
+    best: dict[str, int] = {}
+    for d in deps:
+        arr = {source: d}
+        changed = True
+        while changed:
+            changed = False
+            for u, v, t in rows:
+                if u in arr and t >= arr[u] and t < arr.get(v, 1 << 62):
+                    arr[v] = t
+                    changed = True
+        for v, a in arr.items():
+            if v != source:
+                best[v] = min(best.get(v, 1 << 62), a - d)
+    return best
+
+
+def test_leaving_later_is_faster(spark):
+    """The defining temporal case: departing at t=10 reaches c in 2
+    days; the t=0 departure takes 12.  Static shortest-path logic and
+    single-departure earliest-arrival both miss this."""
+    from arxiv_citation_graph_spark.plans.temporalreach import fastest_journey
+
+    rows = [("a", "b", 0), ("b", "c", 12), ("a", "b", 10), ("b", "c", 12)]
+    df = spark.createDataFrame(rows, "src_id string, dst_id string, t long")
+    res = fastest_journey(spark, df, source="a")
+    got = {r.vertex: r.duration for r in res.durations.collect()}
+    assert got == {"b": 0, "c": 2}  # b: arrive the moment you leave
+    assert res.n_departures == 2
+
+
+def test_fastest_matches_brute_force(spark):
+    import random as _random
+
+    from arxiv_citation_graph_spark.plans.temporalreach import fastest_journey
+
+    rng = _random.Random(41)
+    verts = [f"v{i}" for i in range(15)]
+    rows = list({
+        (rng.choice(verts), rng.choice(verts), rng.randint(0, 30))
+        for _ in range(120)
+    })
+    rows = [(u, v, t) for u, v, t in rows if u != v]
+    df = spark.createDataFrame(rows, "src_id string, dst_id string, t long")
+    res = fastest_journey(spark, df, source="v0")
+    got = {r.vertex: r.duration for r in res.durations.collect()}
+    assert got == _brute_fastest(rows, "v0")
+
+
+def test_fastest_departure_cap_fails_fast(spark):
+    from arxiv_citation_graph_spark.plans.temporalreach import fastest_journey
+
+    rows = [("a", "b", t) for t in range(5)]
+    df = spark.createDataFrame(rows, "src_id string, dst_id string, t long")
+    with pytest.raises(ValueError, match="departure times"):
+        fastest_journey(spark, df, source="a", max_departures=3)
+
+
+def test_fastest_resume_matches(spark, tmp_path):
+    from arxiv_citation_graph_spark.plans.superstep import CheckpointStore
+    from arxiv_citation_graph_spark.plans.temporalreach import fastest_journey
+
+    rows = [("a", "b", 1), ("b", "c", 3), ("a", "b", 2)]
+    df = spark.createDataFrame(rows, "src_id string, dst_id string, t long")
+    store = CheckpointStore(str(tmp_path / "ck"), "fastest")
+    fresh = fastest_journey(spark, df, source="a", store=store)
+    resumed = fastest_journey(spark, df, source="a", store=store, resume=True)
+    a = {r.vertex: r.duration for r in fresh.durations.collect()}
+    b = {r.vertex: r.duration for r in resumed.durations.collect()}
+    assert a == b == {"b": 0, "c": 1}
