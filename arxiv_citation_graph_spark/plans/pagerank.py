@@ -17,9 +17,16 @@ Spark-first design (SURVEY.md §2.5 J4/J8/J9, §2.6 A9, §4.3):
   measured against.
 - **Per-row delta.** The new state carries ``delta = |new - old|`` so the
   convergence L1 is a plain ``sum`` evaluated in the same job that
-  materializes the snapshot — exactly ONE action per superstep (the
-  dangling mass is a 1-row in-plan aggregate broadcast back onto the
-  vertices, not a collected scalar).
+  materializes the snapshot — exactly ONE action per superstep.
+- **Dangling mass rides the superstep aggregate.** Each superstep's
+  materializing aggregate also sums ``rank`` over the dangling vertices
+  of the NEW state; the runtime hands that Row back to the next
+  ``step()`` call, which folds the scalar into the rank expression as a
+  literal.  This removes a whole per-superstep subtree (state re-scan →
+  2-stage aggregate → BroadcastExchange → BroadcastNestedLoopJoin) that
+  the previous in-plan formulation paid on every iteration (guide §2.4:
+  remove exchanges outright).  Iteration 0 pays one |V|-sized aggregate
+  action to seed the scalar.
 
 State schema: ``ranks(vertex string, rank double, delta double)``;
 ranks always sum to 1 (up to float noise), matching the convention of a
@@ -33,12 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import (
-    build_adjacency,
-    hot_vertices,
-    salted_sum,
-    vertices_of,
-)
+from arxiv_citation_graph_spark.plans.layout import salted_sum
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -138,15 +140,29 @@ def pagerank(
         )
     else:
         edges = edges.select("src_id", "dst_id")
-    vertices = vertices_of(edges).cache()
-    n = vertices.count()
-    if n == 0:
-        empty = spark.createDataFrame([], "vertex string, rank double")
-        return PageRankResult(empty, SuperstepReport(0, True), 0, 0)
-    # One setup aggregate: edge count, an order-independent edge-set
+
+    # ONE pass over the input edge table (guide §2.4: remove exchanges
+    # outright).  The edges are hash-partitioned on ``src_id`` exactly
+    # once; the out-degree aggregate and the adjacency join then run
+    # exchange-free on that partitioning (groupBy on the partitioning key
+    # + a co-partitioned shuffled-hash join, no sort), and every later
+    # derivation — edge count/fingerprint, in-degree/hot table, vertex
+    # universe, dangling flags — reads the CACHED adjacency instead of
+    # rescanning the input.  The previous formulation paid |E|-sized work
+    # four times (vertices_of distinct, out-degree aggregate, adjacency
+    # repartition, src-distinct for the dangling flags) plus a separate
+    # hot-vertices scan.
+    n_parts = spark.sparkContext.defaultParallelism
+    edges_p = edges.repartition(n_parts, "src_id")
+    deg_agg = F.sum("_w") if weighted else F.count("*")
+    out_deg = edges_p.groupBy("src_id").agg(deg_agg.alias("out_deg"))
+    adjacency = edges_p.join(out_deg.hint("shuffle_hash"), "src_id").cache()
+
+    # One setup aggregate — edge count, an order-independent edge-set
     # fingerprint (resume must refuse a different same-size graph — same
-    # guard as bfs/kcore/walks), and weight validation.  Null weights
-    # would silently drop contributions (lost rank mass) and non-positive
+    # guard as bfs/kcore/walks), and weight validation — which doubles as
+    # the action materializing the adjacency cache.  Null weights would
+    # silently drop contributions (lost rank mass) and non-positive
     # weights produce wrong or divergent ranks, so fail fast.
     edge_aggs = [
         F.count(F.lit(1)).alias("m"),
@@ -166,7 +182,7 @@ def pagerank(
             ).alias("wbad"),
             F.expr("bit_xor(xxhash64(src_id, dst_id, _w))").alias("weight_fp"),
         ]
-    eagg = edges.agg(*edge_aggs).first()
+    eagg = adjacency.agg(*edge_aggs).first()
     m = int(eagg["m"])
     edge_fp = int(eagg["edge_fp"]) if eagg["edge_fp"] is not None else 0
     if weighted and m > 0:
@@ -182,28 +198,28 @@ def pagerank(
                 "edge weights must be strictly positive"
             )
 
-    adjacency = build_adjacency(edges, weight="_w" if weighted else None).cache()
-    adjacency.count()  # materialize once; supersteps reuse the exchange
-
-    # vertex set flagged with "has no out-edges" (rank sinks); the flag is
-    # carried through the state so each superstep's aggregation pass also
-    # yields next iteration's dangling mass — no extra action.
-    vertices_flagged = (
-        vertices.join(
-            edges.select(F.col("src_id").alias("vertex")).distinct().withColumn(
-                "_has_out", F.lit(True)
-            ),
-            "vertex",
-            "left",
-        )
-        .select("vertex", F.coalesce(~F.col("_has_out"), F.lit(True)).alias("dangling"))
-    )
-
+    # in-degree table from the cached adjacency: feeds BOTH the vertex
+    # universe (below) and the hot-vertex heavy-hitter list — one scan,
+    # no extra pass over the input.
+    in_deg = adjacency.groupBy("dst_id").agg(F.count(F.lit(1)).alias("_in_deg"))
     hot = (
-        hot_vertices(edges, hot_degree_threshold, "in").cache()
+        in_deg.filter(F.col("_in_deg") > hot_degree_threshold).select("dst_id").cache()
         if hot_degree_threshold is not None
         else None
     )
+
+    # vertex universe + "has no out-edges" flag (rank sinks) from the two
+    # degree tables: src-side keys have out-edges, dst-only keys are
+    # dangling.  Replaces vertices_of's union-distinct over 2|E| rows
+    # with a |V|-sized full-outer join.  The flag is carried through the
+    # state so each superstep's aggregation pass also yields next
+    # iteration's dangling mass — no extra action.
+    vertices_flagged = (
+        out_deg.select(F.col("src_id").alias("vertex"), F.lit(True).alias("_has_out"))
+        .join(in_deg.select(F.col("dst_id").alias("vertex")), "vertex", "full_outer")
+        .select("vertex", F.coalesce(~F.col("_has_out"), F.lit(True)).alias("dangling"))
+    )
+    vertices = vertices_flagged.select("vertex")
 
     personalized = sources is not None
     sources_fp = 0
@@ -238,6 +254,14 @@ def pagerank(
     else:
         n_sources = 0
     vertices_flagged = vertices_flagged.cache()
+    n = vertices_flagged.count()
+    if n == 0:
+        for cached in (adjacency, vertices_flagged):
+            cached.unpersist()
+        if hot is not None:
+            hot.unpersist()
+        empty = spark.createDataFrame([], "vertex string, rank double")
+        return PageRankResult(empty, SuperstepReport(0, True), 0, 0)
 
     base = float((1.0 - damping) / n)
     dangling_mass_col = F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))
@@ -245,18 +269,28 @@ def pagerank(
         broadcast_ranks = n <= 1_000_000
 
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if broadcast_ranks else df
+        # broadcast while |V| fits; beyond that, pin the shuffled-hash
+        # strategy so neither superstep join ever sorts the |E|-sized
+        # cached adjacency (guide §3.1: SMJ re-sorts both sides every
+        # superstep; SHJ streams the big side and builds the |V|-sized one)
+        return F.broadcast(df) if broadcast_ranks else df.hint("shuffle_hash")
 
     state_cols = ["vertex", "dangling"] + (["teleport"] if personalized else [])
 
-    def _update(ranks: DataFrame) -> DataFrame:
-        # dangling mass in-plan: a 1-row aggregate over the checkpointed
-        # state, broadcast onto every vertex — no driver action, and the
-        # second read of `ranks` is a free LogicalRDD scan.  Uniform mode
-        # pre-divides by n; personalized mode multiplies by the per-vertex
-        # teleport weight instead.
-        dm_expr = dangling_mass_col if personalized else dangling_mass_col / F.lit(float(n))
-        dm = ranks.agg(dm_expr.alias("_dm_per_v"))
+    def _dm_seed(frame: DataFrame) -> float:
+        """One |V|-sized aggregate seeding the dangling-mass scalar for
+        iteration 0 (and for resumes whose manifest predates the scalar)."""
+        row = frame.agg(dangling_mass_col.alias("dm")).first()
+        return float(row["dm"]) if row["dm"] is not None else 0.0
+
+    def _update(ranks: DataFrame, dm_sum: float) -> DataFrame:
+        # dangling mass arrives as a SCALAR: it was summed by the PREVIOUS
+        # superstep's materializing aggregate (or by _dm_seed at i=0) and
+        # folds into the rank expression as a literal — the former in-plan
+        # formulation re-scanned the state into a 1-row aggregate +
+        # BroadcastExchange + BroadcastNestedLoopJoin every superstep.
+        # Uniform mode divides by n; personalized mode multiplies by the
+        # per-vertex teleport weight instead (identical arithmetic).
         contrib_expr = (
             F.col("rank") / F.col("out_deg") * F.col("_w")
             if weighted
@@ -282,24 +316,29 @@ def pagerank(
         )
         # the state already carries (vertex, dangling, old rank), so the
         # new rank AND the convergence delta come from ONE |V|-sized left
-        # join with the rank-mass sums — not a vertex join plus a second
-        # delta join (one shuffle fewer per superstep)
+        # join with the rank-mass sums.  In shuffle mode the sums side is
+        # pinned shuffled-hash so neither |V| frame is sorted per
+        # superstep (measured: broadcast-vs-SMJ is a wash at small |V|,
+        # so small graphs keep the plain join).
         if personalized:
             new_rank = (
                 F.lit(1.0 - damping) * F.col("teleport")
-                + F.lit(damping) * F.col("_dm_per_v") * F.col("teleport")
+                + F.lit(damping) * F.lit(dm_sum) * F.col("teleport")
                 + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
             )
         else:
             new_rank = (
                 F.lit(base)
-                + F.lit(damping) * F.col("_dm_per_v")
+                + F.lit(damping) * F.lit(dm_sum / float(n))
                 + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
             )
         return (
             ranks.select(*state_cols, F.col("rank").alias("old_rank"))
-            .join(sums, F.col("vertex") == sums.dst_id, "left")
-            .crossJoin(F.broadcast(dm))
+            .join(
+                sums if broadcast_ranks else sums.hint("shuffle_hash"),
+                F.col("vertex") == sums.dst_id,
+                "left",
+            )
             .select(
                 *state_cols,
                 new_rank.alias("rank"),
@@ -308,7 +347,13 @@ def pagerank(
         )
 
     def step(ranks: DataFrame, i: int, prev: Row | None) -> tuple[DataFrame, dict]:
-        return _update(ranks), {"delta": F.sum("delta")}
+        dm = prev["dm"] if prev is not None and "dm" in prev else None
+        if dm is None:
+            dm = _dm_seed(ranks)
+        return (
+            _update(ranks, float(dm)),
+            {"delta": F.sum("delta"), "dm": dangling_mass_col},
+        )
 
     if personalized:
         initial = vertices_flagged.select(
@@ -345,7 +390,7 @@ def pagerank(
     finally:
         # unpersist even when resume is refused — a retry loop must not
         # accumulate pinned adjacency/vertex caches
-        for cached in (adjacency, vertices_flagged, vertices):
+        for cached in (adjacency, vertices_flagged):
             cached.unpersist()
         if hot is not None:
             hot.unpersist()

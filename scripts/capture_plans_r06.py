@@ -1,0 +1,170 @@
+"""Capture .explain("formatted") for the round-6 optimization targets
+into plans/r06/<name>_<tag>.txt (tag = before/after, argv[1]).
+
+Iterative kernels (pagerank / cc / spinner) expose one steady-state
+superstep plan via superstep.PLAN_PROBE (iteration 2, after the state has
+become a LogicalRDD), which is the plan every superstep re-executes.
+
+Usage: python scripts/capture_plans_r06.py before [only ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r06")
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    only = set(sys.argv[2:])
+    os.makedirs(OUT_DIR, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    from arxiv_citation_graph_spark import entry_queries
+    from arxiv_citation_graph_spark.entry_queries import bipartite_edges, cosupply_edges
+    from arxiv_citation_graph_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verified_near_dup_pairs,
+    )
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
+    from arxiv_citation_graph_spark.operators.setjoin import prefix_jaccard_join
+    from arxiv_citation_graph_spark.operators.simsearch import brute_force_topk
+    from arxiv_citation_graph_spark.operators.winnow import (
+        clone_pairs,
+        winnowing_fingerprints,
+    )
+    from arxiv_citation_graph_spark.plans import superstep
+    from arxiv_citation_graph_spark.plans.components import connected_components
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+    from arxiv_citation_graph_spark.plans.spinner import spinner_partition
+    from arxiv_citation_graph_spark.plans.triangles import triangle_counts
+    from arxiv_citation_graph_spark.session import get_spark
+
+    spark = get_spark(app_name="capture-plans-r06")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # bench kernel_parts
+
+    def write(name: str, text: str) -> None:
+        path = os.path.join(OUT_DIR, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(text)
+        print(f"wrote {path}", file=sys.stderr)
+
+    def want(name: str) -> bool:
+        return not only or name in only
+
+    edges = bipartite_edges(spark, SF_DIR).cache()
+    edges.count()
+    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # -- one-shot (non-iterative) queries ----------------------------------
+    if want("minhash_lsh"):
+        sigs = minhash_signatures(docs_tbl, "doc_id", "text", num_hashes=8)
+        write("minhash_lsh", formatted(lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)))
+    if want("embed_topk"):
+        write(
+            "embed_topk",
+            formatted(brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)),
+        )
+    if want("triangles"):
+        cos = cosupply_edges(spark, SF_DIR)
+        write("triangles", formatted(triangle_counts(spark, cos)))
+    if want("sim_join_exact"):
+        write(
+            "sim_join_exact",
+            formatted(prefix_jaccard_join(docs_tbl, "doc_id", "text", threshold=0.8, shingle_k=3)),
+        )
+    if want("dedup_pairs"):
+        write(
+            "dedup_pairs",
+            formatted(
+                verified_near_dup_pairs(
+                    docs_tbl, "doc_id", "text", threshold=0.18,
+                    num_hashes=4, bands=2, rows_per_band=2,
+                )
+            ),
+        )
+    if want("dedup_clusters"):
+        write(
+            "dedup_clusters",
+            formatted(
+                dedup_clusters(
+                    spark, docs_tbl, "doc_id", "text", threshold=0.18,
+                    num_hashes=4, bands=2, rows_per_band=2,
+                )
+            ),
+        )
+    if want("code_clone_pairs"):
+        code_docs = entry_queries._synthetic_code_docs(docs_tbl)
+        fps = winnowing_fingerprints(code_docs, "repo", "content", k=8, w=4)
+        write("code_clone_pairs", formatted(clone_pairs(fps, max_fp_df=50, min_shared=5)))
+    if want("extract_edges"):
+        from arxiv_citation_graph_spark.datagen import corpus_df
+
+        write("extract_edges", formatted(edges_from_docs(corpus_df(spark, 42, 200))))
+
+    # -- iterative kernels: capture superstep 2's plan via PLAN_PROBE ------
+    def capture_superstep(name: str, run) -> None:
+        captured: list[str] = []
+
+        def probe(i, frame):
+            if i == 2 and not captured:
+                captured.append(formatted(frame))
+
+        superstep.PLAN_PROBE = probe
+        try:
+            run()
+        finally:
+            superstep.PLAN_PROBE = None
+        if captured:
+            write(name, captured[0])
+
+    if want("pagerank_superstep"):
+        capture_superstep(
+            "pagerank_superstep",
+            lambda: pagerank(
+                spark, edges, tolerance=None, max_iterations=4,
+                salt_buckets=16, hot_degree_threshold=1024,
+            ),
+        )
+    if want("pagerank_superstep_shuffle"):
+        capture_superstep(
+            "pagerank_superstep_shuffle",
+            lambda: pagerank(
+                spark, edges, tolerance=None, max_iterations=4,
+                salt_buckets=16, hot_degree_threshold=1024, broadcast_ranks=False,
+            ),
+        )
+    if want("cc_superstep"):
+        capture_superstep(
+            "cc_superstep", lambda: connected_components(spark, edges, max_iterations=4)
+        )
+    if want("spinner_superstep"):
+        capture_superstep(
+            "spinner_superstep", lambda: spinner_partition(spark, edges, k=8, iterations=4)
+        )
+
+    edges.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""A/B probe: median per-superstep wall time + setup time for pagerank
+on the bench graph (sf0.1 bipartite edges, kernel_parts partitions).
+
+Usage: python scripts/pr_superstep_probe.py [iters] [runs]
+"""
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from arxiv_citation_graph_spark.entry_queries import bipartite_edges
+    from arxiv_citation_graph_spark.plans.pagerank import pagerank
+    from arxiv_citation_graph_spark.session import get_spark
+
+    spark = get_spark(app_name="pr-superstep-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    edges = bipartite_edges(spark, SF_DIR).cache()
+    edges.count()
+    for r in range(runs):
+        t0 = time.perf_counter()
+        res = pagerank(
+            spark, edges, tolerance=None, max_iterations=iters,
+            salt_buckets=16, hot_degree_threshold=1024,
+        )
+        total = time.perf_counter() - t0
+        w = [x / 1000.0 for x in res.report.wall_ms]
+        setup = total - sum(w)
+        print(
+            f"run {r}: total={total:.2f}s setup={setup:.2f}s "
+            f"superstep med={statistics.median(w):.3f}s "
+            f"min={min(w):.3f} max={max(w):.3f} first={w[0]:.3f}",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

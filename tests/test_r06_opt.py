@@ -1,0 +1,51 @@
+"""Round-6 optimization regression tests: the operator internals changed
+for performance (scalar dangling mass, pinned shuffled-hash joins, fused
+setup scans, AQE-off superstep loop) must keep results identical."""
+
+from __future__ import annotations
+
+import math
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df, toy_graphs
+from arxiv_citation_graph_spark.plans.pagerank import pagerank
+from tests import oracle_graph
+
+GRAPHS = toy_graphs()
+
+
+def test_pagerank_shuffle_mode_matches_broadcast_mode(spark):
+    """broadcast_ranks=False (the at-scale shuffled-hash path, now pinned
+    with SHUFFLE_HASH hints) must produce the same superstep math as the
+    broadcast path and the dense oracle."""
+    edges = toy_edges_df(spark, "dangling")
+    expected = oracle_graph.pagerank_dense(GRAPHS["dangling"], tol=None, max_iter=10)
+    shuffled = pagerank(
+        spark, edges, tolerance=None, max_iterations=10, broadcast_ranks=False,
+        salt_buckets=4, hot_degree_threshold=2,
+    )
+    got = {r.vertex: r.rank for r in shuffled.ranks.collect()}
+    assert set(got) == set(expected)
+    for v, r in expected.items():
+        assert math.isclose(got[v], r, abs_tol=1e-9), (v, got[v], r)
+
+
+def test_pagerank_dm_scalar_warm_start_same_fixpoint(spark):
+    """The dangling-mass scalar rides the superstep aggregate now; a warm
+    start (whose iteration 0 seeds the scalar with a one-off aggregate)
+    must still converge to the fresh run's fixpoint."""
+    edges = toy_edges_df(spark, "dangling")
+    fresh = pagerank(spark, edges, tolerance=1e-10, max_iterations=100)
+    warm = pagerank(
+        spark, edges, tolerance=1e-10, max_iterations=100, warm_start=fresh.ranks
+    )
+    assert warm.report.iterations <= 2  # seeded at the fixpoint
+    got_fresh = {r.vertex: r.rank for r in fresh.ranks.collect()}
+    got_warm = {r.vertex: r.rank for r in warm.ranks.collect()}
+    for v in got_fresh:
+        assert math.isclose(got_fresh[v], got_warm[v], abs_tol=1e-9)
+
+
+def test_pagerank_empty_graph_early_return(spark):
+    empty = spark.createDataFrame([], "src_id string, dst_id string")
+    res = pagerank(spark, empty, tolerance=None, max_iterations=3)
+    assert res.num_vertices == 0 and res.ranks.count() == 0
