@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.layout import symmetrize_partitioned, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -66,8 +66,10 @@ def connected_components(
             "resume continues the SAME graph's checkpointed run; warm "
             "start seeds a new run on an appended graph"
         )
-    sym = symmetrize(edges).repartition(
-        spark.sparkContext.defaultParallelism, "src_id"
+    # one |E| exchange for the symmetric adjacency (symmetrize +
+    # repartition used to pay two — layout.symmetrize_partitioned)
+    sym = symmetrize_partitioned(
+        edges, spark.sparkContext.defaultParallelism
     ).cache()
     # count + order-independent edge-set fingerprint in ONE materializing
     # action: resume must refuse a different same-size graph (the guard
@@ -85,8 +87,10 @@ def connected_components(
 
     def _mb(df: DataFrame) -> DataFrame:
         # broadcast the |V|-sized label vector while it fits (same
-        # rationale as pagerank's broadcast_ranks; shuffle join at scale)
-        return F.broadcast(df) if broadcast_labels else df
+        # rationale as pagerank's broadcast_ranks); at scale, pin
+        # shuffled-hash so no superstep sorts the |E|-sized cached
+        # adjacency (guide §3.1)
+        return F.broadcast(df) if broadcast_labels else df.hint("shuffle_hash")
 
     def step(labels: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
         nbr_min = (
@@ -96,7 +100,11 @@ def connected_components(
         )
         new = (
             labels.select("vertex", F.col("component").alias("old_component"))
-            .join(nbr_min, "vertex", "left")
+            .join(
+                nbr_min if broadcast_labels else nbr_min.hint("shuffle_hash"),
+                "vertex",
+                "left",
+            )
             .select(
                 "vertex",
                 F.least(

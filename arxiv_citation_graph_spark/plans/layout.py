@@ -104,6 +104,30 @@ def symmetrize(edges: DataFrame, extra_cols: list[str] | None = None) -> DataFra
     return fwd.unionByName(rev).filter(F.col("src_id") != F.col("dst_id")).distinct()
 
 
+def symmetrize_partitioned(edges: DataFrame, partitions: int) -> DataFrame:
+    """``symmetrize`` + hash-partition on ``src_id`` in ONE exchange.
+
+    ``symmetrize(...).repartition(n, "src_id")`` pays two full |E|
+    exchanges (the distinct shuffles on (src, dst), then the repartition
+    re-shuffles on src).  Repartitioning FIRST and deduplicating on the
+    partitioned data needs only the repartition exchange: hash
+    partitioning on ``src_id`` co-locates every (src, dst) duplicate, and
+    Catalyst recognizes the subset partitioning, so the distinct's
+    aggregate runs exchange-free (guide §2.4: two operations keyed the
+    same way share one exchange).  Output rows/partitioning are identical
+    to the two-exchange form."""
+    fwd = edges.select("src_id", "dst_id")
+    rev = edges.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .repartition(partitions, "src_id")
+        .dropDuplicates()
+    )
+
+
 def vertices_of(edges: DataFrame) -> DataFrame:
     """All vertices appearing on either side."""
     return (

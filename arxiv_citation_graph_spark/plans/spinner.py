@@ -62,7 +62,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.layout import symmetrize_partitioned, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -118,8 +118,10 @@ def spinner_partition(
             "continues the SAME graph's checkpointed run; warm start "
             "seeds a new run on a changed graph"
         )
-    sym = symmetrize(edges).repartition(
-        spark.sparkContext.defaultParallelism, "src_id"
+    # one |E| exchange for the symmetric adjacency (symmetrize +
+    # repartition used to pay two — layout.symmetrize_partitioned)
+    sym = symmetrize_partitioned(
+        edges, spark.sparkContext.defaultParallelism
     ).cache()
     sym_agg = sym.agg(
         F.count(F.lit(1)).alias("m"),
@@ -130,6 +132,17 @@ def spinner_partition(
     vertices = vertices_of(edges).cache()
     n = vertices.count()
     capacity = (n * (100 + slack_pct) + 100 * k - 1) // (100 * k)
+    # broadcast the |V|-bounded per-round frames (labels, per-vertex best
+    # scores, admitted movers) while they fit — same auto rule as
+    # pagerank's broadcast_ranks.  The previous plan shuffled the label
+    # vector into FIVE sort-merge joins per round; with broadcasts only
+    # the two aggregation exchanges remain (guide §2.4/§3.1).  Join
+    # strategy never changes the admitted set: scoring, ranking and the
+    # admission cutoff are all deterministic expressions.
+    broadcast_small = n <= 1_000_000
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_small else df.hint("shuffle_hash")
 
     def step(labels: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
         cur = labels.select("vertex", "partition")
@@ -150,7 +163,7 @@ def spinner_partition(
         )
         # (vertex, candidate-label) neighbor counts: one |E| join + 2-stage agg
         scored = (
-            sym.join(cur, sym.src_id == cur.vertex)
+            sym.join(_mb(cur), sym.src_id == cur.vertex)
             .select(F.col("dst_id").alias("vertex"), "partition")
             .groupBy("vertex", "partition")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -179,11 +192,11 @@ def spinner_partition(
         # neighbor shares it)
         willing = (
             cur.join(
-                scored.withColumnRenamed("score", "cur_score"),
+                _mb(scored.withColumnRenamed("score", "cur_score")),
                 ["vertex", "partition"],
                 "left",
             )
-            .join(best, "vertex", "left")
+            .join(_mb(best), "vertex", "left")
             .filter(
                 (F.pmod(_md5_int(F.col("vertex")) + F.lit(i), F.lit(2)) == 0)
                 & (
@@ -212,7 +225,7 @@ def spinner_partition(
             .select("vertex", "target")
         )
         new = (
-            cur.join(admitted, "vertex", "left")
+            cur.join(_mb(admitted), "vertex", "left")
             .select(
                 "vertex",
                 F.coalesce(F.col("target"), F.col("partition")).alias(
