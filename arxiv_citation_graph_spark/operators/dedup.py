@@ -90,6 +90,33 @@ def minhash_signature(text: Column, num_hashes: int = 8, shingle_k: int = 3) -> 
     return F.array(*sigs)
 
 
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """``(doc, shingle)`` — one row per distinct shingle per doc (docs
+    with fewer than ``shingle_k`` tokens emit nothing)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+
+
+def _minhash_from_exploded(exploded: DataFrame, num_hashes: int) -> DataFrame:
+    """Minhash signatures from a pre-exploded ``(doc, shingle)`` frame —
+    lets ``verified_near_dup_pairs`` hash the SAME materialized shingle
+    table its verifier reads instead of re-tokenizing the corpus."""
+    p = F.lit(MERSENNE_PRIME_31)
+    hashed = exploded.withColumn("h", md5_int32(F.col("shingle")) % p)
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    agg = hashed.groupBy("doc").agg(*mins)
+    return agg.select(
+        "doc", F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_k: int = 3
 ) -> DataFrame:
@@ -103,18 +130,8 @@ def minhash_signatures(
     10^12 docs the shuffle key is the doc id and combiners reduce
     map-side, exactly like any other aggregation.
     """
-    p = F.lit(MERSENNE_PRIME_31)
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    ).withColumn("h", md5_int32(F.col("shingle")) % p)
-    mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"mh{j}")
-        for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
-    ]
-    agg = exploded.groupBy("doc").agg(*mins)
-    return agg.select(
-        "doc", F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig")
+    return _minhash_from_exploded(
+        _exploded_shingles(df, id_col, text_col, shingle_k), num_hashes
     )
 
 
@@ -243,10 +260,18 @@ def verified_near_dup_pairs(
     ``lsh_candidate_pairs INTERSECT ngram_jaccard_pairs`` — which is how
     the DuckDB oracle replays it.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # the corpus is tokenized ONCE: the exploded shingle table is
+    # checkpointed and feeds the minhash aggregation, the df-cap count,
+    # and BOTH sides of the verification join (5 consumers total) — the
+    # previous formulation re-ran the scan + split + explode per
+    # consumer (guide §1.2 step 1 / the setjoin.py checkpoint convention)
+    exploded = _exploded_shingles(df, id_col, text_col, shingle_k).localCheckpoint(
+        eager=True
+    )
+    sigs = _minhash_from_exploded(exploded, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    shingled = _shingled(df, id_col, text_col, shingle_k)
-    return _verify_candidate_pairs(cands, shingled, max_shingle_df).filter(
+    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _verify_exploded(cands, exploded, sizes, max_shingle_df).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -269,9 +294,30 @@ def _verify_candidate_pairs(
     incremental path — monotone NON-INCREASING as shingles cross the cap.
     Pairs whose capped intersection is empty are not emitted (their
     jaccard is 0, below any positive threshold).
+
+    The exploded shingle table is checkpointed here: it has four
+    consumers (the df-cap aggregate, both intersection-join sides, the
+    sizes), and an uncheckpointed plan re-runs the upstream tokenization
+    per consumer.  Sizes come from the exploded row count per doc, which
+    equals ``size(sh)`` (the shingle array is distinct by construction);
+    zero-shingle docs drop out of the sizes frame but can never appear
+    in a candidate's intersection, so results are unchanged.
     """
-    sizes = shingled.select("doc", F.size("sh").alias("n_sh"))
-    exploded = shingled.select("doc", F.explode("sh").alias("shingle"))
+    exploded = shingled.select(
+        "doc", F.explode("sh").alias("shingle")
+    ).localCheckpoint(eager=True)
+    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _verify_exploded(cands, exploded, sizes, max_shingle_df)
+
+
+def _verify_exploded(
+    cands: DataFrame,
+    exploded: DataFrame,
+    sizes: DataFrame,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Verification core over a (checkpointed) ``(doc, shingle)`` frame
+    and a ``(doc, n_sh)`` sizes frame — see ``_verify_candidate_pairs``."""
     if max_shingle_df is not None:
         rare = (
             exploded.groupBy("shingle")
