@@ -1988,10 +1988,25 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "knn-graph":
-        from arxiv_citation_graph_spark.operators.simsearch import knn_graph
+        from arxiv_citation_graph_spark.operators.simsearch import (
+            DEFAULT_MAX_QUERIES,
+            _directed_knn,
+            knn_graph,
+        )
 
+        emb_tbl = spark.read.parquet(args.embeddings)
+        # --snn reuses the SAME directed top-k lists the graph is built
+        # from (checkpointed once) instead of re-running the LSH/brute
+        # pass — the most expensive stage ran twice before (ADVICE r5)
+        shared_directed = None
+        if args.snn is not None:
+            shared_directed = _directed_knn(
+                emb_tbl, args.id_col, args.vec_col, k=args.k,
+                method=args.method, dims=args.dims, n_planes=args.n_planes,
+                n_tables=args.n_tables, max_vertices=DEFAULT_MAX_QUERIES,
+            ).localCheckpoint(eager=True)
         g = knn_graph(
-            spark.read.parquet(args.embeddings),
+            emb_tbl,
             args.id_col,
             args.vec_col,
             k=args.k,
@@ -2000,6 +2015,7 @@ def main(argv: list[str] | None = None) -> int:
             n_planes=args.n_planes,
             n_tables=args.n_tables,
             mutual=args.mutual,
+            directed=shared_directed,
         )
         snap = catalog.create_or_replace("knn_edges", g)
         n = catalog.read(spark, "knn_edges").count()
@@ -2013,7 +2029,7 @@ def main(argv: list[str] | None = None) -> int:
 
             cl = snn_clusters(
                 spark,
-                spark.read.parquet(args.embeddings),
+                emb_tbl,
                 args.id_col,
                 args.vec_col,
                 k=args.k,
@@ -2022,6 +2038,7 @@ def main(argv: list[str] | None = None) -> int:
                 dims=args.dims,
                 n_planes=args.n_planes,
                 n_tables=args.n_tables,
+                directed=shared_directed,
             )
             catalog.create_or_replace("snn_clusters", cl)
             n_cl = cl.select("cluster").distinct().count()

@@ -47,6 +47,24 @@ from pyspark.sql import functions as F
 from arxiv_citation_graph_spark.functions.texttools import tokens, word_shingles
 
 
+def _exact_ceil(product):
+    """``ceil`` with an epsilon guard for exact threshold bounds.
+
+    ``ceil(t * n)`` on IEEE doubles overshoots the mathematical
+    ``ceil(t*n)`` by 1 whenever ``t*n`` is a mathematical integer whose
+    rounded product lands just above it (e.g. t=0.07, n=100 gives
+    7.000000000000001 -> ceil 8), which SHORTENS the prefix and
+    TIGHTENS the length filter — false negatives in an operator whose
+    contract is lossless.  Subtracting 1e-9 before the ceil can only
+    lengthen a prefix / loosen a bound (thresholds have far fewer than 9
+    significant digits), which costs a few extra candidates but never
+    drops a qualifying pair; the exact verification step is unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    return F.ceil(product - F.lit(1e-9))
+
+
 def _distinct_tokens(
     df: DataFrame, id_col: str, text_col: str, shingle_k: int = 1
 ) -> DataFrame:
@@ -106,7 +124,7 @@ def prefix_jaccard_join(
         )
     )
     prefix_len = (
-        F.size("_ord") - F.ceil(F.lit(threshold) * F.size("_ord")) + F.lit(1)
+        F.size("_ord") - _exact_ceil(F.lit(threshold) * F.size("_ord")) + F.lit(1)
     ).cast("int")
     # both sides of the candidate self-join read the prefix table:
     # checkpoint so the order-sort subtree executes once
@@ -133,7 +151,7 @@ def prefix_jaccard_join(
         # length filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
         .filter(
             F.least("n_a", "n_b")
-            >= F.ceil(F.lit(threshold) * F.greatest("n_a", "n_b"))
+            >= _exact_ceil(F.lit(threshold) * F.greatest("n_a", "n_b"))
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -200,7 +218,7 @@ def exact_containment_pairs(
         )
     )
     prefix_len = (
-        F.size("_ord") - F.ceil(F.lit(threshold) * F.size("_ord")) + F.lit(1)
+        F.size("_ord") - _exact_ceil(F.lit(threshold) * F.size("_ord")) + F.lit(1)
     ).cast("int")
     prefixes = (
         ordered.select(
@@ -217,7 +235,7 @@ def exact_containment_pairs(
     candidates = (
         prefixes.join(full, "token")
         .filter(F.col("doc") != F.col("container"))
-        .filter(F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+        .filter(F.col("n_b") >= _exact_ceil(F.lit(threshold) * F.col("n_a")))
         .select("doc", "container")
         .distinct()
     )

@@ -836,6 +836,7 @@ def knn_graph(
     n_tables: int = 1,
     mutual: bool = False,
     max_vertices: int | None = DEFAULT_MAX_QUERIES,
+    directed: DataFrame | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding corpus:
     ``(src_id, dst_id, cos_sim, mutual)`` with ``src_id < dst_id``.
@@ -861,11 +862,17 @@ def knn_graph(
     keyed on the signature; recall measured by ``ann_recall_at_k``).
     ``method="brute"``: the exact O(N^2) baseline, refused above
     ``max_vertices`` (the ``brute_force_topk`` guard).
+
+    ``directed``: optionally supply precomputed ``_directed_knn`` lists
+    ``(query_id, neighbor_id, cos_sim)`` so a caller that also needs the
+    lists elsewhere (the CLI's ``knn-graph --snn`` path) builds them
+    ONCE instead of re-running the most expensive stage (ADVICE r5).
     """
-    directed = _directed_knn(
-        corpus, id_col, vec_col, k=k, method=method, dims=dims,
-        n_planes=n_planes, n_tables=n_tables, max_vertices=max_vertices,
-    )
+    if directed is None:
+        directed = _directed_knn(
+            corpus, id_col, vec_col, k=k, method=method, dims=dims,
+            n_planes=n_planes, n_tables=n_tables, max_vertices=max_vertices,
+        )
     pairs = (
         directed.select(
             F.least("query_id", "neighbor_id").alias("src_id"),
@@ -897,6 +904,7 @@ def snn_clusters(
     n_tables: int = 1,
     max_vertices: int | None = DEFAULT_MAX_QUERIES,
     max_iterations: int = 20,
+    directed: DataFrame | None = None,
 ) -> DataFrame:
     """Jarvis-Patrick shared-nearest-neighbor clustering (Jarvis &
     Patrick 1973; the SNN density idea behind Ertoz/Steinbach/Kumar
@@ -922,10 +930,17 @@ def snn_clusters(
     already inside the list builder."""
     from arxiv_citation_graph_spark.plans.components import connected_components
 
-    directed = _directed_knn(
-        corpus, id_col, vec_col, k=k, method=method, dims=dims,
-        n_planes=n_planes, n_tables=n_tables, max_vertices=max_vertices,
-    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    # ``directed``: optionally reuse precomputed ``_directed_knn`` lists
+    # (the CLI's knn-graph --snn path computes them once for both the
+    # graph and the clustering — ADVICE r5: the directed top-k build is
+    # the most expensive stage and used to run twice)
+    if directed is None:
+        directed = _directed_knn(
+            corpus, id_col, vec_col, k=k, method=method, dims=dims,
+            n_planes=n_planes, n_tables=n_tables, max_vertices=max_vertices,
+        ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    else:
+        directed = directed.select("query_id", "neighbor_id")
     mut = (
         directed.alias("a")
         .join(

@@ -85,12 +85,17 @@ def widest_path_widths(
         | F.isnan(wd)
         | (w < 1)
         | (w.cast("double") != wd)
+        # SOURCE_WIDTH is the semiring top: a weight at or above it would
+        # silently clamp widths via least(SOURCE_WIDTH, w) instead of
+        # raising — reject it like the other invalid weights (ADVICE r5)
+        | (w >= SOURCE_WIDTH)
     ).limit(1)
     if bad.count() > 0:
         row = bad.first()
         raise ValueError(
-            f"widest_path_widths requires integer weights >= 1; offending "
-            f"edge ({row['src_id']!r} -> {row['dst_id']!r}, "
+            f"widest_path_widths requires integer weights >= 1 and < "
+            f"2^40 (the source semiring top); offending edge "
+            f"({row['src_id']!r} -> {row['dst_id']!r}, "
             f"{weight_col}={row[weight_col]!r})"
         )
     directed_edges = edges.select("src_id", "dst_id", w.alias("_w"))

@@ -49,3 +49,42 @@ def test_pagerank_empty_graph_early_return(spark):
     empty = spark.createDataFrame([], "src_id string, dst_id string")
     res = pagerank(spark, empty, tolerance=None, max_iterations=3)
     assert res.num_vertices == 0 and res.ranks.count() == 0
+
+
+def test_prefix_jaccard_join_integer_boundary_threshold(spark):
+    """ADVICE r5: float ceil(t*n) overshoot at thresholds where t*n is a
+    mathematical integer (0.07 * 100 -> 7.000000000000001) used to
+    shorten the prefix and drop qualifying pairs.  The epsilon-guarded
+    ceil must keep the join lossless at such thresholds."""
+    from arxiv_citation_graph_spark.operators.setjoin import prefix_jaccard_join
+
+    a_tokens = " ".join(f"t{i}" for i in range(100))
+    b_tokens = " ".join(f"t{i}" for i in range(7))  # B subset of A, J = 0.07
+    docs = spark.createDataFrame(
+        [("a", a_tokens), ("b", b_tokens)], "doc_id string, text string"
+    )
+    pairs = prefix_jaccard_join(docs, "doc_id", "text", threshold=0.07).collect()
+    assert len(pairs) == 1
+    row = pairs[0]
+    assert (row.doc_a, row.doc_b) == ("a", "b")
+    assert abs(row.jaccard - 0.07) < 1e-9
+
+
+def test_exact_containment_integer_boundary_threshold(spark):
+    """Same guard for the asymmetric containment prefix (C = 7/100 at
+    threshold 0.07 must be emitted, both directions checked)."""
+    from arxiv_citation_graph_spark.operators.setjoin import exact_containment_pairs
+
+    a_tokens = " ".join(f"t{i} u{i} v{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [("big", a_tokens), ("sub", "t0 u0 v0 t1 u1 v1 t2 u2 v2")],
+        "doc_id string, text string",
+    )
+    pairs = exact_containment_pairs(
+        docs, "doc_id", "text", threshold=0.07, shingle_k=1
+    ).collect()
+    by_pair = {(r.doc, r.container): r.containment for r in pairs}
+    # C(sub -> big): sub has 9 distinct tokens all in big -> 1.0
+    assert by_pair[("sub", "big")] == 1.0
+    # C(big -> sub) = 9/120 = 0.075 >= 0.07 — must survive the bound
+    assert abs(by_pair[("big", "sub")] - 0.075) < 1e-9
