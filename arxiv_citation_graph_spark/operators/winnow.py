@@ -53,12 +53,22 @@ def normalized_text(text: Column) -> Column:
 
 def _kgram_hashes(norm: Column, k: int) -> Column:
     """Array of portable k-gram hashes at positions 1..P (empty when
-    the normalized text is shorter than k)."""
-    p = F.length(norm) - (k - 1)
-    idx = F.when(p >= 1, F.sequence(F.lit(1), p)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: md5_int32(F.substring(norm, i, k)))
+    the normalized text is shorter than k).
+
+    ``norm`` is let-bound (``bind_once``): captured inside the
+    per-position lambda it would be re-evaluated — whole lowercase +
+    regexp_replace over the document — for EVERY k-gram (quadratic in
+    document length)."""
+    from arxiv_citation_graph_spark.functions.texttools import bind_once
+
+    def build(nm: Column) -> Column:
+        p = F.length(nm) - (k - 1)
+        idx = F.when(p >= 1, F.sequence(F.lit(1), p)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: md5_int32(F.substring(nm, i, k)))
+
+    return bind_once(norm, build)
 
 
 def winnowing_fingerprints(
