@@ -854,21 +854,31 @@ def substring_dup_pairs(
 
 def simhash(text: Column, bits: int = 16, shingle_k: int = 1) -> Column:
     """Sign-sum simhash over token hashes (bits kept small so the DuckDB
-    oracle can unroll them; production would use 64)."""
+    oracle can unroll them; production would use 64).
+
+    The hash array is let-bound (``texttools.bind_once``): each of the
+    ``bits`` sign-sum aggregates captures it, and unbound each one would
+    re-tokenize + re-hash the document (bits× the work)."""
+    from arxiv_citation_graph_spark.functions.texttools import bind_once
+
     hashes = F.transform(word_shingles(text, shingle_k), md5_int32)
+
     def _vote(b: int):
         return lambda acc, x: acc + F.when(
             F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    bit_cols = []
-    for b in range(bits):
-        votes = F.aggregate(hashes, F.lit(0), _vote(b))
-        bit_cols.append(F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return total.cast("long")
+    def build(hs: Column) -> Column:
+        bit_cols = []
+        for b in range(bits):
+            votes = F.aggregate(hs, F.lit(0), _vote(b))
+            bit_cols.append(F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        total = bit_cols[0]
+        for c in bit_cols[1:]:
+            total = total + c
+        return total.cast("long")
+
+    return bind_once(hashes, build)
 
 
 def simhash_df(

@@ -17,20 +17,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.functions.texttools import tokens
+from arxiv_citation_graph_spark.functions.texttools import bind_once, tokens
 
 
 def raw_ngrams(text: Column, n: int) -> Column:
     """ALL n-token grams (space-joined), duplicates KEPT — the repetition
     unit.  Fewer than ``n`` tokens yields an empty array (the
     ``word_shingles`` guard: ``sequence(1, 0)`` is descending and the
-    slice would throw)."""
-    toks = tokens(text)
-    m = F.size(toks)
-    idx = F.when(m >= F.lit(n), F.sequence(F.lit(1), m - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    slice would throw).  The token array is let-bound so the split runs
+    once per document, not once per gram position (texttools.bind_once)."""
+
+    def build(toks: Column) -> Column:
+        m = F.size(toks)
+        idx = F.when(m >= F.lit(n), F.sequence(F.lit(1), m - (n - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    return bind_once(tokens(text), build)
 
 
 def ngram_repetition_stats(

@@ -43,18 +43,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.functions.texttools import md5_int32, tokens
+from arxiv_citation_graph_spark.functions.texttools import bind_once, md5_int32, tokens
 
 
 def _ngram_list(text: Column, n: int) -> Column:
     """All n-token grams (space-joined, WITH multiplicity — unlike
-    ``word_shingles`` these feed count features, not a dedup set)."""
-    toks = tokens(text)
-    size = F.size(toks)
-    idx = F.when(
-        size >= F.lit(n), F.sequence(F.lit(1), size - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ``word_shingles`` these feed count features, not a dedup set).  The
+    token array is let-bound so the split runs once per document, not
+    once per gram position (texttools.bind_once)."""
+
+    def build(toks: Column) -> Column:
+        size = F.size(toks)
+        idx = F.when(
+            size >= F.lit(n), F.sequence(F.lit(1), size - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    return bind_once(tokens(text), build)
 
 
 def hashed_ngram_buckets(text: Column, buckets: int, max_n: int = 2) -> Column:
