@@ -200,12 +200,17 @@ def ngram_jaccard_pairs(
     The self-join row count is bounded by ``max_shingle_df`` (see
     ``DEFAULT_MAX_SHINGLE_DF``); pass ``None`` for the exact-but-unbounded
     join (small corpora only).
+
+    The exploded shingle table is checkpointed once for its four
+    consumers (df-cap count, both self-join sides, sizes) — the
+    ``verified_near_dup_pairs`` convention; sizes come from the
+    per-doc exploded row count, which equals ``size(sh)`` (distinct
+    array), and zero-shingle docs can never reach the inner joins.
     """
-    shingled = df.select(
-        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    exploded = _exploded_shingles(df, id_col, text_col, shingle_k).localCheckpoint(
+        eager=True
     )
-    sizes = shingled.select("doc", F.size("sh").alias("n_sh"))
-    exploded = shingled.select("doc", F.explode("sh").alias("shingle"))
+    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         rare = (
             exploded.groupBy("shingle")
@@ -1029,12 +1034,14 @@ def containment_pairs(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"containment_pairs: threshold in (0, 1] (got {threshold})")
-    shingled = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    # checkpointed once for the df-cap + both join sides + sizes (the
+    # ngram_jaccard_pairs convention; zero-shingle docs can never reach
+    # the inner joins, so deriving sizes from exploded row counts is
+    # result-identical)
+    exploded = _exploded_shingles(df, id_col, text_col, shingle_k).localCheckpoint(
+        eager=True
     )
-    sizes = shingled.select("doc", F.size("sh").alias("n_sh"))
-    exploded = shingled.select("doc", F.explode("sh").alias("shingle"))
+    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         rare = (
             exploded.groupBy("shingle")

@@ -76,15 +76,30 @@ def brute_force_topk(
                 "baseline only — use lsh_topk for large query sets, or "
                 "pass max_queries=None to override."
             )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms are projected BEFORE the cross join so each side's norm is
+    # computed once per vector, not once per (query, neighbor) pair —
+    # the per-pair expression dot/(qn*cn) is structurally identical to
+    # cosine()'s dot/(norm*norm), so values are bit-identical while the
+    # O(Q x N) stage does ~1/3 the arithmetic (guide §1.2 step 2).
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -144,18 +159,24 @@ def lsh_topk(
     the brute-force oracle).
     """
 
+    # per-side norms computed once at signature time (the brute_force
+    # treatment): the per-candidate expression dot/(qn*cn) is
+    # structurally identical to cosine()'s, so scores are bit-identical
+    # while the candidate-scoring stage skips both norm recomputations
     def table(t: int) -> DataFrame:
         def sig(v):
             return hyperplane_signature(v, dims, n_planes, plane_offset=t * n_planes)
 
         q = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), sig(F.col(vec_col)).alias("sig")
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("_qn"), sig(F.col(vec_col)).alias("sig"),
         )
         c = corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), sig(F.col(vec_col)).alias("sig")
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("_cn"), sig(F.col(vec_col)).alias("sig"),
         )
         return q.join(c, "sig").filter(F.col("query_id") != F.col("neighbor_id")).select(
-            "query_id", "neighbor_id", "qv", "cv"
+            "query_id", "neighbor_id", "qv", "cv", "_qn", "_cn"
         )
 
     candidates = table(0)
@@ -164,7 +185,9 @@ def lsh_topk(
     scored = candidates.dropDuplicates(["query_id", "neighbor_id"]).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
