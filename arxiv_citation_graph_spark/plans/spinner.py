@@ -144,38 +144,88 @@ def spinner_partition(
     def _mb(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_small else df.hint("shuffle_hash")
 
+    # per-partition load counts ride the superstep aggregate as k scalars
+    # (the pagerank dangling-mass treatment): each round's materializing
+    # pass also counts labels per partition, so the next round's `room`
+    # values are LITERALS — the previous plan paid a groupBy + a k-row
+    # broadcast join per round just to attach them.  Guarded to small k
+    # (k scalar aggregates; the aggregate row must stay cheap) with the
+    # legacy join as the fallback.
+    use_scalar_loads = k <= 64
+    load_aggs = {
+        f"_load_{j}": F.sum((F.col("partition") == j).cast("long"))
+        for j in range(k)
+    } if use_scalar_loads else {}
+
+    def _loads_seed(frame: DataFrame) -> list[int]:
+        row = frame.groupBy().agg(
+            *[e.alias(n) for n, e in load_aggs.items()]
+        ).first()
+        return [int(row[f"_load_{j}"] or 0) for j in range(k)]
+
     def step(labels: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
         cur = labels.select("vertex", "partition")
-        loads = cur.groupBy("partition").agg(F.count(F.lit(1)).alias("load"))
-        # every label in [0, k) gets a room row — an emptied partition
-        # must keep full attractiveness, not vanish from the join
-        room = F.broadcast(
-            spark.range(k)
-            .select(F.col("id").alias("partition"))
-            .join(loads, "partition", "left")
-            .select(
-                "partition",
-                F.greatest(
-                    F.lit(capacity) - F.coalesce(F.col("load"), F.lit(0)),
-                    F.lit(0),
-                ).alias("room"),
+        if use_scalar_loads:
+            loads_vec = None
+            if prev is not None and all(f"_load_{j}" in prev for j in range(k)):
+                vals = [prev[f"_load_{j}"] for j in range(k)]
+                if all(v is not None for v in vals):
+                    loads_vec = [int(v) for v in vals]
+            if loads_vec is None:
+                loads_vec = _loads_seed(cur)
+            rooms = [max(capacity - l, 0) for l in loads_vec]
+
+            def room_of(col):
+                # literal lookup: partition label -> remaining room
+                expr = F.when(col == 0, F.lit(rooms[0]))
+                for j in range(1, k):
+                    expr = expr.when(col == j, F.lit(rooms[j]))
+                return expr.otherwise(F.lit(0))
+        else:
+            loads = cur.groupBy("partition").agg(F.count(F.lit(1)).alias("load"))
+            # every label in [0, k) gets a room row — an emptied partition
+            # must keep full attractiveness, not vanish from the join
+            room_tbl = F.broadcast(
+                spark.range(k)
+                .select(F.col("id").alias("partition"))
+                .join(loads, "partition", "left")
+                .select(
+                    "partition",
+                    F.greatest(
+                        F.lit(capacity) - F.coalesce(F.col("load"), F.lit(0)),
+                        F.lit(0),
+                    ).alias("room"),
+                )
             )
-        )
         # (vertex, candidate-label) neighbor counts: one |E| join + 2-stage agg
-        scored = (
+        nbr_counts = (
             sym.join(_mb(cur), sym.src_id == cur.vertex)
             .select(F.col("dst_id").alias("vertex"), "partition")
             .groupBy("vertex", "partition")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .join(room, "partition")
-            .select(
+        )
+        if use_scalar_loads:
+            scored = nbr_counts.select(
+                "vertex",
+                "partition",
+                (F.col("cnt") * room_of(F.col("partition"))).alias("score"),
+            )
+        else:
+            scored = nbr_counts.join(room_tbl, "partition").select(
                 "vertex",
                 "partition",
                 (F.col("cnt") * F.col("room")).alias("score"),
             )
-        )
-        best = (
-            scored.groupBy("vertex")
+        # ONE per-vertex aggregate yields BOTH the best candidate and the
+        # current label's own score (max over the at-most-one row whose
+        # label matches): the previous plan aggregated `scored` twice —
+        # once for best, once broadcast into the willing lookup — which
+        # re-executed the |E| neighbor join per consumer (guide §2.4).
+        per_vertex = (
+            scored.join(
+                _mb(cur.withColumnRenamed("partition", "_cur_p")), "vertex"
+            )
+            .groupBy("vertex")
             .agg(
                 F.min_by(
                     F.struct(
@@ -183,20 +233,18 @@ def spinner_partition(
                         F.col("score").alias("best_score"),
                     ),
                     F.struct((-F.col("score")).alias("neg"), F.col("partition")),
-                ).alias("b")
+                ).alias("b"),
+                F.max(
+                    F.when(F.col("partition") == F.col("_cur_p"), F.col("score"))
+                ).alias("cur_score"),
             )
-            .select("vertex", "b.best_partition", "b.best_score")
+            .select("vertex", "b.best_partition", "b.best_score", "cur_score")
         )
         # willing movers: gated parity, strict improvement over the
         # CURRENT label's score (own neighbor count x own room; 0 if no
         # neighbor shares it)
         willing = (
-            cur.join(
-                _mb(scored.withColumnRenamed("score", "cur_score")),
-                ["vertex", "partition"],
-                "left",
-            )
-            .join(_mb(best), "vertex", "left")
+            cur.join(_mb(per_vertex), "vertex", "left")
             .filter(
                 (F.pmod(_md5_int(F.col("vertex")) + F.lit(i), F.lit(2)) == 0)
                 & (
@@ -211,19 +259,24 @@ def spinner_partition(
             )
         )
         # admission: each target admits its top `room` movers
-        admitted = (
-            willing.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("target").orderBy(
-                        F.col("score").desc(), F.col("vertex")
-                    )
-                ),
-            )
-            .join(room.withColumnRenamed("partition", "target"), "target")
-            .filter(F.col("rn") <= F.col("room"))
-            .select("vertex", "target")
+        ranked = willing.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("target").orderBy(
+                    F.col("score").desc(), F.col("vertex")
+                )
+            ),
         )
+        if use_scalar_loads:
+            admitted = ranked.filter(
+                F.col("rn") <= room_of(F.col("target"))
+            ).select("vertex", "target")
+        else:
+            admitted = (
+                ranked.join(room_tbl.withColumnRenamed("partition", "target"), "target")
+                .filter(F.col("rn") <= F.col("room"))
+                .select("vertex", "target")
+            )
         new = (
             cur.join(_mb(admitted), "vertex", "left")
             .select(
@@ -241,7 +294,7 @@ def spinner_partition(
                 .alias("delta"),
             )
         )
-        return new, {"delta": F.sum("delta")}
+        return new, {"delta": F.sum("delta"), **load_aggs}
 
     if warm_start is not None:
         seed = (
