@@ -152,7 +152,19 @@ def pagerank(
     # four times (vertices_of distinct, out-degree aggregate, adjacency
     # repartition, src-distinct for the dangling flags) plus a separate
     # hot-vertices scan.
-    n_parts = spark.sparkContext.defaultParallelism
+    # Partition count: ALIGN with spark.sql.shuffle.partitions (every
+    # shuffle below — the salted sums, and in shuffle mode the ranks
+    # exchange — produces that count, and the superstep state snapshot
+    # keeps it now that _reset_stats preserves partitioning).  A mismatch
+    # makes EnsureRequirements re-exchange the |E|-sized cached adjacency
+    # to the state's count every superstep (measured: 40M-edge zipf
+    # superstep 5.3 s -> 6.4 s on a 32-vs-64 mismatch).  Floor at
+    # defaultParallelism so a small-SF run with few shuffle partitions
+    # keeps full scan parallelism; at scale shuffle.partitions dominates.
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     edges_p = edges.repartition(n_parts, "src_id")
     deg_agg = F.sum("_w") if weighted else F.count("*")
     out_deg = edges_p.groupBy("src_id").agg(deg_agg.alias("out_deg"))

@@ -229,7 +229,8 @@ _reset_stats_failures = 0
 
 
 def _reset_stats(checkpointed: DataFrame) -> tuple[DataFrame, object | None]:
-    """Drop carried-over Catalyst statistics from a checkpointed state.
+    """Drop carried-over Catalyst statistics from a checkpointed state,
+    KEEPING its physical layout metadata.
 
     Spark 4 propagates the origin plan's ``sizeInBytes`` through
     ``localCheckpoint``/``checkpoint`` into the new ``LogicalRDD``.  An
@@ -241,6 +242,23 @@ def _reset_stats(checkpointed: DataFrame) -> tuple[DataFrame, object | None]:
     the DataFrame over the already-materialized InternalRow RDD resets
     stats to the session default and keeps supersteps O(1).
 
+    Two rebuild tiers:
+
+    1. **LogicalRDD copy (preferred).**  ``localCheckpoint`` records the
+       origin plan's ``outputPartitioning``/``outputOrdering`` on the
+       ``LogicalRDD`` it creates; a superstep's state is typically the
+       output of a join keyed on the state key, so the snapshot is
+       already hash-partitioned (and sorted) by it.  Re-instantiating
+       the ``LogicalRDD`` with the SAME rdd/partitioning/ordering but
+       ``originStats = None`` resets the stats while letting the next
+       superstep's state-side join skip its Exchange AND Sort entirely
+       (guide §2.4: two operations keyed the same way share one
+       exchange; measured −1 Exchange, −1 Sort per superstep on
+       pagerank/CC).
+    2. **``internalCreateDataFrame`` (fallback).**  Same stats reset,
+       but partitioning metadata is lost and every superstep re-sorts /
+       re-shuffles the state side of its join — correct, just slower.
+
     Returns ``(frame, jrdd_handle)``.  ``jrdd_handle`` is the underlying
     checkpointed JVM RDD, kept so the loop can ``unpersist`` its blocks
     when the iteration advances (``Dataset.unpersist`` on the rebuilt
@@ -251,8 +269,45 @@ def _reset_stats(checkpointed: DataFrame) -> tuple[DataFrame, object | None]:
     exponential pathology this function exists to prevent.
     """
     global _reset_stats_failures
+    jdf = None
     try:
         jdf = checkpointed._jdf  # type: ignore[attr-defined]
+        jspark = checkpointed.sparkSession._jsparkSession  # type: ignore[attr-defined]
+        jvm = checkpointed.sparkSession.sparkContext._jvm  # type: ignore[attr-defined]
+        logical = jdf.queryExecution().analyzed()
+        if logical.getClass().getName() == "org.apache.spark.sql.execution.LogicalRDD":
+            lrdd = getattr(
+                getattr(jvm.org.apache.spark.sql.execution, "LogicalRDD$"), "MODULE$"
+            )
+            none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+            fresh_plan = lrdd.apply(
+                logical.output(),
+                logical.rdd(),
+                logical.outputPartitioning(),
+                logical.outputOrdering(),
+                logical.isStreaming(),
+                logical.stream(),
+                jspark,
+                none,  # originStats: the whole point — no stat carry-over
+                none,  # originConstraints
+            )
+            dataset = getattr(
+                getattr(jvm.org.apache.spark.sql.classic, "Dataset$"), "MODULE$"
+            )
+            fresh = dataset.ofRows(jspark, fresh_plan)
+            return DataFrame(fresh, checkpointed.sparkSession), logical.rdd()
+    except Exception as exc:
+        _LOG.info(
+            "superstep._reset_stats: LogicalRDD rebuild unavailable (%s: %s); "
+            "falling back to internalCreateDataFrame (stats still reset, "
+            "but state partitioning metadata is lost — supersteps pay one "
+            "extra Exchange+Sort each).",
+            type(exc).__name__,
+            exc,
+        )
+    try:
+        if jdf is None:
+            jdf = checkpointed._jdf  # type: ignore[attr-defined]
         jspark = checkpointed.sparkSession._jsparkSession  # type: ignore[attr-defined]
         fresh = jspark.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False

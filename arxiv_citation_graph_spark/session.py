@@ -45,6 +45,7 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
+    local_dir = _default_local_dir()
     if shuffle_partitions is None:
         # local[N]: one shuffle partition per core keeps every superstep
         # stage fully parallel without tiny-task overhead.
@@ -68,9 +69,40 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir is not None:
+        builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra_configs or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def _default_local_dir() -> str | None:
+    """Shuffle/spill scratch directory default.
+
+    Deployments point ``spark.local.dir`` at their fastest local scratch
+    (NVMe on clusters); on a single dev host the analogue is tmpfs —
+    shuffle files on an ext4 root pay writeback stalls that show up as
+    2-6x per-superstep outliers (measured on the 40M-edge workload:
+    steady superstep 5.1 s with 6.5 s outliers on /tmp, 4.8 s with none
+    on /dev/shm; scripts/scaling_report.py has used the same convention
+    since round 3).  Resolution order: ``SPARK_GRAFT_LOCAL_DIR`` env
+    (empty string = leave Spark's default), an already-set
+    ``SPARK_LOCAL_DIRS`` (Spark's own env override wins), else
+    ``/dev/shm/spark-local`` when tmpfs is mounted.
+    """
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env is not None:
+        return env or None
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return None
+    if os.path.isdir("/dev/shm"):
+        path = "/dev/shm/spark-local"
+        try:
+            os.makedirs(path, exist_ok=True)
+        except OSError:
+            return None
+        return path
+    return None
 
 
 def _local_cores(master: str, fallback: int) -> int:

