@@ -39,10 +39,11 @@ def salted_sum(
     df: DataFrame,
     key: str,
     value: str,
-    salt_source: str,
-    alias: str,
+    salt_source: str | None = None,
+    alias: str = "sum",
     buckets: int = 16,
     hot_keys: DataFrame | None = None,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Two-stage skew-safe ``groupBy(key).sum(value)``.
 
@@ -50,17 +51,28 @@ def salted_sum(
     (for PageRank contributions keyed by dst: the src vertex).
     ``hot_keys``: optional single-column (``key``) DataFrame of heavy
     hitters; when given, only those keys are salted (broadcast join).
-    Returns ``(key, alias)``.
+    ``salt_col``: name of an already-computed salt column on ``df`` —
+    iterative kernels bake the (static) salt into their cached input once
+    instead of re-joining the hot-key flags every superstep; the partial
+    sums group over the identical ``(key, salt)`` pairs either way, so
+    results are bit-identical.  Returns ``(key, alias)``.
     """
-    salt = deterministic_salt(F.col(salt_source), buckets)
-    if hot_keys is not None:
-        flags = F.broadcast(hot_keys.select(F.col(key).alias(key), F.lit(True).alias("_hot")))
+    if salt_col is not None:
         salted = (
-            df.join(flags, key, "left")
-            .withColumn("_salt", F.when(F.col("_hot"), salt).otherwise(F.lit(0)))
+            df if salt_col == "_salt" else df.withColumn("_salt", F.col(salt_col))
         )
     else:
-        salted = df.withColumn("_salt", salt)
+        if salt_source is None:
+            raise ValueError("salted_sum needs salt_source when salt_col is None")
+        salt = deterministic_salt(F.col(salt_source), buckets)
+        if hot_keys is not None:
+            flags = F.broadcast(hot_keys.select(F.col(key).alias(key), F.lit(True).alias("_hot")))
+            salted = (
+                df.join(flags, key, "left")
+                .withColumn("_salt", F.when(F.col("_hot"), salt).otherwise(F.lit(0)))
+            )
+        else:
+            salted = df.withColumn("_salt", salt)
     partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias(alias))
 

@@ -40,7 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import salted_sum
+from arxiv_citation_graph_spark.plans.layout import deterministic_salt, salted_sum
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -141,17 +141,15 @@ def pagerank(
     else:
         edges = edges.select("src_id", "dst_id")
 
-    # ONE pass over the input edge table (guide §2.4: remove exchanges
-    # outright).  The edges are hash-partitioned on ``src_id`` exactly
-    # once; the out-degree aggregate and the adjacency join then run
-    # exchange-free on that partitioning (groupBy on the partitioning key
-    # + a co-partitioned shuffled-hash join, no sort), and every later
-    # derivation — edge count/fingerprint, in-degree/hot table, vertex
-    # universe, dangling flags — reads the CACHED adjacency instead of
-    # rescanning the input.  The previous formulation paid |E|-sized work
-    # four times (vertices_of distinct, out-degree aggregate, adjacency
-    # repartition, src-distinct for the dangling flags) plus a separate
-    # hot-vertices scan.
+    # TWO passes over the input edge table, both load-bearing: the
+    # repartition pass (hash-partitioned on ``src_id`` exactly once; the
+    # out-degree aggregate and adjacency join run exchange-free on that
+    # partitioning), and a dst-only column-pruned aggregate for the
+    # in-degree/hot table — which must exist before the adjacency cache
+    # so the (static) aggregation salt can be baked into it.  Every later
+    # derivation — edge count/fingerprint, vertex universe, dangling
+    # flags — reads the cached adjacency or the cached |V|-sized degree
+    # tables, never the input again.
     # Partition count: ALIGN with spark.sql.shuffle.partitions (every
     # shuffle below — the salted sums, and in shuffle mode the ranks
     # exchange — produces that count, and the superstep state snapshot
@@ -168,7 +166,43 @@ def pagerank(
     edges_p = edges.repartition(n_parts, "src_id")
     deg_agg = F.sum("_w") if weighted else F.count("*")
     out_deg = edges_p.groupBy("src_id").agg(deg_agg.alias("out_deg"))
-    adjacency = edges_p.join(out_deg.hint("shuffle_hash"), "src_id").cache()
+
+    # in-degree from a SECOND, dst-only (column-pruned) pass over the
+    # input: it feeds the hot-vertex flags baked into the adjacency cache
+    # below, so it must exist BEFORE the adjacency materializes.  |V|-sized
+    # and cached — the vertex universe reads it again.
+    in_deg = (
+        edges.select("dst_id")
+        .groupBy("dst_id")
+        .agg(F.count(F.lit(1)).alias("_in_deg"))
+        .cache()
+    )
+
+    # The salt for the two-stage rank-mass aggregation is STATIC across
+    # supersteps (a pure function of (src, dst, hot-flag)), so it is baked
+    # into the cached adjacency once.  The previous plan re-joined the
+    # broadcast hot-flag table inside EVERY superstep — one broadcast
+    # build job plus an |E|-row probe per iteration for values that never
+    # change (guide §1.2 step 1: don't recompute; §2.4).  Grouping pairs
+    # (dst, salt) are identical, so partial/final sums are bit-identical.
+    salt = deterministic_salt(F.col("src_id"), salt_buckets)
+    adj_cols = ["src_id", "dst_id"] + (["_w"] if weighted else []) + ["out_deg"]
+    adj_base = edges_p.join(out_deg.hint("shuffle_hash"), "src_id")
+    if hot_degree_threshold is not None:
+        hot_flags = F.broadcast(
+            in_deg.filter(F.col("_in_deg") > hot_degree_threshold)
+            .select("dst_id", F.lit(True).alias("_hot"))
+        )
+        adjacency = (
+            adj_base.join(hot_flags, "dst_id", "left")
+            .select(
+                *adj_cols,
+                F.when(F.col("_hot"), salt).otherwise(F.lit(0)).alias("_salt"),
+            )
+            .cache()
+        )
+    else:
+        adjacency = adj_base.select(*adj_cols, salt.alias("_salt")).cache()
 
     # One setup aggregate — edge count, an order-independent edge-set
     # fingerprint (resume must refuse a different same-size graph — same
@@ -209,16 +243,6 @@ def pagerank(
                 f"weighted PageRank: min({weight}) = {eagg['wmin']} — "
                 "edge weights must be strictly positive"
             )
-
-    # in-degree table from the cached adjacency: feeds BOTH the vertex
-    # universe (below) and the hot-vertex heavy-hitter list — one scan,
-    # no extra pass over the input.
-    in_deg = adjacency.groupBy("dst_id").agg(F.count(F.lit(1)).alias("_in_deg"))
-    hot = (
-        in_deg.filter(F.col("_in_deg") > hot_degree_threshold).select("dst_id").cache()
-        if hot_degree_threshold is not None
-        else None
-    )
 
     # vertex universe + "has no out-edges" flag (rank sinks) from the two
     # degree tables: src-side keys have out-edges, dst-only keys are
@@ -268,10 +292,8 @@ def pagerank(
     vertices_flagged = vertices_flagged.cache()
     n = vertices_flagged.count()
     if n == 0:
-        for cached in (adjacency, vertices_flagged):
+        for cached in (adjacency, vertices_flagged, in_deg):
             cached.unpersist()
-        if hot is not None:
-            hot.unpersist()
         empty = spark.createDataFrame([], "vertex string, rank double")
         return PageRankResult(empty, SuperstepReport(0, True), 0, 0)
 
@@ -314,17 +336,16 @@ def pagerank(
             "inner",
         ).select(
             F.col("dst_id"),
-            F.col("src_id"),
+            F.col("_salt"),
             contrib_expr.alias("contrib"),
         )
         sums = salted_sum(
             contribs,
             key="dst_id",
             value="contrib",
-            salt_source="src_id",
             alias="mass",
             buckets=salt_buckets,
-            hot_keys=hot,
+            salt_col="_salt",
         )
         # the state already carries (vertex, dangling, old rank), so the
         # new rank AND the convergence delta come from ONE |V|-sized left
@@ -402,10 +423,8 @@ def pagerank(
     finally:
         # unpersist even when resume is refused — a retry loop must not
         # accumulate pinned adjacency/vertex caches
-        for cached in (adjacency, vertices_flagged):
+        for cached in (adjacency, vertices_flagged, in_deg):
             cached.unpersist()
-        if hot is not None:
-            hot.unpersist()
     return PageRankResult(ranks, report, n, m)
 
 
