@@ -300,7 +300,16 @@ def pagerank(
     base = float((1.0 - damping) / n)
     dangling_mass_col = F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))
     if broadcast_ranks is None:
-        broadcast_ranks = n <= 1_000_000
+        # default to the shuffled-hash path at EVERY size: since the
+        # superstep state keeps its hash partitioning across checkpoints
+        # (superstep._reset_stats), the per-superstep cost of shuffle mode
+        # is one |V|-row exchange — cheaper than rebuilding and shipping a
+        # |V|-row broadcast every iteration (measured sf0.1: superstep med
+        # 0.23-0.26 s shuffled vs 0.28-0.35 s broadcast), and the only
+        # mode that works past broadcast range anyway.  The historical
+        # "broadcast 3-4x faster" finding predates partition preservation,
+        # when shuffle mode re-exchanged BOTH |V| frames per superstep.
+        broadcast_ranks = False
 
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
         # broadcast while |V| fits; beyond that, pin the shuffled-hash
