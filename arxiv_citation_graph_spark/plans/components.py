@@ -83,7 +83,14 @@ def connected_components(
     vertices = vertices_of(edges).cache()
     n_vertices = vertices.count()
     if broadcast_labels is None:
-        broadcast_labels = n_vertices <= 1_000_000
+        # default to the shuffled-hash path at every size: the superstep
+        # state keeps its hash partitioning across checkpoints, so
+        # shuffle mode pays one |V|-row exchange per superstep — cheaper
+        # than a fresh |V|-row broadcast build every iteration (measured
+        # sf0.1: superstep med 0.32 s shuffled vs 0.41 s broadcast), and
+        # the only shape past broadcast range (same rationale as
+        # pagerank.broadcast_ranks).
+        broadcast_labels = False
 
     def _mb(df: DataFrame) -> DataFrame:
         # broadcast the |V|-sized label vector while it fits (same
