@@ -52,7 +52,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -185,7 +185,7 @@ def neighborhood_function(
     if n == 0:
         empty = spark.createDataFrame([], "vertex string, b_sum long, est double")
         return AnfResult(empty, [], None, SuperstepReport(0, True), 0, 0)
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = graph_partitions(spark)
     # the per-superstep join reads neighbor sketches along dst, so the
     # cached adjacency is partitioned on dst_id: only the |V|-sized
     # sketch frame moves per superstep (shuffle mode)
@@ -362,7 +362,7 @@ def approx_harmonic(
             [], "vertex string, ball_est double, harmonic double"
         )
         return HarmonicResult(empty, SuperstepReport(0, True), 0, 0)
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = graph_partitions(spark)
     adjacency = edges.repartition(parallelism, "dst_id").cache()
     eagg = adjacency.agg(
         F.count(F.lit(1)).alias("m"),

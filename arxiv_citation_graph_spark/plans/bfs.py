@@ -34,7 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, symmetrize, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -90,7 +90,7 @@ def bfs_distances(
         vertices.unpersist()
         raise ValueError(f"BFS source {source!r} is not a vertex of the graph")
     adj = (edges.select("src_id", "dst_id") if directed else symmetrize(edges)).repartition(
-        spark.sparkContext.defaultParallelism, "src_id"
+        graph_partitions(spark), "src_id"
     ).cache()
     m = adj.count()
     # order-independent edge-set fingerprint (XOR of per-edge hashes —
@@ -204,7 +204,7 @@ def landmark_distances(
         vertices.unpersist()
         raise ValueError("empty landmark set")
     adj = (edges.select("src_id", "dst_id") if directed else symmetrize(edges)).repartition(
-        spark.sparkContext.defaultParallelism, "src_id"
+        graph_partitions(spark), "src_id"
     ).cache()
     eagg = adj.agg(
         F.count(F.lit(1)).alias("m"),

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arxiv_citation_graph_spark.plans.components import connected_components
-from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, vertices_of
 from arxiv_citation_graph_spark.plans.scc import strongly_connected_components
 
 REGIONS = ("CORE", "IN", "OUT", "TENDRIL", "DISCONNECTED")
@@ -95,7 +95,7 @@ def bowtie_decomposition(
         empty = spark.createDataFrame([], "vertex string, region string")
         return BowtieResult(empty, None, 0, 0, 0)
     m = e.count()
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = graph_partitions(spark)
     fwd_arcs = e.select(
         F.col("src_id").alias("a"), F.col("dst_id").alias("b")
     ).repartition(parallelism, "a").localCheckpoint(eager=True)

@@ -50,6 +50,7 @@ from arxiv_citation_graph_spark.plans.superstep import (
     run_supersteps,
 )
 from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+from arxiv_citation_graph_spark.plans.layout import graph_partitions
 
 
 @dataclass
@@ -92,7 +93,7 @@ def bridge_forest(
     adj = (
         und.select(F.col("u").alias("x"), F.col("v").alias("y"))
         .unionByName(und.select(F.col("v").alias("x"), F.col("u").alias("y")))
-        .repartition(spark.sparkContext.defaultParallelism, "x")
+        .repartition(graph_partitions(spark), "x")
         .cache()
     )
     cc = connected_components(

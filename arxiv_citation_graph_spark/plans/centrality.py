@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arxiv_citation_graph_spark.plans.layout import (
+    graph_partitions,
     hot_vertices,
     salted_sum,
     vertices_of,
@@ -127,7 +128,7 @@ def katz_centrality(
     if n == 0:
         empty = spark.createDataFrame([], "vertex string, score double")
         return CentralityResult(empty, SuperstepReport(0, True), 0, 0)
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = graph_partitions(spark)
     adjacency = edges.repartition(parallelism, "src_id").cache()
     # setup aggregate: count + order-independent fingerprint (resume
     # guard) + the degree maxima the alpha validation needs — one action
@@ -256,7 +257,7 @@ def eigenvector_centrality(
     if n == 0:
         empty = spark.createDataFrame([], "vertex string, score double")
         return CentralityResult(empty, SuperstepReport(0, True), 0, 0)
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = graph_partitions(spark)
     adjacency = edges.repartition(parallelism, "src_id").cache()
     eagg = adjacency.agg(
         F.count(F.lit(1)).alias("m"),

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import symmetrize_partitioned, vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, symmetrize_partitioned, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -69,7 +69,7 @@ def connected_components(
     # one |E| exchange for the symmetric adjacency (symmetrize +
     # repartition used to pay two — layout.symmetrize_partitioned)
     sym = symmetrize_partitioned(
-        edges, spark.sparkContext.defaultParallelism
+        edges, graph_partitions(spark)
     ).cache()
     # count + order-independent edge-set fingerprint in ONE materializing
     # action: resume must refuse a different same-size graph (the guard
@@ -99,33 +99,38 @@ def connected_components(
         # adjacency (guide §3.1)
         return F.broadcast(df) if broadcast_labels else df.hint("shuffle_hash")
 
+    # static Column expressions hoisted out of the loop (the pagerank
+    # treatment: only the input frame changes per superstep; rebuilding
+    # the expression set costs py4j round trips every iteration)
+    nbr_join_cond = sym.src_id == F.col("vertex")
+    dst_as_vertex = F.col("dst_id").alias("vertex")
+    nbr_min_agg = F.min("component").alias("nbr_component")
+    old_component_col = F.col("component").alias("old_component")
+    new_component_col = F.least(
+        F.col("old_component"), F.coalesce(F.col("nbr_component"), F.col("old_component"))
+    ).alias("component")
+    delta_col = (
+        (F.col("component") != F.col("old_component")).cast("double").alias("delta")
+    )
+    delta_agg = F.sum("delta")
+
     def step(labels: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
         nbr_min = (
-            sym.join(_mb(labels.select(F.col("vertex"), F.col("component"))), sym.src_id == F.col("vertex"))
-            .groupBy(F.col("dst_id").alias("vertex"))
-            .agg(F.min("component").alias("nbr_component"))
+            sym.join(_mb(labels.select(F.col("vertex"), F.col("component"))), nbr_join_cond)
+            .groupBy(dst_as_vertex)
+            .agg(nbr_min_agg)
         )
         new = (
-            labels.select("vertex", F.col("component").alias("old_component"))
+            labels.select("vertex", old_component_col)
             .join(
                 nbr_min if broadcast_labels else nbr_min.hint("shuffle_hash"),
                 "vertex",
                 "left",
             )
-            .select(
-                "vertex",
-                F.least(
-                    F.col("old_component"), F.coalesce(F.col("nbr_component"), F.col("old_component"))
-                ).alias("component"),
-                "old_component",
-            )
-            .select(
-                "vertex",
-                "component",
-                (F.col("component") != F.col("old_component")).cast("double").alias("delta"),
-            )
+            .select("vertex", new_component_col, "old_component")
+            .select("vertex", "component", delta_col)
         )
-        return new, {"delta": F.sum("delta")}
+        return new, {"delta": delta_agg}
 
     if warm_start_append_only is not None:
         seed = (

@@ -48,6 +48,7 @@ from arxiv_citation_graph_spark.plans.superstep import (
     SuperstepReport,
     run_supersteps,
 )
+from arxiv_citation_graph_spark.plans.layout import graph_partitions
 
 
 @dataclass
@@ -85,7 +86,7 @@ def condensation_layers(
     labels = scc.select("vertex", "scc").cache()
     n_scc_row = labels.agg(F.count_distinct("scc")).first()
     n_scc = int(n_scc_row[0]) if n_scc_row[0] is not None else 0
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = graph_partitions(spark)
     quotient = (
         edges.join(
             labels.select(F.col("vertex").alias("src_id"), F.col("scc").alias("u")),

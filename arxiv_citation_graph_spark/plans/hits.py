@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arxiv_citation_graph_spark.plans.layout import (
+    graph_partitions,
     hot_vertices,
     salted_sum,
     vertices_of,
@@ -97,7 +98,7 @@ def hits(
     # reshuffles the edge list, only the |V|-sized score frame moves.
     # 2x |E| memory; the alternative (one copy) re-exchanges |E| rows on
     # every odd superstep, which is the wrong trade at 10^12 scale.
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = graph_partitions(spark)
     adj_by_src = edges.repartition(parallelism, "src_id").cache()
     adj_by_dst = edges.repartition(parallelism, "dst_id").cache()
     # materialize + order-independent edge-set fingerprint in one action:

@@ -33,7 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import symmetrize
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, symmetrize
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -66,7 +66,7 @@ def kcore(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     sym = symmetrize(edges).repartition(
-        spark.sparkContext.defaultParallelism, "src_id"
+        graph_partitions(spark), "src_id"
     ).cache()
     m = sym.count()
     if m == 0:

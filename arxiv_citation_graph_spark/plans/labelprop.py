@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, symmetrize, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -63,7 +63,7 @@ def label_propagation(
             "seeds a new run on a changed graph"
         )
     sym = symmetrize(edges).repartition(
-        spark.sparkContext.defaultParallelism, "src_id"
+        graph_partitions(spark), "src_id"
     ).cache()
     # count + edge-set fingerprint in one action (resume refuses a
     # different same-size graph — VERDICT r3 #5)
@@ -176,7 +176,7 @@ def seeded_label_propagation(
     every downstream label.
     """
     sym = symmetrize(edges).repartition(
-        spark.sparkContext.defaultParallelism, "src_id"
+        graph_partitions(spark), "src_id"
     ).cache()
     sym.count()
     vertices = vertices_of(edges).cache()

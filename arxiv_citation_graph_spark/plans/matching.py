@@ -34,6 +34,7 @@ from arxiv_citation_graph_spark.plans.superstep import (
     run_supersteps,
 )
 from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+from arxiv_citation_graph_spark.plans.layout import graph_partitions
 
 
 @dataclass
@@ -72,7 +73,7 @@ def maximal_matching(
     self-loops drop — a vertex cannot match itself)."""
     und = (
         _simple_undirected(edges)
-        .repartition(spark.sparkContext.defaultParallelism, "u")
+        .repartition(graph_partitions(spark), "u")
         .cache()
     )
     verts = (

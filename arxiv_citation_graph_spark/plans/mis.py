@@ -36,6 +36,7 @@ from arxiv_citation_graph_spark.plans.superstep import (
     run_supersteps,
 )
 from arxiv_citation_graph_spark.plans.triangles import _simple_undirected
+from arxiv_citation_graph_spark.plans.layout import graph_partitions
 
 ACTIVE, IN_MIS, EXCLUDED = 0, 1, 2
 
@@ -76,7 +77,7 @@ def maximal_independent_set(
     adj = (
         und.select(F.col("u").alias("x"), F.col("v").alias("y"))
         .unionByName(und.select(F.col("v").alias("x"), F.col("u").alias("y")))
-        .repartition(spark.sparkContext.defaultParallelism, "x")
+        .repartition(graph_partitions(spark), "x")
         .cache()
     )
     verts = (

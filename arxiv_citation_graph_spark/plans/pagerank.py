@@ -40,7 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import deterministic_salt, salted_sum
+from arxiv_citation_graph_spark.plans.layout import deterministic_salt, graph_partitions, salted_sum
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -156,13 +156,11 @@ def pagerank(
     # keeps it now that _reset_stats preserves partitioning).  A mismatch
     # makes EnsureRequirements re-exchange the |E|-sized cached adjacency
     # to the state's count every superstep (measured: 40M-edge zipf
-    # superstep 5.3 s -> 6.4 s on a 32-vs-64 mismatch).  Floor at
-    # defaultParallelism so a small-SF run with few shuffle partitions
-    # keeps full scan parallelism; at scale shuffle.partitions dominates.
-    n_parts = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
+    # superstep 5.3 s -> 6.4 s on a 32-vs-64 mismatch), and a count
+    # above it multiplies per-superstep task scheduling (measured sf0.1:
+    # superstep 0.36 s at a defaultParallelism=32 floor vs 0.25 s
+    # aligned at the bench's 8) — graph_partitions IS the aligned value.
+    n_parts = graph_partitions(spark)
     edges_p = edges.repartition(n_parts, "src_id")
     deg_agg = F.sum("_w") if weighted else F.count("*")
     out_deg = edges_p.groupBy("src_id").agg(deg_agg.alias("out_deg"))
@@ -326,6 +324,27 @@ def pagerank(
         row = frame.agg(dangling_mass_col.alias("dm")).first()
         return float(row["dm"]) if row["dm"] is not None else 0.0
 
+    # Static Column expressions hoisted OUT of the superstep loop: a
+    # Column wraps an immutable unresolved expression and is freely
+    # reusable across plans, but building one costs py4j round trips —
+    # and _update used to rebuild the entire expression set (~100+
+    # round trips) every superstep.  Only the dangling-mass literal
+    # changes per iteration, so everything else is constructed once
+    # (guide §1.2 step 2: per-task work includes the driver's per-
+    # iteration work in a superstep loop).
+    contrib_expr = (
+        F.col("rank") / F.col("out_deg") * F.col("_w")
+        if weighted
+        else F.col("rank") / F.col("out_deg")
+    )
+    contrib_cols = [F.col("dst_id"), F.col("_salt"), contrib_expr.alias("contrib")]
+    contrib_join_cond = adjacency.src_id == F.col("vertex")
+    old_rank_col = F.col("rank").alias("old_rank")
+    join_back_cond = F.col("vertex") == F.col("dst_id")
+    damped_mass = F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+    teleport_base = F.lit(1.0 - damping) * F.col("teleport") if personalized else None
+    delta_agg = F.sum("delta")
+
     def _update(ranks: DataFrame, dm_sum: float) -> DataFrame:
         # dangling mass arrives as a SCALAR: it was summed by the PREVIOUS
         # superstep's materializing aggregate (or by _dm_seed at i=0) and
@@ -334,20 +353,11 @@ def pagerank(
         # BroadcastExchange + BroadcastNestedLoopJoin every superstep.
         # Uniform mode divides by n; personalized mode multiplies by the
         # per-vertex teleport weight instead (identical arithmetic).
-        contrib_expr = (
-            F.col("rank") / F.col("out_deg") * F.col("_w")
-            if weighted
-            else F.col("rank") / F.col("out_deg")
-        )
         contribs = adjacency.join(
             _maybe_broadcast(ranks.select("vertex", "rank")),
-            adjacency.src_id == F.col("vertex"),
+            contrib_join_cond,
             "inner",
-        ).select(
-            F.col("dst_id"),
-            F.col("_salt"),
-            contrib_expr.alias("contrib"),
-        )
+        ).select(*contrib_cols)
         sums = salted_sum(
             contribs,
             key="dst_id",
@@ -364,21 +374,21 @@ def pagerank(
         # so small graphs keep the plain join).
         if personalized:
             new_rank = (
-                F.lit(1.0 - damping) * F.col("teleport")
-                + F.lit(damping) * F.lit(dm_sum) * F.col("teleport")
-                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                teleport_base
+                + F.lit(damping * dm_sum) * F.col("teleport")
+                + damped_mass
             )
         else:
-            new_rank = (
-                F.lit(base)
-                + F.lit(damping) * F.lit(dm_sum / float(n))
-                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-            )
+            # fold the scalar part in PYTHON float arithmetic with the
+            # same association the former column expression used —
+            # base + (damping * (dm_sum / n)) — so ranks stay
+            # bit-identical to the pre-hoist plan
+            new_rank = F.lit(base + damping * (dm_sum / float(n))) + damped_mass
         return (
-            ranks.select(*state_cols, F.col("rank").alias("old_rank"))
+            ranks.select(*state_cols, old_rank_col)
             .join(
                 sums if broadcast_ranks else sums.hint("shuffle_hash"),
-                F.col("vertex") == sums.dst_id,
+                join_back_cond,
                 "left",
             )
             .select(
@@ -394,7 +404,7 @@ def pagerank(
             dm = _dm_seed(ranks)
         return (
             _update(ranks, float(dm)),
-            {"delta": F.sum("delta"), "dm": dangling_mass_col},
+            {"delta": delta_agg, "dm": dangling_mass_col},
         )
 
     if personalized:

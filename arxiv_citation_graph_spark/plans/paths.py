@@ -34,7 +34,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, symmetrize, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -81,7 +81,7 @@ def shortest_path_tree(
         edges.select("src_id", "dst_id").filter(F.col("src_id") != F.col("dst_id")).distinct()
         if directed
         else symmetrize(edges)
-    ).repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    ).repartition(graph_partitions(spark), "src_id").cache()
     eagg = adj.agg(
         F.count(F.lit(1)).alias("m"),
         F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),

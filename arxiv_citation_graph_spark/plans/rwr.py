@@ -63,7 +63,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -148,7 +148,7 @@ def rwr_scores(
     out_deg = simple.groupBy("src_id").agg(out_agg.alias("out_deg"))
     adj = (
         simple.join(out_deg, "src_id")
-        .repartition(spark.sparkContext.defaultParallelism, "src_id")
+        .repartition(graph_partitions(spark), "src_id")
         .cache()
     )
     m = adj.count()

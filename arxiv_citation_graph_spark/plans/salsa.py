@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arxiv_citation_graph_spark.plans.layout import (
+    graph_partitions,
     hot_vertices,
     salted_sum,
     vertices_of,
@@ -88,7 +89,7 @@ def salsa(
         empty = spark.createDataFrame([], "vertex string, hub double, auth double")
         return SalsaResult(empty, SuperstepReport(0, True), 0, 0)
 
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = graph_partitions(spark)
     outdeg = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("_d"))
     indeg = edges.groupBy("dst_id").agg(F.count(F.lit(1)).alias("_d"))
     # weights are static: bake them into the two cached adjacency

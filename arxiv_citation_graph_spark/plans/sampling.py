@@ -42,7 +42,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import symmetrize, vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, symmetrize, vertices_of
 
 
 @dataclass
@@ -135,7 +135,7 @@ def khop_neighbor_sample(
                 )
             )
         adj = wedges.groupBy("src_id", "dst_id").agg(F.sum("_w").alias("_w"))
-    adj = adj.repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    adj = adj.repartition(graph_partitions(spark), "src_id").cache()
     if weight is None:
         adj.count()  # materialize once; every hop joins this
     else:

@@ -46,7 +46,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     SuperstepReport,
     _reset_stats,
@@ -93,7 +93,7 @@ def strongly_connected_components(
         fixpoints go through run_supersteps, which does its own)."""
         return _reset_stats(df.localCheckpoint(eager=True))
 
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = graph_partitions(spark)
     total_steps = 0
     label_frames: list[DataFrame] = []
     handles: list[object] = []

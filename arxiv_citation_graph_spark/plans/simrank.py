@@ -38,6 +38,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from arxiv_citation_graph_spark.plans.layout import graph_partitions
+
 
 @dataclass
 class SimrankResult:
@@ -68,7 +70,7 @@ def simrank(
         edges.select("src_id", "dst_id")
         .filter(F.col("src_id") != F.col("dst_id"))
         .distinct()
-        .repartition(spark.sparkContext.defaultParallelism, "src_id")
+        .repartition(graph_partitions(spark), "src_id")
         .cache()
     )
     try:

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arxiv_citation_graph_spark.plans.layout import (
+    graph_partitions,
     hot_vertices,
     salted_sum,
     symmetrize,
@@ -101,7 +102,7 @@ def fiedler_vector(
             "the same run's checkpoints; warm start seeds a new run"
         )
     adjacency = symmetrize(edges)
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = graph_partitions(spark)
     adjacency = adjacency.repartition(parallelism, "src_id").cache()
     eagg = adjacency.agg(
         F.count(F.lit(1)).alias("m"),

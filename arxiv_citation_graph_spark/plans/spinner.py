@@ -62,7 +62,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import symmetrize_partitioned, vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, symmetrize_partitioned, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -122,7 +122,7 @@ def spinner_partition(
     # one |E| exchange for the symmetric adjacency (symmetrize +
     # repartition used to pay two — layout.symmetrize_partitioned)
     sym = symmetrize_partitioned(
-        edges, spark.sparkContext.defaultParallelism
+        edges, graph_partitions(spark)
     ).cache()
     sym_agg = sym.agg(
         F.count(F.lit(1)).alias("m"),
@@ -168,6 +168,39 @@ def spinner_partition(
         ).first()
         return [int(row[f"_load_{j}"] or 0) for j in range(k)]
 
+    # static Column expressions hoisted out of the loop (the pagerank
+    # treatment): only the per-round room literals and the parity gate's
+    # round index change per superstep; everything else is built once.
+    nbr_join_cond = sym.src_id == F.col("vertex")
+    dst_as_vertex = F.col("dst_id").alias("vertex")
+    cnt_agg = F.count(F.lit(1)).alias("cnt")
+    best_agg = F.min_by(
+        F.struct(
+            F.col("partition").alias("best_partition"),
+            F.col("score").alias("best_score"),
+        ),
+        F.struct((-F.col("score")).alias("neg"), F.col("partition")),
+    ).alias("b")
+    cur_score_agg = F.max(
+        F.when(F.col("partition") == F.col("_cur_p"), F.col("score"))
+    ).alias("cur_score")
+    improves = F.coalesce(F.col("best_score"), F.lit(-1)) > F.coalesce(
+        F.col("cur_score"), F.lit(0)
+    )
+    parity_hash = _md5_int(F.col("vertex"))
+    target_col = F.col("best_partition").alias("target")
+    score_col = F.col("best_score").alias("score")
+    rank_window = Window.partitionBy("target").orderBy(
+        F.col("score").desc(), F.col("vertex")
+    )
+    new_partition_col = F.coalesce(F.col("target"), F.col("partition")).alias(
+        "new_partition"
+    )
+    moved_delta_col = (
+        (F.col("new_partition") != F.col("partition")).cast("double").alias("delta")
+    )
+    delta_agg = F.sum("delta")
+
     def step(labels: DataFrame, i: int, prev) -> tuple[DataFrame, dict]:
         cur = labels.select("vertex", "partition")
         if use_scalar_loads:
@@ -204,10 +237,10 @@ def spinner_partition(
             )
         # (vertex, candidate-label) neighbor counts: one |E| join + 2-stage agg
         nbr_counts = (
-            sym.join(_mb(cur), sym.src_id == cur.vertex)
-            .select(F.col("dst_id").alias("vertex"), "partition")
+            sym.join(_mb(cur), nbr_join_cond)
+            .select(dst_as_vertex, "partition")
             .groupBy("vertex", "partition")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(cnt_agg)
         )
         if use_scalar_loads:
             scored = nbr_counts.select(
@@ -231,18 +264,7 @@ def spinner_partition(
                 _mb(cur.withColumnRenamed("partition", "_cur_p")), "vertex"
             )
             .groupBy("vertex")
-            .agg(
-                F.min_by(
-                    F.struct(
-                        F.col("partition").alias("best_partition"),
-                        F.col("score").alias("best_score"),
-                    ),
-                    F.struct((-F.col("score")).alias("neg"), F.col("partition")),
-                ).alias("b"),
-                F.max(
-                    F.when(F.col("partition") == F.col("_cur_p"), F.col("score"))
-                ).alias("cur_score"),
-            )
+            .agg(best_agg, cur_score_agg)
             .select("vertex", "b.best_partition", "b.best_score", "cur_score")
         )
         # willing movers: gated parity, strict improvement over the
@@ -251,27 +273,12 @@ def spinner_partition(
         willing = (
             cur.join(_mb(per_vertex), "vertex", "left")
             .filter(
-                (F.pmod(_md5_int(F.col("vertex")) + F.lit(i), F.lit(2)) == 0)
-                & (
-                    F.coalesce(F.col("best_score"), F.lit(-1))
-                    > F.coalesce(F.col("cur_score"), F.lit(0))
-                )
+                (F.pmod(parity_hash + F.lit(i), F.lit(2)) == 0) & improves
             )
-            .select(
-                "vertex",
-                F.col("best_partition").alias("target"),
-                F.col("best_score").alias("score"),
-            )
+            .select("vertex", target_col, score_col)
         )
         # admission: each target admits its top `room` movers
-        ranked = willing.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("target").orderBy(
-                    F.col("score").desc(), F.col("vertex")
-                )
-            ),
-        )
+        ranked = willing.withColumn("rn", F.row_number().over(rank_window))
         if use_scalar_loads:
             admitted = ranked.filter(
                 F.col("rn") <= room_of(F.col("target"))
@@ -284,22 +291,14 @@ def spinner_partition(
             )
         new = (
             cur.join(_mb(admitted), "vertex", "left")
-            .select(
-                "vertex",
-                F.coalesce(F.col("target"), F.col("partition")).alias(
-                    "new_partition"
-                ),
-                "partition",
-            )
+            .select("vertex", new_partition_col, "partition")
             .select(
                 F.col("vertex"),
                 F.col("new_partition").alias("partition"),
-                (F.col("new_partition") != F.col("partition"))
-                .cast("double")
-                .alias("delta"),
+                moved_delta_col,
             )
         )
-        return new, {"delta": F.sum("delta"), **load_aggs}
+        return new, {"delta": delta_agg, **load_aggs}
 
     if warm_start is not None:
         seed = (

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arxiv_citation_graph_spark.plans.bfs import UNREACHED
-from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -102,7 +102,7 @@ def sssp_distances(
     adj = (
         directed_edges.groupBy("src_id", "dst_id")
         .agg(F.min("_w").alias("_w"))
-        .repartition(spark.sparkContext.defaultParallelism, "src_id")
+        .repartition(graph_partitions(spark), "src_id")
         .cache()
     )
     m = adj.count()

@@ -227,6 +227,31 @@ PLAN_PROBE = None
 
 _reset_stats_failures = 0
 
+#: per-JVM py4j handle cache for _reset_stats: resolving a dotted JVM
+#: path (jvm.org.apache.spark.sql.execution.LogicalRDD$ ...) costs one
+#: py4j round trip PER PATH COMPONENT, ~15-20 round trips per superstep
+#: re-resolved for objects that never change.  Keyed on the JVM view's
+#: id so a restarted SparkContext re-resolves.
+_JVM_HANDLE_CACHE: dict[int, tuple] = {}
+
+
+def _jvm_handles(session) -> tuple:
+    jvm = session.sparkContext._jvm  # type: ignore[attr-defined]
+    key = id(jvm)
+    handles = _JVM_HANDLE_CACHE.get(key)
+    if handles is None:
+        lrdd = getattr(
+            getattr(jvm.org.apache.spark.sql.execution, "LogicalRDD$"), "MODULE$"
+        )
+        none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        dataset = getattr(
+            getattr(jvm.org.apache.spark.sql.classic, "Dataset$"), "MODULE$"
+        )
+        _JVM_HANDLE_CACHE.clear()  # one live SparkContext per process
+        handles = (lrdd, none, dataset)
+        _JVM_HANDLE_CACHE[key] = handles
+    return handles
+
 
 def _reset_stats(checkpointed: DataFrame) -> tuple[DataFrame, object | None]:
     """Drop carried-over Catalyst statistics from a checkpointed state,
@@ -273,16 +298,13 @@ def _reset_stats(checkpointed: DataFrame) -> tuple[DataFrame, object | None]:
     try:
         jdf = checkpointed._jdf  # type: ignore[attr-defined]
         jspark = checkpointed.sparkSession._jsparkSession  # type: ignore[attr-defined]
-        jvm = checkpointed.sparkSession.sparkContext._jvm  # type: ignore[attr-defined]
         logical = jdf.queryExecution().analyzed()
         if logical.getClass().getName() == "org.apache.spark.sql.execution.LogicalRDD":
-            lrdd = getattr(
-                getattr(jvm.org.apache.spark.sql.execution, "LogicalRDD$"), "MODULE$"
-            )
-            none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+            lrdd, none, dataset = _jvm_handles(checkpointed.sparkSession)
+            jrdd = logical.rdd()
             fresh_plan = lrdd.apply(
                 logical.output(),
-                logical.rdd(),
+                jrdd,
                 logical.outputPartitioning(),
                 logical.outputOrdering(),
                 logical.isStreaming(),
@@ -291,11 +313,8 @@ def _reset_stats(checkpointed: DataFrame) -> tuple[DataFrame, object | None]:
                 none,  # originStats: the whole point — no stat carry-over
                 none,  # originConstraints
             )
-            dataset = getattr(
-                getattr(jvm.org.apache.spark.sql.classic, "Dataset$"), "MODULE$"
-            )
             fresh = dataset.ofRows(jspark, fresh_plan)
-            return DataFrame(fresh, checkpointed.sparkSession), logical.rdd()
+            return DataFrame(fresh, checkpointed.sparkSession), jrdd
     except Exception as exc:
         _LOG.info(
             "superstep._reset_stats: LogicalRDD rebuild unavailable (%s: %s); "
@@ -486,9 +505,15 @@ def _run_loop(
     current_rdd_handle: object | None = None
     stats_tripped = False
     prev_aggs = prev_init
+    # env-gated phase timing (guide §1: measure first): per-superstep
+    # breakdown of driver-side build vs checkpoint plumbing vs the action,
+    # printed at loop end.  Diagnostic only — zero overhead when unset.
+    timing = os.environ.get("SPARK_GRAFT_SUPERSTEP_TIMING", "0") == "1"
+    phase_ms: dict[str, list[float]] = {"build": [], "ckpt": [], "action": []}
     for i in range(start_iteration, max_iterations):
         t0 = time.perf_counter()
         new_state, agg_exprs = step(current, i, prev_aggs)
+        t1 = time.perf_counter()
         if PLAN_PROBE is not None:
             PLAN_PROBE(i, new_state)
         if store is not None:
@@ -515,8 +540,14 @@ def _run_loop(
                         len(str(est)),
                         i,
                     )
+        t2 = time.perf_counter()
         named = [col.alias(name) for name, col in agg_exprs.items()]
         agg = new_state.agg(*named, F.count(F.lit(1)).alias("_rows")).first()
+        if timing:
+            t3 = time.perf_counter()
+            phase_ms["build"].append((t1 - t0) * 1000.0)
+            phase_ms["ckpt"].append((t2 - t1) * 1000.0)
+            phase_ms["action"].append((t3 - t2) * 1000.0)
         prev_aggs = agg
         delta = float(agg["delta"]) if agg["delta"] is not None else 0.0
         rows = int(agg["_rows"])
@@ -578,4 +609,21 @@ def _run_loop(
         if tolerance is not None and delta <= tolerance:
             report.converged = True
             break
+    if timing and phase_ms["build"]:
+        import statistics as _st
+
+        print(
+            "superstep timing (ms, median over %d iters): build=%.1f ckpt=%.1f "
+            "action=%.1f | totals: build=%.0f ckpt=%.0f action=%.0f"
+            % (
+                len(phase_ms["build"]),
+                _st.median(phase_ms["build"]),
+                _st.median(phase_ms["ckpt"]),
+                _st.median(phase_ms["action"]),
+                sum(phase_ms["build"]),
+                sum(phase_ms["ckpt"]),
+                sum(phase_ms["action"]),
+            ),
+            flush=True,
+        )
     return current, report

@@ -33,6 +33,7 @@ from arxiv_citation_graph_spark.plans.superstep import (
     SuperstepReport,
     run_supersteps,
 )
+from arxiv_citation_graph_spark.plans.layout import graph_partitions
 
 
 @dataclass
@@ -73,7 +74,7 @@ def earliest_arrival(
     adj = tedges.select(
         "src_id", "dst_id", F.col(time_col).cast("long").alias("t")
     ).filter(F.col("src_id") != F.col("dst_id")).distinct()
-    adj = adj.repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    adj = adj.repartition(graph_partitions(spark), "src_id").cache()
     eagg = adj.agg(
         F.count(F.lit(1)).alias("m"),
         F.expr("bit_xor(xxhash64(src_id, dst_id, t))").alias("edge_fp"),
@@ -217,7 +218,7 @@ def fastest_journey(
     adj = tedges.select(
         "src_id", "dst_id", F.col(time_col).cast("long").alias("t")
     ).filter(F.col("src_id") != F.col("dst_id")).distinct()
-    adj = adj.repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    adj = adj.repartition(graph_partitions(spark), "src_id").cache()
     eagg = adj.agg(
         F.count(F.lit(1)).alias("m"),
         F.expr("bit_xor(xxhash64(src_id, dst_id, t))").alias("edge_fp"),

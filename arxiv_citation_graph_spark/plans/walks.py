@@ -40,6 +40,7 @@ from arxiv_citation_graph_spark.plans.superstep import (
     SuperstepReport,
     run_supersteps,
 )
+from arxiv_citation_graph_spark.plans.layout import graph_partitions
 
 
 @dataclass
@@ -84,7 +85,7 @@ def _prep_adjacency(
             .groupBy("src_id", "dst_id")
             .agg(F.sum("_w").alias("_w"))
         )
-    adj = adj.repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    adj = adj.repartition(graph_partitions(spark), "src_id").cache()
     aggs = [
         F.count(F.lit(1)).alias("m"),
         F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("edge_fp"),

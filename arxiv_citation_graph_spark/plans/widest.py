@@ -39,7 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import vertices_of
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, vertices_of
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -111,7 +111,7 @@ def widest_path_widths(
     adj = (
         directed_edges.groupBy("src_id", "dst_id")
         .agg(F.max("_w").alias("_w"))
-        .repartition(spark.sparkContext.defaultParallelism, "src_id")
+        .repartition(graph_partitions(spark), "src_id")
         .cache()
     )
     m = adj.count()

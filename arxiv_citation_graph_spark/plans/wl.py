@@ -35,7 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import symmetrize
+from arxiv_citation_graph_spark.plans.layout import graph_partitions, symmetrize
 
 
 #: audit hook (the plans/superstep.PLAN_PROBE convention): called with
@@ -73,7 +73,7 @@ def wl_refinement(
         .distinct()
         if directed
         else symmetrize(edges)
-    ).repartition(spark.sparkContext.defaultParallelism, "src_id").cache()
+    ).repartition(graph_partitions(spark), "src_id").cache()
     adj.count()
 
     # init over ALL endpoints: in directed mode a sink (out-degree 0)
