@@ -9,12 +9,11 @@ Spark-first re-expression of the reference's extraction loop
                                      (P2, cheap JVM pre-filter BEFORE any
                                       Python — UDF predicates don't push
                                       down, so order it explicitly)
-      -> mapInPandas extract_bibitems
-                                     (P3+P4+F5 in one Arrow-batched pass;
-                                      flatMap shape = our UDTF surface)
-      -> filter length(bibitem)>30   (P5)
-      -> pandas_udf identifiers      (F1-F4 + X1 precedence)
-      -> filter id is not null
+      -> mapInPandas fused kernel    (P3+P4+F5 explode, P5 length filter,
+                                      F1-F4 + X1 identifiers, not-null
+                                      filter — ONE Arrow-batched Python
+                                      pass; bibitem rows never re-cross
+                                      the JVM<->Python boundary)
       -> select src/dst [+ provenance window]   (X2)
       -> dropDuplicates              (X3 — the only required shuffle)
 
@@ -109,6 +108,56 @@ def _attach_identifiers(keep_unidentified: bool):
     return kernel
 
 
+def _explode_and_identify(keep_unidentified: bool):
+    """Fused mapInPandas kernel: bibitem explode + length filter +
+    identifier extraction in ONE Python pass.
+
+    The previous pipeline paid TWO JVM->Python->JVM Arrow round trips per
+    document batch (explode kernel, then a JVM length filter, then the
+    identifier kernel); every bibitem row crossed the boundary twice and
+    was transposed to/from Arrow four times (guide §4.1: you cannot
+    remove the boundary cost, but you control how often rows cross).
+    The length filter moves into Python (`len(item) > MIN_BIBITEM_LEN`,
+    identical semantics to `F.length` on a string column), so bibitem
+    rows cross the boundary exactly once.  Output and row set are
+    bit-identical to the two-stage form.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            repos: list[str] = []
+            paths: list[str] = []
+            poss: list[int] = []
+            items: list[str] = []
+            cleans: list[str] = []
+            for repo, path, content in zip(batch["repo"], batch["path"], batch["content"]):
+                for pos, item, clean in extract_bibitems(content or ""):
+                    if len(item) > MIN_BIBITEM_LEN:
+                        repos.append(repo)
+                        paths.append(path)
+                        poss.append(pos)
+                        items.append(item)
+                        cleans.append(clean)
+            out = pd.DataFrame(
+                {
+                    "repo": repos,
+                    "path": paths,
+                    "pos": poss,
+                    "bibitem": items,
+                    "clean_bibitem": cleans,
+                }
+            )
+            ids = extract_identifiers_batch(out["bibitem"])
+            out = out.assign(
+                reference_id=ids["reference_id"].values, id_type=ids["id_type"].values
+            )
+            if not keep_unidentified:
+                out = out[out["reference_id"].notna()]
+            yield out
+
+    return kernel
+
+
 def bibitems_from_docs(docs: DataFrame) -> DataFrame:
     """docs(repo, path, commit, lang, content) -> one row per bibitem.
 
@@ -134,8 +183,12 @@ def references_from_docs(docs: DataFrame) -> DataFrame:
     order; the engine pins lexicographic path order, a documented
     determinism upgrade).
     """
-    bibitems = bibitems_from_docs(docs).filter(F.length("bibitem") > MIN_BIBITEM_LEN)
-    with_ids = bibitems.mapInPandas(_attach_identifiers(True), schema=_REFS_SCHEMA)
+    with_ids = (
+        docs.filter(F.col("path").rlike(DOC_PATH_PATTERN))
+        .filter(F.instr(F.col("content"), "\\bibitem") > 0)
+        .select("repo", "path", "content")
+        .mapInPandas(_explode_and_identify(True), schema=_REFS_SCHEMA)
+    )
     num_window = Window.partitionBy("repo").orderBy("path", "pos")
     return with_ids.select(
         "repo",
@@ -161,9 +214,11 @@ def edges_from_docs(docs: DataFrame) -> DataFrame:
     here — the edge list doesn't need the sort, so the plan stays
     window-free.
     """
-    bibitems = bibitems_from_docs(docs).filter(F.length("bibitem") > MIN_BIBITEM_LEN)
-    identified = bibitems.select("repo", "path", "pos", "bibitem", "clean_bibitem").mapInPandas(
-        _attach_identifiers(False), schema=_REFS_SCHEMA
+    identified = (
+        docs.filter(F.col("path").rlike(DOC_PATH_PATTERN))
+        .filter(F.instr(F.col("content"), "\\bibitem") > 0)
+        .select("repo", "path", "content")
+        .mapInPandas(_explode_and_identify(False), schema=_REFS_SCHEMA)
     )
     return (
         identified.select(F.col("repo").alias("src_id"), F.col("reference_id").alias("dst_id"))

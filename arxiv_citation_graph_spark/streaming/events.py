@@ -45,14 +45,19 @@ def stream_edges(docs_stream: DataFrame) -> DataFrame:
     edges table keyed on (src_id, dst_id) in production; the test sink
     dedups per batch then distinct-compacts)."""
     from arxiv_citation_graph_spark.operators.extract import (
-        MIN_BIBITEM_LEN,
+        DOC_PATH_PATTERN,
         _REFS_SCHEMA,
-        _attach_identifiers,
-        bibitems_from_docs,
+        _explode_and_identify,
     )
 
-    bibitems = bibitems_from_docs(docs_stream).filter(F.length("bibitem") > MIN_BIBITEM_LEN)
-    identified = bibitems.mapInPandas(_attach_identifiers(False), schema=_REFS_SCHEMA)
+    # fused single-Python-pass kernel (the batch edges_from_docs shape):
+    # bibitem rows cross the JVM<->Python boundary once per micro-batch
+    identified = (
+        docs_stream.filter(F.col("path").rlike(DOC_PATH_PATTERN))
+        .filter(F.instr(F.col("content"), "\\bibitem") > 0)
+        .select("repo", "path", "content")
+        .mapInPandas(_explode_and_identify(False), schema=_REFS_SCHEMA)
+    )
     return (
         identified.select(F.col("repo").alias("src_id"), F.col("reference_id").alias("dst_id"))
         .dropDuplicates(["src_id", "dst_id"])  # watermark-less stream: state-backed dedup
