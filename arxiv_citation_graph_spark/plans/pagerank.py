@@ -288,7 +288,24 @@ def pagerank(
     else:
         n_sources = 0
     vertices_flagged = vertices_flagged.cache()
-    n = vertices_flagged.count()
+    # ONE materializing action yields |V|, the dangling count, and (in
+    # personalized mode) iteration 0's dangling mass directly — the
+    # former separate _dm_seed action re-scanned the initial state just
+    # to sum a value derivable here (guide §1.2 step 1: one fewer
+    # driver round trip per pagerank invocation).
+    vagg_exprs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dangling").cast("long")).alias("n_dangling"),
+    ]
+    if personalized:
+        vagg_exprs.append(
+            F.sum(
+                F.when(F.col("dangling"), F.col("teleport")).otherwise(F.lit(0.0))
+            ).alias("dm0")
+        )
+    vagg = vertices_flagged.agg(*vagg_exprs).first()
+    n = int(vagg["n"])
+    n_dangling = int(vagg["n_dangling"] or 0)
     if n == 0:
         for cached in (adjacency, vertices_flagged, in_deg):
             cached.unpersist()
@@ -319,10 +336,20 @@ def pagerank(
     state_cols = ["vertex", "dangling"] + (["teleport"] if personalized else [])
 
     def _dm_seed(frame: DataFrame) -> float:
-        """One |V|-sized aggregate seeding the dangling-mass scalar for
-        iteration 0 (and for resumes whose manifest predates the scalar)."""
+        """One |V|-sized aggregate seeding the dangling-mass scalar —
+        only for resumes whose manifest predates the scalar; fresh runs
+        derive iteration 0's mass from the setup aggregate above."""
         row = frame.agg(dangling_mass_col.alias("dm")).first()
         return float(row["dm"]) if row["dm"] is not None else 0.0
+
+    # iteration 0's dangling mass, no extra action: uniform start =
+    # n_dangling copies of 1/n; personalized start = the teleport sum
+    # over dangling vertices (from the setup aggregate); warm start =
+    # filled in by _warm_start_ranks' validation aggregate below.
+    if personalized:
+        dm0: float | None = float(vagg["dm0"]) if vagg["dm0"] is not None else 0.0
+    else:
+        dm0 = n_dangling * (1.0 / n)
 
     # Static Column expressions hoisted OUT of the superstep loop: a
     # Column wraps an immutable unresolved expression and is freely
@@ -401,7 +428,11 @@ def pagerank(
     def step(ranks: DataFrame, i: int, prev: Row | None) -> tuple[DataFrame, dict]:
         dm = prev["dm"] if prev is not None and "dm" in prev else None
         if dm is None:
-            dm = _dm_seed(ranks)
+            # i == 0 is a fresh run's first superstep (a resume always
+            # starts past 0): the scalar was derived at setup.  Any
+            # other dm-less superstep is a resume from a pre-scalar
+            # manifest — scan once.
+            dm = dm0 if i == 0 and dm0 is not None else _dm_seed(ranks)
         return (
             _update(ranks, float(dm)),
             {"delta": delta_agg, "dm": dangling_mass_col},
@@ -421,7 +452,7 @@ def pagerank(
         initial = _uniform_ranks(vertices_flagged, n)
         signature = {"n_vertices": n, "n_edges": m, "edge_fp": edge_fp, "damping": damping}
     if warm_start is not None:
-        initial = _warm_start_ranks(vertices_flagged, state_cols, warm_start, n)
+        initial, dm0 = _warm_start_ranks(vertices_flagged, state_cols, warm_start, n)
     if weighted:
         signature["weighted"] = True
         signature["weight_fp"] = (
@@ -455,11 +486,12 @@ def _uniform_ranks(vertices_flagged: DataFrame, n: int) -> DataFrame:
 
 def _warm_start_ranks(
     vertices_flagged: DataFrame, state_cols: list[str], warm_start: DataFrame, n: int
-) -> DataFrame:
+) -> tuple[DataFrame, float]:
     """Seed ranks from a prior fixpoint: match by vertex (new vertices at
     1/n, vanished seeds dropped by the left join), validate, renormalize
-    to sum 1.  One |V|-sized setup aggregate; the iteration plan is
-    unchanged."""
+    to sum 1.  One |V|-sized setup aggregate (which also yields
+    iteration 0's dangling mass — no separate seed scan); the iteration
+    plan is unchanged.  Returns ``(initial_state, dm0)``."""
     seed = (
         warm_start.select("vertex", F.col("rank").cast("double").alias("_seed"))
         # duplicate seed rows per vertex are averaged (deterministic;
@@ -476,6 +508,9 @@ def _warm_start_ranks(
         F.sum(
             F.when(F.col("_r0").isNull() | F.isnan("_r0"), 1).otherwise(0)
         ).alias("bad"),
+        F.sum(
+            F.when(F.col("dangling"), F.col("_r0")).otherwise(F.lit(0.0))
+        ).alias("dm_raw"),
     ).first()
     if int(agg["bad"]) > 0:
         raise ValueError(
@@ -488,10 +523,14 @@ def _warm_start_ranks(
             f"warm_start: seed ranks must be non-negative with a positive "
             f"sum (min={agg['mn']}, sum={total})"
         )
-    return joined.select(
-        *state_cols,
-        (F.col("_r0") / F.lit(total)).alias("rank"),
-        F.lit(0.0).alias("delta"),
+    dm0 = (float(agg["dm_raw"]) if agg["dm_raw"] is not None else 0.0) / total
+    return (
+        joined.select(
+            *state_cols,
+            (F.col("_r0") / F.lit(total)).alias("rank"),
+            F.lit(0.0).alias("delta"),
+        ),
+        dm0,
     )
 
 
