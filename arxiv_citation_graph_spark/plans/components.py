@@ -24,7 +24,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import graph_partitions, symmetrize_partitioned, vertices_of
+from arxiv_citation_graph_spark.plans.layout import (
+    graph_partitions,
+    symmetrize_partitioned,
+    vertices_from_sym,
+)
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -80,7 +84,10 @@ def connected_components(
     ).first()
     n_sym = int(sym_agg["m"])
     edge_fp = int(sym_agg["fp"]) if sym_agg["fp"] is not None else 0
-    vertices = vertices_of(edges).cache()
+    # vertex universe from the cached symmetric view: exchange-free
+    # distinct on sym's partitioning + the self-loop-only stragglers,
+    # instead of a union-distinct exchange over 2|E| raw endpoint rows
+    vertices = vertices_from_sym(sym, edges).cache()
     n_vertices = vertices.count()
     if broadcast_labels is None:
         # default to the shuffled-hash path at every size: the superstep

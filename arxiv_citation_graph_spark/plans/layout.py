@@ -173,6 +173,28 @@ def vertices_of(edges: DataFrame) -> DataFrame:
     )
 
 
+def vertices_from_sym(sym: DataFrame, edges: DataFrame) -> DataFrame:
+    """``vertices_of(edges)`` for kernels that already hold the
+    ``symmetrize_partitioned`` view of the same edges — identical vertex
+    set, one large exchange fewer.
+
+    ``vertices_of`` union-distincts 2|E| raw endpoint rows (a full |E|
+    exchange).  Every endpoint of a non-self-loop edge appears on the
+    src side of the symmetric view, and the cached symmetric frame is
+    hash-partitioned on ``src_id``, so ``sym.select(src).distinct()``
+    satisfies its clustering and runs exchange-free; the only vertices
+    it misses are those with ONLY self-loop edges (symmetrize drops
+    loops), recovered by a cheap filtered scan.  The final distinct
+    exchanges |V| + |loops| rows instead of 2|E| (guide §2.4: remove
+    shuffles outright; §2.3: shuffle fewer bytes)."""
+    first = sym.select(F.col("src_id").alias("vertex")).distinct()
+    loops = (
+        edges.filter(F.col("src_id") == F.col("dst_id"))
+        .select(F.col("src_id").alias("vertex"))
+    )
+    return first.unionByName(loops).distinct()
+
+
 def build_adjacency(
     edges: DataFrame, partitions: int | None = None, weight: str | None = None
 ) -> DataFrame:

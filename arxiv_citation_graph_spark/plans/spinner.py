@@ -62,7 +62,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arxiv_citation_graph_spark.plans.layout import graph_partitions, symmetrize_partitioned, vertices_of
+from arxiv_citation_graph_spark.plans.layout import (
+    graph_partitions,
+    symmetrize_partitioned,
+    vertices_from_sym,
+)
 from arxiv_citation_graph_spark.plans.superstep import (
     CheckpointStore,
     SuperstepReport,
@@ -130,7 +134,9 @@ def spinner_partition(
     ).first()
     n_sym = int(sym_agg["m"])
     edge_fp = int(sym_agg["fp"]) if sym_agg["fp"] is not None else 0
-    vertices = vertices_of(edges).cache()
+    # vertex universe from the cached symmetric view (the CC treatment):
+    # exchange-free distinct + self-loop stragglers, not a 2|E| exchange
+    vertices = vertices_from_sym(sym, edges).cache()
     n = vertices.count()
     capacity = (n * (100 + slack_pct) + 100 * k - 1) // (100 * k)
     # per-round |V|-bounded frames (labels, per-vertex best scores,
@@ -213,12 +219,15 @@ def spinner_partition(
                 loads_vec = _loads_seed(cur)
             rooms = [max(capacity - l, 0) for l in loads_vec]
 
-            def room_of(col):
-                # literal lookup: partition label -> remaining room
-                expr = F.when(col == 0, F.lit(rooms[0]))
-                for j in range(1, k):
-                    expr = expr.when(col == j, F.lit(rooms[j]))
-                return expr.otherwise(F.lit(0))
+            def room_of(col_name: str):
+                # literal lookup: partition label -> remaining room.  ONE
+                # SQL CASE string = one py4j round trip instead of the
+                # ~4k round trips a k-arm F.when chain costs per use per
+                # round (identical CASE WHEN semantics/plan).
+                arms = " ".join(
+                    f"WHEN {j} THEN {rooms[j]}" for j in range(k)
+                )
+                return F.expr(f"CASE {col_name} {arms} ELSE 0 END")
         else:
             loads = cur.groupBy("partition").agg(F.count(F.lit(1)).alias("load"))
             # every label in [0, k) gets a room row — an emptied partition
@@ -246,7 +255,7 @@ def spinner_partition(
             scored = nbr_counts.select(
                 "vertex",
                 "partition",
-                (F.col("cnt") * room_of(F.col("partition"))).alias("score"),
+                (F.col("cnt") * room_of("partition")).alias("score"),
             )
         else:
             scored = nbr_counts.join(room_tbl, "partition").select(
@@ -281,7 +290,7 @@ def spinner_partition(
         ranked = willing.withColumn("rn", F.row_number().over(rank_window))
         if use_scalar_loads:
             admitted = ranked.filter(
-                F.col("rn") <= room_of(F.col("target"))
+                F.col("rn") <= room_of("target")
             ).select("vertex", "target")
         else:
             admitted = (
@@ -360,19 +369,28 @@ def partition_quality(
     partition sizes, ``n_partitions`` the number of non-empty parts.
     One |E| pass (canonical edge set joined to both endpoint labels),
     one |V| load aggregate."""
+    # canonical undirected view via the symmetrize_partitioned trick:
+    # repartition FIRST on u so the distinct's aggregate runs exchange-
+    # free on the subset partitioning AND the u-side label join below
+    # reuses the same exchange (guide §2.4) — one |E| exchange for
+    # dedup+first join instead of two.  Labels attach via pinned
+    # shuffled-hash (|V|-sized build side) so nothing sorts the |E|
+    # frame (guide §3.1).
+    n_parts = graph_partitions(spark)
     und = (
         edges.filter(F.col("src_id") != F.col("dst_id"))
         .select(
             F.least("src_id", "dst_id").alias("u"),
             F.greatest("src_id", "dst_id").alias("v"),
         )
-        .distinct()
+        .repartition(n_parts, "u")
+        .dropDuplicates()
     )
     lu = labels.select(F.col("vertex").alias("u"), F.col("partition").alias("pu"))
     lv = labels.select(F.col("vertex").alias("v"), F.col("partition").alias("pv"))
     edge_stats = (
-        und.join(lu, "u")
-        .join(lv, "v")
+        und.join(lu.hint("shuffle_hash"), "u")
+        .join(lv.hint("shuffle_hash"), "v")
         .agg(
             F.count(F.lit(1)).alias("m"),
             F.sum((F.col("pu") == F.col("pv")).cast("long")).alias("internal"),
