@@ -1,0 +1,75 @@
+"""Round-6 regression: ``layout.vertices_from_sym`` must reproduce
+``vertices_of`` exactly — including the self-loop-only stragglers the
+symmetric view drops — for the kernels that switched to it (hash-min CC
+and Spinner, commit "Derive CC/Spinner vertex universe from the cached
+symmetric view")."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arxiv_citation_graph_spark.plans.components import connected_components
+from arxiv_citation_graph_spark.plans.layout import (
+    graph_partitions,
+    symmetrize_partitioned,
+    vertices_from_sym,
+    vertices_of,
+)
+from arxiv_citation_graph_spark.plans.spinner import partition_quality, spinner_partition
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src_id string, dst_id string")
+
+
+#: self-loop-only vertex "a", isolated-but-looped "z", plus a normal
+#: component and a vertex on both sides of mixed edges
+PAIRS = [
+    ("a", "a"),          # self-loop ONLY: not in the symmetric view
+    ("z", "z"),
+    ("b", "c"),
+    ("c", "b"),
+    ("c", "d"),
+    ("d", "d"),          # self-loop on a connected vertex
+]
+
+
+def test_vertices_from_sym_matches_vertices_of(spark):
+    edges = _edges(spark, PAIRS)
+    sym = symmetrize_partitioned(edges, graph_partitions(spark))
+    want = {r.vertex for r in vertices_of(edges).collect()}
+    got = {r.vertex for r in vertices_from_sym(sym, edges).collect()}
+    assert got == want == {"a", "z", "b", "c", "d"}
+    # and no duplicates
+    assert vertices_from_sym(sym, edges).count() == 5
+
+
+def test_cc_keeps_self_loop_only_vertices_as_singletons(spark):
+    got = connected_components(spark, _edges(spark, PAIRS))
+    labels = {(r.vertex, r.component) for r in got.components.collect()}
+    assert labels == {
+        ("a", "a"),
+        ("z", "z"),
+        ("b", "b"),
+        ("c", "b"),
+        ("d", "b"),
+    }
+
+
+def test_spinner_labels_every_vertex_including_self_loop_only(spark):
+    edges = _edges(spark, PAIRS)
+    res = spinner_partition(spark, edges, k=2, iterations=2)
+    rows = res.labels.collect()
+    assert {r.vertex for r in rows} == {"a", "z", "b", "c", "d"}
+    assert len(rows) == 5
+    assert all(0 <= r.partition < 2 for r in rows)
+    # quality summary over the same graph: the canonical undirected view
+    # has exactly 2 edges (b-c, c-d), self-loops excluded
+    q = partition_quality(spark, edges, res.labels).first()
+    assert int(q.total_edges) == 2
+    assert 0 <= int(q.internal_edges) <= 2
+    # every vertex is counted in exactly one partition load
+    load_rows = (
+        res.labels.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sum(int(r.n) for r in load_rows) == 5
